@@ -1,13 +1,82 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Similarity
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 gets a `queries` entry
+  * (Spark DataFrame) and, when SQL-expressible, an `oracleSql` entry (ANSI
+  * SQL run by DuckDB over the same parquet tables). Column names and row
+  * ordering are aligned between the two; floating-point outputs are rounded
+  * (6 dp scores, 2-4 dp aggregates) and rankings computed on the rounded
+  * values so both engines agree deterministically.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Similarity.topKSingle(spark, "/root/testdata/sf0.001", queryVecId = 0L, k = 10)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topk_single"   -> ((s, dir) => Similarity.topKSingle(s, dir, 0L, 10)),
+    "topk_filtered" -> ((s, dir) => Similarity.topKFiltered(s, dir, 0L, 10, 3)),
+    "point_lookup"  -> ((s, dir) => Similarity.pointLookup(s, dir, 42L)),
+    "sim_join_topk" -> ((s, dir) => Similarity.batchSimilarityJoin(s, dir, 8, 5)),
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL. Shared fragment: exact cosine over DOUBLE[] with the
+  // reference's pinned semantics (zero-norm → 0.0), rounded to 6 dp —
+  // mirrors graft.functions.CosineSimilarity (same sequential accumulation
+  // order, so the doubles are bit-identical before rounding).
+  // ---------------------------------------------------------------------
+  private def cosSql(v: String, qv: String): String =
+    s"""round(CASE WHEN list_sum(list_transform($v, x -> x*x)) = 0
+       |            OR list_sum(list_transform($qv, x -> x*x)) = 0 THEN 0.0
+       |       ELSE list_sum(list_transform(range(1, len($v)+1), i -> $v[i]*$qv[i]))
+       |            / (sqrt(list_sum(list_transform($v, x -> x*x)))
+       |               * sqrt(list_sum(list_transform($qv, x -> x*x))))
+       |       END, 6)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "topk_single" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, ${cosSql("e.v", "q.qv")} AS score
+         |FROM e, q
+         |ORDER BY score DESC, vec_id ASC
+         |LIMIT 10""".stripMargin,
+
+    "topk_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, ${cosSql("e.v", "q.qv")} AS score
+         |FROM e, q
+         |WHERE e.label = 3
+         |ORDER BY score DESC, vec_id ASC
+         |LIMIT 10""".stripMargin,
+
+    "point_lookup" ->
+      """SELECT vec_id, label,
+        |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) AS norm
+        |FROM embeddings WHERE vec_id = 42""".stripMargin,
+
+    "sim_join_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id, e.label, ${cosSql("e.v", "q.qv")} AS score
+         |  FROM e, q),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT query_id, rnk, vec_id, label, score
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id ASC, rnk ASC""".stripMargin,
+  )
 }

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Column-level vector math over `ARRAY<DOUBLE>` columns.
+  *
+  * `cosine_sim` is the engine's only *necessary* custom scalar (reference
+  * `/root/reference/utils/utils.go:9-24`); the rest are composition helpers
+  * built from codegen'd higher-order functions.
+  */
+object VectorFunctions {
+
+  private def asDoubleArrayExpr(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType))
+
+  /** Cosine similarity as a native expression — see [[CosineSimilarity]]. */
+  def cosine_sim(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(
+      asDoubleArrayExpr(Bridge.expression(a)),
+      asDoubleArrayExpr(Bridge.expression(b))))
+
+  /** Cast an ARRAY<FLOAT> (testdata storage type) to ARRAY<DOUBLE> for math. */
+  def as_double_array(c: Column): Column = c.cast("array<double>")
+
+  /** Elementwise dot product via built-in higher-order functions (no UDF). */
+  def dot_product(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2_norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  /** Euclidean distance. */
+  def l2_dist(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+
+  /** Register SQL surface: `SELECT cosine_sim(a, b) FROM ...`. */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => CosineSimilarity(asDoubleArrayExpr(exprs.head), asDoubleArrayExpr(exprs(1))),
+      "built-in")
+  }
+}

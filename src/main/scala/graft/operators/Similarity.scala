@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.VectorFunctions._
+
+/** Exact similarity search — the reference's flagship operator family
+  * (`/root/reference/collection/collection.go:64-151`) re-expressed as Spark
+  * bulk operations.
+  *
+  * Scale notes (100 TB design):
+  *  - single-query top-k plans as `TakeOrderedAndProject` over a parquet scan:
+  *    per-partition bounded heap + driver merge of k·P rows — no shuffle of
+  *    data, embarrassingly parallel across executors;
+  *  - the query vector travels as a literal inside the codegen'd expression
+  *    (constant-folded), not as a joined row;
+  *  - batch similarity join broadcasts the (small) query side and computes a
+  *    per-query top-k window partitioned by query id — the shuffle is over
+  *    k·Q candidate rows, not the full cross product, when combined with the
+  *    per-partition `row_number` pre-filter Catalyst applies after AQE.
+  *
+  * Determinism: reference tie behavior is nondeterministic
+  * (`collection/collection.go:105-146`); we pin `score DESC, id ASC` and rank
+  * by the 6-dp-rounded score so Spark and the DuckDB oracle agree bit-for-bit
+  * (SURVEY.md §2.2, §7.5).
+  */
+object Similarity {
+
+  /** Rounded score used for both ranking and output — ranking on the rounded
+    * value makes cross-engine ordering stable (sub-1e-6 float drift collapses
+    * into the deterministic `id` tie-break). */
+  private def score(embedding: Column, queryVec: Column): Column =
+    round(cosine_sim(embedding, queryVec), 6)
+
+  /** Fetch one stored embedding to use as the query vector (driver-side point
+    * lookup of a single 64-dim row — the "query text → query vector" step;
+    * reference embeds the query with the collection's embedder,
+    * `collection/collection.go:66-73`). */
+  def queryVector(spark: SparkSession, dir: String, vecId: Long): Array[Double] =
+    Tables.embeddings(spark, dir)
+      .where(col("vec_id") === vecId)
+      .select("embedding")
+      .head()
+      .getSeq[Double](0)
+      .toArray
+
+  /** O1/X1 — exact top-k cosine search against a single query vector. */
+  def topKSingle(spark: SparkSession, dir: String, queryVecId: Long = 0L, k: Int = 10): DataFrame = {
+    val q = typedLit(queryVector(spark, dir, queryVecId))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), score(col("embedding"), q).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** X4 — metadata-filtered top-k: arbitrary column predicates applied before
+    * scoring; Catalyst pushes them into the parquet scan (the reference lists
+    * metadata filtering as a roadmap gap, README.md:146). */
+  def topKFiltered(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+                   k: Int = 10, labelFilter: Int = 3): DataFrame = {
+    val q = typedLit(queryVector(spark, dir, queryVecId))
+    Tables.embeddings(spark, dir)
+      .where(col("label") === labelFilter)
+      .select(col("vec_id"), col("label"), score(col("embedding"), q).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** O7 — point lookup by record id (predicate-pushdown point scan;
+    * reference `collection/collection.go:56-62`). */
+  def pointLookup(spark: SparkSession, dir: String, vecId: Long = 42L): DataFrame =
+    Tables.embeddings(spark, dir)
+      .where(col("vec_id") === vecId)
+      .select(col("vec_id"), col("label"), round(l2_norm(col("embedding")), 6).as("norm"))
+
+  /** X2 — batch similarity join: Q query vectors × N records, per-query exact
+    * top-k. The query side (small) is broadcast; scoring happens map-side with
+    * no shuffle of the big side; the window shuffles only scored candidates.
+    * At 100 TB the pre-filter `scoreRound >= threshold` (optional) or an LSH
+    * bucket join (see [[Ann]]) bounds the window input. */
+  def batchSimilarityJoin(spark: SparkSession, dir: String,
+                          numQueries: Int = 8, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val scored = e.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"), col("label"),
+              score(col("embedding"), col("query_vec")).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), asc("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint")) // bigint: matches DuckDB row_number
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("label"), col("score"))
+      .orderBy(asc("query_id"), asc("rnk"))
+  }
+}
