@@ -1,0 +1,105 @@
+package graft.core
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import scala.collection.concurrent.TrieMap
+
+/** Pluggable embedder registry — same resolution semantics as the reference
+  * (`/root/reference/embedders/embedders.go:14,83-95`):
+  *
+  *   1. explicit registrations win;
+  *   2. names with the `hugging-face/` prefix auto-dispatch to a HuggingFace
+  *      inference client with the suffix as model id (network — unavailable
+  *      in this zero-egress environment, so the client raises at call time);
+  *   3. anything else → "invalid embedder name" error.
+  *
+  * Extension beyond the reference: a deterministic, offline, seeded
+  * hash-projection embedder family `local/hash-<dim>` so ingest and query
+  * embedding are reproducible anywhere (executors included) without network.
+  *
+  * Cluster note: operators capture only the embedder *name*; resolution
+  * happens executor-side against this JVM-global registry, so prefix-dispatch
+  * families (`local/hash-*`, `hugging-face/*`) work on any executor without
+  * shipping closures. Custom one-off registrations must be re-registered in
+  * the executor JVM (or be made a prefix family).
+  */
+object Embedders {
+  /** blob → dense vector; the reference's `func([]byte) ([]float64, error)`. */
+  type EmbedFn = Array[Byte] => Array[Double]
+
+  private val registry = TrieMap[String, EmbedFn]()
+
+  val HuggingFacePrefix = "hugging-face/"
+  val LocalHashPrefix = "local/hash-"
+
+  def register(name: String, fn: EmbedFn): Unit = registry.put(name, fn)
+
+  def deregister(name: String): Unit = registry.remove(name)
+
+  /** Resolve with the reference's precedence (embedders.go:83-95). */
+  def get(name: String): EmbedFn =
+    registry.get(name) match {
+      case Some(fn) => fn
+      case None if name.startsWith(HuggingFacePrefix) =>
+        huggingFaceEmbed(name.stripPrefix(HuggingFacePrefix))
+      case None if name.startsWith(LocalHashPrefix) =>
+        name.stripPrefix(LocalHashPrefix).toIntOption match {
+          case Some(d) if d > 0 => hashProjection(d)
+          case _ => throw new GraftException(s"invalid embedder name: $name")
+        }
+      case None => throw new GraftException(s"invalid embedder name: $name")
+    }
+
+  def contains(name: String): Boolean =
+    registry.contains(name) ||
+      name.startsWith(HuggingFacePrefix) ||
+      (name.startsWith(LocalHashPrefix) &&
+        name.stripPrefix(LocalHashPrefix).toIntOption.exists(_ > 0))
+
+  /** Batched embedding for partition-level ingest: the reference embeds one
+    * record per HTTP round-trip (`embedders.go:34,40-51`); engine operators
+    * call this once per partition batch instead. */
+  def embedBatch(name: String, blobs: Iterator[Array[Byte]]): Iterator[Array[Double]] = {
+    val fn = get(name)
+    blobs.map(fn)
+  }
+
+  /** Deterministic seeded hash-projection embedder: component i is derived
+    * from MD5(i || '|' || blob) mapped to [-1, 1], then L2-normalized.
+    * Deterministic across JVMs/executors; stands in for the reference's
+    * network HuggingFace embedder (`embedders.go:26-81`) offline. */
+  def hashProjection(dim: Int): EmbedFn = { blob =>
+    val out = new Array[Double](dim)
+    var i = 0
+    var sumSq = 0.0
+    while (i < dim) {
+      val md = MessageDigest.getInstance("MD5")
+      md.update(i.toString.getBytes(StandardCharsets.UTF_8))
+      md.update('|'.toByte)
+      md.update(blob)
+      val h = ByteBuffer.wrap(md.digest()).getLong
+      val v = h.toDouble / Long.MaxValue.toDouble
+      out(i) = v
+      sumSq += v * v
+      i += 1
+    }
+    if (sumSq > 0.0) {
+      val inv = 1.0 / math.sqrt(sumSq)
+      var j = 0
+      while (j < dim) { out(j) *= inv; j += 1 }
+    }
+    out
+  }
+
+  /** HuggingFace feature-extraction client shape (reference
+    * `embedders.go:26-81`: POST blob with {use_cache:true, wait_for_model:
+    * true}, auth from HUGGING_FACE_API_KEY, parse [][]float, take row 0).
+    * This environment has zero egress, so the call raises immediately with
+    * a clear message rather than hanging on a connect timeout. */
+  private def huggingFaceEmbed(modelId: String): EmbedFn = { _ =>
+    throw new GraftException(
+      s"hugging-face/$modelId: network embedders are unavailable in this " +
+        "offline environment; register a local embedder or use local/hash-<dim>")
+  }
+}
