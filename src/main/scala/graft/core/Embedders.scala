@@ -20,7 +20,7 @@ import scala.collection.concurrent.TrieMap
   *
   * Cluster note: operators capture only the embedder *name*; resolution
   * happens executor-side against this JVM-global registry, so prefix-dispatch
-  * families (`local/hash-*`, `hugging-face/*`) work on any executor without
+  * families (`local/hash-<dim>`, `hugging-face/<model>`) work on any executor without
   * shipping closures. Custom one-off registrations must be re-registered in
   * the executor JVM (or be made a prefix family).
   */
