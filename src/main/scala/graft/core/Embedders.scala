@@ -71,10 +71,12 @@ object Embedders {
     * network HuggingFace embedder (`embedders.go:26-81`) offline. */
   def hashProjection(dim: Int): EmbedFn = { blob =>
     val out = new Array[Double](dim)
+    // One digest per call, not per component; MessageDigest.digest() resets
+    // the instance, so reuse across the loop is safe.
+    val md = MessageDigest.getInstance("MD5")
     var i = 0
     var sumSq = 0.0
     while (i < dim) {
-      val md = MessageDigest.getInstance("MD5")
       md.update(i.toString.getBytes(StandardCharsets.UTF_8))
       md.update('|'.toByte)
       md.update(blob)

@@ -52,6 +52,10 @@ object CosineSimilarity {
     var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) {
+        throw new SparkException(
+          s"cosine_sim: vectors must not contain NULL elements (at index $i)")
+      }
       val a = x.getDouble(i)
       val b = y.getDouble(i)
       dot += a * b

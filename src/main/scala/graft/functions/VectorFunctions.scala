@@ -42,7 +42,18 @@ object VectorFunctions {
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
-      exprs => CosineSimilarity(asDoubleArrayExpr(exprs.head), asDoubleArrayExpr(exprs(1))),
+      exprs => {
+        if (exprs.length != 2) {
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "cosine_sim",
+              "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "-"))
+        }
+        CosineSimilarity(asDoubleArrayExpr(exprs.head), asDoubleArrayExpr(exprs(1)))
+      },
       "built-in")
   }
 }

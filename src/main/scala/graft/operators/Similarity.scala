@@ -43,7 +43,10 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .where(col("vec_id") === vecId)
       .select("embedding")
-      .head()
+      .collect()
+      .headOption
+      .getOrElse(throw new graft.core.GraftException(
+        s"query vector $vecId not found in $dir/embeddings.parquet"))
       .getSeq[Double](0)
       .toArray
 
