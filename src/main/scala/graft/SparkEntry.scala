@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Similarity
+import graft.operators.{CatalogOps, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,6 +25,7 @@ object SparkEntry {
     "topk_filtered" -> ((s, dir) => Similarity.topKFiltered(s, dir, 0L, 10, 3)),
     "point_lookup"  -> ((s, dir) => Similarity.pointLookup(s, dir, 42L)),
     "sim_join_topk" -> ((s, dir) => Similarity.batchSimilarityJoin(s, dir, 8, 5)),
+    "topk_via_catalog" -> ((s, dir) => CatalogOps.topkViaCatalog(s, dir, 0L, 10)),
   )
 
   // ---------------------------------------------------------------------
@@ -65,6 +66,14 @@ object SparkEntry {
       """SELECT vec_id, label,
         |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) AS norm
         |FROM embeddings WHERE vec_id = 42""".stripMargin,
+
+    "topk_via_catalog" ->
+      s"""WITH e AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.id, ${cosSql("e.v", "q.qv")} AS score
+         |FROM e, q
+         |ORDER BY score DESC, id ASC
+         |LIMIT 10""".stripMargin,
 
     "sim_join_topk" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1,0 +1,199 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.cosine_sim
+
+/** Catalog entry for one collection — mirrors the reference collection header
+  * (`/root/reference/collection/collection.go:13-17`): id + embedderId; the
+  * record map becomes a Parquet-backed DataFrame at `path` (version-bumped on
+  * delete: Parquet is immutable, so record deletion is copy-on-write into a
+  * fresh version directory — the 100 TB pattern, where "delete" rewrites only
+  * the affected partitions' files and flips a manifest pointer).
+  */
+final case class CollectionMeta(id: String, embedderId: String, path: String, version: Int = 0) {
+  override def toString: String = PrettyPrint.collection(id, embedderId)
+}
+
+/** The engine's database surface — O2, O5–O17 from SURVEY.md §2.1,
+  * re-expressed over a collection catalog + Parquet-backed record sets.
+  *
+  * Error semantics (message text included) are pinned to the reference:
+  *  - duplicate collection add     `/root/reference/database/database.go:100-103`
+  *  - missing collection get       `database/database.go:118-124`
+  *  - missing collection delete    `database/database.go:126-137`
+  *  - AddRecord's three validations `collection/collection.go:32-45`
+  *  - missing record get/delete    `collection/collection.go:47-62`
+  *
+  * Unlike the reference's resident `map[string]Record`, records live in
+  * Parquet (columnar, vectorized scan, partitionable across executors);
+  * the catalog itself is tiny driver-side metadata, as a real cluster
+  * catalog (HMS/Unity/Glue) would be.
+  */
+final class GraftDatabase(val spark: SparkSession, val basePath: String) {
+
+  private val collections = TrieMap[String, CollectionMeta]()
+
+  // --- collection CRUD (O11–O16) ---------------------------------------
+
+  /** O11 MakeCollection — validates the embedder resolves
+    * (`collection/collection.go:19-26`). */
+  def makeCollection(id: String, embedderId: String): CollectionMeta = {
+    if (!Embedders.contains(embedderId))
+      throw new GraftException("Invalid embedder name")
+    CollectionMeta(id, embedderId, s"$basePath/$id/v0")
+  }
+
+  /** O12 AddCollection (`database/database.go:99-110`). */
+  def addCollection(meta: CollectionMeta): Unit =
+    collections.putIfAbsent(meta.id, meta).foreach { _ =>
+      throw new GraftException(
+        s"Cannot create collection ${meta.id}: a collection with id ${meta.id} already exists")
+    }
+
+  /** O13 GetCollection (`database/database.go:118-124`). */
+  def getCollection(id: String): CollectionMeta =
+    collections.getOrElse(id, throw new GraftException(
+      s"Could not get collection - no collection with ID $id exists in the database"))
+
+  /** O14 DeleteCollection (`database/database.go:126-137`). */
+  def deleteCollection(id: String): Unit =
+    collections.remove(id).getOrElse(
+      throw new GraftException(s"Cannot delete collection $id: does not exist"))
+
+  /** O15 GetCollections (`database/database.go:139-144`). */
+  def getCollections: Map[String, CollectionMeta] = collections.toMap
+
+  /** O16 isCollectionInDB (`database/database.go:112-116`). */
+  def isCollectionInDB(id: String): Boolean = collections.contains(id)
+
+  // --- record access -----------------------------------------------------
+
+  /** The collection's records as a DataFrame with the canonical schema; an
+    * empty collection (nothing written yet) reads as an empty DataFrame. */
+  def records(collectionId: String): DataFrame = {
+    val meta = getCollection(collectionId)
+    if (Files.exists(Paths.get(meta.path))) spark.read.schema(Record.schema).parquet(meta.path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Record.schema)
+  }
+
+  // --- record CRUD (O5–O10) ---------------------------------------------
+
+  /** O5/O6 AddRecord — the reference's three validations, in its order
+    * (`collection/collection.go:32-45`). */
+  def addRecord(collectionId: String, record: Record): Unit = {
+    val meta = getCollection(collectionId)
+    if (records(collectionId).where(col("id") === record.id).limit(1).count() > 0)
+      throw new GraftException(
+        s"Record ${record.id} already exists in collection ${meta.id}\n")
+    if (meta.embedderId != record.embedderId)
+      throw new GraftException(
+        s"Record embedderId ${record.embedderId} != collection embedderId ${meta.embedderId}")
+    if (record.embedding == null)
+      throw new GraftException(s"Embedding for ${PrettyPrint.record(record)} is null")
+    appendRows(meta, Seq(record))
+  }
+
+  /** Bulk AddRecord — the scale path. Validations are vectorized: one pass
+    * flags embedder mismatches and null embeddings; duplicate detection is a
+    * groupBy within the batch plus a broadcast-friendly semi-join against the
+    * existing collection (not a per-record point lookup — the reference does
+    * one hash probe per record, `collection.go:33`; at 100 TB that must be a
+    * single distributed anti-join). First offending ids are reported. */
+  def addRecords(collectionId: String, batch: DataFrame): Unit = {
+    val meta = getCollection(collectionId)
+
+    val mismatched = batch.where(col("embedderId") =!= lit(meta.embedderId))
+      .select("id", "embedderId").limit(1).collect()
+    mismatched.headOption.foreach { r =>
+      throw new GraftException(
+        s"Record embedderId ${r.getString(1)} != collection embedderId ${meta.embedderId}")
+    }
+    val nullEmb = batch.where(col("embedding").isNull).select("id").limit(3).collect()
+    if (nullEmb.nonEmpty)
+      throw new GraftException(
+        s"Embedding is null for record ids: ${nullEmb.map(_.getString(0)).mkString(", ")}")
+
+    val dupInBatch = batch.groupBy("id").count().where(col("count") > 1)
+      .select("id").limit(3).collect()
+    if (dupInBatch.nonEmpty)
+      throw new GraftException(
+        s"Duplicate record ids within batch: ${dupInBatch.map(_.getString(0)).mkString(", ")}")
+
+    val dupExisting = batch.join(records(collectionId), Seq("id"), "left_semi")
+      .select("id").limit(3).collect()
+    if (dupExisting.nonEmpty)
+      throw new GraftException(
+        s"Record ${dupExisting.head.getString(0)} already exists in collection ${meta.id}\n")
+
+    batch.select(Record.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .write.mode("append").parquet(meta.path)
+  }
+
+  /** O7/O8 GetRecord — predicate-pushdown point scan
+    * (`collection/collection.go:56-62`). */
+  def getRecord(collectionId: String, recordId: String): Record = {
+    val rows = records(collectionId).where(col("id") === recordId).limit(1).collect()
+    val row = rows.headOption.getOrElse(throw new GraftException(
+      s"Could not get record - record with ID $recordId does not exist in collection"))
+    Record(
+      id = row.getString(0),
+      embedderId = row.getString(1),
+      blob = row.getAs[Array[Byte]](2),
+      embedding = Option(row.getSeq[Double](3)).map(_.toArray).orNull)
+  }
+
+  /** O9/O10 DeleteRecord — copy-on-write rewrite into the next version dir
+    * (`collection/collection.go:47-54` semantics; Parquet is immutable). */
+  def deleteRecord(collectionId: String, recordId: String): Unit = {
+    val meta = getCollection(collectionId)
+    val existing = records(collectionId)
+    if (existing.where(col("id") === recordId).limit(1).count() == 0)
+      throw new GraftException(
+        s"Could not delete record $recordId from collection ${meta.id}: record not found in collection")
+    val next = meta.copy(path = s"$basePath/${meta.id}/v${meta.version + 1}",
+                         version = meta.version + 1)
+    existing.where(col("id") =!= recordId)
+      .write.mode("overwrite").parquet(next.path)
+    collections.put(meta.id, next)
+  }
+
+  // --- query (O1/O2) -----------------------------------------------------
+
+  /** O2 → O1: embed the query blob with the collection's embedder, then
+    * exact top-k cosine over the collection (`database/database.go:67-73` →
+    * `collection/collection.go:64-151`). Deterministic tie-break
+    * `score DESC, id ASC`; scores rounded to 6 dp for cross-engine rank
+    * stability (SURVEY.md §2.2). */
+  def query(collectionId: String, queryBlob: Array[Byte], k: Int): DataFrame = {
+    val meta = getCollection(collectionId)
+    queryByVector(collectionId, Embedders.get(meta.embedderId)(queryBlob), k)
+  }
+
+  /** O1 with a caller-supplied vector (extension: the reference always embeds
+    * the query text, `collection.go:66-73`; a precomputed-vector entry point
+    * is what a batch pipeline actually calls). */
+  def queryByVector(collectionId: String, queryVec: Array[Double], k: Int): DataFrame =
+    records(collectionId)
+      .select(col("id"),
+        round(cosine_sim(col("embedding"), typedLit(queryVec)), 6).as("score"))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+
+  private def appendRows(meta: CollectionMeta, rows: Seq[Record]): Unit = {
+    val data = rows.map(r => Row(r.id, r.embedderId, r.blob,
+      Option(r.embedding).map(_.toSeq).orNull))
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 1), Record.schema)
+      .write.mode("append").parquet(meta.path)
+  }
+}
+
+object GraftDatabase {
+  /** O17 MakeDatabase (`database/database.go:32-35`). */
+  def make(spark: SparkSession, basePath: String): GraftDatabase =
+    new GraftDatabase(spark, basePath)
+}

@@ -1,0 +1,177 @@
+package graft.core
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** CRUD + catalog parity with the reference's negative-path tests
+  * (`/root/reference/collection/collection_test.go:54-154`,
+  * `/root/reference/database/database_test.go:94-140`).
+  */
+class CatalogSpec extends SparkSpec {
+
+  private def freshDb(): GraftDatabase = {
+    val dir = Files.createTempDirectory("graft-cat-").toString
+    GraftDatabase.make(spark, dir)
+  }
+
+  private val mockEmbedder = "spec-mock-embed"
+  Embedders.register(mockEmbedder, _ => Array(1.0, 2.0, 3.0, 4.0, 5.0))
+
+  private def rec(id: String, emb: Array[Double] = Array(1.0, 2.0, 3.0, 4.0, 5.0)): Record =
+    Record(id, mockEmbedder, s"blob-$id".getBytes("UTF-8"), emb)
+
+  test("makeCollection validates the embedder (collection.go:19-26)") {
+    val db = freshDb()
+    val e = intercept[GraftException] { db.makeCollection("c", "no-such-embedder") }
+    assert(e.getMessage == "Invalid embedder name")
+  }
+
+  test("duplicate collection add errors (database.go:100-103)") {
+    val db = freshDb()
+    db.addCollection(db.makeCollection("test1", mockEmbedder))
+    val e = intercept[GraftException] {
+      db.addCollection(db.makeCollection("test1", mockEmbedder))
+    }
+    assert(e.getMessage ==
+      "Cannot create collection test1: a collection with id test1 already exists")
+  }
+
+  test("missing collection get errors (database.go:118-124)") {
+    val db = freshDb()
+    val e = intercept[GraftException] { db.getCollection("nope") }
+    assert(e.getMessage ==
+      "Could not get collection - no collection with ID nope exists in the database")
+  }
+
+  test("missing collection delete errors (database.go:126-137)") {
+    val db = freshDb()
+    val e = intercept[GraftException] { db.deleteCollection("nope") }
+    assert(e.getMessage == "Cannot delete collection nope: does not exist")
+  }
+
+  test("collection lifecycle: add, list, contains, delete") {
+    val db = freshDb()
+    db.addCollection(db.makeCollection("a", mockEmbedder))
+    db.addCollection(db.makeCollection("b", mockEmbedder))
+    assert(db.getCollections.keySet == Set("a", "b"))
+    assert(db.isCollectionInDB("a") && !db.isCollectionInDB("c"))
+    db.deleteCollection("a")
+    assert(db.getCollections.keySet == Set("b"))
+  }
+
+  test("addRecord + getRecord round-trip") {
+    val db = freshDb()
+    db.addCollection(db.makeCollection("c", mockEmbedder))
+    db.addRecord("c", rec("r1"))
+    val got = db.getRecord("c", "r1")
+    assert(got.id == "r1")
+    assert(got.embedderId == mockEmbedder)
+    assert(new String(got.blob, "UTF-8") == "blob-r1")
+    assert(got.embedding.toSeq == Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+  }
+
+  test("duplicate record add errors (collection.go:33-35)") {
+    val db = freshDb()
+    db.addCollection(db.makeCollection("c", mockEmbedder))
+    db.addRecord("c", rec("r1"))
+    val e = intercept[GraftException] { db.addRecord("c", rec("r1")) }
+    assert(e.getMessage == "Record r1 already exists in collection c\n")
+  }
+
+  test("embedder mismatch errors (collection.go:37-39)") {
+    val db = freshDb()
+    db.addCollection(db.makeCollection("c", mockEmbedder))
+    val e = intercept[GraftException] {
+      db.addRecord("c", rec("r1").copy(embedderId = "local/hash-8"))
+    }
+    assert(e.getMessage ==
+      s"Record embedderId local/hash-8 != collection embedderId $mockEmbedder")
+  }
+
+  test("null embedding errors with the record's pretty form (collection.go:40-42)") {
+    val db = freshDb()
+    db.addCollection(db.makeCollection("c", mockEmbedder))
+    val r = rec("r1", emb = null)
+    val e = intercept[GraftException] { db.addRecord("c", r) }
+    assert(e.getMessage == s"Embedding for ${PrettyPrint.record(r)} is null")
+  }
+
+  test("missing record get errors (collection.go:56-62)") {
+    val db = freshDb()
+    db.addCollection(db.makeCollection("c", mockEmbedder))
+    val e = intercept[GraftException] { db.getRecord("c", "ghost") }
+    assert(e.getMessage ==
+      "Could not get record - record with ID ghost does not exist in collection")
+  }
+
+  test("delete record: removes, errors when absent (collection.go:47-54)") {
+    val db = freshDb()
+    db.addCollection(db.makeCollection("c", mockEmbedder))
+    db.addRecord("c", rec("r1"))
+    db.addRecord("c", rec("r2"))
+    db.deleteRecord("c", "r1")
+    assert(db.records("c").count() == 1)
+    intercept[GraftException] { db.getRecord("c", "r1") }
+    val e = intercept[GraftException] { db.deleteRecord("c", "r1") }
+    assert(e.getMessage ==
+      "Could not delete record r1 from collection c: record not found in collection")
+  }
+
+  test("record ops on a missing collection propagate the get error (database.go:75-97)") {
+    val db = freshDb()
+    intercept[GraftException] { db.addRecord("ghost", rec("r")) }
+    intercept[GraftException] { db.getRecord("ghost", "r") }
+    intercept[GraftException] { db.deleteRecord("ghost", "r") }
+    intercept[GraftException] { db.query("ghost", "q".getBytes, 3) }
+  }
+
+  test("bulk addRecords validates and appends; rejects dups in and across batches") {
+    import spark.implicits._
+    val db = freshDb()
+    db.addCollection(db.makeCollection("c", "local/hash-4"))
+    val f = Embedders.hashProjection(4)
+    def batch(ids: String*) = ids.map(i =>
+      (i, "local/hash-4", i.getBytes("UTF-8"), f(i.getBytes("UTF-8")).toSeq))
+      .toDF("id", "embedderId", "blob", "embedding")
+    db.addRecords("c", batch("a", "b", "cc"))
+    assert(db.records("c").count() == 3)
+    intercept[GraftException] { db.addRecords("c", batch("x", "x")) }   // dup within batch
+    intercept[GraftException] { db.addRecords("c", batch("a")) }        // dup vs existing
+    intercept[GraftException] {                                          // embedder mismatch
+      db.addRecords("c", batch("z").withColumn("embedderId",
+        org.apache.spark.sql.functions.lit("other")))
+    }
+    assert(db.records("c").count() == 3)
+  }
+
+  test("query: embeds with the collection embedder, exact top-k, ranked output") {
+    val db = freshDb()
+    db.addCollection(db.makeCollection("c", "local/hash-16"))
+    val f = Embedders.hashProjection(16)
+    val docs = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    docs.foreach(d => db.addRecord("c",
+      Record(d, "local/hash-16", d.getBytes("UTF-8"), f(d.getBytes("UTF-8")))))
+    val res = db.query("c", "alpha".getBytes("UTF-8"), 3).collect()
+    assert(res.length == 3)
+    assert(res.head.getString(0) == "alpha")           // self-match ranks first
+    assert(res.head.getDouble(1) == 1.0)
+    // k >= N returns everything (collection.go:76-82 early-return analog)
+    assert(db.query("c", "alpha".getBytes("UTF-8"), 99).count() == docs.length)
+  }
+
+  test("pretty-print golden strings (records_test.go:67-84)") {
+    Embedders.register("mock-short-embed", _ => Array(1.0))
+    Embedders.register("mock-long-embed", _ => Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    val short = Record("test", "mock-short-embed", "short".getBytes("UTF-8"), Array(1.0))
+    assert(PrettyPrint.record(short) ==
+      "Embedding{Embedding: [1.00], EmbedderId: mock-short-embed, Blob: short, Id: test}")
+    val longBlob = "hey there, this is a long test string. it needs to be over 100 characters long for the ellipses to kick in"
+    val long = Record("test", "mock-long-embed", longBlob.getBytes("UTF-8"),
+      Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    assert(PrettyPrint.record(long) ==
+      "Embedding{Embedding: [1.00, 2.00, 3.00, 4.00, 5.00,  ...], EmbedderId: mock-long-embed, Blob: hey there, this is a long test string. it needs to be over 100 characters long for the ellipses to k..., Id: test}")
+    assert(PrettyPrint.collection("c1", "e1") ==
+      "Collection{collection.Id: c1, embedderId: e1}")
+  }
+}
