@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CatalogOps, Similarity}
+import graft.operators.{CatalogOps, Ingest, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,6 +26,12 @@ object SparkEntry {
     "point_lookup"  -> ((s, dir) => Similarity.pointLookup(s, dir, 42L)),
     "sim_join_topk" -> ((s, dir) => Similarity.batchSimilarityJoin(s, dir, 8, 5)),
     "topk_via_catalog" -> ((s, dir) => CatalogOps.topkViaCatalog(s, dir, 0L, 10)),
+    "chunk_docs" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, length}
+      Ingest.chunk(graft.core.Tables.documents(s, dir), "doc_id", "text", 128)
+        .select(col("id"), col("chunk"), length(col("chunk")).cast("bigint").as("chunk_len"))
+    }),
+    "ingest_topk" -> ((s, dir) => Ingest.ingestTopk(s, dir, "spark data query", 10, 128)),
   )
 
   // ---------------------------------------------------------------------
@@ -41,6 +47,25 @@ object SparkEntry {
        |            / (sqrt(list_sum(list_transform($v, x -> x*x)))
        |               * sqrt(list_sum(list_transform($qv, x -> x*x))))
        |       END, 6)""".stripMargin
+
+  /** DuckDB reproduction of the `local/hash-<dim>` embedder for text `t`
+    * (see Embedders.hashProjection: top 53 bits of little-endian MD5 head,
+    * mapped to [-1,1); `md5_number_upper` is exactly that LE u64). The
+    * oracle skips L2 normalization — cosine is scale-invariant. */
+  private def embSql(t: String, dim: Int = 64): String =
+    s"""list_transform(range(0, $dim),
+       | i -> CAST(md5_number_upper(CAST(i AS VARCHAR) || '|' || $t) >> 11 AS DOUBLE)
+       |      / 9007199254740992.0 * 2 - 1)""".stripMargin
+
+  /** DuckDB chunking of `documents` matching Ingest.chunk(id scheme
+    * `<docId>-<pos>`, fixed character chunks). */
+  private def chunkSql(chunkSize: Int): String =
+    s"""SELECT CAST(doc_id AS VARCHAR) || '-' || CAST(u.pos AS VARCHAR) AS id, u.chunk AS chunk
+       |FROM (SELECT doc_id,
+       |        unnest(list_transform(
+       |          range(0, CAST(ceil(length(text) / ${chunkSize}.0) AS BIGINT)),
+       |          i -> {'pos': i, 'chunk': substr(text, CAST(i * $chunkSize + 1 AS BIGINT), $chunkSize)})) AS u
+       |      FROM documents WHERE length(text) > 0)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -72,6 +97,18 @@ object SparkEntry {
          |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.id, ${cosSql("e.v", "q.qv")} AS score
          |FROM e, q
+         |ORDER BY score DESC, id ASC
+         |LIMIT 10""".stripMargin,
+
+    "chunk_docs" ->
+      s"""SELECT id, chunk, length(chunk) AS chunk_len FROM (${chunkSql(128)})""",
+
+    "ingest_topk" ->
+      s"""WITH chunks AS (${chunkSql(128)}),
+         |emb AS (SELECT id, ${embSql("chunk")} AS v FROM chunks),
+         |q AS (SELECT ${embSql("'spark data query'")} AS qv)
+         |SELECT emb.id, ${cosSql("emb.v", "q.qv")} AS score
+         |FROM emb, q
          |ORDER BY score DESC, id ASC
          |LIMIT 10""".stripMargin,
 

@@ -66,9 +66,24 @@ object Embedders {
   }
 
   /** Deterministic seeded hash-projection embedder: component i is derived
-    * from MD5(i || '|' || blob) mapped to [-1, 1], then L2-normalized.
+    * from MD5(i || '|' || blob), mapped to [-1, 1), then L2-normalized.
     * Deterministic across JVMs/executors; stands in for the reference's
-    * network HuggingFace embedder (`embedders.go:26-81`) offline. */
+    * network HuggingFace embedder (`embedders.go:26-81`) offline.
+    *
+    * The component mapping is chosen to be *cross-engine reproducible* so
+    * the DuckDB oracle can recompute embeddings exactly:
+    * `md5_number_upper(x)` in DuckDB is the first 8 MD5 bytes read
+    * little-endian unsigned; we take its top 53 bits (exact in a double —
+    * no unsigned→double rounding ambiguity) and map to [-1, 1):
+    *
+    *   v_i = ((u64_le >>> 11) / 2^53) * 2 - 1
+    *
+    * DuckDB equivalent (cosine is scale-invariant, so the oracle can skip
+    * the L2 normalization):
+    *   list_transform(range(0, dim), i ->
+    *     CAST(md5_number_upper(i::VARCHAR || '|' || blob) >> 11 AS DOUBLE)
+    *       / 9007199254740992.0 * 2 - 1)
+    */
   def hashProjection(dim: Int): EmbedFn = { blob =>
     val out = new Array[Double](dim)
     // One digest per call, not per component; MessageDigest.digest() resets
@@ -80,8 +95,8 @@ object Embedders {
       md.update(i.toString.getBytes(StandardCharsets.UTF_8))
       md.update('|'.toByte)
       md.update(blob)
-      val h = ByteBuffer.wrap(md.digest()).getLong
-      val v = h.toDouble / Long.MaxValue.toDouble
+      val le = ByteBuffer.wrap(md.digest()).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+      val v = (le >>> 11).toDouble / 9007199254740992.0 * 2.0 - 1.0 // 2^53
       out(i) = v
       sumSq += v * v
       i += 1
