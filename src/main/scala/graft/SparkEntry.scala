@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CatalogOps, Ingest, Similarity}
+import graft.core.Tables
+import graft.operators.{CatalogOps, Dedup, Ingest, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,6 +33,9 @@ object SparkEntry {
         .select(col("id"), col("chunk"), length(col("chunk")).cast("bigint").as("chunk_len"))
     }),
     "ingest_topk" -> ((s, dir) => Ingest.ingestTopk(s, dir, "spark data query", 10, 128)),
+    "dedup_exact"   -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "dedup_minhash" -> ((s, dir) => Dedup.minhashNear(Tables.documents(s, dir))),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashNear(Tables.embeddings(s, dir))),
   )
 
   // ---------------------------------------------------------------------
@@ -111,6 +115,54 @@ object SparkEntry {
          |FROM emb, q
          |ORDER BY score DESC, id ASC
          |LIMIT 10""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT doc_id, sha256(text) AS fp,
+        |       doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS keep
+        |FROM documents""".stripMargin,
+
+    "dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(0, len(t) - 2),
+        |           i -> array_to_string(t[i+1:i+3], ' '))) AS s
+        |       FROM toks WHERE len(t) >= 3),
+        |mh AS (SELECT doc_id, u.seed, u.mh FROM (
+        |  SELECT doc_id, unnest(list_transform(range(0, 6), sd ->
+        |    {'seed': sd,
+        |     'mh': list_min(list_transform(s, x -> md5(CAST(sd AS VARCHAR) || '_' || x)))})) AS u
+        |  FROM sh) q),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM mh a JOIN mh b
+        |           ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id),
+        |v AS (SELECT c.a_id, c.b_id,
+        |        round(len(list_intersect(sa.s, sb.s))::DOUBLE
+        |              / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+        |      FROM cand c
+        |      JOIN sh sa ON sa.doc_id = c.a_id
+        |      JOIN sh sb ON sb.doc_id = c.b_id)
+        |SELECT a_id, b_id, jaccard FROM v WHERE jaccard >= 0.01
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bits AS (SELECT vec_id, list_transform(range(0, 24), p ->
+         |    CASE WHEN list_sum(list_transform(range(0, 64), i ->
+         |      v[i+1] * (CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
+         |                     BETWEEN '0' AND '7' THEN 1 ELSE -1 END)
+         |    )) >= 0 THEN '1' ELSE '0' END) AS bs FROM e),
+         |bands AS (SELECT vec_id, u.band, u.key FROM (
+         |   SELECT vec_id, unnest(list_transform(range(0, 3), b ->
+         |     {'band': b, 'key': array_to_string(bs[b*8+1:b*8+8], '')})) AS u FROM bits) q),
+         |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+         |v AS (SELECT c.a_id, c.b_id, ${cosSql("ea.v", "eb.v")} AS score
+         |      FROM cand c
+         |      JOIN e ea ON ea.vec_id = c.a_id
+         |      JOIN e eb ON eb.vec_id = c.b_id)
+         |SELECT a_id, b_id, score FROM v WHERE score >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "sim_join_topk" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1,0 +1,138 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.cosine_sim
+
+/** Deduplication operator family — X3 (mandated by the north star; the
+  * reference has no dedup surface at all).
+  *
+  * Three tiers, each scale-shaped:
+  *  - exact: content fingerprint (sha256) + per-group keeper election — one
+  *    hash-partitioned shuffle, no joins;
+  *  - near-dup text: word-shingle MinHash banding (LSH) to generate
+  *    candidates via an EQUI-join on (seed, minhash) — never an all-pairs
+  *    cross product — then exact Jaccard verification on candidates only;
+  *  - near-dup embeddings: SimHash (random-hyperplane) banding, candidates
+  *    via an equi-join on (band, bitkey), verified by exact cosine.
+  *
+  * All hashing is MD5/SHA-based and cross-engine deterministic, so the
+  * DuckDB oracle reproduces results exactly (same bands, same candidates,
+  * same verdicts). Band width / seed count are the recall/cost dials: at
+  * 100 TB you raise rows-per-band (requiring more agreeing hashes per
+  * candidate) to keep bucket sizes bounded; the join stays the same shape.
+  */
+object Dedup {
+
+  /** X3a — exact dedup: fingerprint + keeper flag (minimal doc_id wins).
+    * One shuffle, partitioned by fingerprint; scales linearly. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val byFp = Window.partitionBy(col("fp"))
+    docs
+      .select(col(idCol), sha2(col(textCol), 256).as("fp"))
+      .withColumn("keep", col(idCol) === min(col(idCol)).over(byFp))
+      .select(col(idCol), col("fp"), col("keep"))
+  }
+
+  /** Distinct word n-gram shingle sets per document (docs with fewer than
+    * `n` tokens have no shingles and drop out, in both engines). */
+  private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("doc_id"), array_distinct(expr(
+        s"transform(sequence(0, size(t) - $n), i -> concat_ws(' ', slice(t, i + 1, $n)))"))
+        .as("s"))
+
+  /** X3b — MinHash LSH near-duplicate text pairs.
+    *
+    * shingle → per-seed minhash (min over md5(seed_shingle)) → explode to
+    * (doc, seed, minhash) → self EQUI-join on (seed, minhash) → distinct
+    * candidate pairs → exact Jaccard on the candidates only → threshold.
+    * Bands here are r=1 (one hash per band — max recall; tuned for the
+    * low-similarity synthetic corpus); r is the precision dial at scale. */
+  def minhashNear(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                  shingleSize: Int = 3, seeds: Int = 6,
+                  jaccardThreshold: Double = 0.01): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, shingleSize)
+    val mh = sh.select(col("doc_id"), posexplode(expr(
+      s"""transform(sequence(0, ${seeds - 1}),
+         |  sd -> array_min(transform(s, x -> md5(concat(cast(sd as string), '_', x)))))""".stripMargin))
+      .as(Seq("seed", "mh")))
+
+    val cand = mh.as("a").join(mh.as("b"),
+        col("a.seed") === col("b.seed") && col("a.mh") === col("b.mh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+
+    cand
+      .join(sh.select(col("doc_id"), col("s").as("sa")), col("a_id") === col("doc_id")).drop("doc_id")
+      .join(sh.select(col("doc_id"), col("s").as("sb")), col("b_id") === col("doc_id")).drop("doc_id")
+      .select(col("a_id"), col("b_id"),
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))), 6).as("jaccard"))
+      .where(col("jaccard") >= jaccardThreshold)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Deterministic Rademacher hyperplanes: sign(p, i) = +1 iff the first hex
+    * digit of md5("<p>_<i>") is in [0, 8) — reproducible in any engine with
+    * md5. */
+  private[operators] def simhashPlanes(bits: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until bits).map { p =>
+      (0 until dim).map { i =>
+        md.reset()
+        val h = md.digest(s"${p}_$i".getBytes(StandardCharsets.UTF_8))
+        val firstHex = (h(0) >> 4) & 0xf
+        if (firstHex < 8) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** X3c — SimHash LSH near-duplicate embedding pairs.
+    *
+    * Project each vector onto `bits` fixed hyperplanes (a constant literal
+    * matrix folded into codegen — no join against a planes table), take sign
+    * bits, split into `bands` keys, explode to (vec, band, key), self
+    * EQUI-join on (band, key), verify exact cosine on candidates. */
+  def simhashNear(embeddings: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding", bits: Int = 24, bands: Int = 3,
+                  dim: Int = 64, cosineThreshold: Double = 0.3): DataFrame = {
+    require(bits % bands == 0, "bits must divide evenly into bands")
+    val r = bits / bands
+    val planes: Column = typedLit(simhashPlanes(bits, dim))
+
+    val withBits = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .select(col("vec_id"), col("v"),
+        transform(planes, p =>
+          when(aggregate(zip_with(col("v"), p, (x, w) => x * w),
+            lit(0.0), (acc, x) => acc + x) >= 0, lit("1")).otherwise(lit("0"))).as("bs"))
+
+    val banded = withBits.select(col("vec_id"), col("v"), posexplode(expr(
+      s"""transform(sequence(0, ${bands - 1}),
+         |  b -> concat_ws('', slice(bs, b * $r + 1, $r)))""".stripMargin))
+      .as(Seq("band", "key")))
+
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+
+    val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    cand
+      .join(e.select(col("vec_id"), col("v").as("va")), col("a_id") === col("vec_id")).drop("vec_id")
+      .join(e.select(col("vec_id"), col("v").as("vb")), col("b_id") === col("vec_id")).drop("vec_id")
+      .select(col("a_id"), col("b_id"),
+        round(cosine_sim(col("va"), col("vb")), 6).as("score"))
+      .where(col("score") >= cosineThreshold)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+}

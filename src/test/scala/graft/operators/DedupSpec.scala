@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Dedup semantics + plan-shape guards. The plan assertions are the scale
+  * contract: candidate generation must be an equi-join on bucket keys —
+  * never a cartesian/broadcast-nested-loop product — or the operator
+  * degenerates to all-pairs at 100 TB.
+  */
+class DedupSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("exact dedup: one keeper per fingerprint group, all docs covered") {
+    val docs = Tables.documents(spark, dir)
+    val res = Dedup.exact(docs).collect()
+    assert(res.length == docs.count())
+    val byFp = res.groupBy(_.getString(1))
+    byFp.values.foreach { g =>
+      assert(g.count(_.getBoolean(2)) == 1, "exactly one keeper per group")
+      val keeper = g.find(_.getBoolean(2)).get
+      assert(keeper.getLong(0) == g.map(_.getLong(0)).min, "keeper is min doc_id")
+    }
+  }
+
+  test("minhash near-dup: candidates via equi-join, no cartesian product") {
+    val df = Dedup.minhashNear(Tables.documents(spark, dir))
+    val plan = physicalPlan(df)
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
+    val rows = df.collect()
+    // pairs are ordered, distinct, and above threshold
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+    assert(rows.forall(_.getDouble(2) >= 0.01))
+  }
+
+  test("minhash near-dup: verified jaccard matches a direct computation") {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashNear(docs).collect()
+    assert(pairs.nonEmpty, "expected some near-dup candidates in testdata")
+    // recompute jaccard for one reported pair directly from the texts
+    val r = pairs.head
+    val texts = docs.select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    def shingles(t: String): Set[String] =
+      t.split(" ", -1).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val (sa, sb) = (shingles(texts(r.getLong(0))), shingles(texts(r.getLong(1))))
+    val expected = sa.intersect(sb).size.toDouble / sa.union(sb).size
+    assert(math.abs(r.getDouble(2) - expected) < 1e-6)
+  }
+
+  test("simhash near-dup: equi-join on band keys, verified cosine above threshold") {
+    val df = Dedup.simhashNear(Tables.embeddings(spark, dir))
+    val plan = physicalPlan(df)
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
+    val rows = df.collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getDouble(2) >= 0.3))
+  }
+
+  test("simhash planes are deterministic Rademacher vectors") {
+    val p1 = Dedup.simhashPlanes(8, 16)
+    val p2 = Dedup.simhashPlanes(8, 16)
+    assert(p1 == p2)
+    assert(p1.flatten.forall(v => v == 1.0 || v == -1.0))
+    // not degenerate: both signs appear
+    assert(p1.flatten.toSet == Set(1.0, -1.0))
+  }
+}
