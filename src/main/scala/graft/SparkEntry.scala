@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{CatalogOps, Dedup, Ingest, Similarity}
+import graft.operators.{CatalogOps, Dedup, Ingest, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,6 +36,9 @@ object SparkEntry {
     "dedup_exact"   -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashNear(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashNear(Tables.embeddings(s, dir))),
+    "text_stats"   -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
+    "token_topk"   -> ((s, dir) => TextAnalysis.tokenTopK(Tables.documents(s, dir), 20)),
+    "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
   )
 
   // ---------------------------------------------------------------------
@@ -163,6 +166,48 @@ object SparkEntry {
          |      JOIN e eb ON eb.vec_id = c.b_id)
          |SELECT a_id, b_id, score FROM v WHERE score >= 0.3
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS total_tokens,
+        |  round(avg(len(list_filter(string_split(text, ' '), x -> x != ''))), 4) AS avg_tokens,
+        |  round(avg(length(text)), 4) AS avg_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "token_topk" ->
+      """WITH tok AS (SELECT lower(unnest(list_filter(string_split(text, ' '), x -> x != ''))) AS token
+        |             FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+        |SELECT token, cnt, rnk
+        |FROM (SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk FROM c)
+        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    "text_quality" ->
+      """WITH q AS (
+        | SELECT doc_id, lang, text,
+        |   len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+        |   len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','is'))) AS en_hits,
+        |   len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','que','y','en'))) AS es_hits,
+        |   len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und','ist','ein'))) AS de_hits,
+        |   CASE WHEN length(text) > 0
+        |        THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / length(text)
+        |        ELSE 0.0 END AS punct_raw
+        | FROM documents)
+        |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(punct_raw, 6) AS punct_ratio,
+        |  round(CASE WHEN n_tokens > 0
+        |             THEN (en_hits + es_hits + de_hits)::DOUBLE / n_tokens
+        |             ELSE 0.0 END, 6) AS stop_ratio,
+        |  round(least(1.0, n_tokens::DOUBLE / 100.0) * (1.0 - punct_raw)
+        |        * (0.5 + 0.5 * CASE WHEN n_tokens > 0
+        |                            THEN (en_hits + es_hits + de_hits)::DOUBLE / n_tokens
+        |                            ELSE 0.0 END), 6) AS quality,
+        |  CASE WHEN en_hits > es_hits AND en_hits > de_hits THEN 'en'
+        |       WHEN es_hits > en_hits AND es_hits > de_hits THEN 'es'
+        |       WHEN de_hits > en_hits AND de_hits > es_hits THEN 'de'
+        |       ELSE 'und' END AS lang_guess,
+        |  md5(lower(text)) AS fp
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     "sim_join_topk" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

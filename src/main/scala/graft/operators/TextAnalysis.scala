@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator family — X5 (training-data pipeline surface; the
+  * reference stores text blobs but never inspects them).
+  *
+  * Everything here is built-in codegen'd expressions — no UDFs — so filters
+  * and projections push into the parquet scan and the only shuffles are the
+  * final aggregations:
+  *  - corpus stats: one groupBy(lang, source) — partial aggregation map-side;
+  *  - token counts: explode + groupBy(token) — classic word-count shape,
+  *    map-side combine keeps the shuffle at vocabulary size, not token count;
+  *  - per-document quality/language/fingerprint: narrow (no shuffle at all).
+  */
+object TextAnalysis {
+
+  private val EnStop = Seq("the", "a", "of", "and", "to", "is")
+  private val EsStop = Seq("el", "la", "de", "que", "y", "en")
+  private val DeStop = Seq("der", "die", "das", "und", "ist", "ein")
+
+  private def inList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
+
+  /** Non-empty whitespace tokens. */
+  private val toks: Column = expr("filter(split(text, ' '), x -> x != '')")
+
+  /** Corpus statistics per (lang, source). */
+  def stats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("source"), size(toks).cast("bigint").as("n_tok"),
+        length(col("text")).cast("bigint").as("len"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        round(avg(col("n_tok")), 4).as("avg_tokens"),
+        round(avg(col("len")), 4).as("avg_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  /** Top-k tokens by frequency (lowercased), deterministic tie-break on the
+    * token itself. The final ranking window runs over the aggregated
+    * vocabulary (small), not the token stream. */
+  def tokenTopK(docs: DataFrame, k: Int = 20): DataFrame = {
+    val byCount = Window.orderBy(desc("cnt"), asc("token"))
+    docs
+      .select(explode(toks).as("token"))
+      .select(lower(col("token")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(byCount).cast("bigint"))
+      .where(col("rnk") <= k)
+      .orderBy(col("rnk"))
+  }
+
+  /** Per-document quality scoring, language-ID heuristic, and content
+    * fingerprint — all narrow expressions over one scan.
+    *
+    * quality = min(1, tokens/100) * (1 - punct_ratio) * (0.5 + 0.5 * stop_ratio):
+    * a deterministic composite of the classic length/punctuation/stopword
+    * signals (each also emitted for inspection). Language ID is a stopword-
+    * vote argmax with 'und' (undetermined) on ties. Fingerprint is
+    * md5(lower(text)) — the exact-dedup key, exposed per document. */
+  def quality(docs: DataFrame): DataFrame = {
+    val nTok = size(toks).cast("bigint")
+    val nChars = length(col("text")).cast("double")
+    val punct = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double")
+    def hits(xs: Seq[String]): Column =
+      size(expr(s"filter(split(text, ' '), x -> x IN (${inList(xs)}))"))
+
+    docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        nTok.as("n_tokens"),
+        hits(EnStop).as("en_hits"), hits(EsStop).as("es_hits"), hits(DeStop).as("de_hits"),
+        when(nChars > 0, punct / nChars).otherwise(lit(0.0)).as("punct_ratio_raw"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("punct_ratio_raw"), 6).as("punct_ratio"),
+        round(when(col("n_tokens") > 0,
+          (col("en_hits") + col("es_hits") + col("de_hits")).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)), 6).as("stop_ratio"),
+        round(
+          least(lit(1.0), col("n_tokens").cast("double") / 100.0) *
+            (lit(1.0) - col("punct_ratio_raw")) *
+            (lit(0.5) + lit(0.5) * when(col("n_tokens") > 0,
+              (col("en_hits") + col("es_hits") + col("de_hits")).cast("double") / col("n_tokens"))
+              .otherwise(lit(0.0))), 6).as("quality"),
+        when(col("en_hits") > col("es_hits") && col("en_hits") > col("de_hits"), lit("en"))
+          .when(col("es_hits") > col("en_hits") && col("es_hits") > col("de_hits"), lit("es"))
+          .when(col("de_hits") > col("en_hits") && col("de_hits") > col("es_hits"), lit("de"))
+          .otherwise(lit("und")).as("lang_guess"),
+        md5(lower(col("text"))).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+}
