@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{CatalogOps, Dedup, Ingest, Similarity, TextAnalysis}
+import graft.operators.{Ann, CatalogOps, Dedup, Ingest, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,6 +39,7 @@ object SparkEntry {
     "text_stats"   -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     "token_topk"   -> ((s, dir) => TextAnalysis.tokenTopK(Tables.documents(s, dir), 20)),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
+    "ann_topk" -> ((s, dir) => Ann.annTopk(s, dir, 0L, 10)),
   )
 
   // ---------------------------------------------------------------------
@@ -208,6 +209,22 @@ object SparkEntry {
         |       ELSE 'und' END AS lang_guess,
         |  md5(lower(text)) AS fp
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |bits AS (SELECT vec_id, label, v, list_transform(range(0, 16), p ->
+         |    CASE WHEN list_sum(list_transform(range(0, 64), i ->
+         |      v[i+1] * (CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
+         |                     BETWEEN '0' AND '7' THEN 1 ELSE -1 END)
+         |    )) >= 0 THEN '1' ELSE '0' END) AS bs FROM e),
+         |keys AS (SELECT vec_id, label, v, list_transform(range(0, 4), b ->
+         |    CAST(b AS VARCHAR) || ':' || array_to_string(bs[b*4+1:b*4+4], '')) AS ks FROM bits),
+         |q AS (SELECT v AS qv, ks AS qks FROM keys WHERE vec_id = 0)
+         |SELECT k2.vec_id, k2.label, ${cosSql("k2.v", "q.qv")} AS score
+         |FROM keys k2, q
+         |WHERE len(list_intersect(k2.ks, q.qks)) > 0
+         |ORDER BY score DESC, vec_id ASC
+         |LIMIT 10""".stripMargin,
 
     "sim_join_topk" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

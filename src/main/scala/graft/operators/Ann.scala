@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.VectorFunctions.cosine_sim
+
+/** Approximate nearest-neighbor search — the scale path for O1/X1 when the
+  * corpus is too large for exact brute-force scoring (SURVEY.md §4.2's LSH
+  * escape hatch; referenced by `Similarity.batchSimilarityJoin`).
+  *
+  * Random-hyperplane LSH (SimHash): every vector gets `bands` bucket keys
+  * (one per group of sign bits); a query probes only vectors sharing at
+  * least one bucket key, then reranks the candidates with exact cosine.
+  *
+  * Scale shape: the whole plan is NARROW — scan → project bit signature
+  * (constant plane matrix folded into codegen) → `arrays_overlap` filter
+  * against the query's literal bucket keys → exact rerank →
+  * `TakeOrderedAndProject`. No shuffle, no join; at 100 TB the filter
+  * discards ~(1 - bands/2^r) of the corpus before any cosine is computed,
+  * and with the signature precomputed as a stored column the probe becomes
+  * a partition-prunable equi-lookup.
+  */
+object Ann {
+
+  val DefaultBits = 16
+  val DefaultBands = 4
+
+  /** Band keys ("<band>:<bits>") for one vector, driver-side. Must mirror
+    * [[bandKeysCol]] exactly. */
+  private[operators] def bandKeys(v: Array[Double], bits: Int, bands: Int): Seq[String] = {
+    val planes = Dedup.simhashPlanes(bits, v.length)
+    val bs = planes.map { p =>
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * p(i); i += 1 }
+      if (s >= 0) "1" else "0"
+    }
+    val r = bits / bands
+    (0 until bands).map(b => s"$b:${bs.slice(b * r, b * r + r).mkString}")
+  }
+
+  /** Band keys as a column expression over `vecCol` — same planes, same bit
+    * and key construction as [[bandKeys]], all built-in codegen'd HOFs. */
+  private def bandKeysCol(vecCol: Column, bits: Int, bands: Int, dim: Int): Column = {
+    val planes = typedLit(Dedup.simhashPlanes(bits, dim))
+    val r = bits / bands
+    val bs = transform(planes, p =>
+      when(aggregate(zip_with(vecCol, p, (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x) >= 0, lit("1")).otherwise(lit("0")))
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      concat(b.cast("string"), lit(":"),
+        concat_ws("", slice(bs, b * r + 1, lit(r)))))
+  }
+
+  /** LSH-probed approximate top-k: candidates = vectors sharing ≥1 bucket
+    * key with the query, reranked by exact cosine. Deterministic (md5-seeded
+    * planes), so the DuckDB oracle reproduces the same candidate set and
+    * ranking. */
+  def annTopk(spark: SparkSession, dir: String, queryVecId: Long = 0L, k: Int = 10,
+              bits: Int = DefaultBits, bands: Int = DefaultBands): DataFrame = {
+    val qv = Similarity.queryVector(spark, dir, queryVecId)
+    val qKeys = bandKeys(qv, bits, bands)
+    val e = Tables.embeddings(spark, dir)
+    e.where(arrays_overlap(
+        bandKeysCol(col("embedding"), bits, bands, qv.length),
+        typedLit(qKeys)))
+      .select(col("vec_id"), col("label"),
+        round(cosine_sim(col("embedding"), typedLit(qv)), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+}

@@ -80,10 +80,15 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(l2_norm(col("embedding")), 6).as("norm"))
 
   /** X2 — batch similarity join: Q query vectors × N records, per-query exact
-    * top-k. The query side (small) is broadcast; scoring happens map-side with
-    * no shuffle of the big side; the window shuffles only scored candidates.
-    * At 100 TB the pre-filter `scoreRound >= threshold` (optional) or an LSH
-    * bucket join (see [[Ann]]) bounds the window input. */
+    * top-k. The query side (small) is broadcast — explicitly, because the
+    * correctness of this plan depends on Q ≪ N (the broadcast side must fit
+    * in executor memory; with the 64-dim doubles here that's ~1 KB/query, so
+    * even 10^6 queries broadcast in ~1 GB). Scoring happens map-side with no
+    * shuffle of the big side, and Spark 4 inserts a partial WindowGroupLimit
+    * BEFORE the exchange, so the shuffle carries ≤ k rows per partition per
+    * query, not the cross product. At 100 TB the remaining exposure is
+    * O(N·Q·d) compute; [[graft.operators.Ann.annTopk]] is the LSH-bucketed
+    * pre-filter for that regime. */
   def batchSimilarityJoin(spark: SparkSession, dir: String,
                           numQueries: Int = 8, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(spark, dir)
