@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Ann, CatalogOps, Dedup, Ingest, Similarity, TextAnalysis}
+import graft.operators.{Ann, CatalogOps, Dedup, EmbeddingStats, Ingest, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -40,6 +40,13 @@ object SparkEntry {
     "token_topk"   -> ((s, dir) => TextAnalysis.tokenTopK(Tables.documents(s, dir), 20)),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "ann_topk" -> ((s, dir) => Ann.annTopk(s, dir, 0L, 10)),
+    "embed_label_stats" -> ((s, dir) => EmbeddingStats.perLabelCohesion(Tables.embeddings(s, dir))),
+    "multimodal_meta" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      Multimodal.decodeMeta(s,
+        Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("blob")))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -209,6 +216,27 @@ object SparkEntry {
         |       ELSE 'und' END AS lang_guess,
         |  md5(lower(text)) AS fp
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "embed_label_stats" ->
+      s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+         |ex AS (SELECT label, u.i AS pos, u.v AS val FROM (
+         |  SELECT label, unnest(list_transform(range(0, 64), i -> {'i': i, 'v': v[i+1]})) AS u
+         |  FROM e) t),
+         |cent0 AS (SELECT label, pos, round(avg(val), 9) AS m FROM ex GROUP BY label, pos),
+         |cent AS (SELECT label, list(m ORDER BY pos) AS c FROM cent0 GROUP BY label),
+         |scored AS (SELECT e.label, ${cosSql("e.v", "cent.c")} AS s
+         |           FROM e JOIN cent ON e.label = cent.label)
+         |SELECT label, count(*) AS n, round(avg(s), 4) AS avg_cos,
+         |       min(s) AS min_cos, max(s) AS max_cos
+         |FROM scored GROUP BY label ORDER BY label""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN length(text) > 1 THEN ascii(substr(text, 2, 1)) ELSE 0 END AS BIGINT) AS height,
+        |  CAST(strlen(text) // 64 AS BIGINT) AS n_frames,
+        |  md5(text) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ann_topk" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Embedders
+
+/** Binary-column plumbing: metadata decode (stubbed codec), frame sampling,
+  * batched featurization.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def blobs = Seq(
+    (1L, "abcdefgh".* (16)),            // 128 bytes
+    (2L, "Z" * 40),                      // 40 bytes
+    (3L, "")                             // empty
+  ).toDF("doc_id", "text")
+    .select(col("doc_id"), col("text").cast("binary").as("blob"))
+
+  test("decodeMeta: typed metadata from binary, stub header parse") {
+    val rows = Multimodal.decodeMeta(spark, blobs).orderBy("doc_id").collect()
+    assert(rows.length == 3)
+    val r1 = rows(0)
+    assert(r1.getLong(1) == 128)                  // n_bytes
+    assert(r1.getLong(2) == 'a'.toLong)           // width = first byte
+    assert(r1.getLong(3) == 'b'.toLong)           // height = second byte
+    assert(r1.getLong(4) == 2)                    // 128/64 frames
+    val r3 = rows(2)
+    assert(r3.getLong(1) == 0 && r3.getLong(2) == 0 && r3.getLong(3) == 0)
+  }
+
+  test("frameSample: evenly spaced fixed-size byte windows, short blobs dropped") {
+    val frames = Multimodal.frameSample(blobs, n = 4, frameBytes = 32)
+      .orderBy("doc_id", "frame_no").collect()
+    // doc 3 (empty) and doc 2 (40 >= 32 stays) — doc2 has 4 frames, doc1 has 4
+    assert(frames.map(_.getLong(0)).distinct.toSeq == Seq(1L, 2L))
+    assert(frames.count(_.getLong(0) == 1L) == 4)
+    frames.foreach(r => assert(r.getAs[Array[Byte]]("frame").length == 32))
+    // first frame starts at byte 0
+    val f0 = frames.find(r => r.getLong(0) == 1L && r.getInt(1) == 0).get
+    assert(new String(f0.getAs[Array[Byte]]("frame"), "UTF-8").startsWith("abcdefgh"))
+  }
+
+  test("featurize: partition-batched embedding over binary blobs") {
+    val feats = Multimodal.featurize(spark, blobs, "local/hash-16")
+      .orderBy("doc_id").collect()
+    assert(feats.length == 3)
+    val f = Embedders.hashProjection(16)
+    val expected = f("abcdefgh".*(16).getBytes("UTF-8"))
+    assert(feats.head.getSeq[Double](1) == expected.toSeq)
+    assert(feats.forall(_.getSeq[Double](1).length == 16))
+  }
+}
