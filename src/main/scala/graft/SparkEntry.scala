@@ -47,6 +47,9 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("blob")))
         .orderBy(col("doc_id"))
     }),
+    "events_windowed" -> ((s, dir) =>
+      graft.streaming.Streaming.eventCounts(Tables.events(s, dir),
+        watermark = None, approxDistinct = false)),
   )
 
   // ---------------------------------------------------------------------
@@ -229,6 +232,12 @@ object SparkEntry {
          |SELECT label, count(*) AS n, round(avg(s), 4) AS avg_cos,
          |       min(s) AS min_cos, max(s) AS max_cos
          |FROM scored GROUP BY label ORDER BY label""".stripMargin,
+
+    "events_windowed" ->
+      """SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,

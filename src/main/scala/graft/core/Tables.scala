@@ -17,7 +17,17 @@ object Tables {
       .select(col("vec_id"), as_double_array(col("embedding")).as("embedding"), col("label"))
 
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong` so it reads
+    * as a LONG of nanos, converted here to a micros timestamp (integer div —
+    * nanos exceed double precision). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
