@@ -59,6 +59,12 @@ object Dedup {
   def minhashNear(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                   shingleSize: Int = 3, seeds: Int = 6,
                   jaccardThreshold: Double = 0.01): DataFrame = {
+    // The shingle expression appears on several plan branches (signature
+    // generation and both Jaccard sides). Deliberately NOT persisted: each
+    // branch is a narrow codegen'd pipeline over a columnar scan, which
+    // measures faster end-to-end than caching the exploded string arrays
+    // (and at warehouse scale the durable answer is a materialized
+    // signature table, not executor cache).
     val sh = shingled(docs, idCol, textCol, shingleSize)
     val mh = sh.select(col("doc_id"), posexplode(expr(
       s"""transform(sequence(0, ${seeds - 1}),
