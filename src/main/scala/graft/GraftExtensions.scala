@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.CosineSimilarity
+
+/** SparkSessionExtensions entry point — the idiomatic way to ship the
+  * engine's SQL surface as a library:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or
+  *   SparkSession.builder().withExtensions(new GraftExtensions()) ...
+  * }}}
+  *
+  * Injects `cosine_sim` as a registry-level function (available in every
+  * session derived from the config, not just one SparkSession like
+  * `VectorFunctions.registerAll`). The expression is a native codegen'd
+  * Catalyst `BinaryExpression`, so SQL users get the same whole-stage
+  * codegen path as the Scala DSL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+  }
+}
+
+object GraftExtensions {
+
+  private def asDoubleArray(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+
+  /** (name, info, builder) tuple in the shape injectFunction expects. */
+  val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+    (exprs: Seq[Expression]) => {
+      if (exprs.length != 2) {
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "cosine_sim",
+            "expectedNum" -> "2",
+            "actualNum" -> exprs.length.toString,
+            "docroot" -> "-"))
+      }
+      CosineSimilarity(asDoubleArray(exprs.head), asDoubleArray(exprs(1)))
+    })
+}

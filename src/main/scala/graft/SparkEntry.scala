@@ -40,6 +40,7 @@ object SparkEntry {
     "token_topk"   -> ((s, dir) => TextAnalysis.tokenTopK(Tables.documents(s, dir), 20)),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "ann_topk" -> ((s, dir) => Ann.annTopk(s, dir, 0L, 10)),
+    "ivf_topk" -> ((s, dir) => Ann.ivfTopk(s, dir, 0L, 10, 16, 4)),
     "embed_label_stats" -> ((s, dir) => EmbeddingStats.perLabelCohesion(Tables.embeddings(s, dir))),
     "multimodal_meta" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
@@ -58,13 +59,16 @@ object SparkEntry {
   // mirrors graft.functions.CosineSimilarity (same sequential accumulation
   // order, so the doubles are bit-identical before rounding).
   // ---------------------------------------------------------------------
+  private def cosRawSql(v: String, qv: String): String =
+    s"""CASE WHEN list_sum(list_transform($v, x -> x*x)) = 0
+       |      OR list_sum(list_transform($qv, x -> x*x)) = 0 THEN 0.0
+       | ELSE list_sum(list_transform(range(1, len($v)+1), i -> $v[i]*$qv[i]))
+       |      / (sqrt(list_sum(list_transform($v, x -> x*x)))
+       |         * sqrt(list_sum(list_transform($qv, x -> x*x))))
+       | END""".stripMargin
+
   private def cosSql(v: String, qv: String): String =
-    s"""round(CASE WHEN list_sum(list_transform($v, x -> x*x)) = 0
-       |            OR list_sum(list_transform($qv, x -> x*x)) = 0 THEN 0.0
-       |       ELSE list_sum(list_transform(range(1, len($v)+1), i -> $v[i]*$qv[i]))
-       |            / (sqrt(list_sum(list_transform($v, x -> x*x)))
-       |               * sqrt(list_sum(list_transform($qv, x -> x*x))))
-       |       END, 6)""".stripMargin
+    s"round(${cosRawSql(v, qv)}, 6)"
 
   /** DuckDB reproduction of the `local/hash-<dim>` embedder for text `t`
     * (see Embedders.hashProjection: top 53 bits of little-endian MD5 head,
@@ -246,6 +250,28 @@ object SparkEntry {
         |  CAST(strlen(text) // 64 AS BIGINT) AS n_frames,
         |  md5(text) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT list(v ORDER BY vec_id) AS cl FROM e WHERE vec_id < 16),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |qcell AS (
+         |  SELECT ci FROM (
+         |    SELECT u.ci AS ci, u.s AS s FROM (
+         |      SELECT unnest(list_transform(range(1, 17),
+         |        ci -> {'ci': ci, 's': round(${cosRawSql("cl[ci]", "q.qv")}, 6)})) AS u
+         |      FROM cents, q) z) t
+         |  ORDER BY s DESC, ci ASC LIMIT 4),
+         |assigned AS (
+         |  SELECT vec_id, label, v, list_position(sc, list_max(sc)) AS cell FROM (
+         |    SELECT e.vec_id, e.label, e.v,
+         |           list_transform(range(1, 17), ci -> ${cosRawSql("cl[ci]", "e.v")}) AS sc
+         |    FROM e, cents) t2)
+         |SELECT a.vec_id, a.label, ${cosSql("a.v", "q.qv")} AS score
+         |FROM assigned a, q
+         |WHERE a.cell IN (SELECT ci FROM qcell)
+         |ORDER BY score DESC, vec_id ASC
+         |LIMIT 10""".stripMargin,
 
     "ann_topk" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

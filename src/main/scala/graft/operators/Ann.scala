@@ -71,4 +71,58 @@ object Ann {
       .orderBy(desc("score"), asc("vec_id"))
       .limit(k)
   }
+
+  /** Driver-side cosine with the same accumulation order as
+    * [[graft.functions.CosineSimilarity.compute]] (and the oracle's SQL),
+    * so centroid rankings agree bit-for-bit across engines. */
+  private[operators] def cosine(x: Array[Double], y: Array[Double]): Double = {
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < x.length) {
+      dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  /** IVF-style approximate top-k: assign every vector to its most-similar
+    * centroid cell, probe only the `nProbe` cells nearest the query, exact
+    * rerank inside them.
+    *
+    * Centroids here are seeded deterministically (the first `nCells` stored
+    * vectors) so the oracle can reproduce cell assignment exactly; a
+    * production build replaces the seeding with k-means iterations — the
+    * assignment/probe/rerank machinery (this operator) is unchanged.
+    *
+    * Scale shape: assignment is a narrow projection against a literal
+    * centroid matrix; the probe is a `cell IN (...)` filter — with the cell
+    * id materialized as a partition column, that's partition pruning, i.e.
+    * the scan itself skips (nCells - nProbe)/nCells of the data. */
+  def ivfTopk(spark: SparkSession, dir: String, queryVecId: Long = 0L, k: Int = 10,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents: Seq[Seq[Double]] = e.where(col("vec_id") < nCells)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val qv = Similarity.queryVector(spark, dir, queryVecId)
+
+    // query-side probe list: top nProbe cells by (rounded) centroid cosine,
+    // lowest cell index on ties — 1-based to match the oracle's list_position
+    val probeCells: Seq[Int] = cents.zipWithIndex
+      .map { case (c, i) =>
+        // HALF_UP = round-away-from-zero, matching SQL round() semantics
+        (BigDecimal(cosine(qv, c.toArray)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          i + 1)
+      }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(nProbe).map(_._2)
+
+    // corpus-side assignment: argmax centroid cosine, first index on ties
+    val centsLit = typedLit(cents)
+    val scores = transform(centsLit, c => cosine_sim(col("embedding"), c))
+    e.withColumn("cell", array_position(scores, array_max(scores)))
+      .where(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), col("label"),
+        round(cosine_sim(col("embedding"), typedLit(qv)), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
 }

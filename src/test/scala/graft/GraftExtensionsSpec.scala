@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions entry point must make `cosine_sim` available to pure-SQL
+  * sessions (the spark.sql.extensions deployment path).
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  /** getOrCreate reuses the default session (ignoring new extensions), so
+    * build a fresh SparkSession over the shared context and restore the
+    * previous default afterwards. */
+  private def withExtendedSession[A](f: SparkSession => A): A = {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    try f(spark)
+    finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach { s =>
+        SparkSession.setDefaultSession(s)
+        SparkSession.setActiveSession(s)
+      }
+    }
+  }
+
+  test("withExtensions injects cosine_sim into the session function registry") {
+    withExtendedSession { spark =>
+      val r = spark.sql(
+        "SELECT cosine_sim(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS c").head()
+      assert(math.abs(r.getDouble(0)) < 1e-12)
+      val self = spark.sql(
+        "SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS c").head()
+      assert(math.abs(self.getDouble(0) - 1.0) < 1e-12)
+    }
+  }
+
+  test("wrong arity through the extension is an analysis error") {
+    withExtendedSession { spark =>
+      val e = intercept[Exception] { spark.sql("SELECT cosine_sim(array(1.0d))").collect() }
+      assert(!e.isInstanceOf[IndexOutOfBoundsException])
+    }
+  }
+}
