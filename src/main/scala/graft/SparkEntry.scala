@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Ann, CatalogOps, Dedup, EmbeddingStats, Ingest, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Ann, CatalogOps, Dedup, EmbeddingStats, Ingest, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -51,6 +51,8 @@ object SparkEntry {
     "events_windowed" -> ((s, dir) =>
       graft.streaming.Streaming.eventCounts(Tables.events(s, dir),
         watermark = None, approxDistinct = false)),
+    "pricing_summary"   -> ((s, dir) => Relational.pricingSummary(s, dir)),
+    "revenue_by_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
   )
 
   // ---------------------------------------------------------------------
@@ -236,6 +238,32 @@ object SparkEntry {
          |SELECT label, count(*) AS n, round(avg(s), 4) AS avg_cos,
          |       min(s) AS min_cos, max(s) AS max_cos
          |FROM scored GROUP BY label ORDER BY label""".stripMargin,
+
+    "pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 0) AS sum_qty,
+        |  round(sum(l_extendedprice), 0) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 0) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "revenue_by_nation" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
 
     "events_windowed" ->
       """SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type,

@@ -18,18 +18,24 @@ object Tables {
 
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong` so it reads
-    * as a LONG of nanos, converted here to a micros timestamp (integer div —
-    * nanos exceed double precision). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = table(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
-  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  /** Timestamp columns in the driver tables are parquet TIMESTAMP(NANOS),
+    * which Spark's vectorized reader rejects; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong` so they read as LONGs of nanos,
+    * converted here to micros timestamps (integer div — nanos exceed double
+    * precision). */
+  private def nanosToTs(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      if (d.schema(c).dataType == org.apache.spark.sql.types.LongType)
+        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      else d
+    }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    nanosToTs(table(spark, dir, "events"), "ts")
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    nanosToTs(table(spark, dir, "lineitem"), "l_shipdate")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    nanosToTs(table(spark, dir, "orders"), "o_orderdate")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")

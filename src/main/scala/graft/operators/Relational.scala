@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Classic relational workloads over the large fact tables — the engine's
+  * general-analytics surface (the reference has no joins or aggregations at
+  * all; these exercise the shuffle/aggregate machinery the pipeline
+  * operators stand on, at lineitem scale).
+  *
+  * Scale notes:
+  *  - the pricing summary is a single groupBy over a date-filtered scan —
+  *    the filter pushes into parquet (row-group pruning on l_shipdate once
+  *    data is sorted/partitioned by date), aggregation is map-side partial;
+  *  - the revenue rollup joins fact-to-fact on the order key (shuffle
+  *    hash/sort-merge under AQE) while the small dimensions (customer at
+  *    SF-proportional size, nation at 25 rows) broadcast — no shuffle of
+  *    the big side for them.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary. Money sums rounded to whole units and
+    * averages to 4 dp so cross-engine summation-order drift (~1e-15
+    * relative on ~1e9 sums) stays far from the rounding boundary. */
+  def pricingSummary(spark: SparkSession, dir: String,
+                     cutoff: String = "1998-09-02"): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= to_timestamp(lit(cutoff)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 0).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 0).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))), 0).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Revenue by customer nation: fact⋈fact on the order key, dimensions
+    * broadcast explicitly. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+}
