@@ -71,10 +71,20 @@ object Dedup {
          |  sd -> array_min(transform(s, x -> md5(concat(cast(sd as string), '_', x)))))""".stripMargin))
       .as(Seq("seed", "mh")))
 
-    val cand = mh.as("a").join(mh.as("b"),
-        col("a.seed") === col("b.seed") && col("a.mh") === col("b.mh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    // Candidate pairs via bucket aggregation rather than a signature
+    // self-join: one shuffle of the (seed, minhash) keys, signatures
+    // computed once, pairs expanded inside each bucket (sorted, so a < b
+    // by construction). Equivalent output to the equi-join formulation;
+    // bucket width is the skew guard — raise rows-per-band at scale.
+    val cand = mh
+      .groupBy(col("seed"), col("mh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("bucket"))
+      .where(size(col("bucket")) > 1)
+      .select(explode(expr(
+        """flatten(transform(bucket,
+          |  (x, i) -> transform(slice(bucket, i + 2, size(bucket)),
+          |            y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
       .distinct()
 
     cand
