@@ -131,15 +131,22 @@ object Dedup {
           when(aggregate(zip_with(col("v"), p, (x, w) => x * w),
             lit(0.0), (acc, x) => acc + x) >= 0, lit("1")).otherwise(lit("0"))).as("bs"))
 
-    val banded = withBits.select(col("vec_id"), col("v"), posexplode(expr(
+    val banded = withBits.select(col("vec_id"), posexplode(expr(
       s"""transform(sequence(0, ${bands - 1}),
          |  b -> concat_ws('', slice(bs, b * $r + 1, $r)))""".stripMargin))
       .as(Seq("band", "key")))
 
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+    // Same bucket-aggregation shape as minhashNear: one shuffle on the
+    // (band, key) bucket id, pairs expanded in-bucket from the sorted list.
+    val cand = banded
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("bucket"))
+      .where(size(col("bucket")) > 1)
+      .select(explode(expr(
+        """flatten(transform(bucket,
+          |  (x, i) -> transform(slice(bucket, i + 2, size(bucket)),
+          |            y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
       .distinct()
 
     val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
