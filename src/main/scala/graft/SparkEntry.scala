@@ -39,6 +39,7 @@ object SparkEntry {
     "text_stats"   -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     "token_topk"   -> ((s, dir) => TextAnalysis.tokenTopK(Tables.documents(s, dir), 20)),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
+    "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "ann_topk" -> ((s, dir) => Ann.annTopk(s, dir, 0L, 10)),
     "ivf_topk" -> ((s, dir) => Ann.ivfTopk(s, dir, 0L, 10, 16, 4)),
     "embed_label_stats" -> ((s, dir) => EmbeddingStats.perLabelCohesion(Tables.embeddings(s, dir))),
@@ -238,6 +239,13 @@ object SparkEntry {
          |SELECT label, count(*) AS n, round(avg(s), 4) AS avg_cos,
          |       min(s) AS min_cos, max(s) AS max_cos
          |FROM scored GROUP BY label ORDER BY label""".stripMargin,
+
+    "token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0)) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

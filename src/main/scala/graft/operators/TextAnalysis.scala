@@ -54,6 +54,24 @@ object TextAnalysis {
       .orderBy(col("rnk"))
   }
 
+  /** BPE-style pre-tokenizer regex (GPT-2 shaped, restricted to RE2-safe
+    * constructs — no lookahead — so any engine with RE2/Java regexes splits
+    * identically): optional leading space + letter run | digit run |
+    * punctuation run. */
+  val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** Token accounting per document: whitespace tokens vs BPE-ish
+    * pre-tokenizer pieces — the sizing signal an LLM-data pipeline uses for
+    * budget estimates. Narrow, single scan. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(toks).cast("bigint").as("n_ws_tokens"),
+        size(expr(s"regexp_extract_all(text, '${BpePattern.replace("'", "\\'")}', 0)"))
+          .cast("bigint").as("n_bpe_tokens"),
+        length(col("text")).cast("bigint").as("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** Per-document quality scoring, language-ID heuristic, and content
     * fingerprint — all narrow expressions over one scan.
     *
