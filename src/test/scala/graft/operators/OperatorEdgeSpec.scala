@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Edge-case coverage for operators whose main-path correctness is pinned by
+  * the DuckDB oracle: chunk boundaries, ANN/IVF probe semantics, stat
+  * invariants.
+  */
+class OperatorEdgeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("chunk: boundary sizes — exact multiple, off-by-one, empty") {
+    val docs = Seq(
+      (1L, "a" * 8),   // exactly 2 chunks of 4
+      (2L, "b" * 9),   // 3rd chunk of length 1
+      (3L, ""),        // no chunks
+      (4L, "cc")       // single short chunk
+    ).toDF("doc_id", "text")
+    val out = Ingest.chunk(docs, "doc_id", "text", chunkSize = 4)
+      .orderBy("id").collect()
+    val byDoc = out.groupBy(_.getString(0).split("-")(0))
+    assert(byDoc("1").length == 2)
+    assert(byDoc("2").length == 3)
+    assert(byDoc("2").map(_.getString(1)).mkString == "b" * 9) // reassembly identity
+    assert(!byDoc.contains("3"))
+    assert(byDoc("4").map(_.getString(1)).toSeq == Seq("cc"))
+    assert(out.map(_.getString(0)).contains("1-0") && out.map(_.getString(0)).contains("1-1"))
+  }
+
+  test("annTopk: self-match ranks first at score 1.0; scores never beat exact top-k") {
+    val ann = Ann.annTopk(spark, dir, queryVecId = 0L, k = 5).collect()
+    assert(ann.nonEmpty)
+    assert(ann.head.getLong(0) == 0L && ann.head.getDouble(2) == 1.0)
+    val exact = Similarity.topKSingle(spark, dir, 0L, 5).collect()
+    // ANN scores are a subset of the corpus, so the i-th ANN score can't
+    // exceed the i-th exact score
+    ann.zip(exact).foreach { case (a, e) =>
+      assert(a.getDouble(2) <= e.getDouble(2) + 1e-12)
+    }
+  }
+
+  test("ivfTopk: query's own cell is probed (self-match present, rank 1)") {
+    val ivf = Ann.ivfTopk(spark, dir, queryVecId = 0L, k = 5, nCells = 8, nProbe = 2).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.head.getLong(0) == 0L && ivf.head.getDouble(2) == 1.0)
+  }
+
+  test("embedding stats: label partition is exhaustive and cosines bounded") {
+    val e = Tables.embeddings(spark, dir)
+    val stats = EmbeddingStats.perLabelCohesion(e).collect()
+    assert(stats.map(_.getLong(1)).sum == e.count())
+    stats.foreach { r =>
+      assert(r.getDouble(2) <= 1.0 + 1e-9)           // avg_cos
+      assert(r.getDouble(3) <= r.getDouble(4) + 1e-9) // min <= max
+    }
+  }
+
+  test("pricing summary: group counts add up to the filtered row count") {
+    val res = Relational.pricingSummary(spark, dir).collect()
+    val expected = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02"))).count()
+    assert(res.map(_.getLong(9)).sum == expected)
+  }
+
+  test("token counts: char length consistent, counts positive on real docs") {
+    val docs = Tables.documents(spark, dir)
+    val tc = TextAnalysis.tokenCounts(docs).collect()
+    assert(tc.length == docs.count())
+    val lens = docs.select(col("doc_id"), length(col("text")).cast("bigint")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    tc.foreach { r =>
+      assert(r.getLong(3) == lens(r.getLong(0)))
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    }
+  }
+}
