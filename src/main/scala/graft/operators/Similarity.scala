@@ -38,17 +38,23 @@ object Similarity {
   /** Fetch one stored embedding to use as the query vector (driver-side point
     * lookup of a single 64-dim row — the "query text → query vector" step;
     * reference embeds the query with the collection's embedder,
-    * `collection/collection.go:66-73`). */
+    * `collection/collection.go:66-73`). Memoized per (dir, vecId): several
+    * operators probe with the same vector, and the source parquet is
+    * immutable — one point-scan job instead of one per query. */
+  private val queryVectorCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Array[Double]]
+
   def queryVector(spark: SparkSession, dir: String, vecId: Long): Array[Double] =
-    Tables.embeddings(spark, dir)
-      .where(col("vec_id") === vecId)
-      .select("embedding")
-      .collect()
-      .headOption
-      .getOrElse(throw new graft.core.GraftException(
-        s"query vector $vecId not found in $dir/embeddings.parquet"))
-      .getSeq[Double](0)
-      .toArray
+    queryVectorCache.getOrElseUpdate((dir, vecId),
+      Tables.embeddings(spark, dir)
+        .where(col("vec_id") === vecId)
+        .select("embedding")
+        .collect()
+        .headOption
+        .getOrElse(throw new graft.core.GraftException(
+          s"query vector $vecId not found in $dir/embeddings.parquet"))
+        .getSeq[Double](0)
+        .toArray)
 
   /** O1/X1 — exact top-k cosine search against a single query vector. */
   def topKSingle(spark: SparkSession, dir: String, queryVecId: Long = 0L, k: Int = 10): DataFrame = {
