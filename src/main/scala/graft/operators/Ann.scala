@@ -42,13 +42,11 @@ object Ann {
   }
 
   /** Band keys as a column expression over `vecCol` — same planes, same bit
-    * and key construction as [[bandKeys]], all built-in codegen'd HOFs. */
+    * and key construction as [[bandKeys]], composed from the public
+    * [[graft.functions.LshFunctions]] primitives. */
   private def bandKeysCol(vecCol: Column, bits: Int, bands: Int, dim: Int): Column = {
-    val planes = typedLit(Dedup.simhashPlanes(bits, dim))
     val r = bits / bands
-    val bs = transform(planes, p =>
-      when(aggregate(zip_with(vecCol, p, (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x) >= 0, lit("1")).otherwise(lit("0")))
+    val bs = graft.functions.LshFunctions.simhash_bits(vecCol, bits, dim)
     transform(sequence(lit(0), lit(bands - 1)), b =>
       concat(b.cast("string"), lit(":"),
         concat_ws("", slice(bs, b * r + 1, lit(r)))))

@@ -1,12 +1,10 @@
 package graft.operators
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
-
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.LshFunctions
 import graft.functions.VectorFunctions.cosine_sim
 
 /** Deduplication operator family — X3 (mandated by the north star; the
@@ -66,10 +64,8 @@ object Dedup {
     // (and at warehouse scale the durable answer is a materialized
     // signature table, not executor cache).
     val sh = shingled(docs, idCol, textCol, shingleSize)
-    val mh = sh.select(col("doc_id"), posexplode(expr(
-      s"""transform(sequence(0, ${seeds - 1}),
-         |  sd -> array_min(transform(s, x -> md5(concat(cast(sd as string), '_', x)))))""".stripMargin))
-      .as(Seq("seed", "mh")))
+    val mh = sh.select(col("doc_id"),
+      posexplode(LshFunctions.minhash_signature(col("s"), seeds)).as(Seq("seed", "mh")))
 
     // Candidate pairs via bucket aggregation rather than a signature
     // self-join: one shuffle of the (seed, minhash) keys, signatures
@@ -91,26 +87,15 @@ object Dedup {
       .join(sh.select(col("doc_id"), col("s").as("sa")), col("a_id") === col("doc_id")).drop("doc_id")
       .join(sh.select(col("doc_id"), col("s").as("sb")), col("b_id") === col("doc_id")).drop("doc_id")
       .select(col("a_id"), col("b_id"),
-        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))), 6).as("jaccard"))
+        round(LshFunctions.jaccard(col("sa"), col("sb")), 6).as("jaccard"))
       .where(col("jaccard") >= jaccardThreshold)
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** Deterministic Rademacher hyperplanes: sign(p, i) = +1 iff the first hex
-    * digit of md5("<p>_<i>") is in [0, 8) — reproducible in any engine with
-    * md5. */
-  private[operators] def simhashPlanes(bits: Int, dim: Int): Seq[Seq[Double]] = {
-    val md = MessageDigest.getInstance("MD5")
-    (0 until bits).map { p =>
-      (0 until dim).map { i =>
-        md.reset()
-        val h = md.digest(s"${p}_$i".getBytes(StandardCharsets.UTF_8))
-        val firstHex = (h(0) >> 4) & 0xf
-        if (firstHex < 8) 1.0 else -1.0
-      }
-    }
-  }
+  /** Deterministic Rademacher hyperplanes — see
+    * [[graft.functions.LshFunctions.simhashPlanes]]. */
+  private[operators] def simhashPlanes(bits: Int, dim: Int): Seq[Seq[Double]] =
+    LshFunctions.simhashPlanes(bits, dim)
 
   /** X3c — SimHash LSH near-duplicate embedding pairs.
     *
@@ -123,18 +108,13 @@ object Dedup {
                   dim: Int = 64, cosineThreshold: Double = 0.3): DataFrame = {
     require(bits % bands == 0, "bits must divide evenly into bands")
     val r = bits / bands
-    val planes: Column = typedLit(simhashPlanes(bits, dim))
 
     val withBits = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .select(col("vec_id"), col("v"),
-        transform(planes, p =>
-          when(aggregate(zip_with(col("v"), p, (x, w) => x * w),
-            lit(0.0), (acc, x) => acc + x) >= 0, lit("1")).otherwise(lit("0"))).as("bs"))
+        LshFunctions.simhash_bits(col("v"), bits, dim).as("bs"))
 
-    val banded = withBits.select(col("vec_id"), posexplode(expr(
-      s"""transform(sequence(0, ${bands - 1}),
-         |  b -> concat_ws('', slice(bs, b * $r + 1, $r)))""".stripMargin))
-      .as(Seq("band", "key")))
+    val banded = withBits.select(col("vec_id"),
+      posexplode(LshFunctions.band_keys(col("bs"), bands, r)).as(Seq("band", "key")))
 
     // Same bucket-aggregation shape as minhashNear: one shuffle on the
     // (band, key) bucket id, pairs expanded in-bucket from the sorted list.

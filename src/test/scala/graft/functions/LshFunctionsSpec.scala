@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Public LSH primitive surface. */
+class LshFunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("word_shingles: n-grams, distinct, short-text empty") {
+    val df = Seq(
+      (1, "a b c d"),
+      (2, "x y"),
+      (3, "r r r r")  // repeated trigram collapses
+    ).toDF("id", "text")
+    val rows = df.select(col("id"), LshFunctions.word_shingles("text", 3).as("s"))
+      .orderBy("id").collect()
+    assert(rows(0).getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(rows(1).getSeq[String](1).isEmpty)
+    assert(rows(2).getSeq[String](1) == Seq("r r r"))
+  }
+
+  test("minhash_signature: deterministic, seed-sensitive, signature length") {
+    val df = Seq((1, Seq("aa", "bb", "cc"))).toDF("id", "s")
+    val sig1 = df.select(LshFunctions.minhash_signature(col("s"), 4)).head().getSeq[String](0)
+    val sig2 = df.select(LshFunctions.minhash_signature(col("s"), 4)).head().getSeq[String](0)
+    assert(sig1 == sig2 && sig1.length == 4)
+    assert(sig1.distinct.length > 1, "different seeds should generally pick different minima")
+    sig1.foreach(h => assert(h.matches("[0-9a-f]{32}")))
+  }
+
+  test("simhash_bits + band_keys: bit count, binary alphabet, band split") {
+    val df = Seq((1, Seq.tabulate(8)(i => i.toDouble - 3.5))).toDF("id", "v")
+    val bits = df.select(LshFunctions.simhash_bits(col("v"), 12, 8)).head().getSeq[String](0)
+    assert(bits.length == 12 && bits.forall(b => b == "0" || b == "1"))
+    val keys = df.select(LshFunctions.band_keys(
+      LshFunctions.simhash_bits(col("v"), 12, 8), 3, 4)).head().getSeq[String](0)
+    assert(keys.length == 3 && keys.forall(_.length == 4))
+    assert(keys.mkString == bits.mkString)
+  }
+
+  test("jaccard: exact ratios on known sets") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(LshFunctions.jaccard(col("x"), col("y"))).head().getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12) // |{b,c}| / |{a,b,c,d}|
+  }
+}
