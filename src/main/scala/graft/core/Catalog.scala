@@ -1,7 +1,8 @@
 package graft.core
 
-import java.nio.file.{Files, Paths}
 import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -74,11 +75,19 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
   // --- record access -----------------------------------------------------
 
   /** The collection's records as a DataFrame with the canonical schema; an
-    * empty collection (nothing written yet) reads as an empty DataFrame. */
+    * empty collection (nothing written yet) reads as an empty DataFrame.
+    * Existence goes through the Hadoop FileSystem API, so collection paths
+    * may live on any supported filesystem (HDFS/S3/local), not just the
+    * driver's local disk. */
   def records(collectionId: String): DataFrame = {
     val meta = getCollection(collectionId)
-    if (Files.exists(Paths.get(meta.path))) spark.read.schema(Record.schema).parquet(meta.path)
+    if (pathExists(meta.path)) spark.read.schema(Record.schema).parquet(meta.path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Record.schema)
+  }
+
+  private def pathExists(p: String): Boolean = {
+    val hp = new HPath(p)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
   }
 
   // --- record CRUD (O5–O10) ---------------------------------------------
@@ -107,22 +116,34 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
   def addRecords(collectionId: String, batch: DataFrame): Unit = {
     val meta = getCollection(collectionId)
 
-    val mismatched = batch.where(col("embedderId") =!= lit(meta.embedderId))
-      .select("id", "embedderId").limit(1).collect()
-    mismatched.headOption.foreach { r =>
-      throw new GraftException(
-        s"Record embedderId ${r.getString(1)} != collection embedderId ${meta.embedderId}")
-    }
-    val nullEmb = batch.where(col("embedding").isNull).select("id").limit(3).collect()
-    if (nullEmb.nonEmpty)
-      throw new GraftException(
-        s"Embedding is null for record ids: ${nullEmb.map(_.getString(0)).mkString(", ")}")
+    // All three in-batch validations in ONE aggregation job (small samples
+    // of offending ids collected for the error text), then the
+    // duplicate-vs-existing semi-join as a second job, then the write.
+    val audit = batch
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n"),
+        max(when(col("embedderId") =!= lit(meta.embedderId), col("embedderId"))).as("badEmb"),
+        max(when(col("embedding").isNull, lit(1)).otherwise(lit(0))).as("nullEmb"))
+      .agg(
+        slice(collect_list(when(col("badEmb").isNotNull, col("badEmb"))), 1, 1).as("mismatch"),
+        slice(collect_list(when(col("nullEmb") === 1, col("id"))), 1, 3).as("nulls"),
+        slice(collect_list(when(col("n") > 1, col("id"))), 1, 3).as("dups"))
+      .collect()
 
-    val dupInBatch = batch.groupBy("id").count().where(col("count") > 1)
-      .select("id").limit(3).collect()
-    if (dupInBatch.nonEmpty)
-      throw new GraftException(
-        s"Duplicate record ids within batch: ${dupInBatch.map(_.getString(0)).mkString(", ")}")
+    audit.headOption.foreach { r =>
+      val mismatch = r.getSeq[String](0)
+      val nulls = r.getSeq[String](1)
+      val dups = r.getSeq[String](2)
+      if (mismatch.nonEmpty)
+        throw new GraftException(
+          s"Record embedderId ${mismatch.head} != collection embedderId ${meta.embedderId}")
+      if (nulls.nonEmpty)
+        throw new GraftException(
+          s"Embedding is null for record ids: ${nulls.mkString(", ")}")
+      if (dups.nonEmpty)
+        throw new GraftException(
+          s"Duplicate record ids within batch: ${dups.mkString(", ")}")
+    }
 
     val dupExisting = batch.join(records(collectionId), Seq("id"), "left_semi")
       .select("id").limit(3).collect()
