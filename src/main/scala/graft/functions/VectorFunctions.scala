@@ -38,8 +38,14 @@ object VectorFunctions {
   def l2_dist(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
 
-  /** Register SQL surface: `SELECT cosine_sim(a, b) FROM ...`. */
+  /** Register SQL surface: `SELECT cosine_sim(a, b) FROM ...` plus the
+    * ingest-side `graft_embed(embedder_name, blob)`. The embed function is a
+    * Scala UDF by necessity — embedding IS a JVM-function boundary (registry
+    * dispatch), same fence as the mapPartitions batch path; keep it out of
+    * scan/score hot paths. */
   def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("graft_embed",
+      (name: String, blob: Array[Byte]) => graft.core.Embedders.get(name)(blob))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       exprs => {

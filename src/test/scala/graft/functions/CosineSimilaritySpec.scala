@@ -68,6 +68,14 @@ class CosineSimilaritySpec extends SparkSpec with Tolerance {
     assert(!e.isInstanceOf[IndexOutOfBoundsException])
   }
 
+  test("SQL surface: graft_embed matches the registry embedder exactly") {
+    VectorFunctions.registerAll(spark)
+    val got = spark.sql(
+      "SELECT graft_embed('local/hash-8', cast('hello' as binary)) AS v").head().getSeq[Double](0)
+    val expected = graft.core.Embedders.hashProjection(8)("hello".getBytes("UTF-8"))
+    assert(got == expected.toSeq)
+  }
+
   // --- ScalaCheck properties (SURVEY §5.2) -------------------------------
 
   private val dim = 8
