@@ -61,10 +61,25 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     collections.getOrElse(id, throw new GraftException(
       s"Could not get collection - no collection with ID $id exists in the database"))
 
-  /** O14 DeleteCollection (`database/database.go:126-137`). */
-  def deleteCollection(id: String): Unit =
+  /** O14 DeleteCollection (`database/database.go:126-137`) — also drops the
+    * backing data (all versions under the collection's directory); the
+    * reference's map-entry removal frees its in-memory records, and the
+    * Parquet analog of that is deleting the files. */
+  def deleteCollection(id: String): Unit = {
     collections.remove(id).getOrElse(
       throw new GraftException(s"Cannot delete collection $id: does not exist"))
+    val dir = new HPath(s"$basePath/$id")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(dir)) fs.delete(dir, true)
+  }
+
+  /** Catalog listing as a DataFrame (the relational view of O15). */
+  def listCollections(): DataFrame = {
+    import spark.implicits._
+    collections.values.toSeq.sortBy(_.id)
+      .map(m => (m.id, m.embedderId, m.path, m.version))
+      .toDF("id", "embedderId", "path", "version")
+  }
 
   /** O15 GetCollections (`database/database.go:139-144`). */
   def getCollections: Map[String, CollectionMeta] = collections.toMap

@@ -56,8 +56,22 @@ class CatalogSpec extends SparkSpec {
     db.addCollection(db.makeCollection("b", mockEmbedder))
     assert(db.getCollections.keySet == Set("a", "b"))
     assert(db.isCollectionInDB("a") && !db.isCollectionInDB("c"))
+    assert(db.listCollections().select("id").collect().map(_.getString(0)).toSeq == Seq("a", "b"))
     db.deleteCollection("a")
     assert(db.getCollections.keySet == Set("b"))
+  }
+
+  test("deleteCollection drops the backing data") {
+    val db = freshDb()
+    db.addCollection(db.makeCollection("c", mockEmbedder))
+    db.addRecord("c", rec("r1"))
+    val path = db.getCollection("c").path
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    db.deleteCollection("c")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    // re-creating the collection starts empty
+    db.addCollection(db.makeCollection("c", mockEmbedder))
+    assert(db.records("c").count() == 0)
   }
 
   test("addRecord + getRecord round-trip") {
