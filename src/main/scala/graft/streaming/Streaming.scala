@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.core.GraftDatabase
 import graft.operators.Ingest
@@ -42,6 +44,61 @@ object Streaming {
         users.as("n_users"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"), col("n_users"))
+  }
+
+  /** One closed user session: contiguous activity with < `gap` between
+    * consecutive events. */
+  final case class UserSession(user_id: Long, n_events: Int,
+                               start: Timestamp, end: Timestamp)
+
+  /** Internal per-user session accumulator (public: encoders codegen
+    * against it). */
+  final case class SessionState(n: Int, start: Long, last: Long)
+
+  /** Custom streaming state via flatMapGroupsWithState: gap-based
+    * sessionization per user. A session closes when the user is silent for
+    * `gapMinutes` (event-time timeout keyed off the watermark), emitting one
+    * row per closed session. State is one small struct per active user —
+    * bounded, watermark-evicted; the canonical shape for custom streaming
+    * aggregation the built-in windowed operators can't express. */
+  def sessionize(events: Dataset[(Long, Timestamp)], gapMinutes: Int = 30,
+                 watermark: String = "1 hour"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    events.toDF("user_id", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(userId, s.n, new Timestamp(s.start), new Timestamp(s.last)))
+          } else {
+            val sorted = rows.map(_._2.getTime).toSeq.sorted
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(n = s.n + 1, last = t))
+                case Some(s) =>
+                  closed ::= UserSession(userId, s.n, new Timestamp(s.start), new Timestamp(s.last))
+                  cur = Some(SessionState(1, t, t))
+                case None =>
+                  cur = Some(SessionState(1, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
   }
 
   /** Continuous collection ingest: any streaming (id, chunk) text source →

@@ -41,6 +41,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: gap-based sessions close via event-time timeout state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    def t(min: Int) = new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+
+    // user 1: two bursts separated by > 30 min (two sessions);
+    // user 2: one burst
+    mem.addData((1L, t(0)), (1L, t(5)), (2L, t(1)), (1L, t(60)), (1L, t(65)))
+    val q = Streaming.sessionize(mem.toDS(), gapMinutes = 30, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark far past all timeouts so every session closes
+      mem.addData((99L, t(600)))
+      q.processAllAvailable()
+      mem.addData((99L, t(1200)))
+      q.processAllAvailable()
+      val rows = spark.table("sess_test")
+        .orderBy("user_id", "start").collect()
+      val u1 = rows.filter(_.getLong(0) == 1L)
+      assert(u1.length == 2)
+      assert(u1(0).getInt(1) == 2 && u1(0).getTimestamp(2) == t(0) && u1(0).getTimestamp(3) == t(5))
+      assert(u1(1).getInt(1) == 2 && u1(1).getTimestamp(2) == t(60))
+      val u2 = rows.filter(_.getLong(0) == 2L)
+      assert(u2.length == 1 && u2(0).getInt(1) == 1)
+    } finally q.stop()
+  }
+
   test("streamIngest: micro-batches land in the collection via the batch pipeline") {
     implicit val sqlCtx = spark.sqlContext
     val db = GraftDatabase.make(spark, Files.createTempDirectory("graft-stream-").toString)
