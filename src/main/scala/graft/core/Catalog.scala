@@ -38,6 +38,7 @@ final case class CollectionMeta(id: String, embedderId: String, path: String, ve
 final class GraftDatabase(val spark: SparkSession, val basePath: String) {
 
   private val collections = TrieMap[String, CollectionMeta]()
+  loadManifest()
 
   // --- collection CRUD (O11–O16) ---------------------------------------
 
@@ -50,11 +51,13 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
   }
 
   /** O12 AddCollection (`database/database.go:99-110`). */
-  def addCollection(meta: CollectionMeta): Unit =
+  def addCollection(meta: CollectionMeta): Unit = {
     collections.putIfAbsent(meta.id, meta).foreach { _ =>
       throw new GraftException(
         s"Cannot create collection ${meta.id}: a collection with id ${meta.id} already exists")
     }
+    saveManifest()
+  }
 
   /** O13 GetCollection (`database/database.go:118-124`). */
   def getCollection(id: String): CollectionMeta =
@@ -71,6 +74,7 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     val dir = new HPath(s"$basePath/$id")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(dir)) fs.delete(dir, true)
+    saveManifest()
   }
 
   /** Catalog listing as a DataFrame (the relational view of O15). */
@@ -104,6 +108,46 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     val hp = new HPath(p)
     hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
   }
+
+  // --- catalog durability -------------------------------------------------
+  // The reference's catalog lives and dies with the process
+  // (`database/database.go:29`); a Parquet-backed database should survive a
+  // restart, so every catalog mutation rewrites a tiny JSON manifest next to
+  // the data and `make()` restores from it.
+
+  private def manifestPath = new HPath(s"$basePath/_catalog.json")
+
+  private def saveManifest(): Unit = {
+    val fs = manifestPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries = collections.values.toSeq.sortBy(_.id).map { m =>
+      s"""{"id":${jstr(m.id)},"embedderId":${jstr(m.embedderId)},"path":${jstr(m.path)},"version":${m.version}}"""
+    }
+    val out = fs.create(manifestPath, true)
+    try out.write(entries.mkString("[", ",", "]").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def loadManifest(): Unit = {
+    val fs = manifestPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(manifestPath)) {
+      val in = fs.open(manifestPath)
+      val bytes = try in.readAllBytes() finally in.close()
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      root.forEach { n =>
+        collections.put(n.path("id").asText(), CollectionMeta(
+          n.path("id").asText(), n.path("embedderId").asText(),
+          n.path("path").asText(), n.path("version").asInt()))
+      }
+    }
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   // --- record CRUD (O5–O10) ---------------------------------------------
 
@@ -196,6 +240,7 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     existing.where(col("id") =!= recordId)
       .write.mode("overwrite").parquet(next.path)
     collections.put(meta.id, next)
+    saveManifest()
   }
 
   // --- query (O1/O2) -----------------------------------------------------

@@ -30,7 +30,8 @@ object CatalogOps {
     * (marked by Spark's _SUCCESS) is reused; a partial one is rebuilt. */
   def database(spark: SparkSession, dir: String): GraftDatabase = {
     val db = GraftDatabase.make(spark, scratchBase(dir))
-    db.addCollection(db.makeCollection(CollectionId, EmbedderId))
+    if (!db.isCollectionInDB(CollectionId)) // may be restored from the manifest
+      db.addCollection(db.makeCollection(CollectionId, EmbedderId))
     val path = db.getCollection(CollectionId).path
     if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
       deleteRecursively(Paths.get(path))

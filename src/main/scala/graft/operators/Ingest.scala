@@ -71,7 +71,8 @@ object Ingest {
   def ingestTopk(spark: SparkSession, dir: String, queryText: String,
                  k: Int = 10, chunkSize: Int = 128): DataFrame = {
     val db = GraftDatabase.make(spark, scratchBase(dir))
-    db.addCollection(db.makeCollection("docs", "local/hash-64"))
+    if (!db.isCollectionInDB("docs")) // may be restored from the manifest
+      db.addCollection(db.makeCollection("docs", "local/hash-64"))
     val path = db.getCollection("docs").path
     if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
       deleteRecursively(Paths.get(path))

@@ -61,6 +61,22 @@ class CatalogSpec extends SparkSpec {
     assert(db.getCollections.keySet == Set("b"))
   }
 
+  test("catalog survives a restart via the manifest") {
+    val base = java.nio.file.Files.createTempDirectory("graft-manifest-").toString
+    val db = GraftDatabase.make(spark, base)
+    db.addCollection(db.makeCollection("persisted", mockEmbedder))
+    db.addRecord("persisted", rec("r1"))
+    db.addRecord("persisted", rec("r2"))
+    db.deleteRecord("persisted", "r1") // bumps the version
+
+    val reopened = GraftDatabase.make(spark, base) // fresh instance, same path
+    assert(reopened.isCollectionInDB("persisted"))
+    val meta = reopened.getCollection("persisted")
+    assert(meta.embedderId == mockEmbedder && meta.version == 1)
+    assert(reopened.records("persisted").count() == 1)
+    assert(reopened.getRecord("persisted", "r2").id == "r2")
+  }
+
   test("deleteCollection drops the backing data") {
     val db = freshDb()
     db.addCollection(db.makeCollection("c", mockEmbedder))
