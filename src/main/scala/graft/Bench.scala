@@ -39,8 +39,15 @@ object Bench {
       .groupBy("lang").count().collect()
     val warmupSec = (System.nanoTime() - w0) / 1e9
 
+    // Dev filter: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries
+    // (unset in driver runs — all queries).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (k, _) => names(k) })
+
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
