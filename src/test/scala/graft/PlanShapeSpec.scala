@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{Ann, Relational, Similarity}
+
+/** Plan-shape regression guards: these shapes ARE the scale contract the
+  * operators were designed around (see PLANS.md). A refactor that silently
+  * introduces a shuffle or loses a pushdown should fail here, not in a
+  * production-scale run.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("topk_single: TakeOrderedAndProject, no shuffle") {
+    val p = plan(Similarity.topKSingle(spark, dir, 0L, 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+  }
+
+  test("topk_filtered: label predicate pushed into the parquet scan") {
+    val p = plan(Similarity.topKFiltered(spark, dir, 0L, 10, 3))
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(label,3)"), p)
+  }
+
+  test("ann_topk: fully narrow — no shuffle, no join") {
+    val p = plan(Ann.annTopk(spark, dir, 0L, 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange") && !p.contains("Join"), s"not narrow:\n$p")
+  }
+
+  test("ivf_topk: narrow probe filter + TakeOrderedAndProject") {
+    val p = plan(Ann.ivfTopk(spark, dir, 0L, 10, 8, 2))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange") && !p.contains("Join"), s"not narrow:\n$p")
+  }
+
+  test("sim_join_topk: broadcast query side + rank limit before the exchange") {
+    val p = plan(Similarity.batchSimilarityJoin(spark, dir, 8, 5))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), s"rank-limit pushdown missing:\n$p")
+    // partial WindowGroupLimit must appear below the shuffle: first
+    // occurrence in the bottom-up string is after the Exchange line
+    val lines = p.linesIterator.toSeq
+    val firstWgl = lines.lastIndexWhere(_.contains("WindowGroupLimit"))
+    val exchange = lines.indexWhere(_.contains("Exchange"))
+    assert(exchange >= 0 && firstWgl > exchange,
+      s"no partial WindowGroupLimit below the exchange:\n$p")
+  }
+
+  test("pricing_summary: date cutoff pushed into the parquet scan") {
+    val p = plan(Relational.pricingSummary(spark, dir))
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("revenue_by_nation: dimension joins are broadcast") {
+    val p = plan(Relational.revenueByNation(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
