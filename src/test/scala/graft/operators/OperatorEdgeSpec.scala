@@ -51,6 +51,14 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(ivf.head.getLong(0) == 0L && ivf.head.getDouble(2) == 1.0)
   }
 
+  test("top-k monotonicity: top-k is a prefix of top-(k+1) (SURVEY §5.2)") {
+    val ids = (k: Int) => Similarity.topKSingle(spark, dir, 0L, k)
+      .collect().map(_.getLong(0)).toSeq
+    (1 to 8).foreach { k =>
+      assert(ids(k) == ids(k + 1).take(k), s"prefix property broke at k=$k")
+    }
+  }
+
   test("embedding stats: label partition is exhaustive and cosines bounded") {
     val e = Tables.embeddings(spark, dir)
     val stats = EmbeddingStats.perLabelCohesion(e).collect()
