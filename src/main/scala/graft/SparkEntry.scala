@@ -54,6 +54,7 @@ object SparkEntry {
         watermark = None, approxDistinct = false)),
     "pricing_summary"   -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "revenue_by_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
+    "part_type_revenue" -> ((s, dir) => Relational.partTypeRevenueByRegion(s, dir)),
   )
 
   // ---------------------------------------------------------------------
@@ -261,6 +262,18 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "part_type_revenue" ->
+      """SELECT r_name,  p_type,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, p_type
+        |ORDER BY r_name, p_type""".stripMargin,
 
     "revenue_by_nation" ->
       """SELECT n_name,

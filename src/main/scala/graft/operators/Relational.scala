@@ -41,6 +41,27 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** Supplier-region part-type revenue rollup: the fact table against the
+    * full dimension chain (part, supplier, nation, region — all broadcast;
+    * each is SF-proportional-small or constant-size). Exercises every
+    * remaining driver table. */
+  def partTypeRevenueByRegion(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("p_type"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("p_type"))
+  }
+
   /** Revenue by customer nation: fact⋈fact on the order key, dimensions
     * broadcast explicitly. */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
