@@ -60,7 +60,11 @@ object LshFunctions {
     transform(sequence(lit(0), lit(bands - 1)), b =>
       concat_ws("", slice(bitsCol, b * r + 1, lit(r))))
 
-  /** Exact Jaccard similarity of two (distinct-element) array columns. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** Exact Jaccard similarity of two string-array columns — a fused native
+    * expression (see [[JaccardSimilarity]]); set semantics either way, so
+    * callers may pass non-distinct arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(JaccardSimilarity(Bridge.expression(a), Bridge.expression(b)))
+  }
 }
