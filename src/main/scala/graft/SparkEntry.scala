@@ -41,6 +41,7 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "ann_topk" -> ((s, dir) => Ann.annTopk(s, dir, 0L, 10)),
+    "ann_topk_indexed" -> ((s, dir) => Ann.annTopkIndexed(s, dir, 0L, 10)),
     "ivf_topk" -> ((s, dir) => Ann.ivfTopk(s, dir, 0L, 10, 16, 4)),
     "embed_label_stats" -> ((s, dir) => EmbeddingStats.perLabelCohesion(Tables.embeddings(s, dir))),
     "multimodal_meta" -> ((s, dir) => {
@@ -92,6 +93,24 @@ object SparkEntry {
        |          range(0, CAST(ceil(length(text) / ${chunkSize}.0) AS BIGINT)),
        |          i -> {'pos': i, 'chunk': substr(text, CAST(i * $chunkSize + 1 AS BIGINT), $chunkSize)})) AS u
        |      FROM documents WHERE length(text) > 0)""".stripMargin
+
+  /** Hyperplane-LSH probe + exact rerank — shared by the scan-time and
+    * stored-index ANN variants (identical candidate semantics). */
+  private def annTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |bits AS (SELECT vec_id, label, v, list_transform(range(0, 16), p ->
+       |    CASE WHEN list_sum(list_transform(range(0, 64), i ->
+       |      v[i+1] * (CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
+       |                     BETWEEN '0' AND '7' THEN 1 ELSE -1 END)
+       |    )) >= 0 THEN '1' ELSE '0' END) AS bs FROM e),
+       |keys AS (SELECT vec_id, label, v, list_transform(range(0, 4), b ->
+       |    CAST(b AS VARCHAR) || ':' || array_to_string(bs[b*4+1:b*4+4], '')) AS ks FROM bits),
+       |q AS (SELECT v AS qv, ks AS qks FROM keys WHERE vec_id = 0)
+       |SELECT k2.vec_id, k2.label, ${cosSql("k2.v", "q.qv")} AS score
+       |FROM keys k2, q
+       |WHERE len(list_intersect(k2.ks, q.qks)) > 0
+       |ORDER BY score DESC, vec_id ASC
+       |LIMIT 10""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -322,21 +341,8 @@ object SparkEntry {
          |ORDER BY score DESC, vec_id ASC
          |LIMIT 10""".stripMargin,
 
-    "ann_topk" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |bits AS (SELECT vec_id, label, v, list_transform(range(0, 16), p ->
-         |    CASE WHEN list_sum(list_transform(range(0, 64), i ->
-         |      v[i+1] * (CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
-         |                     BETWEEN '0' AND '7' THEN 1 ELSE -1 END)
-         |    )) >= 0 THEN '1' ELSE '0' END) AS bs FROM e),
-         |keys AS (SELECT vec_id, label, v, list_transform(range(0, 4), b ->
-         |    CAST(b AS VARCHAR) || ':' || array_to_string(bs[b*4+1:b*4+4], '')) AS ks FROM bits),
-         |q AS (SELECT v AS qv, ks AS qks FROM keys WHERE vec_id = 0)
-         |SELECT k2.vec_id, k2.label, ${cosSql("k2.v", "q.qv")} AS score
-         |FROM keys k2, q
-         |WHERE len(list_intersect(k2.ks, q.qks)) > 0
-         |ORDER BY score DESC, vec_id ASC
-         |LIMIT 10""".stripMargin,
+    "ann_topk" -> annTopkSql,
+    "ann_topk_indexed" -> annTopkSql, // identical semantics: same planes, same keys, same rerank
 
     "sim_join_topk" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -70,6 +70,39 @@ object Ann {
       .limit(k)
   }
 
+  /** LSH probe against a PERSISTED signature index: the corpus is written
+    * once partitioned by bucket key (build step, idempotent), so a probe
+    * reads only the directories matching the query's keys — real partition
+    * pruning, the on-disk layout [[annTopk]]'s scaladoc promises at 100 TB.
+    * Same candidate set and ranking as [[annTopk]] (same planes, same keys),
+    * so the same oracle applies. */
+  def annTopkIndexed(spark: SparkSession, dir: String, queryVecId: Long = 0L, k: Int = 10,
+                     bits: Int = DefaultBits, bands: Int = DefaultBands,
+                     dim: Int = 64): DataFrame = {
+    val idxPath = indexPath(dir, bits, bands)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath, "_SUCCESS"))) {
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          explode(bandKeysCol(col("embedding"), bits, bands, dim)).as("key"))
+        .write.mode("overwrite").partitionBy("key").parquet(idxPath)
+    }
+    val qv = Similarity.queryVector(spark, dir, queryVecId)
+    val qKeys = bandKeys(qv, bits, bands)
+    spark.read.parquet(idxPath)
+      .where(col("key").isin(qKeys: _*))
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"), col("label"),
+        round(cosine_sim(col("embedding"), typedLit(qv)), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
+  private def indexPath(dir: String, bits: Int, bands: Int): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$dir|$bits|$bands".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft-annidx-$h"
+  }
+
   /** Driver-side cosine with the same accumulation order as
     * [[graft.functions.CosineSimilarity.compute]] (and the oracle's SQL),
     * so centroid rankings agree bit-for-bit across engines. */

@@ -31,6 +31,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange") && !p.contains("Join"), s"not narrow:\n$p")
   }
 
+  test("ann_topk_indexed: probe prunes index partitions on the bucket key") {
+    val df = Ann.annTopkIndexed(spark, dir, 0L, 10)
+    val p = plan(df)
+    assert(p.contains("PartitionFilters") && p.contains("key#"),
+      s"no partition pruning on the bucket key:\n$p")
+  }
+
   test("ivf_topk: narrow probe filter + TakeOrderedAndProject") {
     val p = plan(Ann.ivfTopk(spark, dir, 0L, 10, 8, 2))
     assert(p.contains("TakeOrderedAndProject"), p)
