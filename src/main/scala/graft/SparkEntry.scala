@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Ann, CatalogOps, Dedup, EmbeddingStats, Ingest, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, CatalogOps, Dedup, EmbeddingStats, Ingest, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -56,6 +56,7 @@ object SparkEntry {
     "pricing_summary"   -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "revenue_by_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "part_type_revenue" -> ((s, dir) => Relational.partTypeRevenueByRegion(s, dir)),
+    "asof_purchase_click" -> ((s, dir) => AsofJoin.eventsAsof(Tables.events(s, dir))),
   )
 
   // ---------------------------------------------------------------------
@@ -304,6 +305,17 @@ object SparkEntry {
         |JOIN nation   ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "asof_purchase_click" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  c.ts AS asof_ts,
+        |  round(c.value, 4) AS asof_value,
+        |  CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS micros_since
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "events_windowed" ->
       """SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type,
