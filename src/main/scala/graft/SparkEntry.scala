@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Ann, AsofJoin, CatalogOps, Dedup, EmbeddingStats, Ingest, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, CatalogOps, Dedup, EmbeddingStats, Ingest, Multimodal, RangeJoin, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -57,6 +57,7 @@ object SparkEntry {
     "revenue_by_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "part_type_revenue" -> ((s, dir) => Relational.partTypeRevenueByRegion(s, dir)),
     "asof_purchase_click" -> ((s, dir) => AsofJoin.eventsAsof(Tables.events(s, dir))),
+    "range_join_clicks" -> ((s, dir) => RangeJoin.eventCountsInRange(Tables.events(s, dir))),
   )
 
   // ---------------------------------------------------------------------
@@ -315,6 +316,19 @@ object SparkEntry {
         |  CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS micros_since
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "range_join_clicks" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  CAST(count(c.ts) AS BIGINT) AS n_right,
+        |  round(coalesce(sum(c.value), 0.0), 4) AS sum_value
+        |FROM p LEFT JOIN c
+        |  ON p.user_id = c.user_id
+        | AND c.ts > p.ts - INTERVAL '1 hour'
+        | AND c.ts <= p.ts
+        |GROUP BY p.event_id, p.user_id, p.ts
         |ORDER BY p.event_id""".stripMargin,
 
     "events_windowed" ->

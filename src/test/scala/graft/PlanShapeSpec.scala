@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.{Ann, Relational, Similarity}
+import graft.core.Tables
+import graft.operators.{Ann, AsofJoin, RangeJoin, Relational, Similarity}
 
 /** Plan-shape regression guards: these shapes ARE the scale contract the
   * operators were designed around (see PLANS.md). A refactor that silently
@@ -60,6 +61,19 @@ class PlanShapeSpec extends SparkSpec {
   test("pricing_summary: date cutoff pushed into the parquet scan") {
     val p = plan(Relational.pricingSummary(spark, dir))
     assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("range join: bucketized EQUI-join, not a nested-loop inequality join") {
+    val p = plan(RangeJoin.eventCountsInRange(Tables.events(spark, dir)))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"inequality join degenerated:\n$p")
+    assert(p.contains("Join"), p)
+  }
+
+  test("as-of join: single keyed window pass, no join at all") {
+    val p = plan(AsofJoin.eventsAsof(Tables.events(spark, dir)))
+    assert(!p.contains("Join"), s"as-of should be join-free:\n$p")
+    assert(p.contains("Window"), p)
   }
 
   test("revenue_by_nation: dimension joins are broadcast") {
