@@ -36,6 +36,9 @@ object SparkEntry {
     "dedup_exact"   -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashNear(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashNear(Tables.embeddings(s, dir))),
+    "dedup_ngram"   -> ((s, dir) => Dedup.ngramNear(Tables.documents(s, dir))),
+    "dedup_resolve" -> ((s, dir) => Dedup.resolveKeepers(Tables.documents(s, dir),
+      Dedup.ngramNear(Tables.documents(s, dir)))),
     "text_stats"   -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     "token_topk"   -> ((s, dir) => TextAnalysis.tokenTopK(Tables.documents(s, dir), 20)),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
@@ -95,6 +98,36 @@ object SparkEntry {
        |          range(0, CAST(ceil(length(text) / ${chunkSize}.0) AS BIGINT)),
        |          i -> {'pos': i, 'chunk': substr(text, CAST(i * $chunkSize + 1 AS BIGINT), $chunkSize)})) AS u
        |      FROM documents WHERE length(text) > 0)""".stripMargin
+
+  /** Banded char-n-gram MinHash near-dup pairs (mirrors Dedup.ngramNear:
+    * n=5 char shingles, 12 seeds in 4 bands of r=3, Jaccard >= 0.5). Ends
+    * with a `pairs` CTE for reuse by the resolution query. */
+  private def ngramPairsSql(n: Int = 5, seeds: Int = 12, bands: Int = 4,
+                            tau: Double = 0.5): String = {
+    val r = seeds / bands
+    s"""sh AS (SELECT doc_id,
+       |    list_distinct(list_transform(range(0, length(text) - ${n - 1}),
+       |      i -> substr(text, CAST(i + 1 AS BIGINT), $n))) AS s
+       |  FROM documents WHERE length(text) >= $n),
+       |mh AS (SELECT doc_id,
+       |    list_transform(range(0, $seeds),
+       |      sd -> list_min(list_transform(s, x -> md5(CAST(sd AS VARCHAR) || '_' || x)))) AS sig
+       |  FROM sh),
+       |bands AS (SELECT doc_id, u.band, u.key FROM (
+       |  SELECT doc_id, unnest(list_transform(range(0, $bands), b ->
+       |    {'band': b, 'key': array_to_string(sig[b*$r+1:b*$r+$r], '|')})) AS u FROM mh) q),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT a_id, b_id, jaccard FROM (
+       |  SELECT c.a_id, c.b_id,
+       |    round(len(list_intersect(sa.s, sb.s))::DOUBLE
+       |          / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a_id
+       |  JOIN sh sb ON sb.doc_id = c.b_id) v
+       |  WHERE jaccard >= $tau)""".stripMargin
+  }
 
   /** Hyperplane-LSH probe + exact rerank — shared by the scan-time and
     * stored-index ANN variants (identical candidate semantics). */
@@ -206,6 +239,15 @@ object SparkEntry {
          |      JOIN e eb ON eb.vec_id = c.b_id)
          |SELECT a_id, b_id, score FROM v WHERE score >= 0.3
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_ngram" ->
+      s"""WITH ${ngramPairsSql()}
+         |SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_resolve" ->
+      s"""WITH ${ngramPairsSql()}
+         |SELECT d.doc_id, d.doc_id NOT IN (SELECT b_id FROM pairs) AS keep
+         |FROM documents d ORDER BY d.doc_id""".stripMargin,
 
     "text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,

@@ -28,6 +28,16 @@ object LshFunctions {
          |ELSE array() END""".stripMargin)
   }
 
+  /** Distinct character n-gram shingles of a text column. Robust to
+    * whitespace-free text (CJK, code, minified HTML) where word shingles
+    * degenerate; rows shorter than `n` chars yield an empty array. */
+  def char_shingles(textCol: String, n: Int): Column =
+    expr(
+      s"""CASE WHEN length($textCol) >= $n THEN
+         |  array_distinct(transform(sequence(0, length($textCol) - $n),
+         |    i -> substring($textCol, i + 1, $n)))
+         |ELSE array() END""".stripMargin)
+
   /** MinHash signature: element s = min over shingles of md5("<s>_" ‖
     * shingle) — fixed-width hex strings, so lexicographic min ≡ numeric. */
   def minhash_signature(shinglesCol: Column, seeds: Int): Column =
@@ -55,10 +65,13 @@ object LshFunctions {
       when(aggregate(zip_with(vecCol, p, (x, w) => x * w),
         lit(0.0), (acc, x) => acc + x) >= 0, lit("1")).otherwise(lit("0")))
 
-  /** Split a bit array into `bands` concatenated keys of `r` bits each. */
-  def band_keys(bitsCol: Column, bands: Int, r: Int): Column =
+  /** Split a string array (sign bits or a minhash signature) into `bands`
+    * concatenated keys of `r` elements each. `r` is the precision dial:
+    * a candidate must agree on ALL `r` elements of some band, so bucket
+    * sizes shrink geometrically in `r`. */
+  def band_keys(bitsCol: Column, bands: Int, r: Int, sep: String = ""): Column =
     transform(sequence(lit(0), lit(bands - 1)), b =>
-      concat_ws("", slice(bitsCol, b * r + 1, lit(r))))
+      concat_ws(sep, slice(bitsCol, b * r + 1, lit(r))))
 
   /** Exact Jaccard similarity of two string-array columns — a fused native
     * expression (see [[JaccardSimilarity]]); set semantics either way, so

@@ -37,6 +37,24 @@ object Dedup {
       .select(col(idCol), col("fp"), col("keep"))
   }
 
+  /** Candidate pairs from LSH buckets, shared by every near-dup family:
+    * one shuffle on the two-part bucket id, ids collected and sorted per
+    * bucket, pairs expanded in-bucket (a < b by construction), distinct
+    * across buckets. Never an all-pairs product; max bucket size is the
+    * skew guard the banding parameters control. */
+  private def candidatePairs(keyed: DataFrame, k1: String, k2: String,
+                             idCol: String): DataFrame =
+    keyed
+      .groupBy(col(k1), col(k2))
+      .agg(sort_array(collect_list(col(idCol))).as("bucket"))
+      .where(size(col("bucket")) > 1)
+      .select(explode(expr(
+        """flatten(transform(bucket,
+          |  (x, i) -> transform(slice(bucket, i + 2, size(bucket)),
+          |            y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+      .distinct()
+
   /** Distinct word n-gram shingle sets per document (docs with fewer than
     * `n` tokens have no shingles and drop out, in both engines). */
   private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
@@ -67,21 +85,7 @@ object Dedup {
     val mh = sh.select(col("doc_id"),
       posexplode(LshFunctions.minhash_signature(col("s"), seeds)).as(Seq("seed", "mh")))
 
-    // Candidate pairs via bucket aggregation rather than a signature
-    // self-join: one shuffle of the (seed, minhash) keys, signatures
-    // computed once, pairs expanded inside each bucket (sorted, so a < b
-    // by construction). Equivalent output to the equi-join formulation;
-    // bucket width is the skew guard — raise rows-per-band at scale.
-    val cand = mh
-      .groupBy(col("seed"), col("mh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("bucket"))
-      .where(size(col("bucket")) > 1)
-      .select(explode(expr(
-        """flatten(transform(bucket,
-          |  (x, i) -> transform(slice(bucket, i + 2, size(bucket)),
-          |            y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
-      .select(col("p.a_id"), col("p.b_id"))
-      .distinct()
+    val cand = candidatePairs(mh, "seed", "mh", "doc_id")
 
     cand
       .join(sh.select(col("doc_id"), col("s").as("sa")), col("a_id") === col("doc_id")).drop("doc_id")
@@ -91,6 +95,52 @@ object Dedup {
       .where(col("jaccard") >= jaccardThreshold)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** X3b' — character n-gram Jaccard near-duplicate pairs.
+    *
+    * Same MinHash-LSH skeleton as [[minhashNear]] but over character
+    * n-grams, which survive whitespace-free text, and with BANDED
+    * signatures (r hashes per band): a candidate must agree on a full band,
+    * so bucket sizes stay bounded even when individual shingles are common
+    * — the r=1 variant degenerates toward all-pairs on low-entropy corpora
+    * (measured: 57k candidate pairs vs 4k at sf0.01 on the synthetic docs).
+    * Verification is exact n-gram Jaccard on candidates only. */
+  def ngramNear(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                n: Int = 5, seeds: Int = 12, bands: Int = 4,
+                jaccardThreshold: Double = 0.5): DataFrame = {
+    require(seeds % bands == 0, "seeds must divide evenly into bands")
+    val r = seeds / bands
+    val sh = docs
+      .select(col(idCol).as("doc_id"), LshFunctions.char_shingles(textCol, n).as("s"))
+      .where(size(col("s")) > 0)
+
+    val banded = sh.select(col("doc_id"),
+      posexplode(LshFunctions.band_keys(
+        LshFunctions.minhash_signature(col("s"), seeds), bands, r, "|"))
+        .as(Seq("band", "key")))
+
+    candidatePairs(banded, "band", "key", "doc_id")
+      .join(sh.select(col("doc_id"), col("s").as("sa")), col("a_id") === col("doc_id")).drop("doc_id")
+      .join(sh.select(col("doc_id"), col("s").as("sb")), col("b_id") === col("doc_id")).drop("doc_id")
+      .select(col("a_id"), col("b_id"),
+        round(LshFunctions.jaccard(col("sa"), col("sb")), 6).as("jaccard"))
+      .where(col("jaccard") >= jaccardThreshold)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Resolution policy over near-dup pairs: a document is dropped iff it
+    * near-duplicates one with a smaller id (pairs arrive a < b, so the
+    * b-side is the drop side). Single equi-join against the distinct drop
+    * set — deterministic, order-free, and one shuffle at any scale. Chains
+    * resolve to "keep the smallest id that has no smaller partner", the
+    * greedy keeper election a streaming pipeline would make. */
+  def resolveKeepers(docs: DataFrame, pairs: DataFrame,
+                     idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol))
+      .join(pairs.select(col("b_id").as("_dup_id")).distinct(),
+        col(idCol) === col("_dup_id"), "left")
+      .select(col(idCol), col("_dup_id").isNull.as("keep"))
+      .orderBy(col(idCol))
 
   /** Deterministic Rademacher hyperplanes — see
     * [[graft.functions.LshFunctions.simhashPlanes]]. */
@@ -116,18 +166,7 @@ object Dedup {
     val banded = withBits.select(col("vec_id"),
       posexplode(LshFunctions.band_keys(col("bs"), bands, r)).as(Seq("band", "key")))
 
-    // Same bucket-aggregation shape as minhashNear: one shuffle on the
-    // (band, key) bucket id, pairs expanded in-bucket from the sorted list.
-    val cand = banded
-      .groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("bucket"))
-      .where(size(col("bucket")) > 1)
-      .select(explode(expr(
-        """flatten(transform(bucket,
-          |  (x, i) -> transform(slice(bucket, i + 2, size(bucket)),
-          |            y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
-      .select(col("p.a_id"), col("p.b_id"))
-      .distinct()
+    val cand = candidatePairs(banded, "band", "key", "vec_id")
 
     val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
     cand

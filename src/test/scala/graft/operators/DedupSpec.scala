@@ -64,6 +64,39 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(2) >= 0.3))
   }
 
+  test("ngram near-dup: banded candidates via equi-join, exact jaccard verify") {
+    val docs = Tables.documents(spark, dir)
+    val df = Dedup.ngramNear(docs)
+    val plan = physicalPlan(df)
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
+    val rows = df.collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getDouble(2) >= 0.5))
+    // cross-check one pair against a direct char-5-gram jaccard
+    if (rows.nonEmpty) {
+      val r = rows.head
+      val texts = docs.select("doc_id", "text").collect()
+        .map(x => x.getLong(0) -> x.getString(1)).toMap
+      def grams(t: String): Set[String] = t.sliding(5).toSet
+      val (sa, sb) = (grams(texts(r.getLong(0))), grams(texts(r.getLong(1))))
+      val expected = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(r.getDouble(2) - expected) < 1e-6)
+    }
+  }
+
+  test("resolveKeepers: b-side of every pair dropped, everything else kept") {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.ngramNear(docs)
+    val dropIds = pairs.select("b_id").collect().map(_.getLong(0)).toSet
+    val res = Dedup.resolveKeepers(docs, pairs).collect()
+    assert(res.length == docs.count())
+    res.foreach { r =>
+      assert(r.getBoolean(1) == !dropIds.contains(r.getLong(0)),
+        s"doc ${r.getLong(0)} keep flag wrong")
+    }
+  }
+
   test("simhash planes are deterministic Rademacher vectors") {
     val p1 = Dedup.simhashPlanes(8, 16)
     val p2 = Dedup.simhashPlanes(8, 16)
