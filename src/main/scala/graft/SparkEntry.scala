@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Ann, AsofJoin, CatalogOps, Dedup, EmbeddingStats, Ingest, Multimodal, RangeJoin, Relational, Similarity, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, CatalogOps, Dedup, EmbeddingStats, Ingest, Multimodal, RangeJoin, Relational, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,6 +60,7 @@ object SparkEntry {
     "revenue_by_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "part_type_revenue" -> ((s, dir) => Relational.partTypeRevenueByRegion(s, dir)),
     "asof_purchase_click" -> ((s, dir) => AsofJoin.eventsAsof(Tables.events(s, dir))),
+    "sessions" -> ((s, dir) => Sessionize.sessions(Tables.events(s, dir))),
     "range_join_clicks" -> ((s, dir) => RangeJoin.eventCountsInRange(Tables.events(s, dir))),
   )
 
@@ -359,6 +360,23 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "sessions" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value FROM events),
+        |g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_session
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(new_session)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |        AS session_seq
+        |      FROM g)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value,
+        |  CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
 
     "range_join_clicks" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sessionization (gaps-and-islands) over an event log — the batch
+  * twin of [[graft.streaming.Streaming.sessionize]] (which keeps one state
+  * struct per live user; this computes the same sessions over history).
+  *
+  * Scale shape: every window here is partitioned by `user_id`, so the work
+  * is one hash shuffle on the user key followed by per-user sorted
+  * scans — no global sort, no single-partition window, no join. Skewed
+  * power users bound the per-partition sort at (events of the hottest
+  * user), which is the natural limit of any order-dependent sessionizer;
+  * AQE skew handling splits oversized shuffle partitions of *different*
+  * users automatically.
+  */
+object Sessionize {
+
+  /** Close sessions after `gapMinutes` of user silence; emit one row per
+    * session with start/end, event count and value sum. Deterministic
+    * ordering inside a user via the (ts, event_id) tie-break. */
+  def sessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros).cast("int"))
+      .withColumn("session_seq", sum(col("new_session")).over(running).cast("bigint"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .withColumn("duration_sec",
+        expr("(unix_micros(session_end) - unix_micros(session_start)) div 1000000"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+}
