@@ -59,6 +59,8 @@ object SparkEntry {
     "pricing_summary"   -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "revenue_by_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "part_type_revenue" -> ((s, dir) => Relational.partTypeRevenueByRegion(s, dir)),
+    "top_customers"     -> ((s, dir) => Relational.topCustomers(s, dir, 20)),
+    "shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
     "asof_purchase_click" -> ((s, dir) => AsofJoin.eventsAsof(Tables.events(s, dir))),
     "sessions" -> ((s, dir) => Sessionize.sessions(Tables.events(s, dir))),
     "range_join_clicks" -> ((s, dir) => RangeJoin.eventCountsInRange(Tables.events(s, dir))),
@@ -338,6 +340,31 @@ object SparkEntry {
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY r_name, p_type
         |ORDER BY r_name, p_type""".stripMargin,
+
+    "top_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS revenue,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name, c_mktsegment
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1996-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
 
     "revenue_by_nation" ->
       """SELECT n_name,

@@ -62,6 +62,46 @@ object Relational {
       .orderBy(col("r_name"), col("p_type"))
   }
 
+  /** Top-k customers by lifetime revenue: fact⋈fact on the order key, the
+    * customer dimension broadcast, k-selection AFTER the aggregation via
+    * `orderBy + limit` ⇒ TakeOrderedAndProject — a bounded heap over the
+    * aggregated (per-customer) rows, never a global sort of customers. */
+  def topCustomers(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0).as("revenue"),
+        count_distinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q3-shaped shipping priority: segment-filtered customers
+    * (broadcast AFTER the filter — the pushdown shrinks the broadcast, not
+    * just the scan), date cutoffs pushed into both fact scans, top-k after
+    * the per-order rollup. */
+  def shippingPriority(spark: SparkSession, dir: String,
+                       segment: String = "BUILDING",
+                       cutoff: String = "1996-06-01", k: Int = 10): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val cut = to_timestamp(lit(cutoff))
+    l.where(l("l_shipdate") > cut)
+      .join(o.where(o("o_orderdate") < cut), l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c.where(col("c_mktsegment") === segment)),
+        o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0).as("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderdate"), asc("l_orderkey"))
+      .limit(k)
+  }
+
   /** Revenue by customer nation: fact⋈fact on the order key, dimensions
     * broadcast explicitly. */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {

@@ -89,6 +89,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("top_customers: bounded-heap top-k after aggregation, customer broadcast") {
+    val p = plan(Relational.topCustomers(spark, dir, 20))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not a bounded heap:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast:\n$p")
+  }
+
+  test("shipping_priority: date cutoffs pushed into both fact scans") {
+    val p = plan(Relational.shippingPriority(spark, dir))
+    assert(p.contains("GreaterThan(l_shipdate"), s"lineitem cutoff not pushed:\n$p")
+    assert(p.contains("LessThan(o_orderdate"), s"orders cutoff not pushed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("revenue_by_nation: dimension joins are broadcast") {
     val p = plan(Relational.revenueByNation(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p)
