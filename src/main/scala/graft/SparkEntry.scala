@@ -47,6 +47,7 @@ object SparkEntry {
     "ann_topk_indexed" -> ((s, dir) => Ann.annTopkIndexed(s, dir, 0L, 10)),
     "ivf_topk" -> ((s, dir) => Ann.ivfTopk(s, dir, 0L, 10, 16, 4)),
     "embed_label_stats" -> ((s, dir) => EmbeddingStats.perLabelCohesion(Tables.embeddings(s, dir))),
+    "embed_norm_quantiles" -> ((s, dir) => EmbeddingStats.normQuantiles(Tables.embeddings(s, dir))),
     "multimodal_meta" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       Multimodal.decodeMeta(s,
@@ -306,6 +307,19 @@ object SparkEntry {
          |SELECT label, count(*) AS n, round(avg(s), 4) AS avg_cos,
          |       min(s) AS min_cos, max(s) AS max_cos
          |FROM scored GROUP BY label ORDER BY label""".stripMargin,
+
+    "embed_norm_quantiles" ->
+      """WITH n AS (SELECT label,
+        |    round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 9) AS norm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n,
+        |  round(min(norm), 6) AS min_norm,
+        |  round(quantile_cont(norm, 0.25), 6) AS p25,
+        |  round(quantile_cont(norm, 0.5), 6) AS p50,
+        |  round(quantile_cont(norm, 0.75), 6) AS p75,
+        |  round(quantile_cont(norm, 0.99), 6) AS p99,
+        |  round(max(norm), 6) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
 
     "token_counts" ->
       """SELECT doc_id,

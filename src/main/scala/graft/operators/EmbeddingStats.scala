@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.cosine_sim
+import graft.functions.VectorFunctions.{cosine_sim, l2_norm}
 
 /** Embedding-quality statistics — X8: per-label centroid cohesion, the
   * embedding-health dashboard a training-data pipeline runs after ingest
@@ -45,4 +45,26 @@ object EmbeddingStats {
         max(col("s")).as("max_cos"))
       .orderBy(col("label"))
   }
+
+  /** Exact L2-norm quantiles per label — the distribution check that
+    * catches un-normalized or collapsed embedding batches. Exact
+    * `percentile` (not approx) so the result is engine-independent; at
+    * warehouse scale the per-group sorted-aggregation state is bounded by
+    * the label's row count, and a pipeline monitoring quantiles
+    * approximately would switch to `percentile_approx` — same plan shape,
+    * sketch-sized state. Norms rounded to 9 dp before interpolation so
+    * both engines interpolate the same inputs; results rounded to 6 dp. */
+  def normQuantiles(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), round(l2_norm(col("embedding")), 9).as("norm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("norm")), 6).as("min_norm"),
+        round(expr("percentile(norm, 0.25)"), 6).as("p25"),
+        round(expr("percentile(norm, 0.5)"), 6).as("p50"),
+        round(expr("percentile(norm, 0.75)"), 6).as("p75"),
+        round(expr("percentile(norm, 0.99)"), 6).as("p99"),
+        round(max(col("norm")), 6).as("max_norm"))
+      .orderBy(col("label"))
 }

@@ -69,6 +69,17 @@ class OperatorEdgeSpec extends SparkSpec {
     }
   }
 
+  test("norm quantiles: ordered min <= p25 <= p50 <= p75 <= p99 <= max per label") {
+    val e = Tables.embeddings(spark, dir)
+    val rows = EmbeddingStats.normQuantiles(e).collect()
+    assert(rows.map(_.getLong(1)).sum == e.count())
+    rows.foreach { r =>
+      val qs = (2 to 7).map(r.getDouble) // min, p25, p50, p75, p99, max
+      assert(qs.sliding(2).forall(p => p.head <= p.last + 1e-9),
+        s"quantiles out of order for label ${r.get(0)}: $qs")
+    }
+  }
+
   test("pricing summary: group counts add up to the filtered row count") {
     val res = Relational.pricingSummary(spark, dir).collect()
     val expected = Tables.lineitem(spark, dir)
