@@ -101,6 +101,22 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of
+    * [[graft.operators.Dedup.exact]]: drop any record whose content
+    * fingerprint was already seen, with the fingerprint state bounded by
+    * the watermark horizon (`dropDuplicatesWithinWatermark` keeps one
+    * state row per fingerprint and evicts it once the watermark passes —
+    * without the watermark bound, a dedup stream's state grows without
+    * limit). The fingerprint is the same sha256 the batch operator and the
+    * exact-dedup oracle use, so a record admitted here is exactly one the
+    * batch pipeline would have kept. */
+  def dedupStream(records: DataFrame, textCol: String = "text",
+                  tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    records
+      .withColumn("fp", sha2(col(textCol), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Continuous collection ingest: any streaming (id, chunk) text source →
     * per-micro-batch chunk/embed/validate/append through the SAME batch
     * pipeline (Ingest.makeRecords + GraftDatabase.addRecords). Exactly-once

@@ -69,6 +69,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: duplicate fingerprints dropped within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    def t(min: Int) = new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+
+    // doc 2 repeats doc 1's text inside the horizon → dropped;
+    // doc 3 is distinct → kept
+    mem.addData(
+      (t(0), 1L, "same text"), (t(1), 2L, "same text"), (t(2), 3L, "other text"))
+    val q = Streaming.dedupStream(mem.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("dds_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("dds_test").orderBy("doc_id").collect()
+      assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 3L))
+      // admitted fingerprints are exactly the batch Dedup.exact keepers
+      val batch = graft.operators.Dedup.exact(
+        spark.createDataFrame(Seq((1L, "same text"), (2L, "same text"), (3L, "other text")))
+          .toDF("doc_id", "text"))
+        .where(col("keep")).collect().map(_.getLong(0)).toSet
+      assert(rows.map(_.getLong(1)).toSet == batch)
+    } finally q.stop()
+  }
+
   test("streamIngest: micro-batches land in the collection via the batch pipeline") {
     implicit val sqlCtx = spark.sqlContext
     val db = GraftDatabase.make(spark, Files.createTempDirectory("graft-stream-").toString)
