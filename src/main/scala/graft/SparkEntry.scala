@@ -104,18 +104,24 @@ object SparkEntry {
        |      FROM documents WHERE length(text) > 0)""".stripMargin
 
   /** Banded char-n-gram MinHash near-dup pairs (mirrors Dedup.ngramNear:
-    * n=5 char shingles, 12 seeds in 4 bands of r=3, Jaccard >= 0.5). Ends
-    * with a `pairs` CTE for reuse by the resolution query. */
-  private def ngramPairsSql(n: Int = 5, seeds: Int = 12, bands: Int = 4,
+    * n=8 char shingles hashed to 56-bit ints — `('0x'||substr(md5,1,14))
+    * ::UBIGINT` ≡ Spark's `conv(substr(md5,1,14),16,10)` — then 12
+    * XOR-mask minhashes (mask_sd = 56-bit head of md5(sd)) in 4 bands of
+    * r=3, exact Jaccard over the hashed sets, >= 0.5). Ends with a
+    * `pairs` CTE for reuse by the resolution query. */
+  private def ngramPairsSql(n: Int = 8, seeds: Int = 12, bands: Int = 4,
                             tau: Double = 0.5): String = {
     val r = seeds / bands
     s"""sh AS (SELECT doc_id,
-       |    list_distinct(list_transform(range(0, length(text) - ${n - 1}),
-       |      i -> substr(text, CAST(i + 1 AS BIGINT), $n))) AS s
+       |    list_transform(
+       |      list_distinct(list_transform(range(0, length(text) - ${n - 1}),
+       |        i -> substr(text, CAST(i + 1 AS BIGINT), $n))),
+       |      x -> CAST(('0x' || substr(md5(x), 1, 14))::UBIGINT AS BIGINT)) AS hs
        |  FROM documents WHERE length(text) >= $n),
        |mh AS (SELECT doc_id,
        |    list_transform(range(0, $seeds),
-       |      sd -> list_min(list_transform(s, x -> md5(CAST(sd AS VARCHAR) || '_' || x)))) AS sig
+       |      sd -> list_min(list_transform(hs,
+       |        b -> xor(b, CAST(('0x' || substr(md5(CAST(sd AS VARCHAR)), 1, 14))::UBIGINT AS BIGINT))))) AS sig
        |  FROM sh),
        |bands AS (SELECT doc_id, u.band, u.key FROM (
        |  SELECT doc_id, unnest(list_transform(range(0, $bands), b ->
@@ -125,8 +131,8 @@ object SparkEntry {
        |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
        |pairs AS (SELECT a_id, b_id, jaccard FROM (
        |  SELECT c.a_id, c.b_id,
-       |    round(len(list_intersect(sa.s, sb.s))::DOUBLE
-       |          / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+       |    round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+       |          / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS jaccard
        |  FROM cand c
        |  JOIN sh sa ON sa.doc_id = c.a_id
        |  JOIN sh sb ON sb.doc_id = c.b_id) v

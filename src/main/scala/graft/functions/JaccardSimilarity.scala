@@ -6,11 +6,12 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Jaccard similarity of two `ARRAY<STRING>` columns as a native Catalyst
-  * expression: |A ∩ B| / |A ∪ B| in one fused pass (one hash set per side,
-  * intersection counted during the second insert) — replaces the
-  * `size(array_intersect)/size(array_union)` composition, which materializes
-  * two intermediate arrays per row on the dedup-verification hot path.
+/** Jaccard similarity of two `ARRAY<STRING>` (or `ARRAY<BIGINT>` — hashed
+  * shingles) columns as a native Catalyst expression: |A ∩ B| / |A ∪ B| in
+  * one fused pass (one hash set per side, intersection counted during the
+  * second insert) — replaces the `size(array_intersect)/size(array_union)`
+  * composition, which materializes two intermediate arrays per row on the
+  * dedup-verification hot path.
   *
   * Semantics: set semantics (duplicates collapse), NULL input → NULL, two
   * empty arrays → 0.0. Exact rational result — identical to the composed
@@ -24,12 +25,22 @@ case class JaccardSimilarity(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "jaccard_sim"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    JaccardSimilarity.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  private lazy val longElems: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (longElems)
+      JaccardSimilarity.computeLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      JaccardSimilarity.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val method = if (longElems) "computeLong" else "compute"
     nullSafeCodeGen(ctx, ev, (x, y) =>
-      s"${ev.value} = graft.functions.JaccardSimilarity.compute($x, $y);")
+      s"${ev.value} = graft.functions.JaccardSimilarity.$method($x, $y);")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaccardSimilarity =
@@ -51,6 +62,28 @@ object JaccardSimilarity {
     while (j < y.numElements()) {
       if (!y.isNullAt(j)) {
         val s = y.getUTF8String(j)
+        if (ys.add(s) && xs.contains(s)) inter += 1
+      }
+      j += 1
+    }
+    val union = xs.size + ys.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** Same fused pass over BIGINT elements (hashed shingle sets). */
+  def computeLong(x: ArrayData, y: ArrayData): Double = {
+    val xs = new java.util.HashSet[java.lang.Long](math.max(8, x.numElements() * 2))
+    var i = 0
+    while (i < x.numElements()) {
+      if (!x.isNullAt(i)) xs.add(x.getLong(i))
+      i += 1
+    }
+    val ys = new java.util.HashSet[java.lang.Long](math.max(8, y.numElements() * 2))
+    var inter = 0
+    var j = 0
+    while (j < y.numElements()) {
+      if (!y.isNullAt(j)) {
+        val s: java.lang.Long = y.getLong(j)
         if (ys.add(s) && xs.contains(s)) inter += 1
       }
       j += 1

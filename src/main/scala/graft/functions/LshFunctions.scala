@@ -45,6 +45,37 @@ object LshFunctions {
       array_min(transform(shinglesCol, x =>
         md5(concat(sd.cast("string"), lit("_"), x)))))
 
+  /** 56-bit integer fingerprint per shingle — md5 evaluated ONCE per
+    * shingle (the seeded variants derive from this by integer arithmetic,
+    * see [[minhash_signature_long]]; seed-prefixed md5 costs seeds× more
+    * digests and dominates the dedup profile). First 14 hex digits parsed
+    * as an integer — DuckDB reproduces it exactly via
+    * `('0x' || substr(md5(x), 1, 14))::UBIGINT`. */
+  def hashed_shingles(shinglesCol: Column): Column =
+    transform(shinglesCol, x =>
+      conv(substring(md5(x.cast("binary")), 1, 14), 16, 10).cast("long"))
+
+  /** Per-seed 56-bit XOR mask: first 14 hex digits of md5(seed). Computed
+    * plan-side here; the oracle computes the same value inline via
+    * `('0x' || substr(md5(CAST(sd AS VARCHAR)), 1, 14))::UBIGINT`. */
+  def seedMask(sd: Int): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(sd.toString.getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 14), 16)
+  }
+
+  /** MinHash signature over hashed shingles: element sd = min over
+    * shingles of (hash XOR mask_sd) — each mask is a bijection of the
+    * 56-bit space, so each seed ranks the shingle set differently, at one
+    * integer op per (shingle, seed) instead of one md5. XOR (unlike a
+    * small-multiplier mod-p affine map, which never wraps and is monotone
+    * — every seed would elect the SAME min shingle) actually permutes the
+    * order. Exact in signed 64-bit in any engine; inputs stay positive. */
+  def minhash_signature_long(hashedCol: Column, seeds: Int): Column =
+    array((0 until seeds).map(sd =>
+      array_min(transform(hashedCol, b => b.bitwiseXOR(lit(seedMask(sd)))))): _*)
+
   /** Deterministic Rademacher hyperplanes for SimHash: sign(p, i) = +1 iff
     * the first hex digit of md5("<p>_<i>") < 8. */
   def simhashPlanes(bits: Int, dim: Int): Seq[Seq[Double]] = {

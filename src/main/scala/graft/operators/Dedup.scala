@@ -104,24 +104,44 @@ object Dedup {
     * so bucket sizes stay bounded even when individual shingles are common
     * — the r=1 variant degenerates toward all-pairs on low-entropy corpora
     * (measured: 57k candidate pairs vs 4k at sf0.01 on the synthetic docs).
+    * Shingle length is the entropy dial: n=8 (~1.5 words) keeps the
+    * baseline Jaccard between unrelated docs low, which keeps buckets
+    * small (measured at sf0.1: n=5 → max bucket 728 / 472k candidate
+    * pairs; n=8 → max bucket 8 / 3k candidates, same 256 true pairs).
     * Verification is exact n-gram Jaccard on candidates only. */
   def ngramNear(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                n: Int = 5, seeds: Int = 12, bands: Int = 4,
+                n: Int = 8, seeds: Int = 12, bands: Int = 4,
                 jaccardThreshold: Double = 0.5): DataFrame = {
     require(seeds % bands == 0, "seeds must divide evenly into bands")
     val r = seeds / bands
+
+    // Shingle + hash ONCE per document into 56-bit integers; all seeded
+    // minhashes derive by integer arithmetic (md5 per shingle, not per
+    // shingle×seed — the seed-prefixed variant costs seeds× the digests
+    // and dominated the profile). The explicit repartition matters twice:
+    // the source is a small single-split file whose scan stage would
+    // otherwise run this compute on ONE core, and the pinned partition
+    // count stops AQE coalescing the byte-tiny exchange back to one
+    // partition. Downstream (banding AND both verification sides) hangs
+    // off the same subtree, so the exchange is computed once and reused.
     val sh = docs
-      .select(col(idCol).as("doc_id"), LshFunctions.char_shingles(textCol, n).as("s"))
-      .where(size(col("s")) > 0)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        LshFunctions.hashed_shingles(LshFunctions.char_shingles(textCol, n)).as("hs"))
+      .where(size(col("hs")) > 0)
 
     val banded = sh.select(col("doc_id"),
       posexplode(LshFunctions.band_keys(
-        LshFunctions.minhash_signature(col("s"), seeds), bands, r, "|"))
+        transform(LshFunctions.minhash_signature_long(col("hs"), seeds),
+          v => v.cast("string")), bands, r, "|"))
         .as(Seq("band", "key")))
 
+    // Exact Jaccard over the hashed shingle sets: both engines compare the
+    // same 56-bit values, so the verdicts are identical; a hash collision
+    // (~|s|²/2^57 per pair) would fold the same pair of shingles in both.
     candidatePairs(banded, "band", "key", "doc_id")
-      .join(sh.select(col("doc_id"), col("s").as("sa")), col("a_id") === col("doc_id")).drop("doc_id")
-      .join(sh.select(col("doc_id"), col("s").as("sb")), col("b_id") === col("doc_id")).drop("doc_id")
+      .join(sh.select(col("doc_id"), col("hs").as("sa")), col("a_id") === col("doc_id")).drop("doc_id")
+      .join(sh.select(col("doc_id"), col("hs").as("sb")), col("b_id") === col("doc_id")).drop("doc_id")
       .select(col("a_id"), col("b_id"),
         round(LshFunctions.jaccard(col("sa"), col("sb")), 6).as("jaccard"))
       .where(col("jaccard") >= jaccardThreshold)

@@ -78,7 +78,7 @@ class DedupSpec extends SparkSpec {
       val r = rows.head
       val texts = docs.select("doc_id", "text").collect()
         .map(x => x.getLong(0) -> x.getString(1)).toMap
-      def grams(t: String): Set[String] = t.sliding(5).toSet
+      def grams(t: String): Set[String] = t.sliding(8).toSet
       val (sa, sb) = (grams(texts(r.getLong(0))), grams(texts(r.getLong(1))))
       val expected = sa.intersect(sb).size.toDouble / sa.union(sb).size
       assert(math.abs(r.getDouble(2) - expected) < 1e-6)
