@@ -210,20 +210,23 @@ object SparkEntry {
     "dedup_minhash" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id,
-        |         list_distinct(list_transform(range(0, len(t) - 2),
-        |           i -> array_to_string(t[i+1:i+3], ' '))) AS s
+        |         list_transform(
+        |           list_distinct(list_transform(range(0, len(t) - 2),
+        |             i -> array_to_string(t[i+1:i+3], ' '))),
+        |           x -> CAST(('0x' || substr(md5(x), 1, 14))::UBIGINT AS BIGINT)) AS hs
         |       FROM toks WHERE len(t) >= 3),
         |mh AS (SELECT doc_id, u.seed, u.mh FROM (
         |  SELECT doc_id, unnest(list_transform(range(0, 6), sd ->
         |    {'seed': sd,
-        |     'mh': list_min(list_transform(s, x -> md5(CAST(sd AS VARCHAR) || '_' || x)))})) AS u
+        |     'mh': list_min(list_transform(hs,
+        |       b -> xor(b, CAST(('0x' || substr(md5(CAST(sd AS VARCHAR)), 1, 14))::UBIGINT AS BIGINT))))})) AS u
         |  FROM sh) q),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |         FROM mh a JOIN mh b
         |           ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id),
         |v AS (SELECT c.a_id, c.b_id,
-        |        round(len(list_intersect(sa.s, sb.s))::DOUBLE
-        |              / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+        |        round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+        |              / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS jaccard
         |      FROM cand c
         |      JOIN sh sa ON sa.doc_id = c.a_id
         |      JOIN sh sb ON sb.doc_id = c.b_id)

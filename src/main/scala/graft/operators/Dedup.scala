@@ -67,29 +67,34 @@ object Dedup {
 
   /** X3b — MinHash LSH near-duplicate text pairs.
     *
-    * shingle → per-seed minhash (min over md5(seed_shingle)) → explode to
-    * (doc, seed, minhash) → self EQUI-join on (seed, minhash) → distinct
-    * candidate pairs → exact Jaccard on the candidates only → threshold.
+    * shingle → 56-bit hash per shingle (one md5 each) → per-seed minhash
+    * (min over XOR-masked hashes) → explode to (doc, seed, minhash) → self
+    * EQUI-join on (seed, minhash) → distinct candidate pairs → exact
+    * Jaccard over the hashed shingle sets on candidates only → threshold.
     * Bands here are r=1 (one hash per band — max recall; tuned for the
-    * low-similarity synthetic corpus); r is the precision dial at scale. */
+    * low-similarity synthetic corpus); r is the precision dial at scale
+    * (see [[ngramNear]] for the banded shape).
+    *
+    * The explicit pinned repartition parallelizes the hash stage off the
+    * source file's split count (single small file = one-core stage
+    * otherwise; AQE would coalesce an unpinned exchange right back); all
+    * downstream branches, including both verification sides, reuse the
+    * one exchange. */
   def minhashNear(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                   shingleSize: Int = 3, seeds: Int = 6,
                   jaccardThreshold: Double = 0.01): DataFrame = {
-    // The shingle expression appears on several plan branches (signature
-    // generation and both Jaccard sides). Deliberately NOT persisted: each
-    // branch is a narrow codegen'd pipeline over a columnar scan, which
-    // measures faster end-to-end than caching the exploded string arrays
-    // (and at warehouse scale the durable answer is a materialized
-    // signature table, not executor cache).
-    val sh = shingled(docs, idCol, textCol, shingleSize)
+    val sh = shingled(
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol)),
+        idCol, textCol, shingleSize)
+      .select(col("doc_id"), LshFunctions.hashed_shingles(col("s")).as("hs"))
     val mh = sh.select(col("doc_id"),
-      posexplode(LshFunctions.minhash_signature(col("s"), seeds)).as(Seq("seed", "mh")))
+      posexplode(LshFunctions.minhash_signature_long(col("hs"), seeds)).as(Seq("seed", "mh")))
 
     val cand = candidatePairs(mh, "seed", "mh", "doc_id")
 
     cand
-      .join(sh.select(col("doc_id"), col("s").as("sa")), col("a_id") === col("doc_id")).drop("doc_id")
-      .join(sh.select(col("doc_id"), col("s").as("sb")), col("b_id") === col("doc_id")).drop("doc_id")
+      .join(sh.select(col("doc_id"), col("hs").as("sa")), col("a_id") === col("doc_id")).drop("doc_id")
+      .join(sh.select(col("doc_id"), col("hs").as("sb")), col("b_id") === col("doc_id")).drop("doc_id")
       .select(col("a_id"), col("b_id"),
         round(LshFunctions.jaccard(col("sa"), col("sb")), 6).as("jaccard"))
       .where(col("jaccard") >= jaccardThreshold)
