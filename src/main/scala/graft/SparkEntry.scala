@@ -39,6 +39,8 @@ object SparkEntry {
     "dedup_ngram"   -> ((s, dir) => Dedup.ngramNear(Tables.documents(s, dir))),
     "dedup_resolve" -> ((s, dir) => Dedup.resolveKeepers(Tables.documents(s, dir),
       Dedup.ngramNear(Tables.documents(s, dir)))),
+    "dedup_groups"  -> ((s, dir) => Dedup.dedupGroups(Tables.documents(s, dir),
+      Dedup.ngramNear(Tables.documents(s, dir)))),
     "text_stats"   -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     "token_topk"   -> ((s, dir) => TextAnalysis.tokenTopK(Tables.documents(s, dir), 20)),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
@@ -261,6 +263,17 @@ object SparkEntry {
       s"""WITH ${ngramPairsSql()}
          |SELECT d.doc_id, d.doc_id NOT IN (SELECT b_id FROM pairs) AS keep
          |FROM documents d ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_groups" ->
+      s"""WITH RECURSIVE ${ngramPairsSql()},
+         |e AS (SELECT a_id AS a, b_id AS b FROM pairs
+         |      UNION SELECT b_id, a_id FROM pairs),
+         |walk(a, b) AS (SELECT a, b FROM e
+         |               UNION SELECT walk.a, e.b FROM walk JOIN e ON walk.b = e.a),
+         |roots AS (SELECT a AS id, least(a, min(b)) AS root FROM walk GROUP BY a)
+         |SELECT d.doc_id, coalesce(r.root, d.doc_id) AS group_id
+         |FROM documents d LEFT JOIN roots r ON d.doc_id = r.id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,

@@ -167,6 +167,50 @@ object Dedup {
       .select(col(idCol), col("_dup_id").isNull.as("keep"))
       .orderBy(col(idCol))
 
+  /** Duplicate-cluster assignment: each document labeled with the minimum
+    * doc id of its connected component in the near-dup pair graph
+    * (singletons label themselves). The fixpoint is iteration-order
+    * independent, so the result is deterministic.
+    *
+    * Shape: iterative min-label propagation — per round, one equi-join of
+    * the label table against the symmetrized edge list plus a min-
+    * aggregate, i.e. the classic distributed connected-components loop
+    * (HashToMin). Rounds needed ≤ the longest chain in any component;
+    * near-dup graphs are overwhelmingly tiny cliques, so this converges in
+    * 2-3 rounds. The driver-side loop holds only a row COUNT per round
+    * (the labels stay distributed); `maxIters` is the runaway bound. */
+  def dedupGroups(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+                  maxIters: Int = 20): DataFrame = {
+    val p = pairs.select(col("a_id"), col("b_id")).cache()
+    val edges = p.union(p.select(col("b_id"), col("a_id"))).toDF("src", "dst")
+
+    // Only nodes that appear in some pair can change labels; singletons
+    // join back at the end. Keeps the loop's working set at pair-graph
+    // size, not corpus size.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("root"))
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val viaNeighbors = labels.join(edges, labels("id") === edges("src"))
+        .select(col("dst").as("id"), col("root"))
+      val next = labels.union(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("root")).as("root"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("root", "prev"), "id")
+        .where(col("root") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iters += 1
+    }
+
+    docs.select(col(idCol))
+      .join(labels, docs(idCol) === labels("id"), "left")
+      .select(col(idCol), coalesce(col("root"), col(idCol)).as("group_id"))
+      .orderBy(col(idCol))
+  }
+
   /** Deterministic Rademacher hyperplanes — see
     * [[graft.functions.LshFunctions.simhashPlanes]]. */
   private[operators] def simhashPlanes(bits: Int, dim: Int): Seq[Seq[Double]] =

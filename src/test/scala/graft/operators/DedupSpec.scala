@@ -97,6 +97,17 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupGroups: chains resolve transitively to the component min id") {
+    import spark.implicits._
+    // components: {1,2,3} via chain 1-2, 2-3; {5,6}; singleton 4
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (5L, 6L, 0.9))
+      .toDF("a_id", "b_id", "jaccard")
+    val got = Dedup.dedupGroups(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("simhash planes are deterministic Rademacher vectors") {
     val p1 = Dedup.simhashPlanes(8, 16)
     val p2 = Dedup.simhashPlanes(8, 16)
