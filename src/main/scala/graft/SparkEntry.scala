@@ -48,6 +48,7 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) => Ann.annTopk(s, dir, 0L, 10)),
     "ann_topk_indexed" -> ((s, dir) => Ann.annTopkIndexed(s, dir, 0L, 10)),
     "ivf_topk" -> ((s, dir) => Ann.ivfTopk(s, dir, 0L, 10, 16, 4)),
+    "ann_range" -> ((s, dir) => Ann.annRange(s, dir, 0L, 0.2)),
     "embed_label_stats" -> ((s, dir) => EmbeddingStats.perLabelCohesion(Tables.embeddings(s, dir))),
     "embed_norm_quantiles" -> ((s, dir) => EmbeddingStats.normQuantiles(Tables.embeddings(s, dir))),
     "multimodal_meta" -> ((s, dir) => {
@@ -141,9 +142,10 @@ object SparkEntry {
        |  WHERE jaccard >= $tau)""".stripMargin
   }
 
-  /** Hyperplane-LSH probe + exact rerank — shared by the scan-time and
-    * stored-index ANN variants (identical candidate semantics). */
-  private def annTopkSql: String =
+  /** Hyperplane-LSH probe + exact rerank CTEs — shared by the scan-time,
+    * stored-index, and range-search ANN variants (identical candidate
+    * semantics). */
+  private def annProbeSql: String =
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |bits AS (SELECT vec_id, label, v, list_transform(range(0, 16), p ->
        |    CASE WHEN list_sum(list_transform(range(0, 64), i ->
@@ -152,10 +154,14 @@ object SparkEntry {
        |    )) >= 0 THEN '1' ELSE '0' END) AS bs FROM e),
        |keys AS (SELECT vec_id, label, v, list_transform(range(0, 4), b ->
        |    CAST(b AS VARCHAR) || ':' || array_to_string(bs[b*4+1:b*4+4], '')) AS ks FROM bits),
-       |q AS (SELECT v AS qv, ks AS qks FROM keys WHERE vec_id = 0)
-       |SELECT k2.vec_id, k2.label, ${cosSql("k2.v", "q.qv")} AS score
-       |FROM keys k2, q
-       |WHERE len(list_intersect(k2.ks, q.qks)) > 0
+       |q AS (SELECT v AS qv, ks AS qks FROM keys WHERE vec_id = 0),
+       |scored AS (SELECT k2.vec_id, k2.label, ${cosSql("k2.v", "q.qv")} AS score
+       |           FROM keys k2, q
+       |           WHERE len(list_intersect(k2.ks, q.qks)) > 0)""".stripMargin
+
+  private def annTopkSql: String =
+    s"""$annProbeSql
+       |SELECT vec_id, label, score FROM scored
        |ORDER BY score DESC, vec_id ASC
        |LIMIT 10""".stripMargin
 
@@ -492,6 +498,12 @@ object SparkEntry {
 
     "ann_topk" -> annTopkSql,
     "ann_topk_indexed" -> annTopkSql, // identical semantics: same planes, same keys, same rerank
+
+    "ann_range" ->
+      s"""$annProbeSql
+         |SELECT vec_id, label, score FROM scored
+         |WHERE score >= 0.2
+         |ORDER BY score DESC, vec_id ASC""".stripMargin,
 
     "sim_join_topk" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

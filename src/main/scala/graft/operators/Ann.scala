@@ -70,6 +70,27 @@ object Ann {
       .limit(k)
   }
 
+  /** LSH-probed cosine RANGE search: every record scoring ≥ `tau` against
+    * the query, not a fixed k — the "find everything similar enough" shape
+    * (near-dup lookups, retrieval recall sweeps). Same narrow probe plan as
+    * [[annTopk]] with the threshold applied after exact rerank; the result
+    * size is data-dependent by design, so there is no `limit` and the plan
+    * ends at the filter, not a TakeOrdered. */
+  def annRange(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+               tau: Double = 0.2, bits: Int = DefaultBits,
+               bands: Int = DefaultBands): DataFrame = {
+    val qv = Similarity.queryVector(spark, dir, queryVecId)
+    val qKeys = bandKeys(qv, bits, bands)
+    Tables.embeddings(spark, dir)
+      .where(arrays_overlap(
+        bandKeysCol(col("embedding"), bits, bands, qv.length),
+        typedLit(qKeys)))
+      .select(col("vec_id"), col("label"),
+        round(cosine_sim(col("embedding"), typedLit(qv)), 6).as("score"))
+      .where(col("score") >= tau)
+      .orderBy(desc("score"), asc("vec_id"))
+  }
+
   /** LSH probe against a PERSISTED signature index: the corpus is written
     * once partitioned by bucket key (build step, idempotent), so a probe
     * reads only the directories matching the query's keys — real partition

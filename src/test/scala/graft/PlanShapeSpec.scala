@@ -39,6 +39,13 @@ class PlanShapeSpec extends SparkSpec {
       s"no partition pruning on the bucket key:\n$p")
   }
 
+  test("ann_range: narrow threshold probe — no shuffle, no join, no global sort of data") {
+    val p = plan(Ann.annRange(spark, dir, 0L, 0.2))
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
+      s"unexpected shuffle:\n$p") // final ORDER BY is a range partition of the (small) result
+    assert(!p.contains("Join"), s"not narrow:\n$p")
+  }
+
   test("ivf_topk: narrow probe filter + TakeOrderedAndProject") {
     val p = plan(Ann.ivfTopk(spark, dir, 0L, 10, 8, 2))
     assert(p.contains("TakeOrderedAndProject"), p)
