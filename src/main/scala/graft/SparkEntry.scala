@@ -51,6 +51,7 @@ object SparkEntry {
     "ann_range" -> ((s, dir) => Ann.annRange(s, dir, 0L, 0.2)),
     "embed_label_stats" -> ((s, dir) => EmbeddingStats.perLabelCohesion(Tables.embeddings(s, dir))),
     "embed_norm_quantiles" -> ((s, dir) => EmbeddingStats.normQuantiles(Tables.embeddings(s, dir))),
+    "embed_quantize_err" -> ((s, dir) => EmbeddingStats.quantizationError(Tables.embeddings(s, dir))),
     "multimodal_meta" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       Multimodal.decodeMeta(s,
@@ -348,6 +349,24 @@ object SparkEntry {
         |  round(quantile_cont(norm, 0.99), 6) AS p99,
         |  round(max(norm), 6) AS max_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    "embed_quantize_err" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT label, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        |q AS (SELECT label, v, mx,
+        |        list_transform(v, x -> round(x * 127.0 / mx, 0)) AS qv
+        |      FROM m WHERE mx > 0),
+        |err AS (SELECT label,
+        |    round(sqrt(list_sum(list_transform(range(1, len(v)+1),
+        |            i -> (v[i] - qv[i]*mx/127.0) * (v[i] - qv[i]*mx/127.0))))
+        |          / sqrt(list_sum(list_transform(v, x -> x*x))), 9) AS rel_err,
+        |    round(mx / 127.0, 9) AS scale
+        |  FROM q)
+        |SELECT label, count(*) AS n,
+        |  round(avg(rel_err), 6) AS avg_err,
+        |  round(max(rel_err), 6) AS max_err,
+        |  round(avg(scale), 6) AS avg_scale
+        |FROM err GROUP BY label ORDER BY label""".stripMargin,
 
     "token_counts" ->
       """SELECT doc_id,

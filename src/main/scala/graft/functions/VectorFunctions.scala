@@ -38,6 +38,25 @@ object VectorFunctions {
   def l2_dist(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
 
+  /** Per-vector max-abs — the symmetric int8 quantization range. */
+  def max_abs(a: Column): Column = array_max(transform(a, x => abs(x)))
+
+  /** Symmetric int8 quantization: q_i = round(v_i · 127 / max|v|), values
+    * in [-127, 127] (kept as DOUBLE so the arithmetic — and the DuckDB
+    * oracle's — stays in one numeric tower). The all-zero vector maps to
+    * all zeros. 4× storage cut per embedding; the error introduced is
+    * bounded by scale/2 per component (see [[dequantize_int8]]). */
+  def quantize_int8(v: Column): Column = {
+    val mx = max_abs(v)
+    when(mx === lit(0.0), transform(v, _ => lit(0.0)))
+      .otherwise(transform(v, x => round(x * lit(127.0) / mx, 0)))
+  }
+
+  /** Reverse of [[quantize_int8]] given the stored max|v|:
+    * v̂_i = q_i · max|v| / 127. */
+  def dequantize_int8(q: Column, mx: Column): Column =
+    transform(q, x => x * mx / lit(127.0))
+
   /** Register SQL surface: `SELECT cosine_sim(a, b) FROM ...` plus the
     * ingest-side `graft_embed(embedder_name, blob)`. The embed function is a
     * Scala UDF by necessity — embedding IS a JVM-function boundary (registry

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.{cosine_sim, l2_norm}
+import graft.functions.VectorFunctions.{cosine_sim, dequantize_int8, l2_dist, l2_norm, max_abs, quantize_int8}
 
 /** Embedding-quality statistics — X8: per-label centroid cohesion, the
   * embedding-health dashboard a training-data pipeline runs after ingest
@@ -67,4 +67,26 @@ object EmbeddingStats {
         round(expr("percentile(norm, 0.99)"), 6).as("p99"),
         round(max(col("norm")), 6).as("max_norm"))
       .orderBy(col("label"))
+
+  /** Int8 quantization audit: per label, the relative L2 reconstruction
+    * error of symmetric int8 quantization — the go/no-go check before
+    * shrinking an embedding store 4×. Narrow single scan + one aggregation
+    * shuffle on the label key. Zero vectors are excluded (no defined
+    * scale) in both engines. */
+  def quantizationError(embeddings: DataFrame): DataFrame = {
+    val v = col("embedding")
+    val relErr = round(
+      l2_dist(v, dequantize_int8(quantize_int8(v), max_abs(v))) / l2_norm(v), 9)
+    embeddings
+      .where(max_abs(v) > 0.0)
+      .select(col("label"), relErr.as("rel_err"),
+        round(max_abs(v) / lit(127.0), 9).as("scale"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("rel_err")), 6).as("avg_err"),
+        round(max(col("rel_err")), 6).as("max_err"),
+        round(avg(col("scale")), 6).as("avg_scale"))
+      .orderBy(col("label"))
+  }
 }
