@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    // Opt-in (spark.graft.similarityJoin.rewrite=true): brute-force
+    // cosine-threshold cross joins → LSH-banded candidate equi-joins.
+    ext.injectOptimizerRule(_ => graft.plans.RewriteSimilarityJoin())
   }
 }
 

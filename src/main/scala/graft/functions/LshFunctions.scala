@@ -104,6 +104,18 @@ object LshFunctions {
     transform(sequence(lit(0), lit(bands - 1)), b =>
       concat_ws(sep, slice(bitsCol, b * r + 1, lit(r))))
 
+  /** SimHash band keys of a vector column, each prefixed with its band
+    * index ("<band>:<bits>") so keys from different bands never collide.
+    * The probe/bucket primitive behind [[graft.operators.Ann]] and the
+    * similarity-join rewrite rule. */
+  def prefixed_band_keys(vecCol: Column, bits: Int, bands: Int, dim: Int): Column = {
+    val r = bits / bands
+    val bs = simhash_bits(vecCol, bits, dim)
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      concat(b.cast("string"), lit(":"),
+        concat_ws("", slice(bs, b * r + 1, lit(r)))))
+  }
+
   /** Exact Jaccard similarity of two string-array columns — a fused native
     * expression (see [[JaccardSimilarity]]); set semantics either way, so
     * callers may pass non-distinct arrays. */

@@ -42,15 +42,10 @@ object Ann {
   }
 
   /** Band keys as a column expression over `vecCol` — same planes, same bit
-    * and key construction as [[bandKeys]], composed from the public
-    * [[graft.functions.LshFunctions]] primitives. */
-  private def bandKeysCol(vecCol: Column, bits: Int, bands: Int, dim: Int): Column = {
-    val r = bits / bands
-    val bs = graft.functions.LshFunctions.simhash_bits(vecCol, bits, dim)
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      concat(b.cast("string"), lit(":"),
-        concat_ws("", slice(bs, b * r + 1, lit(r)))))
-  }
+    * and key construction as [[bandKeys]]; see
+    * [[graft.functions.LshFunctions.prefixed_band_keys]]. */
+  private def bandKeysCol(vecCol: Column, bits: Int, bands: Int, dim: Int): Column =
+    graft.functions.LshFunctions.prefixed_band_keys(vecCol, bits, bands, dim)
 
   /** LSH-probed approximate top-k: candidates = vectors sharing ≥1 bucket
     * key with the query, reranked by exact cosine. Deterministic (md5-seeded
