@@ -61,6 +61,8 @@ object SparkEntry {
     "events_windowed" -> ((s, dir) =>
       graft.streaming.Streaming.eventCounts(Tables.events(s, dir),
         watermark = None, approxDistinct = false)),
+    "events_json" -> ((s, dir) =>
+      graft.streaming.Streaming.propsStats(Tables.events(s, dir))),
     "pricing_summary"   -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "revenue_by_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "part_type_revenue" -> ((s, dir) => Relational.partTypeRevenueByRegion(s, dir)),
@@ -484,6 +486,15 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(count(json_extract(props, '$.k')) AS BIGINT) AS n_parsed,
+        |  CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+        |  round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k,
+        |  CAST(min(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS min_k,
+        |  CAST(max(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -46,6 +46,29 @@ object Streaming {
         col("n_events"), col("sum_value"), col("n_users"))
   }
 
+  /** Semi-structured enrichment: parse the `props` JSON column with an
+    * explicit schema (`from_json` — a codegen'd expression, no UDF; a
+    * malformed document yields NULLs, counted per type as a data-quality
+    * signal) and aggregate the extracted fields per event type. Narrow
+    * parse + one aggregation shuffle; runs identically over a stream
+    * (with watermark) or batch history like [[eventCounts]]. */
+  def propsStats(events: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    events
+      .withColumn("k", from_json(col("props"), schema).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("k")).as("n_parsed"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   /** One closed user session: contiguous activity with < `gap` between
     * consecutive events. */
   final case class UserSession(user_id: Long, n_events: Int,
