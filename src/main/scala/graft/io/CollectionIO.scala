@@ -65,4 +65,23 @@ object CollectionIO {
     if (!Formats(format))
       throw new GraftException(
         s"Unsupported collection format: $format (supported: ${Formats.toSeq.sorted.mkString(", ")})")
+
+  /** Persist a DataFrame as a BUCKETED (and per-bucket sorted) table — the
+    * co-located-join layout: two tables bucketed by the same key into the
+    * same bucket count join WITHOUT an exchange on either side, because
+    * the hash partitioning is baked into the files. This is the layout a
+    * 100 TB record store wants for id-keyed joins (enrichment, CDC merge,
+    * pair verification): the shuffle is paid once at write time, then
+    * every subsequent join reads co-located buckets.
+    *
+    * `path` makes it an external table (data at the given location; the
+    * metastore entry carries the bucket spec Catalyst plans against). */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }
