@@ -100,7 +100,16 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
     val queries = e.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-    val scored = e.crossJoin(broadcast(queries))
+    similarityJoin(e, queries, k)
+  }
+
+  /** The generic core of X2: per-query exact top-k of `queries`
+    * (`query_id`, `query_vec`) against `corpus` (`vec_id`, `label`,
+    * `embedding`). Also the per-micro-batch body of the stream-static
+    * enrichment ([[graft.streaming.Streaming.streamSimilarity]]) — one
+    * code path owns the scoring semantics. */
+  def similarityJoin(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
       .select(col("query_id"), col("vec_id"), col("label"),
               score(col("embedding"), col("query_vec")).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), asc("vec_id"))

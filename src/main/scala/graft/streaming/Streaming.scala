@@ -140,6 +140,25 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-static similarity enrichment: a stream of query vectors
+    * (`query_id`, `query_vec`) scored per micro-batch against the static
+    * embedding corpus, emitting each query's exact top-k. The scoring is
+    * the SAME operator as the batch path
+    * ([[graft.operators.Similarity.similarityJoin]]): the micro-batch is
+    * the broadcast side, the corpus never shuffles, and the per-query
+    * rank limit bounds the output at k rows per query. */
+  def streamSimilarity(queryStream: DataFrame, corpus: DataFrame, k: Int,
+                       checkpointDir: String)(sink: DataFrame => Unit): StreamingQuery =
+    queryStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          sink(graft.operators.Similarity.similarityJoin(corpus, batch, k))
+        }
+      }
+      .start()
+
   /** Continuous collection ingest: any streaming (id, chunk) text source →
     * per-micro-batch chunk/embed/validate/append through the SAME batch
     * pipeline (Ingest.makeRecords + GraftDatabase.addRecords). Exactly-once

@@ -93,6 +93,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamSimilarity: streamed queries scored against the static corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // query vectors copied from stored rows → rank 1 must be the row itself
+    val stored = corpus.where(col("vec_id").isin(3L, 7L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    mem.addData(stored.toSeq: _*)
+    val results = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Streaming.streamSimilarity(
+      mem.toDF().toDF("query_id", "query_vec"), corpus, k = 5,
+      Files.createTempDirectory("graft-simq-").toString) { topk =>
+      results ++= topk.collect()
+    }
+    try q.awaitTermination(60000) finally q.stop()
+
+    val byQuery = results.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(3L, 7L))
+    byQuery.foreach { case (qid, rows) =>
+      assert(rows.length == 5)
+      val top = rows.minBy(_.getLong(1)) // rnk 1
+      assert(top.getLong(2) == qid, s"rank-1 for $qid is ${top.getLong(2)}")
+      assert(top.getDouble(4) == 1.0)
+    }
+  }
+
   test("streamIngest: micro-batches land in the collection via the batch pipeline") {
     implicit val sqlCtx = spark.sqlContext
     val db = GraftDatabase.make(spark, Files.createTempDirectory("graft-stream-").toString)
