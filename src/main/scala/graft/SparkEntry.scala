@@ -58,6 +58,16 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("blob")))
         .orderBy(col("doc_id"))
     }),
+    "multimodal_frames" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, length, md5}
+      Multimodal.frameSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("blob")),
+        n = 4, frameBytes = 32)
+        .select(col("doc_id"), col("frame_no").cast("bigint").as("frame_no"),
+          md5(col("frame")).as("frame_fp"),
+          length(col("frame")).cast("bigint").as("frame_len"))
+        .orderBy(col("doc_id"), col("frame_no"))
+    }),
     "events_windowed" -> ((s, dir) =>
       graft.streaming.Streaming.eventCounts(Tables.events(s, dir),
         watermark = None, approxDistinct = false)),
@@ -503,6 +513,18 @@ object SparkEntry {
         |  CAST(strlen(text) // 64 AS BIGINT) AS n_frames,
         |  md5(text) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH f AS (SELECT doc_id, u.f AS frame_no,
+        |    substr(text,
+        |      CAST(1 + u.f * greatest(CAST(floor((length(text) - 32) / 3) AS BIGINT), 0) AS BIGINT),
+        |      32) AS frame
+        |  FROM (SELECT doc_id, text, unnest(list_transform(range(0, 4), x -> {'f': x})) AS u
+        |        FROM documents WHERE length(text) >= 32) t)
+        |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |  md5(frame) AS frame_fp,
+        |  CAST(length(frame) AS BIGINT) AS frame_len
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
 
     "ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

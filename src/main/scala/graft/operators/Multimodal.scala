@@ -64,8 +64,10 @@ object Multimodal {
       .select(col(idCol), col(blobCol).cast("binary").as("b"))
       .where(length(col("b")) >= frameBytes)
       .select(col(idCol), posexplode(expr(
+        // floor (not int-cast) so the stride math is identical in engines
+        // where double→int casting rounds instead of truncating
         s"""transform(sequence(0, $n - 1),
-           |  f -> substring(b, 1 + f * greatest(cast((length(b) - $frameBytes) / ${math.max(n - 1, 1)} as int), 0), $frameBytes))""".stripMargin))
+           |  f -> substring(b, 1 + f * greatest(cast(floor((length(b) - $frameBytes) / ${math.max(n - 1, 1)}) as int), 0), $frameBytes))""".stripMargin))
         .as(Seq("frame_no", "frame")))
 
   /** Batched feature extraction over blobs: same partition-batched shape as
