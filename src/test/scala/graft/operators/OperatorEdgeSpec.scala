@@ -69,6 +69,19 @@ class OperatorEdgeSpec extends SparkSpec {
     }
   }
 
+  test("empty inputs: dedup families, sessions, and clustering yield empty results") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exact(noDocs).count() == 0)
+    assert(Dedup.ngramNear(noDocs).count() == 0)
+    assert(Dedup.minhashNear(noDocs).count() == 0)
+    val noPairs = Seq.empty[(Long, Long, Double)].toDF("a_id", "b_id", "jaccard")
+    assert(Dedup.dedupGroups(noDocs, noPairs).count() == 0)
+    val noEvents = Seq.empty[(Long, Long, java.sql.Timestamp, Double)]
+      .toDF("event_id", "user_id", "ts", "value")
+    assert(Sessionize.sessions(noEvents).count() == 0)
+  }
+
   test("norm quantiles: ordered min <= p25 <= p50 <= p75 <= p99 <= max per label") {
     val e = Tables.embeddings(spark, dir)
     val rows = EmbeddingStats.normQuantiles(e).collect()
