@@ -49,6 +49,7 @@ object SparkEntry {
     "ann_topk_indexed" -> ((s, dir) => Ann.annTopkIndexed(s, dir, 0L, 10)),
     "ivf_topk" -> ((s, dir) => Ann.ivfTopk(s, dir, 0L, 10, 16, 4)),
     "ann_range" -> ((s, dir) => Ann.annRange(s, dir, 0L, 0.2)),
+    "ivf_topk_indexed" -> ((s, dir) => Ann.ivfTopkIndexed(s, dir, 0L, 10, 16, 4)),
     "embed_label_stats" -> ((s, dir) => EmbeddingStats.perLabelCohesion(Tables.embeddings(s, dir))),
     "embed_norm_quantiles" -> ((s, dir) => EmbeddingStats.normQuantiles(Tables.embeddings(s, dir))),
     "embed_quantize_err" -> ((s, dir) => EmbeddingStats.quantizationError(Tables.embeddings(s, dir))),
@@ -171,6 +172,31 @@ object SparkEntry {
        |scored AS (SELECT k2.vec_id, k2.label, ${cosSql("k2.v", "q.qv")} AS score
        |           FROM keys k2, q
        |           WHERE len(list_intersect(k2.ks, q.qks)) > 0)""".stripMargin
+
+  /** Seeded-centroid IVF: assignment + multi-probe + exact rerank — shared
+    * by the scan-time and cell-partitioned-index variants (identical
+    * candidate semantics). */
+  private def ivfTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |cents AS (SELECT list(v ORDER BY vec_id) AS cl FROM e WHERE vec_id < 16),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |qcell AS (
+       |  SELECT ci FROM (
+       |    SELECT u.ci AS ci, u.s AS s FROM (
+       |      SELECT unnest(list_transform(range(1, 17),
+       |        ci -> {'ci': ci, 's': round(${cosRawSql("cl[ci]", "q.qv")}, 6)})) AS u
+       |      FROM cents, q) z) t
+       |  ORDER BY s DESC, ci ASC LIMIT 4),
+       |assigned AS (
+       |  SELECT vec_id, label, v, list_position(sc, list_max(sc)) AS cell FROM (
+       |    SELECT e.vec_id, e.label, e.v,
+       |           list_transform(range(1, 17), ci -> ${cosRawSql("cl[ci]", "e.v")}) AS sc
+       |    FROM e, cents) t2)
+       |SELECT a.vec_id, a.label, ${cosSql("a.v", "q.qv")} AS score
+       |FROM assigned a, q
+       |WHERE a.cell IN (SELECT ci FROM qcell)
+       |ORDER BY score DESC, vec_id ASC
+       |LIMIT 10""".stripMargin
 
   private def annTopkSql: String =
     s"""$annProbeSql
@@ -526,27 +552,8 @@ object SparkEntry {
         |  CAST(length(frame) AS BIGINT) AS frame_len
         |FROM f ORDER BY doc_id, frame_no""".stripMargin,
 
-    "ivf_topk" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |cents AS (SELECT list(v ORDER BY vec_id) AS cl FROM e WHERE vec_id < 16),
-         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-         |qcell AS (
-         |  SELECT ci FROM (
-         |    SELECT u.ci AS ci, u.s AS s FROM (
-         |      SELECT unnest(list_transform(range(1, 17),
-         |        ci -> {'ci': ci, 's': round(${cosRawSql("cl[ci]", "q.qv")}, 6)})) AS u
-         |      FROM cents, q) z) t
-         |  ORDER BY s DESC, ci ASC LIMIT 4),
-         |assigned AS (
-         |  SELECT vec_id, label, v, list_position(sc, list_max(sc)) AS cell FROM (
-         |    SELECT e.vec_id, e.label, e.v,
-         |           list_transform(range(1, 17), ci -> ${cosRawSql("cl[ci]", "e.v")}) AS sc
-         |    FROM e, cents) t2)
-         |SELECT a.vec_id, a.label, ${cosSql("a.v", "q.qv")} AS score
-         |FROM assigned a, q
-         |WHERE a.cell IN (SELECT ci FROM qcell)
-         |ORDER BY score DESC, vec_id ASC
-         |LIMIT 10""".stripMargin,
+    "ivf_topk_indexed" -> ivfTopkSql, // identical semantics: same centroids, same probe, same rerank
+    "ivf_topk" -> ivfTopkSql,
 
     "ann_topk" -> annTopkSql,
     "ann_topk_indexed" -> annTopkSql, // identical semantics: same planes, same keys, same rerank

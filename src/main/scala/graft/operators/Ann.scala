@@ -119,6 +119,12 @@ object Ann {
     s"${sys.props("java.io.tmpdir")}/graft-annidx-$h"
   }
 
+  private def ivfIndexPath(dir: String, nCells: Int): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$dir|ivf|$nCells".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft-ivfidx-$h"
+  }
+
   /** Driver-side cosine with the same accumulation order as
     * [[graft.functions.CosineSimilarity.compute]] (and the oracle's SQL),
     * so centroid rankings agree bit-for-bit across engines. */
@@ -150,10 +156,44 @@ object Ann {
       .orderBy(col("vec_id")).select(col("embedding")).collect()
       .map(_.getSeq[Double](0).toSeq).toSeq
     val qv = Similarity.queryVector(spark, dir, queryVecId)
+    ivfProbe(e, cents, qv, k, nProbe)
+  }
 
-    // query-side probe list: top nProbe cells by (rounded) centroid cosine,
-    // lowest cell index on ties — 1-based to match the oracle's list_position
-    val probeCells: Seq[Int] = cents.zipWithIndex
+  /** IVF probe against a PERSISTED cell-partitioned index (the on-disk
+    * realization of [[ivfTopk]]'s scaladoc: the corpus written once
+    * partitioned by cell id, so a probe's `cell IN (…)` filter becomes
+    * real partition pruning — the scan never opens the other
+    * (nCells − nProbe)/nCells of the data). Same centroids, same
+    * assignment, same rerank ⇒ same oracle as [[ivfTopk]]. */
+  def ivfTopkIndexed(spark: SparkSession, dir: String, queryVecId: Long = 0L, k: Int = 10,
+                     nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents: Seq[Seq[Double]] = e.where(col("vec_id") < nCells)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+
+    val idxPath = ivfIndexPath(dir, nCells)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath, "_SUCCESS"))) {
+      val centsLit = typedLit(cents)
+      val scores = transform(centsLit, c => cosine_sim(col("embedding"), c))
+      e.withColumn("cell", array_position(scores, array_max(scores)))
+        .write.mode("overwrite").partitionBy("cell").parquet(idxPath)
+    }
+    val qv = Similarity.queryVector(spark, dir, queryVecId)
+    val probeCells = probe(cents, qv, nProbe)
+    spark.read.parquet(idxPath)
+      .where(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), col("label"),
+        round(cosine_sim(col("embedding"), typedLit(qv)), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Query-side probe list: top nProbe cells by (rounded) centroid cosine,
+    * lowest cell index on ties — 1-based to match the oracle's
+    * list_position. */
+  private def probe(cents: Seq[Seq[Double]], qv: Array[Double], nProbe: Int): Seq[Int] =
+    cents.zipWithIndex
       .map { case (c, i) =>
         // HALF_UP = round-away-from-zero, matching SQL round() semantics
         (BigDecimal(cosine(qv, c.toArray)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
@@ -162,6 +202,9 @@ object Ann {
       .sortBy { case (s, i) => (-s, i) }
       .take(nProbe).map(_._2)
 
+  private def ivfProbe(e: DataFrame, cents: Seq[Seq[Double]], qv: Array[Double],
+                       k: Int, nProbe: Int): DataFrame = {
+    val probeCells = probe(cents, qv, nProbe)
     // corpus-side assignment: argmax centroid cosine, first index on ties
     val centsLit = typedLit(cents)
     val scores = transform(centsLit, c => cosine_sim(col("embedding"), c))

@@ -52,6 +52,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange") && !p.contains("Join"), s"not narrow:\n$p")
   }
 
+  test("ivf_topk_indexed: probe prunes index partitions on the cell id") {
+    val p = plan(Ann.ivfTopkIndexed(spark, dir, 0L, 10, 8, 2))
+    assert(p.contains("PartitionFilters") && p.contains("cell#"),
+      s"no partition pruning on the cell id:\n$p")
+  }
+
   test("sim_join_topk: broadcast query side + rank limit before the exchange") {
     val p = plan(Similarity.batchSimilarityJoin(spark, dir, 8, 5))
     assert(p.contains("BroadcastNestedLoopJoin"), p)
