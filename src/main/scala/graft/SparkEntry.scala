@@ -50,6 +50,13 @@ object SparkEntry {
     "ivf_topk" -> ((s, dir) => Ann.ivfTopk(s, dir, 0L, 10, 16, 4)),
     "ann_range" -> ((s, dir) => Ann.annRange(s, dir, 0L, 0.2)),
     "ivf_topk_indexed" -> ((s, dir) => Ann.ivfTopkIndexed(s, dir, 0L, 10, 16, 4)),
+    "ivf_train_step" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.embeddings(s, dir)
+      val cents = e.where(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+      Ann.kmeansStep(e, cents)
+    }),
     "embed_label_stats" -> ((s, dir) => EmbeddingStats.perLabelCohesion(Tables.embeddings(s, dir))),
     "embed_norm_quantiles" -> ((s, dir) => EmbeddingStats.normQuantiles(Tables.embeddings(s, dir))),
     "embed_quantize_err" -> ((s, dir) => EmbeddingStats.quantizationError(Tables.embeddings(s, dir))),
@@ -554,6 +561,21 @@ object SparkEntry {
 
     "ivf_topk_indexed" -> ivfTopkSql, // identical semantics: same centroids, same probe, same rerank
     "ivf_topk" -> ivfTopkSql,
+
+    "ivf_train_step" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT list(v ORDER BY vec_id) AS cl FROM e WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, v, list_position(sc, list_max(sc)) AS cell FROM (
+         |    SELECT e.vec_id, e.v,
+         |           list_transform(range(1, 17), ci -> ${cosRawSql("cl[ci]", "e.v")}) AS sc
+         |    FROM e, cents) t2),
+         |ex AS (SELECT cell, u.pos AS pos, u.val AS val FROM (
+         |  SELECT cell, unnest(list_transform(range(0, 64), i -> {'pos': i, 'val': v[i+1]})) AS u
+         |  FROM assigned) t)
+         |SELECT CAST(cell AS BIGINT) AS cell, CAST(pos AS BIGINT) AS pos,
+         |  round(avg(val), 9) AS m, count(*) AS members
+         |FROM ex GROUP BY cell, pos ORDER BY cell, pos""".stripMargin,
 
     "ann_topk" -> annTopkSql,
     "ann_topk_indexed" -> annTopkSql, // identical semantics: same planes, same keys, same rerank

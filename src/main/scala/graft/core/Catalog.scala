@@ -104,6 +104,17 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Record.schema)
   }
 
+  /** Expose a collection to pure-SQL sessions as a temp view named
+    * `graft_<collectionId>` (non-alphanumeric id chars mapped to `_`).
+    * With [[graft.GraftExtensions]] injecting `cosine_sim`, the whole
+    * query surface is then reachable from SQL alone:
+    * {{{ SELECT id, cosine_sim(embedding, ...) s FROM graft_docs ORDER BY s DESC LIMIT 10 }}} */
+  def registerView(collectionId: String): String = {
+    val view = "graft_" + collectionId.map(c => if (c.isLetterOrDigit) c else '_')
+    records(collectionId).createOrReplaceTempView(view)
+    view
+  }
+
   private def pathExists(p: String): Boolean = {
     val hp = new HPath(p)
     hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)

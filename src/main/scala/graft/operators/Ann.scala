@@ -189,6 +189,25 @@ object Ann {
       .limit(k)
   }
 
+  /** One Lloyd iteration of IVF centroid training: assign every vector to
+    * its max-cosine centroid, emit the new centroid components as
+    * (cell, pos, mean, members) rows. Shuffle budget = one aggregation on
+    * (cell, pos) — cells × dim groups, map-side partial — exactly the
+    * [[graft.operators.EmbeddingStats.perLabelCohesion]] centroid shape;
+    * a full training run is this operator iterated with the returned
+    * centroids fed back in. Means are rounded to 9 dp so cross-engine /
+    * cross-partitioning summation drift stays below the output precision. */
+  def kmeansStep(e: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    val centsLit = typedLit(cents)
+    val scores = transform(centsLit, c => cosine_sim(col("embedding"), c))
+    e.withColumn("cell", array_position(scores, array_max(scores)))
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(avg(col("v")), 9).as("m"), count(lit(1)).as("members"))
+      .select(col("cell"), col("pos").cast("bigint").as("pos"), col("m"), col("members"))
+      .orderBy(col("cell"), col("pos"))
+  }
+
   /** Query-side probe list: top nProbe cells by (rounded) centroid cosine,
     * lowest cell index on ties — 1-based to match the oracle's
     * list_position. */

@@ -101,6 +101,17 @@ class CatalogSpec extends SparkSpec {
     assert(got.embedding.toSeq == Seq(1.0, 2.0, 3.0, 4.0, 5.0))
   }
 
+  test("registerView exposes the collection to pure SQL") {
+    val db = freshDb()
+    db.addCollection(db.makeCollection("sql-docs", mockEmbedder))
+    db.addRecord("sql-docs", rec("r1"))
+    db.addRecord("sql-docs", rec("r2"))
+    val view = db.registerView("sql-docs")
+    assert(view == "graft_sql_docs")
+    val rows = spark.sql(s"SELECT id FROM $view ORDER BY id").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("r1", "r2"))
+  }
+
   test("duplicate record add errors (collection.go:33-35)") {
     val db = freshDb()
     db.addCollection(db.makeCollection("c", mockEmbedder))
