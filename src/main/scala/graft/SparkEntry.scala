@@ -67,9 +67,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "multimodal_frames" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.{col, length, md5}
+      import org.apache.spark.sql.functions.{col, length, md5, octet_length}
+      // ASCII-pure docs only: the operator slices BYTES (its domain is real
+      // binary), but DuckDB cannot slice BLOBs, so the oracle-checked view
+      // is restricted to rows where bytes == chars in BOTH engines
       Multimodal.frameSample(
-        Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("blob")),
+        Tables.documents(s, dir)
+          .where(octet_length(col("text")) === length(col("text")))
+          .select(col("doc_id"), col("text").cast("binary").as("blob")),
         n = 4, frameBytes = 32)
         .select(col("doc_id"), col("frame_no").cast("bigint").as("frame_no"),
           md5(col("frame")).as("frame_fp"),
@@ -553,7 +558,7 @@ object SparkEntry {
         |      CAST(1 + u.f * greatest(CAST(floor((length(text) - 32) / 3) AS BIGINT), 0) AS BIGINT),
         |      32) AS frame
         |  FROM (SELECT doc_id, text, unnest(list_transform(range(0, 4), x -> {'f': x})) AS u
-        |        FROM documents WHERE length(text) >= 32) t)
+        |        FROM documents WHERE length(text) >= 32 AND strlen(text) = length(text)) t)
         |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
         |  md5(frame) AS frame_fp,
         |  CAST(length(frame) AS BIGINT) AS frame_len

@@ -104,13 +104,23 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Record.schema)
   }
 
+  private val registeredViews = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Expose a collection to pure-SQL sessions as a temp view named
     * `graft_<collectionId>` (non-alphanumeric id chars mapped to `_`).
+    * Sanitization can collide ("my-docs" / "my.docs"); a collision with a
+    * DIFFERENT collection's view errors instead of silently rebinding it.
     * With [[graft.GraftExtensions]] injecting `cosine_sim`, the whole
     * query surface is then reachable from SQL alone:
     * {{{ SELECT id, cosine_sim(embedding, ...) s FROM graft_docs ORDER BY s DESC LIMIT 10 }}} */
   def registerView(collectionId: String): String = {
     val view = "graft_" + collectionId.map(c => if (c.isLetterOrDigit) c else '_')
+    registeredViews.putIfAbsent(view, collectionId).foreach { owner =>
+      if (owner != collectionId)
+        throw new GraftException(
+          s"view name $view already registered for collection $owner " +
+            s"(ids collide after sanitization); rename one collection")
+    }
     records(collectionId).createOrReplaceTempView(view)
     view
   }

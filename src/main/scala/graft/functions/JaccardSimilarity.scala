@@ -30,6 +30,19 @@ case class JaccardSimilarity(left: Expression, right: Expression)
     case _ => false
   }
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) |
+           (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        // mismatched or unsupported element types would silently reinterpret
+        // raw ArrayData bytes — fail analysis instead
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two ARRAY<STRING> or two ARRAY<BIGINT> " +
+            s"arguments, got ${l.simpleString} and ${r.simpleString}")
+    }
+
   override def nullSafeEval(a: Any, b: Any): Any =
     if (longElems)
       JaccardSimilarity.computeLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -164,7 +164,13 @@ object Ann {
     * partitioned by cell id, so a probe's `cell IN (…)` filter becomes
     * real partition pruning — the scan never opens the other
     * (nCells − nProbe)/nCells of the data). Same centroids, same
-    * assignment, same rerank ⇒ same oracle as [[ivfTopk]]. */
+    * assignment, same rerank ⇒ same oracle as [[ivfTopk]].
+    *
+    * Index lifecycle contract (same as [[annTopkIndexed]]): build-once,
+    * keyed by (dir, nCells) — the source parquet under `dir` is treated as
+    * immutable (true for the driver's testdata). A production deployment
+    * derives the index path from a content fingerprint / table version and
+    * rebuilds through its orchestrator, not from inside a query. */
   def ivfTopkIndexed(spark: SparkSession, dir: String, queryVecId: Long = 0L, k: Int = 10,
                      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -174,9 +180,7 @@ object Ann {
 
     val idxPath = ivfIndexPath(dir, nCells)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath, "_SUCCESS"))) {
-      val centsLit = typedLit(cents)
-      val scores = transform(centsLit, c => cosine_sim(col("embedding"), c))
-      e.withColumn("cell", array_position(scores, array_max(scores)))
+      assignCells(e, cents)
         .write.mode("overwrite").partitionBy("cell").parquet(idxPath)
     }
     val qv = Similarity.queryVector(spark, dir, queryVecId)
@@ -197,16 +201,13 @@ object Ann {
     * a full training run is this operator iterated with the returned
     * centroids fed back in. Means are rounded to 9 dp so cross-engine /
     * cross-partitioning summation drift stays below the output precision. */
-  def kmeansStep(e: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
-    val centsLit = typedLit(cents)
-    val scores = transform(centsLit, c => cosine_sim(col("embedding"), c))
-    e.withColumn("cell", array_position(scores, array_max(scores)))
+  def kmeansStep(e: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
+    assignCells(e, cents)
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
       .agg(round(avg(col("v")), 9).as("m"), count(lit(1)).as("members"))
       .select(col("cell"), col("pos").cast("bigint").as("pos"), col("m"), col("members"))
       .orderBy(col("cell"), col("pos"))
-  }
 
   /** Query-side probe list: top nProbe cells by (rounded) centroid cosine,
     * lowest cell index on ties — 1-based to match the oracle's
@@ -221,13 +222,20 @@ object Ann {
       .sortBy { case (s, i) => (-s, i) }
       .take(nProbe).map(_._2)
 
-  private def ivfProbe(e: DataFrame, cents: Seq[Seq[Double]], qv: Array[Double],
-                       k: Int, nProbe: Int): DataFrame = {
-    val probeCells = probe(cents, qv, nProbe)
-    // corpus-side assignment: argmax centroid cosine, first index on ties
+  /** Corpus-side cell assignment: argmax centroid cosine, first index on
+    * ties (1-based, matching the oracle's list_position). The ONE place
+    * the assignment expression lives — the stored index, the training
+    * step, and the scan-time probe must agree cell-for-cell. */
+  private def assignCells(e: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
     val centsLit = typedLit(cents)
     val scores = transform(centsLit, c => cosine_sim(col("embedding"), c))
     e.withColumn("cell", array_position(scores, array_max(scores)))
+  }
+
+  private def ivfProbe(e: DataFrame, cents: Seq[Seq[Double]], qv: Array[Double],
+                       k: Int, nProbe: Int): DataFrame = {
+    val probeCells = probe(cents, qv, nProbe)
+    assignCells(e, cents)
       .where(col("cell").isin(probeCells: _*))
       .select(col("vec_id"), col("label"),
         round(cosine_sim(col("embedding"), typedLit(qv)), 6).as("score"))

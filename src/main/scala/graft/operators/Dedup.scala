@@ -204,6 +204,15 @@ object Dedup {
       converged = changed == 0
       iters += 1
     }
+    // wrong silently is worse than failing: an unconverged exit would hand
+    // back labels that are NOT component minima (documented contract)
+    if (!converged)
+      throw new graft.core.GraftException(
+        s"dedupGroups did not converge in $maxIters rounds — a component " +
+          s"chain longer than $maxIters hops; raise maxIters")
+    // the final labels stay cached deliberately (they are the result's
+    // working set); the edge list is no longer needed
+    p.unpersist()
 
     docs.select(col(idCol))
       .join(labels, docs(idCol) === labels("id"), "left")

@@ -124,17 +124,25 @@ case class RewriteSimilarityJoin() extends Rule[LogicalPlan] with PredicateHelpe
     // By the time extended optimizer rules run, PushPredicateThroughJoin
     // has folded the filter into the join condition, so the matched shape
     // is the Join itself with the cosine threshold among its conjuncts.
+    // the conjunct the rewrite keys on must itself be cross-side (one vector
+    // per child) — picking any threshold-cosine conjunct could select one
+    // whose operands straddle sides and bind the Generate to wrong attrs
+    def crossSideCosine(cond: Expression, left: LogicalPlan,
+                        right: LogicalPlan): Option[CosineSimilarity] =
+      splitConjunctivePredicates(cond).iterator
+        .flatMap(thresholdCosine(_))
+        .find(cs =>
+          (cs.left.references.subsetOf(left.outputSet) &&
+            cs.right.references.subsetOf(right.outputSet)) ||
+          (cs.left.references.subsetOf(right.outputSet) &&
+            cs.right.references.subsetOf(left.outputSet)))
+
     plan.transform {
       case j @ Join(left, right, Inner | Cross, Some(cond), hint)
           if !alreadyRewritten(left, right) &&
             !hasEquiKey(splitConjunctivePredicates(cond), left, right) &&
-            splitConjunctivePredicates(cond).exists(c =>
-              thresholdCosine(c).exists(cs =>
-                (cs.left.references.subsetOf(left.outputSet) &&
-                  cs.right.references.subsetOf(right.outputSet)) ||
-                (cs.left.references.subsetOf(right.outputSet) &&
-                  cs.right.references.subsetOf(left.outputSet)))) =>
-        val cs = splitConjunctivePredicates(cond).flatMap(thresholdCosine).head
+            crossSideCosine(cond, left, right).isDefined =>
+        val cs = crossSideCosine(cond, left, right).get
         val (leftVec, rightVec) =
           if (cs.left.references.subsetOf(left.outputSet)) (cs.left, cs.right)
           else (cs.right, cs.left)

@@ -41,8 +41,13 @@ class PlanShapeSpec extends SparkSpec {
 
   test("ann_range: narrow threshold probe — no shuffle, no join, no global sort of data") {
     val p = plan(Ann.annRange(spark, dir, 0L, 0.2))
-    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
-      s"unexpected shuffle:\n$p") // final ORDER BY is a range partition of the (small) result
+    // the ONLY allowed exchange is the final ORDER BY's range partitioning
+    // of the (already-filtered, small) result; any hash exchange means the
+    // probe itself shuffled
+    val badExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("rangepartitioning"))
+      .toSeq
+    assert(badExchanges.isEmpty, s"unexpected shuffle: $badExchanges\n$p")
     assert(!p.contains("Join"), s"not narrow:\n$p")
   }
 
