@@ -90,6 +90,10 @@ object SparkEntry {
     "revenue_by_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "part_type_revenue" -> ((s, dir) => Relational.partTypeRevenueByRegion(s, dir)),
     "top_customers"     -> ((s, dir) => Relational.topCustomers(s, dir, 20)),
+    "orders_no_lineitem" -> ((s, dir) => Relational.ordersWithoutLineitems(s, dir)),
+    "active_customers"  -> ((s, dir) => Relational.activeCustomers(s, dir)),
+    "revenue_rollup"    -> ((s, dir) => Relational.revenueRollup(s, dir)),
+    "events_pivot"      -> ((s, dir) => Relational.eventsPivot(Tables.events(s, dir))),
     "shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
     "asof_purchase_click" -> ((s, dir) => AsofJoin.eventsAsof(Tables.events(s, dir))),
     "sessions" -> ((s, dir) => Sessionize.sessions(Tables.events(s, dir))),
@@ -463,6 +467,38 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name, c_mktsegment
         |ORDER BY revenue DESC, c_custkey ASC
         |LIMIT 20""".stripMargin,
+
+    "orders_no_lineitem" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |ANTI JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "active_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |SEMI JOIN (SELECT o_custkey FROM orders
+        |           WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00') o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "revenue_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS revenue,
+        |  count(*) AS n_items,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "events_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -102,6 +102,64 @@ object Relational {
       .limit(k)
   }
 
+  /** Anti join: orders that never shipped a line item — the referential
+    * integrity / orphan audit shape. Plans as a broadcast/shuffled hash
+    * anti join on the order key; the probe side streams, nothing
+    * materializes the complement. */
+  def ordersWithoutLineitems(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Semi join: customers with at least one order before the cutoff —
+    * existence check without multiplying rows (a plain inner join would
+    * duplicate each customer per matching order). */
+  def activeCustomers(spark: SparkSession, dir: String,
+                      cutoff: String = "1996-01-01"): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o.where(o("o_orderdate") < to_timestamp(lit(cutoff))),
+        c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** ROLLUP: pricing totals with subtotal and grand-total rows — the
+    * hierarchical-report shape. One aggregation; Spark expands the
+    * grouping sets map-side, so the shuffle stays at (groups × 3) rows.
+    * `gid` disambiguates subtotal NULLs from (absent here) data NULLs,
+    * computed with explicit grouping() arithmetic so both engines agree
+    * on the encoding. */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0).as("revenue"),
+        count(lit(1)).as("n_items"),
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("bigint").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  /** PIVOT: daily event counts, one column per event type (explicit value
+    * list — a pivot over unknown values needs a discovery pass, which is
+    * an extra job by design in Spark). Missing combinations surface as 0,
+    * matching the FILTER-aggregate formulation. */
+  def eventsPivot(events: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = events
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(pivoted)((df, t) =>
+        df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy(col("day"))
+  }
+
   /** Revenue by customer nation: fact⋈fact on the order key, dimensions
     * broadcast explicitly. */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {

@@ -120,6 +120,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("anti/semi joins: hash-based existence checks, not nested loops") {
+    val anti = plan(Relational.ordersWithoutLineitems(spark, dir))
+    assert(anti.contains("LeftAnti"), anti)
+    assert(!anti.contains("BroadcastNestedLoopJoin") && !anti.contains("CartesianProduct"), anti)
+    val semi = plan(Relational.activeCustomers(spark, dir))
+    assert(semi.contains("LeftSemi"), semi)
+    assert(semi.contains("PushedFilters") && semi.contains("LessThan(o_orderdate"),
+      s"cutoff not pushed:\n$semi")
+  }
+
   test("revenue_by_nation: dimension joins are broadcast") {
     val p = plan(Relational.revenueByNation(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p)
