@@ -189,6 +189,13 @@ object Dedup {
     // size, not corpus size.
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("root"))
+    // Convergence detector: roots only ever DECREASE under min-propagation,
+    // so the label sum is strictly decreasing until the fixpoint — one
+    // cheap aggregate per round instead of a change-detection join.
+    // decimal(38,0) so the sum cannot overflow at any id/row scale.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("root").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -197,11 +204,11 @@ object Dedup {
       val next = labels.union(viaNeighbors)
         .groupBy(col("id")).agg(min(col("root")).as("root"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("root", "prev"), "id")
-        .where(col("root") =!= col("prev")).count()
+      val s = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = s == prevSum
+      prevSum = s
       iters += 1
     }
     // wrong silently is worse than failing: an unconverged exit would hand
