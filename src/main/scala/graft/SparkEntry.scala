@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Ann, AsofJoin, CatalogOps, Dedup, EmbeddingStats, Ingest, Multimodal, RangeJoin, Relational, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, CatalogOps, Dedup, EmbeddingStats, Ingest, Multimodal, RangeJoin, Relational, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,6 +42,12 @@ object SparkEntry {
     "dedup_groups"  -> ((s, dir) => Dedup.dedupGroups(Tables.documents(s, dir),
       Dedup.ngramNear(Tables.documents(s, dir)))),
     "text_stats"   -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
+    "docs_sample"  -> ((s, dir) => Sampling
+      .sampleByPercent(Tables.documents(s, dir), "doc_id", 10)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("lang"))
+      .orderBy("doc_id")),
+    "split_audit"  -> ((s, dir) => Sampling.splitAudit(Tables.documents(s, dir))),
     "token_topk"   -> ((s, dir) => TextAnalysis.tokenTopK(Tables.documents(s, dir), 20)),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
@@ -342,6 +348,22 @@ object SparkEntry {
         |  round(avg(len(list_filter(string_split(text, ' '), x -> x != ''))), 4) AS avg_tokens,
         |  round(avg(length(text)), 4) AS avg_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "docs_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+
+    "split_audit" ->
+      """WITH s AS (SELECT lang,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 80 THEN 'train'
+        |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tok
+        |  FROM documents)
+        |SELECT lang, split, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
     "token_topk" ->
       """WITH tok AS (SELECT lower(unnest(list_filter(string_split(text, ' '), x -> x != ''))) AS token

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic data selection — the sampling/splitting surface of a
+  * training-data pipeline. Everything here derives from a content-stable
+  * hash of the record id, NOT from an RNG: the same record lands in the
+  * same sample/split on every run, every engine, and every cluster size,
+  * which is what makes training sets reproducible and leak-free (a record
+  * can never migrate from test to train between pipeline runs).
+  *
+  * All expressions are narrow codegen'd built-ins; sampling composes with
+  * pushdown (the bucket predicate travels to the scan) and adds no
+  * shuffle.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from the id's md5 (first 14 hex digits
+    * as an integer — the same cross-engine fingerprint the LSH primitives
+    * use; DuckDB: `('0x' || substr(md5(id::VARCHAR), 1, 14))::UBIGINT %
+    * buckets`). */
+  def hashBucket(idCol: Column, buckets: Int = 100): Column =
+    pmod(
+      conv(substring(md5(idCol.cast("string").cast("binary")), 1, 14), 16, 10)
+        .cast("long"),
+      lit(buckets.toLong))
+
+  /** Keep ~`percent`% of rows, deterministically. */
+  def sampleByPercent(df: DataFrame, idCol: String, percent: Int): DataFrame =
+    df.where(hashBucket(col(idCol)) < percent)
+
+  /** Assign a stable train/val/test split (80/10/10 by default). */
+  def withSplit(df: DataFrame, idCol: String,
+                trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = hashBucket(col(idCol))
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Per-language split audit: row counts and token sums per (lang,
+    * split) — the sanity check run before training that the split
+    * proportions hold within every stratum. */
+  def splitAudit(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), withSplit(docs, "doc_id").as("split"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("bigint").as("n_tok"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      .orderBy(col("lang"), col("split"))
+}
