@@ -51,6 +51,7 @@ object SparkEntry {
     "token_topk"   -> ((s, dir) => TextAnalysis.tokenTopK(Tables.documents(s, dir), 20)),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+    "doc_winnow"   -> ((s, dir) => TextAnalysis.winnowFingerprints(Tables.documents(s, dir))),
     "ann_topk" -> ((s, dir) => Ann.annTopk(s, dir, 0L, 10)),
     "ann_topk_indexed" -> ((s, dir) => Ann.annTopkIndexed(s, dir, 0L, 10)),
     "ivf_topk" -> ((s, dir) => Ann.ivfTopk(s, dir, 0L, 10, 16, 4)),
@@ -348,6 +349,20 @@ object SparkEntry {
         |  round(avg(len(list_filter(string_split(text, ' '), x -> x != ''))), 4) AS avg_tokens,
         |  round(avg(length(text)), 4) AS avg_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "doc_winnow" ->
+      """WITH gh AS (SELECT doc_id,
+        |    list_transform(range(0, length(text) - 4),
+        |      i -> CAST(('0x' || substr(md5(substr(text, CAST(i + 1 AS BIGINT), 5)), 1, 14))::UBIGINT AS BIGINT)) AS gh
+        |  FROM documents WHERE length(text) >= 8),
+        |fps AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(0, len(gh) - 3),
+        |      wi -> list_min(gh[wi+1:wi+4]))) AS fps
+        |  FROM gh)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+        |  list_min(fps) AS fp_min, list_max(fps) AS fp_max,
+        |  CAST(list_sum(list_transform(fps, x -> x % 1000003)) AS BIGINT) AS fp_sum
+        |FROM fps ORDER BY doc_id""".stripMargin,
 
     "docs_sample" ->
       """SELECT doc_id, lang FROM documents

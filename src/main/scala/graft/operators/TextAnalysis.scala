@@ -84,6 +84,43 @@ object TextAnalysis {
         length(col("text")).cast("bigint").as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Winnowing fingerprints (Schleimer et al., the MOSS algorithm): hash
+    * every character k-gram, slide a w-position window over the hash
+    * sequence, keep each window's minimum — a guaranteed-coverage,
+    * position-robust fingerprint subset (any shared substring of length
+    * ≥ k + w − 1 produces a shared fingerprint). The classic rolling-hash
+    * incremental computation is an optimization for sequential scanners;
+    * in a columnar engine each k-gram hashes independently inside codegen
+    * (same selected fingerprints, embarrassingly parallel).
+    *
+    * Output is one row per document with the fingerprint-set summary
+    * (count, min, max, sum — sums of 56-bit values stay exact in BIGINT),
+    * which pins the full set for cross-engine checks without exploding
+    * rows. Narrow single scan, no shuffle. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    docs
+      .where(length(col("text")) >= k + w - 1)
+      // k-gram hashes materialize ONCE per row here; inlining the array
+      // into the window transform would re-hash the whole document per
+      // window position (O(len²) digests)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, length(text) - $k),
+           |  i -> cast(conv(substring(md5(cast(substring(text, i + 1, $k) as binary)), 1, 14), 16, 10) as bigint))""".stripMargin)
+        .as("gh"))
+      .select(col("doc_id"), expr(
+        s"""array_distinct(transform(sequence(0, size(gh) - $w),
+           |  wi -> array_min(slice(gh, wi + 1, $w))))""".stripMargin).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("bigint").as("n_fps"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"),
+        // checksum over a small modulus: a raw sum of 56-bit values can
+        // exceed 2^63 (silent wrap here, overflow error in other engines)
+        aggregate(col("fps"), lit(0L), (acc, x) => acc + pmod(x, lit(1000003L)))
+          .as("fp_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document quality scoring, language-ID heuristic, and content
     * fingerprint — all narrow expressions over one scan.
     *

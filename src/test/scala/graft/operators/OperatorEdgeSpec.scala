@@ -69,6 +69,37 @@ class OperatorEdgeSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: matches a direct implementation; shared substrings share fingerprints") {
+    import spark.implicits._
+    // reference winnow (k=5, w=4), mirroring the operator's hash exactly
+    def hash56(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 14), 16)
+    }
+    def winnow(text: String): Seq[Long] =
+      text.sliding(5).map(hash56).toVector.sliding(4).map(_.min).toVector.distinct
+
+    val shared = "the quick brown fox jumps over it"
+    val texts = Map(
+      1L -> s"AAAA $shared BBBB",
+      2L -> s"XXXXXXX $shared YYY",
+      3L -> "completely different content here")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val got = TextAnalysis.winnowFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    texts.foreach { case (id, t) =>
+      val fps = winnow(t)
+      assert(got(id) == ((fps.length.toLong, fps.min, fps.max,
+        fps.map(_ % 1000003L).sum)), s"summary mismatch for doc $id")
+    }
+    // coverage guarantee: a shared substring of length >= k+w-1 yields a
+    // shared fingerprint between the two overlapping docs
+    assert(winnow(texts(1L)).toSet.intersect(winnow(texts(2L)).toSet).nonEmpty)
+    assert(winnow(texts(1L)).toSet.intersect(winnow(texts(3L)).toSet).isEmpty)
+  }
+
   test("empty inputs: dedup families, sessions, and clustering yield empty results") {
     import spark.implicits._
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
