@@ -52,8 +52,15 @@ object LshFunctions {
     * as an integer — DuckDB reproduces it exactly via
     * `('0x' || substr(md5(x), 1, 14))::UBIGINT`. */
   def hashed_shingles(shinglesCol: Column): Column =
-    transform(shinglesCol, x =>
-      conv(substring(md5(x.cast("binary")), 1, 14), 16, 10).cast("long"))
+    transform(shinglesCol, x => hash56(x))
+
+  /** THE cross-engine 56-bit fingerprint: first 14 hex digits of md5 as a
+    * BIGINT. Every hash-derived surface (shingles, sampling buckets,
+    * winnowing) goes through this one definition so the oracle contract
+    * cannot drift per call site. DuckDB equivalent:
+    * `('0x' || substr(md5(x), 1, 14))::UBIGINT`. */
+  def hash56(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 14), 16, 10).cast("long")
 
   /** Per-seed 56-bit XOR mask: first 14 hex digits of md5(seed). Computed
     * plan-side here; the oracle computes the same value inline via

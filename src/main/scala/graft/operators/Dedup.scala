@@ -177,8 +177,9 @@ object Dedup {
     * aggregate, i.e. the classic distributed connected-components loop
     * (HashToMin). Rounds needed ≤ the longest chain in any component;
     * near-dup graphs are overwhelmingly tiny cliques, so this converges in
-    * 2-3 rounds. The driver-side loop holds only a row COUNT per round
-    * (the labels stay distributed); `maxIters` is the runaway bound. */
+    * 2-3 rounds. The driver-side loop holds only the scalar label-sum
+    * convergence detector per round (the labels stay distributed);
+    * `maxIters` is the runaway bound. */
   def dedupGroups(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
                   maxIters: Int = 20): DataFrame = {
     val p = pairs.select(col("a_id"), col("b_id")).cache()

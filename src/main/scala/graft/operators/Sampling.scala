@@ -16,23 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Stable bucket in [0, buckets) from the id's md5 (first 14 hex digits
-    * as an integer — the same cross-engine fingerprint the LSH primitives
-    * use; DuckDB: `('0x' || substr(md5(id::VARCHAR), 1, 14))::UBIGINT %
+  /** Stable bucket in [0, buckets) from the id's md5 — the shared
+    * [[graft.functions.LshFunctions.hash56]] fingerprint mod buckets
+    * (DuckDB: `('0x' || substr(md5(id::VARCHAR), 1, 14))::UBIGINT %
     * buckets`). */
   def hashBucket(idCol: Column, buckets: Int = 100): Column =
-    pmod(
-      conv(substring(md5(idCol.cast("string").cast("binary")), 1, 14), 16, 10)
-        .cast("long"),
+    pmod(graft.functions.LshFunctions.hash56(idCol.cast("string")),
       lit(buckets.toLong))
 
   /** Keep ~`percent`% of rows, deterministically. */
   def sampleByPercent(df: DataFrame, idCol: String, percent: Int): DataFrame =
     df.where(hashBucket(col(idCol)) < percent)
 
-  /** Assign a stable train/val/test split (80/10/10 by default). */
-  def withSplit(df: DataFrame, idCol: String,
-                trainPct: Int = 80, valPct: Int = 10): Column = {
+  /** Stable train/val/test split assignment (80/10/10 by default) for the
+    * given id column. */
+  def splitColumn(idCol: String, trainPct: Int = 80, valPct: Int = 10): Column = {
     val b = hashBucket(col(idCol))
     when(b < trainPct, lit("train"))
       .when(b < trainPct + valPct, lit("val"))
@@ -44,8 +42,8 @@ object Sampling {
     * proportions hold within every stratum. */
   def splitAudit(docs: DataFrame): DataFrame =
     docs
-      .select(col("lang"), withSplit(docs, "doc_id").as("split"),
-        size(expr("filter(split(text, ' '), x -> x != '')")).cast("bigint").as("n_tok"))
+      .select(col("lang"), splitColumn("doc_id").as("split"),
+        size(TextAnalysis.toks).cast("bigint").as("n_tok"))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
       .orderBy(col("lang"), col("split"))

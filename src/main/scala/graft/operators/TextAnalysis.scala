@@ -23,8 +23,9 @@ object TextAnalysis {
 
   private def inList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
 
-  /** Non-empty whitespace tokens. */
-  private val toks: Column = expr("filter(split(text, ' '), x -> x != '')")
+  /** Non-empty whitespace tokens — the canonical tokenizer every
+    * token-counting surface (stats, counts, split audit) shares. */
+  private[operators] val toks: Column = expr("filter(split(text, ' '), x -> x != '')")
 
   /** Corpus statistics per (lang, source). */
   def stats(docs: DataFrame): DataFrame =
@@ -94,19 +95,20 @@ object TextAnalysis {
     * (same selected fingerprints, embarrassingly parallel).
     *
     * Output is one row per document with the fingerprint-set summary
-    * (count, min, max, sum — sums of 56-bit values stay exact in BIGINT),
-    * which pins the full set for cross-engine checks without exploding
-    * rows. Narrow single scan, no shuffle. */
+    * (count, min, max, and a sum-mod-1000003 checksum — a raw sum of
+    * 56-bit values can exceed 2^63), which pins the full set for
+    * cross-engine checks without exploding rows. Narrow single scan, no
+    * shuffle. */
   def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    import graft.functions.LshFunctions.hash56
     docs
       .where(length(col("text")) >= k + w - 1)
       // k-gram hashes materialize ONCE per row here; inlining the array
       // into the window transform would re-hash the whole document per
       // window position (O(len²) digests)
-      .select(col("doc_id"), expr(
-        s"""transform(sequence(0, length(text) - $k),
-           |  i -> cast(conv(substring(md5(cast(substring(text, i + 1, $k) as binary)), 1, 14), 16, 10) as bigint))""".stripMargin)
-        .as("gh"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), length(col("text")) - k), i =>
+          hash56(col("text").substr(i + 1, lit(k)))).as("gh"))
       .select(col("doc_id"), expr(
         s"""array_distinct(transform(sequence(0, size(gh) - $w),
            |  wi -> array_min(slice(gh, wi + 1, $w))))""".stripMargin).as("fps"))

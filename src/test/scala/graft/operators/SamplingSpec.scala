@@ -24,7 +24,7 @@ class SamplingSpec extends SparkSpec {
 
   test("splits are exhaustive, disjoint, and roughly proportioned") {
     val docs = Tables.documents(spark, dir)
-    val splits = docs.select(col("doc_id"), Sampling.withSplit(docs, "doc_id").as("split"))
+    val splits = docs.select(col("doc_id"), Sampling.splitColumn("doc_id").as("split"))
       .collect().map(r => r.getLong(0) -> r.getString(1))
     assert(splits.length == docs.count())
     val bySplit = splits.groupBy(_._2).view.mapValues(_.length).toMap
