@@ -50,7 +50,10 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        // toRdd.count() materializes every output row with all its columns
+        // — a plain count() lets Catalyst prune the work being measured
+        // (e.g. eliminate an outer join whose columns a count never reads)
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           false

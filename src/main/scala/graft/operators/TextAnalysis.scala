@@ -102,6 +102,10 @@ object TextAnalysis {
   def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
     import graft.functions.LshFunctions.hash56
     docs
+      // one md5 per character position is pure compute with no reduction —
+      // pin the parallelism off the source's split count (single small
+      // file = one-core stage otherwise; same rationale as Dedup.ngramNear)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .where(length(col("text")) >= k + w - 1)
       // k-gram hashes materialize ONCE per row here; inlining the array
       // into the window transform would re-hash the whole document per
