@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.jaccardSimDescriptor)
     // Opt-in (spark.graft.similarityJoin.rewrite=true): brute-force
     // cosine-threshold cross joins → LSH-banded candidate equi-joins.
     ext.injectOptimizerRule(_ => graft.plans.RewriteSimilarityJoin())
@@ -53,5 +54,25 @@ object GraftExtensions {
             "docroot" -> "-"))
       }
       CosineSimilarity(asDoubleArray(exprs.head), asDoubleArray(exprs(1)))
+    })
+
+  /** `jaccard_sim(a, b)` over two ARRAY<STRING> / ARRAY<BIGINT> columns —
+    * the fused set-similarity scalar behind the dedup verifiers, exposed
+    * to SQL; element-type validation happens in the expression's
+    * checkInputDataTypes. */
+  val jaccardSimDescriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("jaccard_sim"),
+    new ExpressionInfo(classOf[graft.functions.JaccardSimilarity].getName, "jaccard_sim"),
+    (exprs: Seq[Expression]) => {
+      if (exprs.length != 2) {
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "jaccard_sim",
+            "expectedNum" -> "2",
+            "actualNum" -> exprs.length.toString,
+            "docroot" -> "-"))
+      }
+      graft.functions.JaccardSimilarity(exprs.head, exprs(1))
     })
 }

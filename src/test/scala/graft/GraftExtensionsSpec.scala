@@ -42,6 +42,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("withExtensions injects jaccard_sim, with element-type validation") {
+    withExtendedSession { spark =>
+      val r = spark.sql(
+        "SELECT jaccard_sim(array('a','b','c'), array('b','c','d')) AS j").head()
+      assert(math.abs(r.getDouble(0) - 0.5) < 1e-12)
+      val e = intercept[Exception] {
+        spark.sql("SELECT jaccard_sim(array('a'), array(1.5d))").collect()
+      }
+      assert(e.getMessage.contains("jaccard_sim") || e.getMessage.contains("DATATYPE"))
+    }
+  }
+
   test("wrong arity through the extension is an analysis error") {
     withExtendedSession { spark =>
       val e = intercept[Exception] { spark.sql("SELECT cosine_sim(array(1.0d))").collect() }
