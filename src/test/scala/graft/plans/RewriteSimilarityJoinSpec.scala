@@ -96,6 +96,33 @@ class RewriteSimilarityJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("64-dim corpus: rewrite result ⊆ brute force, self-pairs all kept") {
+    withExtendedSession { spark =>
+      val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+      def simJoin64 = a.crossJoin(b)
+        .where(cosine_sim(col("va"), col("vb")) >= lit(0.999) &&
+          col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+
+      val brute = simJoin64.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set("spark.graft.similarityJoin.rewrite", "true")
+      spark.conf.set("spark.graft.similarityJoin.dim", "64")
+      val rewritten = simJoin64
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"rewrite did not fire on the 64-dim corpus:\n$plan")
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set("spark.graft.similarityJoin.rewrite", "false")
+
+      assert(got.subsetOf(brute), s"rewrite invented pairs: ${got -- brute}")
+      // vectors scoring >= 0.999 are near-identical; identical sign
+      // patterns share every band, so these pairs must all survive
+      assert(got == brute, s"missed near-identical pairs: ${brute -- got}")
+    }
+  }
+
   test("join with an explicit condition is left untouched") {
     withExtendedSession { spark =>
       spark.conf.set("spark.graft.similarityJoin.rewrite", "true")
