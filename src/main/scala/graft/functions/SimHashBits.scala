@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SimHash sign bits as a native Catalyst expression: one fused loop over
+  * the deterministic Rademacher plane matrix, held once per JVM in a
+  * static cache.
+  *
+  * Replaces the HOF composition `transform(typedLit(planes), p ->
+  * aggregate(zip_with(vec, p, ...)))`, which pays twice at scale: the
+  * bits×dim plane matrix becomes a >1500-literal expression tree (codegen
+  * spends ~15 s compiling it — measured flat across 200k and 1M rows, i.e.
+  * the compile dominated the compute), and the nested lambdas evaluate
+  * interpreted per row. Here the planes never enter the plan at all and
+  * the dot products run as one tight loop inside whole-stage codegen.
+  *
+  * Bit semantics are identical to the composition (same md5-seeded planes,
+  * same sequential accumulation, same `>= 0 → "1"` rule), so the DuckDB
+  * oracles and stored ANN indexes are unchanged.
+  */
+case class SimHashBits(child: Expression, bits: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_bits"
+
+  override def nullSafeEval(v: Any): Any =
+    SimHashBits.compute(v.asInstanceOf[ArrayData], bits, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.SimHashBits.compute($x, $bits, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}
+
+object SimHashBits {
+  private val One = UTF8String.fromString("1")
+  private val Zero = UTF8String.fromString("0")
+
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int), Array[Array[Double]]]
+
+  private def planes(bits: Int, dim: Int): Array[Array[Double]] =
+    planeCache.getOrElseUpdate((bits, dim),
+      LshFunctions.simhashPlanes(bits, dim).map(_.toArray).toArray)
+
+  /** Same accumulation order as the HOF form: s = ((v0·w0) + v1·w1) + … */
+  def compute(v: ArrayData, bits: Int, dim: Int): ArrayData = {
+    val ps = planes(bits, dim)
+    val out = new Array[AnyRef](bits)
+    var p = 0
+    while (p < bits) {
+      val row = ps(p)
+      var s = 0.0
+      var i = 0
+      while (i < dim) { s += v.getDouble(i) * row(i); i += 1 }
+      out(p) = if (s >= 0) One else Zero
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
