@@ -55,21 +55,33 @@ object ScaleSmoke {
     println(s"## corpus: ${e.count()} vectors x 64 dims, " +
       s"${e.rdd.getNumPartitions} scan partitions")
 
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY").map(_.split(",").toSet)
+    def stage(label: String)(f: => Long): Unit =
+      if (only.forall(_.exists(label.startsWith))) time(label)(f)
+
     val qv = Similarity.queryVector(spark, dir, 0L)
     import graft.functions.VectorFunctions.cosine_sim
-    time("exact top-k") {
+    stage("exact top-k") {
       e.select(col("vec_id"), round(cosine_sim(col("embedding"), typedLit(qv)), 6).as("s"))
         .orderBy(desc("s"), asc("vec_id")).limit(10)
         .queryExecution.toRdd.count()
     }
-    time("batch sim join (8q)") {
+    stage("batch sim join (8q)") {
       Similarity.similarityJoin(e,
         e.where(col("vec_id") < 8)
           .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
           .withColumn("label", lit(0)).drop("label"),
         k = 5).queryExecution.toRdd.count()
     }
-    time("simhash candidates") {
+    stage("ivf cell assignment") {
+      val cents = Tables.embeddings(spark, dir).where(col("vec_id") < 16)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Double](0).toSeq).toSeq
+      graft.operators.Ann.assignCells(e, cents)
+        .groupBy(col("cell")).agg(count(lit(1)))
+        .queryExecution.toRdd.count()
+    }
+    stage("simhash candidates") {
       import graft.functions.LshFunctions
       val withBits = e.select(col("vec_id"),
         LshFunctions.simhash_bits(col("embedding"), 24, 64).as("bs"))

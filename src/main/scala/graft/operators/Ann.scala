@@ -225,11 +225,12 @@ object Ann {
   /** Corpus-side cell assignment: argmax centroid cosine, first index on
     * ties (1-based, matching the oracle's list_position). The ONE place
     * the assignment expression lives — the stored index, the training
-    * step, and the scan-time probe must agree cell-for-cell. */
-  private def assignCells(e: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
-    val centsLit = typedLit(cents)
-    val scores = transform(centsLit, c => cosine_sim(col("embedding"), c))
-    e.withColumn("cell", array_position(scores, array_max(scores)))
+    * step, and the scan-time probe must agree cell-for-cell. Native fused
+    * expression: see [[graft.functions.NearestCentroid]]. */
+  private[graft] def assignCells(e: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    e.withColumn("cell", Bridge.column(graft.functions.NearestCentroid(
+      Bridge.expression(col("embedding").cast("array<double>")), cents)))
   }
 
   private def ivfProbe(e: DataFrame, cents: Seq[Seq[Double]], qv: Array[Double],
