@@ -18,9 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * interpreted per row. Here the planes never enter the plan at all and
   * the dot products run as one tight loop inside whole-stage codegen.
   *
-  * Bit semantics are identical to the composition (same md5-seeded planes,
-  * same sequential accumulation, same `>= 0 → "1"` rule), so the DuckDB
-  * oracles and stored ANN indexes are unchanged.
+  * Bit semantics are identical to the composition for well-formed input
+  * (same md5-seeded planes, same sequential accumulation, same
+  * `>= 0 → "1"` rule), so the DuckDB oracles and stored ANN indexes are
+  * unchanged. Malformed input fails LOUDLY: a vector whose length differs
+  * from `dim`, or one carrying NULL elements, raises instead of silently
+  * hashing garbage (the HOF form null-padded to deterministic-but-
+  * meaningless bits; a fixed-dim corpus is the documented contract).
   */
 case class SimHashBits(child: Expression, bits: Int, dim: Int)
     extends UnaryExpression {
@@ -29,12 +33,17 @@ case class SimHashBits(child: Expression, bits: Int, dim: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash_bits"
 
-  override def nullSafeEval(v: Any): Any =
-    SimHashBits.compute(v.asInstanceOf[ArrayData], bits, dim)
+  private lazy val matrix: Array[Array[Double]] =
+    LshFunctions.simhashPlanes(bits, dim).map(_.toArray).toArray
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def nullSafeEval(v: Any): Any =
+    SimHashBits.compute(v.asInstanceOf[ArrayData], matrix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", matrix, "double[][]")
     nullSafeCodeGen(ctx, ev, x =>
-      s"${ev.value} = graft.functions.SimHashBits.compute($x, $bits, $dim);")
+      s"${ev.value} = graft.functions.SimHashBits.compute($x, $ref);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashBits =
     copy(child = newChild)
@@ -44,20 +53,14 @@ object SimHashBits {
   private val One = UTF8String.fromString("1")
   private val Zero = UTF8String.fromString("0")
 
-  private val planeCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, Int), Array[Array[Double]]]
-
-  private def planes(bits: Int, dim: Int): Array[Array[Double]] =
-    planeCache.getOrElseUpdate((bits, dim),
-      LshFunctions.simhashPlanes(bits, dim).map(_.toArray).toArray)
-
   /** Same accumulation order as the HOF form: s = ((v0·w0) + v1·w1) + … */
-  def compute(v: ArrayData, bits: Int, dim: Int): ArrayData = {
-    val ps = planes(bits, dim)
-    val out = new Array[AnyRef](bits)
+  def compute(v: ArrayData, planes: Array[Array[Double]]): ArrayData = {
+    val dim = if (planes.length > 0) planes(0).length else 0
+    ExpressionGuards.requireVector("simhash_bits", v, dim)
+    val out = new Array[AnyRef](planes.length)
     var p = 0
-    while (p < bits) {
-      val row = ps(p)
+    while (p < planes.length) {
+      val row = planes(p)
       var s = 0.0
       var i = 0
       while (i < dim) { s += v.getDouble(i) * row(i); i += 1 }

@@ -96,13 +96,15 @@ class RewriteSimilarityJoinSpec extends AnyFunSuite {
     }
   }
 
-  test("64-dim corpus: rewrite result ⊆ brute force, self-pairs all kept") {
+  test("64-dim corpus: rewrite result is a non-empty subset of brute force") {
     withExtendedSession { spark =>
       val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
       val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
       val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+      // τ=0.4: the corpus's max pairwise cosine is ~0.479 (no exact dups),
+      // so this threshold yields a real (66-pair) brute-force result
       def simJoin64 = a.crossJoin(b)
-        .where(cosine_sim(col("va"), col("vb")) >= lit(0.999) &&
+        .where(cosine_sim(col("va"), col("vb")) >= lit(0.4) &&
           col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"))
 
@@ -117,9 +119,16 @@ class RewriteSimilarityJoinSpec extends AnyFunSuite {
       spark.conf.set("spark.graft.similarityJoin.rewrite", "false")
 
       assert(got.subsetOf(brute), s"rewrite invented pairs: ${got -- brute}")
-      // vectors scoring >= 0.999 are near-identical; identical sign
-      // patterns share every band, so these pairs must all survive
-      assert(got == brute, s"missed near-identical pairs: ${brute -- got}")
+      // structural guarantee: EXACTLY identical vectors share every band
+      // (cosine 0.999 alone does not force identical sign patterns —
+      // recall on merely-close pairs is the documented banding tradeoff)
+      val identical = a.join(b, col("va") === col("vb"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(identical.subsetOf(got),
+        s"missed identical-vector pairs: ${identical -- got}")
+      assert(got.nonEmpty)
     }
   }
 
