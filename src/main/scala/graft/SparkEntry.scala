@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Ann, AsofJoin, CatalogOps, Dedup, EmbeddingStats, Ingest, Multimodal, RangeJoin, Relational, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, CatalogOps, Dedup, EmbeddingStats, Funnel, Ingest, Multimodal, RangeJoin, Relational, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -116,6 +116,7 @@ object SparkEntry {
     "shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
     "asof_purchase_click" -> ((s, dir) => AsofJoin.eventsAsof(Tables.events(s, dir))),
     "sessions" -> ((s, dir) => Sessionize.sessions(Tables.events(s, dir))),
+    "funnel"   -> ((s, dir) => Funnel.conversion(Tables.events(s, dir))),
     "range_join_clicks" -> ((s, dir) => RangeJoin.eventCountsInRange(Tables.events(s, dir))),
   )
 
@@ -600,6 +601,24 @@ object SparkEntry {
         |  CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS qual_ts FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS qual_ts FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.qual_ts
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS qual_ts FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.qual_ts
+        |       GROUP BY e.user_id),
+        |c AS (SELECT 1 AS step, 'signup' AS event_type, (SELECT count(*) FROM s1) AS n_users
+        |      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |SELECT CAST(step AS BIGINT) AS step, event_type, n_users,
+        |  round(n_users::DOUBLE / (SELECT n_users FROM c WHERE step = 1), 6) AS pct_of_first
+        |FROM c ORDER BY step""".stripMargin,
 
     "range_join_clicks" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
