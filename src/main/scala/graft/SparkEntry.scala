@@ -64,6 +64,7 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "doc_winnow"   -> ((s, dir) => TextAnalysis.winnowFingerprints(Tables.documents(s, dir))),
+    "text_normalize" -> ((s, dir) => TextAnalysis.normalize(Tables.documents(s, dir))),
     "ann_topk" -> ((s, dir) => Ann.annTopk(s, dir, 0L, 10)),
     "ann_topk_indexed" -> ((s, dir) => Ann.annTopkIndexed(s, dir, 0L, 10)),
     "ivf_topk" -> ((s, dir) => Ann.ivfTopk(s, dir, 0L, 10, 16, 4)),
@@ -362,6 +363,15 @@ object SparkEntry {
         |  round(avg(len(list_filter(string_split(text, ' '), x -> x != ''))), 4) AS avg_tokens,
         |  round(avg(length(text)), 4) AS avg_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "text_normalize" ->
+      """WITH c AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |         ' +', ' ', 'g')) AS clean
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
+        |  md5(clean) AS clean_fp
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "doc_winnow" ->
       """WITH gh AS (SELECT doc_id,

@@ -85,6 +85,23 @@ object TextAnalysis {
         length(col("text")).cast("bigint").as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Canonical text normalization — the cleaning stage upstream of
+    * tokenization and dedup: lowercase, non-alphanumerics to spaces,
+    * whitespace collapsed, trimmed. Pure codegen'd regex/string
+    * expressions (simple character classes only, so Java and RE2 regex
+    * engines agree), narrow single scan. Emits the normalized text plus
+    * its exact-dedup fingerprint — normalizing FIRST is what lets exact
+    * dedup catch formatting-only duplicates. */
+  def normalize(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " ")).as("clean"))
+      .select(col("doc_id"),
+        length(col("clean")).cast("bigint").as("clean_len"),
+        md5(col("clean")).as("clean_fp"))
+      .orderBy(col("doc_id"))
+
   /** Winnowing fingerprints (Schleimer et al., the MOSS algorithm): hash
     * every character k-gram, slide a w-position window over the hash
     * sequence, keep each window's minimum — a guaranteed-coverage,
