@@ -60,6 +60,7 @@ object SparkEntry {
         org.apache.spark.sql.functions.col("lang"))
       .orderBy("doc_id")),
     "split_audit"  -> ((s, dir) => Sampling.splitAudit(Tables.documents(s, dir))),
+    "sample_delta" -> ((s, dir) => Sampling.sampleDelta(Tables.documents(s, dir))),
     "token_topk"   -> ((s, dir) => TextAnalysis.tokenTopK(Tables.documents(s, dir), 20)),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
@@ -389,6 +390,14 @@ object SparkEntry {
 
     "docs_sample" ->
       """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_delta" ->
+      """SELECT doc_id FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 20
+        |EXCEPT
+        |SELECT doc_id FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 10
         |ORDER BY doc_id""".stripMargin,
 

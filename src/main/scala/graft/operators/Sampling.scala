@@ -37,6 +37,17 @@ object Sampling {
       .otherwise(lit("test"))
   }
 
+  /** The documents a larger sample adds over a smaller one — EXCEPT
+    * (distinct set difference) over the two deterministic selections.
+    * Because hash-bucket membership is monotone in the rate, this is
+    * exactly the increment a pipeline must process when widening a
+    * sample — nothing previously processed reappears. */
+  def sampleDelta(docs: DataFrame, idCol: String = "doc_id",
+                  fromPct: Int = 10, toPct: Int = 20): DataFrame =
+    sampleByPercent(docs, idCol, toPct).select(col(idCol))
+      .except(sampleByPercent(docs, idCol, fromPct).select(col(idCol)))
+      .orderBy(col(idCol))
+
   /** Per-language split audit: row counts and token sums per (lang,
     * split) — the sanity check run before training that the split
     * proportions hold within every stratum. */
