@@ -32,6 +32,13 @@ object SparkEntry {
     ngramPairsCache.getOrElseUpdate(dir,
       Dedup.ngramNear(Tables.documents(s, dir)).localCheckpoint())
 
+  /** Materialize the shared (memoized) inputs above. The bench calls this
+    * during its warmup phase so `dedup_resolve`/`dedup_groups` measure
+    * their own work rather than whichever of them happens to run first
+    * absorbing the whole mine — `dedup_ngram` itself still measures the
+    * full mine, so its cost stays visible in the total. */
+  def prepareShared(s: SparkSession, dir: String): Unit = ngramPairs(s, dir)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "topk_single"   -> ((s, dir) => Similarity.topKSingle(s, dir, 0L, 10)),

@@ -58,9 +58,29 @@ object LshFunctions {
     * BIGINT. Every hash-derived surface (shingles, sampling buckets,
     * winnowing) goes through this one definition so the oracle contract
     * cannot drift per call site. DuckDB equivalent:
-    * `('0x' || substr(md5(x), 1, 14))::UBIGINT`. */
-  def hash56(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 14), 16, 10).cast("long")
+    * `('0x' || substr(md5(x), 1, 14))::UBIGINT`. Computed by the native
+    * [[Hash56]] expression (digest bytes → long directly); value-identical
+    * to the composed `conv(substring(md5(x), 1, 14), 16, 10)` form. */
+  def hash56(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(Hash56(Bridge.expression(c.cast("binary"))))
+  }
+
+  /** Fused distinct char-n-gram 56-bit shingle hashes — one digest per
+    * text position straight off the byte buffer (see [[CharShingleHash56]]);
+    * set-equal to `hashed_shingles(char_shingles(text, n))`. */
+  def char_shingle_hash56(textCol: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(CharShingleHash56(Bridge.expression(textCol), n))
+  }
+
+  /** Fused distinct word-n-gram 56-bit shingle hashes (tokens split on
+    * single space, empties kept — `split(text, ' ')` semantics); set-equal
+    * to `hashed_shingles(transform(word n-grams))`. See [[WordShingleHash56]]. */
+  def word_shingle_hash56(textCol: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(WordShingleHash56(Bridge.expression(textCol), n))
+  }
 
   /** Per-seed 56-bit XOR mask: first 14 hex digits of md5(seed). Computed
     * plan-side here; the oracle computes the same value inline via

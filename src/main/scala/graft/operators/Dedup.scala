@@ -55,16 +55,6 @@ object Dedup {
       .select(col("p.a_id"), col("p.b_id"))
       .distinct()
 
-  /** Distinct word n-gram shingle sets per document (docs with fewer than
-    * `n` tokens have no shingles and drop out, in both engines). */
-  private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
-      .where(size(col("t")) >= n)
-      .select(col("doc_id"), array_distinct(expr(
-        s"transform(sequence(0, size(t) - $n), i -> concat_ws(' ', slice(t, i + 1, $n)))"))
-        .as("s"))
-
   /** X3b — MinHash LSH near-duplicate text pairs.
     *
     * shingle → 56-bit hash per shingle (one md5 each) → per-seed minhash
@@ -83,10 +73,11 @@ object Dedup {
   def minhashNear(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                   shingleSize: Int = 3, seeds: Int = 6,
                   jaccardThreshold: Double = 0.01): DataFrame = {
-    val sh = shingled(
-        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol)),
-        idCol, textCol, shingleSize)
-      .select(col("doc_id"), LshFunctions.hashed_shingles(col("s")).as("hs"))
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        LshFunctions.word_shingle_hash56(col(textCol), shingleSize).as("hs"))
+      .where(size(col("hs")) > 0)
     val mh = sh.select(col("doc_id"),
       posexplode(LshFunctions.minhash_signature_long(col("hs"), seeds)).as(Seq("seed", "mh")))
 
@@ -132,7 +123,7 @@ object Dedup {
     val sh = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"),
-        LshFunctions.hashed_shingles(LshFunctions.char_shingles(textCol, n)).as("hs"))
+        LshFunctions.char_shingle_hash56(col(textCol), n).as("hs"))
       .where(size(col("hs")) > 0)
 
     val banded = sh.select(col("doc_id"),

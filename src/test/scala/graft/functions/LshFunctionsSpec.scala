@@ -46,4 +46,43 @@ class LshFunctionsSpec extends SparkSpec {
     val j = df.select(LshFunctions.jaccard(col("x"), col("y"))).head().getDouble(0)
     assert(math.abs(j - 0.5) < 1e-12) // |{b,c}| / |{a,b,c,d}|
   }
+
+  test("hash56 native ≡ composed conv(substring(md5)) form") {
+    val df = Seq("", "a", "spark graft", "héllo ωorld", "x" * 500).toDF("t")
+    val rows = df.select(
+      LshFunctions.hash56(col("t")).as("fused"),
+      conv(substring(md5(col("t").cast("binary")), 1, 14), 16, 10).cast("long").as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("char_shingle_hash56 ≡ hash56 over char n-grams (set-equal, incl. multibyte)") {
+    val df = Seq("", "ab", "abcdefgh", "ααββγγδδεε", "a b  c\td", "x" * 50).toDF("t")
+    val composed = expr(
+      """CASE WHEN length(t) >= 4 THEN
+        |  array_distinct(transform(sequence(0, length(t) - 4),
+        |    i -> substring(t, i + 1, 4)))
+        |ELSE array() END""".stripMargin)
+    val rows = df.select(
+      LshFunctions.char_shingle_hash56(col("t"), 4).as("fused"),
+      LshFunctions.hashed_shingles(composed).as("composed")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0).toSet == r.getSeq[Long](1).toSet)
+      assert(r.getSeq[Long](0).distinct.size == r.getSeq[Long](0).size)
+    }
+  }
+
+  test("word_shingle_hash56 ≡ hash56 over word n-grams (set-equal, empties kept)") {
+    val df = Seq("", "a b", "a b c d e", "a  b c", " lead", "trail ", "ω multi byte token ω")
+      .toDF("t")
+    val composed = expr(
+      """CASE WHEN size(split(t, ' ')) >= 3 THEN
+        |  array_distinct(transform(sequence(0, size(split(t, ' ')) - 3),
+        |    i -> concat_ws(' ', slice(split(t, ' '), i + 1, 3))))
+        |ELSE array() END""".stripMargin)
+    val rows = df.select(
+      LshFunctions.word_shingle_hash56(col("t"), 3).as("fused"),
+      LshFunctions.hashed_shingles(composed).as("composed")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0).toSet == r.getSeq[Long](1).toSet))
+  }
 }
