@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.LshFunctions
+
+/** Benchmark decontamination — the train/eval n-gram overlap check every
+  * LLM training pipeline runs before a corpus ships (an eval example whose
+  * n-grams appear in the training set silently inflates benchmark scores).
+  *
+  * The eval side is the deterministic hash-test split ([[Sampling]]'s
+  * bucket ≥ benchFromPct), so the check is self-contained over one corpus
+  * and reproducible across engines/runs; swapping in an external benchmark
+  * table changes nothing structurally.
+  *
+  * Scale shape: eval benchmarks are MBs while the train corpus is the
+  * 100 TB side, so the distinct eval shingle-hash set is broadcast — the
+  * train side streams through a broadcast hash join with NO shuffle of
+  * train data; the only shuffle is the per-document hit aggregation
+  * (keyed by doc_id, map-side combined). Shingles ride the fused
+  * [[graft.functions.WordShingleHash56]] (one md5 per n-gram, digested in
+  * place from the text bytes).
+  */
+object Decontaminate {
+
+  /** Per-train-document contamination report: how many of the document's
+    * distinct word `n`-gram shingles also occur anywhere in the eval
+    * split, as a count, a ratio, and a flag.
+    *
+    * Documents with fewer than `n` tokens have no shingles and report
+    * ratio 0.0 (never NULL) — vacuously clean, kept in the output so the
+    * report covers the full train split.
+    */
+  def contamination(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", n: Int = 5,
+                    trainPct: Int = 80, benchFromPct: Int = 90): DataFrame = {
+    val hs = docs.select(
+      col(idCol).as("doc_id"),
+      Sampling.hashBucket(col(idCol)).as("bucket"),
+      LshFunctions.word_shingle_hash56(col(textCol), n).as("hs"))
+
+    val bench = hs.where(col("bucket") >= benchFromPct)
+      .select(explode(col("hs")).as("g")).distinct()
+
+    val train = hs.where(col("bucket") < trainPct)
+
+    // hs is already distinct per document, so one joined row = one
+    // distinct contaminated shingle
+    val hits = train.select(col("doc_id"), explode(col("hs")).as("g"))
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+
+    train
+      .select(col("doc_id"), size(col("hs")).cast("bigint").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(when(col("n_shingles") > 0,
+          coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)), 6).as("contamination"),
+        (coalesce(col("n_contaminated"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+}

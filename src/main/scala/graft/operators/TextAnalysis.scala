@@ -144,6 +144,60 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Word n-grams over the canonical tokens, empty when the document has
+    * fewer than `n` tokens (Spark's `sequence` counts DOWN for a negative
+    * span, so the guard is required, not defensive). */
+  private def wordGrams(n: Int): Column = expr(
+    s"""CASE WHEN size(t) >= $n THEN
+       |  transform(sequence(0, size(t) - $n), i -> concat_ws(' ', slice(t, i + 1, $n)))
+       |ELSE array() END""".stripMargin)
+
+  /** Repetition scoring (the Gopher/C4 family of quality signals): the
+    * fraction of word 2-/3-grams that are repeats of an earlier n-gram in
+    * the same document, plus the share of the single most frequent 2-gram.
+    * Machine-generated and boilerplate text scores high; these ratios are
+    * standard cut features upstream of training.
+    *
+    * Scale shape: the duplicate ratios are pure array expressions (narrow,
+    * codegen'd, no shuffle). The top-2-gram share needs a per-(doc, gram)
+    * count — explode + two-level groupBy keyed by doc_id, map-side
+    * combined, so the shuffle carries one row per distinct in-document
+    * 2-gram, never a cross product. The `repetitive` flag is computed on
+    * the ROUNDED ratios so the cut is reproducible cross-engine. */
+  def repetition(docs: DataFrame, topTh: Double = 0.05, dupTh: Double = 0.05): DataFrame = {
+    val base = docs.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), wordGrams(2).as("g2"), wordGrams(3).as("g3"))
+
+    val arrStats = base.select(col("doc_id"),
+      size(col("g2")).cast("bigint").as("n_2grams"),
+      size(array_distinct(col("g2"))).cast("bigint").as("d2"),
+      size(col("g3")).cast("bigint").as("n_3grams"),
+      size(array_distinct(col("g3"))).cast("bigint").as("d3"))
+
+    val top = base.select(col("doc_id"), explode(col("g2")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+
+    val dup2 = round(when(col("n_2grams") > 0,
+      (col("n_2grams") - col("d2")).cast("double") / col("n_2grams"))
+      .otherwise(lit(0.0)), 6)
+    val dup3 = round(when(col("n_3grams") > 0,
+      (col("n_3grams") - col("d3")).cast("double") / col("n_3grams"))
+      .otherwise(lit(0.0)), 6)
+    val top2 = round(when(col("n_2grams") > 0,
+      coalesce(col("top_c"), lit(0L)).cast("double") / col("n_2grams"))
+      .otherwise(lit(0.0)), 6)
+
+    arrStats.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_2grams"),
+        dup2.as("dup_2gram_ratio"),
+        top2.as("top_2gram_ratio"),
+        dup3.as("dup_3gram_ratio"))
+      .withColumn("repetitive",
+        col("top_2gram_ratio") > topTh || col("dup_3gram_ratio") > dupTh)
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document quality scoring, language-ID heuristic, and content
     * fingerprint — all narrow expressions over one scan.
     *
