@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Ann, AsofJoin, CatalogOps, Dedup, EmbeddingStats, Funnel, Ingest, Multimodal, RangeJoin, Relational, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, CatalogOps, Decontaminate, Dedup, EmbeddingStats, Funnel, Ingest, Multimodal, RangeJoin, Relational, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,6 +60,7 @@ object SparkEntry {
       ngramPairs(s, dir))),
     "dedup_groups"  -> ((s, dir) => Dedup.dedupGroups(Tables.documents(s, dir),
       ngramPairs(s, dir))),
+    "decontaminate" -> ((s, dir) => Decontaminate.contamination(Tables.documents(s, dir))),
     "text_stats"   -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     "docs_sample"  -> ((s, dir) => Sampling
       .sampleByPercent(Tables.documents(s, dir), "doc_id", 10)
@@ -364,6 +365,24 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(r.root, d.doc_id) AS group_id
          |FROM documents d LEFT JOIN roots r ON d.doc_id = r.id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "decontaminate" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |hs AS (SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS bucket,
+        |    list_distinct(list_transform(range(0, len(t) - 4),
+        |      i -> CAST(('0x' || substr(md5(array_to_string(t[i+1:i+5], ' ')), 1, 14))::UBIGINT AS BIGINT))) AS hs
+        |  FROM t0),
+        |bench AS (SELECT DISTINCT unnest(hs) AS g FROM hs WHERE bucket >= 90),
+        |train AS (SELECT doc_id, hs FROM hs WHERE bucket < 80),
+        |tg AS (SELECT doc_id, unnest(hs) AS g FROM train),
+        |hits AS (SELECT doc_id, count(*) AS n FROM tg JOIN bench USING (g) GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.hs) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated,
+        |  round(CASE WHEN len(t.hs) > 0 THEN coalesce(h.n, 0)::DOUBLE / len(t.hs) ELSE 0.0 END, 6) AS contamination,
+        |  coalesce(h.n, 0) > 0 AS contaminated
+        |FROM train t LEFT JOIN hits h USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
