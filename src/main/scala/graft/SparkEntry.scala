@@ -74,6 +74,7 @@ object SparkEntry {
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "doc_winnow"   -> ((s, dir) => TextAnalysis.winnowFingerprints(Tables.documents(s, dir))),
     "text_normalize" -> ((s, dir) => TextAnalysis.normalize(Tables.documents(s, dir))),
+    "text_repetition" -> ((s, dir) => TextAnalysis.repetition(Tables.documents(s, dir))),
     "ann_topk" -> ((s, dir) => Ann.annTopk(s, dir, 0L, 10)),
     "ann_topk_indexed" -> ((s, dir) => Ann.annTopkIndexed(s, dir, 0L, 10)),
     "ivf_topk" -> ((s, dir) => Ann.ivfTopk(s, dir, 0L, 10, 16, 4)),
@@ -399,6 +400,32 @@ object SparkEntry {
         |SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
         |  md5(clean) AS clean_fp
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t0 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+        |            FROM documents),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 2 THEN list_transform(range(0, len(t) - 1),
+        |      i -> array_to_string(t[i+1:i+2], ' ')) ELSE CAST([] AS VARCHAR[]) END AS g2,
+        |    CASE WHEN len(t) >= 3 THEN list_transform(range(0, len(t) - 2),
+        |      i -> array_to_string(t[i+1:i+3], ' ')) ELSE CAST([] AS VARCHAR[]) END AS g3
+        |  FROM t0),
+        |top AS (SELECT doc_id, max(c) AS top_c FROM (
+        |    SELECT doc_id, gi, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(g2) AS gi FROM g) u GROUP BY doc_id, gi) v
+        |  GROUP BY doc_id),
+        |r AS (SELECT g.doc_id,
+        |    CAST(len(g2) AS BIGINT) AS n_2grams,
+        |    round(CASE WHEN len(g2) > 0
+        |          THEN (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2) ELSE 0.0 END, 6) AS dup_2gram_ratio,
+        |    round(CASE WHEN len(g2) > 0
+        |          THEN coalesce(top.top_c, 0)::DOUBLE / len(g2) ELSE 0.0 END, 6) AS top_2gram_ratio,
+        |    round(CASE WHEN len(g3) > 0
+        |          THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) ELSE 0.0 END, 6) AS dup_3gram_ratio
+        |  FROM g LEFT JOIN top ON g.doc_id = top.doc_id)
+        |SELECT doc_id, n_2grams, dup_2gram_ratio, top_2gram_ratio, dup_3gram_ratio,
+        |  (top_2gram_ratio > 0.05 OR dup_3gram_ratio > 0.05) AS repetitive
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "doc_winnow" ->
       """WITH gh AS (SELECT doc_id,

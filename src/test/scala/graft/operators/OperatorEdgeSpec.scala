@@ -131,6 +131,24 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(res.map(_.getLong(9)).sum == expected)
   }
 
+  test("repetition: looped text flagged, varied text clean, short text zero ratios") {
+    import spark.implicits._
+    val varied = (1 to 30).map(i => s"w$i").mkString(" ") // 29 distinct 2-grams
+    val docs = Seq(
+      (1L, ("spam ham " * 8).trim),  // one 2-gram dominates
+      (2L, varied),
+      (3L, "hello")                // no 2-grams at all
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    val (n1, dup1, top1, _, rep1) = out(1L)
+    assert(n1 == 15 && dup1 > 0.8 && top1 > 0.5 && rep1)
+    val (_, dup2, top2, _, rep2) = out(2L)
+    assert(dup2 == 0.0 && top2 < 0.05 && !rep2)
+    assert(out(3L) == ((0L, 0.0, 0.0, 0.0, false)))
+  }
+
   test("token counts: char length consistent, counts positive on real docs") {
     val docs = Tables.documents(spark, dir)
     val tc = TextAnalysis.tokenCounts(docs).collect()
