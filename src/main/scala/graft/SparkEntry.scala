@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Ann, AsofJoin, CatalogOps, Decontaminate, Dedup, EmbeddingStats, Funnel, Ingest, Multimodal, RangeJoin, Relational, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, CatalogOps, Decontaminate, Dedup, EmbeddingStats, Funnel, Ingest, Multimodal, RangeJoin, Relational, Sampling, Search, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -75,6 +75,7 @@ object SparkEntry {
     "doc_winnow"   -> ((s, dir) => TextAnalysis.winnowFingerprints(Tables.documents(s, dir))),
     "text_normalize" -> ((s, dir) => TextAnalysis.normalize(Tables.documents(s, dir))),
     "text_repetition" -> ((s, dir) => TextAnalysis.repetition(Tables.documents(s, dir))),
+    "bm25_topk" -> ((s, dir) => Search.bm25TopK(Tables.documents(s, dir), Bm25Terms, 15)),
     "ann_topk" -> ((s, dir) => Ann.annTopk(s, dir, 0L, 10)),
     "ann_topk_indexed" -> ((s, dir) => Ann.annTopkIndexed(s, dir, 0L, 10)),
     "ivf_topk" -> ((s, dir) => Ann.ivfTopk(s, dir, 0L, 10, 16, 4)),
@@ -201,6 +202,41 @@ object SparkEntry {
        |  JOIN sh sa ON sa.doc_id = c.a_id
        |  JOIN sh sb ON sb.doc_id = c.b_id) v
        |  WHERE jaccard >= $tau)""".stripMargin
+  }
+
+  /** BM25 query terms for the `bm25_topk` entry — mid-frequency corpus
+    * vocabulary so tf and df both vary across documents. */
+  private val Bm25Terms = Seq("vector", "hash", "join")
+
+  /** DuckDB BM25 mirroring Search.bm25TopK. Every floating-point constant
+    * is interpolated from the SAME Scala doubles the operator uses, so
+    * both engines score with bit-identical parameters. */
+  private def bm25Sql(terms: Seq[String], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): String = {
+    val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter($toks, x -> x = '$t'))::DOUBLE AS tf$i" }.mkString(",\n    ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::DOUBLE AS df$i").mkString(",\n    ")
+    val idfs = terms.indices.map(i =>
+      s"round(ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)), 9) AS idf$i").mkString(",\n    ")
+    val contribs = terms.indices.map(i =>
+      s"idf$i * (tf$i * ${k1 + 1.0}) / (tf$i + $k1 * (${1.0 - b} + $b * dl / avgdl))")
+      .mkString("\n        + ")
+    s"""WITH tf AS (SELECT doc_id, len($toks)::DOUBLE AS dl,
+       |    $tfs
+       |  FROM documents),
+       |stats AS (SELECT count(*)::DOUBLE AS n, round(avg(dl), 9) AS avgdl,
+       |    $dfs
+       |  FROM tf),
+       |idf AS (SELECT avgdl,
+       |    $idfs
+       |  FROM stats),
+       |scored AS (SELECT doc_id,
+       |    round($contribs, 6) AS score
+       |  FROM tf, idf)
+       |SELECT doc_id, score FROM scored WHERE score > 0
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
   }
 
   /** Hyperplane-LSH probe + exact rerank CTEs — shared by the scan-time,
@@ -426,6 +462,8 @@ object SparkEntry {
         |SELECT doc_id, n_2grams, dup_2gram_ratio, top_2gram_ratio, dup_3gram_ratio,
         |  (top_2gram_ratio > 0.05 OR dup_3gram_ratio > 0.05) AS repetitive
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "bm25_topk" -> bm25Sql(Bm25Terms, 15),
 
     "doc_winnow" ->
       """WITH gh AS (SELECT doc_id,
