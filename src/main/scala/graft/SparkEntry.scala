@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Ann, AsofJoin, CatalogOps, Decontaminate, Dedup, EmbeddingStats, Funnel, Ingest, Multimodal, RangeJoin, Relational, Sampling, Search, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, CatalogOps, Decontaminate, Dedup, EmbeddingStats, Funnel, Ingest, Multimodal, Pii, RangeJoin, Relational, Sampling, Search, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -76,6 +76,20 @@ object SparkEntry {
     "text_normalize" -> ((s, dir) => TextAnalysis.normalize(Tables.documents(s, dir))),
     "text_repetition" -> ((s, dir) => TextAnalysis.repetition(Tables.documents(s, dir))),
     "bm25_topk" -> ((s, dir) => Search.bm25TopK(Tables.documents(s, dir), Bm25Terms, 15)),
+    "pii_redact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, lit, lpad, pmod}
+      // the synthetic corpus carries no PII, so inject a deterministic
+      // contact line built from table columns — both engines construct
+      // the identical string, so the regex spans (and the redacted
+      // fingerprint) become a real cross-engine check
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+          lit(" from 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+          lit(".7")).as("text"))
+      Pii.scan(docs)
+    }),
     "ann_topk" -> ((s, dir) => Ann.annTopk(s, dir, 0L, 10)),
     "ann_topk_indexed" -> ((s, dir) => Ann.annTopkIndexed(s, dir, 0L, 10)),
     "ivf_topk" -> ((s, dir) => Ann.ivfTopk(s, dir, 0L, 10, 16, 4)),
@@ -464,6 +478,30 @@ object SparkEntry {
         |FROM r ORDER BY doc_id""".stripMargin,
 
     "bm25_topk" -> bm25Sql(Bm25Terms, 15),
+
+    "pii_redact" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@example.com or call +1-555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |    len(regexp_extract_all(text, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+        |    len(regexp_extract_all(text, '(?:[0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |      '(?:[0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted
+        |  FROM d)
+        |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+        |  CAST(n_phones AS BIGINT) AS n_phones, CAST(n_ips AS BIGINT) AS n_ips,
+        |  (n_emails + n_phones + n_ips > 0) AS has_pii,
+        |  CAST(length(redacted) AS BIGINT) AS redacted_len,
+        |  md5(redacted) AS redacted_fp
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "doc_winnow" ->
       """WITH gh AS (SELECT doc_id,
