@@ -102,6 +102,8 @@ object SparkEntry {
         .select(col("embedding")).collect().map(_.getSeq[Double](0).toSeq).toSeq
       Ann.kmeansStep(e, cents)
     }),
+    "pq_err"  -> ((s, dir) => Ann.pqError(s, dir)),
+    "pq_topk" -> ((s, dir) => Ann.pqTopk(s, dir, 0L, 10)),
     "embed_label_stats" -> ((s, dir) => EmbeddingStats.perLabelCohesion(Tables.embeddings(s, dir))),
     "embed_norm_quantiles" -> ((s, dir) => EmbeddingStats.normQuantiles(Tables.embeddings(s, dir))),
     "embed_quantize_err" -> ((s, dir) => EmbeddingStats.quantizationError(Tables.embeddings(s, dir))),
@@ -294,6 +296,24 @@ object SparkEntry {
        |WHERE a.cell IN (SELECT ci FROM qcell)
        |ORDER BY score DESC, vec_id ASC
        |LIMIT 10""".stripMargin
+
+  /** Shared PQ reconstruction CTEs (8 subspaces × 8 dims, 16 codes seeded
+    * from vec_id < 16 — mirrors Ann.pqCodebook/PqReconstruct: sequential
+    * squared-distance accumulation, first-position argmin). Ends with a
+    * `rec(vec_id, label, v, r)` CTE. */
+  private def pqRecSql(m: Int = 8, kCodes: Int = 16, dsub: Int = 8): String =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |cb AS (SELECT list(v ORDER BY vec_id) AS cl FROM e WHERE vec_id < $kCodes),
+       |scs AS (SELECT vec_id, label, v,
+       |    list_transform(range(0, $m), s ->
+       |      list_transform(range(1, ${kCodes + 1}), j ->
+       |        list_sum(list_transform(range(1, ${dsub + 1}), i ->
+       |          (v[s*$dsub+i] - cl[j][s*$dsub+i]) * (v[s*$dsub+i] - cl[j][s*$dsub+i]))))) AS scs
+       |  FROM e, cb),
+       |rec AS (SELECT vec_id, label, v,
+       |    flatten(list_transform(range(0, $m), s ->
+       |      cl[list_position(scs[s+1], list_min(scs[s+1]))][s*$dsub+1:s*$dsub+$dsub])) AS r
+       |  FROM scs, cb)""".stripMargin
 
   private def annTopkSql: String =
     s"""$annProbeSql
@@ -575,6 +595,26 @@ object SparkEntry {
         |       ELSE 'und' END AS lang_guess,
         |  md5(lower(text)) AS fp
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "pq_err" ->
+      s"""WITH ${pqRecSql()},
+         |err AS (SELECT label,
+         |    round(sqrt(list_sum(list_transform(range(1, 65), i -> (v[i]-r[i])*(v[i]-r[i]))))
+         |          / sqrt(list_sum(list_transform(v, x -> x*x))), 9) AS rel_err
+         |  FROM rec
+         |  WHERE sqrt(list_sum(list_transform(v, x -> x*x))) > 0)
+         |SELECT label, count(*) AS n,
+         |  round(avg(rel_err), 6) AS avg_err,
+         |  round(max(rel_err), 6) AS max_err
+         |FROM err GROUP BY label ORDER BY label""".stripMargin,
+
+    "pq_topk" ->
+      s"""WITH ${pqRecSql()},
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT rec.vec_id, rec.label, ${cosSql("rec.r", "q.qv")} AS score
+         |FROM rec, q
+         |ORDER BY score DESC, vec_id ASC
+         |LIMIT 10""".stripMargin,
 
     "embed_label_stats" ->
       s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -193,6 +193,73 @@ object Ann {
       .limit(k)
   }
 
+  /** Product-quantization codebook seeded from the first `kCodes` stored
+    * vectors: codebook(m)(j) = subspace-m slice of seed vector j — the
+    * same deterministic seeding contract as [[ivfTopk]]'s centroids, so
+    * the oracle reproduces every code assignment exactly. A production
+    * build replaces the seeding with per-subspace k-means
+    * ([[kmeansStep]]'s shape, once per subspace); encode/score are
+    * unchanged. */
+  private[operators] def pqCodebook(e: DataFrame, m: Int, kCodes: Int,
+                                    dim: Int): Seq[Seq[Seq[Double]]] = {
+    val dsub = dim / m
+    val seeds = e.where(col("vec_id") < kCodes).orderBy(col("vec_id"))
+      .select(col("embedding")).collect().map(_.getSeq[Double](0).toArray)
+    (0 until m).map(s => seeds.toSeq.map(_.slice(s * dsub, (s + 1) * dsub).toSeq))
+  }
+
+  /** The PQ reconstruction column — the ONE place encode+decode lives;
+    * see [[graft.functions.PqReconstruct]]. */
+  private def pqReconstructCol(vecCol: Column, cb: Seq[Seq[Seq[Double]]]): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.PqReconstruct(
+      Bridge.expression(vecCol.cast("array<double>")), cb))
+  }
+
+  /** PQ compression audit: per-label relative L2 reconstruction error —
+    * the distortion check before shrinking an embedding store to M bytes
+    * per vector (64×8B → 8B here). Narrow encode/decode + one label-keyed
+    * aggregation; the [[graft.operators.EmbeddingStats.quantizationError]]
+    * twin for vector (not scalar) quantization. Zero vectors carry no
+    * defined relative error and are excluded in both engines. */
+  def pqError(spark: SparkSession, dir: String, m: Int = 8, kCodes: Int = 16,
+              dim: Int = 64): DataFrame = {
+    import graft.functions.VectorFunctions.{l2_dist, l2_norm}
+    val e = Tables.embeddings(spark, dir)
+    val cb = pqCodebook(e, m, kCodes, dim)
+    val v = col("embedding").cast("array<double>")
+    e.where(l2_norm(v) > 0.0)
+      .select(col("label"),
+        round(l2_dist(v, pqReconstructCol(col("embedding"), cb)) / l2_norm(v), 9)
+          .as("rel_err"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("rel_err")), 6).as("avg_err"),
+        round(max(col("rel_err")), 6).as("max_err"))
+      .orderBy(col("label"))
+  }
+
+  /** PQ asymmetric-distance top-k: the RAW query scored against each
+    * row's reconstruction (ADC) — the memory-bound ANN scan shape: at
+    * scale the store holds only M small codes per vector, the codebook is
+    * a per-executor constant, and scoring never touches the original
+    * vectors. Plan stays scan → narrow reconstruct+score →
+    * `TakeOrderedAndProject`; a production variant hoists the per-query
+    * distance tables out of the loop, which changes arithmetic
+    * (accumulation order) but not the plan. */
+  def pqTopk(spark: SparkSession, dir: String, queryVecId: Long = 0L, k: Int = 10,
+             m: Int = 8, kCodes: Int = 16, dim: Int = 64): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cb = pqCodebook(e, m, kCodes, dim)
+    val qv = Similarity.queryVector(spark, dir, queryVecId)
+    e.select(col("vec_id"), col("label"),
+        round(cosine_sim(pqReconstructCol(col("embedding"), cb), typedLit(qv)), 6)
+          .as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** One Lloyd iteration of IVF centroid training: assign every vector to
     * its max-cosine centroid, emit the new centroid components as
     * (cell, pos, mean, members) rows. Shuffle budget = one aggregation on
