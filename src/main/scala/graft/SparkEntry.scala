@@ -76,6 +76,8 @@ object SparkEntry {
     "text_normalize" -> ((s, dir) => TextAnalysis.normalize(Tables.documents(s, dir))),
     "text_repetition" -> ((s, dir) => TextAnalysis.repetition(Tables.documents(s, dir))),
     "bm25_topk" -> ((s, dir) => Search.bm25TopK(Tables.documents(s, dir), Bm25Terms, 15)),
+    "hybrid_topk" -> ((s, dir) =>
+      Search.hybridTopK(Tables.documents(s, dir), Bm25Terms, "spark data query", 15)),
     "pii_redact" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat, lit, lpad, pmod}
       // the synthetic corpus carries no PII, so inject a deterministic
@@ -224,11 +226,12 @@ object SparkEntry {
     * vocabulary so tf and df both vary across documents. */
   private val Bm25Terms = Seq("vector", "hash", "join")
 
-  /** DuckDB BM25 mirroring Search.bm25TopK. Every floating-point constant
-    * is interpolated from the SAME Scala doubles the operator uses, so
-    * both engines score with bit-identical parameters. */
-  private def bm25Sql(terms: Seq[String], k: Int,
-                      k1: Double = 1.2, b: Double = 0.75): String = {
+  /** DuckDB BM25 CTE chain mirroring Search.bm25TopK (ends with a
+    * `scored(doc_id, score)` CTE). Every floating-point constant is
+    * interpolated from the SAME Scala doubles the operator uses, so both
+    * engines score with bit-identical parameters. */
+  private def bm25Ctes(terms: Seq[String],
+                       k1: Double = 1.2, b: Double = 0.75): String = {
     val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
     val tfs = terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter($toks, x -> x = '$t'))::DOUBLE AS tf$i" }.mkString(",\n    ")
@@ -239,7 +242,7 @@ object SparkEntry {
     val contribs = terms.indices.map(i =>
       s"idf$i * (tf$i * ${k1 + 1.0}) / (tf$i + $k1 * (${1.0 - b} + $b * dl / avgdl))")
       .mkString("\n        + ")
-    s"""WITH tf AS (SELECT doc_id, len($toks)::DOUBLE AS dl,
+    s"""tf AS (SELECT doc_id, len($toks)::DOUBLE AS dl,
        |    $tfs
        |  FROM documents),
        |stats AS (SELECT count(*)::DOUBLE AS n, round(avg(dl), 9) AS avgdl,
@@ -250,10 +253,13 @@ object SparkEntry {
        |  FROM stats),
        |scored AS (SELECT doc_id,
        |    round($contribs, 6) AS score
-       |  FROM tf, idf)
+       |  FROM tf, idf)""".stripMargin
+  }
+
+  private def bm25Sql(terms: Seq[String], k: Int): String =
+    s"""WITH ${bm25Ctes(terms)}
        |SELECT doc_id, score FROM scored WHERE score > 0
        |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
-  }
 
   /** Hyperplane-LSH probe + exact rerank CTEs — shared by the scan-time,
     * stored-index, and range-search ANN variants (identical candidate
@@ -498,6 +504,25 @@ object SparkEntry {
         |FROM r ORDER BY doc_id""".stripMargin,
 
     "bm25_topk" -> bm25Sql(Bm25Terms, 15),
+
+    "hybrid_topk" ->
+      s"""WITH ${bm25Ctes(Bm25Terms)},
+         |bm AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+         |       FROM (SELECT doc_id, score FROM scored WHERE score > 0
+         |             ORDER BY score DESC, doc_id ASC LIMIT 50) tb),
+         |emb AS (SELECT doc_id, ${embSql("text")} AS v FROM documents),
+         |q AS (SELECT ${embSql("'spark data query'")} AS qv),
+         |cs AS (SELECT emb.doc_id, ${cosSql("emb.v", "q.qv")} AS score FROM emb, q),
+         |cr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+         |       FROM (SELECT doc_id, score FROM cs
+         |             ORDER BY score DESC, doc_id ASC LIMIT 50) tc)
+         |SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+         |  CAST(b.rnk AS BIGINT) AS bm25_rnk,
+         |  CAST(c.rnk AS BIGINT) AS cos_rnk,
+         |  round(coalesce(1.0 / (60 + b.rnk), 0.0)
+         |      + coalesce(1.0 / (60 + c.rnk), 0.0), 9) AS rrf
+         |FROM bm b FULL JOIN cr c ON b.doc_id = c.doc_id
+         |ORDER BY rrf DESC, doc_id ASC LIMIT 15""".stripMargin,
 
     "pii_redact" ->
       """WITH d AS (SELECT doc_id,

@@ -1,7 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.core.Embedders
+import graft.functions.VectorFunctions.cosine_sim
 
 /** Lexical ranked retrieval — BM25, the scoring function behind every
   * full-text search engine and the standard lexical half of hybrid
@@ -66,6 +70,70 @@ object Search {
       .select(col("doc_id"), round(score, 6).as("score"))
       .where(col("score") > 0.0)
       .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Rank the ≤ k survivors of a (score, doc_id)-ordered top-k. The
+    * window partition is pmod(doc_id, 1) — identically 0 but not
+    * constant-foldable, so it is single-valued over the k rows by
+    * construction (never an unpartitioned window over unbounded data;
+    * same device as TextAnalysis.tokenTopK). */
+  private def ranked(topk: DataFrame): DataFrame = {
+    val w = Window.partitionBy(pmod(col("doc_id"), lit(1L)))
+      .orderBy(desc("score"), asc("doc_id"))
+    topk.withColumn("rnk", row_number().over(w)).select(col("doc_id"), col("rnk"))
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF) of the BM25 ranking
+    * and an embedding-cosine ranking of the same corpus —
+    * `score(d) = Σ_arms 1/(rrfK + rank_arm(d))` over the union of both
+    * top-`kEach` lists, the standard score-free fusion rule (robust to
+    * incomparable score scales, which is exactly the BM25-vs-cosine
+    * situation).
+    *
+    * Scale shape: each arm ends in a bounded-heap top-kEach, so the
+    * fusion joins two ≤ kEach-row sets (broadcast-sized by construction)
+    * — the corpus is scanned, never shuffled. The embedding arm embeds
+    * text inline here (partition-batched, the deliberate JVM fence); a
+    * production pipeline reads the stored embedding column instead and
+    * the fusion is unchanged. Ranks are integers, so fused scores are
+    * bit-identical across engines by construction. */
+  def hybridTopK(docs: DataFrame, terms: Seq[String], queryText: String, k: Int,
+                 kEach: Int = 50, rrfK: Int = 60,
+                 embedderId: String = "local/hash-64",
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val bm = ranked(bm25TopK(docs, terms, kEach, idCol = idCol, textCol = textCol))
+      .withColumnRenamed("rnk", "bm25_rnk")
+
+    val embedded = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(512).flatMap { g =>
+          val embs = Embedders.embedBatch(embedderId, g.iterator.map(_._2.getBytes("UTF-8")))
+          g.iterator.zip(embs).map { case ((id, _), e) => (id, e) }
+        }
+      }
+      .toDF("doc_id", "emb")
+    val qv = Embedders.get(embedderId)(queryText.getBytes("UTF-8"))
+    val cos = ranked(
+      embedded
+        .select(col("doc_id"), round(cosine_sim(col("emb"), typedLit(qv)), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(kEach))
+      .withColumnRenamed("rnk", "cos_rnk")
+
+    bm.join(cos, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        col("bm25_rnk").cast("bigint").as("bm25_rnk"),
+        col("cos_rnk").cast("bigint").as("cos_rnk"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("bm25_rnk")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("cos_rnk")), lit(0.0)), 9).as("rrf"))
+      .orderBy(desc("rrf"), asc("doc_id"))
       .limit(k)
   }
 }

