@@ -41,6 +41,15 @@ object Bench {
     // here so each consumer query measures its own work; the mine itself
     // is still measured in full by dedup_ngram.
     SparkEntry.prepareShared(spark, sfDir)
+    // Settle the session after the mine: its async shuffle/block cleanup
+    // and GC debt otherwise land on whichever query happens to run first
+    // (measured: tens of seconds of variance on the first post-mine
+    // action). The settle belongs to warmup_sec, not to that query.
+    System.gc()
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("sum(crc32(cast(vec_id as string)))").collect()
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("lang").count().collect()
     val warmupSec = (System.nanoTime() - w0) / 1e9
 
     // Dev filter: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries

@@ -106,6 +106,7 @@ object SparkEntry {
     }),
     "pq_err"  -> ((s, dir) => Ann.pqError(s, dir)),
     "pq_topk" -> ((s, dir) => Ann.pqTopk(s, dir, 0L, 10)),
+    "pq_topk_indexed" -> ((s, dir) => Ann.pqTopkIndexed(s, dir, 0L, 10)),
     "embed_label_stats" -> ((s, dir) => EmbeddingStats.perLabelCohesion(Tables.embeddings(s, dir))),
     "embed_norm_quantiles" -> ((s, dir) => EmbeddingStats.normQuantiles(Tables.embeddings(s, dir))),
     "embed_quantize_err" -> ((s, dir) => EmbeddingStats.quantizationError(Tables.embeddings(s, dir))),
@@ -320,6 +321,14 @@ object SparkEntry {
        |    flatten(list_transform(range(0, $m), s ->
        |      cl[list_position(scs[s+1], list_min(scs[s+1]))][s*$dsub+1:s*$dsub+$dsub])) AS r
        |  FROM scs, cb)""".stripMargin
+
+  private def pqTopkSql: String =
+    s"""WITH ${pqRecSql()},
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT rec.vec_id, rec.label, ${cosSql("rec.r", "q.qv")} AS score
+       |FROM rec, q
+       |ORDER BY score DESC, vec_id ASC
+       |LIMIT 10""".stripMargin
 
   private def annTopkSql: String =
     s"""$annProbeSql
@@ -633,13 +642,8 @@ object SparkEntry {
          |  round(max(rel_err), 6) AS max_err
          |FROM err GROUP BY label ORDER BY label""".stripMargin,
 
-    "pq_topk" ->
-      s"""WITH ${pqRecSql()},
-         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-         |SELECT rec.vec_id, rec.label, ${cosSql("rec.r", "q.qv")} AS score
-         |FROM rec, q
-         |ORDER BY score DESC, vec_id ASC
-         |LIMIT 10""".stripMargin,
+    "pq_topk" -> pqTopkSql,
+    "pq_topk_indexed" -> pqTopkSql, // identical semantics: same codes, same decode, same rerank
 
     "embed_label_stats" ->
       s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),

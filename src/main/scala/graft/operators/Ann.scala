@@ -260,6 +260,43 @@ object Ann {
       .limit(k)
   }
 
+  /** PQ ADC top-k against a PERSISTED code table — the compressed-store
+    * realization of [[pqTopk]]: the index holds only (vec_id, label,
+    * M codes) per vector (8 longs vs 64 doubles here; M bytes in a
+    * production layout), the codebook is a per-executor constant, and the
+    * probe scan decodes + scores without ever touching raw vectors —
+    * the memory-/IO-bound ANN scan shape at 100 TB. Same codes, same
+    * reconstruction, same scoring ⇒ same oracle as [[pqTopk]].
+    * Index lifecycle contract as [[annTopkIndexed]]. */
+  def pqTopkIndexed(spark: SparkSession, dir: String, queryVecId: Long = 0L, k: Int = 10,
+                    m: Int = 8, kCodes: Int = 16, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val e = Tables.embeddings(spark, dir)
+    val cb = pqCodebook(e, m, kCodes, dim)
+
+    val idxPath = pqIndexPath(dir, m, kCodes)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath, "_SUCCESS"))) {
+      e.select(col("vec_id"), col("label"),
+          Bridge.column(graft.functions.PqCodes(
+            Bridge.expression(col("embedding").cast("array<double>")), cb)).as("codes"))
+        .write.mode("overwrite").parquet(idxPath)
+    }
+    val qv = Similarity.queryVector(spark, dir, queryVecId)
+    spark.read.parquet(idxPath)
+      .select(col("vec_id"), col("label"),
+        round(cosine_sim(
+          Bridge.column(graft.functions.PqDecode(
+            Bridge.expression(col("codes")), cb)), typedLit(qv)), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
+  private def pqIndexPath(dir: String, m: Int, kCodes: Int): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$dir|pq|$m|$kCodes".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft-pqidx-$h"
+  }
+
   /** One Lloyd iteration of IVF centroid training: assign every vector to
     * its max-cosine centroid, emit the new centroid components as
     * (cell, pos, mean, members) rows. Shuffle budget = one aggregation on

@@ -42,7 +42,12 @@ object Search {
     def tfCol(i: Int): String = s"tf$i"
     def dfCol(i: Int): String = s"df$i"
 
-    val tf = docs.select(
+    // tokenization is the expensive projection and feeds BOTH branches
+    // (stats + scoring) — pin its parallelism off the source's split
+    // count (single small test file = one-core stage otherwise)
+    val tf = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(
       col(idCol).as("doc_id") +:
         expr(s"size($toks)").cast("double").as("dl") +:
         terms.zipWithIndex.map { case (t, i) =>
@@ -109,6 +114,7 @@ object Search {
       .withColumnRenamed("rnk", "bm25_rnk")
 
     val embedded = docs
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions { it =>

@@ -165,31 +165,42 @@ object TextAnalysis {
     * 2-gram, never a cross product. The `repetitive` flag is computed on
     * the ROUNDED ratios so the cut is reproducible cross-engine. */
   def repetition(docs: DataFrame, topTh: Double = 0.05, dupTh: Double = 0.05): DataFrame = {
-    val base = docs.select(col("doc_id"), toks.as("t"))
-      .select(col("doc_id"), wordGrams(2).as("g2"), wordGrams(3).as("g3"))
+    // gram construction is the expensive projection — pin its parallelism
+    // off the source's split count (single small test file = one-core
+    // stage otherwise; same rationale as winnowFingerprints), and derive
+    // EVERY per-doc statistic from one explode+aggregate per gram size so
+    // the projection is evaluated once per branch, never once per
+    // referencing expression (total/distinct/top from separate array
+    // expressions re-ran the whole gram build 3x over the scan)
+    val base = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), toks.as("t"))
 
-    val arrStats = base.select(col("doc_id"),
-      size(col("g2")).cast("bigint").as("n_2grams"),
-      size(array_distinct(col("g2"))).cast("bigint").as("d2"),
-      size(col("g3")).cast("bigint").as("n_3grams"),
-      size(array_distinct(col("g3"))).cast("bigint").as("d3"))
-
-    val top = base.select(col("doc_id"), explode(col("g2")).as("g"))
+    // one row per (doc, distinct gram) after the inner agg: sum(c) = total
+    // grams, count = distinct grams, max(c) = the dominant gram's count
+    val g2 = base.select(col("doc_id"), explode(wordGrams(2)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_2grams"), count(lit(1)).as("d2"), max(col("c")).as("top_c"))
+    val g3 = base.select(col("doc_id"), explode(wordGrams(3)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_3grams"), count(lit(1)).as("d3"))
 
-    val dup2 = round(when(col("n_2grams") > 0,
-      (col("n_2grams") - col("d2")).cast("double") / col("n_2grams"))
-      .otherwise(lit(0.0)), 6)
-    val dup3 = round(when(col("n_3grams") > 0,
-      (col("n_3grams") - col("d3")).cast("double") / col("n_3grams"))
-      .otherwise(lit(0.0)), 6)
-    val top2 = round(when(col("n_2grams") > 0,
-      coalesce(col("top_c"), lit(0L)).cast("double") / col("n_2grams"))
-      .otherwise(lit(0.0)), 6)
+    val n2 = coalesce(col("n_2grams"), lit(0L))
+    val n3 = coalesce(col("n_3grams"), lit(0L))
+    val dup2 = round(when(n2 > 0,
+      (n2 - col("d2")).cast("double") / n2).otherwise(lit(0.0)), 6)
+    val dup3 = round(when(n3 > 0,
+      (n3 - col("d3")).cast("double") / n3).otherwise(lit(0.0)), 6)
+    val top2 = round(when(n2 > 0,
+      coalesce(col("top_c"), lit(0L)).cast("double") / n2).otherwise(lit(0.0)), 6)
 
-    arrStats.join(top, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_2grams"),
+    // left joins restore the sub-2-token documents the explode drops
+    docs.select(col("doc_id"))
+      .join(g2, Seq("doc_id"), "left")
+      .join(g3, Seq("doc_id"), "left")
+      .select(col("doc_id"), n2.cast("bigint").as("n_2grams"),
         dup2.as("dup_2gram_ratio"),
         top2.as("top_2gram_ratio"),
         dup3.as("dup_3gram_ratio"))

@@ -43,6 +43,18 @@ class PqReconstructSpec extends SparkSpec {
     assert(codes.toSeq == Seq(1, 0))
   }
 
+  test("decode(codes(v)) == reconstruct(v); corrupt codes raise") {
+    val cbArr = cb.map(_.map(_.toArray).toArray).toArray
+    val v = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(9.0, 8.0, 1.0, 2.0))
+    val codes = PqReconstruct.codesArrayData(v, cbArr)
+    assert(PqReconstruct.decode(codes, cbArr).toDoubleArray.toSeq ==
+      PqReconstruct.compute(v, cbArr).toDoubleArray.toSeq)
+    val bad = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(7L, 0L))
+    val e = intercept[org.apache.spark.SparkException] { PqReconstruct.decode(bad, cbArr) }
+    assert(e.getMessage.contains("out of range"))
+  }
+
   test("dimension mismatch raises instead of reading out of bounds") {
     val e = intercept[Exception] { reconstruct(Seq(1.0, 2.0, 3.0)) }
     def causes(t: Throwable): Seq[Throwable] =

@@ -131,6 +131,15 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(res.map(_.getLong(9)).sum == expected)
   }
 
+  test("pqTopkIndexed returns exactly pqTopk (same codes, decode, rerank)") {
+    val inline = Ann.pqTopk(spark, dir, 0L, 10).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val indexed = Ann.pqTopkIndexed(spark, dir, 0L, 10).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(inline == indexed)
+    assert(inline.head._1 == 0L && inline.head._3 == 1.0) // seed vec reconstructs exactly
+  }
+
   test("repetition: looped text flagged, varied text clean, short text zero ratios") {
     import spark.implicits._
     val varied = (1 to 30).map(i => s"w$i").mkString(" ") // 29 distinct 2-grams
