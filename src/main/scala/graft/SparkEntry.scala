@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Ann, AsofJoin, CatalogOps, Decontaminate, Dedup, EmbeddingStats, Funnel, Ingest, Multimodal, Pii, RangeJoin, Relational, Sampling, Search, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, CatalogOps, Decontaminate, Dedup, Diagnostics, EmbeddingStats, Funnel, Ingest, Multimodal, Pii, RangeJoin, Relational, Sampling, Search, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -69,6 +69,8 @@ object SparkEntry {
       .orderBy("doc_id")),
     "split_audit"  -> ((s, dir) => Sampling.splitAudit(Tables.documents(s, dir))),
     "sample_delta" -> ((s, dir) => Sampling.sampleDelta(Tables.documents(s, dir))),
+    "pack_batches" -> ((s, dir) => Sampling.packBatches(Tables.documents(s, dir))),
+    "skew_audit"   -> ((s, dir) => Diagnostics.skewAudit(Tables.events(s, dir), "user_id", 20)),
     "token_topk"   -> ((s, dir) => TextAnalysis.tokenTopK(Tables.documents(s, dir), 20)),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
@@ -583,6 +585,28 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+
+    "pack_batches" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        |  FROM t)
+        |SELECT doc_id, lang, n_tok, cum_tok,
+        |  CAST(floor((cum_tok - n_tok) / 4096.0) AS BIGINT) AS batch_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "skew_audit" ->
+      """WITH counts AS (SELECT user_id AS key, count(*) AS n_rows FROM events GROUP BY user_id),
+        |stats AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+        |                 round(avg(n_rows), 9) AS avg_rows FROM counts)
+        |SELECT key, n_rows,
+        |  round(n_rows / total, 6) AS share,
+        |  round(n_rows / avg_rows, 6) AS skew
+        |FROM counts, stats
+        |ORDER BY n_rows DESC, key ASC LIMIT 20""".stripMargin,
 
     "split_audit" ->
       """WITH s AS (SELECT lang,

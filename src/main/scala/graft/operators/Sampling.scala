@@ -48,6 +48,31 @@ object Sampling {
       .except(sampleByPercent(docs, idCol, fromPct).select(col(idCol)))
       .orderBy(col(idCol))
 
+  /** Token-budget batch packing: assign documents to training batches of
+    * ~`budget` tokens by binning the per-language exclusive prefix sum of
+    * token counts — the deterministic, distributed-friendly packing
+    * contract (true greedy bin packing is sequentially order-dependent;
+    * offset binning gives every engine and every run the same batches).
+    *
+    * Scale shape: one window keyed by lang (never an unpartitioned global
+    * cumsum — per-partition state is bounded by the largest stratum), and
+    * the batch id is pure arithmetic on the running sum. */
+  def packBatches(docs: DataFrame, budget: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(TextAnalysis.toks).cast("bigint").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      // floor before the cast: double→int casts truncate here but round
+      // in other engines; floor() is exact for token sums (≪ 2^53)
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"),
+        floor((col("cum_tok") - col("n_tok")) / lit(budget.toDouble))
+          .cast("bigint").as("batch_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-language split audit: row counts and token sums per (lang,
     * split) — the sanity check run before training that the split
     * proportions hold within every stratum. */

@@ -22,6 +22,26 @@ class SamplingSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("packBatches: per-lang batches respect the exclusive-prefix binning") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // lang a: 3 docs of 3 tokens with budget 5 => cum 3,6,9; batches 0,0,1
+    // lang b: counter resets (first doc is batch 0 again)
+    val docs = Seq(
+      (1L, "a", "t t t"), (2L, "a", "t t t"), (3L, "a", "t t t"),
+      (4L, "b", "t t t t t t t")
+    ).toDF("doc_id", "lang", "text")
+    val out = Sampling.packBatches(docs, budget = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((3L, 3L, 0L)))
+    assert(out(2L) == ((3L, 6L, 0L)))  // starts at offset 3 < 5
+    assert(out(3L) == ((3L, 9L, 1L)))  // starts at offset 6 >= 5
+    assert(out(4L) == ((7L, 7L, 0L)))  // new lang, fresh counter
+    // no batch starts past its computed bin; batches are contiguous from 0
+    val batches = out.values.map(_._3).toSet
+    assert(batches == Set(0L, 1L))
+  }
+
   test("splits are exhaustive, disjoint, and roughly proportioned") {
     val docs = Tables.documents(spark, dir)
     val splits = docs.select(col("doc_id"), Sampling.splitColumn("doc_id").as("split"))
