@@ -84,6 +84,17 @@ object ScaleSmoke {
         .groupBy(col("cell")).agg(count(lit(1)))
         .queryExecution.toRdd.count()
     }
+    stage("pq adc top-k") {
+      import org.apache.spark.sql.graft.Bridge
+      val dsub = 8
+      val cb = (0 until 8).map(s => cents.map(_.slice(s * dsub, (s + 1) * dsub)))
+      e.select(col("vec_id"),
+          round(cosine_sim(Bridge.column(graft.functions.PqReconstruct(
+            Bridge.expression(col("embedding").cast("array<double>")), cb)),
+            typedLit(qv)), 6).as("s"))
+        .orderBy(desc("s"), asc("vec_id")).limit(10)
+        .queryExecution.toRdd.count()
+    }
     stage("simhash candidates") {
       import graft.functions.LshFunctions
       val withBits = e.select(col("vec_id"),
