@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.jaccardSimDescriptor)
+    ext.injectFunction(GraftExtensions.hash56Descriptor)
     // Opt-in (spark.graft.similarityJoin.rewrite=true): brute-force
     // cosine-threshold cross joins → LSH-banded candidate equi-joins.
     ext.injectOptimizerRule(_ => graft.plans.RewriteSimilarityJoin())
@@ -74,5 +75,27 @@ object GraftExtensions {
             "docroot" -> "-"))
       }
       graft.functions.JaccardSimilarity(exprs.head, exprs(1))
+    })
+
+  /** `hash56(x)` — THE cross-engine 56-bit fingerprint (first 7 md5
+    * bytes as a BIGINT), exposed to SQL so stored fingerprints, sampling
+    * buckets, and shingle hashes written via SQL agree with every
+    * operator and with the DuckDB form
+    * `('0x' || substr(md5(x), 1, 14))::UBIGINT`. */
+  val hash56Descriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("hash56"),
+    new ExpressionInfo(classOf[graft.functions.Hash56].getName, "hash56"),
+    (exprs: Seq[Expression]) => {
+      if (exprs.length != 1) {
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "hash56",
+            "expectedNum" -> "1",
+            "actualNum" -> exprs.length.toString,
+            "docroot" -> "-"))
+      }
+      graft.functions.Hash56(org.apache.spark.sql.catalyst.expressions.Cast(
+        exprs.head, org.apache.spark.sql.types.BinaryType))
     })
 }

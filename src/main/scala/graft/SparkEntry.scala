@@ -92,7 +92,7 @@ object SparkEntry {
           lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
           lit(" from 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
           lit(".7")).as("text"))
-      Pii.scan(docs)
+      Pii.scan(docs).orderBy(col("doc_id"))
     }),
     "ann_topk" -> ((s, dir) => Ann.annTopk(s, dir, 0L, 10)),
     "ann_topk_indexed" -> ((s, dir) => Ann.annTopkIndexed(s, dir, 0L, 10)),
@@ -141,6 +141,7 @@ object SparkEntry {
     "pricing_summary"   -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "revenue_by_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "part_type_revenue" -> ((s, dir) => Relational.partTypeRevenueByRegion(s, dir)),
+    "top_types_per_region" -> ((s, dir) => Relational.topTypesPerRegion(s, dir, 3)),
     "top_customers"     -> ((s, dir) => Relational.topCustomers(s, dir, 20)),
     "orders_no_lineitem" -> ((s, dir) => Relational.ordersWithoutLineitems(s, dir)),
     "active_customers"  -> ((s, dir) => Relational.activeCustomers(s, dir)),
@@ -746,6 +747,22 @@ object SparkEntry {
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY r_name, p_type
         |ORDER BY r_name, p_type""".stripMargin,
+
+    "top_types_per_region" ->
+      """WITH a AS (SELECT r_name, p_type,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS revenue,
+        |    count(*) AS n_items
+        |  FROM lineitem
+        |  JOIN part     ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |  JOIN region   ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, p_type),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY r_name
+        |                ORDER BY revenue DESC, p_type ASC) AS rnk FROM a)
+        |SELECT r_name, p_type, revenue, n_items, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3
+        |ORDER BY r_name, rnk""".stripMargin,
 
     "top_customers" ->
       """SELECT c_custkey, c_name, c_mktsegment,

@@ -26,7 +26,9 @@ object Pii {
 
   /** Per-document PII counts, a flag, and the redacted text's length and
     * fingerprint (redaction order: emails, then phones, then IPv4 — an
-    * email's domain can otherwise be half-eaten by the IP pattern). */
+    * email's domain can otherwise be half-eaten by the IP pattern).
+    * No trailing sort: the operator is row-local, so it runs unchanged
+    * over a streaming DataFrame (callers order batch output). */
   def scan(docs: DataFrame, idCol: String = "doc_id",
            textCol: String = "text"): DataFrame = {
     val t = col(textCol)
@@ -47,6 +49,5 @@ object Pii {
         (col("n_emails") + col("n_phones") + col("n_ips") > 0).as("has_pii"),
         length(col("redacted")).cast("bigint").as("redacted_len"),
         md5(col("redacted")).as("redacted_fp"))
-      .orderBy(col("doc_id"))
   }
 }

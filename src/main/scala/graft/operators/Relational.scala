@@ -62,6 +62,22 @@ object Relational {
       .orderBy(col("r_name"), col("p_type"))
   }
 
+  /** Top-`k` part types per region by revenue — the per-group top-N shape
+    * (ranking window AFTER aggregation). The window partitions by region,
+    * so its state is one group's aggregated rows, never the fact table;
+    * Spark 4 additionally pushes a partial `WindowGroupLimit` below the
+    * rank filter's shuffle. Ranked on the ROUNDED revenue with a p_type
+    * tie-break, so both engines elect the same rows. */
+  def topTypesPerRegion(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("r_name"))
+      .orderBy(desc("revenue"), asc("p_type"))
+    partTypeRevenueByRegion(spark, dir)
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= k)
+      .orderBy(col("r_name"), col("rnk"))
+  }
+
   /** Top-k customers by lifetime revenue: fact⋈fact on the order key, the
     * customer dimension broadcast, k-selection AFTER the aggregation via
     * `orderBy + limit` ⇒ TakeOrderedAndProject — a bounded heap over the

@@ -54,6 +54,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("withExtensions injects hash56, matching the library fingerprint") {
+    withExtendedSession { spark =>
+      val viaSql = spark.sql("SELECT hash56('hello') AS h").head().getLong(0)
+      // first 14 hex digits of md5('hello') as an integer
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest("hello".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      assert(viaSql == java.lang.Long.parseLong(hex.substring(0, 14), 16))
+    }
+  }
+
   test("wrong arity through the extension is an analysis error") {
     withExtendedSession { spark =>
       val e = intercept[Exception] { spark.sql("SELECT cosine_sim(array(1.0d))").collect() }

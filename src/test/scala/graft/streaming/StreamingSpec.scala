@@ -17,6 +17,27 @@ class StreamingSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("narrow pipeline operators run unchanged over a stream (PII scan)") {
+    // Pii.scan is pure narrow codegen expressions, so the SAME operator
+    // runs per micro-batch with no streaming-specific code — the
+    // batch/stream unification contract the Streaming scaladoc promises.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+
+    val q = graft.operators.Pii.scan(docs)
+      .writeStream.format("memory").queryName("pii_stream").outputMode("append").start()
+    try {
+      mem.addData((1L, "mail a@b.co now"), (2L, "clean text"))
+      q.processAllAvailable()
+      mem.addData((3L, "call +1-555-0000"))
+      q.processAllAvailable()
+      val rows = spark.table("pii_stream").orderBy("doc_id").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      assert(rows.map(_.getBoolean(4)).toSeq == Seq(true, false, true))
+    } finally q.stop()
+  }
+
   test("eventCounts over a stream: windowed counts with watermark state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String, Double)]
