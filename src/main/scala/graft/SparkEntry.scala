@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Ann, AsofJoin, CatalogOps, Decontaminate, Dedup, Diagnostics, EmbeddingStats, Funnel, Ingest, Multimodal, Pii, RangeJoin, Relational, Sampling, Search, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, CatalogOps, CorpusFilter, Decontaminate, Dedup, Diagnostics, EmbeddingStats, Funnel, Ingest, Multimodal, Pii, RangeJoin, Relational, Sampling, Search, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_groups"  -> ((s, dir) => Dedup.dedupGroups(Tables.documents(s, dir),
       ngramPairs(s, dir))),
     "decontaminate" -> ((s, dir) => Decontaminate.contamination(Tables.documents(s, dir))),
+    "corpus_filter" -> ((s, dir) => CorpusFilter.decisions(Tables.documents(s, dir))),
     "text_stats"   -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     "docs_sample"  -> ((s, dir) => Sampling
       .sampleByPercent(Tables.documents(s, dir), "doc_id", 10)
@@ -472,6 +473,53 @@ object SparkEntry {
         |  coalesce(h.n, 0) > 0 AS contaminated
         |FROM train t LEFT JOIN hits h USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+
+    "corpus_filter" ->
+      """WITH toks AS (SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS t FROM documents),
+        |q AS (SELECT doc_id,
+        |    round(least(1.0, len(t)::DOUBLE / 100.0)
+        |      * (1.0 - CASE WHEN length(text) > 0
+        |               THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / length(text)
+        |               ELSE 0.0 END)
+        |      * (0.5 + 0.5 * CASE WHEN len(t) > 0
+        |          THEN (len(list_filter(t, x -> x IN ('the','a','of','and','to','is')))
+        |              + len(list_filter(t, x -> x IN ('el','la','de','que','y','en')))
+        |              + len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein'))))::DOUBLE / len(t)
+        |          ELSE 0.0 END), 6) >= 0.3 AS quality_ok
+        |  FROM toks),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 2 THEN list_transform(range(0, len(t) - 1),
+        |      i -> array_to_string(t[i+1:i+2], ' ')) ELSE CAST([] AS VARCHAR[]) END AS g2,
+        |    CASE WHEN len(t) >= 3 THEN list_transform(range(0, len(t) - 2),
+        |      i -> array_to_string(t[i+1:i+3], ' ')) ELSE CAST([] AS VARCHAR[]) END AS g3
+        |  FROM toks),
+        |top AS (SELECT doc_id, max(c) AS top_c FROM (
+        |    SELECT doc_id, gi, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(g2) AS gi FROM g) u GROUP BY doc_id, gi) v
+        |  GROUP BY doc_id),
+        |rep AS (SELECT g.doc_id,
+        |    NOT (round(CASE WHEN len(g2) > 0
+        |           THEN coalesce(top.top_c, 0)::DOUBLE / len(g2) ELSE 0.0 END, 6) > 0.05
+        |      OR round(CASE WHEN len(g3) > 0
+        |           THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) ELSE 0.0 END, 6) > 0.05)
+        |      AS repetition_ok
+        |  FROM g LEFT JOIN top ON g.doc_id = top.doc_id),
+        |pii AS (SELECT doc_id,
+        |    (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(text, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))
+        |     + len(regexp_extract_all(text, '(?:[0-9]{1,3}\.){3}[0-9]{1,3}'))) = 0 AS pii_ok
+        |  FROM documents),
+        |dd AS (SELECT doc_id,
+        |    doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS dedup_ok
+        |  FROM documents)
+        |SELECT q.doc_id, q.quality_ok, rep.repetition_ok, pii.pii_ok, dd.dedup_ok,
+        |  (q.quality_ok AND rep.repetition_ok AND pii.pii_ok AND dd.dedup_ok) AS kept
+        |FROM q
+        |JOIN rep ON q.doc_id = rep.doc_id
+        |JOIN pii ON q.doc_id = pii.doc_id
+        |JOIN dd  ON q.doc_id = dd.doc_id
+        |ORDER BY q.doc_id""".stripMargin,
 
     "text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The assembled curation pipeline: each gate fails for its own reason,
+  * verdicts stay auditable per document, and kept is the conjunction.
+  */
+class CorpusFilterSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("each gate drops its own offender; the clean document survives") {
+    val good = (1 to 120).map(i => s"w$i").mkString(" ") + " the of and is a to"
+    val docs = Seq(
+      (1L, good),                               // passes everything
+      (2L, "too short"),                        // quality: far below length floor
+      (3L, ("spam ham " * 80).trim),            // repetition: one dominant 2-gram
+      (4L, good + " mail me at x@y.com"),       // pii
+      (5L, good)                                // exact dup of 1 -> dedup drops
+    ).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+
+    val out = CorpusFilter.decisions(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toMap
+
+    assert(out(1L) == ((true, true, true, true, true)))
+    assert(!out(2L)._1 && !out(2L)._5)   // quality gate
+    assert(!out(3L)._2 && !out(3L)._5)   // repetition gate
+    assert(!out(4L)._3 && !out(4L)._5)   // pii gate
+    assert(!out(5L)._4 && !out(5L)._5)   // dedup gate (doc 1 is the keeper)
+    // audit property: kept == AND of the four verdicts, every row
+    out.values.foreach { case (q, r, p, d, kept) => assert(kept == (q && r && p && d)) }
+  }
+}
