@@ -264,6 +264,35 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     saveManifest()
   }
 
+  /** Small-file compaction — maintenance for continuously-ingested
+    * collections: every micro-batch/bulk add appends its own file set, and
+    * after enough appends a scan's cost is dominated by file opens and
+    * parquet footer reads, not data. Rewrite the collection into the next
+    * version directory with output files sized near `targetFileBytes`
+    * (count derived from the CURRENT on-disk footprint), then swap the
+    * catalog pointer — the same copy-on-write contract as
+    * [[deleteRecord]]: readers of the old version are undisturbed and the
+    * swap is atomic at the catalog. Returns (filesBefore, filesAfter). */
+  def compact(collectionId: String, targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val meta = getCollection(collectionId)
+    val hp = new HPath(meta.path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hp)) return (0, 0) // empty collection: nothing to compact
+    val parts = fs.listStatus(hp).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+
+    val next = meta.copy(path = s"$basePath/${meta.id}/v${meta.version + 1}",
+                         version = meta.version + 1)
+    records(collectionId)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(next.path)
+    collections.put(meta.id, next)
+    saveManifest()
+    (parts.length, nFiles)
+  }
+
   // --- query (O1/O2) -----------------------------------------------------
 
   /** O2 → O1: embed the query blob with the collection's embedder, then

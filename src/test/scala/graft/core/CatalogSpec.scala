@@ -186,6 +186,29 @@ class CatalogSpec extends SparkSpec {
     assert(db.records("c").count() == 3)
   }
 
+  test("compact: many append file-sets collapse to few files, data and queries intact") {
+    import spark.implicits._
+    val db = freshDb()
+    db.addCollection(db.makeCollection("c", "local/hash-4"))
+    val f = Embedders.hashProjection(4)
+    (0 until 5).foreach { b => // five separate appends = five file sets
+      db.addRecords("c", Seq((s"r$b", "local/hash-4", s"r$b".getBytes("UTF-8"),
+        f(s"r$b".getBytes("UTF-8")).toSeq))
+        .toDF("id", "embedderId", "blob", "embedding"))
+    }
+    val before = db.records("c").select("id").collect().map(_.getString(0)).sorted.toSeq
+    val (filesBefore, filesAfter) = db.compact("c")
+    assert(filesBefore >= 5 && filesAfter == 1, s"($filesBefore, $filesAfter)")
+    val after = db.records("c").select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(after == before)                          // nothing lost or duplicated
+    assert(db.getCollection("c").version == 1)       // copy-on-write swap
+    assert(db.query("c", "r0".getBytes("UTF-8"), 1).collect().nonEmpty)
+    // appends keep working against the new version dir
+    db.addRecords("c", Seq(("r9", "local/hash-4", "r9".getBytes("UTF-8"),
+      f("r9".getBytes("UTF-8")).toSeq)).toDF("id", "embedderId", "blob", "embedding"))
+    assert(db.records("c").count() == 6)
+  }
+
   test("query: embeds with the collection embedder, exact top-k, ranked output") {
     val db = freshDb()
     db.addCollection(db.makeCollection("c", "local/hash-16"))
