@@ -73,6 +73,7 @@ object SparkEntry {
     "pack_batches" -> ((s, dir) => Sampling.packBatches(Tables.documents(s, dir))),
     "skew_audit"   -> ((s, dir) => Diagnostics.skewAudit(Tables.events(s, dir), "user_id", 20)),
     "token_topk"   -> ((s, dir) => TextAnalysis.tokenTopK(Tables.documents(s, dir), 20)),
+    "token_drift"  -> ((s, dir) => TextAnalysis.tokenDrift(Tables.documents(s, dir), 20)),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "doc_winnow"   -> ((s, dir) => TextAnalysis.winnowFingerprints(Tables.documents(s, dir))),
@@ -675,6 +676,24 @@ object SparkEntry {
         |SELECT token, cnt, rnk
         |FROM (SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk FROM c)
         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    "token_drift" ->
+      """WITH tok AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 80 AS train,
+        |    lower(unnest(list_filter(string_split(text, ' '), x -> x != ''))) AS token
+        |  FROM documents),
+        |counts AS (SELECT token,
+        |    CAST(sum(CASE WHEN train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |    CAST(sum(CASE WHEN train THEN 0 ELSE 1 END) AS BIGINT) AS n_test
+        |  FROM tok GROUP BY token),
+        |totals AS (SELECT CAST(sum(n_train) AS BIGINT) AS tot_train,
+        |                  CAST(sum(n_test) AS BIGINT) AS tot_test FROM counts)
+        |SELECT token, n_train, n_test,
+        |  round(n_train / tot_train, 6) AS rate_train,
+        |  round(n_test / tot_test, 6) AS rate_test,
+        |  round(abs(n_train / tot_train - n_test / tot_test), 6) AS rate_diff
+        |FROM counts, totals
+        |ORDER BY rate_diff DESC, token ASC LIMIT 20""".stripMargin,
 
     "text_quality" ->
       """WITH q AS (

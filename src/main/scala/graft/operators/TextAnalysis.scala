@@ -209,6 +209,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-distribution drift between the deterministic train split and
+    * the holdout: the top-k tokens by absolute rate difference — the
+    * monitor a pipeline runs on every new crawl snapshot (a token whose
+    * rate moved is a changed source, new boilerplate, or a scraper bug).
+    * The split is [[Sampling.hashBucket]], so the comparison is stable
+    * across runs and engines.
+    *
+    * Scale shape: explode → one (token)-keyed aggregation with
+    * conditional partial sums (vocabulary-sized shuffle, map-side
+    * combined), one-row totals broadcast, bounded-heap top-k. Rates are
+    * ratios of exact integer counts, so both engines rank identical
+    * doubles. */
+  def tokenDrift(docs: DataFrame, k: Int = 20, trainPct: Int = 80): DataFrame = {
+    val isTrain = Sampling.hashBucket(col("doc_id")) < trainPct
+    val tok = docs
+      .select(isTrain.as("train"), explode(toks).as("t"))
+      .select(col("train"), lower(col("t")).as("token"))
+    val counts = tok.groupBy(col("token"))
+      .agg(
+        sum(when(col("train"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(!col("train"), 1L).otherwise(0L)).as("n_test"))
+    val totals = counts.agg(
+      sum(col("n_train")).as("tot_train"),
+      sum(col("n_test")).as("tot_test"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("token"), col("n_train"), col("n_test"),
+        round(col("n_train") / col("tot_train"), 6).as("rate_train"),
+        round(col("n_test") / col("tot_test"), 6).as("rate_test"),
+        round(abs(col("n_train") / col("tot_train") - col("n_test") / col("tot_test")), 6)
+          .as("rate_diff"))
+      .orderBy(desc("rate_diff"), asc("token"))
+      .limit(k)
+  }
+
   /** Per-document quality scoring, language-ID heuristic, and content
     * fingerprint — all narrow expressions over one scan.
     *

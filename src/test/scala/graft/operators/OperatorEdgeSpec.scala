@@ -158,6 +158,26 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0.0, 0.0, 0.0, false)))
   }
 
+  test("token drift: a split-exclusive token tops the report with the right rates") {
+    import spark.implicits._
+    val buckets = (0L until 50L).map(id => id ->
+      Seq((id, "x")).toDF("id", "t").select(Sampling.hashBucket(col("id")))
+        .collect().head.getLong(0)).toMap
+    val trainId = buckets.collectFirst { case (id, b) if b < 80 => id }.get
+    val testId = buckets.collectFirst { case (id, b) if b >= 80 => id }.get
+    val docs = Seq(
+      (trainId, "shared shared trainonly"),
+      (testId, "shared testonly")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenDrift(docs, k = 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
+    assert(out("trainonly") == ((1L, 0L, 1.0 / 3)) ||
+      math.abs(out("trainonly")._3 - 1.0 / 3) < 1e-6)
+    assert(out("testonly")._1 == 0L && out("testonly")._2 == 1L)
+    // 'shared': 2/3 in train vs 1/2 in test -> diff 1/6
+    assert(math.abs(out("shared")._3 - 1.0 / 6) < 1e-6)
+  }
+
   test("token counts: char length consistent, counts positive on real docs") {
     val docs = Tables.documents(spark, dir)
     val tc = TextAnalysis.tokenCounts(docs).collect()
