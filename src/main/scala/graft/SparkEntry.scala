@@ -111,6 +111,7 @@ object SparkEntry {
     "pq_err"  -> ((s, dir) => Ann.pqError(s, dir)),
     "pq_topk" -> ((s, dir) => Ann.pqTopk(s, dir, 0L, 10)),
     "pq_topk_indexed" -> ((s, dir) => Ann.pqTopkIndexed(s, dir, 0L, 10)),
+    "ivfpq_topk" -> ((s, dir) => Ann.ivfPqTopk(s, dir, 0L, 10)),
     "embed_label_stats" -> ((s, dir) => EmbeddingStats.perLabelCohesion(Tables.embeddings(s, dir))),
     "embed_norm_quantiles" -> ((s, dir) => EmbeddingStats.normQuantiles(Tables.embeddings(s, dir))),
     "embed_quantize_err" -> ((s, dir) => EmbeddingStats.quantizationError(Tables.embeddings(s, dir))),
@@ -1010,6 +1011,38 @@ object SparkEntry {
          |SELECT CAST(cell AS BIGINT) AS cell, CAST(pos AS BIGINT) AS pos,
          |  round(avg(val), 9) AS m, count(*) AS members
          |FROM ex GROUP BY cell, pos ORDER BY cell, pos""".stripMargin,
+
+    "ivfpq_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT list(v ORDER BY vec_id) AS cl FROM e WHERE vec_id < 16),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |qcell AS (
+         |  SELECT ci FROM (
+         |    SELECT u.ci AS ci, u.s AS s FROM (
+         |      SELECT unnest(list_transform(range(1, 17),
+         |        ci -> {'ci': ci, 's': round(${cosRawSql("cl[ci]", "q.qv")}, 6)})) AS u
+         |      FROM cents, q) z) t
+         |  ORDER BY s DESC, ci ASC LIMIT 4),
+         |assigned AS (
+         |  SELECT vec_id, label, v, list_position(sc, list_max(sc)) AS cell FROM (
+         |    SELECT e.vec_id, e.label, e.v,
+         |           list_transform(range(1, 17), ci -> ${cosRawSql("cl[ci]", "e.v")}) AS sc
+         |    FROM e, cents) t2),
+         |scs AS (SELECT vec_id,
+         |    list_transform(range(0, 8), s ->
+         |      list_transform(range(1, 17), j ->
+         |        list_sum(list_transform(range(1, 9), i ->
+         |          (v[s*8+i] - cl[j][s*8+i]) * (v[s*8+i] - cl[j][s*8+i]))))) AS scs
+         |  FROM e, cents),
+         |rec AS (SELECT vec_id,
+         |    flatten(list_transform(range(0, 8), s ->
+         |      cl[list_position(scs[s+1], list_min(scs[s+1]))][s*8+1:s*8+8])) AS r
+         |  FROM scs, cents)
+         |SELECT a.vec_id, a.label, ${cosSql("rec.r", "q.qv")} AS score
+         |FROM assigned a, rec, q
+         |WHERE a.vec_id = rec.vec_id AND a.cell IN (SELECT ci FROM qcell)
+         |ORDER BY score DESC, a.vec_id ASC
+         |LIMIT 10""".stripMargin,
 
     "ann_topk" -> annTopkSql,
     "ann_topk_indexed" -> annTopkSql, // identical semantics: same planes, same keys, same rerank

@@ -291,6 +291,32 @@ object Ann {
       .limit(k)
   }
 
+  /** IVF-PQ: the standard billion-scale ANN layout (coarse cell probe ×
+    * PQ-compressed residual scan) — probe the `nProbe` cells nearest the
+    * query, then ADC-score ONLY the rows inside them against the
+    * reconstruction. At scale the two layers multiply: the scan opens
+    * nProbe/nCells of the partitions AND reads M byte-codes per row
+    * instead of raw vectors. Centroids and codebook share the same
+    * deterministic seed vectors, so one oracle covers both layers. */
+  def ivfPqTopk(spark: SparkSession, dir: String, queryVecId: Long = 0L, k: Int = 10,
+                nCells: Int = 16, nProbe: Int = 4, m: Int = 8,
+                dim: Int = 64): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents: Seq[Seq[Double]] = e.where(col("vec_id") < nCells)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val cb = pqCodebook(e, m, nCells, dim)
+    val qv = Similarity.queryVector(spark, dir, queryVecId)
+    val probeCells = probe(cents, qv, nProbe)
+    assignCells(e, cents)
+      .where(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), col("label"),
+        round(cosine_sim(pqReconstructCol(col("embedding"), cb), typedLit(qv)), 6)
+          .as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
   private def pqIndexPath(dir: String, m: Int, kCodes: Int): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val h = md.digest(s"$dir|pq|$m|$kCodes".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)

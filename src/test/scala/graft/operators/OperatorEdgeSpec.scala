@@ -131,6 +131,17 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(res.map(_.getLong(9)).sum == expected)
   }
 
+  test("ivfPqTopk: seed query tops its own probed cell at reconstruction score 1.0") {
+    val out = Ann.ivfPqTopk(spark, dir, 0L, 10).collect()
+    assert(out.nonEmpty)
+    // vec 0 seeds both layers: assigned to its own cell (probed first) and
+    // reconstructs exactly, so ADC cosine vs itself is 1.0
+    assert(out.head.getLong(0) == 0L && out.head.getDouble(2) == 1.0)
+    // two-layer containment: every ivfpq hit also lies in an ivf-probed cell
+    val ivfIds = Ann.ivfTopk(spark, dir, 0L, 1000, 16, 4).collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).forall(ivfIds))
+  }
+
   test("pqTopkIndexed returns exactly pqTopk (same codes, decode, rerank)") {
     val inline = Ann.pqTopk(spark, dir, 0L, 10).collect().map(r =>
       (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
