@@ -98,6 +98,7 @@ object SparkEntry {
     }),
     "ann_topk" -> ((s, dir) => Ann.annTopk(s, dir, 0L, 10)),
     "ann_topk_indexed" -> ((s, dir) => Ann.annTopkIndexed(s, dir, 0L, 10)),
+    "ann_recall" -> ((s, dir) => Ann.annRecall(s, dir, 8, 10)),
     "ivf_topk" -> ((s, dir) => Ann.ivfTopk(s, dir, 0L, 10, 16, 4)),
     "ann_range" -> ((s, dir) => Ann.annRange(s, dir, 0L, 0.2)),
     "ivf_topk_indexed" -> ((s, dir) => Ann.ivfTopkIndexed(s, dir, 0L, 10, 16, 4)),
@@ -271,15 +272,21 @@ object SparkEntry {
   /** Hyperplane-LSH probe + exact rerank CTEs — shared by the scan-time,
     * stored-index, and range-search ANN variants (identical candidate
     * semantics). */
-  private def annProbeSql: String =
-    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+  /** e → bits → keys CTE chain (no leading WITH): hyperplane signature and
+    * band keys per stored vector — shared by the LSH probe variants and the
+    * recall audit. */
+  private def annKeysCtes: String =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |bits AS (SELECT vec_id, label, v, list_transform(range(0, 16), p ->
        |    CASE WHEN list_sum(list_transform(range(0, 64), i ->
        |      v[i+1] * (CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
        |                     BETWEEN '0' AND '7' THEN 1 ELSE -1 END)
        |    )) >= 0 THEN '1' ELSE '0' END) AS bs FROM e),
        |keys AS (SELECT vec_id, label, v, list_transform(range(0, 4), b ->
-       |    CAST(b AS VARCHAR) || ':' || array_to_string(bs[b*4+1:b*4+4], '')) AS ks FROM bits),
+       |    CAST(b AS VARCHAR) || ':' || array_to_string(bs[b*4+1:b*4+4], '')) AS ks FROM bits)""".stripMargin
+
+  private def annProbeSql: String =
+    s"""WITH $annKeysCtes,
        |q AS (SELECT v AS qv, ks AS qks FROM keys WHERE vec_id = 0),
        |scored AS (SELECT k2.vec_id, k2.label, ${cosSql("k2.v", "q.qv")} AS score
        |           FROM keys k2, q
@@ -335,6 +342,31 @@ object SparkEntry {
        |FROM rec, q
        |ORDER BY score DESC, vec_id ASC
        |LIMIT 10""".stripMargin
+
+  /** Recall@k of the LSH probe vs the exact scan, per query — mirrors
+    * Ann.annRecall (same planes, same rounded-score ranking, same
+    * tie-break) so both engines elect identical top-k sets. */
+  private def annRecallSql(nQ: Int = 8, k: Int = 10): String =
+    s"""WITH $annKeysCtes,
+       |q AS (SELECT vec_id AS query_id, v AS qv, ks AS qks FROM keys WHERE vec_id < $nQ),
+       |exact AS (SELECT query_id, vec_id FROM (
+       |  SELECT q.query_id, k2.vec_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |                       ORDER BY ${cosSql("k2.v", "q.qv")} DESC, k2.vec_id ASC) AS rnk
+       |  FROM keys k2, q) t WHERE rnk <= $k),
+       |annc AS (SELECT query_id, vec_id FROM (
+       |  SELECT q.query_id, k2.vec_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |                       ORDER BY ${cosSql("k2.v", "q.qv")} DESC, k2.vec_id ASC) AS rnk
+       |  FROM keys k2, q
+       |  WHERE len(list_intersect(k2.ks, q.qks)) > 0) t WHERE rnk <= $k),
+       |h AS (SELECT x.query_id, count(*)::BIGINT AS hits
+       |      FROM exact x JOIN annc a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+       |      GROUP BY x.query_id)
+       |SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |       round(coalesce(h.hits, 0) / ${k.toDouble}, 6) AS recall
+       |FROM q LEFT JOIN h ON h.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
 
   private def annTopkSql: String =
     s"""$annProbeSql
@@ -1046,6 +1078,7 @@ object SparkEntry {
 
     "ann_topk" -> annTopkSql,
     "ann_topk_indexed" -> annTopkSql, // identical semantics: same planes, same keys, same rerank
+    "ann_recall" -> annRecallSql(),
 
     "ann_range" ->
       s"""$annProbeSql

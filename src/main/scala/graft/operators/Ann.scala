@@ -119,6 +119,56 @@ object Ann {
     s"${sys.props("java.io.tmpdir")}/graft-annidx-$h"
   }
 
+  /** Recall@k audit of the LSH probe against the exact scan — the index-
+    * quality measurement to run BEFORE trusting [[annTopk]]'s candidate
+    * generation on a production corpus. For each of the first `nQueries`
+    * stored vectors: exact top-k (ground truth) vs banded-LSH top-k,
+    * reporting `hits = |ANN ∩ exact|` and `recall = hits / k` per query.
+    *
+    * Scale shape: the exact arm is the batch similarity join (broadcast
+    * query set, partial WindowGroupLimit before the exchange); the ANN arm
+    * is an EQUI-join of exploded corpus band keys against the broadcast
+    * query keys — no cartesian product anywhere, so the audit runs at
+    * corpus scale for any query sample that fits a broadcast. At 100 TB
+    * this runs over a hash-sampled query set
+    * ([[graft.operators.Sampling]]) on a schedule, trending mean recall as
+    * the corpus drifts away from the planes/centroids the index was built
+    * with — the signal that triggers an index rebuild. */
+  def annRecall(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
+                bits: Int = DefaultBits, bands: Int = DefaultBands,
+                dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+        bandKeysCol(col("embedding"), bits, bands, dim).as("qks"))
+    val exact = Similarity
+      .similarityJoin(e, queries.select(col("query_id"), col("query_vec")), k)
+      .select(col("query_id"), col("vec_id"))
+    val corpusKeys = e.select(col("vec_id"), col("embedding"),
+      explode(bandKeysCol(col("embedding"), bits, bands, dim)).as("key"))
+    val queryKeys = queries
+      .select(col("query_id"), col("query_vec"), explode(col("qks")).as("key"))
+    // duplicate (query_id, vec_id) rows from multi-band matches are
+    // identical, so the dedup is deterministic
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), asc("vec_id"))
+    val ann = corpusKeys.join(broadcast(queryKeys), Seq("key"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(cosine_sim(col("embedding"), col("query_vec")), 6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val hits = exact.join(ann, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    queries.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 6).as("recall"))
+      .orderBy(asc("query_id"))
+  }
+
   private def ivfIndexPath(dir: String, nCells: Int): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val h = md.digest(s"$dir|ivf|$nCells".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)

@@ -45,6 +45,23 @@ class OperatorEdgeSpec extends SparkSpec {
     }
   }
 
+  test("annRecall: one row per query; hits in [1, k]; recall = hits/k; k=1 is perfect") {
+    val k = 5
+    val r = Ann.annRecall(spark, dir, nQueries = 4, k = k).collect()
+    assert(r.length == 4)
+    assert(r.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    r.foreach { row =>
+      val hits = row.getLong(1)
+      // the query vector itself shares every band key and scores 1.0, so
+      // it is in both arms' top-k → at least one hit always
+      assert(hits >= 1 && hits <= k)
+      assert(math.abs(row.getDouble(2) - hits.toDouble / k) < 1e-9)
+    }
+    // at k=1 both arms elect the self-match → recall 1.0 for every query
+    Ann.annRecall(spark, dir, nQueries = 4, k = 1).collect()
+      .foreach(row => assert(row.getDouble(2) == 1.0))
+  }
+
   test("ivfTopk: query's own cell is probed (self-match present, rank 1)") {
     val ivf = Ann.ivfTopk(spark, dir, queryVecId = 0L, k = 5, nCells = 8, nProbe = 2).collect()
     assert(ivf.nonEmpty)
