@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Ann, AsofJoin, CatalogOps, CorpusFilter, Decontaminate, Dedup, Diagnostics, EmbeddingStats, Funnel, Ingest, Multimodal, Pii, RangeJoin, Relational, Sampling, Search, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, CatalogOps, CorpusFilter, Decontaminate, Dedup, Diagnostics, EmbeddingStats, Funnel, Ingest, Mining, Multimodal, Pii, RangeJoin, Relational, Sampling, Search, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -99,6 +99,7 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) => Ann.annTopk(s, dir, 0L, 10)),
     "ann_topk_indexed" -> ((s, dir) => Ann.annTopkIndexed(s, dir, 0L, 10)),
     "ann_recall" -> ((s, dir) => Ann.annRecall(s, dir, 8, 10)),
+    "hard_negatives" -> ((s, dir) => Mining.hardNegatives(s, dir, 8)),
     "ivf_topk" -> ((s, dir) => Ann.ivfTopk(s, dir, 0L, 10, 16, 4)),
     "ann_range" -> ((s, dir) => Ann.annRange(s, dir, 0L, 0.2)),
     "ivf_topk_indexed" -> ((s, dir) => Ann.ivfTopkIndexed(s, dir, 0L, 10, 16, 4)),
@@ -1079,6 +1080,28 @@ object SparkEntry {
     "ann_topk" -> annTopkSql,
     "ann_topk_indexed" -> annTopkSql, // identical semantics: same planes, same keys, same rerank
     "ann_recall" -> annRecallSql(),
+
+    // mirrors Mining.hardNegatives: same rounded-score ranking + vec_id
+    // tie-break in both arms
+    "hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.query_id, q.query_label, e.vec_id, e.label,
+         |         ${cosSql("e.v", "q.qv")} AS score
+         |  FROM e, q),
+         |pos AS (SELECT query_id, vec_id AS pos_id, score AS pos_score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY score DESC, vec_id ASC) AS rnk
+         |  FROM scored WHERE label = query_label AND vec_id != query_id) t WHERE rnk = 1),
+         |neg AS (SELECT query_id, vec_id AS neg_id, score AS neg_score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY score DESC, vec_id ASC) AS rnk
+         |  FROM scored WHERE label != query_label) t WHERE rnk = 1)
+         |SELECT p.query_id, p.pos_id, p.pos_score, n.neg_id, n.neg_score,
+         |       round(p.pos_score - n.neg_score, 6) AS margin
+         |FROM pos p JOIN neg n ON n.query_id = p.query_id
+         |ORDER BY p.query_id""".stripMargin,
 
     "ann_range" ->
       s"""$annProbeSql

@@ -57,6 +57,11 @@ object Streaming {
       org.apache.spark.sql.types.StructField("k",
         org.apache.spark.sql.types.LongType)))
     events
+      // from_json is an interpreted (non-codegen) Jackson parse — the most
+      // expensive narrow stage here. Pinned repartition so it runs on every
+      // core even when the source is a single-split file (at production
+      // scale the split count supplies this parallelism for free).
+      .repartition(events.sparkSession.sparkContext.defaultParallelism, col("user_id"))
       .withColumn("k", from_json(col("props"), schema).getField("k"))
       .groupBy(col("event_type"))
       .agg(

@@ -62,6 +62,23 @@ class OperatorEdgeSpec extends SparkSpec {
       .foreach(row => assert(row.getDouble(2) == 1.0))
   }
 
+  test("hardNegatives: positive shares the anchor's label, negative doesn't, no self-pairs") {
+    val labels = Tables.embeddings(spark, dir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Mining.hardNegatives(spark, dir, nAnchors = 6).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val (qid, posId, negId) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(posId != qid)
+      assert(labels(posId) == labels(qid))
+      assert(labels(negId) != labels(qid))
+      // margin is the rounded difference of the two reported scores
+      assert(math.abs(r.getDouble(5) - BigDecimal(r.getDouble(2) - r.getDouble(4))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+  }
+
   test("ivfTopk: query's own cell is probed (self-match present, rank 1)") {
     val ivf = Ann.ivfTopk(spark, dir, queryVecId = 0L, k = 5, nCells = 8, nProbe = 2).collect()
     assert(ivf.nonEmpty)
