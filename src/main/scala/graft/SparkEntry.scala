@@ -115,6 +115,7 @@ object SparkEntry {
     "pq_topk_indexed" -> ((s, dir) => Ann.pqTopkIndexed(s, dir, 0L, 10)),
     "ivfpq_topk" -> ((s, dir) => Ann.ivfPqTopk(s, dir, 0L, 10)),
     "embed_label_stats" -> ((s, dir) => EmbeddingStats.perLabelCohesion(Tables.embeddings(s, dir))),
+    "knn_label_audit" -> ((s, dir) => EmbeddingStats.knnLabelAudit(Tables.embeddings(s, dir))),
     "embed_norm_quantiles" -> ((s, dir) => EmbeddingStats.normQuantiles(Tables.embeddings(s, dir))),
     "embed_quantize_err" -> ((s, dir) => EmbeddingStats.quantizationError(Tables.embeddings(s, dir))),
     "multimodal_meta" -> ((s, dir) => {
@@ -1080,6 +1081,32 @@ object SparkEntry {
     "ann_topk" -> annTopkSql,
     "ann_topk_indexed" -> annTopkSql, // identical semantics: same planes, same keys, same rerank
     "ann_recall" -> annRecallSql(),
+
+    // mirrors EmbeddingStats.knnLabelAudit: anchors = vec_id % 7 = 0,
+    // majority vote with (count DESC, label ASC) tie-break in both engines
+    "knn_label_audit" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+         |      FROM e WHERE vec_id % 7 = 0),
+         |scored AS (
+         |  SELECT q.query_id, q.query_label, e.vec_id, e.label,
+         |         ${cosSql("e.v", "q.qv")} AS score
+         |  FROM e, q WHERE e.vec_id != q.query_id),
+         |top AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY score DESC, vec_id ASC) AS rnk
+         |  FROM scored) t WHERE rnk <= 10),
+         |votes AS (SELECT query_id, query_label, label, count(*)::BIGINT AS cnt
+         |          FROM top GROUP BY query_id, query_label, label),
+         |pred AS (SELECT query_label, CASE WHEN label = query_label THEN 1 ELSE 0 END AS ok
+         |         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                            ORDER BY cnt DESC, label ASC) AS r
+         |               FROM votes) t WHERE r = 1)
+         |SELECT query_label AS label, count(*)::BIGINT AS n,
+         |       CAST(sum(ok) AS BIGINT) AS correct,
+         |       round(CAST(sum(ok) AS BIGINT) / count(*), 6) AS acc
+         |FROM pred GROUP BY query_label
+         |ORDER BY label""".stripMargin,
 
     // mirrors Mining.hardNegatives: same rounded-score ranking + vec_id
     // tie-break in both arms

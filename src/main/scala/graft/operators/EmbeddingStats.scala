@@ -89,4 +89,47 @@ object EmbeddingStats {
         round(avg(col("scale")), 6).as("avg_scale"))
       .orderBy(col("label"))
   }
+
+  /** kNN label-consistency audit: per-label accuracy of majority-vote
+    * k-nearest-neighbor classification over a hash-sampled anchor set — the
+    * standard probe for "do these embeddings actually encode the labels"
+    * before training on them. Collapsed or shuffled embedding batches show
+    * up as accuracy at chance level; a single corrupted label cluster shows
+    * up as one low-accuracy row.
+    *
+    * Anchors are every `anchorMod`-th vec_id (deterministic, engine-stable —
+    * same contract as [[graft.operators.Sampling]]); prediction is the
+    * neighbor-label majority with a (count DESC, label ASC) tie-break so
+    * both engines elect the same winner.
+    *
+    * Scale shape: one scored corpus pass against the broadcast anchors, a
+    * per-anchor top-k window (partial WindowGroupLimit bounds the shuffle
+    * at k rows per anchor per partition), then two anchor-sized
+    * aggregations. Anchor count is the knob: cost is one corpus scan
+    * regardless of how many anchors fit the broadcast. */
+  def knnLabelAudit(embeddings: DataFrame, k: Int = 10, anchorMod: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchors = embeddings.where(pmod(col("vec_id"), lit(anchorMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("embedding").as("query_vec"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), asc("vec_id"))
+    val top = embeddings.crossJoin(broadcast(anchors))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("query_label"), col("vec_id"), col("label"),
+        round(cosine_sim(col("embedding"), col("query_vec")), 6).as("score"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+    val votes = top
+      .groupBy(col("query_id"), col("query_label"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val wv = Window.partitionBy(col("query_id")).orderBy(desc("cnt"), asc("label"))
+    val pred = votes.withColumn("r", row_number().over(wv)).where(col("r") === 1)
+      .select(col("query_label"),
+        (col("label") === col("query_label")).cast("bigint").as("ok"))
+    pred
+      .groupBy(col("query_label").as("label"))
+      .agg(count(lit(1)).as("n"), sum(col("ok")).as("correct"))
+      .select(col("label"), col("n"), col("correct"),
+        round(col("correct") / col("n"), 6).as("acc"))
+      .orderBy(col("label"))
+  }
 }

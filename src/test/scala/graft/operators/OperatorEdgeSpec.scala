@@ -79,6 +79,20 @@ class OperatorEdgeSpec extends SparkSpec {
     }
   }
 
+  test("knnLabelAudit: anchor counts conserved; acc = correct/n in [0,1]") {
+    val e = Tables.embeddings(spark, dir)
+    val nAnchors = e.where(expr("vec_id % 7 = 0")).count()
+    val rows = EmbeddingStats.knnLabelAudit(e).collect()
+    assert(rows.map(_.getLong(1)).sum == nAnchors) // every anchor classified once
+    rows.foreach { r =>
+      val (n, correct, acc) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(correct >= 0 && correct <= n)
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(math.abs(acc - BigDecimal(correct.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+  }
+
   test("ivfTopk: query's own cell is probed (self-match present, rank 1)") {
     val ivf = Ann.ivfTopk(spark, dir, queryVecId = 0L, k = 5, nCells = 8, nProbe = 2).collect()
     assert(ivf.nonEmpty)
