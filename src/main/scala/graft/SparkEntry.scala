@@ -116,6 +116,7 @@ object SparkEntry {
     "ivfpq_topk" -> ((s, dir) => Ann.ivfPqTopk(s, dir, 0L, 10)),
     "embed_label_stats" -> ((s, dir) => EmbeddingStats.perLabelCohesion(Tables.embeddings(s, dir))),
     "knn_label_audit" -> ((s, dir) => EmbeddingStats.knnLabelAudit(Tables.embeddings(s, dir))),
+    "quality_sample" -> ((s, dir) => Sampling.qualitySample(Tables.documents(s, dir))),
     "embed_norm_quantiles" -> ((s, dir) => EmbeddingStats.normQuantiles(Tables.embeddings(s, dir))),
     "embed_quantize_err" -> ((s, dir) => EmbeddingStats.quantizationError(Tables.embeddings(s, dir))),
     "multimodal_meta" -> ((s, dir) => {
@@ -1081,6 +1082,37 @@ object SparkEntry {
     "ann_topk" -> annTopkSql,
     "ann_topk_indexed" -> annTopkSql, // identical semantics: same planes, same keys, same rerank
     "ann_recall" -> annRecallSql(),
+
+    // mirrors Sampling.qualitySample: TextAnalysis.quality's composite
+    // score, quantile_cont == Spark exact percentile (6 dp), hash56 keep
+    "quality_sample" ->
+      """WITH qraw AS (
+        | SELECT doc_id,
+        |   len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+        |   len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','is')))
+        |     + len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','que','y','en')))
+        |     + len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und','ist','ein'))) AS stop_hits,
+        |   CASE WHEN length(text) > 0
+        |        THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / length(text)
+        |        ELSE 0.0 END AS punct_raw
+        | FROM documents),
+        |qual AS (SELECT doc_id,
+        |   round(least(1.0, n_tokens::DOUBLE / 100.0) * (1.0 - punct_raw)
+        |         * (0.5 + 0.5 * CASE WHEN n_tokens > 0
+        |                             THEN stop_hits::DOUBLE / n_tokens
+        |                             ELSE 0.0 END), 6) AS quality
+        | FROM qraw),
+        |th AS (SELECT round(quantile_cont(quality, 0.25), 6) AS q1,
+        |              round(quantile_cont(quality, 0.50), 6) AS q2,
+        |              round(quantile_cont(quality, 0.75), 6) AS q3 FROM qual)
+        |SELECT doc_id, quality, CAST(bin AS BIGINT) AS bin,
+        |       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100
+        |         < ([10, 25, 50, 100])[CAST(bin AS INT) + 1] AS keep
+        |FROM (SELECT doc_id, quality,
+        |        CASE WHEN quality < q1 THEN 0 WHEN quality < q2 THEN 1
+        |             WHEN quality < q3 THEN 2 ELSE 3 END AS bin
+        |      FROM qual, th) b
+        |ORDER BY doc_id""".stripMargin,
 
     // mirrors EmbeddingStats.knnLabelAudit: anchors = vec_id % 7 = 0,
     // majority vote with (count DESC, label ASC) tie-break in both engines

@@ -22,6 +22,23 @@ class SamplingSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("qualitySample: every doc binned once; mean quality rises with bin; top bin kept whole") {
+    val docs = Tables.documents(spark, dir)
+    val rows = Sampling.qualitySample(docs).collect()
+    assert(rows.length == docs.count())
+    val byBin = rows.groupBy(_.getLong(2))
+    assert(byBin.keySet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    val means = byBin.toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.map(_.getDouble(1)).sum / rs.length }
+    assert(means == means.sorted, s"bin quality means not monotone: $means")
+    // keepPct for the top quartile is 100 => every hash bucket is below it
+    byBin(3L).foreach(r => assert(r.getBoolean(3)))
+    // selection is deterministic: same verdicts on a repartitioned input
+    val again = Sampling.qualitySample(docs.repartition(7)).collect()
+    assert(rows.map(r => (r.getLong(0), r.getBoolean(3))).toSet ==
+      again.map(r => (r.getLong(0), r.getBoolean(3))).toSet)
+  }
+
   test("packBatches: per-lang batches respect the exclusive-prefix binning") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
