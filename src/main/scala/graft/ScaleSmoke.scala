@@ -95,6 +95,18 @@ object ScaleSmoke {
         .orderBy(desc("s"), asc("vec_id")).limit(10)
         .queryExecution.toRdd.count()
     }
+    stage("hard negatives (8a)") {
+      graft.operators.Mining.hardNegatives(e, 8)
+        .queryExecution.toRdd.count()
+    }
+    stage("knn label audit (16a)") {
+      // fixed ~16-anchor budget regardless of corpus size — the production
+      // posture: the audit samples a constant anchor count, so its cost is
+      // one corpus scan (scored pairs = anchors × corpus, not a fraction²)
+      val anchorMod = math.max(1L, e.count() / 16L)
+      graft.operators.EmbeddingStats.knnLabelAudit(e, k = 10, anchorMod = anchorMod.toInt)
+        .queryExecution.toRdd.count()
+    }
     stage("simhash candidates") {
       import graft.functions.LshFunctions
       val withBits = e.select(col("vec_id"),

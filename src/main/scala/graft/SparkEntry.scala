@@ -99,7 +99,7 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) => Ann.annTopk(s, dir, 0L, 10)),
     "ann_topk_indexed" -> ((s, dir) => Ann.annTopkIndexed(s, dir, 0L, 10)),
     "ann_recall" -> ((s, dir) => Ann.annRecall(s, dir, 8, 10)),
-    "hard_negatives" -> ((s, dir) => Mining.hardNegatives(s, dir, 8)),
+    "hard_negatives" -> ((s, dir) => Mining.hardNegatives(Tables.embeddings(s, dir), 8)),
     "ivf_topk" -> ((s, dir) => Ann.ivfTopk(s, dir, 0L, 10, 16, 4)),
     "ann_range" -> ((s, dir) => Ann.annRange(s, dir, 0L, 0.2)),
     "ivf_topk_indexed" -> ((s, dir) => Ann.ivfTopkIndexed(s, dir, 0L, 10, 16, 4)),
@@ -117,6 +117,7 @@ object SparkEntry {
     "embed_label_stats" -> ((s, dir) => EmbeddingStats.perLabelCohesion(Tables.embeddings(s, dir))),
     "knn_label_audit" -> ((s, dir) => EmbeddingStats.knnLabelAudit(Tables.embeddings(s, dir))),
     "quality_sample" -> ((s, dir) => Sampling.qualitySample(Tables.documents(s, dir))),
+    "user_sequences" -> ((s, dir) => Sessionize.userSequences(Tables.events(s, dir))),
     "embed_norm_quantiles" -> ((s, dir) => EmbeddingStats.normQuantiles(Tables.embeddings(s, dir))),
     "embed_quantize_err" -> ((s, dir) => EmbeddingStats.quantizationError(Tables.embeddings(s, dir))),
     "multimodal_meta" -> ((s, dir) => {
@@ -1082,6 +1083,19 @@ object SparkEntry {
     "ann_topk" -> annTopkSql,
     "ann_topk_indexed" -> annTopkSql, // identical semantics: same planes, same keys, same rerank
     "ann_recall" -> annRecallSql(),
+
+    // mirrors Sessionize.userSequences: latest-256 cap (not binding at sf
+    // scale but part of the contract), (ts, event_id) total order
+    "user_sequences" ->
+      """WITH recent AS (SELECT * FROM (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn <= 256)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  md5(string_agg(event_type, '|' ORDER BY ts, event_id)) AS seq_fp,
+        |  array_to_string((list(event_type ORDER BY ts, event_id))[1:8], '|') AS head
+        |FROM recent GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // mirrors Sampling.qualitySample: TextAnalysis.quality's composite
     // score, quantile_cont == Spark exact percentile (6 dp), hash56 keep

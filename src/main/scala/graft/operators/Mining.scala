@@ -1,10 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
 import graft.functions.VectorFunctions.cosine_sim
 
 /** Training-pair mining over a labeled embedding corpus — the step that
@@ -29,12 +28,11 @@ object Mining {
     * one candidate row per anchor per partition, not the corpus. The final
     * join is anchors-sized. Ranking is on the 6-dp-rounded score with a
     * vec_id tie-break, so the oracle elects identical pairs. */
-  def hardNegatives(spark: SparkSession, dir: String, nAnchors: Int = 8): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val anchors = e.where(col("vec_id") < nAnchors)
+  def hardNegatives(embeddings: DataFrame, nAnchors: Int = 8): DataFrame = {
+    val anchors = embeddings.where(col("vec_id") < nAnchors)
       .select(col("vec_id").as("query_id"), col("label").as("query_label"),
         col("embedding").as("query_vec"))
-    val scored = e.crossJoin(broadcast(anchors))
+    val scored = embeddings.crossJoin(broadcast(anchors))
       .select(col("query_id"), col("query_label"), col("vec_id"), col("label"),
         round(cosine_sim(col("embedding"), col("query_vec")), 6).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), asc("vec_id"))

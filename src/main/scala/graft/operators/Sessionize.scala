@@ -21,6 +21,36 @@ object Sessionize {
   /** Close sessions after `gapMinutes` of user silence; emit one row per
     * session with start/end, event count and value sum. Deterministic
     * ordering inside a user via the (ts, event_id) tie-break. */
+  /** Training-sequence export for sequential models: each user's event
+    * types assembled in event-time order into one row — the last step that
+    * turns a curated event log into model inputs. Emits the event count,
+    * an md5 fingerprint of the full ordered sequence (the dedup/shuffle-
+    * stability key for downstream training), and the first `headLen`
+    * elements for inspection.
+    *
+    * Scale contract: histories are CAPPED before assembly — a per-user
+    * ranking window keeps only the latest `maxLen` events (Spark 4 plants
+    * a partial WindowGroupLimit before the exchange, so the shuffle
+    * carries ≤ maxLen rows per user per partition), and only then does
+    * `collect_list` run. Per-user state is therefore bounded by maxLen
+    * regardless of how hot the hottest user is — an uncapped collect would
+    * OOM on power users at 100 TB. Ordering is (ts, event_id) — total and
+    * engine-stable, so the fingerprints are reproducible. */
+  def userSequences(events: DataFrame, maxLen: Int = 256, headLen: Int = 8): DataFrame = {
+    val wRecent = Window.partitionBy(col("user_id")).orderBy(desc("ts"), desc("event_id"))
+    events
+      .withColumn("rn", row_number().over(wRecent)).where(col("rn") <= maxLen)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type"))))
+          .as("seq"))
+      .select(col("user_id"), col("n_events"),
+        md5(array_join(expr("transform(seq, x -> x.event_type)"), "|")).as("seq_fp"),
+        array_join(expr(s"slice(transform(seq, x -> x.event_type), 1, $headLen)"), "|")
+          .as("head"))
+      .orderBy(col("user_id"))
+  }
+
   def sessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)

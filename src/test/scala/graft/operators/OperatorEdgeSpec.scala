@@ -66,7 +66,7 @@ class OperatorEdgeSpec extends SparkSpec {
     val labels = Tables.embeddings(spark, dir)
       .select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val rows = Mining.hardNegatives(spark, dir, nAnchors = 6).collect()
+    val rows = Mining.hardNegatives(Tables.embeddings(spark, dir), nAnchors = 6).collect()
     assert(rows.length == 6)
     rows.foreach { r =>
       val (qid, posId, negId) = (r.getLong(0), r.getLong(1), r.getLong(3))

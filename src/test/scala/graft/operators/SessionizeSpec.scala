@@ -34,6 +34,28 @@ class SessionizeSpec extends SparkSpec {
       (2L, 1L, 1L, 8.0, 0L)))  // user 2
   }
 
+  test("userSequences: event-time order, head truncation, and the latest-N cap") {
+    import spark.implicits._
+    val events = Seq(
+      (3L, 1L, ts(2), "c"),
+      (1L, 1L, ts(0), "a"),
+      (2L, 1L, ts(1), "b"),
+      (4L, 2L, ts(0), "x")
+    ).toDF("event_id", "user_id", "ts", "value")
+      .withColumnRenamed("value", "event_type")
+
+    val full = Sessionize.userSequences(events, maxLen = 256, headLen = 2).collect()
+    val u1 = full.find(_.getLong(0) == 1L).get
+    assert(u1.getLong(1) == 3L)
+    assert(u1.getString(3) == "a|b")                 // head: chronological, truncated
+    // cap keeps the LATEST two events, still emitted in chronological order
+    val capped = Sessionize.userSequences(events, maxLen = 2, headLen = 8).collect()
+    val c1 = capped.find(_.getLong(0) == 1L).get
+    assert(c1.getLong(1) == 2L && c1.getString(3) == "b|c")
+    // fingerprint is order-sensitive: full vs capped differ for user 1
+    assert(u1.getString(2) != c1.getString(2))
+  }
+
   test("every window is keyed by user_id — no unpartitioned window") {
     import spark.implicits._
     val events = Seq((1L, 1L, ts(0), 1.0)).toDF("event_id", "user_id", "ts", "value")
