@@ -116,6 +116,7 @@ object SparkEntry {
     "ivfpq_topk" -> ((s, dir) => Ann.ivfPqTopk(s, dir, 0L, 10)),
     "embed_label_stats" -> ((s, dir) => EmbeddingStats.perLabelCohesion(Tables.embeddings(s, dir))),
     "knn_label_audit" -> ((s, dir) => EmbeddingStats.knnLabelAudit(Tables.embeddings(s, dir))),
+    "dim_recall" -> ((s, dir) => EmbeddingStats.dimRecall(Tables.embeddings(s, dir))),
     "quality_sample" -> ((s, dir) => Sampling.qualitySample(Tables.documents(s, dir))),
     "user_sequences" -> ((s, dir) => Sessionize.userSequences(Tables.events(s, dir))),
     "embed_norm_quantiles" -> ((s, dir) => EmbeddingStats.normQuantiles(Tables.embeddings(s, dir))),
@@ -1127,6 +1128,30 @@ object SparkEntry {
         |             WHEN quality < q3 THEN 2 ELSE 3 END AS bin
         |      FROM qual, th) b
         |ORDER BY doc_id""".stripMargin,
+
+    // mirrors EmbeddingStats.dimRecall: truncated arm ranks on the first
+    // 16 components; same rounded-score ranking + vec_id tie-break
+    "dim_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         |fullarm AS (SELECT query_id, vec_id FROM (
+         |  SELECT q.query_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |                       ORDER BY ${cosSql("e.v", "q.qv")} DESC, e.vec_id ASC) AS rnk
+         |  FROM e, q) t WHERE rnk <= 10),
+         |truncarm AS (SELECT query_id, vec_id FROM (
+         |  SELECT q.query_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |                       ORDER BY ${cosSql("e.v[1:16]", "q.qv[1:16]")} DESC, e.vec_id ASC) AS rnk
+         |  FROM e, q) t WHERE rnk <= 10),
+         |h AS (SELECT f.query_id, count(*)::BIGINT AS hits
+         |      FROM fullarm f JOIN truncarm tr
+         |        ON tr.query_id = f.query_id AND tr.vec_id = f.vec_id
+         |      GROUP BY f.query_id)
+         |SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |       round(coalesce(h.hits, 0) / 10.0, 6) AS recall
+         |FROM q LEFT JOIN h ON h.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin,
 
     // mirrors EmbeddingStats.knnLabelAudit: anchors = vec_id % 7 = 0,
     // majority vote with (count DESC, label ASC) tie-break in both engines

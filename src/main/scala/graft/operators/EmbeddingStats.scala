@@ -90,6 +90,43 @@ object EmbeddingStats {
       .orderBy(col("label"))
   }
 
+  /** Matryoshka / dimension-truncation evaluation: recall@k of ranking on
+    * only the FIRST `dims` vector components against full-vector ground
+    * truth, per query — the measurement behind "can we store a d/4-wide
+    * prefix instead of the full vector". A 4× storage/bandwidth cut at
+    * 100 TB is only safe if this recall holds; run it before committing to
+    * a truncated layout (and after embedder upgrades, which can silently
+    * reorder component importance).
+    *
+    * Same two-arm shape as [[graft.operators.Ann.annRecall]]: one scored
+    * corpus pass per arm against the broadcast query set, per-query
+    * top-k windows bounded by WindowGroupLimit, and an anchors-sized
+    * rank-set join. The truncated arm scores `slice(embedding)` inside
+    * codegen — no rewrite of the stored table is needed to evaluate. */
+  def dimRecall(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10,
+                dims: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = embeddings.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val scored = embeddings.crossJoin(broadcast(queries))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), asc("vec_id"))
+    def topIds(scoreCol: org.apache.spark.sql.Column) = scored
+      .select(col("query_id"), col("vec_id"), scoreCol.as("score"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val full = topIds(round(cosine_sim(col("embedding"), col("query_vec")), 6))
+    val trunc = topIds(round(cosine_sim(
+      slice(col("embedding"), 1, dims), slice(col("query_vec"), 1, dims)), 6))
+    val hits = full.join(trunc, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    queries.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 6).as("recall"))
+      .orderBy(asc("query_id"))
+  }
+
   /** kNN label-consistency audit: per-label accuracy of majority-vote
     * k-nearest-neighbor classification over a hash-sampled anchor set — the
     * standard probe for "do these embeddings actually encode the labels"

@@ -79,6 +79,20 @@ class OperatorEdgeSpec extends SparkSpec {
     }
   }
 
+  test("dimRecall: full-width truncation is perfect recall; self-match floors the rest") {
+    val e = Tables.embeddings(spark, dir)
+    // truncating to the full 64 dims ranks identically => recall 1.0
+    EmbeddingStats.dimRecall(e, nQueries = 4, k = 5, dims = 64).collect()
+      .foreach(r => assert(r.getDouble(2) == 1.0))
+    val r16 = EmbeddingStats.dimRecall(e, nQueries = 4, k = 5, dims = 16).collect()
+    assert(r16.length == 4)
+    r16.foreach { r =>
+      // the anchor itself scores 1.0 in both arms, so hits >= 1
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 5)
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
   test("knnLabelAudit: anchor counts conserved; acc = correct/n in [0,1]") {
     val e = Tables.embeddings(spark, dir)
     val nAnchors = e.where(expr("vec_id % 7 = 0")).count()
