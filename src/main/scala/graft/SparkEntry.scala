@@ -101,6 +101,7 @@ object SparkEntry {
     "ann_recall" -> ((s, dir) => Ann.annRecall(s, dir, 8, 10)),
     "hard_negatives" -> ((s, dir) => Mining.hardNegatives(Tables.embeddings(s, dir), 8)),
     "ivf_topk" -> ((s, dir) => Ann.ivfTopk(s, dir, 0L, 10, 16, 4)),
+    "ivf_recall" -> ((s, dir) => Ann.ivfRecall(s, dir, 8, 10, 16, 4)),
     "ann_range" -> ((s, dir) => Ann.annRange(s, dir, 0L, 0.2)),
     "ivf_topk_indexed" -> ((s, dir) => Ann.ivfTopkIndexed(s, dir, 0L, 10, 16, 4)),
     "ivf_train_step" -> ((s, dir) => {
@@ -347,6 +348,47 @@ object SparkEntry {
        |FROM rec, q
        |ORDER BY score DESC, vec_id ASC
        |LIMIT 10""".stripMargin
+
+  /** Recall@k of the IVF probe vs the exact scan, per query — multi-query
+    * generalization of [[ivfTopkSql]]'s assignment/probe CTEs (identical
+    * cell semantics), with the [[annRecallSql]] rank-set-join tail. */
+  private def ivfRecallSql(nQ: Int = 8, k: Int = 10, nCells: Int = 16,
+                           nProbe: Int = 4): String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |cents AS (SELECT list(v ORDER BY vec_id) AS cl FROM e WHERE vec_id < $nCells),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQ),
+       |qcell AS (SELECT query_id, ci FROM (
+       |  SELECT query_id, ci,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, ci ASC) AS r
+       |  FROM (SELECT z.query_id, u.ci AS ci, u.s AS s FROM (
+       |        SELECT q.query_id, unnest(list_transform(range(1, ${nCells + 1}),
+       |          ci -> {'ci': ci, 's': round(${cosRawSql("cl[ci]", "q.qv")}, 6)})) AS u
+       |        FROM cents, q) z) y) t
+       |  WHERE r <= $nProbe),
+       |assigned AS (
+       |  SELECT vec_id, label, v, list_position(sc, list_max(sc)) AS cell FROM (
+       |    SELECT e.vec_id, e.label, e.v,
+       |           list_transform(range(1, ${nCells + 1}), ci -> ${cosRawSql("cl[ci]", "e.v")}) AS sc
+       |    FROM e, cents) t2),
+       |exact AS (SELECT query_id, vec_id FROM (
+       |  SELECT q.query_id, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |                       ORDER BY ${cosSql("e.v", "q.qv")} DESC, e.vec_id ASC) AS rnk
+       |  FROM e, q) t WHERE rnk <= $k),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |  SELECT qc.query_id, a.vec_id,
+       |    row_number() OVER (PARTITION BY qc.query_id
+       |                       ORDER BY ${cosSql("a.v", "q.qv")} DESC, a.vec_id ASC) AS rnk
+       |  FROM assigned a
+       |  JOIN qcell qc ON a.cell = qc.ci
+       |  JOIN q ON q.query_id = qc.query_id) t WHERE rnk <= $k),
+       |h AS (SELECT x.query_id, count(*)::BIGINT AS hits
+       |      FROM exact x JOIN cand c ON c.query_id = x.query_id AND c.vec_id = x.vec_id
+       |      GROUP BY x.query_id)
+       |SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |       round(coalesce(h.hits, 0) / ${k.toDouble}, 6) AS recall
+       |FROM q LEFT JOIN h ON h.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
 
   /** Recall@k of the LSH probe vs the exact scan, per query — mirrors
     * Ann.annRecall (same planes, same rounded-score ranking, same
@@ -1084,6 +1126,7 @@ object SparkEntry {
     "ann_topk" -> annTopkSql,
     "ann_topk_indexed" -> annTopkSql, // identical semantics: same planes, same keys, same rerank
     "ann_recall" -> annRecallSql(),
+    "ivf_recall" -> ivfRecallSql(),
 
     // mirrors Sessionize.userSequences: latest-256 cap (not binding at sf
     // scale but part of the contract), (ts, event_id) total order

@@ -413,6 +413,52 @@ object Ann {
       Bridge.expression(col("embedding").cast("array<double>")), cents)))
   }
 
+  /** Recall@k audit of the IVF probe against the exact scan — the
+    * [[annRecall]] twin for the centroid index, and the tool that picks
+    * `nProbe`: sweep it, read the recall/cost curve, deploy the knee. With
+    * `nProbe = nCells` the probe degenerates to the exact scan (recall
+    * 1.0 by construction — pinned in the spec); production recall decays
+    * as the corpus drifts from the trained centroids, and this measurement
+    * is the retrain trigger.
+    *
+    * Scale shape: ONE corpus assignment pass (fused [[graft.functions.NearestCentroid]]);
+    * the candidate arm joins it against the broadcast (query, probe-cell)
+    * list — an equi-join on the cell id, so with cells as partition
+    * columns the audit reads only probed partitions. Exact arm and final
+    * rank-set join as in [[annRecall]]. */
+  def ivfRecall(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
+                nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val cents: Seq[Seq[Double]] = e.where(col("vec_id") < nCells)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val qRows = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val queries = qRows.toSeq.toDF("query_id", "query_vec")
+    val probeDf = qRows.toSeq.flatMap { case (qid, qv) =>
+      probe(cents, qv.toArray, nProbe).map(ci => (qid, ci.toLong, qv))
+    }.toDF("query_id", "cell", "query_vec")
+    val exact = Similarity.similarityJoin(e, queries, k)
+      .select(col("query_id"), col("vec_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), asc("vec_id"))
+    val cand = assignCells(e, cents).join(broadcast(probeDf), Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine_sim(col("embedding"), col("query_vec")), 6).as("score"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val hits = exact.join(cand, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    queries.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 6).as("recall"))
+      .orderBy(asc("query_id"))
+  }
+
   private def ivfProbe(e: DataFrame, cents: Seq[Seq[Double]], qv: Array[Double],
                        k: Int, nProbe: Int): DataFrame = {
     val probeCells = probe(cents, qv, nProbe)

@@ -62,6 +62,18 @@ class OperatorEdgeSpec extends SparkSpec {
       .foreach(row => assert(row.getDouble(2) == 1.0))
   }
 
+  test("ivfRecall: probing every cell is the exact scan (recall 1.0); partial probes floor at the self-hit") {
+    Ann.ivfRecall(spark, dir, nQueries = 4, k = 5, nCells = 8, nProbe = 8).collect()
+      .foreach(r => assert(r.getDouble(2) == 1.0))
+    val partial = Ann.ivfRecall(spark, dir, nQueries = 4, k = 5, nCells = 8, nProbe = 2).collect()
+    assert(partial.length == 4)
+    partial.foreach { r =>
+      // the query's own cell always ranks first in its probe list, so the
+      // self-match survives any nProbe >= 1
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 5)
+    }
+  }
+
   test("hardNegatives: positive shares the anchor's label, negative doesn't, no self-pairs") {
     val labels = Tables.embeddings(spark, dir)
       .select("vec_id", "label").collect()
