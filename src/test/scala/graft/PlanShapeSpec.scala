@@ -135,4 +135,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("ann_recall: the ANN arm is a band-key EQUI-join — never a cartesian") {
+    val p = plan(Ann.annRecall(spark, dir, nQueries = 4, k = 5))
+    assert(!p.contains("CartesianProduct"), s"cartesian in recall audit:\n$p")
+    // broadcast sides: exact arm's query set (BNLJ by design) and the ANN
+    // arm's exploded key list (hash join) — the corpus is never built
+    assert(p.contains("BroadcastHashJoin"), s"ANN arm lost the key equi-join:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"rank-limit pushdown missing:\n$p")
+  }
+
+  test("ivf_recall: candidates come from a cell equi-join on the fused assignment") {
+    val p = plan(Ann.ivfRecall(spark, dir, nQueries = 4, k = 5, nCells = 8, nProbe = 2))
+    assert(!p.contains("CartesianProduct"), s"cartesian in recall audit:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe-list equi-join missing:\n$p")
+    assert(p.contains("nearest_centroid"), s"fused assignment expression missing:\n$p")
+  }
+
+  test("hard_negatives / knn_label_audit: rank limit runs before the exchange") {
+    val e = Tables.embeddings(spark, dir)
+    Seq(plan(graft.operators.Mining.hardNegatives(e, 4)),
+        plan(graft.operators.EmbeddingStats.knnLabelAudit(e, k = 5))).foreach { p =>
+      assert(p.contains("BroadcastNestedLoopJoin"), p) // scored pass: corpus x broadcast(anchors)
+      assert(p.contains("WindowGroupLimit"), s"rank-limit pushdown missing:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("user_sequences: history cap is a WindowGroupLimit, shuffle keyed by user") {
+    val p = plan(graft.operators.Sessionize.userSequences(Tables.events(spark, dir)))
+    assert(p.contains("WindowGroupLimit"), s"latest-N cap lost its pushdown:\n$p")
+    assert(p.contains("hashpartitioning(user_id"), s"not keyed by user_id:\n$p")
+  }
 }
