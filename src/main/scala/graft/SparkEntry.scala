@@ -118,6 +118,7 @@ object SparkEntry {
     "embed_label_stats" -> ((s, dir) => EmbeddingStats.perLabelCohesion(Tables.embeddings(s, dir))),
     "knn_label_audit" -> ((s, dir) => EmbeddingStats.knnLabelAudit(Tables.embeddings(s, dir))),
     "dim_recall" -> ((s, dir) => EmbeddingStats.dimRecall(Tables.embeddings(s, dir))),
+    "embed_drift" -> ((s, dir) => EmbeddingStats.embedDrift(Tables.embeddings(s, dir))),
     "quality_sample" -> ((s, dir) => Sampling.qualitySample(Tables.documents(s, dir))),
     "user_sequences" -> ((s, dir) => Sessionize.userSequences(Tables.events(s, dir))),
     "embed_norm_quantiles" -> ((s, dir) => EmbeddingStats.normQuantiles(Tables.embeddings(s, dir))),
@@ -1171,6 +1172,30 @@ object SparkEntry {
         |             WHEN quality < q3 THEN 2 ELSE 3 END AS bin
         |      FROM qual, th) b
         |ORDER BY doc_id""".stripMargin,
+
+    // mirrors EmbeddingStats.embedDrift: hash56 split tag, 9 dp centroid
+    // elements (the embed_label_stats centroid idiom), 6 dp cosine
+    "embed_drift" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 80 AS train
+         |  FROM embeddings),
+         |ex AS (SELECT train, label, u.i AS pos, u.v AS val FROM (
+         |  SELECT train, label, unnest(list_transform(range(0, 64), i -> {'i': i, 'v': v[i+1]})) AS u
+         |  FROM e) t),
+         |cent0 AS (SELECT train, label, pos, round(avg(val), 9) AS m
+         |          FROM ex GROUP BY train, label, pos),
+         |cent AS (SELECT train, label, list(m ORDER BY pos) AS c
+         |         FROM cent0 GROUP BY train, label),
+         |counts AS (SELECT label,
+         |    CAST(sum(CASE WHEN train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |    CAST(sum(CASE WHEN train THEN 0 ELSE 1 END) AS BIGINT) AS n_test
+         |  FROM e GROUP BY label)
+         |SELECT counts.label, n_train, n_test,
+         |       round(${cosRawSql("tr.c", "te.c")}, 6) AS centroid_cos
+         |FROM counts
+         |JOIN cent tr ON tr.label = counts.label AND tr.train
+         |JOIN cent te ON te.label = counts.label AND NOT te.train
+         |ORDER BY counts.label""".stripMargin,
 
     // mirrors EmbeddingStats.dimRecall: truncated arm ranks on the first
     // 16 components; same rounded-score ranking + vec_id tie-break

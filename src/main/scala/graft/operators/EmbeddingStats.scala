@@ -90,6 +90,39 @@ object EmbeddingStats {
       .orderBy(col("label"))
   }
 
+  /** Embedding-distribution drift between the deterministic train/test
+    * hash splits — the embedding-space twin of
+    * [[graft.operators.TextAnalysis.tokenDrift]]. Per label: both splits'
+    * centroids (9 dp element rounding, as everywhere centroids cross
+    * engines) and the cosine between them. A healthy split has
+    * centroid_cos ≈ 1 for every label; a label whose splits disagree
+    * signals leakage, a skewed hash, or a label whose members aren't
+    * exchangeable — all things to find BEFORE a training run.
+    *
+    * Scale shape: same as [[perLabelCohesion]] — one position-explode
+    * aggregation (64·L·2 groups), then label-sized joins. No pairwise
+    * anything, no broadcast of the corpus. */
+  def embedDrift(embeddings: DataFrame, trainPct: Int = 80): DataFrame = {
+    val tagged = embeddings.withColumn("train",
+      Sampling.hashBucket(col("vec_id")) < trainPct)
+    val cents = tagged
+      .select(col("train"), col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("train"), col("label"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("train"), col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("train"), col("label"), expr("transform(pm, x -> round(x.m, 9))").as("c"))
+    val counts = tagged.groupBy(col("label")).agg(
+      sum(when(col("train"), 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("train"), 0L).otherwise(1L)).as("n_test"))
+    counts
+      .join(cents.where(col("train")).select(col("label"), col("c").as("c_train")), Seq("label"))
+      .join(cents.where(!col("train")).select(col("label"), col("c").as("c_test")), Seq("label"))
+      .select(col("label"), col("n_train"), col("n_test"),
+        round(cosine_sim(col("c_train"), col("c_test")), 6).as("centroid_cos"))
+      .orderBy(col("label"))
+  }
+
   /** Matryoshka / dimension-truncation evaluation: recall@k of ranking on
     * only the FIRST `dims` vector components against full-vector ground
     * truth, per query — the measurement behind "can we store a d/4-wide

@@ -91,6 +91,20 @@ class OperatorEdgeSpec extends SparkSpec {
     }
   }
 
+  test("embedDrift: split counts conserved per label; centroid cosine bounded") {
+    val e = Tables.embeddings(spark, dir)
+    val perLabel = e.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = EmbeddingStats.embedDrift(e).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == perLabel(r.getInt(0)))
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9)
+    }
+    // trainPct=100 would drop every label (empty test split) — the inner
+    // join is the guard against reporting a drift score with no data
+    assert(EmbeddingStats.embedDrift(e, trainPct = 100).count() == 0)
+  }
+
   test("dimRecall: full-width truncation is perfect recall; self-match floors the rest") {
     val e = Tables.embeddings(spark, dir)
     // truncating to the full 64 dims ranks identically => recall 1.0
