@@ -52,6 +52,7 @@ object SparkEntry {
         .select(col("id"), col("chunk"), length(col("chunk")).cast("bigint").as("chunk_len"))
     }),
     "ingest_topk" -> ((s, dir) => Ingest.ingestTopk(s, dir, "spark data query", 10, 128)),
+    "chunk_doc_topk" -> ((s, dir) => Search.chunkDocRetrieval(s, dir, "spark data query", 10, 128)),
     "dedup_exact"   -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashNear(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashNear(Tables.embeddings(s, dir))),
@@ -465,6 +466,22 @@ object SparkEntry {
          |SELECT emb.id, ${cosSql("emb.v", "q.qv")} AS score
          |FROM emb, q
          |ORDER BY score DESC, id ASC
+         |LIMIT 10""".stripMargin,
+
+    // mirrors Search.chunkDocRetrieval: same chunk/embed CTEs as
+    // ingest_topk, per-doc best chunk, doc ranking by that score
+    "chunk_doc_topk" ->
+      s"""WITH chunks AS (${chunkSql(128)}),
+         |emb AS (SELECT id, CAST(string_split(id, '-')[1] AS BIGINT) AS doc_id,
+         |               ${embSql("chunk")} AS v FROM chunks),
+         |q AS (SELECT ${embSql("'spark data query'")} AS qv),
+         |scored AS (SELECT doc_id, id, ${cosSql("emb.v", "q.qv")} AS score FROM emb, q),
+         |best AS (SELECT doc_id, id AS best_chunk, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                               ORDER BY score DESC, id ASC) AS rn
+         |  FROM scored) t WHERE rn = 1)
+         |SELECT doc_id, best_chunk, score FROM best
+         |ORDER BY score DESC, doc_id ASC
          |LIMIT 10""".stripMargin,
 
     "dedup_exact" ->

@@ -142,4 +142,37 @@ object Search {
       .orderBy(desc("rrf"), asc("doc_id"))
       .limit(k)
   }
+
+  /** Document-level retrieval over a CHUNK index (late-interaction lite):
+    * chunk every document, embed the chunks, score them against the query
+    * vector, and rank documents by their best-scoring chunk — the
+    * max-pooled chunk-retrieval shape RAG systems use so a long document
+    * is findable by any one passage. Returns the winning chunk id with
+    * each document, which is exactly the passage a downstream reader
+    * wants.
+    *
+    * Scale shape: chunk + embed + score are one narrow pipeline (the
+    * partition-batched embedder, then the codegen'd cosine against the
+    * literal query vector); the per-document max is a doc-keyed
+    * `row_number` window — partial WindowGroupLimit bounds the shuffle at
+    * one row per document per partition — and the final k-selection is a
+    * bounded heap (`TakeOrderedAndProject`). With a persisted chunk
+    * collection (the [[graft.operators.Ingest.ingestTopk]] layout) the
+    * chunk/embed stages are amortized across queries. */
+  def chunkDocRetrieval(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        queryText: String, k: Int = 10,
+                        chunkSize: Int = 128): DataFrame = {
+    val chunks = Ingest.chunk(graft.core.Tables.documents(spark, dir), "doc_id", "text", chunkSize)
+    val recs = Ingest.makeRecords(spark, chunks, "local/hash-64")
+    val qv = Embedders.embedBatch("local/hash-64",
+      Iterator(queryText.getBytes("UTF-8"))).next()
+    val scored = recs.select(
+      expr("cast(split(id, '-')[0] as bigint)").as("doc_id"), col("id"),
+      round(cosine_sim(col("embedding"), typedLit(qv)), 6).as("score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), asc("id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_id"), col("id").as("best_chunk"), col("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
 }

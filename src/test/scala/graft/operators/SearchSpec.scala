@@ -56,6 +56,18 @@ class SearchSpec extends SparkSpec {
     assert(both.nonEmpty, "expected at least one doc ranked by both arms in the top-k")
   }
 
+  test("chunkDocRetrieval: one row per doc, best chunk belongs to it, doc score = its max chunk") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Search.chunkDocRetrieval(spark, dir, "spark data query", k = 10).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length) // doc-level: no dup docs
+    rows.foreach(r => assert(r.getString(1).startsWith(r.getLong(0) + "-"),
+      s"best chunk ${r.getString(1)} not from doc ${r.getLong(0)}"))
+    // ordering: by score desc with doc_id tie-break
+    val scores = rows.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sortBy(-_))
+  }
+
   test("plan: broadcast stats join + TakeOrderedAndProject, no exchange of the corpus") {
     val plan = Search.bm25TopK(docs, Seq("cat", "dog"), k = 3)
       .queryExecution.executedPlan.toString
