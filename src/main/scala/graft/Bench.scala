@@ -59,28 +59,50 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names(k) })
 
+    // Per-query median-of-N: rounds 5/6 ran byte-identical code yet single
+    // queries swung 0.8s <-> 24s (async shuffle-cleanup/GC debt from
+    // earlier queries landing on whichever ran next). A median discards
+    // that one contaminated run, so cross-round deltas become actionable;
+    // the per-query max/median spread is reported so the noise itself
+    // stays visible.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      var failed = false
+      var i = 0
+      while (i < repeats && !failed) {
+        val t0 = System.nanoTime()
         // toRdd.count() materializes every output row with all its columns
         // — a plain count() lets Catalyst prune the work being measured
         // (e.g. eliminate an outer join whose columns a count never reads)
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          false
+          failed = true
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        if (!failed) times += (System.nanoTime() - t0) / 1e9
+        i += 1
+      }
+      if (failed) name -> -1.0
+      else {
+        val sorted = times.sorted
+        val median = sorted(sorted.length / 2)
+        spreads(name) = if (median > 0) sorted.last / median else 1.0
+        name -> median
+      }
     }
 
     val qs = results.map { case (k, v) => esc(k) + ":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val spreadJson = ",\"max_over_median\":" + spreads
+      .map { case (k, v) => esc(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => esc(k) + ":" + esc(v) }
         .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec,"repeats":$repeats$spreadJson$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

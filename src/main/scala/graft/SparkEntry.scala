@@ -489,6 +489,9 @@ object SparkEntry {
         |       doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS keep
         |FROM documents""".stripMargin,
 
+    // mirrors Dedup.minhashNear: word-trigram shingles hashed to 56-bit
+    // ints, 12 XOR-mask minhashes in 4 bands of r=3 (same banded skeleton
+    // as ngramPairsSql), exact Jaccard on candidates, >= 0.3
     "dedup_minhash" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id,
@@ -497,22 +500,24 @@ object SparkEntry {
         |             i -> array_to_string(t[i+1:i+3], ' '))),
         |           x -> CAST(('0x' || substr(md5(x), 1, 14))::UBIGINT AS BIGINT)) AS hs
         |       FROM toks WHERE len(t) >= 3),
-        |mh AS (SELECT doc_id, u.seed, u.mh FROM (
-        |  SELECT doc_id, unnest(list_transform(range(0, 6), sd ->
-        |    {'seed': sd,
-        |     'mh': list_min(list_transform(hs,
-        |       b -> xor(b, CAST(('0x' || substr(md5(CAST(sd AS VARCHAR)), 1, 14))::UBIGINT AS BIGINT))))})) AS u
-        |  FROM sh) q),
+        |mh AS (SELECT doc_id,
+        |    list_transform(range(0, 12),
+        |      sd -> list_min(list_transform(hs,
+        |        b -> xor(b, CAST(('0x' || substr(md5(CAST(sd AS VARCHAR)), 1, 14))::UBIGINT AS BIGINT))))) AS sig
+        |  FROM sh),
+        |bands AS (SELECT doc_id, u.band, u.key FROM (
+        |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+        |    {'band': b, 'key': array_to_string(sig[b*3+1:b*3+3], '|')})) AS u FROM mh) q),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |         FROM mh a JOIN mh b
-        |           ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id),
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
         |v AS (SELECT c.a_id, c.b_id,
         |        round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
         |              / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS jaccard
         |      FROM cand c
         |      JOIN sh sa ON sa.doc_id = c.a_id
         |      JOIN sh sb ON sb.doc_id = c.b_id)
-        |SELECT a_id, b_id, jaccard FROM v WHERE jaccard >= 0.01
+        |SELECT a_id, b_id, jaccard FROM v WHERE jaccard >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_simhash" ->

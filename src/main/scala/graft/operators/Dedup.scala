@@ -58,12 +58,15 @@ object Dedup {
   /** X3b — MinHash LSH near-duplicate text pairs.
     *
     * shingle → 56-bit hash per shingle (one md5 each) → per-seed minhash
-    * (min over XOR-masked hashes) → explode to (doc, seed, minhash) → self
-    * EQUI-join on (seed, minhash) → distinct candidate pairs → exact
+    * (min over XOR-masked hashes) → BANDED signature keys (r hashes per
+    * band, same skeleton as [[ngramNear]]) → explode to (doc, band, key) →
+    * self EQUI-join on (band, key) → distinct candidate pairs → exact
     * Jaccard over the hashed shingle sets on candidates only → threshold.
-    * Bands here are r=1 (one hash per band — max recall; tuned for the
-    * low-similarity synthetic corpus); r is the precision dial at scale
-    * (see [[ngramNear]] for the banded shape).
+    * A candidate must agree on ALL r minhashes of some band, so bucket
+    * sizes stay bounded even on low-entropy corpora — the old r=1 setting
+    * degenerated toward all-pairs (57k candidates vs 4k banded at sf0.01)
+    * and was the single slowest bench query; r is the precision/recall
+    * dial at scale (P[candidate] = 1-(1-J^r)^bands).
     *
     * The explicit pinned repartition parallelizes the hash stage off the
     * source file's split count (single small file = one-core stage
@@ -71,17 +74,22 @@ object Dedup {
     * downstream branches, including both verification sides, reuse the
     * one exchange. */
   def minhashNear(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                  shingleSize: Int = 3, seeds: Int = 6,
-                  jaccardThreshold: Double = 0.01): DataFrame = {
+                  shingleSize: Int = 3, seeds: Int = 12, bands: Int = 4,
+                  jaccardThreshold: Double = 0.3): DataFrame = {
+    require(seeds % bands == 0, "seeds must divide evenly into bands")
+    val r = seeds / bands
     val sh = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"),
         LshFunctions.word_shingle_hash56(col(textCol), shingleSize).as("hs"))
       .where(size(col("hs")) > 0)
-    val mh = sh.select(col("doc_id"),
-      posexplode(LshFunctions.minhash_signature_long(col("hs"), seeds)).as(Seq("seed", "mh")))
+    val banded = sh.select(col("doc_id"),
+      posexplode(LshFunctions.band_keys(
+        transform(LshFunctions.minhash_signature_long(col("hs"), seeds),
+          v => v.cast("string")), bands, r, "|"))
+        .as(Seq("band", "key")))
 
-    val cand = candidatePairs(mh, "seed", "mh", "doc_id")
+    val cand = candidatePairs(banded, "band", "key", "doc_id")
 
     cand
       .join(sh.select(col("doc_id"), col("hs").as("sa")), col("a_id") === col("doc_id")).drop("doc_id")

@@ -36,7 +36,7 @@ class DedupSpec extends SparkSpec {
     // pairs are ordered, distinct, and above threshold
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
-    assert(rows.forall(_.getDouble(2) >= 0.01))
+    assert(rows.forall(_.getDouble(2) >= 0.3))
   }
 
   test("minhash near-dup: verified jaccard matches a direct computation") {
