@@ -81,7 +81,16 @@ object GraftExtensions {
     * bytes as a BIGINT), exposed to SQL so stored fingerprints, sampling
     * buckets, and shingle hashes written via SQL agree with every
     * operator and with the DuckDB form
-    * `('0x' || substr(md5(x), 1, 14))::UBIGINT`. */
+    * `('0x' || substr(md5(x), 1, 14))::UBIGINT`.
+    *
+    * The argument goes through a STRING cast before the BINARY one:
+    * `hash56(42)` must digest the characters "42" — as
+    * `Sampling.hashBucket` (`.cast("string")`) and every DuckDB oracle
+    * (`md5(CAST(id AS VARCHAR))`) do — not the numeric's 8-byte binary
+    * encoding, which a direct numeric→BINARY cast would silently hash to
+    * a different fingerprint. String→string is a no-op and
+    * binary→string→binary round-trips the same bytes, so string/binary
+    * arguments are unaffected. */
   val hash56Descriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
     FunctionIdentifier("hash56"),
     new ExpressionInfo(classOf[graft.functions.Hash56].getName, "hash56"),
@@ -96,6 +105,8 @@ object GraftExtensions {
             "docroot" -> "-"))
       }
       graft.functions.Hash56(org.apache.spark.sql.catalyst.expressions.Cast(
-        exprs.head, org.apache.spark.sql.types.BinaryType))
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          exprs.head, org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.BinaryType))
     })
 }

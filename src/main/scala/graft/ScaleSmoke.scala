@@ -103,8 +103,11 @@ object ScaleSmoke {
       // fixed ~16-anchor budget regardless of corpus size — the production
       // posture: the audit samples a constant anchor count, so its cost is
       // one corpus scan (scored pairs = anchors × corpus, not a fraction²)
+      // Long end-to-end: a .toInt here goes negative past ~34B rows and
+      // pmod then selects wrong/no anchors — the exact regime this smoke
+      // test exists to model.
       val anchorMod = math.max(1L, e.count() / 16L)
-      graft.operators.EmbeddingStats.knnLabelAudit(e, k = 10, anchorMod = anchorMod.toInt)
+      graft.operators.EmbeddingStats.knnLabelAudit(e, k = 10, anchorMod = anchorMod)
         .queryExecution.toRdd.count()
     }
     stage("simhash candidates") {

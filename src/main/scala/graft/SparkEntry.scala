@@ -695,16 +695,18 @@ object SparkEntry {
         |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
         |         || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
         |  FROM documents),
+        |s1 AS (SELECT doc_id, text,
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+        |  FROM d),
+        |s2 AS (SELECT doc_id, text, after_email,
+        |    regexp_replace(after_email, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS after_phone
+        |  FROM s1),
         |r AS (SELECT doc_id,
         |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-        |    len(regexp_extract_all(text, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phones,
-        |    len(regexp_extract_all(text, '(?:[0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips,
-        |    regexp_replace(
-        |      regexp_replace(
-        |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |        '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
-        |      '(?:[0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted
-        |  FROM d)
+        |    len(regexp_extract_all(after_email, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+        |    len(regexp_extract_all(after_phone, '(?:[0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips,
+        |    regexp_replace(after_phone, '(?:[0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted
+        |  FROM s2)
         |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
         |  CAST(n_phones AS BIGINT) AS n_phones, CAST(n_ips AS BIGINT) AS n_ips,
         |  (n_emails + n_phones + n_ips > 0) AS has_pii,
@@ -739,16 +741,19 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 10
         |ORDER BY doc_id""".stripMargin,
 
+    // mirrors Sampling.packBatches: window keyed by (lang, shard) with
+    // shard = hash56(doc_id) % 8 and shard-offset batch ids
     "pack_batches" ->
       """WITH t AS (SELECT doc_id, lang,
-        |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tok
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tok,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 8 AS BIGINT) AS shard
         |  FROM documents),
-        |c AS (SELECT doc_id, lang, n_tok,
-        |    CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |c AS (SELECT doc_id, lang, n_tok, shard,
+        |    CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
         |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
         |  FROM t)
-        |SELECT doc_id, lang, n_tok, cum_tok,
-        |  CAST(floor((cum_tok - n_tok) / 4096.0) AS BIGINT) AS batch_id
+        |SELECT doc_id, lang, n_tok, shard, cum_tok,
+        |  CAST(floor((cum_tok - n_tok) / 4096.0) AS BIGINT) * 8 + shard AS batch_id
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "skew_audit" ->

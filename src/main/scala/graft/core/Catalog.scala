@@ -272,25 +272,56 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     * (count derived from the CURRENT on-disk footprint), then swap the
     * catalog pointer — the same copy-on-write contract as
     * [[deleteRecord]]: readers of the old version are undisturbed and the
-    * swap is atomic at the catalog. Returns (filesBefore, filesAfter). */
-  def compact(collectionId: String, targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    * swap is atomic at the catalog. Returns (filesBefore, filesAfter),
+    * where filesAfter is the count actually written, not the requested
+    * partition count (AQE / empty partitions can make them differ).
+    *
+    * Concurrency contract: an append that lands between the source
+    * listing and the manifest swap would otherwise be silently dropped —
+    * the rewrite read the old file set, and the swap would point the
+    * catalog away from the file the append just wrote (lost update, on
+    * exactly the continuously-ingested collections this method exists
+    * for). So the source listing is re-checked immediately before the
+    * swap; on any change the rewrite is discarded and the call fails,
+    * leaving the current version — including the concurrent append —
+    * intact. The caller retries in a quiet window. */
+  def compact(collectionId: String, targetFileBytes: Long = 128L << 20): (Int, Int) =
+    compactImpl(collectionId, targetFileBytes, () => ())
+
+  /** Test seam: `afterRewrite` runs between the rewrite and the pre-swap
+    * listing re-check, where a concurrent append would race the swap. */
+  private[graft] def compactImpl(collectionId: String, targetFileBytes: Long,
+                                 afterRewrite: () => Unit): (Int, Int) = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val meta = getCollection(collectionId)
     val hp = new HPath(meta.path)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(hp)) return (0, 0) // empty collection: nothing to compact
-    val parts = fs.listStatus(hp).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    val totalBytes = parts.map(_.getLen).sum
+    def listing(): Seq[(String, Long)] =
+      fs.listStatus(hp).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => (s.getPath.getName, s.getLen)).sortBy(_._1).toSeq
+    val parts = listing()
+    val totalBytes = parts.map(_._2).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
 
     val next = meta.copy(path = s"$basePath/${meta.id}/v${meta.version + 1}",
                          version = meta.version + 1)
+    val nextHp = new HPath(next.path)
     records(collectionId)
       .repartition(nFiles)
       .write.mode("overwrite").parquet(next.path)
+    afterRewrite()
+    if (listing() != parts) {
+      fs.delete(nextHp, true) // discard the stale rewrite; current version untouched
+      throw new GraftException(
+        s"Could not compact collection ${meta.id}: files were added or removed " +
+          "during compaction; retry when ingestion is quiescent")
+    }
+    val written = fs.listStatus(nextHp)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     collections.put(meta.id, next)
     saveManifest()
-    (parts.length, nFiles)
+    (parts.length, written)
   }
 
   // --- query (O1/O2) -----------------------------------------------------

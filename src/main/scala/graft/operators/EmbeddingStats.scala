@@ -177,7 +177,7 @@ object EmbeddingStats {
     * at k rows per anchor per partition), then two anchor-sized
     * aggregations. Anchor count is the knob: cost is one corpus scan
     * regardless of how many anchors fit the broadcast. */
-  def knnLabelAudit(embeddings: DataFrame, k: Int = 10, anchorMod: Int = 7): DataFrame = {
+  def knnLabelAudit(embeddings: DataFrame, k: Int = 10, anchorMod: Long = 7L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val anchors = embeddings.where(pmod(col("vec_id"), lit(anchorMod)) === 0)
       .select(col("vec_id").as("query_id"), col("label").as("query_label"),

@@ -27,23 +27,29 @@ object Pii {
   /** Per-document PII counts, a flag, and the redacted text's length and
     * fingerprint (redaction order: emails, then phones, then IPv4 — an
     * email's domain can otherwise be half-eaten by the IP pattern).
+    *
+    * Each count runs over the PREVIOUS stage's redacted text, not the raw
+    * input, so a span consumed by an earlier pattern is never counted
+    * again by a later one (a dotted-quad inside an email domain is one
+    * email, zero IPs) — every count equals the number of markers that
+    * stage actually inserted, and n_emails+n_phones+n_ips equals the
+    * total marker count in `redacted`. Whole-stage codegen's
+    * subexpression elimination evaluates each intermediate once.
+    *
     * No trailing sort: the operator is row-local, so it runs unchanged
     * over a streaming DataFrame (callers order batch output). */
   def scan(docs: DataFrame, idCol: String = "doc_id",
            textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val redacted =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t, lit(EmailPattern), lit("<EMAIL>")),
-          lit(PhonePattern), lit("<PHONE>")),
-        lit(Ipv4Pattern), lit("<IP>"))
+    val afterEmail = regexp_replace(t, lit(EmailPattern), lit("<EMAIL>"))
+    val afterPhone = regexp_replace(afterEmail, lit(PhonePattern), lit("<PHONE>"))
+    val redacted = regexp_replace(afterPhone, lit(Ipv4Pattern), lit("<IP>"))
 
     docs.select(
       col(idCol).as("doc_id"),
       regexp_count(t, lit(EmailPattern)).cast("bigint").as("n_emails"),
-      regexp_count(t, lit(PhonePattern)).cast("bigint").as("n_phones"),
-      regexp_count(t, lit(Ipv4Pattern)).cast("bigint").as("n_ips"),
+      regexp_count(afterEmail, lit(PhonePattern)).cast("bigint").as("n_phones"),
+      regexp_count(afterPhone, lit(Ipv4Pattern)).cast("bigint").as("n_ips"),
       redacted.as("redacted"))
       .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
         (col("n_emails") + col("n_phones") + col("n_ips") > 0).as("has_pii"),

@@ -49,27 +49,36 @@ object Sampling {
       .orderBy(col(idCol))
 
   /** Token-budget batch packing: assign documents to training batches of
-    * ~`budget` tokens by binning the per-language exclusive prefix sum of
+    * ~`budget` tokens by binning the per-stratum exclusive prefix sum of
     * token counts — the deterministic, distributed-friendly packing
     * contract (true greedy bin packing is sequentially order-dependent;
     * offset binning gives every engine and every run the same batches).
     *
-    * Scale shape: one window keyed by lang (never an unpartitioned global
-    * cumsum — per-partition state is bounded by the largest stratum), and
-    * the batch id is pure arithmetic on the running sum. */
-  def packBatches(docs: DataFrame, budget: Int = 4096): DataFrame = {
+    * Scale shape: the window is keyed by (lang, shard) where shard =
+    * hash56(doc_id) % `shards` — keying by lang alone puts each language
+    * on ONE reducer, and at 100 TB the dominant language (≈half a web
+    * corpus) becomes a single-task sort. Sharding bounds every window
+    * partition at stratum/shards while staying deterministic: the shard
+    * is a content hash, not a partition index. Batch ids are
+    * shard-offset (`local * shards + shard`) so ids never collide across
+    * shards of the same language; each emitted batch still packs
+    * ~`budget` tokens. `shards` is the parallelism dial — raise it with
+    * corpus size. */
+  def packBatches(docs: DataFrame, budget: Int = 4096, shards: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    require(shards > 0, s"shards must be positive, got $shards")
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col("doc_id"), col("lang"),
-        size(TextAnalysis.toks).cast("bigint").as("n_tok"))
+        size(TextAnalysis.toks).cast("bigint").as("n_tok"),
+        hashBucket(col("doc_id"), shards).as("shard"))
       .withColumn("cum_tok", sum(col("n_tok")).over(w))
       // floor before the cast: double→int casts truncate here but round
       // in other engines; floor() is exact for token sums (≪ 2^53)
-      .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"),
-        floor((col("cum_tok") - col("n_tok")) / lit(budget.toDouble))
-          .cast("bigint").as("batch_id"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("shard"), col("cum_tok"),
+        (floor((col("cum_tok") - col("n_tok")) / lit(budget.toDouble))
+          .cast("bigint") * lit(shards.toLong) + col("shard")).as("batch_id"))
       .orderBy(col("doc_id"))
   }
 

@@ -64,6 +64,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("hash56 of a numeric digests its decimal string, not its binary encoding") {
+    withExtendedSession { spark =>
+      val viaSqlNum = spark.sql("SELECT hash56(42) AS h").head().getLong(0)
+      val viaSqlStr = spark.sql("SELECT hash56('42') AS h").head().getLong(0)
+      assert(viaSqlNum == viaSqlStr)
+      // and both agree with the DataFrame-side bucket hash path
+      import spark.implicits._
+      val viaDf = Seq(42L).toDF("id")
+        .select(graft.functions.LshFunctions.hash56($"id".cast("string")))
+        .head().getLong(0)
+      assert(viaSqlNum == viaDf)
+    }
+  }
+
   test("wrong arity through the extension is an analysis error") {
     withExtendedSession { spark =>
       val e = intercept[Exception] { spark.sql("SELECT cosine_sim(array(1.0d))").collect() }

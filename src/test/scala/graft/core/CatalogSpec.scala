@@ -209,6 +209,32 @@ class CatalogSpec extends SparkSpec {
     assert(db.records("c").count() == 6)
   }
 
+  test("compact: a concurrent append aborts the swap and loses nothing") {
+    import spark.implicits._
+    val db = freshDb()
+    db.addCollection(db.makeCollection("c", "local/hash-4"))
+    val f = Embedders.hashProjection(4)
+    def append(id: String): Unit =
+      db.addRecords("c", Seq((id, "local/hash-4", id.getBytes("UTF-8"),
+        f(id.getBytes("UTF-8")).toSeq)).toDF("id", "embedderId", "blob", "embedding"))
+    append("r0"); append("r1")
+    // the append lands after the rewrite read the old file set — exactly
+    // the lost-update window the pre-swap listing re-check must close
+    val e = intercept[GraftException] {
+      db.compactImpl("c", 128L << 20, () => append("r2"))
+    }
+    assert(e.getMessage.contains("Could not compact collection c"))
+    assert(db.getCollection("c").version == 0, "failed compact must not swap")
+    // nothing lost: the concurrent append is visible in the live version
+    assert(db.records("c").select("id").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("r0", "r1", "r2"))
+    // a retry in a quiet window succeeds and keeps all three records
+    val (before, after) = db.compact("c")
+    assert(before >= 3 && after == 1, s"($before, $after)")
+    assert(db.records("c").count() == 3)
+    assert(db.getCollection("c").version == 1)
+  }
+
   test("query: embeds with the collection embedder, exact top-k, ranked output") {
     val db = freshDb()
     db.addCollection(db.makeCollection("c", "local/hash-16"))

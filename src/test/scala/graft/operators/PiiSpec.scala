@@ -38,6 +38,25 @@ class PiiSpec extends SparkSpec {
     assert(redacted == fp)
   }
 
+  test("a span consumed by an earlier pattern is not re-counted by a later one") {
+    val docs = Seq(
+      // phone-shaped local part and IP-shaped domain, both inside one email:
+      // the email redaction consumes them, so phone/IP must count 0
+      (1L, "mail x+1-555-0199@10.0.0.7.example.com only"),
+      // the same spans free-standing still count
+      (2L, "call +1-555-0199 from 10.0.0.7 today")
+    ).toDF("doc_id", "text")
+    val out = Pii.scan(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(6))).toMap
+    assert((out(1L)._1, out(1L)._2, out(1L)._3) == ((1L, 0L, 0L)))
+    assert((out(2L)._1, out(2L)._2, out(2L)._3) == ((0L, 1L, 1L)))
+    // counts equal the markers actually present in the redacted text
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fp(s: String): String = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(out(1L)._4 == fp("mail <EMAIL> only"))
+    assert(out(2L)._4 == fp("call <PHONE> from <IP> today"))
+  }
+
   test("narrow plan: no shuffle, no UDF") {
     val docs = Seq((1L, "a@b.co")).toDF("doc_id", "text")
     val plan = Pii.scan(docs).queryExecution.executedPlan.toString

@@ -48,8 +48,9 @@ class SamplingSpec extends SparkSpec {
       (1L, "a", "t t t"), (2L, "a", "t t t"), (3L, "a", "t t t"),
       (4L, "b", "t t t t t t t")
     ).toDF("doc_id", "lang", "text")
-    val out = Sampling.packBatches(docs, budget = 5).collect()
-      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // shards = 1: a single stratum per lang — the reference packing shape
+    val out = Sampling.packBatches(docs, budget = 5, shards = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4), r.getLong(5))).toMap
     assert(out(1L) == ((3L, 3L, 0L)))
     assert(out(2L) == ((3L, 6L, 0L)))  // starts at offset 3 < 5
     assert(out(3L) == ((3L, 9L, 1L)))  // starts at offset 6 >= 5
@@ -57,6 +58,36 @@ class SamplingSpec extends SparkSpec {
     // no batch starts past its computed bin; batches are contiguous from 0
     val batches = out.values.map(_._3).toSet
     assert(batches == Set(0L, 1L))
+  }
+
+  test("packBatches: sharded windows stay per-(lang,shard) and ids never collide") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, if (i % 2 == 0) "a" else "b",
+      Seq.fill(3)("t").mkString(" "))).toDF("doc_id", "lang", "text")
+    val res = Sampling.packBatches(docs, budget = 5, shards = 4)
+    // the window key must include the shard column — keying by lang alone
+    // puts the dominant language on one reducer at scale
+    val windowNode = res.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.head
+    val keyNames = windowNode.partitionSpec.flatMap(_.references.map(_.name)).toSet
+    assert(keyNames == Set("lang", "shard"), s"window keys: $keyNames")
+    val rows = res.collect()
+    // batch_id ≡ shard (mod shards): ids from different shards never collide
+    rows.foreach { r =>
+      assert(r.getLong(5) % 4 == r.getLong(3),
+        s"batch_id ${r.getLong(5)} not offset by shard ${r.getLong(3)}")
+    }
+    // within each (lang, shard) stratum the prefix sum is exclusive-binned
+    rows.groupBy(r => (r.getString(1), r.getLong(3))).values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(0))
+      var cum = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(5) == (cum / 5) * 4 + r.getLong(3))
+        cum += r.getLong(2)
+        assert(r.getLong(4) == cum)
+      }
+    }
   }
 
   test("splits are exhaustive, disjoint, and roughly proportioned") {
