@@ -112,6 +112,19 @@ object SparkEntry {
         .select(col("embedding")).collect().map(_.getSeq[Double](0).toSeq).toSeq
       Ann.kmeansStep(e, cents)
     }),
+    // full Lloyd training + trained-index probe: the convergence loop is
+    // not SQL-expressible (iteration count is data-dependent), so these
+    // two carry no oracleSql entry — the driver records rows-only checks;
+    // fixpoint/stability laws are pinned in OperatorEdgeSpec instead
+    "ivf_train_full" -> ((s, dir) => {
+      import s.implicits._
+      val (cents, _) = Ann.trainCentroids(Tables.embeddings(s, dir), 16)
+      cents.zipWithIndex
+        .flatMap { case (c, i) => c.zipWithIndex.map { case (v, p) =>
+          ((i + 1).toLong, p.toLong, v) } }
+        .toDF("cell", "pos", "m").orderBy("cell", "pos")
+    }),
+    "ivf_topk_trained" -> ((s, dir) => Ann.ivfTopkTrained(s, dir, 0L, 10, 16, 4)),
     "pq_err"  -> ((s, dir) => Ann.pqError(s, dir)),
     "pq_topk" -> ((s, dir) => Ann.pqTopk(s, dir, 0L, 10)),
     "pq_topk_indexed" -> ((s, dir) => Ann.pqTopkIndexed(s, dir, 0L, 10)),

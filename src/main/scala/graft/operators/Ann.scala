@@ -389,6 +389,88 @@ object Ann {
       .select(col("cell"), col("pos").cast("bigint").as("pos"), col("m"), col("members"))
       .orderBy(col("cell"), col("pos"))
 
+  /** Full IVF centroid training: [[kmeansStep]] iterated to convergence.
+    * Seeds from the first `nCells` stored vectors (the same deterministic
+    * contract every IVF operator here uses), then loops Lloyd iterations
+    * until the largest centroid-component shift falls to `tol` or
+    * `maxIters` is hit. A cell that loses all members keeps its previous
+    * centroid (standard empty-cluster fallback, deterministic).
+    *
+    * Scale shape: the corpus is only ever touched by [[kmeansStep]]'s one
+    * keyed aggregation per iteration; the driver holds nCells × dim
+    * doubles (the centroids), never corpus rows. The 9-dp mean rounding
+    * inside kmeansStep makes every iteration — and so the whole training
+    * run — reproducible across partitionings and engines.
+    *
+    * Returns (centroids, iterations run). `iterations < maxIters` ⇒
+    * converged. */
+  def trainCentroids(e: DataFrame, nCells: Int = 16, maxIters: Int = 10,
+                     tol: Double = 1e-9): (Seq[Seq[Double]], Int) = {
+    var cents: Array[Array[Double]] = e.where(col("vec_id") < nCells)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, "cannot seed centroids from an empty corpus")
+    var iters = 0
+    var shift = Double.MaxValue
+    while (iters < maxIters && shift > tol) {
+      val rows = kmeansStep(e, cents.map(_.toSeq).toSeq).collect()
+      val next = cents.map(_.clone) // empty cells keep their centroid
+      rows.foreach { r =>
+        next(r.getLong(0).toInt - 1)(r.getLong(1).toInt) = r.getDouble(2)
+      }
+      shift = cents.iterator.zip(next.iterator)
+        .flatMap { case (a, b) => a.iterator.zip(b.iterator) }
+        .map { case (x, y) => math.abs(x - y) }.max
+      cents = next
+      iters += 1
+    }
+    (cents.map(_.toSeq).toSeq, iters)
+  }
+
+  /** IVF probe against an index built from TRAINED centroids — the
+    * production realization of [[ivfTopkIndexed]]'s scaladoc note: train
+    * with [[trainCentroids]], persist the centroids BESIDE the
+    * cell-partitioned index (a `_centroids` parquet — the leading
+    * underscore keeps it invisible to the index's own partition
+    * discovery), and probe later sessions from the stored centroids, so
+    * probe-side cell ranking always uses the exact centroids the cells
+    * were assigned with — index and probe can never drift apart. */
+  def ivfTopkTrained(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+                     k: Int = 10, nCells: Int = 16, nProbe: Int = 4,
+                     maxIters: Int = 10): DataFrame = {
+    import spark.implicits._
+    val idxPath = s"${ivfIndexPath(dir, nCells)}-trained"
+    val centsPath = s"$idxPath/_centroids"
+    // reuse gates on the centroid file — it is written LAST, so a crash
+    // mid-build leaves no _SUCCESS there and the next call rebuilds
+    val cents: Seq[Seq[Double]] =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(centsPath, "_SUCCESS"))) {
+        val rows = spark.read.parquet(centsPath).collect()
+        val dim = rows.iterator.map(_.getLong(1)).max.toInt + 1
+        val a = Array.ofDim[Double](rows.iterator.map(_.getLong(0)).max.toInt, dim)
+        rows.foreach(r => a(r.getLong(0).toInt - 1)(r.getLong(1).toInt) = r.getDouble(2))
+        a.map(_.toSeq).toSeq
+      } else {
+        val (trained, _) = trainCentroids(Tables.embeddings(spark, dir), nCells, maxIters)
+        assignCells(Tables.embeddings(spark, dir), trained)
+          .write.mode("overwrite").partitionBy("cell").parquet(idxPath)
+        trained.zipWithIndex
+          .flatMap { case (c, i) => c.zipWithIndex.map { case (v, p) =>
+            ((i + 1).toLong, p.toLong, v) } }
+          .toDF("cell", "pos", "m")
+          .coalesce(1).write.mode("overwrite").parquet(centsPath)
+        trained
+      }
+    val qv = Similarity.queryVector(spark, dir, queryVecId)
+    val probeCells = probe(cents, qv, nProbe)
+    spark.read.parquet(idxPath)
+      .where(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), col("label"),
+        round(cosine_sim(col("embedding"), typedLit(qv)), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Query-side probe list: top nProbe cells by (rounded) centroid cosine,
     * lowest cell index on ties — 1-based to match the oracle's
     * list_position. */

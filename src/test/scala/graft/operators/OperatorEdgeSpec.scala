@@ -139,6 +139,33 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(ivf.head.getLong(0) == 0L && ivf.head.getDouble(2) == 1.0)
   }
 
+  test("trainCentroids: Lloyd loop converges to an assignment fixpoint") {
+    val e = Tables.embeddings(spark, dir)
+    val (cents, iters) = Ann.trainCentroids(e, nCells = 8, maxIters = 30)
+    assert(iters < 30, s"Lloyd loop did not converge in 30 iterations")
+    assert(cents.length == 8 && cents.forall(_.length == 64))
+    // fixpoint law: one more step reproduces every centroid component —
+    // i.e. the cell assignment is stable under the trained centroids
+    Ann.kmeansStep(e, cents).collect().foreach { r =>
+      assert(math.abs(cents(r.getLong(0).toInt - 1)(r.getLong(1).toInt) - r.getDouble(2)) <= 1e-9,
+        s"centroid (${r.getLong(0)}, ${r.getLong(1)}) moved at the claimed fixpoint")
+    }
+  }
+
+  test("ivfTopkTrained: exhaustive probe equals exact; persisted centroids round-trip") {
+    // nProbe = nCells degenerates to the exact scan
+    val trained = Ann.ivfTopkTrained(spark, dir, 0L, 5, nCells = 8, nProbe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.topKSingle(spark, dir, 0L, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(trained == exact)
+    // second call reads the _centroids parquet written beside the index
+    // (not retrain) and must reproduce the same result
+    val again = Ann.ivfTopkTrained(spark, dir, 0L, 5, nCells = 8, nProbe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again == trained)
+  }
+
   test("top-k monotonicity: top-k is a prefix of top-(k+1) (SURVEY §5.2)") {
     val ids = (k: Int) => Similarity.topKSingle(spark, dir, 0L, k)
       .collect().map(_.getLong(0)).toSeq
