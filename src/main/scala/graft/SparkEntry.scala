@@ -62,6 +62,9 @@ object SparkEntry {
     "dedup_groups"  -> ((s, dir) => Dedup.dedupGroups(Tables.documents(s, dir),
       ngramPairs(s, dir))),
     "decontaminate" -> ((s, dir) => Decontaminate.contamination(Tables.documents(s, dir))),
+    "decontaminate_semantic" -> ((s, dir) =>
+      Decontaminate.semanticContamination(Tables.embeddings(s, dir))),
+    "bigram_novelty" -> ((s, dir) => TextAnalysis.bigramNovelty(Tables.documents(s, dir))),
     "corpus_filter" -> ((s, dir) => CorpusFilter.decisions(Tables.documents(s, dir))),
     "text_stats"   -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     "docs_sample"  -> ((s, dir) => Sampling
@@ -590,6 +593,37 @@ object SparkEntry {
         |  coalesce(h.n, 0) > 0 AS contaminated
         |FROM train t LEFT JOIN hits h USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+
+    "decontaminate_semantic" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS bucket
+         |  FROM embeddings),
+         |bench AS (SELECT v AS bv FROM e WHERE bucket >= 90),
+         |train AS (SELECT vec_id, v FROM e WHERE bucket < 80),
+         |s AS (SELECT t.vec_id, ${cosSql("t.v", "b.bv")} AS sc FROM train t, bench b)
+         |SELECT vec_id, max(sc) AS max_sim, max(sc) >= 0.35 AS contaminated
+         |FROM s GROUP BY vec_id
+         |ORDER BY vec_id""".stripMargin,
+
+    "bigram_novelty" ->
+      """WITH t0 AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 2 THEN list_distinct(list_transform(range(0, len(t) - 1),
+        |      i -> array_to_string(t[i+1:i+2], ' '))) ELSE CAST([] AS VARCHAR[]) END AS g2
+        |  FROM t0),
+        |dg AS (SELECT doc_id, unnest(g2) AS g FROM g),
+        |dfq AS (SELECT g, count(*) AS df FROM dg GROUP BY g),
+        |per AS (SELECT dg.doc_id, count(*) AS n_bigrams,
+        |    sum(CASE WHEN dfq.df < 3 THEN 1 ELSE 0 END) AS n_rare
+        |  FROM dg JOIN dfq USING (g) GROUP BY dg.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(p.n_rare, 0) AS BIGINT) AS n_rare,
+        |  round(CASE WHEN coalesce(p.n_bigrams, 0) > 0
+        |    THEN coalesce(p.n_rare, 0)::DOUBLE / p.n_bigrams ELSE 0.0 END, 6) AS novelty
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "corpus_filter" ->
       """WITH toks AS (SELECT doc_id, text,

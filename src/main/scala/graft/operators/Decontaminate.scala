@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.LshFunctions
+import graft.functions.VectorFunctions.cosine_sim
 
 /** Benchmark decontamination — the train/eval n-gram overlap check every
   * LLM training pipeline runs before a corpus ships (an eval example whose
@@ -62,5 +63,40 @@ object Decontaminate {
           .otherwise(lit(0.0)), 6).as("contamination"),
         (coalesce(col("n_contaminated"), lit(0L)) > 0).as("contaminated"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Semantic (embedding-space) decontamination — the complement of the
+    * shingle check above: an eval example paraphrased into the training set
+    * shares no n-grams, but still sits next to it in embedding space (the
+    * check GPT-4/Llama-style data cards report alongside n-gram overlap).
+    * For each train-split vector, the max cosine against ANY eval-split
+    * vector; contaminated when it clears `tau`. Splits are the same
+    * deterministic id-hash buckets as [[contamination]].
+    *
+    * Scale shape: identical reasoning to the shingle check — eval
+    * benchmarks are MBs while train is the 100 TB side, so the eval
+    * vectors broadcast and the train corpus streams through a broadcast
+    * nested-loop with NO shuffle of train data; the only shuffle is the
+    * per-vector max aggregation (keyed on vec_id, map-side combined).
+    * The residual O(train·eval·d) compute is the exact-audit price;
+    * [[Ann]]'s bucketed probes are the pre-filter once the eval side
+    * outgrows a broadcast.
+    */
+  def semanticContamination(embeds: DataFrame, tau: Double = 0.35,
+                            trainPct: Int = 80, benchFromPct: Int = 90): DataFrame = {
+    val b = embeds.select(col("vec_id"), col("embedding"),
+      Sampling.hashBucket(col("vec_id")).as("bucket"))
+    val bench = b.where(col("bucket") >= benchFromPct)
+      .select(col("embedding").as("bench_vec"))
+    val train = b.where(col("bucket") < trainPct)
+
+    train.crossJoin(broadcast(bench))
+      .select(col("vec_id"),
+        round(cosine_sim(col("embedding"), col("bench_vec")), 6).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sc")).as("max_sim"))
+      .select(col("vec_id"), col("max_sim"),
+        (col("max_sim") >= tau).as("contaminated"))
+      .orderBy(col("vec_id"))
   }
 }

@@ -209,6 +209,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-level rare-bigram novelty — the "unigram/bigram LM" arm of the
+    * CCNet-style quality family: documents whose word bigrams are mostly
+    * unseen elsewhere in the corpus are disproportionately OCR noise,
+    * gibberish, or random-token spam, while boilerplate scores near zero.
+    * For each document: its distinct-bigram count, how many of those occur
+    * in fewer than `minDf` documents corpus-wide, and the rare fraction
+    * (`novelty`). A rational count-ratio stands in for a smoothed log-prob
+    * deliberately: integer counts and one division are bit-identical
+    * across engines, where `ln()` is not correctly-rounded and drifts.
+    *
+    * Scale shape: the document-frequency table is one gram-keyed
+    * aggregation (vocabulary-sized shuffle, map-side combined — the
+    * word-count shape), the per-doc roll-up re-joins exploded grams to it
+    * on the gram key (standard shuffle join; the df table at web scale is
+    * billions of rows, far past broadcast), then one doc_id-keyed
+    * aggregation. Sub-2-token documents are restored by a left join and
+    * report novelty 0.0 — vacuously familiar, never NULL. */
+  def bigramNovelty(docs: DataFrame, minDf: Int = 3): DataFrame = {
+    val base = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), toks.as("t"))
+    val dg = base.select(col("doc_id"),
+      explode(array_distinct(wordGrams(2))).as("g"))
+    val df = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val per = dg.join(df, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") < minDf, 1L).otherwise(0L)).as("n_rare"))
+    val nb = coalesce(col("n_bigrams"), lit(0L))
+    val nr = coalesce(col("n_rare"), lit(0L))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), nb.cast("bigint").as("n_bigrams"),
+        nr.cast("bigint").as("n_rare"),
+        round(when(nb > 0, nr.cast("double") / nb).otherwise(lit(0.0)), 6)
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-distribution drift between the deterministic train split and
     * the holdout: the top-k tokens by absolute rate difference — the
     * monitor a pipeline runs on every new crawl snapshot (a token whose

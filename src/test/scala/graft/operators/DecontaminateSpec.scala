@@ -46,6 +46,34 @@ class DecontaminateSpec extends SparkSpec {
     assert(out(shortId) == ((0L, 0L, 0.0, false)))
   }
 
+  test("semantic: an eval-identical train vector is flagged, an orthogonal one is clean") {
+    import spark.implicits._
+    val trainId = bucketOf.collectFirst { case (id, b) if b < 80 => id }.get
+    val cleanId = bucketOf.collectFirst { case (id, b) if b < 80 && id != trainId => id }.get
+    val benchId = bucketOf.collectFirst { case (id, b) if b >= 90 => id }.get
+
+    val v = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val orth = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val embeds = Seq((trainId, v), (cleanId, orth), (benchId, v))
+      .toDF("vec_id", "embedding")
+
+    val out = Decontaminate.semanticContamination(embeds)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out.keySet == Set(trainId, cleanId)) // train split only
+    assert(out(trainId) == ((1.0, true)))      // paraphrase-identical: max cos 1.0
+    assert(out(cleanId) == ((0.0, false)))     // orthogonal: clean
+  }
+
+  test("semantic: eval vectors are the broadcast side (train corpus never shuffles pre-agg)") {
+    import spark.implicits._
+    val embeds = (0L until 40L).map(i => (i, Array.fill(4)(i.toFloat + 1)))
+      .toDF("vec_id", "embedding")
+    val plan = Decontaminate.semanticContamination(embeds)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"expected broadcast NL join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
   test("eval shingle set is broadcast; train side joins without shuffling") {
     import spark.implicits._
     val docs = (0L until 40L).map(i => (i, s"tok$i a b c d e f g")).toDF("doc_id", "text")

@@ -284,6 +284,22 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0.0, 0.0, 0.0, false)))
   }
 
+  test("bigram novelty: corpus-unique bigrams are rare, repeated boilerplate is not") {
+    import spark.implicits._
+    val boiler = "click here to subscribe now"   // shared by 3 docs => df 3
+    val docs = Seq(
+      (1L, boiler), (2L, boiler), (3L, boiler),
+      (4L, "zxq wvu tsr qpo"),                  // 3 bigrams, each df 1 => novelty 1.0
+      (5L, "solo")                              // < 2 tokens => no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNovelty(docs, minDf = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L)) // every document reported
+    assert(out(1L) == ((4L, 0L, 0.0)))            // df=3 meets minDf: familiar
+    assert(out(4L) == ((3L, 3L, 1.0)))            // df=1 everywhere: all rare
+    assert(out(5L) == ((0L, 0L, 0.0)))            // vacuously familiar, not NULL
+  }
+
   test("token drift: a split-exclusive token tops the report with the right rates") {
     import spark.implicits._
     val buckets = (0L until 50L).map(id => id ->
