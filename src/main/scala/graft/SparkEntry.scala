@@ -115,13 +115,13 @@ object SparkEntry {
         .select(col("embedding")).collect().map(_.getSeq[Double](0).toSeq).toSeq
       Ann.kmeansStep(e, cents)
     }),
-    // full Lloyd training + trained-index probe: the convergence loop is
-    // not SQL-expressible (iteration count is data-dependent), so these
-    // two carry no oracleSql entry — the driver records rows-only checks;
-    // fixpoint/stability laws are pinned in OperatorEdgeSpec instead
+    // full Lloyd training + trained-index probe: with tol = 0 the loop
+    // exits only at a 9-dp fixpoint, so the fixed-depth unrolled oracle
+    // (ivfTrainChainSql) is exact — see trainCentroids' scaladoc;
+    // fixpoint/stability laws are additionally pinned in OperatorEdgeSpec
     "ivf_train_full" -> ((s, dir) => {
       import s.implicits._
-      val (cents, _) = Ann.trainCentroids(Tables.embeddings(s, dir), 16)
+      val (cents, _) = Ann.trainCentroids(Tables.embeddings(s, dir), 16, maxIters = 10)
       cents.zipWithIndex
         .flatMap { case (c, i) => c.zipWithIndex.map { case (v, p) =>
           ((i + 1).toLong, p.toLong, v) } }
@@ -340,6 +340,54 @@ object SparkEntry {
        |WHERE a.cell IN (SELECT ci FROM qcell)
        |ORDER BY score DESC, vec_id ASC
        |LIMIT 10""".stripMargin
+
+  /** Full Lloyd training as chained CTEs — exactly `iters` unrolled
+    * k-means steps (each the `ivf_train_step` oracle: assignment by raw
+    * argmax cosine, per-(cell,pos) mean rounded to 9 dp, empty cells keep
+    * their previous centroid via the left-join coalesce). Fixed-depth
+    * unrolling is EXACT, not approximate: `Ann.trainCentroids(tol = 0)`
+    * exits early only at a 9-dp fixpoint, and a Lloyd step at a fixpoint
+    * is the identity, so running all `iters` steps here lands on the same
+    * centroids regardless of where the Scala loop stopped. Ends with a
+    * `c<iters>(cell, pos, m)` CTE (and the shared `e`). */
+  private def ivfTrainChainSql(iters: Int = 10, nCells: Int = 16, dim: Int = 64): String = {
+    // Two DuckDB-performance musts, without which the 10-step chain runs
+    // for MINUTES instead of <1 s:
+    //  - AS MATERIALIZED on every per-step CTE: each step references its
+    //    predecessor more than once, so plain (inlinable) CTEs explode the
+    //    expression tree exponentially in `iters`;
+    //  - hoisted norms + native list_dot_product for the assignment
+    //    cosine: bit-identical to cosRawSql's lambda form (same sequential
+    //    double accumulation, same sqrt/divide tree — cross-checked
+    //    exhaustively over all (vector, centroid) pairs at sf0.01), at a
+    //    fraction of the per-element interpreter overhead.
+    val b = new StringBuilder
+    b ++= s"""WITH e AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |ev AS MATERIALIZED (SELECT v, sqrt(list_sum(list_transform(v, x -> x*x))) AS vns FROM e),
+             |c0 AS MATERIALIZED (SELECT CAST(vec_id + 1 AS BIGINT) AS cell, CAST(u.pos AS BIGINT) AS pos, u.val AS m FROM (
+             |  SELECT vec_id, unnest(list_transform(range(0, $dim), i -> {'pos': i, 'val': v[i+1]})) AS u
+             |  FROM e WHERE vec_id < $nCells) t)""".stripMargin
+    for (k <- 0 until iters) {
+      b ++= s""",
+               |cl$k AS MATERIALIZED (SELECT list(cm ORDER BY cell) AS cl, list(sqrt(cn) ORDER BY cell) AS cns FROM (
+               |  SELECT cell, cm, list_sum(list_transform(cm, x -> x*x)) AS cn FROM (
+               |    SELECT cell, list(m ORDER BY pos) AS cm FROM c$k GROUP BY cell) t0) t),
+               |a$k AS MATERIALIZED (SELECT v, list_position(sc, list_max(sc)) AS cell FROM (
+               |  SELECT ev.v, list_transform(range(1, ${nCells + 1}), ci ->
+               |    CASE WHEN cns[ci] = 0 OR ev.vns = 0 THEN 0.0
+               |         ELSE list_dot_product(cl[ci], ev.v) / (cns[ci] * ev.vns) END) AS sc
+               |  FROM ev, cl$k) t2),
+               |x$k AS (SELECT cell, u.pos AS pos, u.val AS val FROM (
+               |  SELECT cell, unnest(list_transform(range(0, $dim), i -> {'pos': i, 'val': v[i+1]})) AS u
+               |  FROM a$k) t),
+               |m$k AS MATERIALIZED (SELECT CAST(cell AS BIGINT) AS cell, CAST(pos AS BIGINT) AS pos,
+               |    round(avg(val), 9) AS m
+               |  FROM x$k GROUP BY cell, pos),
+               |c${k + 1} AS MATERIALIZED (SELECT c.cell, c.pos, coalesce(m.m, c.m) AS m
+               |  FROM c$k c LEFT JOIN m$k m ON m.cell = c.cell AND m.pos = c.pos)""".stripMargin
+    }
+    b.toString
+  }
 
   /** Shared PQ reconstruction CTEs (8 subspaces × 8 dims, 16 codes seeded
     * from vec_id < 16 — mirrors Ann.pqCodebook/PqReconstruct: sequential
@@ -1149,6 +1197,36 @@ object SparkEntry {
         |FROM f ORDER BY doc_id, frame_no""".stripMargin,
 
     "ivf_topk_indexed" -> ivfTopkSql, // identical semantics: same centroids, same probe, same rerank
+
+    "ivf_train_full" ->
+      s"""${ivfTrainChainSql(10)}
+         |SELECT cell, pos, m FROM c10 ORDER BY cell, pos""".stripMargin,
+
+    // the trained-centroid probe: rank cells against the TRAINED centroids
+    // (c10), assign the corpus with the same centroids, rerank exactly —
+    // the ivfTopkSql shape with the seed centroids swapped for trained ones
+    "ivf_topk_trained" ->
+      s"""${ivfTrainChainSql(10)},
+         |clF AS MATERIALIZED (SELECT list(cm ORDER BY cell) AS cl FROM (
+         |  SELECT cell, list(m ORDER BY pos) AS cm FROM c10 GROUP BY cell) t),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |qcell AS (
+         |  SELECT ci FROM (
+         |    SELECT u.ci AS ci, u.s AS s FROM (
+         |      SELECT unnest(list_transform(range(1, 17),
+         |        ci -> {'ci': ci, 's': round(${cosRawSql("cl[ci]", "q.qv")}, 6)})) AS u
+         |      FROM clF, q) z) t
+         |  ORDER BY s DESC, ci ASC LIMIT 4),
+         |assigned AS (
+         |  SELECT vec_id, label, v, list_position(sc, list_max(sc)) AS cell FROM (
+         |    SELECT e.vec_id, e.label, e.v,
+         |           list_transform(range(1, 17), ci -> ${cosRawSql("cl[ci]", "e.v")}) AS sc
+         |    FROM e, clF) t2)
+         |SELECT a.vec_id, a.label, ${cosSql("a.v", "q.qv")} AS score
+         |FROM assigned a, q
+         |WHERE a.cell IN (SELECT ci FROM qcell)
+         |ORDER BY score DESC, vec_id ASC
+         |LIMIT 10""".stripMargin,
     "ivf_topk" -> ivfTopkSql,
 
     "ivf_train_step" ->

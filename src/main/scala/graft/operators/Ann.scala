@@ -403,9 +403,18 @@ object Ann {
     * run — reproducible across partitionings and engines.
     *
     * Returns (centroids, iterations run). `iterations < maxIters` ⇒
-    * converged. */
+    * converged.
+    *
+    * The default `tol = 0.0` stops ONLY at an exact 9-dp fixpoint (after
+    * rounding, two distinct means differ by ≥ 1e-9, so shift is either 0
+    * or ≥ 1e-9) — which is what makes the training run SQL-oracle-able:
+    * once a fixpoint is reached every further Lloyd step is the identity,
+    * so an oracle that always unrolls exactly `maxIters` steps computes
+    * the same centroids whether the loop exited early or not. A positive
+    * tol would admit an early exit at a NON-fixpoint that a fixed-depth
+    * oracle cannot reproduce. */
   def trainCentroids(e: DataFrame, nCells: Int = 16, maxIters: Int = 10,
-                     tol: Double = 1e-9): (Seq[Seq[Double]], Int) = {
+                     tol: Double = 0.0): (Seq[Seq[Double]], Int) = {
     var cents: Array[Array[Double]] = e.where(col("vec_id") < nCells)
       .orderBy(col("vec_id")).select(col("embedding")).collect()
       .map(_.getSeq[Double](0).toArray)
@@ -439,7 +448,10 @@ object Ann {
                      k: Int = 10, nCells: Int = 16, nProbe: Int = 4,
                      maxIters: Int = 10): DataFrame = {
     import spark.implicits._
-    val idxPath = s"${ivfIndexPath(dir, nCells)}-trained"
+    // path versioned on the training contract (maxIters, tol-0 fixpoint
+    // semantics): a cached index built under different training rules
+    // must rebuild, not silently serve stale centroids
+    val idxPath = s"${ivfIndexPath(dir, nCells)}-trained-i$maxIters-t0"
     val centsPath = s"$idxPath/_centroids"
     // reuse gates on the centroid file — it is written LAST, so a crash
     // mid-build leaves no _SUCCESS there and the next call rebuilds
