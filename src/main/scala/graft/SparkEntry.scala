@@ -180,6 +180,14 @@ object SparkEntry {
     "sessions" -> ((s, dir) => Sessionize.sessions(Tables.events(s, dir))),
     "funnel"   -> ((s, dir) => Funnel.conversion(Tables.events(s, dir))),
     "range_join_clicks" -> ((s, dir) => RangeJoin.eventCountsInRange(Tables.events(s, dir))),
+    "attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, dir)
+      graft.streaming.Streaming.attributeClicks(
+          ev.where(col("event_type") === "click"),
+          ev.where(col("event_type") === "purchase"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -1101,6 +1109,17 @@ object SparkEntry {
         |JOIN nation   ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "attribution" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_id, c.click_ts, p.value
+        |FROM p JOIN c ON c.user_id = p.user_id
+        |  AND c.click_ts <= p.purchase_ts
+        |  AND c.click_ts >= p.purchase_ts - INTERVAL 24 HOURS
+        |ORDER BY p.purchase_id, c.click_id""".stripMargin,
 
     "asof_purchase_click" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

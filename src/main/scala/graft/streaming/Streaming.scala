@@ -145,6 +145,41 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-stream attribution join: every (user, purchase) paired with
+    * ALL of that user's clicks inside the trailing attribution window —
+    * the interval-join twin of the as-of join
+    * ([[graft.operators.AsofJoin]] keeps only the LAST click; attribution
+    * models weight every touch). One function serves both modes, the
+    * batch/stream unification contract of this module: with
+    * `watermark = None` it is the batch query the DuckDB oracle checks
+    * (`attribution`); with a watermark it is a genuine stream-stream
+    * inner join.
+    *
+    * Scale shape: the join keys on user_id (one hash shuffle per side —
+    * at 100 TB the classic keyed co-partition), and in stream mode the
+    * time-interval predicate plus BOTH watermarks let Spark derive state
+    * eviction: each side buffers only (watermark delay + attribution
+    * window) of events per user, so state is bounded no matter how long
+    * the streams run — an interval condition without watermarks would
+    * buffer both streams forever. */
+  def attributeClicks(clicks: DataFrame, purchases: DataFrame,
+                      attributionHours: Int = 24,
+                      watermark: Option[String] = None): DataFrame = {
+    val c0 = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p0 = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+    val c = watermark.fold(c0)(w => c0.withWatermark("click_ts", w))
+    val p = watermark.fold(p0)(w => p0.withWatermark("purchase_ts", w))
+    c.join(p,
+        col("c_user") === col("p_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $attributionHours HOURS"),
+        "inner")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"), col("value"))
+  }
+
   /** Stream-static similarity enrichment: a stream of query vectors
     * (`query_id`, `query_vec`) scored per micro-batch against the static
     * embedding corpus, emitting each query's exact top-k. The scoring is

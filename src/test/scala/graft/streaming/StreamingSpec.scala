@@ -114,6 +114,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributeClicks: stream-stream interval join pairs purchases with in-window clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp, Double)]
+    def t(hour: Int) = new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + hour * 3600000L)
+
+    // user 1: clicks at h0 and h3, purchase at h4 with a 24h window → BOTH
+    // clicks attributed; user 2's click is AFTER its purchase → no match
+    clicks.addData((10L, 1L, t(0)), (11L, 1L, t(3)), (12L, 2L, t(9)))
+    purchases.addData((20L, 1L, t(4), 5.0), (21L, 2L, t(8), 7.0))
+
+    val q = Streaming.attributeClicks(
+        clicks.toDF().toDF("event_id", "user_id", "ts"),
+        purchases.toDF().toDF("event_id", "user_id", "ts", "value"),
+        attributionHours = 24, watermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("attr_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // push both watermarks forward so all joinable state resolves; the
+      // advancer rows sit > 24h apart so they cannot attribute each other
+      clicks.addData((98L, 9L, t(200)))
+      purchases.addData((99L, 9L, t(300), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_test").orderBy("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(5)))
+      assert(rows.toSeq == Seq((1L, 20L, 10L, 5.0), (1L, 20L, 11L, 5.0)))
+    } finally q.stop()
+
+    // batch/stream unification: the same operator over batch DataFrames
+    // (no watermark) computes the same pairs
+    import spark.implicits._
+    val bc = Seq((10L, 1L, t(0)), (11L, 1L, t(3)), (12L, 2L, t(9)))
+      .toDF("event_id", "user_id", "ts")
+    val bp = Seq((20L, 1L, t(4), 5.0), (21L, 2L, t(8), 7.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val batch = Streaming.attributeClicks(bc, bp)
+      .orderBy("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(5)))
+    assert(batch.toSeq == Seq((1L, 20L, 10L, 5.0), (1L, 20L, 11L, 5.0)))
+  }
+
   test("streamSimilarity: streamed queries scored against the static corpus") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
