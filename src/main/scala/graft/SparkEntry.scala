@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Ann, AsofJoin, CatalogOps, CorpusFilter, Decontaminate, Dedup, Diagnostics, EmbeddingStats, Funnel, Ingest, Mining, Multimodal, Pii, RangeJoin, Relational, Sampling, Search, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, CatalogOps, CorpusFilter, Decontaminate, Dedup, Diagnostics, EmbeddingStats, Funnel, Ingest, Mining, Multimodal, Pii, RangeJoin, Relational, Salting, Sampling, Search, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -76,6 +76,8 @@ object SparkEntry {
     "sample_delta" -> ((s, dir) => Sampling.sampleDelta(Tables.documents(s, dir))),
     "pack_batches" -> ((s, dir) => Sampling.packBatches(Tables.documents(s, dir))),
     "skew_audit"   -> ((s, dir) => Diagnostics.skewAudit(Tables.events(s, dir), "user_id", 20)),
+    "salted_priority_revenue" -> ((s, dir) =>
+      Salting.saltedPriorityRevenue(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "token_topk"   -> ((s, dir) => TextAnalysis.tokenTopK(Tables.documents(s, dir), 20)),
     "token_drift"  -> ((s, dir) => TextAnalysis.tokenDrift(Tables.documents(s, dir), 20)),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
@@ -868,6 +870,16 @@ object SparkEntry {
         |  round(n_rows / avg_rows, 6) AS skew
         |FROM counts, stats
         |ORDER BY n_rows DESC, key ASC LIMIT 20""".stripMargin,
+
+    // deliberately the PLAIN (unsalted) join: equality proves the salted
+    // plan preserves semantics
+    "salted_priority_revenue" ->
+      """SELECT o.o_orderpriority AS priority,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY priority
+        |ORDER BY priority""".stripMargin,
 
     "split_audit" ->
       """WITH s AS (SELECT lang,
