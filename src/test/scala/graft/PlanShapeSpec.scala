@@ -167,4 +167,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"latest-N cap lost its pushdown:\n$p")
     assert(p.contains("hashpartitioning(user_id"), s"not keyed by user_id:\n$p")
   }
+
+  test("bigram_novelty: gram-keyed equi-join, never a cartesian or broadcast df table") {
+    val p = plan(graft.operators.TextAnalysis.bigramNovelty(Tables.documents(spark, dir)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pairwise blowup in the df join:\n$p")
+    // the per-doc roll-up joins back on the gram key
+    assert(p.contains("hashpartitioning(g#") || p.contains("[g#"),
+      s"df join not keyed on the gram:\n$p")
+  }
+
+  test("attribution (batch): hash equi-join on the user key, interval as residual") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, dir)
+    val p = plan(graft.streaming.Streaming.attributeClicks(
+      ev.where(col("event_type") === "click"),
+      ev.where(col("event_type") === "purchase")))
+    assert(p.contains("HashJoin"), s"interval join lost its equi-key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"degenerated to a pairwise time join:\n$p")
+  }
 }
