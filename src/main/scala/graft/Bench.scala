@@ -96,8 +96,12 @@ object Bench {
 
     val qs = results.map { case (k, v) => esc(k) + ":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // Locale.ROOT: the f interpolator uses the default locale, which on
+    // comma-decimal locales would emit 1,23 and corrupt the JSON line
     val spreadJson = ",\"max_over_median\":" + spreads
-      .map { case (k, v) => esc(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        esc(k) + ":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) }
+      .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => esc(k) + ":" + esc(v) }

@@ -122,12 +122,8 @@ object SparkEntry {
     // (ivfTrainChainSql) is exact — see trainCentroids' scaladoc;
     // fixpoint/stability laws are additionally pinned in OperatorEdgeSpec
     "ivf_train_full" -> ((s, dir) => {
-      import s.implicits._
       val (cents, _) = Ann.trainCentroids(Tables.embeddings(s, dir), 16, maxIters = 10)
-      cents.zipWithIndex
-        .flatMap { case (c, i) => c.zipWithIndex.map { case (v, p) =>
-          ((i + 1).toLong, p.toLong, v) } }
-        .toDF("cell", "pos", "m").orderBy("cell", "pos")
+      Ann.centroidsToDF(s, cents).orderBy("cell", "pos")
     }),
     "ivf_topk_trained" -> ((s, dir) => Ann.ivfTopkTrained(s, dir, 0L, 10, 16, 4)),
     "pq_err"  -> ((s, dir) => Ann.pqError(s, dir)),
@@ -580,8 +576,8 @@ object SparkEntry {
         |        b -> xor(b, CAST(('0x' || substr(md5(CAST(sd AS VARCHAR)), 1, 14))::UBIGINT AS BIGINT))))) AS sig
         |  FROM sh),
         |bands AS (SELECT doc_id, u.band, u.key FROM (
-        |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
-        |    {'band': b, 'key': array_to_string(sig[b*3+1:b*3+3], '|')})) AS u FROM mh) q),
+        |  SELECT doc_id, unnest(list_transform(range(0, 6), b ->
+        |    {'band': b, 'key': array_to_string(sig[b*2+1:b*2+2], '|')})) AS u FROM mh) q),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |         FROM bands a JOIN bands b
         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
@@ -658,10 +654,12 @@ object SparkEntry {
          |  FROM embeddings),
          |bench AS (SELECT v AS bv FROM e WHERE bucket >= 90),
          |train AS (SELECT vec_id, v FROM e WHERE bucket < 80),
-         |s AS (SELECT t.vec_id, ${cosSql("t.v", "b.bv")} AS sc FROM train t, bench b)
-         |SELECT vec_id, max(sc) AS max_sim, max(sc) >= 0.35 AS contaminated
-         |FROM s GROUP BY vec_id
-         |ORDER BY vec_id""".stripMargin,
+         |s AS (SELECT t.vec_id, ${cosSql("t.v", "b.bv")} AS sc FROM train t, bench b),
+         |h AS (SELECT vec_id, max(sc) AS max_sim FROM s GROUP BY vec_id)
+         |SELECT t.vec_id, coalesce(h.max_sim, 0.0) AS max_sim,
+         |  coalesce(h.max_sim, 0.0) >= 0.35 AS contaminated
+         |FROM train t LEFT JOIN h USING (vec_id)
+         |ORDER BY t.vec_id""".stripMargin,
 
     "bigram_novelty" ->
       """WITH t0 AS (SELECT doc_id,

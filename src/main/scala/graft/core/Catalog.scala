@@ -38,6 +38,16 @@ final case class CollectionMeta(id: String, embedderId: String, path: String, ve
 final class GraftDatabase(val spark: SparkSession, val basePath: String) {
 
   private val collections = TrieMap[String, CollectionMeta]()
+
+  /** Serializes every data mutation that participates in the copy-on-write
+    * version protocol (appends, delete rewrites, compaction swaps) — the
+    * Spark counterpart of the reference's collection-map mutex
+    * (`database/database.go:105-106`). Reads never take it: readers see
+    * either the old or the new version, both complete. Without it,
+    * check-then-act windows (compact's pre-swap re-check, delete's
+    * read-rewrite-swap) admit lost updates under concurrent mutators. */
+  private val mutationLock = new Object
+
   loadManifest()
 
   // --- collection CRUD (O11–O16) ---------------------------------------
@@ -231,8 +241,12 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
       throw new GraftException(
         s"Record ${dupExisting.head.getString(0)} already exists in collection ${meta.id}\n")
 
-    batch.select(Record.schema.fieldNames.map(col).toIndexedSeq: _*)
-      .write.mode("append").parquet(meta.path)
+    // re-resolve the path inside the lock (same rationale as appendRows:
+    // a concurrent compact may have swapped versions since validation)
+    mutationLock.synchronized {
+      batch.select(Record.schema.fieldNames.map(col).toIndexedSeq: _*)
+        .write.mode("append").parquet(getCollection(collectionId).path)
+    }
   }
 
   /** O7/O8 GetRecord — predicate-pushdown point scan
@@ -251,17 +265,19 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
   /** O9/O10 DeleteRecord — copy-on-write rewrite into the next version dir
     * (`collection/collection.go:47-54` semantics; Parquet is immutable). */
   def deleteRecord(collectionId: String, recordId: String): Unit = {
-    val meta = getCollection(collectionId)
-    val existing = records(collectionId)
-    if (existing.where(col("id") === recordId).limit(1).count() == 0)
-      throw new GraftException(
-        s"Could not delete record $recordId from collection ${meta.id}: record not found in collection")
-    val next = meta.copy(path = s"$basePath/${meta.id}/v${meta.version + 1}",
-                         version = meta.version + 1)
-    existing.where(col("id") =!= recordId)
-      .write.mode("overwrite").parquet(next.path)
-    collections.put(meta.id, next)
-    saveManifest()
+    mutationLock.synchronized {
+      val meta = getCollection(collectionId)
+      val existing = records(collectionId)
+      if (existing.where(col("id") === recordId).limit(1).count() == 0)
+        throw new GraftException(
+          s"Could not delete record $recordId from collection ${meta.id}: record not found in collection")
+      val next = meta.copy(path = s"$basePath/${meta.id}/v${meta.version + 1}",
+                           version = meta.version + 1)
+      existing.where(col("id") =!= recordId)
+        .write.mode("overwrite").parquet(next.path)
+      collections.put(meta.id, next)
+      saveManifest()
+    }
   }
 
   /** Small-file compaction — maintenance for continuously-ingested
@@ -281,9 +297,14 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     * the rewrite read the old file set, and the swap would point the
     * catalog away from the file the append just wrote (lost update, on
     * exactly the continuously-ingested collections this method exists
-    * for). So the source listing is re-checked immediately before the
-    * swap; on any change the rewrite is discarded and the call fails,
-    * leaving the current version — including the concurrent append —
+    * for). The expensive rewrite runs WITHOUT the [[mutationLock]] (long
+    * Spark job, appends proceed concurrently); the staleness re-check and
+    * pointer swap then run INSIDE it, so no mutation can land between
+    * check and swap. Staleness is detected two ways: the file listing
+    * (concurrent appends) and catalog-meta equality (a concurrent
+    * deleteRecord swaps the version without touching the old path's
+    * files). On either, the rewrite is discarded and the call fails,
+    * leaving the current version — including the concurrent mutation —
     * intact. The caller retries in a quiet window. */
   def compact(collectionId: String, targetFileBytes: Long = 128L << 20): (Int, Int) =
     compactImpl(collectionId, targetFileBytes, () => ())
@@ -304,24 +325,39 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     val totalBytes = parts.map(_._2).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
 
-    val next = meta.copy(path = s"$basePath/${meta.id}/v${meta.version + 1}",
+    // writer-PRIVATE rewrite directory: a concurrent deleteRecord computes
+    // the same v{n+1} name from the same observed version, so a shared
+    // name would let two copy-on-write writers overwrite each other — and
+    // the aborted compact's cleanup would then delete the LIVE version
+    // the delete just installed. Unique suffix ⇒ cleanup can only ever
+    // remove this writer's own uncommitted data.
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val next = meta.copy(path = s"$basePath/${meta.id}/v${meta.version + 1}-c$nonce",
                          version = meta.version + 1)
     val nextHp = new HPath(next.path)
     records(collectionId)
       .repartition(nFiles)
       .write.mode("overwrite").parquet(next.path)
     afterRewrite()
-    if (listing() != parts) {
-      fs.delete(nextHp, true) // discard the stale rewrite; current version untouched
-      throw new GraftException(
-        s"Could not compact collection ${meta.id}: files were added or removed " +
-          "during compaction; retry when ingestion is quiescent")
+    // swap under the mutation lock: appends/deletes cannot land between
+    // the re-check and the pointer swap. TWO staleness checks — the
+    // listing catches appended/removed files in the source version, the
+    // meta equality catches a version swap by a concurrent deleteRecord
+    // (which changes no files under the OLD path, so the listing alone
+    // would miss it and the swap would resurrect the deleted record).
+    mutationLock.synchronized {
+      if (!collections.get(meta.id).contains(meta) || listing() != parts) {
+        fs.delete(nextHp, true) // discard the stale rewrite; current version untouched
+        throw new GraftException(
+          s"Could not compact collection ${meta.id}: files were added or removed " +
+            "during compaction; retry when ingestion is quiescent")
+      }
+      val written = fs.listStatus(nextHp)
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      collections.put(meta.id, next)
+      saveManifest()
+      (parts.length, written)
     }
-    val written = fs.listStatus(nextHp)
-      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    collections.put(meta.id, next)
-    saveManifest()
-    (parts.length, written)
   }
 
   // --- query (O1/O2) -----------------------------------------------------
@@ -349,8 +385,14 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
   private def appendRows(meta: CollectionMeta, rows: Seq[Record]): Unit = {
     val data = rows.map(r => Row(r.id, r.embedderId, r.blob,
       Option(r.embedding).map(_.toSeq).orNull))
-    spark.createDataFrame(spark.sparkContext.parallelize(data, 1), Record.schema)
-      .write.mode("append").parquet(meta.path)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 1), Record.schema)
+    // resolve the CURRENT version path inside the lock: a compact()
+    // version swap between validation and write would otherwise strand
+    // this append in the abandoned old directory
+    mutationLock.synchronized {
+      df.write.mode("append").parquet(getCollection(meta.id).path)
+    }
   }
 }
 

@@ -436,6 +436,19 @@ object Ann {
     (cents.map(_.toSeq).toSeq, iters)
   }
 
+  /** The (cell, pos, m) row layout of a centroid matrix — 1-based cells,
+    * 0-based positions. ONE site owns this contract: the persisted
+    * `_centroids` parquet, its reader in [[ivfTopkTrained]], and the
+    * `ivf_train_full` query/oracle all depend on the same layout. */
+  private[graft] def centroidsToDF(spark: SparkSession,
+                                   cents: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex
+      .flatMap { case (c, i) => c.zipWithIndex.map { case (v, p) =>
+        ((i + 1).toLong, p.toLong, v) } }
+      .toDF("cell", "pos", "m")
+  }
+
   /** IVF probe against an index built from TRAINED centroids — the
     * production realization of [[ivfTopkIndexed]]'s scaladoc note: train
     * with [[trainCentroids]], persist the centroids BESIDE the
@@ -466,10 +479,7 @@ object Ann {
         val (trained, _) = trainCentroids(Tables.embeddings(spark, dir), nCells, maxIters)
         assignCells(Tables.embeddings(spark, dir), trained)
           .write.mode("overwrite").partitionBy("cell").parquet(idxPath)
-        trained.zipWithIndex
-          .flatMap { case (c, i) => c.zipWithIndex.map { case (v, p) =>
-            ((i + 1).toLong, p.toLong, v) } }
-          .toDF("cell", "pos", "m")
+        centroidsToDF(spark, trained)
           .coalesce(1).write.mode("overwrite").parquet(centsPath)
         trained
       }

@@ -90,13 +90,21 @@ object Decontaminate {
       .select(col("embedding").as("bench_vec"))
     val train = b.where(col("bucket") < trainPct)
 
-    train.crossJoin(broadcast(bench))
+    val hits = train.crossJoin(broadcast(bench))
       .select(col("vec_id"),
         round(cosine_sim(col("embedding"), col("bench_vec")), 6).as("sc"))
       .groupBy(col("vec_id"))
       .agg(max(col("sc")).as("max_sim"))
-      .select(col("vec_id"), col("max_sim"),
-        (col("max_sim") >= tau).as("contaminated"))
+
+    // left join back to the train split, like the shingle twin above: an
+    // EMPTY eval bucket must report every train vector as clean
+    // (max_sim 0.0), never an empty audit — an empty report is
+    // indistinguishable from "no train data" to a gating pipeline
+    train.select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("max_sim"), lit(0.0)).as("max_sim"),
+        (coalesce(col("max_sim"), lit(0.0)) >= tau).as("contaminated"))
       .orderBy(col("vec_id"))
   }
 }

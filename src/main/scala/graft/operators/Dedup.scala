@@ -68,13 +68,23 @@ object Dedup {
     * and was the single slowest bench query; r is the precision/recall
     * dial at scale (P[candidate] = 1-(1-J^r)^bands).
     *
+    * The banding must be tuned AGAINST `jaccardThreshold`, which only
+    * filters verified candidates — recall near the threshold is set by
+    * the S-curve. Defaults (r=2, bands=6) put the curve's midpoint at
+    * (1/6)^(1/2) ≈ 0.41: P[candidate] ≈ 0.43 at J=0.3, 0.82 at J=0.5,
+    * ≥ 0.998 at J=0.7. The earlier r=3/bands=4 midpoint sat at 0.63 —
+    * pairs just over the advertised 0.3 threshold were ~90% likely to be
+    * missed while the green oracle (which mirrors the same bands) could
+    * not surface the recall loss. Measured bucket bound with r=2/b=6 at
+    * sf0.1: max 5 docs/bucket, 812 candidates for 256 true pairs.
+    *
     * The explicit pinned repartition parallelizes the hash stage off the
     * source file's split count (single small file = one-core stage
     * otherwise; AQE would coalesce an unpinned exchange right back); all
     * downstream branches, including both verification sides, reuse the
     * one exchange. */
   def minhashNear(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                  shingleSize: Int = 3, seeds: Int = 12, bands: Int = 4,
+                  shingleSize: Int = 3, seeds: Int = 12, bands: Int = 6,
                   jaccardThreshold: Double = 0.3): DataFrame = {
     require(seeds % bands == 0, "seeds must divide evenly into bands")
     val r = seeds / bands

@@ -33,6 +33,11 @@ object Salting {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
                  saltSrc: Column): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    // the internal column must not collide: on the fact side withColumn
+    // would silently REPLACE (and drop() then lose) a user column; on the
+    // dim side the join key would become ambiguous
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin reserves the column name __salt; rename it on the input")
     val f = fact.withColumn("__salt", Sampling.hashBucket(saltSrc, salts))
     val d = dim.crossJoin(broadcast(
       dim.sparkSession.range(salts).toDF("__salt")))

@@ -235,6 +235,30 @@ class CatalogSpec extends SparkSpec {
     assert(db.getCollection("c").version == 1)
   }
 
+  test("compact: a concurrent delete's version swap aborts the swap (no resurrection)") {
+    import spark.implicits._
+    val db = freshDb()
+    db.addCollection(db.makeCollection("c", "local/hash-4"))
+    val f = Embedders.hashProjection(4)
+    db.addRecords("c", Seq("r0", "r1", "r2").map(id =>
+      (id, "local/hash-4", id.getBytes("UTF-8"), f(id.getBytes("UTF-8")).toSeq))
+      .toDF("id", "embedderId", "blob", "embedding"))
+    // the delete swaps versions WITHOUT touching the old path's files —
+    // the listing re-check alone would pass and the compact swap would
+    // point the catalog back at a version that still contains r1
+    val e = intercept[GraftException] {
+      db.compactImpl("c", 128L << 20, () => db.deleteRecord("c", "r1"))
+    }
+    assert(e.getMessage.contains("Could not compact collection c"))
+    assert(db.records("c").select("id").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("r0", "r2"), "compact must not resurrect the deleted record")
+    // retry in a quiet window compacts the post-delete state
+    val (_, after) = db.compact("c")
+    assert(after == 1)
+    assert(db.records("c").select("id").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("r0", "r2"))
+  }
+
   test("query: embeds with the collection embedder, exact top-k, ranked output") {
     val db = freshDb()
     db.addCollection(db.makeCollection("c", "local/hash-16"))

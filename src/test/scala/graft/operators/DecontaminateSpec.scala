@@ -64,6 +64,17 @@ class DecontaminateSpec extends SparkSpec {
     assert(out(cleanId) == ((0.0, false)))     // orthogonal: clean
   }
 
+  test("semantic: an empty eval bucket reports every train vector clean, not an empty audit") {
+    import spark.implicits._
+    val trainIds = bucketOf.collect { case (id, b) if b < 80 => id }.take(3).toSeq
+    val embeds = trainIds.map(id => (id, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("vec_id", "embedding") // no vec hashes into bucket >= 90
+    val out = Decontaminate.semanticContamination(embeds)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(out.map(_._1).toSet == trainIds.toSet)
+    assert(out.forall(r => r._2 == 0.0 && !r._3))
+  }
+
   test("semantic: eval vectors are the broadcast side (train corpus never shuffles pre-agg)") {
     import spark.implicits._
     val embeds = (0L until 40L).map(i => (i, Array.fill(4)(i.toFloat + 1)))
