@@ -69,6 +69,12 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // settle BEFORE each query, not each repeat: heap debt left by the
+      // previous query (broadcast cleanup, shuffle buffers) otherwise
+      // lands on all three repeats at once — and then the median keeps
+      // the contamination instead of discarding it (measured: identical
+      // code, 39.9s vs 76.3s totals run-to-run without this)
+      System.gc()
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       var failed = false
       var i = 0
