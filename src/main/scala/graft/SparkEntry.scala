@@ -61,6 +61,22 @@ object SparkEntry {
       ngramPairs(s, dir))),
     "dedup_groups"  -> ((s, dir) => Dedup.dedupGroups(Tables.documents(s, dir),
       ngramPairs(s, dir))),
+    // incremental dedup: reference corpus = hash-split half; the incoming
+    // batch is the other half PLUS re-keyed clones of reference docs
+    // (a crawler re-fetching known pages → seen_in_corpus) and re-keyed
+    // clones of its own docs (an in-batch repeat → first_in_batch=false)
+    "dedup_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = Tables.documents(s, dir)
+      val bucket = Sampling.hashBucket(col("doc_id"))
+      val ref = d.where(bucket < 50)
+      val incoming = d.where(bucket >= 50)
+        .unionByName(d.where(bucket < 10)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+        .unionByName(d.where(bucket >= 95)
+          .withColumn("doc_id", col("doc_id") + 200000L))
+      Dedup.exactIncremental(incoming, ref)
+    }),
     "decontaminate" -> ((s, dir) => Decontaminate.contamination(Tables.documents(s, dir))),
     "decontaminate_semantic" -> ((s, dir) =>
       Decontaminate.semanticContamination(Tables.embeddings(s, dir))),
@@ -629,6 +645,23 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(r.root, d.doc_id) AS group_id
          |FROM documents d LEFT JOIN roots r ON d.doc_id = r.id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS bucket
+        |  FROM documents),
+        |ref AS (SELECT DISTINCT sha256(text) AS fp FROM b WHERE bucket < 50),
+        |inc AS (SELECT doc_id, text FROM b WHERE bucket >= 50
+        |  UNION ALL SELECT doc_id + 100000, text FROM b WHERE bucket < 10
+        |  UNION ALL SELECT doc_id + 200000, text FROM b WHERE bucket >= 95),
+        |f AS (SELECT doc_id, sha256(text) AS fp FROM inc),
+        |m AS (SELECT f.doc_id, f.fp,
+        |    f.fp IN (SELECT fp FROM ref) AS seen_in_corpus,
+        |    f.doc_id = min(f.doc_id) OVER (PARTITION BY f.fp) AS first_in_batch
+        |  FROM f)
+        |SELECT doc_id, fp, seen_in_corpus, first_in_batch,
+        |  (NOT seen_in_corpus AND first_in_batch) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "decontaminate" ->
       """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -37,6 +37,34 @@ object Dedup {
       .select(col(idCol), col("fp"), col("keep"))
   }
 
+  /** X3a' — incremental exact dedup: admit rows of an INCOMING batch whose
+    * content fingerprint occurs neither in the existing reference corpus
+    * nor earlier (smaller id) within the batch itself — the shape every
+    * continuously-ingested corpus runs on each new crawl snapshot, where
+    * re-deduping the full history per batch would be quadratic over time.
+    *
+    * Scale shape: the reference side reduces to DISTINCT fingerprints
+    * (one aggregation, map-side combined — at 100 TB this is the
+    * pre-computed dedup index a pipeline maintains), then one hash
+    * equi-join on the fingerprint marks matches; the within-batch keeper
+    * is [[exact]]'s min-id window over the (much smaller) batch. Both
+    * shuffles key on the fingerprint — co-partitioned, AQE-coalesced. */
+  def exactIncremental(incoming: DataFrame, reference: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val refFps = reference
+      .select(sha2(col(textCol), 256).as("fp")).distinct()
+      .withColumn("in_ref", lit(true))
+    val byFp = Window.partitionBy(col("fp"))
+    incoming
+      .select(col(idCol), sha2(col(textCol), 256).as("fp"))
+      .join(refFps, Seq("fp"), "left")
+      .withColumn("seen_in_corpus", coalesce(col("in_ref"), lit(false)))
+      .withColumn("first_in_batch", col(idCol) === min(col(idCol)).over(byFp))
+      .select(col(idCol), col("fp"), col("seen_in_corpus"), col("first_in_batch"),
+        (!col("seen_in_corpus") && col("first_in_batch")).as("keep"))
+      .orderBy(col(idCol))
+  }
+
   /** Candidate pairs from LSH buckets, shared by every near-dup family:
     * one shuffle on the two-part bucket id, ids collected and sorted per
     * bucket, pairs expanded in-bucket (a < b by construction), distinct

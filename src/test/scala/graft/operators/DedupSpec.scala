@@ -27,6 +27,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: corpus matches dropped, in-batch repeats keep first, fresh kept") {
+    import spark.implicits._
+    val reference = Seq((1L, "known page"), (2L, "other known page"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "known page"),   // re-fetch of a reference doc -> drop
+      (11L, "fresh page"),   // new content -> keep
+      (12L, "repeat page"),  // first in-batch occurrence -> keep
+      (13L, "repeat page")   // in-batch repeat -> drop
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(incoming, reference).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(out(10L) == ((true, true, false)))
+    assert(out(11L) == ((false, true, true)))
+    assert(out(12L) == ((false, true, true)))
+    assert(out(13L) == ((false, false, false)))
+    // admitting the batch then re-running admits nothing new (idempotence)
+    val admitted = incoming.where(org.apache.spark.sql.functions.col("doc_id").isin(
+      out.collect { case (id, (_, _, true)) => id }.toSeq: _*))
+    val again = Dedup.exactIncremental(incoming, reference.unionByName(admitted))
+      .collect().map(_.getBoolean(4))
+    assert(!again.exists(identity), "second pass must admit nothing")
+  }
+
   test("minhash near-dup: candidates via equi-join, no cartesian product") {
     val df = Dedup.minhashNear(Tables.documents(spark, dir))
     val plan = physicalPlan(df)
