@@ -77,6 +77,15 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + 200000L))
       Dedup.exactIncremental(incoming, ref)
     }),
+    // near-dup twin of dedup_incremental over the same hash split: the
+    // corpus' natural near-dup pairs straddle the split, so the flags
+    // carry signal without constructed clones
+    "dedup_near_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = Tables.documents(s, dir)
+      val bucket = Sampling.hashBucket(col("doc_id"))
+      Dedup.ngramNearIncremental(d.where(bucket >= 50), d.where(bucket < 50))
+    }),
     "decontaminate" -> ((s, dir) => Decontaminate.contamination(Tables.documents(s, dir))),
     "decontaminate_semantic" -> ((s, dir) =>
       Decontaminate.semanticContamination(Tables.embeddings(s, dir))),
@@ -576,7 +585,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     // mirrors Dedup.minhashNear: word-trigram shingles hashed to 56-bit
-    // ints, 12 XOR-mask minhashes in 4 bands of r=3 (same banded skeleton
+    // ints, 12 XOR-mask minhashes in 6 bands of r=2 (same banded skeleton
     // as ngramPairsSql), exact Jaccard on candidates, >= 0.3
     "dedup_minhash" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -645,6 +654,44 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(r.root, d.doc_id) AS group_id
          |FROM documents d LEFT JOIN roots r ON d.doc_id = r.id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // same shingle/minhash/banding constants as ngramPairsSql, split into
+    // incoming (bucket >= 50) vs reference (bucket < 50) sides; the final
+    // base is ALL incoming documents (not just shingled ones) to mirror
+    // the operator's left join restoring sub-n-char docs as admitted
+    "dedup_near_incremental" ->
+      """WITH sh AS MATERIALIZED (SELECT doc_id,
+        |    list_transform(
+        |      list_distinct(list_transform(range(0, length(text) - 7),
+        |        i -> substr(text, CAST(i + 1 AS BIGINT), 8))),
+        |      x -> CAST(('0x' || substr(md5(x), 1, 14))::UBIGINT AS BIGINT)) AS hs,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS bucket
+        |  FROM documents WHERE length(text) >= 8),
+        |mh AS MATERIALIZED (SELECT doc_id, bucket,
+        |    list_transform(range(0, 12),
+        |      sd -> list_min(list_transform(hs,
+        |        b -> xor(b, CAST(('0x' || substr(md5(CAST(sd AS VARCHAR)), 1, 14))::UBIGINT AS BIGINT))))) AS sig
+        |  FROM sh),
+        |bands AS (SELECT doc_id, bucket, u.band, u.key FROM (
+        |  SELECT doc_id, bucket, unnest(list_transform(range(0, 4), b ->
+        |    {'band': b, 'key': array_to_string(sig[b*3+1:b*3+3], '|')})) AS u FROM mh) q),
+        |cand AS (SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS ref_id
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        |         WHERE a.bucket >= 50 AND b.bucket < 50),
+        |v AS (SELECT c.inc_id, round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+        |        / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS j
+        |      FROM cand c
+        |      JOIN sh sa ON sa.doc_id = c.inc_id
+        |      JOIN sh sb ON sb.doc_id = c.ref_id),
+        |nears AS (SELECT inc_id, count(*) AS n_near, max(j) AS max_jaccard
+        |          FROM v WHERE j >= 0.5 GROUP BY inc_id)
+        |SELECT d.doc_id, CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near,
+        |  coalesce(n.max_jaccard, 0.0) AS max_jaccard,
+        |  coalesce(n.n_near, 0) = 0 AS keep
+        |FROM (SELECT doc_id FROM documents
+        |      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 >= 50) d
+        |LEFT JOIN nears n ON n.inc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_incremental" ->
       """WITH b AS (SELECT doc_id, text,

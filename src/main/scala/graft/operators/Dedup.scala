@@ -151,32 +151,39 @@ object Dedup {
     * small (measured at sf0.1: n=5 → max bucket 728 / 472k candidate
     * pairs; n=8 → max bucket 8 / 3k candidates, same 256 true pairs).
     * Verification is exact n-gram Jaccard on candidates only. */
-  def ngramNear(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                n: Int = 8, seeds: Int = 12, bands: Int = 4,
-                jaccardThreshold: Double = 0.5): DataFrame = {
-    require(seeds % bands == 0, "seeds must divide evenly into bands")
-    val r = seeds / bands
-
-    // Shingle + hash ONCE per document into 56-bit integers; all seeded
-    // minhashes derive by integer arithmetic (md5 per shingle, not per
-    // shingle×seed — the seed-prefixed variant costs seeds× the digests
-    // and dominated the profile). The explicit repartition matters twice:
-    // the source is a small single-split file whose scan stage would
-    // otherwise run this compute on ONE core, and the pinned partition
-    // count stops AQE coalescing the byte-tiny exchange back to one
-    // partition. Downstream (banding AND both verification sides) hangs
-    // off the same subtree, so the exchange is computed once and reused.
-    val sh = docs
+  /** Char-n-gram 56-bit shingle sets, hashed ONCE per document; all seeded
+    * minhashes derive by integer arithmetic (md5 per shingle, not per
+    * shingle×seed — the seed-prefixed variant costs seeds× the digests and
+    * dominated the profile). The explicit repartition matters twice: the
+    * source is a small single-split file whose scan stage would otherwise
+    * run this compute on ONE core, and the pinned partition count stops
+    * AQE coalescing the byte-tiny exchange back to one partition.
+    * Downstream (banding AND verification sides) hangs off the same
+    * subtree, so the exchange is computed once and reused. */
+  private def ngramShingled(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int): DataFrame =
+    docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"),
         LshFunctions.char_shingle_hash56(col(textCol), n).as("hs"))
       .where(size(col("hs")) > 0)
 
-    val banded = sh.select(col("doc_id"),
+  /** (doc_id, band, key) banded minhash signature keys over a shingled
+    * table — the LSH bucketing every ngram variant joins on. */
+  private def ngramBandKeys(sh: DataFrame, seeds: Int, bands: Int): DataFrame = {
+    require(seeds % bands == 0, "seeds must divide evenly into bands")
+    sh.select(col("doc_id"),
       posexplode(LshFunctions.band_keys(
         transform(LshFunctions.minhash_signature_long(col("hs"), seeds),
-          v => v.cast("string")), bands, r, "|"))
+          v => v.cast("string")), bands, seeds / bands, "|"))
         .as(Seq("band", "key")))
+  }
+
+  def ngramNear(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                n: Int = 8, seeds: Int = 12, bands: Int = 4,
+                jaccardThreshold: Double = 0.5): DataFrame = {
+    val sh = ngramShingled(docs, idCol, textCol, n)
+    val banded = ngramBandKeys(sh, seeds, bands)
 
     // Exact Jaccard over the hashed shingle sets: both engines compare the
     // same 56-bit values, so the verdicts are identical; a hash collision
@@ -188,6 +195,49 @@ object Dedup {
         round(LshFunctions.jaccard(col("sa"), col("sb")), 6).as("jaccard"))
       .where(col("jaccard") >= jaccardThreshold)
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** X3b''' — incremental NEAR-dedup: for each incoming document, how many
+    * reference-corpus documents its char-n-gram Jaccard reaches `tau`
+    * against, with the best score and an admit flag — the near-dup twin of
+    * [[exactIncremental]], and the shape that makes near-dedup sustainable
+    * over a growing corpus: the reference side's banded signature keys are
+    * the LSH INDEX a pipeline maintains incrementally (build once, append
+    * per admitted batch), so per-snapshot cost is O(batch + matched
+    * buckets), never a re-mine of all history.
+    *
+    * Scale shape: one equi-join of the incoming band keys against the
+    * reference band keys (both sides shuffle on (band, key) — at 100 TB
+    * the stored index is already bucketed by the key, so only the batch
+    * side moves), exact Jaccard on the candidate pairs only, one
+    * incoming-doc-keyed aggregation, and a left join restoring unmatched
+    * incoming docs as admitted. Never an all-pairs product. */
+  def ngramNearIncremental(incoming: DataFrame, reference: DataFrame,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           n: Int = 8, seeds: Int = 12, bands: Int = 4,
+                           jaccardThreshold: Double = 0.5): DataFrame = {
+    val shInc = ngramShingled(incoming, idCol, textCol, n)
+    val shRef = ngramShingled(reference, idCol, textCol, n)
+    val cand = ngramBandKeys(shInc, seeds, bands)
+      .withColumnRenamed("doc_id", "inc_id")
+      .join(ngramBandKeys(shRef, seeds, bands).withColumnRenamed("doc_id", "ref_id"),
+        Seq("band", "key"))
+      .select(col("inc_id"), col("ref_id")).distinct()
+    val near = cand
+      .join(shInc.select(col("doc_id").as("inc_id"), col("hs").as("sa")), Seq("inc_id"))
+      .join(shRef.select(col("doc_id").as("ref_id"), col("hs").as("sb")), Seq("ref_id"))
+      .select(col("inc_id"),
+        round(LshFunctions.jaccard(col("sa"), col("sb")), 6).as("j"))
+      .where(col("j") >= jaccardThreshold)
+      .groupBy(col("inc_id"))
+      .agg(count(lit(1)).as("n_near"), max(col("j")).as("max_jaccard"))
+    incoming.select(col(idCol).as("inc_id"))
+      .join(near, Seq("inc_id"), "left")
+      .select(col("inc_id").as(idCol),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+        (coalesce(col("n_near"), lit(0L)) === 0L).as("keep"))
+      .orderBy(col(idCol))
   }
 
   /** Resolution policy over near-dup pairs: a document is dropped iff it

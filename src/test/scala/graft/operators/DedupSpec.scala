@@ -51,6 +51,27 @@ class DedupSpec extends SparkSpec {
     assert(!again.exists(identity), "second pass must admit nothing")
   }
 
+  test("incremental near-dedup: near-matches flagged, fresh and short docs admitted") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val reference = Seq((1L, base)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base + " x"),                                      // near-dup of ref -> drop
+      (11L, "entirely different content with no shared substrings at all whatsoever"),
+      (12L, "tiny")                                            // < n chars: no shingles, admitted
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramNearIncremental(incoming, reference).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L)) // every incoming doc reported
+    assert(out(10L)._1 == 1L && out(10L)._2 > 0.9 && !out(10L)._3)
+    assert(out(11L) == ((0L, 0.0, true)))
+    assert(out(12L) == ((0L, 0.0, true)))
+    // plan: candidates via band-key equi-join, never all-pairs
+    val plan = physicalPlan(Dedup.ngramNearIncremental(incoming, reference))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"all-pairs blowup:\n$plan")
+  }
+
   test("minhash near-dup: candidates via equi-join, no cartesian product") {
     val df = Dedup.minhashNear(Tables.documents(spark, dir))
     val plan = physicalPlan(df)
