@@ -64,17 +64,20 @@ object SparkEntry {
     // incremental dedup: reference corpus = hash-split half; the incoming
     // batch is the other half PLUS re-keyed clones of reference docs
     // (a crawler re-fetching known pages → seen_in_corpus) and re-keyed
-    // clones of its own docs (an in-batch repeat → first_in_batch=false)
+    // clones of its own docs (an in-batch repeat → first_in_batch=false).
+    // Clone offsets derive from max(doc_id)+1 — a fixed constant would
+    // silently collide with genuine ids at a larger scale factor
     "dedup_incremental" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, max => smax}
       val d = Tables.documents(s, dir)
+      val off = d.agg(smax(col("doc_id"))).head.getLong(0) + 1L
       val bucket = Sampling.hashBucket(col("doc_id"))
       val ref = d.where(bucket < 50)
       val incoming = d.where(bucket >= 50)
         .unionByName(d.where(bucket < 10)
-          .withColumn("doc_id", col("doc_id") + 100000L))
+          .withColumn("doc_id", col("doc_id") + off))
         .unionByName(d.where(bucket >= 95)
-          .withColumn("doc_id", col("doc_id") + 200000L))
+          .withColumn("doc_id", col("doc_id") + 2L * off))
       Dedup.exactIncremental(incoming, ref)
     }),
     // near-dup twin of dedup_incremental over the same hash split: the
@@ -697,10 +700,11 @@ object SparkEntry {
       """WITH b AS (SELECT doc_id, text,
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS bucket
         |  FROM documents),
+        |off AS (SELECT max(doc_id) + 1 AS o FROM documents),
         |ref AS (SELECT DISTINCT sha256(text) AS fp FROM b WHERE bucket < 50),
         |inc AS (SELECT doc_id, text FROM b WHERE bucket >= 50
-        |  UNION ALL SELECT doc_id + 100000, text FROM b WHERE bucket < 10
-        |  UNION ALL SELECT doc_id + 200000, text FROM b WHERE bucket >= 95),
+        |  UNION ALL SELECT doc_id + (SELECT o FROM off), text FROM b WHERE bucket < 10
+        |  UNION ALL SELECT doc_id + 2 * (SELECT o FROM off), text FROM b WHERE bucket >= 95),
         |f AS (SELECT doc_id, sha256(text) AS fp FROM inc),
         |m AS (SELECT f.doc_id, f.fp,
         |    f.fp IN (SELECT fp FROM ref) AS seen_in_corpus,
@@ -734,12 +738,12 @@ object SparkEntry {
          |  FROM embeddings),
          |bench AS (SELECT v AS bv FROM e WHERE bucket >= 90),
          |train AS (SELECT vec_id, v FROM e WHERE bucket < 80),
-         |s AS (SELECT t.vec_id, ${cosSql("t.v", "b.bv")} AS sc FROM train t, bench b),
-         |h AS (SELECT vec_id, max(sc) AS max_sim FROM s GROUP BY vec_id)
-         |SELECT t.vec_id, coalesce(h.max_sim, 0.0) AS max_sim,
-         |  coalesce(h.max_sim, 0.0) >= 0.35 AS contaminated
-         |FROM train t LEFT JOIN h USING (vec_id)
-         |ORDER BY t.vec_id""".stripMargin,
+         |s AS (SELECT t.vec_id,
+         |    CASE WHEN b.bv IS NULL THEN 0.0 ELSE ${cosSql("t.v", "b.bv")} END AS sc
+         |  FROM train t LEFT JOIN bench b ON true)
+         |SELECT vec_id, max(sc) AS max_sim, max(sc) >= 0.35 AS contaminated
+         |FROM s GROUP BY vec_id
+         |ORDER BY vec_id""".stripMargin,
 
     "bigram_novelty" ->
       """WITH t0 AS (SELECT doc_id,

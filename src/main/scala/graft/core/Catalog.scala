@@ -60,8 +60,12 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     CollectionMeta(id, embedderId, s"$basePath/$id/v0")
   }
 
-  /** O12 AddCollection (`database/database.go:99-110`). */
-  def addCollection(meta: CollectionMeta): Unit = {
+  /** O12 AddCollection (`database/database.go:99-110`). Under the
+    * [[mutationLock]]: every writer of the manifest file must be
+    * serialized (two unsynchronized overwriting writers can interleave
+    * and corrupt `_catalog.json`), and the map insert must not race a
+    * compact/delete swap. */
+  def addCollection(meta: CollectionMeta): Unit = mutationLock.synchronized {
     collections.putIfAbsent(meta.id, meta).foreach { _ =>
       throw new GraftException(
         s"Cannot create collection ${meta.id}: a collection with id ${meta.id} already exists")
@@ -78,7 +82,11 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     * backing data (all versions under the collection's directory); the
     * reference's map-entry removal frees its in-memory records, and the
     * Parquet analog of that is deleting the files. */
-  def deleteCollection(id: String): Unit = {
+  def deleteCollection(id: String): Unit = mutationLock.synchronized {
+    // under the lock: removing the entry AND its directory must not
+    // interleave with a compact/delete swap on the same collection (a
+    // compact completing after the remove would resurrect the entry,
+    // pointing at a directory this method just deleted)
     collections.remove(id).getOrElse(
       throw new GraftException(s"Cannot delete collection $id: does not exist"))
     val dir = new HPath(s"$basePath/$id")
@@ -183,8 +191,11 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
   // --- record CRUD (O5–O10) ---------------------------------------------
 
   /** O5/O6 AddRecord — the reference's three validations, in its order
-    * (`collection/collection.go:32-45`). */
-  def addRecord(collectionId: String, record: Record): Unit = {
+    * (`collection/collection.go:32-45`). The whole check+append runs under
+    * the [[mutationLock]] (as the reference's mutex does): a duplicate-id
+    * check outside it would let two concurrent adds of the same id both
+    * pass and both append. */
+  def addRecord(collectionId: String, record: Record): Unit = mutationLock.synchronized {
     val meta = getCollection(collectionId)
     if (records(collectionId).where(col("id") === record.id).limit(1).count() > 0)
       throw new GraftException(
@@ -235,15 +246,18 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
           s"Duplicate record ids within batch: ${dups.mkString(", ")}")
     }
 
-    val dupExisting = batch.join(records(collectionId), Seq("id"), "left_semi")
-      .select("id").limit(3).collect()
-    if (dupExisting.nonEmpty)
-      throw new GraftException(
-        s"Record ${dupExisting.head.getString(0)} already exists in collection ${meta.id}\n")
-
-    // re-resolve the path inside the lock (same rationale as appendRows:
-    // a concurrent compact may have swapped versions since validation)
+    // duplicate-vs-existing check AND the append inside ONE lock section:
+    // checked outside it, two concurrent adds of the same new id both
+    // pass and both append (the check-then-act race the lock exists for).
+    // The path is re-resolved inside too — a concurrent compact may have
+    // swapped versions since the batch-internal validation above.
     mutationLock.synchronized {
+      val dupExisting = batch.join(records(collectionId), Seq("id"), "left_semi")
+        .select("id").limit(3).collect()
+      if (dupExisting.nonEmpty)
+        throw new GraftException(
+          s"Record ${dupExisting.head.getString(0)} already exists in collection ${meta.id}\n")
+
       batch.select(Record.schema.fieldNames.map(col).toIndexedSeq: _*)
         .write.mode("append").parquet(getCollection(collectionId).path)
     }
@@ -262,23 +276,46 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
       embedding = Option(row.getSeq[Double](3)).map(_.toArray).orNull)
   }
 
-  /** O9/O10 DeleteRecord — copy-on-write rewrite into the next version dir
-    * (`collection/collection.go:47-54` semantics; Parquet is immutable). */
+  /** O9/O10 DeleteRecord — copy-on-write rewrite into a writer-private
+    * next-version dir (`collection/collection.go:47-54` semantics; Parquet
+    * is immutable). Same concurrency shape as [[compactImpl]]: the
+    * expensive full-collection rewrite runs OUTSIDE the [[mutationLock]]
+    * (a delete must not stall ingestion for the rewrite's duration), then
+    * the staleness re-check and pointer swap run inside it — a concurrent
+    * append or version swap discards this rewrite with a retryable error
+    * rather than silently dropping the concurrent rows. */
   def deleteRecord(collectionId: String, recordId: String): Unit = {
+    val meta = getCollection(collectionId)
+    val existing = records(collectionId)
+    if (existing.where(col("id") === recordId).limit(1).count() == 0)
+      throw new GraftException(
+        s"Could not delete record $recordId from collection ${meta.id}: record not found in collection")
+    val fs = new HPath(meta.path).getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = listingOf(fs, meta.path)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val next = meta.copy(path = s"$basePath/${meta.id}/v${meta.version + 1}-d$nonce",
+                         version = meta.version + 1)
+    existing.where(col("id") =!= recordId)
+      .write.mode("overwrite").parquet(next.path)
     mutationLock.synchronized {
-      val meta = getCollection(collectionId)
-      val existing = records(collectionId)
-      if (existing.where(col("id") === recordId).limit(1).count() == 0)
+      if (!collections.get(meta.id).contains(meta) || listingOf(fs, meta.path) != parts) {
+        fs.delete(new HPath(next.path), true)
         throw new GraftException(
-          s"Could not delete record $recordId from collection ${meta.id}: record not found in collection")
-      val next = meta.copy(path = s"$basePath/${meta.id}/v${meta.version + 1}",
-                           version = meta.version + 1)
-      existing.where(col("id") =!= recordId)
-        .write.mode("overwrite").parquet(next.path)
+          s"Could not delete record $recordId from collection ${meta.id}: " +
+            "collection changed during the delete rewrite; retry")
+      }
       collections.put(meta.id, next)
       saveManifest()
     }
   }
+
+  /** Stable file listing of a version directory — the staleness token the
+    * copy-on-write writers re-check before their pointer swap. */
+  private def listingOf(fs: org.apache.hadoop.fs.FileSystem,
+                        path: String): Seq[(String, Long)] =
+    fs.listStatus(new HPath(path))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.getName, s.getLen)).sortBy(_._1).toSeq
 
   /** Small-file compaction — maintenance for continuously-ingested
     * collections: every micro-batch/bulk add appends its own file set, and
@@ -318,9 +355,7 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     val hp = new HPath(meta.path)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(hp)) return (0, 0) // empty collection: nothing to compact
-    def listing(): Seq[(String, Long)] =
-      fs.listStatus(hp).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(s => (s.getPath.getName, s.getLen)).sortBy(_._1).toSeq
+    def listing(): Seq[(String, Long)] = listingOf(fs, meta.path)
     val parts = listing()
     val totalBytes = parts.map(_._2).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)

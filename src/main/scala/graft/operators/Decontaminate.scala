@@ -90,21 +90,21 @@ object Decontaminate {
       .select(col("embedding").as("bench_vec"))
     val train = b.where(col("bucket") < trainPct)
 
-    val hits = train.crossJoin(broadcast(bench))
+    // LEFT outer against the broadcast eval side (join condition `true` =
+    // a train-row-preserving cross join): an EMPTY eval bucket must
+    // report every train vector as clean (max_sim 0.0), never an empty
+    // audit — an empty report is indistinguishable from "no train data"
+    // to a gating pipeline. With a non-empty bench this is the exact
+    // same broadcast nested loop + one max aggregation as an inner cross
+    // join — no second join, no extra exchange.
+    train.join(broadcast(bench), lit(true), "left")
       .select(col("vec_id"),
-        round(cosine_sim(col("embedding"), col("bench_vec")), 6).as("sc"))
+        coalesce(round(cosine_sim(col("embedding"), col("bench_vec")), 6), lit(0.0))
+          .as("sc"))
       .groupBy(col("vec_id"))
       .agg(max(col("sc")).as("max_sim"))
-
-    // left join back to the train split, like the shingle twin above: an
-    // EMPTY eval bucket must report every train vector as clean
-    // (max_sim 0.0), never an empty audit — an empty report is
-    // indistinguishable from "no train data" to a gating pipeline
-    train.select(col("vec_id"))
-      .join(hits, Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("max_sim"), lit(0.0)).as("max_sim"),
-        (coalesce(col("max_sim"), lit(0.0)) >= tau).as("contaminated"))
+      .select(col("vec_id"), col("max_sim"),
+        (col("max_sim") >= tau).as("contaminated"))
       .orderBy(col("vec_id"))
   }
 }
