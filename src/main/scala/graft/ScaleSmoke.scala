@@ -119,6 +119,35 @@ object ScaleSmoke {
         .groupBy(col("band"), col("key")).agg(count(lit(1)).as("c"))
         .queryExecution.toRdd.count()
     }
+
+    // Round-7 incremental-dedup family: replicate the documents table
+    // (ids re-keyed, texts salted with the replica id so exact dups don't
+    // trivialize the shingling while near-dup structure survives) and run
+    // the batch-vs-reference-index paths at the inflated size. factor/10
+    // keeps the text volume comparable to the embedding corpus above.
+    val docFactor = math.max(1, factor / 10)
+    val bigDocs = s"${sys.props("java.io.tmpdir")}/graft-scale-docs-$dirHash-$docFactor"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(bigDocs, "_SUCCESS"))) {
+      val base = Tables.documents(spark, dir)
+      val n = base.count()
+      base.crossJoin(spark.range(docFactor).toDF("rep"))
+        .select((col("doc_id") + col("rep") * n).as("doc_id"),
+          concat(col("text"), lit(" r"), col("rep")).as("text"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(bigDocs)
+    }
+    val docs = spark.read.parquet(bigDocs)
+    val half = docs.count() / 2
+    stage("incr exact dedup") {
+      graft.operators.Dedup.exactIncremental(
+          docs.where(col("doc_id") >= half), docs.where(col("doc_id") < half))
+        .queryExecution.toRdd.count()
+    }
+    stage("incr near dedup") {
+      graft.operators.Dedup.ngramNearIncremental(
+          docs.where(col("doc_id") >= half), docs.where(col("doc_id") < half))
+        .queryExecution.toRdd.count()
+    }
     spark.stop()
   }
 
