@@ -31,6 +31,28 @@ class LshFunctionsSpec extends SparkSpec {
     sig1.foreach(h => assert(h.matches("[0-9a-f]{32}")))
   }
 
+  test("minhash union law: sig(A ∪ B) is the element-wise min of sig(A) and sig(B)") {
+    // the algebraic property banded LSH soundness rests on (and what lets
+    // a distributed mine compute signatures per shard and MERGE them):
+    // min over a union = min of the mins, per XOR-masked seed
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(30) + 1)(rnd.nextLong() & ((1L << 56) - 1))
+      val b = Seq.fill(rnd.nextInt(30) + 1)(rnd.nextLong() & ((1L << 56) - 1))
+      val row = Seq((a, b, (a ++ b).distinct)).toDF("a", "b", "u")
+        .select(
+          LshFunctions.minhash_signature_long(col("a"), 8),
+          LshFunctions.minhash_signature_long(col("b"), 8),
+          LshFunctions.minhash_signature_long(col("u"), 8))
+        .head()
+      val (sa, sb, su) = (row.getSeq[Long](0), row.getSeq[Long](1), row.getSeq[Long](2))
+      su.indices.foreach { i =>
+        assert(su(i) == math.min(sa(i), sb(i)),
+          s"seed $i: sig(A∪B)=${su(i)} != min(${sa(i)}, ${sb(i)})")
+      }
+    }
+  }
+
   test("simhash_bits + band_keys: bit count, binary alphabet, band split") {
     val df = Seq((1, Seq.tabulate(8)(i => i.toDouble - 3.5))).toDF("id", "v")
     val bits = df.select(LshFunctions.simhash_bits(col("v"), 12, 8)).head().getSeq[String](0)
