@@ -199,6 +199,45 @@ object Streaming {
       }
       .start()
 
+  /** Continuous DEDUPED collection ingest — [[streamIngest]] with the
+    * per-batch admission decided by
+    * [[graft.operators.Dedup.exactIncremental]] against the collection's
+    * CURRENT contents: a chunk whose text already lives in the collection
+    * (from an earlier batch, or an earlier row of this batch) is silently
+    * dropped rather than erred — the idempotent sink an at-least-once
+    * upstream (re-crawls, replayed topics) needs. Composition of existing
+    * operators end-to-end: incremental dedup decides, the batch ingest
+    * pipeline embeds and appends.
+    *
+    * Scale shape: per micro-batch, one fingerprint hash join of the batch
+    * against the collection's distinct-fingerprint set and one append —
+    * the collection is never rewritten and never shuffled beyond the
+    * distinct aggregation ([[graft.operators.Dedup.exactIncremental]]'s
+    * scaladoc: at warehouse scale that distinct-fp side is a maintained
+    * index, not a recompute). */
+  def streamIngestDeduped(db: GraftDatabase, collectionId: String, chunks: DataFrame,
+                          embedderId: String, checkpointDir: String): StreamingQuery =
+    chunks.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val existing = db.records(collectionId)
+            .select(col("id"), decode(col("blob"), "UTF-8").as("chunk"))
+          val admitted = batch.join(
+            graft.operators.Dedup.exactIncremental(
+                batch.select(col("id"), col("chunk")), existing,
+                idCol = "id", textCol = "chunk")
+              .where(col("keep")).select(col("id")),
+            Seq("id"), "left_semi")
+          if (!admitted.isEmpty) {
+            db.addRecords(collectionId,
+              Ingest.makeRecords(batch.sparkSession, admitted, embedderId))
+          }
+        }
+      }
+      .start()
+
   /** Continuous collection ingest: any streaming (id, chunk) text source →
     * per-micro-batch chunk/embed/validate/append through the SAME batch
     * pipeline (Ingest.makeRecords + GraftDatabase.addRecords). Exactly-once

@@ -182,6 +182,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamIngestDeduped: cross-batch and in-batch text dups are dropped, fresh admitted") {
+    implicit val sqlCtx = spark.sqlContext
+    val db = GraftDatabase.make(spark, Files.createTempDirectory("graft-sdd-").toString)
+    db.addCollection(db.makeCollection("live", "local/hash-8"))
+    val ckpt = Files.createTempDirectory("graft-sdd-ckpt-").toString
+
+    val mem = MemoryStream[(String, String)]
+    mem.addData(("a", "first text"), ("b", "second text"))
+    val q1 = Streaming.streamIngestDeduped(db, "live", mem.toDF().toDF("id", "chunk"),
+      "local/hash-8", ckpt)
+    try q1.awaitTermination(60000) finally q1.stop()
+    assert(db.records("live").select("id").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("a", "b"))
+
+    // second run over the same checkpoint: c replays stored text (drop),
+    // d is fresh (keep), e repeats d's text within the batch (drop)
+    mem.addData(("c", "first text"), ("d", "new text"), ("e", "new text"))
+    val q2 = Streaming.streamIngestDeduped(db, "live", mem.toDF().toDF("id", "chunk"),
+      "local/hash-8", ckpt)
+    try q2.awaitTermination(60000) finally q2.stop()
+
+    val ids = db.records("live").select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(ids == Seq("a", "b", "d"), s"got $ids")
+    // the admitted record went through the SAME embed pipeline
+    val expected = graft.core.Embedders.hashProjection(8)("new text".getBytes("UTF-8"))
+    val stored = db.records("live")
+      .where(col("id") === "d").select("embedding").head().getSeq[Double](0)
+    assert(stored == expected.toSeq)
+  }
+
   test("streamIngest: micro-batches land in the collection via the batch pipeline") {
     implicit val sqlCtx = spark.sqlContext
     val db = GraftDatabase.make(spark, Files.createTempDirectory("graft-stream-").toString)
