@@ -31,24 +31,32 @@ object ScaleSmoke {
 
     val dirHash = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val big = s"${sys.props("java.io.tmpdir")}/graft-scale-$dirHash-$factor"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(big, "_SUCCESS"))) {
-      val base = Tables.embeddings(spark, dir)
-      val n = base.count()
-      base
-        .crossJoin(spark.range(factor).toDF("rep"))
-        .select(
-          (col("vec_id") + col("rep") * n).as("vec_id"),
-          // perturb one component per replica: vectors stay near their
-          // original (near-dup structure intact) without being identical
-          expr("transform(embedding, (x, i) -> CASE WHEN i = 0 THEN x + rep * 1e-9 ELSE x END)")
-            .as("embedding"),
-          col("label"))
-        .repartition(32)
-        .write.mode("overwrite").parquet(big)
+
+    // Replicate a source table `f`-fold into a cached multi-file parquet
+    // copy (restoring the split-count parallelism single-file testdata
+    // hides); `reps` maps (base row, replica idx, base row count) to the
+    // re-keyed replica row.
+    def replicate(tag: String, f: Int,
+                  base: org.apache.spark.sql.DataFrame,
+                  reps: (org.apache.spark.sql.DataFrame, Long) => org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val path = s"${sys.props("java.io.tmpdir")}/graft-scale-$tag-$dirHash-$f"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
+        reps(base.crossJoin(spark.range(f).toDF("rep")), base.count())
+          .repartition(32)
+          .write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path)
     }
 
-    val e = spark.read.parquet(big)
+    val e = replicate("emb", factor, Tables.embeddings(spark, dir), (crossed, n) =>
+      crossed.select(
+        (col("vec_id") + col("rep") * n).as("vec_id"),
+        // perturb one component per replica: vectors stay near their
+        // original (near-dup structure intact) without being identical
+        expr("transform(embedding, (x, i) -> CASE WHEN i = 0 THEN x + rep * 1e-9 ELSE x END)")
+          .as("embedding"),
+        col("label")))
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = f
@@ -120,32 +128,33 @@ object ScaleSmoke {
         .queryExecution.toRdd.count()
     }
 
-    // Round-7 incremental-dedup family: replicate the documents table
-    // (ids re-keyed, texts salted with the replica id so exact dups don't
-    // trivialize the shingling while near-dup structure survives) and run
-    // the batch-vs-reference-index paths at the inflated size. factor/10
-    // keeps the text volume comparable to the embedding corpus above.
-    val docFactor = math.max(1, factor / 10)
-    val bigDocs = s"${sys.props("java.io.tmpdir")}/graft-scale-docs-$dirHash-$docFactor"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(bigDocs, "_SUCCESS"))) {
-      val base = Tables.documents(spark, dir)
-      val n = base.count()
-      base.crossJoin(spark.range(docFactor).toDF("rep"))
-        .select((col("doc_id") + col("rep") * n).as("doc_id"),
-          concat(col("text"), lit(" r"), col("rep")).as("text"))
-        .repartition(32)
-        .write.mode("overwrite").parquet(bigDocs)
-    }
-    val docs = spark.read.parquet(bigDocs)
-    val half = docs.count() / 2
+    // Round-7 incremental-dedup family: replicate the documents table with
+    // BOUNDED near-dup families — replicas 0-1 keep the base text (one
+    // near-dup partner pair per base doc), later replicas are made
+    // dissimilar by translating vowels+spaces to rep-dependent consonants
+    // (destroys char-shingle overlap). An unbounded family (every replica
+    // similar) is the adversarial mega-clique regime: candidate pairs grow
+    // O(family²) and the Jaccard-verify join ships both shingle sets per
+    // pair — measured 1.55M pairs / ~37 GB of verify traffic at 125k docs,
+    // vs ~corpus-sized candidates here. Real crawls are the bounded case;
+    // mega-cliques are what the downstream connected-components resolve
+    // handles. factor/10 keeps text volume comparable to the embeddings.
+    val docs = replicate("docs2", math.max(1, factor / 10),
+      Tables.documents(spark, dir), (crossed, n) =>
+        crossed.select((col("doc_id") + col("rep") * n).as("doc_id"),
+          when(col("rep") < 2, concat(col("text"), lit(" r"), col("rep")))
+            .otherwise(expr(
+              "translate(text, 'aeiou ', concat(substr('bcdfghjklmnpqrstvwxz', cast(pmod(rep, 15) as int) + 1, 5), '_'))"))
+            .as("text")))
+    // content-hash split, not id magnitude: sparse or offset id spaces
+    // would make a value-threshold split degenerate to one empty side
+    val half = graft.operators.Sampling.hashBucket(col("doc_id")) < 50
     stage("incr exact dedup") {
-      graft.operators.Dedup.exactIncremental(
-          docs.where(col("doc_id") >= half), docs.where(col("doc_id") < half))
+      graft.operators.Dedup.exactIncremental(docs.where(!half), docs.where(half))
         .queryExecution.toRdd.count()
     }
     stage("incr near dedup") {
-      graft.operators.Dedup.ngramNearIncremental(
-          docs.where(col("doc_id") >= half), docs.where(col("doc_id") < half))
+      graft.operators.Dedup.ngramNearIncremental(docs.where(!half), docs.where(half))
         .queryExecution.toRdd.count()
     }
     spark.stop()

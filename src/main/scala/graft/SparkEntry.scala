@@ -70,7 +70,10 @@ object SparkEntry {
     "dedup_incremental" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, max => smax}
       val d = Tables.documents(s, dir)
-      val off = d.agg(smax(col("doc_id"))).head.getLong(0) + 1L
+      // Option-wrap: max over an empty table aggregates to NULL and a bare
+      // getLong would NPE instead of yielding an empty report
+      val off = Option(d.agg(smax(col("doc_id"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L) + 1L
       val bucket = Sampling.hashBucket(col("doc_id"))
       val ref = d.where(bucket < 50)
       val incoming = d.where(bucket >= 50)
@@ -700,7 +703,7 @@ object SparkEntry {
       """WITH b AS (SELECT doc_id, text,
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS bucket
         |  FROM documents),
-        |off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+        |off AS (SELECT coalesce(max(doc_id), 0) + 1 AS o FROM documents),
         |ref AS (SELECT DISTINCT sha256(text) AS fp FROM b WHERE bucket < 50),
         |inc AS (SELECT doc_id, text FROM b WHERE bucket >= 50
         |  UNION ALL SELECT doc_id + (SELECT o FROM off), text FROM b WHERE bucket < 10
@@ -738,8 +741,7 @@ object SparkEntry {
          |  FROM embeddings),
          |bench AS (SELECT v AS bv FROM e WHERE bucket >= 90),
          |train AS (SELECT vec_id, v FROM e WHERE bucket < 80),
-         |s AS (SELECT t.vec_id,
-         |    CASE WHEN b.bv IS NULL THEN 0.0 ELSE ${cosSql("t.v", "b.bv")} END AS sc
+         |s AS (SELECT t.vec_id, coalesce(${cosSql("t.v", "b.bv")}, 0.0) AS sc
          |  FROM train t LEFT JOIN bench b ON true)
          |SELECT vec_id, max(sc) AS max_sim, max(sc) >= 0.35 AS contaminated
          |FROM s GROUP BY vec_id

@@ -39,14 +39,26 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
 
   private val collections = TrieMap[String, CollectionMeta]()
 
-  /** Serializes every data mutation that participates in the copy-on-write
-    * version protocol (appends, delete rewrites, compaction swaps) — the
-    * Spark counterpart of the reference's collection-map mutex
-    * (`database/database.go:105-106`). Reads never take it: readers see
-    * either the old or the new version, both complete. Without it,
-    * check-then-act windows (compact's pre-swap re-check, delete's
-    * read-rewrite-swap) admit lost updates under concurrent mutators. */
-  private val mutationLock = new Object
+  /** Two-level mutation locking — the Spark counterpart of the reference's
+    * collection-map mutex (`database/database.go:105-106`), split so that
+    * one collection's ingest never stalls another's:
+    *
+    *  - [[mutationLockFor]] (per collection) serializes every DATA
+    *    mutation in that collection's copy-on-write protocol — appends,
+    *    duplicate-id check-then-append windows, delete/compact staleness
+    *    re-checks and pointer swaps. Two sinks feeding DIFFERENT
+    *    collections proceed fully in parallel.
+    *  - [[manifestLock]] (global) serializes writers of the shared
+    *    `_catalog.json` only — two unsynchronized overwriting writers
+    *    could interleave and corrupt it.
+    *
+    * Lock order is always collection lock → manifest lock, never the
+    * reverse (no deadlock). Reads take neither: readers see either the
+    * old or the new version of a swap, both complete. */
+  private val collectionLocks = TrieMap.empty[String, Object]
+  private def mutationLockFor(id: String): Object =
+    collectionLocks.getOrElseUpdate(id, new Object)
+  private val manifestLock = new Object
 
   loadManifest()
 
@@ -61,11 +73,10 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
   }
 
   /** O12 AddCollection (`database/database.go:99-110`). Under the
-    * [[mutationLock]]: every writer of the manifest file must be
+    * [[manifestLock]]: every writer of the manifest file must be
     * serialized (two unsynchronized overwriting writers can interleave
-    * and corrupt `_catalog.json`), and the map insert must not race a
-    * compact/delete swap. */
-  def addCollection(meta: CollectionMeta): Unit = mutationLock.synchronized {
+    * and corrupt `_catalog.json`); the map insert itself is atomic. */
+  def addCollection(meta: CollectionMeta): Unit = manifestLock.synchronized {
     collections.putIfAbsent(meta.id, meta).foreach { _ =>
       throw new GraftException(
         s"Cannot create collection ${meta.id}: a collection with id ${meta.id} already exists")
@@ -82,7 +93,7 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     * backing data (all versions under the collection's directory); the
     * reference's map-entry removal frees its in-memory records, and the
     * Parquet analog of that is deleting the files. */
-  def deleteCollection(id: String): Unit = mutationLock.synchronized {
+  def deleteCollection(id: String): Unit = mutationLockFor(id).synchronized {
     // under the lock: removing the entry AND its directory must not
     // interleave with a compact/delete swap on the same collection (a
     // compact completing after the remove would resurrect the entry,
@@ -92,7 +103,7 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     val dir = new HPath(s"$basePath/$id")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(dir)) fs.delete(dir, true)
-    saveManifest()
+    manifestLock.synchronized(saveManifest())
   }
 
   /** Catalog listing as a DataFrame (the relational view of O15). */
@@ -192,10 +203,11 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
 
   /** O5/O6 AddRecord — the reference's three validations, in its order
     * (`collection/collection.go:32-45`). The whole check+append runs under
-    * the [[mutationLock]] (as the reference's mutex does): a duplicate-id
+    * the collection's mutation lock (as the reference's mutex does): a duplicate-id
     * check outside it would let two concurrent adds of the same id both
     * pass and both append. */
-  def addRecord(collectionId: String, record: Record): Unit = mutationLock.synchronized {
+  def addRecord(collectionId: String, record: Record): Unit =
+    mutationLockFor(collectionId).synchronized {
     val meta = getCollection(collectionId)
     if (records(collectionId).where(col("id") === record.id).limit(1).count() > 0)
       throw new GraftException(
@@ -251,7 +263,7 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     // pass and both append (the check-then-act race the lock exists for).
     // The path is re-resolved inside too — a concurrent compact may have
     // swapped versions since the batch-internal validation above.
-    mutationLock.synchronized {
+    mutationLockFor(collectionId).synchronized {
       val dupExisting = batch.join(records(collectionId), Seq("id"), "left_semi")
         .select("id").limit(3).collect()
       if (dupExisting.nonEmpty)
@@ -279,25 +291,33 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
   /** O9/O10 DeleteRecord — copy-on-write rewrite into a writer-private
     * next-version dir (`collection/collection.go:47-54` semantics; Parquet
     * is immutable). Same concurrency shape as [[compactImpl]]: the
-    * expensive full-collection rewrite runs OUTSIDE the [[mutationLock]]
+    * expensive full-collection rewrite runs OUTSIDE the collection's mutation lock
     * (a delete must not stall ingestion for the rewrite's duration), then
     * the staleness re-check and pointer swap run inside it — a concurrent
     * append or version swap discards this rewrite with a retryable error
     * rather than silently dropping the concurrent rows. */
   def deleteRecord(collectionId: String, recordId: String): Unit = {
     val meta = getCollection(collectionId)
+    // staleness token BEFORE the read snapshot (compactImpl's ordering):
+    // captured after it, an append landing between the snapshot's frozen
+    // file listing and the token would be invisible to BOTH — in the
+    // rewrite (snapshot predates it) and in the re-check (token includes
+    // it) — and its rows silently dropped by the swap
+    val fs = new HPath(meta.path).getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new HPath(meta.path))) // empty collection: nothing to delete
+      throw new GraftException(
+        s"Could not delete record $recordId from collection ${meta.id}: record not found in collection")
+    val parts = listingOf(fs, meta.path)
     val existing = records(collectionId)
     if (existing.where(col("id") === recordId).limit(1).count() == 0)
       throw new GraftException(
         s"Could not delete record $recordId from collection ${meta.id}: record not found in collection")
-    val fs = new HPath(meta.path).getFileSystem(spark.sessionState.newHadoopConf())
-    val parts = listingOf(fs, meta.path)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val next = meta.copy(path = s"$basePath/${meta.id}/v${meta.version + 1}-d$nonce",
                          version = meta.version + 1)
     existing.where(col("id") =!= recordId)
       .write.mode("overwrite").parquet(next.path)
-    mutationLock.synchronized {
+    mutationLockFor(meta.id).synchronized {
       if (!collections.get(meta.id).contains(meta) || listingOf(fs, meta.path) != parts) {
         fs.delete(new HPath(next.path), true)
         throw new GraftException(
@@ -305,7 +325,7 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
             "collection changed during the delete rewrite; retry")
       }
       collections.put(meta.id, next)
-      saveManifest()
+      manifestLock.synchronized(saveManifest())
     }
   }
 
@@ -334,7 +354,7 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     * the rewrite read the old file set, and the swap would point the
     * catalog away from the file the append just wrote (lost update, on
     * exactly the continuously-ingested collections this method exists
-    * for). The expensive rewrite runs WITHOUT the [[mutationLock]] (long
+    * for). The expensive rewrite runs WITHOUT the collection's mutation lock (long
     * Spark job, appends proceed concurrently); the staleness re-check and
     * pointer swap then run INSIDE it, so no mutation can land between
     * check and swap. Staleness is detected two ways: the file listing
@@ -380,7 +400,7 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     // meta equality catches a version swap by a concurrent deleteRecord
     // (which changes no files under the OLD path, so the listing alone
     // would miss it and the swap would resurrect the deleted record).
-    mutationLock.synchronized {
+    mutationLockFor(meta.id).synchronized {
       if (!collections.get(meta.id).contains(meta) || listing() != parts) {
         fs.delete(nextHp, true) // discard the stale rewrite; current version untouched
         throw new GraftException(
@@ -390,7 +410,7 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
       val written = fs.listStatus(nextHp)
         .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       collections.put(meta.id, next)
-      saveManifest()
+      manifestLock.synchronized(saveManifest())
       (parts.length, written)
     }
   }
@@ -425,7 +445,7 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     // resolve the CURRENT version path inside the lock: a compact()
     // version swap between validation and write would otherwise strand
     // this append in the abandoned old directory
-    mutationLock.synchronized {
+    mutationLockFor(meta.id).synchronized {
       df.write.mode("append").parquet(getCollection(meta.id).path)
     }
   }

@@ -205,9 +205,13 @@ object Streaming {
     * CURRENT contents: a chunk whose text already lives in the collection
     * (from an earlier batch, or an earlier row of this batch) is silently
     * dropped rather than erred — the idempotent sink an at-least-once
-    * upstream (re-crawls, replayed topics) needs. Composition of existing
-    * operators end-to-end: incremental dedup decides, the batch ingest
-    * pipeline embeds and appends.
+    * upstream (re-crawls, replayed topics) needs. Idempotence covers BOTH
+    * identity axes: already-stored ids are dropped even when re-delivered
+    * with changed text, and in-batch id repeats collapse deterministically
+    * — otherwise a replay would make the catalog's duplicate-id validation
+    * throw and permanently poison the checkpointed batch. Composition of
+    * existing operators end-to-end: incremental dedup decides, the batch
+    * ingest pipeline embeds and appends.
     *
     * Scale shape: per micro-batch, one fingerprint hash join of the batch
     * against the collection's distinct-fingerprint set and one append —
@@ -224,16 +228,24 @@ object Streaming {
         if (!batch.isEmpty) {
           val existing = db.records(collectionId)
             .select(col("id"), decode(col("blob"), "UTF-8").as("chunk"))
-          val admitted = batch.join(
-            graft.operators.Dedup.exactIncremental(
-                batch.select(col("id"), col("chunk")), existing,
-                idCol = "id", textCol = "chunk")
-              .where(col("keep")).select(col("id")),
-            Seq("id"), "left_semi")
-          if (!admitted.isEmpty) {
-            db.addRecords(collectionId,
-              Ingest.makeRecords(batch.sparkSession, admitted, embedderId))
-          }
+          // idempotence needs BOTH axes deduped, or a replay poisons the
+          // checkpoint (addRecords throws, every restart replays the same
+          // batch): ids — collapse in-batch repeats deterministically
+          // (min chunk) and left-anti away ids already stored, even under
+          // changed text; texts — the incremental dedup admits only
+          // corpus-fresh, batch-first content
+          val uniq = batch.groupBy(col("id")).agg(min(col("chunk")).as("chunk"))
+            .join(existing.select(col("id")), Seq("id"), "left_anti")
+          val records = Ingest.makeRecords(batch.sparkSession,
+            uniq.join(
+              graft.operators.Dedup.exactIncremental(uniq, existing,
+                  idCol = "id", textCol = "chunk")
+                .where(col("keep")).select(col("id")),
+              Seq("id"), "left_semi"),
+            embedderId).persist() // embed ONCE, not once per addRecords stage
+          try {
+            if (!records.isEmpty) db.addRecords(collectionId, records)
+          } finally records.unpersist()
         }
       }
       .start()

@@ -197,14 +197,17 @@ class StreamingSpec extends SparkSpec {
       == Seq("a", "b"))
 
     // second run over the same checkpoint: c replays stored text (drop),
-    // d is fresh (keep), e repeats d's text within the batch (drop)
-    mem.addData(("c", "first text"), ("d", "new text"), ("e", "new text"))
+    // d is fresh (keep), e repeats d's text within the batch (drop),
+    // a re-delivers a STORED ID with changed text (drop — id idempotence),
+    // f arrives twice in one batch with identical rows (single admit)
+    mem.addData(("c", "first text"), ("d", "new text"), ("e", "new text"),
+      ("a", "revised text"), ("f", "f text"), ("f", "f text"))
     val q2 = Streaming.streamIngestDeduped(db, "live", mem.toDF().toDF("id", "chunk"),
       "local/hash-8", ckpt)
     try q2.awaitTermination(60000) finally q2.stop()
 
     val ids = db.records("live").select("id").collect().map(_.getString(0)).sorted.toSeq
-    assert(ids == Seq("a", "b", "d"), s"got $ids")
+    assert(ids == Seq("a", "b", "d", "f"), s"got $ids")
     // the admitted record went through the SAME embed pipeline
     val expected = graft.core.Embedders.hashProjection(8)("new text".getBytes("UTF-8"))
     val stored = db.records("live")
