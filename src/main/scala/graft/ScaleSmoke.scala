@@ -139,12 +139,20 @@ object ScaleSmoke {
     // vs ~corpus-sized candidates here. Real crawls are the bounded case;
     // mega-cliques are what the downstream connected-components resolve
     // handles. factor/10 keeps text volume comparable to the embeddings.
-    val docs = replicate("docs2", math.max(1, factor / 10),
+    val docFactor = math.max(1, factor / 10)
+    // the translate target must be INJECTIVE in rep or same-residue
+    // replicas get byte-identical texts (exact-dup families the bounded
+    // design excludes); two independent windows give 18×19 = 342 targets
+    require(docFactor <= 342, s"docFactor $docFactor exceeds distinct translate targets")
+    val docs = replicate("docs3", docFactor, // tag versions the generator formula
       Tables.documents(spark, dir), (crossed, n) =>
         crossed.select((col("doc_id") + col("rep") * n).as("doc_id"),
           when(col("rep") < 2, concat(col("text"), lit(" r"), col("rep")))
             .otherwise(expr(
-              "translate(text, 'aeiou ', concat(substr('bcdfghjklmnpqrstvwxz', cast(pmod(rep, 15) as int) + 1, 5), '_'))"))
+              """translate(text, 'aeiou ', concat(
+                |  substr('bcdfghjklmnpqrstvwxz', cast(pmod(rep, 18) as int) + 1, 3),
+                |  substr('bcdfghjklmnpqrstvwxz', cast(pmod(rep div 18, 19) as int) + 1, 2),
+                |  '_'))""".stripMargin))
             .as("text")))
     // content-hash split, not id magnitude: sparse or offset id spaces
     // would make a value-threshold split degenerate to one empty side

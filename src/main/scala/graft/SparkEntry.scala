@@ -68,12 +68,12 @@ object SparkEntry {
     // Clone offsets derive from max(doc_id)+1 — a fixed constant would
     // silently collide with genuine ids at a larger scale factor
     "dedup_incremental" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.{col, max => smax}
+      import org.apache.spark.sql.functions.{coalesce, col, lit, max => smax}
       val d = Tables.documents(s, dir)
-      // Option-wrap: max over an empty table aggregates to NULL and a bare
-      // getLong would NPE instead of yielding an empty report
-      val off = Option(d.agg(smax(col("doc_id"))).head.get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L) + 1L
+      // coalesce inside the agg, mirroring the oracle's
+      // coalesce(max(doc_id), 0): max over an empty table is NULL and a
+      // bare getLong would NPE instead of yielding an empty report
+      val off = d.agg(coalesce(smax(col("doc_id")), lit(0L))).head.getLong(0) + 1L
       val bucket = Sampling.hashBucket(col("doc_id"))
       val ref = d.where(bucket < 50)
       val incoming = d.where(bucket >= 50)

@@ -104,6 +104,10 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(dir)) fs.delete(dir, true)
     manifestLock.synchronized(saveManifest())
+    // drop the lock entry too, or create/delete churn leaks one lock
+    // object per id forever; a stale waiter on the old object fails at
+    // getCollection anyway (the entry is gone)
+    collectionLocks.remove(id)
   }
 
   /** Catalog listing as a DataFrame (the relational view of O15). */

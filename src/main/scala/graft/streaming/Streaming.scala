@@ -226,8 +226,14 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          // persisted for the batch: `existing` (the collection scan — the
+          // side that grows without bound) is consumed by three subplans
+          // (id anti-join, fingerprint index, addRecords' own dup check)
+          // and `uniq` by two; uncached, each consumer re-scans parquet.
+          // At warehouse scale the persisted existing IS the maintained
+          // dedup index the exactIncremental scaladoc describes.
           val existing = db.records(collectionId)
-            .select(col("id"), decode(col("blob"), "UTF-8").as("chunk"))
+            .select(col("id"), decode(col("blob"), "UTF-8").as("chunk")).persist()
           // idempotence needs BOTH axes deduped, or a replay poisons the
           // checkpoint (addRecords throws, every restart replays the same
           // batch): ids — collapse in-batch repeats deterministically
@@ -235,7 +241,7 @@ object Streaming {
           // changed text; texts — the incremental dedup admits only
           // corpus-fresh, batch-first content
           val uniq = batch.groupBy(col("id")).agg(min(col("chunk")).as("chunk"))
-            .join(existing.select(col("id")), Seq("id"), "left_anti")
+            .join(existing.select(col("id")), Seq("id"), "left_anti").persist()
           val records = Ingest.makeRecords(batch.sparkSession,
             uniq.join(
               graft.operators.Dedup.exactIncremental(uniq, existing,
@@ -245,7 +251,9 @@ object Streaming {
             embedderId).persist() // embed ONCE, not once per addRecords stage
           try {
             if (!records.isEmpty) db.addRecords(collectionId, records)
-          } finally records.unpersist()
+          } finally {
+            records.unpersist(); uniq.unpersist(); existing.unpersist()
+          }
         }
       }
       .start()
