@@ -322,7 +322,15 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     existing.where(col("id") =!= recordId)
       .write.mode("overwrite").parquet(next.path)
     mutationLockFor(meta.id).synchronized {
-      if (!collections.get(meta.id).contains(meta) || listingOf(fs, meta.path) != parts) {
+      // a concurrent deleteCollection (or delete+recreate) can remove the
+      // source path out from under the listing re-check: FileNotFound IS
+      // staleness, not an internal error — discard the rewrite and throw
+      // the same retryable signal instead of leaking a raw Hadoop exception
+      // (and the writer-private rewrite dir with it)
+      val stale =
+        try !collections.get(meta.id).contains(meta) || listingOf(fs, meta.path) != parts
+        catch { case _: java.io.FileNotFoundException => true }
+      if (stale) {
         fs.delete(new HPath(next.path), true)
         throw new GraftException(
           s"Could not delete record $recordId from collection ${meta.id}: " +
@@ -405,7 +413,12 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     // (which changes no files under the OLD path, so the listing alone
     // would miss it and the swap would resurrect the deleted record).
     mutationLockFor(meta.id).synchronized {
-      if (!collections.get(meta.id).contains(meta) || listing() != parts) {
+      // see deleteRecord: a concurrent deleteCollection removes the source
+      // path — FileNotFound in the re-check is staleness, handled the same
+      val stale =
+        try !collections.get(meta.id).contains(meta) || listing() != parts
+        catch { case _: java.io.FileNotFoundException => true }
+      if (stale) {
         fs.delete(nextHp, true) // discard the stale rewrite; current version untouched
         throw new GraftException(
           s"Could not compact collection ${meta.id}: files were added or removed " +

@@ -29,7 +29,10 @@ object Salting {
   /** Generic salted equi-join: `fact ⋈ dim ON key` executed as
     * `(key, salt) ⋈ (key, salt)`. `saltSrc` must be a per-row fact column
     * (ids are ideal); rows of the same hot key spread across `salts`
-    * sub-keys. Inner-join semantics are identical to the plain join. */
+    * sub-keys. Inner-join semantics are identical to the plain join: a
+    * NULL `saltSrc` falls back to salt 0 (those rows don't spread, but
+    * they survive — dropping them would silently diverge from the plain
+    * join whenever the join key itself is non-null). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
                  saltSrc: Column): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
@@ -38,7 +41,8 @@ object Salting {
     // dim side the join key would become ambiguous
     require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
       "saltedJoin reserves the column name __salt; rename it on the input")
-    val f = fact.withColumn("__salt", Sampling.hashBucket(saltSrc, salts))
+    val f = fact.withColumn("__salt",
+      coalesce(Sampling.hashBucket(saltSrc, salts), lit(0L)))
     val d = dim.crossJoin(broadcast(
       dim.sparkSession.range(salts).toDF("__salt")))
     f.join(d, Seq(key, "__salt")).drop("__salt")

@@ -221,22 +221,33 @@ object TextAnalysis {
     *
     * Scale shape: the document-frequency table is one gram-keyed
     * aggregation (vocabulary-sized shuffle, map-side combined — the
-    * word-count shape), the per-doc roll-up re-joins exploded grams to it
-    * on the gram key (standard shuffle join; the df table at web scale is
-    * billions of rows, far past broadcast), then one doc_id-keyed
-    * aggregation. Sub-2-token documents are restored by a left join and
-    * report novelty 0.0 — vacuously familiar, never NULL. */
+    * word-count shape). The per-doc roll-up deliberately does NOT re-join
+    * the exploded gram stream to the full df table on the gram key: head
+    * grams ("of the") appear in essentially every document, so that join
+    * key is a mega-hot probe-side row group at corpus scale. Instead the
+    * df aggregate is filtered to the RARE grams (`df < minDf`) — only
+    * those can contribute to `n_rare` — and that set is broadcast, so the
+    * exploded stream joins map-side with no gram-keyed shuffle and no hot
+    * key (a rare gram matches < minDf docs by construction). `n_bigrams`
+    * comes from a separate doc-keyed aggregate that never touches the df
+    * table. The broadcast holds while the rare vocabulary fits an
+    * executor (minDf small); past that, shard the rare set by gram hash
+    * and union the per-shard joins — the hot-key hazard never returns
+    * because head grams are excluded before any join. Sub-2-token
+    * documents are restored by a left join and report novelty 0.0 —
+    * vacuously familiar, never NULL. */
   def bigramNovelty(docs: DataFrame, minDf: Int = 3): DataFrame = {
     val base = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), toks.as("t"))
     val dg = base.select(col("doc_id"),
       explode(array_distinct(wordGrams(2))).as("g"))
-    val df = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val per = dg.join(df, Seq("g"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(when(col("df") < minDf, 1L).otherwise(0L)).as("n_rare"))
+    val rare = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .where(col("df") < minDf).select(col("g"))
+    val perDoc = dg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bigrams"))
+    val nRare = dg.join(broadcast(rare), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
+    val per = perDoc.join(nRare, Seq("doc_id"), "left")
     val nb = coalesce(col("n_bigrams"), lit(0L))
     val nr = coalesce(col("n_rare"), lit(0L))
     docs.select(col("doc_id"))

@@ -218,7 +218,17 @@ object Streaming {
     * the collection is never rewritten and never shuffled beyond the
     * distinct aggregation ([[graft.operators.Dedup.exactIncremental]]'s
     * scaladoc: at warehouse scale that distinct-fp side is a maintained
-    * index, not a recompute). */
+    * index, not a recompute).
+    *
+    * Concurrency contract: ONE deduped sink per collection. The
+    * existing-contents snapshot and the admission decision run outside the
+    * collection's mutation lock (the lock guards only the append), so two
+    * concurrent deduped sinks feeding the same collection can both snapshot
+    * before either appends and admit the same text under different ids —
+    * text-level idempotence holds only against content visible at snapshot
+    * time. The checkpoint already implies this topology (two sinks sharing
+    * a checkpoint dir is a Spark error); cross-sink text dedup, if ever
+    * needed, is the periodic batch [[graft.operators.Dedup.exact]] pass. */
   def streamIngestDeduped(db: GraftDatabase, collectionId: String, chunks: DataFrame,
                           embedderId: String, checkpointDir: String): StreamingQuery =
     chunks.writeStream

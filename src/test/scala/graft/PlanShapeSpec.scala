@@ -168,15 +168,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(user_id"), s"not keyed by user_id:\n$p")
   }
 
-  test("bigram_novelty: gram-keyed equi-join, never a cartesian or broadcast df table") {
+  test("bigram_novelty: rare-gram set broadcast — no shuffled join on the raw gram key") {
     val p = plan(graft.operators.TextAnalysis.bigramNovelty(Tables.documents(spark, dir)))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"pairwise blowup in the df join:\n$p")
-    // the df roll-up must be an EQUI-join whose keys are the gram column
-    // (at test SF Spark may legitimately broadcast the tiny df table —
-    // the forbidden shape is a non-equi join, not the build strategy)
-    assert("""(?:HashJoin|SortMergeJoin) \[g#\d+\], \[g#\d+\]""".r
-      .findFirstIn(p).isDefined, s"df join not keyed on the gram:\n$p")
+    // head grams ("of the") make any shuffled gram-keyed join a hot-key
+    // hazard at corpus scale: the rare-gram set must be the BROADCAST
+    // build side, and no SortMerge/Shuffled join may key on the gram
+    assert("""BroadcastHashJoin \[g#\d+\], \[g#\d+\]""".r
+      .findFirstIn(p).isDefined, s"rare-gram set not broadcast:\n$p")
+    assert("""(?:SortMergeJoin|ShuffledHashJoin) \[g#\d+\], \[g#\d+\]""".r
+      .findFirstIn(p).isEmpty, s"shuffled join on the raw gram key:\n$p")
   }
 
   test("attribution (batch): hash equi-join on the user key, interval as residual") {

@@ -30,6 +30,23 @@ class SaltingSpec extends SparkSpec {
     assert(salted.count(_.getLong(0) == 7L) == 500)
   }
 
+  test("a NULL salt source keeps the row (plain-join parity), via salt 0") {
+    // row_id NULL ⇒ saltSrc NULL ⇒ hashBucket NULL; the row must still
+    // join (the plain join keeps it — the join KEY is non-null)
+    val fact = Seq((1L, Option(10L), 1.0), (2L, Option.empty[Long], 2.0))
+      .toDF("k", "row_id", "v")
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    val salted = Salting.saltedJoin(fact, dim, "k", 8,
+        concat_ws("|", col("k"), col("row_id")) // concat_ws skips NULLs → "2|"… still fine
+      )
+    val saltedNull = Salting.saltedJoin(fact, dim, "k", 8, col("row_id"))
+      .orderBy("k").collect().toSeq
+    val plain = fact.join(dim, Seq("k")).orderBy("k").collect().toSeq
+    assert(saltedNull == plain,
+      s"NULL-salt row dropped: salted=$saltedNull plain=$plain")
+    assert(salted.count() == 2)
+  }
+
   test("the salt spreads the hot key over multiple sub-keys") {
     val fact = (1 to 500).map(i => (7L, i.toLong, 1.0)).toDF("k", "row_id", "v")
     val nSalts = fact
