@@ -38,6 +38,7 @@ final case class CollectionMeta(id: String, embedderId: String, path: String, ve
 final class GraftDatabase(val spark: SparkSession, val basePath: String) {
 
   private val collections = TrieMap[String, CollectionMeta]()
+  private val indexes = TrieMap[String, IndexMeta]() // see "secondary-index lifecycle"
 
   /** Two-level mutation locking — the Spark counterpart of the reference's
     * collection-map mutex (`database/database.go:105-106`), split so that
@@ -61,6 +62,7 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
   private val manifestLock = new Object
 
   loadManifest()
+  loadIndexManifest()
 
   // --- collection CRUD (O11–O16) ---------------------------------------
 
@@ -432,6 +434,170 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     }
   }
 
+  // --- secondary-index lifecycle -----------------------------------------
+  // Indexes (ANN signature tables, IVF cell partitions, PQ code tables) are
+  // catalog objects with the same durability contract as collections: tiny
+  // driver-side metadata in a manifest, immutable versioned data dirs,
+  // copy-on-write rebuilds. See [[IndexMeta]]/[[IndexPolicy]].
+
+  /** Content fingerprint of an index source: md5 over the sorted recursive
+    * (relative path, length) listing of its parquet files. Detects appends,
+    * rewrites, and version swaps without reading data — a driver-side
+    * metadata operation even at 100 TB (file listings, not file contents;
+    * the same staleness currency [[compact]]/[[deleteRecord]] use). */
+  def sourceFingerprint(sourcePath: String): String = {
+    val hp = new HPath(sourcePath)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hp))
+      throw new GraftException(s"Index source $sourcePath does not exist")
+    val base = fs.getFileStatus(hp).getPath.toString // scheme-qualified
+    val it = fs.listFiles(hp, true)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val s = it.next()
+      val p = s.getPath.toString
+      if (p.endsWith(".parquet"))
+        entries += s"${p.stripPrefix(base)}|${s.getLen}"
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Build (or rebuild) an index: allocate the next writer-private version
+    * directory, run `build` into it, then register the entry and persist the
+    * manifest. The fingerprint is captured BEFORE the build reads the source
+    * (same token ordering as [[deleteRecord]]: captured after, a concurrent
+    * append would be invisible to both the build and every later staleness
+    * check). Registration is LAST, so a crash mid-build leaves only an
+    * unregistered scratch dir — never a manifest entry pointing at a partial
+    * index. A rebuild swaps the pointer and then best-effort deletes the old
+    * version dir (readers of the old version may be disturbed on
+    * non-snapshot filesystems; orchestrate rebuilds in quiet windows).
+    *
+    * Builds of the SAME index serialize per (database, name) — two
+    * first-touch probes racing a build run it once each into private dirs,
+    * last registration wins and the loser's dir is dropped. */
+  def buildIndex(name: String, kind: String, sourcePath: String,
+                 params: Map[String, String])(build: String => Unit): IndexMeta =
+    GraftDatabase.indexBuildLock(basePath, name).synchronized {
+      val fp = sourceFingerprint(sourcePath)
+      val old = indexes.get(name)
+      val version = old.map(_.version + 1).getOrElse(0)
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val path = s"$basePath/_indexes/$name/v$version-$nonce"
+      build(path)
+      val meta = IndexMeta(name, kind, sourcePath, params, path, fp, version)
+      indexes.put(name, meta)
+      manifestLock.synchronized(saveIndexManifest())
+      old.foreach { o =>
+        val hp = new HPath(o.path)
+        val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(hp)) fs.delete(hp, true)
+      }
+      meta
+    }
+
+  def getIndex(name: String): IndexMeta =
+    indexes.getOrElse(name, throw new GraftException(
+      s"Index $name is not built; call buildIndex or probe with BuildIfMissing"))
+
+  def isIndexRegistered(name: String): Boolean = indexes.contains(name)
+
+  /** True iff the source content has changed since the index was built. */
+  def isIndexStale(name: String): Boolean = {
+    val m = getIndex(name)
+    sourceFingerprint(m.sourcePath) != m.fingerprint
+  }
+
+  /** Drop the index entry and its backing data (all versions). */
+  def dropIndex(name: String): Unit =
+    GraftDatabase.indexBuildLock(basePath, name).synchronized {
+      indexes.remove(name).getOrElse(
+        throw new GraftException(s"Cannot drop index $name: does not exist"))
+      manifestLock.synchronized(saveIndexManifest())
+      val hp = new HPath(s"$basePath/_indexes/$name")
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
+
+  /** Catalog listing of registered indexes as a DataFrame. */
+  def listIndexes(): DataFrame = {
+    import spark.implicits._
+    indexes.values.toSeq.sortBy(_.name)
+      .map(m => (m.name, m.kind, m.sourcePath,
+        m.params.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","),
+        m.path, m.fingerprint, m.version))
+      .toDF("name", "kind", "sourcePath", "params", "path", "fingerprint", "version")
+  }
+
+  /** Probe-side resolution: return a current, definition-matching index per
+    * `policy` (see [[IndexPolicy]]). An existing entry whose kind, source, or
+    * params differ from the request is never served — it answers a different
+    * question; build-capable policies rebuild it, [[IndexPolicy.FailIfMissing]]
+    * errors. Staleness (source changed since build) errors under everything
+    * but [[IndexPolicy.RebuildIfStale]]. */
+  def resolveIndex(name: String, kind: String, sourcePath: String,
+                   params: Map[String, String], policy: IndexPolicy)
+                  (build: String => Unit): IndexMeta = {
+    def rebuild() = buildIndex(name, kind, sourcePath, params)(build)
+    indexes.get(name) match {
+      case None =>
+        if (policy == IndexPolicy.FailIfMissing)
+          throw new GraftException(
+            s"Index $name is not built; call buildIndex or probe with BuildIfMissing")
+        rebuild()
+      case Some(m) if m.kind != kind || m.sourcePath != sourcePath || m.params != params =>
+        if (policy == IndexPolicy.FailIfMissing)
+          throw new GraftException(
+            s"Index $name was built as (kind=${m.kind}, source=${m.sourcePath}, " +
+              s"params=${m.params.toSeq.sorted.mkString(",")}) but the probe wants " +
+              s"(kind=$kind, source=$sourcePath, params=${params.toSeq.sorted.mkString(",")}); " +
+              "drop it or rebuild under the new definition")
+        rebuild()
+      case Some(m) =>
+        if (sourceFingerprint(sourcePath) == m.fingerprint) m
+        else if (policy == IndexPolicy.RebuildIfStale) rebuild()
+        else throw new GraftException(
+          s"Index $name is stale: source $sourcePath changed since the build; " +
+            "rebuild it (RebuildIfStale / buildIndex) or drop it")
+    }
+  }
+
+  private def indexManifestPath = new HPath(s"$basePath/_indexcat.json")
+
+  private def saveIndexManifest(): Unit = {
+    val fs = indexManifestPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries = indexes.values.toSeq.sortBy(_.name).map { m =>
+      val ps = m.params.toSeq.sorted
+        .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+      s"""{"name":${jstr(m.name)},"kind":${jstr(m.kind)},"sourcePath":${jstr(m.sourcePath)},""" +
+        s""""params":$ps,"path":${jstr(m.path)},"fingerprint":${jstr(m.fingerprint)},""" +
+        s""""version":${m.version}}"""
+    }
+    val out = fs.create(indexManifestPath, true)
+    try out.write(entries.mkString("[", ",", "]").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def loadIndexManifest(): Unit = {
+    val fs = indexManifestPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(indexManifestPath)) {
+      val in = fs.open(indexManifestPath)
+      val bytes = try in.readAllBytes() finally in.close()
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      root.forEach { n =>
+        val params = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        n.path("params").properties().forEach(e => params += e.getKey -> e.getValue.asText())
+        indexes.put(n.path("name").asText(), IndexMeta(
+          n.path("name").asText(), n.path("kind").asText(),
+          n.path("sourcePath").asText(), params.toMap,
+          n.path("path").asText(), n.path("fingerprint").asText(),
+          n.path("version").asInt()))
+      }
+    }
+  }
+
   // --- query (O1/O2) -----------------------------------------------------
 
   /** O2 → O1: embed the query blob with the collection's embedder, then
@@ -472,4 +638,11 @@ object GraftDatabase {
   /** O17 MakeDatabase (`database/database.go:32-35`). */
   def make(spark: SparkSession, basePath: String): GraftDatabase =
     new GraftDatabase(spark, basePath)
+
+  /** Process-wide per-(database, index) build locks: [[make]] hands out a
+    * fresh instance per call, so instance-level locks would not serialize
+    * two instances building the same index into the same basePath. */
+  private val indexBuildLocks = TrieMap.empty[String, Object]
+  private[core] def indexBuildLock(basePath: String, name: String): Object =
+    indexBuildLocks.getOrElseUpdate(s"$basePath|$name", new Object)
 }

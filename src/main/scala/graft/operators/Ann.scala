@@ -87,36 +87,42 @@ object Ann {
   }
 
   /** LSH probe against a PERSISTED signature index: the corpus is written
-    * once partitioned by bucket key (build step, idempotent), so a probe
-    * reads only the directories matching the query's keys — real partition
-    * pruning, the on-disk layout [[annTopk]]'s scaladoc promises at 100 TB.
+    * once partitioned by bucket key (build step), so a probe reads only the
+    * directories matching the query's keys — real partition pruning, the
+    * on-disk layout [[annTopk]]'s scaladoc promises at 100 TB.
     * Same candidate set and ranking as [[annTopk]] (same planes, same keys),
-    * so the same oracle applies. */
+    * so the same oracle applies.
+    *
+    * Index lifecycle is CATALOG-owned ([[graft.core.IndexMeta]]): the entry
+    * is manifest-persisted with a source fingerprint and build params, and
+    * the probe resolves it under `policy` — the driver-contract default
+    * `BuildIfMissing` builds on first touch over the immutable testdata, a
+    * production probe passes `FailIfMissing` and builds through an
+    * orchestrated [[graft.core.GraftDatabase.buildIndex]] step. */
   def annTopkIndexed(spark: SparkSession, dir: String, queryVecId: Long = 0L, k: Int = 10,
                      bits: Int = DefaultBits, bands: Int = DefaultBands,
-                     dim: Int = 64): DataFrame = {
-    val idxPath = indexPath(dir, bits, bands)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath, "_SUCCESS"))) {
+                     dim: Int = 64,
+                     policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
+    val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
+      name = s"embeddings-ann-b$bits-w$bands", kind = "lsh-band",
+      sourcePath = s"$dir/embeddings.parquet",
+      params = Map("bits" -> bits.toString, "bands" -> bands.toString,
+        "dim" -> dim.toString),
+      policy = policy) { out =>
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("label"), col("embedding"),
           explode(bandKeysCol(col("embedding"), bits, bands, dim)).as("key"))
-        .write.mode("overwrite").partitionBy("key").parquet(idxPath)
+        .write.mode("overwrite").partitionBy("key").parquet(out)
     }
     val qv = Similarity.queryVector(spark, dir, queryVecId)
     val qKeys = bandKeys(qv, bits, bands)
-    spark.read.parquet(idxPath)
+    spark.read.parquet(idx.path)
       .where(col("key").isin(qKeys: _*))
       .dropDuplicates("vec_id")
       .select(col("vec_id"), col("label"),
         round(cosine_sim(col("embedding"), typedLit(qv)), 6).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(k)
-  }
-
-  private def indexPath(dir: String, bits: Int, bands: Int): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(s"$dir|$bits|$bands".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${sys.props("java.io.tmpdir")}/graft-annidx-$h"
   }
 
   /** Recall@k audit of the LSH probe against the exact scan — the index-
@@ -169,12 +175,6 @@ object Ann {
       .orderBy(asc("query_id"))
   }
 
-  private def ivfIndexPath(dir: String, nCells: Int): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(s"$dir|ivf|$nCells".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${sys.props("java.io.tmpdir")}/graft-ivfidx-$h"
-  }
-
   /** Driver-side cosine with the same accumulation order as
     * [[graft.functions.CosineSimilarity.compute]] (and the oracle's SQL),
     * so centroid rankings agree bit-for-bit across engines. */
@@ -216,26 +216,27 @@ object Ann {
     * (nCells − nProbe)/nCells of the data). Same centroids, same
     * assignment, same rerank ⇒ same oracle as [[ivfTopk]].
     *
-    * Index lifecycle contract (same as [[annTopkIndexed]]): build-once,
-    * keyed by (dir, nCells) — the source parquet under `dir` is treated as
-    * immutable (true for the driver's testdata). A production deployment
-    * derives the index path from a content fingerprint / table version and
-    * rebuilds through its orchestrator, not from inside a query. */
+    * Index lifecycle contract as [[annTopkIndexed]] — catalog-owned entry,
+    * source-fingerprinted, resolved under `policy`. */
   def ivfTopkIndexed(spark: SparkSession, dir: String, queryVecId: Long = 0L, k: Int = 10,
-                     nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+                     nCells: Int = 16, nProbe: Int = 4,
+                     policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val cents: Seq[Seq[Double]] = e.where(col("vec_id") < nCells)
       .orderBy(col("vec_id")).select(col("embedding")).collect()
       .map(_.getSeq[Double](0).toSeq).toSeq
 
-    val idxPath = ivfIndexPath(dir, nCells)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath, "_SUCCESS"))) {
+    val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
+      name = s"embeddings-ivf-c$nCells", kind = "ivf-cell",
+      sourcePath = s"$dir/embeddings.parquet",
+      params = Map("nCells" -> nCells.toString),
+      policy = policy) { out =>
       assignCells(e, cents)
-        .write.mode("overwrite").partitionBy("cell").parquet(idxPath)
+        .write.mode("overwrite").partitionBy("cell").parquet(out)
     }
     val qv = Similarity.queryVector(spark, dir, queryVecId)
     val probeCells = probe(cents, qv, nProbe)
-    spark.read.parquet(idxPath)
+    spark.read.parquet(idx.path)
       .where(col("cell").isin(probeCells: _*))
       .select(col("vec_id"), col("label"),
         round(cosine_sim(col("embedding"), typedLit(qv)), 6).as("score"))
@@ -319,20 +320,25 @@ object Ann {
     * reconstruction, same scoring ⇒ same oracle as [[pqTopk]].
     * Index lifecycle contract as [[annTopkIndexed]]. */
   def pqTopkIndexed(spark: SparkSession, dir: String, queryVecId: Long = 0L, k: Int = 10,
-                    m: Int = 8, kCodes: Int = 16, dim: Int = 64): DataFrame = {
+                    m: Int = 8, kCodes: Int = 16, dim: Int = 64,
+                    policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     val e = Tables.embeddings(spark, dir)
     val cb = pqCodebook(e, m, kCodes, dim)
 
-    val idxPath = pqIndexPath(dir, m, kCodes)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath, "_SUCCESS"))) {
+    val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
+      name = s"embeddings-pq-m$m-k$kCodes", kind = "pq-codes",
+      sourcePath = s"$dir/embeddings.parquet",
+      params = Map("m" -> m.toString, "kCodes" -> kCodes.toString,
+        "dim" -> dim.toString),
+      policy = policy) { out =>
       e.select(col("vec_id"), col("label"),
           Bridge.column(graft.functions.PqCodes(
             Bridge.expression(col("embedding").cast("array<double>")), cb)).as("codes"))
-        .write.mode("overwrite").parquet(idxPath)
+        .write.mode("overwrite").parquet(out)
     }
     val qv = Similarity.queryVector(spark, dir, queryVecId)
-    spark.read.parquet(idxPath)
+    spark.read.parquet(idx.path)
       .select(col("vec_id"), col("label"),
         round(cosine_sim(
           Bridge.column(graft.functions.PqDecode(
@@ -365,12 +371,6 @@ object Ann {
           .as("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(k)
-  }
-
-  private def pqIndexPath(dir: String, m: Int, kCodes: Int): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(s"$dir|pq|$m|$kCodes".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${sys.props("java.io.tmpdir")}/graft-pqidx-$h"
   }
 
   /** One Lloyd iteration of IVF centroid training: assign every vector to
@@ -456,36 +456,38 @@ object Ann {
     * underscore keeps it invisible to the index's own partition
     * discovery), and probe later sessions from the stored centroids, so
     * probe-side cell ranking always uses the exact centroids the cells
-    * were assigned with — index and probe can never drift apart. */
+    * were assigned with — index and probe can never drift apart.
+    *
+    * Index lifecycle contract as [[annTopkIndexed]]; the training contract
+    * (maxIters, tol-0 fixpoint) is part of the registered params, so an
+    * index trained under different rules is a definition mismatch, never
+    * silently served. Crash safety comes from the catalog's manifest-last
+    * registration — a crash mid-build leaves no entry, and the next
+    * resolve rebuilds into a fresh version dir. */
   def ivfTopkTrained(spark: SparkSession, dir: String, queryVecId: Long = 0L,
                      k: Int = 10, nCells: Int = 16, nProbe: Int = 4,
-                     maxIters: Int = 10): DataFrame = {
-    import spark.implicits._
-    // path versioned on the training contract (maxIters, tol-0 fixpoint
-    // semantics): a cached index built under different training rules
-    // must rebuild, not silently serve stale centroids
-    val idxPath = s"${ivfIndexPath(dir, nCells)}-trained-i$maxIters-t0"
-    val centsPath = s"$idxPath/_centroids"
-    // reuse gates on the centroid file — it is written LAST, so a crash
-    // mid-build leaves no _SUCCESS there and the next call rebuilds
-    val cents: Seq[Seq[Double]] =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(centsPath, "_SUCCESS"))) {
-        val rows = spark.read.parquet(centsPath).collect()
-        val dim = rows.iterator.map(_.getLong(1)).max.toInt + 1
-        val a = Array.ofDim[Double](rows.iterator.map(_.getLong(0)).max.toInt, dim)
-        rows.foreach(r => a(r.getLong(0).toInt - 1)(r.getLong(1).toInt) = r.getDouble(2))
-        a.map(_.toSeq).toSeq
-      } else {
-        val (trained, _) = trainCentroids(Tables.embeddings(spark, dir), nCells, maxIters)
-        assignCells(Tables.embeddings(spark, dir), trained)
-          .write.mode("overwrite").partitionBy("cell").parquet(idxPath)
-        centroidsToDF(spark, trained)
-          .coalesce(1).write.mode("overwrite").parquet(centsPath)
-        trained
-      }
+                     maxIters: Int = 10,
+                     policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
+    val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
+      name = s"embeddings-ivf-trained-c$nCells-i$maxIters", kind = "ivf-trained",
+      sourcePath = s"$dir/embeddings.parquet",
+      params = Map("nCells" -> nCells.toString, "maxIters" -> maxIters.toString,
+        "tol" -> "0"),
+      policy = policy) { out =>
+      val (trained, _) = trainCentroids(Tables.embeddings(spark, dir), nCells, maxIters)
+      assignCells(Tables.embeddings(spark, dir), trained)
+        .write.mode("overwrite").partitionBy("cell").parquet(out)
+      centroidsToDF(spark, trained)
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/_centroids")
+    }
+    val rows = spark.read.parquet(s"${idx.path}/_centroids").collect()
+    val dim = rows.iterator.map(_.getLong(1)).max.toInt + 1
+    val a = Array.ofDim[Double](rows.iterator.map(_.getLong(0)).max.toInt, dim)
+    rows.foreach(r => a(r.getLong(0).toInt - 1)(r.getLong(1).toInt) = r.getDouble(2))
+    val cents: Seq[Seq[Double]] = a.map(_.toSeq).toSeq
     val qv = Similarity.queryVector(spark, dir, queryVecId)
     val probeCells = probe(cents, qv, nProbe)
-    spark.read.parquet(idxPath)
+    spark.read.parquet(idx.path)
       .where(col("cell").isin(probeCells: _*))
       .select(col("vec_id"), col("label"),
         round(cosine_sim(col("embedding"), typedLit(qv)), 6).as("score"))

@@ -25,6 +25,14 @@ object CatalogOps {
     s"${sys.props("java.io.tmpdir")}/graft-db-$h"
   }
 
+  /** The catalog instance that owns the secondary indexes derived from
+    * `dir`'s tables (same scratch root as [[database]], so one catalog sees
+    * both the ingested collection and its indexes). Cheap: `make` only
+    * restores the two tiny manifests — it does NOT trigger the collection
+    * ingest [[database]] performs. */
+  def indexRegistry(spark: SparkSession, dir: String): GraftDatabase =
+    GraftDatabase.make(spark, scratchBase(dir))
+
   /** Build (or reuse) a catalog-backed copy of `embeddings.parquet` ingested
     * through the bulk AddRecord path. Idempotent: a completed previous ingest
     * (marked by Spark's _SUCCESS) is reused; a partial one is rebuilt. */

@@ -335,6 +335,106 @@ class CatalogSpec extends SparkSpec {
     assert(db.query("c", "alpha".getBytes("UTF-8"), 99).count() == docs.length)
   }
 
+  // --- secondary-index lifecycle -----------------------------------------
+
+  private def writeSource(rows: Seq[(Long, String)], path: String,
+                          mode: String = "overwrite"): Unit = {
+    import spark.implicits._
+    rows.toDF("id", "v").repartition(1).write.mode(mode).parquet(path)
+  }
+
+  private def freshSource(): String = {
+    val src = Files.createTempDirectory("graft-idxsrc-").toString + "/t.parquet"
+    writeSource(Seq((1L, "a"), (2L, "b")), src)
+    src
+  }
+
+  test("index build registers a manifest-persisted fingerprinted entry; FailIfMissing serves it") {
+    val db = freshDb()
+    val src = freshSource()
+    var builds = 0
+    def build(out: String): Unit = { builds += 1; spark.read.parquet(src).write.parquet(out) }
+    val m = db.buildIndex("ix", "test-kind", src, Map("p" -> "1"))(build)
+    assert(m.version == 0 && builds == 1)
+    assert(db.isIndexRegistered("ix") && db.getIndex("ix") == m)
+    assert(!db.isIndexStale("ix"))
+    assert(spark.read.parquet(m.path).count() == 2)
+    assert(db.listIndexes().select("name", "kind", "version").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq(("ix", "test-kind", 0)))
+    // manifest round-trip: a FRESH instance over the same basePath restores it
+    val db2 = GraftDatabase.make(spark, db.basePath)
+    assert(db2.getIndex("ix") == m)
+    // probe-side resolve serves the entry without rebuilding, even probe-only
+    val served = db2.resolveIndex("ix", "test-kind", src, Map("p" -> "1"),
+      IndexPolicy.FailIfMissing)(build)
+    assert(served == m && builds == 1)
+  }
+
+  test("index resolve: FailIfMissing errors on an unbuilt index, BuildIfMissing builds once") {
+    val db = freshDb()
+    val src = freshSource()
+    var builds = 0
+    def build(out: String): Unit = { builds += 1; spark.read.parquet(src).write.parquet(out) }
+    val e = intercept[GraftException] {
+      db.resolveIndex("ix", "k", src, Map.empty, IndexPolicy.FailIfMissing)(build)
+    }
+    assert(e.getMessage.contains("not built"))
+    assert(builds == 0)
+    val m1 = db.resolveIndex("ix", "k", src, Map.empty, IndexPolicy.BuildIfMissing)(build)
+    val m2 = db.resolveIndex("ix", "k", src, Map.empty, IndexPolicy.BuildIfMissing)(build)
+    assert(builds == 1 && m1 == m2)
+  }
+
+  test("index staleness: source change detected; only RebuildIfStale rebuilds") {
+    val db = freshDb()
+    val src = freshSource()
+    var builds = 0
+    def build(out: String): Unit = { builds += 1; spark.read.parquet(src).write.parquet(out) }
+    val m0 = db.buildIndex("ix", "k", src, Map.empty)(build)
+    writeSource(Seq((3L, "c")), src, mode = "append") // source grows under the index
+    assert(db.isIndexStale("ix"))
+    // a read path must never silently rebuild over changed data
+    val e = intercept[GraftException] {
+      db.resolveIndex("ix", "k", src, Map.empty, IndexPolicy.BuildIfMissing)(build)
+    }
+    assert(e.getMessage.contains("stale") && builds == 1)
+    val m1 = db.resolveIndex("ix", "k", src, Map.empty, IndexPolicy.RebuildIfStale)(build)
+    assert(builds == 2 && m1.version == 1 && m1.fingerprint != m0.fingerprint)
+    assert(!db.isIndexStale("ix"))
+    // copy-on-write: the old version dir is gone, the new one readable
+    assert(!Files.exists(java.nio.file.Paths.get(m0.path)))
+    assert(spark.read.parquet(m1.path).count() == 3)
+  }
+
+  test("index definition mismatch: an entry built under different params is never served") {
+    val db = freshDb()
+    val src = freshSource()
+    var builds = 0
+    def build(out: String): Unit = { builds += 1; spark.read.parquet(src).write.parquet(out) }
+    db.buildIndex("ix", "k", src, Map("bits" -> "16"))(build)
+    val e = intercept[GraftException] {
+      db.resolveIndex("ix", "k", src, Map("bits" -> "8"), IndexPolicy.FailIfMissing)(build)
+    }
+    assert(e.getMessage.contains("built as") && builds == 1)
+    val m = db.resolveIndex("ix", "k", src, Map("bits" -> "8"), IndexPolicy.BuildIfMissing)(build)
+    assert(builds == 2 && m.params == Map("bits" -> "8") && m.version == 1)
+  }
+
+  test("dropIndex removes the entry and backing data; dropping a missing index errors") {
+    val db = freshDb()
+    val src = freshSource()
+    val m = db.buildIndex("ix", "k", src, Map.empty)(out =>
+      spark.read.parquet(src).write.parquet(out))
+    db.dropIndex("ix")
+    assert(!db.isIndexRegistered("ix"))
+    assert(!Files.exists(java.nio.file.Paths.get(m.path)))
+    // the drop is durable: a fresh instance doesn't resurrect the entry
+    assert(!GraftDatabase.make(spark, db.basePath).isIndexRegistered("ix"))
+    val e = intercept[GraftException] { db.dropIndex("ix") }
+    assert(e.getMessage == "Cannot drop index ix: does not exist")
+  }
+
   test("pretty-print golden strings (records_test.go:67-84)") {
     Embedders.register("mock-short-embed", _ => Array(1.0))
     Embedders.register("mock-long-embed", _ => Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
