@@ -9,9 +9,10 @@ import scala.collection.concurrent.TrieMap
   * (`/root/reference/embedders/embedders.go:14,83-95`):
   *
   *   1. explicit registrations win;
-  *   2. names with the `hugging-face/` prefix auto-dispatch to a HuggingFace
-  *      inference client with the suffix as model id (network — unavailable
-  *      in this zero-egress environment, so the client raises at call time);
+  *   2. names with the `hugging-face/` prefix auto-dispatch to the
+  *      HuggingFace inference client with the suffix as model id
+  *      ([[huggingFaceEmbed]] — real wire protocol behind an injectable
+  *      transport; in a zero-egress environment the connect fails fast);
   *   3. anything else → "invalid embedder name" error.
   *
   * Extension beyond the reference: a deterministic, offline, seeded
@@ -109,14 +110,60 @@ object Embedders {
     out
   }
 
-  /** HuggingFace feature-extraction client shape (reference
-    * `embedders.go:26-81`: POST blob with {use_cache:true, wait_for_model:
-    * true}, auth from HUGGING_FACE_API_KEY, parse [][]float, take row 0).
-    * This environment has zero egress, so the call raises immediately with
-    * a clear message rather than hanging on a connect timeout. */
-  private def huggingFaceEmbed(modelId: String): EmbedFn = { _ =>
-    throw new GraftException(
-      s"hugging-face/$modelId: network embedders are unavailable in this " +
-        "offline environment; register a local embedder or use local/hash-<dim>")
+  /** The reference's hardcoded inference endpoint (`embedders.go:31`). */
+  val HuggingFaceEndpoint =
+    "https://api-inference.huggingface.co/pipeline/feature-extraction"
+
+  /** O24 HuggingFace feature-extraction client — wire behavior pinned to the
+    * reference (`/root/reference/embedders/embedders.go:26-81`):
+    *
+    *  - api key from `HUGGING_FACE_API_KEY`; missing/empty → the reference's
+    *    exact error text (`embedders.go:28-30`);
+    *  - POST `{endpoint}/{modelId}` with `Content-Type: application/json`
+    *    and `Authorization: Bearer <key>` (`embedders.go:38-45`);
+    *  - body: SINGLETON `inputs` array of the blob as a UTF-8 string, plus
+    *    `{"use_cache":true,"wait_for_model":true}` options
+    *    (`embedders.go:33` — Go json.Marshal field order and HTML escaping,
+    *    shared with [[graft.io.JsonCompat]]'s pinned golden bytes);
+    *  - non-200 → error carrying the status code (`embedders.go:60-70`; the
+    *    reference renders the body with Go's `%v` byte-slice notation — this
+    *    client renders it as UTF-8 text, a deliberate readability deviation);
+    *  - parse `[][]float64`, return row 0 (`embedders.go:72-80`); a
+    *    malformed or empty response errors instead of the reference's panic.
+    *
+    * `endpoint`/`transport`/`env` are injection seams with production
+    * defaults (real endpoint, JDK HTTP client, process env) — tests pin the
+    * wire contract against an in-process HTTP server; zero-egress
+    * environments fail fast at the transport with a connect error. */
+  private[core] def huggingFaceEmbed(
+      modelId: String,
+      endpoint: String = HuggingFaceEndpoint,
+      transport: HttpTransport = HttpTransport.Jdk,
+      env: String => Option[String] = sys.env.get): EmbedFn = { blob =>
+    val apiKey = env("HUGGING_FACE_API_KEY").getOrElse("")
+    if (apiKey.isEmpty)
+      throw new GraftException("HUGGING_FACE_API_KEY environment variable not set.")
+    val body =
+      s"""{"inputs":["${graft.io.JsonCompat.goEscape(
+          new String(blob, StandardCharsets.UTF_8))}"],""" +
+        """"options":{"use_cache":true,"wait_for_model":true}}"""
+    val (status, respBody) = transport.post(
+      s"$endpoint/$modelId",
+      Seq("Content-Type" -> "application/json",
+        "Authorization" -> s"Bearer $apiKey"),
+      body.getBytes(StandardCharsets.UTF_8))
+    val respText = new String(respBody, StandardCharsets.UTF_8)
+    if (status != 200)
+      throw new GraftException(
+        s"Response has non-200 status code $status. Response body: $respText")
+    val root =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(respBody)
+      catch { case e: Exception => throw new GraftException(
+        s"hugging-face/$modelId: cannot parse response as [][]float64: ${e.getMessage}") }
+    if (root == null || !root.isArray || root.size == 0 || !root.get(0).isArray)
+      throw new GraftException(
+        s"hugging-face/$modelId: expected a non-empty [][]float64 response, got: $respText")
+    val row = root.get(0)
+    Array.tabulate(row.size)(i => row.get(i).asDouble)
   }
 }

@@ -29,10 +29,104 @@ class EmbeddersSpec extends AnyFunSuite {
     assert(Embedders.get(name)(Array[Byte](1)).length == 4)
   }
 
-  test("hugging-face/ prefix resolves but raises offline at call time") {
-    val fn = Embedders.get("hugging-face/some-model")
+  test("hugging-face/ prefix resolves; missing api key errors with the reference text (embedders.go:28-30)") {
+    val fn = Embedders.huggingFaceEmbed("some-model", env = _ => None)
     val e = intercept[GraftException] { fn("text".getBytes) }
-    assert(e.getMessage.contains("offline"))
+    assert(e.getMessage == "HUGGING_FACE_API_KEY environment variable not set.")
+    // the reference treats an EMPTY key the same as unset (apiKey == "")
+    val e2 = intercept[GraftException] {
+      Embedders.huggingFaceEmbed("m", env = _ => Some(""))("text".getBytes)
+    }
+    assert(e2.getMessage == "HUGGING_FACE_API_KEY environment variable not set.")
+    // prefix dispatch reaches the client (key check fires before any I/O)
+    val viaRegistry = Embedders.get("hugging-face/some-model")
+    assert(viaRegistry != null)
+  }
+
+  // --- O24 wire-contract parity against an in-process HTTP server ---------
+  // (`/root/reference/embedders/embedders.go:26-81`; real JDK transport, real
+  // localhost socket — only the endpoint is swapped.)
+
+  private class FakeHf(status: Int, response: String) {
+    @volatile var method: String = _
+    @volatile var path: String = _
+    @volatile var body: String = _
+    @volatile var contentType: String = _
+    @volatile var auth: String = _
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      method = ex.getRequestMethod
+      path = ex.getRequestURI.getPath
+      body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      contentType = ex.getRequestHeaders.getFirst("Content-Type")
+      auth = ex.getRequestHeaders.getFirst("Authorization")
+      val out = response.getBytes("UTF-8")
+      ex.sendResponseHeaders(status, out.length)
+      ex.getResponseBody.write(out)
+      ex.close()
+    })
+    server.start()
+    val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/pipeline/feature-extraction"
+    def stop(): Unit = server.stop(0)
+  }
+
+  private def hfAgainst(srv: FakeHf, modelId: String = "test-model",
+                        key: String = "secret-key"): Embedders.EmbedFn =
+    Embedders.huggingFaceEmbed(modelId, endpoint = srv.endpoint,
+      env = _ => Some(key))
+
+  test("hugging-face client: singleton inputs body, options flags, auth + content-type, row 0 of [][]float64") {
+    val srv = new FakeHf(200, "[[1.5,-2.0,3.25],[9.0,9.0,9.0]]")
+    try {
+      val v = hfAgainst(srv)("hello world".getBytes("UTF-8"))
+      assert(v.toSeq == Seq(1.5, -2.0, 3.25)) // row 0, never row 1 (embedders.go:79)
+      assert(srv.method == "POST")
+      assert(srv.path == "/pipeline/feature-extraction/test-model") // url = endpoint/modelId (embedders.go:37)
+      assert(srv.contentType == "application/json")
+      assert(srv.auth == "Bearer secret-key")
+      // golden body bytes: Go json.Marshal field order + singleton inputs
+      assert(srv.body ==
+        """{"inputs":["hello world"],"options":{"use_cache":true,"wait_for_model":true}}""")
+    } finally srv.stop()
+  }
+
+  test("hugging-face client: blob escaped like Go json.Marshal (HTML escapes included)") {
+    val srv = new FakeHf(200, "[[0.0]]")
+    try {
+      hfAgainst(srv)("a<b>&\"c\"\\".getBytes("UTF-8"))
+      // Go's default HTML escaping: < > & become < > &;
+      // quotes and backslashes get the standard JSON escapes
+      assert(srv.body.contains(
+        "\"inputs\":[\"a\\u003cb\\u003e\\u0026\\\"c\\\"\\\\\"]"))
+    } finally srv.stop()
+  }
+
+  test("hugging-face client: non-200 response errors with the status code (embedders.go:60-70)") {
+    val srv = new FakeHf(503, """{"error":"model loading"}""")
+    try {
+      val e = intercept[GraftException] { hfAgainst(srv)("x".getBytes) }
+      assert(e.getMessage.startsWith("Response has non-200 status code 503."))
+      assert(e.getMessage.contains("model loading"))
+    } finally srv.stop()
+  }
+
+  test("hugging-face client: malformed or empty responses error instead of panicking") {
+    Seq("not json at all", "[]", """{"a":1}""", "[1,2,3]").foreach { resp =>
+      val srv = new FakeHf(200, resp)
+      try intercept[GraftException] { hfAgainst(srv)("x".getBytes) }
+      finally srv.stop()
+    }
+  }
+
+  test("hugging-face client: nested model ids keep their slashes in the url") {
+    val srv = new FakeHf(200, "[[1.0]]")
+    try {
+      Embedders.huggingFaceEmbed("sentence-transformers/all-MiniLM-L6-v2",
+        endpoint = srv.endpoint, env = _ => Some("k"))("x".getBytes)
+      assert(srv.path ==
+        "/pipeline/feature-extraction/sentence-transformers/all-MiniLM-L6-v2")
+    } finally srv.stop()
   }
 
   test("unknown embedder name errors (embedders.go:93-94)") {
