@@ -17,13 +17,13 @@ import graft.core.Embedders
   * columns via `mapPartitions` — the executor-side batch shape a real
   * codec/model needs.
   *
-  * STUB BOUNDARY: the actual decoders (image/audio/video codecs) are not
-  * available in this environment, so [[decodeMeta]]'s "header parse" is a
-  * clearly-marked deterministic fake (first two bytes as width/height,
-  * 64-byte "frames"). Everything around the stub — schema, binary column
-  * handling, partition batching, encoder plumbing — is real and tested;
-  * swapping the fake for `javax.imageio`/ffmpeg calls changes only the
-  * function body.
+  * Decode boundary: IMAGE blobs (PNG/JPEG, detected by magic bytes) get a
+  * REAL header parse via the JDK's `javax.imageio` — dimensions come from
+  * the format header without decoding pixel data, so the per-row cost is a
+  * few hundred bytes of reads regardless of blob size. Non-image blobs
+  * (audio/video codecs are not in the JDK) fall through to a clearly-marked
+  * deterministic fake (first two bytes as width/height, 64-byte "frames");
+  * swapping that fake for an ffmpeg call changes only the fallback branch.
   */
 object Multimodal {
 
@@ -34,21 +34,59 @@ object Multimodal {
   private def md5hex(b: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
 
+  /** PNG 8-byte signature / JPEG SOI+marker — the two formats
+    * `javax.imageio` ships readers for in every JDK. The magic-byte gate
+    * (rather than letting ImageIO sniff everything) keeps the non-image
+    * arm's semantics exactly the deterministic fake the oracle reproduces. */
+  private[operators] def isImage(b: Array[Byte]): Boolean =
+    (b.length >= 8 &&
+      b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a) ||
+    (b.length >= 3 &&
+      b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte)
+
+  /** Header-only image dimension parse: ImageIO reader over an in-memory
+    * stream, `getWidth(0)`/`getHeight(0)` read the format header without
+    * decoding pixel data. Corrupt headers (image magic, unreadable rest)
+    * yield 0×0 — the operator must never throw mid-corpus on bad bytes. */
+  private[operators] def imageDims(bytes: Array[Byte]): (Long, Long) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) (0L, 0L)
+      else {
+        val r = readers.next()
+        try { r.setInput(iis); (r.getWidth(0).toLong, r.getHeight(0).toLong) }
+        catch { case _: java.io.IOException | _: RuntimeException => (0L, 0L) }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
   /** Decode pass: one `mapPartitions` over (id, blob) pairs producing typed
-    * metadata rows. The codec call is stubbed (see object scaladoc); the
-    * pipeline shape is the real one — binary in, fixed struct out, no
-    * driver involvement. */
+    * metadata rows — binary in, fixed struct out, no driver involvement.
+    * PNG/JPEG blobs get real `javax.imageio` header dimensions (n_frames=1:
+    * a still image); other blobs keep the deterministic fake (see object
+    * scaladoc). The driver-oracle query runs over text blobs, which are
+    * never image-magic, so the oracle pins the fake arm; MultimodalSpec
+    * pins the image arm against ImageIO-written PNG/JPEG fixtures. */
   def decodeMeta(spark: SparkSession, docs: DataFrame,
                  idCol: String = "doc_id", blobCol: String = "blob"): DataFrame = {
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(blobCol).cast("binary")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, b) =>
-          // STUB: a real decoder hands `b` to an image/audio codec here.
           val bytes = Option(b).getOrElse(Array.emptyByteArray)
-          val w = if (bytes.length > 0) (bytes(0) & 0xff).toLong else 0L
-          val h = if (bytes.length > 1) (bytes(1) & 0xff).toLong else 0L
-          BlobMeta(id, bytes.length.toLong, w, h, bytes.length / 64L, md5hex(bytes))
+          if (isImage(bytes)) {
+            val (w, h) = imageDims(bytes)
+            BlobMeta(id, bytes.length.toLong, w, h, 1L, md5hex(bytes))
+          } else {
+            // deterministic fake for non-image modalities (no JDK codec)
+            val w = if (bytes.length > 0) (bytes(0) & 0xff).toLong else 0L
+            val h = if (bytes.length > 1) (bytes(1) & 0xff).toLong else 0L
+            BlobMeta(id, bytes.length.toLong, w, h, bytes.length / 64L, md5hex(bytes))
+          }
         }
       }(Encoders.product[BlobMeta])
       .toDF()

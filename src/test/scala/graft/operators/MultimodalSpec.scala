@@ -31,6 +31,36 @@ class MultimodalSpec extends SparkSpec {
     assert(r3.getLong(1) == 0 && r3.getLong(2) == 0 && r3.getLong(3) == 0)
   }
 
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x336699) // non-trivial pixel so the encoder writes data
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  test("decodeMeta: real PNG/JPEG header dimensions via javax.imageio") {
+    val png = imageBytes("png", 17, 9)
+    val jpg = imageBytes("jpg", 33, 21)
+    assert(Multimodal.isImage(png) && Multimodal.isImage(jpg))
+    val df = Seq((1L, png), (2L, jpg)).toDF("doc_id", "blob")
+    val rows = Multimodal.decodeMeta(spark, df).orderBy("doc_id").collect()
+    assert(rows(0).getLong(2) == 17 && rows(0).getLong(3) == 9)   // PNG w×h
+    assert(rows(1).getLong(2) == 33 && rows(1).getLong(3) == 21)  // JPEG w×h
+    assert(rows.forall(_.getLong(4) == 1L))                       // stills: 1 frame
+    assert(rows(0).getLong(1) == png.length.toLong)
+  }
+
+  test("decodeMeta: corrupt image magic yields 0x0, never throws") {
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      1, 2, 3, 4) // valid signature, garbage header
+    val rows = Multimodal.decodeMeta(spark, Seq((1L, corrupt)).toDF("doc_id", "blob"))
+      .collect()
+    assert(rows.head.getLong(2) == 0 && rows.head.getLong(3) == 0)
+    assert(rows.head.getLong(1) == 12)
+  }
+
   test("frameSample: evenly spaced fixed-size byte windows, short blobs dropped") {
     val frames = Multimodal.frameSample(blobs, n = 4, frameBytes = 32)
       .orderBy("doc_id", "frame_no").collect()
