@@ -161,6 +161,7 @@ object SparkEntry {
     "pq_topk" -> ((s, dir) => Ann.pqTopk(s, dir, 0L, 10)),
     "pq_topk_indexed" -> ((s, dir) => Ann.pqTopkIndexed(s, dir, 0L, 10)),
     "ivfpq_topk" -> ((s, dir) => Ann.ivfPqTopk(s, dir, 0L, 10)),
+    "ivfpq_recall" -> ((s, dir) => Ann.ivfPqRecall(s, dir, 8, 10, 16, 4)),
     "embed_label_stats" -> ((s, dir) => EmbeddingStats.perLabelCohesion(Tables.embeddings(s, dir))),
     "knn_label_audit" -> ((s, dir) => EmbeddingStats.knnLabelAudit(Tables.embeddings(s, dir))),
     "dim_recall" -> ((s, dir) => EmbeddingStats.dimRecall(Tables.embeddings(s, dir))),
@@ -492,6 +493,95 @@ object SparkEntry {
        |       round(coalesce(h.hits, 0) / ${k.toDouble}, 6) AS recall
        |FROM q LEFT JOIN h ON h.query_id = q.query_id
        |ORDER BY q.query_id""".stripMargin
+
+  /** Recall@k of residual IVF-PQ vs raw-vector PQ, both against the exact
+    * ranking of the probed-cell subset — mirrors Ann.ivfPqRecall (same
+    * centroids, residual seeds vec_id 16..31 minus their assigned
+    * centroids, same rounded-score ranking). MATERIALIZED throughout: the
+    * CTE chain is deep and referenced multiply. */
+  private def ivfPqRecallSql(nQ: Int = 8, k: Int = 10, nCells: Int = 16,
+                             nProbe: Int = 4, m: Int = 8, dsub: Int = 8): String = {
+    val dim = m * dsub
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |cents AS MATERIALIZED (SELECT list(v ORDER BY vec_id) AS cl FROM e WHERE vec_id < $nCells),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQ),
+       |qcell AS MATERIALIZED (SELECT query_id, ci FROM (
+       |  SELECT query_id, ci,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, ci ASC) AS r
+       |  FROM (SELECT z.query_id, u.ci AS ci, u.s AS s FROM (
+       |        SELECT q.query_id, unnest(list_transform(range(1, ${nCells + 1}),
+       |          ci -> {'ci': ci, 's': round(${cosRawSql("cl[ci]", "q.qv")}, 6)})) AS u
+       |        FROM cents, q) z) y) t
+       |  WHERE r <= $nProbe),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, v, list_position(sc, list_max(sc)) AS cell FROM (
+       |    SELECT e.vec_id, e.v,
+       |           list_transform(range(1, ${nCells + 1}), ci -> ${cosRawSql("cl[ci]", "e.v")}) AS sc
+       |    FROM e, cents) t2),
+       |rcbl AS MATERIALIZED (
+       |  SELECT list(r ORDER BY vec_id) AS rl FROM (
+       |    SELECT a.vec_id, list_transform(range(1, ${dim + 1}), i -> a.v[i] - cl[a.cell][i]) AS r
+       |    FROM assigned a, cents WHERE a.vec_id >= $nCells AND a.vec_id < ${2 * nCells}) s0),
+       |resid AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cell, list_transform(range(1, ${dim + 1}), i -> a.v[i] - cl[a.cell][i]) AS r
+       |  FROM assigned a, cents),
+       |scs AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(range(0, $m), s ->
+       |      list_transform(range(1, ${nCells + 1}), j ->
+       |        list_sum(list_transform(range(1, ${dsub + 1}), i ->
+       |          (r[s*$dsub+i] - rl[j][s*$dsub+i]) * (r[s*$dsub+i] - rl[j][s*$dsub+i]))))) AS scs
+       |  FROM resid, rcbl),
+       |rec AS MATERIALIZED (SELECT vec_id,
+       |    flatten(list_transform(range(0, $m), s ->
+       |      rl[list_position(scs[s+1], list_min(scs[s+1]))][s*$dsub+1:s*$dsub+$dsub])) AS rr
+       |  FROM scs, rcbl),
+       |recon AS MATERIALIZED (
+       |  SELECT r2.vec_id, list_transform(range(1, ${dim + 1}), i -> rec.rr[i] + cl[r2.cell][i]) AS rv
+       |  FROM rec JOIN resid r2 USING (vec_id), cents),
+       |rawscs AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(range(0, $m), s ->
+       |      list_transform(range(1, ${nCells + 1}), j ->
+       |        list_sum(list_transform(range(1, ${dsub + 1}), i ->
+       |          (v[s*$dsub+i] - cl[j][s*$dsub+i]) * (v[s*$dsub+i] - cl[j][s*$dsub+i]))))) AS scs
+       |  FROM e, cents),
+       |rawrec AS MATERIALIZED (SELECT vec_id,
+       |    flatten(list_transform(range(0, $m), s ->
+       |      cl[list_position(scs[s+1], list_min(scs[s+1]))][s*$dsub+1:s*$dsub+$dsub])) AS rv
+       |  FROM rawscs, cents),
+       |truth AS MATERIALIZED (SELECT query_id, vec_id FROM (
+       |  SELECT qc.query_id, a.vec_id,
+       |    row_number() OVER (PARTITION BY qc.query_id
+       |                       ORDER BY ${cosSql("a.v", "q.qv")} DESC, a.vec_id ASC) AS rnk
+       |  FROM assigned a JOIN qcell qc ON a.cell = qc.ci
+       |  JOIN q ON q.query_id = qc.query_id) t WHERE rnk <= $k),
+       |rtop AS (SELECT query_id, vec_id FROM (
+       |  SELECT qc.query_id, a.vec_id,
+       |    row_number() OVER (PARTITION BY qc.query_id
+       |                       ORDER BY ${cosSql("rc.rv", "q.qv")} DESC, a.vec_id ASC) AS rnk
+       |  FROM assigned a JOIN recon rc ON rc.vec_id = a.vec_id
+       |  JOIN qcell qc ON a.cell = qc.ci
+       |  JOIN q ON q.query_id = qc.query_id) t WHERE rnk <= $k),
+       |wtop AS (SELECT query_id, vec_id FROM (
+       |  SELECT qc.query_id, a.vec_id,
+       |    row_number() OVER (PARTITION BY qc.query_id
+       |                       ORDER BY ${cosSql("rw.rv", "q.qv")} DESC, a.vec_id ASC) AS rnk
+       |  FROM assigned a JOIN rawrec rw ON rw.vec_id = a.vec_id
+       |  JOIN qcell qc ON a.cell = qc.ci
+       |  JOIN q ON q.query_id = qc.query_id) t WHERE rnk <= $k),
+       |hr AS (SELECT t.query_id, count(*)::BIGINT AS hits
+       |       FROM truth t JOIN rtop r ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+       |       GROUP BY t.query_id),
+       |hw AS (SELECT t.query_id, count(*)::BIGINT AS hits
+       |       FROM truth t JOIN wtop w ON w.query_id = t.query_id AND w.vec_id = t.vec_id
+       |       GROUP BY t.query_id)
+       |SELECT q.query_id, CAST(coalesce(hr.hits, 0) AS BIGINT) AS hits_resid,
+       |       CAST(coalesce(hw.hits, 0) AS BIGINT) AS hits_raw,
+       |       round(coalesce(hr.hits, 0) / ${k.toDouble}, 6) AS recall_resid,
+       |       round(coalesce(hw.hits, 0) / ${k.toDouble}, 6) AS recall_raw
+       |FROM q LEFT JOIN hr ON hr.query_id = q.query_id
+       |       LEFT JOIN hw ON hw.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
+  }
 
   /** Recall@k of the LSH probe vs the exact scan, per query — mirrors
     * Ann.annRecall (same planes, same rounded-score ranking, same
@@ -1359,9 +1449,13 @@ object SparkEntry {
          |  round(avg(val), 9) AS m, count(*) AS members
          |FROM ex GROUP BY cell, pos ORDER BY cell, pos""".stripMargin,
 
+    // Residual IVF-PQ (FAISS layout): encode v − centroid(cell) against the
+    // residual codebook (seeds vec_id 16..31, each minus ITS assigned
+    // centroid), reconstruct as centroid + decoded residual. MATERIALIZED
+    // keeps the deep CTE chain from inlining exponentially.
     "ivfpq_topk" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |cents AS (SELECT list(v ORDER BY vec_id) AS cl FROM e WHERE vec_id < 16),
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS MATERIALIZED (SELECT list(v ORDER BY vec_id) AS cl FROM e WHERE vec_id < 16),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
          |qcell AS (
          |  SELECT ci FROM (
@@ -1370,26 +1464,38 @@ object SparkEntry {
          |        ci -> {'ci': ci, 's': round(${cosRawSql("cl[ci]", "q.qv")}, 6)})) AS u
          |      FROM cents, q) z) t
          |  ORDER BY s DESC, ci ASC LIMIT 4),
-         |assigned AS (
+         |assigned AS MATERIALIZED (
          |  SELECT vec_id, label, v, list_position(sc, list_max(sc)) AS cell FROM (
          |    SELECT e.vec_id, e.label, e.v,
          |           list_transform(range(1, 17), ci -> ${cosRawSql("cl[ci]", "e.v")}) AS sc
          |    FROM e, cents) t2),
-         |scs AS (SELECT vec_id,
+         |rcbl AS MATERIALIZED (
+         |  SELECT list(r ORDER BY vec_id) AS rl FROM (
+         |    SELECT a.vec_id, list_transform(range(1, 65), i -> a.v[i] - cl[a.cell][i]) AS r
+         |    FROM assigned a, cents WHERE a.vec_id >= 16 AND a.vec_id < 32) s0),
+         |resid AS MATERIALIZED (
+         |  SELECT a.vec_id, a.cell, list_transform(range(1, 65), i -> a.v[i] - cl[a.cell][i]) AS r
+         |  FROM assigned a, cents),
+         |scs AS MATERIALIZED (SELECT vec_id,
          |    list_transform(range(0, 8), s ->
          |      list_transform(range(1, 17), j ->
          |        list_sum(list_transform(range(1, 9), i ->
-         |          (v[s*8+i] - cl[j][s*8+i]) * (v[s*8+i] - cl[j][s*8+i]))))) AS scs
-         |  FROM e, cents),
-         |rec AS (SELECT vec_id,
+         |          (r[s*8+i] - rl[j][s*8+i]) * (r[s*8+i] - rl[j][s*8+i]))))) AS scs
+         |  FROM resid, rcbl),
+         |rec AS MATERIALIZED (SELECT vec_id,
          |    flatten(list_transform(range(0, 8), s ->
-         |      cl[list_position(scs[s+1], list_min(scs[s+1]))][s*8+1:s*8+8])) AS r
-         |  FROM scs, cents)
-         |SELECT a.vec_id, a.label, ${cosSql("rec.r", "q.qv")} AS score
-         |FROM assigned a, rec, q
-         |WHERE a.vec_id = rec.vec_id AND a.cell IN (SELECT ci FROM qcell)
+         |      rl[list_position(scs[s+1], list_min(scs[s+1]))][s*8+1:s*8+8])) AS rr
+         |  FROM scs, rcbl),
+         |recon AS MATERIALIZED (
+         |  SELECT r2.vec_id, list_transform(range(1, 65), i -> rec.rr[i] + cl[r2.cell][i]) AS rv
+         |  FROM rec JOIN resid r2 USING (vec_id), cents)
+         |SELECT a.vec_id, a.label, ${cosSql("recon.rv", "q.qv")} AS score
+         |FROM assigned a, recon, q
+         |WHERE a.vec_id = recon.vec_id AND a.cell IN (SELECT ci FROM qcell)
          |ORDER BY score DESC, a.vec_id ASC
          |LIMIT 10""".stripMargin,
+
+    "ivfpq_recall" -> ivfPqRecallSql(),
 
     "ann_topk" -> annTopkSql,
     "ann_topk_indexed" -> annTopkSql, // identical semantics: same planes, same keys, same rerank

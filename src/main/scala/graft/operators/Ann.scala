@@ -347,13 +347,57 @@ object Ann {
       .limit(k)
   }
 
+  /** Driver-side mirror of [[graft.functions.NearestCentroid]]: argmax raw
+    * cosine, FIRST index on ties (strict `>`), 1-based — must agree with
+    * the fused corpus-side assignment cell-for-cell. */
+  private[operators] def nearestCell(cents: Seq[Seq[Double]], v: Array[Double]): Int = {
+    var best = 1; var bestS = Double.NegativeInfinity; var i = 0
+    while (i < cents.length) {
+      val s = cosine(v, cents(i).toArray)
+      if (s > bestS) { bestS = s; best = i + 1 }
+      i += 1
+    }
+    best
+  }
+
+  /** RESIDUAL PQ codebook — the FAISS IVF-PQ layout: subquantizers are
+    * trained on `v − centroid(cell(v))`, not on raw vectors, because inside
+    * one cell the residuals are centered near zero and need far less code
+    * range than raw corpus positions — better recall at identical M.
+    * Deterministic seeding contract: residual seeds are the `kCodes`
+    * vectors AFTER the centroid seeds (`vec_id ∈ [nCells, nCells+kCodes)`),
+    * each minus its own assigned centroid. The centroid seeds themselves
+    * are unusable here — their residual is exactly zero by construction
+    * (each is its own nearest centroid at cosine 1.0), which would
+    * degenerate every subquantizer codebook to K copies of the zero
+    * vector. */
+  private[operators] def residualCodebook(e: DataFrame, cents: Seq[Seq[Double]],
+                                          m: Int, kCodes: Int,
+                                          dim: Int): Seq[Seq[Seq[Double]]] = {
+    val dsub = dim / m
+    val nCells = cents.length
+    val seeds = e.where(col("vec_id") >= nCells && col("vec_id") < nCells + kCodes)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val resid = seeds.map { s =>
+      val c = cents(nearestCell(cents, s) - 1)
+      Array.tabulate(s.length)(i => s(i) - c(i))
+    }
+    (0 until m).map(sub => resid.toSeq.map(_.slice(sub * dsub, (sub + 1) * dsub).toSeq))
+  }
+
   /** IVF-PQ: the standard billion-scale ANN layout (coarse cell probe ×
-    * PQ-compressed residual scan) — probe the `nProbe` cells nearest the
-    * query, then ADC-score ONLY the rows inside them against the
-    * reconstruction. At scale the two layers multiply: the scan opens
-    * nProbe/nCells of the partitions AND reads M byte-codes per row
-    * instead of raw vectors. Centroids and codebook share the same
-    * deterministic seed vectors, so one oracle covers both layers. */
+    * PQ-compressed RESIDUAL scan) — probe the `nProbe` cells nearest the
+    * query, then ADC-score only the rows inside them against
+    * `centroid(cell) + decode(encode(v − centroid(cell)))`. At scale the
+    * two layers multiply: the scan opens nProbe/nCells of the partitions
+    * AND reads M byte-codes per row instead of raw vectors (the centroid
+    * add-back is a per-executor constant lookup). Residual encoding (vs
+    * round-7's raw-vector codes) is what makes the coarse and fine layers
+    * compose: the subquantizers only span within-cell offsets —
+    * [[ivfPqRecall]] measures the recall gain. Centroids and residual
+    * codebook share the deterministic seeding contract, so the oracle
+    * reproduces both layers exactly. */
   def ivfPqTopk(spark: SparkSession, dir: String, queryVecId: Long = 0L, k: Int = 10,
                 nCells: Int = 16, nProbe: Int = 4, m: Int = 8,
                 dim: Int = 64): DataFrame = {
@@ -361,16 +405,78 @@ object Ann {
     val cents: Seq[Seq[Double]] = e.where(col("vec_id") < nCells)
       .orderBy(col("vec_id")).select(col("embedding")).collect()
       .map(_.getSeq[Double](0).toSeq).toSeq
-    val cb = pqCodebook(e, m, nCells, dim)
+    val rcb = residualCodebook(e, cents, m, kCodes = nCells, dim = dim)
     val qv = Similarity.queryVector(spark, dir, queryVecId)
     val probeCells = probe(cents, qv, nProbe)
+    val cellCent = element_at(typedLit(cents), col("cell").cast("int"))
     assignCells(e, cents)
       .where(col("cell").isin(probeCells: _*))
+      .withColumn("recon", zip_with(
+        pqReconstructCol(
+          zip_with(col("embedding").cast("array<double>"), cellCent, (x, y) => x - y), rcb),
+        cellCent, (x, y) => x + y))
       .select(col("vec_id"), col("label"),
-        round(cosine_sim(pqReconstructCol(col("embedding"), cb), typedLit(qv)), 6)
-          .as("score"))
+        round(cosine_sim(col("recon"), typedLit(qv)), 6).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** Recall@k audit: residual IVF-PQ vs round-7's raw-vector PQ, both
+    * ADC-ranked against the exact cosine ranking WITHIN the same probed
+    * cells — cell pruning is held constant, so the two recall columns
+    * isolate pure encoding quality (the measurement that justifies the
+    * residual layout; FAISS's IVFPQ makes the same argument). Output one
+    * row per query: hits/recall for each encoding against the exact top-k
+    * of the probed subset.
+    *
+    * Scale shape: one fused assignment pass over the corpus, candidates
+    * from a broadcast (query, probe-cell) equi-join as in [[ivfRecall]];
+    * the three rankings are narrow expressions + per-query
+    * WindowGroupLimit over that one candidate set. */
+  def ivfPqRecall(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
+                  nCells: Int = 16, nProbe: Int = 4, m: Int = 8,
+                  dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val cents: Seq[Seq[Double]] = e.where(col("vec_id") < nCells)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val rawCb = pqCodebook(e, m, nCells, dim)
+    val rcb = residualCodebook(e, cents, m, kCodes = nCells, dim = dim)
+    val qRows = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val queries = qRows.toSeq.toDF("query_id", "query_vec")
+    val probeDf = qRows.toSeq.flatMap { case (qid, qv) =>
+      probe(cents, qv.toArray, nProbe).map(ci => (qid, ci.toLong, qv))
+    }.toDF("query_id", "cell", "query_vec")
+    val cellCent = element_at(typedLit(cents), col("cell").cast("int"))
+    val cand = assignCells(e, cents).join(broadcast(probeDf), Seq("cell"))
+      .withColumn("resid_recon", zip_with(
+        pqReconstructCol(
+          zip_with(col("embedding").cast("array<double>"), cellCent, (x, y) => x - y), rcb),
+        cellCent, (x, y) => x + y))
+      .withColumn("raw_recon", pqReconstructCol(col("embedding"), rawCb))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), asc("vec_id"))
+    def topK(v: Column): DataFrame = cand
+      .select(col("query_id"), col("vec_id"),
+        round(cosine_sim(v, col("query_vec")), 6).as("score"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val truth = topK(col("embedding"))
+    def hitsOf(arm: DataFrame, name: String): DataFrame =
+      truth.join(arm, Seq("query_id", "vec_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+    queries.select(col("query_id"))
+      .join(hitsOf(topK(col("resid_recon")), "hits_resid"), Seq("query_id"), "left")
+      .join(hitsOf(topK(col("raw_recon")), "hits_raw"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits_resid"), lit(0L)).as("hits_resid"),
+        coalesce(col("hits_raw"), lit(0L)).as("hits_raw"),
+        round(coalesce(col("hits_resid"), lit(0L)) / lit(k.toDouble), 6).as("recall_resid"),
+        round(coalesce(col("hits_raw"), lit(0L)) / lit(k.toDouble), 6).as("recall_raw"))
+      .orderBy(asc("query_id"))
   }
 
   /** One Lloyd iteration of IVF centroid training: assign every vector to

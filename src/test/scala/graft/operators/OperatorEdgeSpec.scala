@@ -246,15 +246,32 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(res.map(_.getLong(9)).sum == expected)
   }
 
-  test("ivfPqTopk: seed query tops its own probed cell at reconstruction score 1.0") {
-    val out = Ann.ivfPqTopk(spark, dir, 0L, 10).collect()
+  test("ivfPqTopk: residual-seed query reconstructs exactly — ADC score 1.0 in its own cell") {
+    // vec 16 is a RESIDUAL codebook seed: its residual (v16 − centroid of
+    // its cell) is a codebook entry, so encode→decode round-trips it and
+    // recon = centroid + residual ≈ v16 (exact to fp re-association; the
+    // 6-dp score rounding absorbs the ulp), while its cell is the
+    // top-probed cell for its own query
+    val out = Ann.ivfPqTopk(spark, dir, 16L, 10).collect()
     assert(out.nonEmpty)
-    // vec 0 seeds both layers: assigned to its own cell (probed first) and
-    // reconstructs exactly, so ADC cosine vs itself is 1.0
-    assert(out.head.getLong(0) == 0L && out.head.getDouble(2) == 1.0)
+    assert(out.head.getLong(0) == 16L && out.head.getDouble(2) == 1.0)
     // two-layer containment: every ivfpq hit also lies in an ivf-probed cell
-    val ivfIds = Ann.ivfTopk(spark, dir, 0L, 1000, 16, 4).collect().map(_.getLong(0)).toSet
+    val ivfIds = Ann.ivfTopk(spark, dir, 16L, 1000, 16, 4).collect().map(_.getLong(0)).toSet
     assert(out.map(_.getLong(0)).forall(ivfIds))
+    // a CENTROID seed is no longer exactly reconstructible (its residual is
+    // the zero vector, which is not a residual code) — the top hit for
+    // query 0 still lands in a probed cell but below 1.0 says the encoding
+    // really is residual-based
+    val out0 = Ann.ivfPqTopk(spark, dir, 0L, 10).collect()
+    assert(out0.nonEmpty && out0.head.getDouble(2) <= 1.0)
+  }
+
+  test("ivfPqRecall: residual encoding beats raw-vector codes in mean recall") {
+    val r = Ann.ivfPqRecall(spark, dir, nQueries = 8, k = 10).collect()
+    assert(r.length == 8)
+    val (resid, raw) = (r.map(_.getDouble(3)).sum / 8, r.map(_.getDouble(4)).sum / 8)
+    assert(resid >= raw, s"residual mean recall $resid < raw $raw")
+    r.foreach(row => assert(row.getLong(1) <= 10 && row.getLong(2) <= 10))
   }
 
   test("pqTopkIndexed returns exactly pqTopk (same codes, decode, rerank)") {
