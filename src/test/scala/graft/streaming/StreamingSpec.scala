@@ -215,6 +215,58 @@ class StreamingSpec extends SparkSpec {
     assert(stored == expected.toSeq)
   }
 
+  test("streamIngestDeduped: crash between parquet append and checkpoint commit — replay admits nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val db = GraftDatabase.make(spark, Files.createTempDirectory("graft-crash-").toString)
+    db.addCollection(db.makeCollection("live", "local/hash-8"))
+    val ckpt = Files.createTempDirectory("graft-crash-ckpt-").toString
+
+    // stop() signals the stream thread asynchronously; back-to-back
+    // restarts on ONE checkpoint must wait for full deregistration or the
+    // next start trips the concurrent-checkpoint guard
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(60000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+
+    val mem = MemoryStream[(String, String)]
+    mem.addData(("a", "first text"), ("b", "second text"))
+    runToCompletion(Streaming.streamIngestDeduped(db, "live",
+      mem.toDF().toDF("id", "chunk"), "local/hash-8", ckpt))
+
+    mem.addData(("c", "third text"))
+    runToCompletion(Streaming.streamIngestDeduped(db, "live",
+      mem.toDF().toDF("id", "chunk"), "local/hash-8", ckpt))
+    assert(db.records("live").count() == 3)
+
+    // the WORST at-least-once interleaving: batch 1's parquet append is
+    // durable but the crash lands before the checkpoint commit marker.
+    // Emulate exactly that by deleting commits/1 — offsets/1 survives, so
+    // the restarted query replays batch 1's exact data through the sink,
+    // and the idempotence claim has to carry the whole batch.
+    val commit1 = java.nio.file.Paths.get(ckpt, "commits", "1")
+    assert(Files.exists(commit1), "test setup: expected checkpoint commit marker commits/1")
+    Files.delete(commit1)
+    // the local FS writes the commit marker and its checksum sidecar
+    // atomically (rename) — a crash loses both, so the faithful image
+    // removes the sidecar too (a stale .crc would fail the re-write and
+    // masquerade as a concurrent-query error)
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+
+    runToCompletion(Streaming.streamIngestDeduped(db, "live",
+      mem.toDF().toDF("id", "chunk"), "local/hash-8", ckpt))
+    val ids = db.records("live").select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(ids == Seq("a", "b", "c"), s"replay duplicated records: $ids")
+
+    // and the replayed batch re-committed: another restart stays a no-op
+    runToCompletion(Streaming.streamIngestDeduped(db, "live",
+      mem.toDF().toDF("id", "chunk"), "local/hash-8", ckpt))
+    assert(db.records("live").count() == 3)
+    assert(Files.exists(commit1))
+  }
+
   test("streamIngest: micro-batches land in the collection via the batch pipeline") {
     implicit val sqlCtx = spark.sqlContext
     val db = GraftDatabase.make(spark, Files.createTempDirectory("graft-stream-").toString)
