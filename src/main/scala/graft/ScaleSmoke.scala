@@ -165,6 +165,35 @@ object ScaleSmoke {
       graft.operators.Dedup.ngramNearIncremental(docs.where(!half), docs.where(half))
         .queryExecution.toRdd.count()
     }
+
+    // LSH dial measurements (the PLANS.md scale table): per near-dup
+    // family, the banded bucket histogram — max bucket size and the
+    // in-bucket pair upper bound Σ c·(c−1)/2 — plus the DISTINCT candidate
+    // count the verify join actually receives, then the end-to-end wall
+    // time of the full operator (bucketing + verify) at this corpus size.
+    val D = graft.operators.Dedup
+    def lshStats(label: String, banded: org.apache.spark.sql.DataFrame,
+                 idCol: String): Unit =
+      if (only.forall(_.exists(label.startsWith))) {
+        val h = banded.groupBy(col("band"), col("key")).agg(count(lit(1)).as("c"))
+          .agg(max(col("c")).as("mx"),
+            sum(when(col("c") > 1, (col("c") * (col("c") - 1) / 2).cast("bigint"))
+              .otherwise(0L)).as("ub"))
+          .collect()(0)
+        val candN = D.candidatePairs(banded, "band", "key", idCol).count()
+        println(f"## $label%-22s max bucket ${h.getLong(0)}%6d  " +
+          f"pair UB ${h.getLong(1)}%10d  distinct candidates $candN%10d")
+      }
+
+    stage("minhash near-dup") { D.minhashNear(docs).queryExecution.toRdd.count() }
+    lshStats("minhash buckets r2b6",
+      D.ngramBandKeys(D.minhashShingled(docs, "doc_id", "text", 3), 12, 6), "doc_id")
+    stage("ngram near-dup") { D.ngramNear(docs).queryExecution.toRdd.count() }
+    lshStats("ngram buckets n8r3b4",
+      D.ngramBandKeys(D.ngramShingled(docs, "doc_id", "text", 8), 12, 4), "doc_id")
+    stage("simhash near-dup") { D.simhashNear(e).queryExecution.toRdd.count() }
+    lshStats("simhash buckets 24/3",
+      D.simhashBandedKeys(e, "vec_id", "embedding", 24, 3, 64), "vec_id")
     spark.stop()
   }
 

@@ -70,8 +70,8 @@ object Dedup {
     * bucket, pairs expanded in-bucket (a < b by construction), distinct
     * across buckets. Never an all-pairs product; max bucket size is the
     * skew guard the banding parameters control. */
-  private def candidatePairs(keyed: DataFrame, k1: String, k2: String,
-                             idCol: String): DataFrame =
+  private[graft] def candidatePairs(keyed: DataFrame, k1: String, k2: String,
+                                    idCol: String): DataFrame =
     keyed
       .groupBy(col(k1), col(k2))
       .agg(sort_array(collect_list(col(idCol))).as("bucket"))
@@ -111,21 +111,22 @@ object Dedup {
     * otherwise; AQE would coalesce an unpinned exchange right back); all
     * downstream branches, including both verification sides, reuse the
     * one exchange. */
-  def minhashNear(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                  shingleSize: Int = 3, seeds: Int = 12, bands: Int = 6,
-                  jaccardThreshold: Double = 0.3): DataFrame = {
-    require(seeds % bands == 0, "seeds must divide evenly into bands")
-    val r = seeds / bands
-    val sh = docs
+  /** Word-shingle 56-bit hash sets — the minhash family's shingling pass
+    * (same (doc_id, hs) contract as [[ngramShingled]], so the banding and
+    * verification plumbing is shared). */
+  private[graft] def minhashShingled(docs: DataFrame, idCol: String, textCol: String,
+                                     shingleSize: Int): DataFrame =
+    docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"),
         LshFunctions.word_shingle_hash56(col(textCol), shingleSize).as("hs"))
       .where(size(col("hs")) > 0)
-    val banded = sh.select(col("doc_id"),
-      posexplode(LshFunctions.band_keys(
-        transform(LshFunctions.minhash_signature_long(col("hs"), seeds),
-          v => v.cast("string")), bands, r, "|"))
-        .as(Seq("band", "key")))
+
+  def minhashNear(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                  shingleSize: Int = 3, seeds: Int = 12, bands: Int = 6,
+                  jaccardThreshold: Double = 0.3): DataFrame = {
+    val sh = minhashShingled(docs, idCol, textCol, shingleSize)
+    val banded = ngramBandKeys(sh, seeds, bands) // same signature skeleton
 
     val cand = candidatePairs(banded, "band", "key", "doc_id")
 
@@ -160,8 +161,8 @@ object Dedup {
     * AQE coalescing the byte-tiny exchange back to one partition.
     * Downstream (banding AND verification sides) hangs off the same
     * subtree, so the exchange is computed once and reused. */
-  private def ngramShingled(docs: DataFrame, idCol: String, textCol: String,
-                            n: Int): DataFrame =
+  private[graft] def ngramShingled(docs: DataFrame, idCol: String, textCol: String,
+                                   n: Int): DataFrame =
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"),
@@ -170,7 +171,7 @@ object Dedup {
 
   /** (doc_id, band, key) banded minhash signature keys over a shingled
     * table — the LSH bucketing every ngram variant joins on. */
-  private def ngramBandKeys(sh: DataFrame, seeds: Int, bands: Int): DataFrame = {
+  private[graft] def ngramBandKeys(sh: DataFrame, seeds: Int, bands: Int): DataFrame = {
     require(seeds % bands == 0, "seeds must divide evenly into bands")
     sh.select(col("doc_id"),
       posexplode(LshFunctions.band_keys(
@@ -326,18 +327,24 @@ object Dedup {
     * matrix folded into codegen — no join against a planes table), take sign
     * bits, split into `bands` keys, explode to (vec, band, key), self
     * EQUI-join on (band, key), verify exact cosine on candidates. */
+  /** (vec_id, band, key) banded SimHash keys over an embedding table — the
+    * LSH bucketing [[simhashNear]] joins on, exposed for the dial
+    * measurements ScaleSmoke records into PLANS.md. */
+  private[graft] def simhashBandedKeys(embeddings: DataFrame, idCol: String,
+                                       vecCol: String, bits: Int, bands: Int,
+                                       dim: Int): DataFrame = {
+    require(bits % bands == 0, "bits must divide evenly into bands")
+    embeddings.select(col(idCol).as("vec_id"),
+        LshFunctions.simhash_bits(col(vecCol), bits, dim).as("bs"))
+      .select(col("vec_id"),
+        posexplode(LshFunctions.band_keys(col("bs"), bands, bits / bands))
+          .as(Seq("band", "key")))
+  }
+
   def simhashNear(embeddings: DataFrame, idCol: String = "vec_id",
                   vecCol: String = "embedding", bits: Int = 24, bands: Int = 3,
                   dim: Int = 64, cosineThreshold: Double = 0.3): DataFrame = {
-    require(bits % bands == 0, "bits must divide evenly into bands")
-    val r = bits / bands
-
-    val withBits = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      .select(col("vec_id"), col("v"),
-        LshFunctions.simhash_bits(col("v"), bits, dim).as("bs"))
-
-    val banded = withBits.select(col("vec_id"),
-      posexplode(LshFunctions.band_keys(col("bs"), bands, r)).as(Seq("band", "key")))
+    val banded = simhashBandedKeys(embeddings, idCol, vecCol, bits, bands, dim)
 
     val cand = candidatePairs(banded, "band", "key", "vec_id")
 
