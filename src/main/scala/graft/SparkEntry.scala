@@ -56,6 +56,7 @@ object SparkEntry {
     "dedup_exact"   -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashNear(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashNear(Tables.embeddings(s, dir))),
+    "dedup_semantic" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir))),
     "dedup_ngram"   -> ((s, dir) => Dedup.ngramNear(Tables.documents(s, dir))),
     "dedup_resolve" -> ((s, dir) => Dedup.resolveKeepers(Tables.documents(s, dir),
       ngramPairs(s, dir))),
@@ -730,6 +731,26 @@ object SparkEntry {
          |      JOIN e eb ON eb.vec_id = c.b_id)
          |SELECT a_id, b_id, score FROM v WHERE score >= 0.3
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // SemDeDup: same seeded-centroid assignment as the IVF oracles
+    // (raw argmax cosine, first position on ties), pairs within a cell only
+    "dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT list(v ORDER BY vec_id) AS cl FROM e WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, v, CAST(list_position(sc, list_max(sc)) AS BIGINT) AS cell FROM (
+         |    SELECT e.vec_id, e.v,
+         |           list_transform(range(1, 17), ci -> ${cosRawSql("cl[ci]", "e.v")}) AS sc
+         |    FROM e, cents) t),
+         |dups AS (
+         |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v")} >= 0.4
+         |  GROUP BY b.vec_id)
+         |SELECT s.vec_id, s.cell, (d.dup_of IS NULL) AS keep, d.dup_of
+         |FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+         |ORDER BY s.vec_id""".stripMargin,
 
     "dedup_ngram" ->
       s"""WITH ${ngramPairsSql()}

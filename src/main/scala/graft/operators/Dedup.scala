@@ -357,4 +357,44 @@ object Dedup {
       .where(col("score") >= cosineThreshold)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** X3d — SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * partition the embedding space into cells via the engine's
+    * deterministic seeded centroids (the same assignment contract as every
+    * IVF operator — argmax cosine, first index on ties), then compare
+    * pairs ONLY within a cell. A vector is a duplicate iff some lower-id
+    * vector in its cell has cosine ≥ `tau`; `dup_of` names the lowest such
+    * id (the cell representative it collapses into).
+    *
+    * Complements [[simhashNear]]: SimHash banding finds pairs anywhere in
+    * the corpus at bucket-collision granularity, while the SemDeDup shape
+    * is the one used to PRUNE — every vector gets a keep/drop verdict
+    * against its cluster in one pass, no connected-components follow-up.
+    *
+    * Scale shape: one fused assignment pass (NearestCentroid), then a self
+    * EQUI-join on the cell id — co-partitioned, never a global all-pairs.
+    * Pair work is Σ|cell|², so at 100 TB nCells grows with the corpus to
+    * hold the target cluster size (the paper runs ~100k clusters for
+    * 100M+ points); an oversized hot cell is re-split by a SimHash band
+    * key before pairing — the same dial [[simhashNear]] already measures.
+    * Output is one row per input vector: (vec_id, cell, keep, dup_of). */
+  def semanticDedup(e: DataFrame, nCells: Int = 16, tau: Double = 0.4): DataFrame = {
+    val cents: Seq[Seq[Double]] = e.where(col("vec_id") < nCells)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val assigned = Ann.assignCells(e, cents)
+      .select(col("vec_id"), col("embedding"), col("cell").cast("bigint").as("cell"))
+    val dups = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .where(round(cosine_sim(col("a.embedding"), col("b.embedding")), 6) >= tau)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of").isNull.as("keep"),
+        col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
 }

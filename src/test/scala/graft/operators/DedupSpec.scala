@@ -109,6 +109,45 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(2) >= 0.3))
   }
 
+  test("semantic dedup: verdict per vector, dup_of is lowest same-cell neighbor over tau") {
+    import graft.functions.VectorFunctions.cosine_sim
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, dir)
+    val df = Dedup.semanticDedup(e, nCells = 16, tau = 0.35)
+    val plan = physicalPlan(df)
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == e.count(), "one verdict row per vector")
+    // keep XOR dup_of: keepers have no dup_of, drops name a lower id
+    rows.foreach { r =>
+      if (r.getBoolean(2)) assert(r.isNullAt(3))
+      else assert(r.getLong(3) < r.getLong(0), "dup_of must be a lower id")
+    }
+    // cross-check each dropped vector against a direct within-cell scan
+    val cellOf = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0
+      else BigDecimal(d / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    rows.filterNot(_.getBoolean(2)).foreach { r =>
+      val id = r.getLong(0)
+      val expect = cellOf.keys.filter(o => o < id && cellOf(o) == cellOf(id))
+        .filter(o => cos(vecs(o), vecs(id)) >= 0.35)
+      assert(expect.nonEmpty && expect.min == r.getLong(3),
+        s"dup_of mismatch for $id: got ${r.getLong(3)}, expect ${expect.toSeq.sorted}")
+    }
+    // and keepers genuinely have no qualifying lower-id neighbor
+    rows.filter(_.getBoolean(2)).foreach { r =>
+      val id = r.getLong(0)
+      assert(!cellOf.keys.exists(o => o < id && cellOf(o) == cellOf(id) &&
+        cos(vecs(o), vecs(id)) >= 0.35), s"keeper $id has a qualifying neighbor")
+    }
+  }
+
   test("ngram near-dup: banded candidates via equi-join, exact jaccard verify") {
     val docs = Tables.documents(spark, dir)
     val df = Dedup.ngramNear(docs)
