@@ -168,6 +168,7 @@ object SparkEntry {
     "dim_recall" -> ((s, dir) => EmbeddingStats.dimRecall(Tables.embeddings(s, dir))),
     "embed_drift" -> ((s, dir) => EmbeddingStats.embedDrift(Tables.embeddings(s, dir))),
     "quality_sample" -> ((s, dir) => Sampling.qualitySample(Tables.documents(s, dir))),
+    "source_mix" -> ((s, dir) => Sampling.sourceMixture(Tables.documents(s, dir))),
     "user_sequences" -> ((s, dir) => Sessionize.userSequences(Tables.events(s, dir))),
     "embed_norm_quantiles" -> ((s, dir) => EmbeddingStats.normQuantiles(Tables.embeddings(s, dir))),
     "embed_quantize_err" -> ((s, dir) => EmbeddingStats.quantizationError(Tables.embeddings(s, dir))),
@@ -1566,6 +1567,19 @@ object SparkEntry {
         |             WHEN quality < q3 THEN 2 ELSE 3 END AS bin
         |      FROM qual, th) b
         |ORDER BY doc_id""".stripMargin,
+
+    // temperature-scaled mixture: weight ∝ tokens^0.5, epochs at a 10M
+    // token budget; token counts are the token_counts whitespace convention
+    "source_mix" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS docs,
+        |    CAST(sum(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(pow(tokens, 0.5)) AS denom FROM per)
+        |SELECT per.source, per.docs, per.tokens,
+        |  round(pow(per.tokens, 0.5) / tot.denom, 6) AS weight,
+        |  round(pow(per.tokens, 0.5) / tot.denom * 10000000.0 / per.tokens, 6) AS epochs
+        |FROM per, tot ORDER BY per.source""".stripMargin,
 
     // mirrors EmbeddingStats.embedDrift: hash56 split tag, 9 dp centroid
     // elements (the embed_label_stats centroid idiom), 6 dp cosine

@@ -82,6 +82,37 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Training-mixture accounting per source — the data-mixing stage of
+    * LLM pretraining (the temperature-scaled sampling used by multilingual
+    * corpora: weight_s ∝ tokens_s^alpha, renormalized). For each source:
+    * document and whitespace-token totals, the mixture weight
+    * `w_s = tokens_s^alpha / Σ_t tokens_t^alpha`, and the expected number
+    * of epochs over the source when a run draws `budgetTokens` by those
+    * weights — the number a curator reads to spot sources a mixture will
+    * over-repeat (epochs ≫ 1: memorization/diminishing-returns risk) or
+    * drown out. `alpha = 1` is natural/proportional sampling, `alpha → 0`
+    * approaches uniform; 0.3–0.7 are the usual rebalancing temperatures.
+    *
+    * Scale shape: ONE groupBy(source) aggregation (map-side combined —
+    * the corpus is touched once, reducers = #sources), then the 1-row
+    * denominator broadcast back onto the per-source rows (the BM25 1-row
+    * corpus-stats shape). Nothing data-sized ever shuffles or reaches the
+    * driver. */
+  def sourceMixture(docs: DataFrame, alpha: Double = 0.5,
+                    budgetTokens: Long = 10000000L): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(size(TextAnalysis.toks).cast("bigint")).as("tokens"))
+    val denom = per.agg(sum(pow(col("tokens"), lit(alpha))).as("denom"))
+    per.crossJoin(broadcast(denom))
+      .select(col("source"), col("docs"), col("tokens"),
+        round(pow(col("tokens"), lit(alpha)) / col("denom"), 6).as("weight"),
+        round(pow(col("tokens"), lit(alpha)) / col("denom")
+          * lit(budgetTokens.toDouble) / col("tokens"), 6).as("epochs"))
+      .orderBy(col("source"))
+  }
+
   /** Quality-weighted downsampling (the C4/FineWeb curation move): keep
     * probability rises with the document's quality quartile — low-quality
     * text is thinned, high-quality text survives intact — and the keep

@@ -90,6 +90,27 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("sourceMixture: weights normalize, epochs satisfy the budget identity") {
+    val docs = Tables.documents(spark, dir)
+    val budget = 10000000L
+    val rows = Sampling.sourceMixture(docs, alpha = 0.5, budgetTokens = budget).collect()
+    assert(rows.length == docs.select(col("source")).distinct().count())
+    val wSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights must renormalize, got $wSum")
+    // epochs = budget * weight / tokens (to rounding)
+    rows.foreach { r =>
+      val expect = budget.toDouble * r.getDouble(3) / r.getLong(2)
+      assert(math.abs(r.getDouble(4) - expect) < 1e-2,
+        s"${r.getString(0)}: epochs ${r.getDouble(4)} vs $expect")
+    }
+    // temperature flattening: at alpha 0.5 the weight ratio between the
+    // largest and smallest source is the sqrt of their token ratio
+    val big = rows.maxBy(_.getLong(2)); val small = rows.minBy(_.getLong(2))
+    val tokRatio = big.getLong(2).toDouble / small.getLong(2)
+    val wRatio = big.getDouble(3) / small.getDouble(3)
+    assert(math.abs(wRatio - math.sqrt(tokRatio)) < 0.01 * math.sqrt(tokRatio))
+  }
+
   test("splits are exhaustive, disjoint, and roughly proportioned") {
     val docs = Tables.documents(spark, dir)
     val splits = docs.select(col("doc_id"), Sampling.splitColumn("doc_id").as("split"))
