@@ -169,6 +169,7 @@ object SparkEntry {
     "embed_drift" -> ((s, dir) => EmbeddingStats.embedDrift(Tables.embeddings(s, dir))),
     "quality_sample" -> ((s, dir) => Sampling.qualitySample(Tables.documents(s, dir))),
     "source_mix" -> ((s, dir) => Sampling.sourceMixture(Tables.documents(s, dir))),
+    "pack_sequences" -> ((s, dir) => Sampling.packSequences(Tables.documents(s, dir))),
     "user_sequences" -> ((s, dir) => Sessionize.userSequences(Tables.events(s, dir))),
     "embed_norm_quantiles" -> ((s, dir) => EmbeddingStats.normQuantiles(Tables.embeddings(s, dir))),
     "embed_quantize_err" -> ((s, dir) => EmbeddingStats.quantizationError(Tables.embeddings(s, dir))),
@@ -1580,6 +1581,22 @@ object SparkEntry {
         |  round(pow(per.tokens, 0.5) / tot.denom, 6) AS weight,
         |  round(pow(per.tokens, 0.5) / tot.denom * 10000000.0 / per.tokens, 6) AS epochs
         |FROM per, tot ORDER BY per.source""".stripMargin,
+
+    // the oracle is the PLAIN per-lang running sum — proving the sharded
+    // two-level scan computes the same global offsets
+    "pack_sequences" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_tok AS start
+        |  FROM d)
+        |SELECT doc_id, lang, n_tok, start,
+        |  start // 1024 AS seq_first,
+        |  (start + greatest(n_tok, 1) - 1) // 1024 AS seq_last
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // mirrors EmbeddingStats.embedDrift: hash56 split tag, 9 dp centroid
     // elements (the embed_label_stats centroid idiom), 6 dp cosine

@@ -82,6 +82,52 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact sequence packing — the GPT-style pretraining layout: documents
+    * are concatenated per language stratum in doc_id order and chopped
+    * into fixed `seqLen`-token training sequences; each document's row
+    * reports its global token offset and the first/last sequence it lands
+    * in (a document may span a boundary — the standard pack-and-chop
+    * accepts that). Unlike [[packBatches]] (greedy whole-doc binning,
+    * order-free), this needs the EXACT global running token offset.
+    *
+    * A naive `sum over (partition by lang order by doc_id)` is one
+    * reducer per language — the skew ceiling packBatches already refused.
+    * Instead this runs the classic two-level scan (Blelloch) as DataFrame
+    * ops: documents shard by `doc_id div shardWidth` (deterministic and
+    * order-aligned, unlike a hash shard), each (lang, shard) window
+    * computes a LOCAL prefix sum over ≤ shardWidth rows, shard token
+    * totals aggregate to a table corpus/shardWidth long whose own prefix
+    * sum (the only per-lang ordered pass) runs over that much smaller
+    * table, and the exclusive shard offsets broadcast-join back:
+    * `start = shard_offset + local_cum − n_tok`. `shardWidth` is the
+    * scale dial — pick it so corpus/shardWidth rows broadcast comfortably
+    * (at 10B docs, shardWidth 8192 → 1.2M offset rows); a third scan
+    * level would shrink that again if ever needed. */
+  def packSequences(docs: DataFrame, seqLen: Int = 1024,
+                    shardWidth: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(shardWidth > 0, s"shardWidth must be positive, got $shardWidth")
+    val base = docs.select(col("doc_id"), col("lang"),
+      size(TextAnalysis.toks).cast("bigint").as("n_tok"),
+      expr(s"doc_id div $shardWidth").as("shard"))
+    val wLocal = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("local_cum", sum(col("n_tok")).over(wLocal))
+    val wShard = Window.partitionBy(col("lang")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = base.groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_tok")).as("shard_tok"))
+      .withColumn("shard_off", sum(col("shard_tok")).over(wShard) - col("shard_tok"))
+      .select(col("lang"), col("shard"), col("shard_off"))
+    local.join(broadcast(offsets), Seq("lang", "shard"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        (col("shard_off") + col("local_cum") - col("n_tok")).as("start"))
+      .withColumn("seq_first", expr(s"start div $seqLen"))
+      .withColumn("seq_last", expr(s"(start + greatest(n_tok, 1) - 1) div $seqLen"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Training-mixture accounting per source — the data-mixing stage of
     * LLM pretraining (the temperature-scaled sampling used by multilingual
     * corpora: weight_s ∝ tokens_s^alpha, renormalized). For each source:

@@ -111,6 +111,44 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(wRatio - math.sqrt(tokRatio)) < 0.01 * math.sqrt(tokRatio))
   }
 
+  test("packSequences: two-level scan equals the plain per-lang running sum") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val res = Sampling.packSequences(docs, seqLen = 256, shardWidth = 16)
+    // reference: the single-reducer window the sharded scan replaces
+    val plain = docs
+      .select(col("doc_id"), col("lang"),
+        size(TextAnalysis.toks).cast("bigint").as("n_tok"))
+      .withColumn("start",
+        sum(col("n_tok")).over(Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n_tok"))
+    val got = res.select("doc_id", "start").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    plain.collect().foreach { r =>
+      assert(got(r.getLong(0)) == r.getLong(3),
+        s"offset mismatch for doc ${r.getLong(0)}")
+    }
+    // sequence ids are consistent with offsets, and boundaries only ever
+    // advance (within a lang, ordered by doc_id)
+    val rows = res.collect()
+    rows.foreach { r =>
+      val (tok, start) = (r.getLong(2), r.getLong(3))
+      assert(r.getLong(4) == start / 256)
+      assert(r.getLong(5) == (start + math.max(tok, 1) - 1) / 256)
+      assert(r.getLong(4) <= r.getLong(5))
+    }
+    rows.groupBy(_.getString(1)).values.foreach { g =>
+      g.sortBy(_.getLong(0)).sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(3) <= b.getLong(3))
+        case _ =>
+      }
+    }
+    // the local windows really are bounded by (lang, shard), and the
+    // offsets side joins back broadcast
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"offsets join must broadcast:\n$plan")
+  }
+
   test("splits are exhaustive, disjoint, and roughly proportioned") {
     val docs = Tables.documents(spark, dir)
     val splits = docs.select(col("doc_id"), Sampling.splitColumn("doc_id").as("split"))
