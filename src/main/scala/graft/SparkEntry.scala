@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) => Dedup.minhashNear(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashNear(Tables.embeddings(s, dir))),
     "dedup_semantic" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir))),
+    "dedup_spans" -> ((s, dir) => Dedup.spanDedup(Tables.documents(s, dir))),
     "dedup_ngram"   -> ((s, dir) => Dedup.ngramNear(Tables.documents(s, dir))),
     "dedup_resolve" -> ((s, dir) => Dedup.resolveKeepers(Tables.documents(s, dir),
       ngramPairs(s, dir))),
@@ -753,6 +754,28 @@ object SparkEntry {
          |SELECT s.vec_id, s.cell, (d.dup_of IS NULL) AS keep, d.dup_of
          |FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
          |ORDER BY s.vec_id""".stripMargin,
+
+    // span-level duplication: distinct 5-word shingles (the minhash
+    // shingling convention), df over the corpus, per-doc duplicated share
+    "dedup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(0, len(t) - 4),
+        |           i -> array_to_string(t[i+1:i+5], ' '))) AS gs
+        |       FROM toks WHERE len(t) >= 5),
+        |ex AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 14))::UBIGINT AS BIGINT) AS h
+        |       FROM (SELECT doc_id, unnest(gs) AS g FROM sh) u),
+        |dfs AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+        |per AS (SELECT e.doc_id, count(*) AS n_shingles,
+        |          count(*) FILTER (d.df >= 2) AS n_dup
+        |        FROM ex e JOIN dfs d ON e.h = d.h GROUP BY e.doc_id)
+        |SELECT doc.doc_id,
+        |  coalesce(per.n_shingles, 0) AS n_shingles,
+        |  coalesce(per.n_dup, 0) AS n_dup,
+        |  round(coalesce(per.n_dup, 0)::DOUBLE / greatest(coalesce(per.n_shingles, 0), 1), 6) AS dup_fraction,
+        |  coalesce(per.n_dup, 0)::DOUBLE / greatest(coalesce(per.n_shingles, 0), 1) >= 0.5 AS flagged
+        |FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
+        |ORDER BY doc.doc_id""".stripMargin,
 
     "dedup_ngram" ->
       s"""WITH ${ngramPairsSql()}

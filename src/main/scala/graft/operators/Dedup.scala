@@ -139,6 +139,44 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** X3e — duplicated-span audit, the shingle-granular reading of exact
+    * substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): for each document, the fraction of its
+    * distinct `shingleSize`-word shingles that also occur in ANOTHER
+    * document. Whole-document dedup ([[exact]]/[[minhashNear]]) misses
+    * exactly this — templated pages sharing long boilerplate runs with
+    * low overall Jaccard — and span-level duplication is what LMs
+    * memorize. Docs at or above `tau` are flagged for span-level
+    * treatment (trim or drop downstream).
+    *
+    * Scale shape: two word-count-shaped shuffles (per-doc distinct
+    * shingles explode once; df aggregates map-side) and one equi-join of
+    * the exploded shingles against the df table on the 56-bit shingle
+    * hash. With ≥5-word shingles the head of the df distribution is
+    * orders of magnitude flatter than word/bigram keys, and join output
+    * per key equals that key's df — AQE's skew split handles a residual
+    * boilerplate key; the all-docs restore is a left join on doc_id. */
+  def spanDedup(docs: DataFrame, shingleSize: Int = 5, tau: Double = 0.5,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ex = minhashShingled(docs, idCol, textCol, shingleSize)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfs = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val per = ex.join(dfs, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_fraction",
+        round(col("n_dup").cast("double") / greatest(col("n_shingles"), lit(1L)), 6))
+      .withColumn("flagged",
+        col("n_dup").cast("double") / greatest(col("n_shingles"), lit(1L)) >= tau)
+      .orderBy(col("doc_id"))
+  }
+
   /** X3b' — character n-gram Jaccard near-duplicate pairs.
     *
     * Same MinHash-LSH skeleton as [[minhashNear]] but over character

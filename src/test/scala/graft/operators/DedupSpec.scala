@@ -148,6 +148,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("spanDedup: duplicated-shingle fractions match a direct per-doc computation") {
+    val docs = Tables.documents(spark, dir)
+    val res = Dedup.spanDedup(docs, shingleSize = 5, tau = 0.5).collect()
+    assert(res.length == docs.count(), "one audit row per document")
+    // direct recomputation over collected text
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 5) Set.empty
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val all = texts.map { case (id, t) => id -> shingles(t) }
+    val dfCount = all.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+    res.foreach { r =>
+      val id = r.getLong(0)
+      val mine = all(id)
+      assert(r.getLong(1) == mine.size, s"n_shingles for $id")
+      val dup = mine.count(s => dfCount(s) >= 2)
+      assert(r.getLong(2) == dup, s"n_dup for $id: got ${r.getLong(2)}, want $dup")
+      val frac = dup.toDouble / math.max(mine.size, 1)
+      assert(math.abs(r.getDouble(3) - frac) < 1e-6)
+      assert(r.getBoolean(4) == (frac >= 0.5))
+    }
+  }
+
   test("ngram near-dup: banded candidates via equi-join, exact jaccard verify") {
     val docs = Tables.documents(spark, dir)
     val df = Dedup.ngramNear(docs)
