@@ -171,6 +171,7 @@ object SparkEntry {
     "quality_sample" -> ((s, dir) => Sampling.qualitySample(Tables.documents(s, dir))),
     "source_mix" -> ((s, dir) => Sampling.sourceMixture(Tables.documents(s, dir))),
     "pack_sequences" -> ((s, dir) => Sampling.packSequences(Tables.documents(s, dir))),
+    "cell_sample" -> ((s, dir) => Sampling.cellBalancedSample(Tables.embeddings(s, dir))),
     "user_sequences" -> ((s, dir) => Sessionize.userSequences(Tables.events(s, dir))),
     "embed_norm_quantiles" -> ((s, dir) => EmbeddingStats.normQuantiles(Tables.embeddings(s, dir))),
     "embed_quantize_err" -> ((s, dir) => EmbeddingStats.quantizationError(Tables.embeddings(s, dir))),
@@ -1620,6 +1621,25 @@ object SparkEntry {
         |  start // 1024 AS seq_first,
         |  (start + greatest(n_tok, 1) - 1) // 1024 AS seq_last
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // cluster-balanced sampling: the IVF cell assignment + a per-cell
+    // deterministic hash-order rank, keep <= 20 per cell
+    "cell_sample" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT list(v ORDER BY vec_id) AS cl FROM e WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, CAST(list_position(sc, list_max(sc)) AS BIGINT) AS cell FROM (
+         |    SELECT e.vec_id, e.v,
+         |           list_transform(range(1, 17), ci -> ${cosRawSql("cl[ci]", "e.v")}) AS sc
+         |    FROM e, cents) t)
+         |SELECT vec_id, cell,
+         |  CAST(row_number() OVER (PARTITION BY cell
+         |    ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))::UBIGINT % 1000000,
+         |             vec_id) AS BIGINT) AS cell_rank,
+         |  row_number() OVER (PARTITION BY cell
+         |    ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))::UBIGINT % 1000000,
+         |             vec_id) <= 20 AS keep
+         |FROM assigned ORDER BY vec_id""".stripMargin,
 
     // mirrors EmbeddingStats.embedDrift: hash56 split tag, 9 dp centroid
     // elements (the embed_label_stats centroid idiom), 6 dp cosine

@@ -159,6 +159,36 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** Cluster-balanced (diversity) sampling over an embedding table — the
+    * curation move that equalizes cluster representation instead of
+    * source representation ([[sourceMixture]]'s semantic twin): assign
+    * every vector to its seeded-centroid cell (the shared IVF assignment
+    * contract), then keep at most `perCell` vectors per cell, chosen by
+    * the deterministic id-hash order — so over-dense regions of embedding
+    * space are thinned and sparse regions survive whole, and the draw is
+    * reproducible across runs, engines, and partitionings (no RNG).
+    * Emits an audit row per vector: (vec_id, cell, cell_rank, keep).
+    *
+    * Scale shape: one fused assignment pass, then ONE cell-keyed window —
+    * per-partition state is the hottest cell's rows, which is exactly
+    * what nCells dials (same granularity argument as
+    * [[Dedup.semanticDedup]]). Nothing is collected; no global sort. */
+  def cellBalancedSample(e: DataFrame, nCells: Int = 16,
+                         perCell: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(perCell > 0, s"perCell must be positive, got $perCell")
+    val cents: Seq[Seq[Double]] = e.where(col("vec_id") < nCells)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(hashBucket(col("vec_id"), 1000000), col("vec_id"))
+    Ann.assignCells(e, cents)
+      .select(col("vec_id"), col("cell").cast("bigint").as("cell"))
+      .withColumn("cell_rank", row_number().over(w).cast("bigint"))
+      .withColumn("keep", col("cell_rank") <= perCell)
+      .orderBy(col("vec_id"))
+  }
+
   /** Quality-weighted downsampling (the C4/FineWeb curation move): keep
     * probability rises with the document's quality quartile — low-quality
     * text is thinned, high-quality text survives intact — and the keep

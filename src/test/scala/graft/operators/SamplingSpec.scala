@@ -149,6 +149,23 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"offsets join must broadcast:\n$plan")
   }
 
+  test("cellBalancedSample: at most perCell kept per cell, hash order deterministic") {
+    val e = Tables.embeddings(spark, dir)
+    val res = Sampling.cellBalancedSample(e, nCells = 16, perCell = 5).collect()
+    assert(res.length == e.count(), "one audit row per vector")
+    val byCell = res.groupBy(_.getLong(1))
+    byCell.values.foreach { g =>
+      assert(g.count(_.getBoolean(3)) == math.min(5, g.length),
+        "keeps exactly min(perCell, |cell|)")
+      // ranks are a permutation of 1..|cell| and keep <=> rank <= perCell
+      assert(g.map(_.getLong(2)).sorted.sameElements(1L to g.length))
+      g.foreach(r => assert(r.getBoolean(3) == (r.getLong(2) <= 5)))
+    }
+    // determinism across evaluations
+    val again = Sampling.cellBalancedSample(e, nCells = 16, perCell = 5).collect()
+    assert(res.map(_.toSeq).sameElements(again.map(_.toSeq)))
+  }
+
   test("splits are exhaustive, disjoint, and roughly proportioned") {
     val docs = Tables.documents(spark, dir)
     val splits = docs.select(col("doc_id"), Sampling.splitColumn("doc_id").as("split"))
