@@ -181,6 +181,48 @@ class PlanShapeSpec extends SparkSpec {
       .findFirstIn(p).isEmpty, s"shuffled join on the raw gram key:\n$p")
   }
 
+  test("dedup_semantic: pairs come from a cell equi-join, never a cross product") {
+    val p = plan(graft.operators.Dedup.semanticDedup(Tables.embeddings(spark, dir)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"all-pairs blowup:\n$p")
+    assert("""(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell#\d+""".r
+      .findFirstIn(p).isDefined, s"pair join not keyed on the cell:\n$p")
+  }
+
+  test("dedup_spans: df join is an equi-join on the shingle hash") {
+    val p = plan(graft.operators.Dedup.spanDedup(Tables.documents(spark, dir)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pairwise blowup:\n$p")
+    assert("""(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[h#\d+""".r
+      .findFirstIn(p).isDefined, s"df join not keyed on the shingle hash:\n$p")
+  }
+
+  test("pack_sequences: local windows keyed by (lang, shard); offsets broadcast back") {
+    val p = plan(graft.operators.Sampling.packSequences(Tables.documents(spark, dir)))
+    // the corpus-sized window must partition by lang AND shard — a
+    // lang-only window is the one-reducer-per-language cumsum this
+    // operator exists to avoid
+    assert("""hashpartitioning\(lang#\d+, shard#\d+""".r.findFirstIn(p).isDefined,
+      s"local prefix window not sharded:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"offsets join not broadcast:\n$p")
+  }
+
+  test("cell_sample: one window, keyed by the cell — never SinglePartition") {
+    val p = plan(graft.operators.Sampling.cellBalancedSample(Tables.embeddings(spark, dir)))
+    assert("""hashpartitioning\(cell#\d+""".r.findFirstIn(p).isDefined,
+      s"window not keyed by cell:\n$p")
+    assert(!p.contains("SinglePartition"), s"unkeyed window:\n$p")
+  }
+
+  test("source_mix: denominator is a 1-row broadcast, corpus aggregates once") {
+    val p = plan(graft.operators.Sampling.sourceMixture(Tables.documents(spark, dir)))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
+      s"denominator not broadcast:\n$p")
+    // exactly one aggregation pass over the corpus (partial+final pairs
+    // for the per-source agg and the 1-row denominator reduce)
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
   test("attribution (batch): hash equi-join on the user key, interval as residual") {
     import org.apache.spark.sql.functions.col
     val ev = Tables.events(spark, dir)
