@@ -144,7 +144,7 @@ object ScaleSmoke {
     // replicas get byte-identical texts (exact-dup families the bounded
     // design excludes); two independent windows give 18×19 = 342 targets
     require(docFactor <= 342, s"docFactor $docFactor exceeds distinct translate targets")
-    val docs = replicate("docs3", docFactor, // tag versions the generator formula
+    val docs = replicate("docs4", docFactor, // tag versions the generator formula
       Tables.documents(spark, dir), (crossed, n) =>
         crossed.select((col("doc_id") + col("rep") * n).as("doc_id"),
           when(col("rep") < 2, concat(col("text"), lit(" r"), col("rep")))
@@ -153,7 +153,8 @@ object ScaleSmoke {
                 |  substr('bcdfghjklmnpqrstvwxz', cast(pmod(rep, 18) as int) + 1, 3),
                 |  substr('bcdfghjklmnpqrstvwxz', cast(pmod(rep div 18, 19) as int) + 1, 2),
                 |  '_'))""".stripMargin))
-            .as("text")))
+            .as("text"),
+          col("lang")))
     // content-hash split, not id magnitude: sparse or offset id spaces
     // would make a value-threshold split degenerate to one empty side
     val half = graft.operators.Sampling.hashBucket(col("doc_id")) < 50
@@ -194,6 +195,21 @@ object ScaleSmoke {
     stage("simhash near-dup") { D.simhashNear(e).queryExecution.toRdd.count() }
     lshStats("simhash buckets 24/3",
       D.simhashBandedKeys(e, "vec_id", "embedding", 24, 3, 64), "vec_id")
+
+    // Round-8 additions. nCells scales with the corpus for the cell-
+    // partitioned ops (the granularity contract in their scaladoc): hold
+    // the MEAN cell at the sf0.1 size (2000/16 = 125 vectors) as the
+    // corpus grows, exactly how a production deployment would dial it.
+    val S = graft.operators.Sampling
+    val nc = math.max(16, (e.count() / 125).toInt)
+    stage(s"semantic dedup c$nc") {
+      D.semanticDedup(e, nCells = nc, tau = 0.4).queryExecution.toRdd.count()
+    }
+    stage("span dedup") { D.spanDedup(docs).queryExecution.toRdd.count() }
+    stage("pack sequences") { S.packSequences(docs).queryExecution.toRdd.count() }
+    stage(s"cell sample c$nc") {
+      S.cellBalancedSample(e, nCells = nc, perCell = 20).queryExecution.toRdd.count()
+    }
     spark.stop()
   }
 
