@@ -94,6 +94,27 @@ object SparkEntry {
       val bucket = Sampling.hashBucket(col("doc_id"))
       Dedup.ngramNearIncremental(d.where(bucket >= 50), d.where(bucket < 50))
     }),
+    // same admissions as the two incremental queries, but the reference
+    // side comes from the catalog-managed stored index (oracle identity
+    // with the inline variants is the index-correctness proof)
+    "dedup_incremental_indexed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{coalesce, col, lit, max => smax}
+      val d = Tables.documents(s, dir)
+      val off = d.agg(coalesce(smax(col("doc_id")), lit(0L))).head.getLong(0) + 1L
+      val bucket = Sampling.hashBucket(col("doc_id"))
+      val incoming = d.where(bucket >= 50)
+        .unionByName(d.where(bucket < 10)
+          .withColumn("doc_id", col("doc_id") + off))
+        .unionByName(d.where(bucket >= 95)
+          .withColumn("doc_id", col("doc_id") + 2L * off))
+      Dedup.exactIncrementalIndexed(s, dir, incoming)
+    }),
+    "dedup_near_incremental_indexed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = Tables.documents(s, dir)
+      val bucket = Sampling.hashBucket(col("doc_id"))
+      Dedup.ngramNearIncrementalIndexed(s, dir, d.where(bucket >= 50))
+    }),
     "decontaminate" -> ((s, dir) => Decontaminate.contamination(Tables.documents(s, dir))),
     "decontaminate_semantic" -> ((s, dir) =>
       Decontaminate.semanticContamination(Tables.embeddings(s, dir))),
@@ -621,6 +642,65 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Incremental exact-dedup oracle — shared by the inline and stored-index
+    * variants: the index is a cache of the reference fp set, so admissions
+    * must be byte-identical. */
+  private def dedupIncrementalSql: String =
+    """WITH b AS (SELECT doc_id, text,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS bucket
+      |  FROM documents),
+      |off AS (SELECT coalesce(max(doc_id), 0) + 1 AS o FROM documents),
+      |ref AS (SELECT DISTINCT sha256(text) AS fp FROM b WHERE bucket < 50),
+      |inc AS (SELECT doc_id, text FROM b WHERE bucket >= 50
+      |  UNION ALL SELECT doc_id + (SELECT o FROM off), text FROM b WHERE bucket < 10
+      |  UNION ALL SELECT doc_id + 2 * (SELECT o FROM off), text FROM b WHERE bucket >= 95),
+      |f AS (SELECT doc_id, sha256(text) AS fp FROM inc),
+      |m AS (SELECT f.doc_id, f.fp,
+      |    f.fp IN (SELECT fp FROM ref) AS seen_in_corpus,
+      |    f.doc_id = min(f.doc_id) OVER (PARTITION BY f.fp) AS first_in_batch
+      |  FROM f)
+      |SELECT doc_id, fp, seen_in_corpus, first_in_batch,
+      |  (NOT seen_in_corpus AND first_in_batch) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Incremental near-dedup oracle — shared by the inline and stored-index
+    * variants (same shingle/minhash/banding constants as ngramPairsSql,
+    * incoming = bucket >= 50, reference = bucket < 50; the final base is
+    * ALL incoming documents, restoring sub-n-char docs as admitted). */
+  private def dedupNearIncrementalSql: String =
+    """WITH sh AS MATERIALIZED (SELECT doc_id,
+      |    list_transform(
+      |      list_distinct(list_transform(range(0, length(text) - 7),
+      |        i -> substr(text, CAST(i + 1 AS BIGINT), 8))),
+      |      x -> CAST(('0x' || substr(md5(x), 1, 14))::UBIGINT AS BIGINT)) AS hs,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS bucket
+      |  FROM documents WHERE length(text) >= 8),
+      |mh AS MATERIALIZED (SELECT doc_id, bucket,
+      |    list_transform(range(0, 12),
+      |      sd -> list_min(list_transform(hs,
+      |        b -> xor(b, CAST(('0x' || substr(md5(CAST(sd AS VARCHAR)), 1, 14))::UBIGINT AS BIGINT))))) AS sig
+      |  FROM sh),
+      |bands AS (SELECT doc_id, bucket, u.band, u.key FROM (
+      |  SELECT doc_id, bucket, unnest(list_transform(range(0, 4), b ->
+      |    {'band': b, 'key': array_to_string(sig[b*3+1:b*3+3], '|')})) AS u FROM mh) q),
+      |cand AS (SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS ref_id
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      |         WHERE a.bucket >= 50 AND b.bucket < 50),
+      |v AS (SELECT c.inc_id, round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+      |        / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS j
+      |      FROM cand c
+      |      JOIN sh sa ON sa.doc_id = c.inc_id
+      |      JOIN sh sb ON sb.doc_id = c.ref_id),
+      |nears AS (SELECT inc_id, count(*) AS n_near, max(j) AS max_jaccard
+      |          FROM v WHERE j >= 0.5 GROUP BY inc_id)
+      |SELECT d.doc_id, CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near,
+      |  coalesce(n.max_jaccard, 0.0) AS max_jaccard,
+      |  coalesce(n.n_near, 0) = 0 AS keep
+      |FROM (SELECT doc_id FROM documents
+      |      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 >= 50) d
+      |LEFT JOIN nears n ON n.inc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "topk_single" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -802,57 +882,13 @@ object SparkEntry {
     // incoming (bucket >= 50) vs reference (bucket < 50) sides; the final
     // base is ALL incoming documents (not just shingled ones) to mirror
     // the operator's left join restoring sub-n-char docs as admitted
-    "dedup_near_incremental" ->
-      """WITH sh AS MATERIALIZED (SELECT doc_id,
-        |    list_transform(
-        |      list_distinct(list_transform(range(0, length(text) - 7),
-        |        i -> substr(text, CAST(i + 1 AS BIGINT), 8))),
-        |      x -> CAST(('0x' || substr(md5(x), 1, 14))::UBIGINT AS BIGINT)) AS hs,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS bucket
-        |  FROM documents WHERE length(text) >= 8),
-        |mh AS MATERIALIZED (SELECT doc_id, bucket,
-        |    list_transform(range(0, 12),
-        |      sd -> list_min(list_transform(hs,
-        |        b -> xor(b, CAST(('0x' || substr(md5(CAST(sd AS VARCHAR)), 1, 14))::UBIGINT AS BIGINT))))) AS sig
-        |  FROM sh),
-        |bands AS (SELECT doc_id, bucket, u.band, u.key FROM (
-        |  SELECT doc_id, bucket, unnest(list_transform(range(0, 4), b ->
-        |    {'band': b, 'key': array_to_string(sig[b*3+1:b*3+3], '|')})) AS u FROM mh) q),
-        |cand AS (SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS ref_id
-        |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-        |         WHERE a.bucket >= 50 AND b.bucket < 50),
-        |v AS (SELECT c.inc_id, round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
-        |        / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS j
-        |      FROM cand c
-        |      JOIN sh sa ON sa.doc_id = c.inc_id
-        |      JOIN sh sb ON sb.doc_id = c.ref_id),
-        |nears AS (SELECT inc_id, count(*) AS n_near, max(j) AS max_jaccard
-        |          FROM v WHERE j >= 0.5 GROUP BY inc_id)
-        |SELECT d.doc_id, CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near,
-        |  coalesce(n.max_jaccard, 0.0) AS max_jaccard,
-        |  coalesce(n.n_near, 0) = 0 AS keep
-        |FROM (SELECT doc_id FROM documents
-        |      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 >= 50) d
-        |LEFT JOIN nears n ON n.inc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "dedup_near_incremental" -> dedupNearIncrementalSql,
+    "dedup_near_incremental_indexed" -> dedupNearIncrementalSql,
 
-    "dedup_incremental" ->
-      """WITH b AS (SELECT doc_id, text,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS bucket
-        |  FROM documents),
-        |off AS (SELECT coalesce(max(doc_id), 0) + 1 AS o FROM documents),
-        |ref AS (SELECT DISTINCT sha256(text) AS fp FROM b WHERE bucket < 50),
-        |inc AS (SELECT doc_id, text FROM b WHERE bucket >= 50
-        |  UNION ALL SELECT doc_id + (SELECT o FROM off), text FROM b WHERE bucket < 10
-        |  UNION ALL SELECT doc_id + 2 * (SELECT o FROM off), text FROM b WHERE bucket >= 95),
-        |f AS (SELECT doc_id, sha256(text) AS fp FROM inc),
-        |m AS (SELECT f.doc_id, f.fp,
-        |    f.fp IN (SELECT fp FROM ref) AS seen_in_corpus,
-        |    f.doc_id = min(f.doc_id) OVER (PARTITION BY f.fp) AS first_in_batch
-        |  FROM f)
-        |SELECT doc_id, fp, seen_in_corpus, first_in_batch,
-        |  (NOT seen_in_corpus AND first_in_batch) AS keep
-        |FROM m ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" -> dedupIncrementalSql,
+    // the indexed variant must produce BYTE-IDENTICAL admissions — the
+    // stored index is a cache of the reference fp set, nothing more
+    "dedup_incremental_indexed" -> dedupIncrementalSql,
 
     "decontaminate" ->
       """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -50,19 +50,55 @@ object Dedup {
     * is [[exact]]'s min-id window over the (much smaller) batch. Both
     * shuffles key on the fingerprint — co-partitioned, AQE-coalesced. */
   def exactIncremental(incoming: DataFrame, reference: DataFrame,
-                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val refFps = reference
-      .select(sha2(col(textCol), 256).as("fp")).distinct()
-      .withColumn("in_ref", lit(true))
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    admitAgainstFps(incoming,
+      reference.select(sha2(col(textCol), 256).as("fp")).distinct(),
+      idCol, textCol)
+
+  /** The admission half of [[exactIncremental]], shared with the indexed
+    * variant: `refFps` is a DISTINCT `fp` column — computed inline or read
+    * from the stored index. */
+  private def admitAgainstFps(incoming: DataFrame, refFps: DataFrame,
+                              idCol: String, textCol: String): DataFrame = {
     val byFp = Window.partitionBy(col("fp"))
     incoming
       .select(col(idCol), sha2(col(textCol), 256).as("fp"))
-      .join(refFps, Seq("fp"), "left")
+      .join(refFps.withColumn("in_ref", lit(true)), Seq("fp"), "left")
       .withColumn("seen_in_corpus", coalesce(col("in_ref"), lit(false)))
       .withColumn("first_in_batch", col(idCol) === min(col(idCol)).over(byFp))
       .select(col(idCol), col("fp"), col("seen_in_corpus"), col("first_in_batch"),
         (!col("seen_in_corpus") && col("first_in_batch")).as("keep"))
       .orderBy(col(idCol))
+  }
+
+  /** [[exactIncremental]] against a CATALOG-MANAGED fingerprint index —
+    * the production shape: the reference corpus's distinct-fp table is
+    * built once, registered in the `GraftDatabase` index manifest
+    * (fingerprint-versioned like the ANN/IVF/PQ indexes), and every batch
+    * admission reads the stored index instead of re-hashing history. The
+    * reference side is the `hashBucket(doc_id) < refBucketMax` slice of
+    * the documents table (recorded in the index params, so a probe with a
+    * different slice is a definition mismatch, never silently served).
+    *
+    * Scale: per-snapshot cost drops from O(batch + |history| hash+distinct)
+    * to O(batch + index equi-join); the index itself is maintained by the
+    * orchestrator on corpus appends (staleness is detected, policy decides
+    * rebuild-vs-fail). */
+  def exactIncrementalIndexed(spark: SparkSession, dir: String, incoming: DataFrame,
+                              refBucketMax: Int = 50,
+                              idCol: String = "doc_id", textCol: String = "text",
+                              policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
+    val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
+      name = s"documents-dedup-fp-b$refBucketMax", kind = "dedup-fp",
+      sourcePath = s"$dir/documents.parquet",
+      params = Map("refBucketMax" -> refBucketMax.toString, "algo" -> "sha256"),
+      policy = policy) { out =>
+      graft.core.Tables.documents(spark, dir)
+        .where(Sampling.hashBucket(col(idCol)) < refBucketMax)
+        .select(sha2(col(textCol), 256).as("fp")).distinct()
+        .write.mode("overwrite").parquet(out)
+    }
+    admitAgainstFps(incoming, spark.read.parquet(idx.path), idCol, textCol)
   }
 
   /** Candidate pairs from LSH buckets, shared by every near-dup family:
@@ -254,9 +290,46 @@ object Dedup {
   def ngramNearIncremental(incoming: DataFrame, reference: DataFrame,
                            idCol: String = "doc_id", textCol: String = "text",
                            n: Int = 8, seeds: Int = 12, bands: Int = 4,
-                           jaccardThreshold: Double = 0.5): DataFrame = {
+                           jaccardThreshold: Double = 0.5): DataFrame =
+    nearIncrementalAgainst(incoming, ngramShingled(reference, idCol, textCol, n),
+      idCol, textCol, n, seeds, bands, jaccardThreshold)
+
+  /** [[ngramNearIncremental]] against a CATALOG-MANAGED shingle index: the
+    * stored table is the reference side's `(doc_id, hs)` hashed-shingle
+    * sets — the md5-per-shingle projection that dominates the mine's cost
+    * — so batch admission re-derives band keys from stored hashes by
+    * integer arithmetic only, and history text is never re-shingled.
+    * Same registry contract as [[exactIncrementalIndexed]]. */
+  def ngramNearIncrementalIndexed(spark: SparkSession, dir: String, incoming: DataFrame,
+                                  refBucketMax: Int = 50,
+                                  idCol: String = "doc_id", textCol: String = "text",
+                                  n: Int = 8, seeds: Int = 12, bands: Int = 4,
+                                  jaccardThreshold: Double = 0.5,
+                                  policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
+    val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
+      name = s"documents-dedup-band-b$refBucketMax-n$n", kind = "dedup-band",
+      sourcePath = s"$dir/documents.parquet",
+      params = Map("refBucketMax" -> refBucketMax.toString, "n" -> n.toString,
+        "seeds" -> seeds.toString, "bands" -> bands.toString),
+      policy = policy) { out =>
+      ngramShingled(
+        graft.core.Tables.documents(spark, dir)
+          .where(Sampling.hashBucket(col(idCol)) < refBucketMax),
+        idCol, textCol, n)
+        .write.mode("overwrite").parquet(out)
+    }
+    nearIncrementalAgainst(incoming, spark.read.parquet(idx.path),
+      idCol, textCol, n, seeds, bands, jaccardThreshold)
+  }
+
+  /** The admission half of the near-dup incremental family: `shRef` is the
+    * reference side's `(doc_id, hs)` shingle table — computed inline or
+    * read from the stored index. */
+  private def nearIncrementalAgainst(incoming: DataFrame, shRef: DataFrame,
+                                     idCol: String, textCol: String,
+                                     n: Int, seeds: Int, bands: Int,
+                                     jaccardThreshold: Double): DataFrame = {
     val shInc = ngramShingled(incoming, idCol, textCol, n)
-    val shRef = ngramShingled(reference, idCol, textCol, n)
     val cand = ngramBandKeys(shInc, seeds, bands)
       .withColumnRenamed("doc_id", "inc_id")
       .join(ngramBandKeys(shRef, seeds, bands).withColumnRenamed("doc_id", "ref_id"),

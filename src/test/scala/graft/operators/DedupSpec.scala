@@ -226,4 +226,45 @@ class DedupSpec extends SparkSpec {
     // not degenerate: both signs appear
     assert(p1.flatten.toSet == Set(1.0, -1.0))
   }
+
+  test("indexed incremental dedup: equals inline, index built once then served") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+    val bucket = Sampling.hashBucket(col("doc_id"))
+    val incoming = docs.where(bucket >= 50)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4))).toSeq
+    val inline = rows(Dedup.exactIncremental(incoming, docs.where(bucket < 50)))
+    val reg = CatalogOps.indexRegistry(spark, dir)
+    val name = "documents-dedup-fp-b50"
+    if (reg.isIndexRegistered(name)) reg.dropIndex(name)
+    intercept[graft.core.GraftException] {
+      Dedup.exactIncrementalIndexed(spark, dir, incoming,
+        policy = graft.core.IndexPolicy.FailIfMissing).collect()
+    }
+    assert(rows(Dedup.exactIncrementalIndexed(spark, dir, incoming)) == inline)
+    // registry instances are manifest-backed: a fresh handle sees the build
+    val built = CatalogOps.indexRegistry(spark, dir).getIndex(name)
+    // second probe serves the stored index: same version, no rebuild
+    assert(rows(Dedup.exactIncrementalIndexed(spark, dir, incoming)) == inline)
+    assert(CatalogOps.indexRegistry(spark, dir).getIndex(name).version == built.version)
+  }
+
+  test("indexed incremental near-dedup: equals inline against the stored shingle index") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+    val bucket = Sampling.hashBucket(col("doc_id"))
+    val incoming = docs.where(bucket >= 50)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    val inline = rows(Dedup.ngramNearIncremental(incoming, docs.where(bucket < 50)))
+    val reg = CatalogOps.indexRegistry(spark, dir)
+    val name = "documents-dedup-band-b50-n8"
+    if (reg.isIndexRegistered(name)) reg.dropIndex(name)
+    assert(rows(Dedup.ngramNearIncrementalIndexed(spark, dir, incoming)) == inline)
+    val built = CatalogOps.indexRegistry(spark, dir).getIndex(name)
+    assert(rows(Dedup.ngramNearIncrementalIndexed(spark, dir, incoming)) == inline)
+    assert(CatalogOps.indexRegistry(spark, dir).getIndex(name).version == built.version)
+  }
 }
