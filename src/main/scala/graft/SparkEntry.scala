@@ -135,6 +135,7 @@ object SparkEntry {
     "token_topk"   -> ((s, dir) => TextAnalysis.tokenTopK(Tables.documents(s, dir), 20)),
     "token_drift"  -> ((s, dir) => TextAnalysis.tokenDrift(Tables.documents(s, dir), 20)),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
+    "lang_id"      -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "doc_winnow"   -> ((s, dir) => TextAnalysis.winnowFingerprints(Tables.documents(s, dir))),
     "text_normalize" -> ((s, dir) => TextAnalysis.normalize(Tables.documents(s, dir))),
@@ -1201,6 +1202,34 @@ object SparkEntry {
         |       ELSE 'und' END AS lang_guess,
         |  md5(lower(text)) AS fp
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    // marker lists must stay IDENTICAL to TextAnalysis.LangMarkers; CASE
+    // order (de,en,es,fr,zh) is the alphabetical tie-break contract
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_transform(list_filter(string_split(text, ' '), x -> x != ''), x -> lower(x)) AS tl
+        |  FROM documents),
+        |h AS (SELECT doc_id, lang, len(tl) AS n_tok,
+        |    len(list_filter(tl, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','eine','zu'], x))) AS h_de,
+        |    len(list_filter(tl, x -> list_contains(['the','and','of','to','is','in','that','it','for','a'], x))) AS h_en,
+        |    len(list_filter(tl, x -> list_contains(['el','los','las','que','y','un','una','por','con','para'], x))) AS h_es,
+        |    len(list_filter(tl, x -> list_contains(['le','les','et','est','une','du','dans','pour','sur','pas'], x))) AS h_fr,
+        |    len(list_filter(tl, x -> list_contains(['的','是','在','了','和','有','我','不','这','人'], x))) AS h_zh
+        |  FROM t),
+        |p AS (SELECT doc_id, lang, n_tok, h_de, h_en, h_es, h_fr, h_zh,
+        |    greatest(h_de, h_en, h_es, h_fr, h_zh) AS best,
+        |    CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+        |         WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+        |         WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+        |         WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+        |         WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+        |         ELSE 'zh' END AS pred_lang
+        |  FROM h)
+        |SELECT doc_id, pred_lang, CAST(best AS BIGINT) AS best_hits,
+        |  CAST(n_tok AS BIGINT) AS n_tok,
+        |  CASE WHEN n_tok = 0 THEN 0.0 ELSE round(best::DOUBLE / n_tok, 6) END AS lang_score,
+        |  pred_lang = lang AS matches_label
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "pq_err" ->
       s"""WITH ${pqRecSql()},

@@ -73,6 +73,53 @@ object TextAnalysis {
     * punctuation run. */
   val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
 
+  /** Marker-token profiles for [[langId]]: per language, its highest-
+    * frequency function words (the degenerate-but-deterministic core of the
+    * n-gram-profile language detectors — CLD/fastText reduce to exactly
+    * this signal for short formal text). Alphabetical language order is the
+    * tie-break contract. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "a"),
+    "es" -> Seq("el", "los", "las", "que", "y", "un", "una", "por", "con", "para"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "du", "dans", "pour", "sur", "pas"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "人"))
+
+  /** Language-ID per document: count lowercase whitespace-token occurrences
+    * against each [[LangMarkers]] profile, predict the argmax —
+    * alphabetically FIRST language on ties, `und` (undetermined) when no
+    * marker hits at all. `lang_score` = best hits / tokens; `matches_label`
+    * audits the prediction against the table's `lang` column.
+    *
+    * Scale: pure narrow per-row array expressions — one scan, no shuffle,
+    * no joins; the marker sets are folded literals (a few hundred bytes),
+    * never a broadcast table. Occurrences (not distinct markers) are
+    * counted, so a long document's signal does not saturate. */
+  def langId(docs: DataFrame): DataFrame = {
+    def hitsExpr(markers: Seq[String]): String = {
+      val arr = markers.map(m => s"'$m'").mkString("array(", ",", ")")
+      s"cast(size(filter(tl, x -> array_contains($arr, x))) as bigint)"
+    }
+    val withHits = docs
+      .select(col("doc_id"), col("lang"),
+        expr("transform(filter(split(text, ' '), x -> x != ''), x -> lower(x))").as("tl"))
+      .select(Seq(col("doc_id"), col("lang"), size(col("tl")).cast("bigint").as("n_tok")) ++
+        LangMarkers.map { case (l, ms) => expr(hitsExpr(ms)).as(s"hits_$l") }: _*)
+    val best = greatest(LangMarkers.map { case (l, _) => col(s"hits_$l") }: _*)
+    val pred = LangMarkers.foldLeft(when(best === 0, lit("und"))) {
+      case (acc, (l, _)) => acc.when(col(s"hits_$l") === best, lit(l))
+    }
+    withHits
+      .withColumn("best_hits", best)
+      .withColumn("pred_lang", pred)
+      .select(col("doc_id"), col("pred_lang"), col("best_hits"), col("n_tok"),
+        when(col("n_tok") === 0, lit(0.0))
+          .otherwise(round(col("best_hits").cast("double") / col("n_tok"), 6))
+          .as("lang_score"),
+        (col("pred_lang") === col("lang")).as("matches_label"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token accounting per document: whitespace tokens vs BPE-ish
     * pre-tokenizer pieces — the sizing signal an LLM-data pipeline uses for
     * budget estimates. Narrow, single scan. */

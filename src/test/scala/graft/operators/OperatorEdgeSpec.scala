@@ -348,4 +348,27 @@ class OperatorEdgeSpec extends SparkSpec {
       assert(r.getLong(1) > 0 && r.getLong(2) > 0)
     }
   }
+
+  test("langId: marker majority wins, alphabetical tie-break, und/empty edges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "de", "der Hund und die Katze ist nicht hier"), // 5 de hits
+      (2L, "en", "the cat and the dog is in a house"),     // 6 en hits (occurrences)
+      (3L, "fr", "le chat et le chien dans une maison"),   // 5 fr hits
+      (4L, "en", "zzz qqq xxx"),                           // no markers -> und
+      (5L, "zh", "的 是 猫 在 了"),                          // 4 zh hits
+      (6L, "es", ""),                                      // empty -> und, score 0
+      (7L, "en", "und the")                                // 1 de vs 1 en tie -> de (alphabetical)
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langId(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(out(1L) == (("de", 5L, 8L, 0.625, true)))
+    assert(out(2L) == (("en", 6L, 9L, 0.666667, true)))
+    assert(out(3L) == (("fr", 5L, 8L, 0.625, true)))
+    assert(out(4L) == (("und", 0L, 3L, 0.0, false)))
+    assert(out(5L) == (("zh", 4L, 5L, 0.8, true)))
+    assert(out(6L) == (("und", 0L, 0L, 0.0, false)))
+    assert(out(7L) == (("de", 1L, 2L, 0.5, false)))
+  }
 }
