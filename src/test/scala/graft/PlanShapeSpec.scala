@@ -233,4 +233,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"degenerated to a pairwise time join:\n$p")
   }
+
+  test("indexed incremental dedup: reference side reads the stored index, not documents") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+    val incoming = docs.where(graft.operators.Sampling.hashBucket(col("doc_id")) >= 50)
+    // ensure both indexes exist (BuildIfMissing), then assert the probe
+    // plan's reference side comes from the stored index under the catalog's
+    // _indexes root: documents.parquet appears strictly FEWER times than in
+    // the inline plan (only the incoming-side scans remain — 1 for exact,
+    // 3 for near: shingle mine, jaccard join-back, final restore)
+    def docScans(p: String) = "documents\\.parquet".r.findAllIn(p).length
+    val reference = docs.where(graft.operators.Sampling.hashBucket(col("doc_id")) < 50)
+    for ((probe, inline, idxKind) <- Seq(
+      (() => graft.operators.Dedup.exactIncrementalIndexed(spark, dir, incoming),
+        () => graft.operators.Dedup.exactIncremental(incoming, reference), "dedup-fp"),
+      (() => graft.operators.Dedup.ngramNearIncrementalIndexed(spark, dir, incoming),
+        () => graft.operators.Dedup.ngramNearIncremental(incoming, reference), "dedup-band"))) {
+      probe().collect() // builds on first touch
+      val p = plan(probe())
+      assert(docScans(p) < docScans(plan(inline())),
+        s"$idxKind: indexed plan still scans documents as often as inline:\n$p")
+      assert(p.contains("_indexes"), s"$idxKind: stored index not in the scan path:\n$p")
+    }
+  }
 }
