@@ -167,6 +167,47 @@ object ScaleSmoke {
         .queryExecution.toRdd.count()
     }
 
+    // Round-8 indexed incremental dedup: the same admissions served by the
+    // CATALOG-MANAGED stored index. A dir-shaped view of the replicated
+    // corpus backs the registry (the API is dir-coupled by design — an
+    // index belongs to a catalog, not a DataFrame). Stage #1 pays the
+    // one-time index build (dropped first so the measurement is honest);
+    // stage #2 is the steady-state per-batch cost a pipeline actually pays
+    // — history is never re-hashed (exact) or re-shingled (near).
+    val scaleDir = s"${sys.props("java.io.tmpdir")}/graft-scale-sfdir-$dirHash-$docFactor"
+    locally {
+      val link = java.nio.file.Paths.get(scaleDir, "documents.parquet")
+      java.nio.file.Files.createDirectories(link.getParent)
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(
+          s"${sys.props("java.io.tmpdir")}/graft-scale-docs4-$dirHash-$docFactor"))
+    }
+    def dropIfRegistered(name: String): Unit = {
+      val reg = graft.operators.CatalogOps.indexRegistry(spark, scaleDir)
+      if (reg.isIndexRegistered(name)) reg.dropIndex(name)
+    }
+    dropIfRegistered("documents-dedup-fp-b50")
+    stage("incr exact IDX build") {
+      graft.operators.Dedup.exactIncrementalIndexed(spark, scaleDir, docs.where(!half))
+        .queryExecution.toRdd.count()
+    }
+    stage("incr exact IDX probe") {
+      graft.operators.Dedup.exactIncrementalIndexed(spark, scaleDir, docs.where(!half))
+        .queryExecution.toRdd.count()
+    }
+    dropIfRegistered("documents-dedup-band-b50-n8")
+    stage("incr near IDX build") {
+      graft.operators.Dedup.ngramNearIncrementalIndexed(spark, scaleDir, docs.where(!half))
+        .queryExecution.toRdd.count()
+    }
+    stage("incr near IDX probe") {
+      graft.operators.Dedup.ngramNearIncrementalIndexed(spark, scaleDir, docs.where(!half))
+        .queryExecution.toRdd.count()
+    }
+    stage("lang id") {
+      graft.operators.TextAnalysis.langId(docs).queryExecution.toRdd.count()
+    }
+
     // LSH dial measurements (the PLANS.md scale table): per near-dup
     // family, the banded bucket histogram — max bucket size and the
     // in-bucket pair upper bound Σ c·(c−1)/2 — plus the DISTINCT candidate
