@@ -186,8 +186,10 @@ object ScaleSmoke {
       val reg = graft.operators.CatalogOps.indexRegistry(spark, scaleDir)
       if (reg.isIndexRegistered(name)) reg.dropIndex(name)
     }
-    dropIfRegistered("documents-dedup-fp-b50")
+    // the drop lives INSIDE the build stage so an isolated probe run
+    // (SPARK_GRAFT_SMOKE_ONLY="incr near IDX probe") reuses a prior build
     stage("incr exact IDX build") {
+      dropIfRegistered("documents-dedup-fp-b50")
       graft.operators.Dedup.exactIncrementalIndexed(spark, scaleDir, docs.where(!half))
         .queryExecution.toRdd.count()
     }
@@ -195,8 +197,8 @@ object ScaleSmoke {
       graft.operators.Dedup.exactIncrementalIndexed(spark, scaleDir, docs.where(!half))
         .queryExecution.toRdd.count()
     }
-    dropIfRegistered("documents-dedup-band-b50-n8")
     stage("incr near IDX build") {
+      dropIfRegistered("documents-dedup-band-b50-n8")
       graft.operators.Dedup.ngramNearIncrementalIndexed(spark, scaleDir, docs.where(!half))
         .queryExecution.toRdd.count()
     }

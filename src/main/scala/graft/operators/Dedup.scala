@@ -142,21 +142,27 @@ object Dedup {
     * not surface the recall loss. Measured bucket bound with r=2/b=6 at
     * sf0.1: max 5 docs/bucket, 812 candidates for 256 true pairs.
     *
-    * The explicit pinned repartition parallelizes the hash stage off the
-    * source file's split count (single small file = one-core stage
-    * otherwise; AQE would coalesce an unpinned exchange right back); all
-    * downstream branches, including both verification sides, reuse the
-    * one exchange. */
+    * The explicit pinned repartition sits ABOVE the shingle-hash
+    * projection, so the exchange carries the hashed shingle sets and every
+    * downstream branch — banding plus both verification join-backs —
+    * reads the md5 work from the one ReusedExchange instead of recomputing
+    * it per consumer (measured at 50k docs: the recompute made incremental
+    * admission 49 s vs ~17 s with the projection below the exchange). The
+    * pin also parallelizes the hash stage off the source file's split
+    * count (single small file = one-core stage otherwise; AQE would
+    * coalesce an unpinned exchange right back). Shuffle bytes grow (hs
+    * arrays vs raw text) but stay linear in corpus size — CPU×3 for
+    * IO×~8 on a shuffle that is small relative to the verify join. */
   /** Word-shingle 56-bit hash sets — the minhash family's shingling pass
     * (same (doc_id, hs) contract as [[ngramShingled]], so the banding and
     * verification plumbing is shared). */
   private[graft] def minhashShingled(docs: DataFrame, idCol: String, textCol: String,
                                      shingleSize: Int): DataFrame =
     docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"),
         LshFunctions.word_shingle_hash56(col(textCol), shingleSize).as("hs"))
       .where(size(col("hs")) > 0)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
 
   def minhashNear(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                   shingleSize: Int = 3, seeds: Int = 12, bands: Int = 6,
@@ -238,10 +244,10 @@ object Dedup {
   private[graft] def ngramShingled(docs: DataFrame, idCol: String, textCol: String,
                                    n: Int): DataFrame =
     docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"),
         LshFunctions.char_shingle_hash56(col(textCol), n).as("hs"))
       .where(size(col("hs")) > 0)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
 
   /** (doc_id, band, key) banded minhash signature keys over a shingled
     * table — the LSH bucketing every ngram variant joins on. */
@@ -290,15 +296,20 @@ object Dedup {
   def ngramNearIncremental(incoming: DataFrame, reference: DataFrame,
                            idCol: String = "doc_id", textCol: String = "text",
                            n: Int = 8, seeds: Int = 12, bands: Int = 4,
-                           jaccardThreshold: Double = 0.5): DataFrame =
-    nearIncrementalAgainst(incoming, ngramShingled(reference, idCol, textCol, n),
+                           jaccardThreshold: Double = 0.5): DataFrame = {
+    val shRef = ngramShingled(reference, idCol, textCol, n)
+    nearIncrementalAgainst(incoming, shRef, ngramBandKeys(shRef, seeds, bands),
       idCol, textCol, n, seeds, bands, jaccardThreshold)
+  }
 
-  /** [[ngramNearIncremental]] against a CATALOG-MANAGED shingle index: the
-    * stored table is the reference side's `(doc_id, hs)` hashed-shingle
-    * sets — the md5-per-shingle projection that dominates the mine's cost
-    * — so batch admission re-derives band keys from stored hashes by
-    * integer arithmetic only, and history text is never re-shingled.
+  /** [[ngramNearIncremental]] against a CATALOG-MANAGED shingle index,
+    * stored as TWO tables under the index path: `bands` — the reference
+    * side's (doc_id, band, key) LSH keys, the small table candidate
+    * generation equi-joins — and `hs` — the (doc_id, hs) hashed-shingle
+    * sets the Jaccard verify reads for matched candidates only. Splitting
+    * them means a probe never pays the wide-array parquet decode to derive
+    * band keys (the dominant stored-side cost when both lived in one
+    * table); history text is never re-shingled at all.
     * Same registry contract as [[exactIncrementalIndexed]]. */
   def ngramNearIncrementalIndexed(spark: SparkSession, dir: String, incoming: DataFrame,
                                   refBucketMax: Int = 50,
@@ -310,30 +321,35 @@ object Dedup {
       name = s"documents-dedup-band-b$refBucketMax-n$n", kind = "dedup-band",
       sourcePath = s"$dir/documents.parquet",
       params = Map("refBucketMax" -> refBucketMax.toString, "n" -> n.toString,
-        "seeds" -> seeds.toString, "bands" -> bands.toString),
+        "seeds" -> seeds.toString, "bands" -> bands.toString,
+        "layout" -> "bands+hs"),
       policy = policy) { out =>
-      ngramShingled(
+      val sh = ngramShingled(
         graft.core.Tables.documents(spark, dir)
           .where(Sampling.hashBucket(col(idCol)) < refBucketMax),
         idCol, textCol, n)
-        .write.mode("overwrite").parquet(out)
+      sh.write.mode("overwrite").parquet(s"$out/hs")
+      ngramBandKeys(spark.read.parquet(s"$out/hs"), seeds, bands)
+        .write.mode("overwrite").parquet(s"$out/bands")
     }
-    nearIncrementalAgainst(incoming, spark.read.parquet(idx.path),
+    nearIncrementalAgainst(incoming, spark.read.parquet(s"${idx.path}/hs"),
+      spark.read.parquet(s"${idx.path}/bands"),
       idCol, textCol, n, seeds, bands, jaccardThreshold)
   }
 
-  /** The admission half of the near-dup incremental family: `shRef` is the
-    * reference side's `(doc_id, hs)` shingle table — computed inline or
-    * read from the stored index. */
+  /** The admission half of the near-dup incremental family: `shRef` /
+    * `refBands` are the reference side's (doc_id, hs) shingle table and
+    * its (doc_id, band, key) LSH keys — computed inline or read from the
+    * stored index. */
   private def nearIncrementalAgainst(incoming: DataFrame, shRef: DataFrame,
+                                     refBands: DataFrame,
                                      idCol: String, textCol: String,
                                      n: Int, seeds: Int, bands: Int,
                                      jaccardThreshold: Double): DataFrame = {
     val shInc = ngramShingled(incoming, idCol, textCol, n)
     val cand = ngramBandKeys(shInc, seeds, bands)
       .withColumnRenamed("doc_id", "inc_id")
-      .join(ngramBandKeys(shRef, seeds, bands).withColumnRenamed("doc_id", "ref_id"),
-        Seq("band", "key"))
+      .join(refBands.withColumnRenamed("doc_id", "ref_id"), Seq("band", "key"))
       .select(col("inc_id"), col("ref_id")).distinct()
     val near = cand
       .join(shInc.select(col("doc_id").as("inc_id"), col("hs").as("sa")), Seq("inc_id"))
