@@ -268,6 +268,60 @@ object Streaming {
       }
       .start()
 
+  /** Continuous NEAR-dedup admission gate: per micro-batch, (1) mine
+    * near-dup pairs WITHIN the batch and keep one representative per
+    * family ([[graft.operators.Dedup.ngramNear]] + `resolveKeepers` — an
+    * at-least-once source replays and re-crawls near-identical pages
+    * inside one batch too), then (2) check survivors against the
+    * CATALOG-MANAGED stored shingle index of the reference corpus
+    * ([[graft.operators.Dedup.ngramNearIncrementalIndexed]]) and hand only
+    * corpus-fresh documents to `sink`. The gate itself is STATELESS given
+    * the index — restart replays produce identical admissions (same index
+    * version, same batch ⇒ same verdicts), so the checkpoint alone gives
+    * idempotent delivery to an idempotent sink.
+    *
+    * The index is resolved per batch under `policy` (default
+    * [[graft.core.IndexPolicy.FailIfMissing]]: an admission gate should
+    * never silently pay a full history re-shingle — build the index
+    * explicitly, or pass BuildIfMissing in tests). Index maintenance is
+    * the orchestrator's: admitted batches do NOT update the index
+    * (near-dup admission within the stream's own history is the in-batch
+    * mine; cross-batch stream self-dedup belongs to the periodic batch
+    * pass, exactly like [[streamIngestDeduped]]'s contract).
+    *
+    * Scale shape per batch: the in-batch mine is the banded equi-join on
+    * batch-sized input; the index probe is O(batch) — band keys equi-join
+    * the stored tiny bands table, shingle sets decode only for matched
+    * candidates. Nothing scans, shuffles, or rewrites history. */
+  def streamNearDedupAdmit(spark: SparkSession, dir: String, docs: DataFrame,
+                           checkpointDir: String,
+                           refBucketMax: Int = 100, // whole corpus — the oracle's 50-bucket split is a test device
+                           n: Int = 8, seeds: Int = 12, bands: Int = 4,
+                           jaccardThreshold: Double = 0.5,
+                           policy: graft.core.IndexPolicy = graft.core.IndexPolicy.FailIfMissing)
+                          (sink: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val D = graft.operators.Dedup
+          val pairs = D.ngramNear(batch, n = n, seeds = seeds, bands = bands,
+            jaccardThreshold = jaccardThreshold)
+          val batchKept = batch.join(
+            D.resolveKeepers(batch, pairs).where(col("keep")).select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          val admitted = batchKept.join(
+            D.ngramNearIncrementalIndexed(spark, dir, batchKept,
+                refBucketMax = refBucketMax, n = n, seeds = seeds, bands = bands,
+                jaccardThreshold = jaccardThreshold, policy = policy)
+              .where(col("keep")).select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          sink(admitted)
+        }
+      }
+      .start()
+
   /** Continuous collection ingest: any streaming (id, chunk) text source →
     * per-micro-batch chunk/embed/validate/append through the SAME batch
     * pipeline (Ingest.makeRecords + GraftDatabase.addRecords). Exactly-once

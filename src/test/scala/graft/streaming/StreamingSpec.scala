@@ -287,4 +287,42 @@ class StreamingSpec extends SparkSpec {
     val expected = graft.core.Embedders.hashProjection(8)("first streamed chunk".getBytes("UTF-8"))
     assert(got.head.getSeq[Double](3) == expected.toSeq)
   }
+
+  test("streamNearDedupAdmit: in-batch family collapsed, corpus near-dups dropped, gate fails without index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-neargate-").toString
+    val refText = "the reference corpus already contains this long boilerplate paragraph body"
+    Seq((1L, refText, "en"),
+        (2L, "another stored document with completely unrelated wording throughout", "en"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
+
+    val mem = MemoryStream[(Long, String)]
+    val freshA = "genuinely novel content nothing in the corpus resembles even slightly"
+    mem.addData(
+      (10L, refText + " x"),  // near-dup of stored doc 1 -> dropped at the index gate
+      (11L, freshA),          // fresh -> admitted
+      (12L, freshA + " y"),   // in-batch near-dup family {11,12} -> 11 keeps
+      (13L, "a second novel document sharing no eight character runs with anything"))
+    val docs = mem.toDF().toDF("doc_id", "text")
+
+    // FailIfMissing is the production default: no index -> the batch errors
+    // instead of silently re-shingling history
+    val qFail = Streaming.streamNearDedupAdmit(spark, dir, docs,
+      Files.createTempDirectory("graft-neargate-ckpt-").toString)(_ => ())
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try qFail.processAllAvailable() finally qFail.stop()
+    }
+    assert(err.getMessage.contains("is not built"), err.getMessage)
+
+    // build the index (whole corpus), then the gate admits exactly {11, 13}
+    graft.operators.Dedup.ngramNearIncrementalIndexed(spark, dir,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), refBucketMax = 100,
+      policy = graft.core.IndexPolicy.BuildIfMissing).collect()
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streaming.streamNearDedupAdmit(spark, dir, docs,
+      Files.createTempDirectory("graft-neargate-ckpt-").toString)(
+      b => admitted ++= b.select(col("doc_id")).collect().map(_.getLong(0)))
+    try q.awaitTermination(120000) finally q.stop()
+    assert(admitted.sorted == Seq(11L, 13L), s"admitted: $admitted")
+  }
 }
