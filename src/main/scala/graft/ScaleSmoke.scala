@@ -189,7 +189,7 @@ object ScaleSmoke {
     // the drop lives INSIDE the build stage so an isolated probe run
     // (SPARK_GRAFT_SMOKE_ONLY="incr near IDX probe") reuses a prior build
     stage("incr exact IDX build") {
-      dropIfRegistered("documents-dedup-fp-b50")
+      dropIfRegistered("documents-dedup-fp2-b50")
       graft.operators.Dedup.exactIncrementalIndexed(spark, scaleDir, docs.where(!half))
         .queryExecution.toRdd.count()
     }
@@ -198,7 +198,7 @@ object ScaleSmoke {
         .queryExecution.toRdd.count()
     }
     stage("incr near IDX build") {
-      dropIfRegistered("documents-dedup-band-b50-n8")
+      dropIfRegistered("documents-dedup-band2-b50-n8")
       graft.operators.Dedup.ngramNearIncrementalIndexed(spark, scaleDir, docs.where(!half))
         .queryExecution.toRdd.count()
     }

@@ -471,13 +471,15 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     * append would be invisible to both the build and every later staleness
     * check). Registration is LAST, so a crash mid-build leaves only an
     * unregistered scratch dir — never a manifest entry pointing at a partial
-    * index. A rebuild swaps the pointer and then best-effort deletes the old
-    * version dir (readers of the old version may be disturbed on
-    * non-snapshot filesystems; orchestrate rebuilds in quiet windows).
+    * index. A rebuild ONLY swaps the pointer: the superseded version dir is
+    * retained so a query that resolved its path before the swap keeps a
+    * live directory (a lazy DataFrame lists its files at construction and
+    * would otherwise crash mid-collect); [[vacuumIndexes]] is the explicit
+    * GC for superseded versions, run in quiet windows.
     *
     * Builds of the SAME index serialize per (database, name) — two
     * first-touch probes racing a build run it once each into private dirs,
-    * last registration wins and the loser's dir is dropped. */
+    * last registration wins and the loser's dir is vacuumable. */
   def buildIndex(name: String, kind: String, sourcePath: String,
                  params: Map[String, String])(build: String => Unit): IndexMeta =
     GraftDatabase.indexBuildLock(basePath, name).synchronized {
@@ -489,13 +491,29 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
       build(path)
       val meta = IndexMeta(name, kind, sourcePath, params, path, fp, version)
       indexes.put(name, meta)
-      manifestLock.synchronized(saveIndexManifest())
-      old.foreach { o =>
-        val hp = new HPath(o.path)
-        val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(hp)) fs.delete(hp, true)
-      }
+      persistIndexDelta(name, Some(meta))
       meta
+    }
+
+  /** Delete index data the current registry does not reference: superseded
+    * version dirs and orphans from crashed or lost-race builds. EXPLICIT
+    * maintenance — rebuilds never delete (see [[buildIndex]]), so in-flight
+    * readers of a superseded version survive until the orchestrator decides
+    * the quiet window has arrived. */
+  def vacuumIndexes(): Unit =
+    GraftDatabase.manifestIoLock(basePath).synchronized {
+      val live = readIndexManifest().map(m => m.name -> m.path.split('/').last).toMap
+      val root = new HPath(s"$basePath/_indexes")
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(root)) fs.listStatus(root).foreach { nameDir =>
+        live.get(nameDir.getPath.getName) match {
+          case None => fs.delete(nameDir.getPath, true)
+          case Some(currentVersionDir) =>
+            fs.listStatus(nameDir.getPath)
+              .filter(_.getPath.getName != currentVersionDir)
+              .foreach(v => fs.delete(v.getPath, true))
+        }
+      }
     }
 
   def getIndex(name: String): IndexMeta =
@@ -515,7 +533,7 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     GraftDatabase.indexBuildLock(basePath, name).synchronized {
       indexes.remove(name).getOrElse(
         throw new GraftException(s"Cannot drop index $name: does not exist"))
-      manifestLock.synchronized(saveIndexManifest())
+      persistIndexDelta(name, None)
       val hp = new HPath(s"$basePath/_indexes/$name")
       val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(hp)) fs.delete(hp, true)
@@ -534,9 +552,13 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
   /** Probe-side resolution: return a current, definition-matching index per
     * `policy` (see [[IndexPolicy]]). An existing entry whose kind, source, or
     * params differ from the request is never served — it answers a different
-    * question; build-capable policies rebuild it, [[IndexPolicy.FailIfMissing]]
-    * errors. Staleness (source changed since build) errors under everything
-    * but [[IndexPolicy.RebuildIfStale]]. */
+    * question — and ONLY [[IndexPolicy.RebuildIfStale]] may replace it:
+    * letting BuildIfMissing rebuild on mismatch would let two read-only
+    * probes with different definitions ping-pong full corpus rewrites
+    * against each other; a definition conflict under a shared name is an
+    * orchestration error to surface, not to paper over. Staleness (source
+    * changed since build) likewise errors under everything but
+    * RebuildIfStale. */
   def resolveIndex(name: String, kind: String, sourcePath: String,
                    params: Map[String, String], policy: IndexPolicy)
                   (build: String => Unit): IndexMeta = {
@@ -548,13 +570,12 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
             s"Index $name is not built; call buildIndex or probe with BuildIfMissing")
         rebuild()
       case Some(m) if m.kind != kind || m.sourcePath != sourcePath || m.params != params =>
-        if (policy == IndexPolicy.FailIfMissing)
-          throw new GraftException(
-            s"Index $name was built as (kind=${m.kind}, source=${m.sourcePath}, " +
-              s"params=${m.params.toSeq.sorted.mkString(",")}) but the probe wants " +
-              s"(kind=$kind, source=$sourcePath, params=${params.toSeq.sorted.mkString(",")}); " +
-              "drop it or rebuild under the new definition")
-        rebuild()
+        if (policy == IndexPolicy.RebuildIfStale) rebuild()
+        else throw new GraftException(
+          s"Index $name was built as (kind=${m.kind}, source=${m.sourcePath}, " +
+            s"params=${m.params.toSeq.sorted.mkString(",")}) but the probe wants " +
+            s"(kind=$kind, source=$sourcePath, params=${params.toSeq.sorted.mkString(",")}); " +
+            "drop it or rebuild under the new definition")
       case Some(m) =>
         if (sourceFingerprint(sourcePath) == m.fingerprint) m
         else if (policy == IndexPolicy.RebuildIfStale) rebuild()
@@ -566,37 +587,71 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
 
   private def indexManifestPath = new HPath(s"$basePath/_indexcat.json")
 
-  private def saveIndexManifest(): Unit = {
-    val fs = indexManifestPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val entries = indexes.values.toSeq.sortBy(_.name).map { m =>
-      val ps = m.params.toSeq.sorted
-        .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-      s"""{"name":${jstr(m.name)},"kind":${jstr(m.kind)},"sourcePath":${jstr(m.sourcePath)},""" +
-        s""""params":$ps,"path":${jstr(m.path)},"fingerprint":${jstr(m.fingerprint)},""" +
-        s""""version":${m.version}}"""
+  /** Persist one index-entry delta (upsert or removal) by READ-MERGE-WRITE
+    * under the process-wide per-basePath [[GraftDatabase.manifestIoLock]]:
+    * registry instances are created per operator call
+    * (`CatalogOps.indexRegistry`), so overwriting the file from one
+    * instance's whole in-memory map would erase entries other instances
+    * registered since this one loaded — two jobs first-touching DIFFERENT
+    * indexes on the same database must both survive. Entries merged in
+    * from disk also refresh this instance's view of indexes it does not
+    * own. The write goes through a temp file + rename so a concurrent
+    * reader never parses a half-written manifest (the brief no-file window
+    * of the delete+rename pair reads as an empty registry — same as
+    * pre-first-build; cross-PROCESS writers additionally need an external
+    * coordinator, exactly like the collection manifest). */
+  private def persistIndexDelta(name: String, entry: Option[IndexMeta]): Unit =
+    GraftDatabase.manifestIoLock(basePath).synchronized {
+      val disk = scala.collection.mutable.LinkedHashMap.empty[String, IndexMeta]
+      readIndexManifest().foreach(m => disk.put(m.name, m))
+      entry match {
+        case Some(m) => disk.put(name, m)
+        case None    => disk.remove(name)
+      }
+      disk.foreach { case (n, m) => if (n != name) indexes.put(n, m) }
+      val fs = indexManifestPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val entries = disk.values.toSeq.sortBy(_.name).map { m =>
+        val ps = m.params.toSeq.sorted
+          .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+        s"""{"name":${jstr(m.name)},"kind":${jstr(m.kind)},"sourcePath":${jstr(m.sourcePath)},""" +
+          s""""params":$ps,"path":${jstr(m.path)},"fingerprint":${jstr(m.fingerprint)},""" +
+          s""""version":${m.version}}"""
+      }
+      val tmp = new HPath(s"$basePath/_indexcat.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(entries.mkString("[", ",", "]").getBytes("UTF-8"))
+      finally out.close()
+      if (fs.exists(indexManifestPath)) fs.delete(indexManifestPath, false)
+      if (!fs.rename(tmp, indexManifestPath))
+        throw new GraftException(
+          s"Failed to publish index manifest $indexManifestPath")
     }
-    val out = fs.create(indexManifestPath, true)
-    try out.write(entries.mkString("[", ",", "]").getBytes("UTF-8"))
-    finally out.close()
-  }
 
-  private def loadIndexManifest(): Unit = {
+  /** Parse the on-disk index manifest (empty when absent — also the state a
+    * concurrent [[persistIndexDelta]] rename window exposes). */
+  private def readIndexManifest(): Seq[IndexMeta] = {
     val fs = indexManifestPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(indexManifestPath)) {
+    if (!fs.exists(indexManifestPath)) Seq.empty
+    else {
       val in = fs.open(indexManifestPath)
       val bytes = try in.readAllBytes() finally in.close()
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      val out = scala.collection.mutable.ArrayBuffer.empty[IndexMeta]
       root.forEach { n =>
         val params = scala.collection.mutable.LinkedHashMap.empty[String, String]
         n.path("params").properties().forEach(e => params += e.getKey -> e.getValue.asText())
-        indexes.put(n.path("name").asText(), IndexMeta(
+        out += IndexMeta(
           n.path("name").asText(), n.path("kind").asText(),
           n.path("sourcePath").asText(), params.toMap,
           n.path("path").asText(), n.path("fingerprint").asText(),
-          n.path("version").asInt()))
+          n.path("version").asInt())
       }
+      out.toSeq
     }
   }
+
+  private def loadIndexManifest(): Unit =
+    readIndexManifest().foreach(m => indexes.put(m.name, m))
 
   // --- query (O1/O2) -----------------------------------------------------
 
@@ -645,4 +700,12 @@ object GraftDatabase {
   private val indexBuildLocks = TrieMap.empty[String, Object]
   private[core] def indexBuildLock(basePath: String, name: String): Object =
     indexBuildLocks.getOrElseUpdate(s"$basePath|$name", new Object)
+
+  /** Process-wide per-database index-MANIFEST lock: serializes the
+    * read-merge-write in [[GraftDatabase.persistIndexDelta]] across
+    * instances — builds of DIFFERENT indexes hold different build locks
+    * but still contend on the one manifest file. */
+  private val manifestIoLocks = TrieMap.empty[String, Object]
+  private[core] def manifestIoLock(basePath: String): Object =
+    manifestIoLocks.getOrElseUpdate(basePath, new Object)
 }

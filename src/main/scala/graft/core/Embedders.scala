@@ -164,6 +164,15 @@ object Embedders {
       throw new GraftException(
         s"hugging-face/$modelId: expected a non-empty [][]float64 response, got: $respText")
     val row = root.get(0)
-    Array.tabulate(row.size)(i => row.get(i).asDouble)
+    // element-wise strictness matches Go's json.Unmarshal into [][]float64:
+    // a string/null/object element is a decode ERROR, never coerced to 0.0
+    // (asDouble would silently emit zero vectors into the collection)
+    Array.tabulate(row.size) { i =>
+      val e = row.get(i)
+      if (!e.isNumber) throw new GraftException(
+        s"hugging-face/$modelId: non-numeric element at [0][$i] in " +
+          s"[][]float64 response: $e")
+      e.asDouble
+    }
   }
 }

@@ -16,12 +16,19 @@ trait HttpTransport {
 }
 
 object HttpTransport {
-  /** `java.net.http`-backed default (JDK 11+, zero extra dependencies). */
+  /** `java.net.http`-backed default (JDK 11+, zero extra dependencies).
+    * Bounded connect (10 s) and request (120 s — HF `wait_for_model` can
+    * legitimately hold the request while a model loads) timeouts: a
+    * packet-dropping firewall or stalled endpoint must surface as an
+    * HttpTimeoutException in the executor task, never wedge a Spark stage
+    * forever. */
   object Jdk extends HttpTransport {
-    private lazy val client = java.net.http.HttpClient.newHttpClient()
+    private lazy val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
     def post(url: String, headers: Seq[(String, String)],
              body: Array[Byte]): (Int, Array[Byte]) = {
       val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(120))
         .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
       headers.foreach { case (k, v) => b.header(k, v) }
       val resp = client.send(b.build(),

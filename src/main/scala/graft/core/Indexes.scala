@@ -48,11 +48,14 @@ object IndexPolicy {
   case object FailIfMissing extends IndexPolicy
 
   /** Build when absent (first-touch convenience for immutable sources);
-    * still error when STALE — a silent rebuild over changed data is the one
-    * thing a read path must never do. */
+    * still error when STALE or DEFINITION-MISMATCHED — silently rewriting
+    * an existing index from a read path is the one thing a probe must
+    * never do (two probes with different definitions would ping-pong full
+    * corpus rebuilds against each other). */
   case object BuildIfMissing extends IndexPolicy
 
-  /** Build when absent or stale — the explicit "refresh as needed" mode for
-    * maintenance jobs. */
+  /** Build when absent, stale, or definition-mismatched — the explicit
+    * "refresh as needed" mode for maintenance jobs, and the only policy
+    * allowed to replace live index data. */
   case object RebuildIfStale extends IndexPolicy
 }

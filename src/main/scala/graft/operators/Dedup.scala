@@ -89,9 +89,10 @@ object Dedup {
                               idCol: String = "doc_id", textCol: String = "text",
                               policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
     val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
-      name = s"documents-dedup-fp-b$refBucketMax", kind = "dedup-fp",
+      name = s"documents-dedup-fp2-b$refBucketMax", kind = "dedup-fp",
       sourcePath = s"$dir/documents.parquet",
-      params = Map("refBucketMax" -> refBucketMax.toString, "algo" -> "sha256"),
+      params = Map("refBucketMax" -> refBucketMax.toString, "algo" -> "sha256",
+        "idCol" -> idCol, "textCol" -> textCol),
       policy = policy) { out =>
       graft.core.Tables.documents(spark, dir)
         .where(Sampling.hashBucket(col(idCol)) < refBucketMax)
@@ -318,11 +319,11 @@ object Dedup {
                                   jaccardThreshold: Double = 0.5,
                                   policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
     val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
-      name = s"documents-dedup-band-b$refBucketMax-n$n", kind = "dedup-band",
+      name = s"documents-dedup-band2-b$refBucketMax-n$n", kind = "dedup-band",
       sourcePath = s"$dir/documents.parquet",
       params = Map("refBucketMax" -> refBucketMax.toString, "n" -> n.toString,
         "seeds" -> seeds.toString, "bands" -> bands.toString,
-        "layout" -> "bands+hs"),
+        "layout" -> "bands+hs", "idCol" -> idCol, "textCol" -> textCol),
       policy = policy) { out =>
       val sh = ngramShingled(
         graft.core.Tables.documents(spark, dir)

@@ -289,10 +289,24 @@ object TextAnalysis {
       .select(col("doc_id"), toks.as("t"))
     val dg = base.select(col("doc_id"),
       explode(array_distinct(wordGrams(2))).as("g"))
-    val rare = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .where(col("df") < minDf).select(col("g"))
+    val dfTable = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // Scale shape, exact at every size: the BROADCAST side is the bounded
+    // top-64k HEAD set (df >= minDf, highest df first) — never the rare
+    // tail, whose TYPE count under Zipf is the majority of the vocabulary
+    // and unbroadcastable at web scale. The head anti-join strips the
+    // Zipf mass ("of the" etc.) from the probe before any shuffle; the
+    // remaining tail rows shuffle-join the rare set with per-key
+    // multiplicity capped by the rank-64k df (no unbounded hot key — the
+    // round-7 hazard), and AQE skew-split covers the residue. Exactness
+    // does not depend on which non-rare grams make the head cut: excluded
+    // probe rows have df >= minDf by construction and can never count as
+    // rare.
+    val head = dfTable.where(col("df") >= minDf)
+      .orderBy(desc("df"), asc("g")).limit(65536).select(col("g"))
+    val rare = dfTable.where(col("df") < minDf).select(col("g"))
     val perDoc = dg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bigrams"))
-    val nRare = dg.join(broadcast(rare), Seq("g"))
+    val nRare = dg.join(broadcast(head), Seq("g"), "left_anti")
+      .join(rare, Seq("g"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
     val per = perDoc.join(nRare, Seq("doc_id"), "left")
     val nb = coalesce(col("n_bigrams"), lit(0L))

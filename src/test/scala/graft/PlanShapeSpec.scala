@@ -168,17 +168,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(user_id"), s"not keyed by user_id:\n$p")
   }
 
-  test("bigram_novelty: rare-gram set broadcast — no shuffled join on the raw gram key") {
+  test("bigram_novelty: bounded head set broadcast-anti-joins the probe before the tail join") {
     val p = plan(graft.operators.TextAnalysis.bigramNovelty(Tables.documents(spark, dir)))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"pairwise blowup in the df join:\n$p")
-    // head grams ("of the") make any shuffled gram-keyed join a hot-key
-    // hazard at corpus scale: the rare-gram set must be the BROADCAST
-    // build side, and no SortMerge/Shuffled join may key on the gram
-    assert("""BroadcastHashJoin \[g#\d+\], \[g#\d+\]""".r
-      .findFirstIn(p).isDefined, s"rare-gram set not broadcast:\n$p")
-    assert("""(?:SortMergeJoin|ShuffledHashJoin) \[g#\d+\], \[g#\d+\]""".r
-      .findFirstIn(p).isEmpty, s"shuffled join on the raw gram key:\n$p")
+    // the BROADCAST side must be the bounded (<= 64k) head set, applied as
+    // an ANTI join that strips the Zipf mass off the probe — broadcasting
+    // the rare TAIL would OOM at web scale (most gram types are rare), and
+    // an unfiltered gram-keyed shuffle join re-creates the round-7 hot-key
+    // hazard. The remaining tail join may shuffle: its per-key multiplicity
+    // is capped by the rank-64k df.
+    assert("""BroadcastHashJoin \[g#\d+\], \[g#\d+\], LeftAnti""".r
+      .findFirstIn(p).isDefined, s"head set not broadcast-anti-joined:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"head set not bounded by limit:\n$p")
   }
 
   test("dedup_semantic: pairs come from a cell equi-join, never a cross product") {

@@ -402,7 +402,12 @@ class CatalogSpec extends SparkSpec {
     val m1 = db.resolveIndex("ix", "k", src, Map.empty, IndexPolicy.RebuildIfStale)(build)
     assert(builds == 2 && m1.version == 1 && m1.fingerprint != m0.fingerprint)
     assert(!db.isIndexStale("ix"))
-    // copy-on-write: the old version dir is gone, the new one readable
+    // copy-on-write with version retention: the superseded dir SURVIVES the
+    // swap (a reader that resolved v0 pre-rebuild keeps a live directory);
+    // vacuumIndexes is the explicit GC and removes exactly the old version
+    assert(Files.exists(java.nio.file.Paths.get(m0.path)))
+    assert(spark.read.parquet(m1.path).count() == 3)
+    db.vacuumIndexes()
     assert(!Files.exists(java.nio.file.Paths.get(m0.path)))
     assert(spark.read.parquet(m1.path).count() == 3)
   }
@@ -417,8 +422,38 @@ class CatalogSpec extends SparkSpec {
       db.resolveIndex("ix", "k", src, Map("bits" -> "8"), IndexPolicy.FailIfMissing)(build)
     }
     assert(e.getMessage.contains("built as") && builds == 1)
-    val m = db.resolveIndex("ix", "k", src, Map("bits" -> "8"), IndexPolicy.BuildIfMissing)(build)
+    // BuildIfMissing must NOT rewrite an existing (conflicting) definition
+    // from a read path: two different-definition probes would ping-pong
+    // full rebuilds; only RebuildIfStale may replace live data
+    val e2 = intercept[GraftException] {
+      db.resolveIndex("ix", "k", src, Map("bits" -> "8"), IndexPolicy.BuildIfMissing)(build)
+    }
+    assert(e2.getMessage.contains("built as") && builds == 1)
+    val m = db.resolveIndex("ix", "k", src, Map("bits" -> "8"), IndexPolicy.RebuildIfStale)(build)
     assert(builds == 2 && m.params == Map("bits" -> "8") && m.version == 1)
+  }
+
+  test("index manifest: concurrent registrations from separate instances all survive") {
+    val base = freshDb().basePath
+    val src = freshSource()
+    // two fresh registry instances (the CatalogOps.indexRegistry pattern)
+    // build DIFFERENT indexes into the same database concurrently: the
+    // read-merge-write manifest must keep both entries
+    val names = (0 until 6).map(i => s"ix$i")
+    val threads = names.map { n =>
+      new Thread(() => {
+        GraftDatabase.make(spark, base).buildIndex(n, "k", src, Map.empty)(out =>
+          spark.read.parquet(src).write.parquet(out))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val fresh = GraftDatabase.make(spark, base)
+    names.foreach(n => assert(fresh.isIndexRegistered(n), s"lost $n"))
+    // and a drop removes exactly its own entry
+    fresh.dropIndex("ix0")
+    val after = GraftDatabase.make(spark, base)
+    assert(!after.isIndexRegistered("ix0") &&
+      names.tail.forall(after.isIndexRegistered))
   }
 
   test("dropIndex removes the entry and backing data; dropping a missing index errors") {

@@ -112,7 +112,11 @@ class EmbeddersSpec extends AnyFunSuite {
   }
 
   test("hugging-face client: malformed or empty responses error instead of panicking") {
-    Seq("not json at all", "[]", """{"a":1}""", "[1,2,3]").foreach { resp =>
+    // the last two pin element-wise [][]float64 strictness: Go's
+    // json.Unmarshal errors on string/null elements, so coercing them to
+    // 0.0 (Jackson asDouble) would silently ship zero vectors
+    Seq("not json at all", "[]", """{"a":1}""", "[1,2,3]",
+        """[["0.1","err"]]""", "[[null,null]]").foreach { resp =>
       val srv = new FakeHf(200, resp)
       try intercept[GraftException] { hfAgainst(srv)("x".getBytes) }
       finally srv.stop()

@@ -237,7 +237,7 @@ class DedupSpec extends SparkSpec {
         r.getBoolean(3), r.getBoolean(4))).toSeq
     val inline = rows(Dedup.exactIncremental(incoming, docs.where(bucket < 50)))
     val reg = CatalogOps.indexRegistry(spark, dir)
-    val name = "documents-dedup-fp-b50"
+    val name = "documents-dedup-fp2-b50"
     if (reg.isIndexRegistered(name)) reg.dropIndex(name)
     intercept[graft.core.GraftException] {
       Dedup.exactIncrementalIndexed(spark, dir, incoming,
@@ -260,7 +260,7 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
     val inline = rows(Dedup.ngramNearIncremental(incoming, docs.where(bucket < 50)))
     val reg = CatalogOps.indexRegistry(spark, dir)
-    val name = "documents-dedup-band-b50-n8"
+    val name = "documents-dedup-band2-b50-n8"
     if (reg.isIndexRegistered(name)) reg.dropIndex(name)
     assert(rows(Dedup.ngramNearIncrementalIndexed(spark, dir, incoming)) == inline)
     val built = CatalogOps.indexRegistry(spark, dir).getIndex(name)
