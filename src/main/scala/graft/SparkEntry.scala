@@ -115,6 +115,20 @@ object SparkEntry {
       val bucket = Sampling.hashBucket(col("doc_id"))
       Dedup.ngramNearIncrementalIndexed(s, dir, d.where(bucket >= 50))
     }),
+    // the word-shingle (minhash-family) twins of the two queries above,
+    // same split and the same inline-vs-indexed oracle identity
+    "dedup_minhash_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = Tables.documents(s, dir)
+      val bucket = Sampling.hashBucket(col("doc_id"))
+      Dedup.minhashNearIncremental(d.where(bucket >= 50), d.where(bucket < 50))
+    }),
+    "dedup_minhash_incremental_indexed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = Tables.documents(s, dir)
+      val bucket = Sampling.hashBucket(col("doc_id"))
+      Dedup.minhashNearIncrementalIndexed(s, dir, d.where(bucket >= 50))
+    }),
     "decontaminate" -> ((s, dir) => Decontaminate.contamination(Tables.documents(s, dir))),
     "decontaminate_semantic" -> ((s, dir) =>
       Decontaminate.semanticContamination(Tables.embeddings(s, dir))),
@@ -702,6 +716,46 @@ object SparkEntry {
       |LEFT JOIN nears n ON n.inc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Word-shingle incremental near-dedup oracle — shared by the inline and
+    * stored-index variants (same shingle/minhash/banding constants as the
+    * dedup_minhash oracle: word trigrams, 12 seeds, 6 bands of r=2, τ=0.3;
+    * incoming = bucket >= 50, reference = bucket < 50). */
+  private def dedupMinhashIncrementalSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS bucket
+      |  FROM documents),
+      |sh AS MATERIALIZED (SELECT doc_id, bucket,
+      |    list_transform(
+      |      list_distinct(list_transform(range(0, len(t) - 2),
+      |        i -> array_to_string(t[i+1:i+3], ' '))),
+      |      x -> CAST(('0x' || substr(md5(x), 1, 14))::UBIGINT AS BIGINT)) AS hs
+      |  FROM toks WHERE len(t) >= 3),
+      |mh AS MATERIALIZED (SELECT doc_id, bucket,
+      |    list_transform(range(0, 12),
+      |      sd -> list_min(list_transform(hs,
+      |        b -> xor(b, CAST(('0x' || substr(md5(CAST(sd AS VARCHAR)), 1, 14))::UBIGINT AS BIGINT))))) AS sig
+      |  FROM sh),
+      |bands AS (SELECT doc_id, bucket, u.band, u.key FROM (
+      |  SELECT doc_id, bucket, unnest(list_transform(range(0, 6), b ->
+      |    {'band': b, 'key': array_to_string(sig[b*2+1:b*2+2], '|')})) AS u FROM mh) q),
+      |cand AS (SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS ref_id
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      |         WHERE a.bucket >= 50 AND b.bucket < 50),
+      |v AS (SELECT c.inc_id, round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+      |        / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS j
+      |      FROM cand c
+      |      JOIN sh sa ON sa.doc_id = c.inc_id
+      |      JOIN sh sb ON sb.doc_id = c.ref_id),
+      |nears AS (SELECT inc_id, count(*) AS n_near, max(j) AS max_jaccard
+      |          FROM v WHERE j >= 0.3 GROUP BY inc_id)
+      |SELECT d.doc_id, CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near,
+      |  coalesce(n.max_jaccard, 0.0) AS max_jaccard,
+      |  coalesce(n.n_near, 0) = 0 AS keep
+      |FROM (SELECT doc_id FROM documents
+      |      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 >= 50) d
+      |LEFT JOIN nears n ON n.inc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "topk_single" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -885,6 +939,8 @@ object SparkEntry {
     // the operator's left join restoring sub-n-char docs as admitted
     "dedup_near_incremental" -> dedupNearIncrementalSql,
     "dedup_near_incremental_indexed" -> dedupNearIncrementalSql,
+    "dedup_minhash_incremental" -> dedupMinhashIncrementalSql,
+    "dedup_minhash_incremental_indexed" -> dedupMinhashIncrementalSql,
 
     "dedup_incremental" -> dedupIncrementalSql,
     // the indexed variant must produce BYTE-IDENTICAL admissions — the

@@ -83,11 +83,23 @@ object Dedup {
     * Scale: per-snapshot cost drops from O(batch + |history| hash+distinct)
     * to O(batch + index equi-join); the index itself is maintained by the
     * orchestrator on corpus appends (staleness is detected, policy decides
-    * rebuild-vs-fail). */
+    * rebuild-vs-fail).
+    *
+    * The stored-fp side is additionally pre-filtered with a Bloom filter
+    * built over the BATCH's fingerprints (the small side by contract):
+    * without it, every admission shuffles the full index — O(|corpus|)
+    * bytes per batch at 100 TB, the join's dominant cost. A Bloom pass has
+    * no false negatives, so every genuinely-seen fingerprint still reaches
+    * the exact equi-join and admissions are byte-identical (the oracle is
+    * the same SQL as the inline variant); false positives only cost
+    * ~fpp·|index| extra joined rows. The filter is batch-sized (~1.2 MB
+    * per million batch docs at fpp 0.01) — driver-built and broadcast,
+    * never index-sized. `bloomFpp <= 0` disables the pass. */
   def exactIncrementalIndexed(spark: SparkSession, dir: String, incoming: DataFrame,
                               refBucketMax: Int = 50,
                               idCol: String = "doc_id", textCol: String = "text",
-                              policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
+                              policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing,
+                              bloomFpp: Double = 0.01): DataFrame = {
     val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
       name = s"documents-dedup-fp2-b$refBucketMax", kind = "dedup-fp",
       sourcePath = s"$dir/documents.parquet",
@@ -99,7 +111,17 @@ object Dedup {
         .select(sha2(col(textCol), 256).as("fp")).distinct()
         .write.mode("overwrite").parquet(out)
     }
-    admitAgainstFps(incoming, spark.read.parquet(idx.path), idCol, textCol)
+    val stored = spark.read.parquet(idx.path)
+    val refFps =
+      if (bloomFpp <= 0) stored
+      else {
+        val batchFps = incoming.select(sha2(col(textCol), 256).as("fp"))
+        val bloom = batchFps.stat.bloomFilter(
+          "fp", math.max(batchFps.count(), 1L), bloomFpp)
+        val mightContain = udf((fp: String) => fp != null && bloom.mightContainString(fp))
+        stored.where(mightContain(col("fp")))
+      }
+    admitAgainstFps(incoming, refFps, idCol, textCol)
   }
 
   /** Candidate pairs from LSH buckets, shared by every near-dup family:
@@ -300,7 +322,56 @@ object Dedup {
                            jaccardThreshold: Double = 0.5): DataFrame = {
     val shRef = ngramShingled(reference, idCol, textCol, n)
     nearIncrementalAgainst(incoming, shRef, ngramBandKeys(shRef, seeds, bands),
-      idCol, textCol, n, seeds, bands, jaccardThreshold)
+      idCol, ngramShingled(_, idCol, textCol, n), seeds, bands, jaccardThreshold)
+  }
+
+  /** [[ngramNearIncremental]]'s word-shingle twin: incremental near-dedup
+    * under the [[minhashNear]] family's definition (word `shingleSize`-gram
+    * shingles, banded r=2×6 signatures, Jaccard ≥ `jaccardThreshold`).
+    * Same admission plumbing — only the shingling pass differs, so the
+    * scale shape (batch-side-only shuffle against the reference band keys,
+    * verify on candidates only) is identical. */
+  def minhashNearIncremental(incoming: DataFrame, reference: DataFrame,
+                             idCol: String = "doc_id", textCol: String = "text",
+                             shingleSize: Int = 3, seeds: Int = 12, bands: Int = 6,
+                             jaccardThreshold: Double = 0.3): DataFrame = {
+    val shRef = minhashShingled(reference, idCol, textCol, shingleSize)
+    nearIncrementalAgainst(incoming, shRef, ngramBandKeys(shRef, seeds, bands),
+      idCol, minhashShingled(_, idCol, textCol, shingleSize), seeds, bands,
+      jaccardThreshold)
+  }
+
+  /** [[minhashNearIncremental]] against a CATALOG-MANAGED word-shingle
+    * index — the same two-table (`bands` + `hs`) layout and registry
+    * contract as [[ngramNearIncrementalIndexed]], keyed separately because
+    * the shingle definition (word 3-grams vs char 8-grams) is part of the
+    * index identity. */
+  def minhashNearIncrementalIndexed(spark: SparkSession, dir: String, incoming: DataFrame,
+                                    refBucketMax: Int = 50,
+                                    idCol: String = "doc_id", textCol: String = "text",
+                                    shingleSize: Int = 3, seeds: Int = 12, bands: Int = 6,
+                                    jaccardThreshold: Double = 0.3,
+                                    policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
+    val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
+      name = s"documents-dedup-wband-b$refBucketMax-s$shingleSize", kind = "dedup-band",
+      sourcePath = s"$dir/documents.parquet",
+      params = Map("refBucketMax" -> refBucketMax.toString,
+        "shingleSize" -> shingleSize.toString, "shingles" -> "word",
+        "seeds" -> seeds.toString, "bands" -> bands.toString,
+        "layout" -> "bands+hs", "idCol" -> idCol, "textCol" -> textCol),
+      policy = policy) { out =>
+      val sh = minhashShingled(
+        graft.core.Tables.documents(spark, dir)
+          .where(Sampling.hashBucket(col(idCol)) < refBucketMax),
+        idCol, textCol, shingleSize)
+      sh.write.mode("overwrite").parquet(s"$out/hs")
+      ngramBandKeys(spark.read.parquet(s"$out/hs"), seeds, bands)
+        .write.mode("overwrite").parquet(s"$out/bands")
+    }
+    nearIncrementalAgainst(incoming, spark.read.parquet(s"${idx.path}/hs"),
+      spark.read.parquet(s"${idx.path}/bands"),
+      idCol, minhashShingled(_, idCol, textCol, shingleSize), seeds, bands,
+      jaccardThreshold)
   }
 
   /** [[ngramNearIncremental]] against a CATALOG-MANAGED shingle index,
@@ -335,17 +406,18 @@ object Dedup {
     }
     nearIncrementalAgainst(incoming, spark.read.parquet(s"${idx.path}/hs"),
       spark.read.parquet(s"${idx.path}/bands"),
-      idCol, textCol, n, seeds, bands, jaccardThreshold)
+      idCol, ngramShingled(_, idCol, textCol, n), seeds, bands, jaccardThreshold)
   }
 
   /** The admission half of the near-dup incremental family: `shRef` /
     * `refBands` are the reference side's (doc_id, hs) shingle table and
     * its (doc_id, band, key) LSH keys — computed inline or read from the
-    * stored index. */
+    * stored index; `shingle` is the family's shingling pass (char n-grams
+    * or word shingles), applied to the incoming batch only. */
   private def nearIncrementalAgainst(incoming: DataFrame, shRef: DataFrame,
                                      refBands: DataFrame,
-                                     idCol: String, textCol: String,
-                                     n: Int, seeds: Int, bands: Int,
+                                     idCol: String, shingle: DataFrame => DataFrame,
+                                     seeds: Int, bands: Int,
                                      jaccardThreshold: Double): DataFrame = {
     // Spread an UNDER-SPLIT batch before shingling: on a single-split
     // source the md5 pass would otherwise run inside the one-task scan
@@ -360,7 +432,7 @@ object Dedup {
     val spread =
       if (incoming.rdd.getNumPartitions >= p / 2) incoming
       else incoming.repartition(p, col(idCol))
-    val shInc = ngramShingled(spread, idCol, textCol, n)
+    val shInc = shingle(spread)
     val cand = ngramBandKeys(shInc, seeds, bands)
       .withColumnRenamed("doc_id", "inc_id")
       .join(refBands.withColumnRenamed("doc_id", "ref_id"), Seq("band", "key"))

@@ -249,6 +249,9 @@ class DedupSpec extends SparkSpec {
     // second probe serves the stored index: same version, no rebuild
     assert(rows(Dedup.exactIncrementalIndexed(spark, dir, incoming)) == inline)
     assert(CatalogOps.indexRegistry(spark, dir).getIndex(name).version == built.version)
+    // the batch-side Bloom prefilter is admission-invariant (no false
+    // negatives): disabled and enabled paths admit identically
+    assert(rows(Dedup.exactIncrementalIndexed(spark, dir, incoming, bloomFpp = 0)) == inline)
   }
 
   test("indexed incremental near-dedup: equals inline against the stored shingle index") {
@@ -266,5 +269,25 @@ class DedupSpec extends SparkSpec {
     val built = CatalogOps.indexRegistry(spark, dir).getIndex(name)
     assert(rows(Dedup.ngramNearIncrementalIndexed(spark, dir, incoming)) == inline)
     assert(CatalogOps.indexRegistry(spark, dir).getIndex(name).version == built.version)
+  }
+
+  test("indexed word-shingle incremental near-dedup: equals inline, distinct index identity") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+    val bucket = Sampling.hashBucket(col("doc_id"))
+    val incoming = docs.where(bucket >= 50)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    val inline = rows(Dedup.minhashNearIncremental(incoming, docs.where(bucket < 50)))
+    val reg = CatalogOps.indexRegistry(spark, dir)
+    val name = "documents-dedup-wband-b50-s3"
+    if (reg.isIndexRegistered(name)) reg.dropIndex(name)
+    assert(rows(Dedup.minhashNearIncrementalIndexed(spark, dir, incoming)) == inline)
+    val built = CatalogOps.indexRegistry(spark, dir).getIndex(name)
+    assert(rows(Dedup.minhashNearIncrementalIndexed(spark, dir, incoming)) == inline)
+    assert(CatalogOps.indexRegistry(spark, dir).getIndex(name).version == built.version)
+    // the word-shingle index is its own registry entry — a char-ngram probe
+    // must never be served from it (shingle definition is index identity)
+    assert(built.params("shingles") == "word")
   }
 }
