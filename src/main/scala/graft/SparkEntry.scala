@@ -133,6 +133,7 @@ object SparkEntry {
     "decontaminate_semantic" -> ((s, dir) =>
       Decontaminate.semanticContamination(Tables.embeddings(s, dir))),
     "bigram_novelty" -> ((s, dir) => TextAnalysis.bigramNovelty(Tables.documents(s, dir))),
+    "lm_score" -> ((s, dir) => TextAnalysis.lmCrossEntropy(Tables.documents(s, dir))),
     "corpus_filter" -> ((s, dir) => CorpusFilter.decisions(Tables.documents(s, dir))),
     "text_stats"   -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     "docs_sample"  -> ((s, dir) => Sampling
@@ -995,6 +996,27 @@ object SparkEntry {
         |  round(CASE WHEN coalesce(p.n_bigrams, 0) > 0
         |    THEN coalesce(p.n_rare, 0)::DOUBLE / p.n_bigrams ELSE 0.0 END, 6) AS novelty
         |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.lmCrossEntropy: unigram add-one LM trained on
+    // the bucket<50 slice, per-token cross-entropy in bits over all docs
+    "lm_score" ->
+      """WITH tok AS MATERIALIZED (SELECT doc_id, lower(w) AS w FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+        |    FROM documents)),
+        |counts AS MATERIALIZED (SELECT w, count(*) AS c FROM tok
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 50
+        |  GROUP BY w),
+        |tot AS (SELECT sum(c) AS n_train, count(*) AS v FROM counts),
+        |bits AS (SELECT t.doc_id,
+        |    -log2((coalesce(c.c, 0) + 1.0)
+        |          / ((SELECT n_train FROM tot) + (SELECT v FROM tot) + 1.0)) AS b
+        |  FROM tok t LEFT JOIN counts c ON t.w = c.w),
+        |per AS (SELECT doc_id, count(*) AS n_tokens,
+        |    round(sum(b) / count(*), 6) AS xent FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  coalesce(p.xent, 0.0) AS xent
+        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
     "corpus_filter" ->

@@ -320,6 +320,61 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-shape LM quality scoring: train a unigram language model on the
+    * deterministic reference slice (`hashBucket(doc_id) < trainBucketMax`,
+    * add-one smoothing over the lowercased whitespace vocabulary), then
+    * score EVERY document by per-token cross-entropy in bits —
+    * `-(1/n)·Σ log2 P(w)`, with out-of-vocabulary tokens taking the
+    * smoothed unseen mass `1/(N+V+1)`. Low-likelihood documents (high
+    * xent) are gibberish/boilerplate candidates; suspiciously-low xent is
+    * the repetition arm. The LM is deliberately the simplest member of the
+    * family (CCNet uses a 5-gram KenLM): the model IS an aggregate table,
+    * so the Spark shape — train = one vocabulary-keyed aggregation, score
+    * = token-stream join against the model — is exactly what a larger
+    * n-gram model would use, with only the key widening.
+    *
+    * Scale shape, same discipline as [[bigramNovelty]]: the model's HEAD
+    * (top-`headSize` tokens by count — under Zipf, ~all token MASS) is
+    * broadcast, so the probe stream joins the hot keys ("the", "of")
+    * map-side and never shuffles on a raw token key; only head-miss rows
+    * (tail vocabulary + OOV, each with bounded multiplicity by the rank-
+    * `headSize` count cutoff) reach the shuffled left join against the
+    * tail counts. One final doc-keyed aggregation; the 1-row totals
+    * cross-join is a broadcast. Tokenless documents are restored by a
+    * left join with xent 0.0. */
+  def lmCrossEntropy(docs: DataFrame, trainBucketMax: Int = 50,
+                     headSize: Int = 65536): DataFrame = {
+    val base = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), toks.as("t"))
+    val tok = base.select(col("doc_id"), explode(col("t")).as("w0"))
+      .select(col("doc_id"), lower(col("w0")).as("w"))
+    val counts = tok.where(Sampling.hashBucket(col("doc_id")) < trainBucketMax)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val head = counts.orderBy(desc("c"), asc("w")).limit(headSize)
+    val tail = counts.join(broadcast(head.select(col("w"))), Seq("w"), "left_anti")
+    val tot = counts.agg(sum(col("c")).as("n_train"), count(lit(1)).as("v"))
+    val probed = tok.join(broadcast(head.withColumnRenamed("c", "c_head")), Seq("w"), "left")
+    val hit = probed.where(col("c_head").isNotNull)
+      .select(col("doc_id"), col("c_head").as("c"))
+    val miss = probed.where(col("c_head").isNull)
+      .join(tail, Seq("w"), "left")
+      .select(col("doc_id"), coalesce(col("c"), lit(0L)).as("c"))
+    val per = hit.unionByName(miss)
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        (-log2((col("c").cast("double") + 1.0) /
+          (col("n_train").cast("double") + col("v").cast("double") + 1.0))).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).cast("bigint").as("n_tokens"),
+        round(coalesce(col("sum_bits") / col("n_tokens"), lit(0.0)), 6).as("xent"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-distribution drift between the deterministic train split and
     * the holdout: the top-k tokens by absolute rate difference — the
     * monitor a pipeline runs on every new crawl snapshot (a token whose

@@ -183,6 +183,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"head set not bounded by limit:\n$p")
   }
 
+  test("lm_score: head of the model broadcasts; probe never shuffles on the raw token key") {
+    val p = plan(graft.operators.TextAnalysis.lmCrossEntropy(Tables.documents(spark, dir)))
+    assert(!p.contains("CartesianProduct"), s"unexpected cross product:\n$p")
+    // hot tokens ("the") must meet the model map-side: the bounded head is
+    // the broadcast side of a left outer join against the token stream; the
+    // only BroadcastNestedLoopJoin allowed is the 1-row totals cross-join
+    assert("""BroadcastHashJoin \[w#\d+\], \[w#\d+\], LeftOuter""".r
+      .findFirstIn(p).isDefined, s"head model not broadcast-joined:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"head set not bounded by limit:\n$p")
+  }
+
   test("dedup_semantic: pairs come from a cell equi-join, never a cross product") {
     val p = plan(graft.operators.Dedup.semanticDedup(Tables.embeddings(spark, dir)))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),

@@ -317,6 +317,32 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(out(5L) == ((0L, 0L, 0.0)))            // vacuously familiar, not NULL
   }
 
+  test("lm cross-entropy: add-one unigram bits, OOV mass, head-cut invariance") {
+    import spark.implicits._
+    val buckets = (0L until 50L).map(id => id ->
+      Seq((id, "x")).toDF("id", "t").select(Sampling.hashBucket(col("id")))
+        .collect().head.getLong(0)).toMap
+    val trainId = buckets.collectFirst { case (id, b) if b < 50 => id }.get
+    val testId = buckets.collectFirst { case (id, b) if b >= 50 => id }.get
+    val docs = Seq(
+      (trainId, "aa aa bb"), // model: aa->2, bb->1; N=3, V=2, denom=6
+      (testId, "aa cc"),     // aa: -log2(3/6)=1 bit; cc OOV: log2(6) bits
+      (trainId + 100 * 50, "") // tokenless: restored with xent 0.0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmCrossEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val log2_6 = math.log(6.0) / math.log(2.0)
+    val log2_3 = math.log(3.0) / math.log(2.0)
+    assert(out(testId)._1 == 2L)
+    assert(math.abs(out(testId)._2 - (1.0 + log2_6) / 2) < 1e-6)
+    assert(math.abs(out(trainId)._2 - (1.0 + 1.0 + log2_3) / 3) < 1e-6)
+    assert(out(trainId + 100 * 50) == ((0L, 0.0)))
+    // exactness must not depend on where the head-broadcast cut falls
+    val small = TextAnalysis.lmCrossEntropy(docs, headSize = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(small == out)
+  }
+
   test("token drift: a split-exclusive token tops the report with the right rates") {
     import spark.implicits._
     val buckets = (0L until 50L).map(id => id ->
