@@ -205,6 +205,7 @@ object SparkEntry {
     "knn_label_audit" -> ((s, dir) => EmbeddingStats.knnLabelAudit(Tables.embeddings(s, dir))),
     "dim_recall" -> ((s, dir) => EmbeddingStats.dimRecall(Tables.embeddings(s, dir))),
     "embed_drift" -> ((s, dir) => EmbeddingStats.embedDrift(Tables.embeddings(s, dir))),
+    "embed_covariance" -> ((s, dir) => EmbeddingStats.covariance(Tables.embeddings(s, dir))),
     "quality_sample" -> ((s, dir) => Sampling.qualitySample(Tables.documents(s, dir))),
     "source_mix" -> ((s, dir) => Sampling.sourceMixture(Tables.documents(s, dir))),
     "pack_sequences" -> ((s, dir) => Sampling.packSequences(Tables.documents(s, dir))),
@@ -1367,6 +1368,19 @@ object SparkEntry {
         |  round(max(rel_err), 6) AS max_err,
         |  round(avg(scale), 6) AS avg_scale
         |FROM err GROUP BY label ORDER BY label""".stripMargin,
+
+    // mirrors EmbeddingStats.covariance: E[xi*xj] and means rounded to
+    // 9 dp before the subtraction, cov to 6 dp
+    "embed_covariance" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT vec_id, i, v[CAST(i + 1 AS INT)] AS xi
+        |      FROM e CROSS JOIN range(0, 64) t(i)),
+        |m AS (SELECT i, round(avg(xi), 9) AS mi FROM x GROUP BY i),
+        |p AS (SELECT a.i AS i, b.i AS j, round(avg(a.xi * b.xi), 9) AS eab
+        |      FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY a.i, b.i)
+        |SELECT p.i, p.j, round(eab - ma.mi * mb.mi, 6) + 0.0 AS cov
+        |FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+        |ORDER BY p.i, p.j""".stripMargin,
 
     "token_counts" ->
       """SELECT doc_id,

@@ -123,6 +123,133 @@ object EmbeddingStats {
       .orderBy(col("label"))
   }
 
+  /** Cross-dimension covariance of the embedding matrix — the d×d summary
+    * behind whitening, PCA and anisotropy diagnostics (embedding spaces
+    * with a dominant direction score cosine similarity poorly; the fix
+    * starts with this matrix). Returns (i, j, cov) for all d² pairs.
+    *
+    * Scale shape: ONE corpus pass. Each row expands to its flattened d²
+    * outer product inside codegen (narrow), and the only shuffle is the
+    * position-keyed aggregation — map-side combined, so the exchange
+    * carries d²·partitions rows, independent of corpus size. The d-row
+    * mean vector rides a 1-row broadcast. Driver/exchange state is O(d²):
+    * fine through d≈256 (64k accumulators); past that, block the
+    * positions (aggregate d²/B per pass) — same plan, B passes.
+    *
+    * Engine parity: E[x_i·x_j] and the means are rounded to 9 dp before
+    * the subtraction (summation-order drift), the result to 6 dp. */
+  def covariance(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val prods = embeddings
+      .select(posexplode(expr(
+        """flatten(transform(CAST(embedding AS ARRAY<DOUBLE>),
+          |  a -> transform(CAST(embedding AS ARRAY<DOUBLE>), b -> a * b)))"""
+          .stripMargin)).as(Seq("pos", "p")))
+      .groupBy(col("pos")).agg(round(avg(col("p")), 9).as("e_ab"))
+    val means = embeddings
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(avg(col("x")).as("mi"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("i"), col("mi")))).as("pm"))
+      .select(expr("transform(pm, s -> round(s.mi, 9))").as("m"))
+    prods.crossJoin(broadcast(means))
+      .select(
+        expr(s"CAST(pos DIV $dim AS BIGINT)").as("i"),
+        expr(s"CAST(pos % $dim AS BIGINT)").as("j"),
+        // + 0.0 folds IEEE negative zero to +0.0 so both engines emit one
+        // zero representation (a -0.0 survives round() and sorts/hashes
+        // differently from 0.0 in the driver compare)
+        (round(col("e_ab") -
+          element_at(col("m"), (col("pos") / lit(dim)).cast("int") + 1) *
+          element_at(col("m"), (col("pos") % lit(dim)).cast("int") + 1), 6) + lit(0.0)).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** ZCA whitening: project every embedding with W = U·(Λ+eps)^(-1/2)·U^T
+    * from the eigendecomposition of [[covariance]] — after it, the sample
+    * covariance is the identity, which repairs anisotropic embedding
+    * spaces before cosine-similarity retrieval (the standard
+    * whitening-for-retrieval transform). The eigensolve runs on the
+    * DRIVER over the d×d matrix (bounded, d² doubles — never corpus
+    * data); the corpus itself is touched exactly twice, once by the
+    * covariance aggregation and once by the projection, which folds W
+    * into codegen as a literal matrix (same discipline as the SimHash
+    * plane fold — no join against a weights table). */
+  def whiten(embeddings: DataFrame, dim: Int = 64, eps: Double = 1e-6): DataFrame = {
+    val c = Array.ofDim[Double](dim, dim)
+    covariance(embeddings, dim).collect()
+      .foreach(r => c(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2))
+    val (evals, u) = jacobiEigen(c)
+    // W[r][s] = Σ_k u[r][k] · (λ_k+eps)^(-1/2) · u[s][k]
+    val w = Array.tabulate(dim, dim) { (r, s) =>
+      var acc = 0.0
+      var k = 0
+      while (k < dim) {
+        acc += u(r)(k) * u(s)(k) / math.sqrt(math.max(evals(k), 0.0) + eps)
+        k += 1
+      }
+      acc
+    }
+    val wCol = array(w.map(row => array(row.map(lit(_)).toIndexedSeq: _*)).toIndexedSeq: _*)
+    embeddings.select(col("vec_id"), col("label"),
+      transform(wCol, row =>
+        round(aggregate(zip_with(col("embedding").cast("array<double>"), row,
+          (a, b) => a * b), lit(0.0), (acc, x) => acc + x), 6)).as("whitened"))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — returns
+    * (eigenvalues, eigenvector matrix with COLUMNS as eigenvectors).
+    * Deterministic (fixed sweep order, fixed iteration cap), O(d³) per
+    * sweep on the driver — d is the embedding width, never data size. */
+  private[operators] def jacobiEigen(m: Array[Array[Double]],
+                                     maxSweeps: Int = 50,
+                                     tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+    val n = m.length
+    val a = Array.tabulate(n, n)((i, j) => m(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > tol) {
+      off = 0.0
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          off += a(p)(q) * a(p)(q)
+          if (math.abs(a(p)(q)) > tol) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            // sign(0) must be +1 (equal diagonal needs the full 45°
+            // rotation; math.signum would return 0 and skip it)
+            val t = (if (theta >= 0) 1.0 else -1.0) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val cos = 1.0 / math.sqrt(t * t + 1.0)
+            val sin = t * cos
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = cos * akp - sin * akq
+              a(k)(q) = sin * akp + cos * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = cos * apk - sin * aqk
+              a(q)(k) = sin * apk + cos * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = cos * vkp - sin * vkq
+              v(k)(q) = sin * vkp + cos * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
   /** Matryoshka / dimension-truncation evaluation: recall@k of ranking on
     * only the FIRST `dims` vector components against full-vector ground
     * truth, per query — the measurement behind "can we store a d/4-wide

@@ -343,6 +343,31 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(small == out)
   }
 
+  test("jacobi eigensolver: recovers analytic eigenpairs of a symmetric matrix") {
+    // [[2,1],[1,2]] has eigenvalues 3 (v=[1,1]/√2) and 1 (v=[1,-1]/√2)
+    val (vals, vecs) = EmbeddingStats.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val pairs = vals.zipWithIndex.sortBy(-_._1)
+    assert(math.abs(pairs(0)._1 - 3.0) < 1e-10 && math.abs(pairs(1)._1 - 1.0) < 1e-10)
+    // A·v = λ·v for each recovered column
+    for ((l, k) <- pairs) {
+      val v = Array(vecs(0)(k), vecs(1)(k))
+      assert(math.abs((2 * v(0) + v(1)) - l * v(0)) < 1e-10)
+      assert(math.abs((v(0) + 2 * v(1)) - l * v(1)) < 1e-10)
+    }
+  }
+
+  test("whiten: sample covariance of the whitened embeddings is the identity") {
+    val e = Tables.embeddings(spark, dir)
+    val w = EmbeddingStats.whiten(e).withColumnRenamed("whitened", "embedding")
+    val cov = EmbeddingStats.covariance(w).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    cov.foreach { case ((i, j), c) =>
+      val want = if (i == j) 1.0 else 0.0
+      // 6 dp projection rounding + eps regularization bound the residue
+      assert(math.abs(c - want) < 1e-3, s"cov($i,$j) = $c, want $want")
+    }
+  }
+
   test("token drift: a split-exclusive token tops the report with the right rates") {
     import spark.implicits._
     val buckets = (0L until 50L).map(id => id ->
