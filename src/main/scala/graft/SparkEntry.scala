@@ -129,6 +129,7 @@ object SparkEntry {
       val bucket = Sampling.hashBucket(col("doc_id"))
       Dedup.minhashNearIncrementalIndexed(s, dir, d.where(bucket >= 50))
     }),
+    "source_overlap" -> ((s, dir) => Dedup.sourceOverlap(Tables.documents(s, dir))),
     "decontaminate" -> ((s, dir) => Decontaminate.contamination(Tables.documents(s, dir))),
     "decontaminate_semantic" -> ((s, dir) =>
       Decontaminate.semanticContamination(Tables.embeddings(s, dir))),
@@ -943,6 +944,23 @@ object SparkEntry {
     "dedup_near_incremental_indexed" -> dedupNearIncrementalSql,
     "dedup_minhash_incremental" -> dedupMinhashIncrementalSql,
     "dedup_minhash_incremental_indexed" -> dedupMinhashIncrementalSql,
+    // mirrors Dedup.sourceOverlap: per-source 64-seed MinHash signature
+    // over word-trigram shingle hashes, est Jaccard = agreeing-seed share
+    "source_overlap" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT source, unnest(list_transform(
+        |    list_distinct(list_transform(range(0, len(t) - 2),
+        |      i -> array_to_string(t[i+1:i+3], ' '))),
+        |    x -> CAST(('0x' || substr(md5(x), 1, 14))::UBIGINT AS BIGINT))) AS h
+        |  FROM toks WHERE len(t) >= 3),
+        |mins AS (SELECT source, sd,
+        |    min(xor(h, CAST(('0x' || substr(md5(CAST(sd AS VARCHAR)), 1, 14))::UBIGINT AS BIGINT))) AS mh
+        |  FROM sh CROSS JOIN range(0, 64) r(sd) GROUP BY source, sd)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  round(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)::DOUBLE / 64, 6) AS est_jaccard
+        |FROM mins a JOIN mins b ON a.sd = b.sd AND a.source < b.source
+        |GROUP BY a.source, b.source
+        |ORDER BY source_a, source_b""".stripMargin,
 
     "dedup_incremental" -> dedupIncrementalSql,
     // the indexed variant must produce BYTE-IDENTICAL admissions — the

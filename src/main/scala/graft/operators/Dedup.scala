@@ -454,6 +454,38 @@ object Dedup {
       .orderBy(col(idCol))
   }
 
+  /** Cross-source overlap matrix via per-source MinHash sketches — the
+    * dedup PLANNING tool: before spending a full near-dedup pass, estimate
+    * which corpus sources duplicate each other (mirror crawls, re-scraped
+    * dumps) from one cheap aggregate. Per source, a `seeds`-element
+    * MinHash signature over ALL its word-shingle hashes; the estimated
+    * Jaccard between two sources is the fraction of agreeing seeds
+    * (unbiased MinHash estimator, ±1/√seeds).
+    *
+    * Scale shape: ONE corpus pass — the per-seed mins partial-aggregate
+    * map-side, so the shuffle carries sources × partitions rows no matter
+    * the corpus size; the signature table is sources × seeds longs
+    * (driver-trivial) and the pairwise compare is an inequality join over
+    * that tiny table only (broadcast, bounded by n_sources²). Exact in
+    * both engines: same shingle hashes, same XOR masks, min and
+    * equality-count are integer ops. */
+  def sourceOverlap(docs: DataFrame, shingleSize: Int = 3, seeds: Int = 64): DataFrame = {
+    val sh = docs.select(col("source"),
+      explode(LshFunctions.word_shingle_hash56(col("text"), shingleSize)).as("h"))
+    val mins = (0 until seeds).map(sd =>
+      min(col("h").bitwiseXOR(lit(LshFunctions.seedMask(sd)))).as(s"m$sd"))
+    val sig = sh.groupBy(col("source")).agg(mins.head, mins.tail: _*)
+      .select(col("source"), array((0 until seeds).map(sd => col(s"m$sd")): _*).as("sig"))
+    val a = sig.select(col("source").as("source_a"), col("sig").as("sa"))
+    val b = sig.select(col("source").as("source_b"), col("sig").as("sb"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        round(aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / seeds, 6).as("est_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Resolution policy over near-dup pairs: a document is dropped iff it
     * near-duplicates one with a smaller id (pairs arrive a < b, so the
     * b-side is the drop side). Single equi-join against the distinct drop

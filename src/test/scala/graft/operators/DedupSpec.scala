@@ -271,6 +271,22 @@ class DedupSpec extends SparkSpec {
     assert(CatalogOps.indexRegistry(spark, dir).getIndex(name).version == built.version)
   }
 
+  test("sourceOverlap: identical sources estimate exactly 1.0, disjoint exactly 0.0") {
+    import spark.implicits._
+    val mirror = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, mirror, "crawl-a"), (2L, mirror, "crawl-b"), // byte-identical shingle sets
+      (3L, "one two three four five six", "books")      // disjoint shingles
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set(("books", "crawl-a"), ("books", "crawl-b"), ("crawl-a", "crawl-b")))
+    // equal shingle sets agree on every seed's min — exactly 1.0
+    assert(out(("crawl-a", "crawl-b")) == 1.0)
+    // XOR is a bijection: disjoint sets can never share a min — exactly 0.0
+    assert(out(("books", "crawl-a")) == 0.0 && out(("books", "crawl-b")) == 0.0)
+  }
+
   test("indexed word-shingle incremental near-dedup: equals inline, distinct index identity") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, dir)
