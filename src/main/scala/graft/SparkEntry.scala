@@ -63,6 +63,8 @@ object SparkEntry {
       ngramPairs(s, dir))),
     "dedup_groups"  -> ((s, dir) => Dedup.dedupGroups(Tables.documents(s, dir),
       ngramPairs(s, dir))),
+    "leak_safe_split" -> ((s, dir) => Sampling.leakSafeSplit(Tables.documents(s, dir),
+      ngramPairs(s, dir))),
     // incremental dedup: reference corpus = hash-split half; the incoming
     // batch is the other half PLUS re-keyed clones of reference docs
     // (a crawler re-fetching known pages → seen_in_corpus) and re-keyed
@@ -935,6 +937,22 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(r.root, d.doc_id) AS group_id
          |FROM documents d LEFT JOIN roots r ON d.doc_id = r.id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // dedup_groups' components + a split hashed on the GROUP id — the
+    // leakage-safe split contract (no near-dup pair straddles the split)
+    "leak_safe_split" ->
+      s"""WITH RECURSIVE ${ngramPairsSql()},
+         |e AS (SELECT a_id AS a, b_id AS b FROM pairs
+         |      UNION SELECT b_id, a_id FROM pairs),
+         |walk(a, b) AS (SELECT a, b FROM e
+         |               UNION SELECT walk.a, e.b FROM walk JOIN e ON walk.b = e.a),
+         |roots AS (SELECT a AS id, least(a, min(b)) AS root FROM walk GROUP BY a),
+         |g AS (SELECT d.doc_id, coalesce(r.root, d.doc_id) AS group_id
+         |      FROM documents d LEFT JOIN roots r ON d.doc_id = r.id)
+         |SELECT doc_id, group_id,
+         |  CASE WHEN ('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 80
+         |       THEN 'train' ELSE 'test' END AS split
+         |FROM g ORDER BY doc_id""".stripMargin,
 
     // same shingle/minhash/banding constants as ngramPairsSql, split into
     // incoming (bucket >= 50) vs reference (bucket < 50) sides; the final

@@ -223,6 +223,26 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Leakage-safe train/test split: assign splits by near-dup CLUSTER, not
+    * by document, so a test document can never have a near-duplicate in
+    * train (the classic eval-inflation leak a per-doc hash split permits —
+    * two mirror copies hash independently and straddle the boundary).
+    * `pairs` is any near-dup pair table (a < b) from the [[Dedup]] family;
+    * documents join their connected component's min-id, and the split
+    * hashes the GROUP id, so every member lands on the same side by
+    * construction. Singletons hash their own id — identical to the plain
+    * split for unduplicated docs.
+    *
+    * Scale shape: [[Dedup.dedupGroups]] over the pair graph only, then one
+    * narrow split projection — no extra shuffle beyond the group join. */
+  def leakSafeSplit(docs: DataFrame, pairs: DataFrame, trainPct: Int = 80,
+                    idCol: String = "doc_id"): DataFrame =
+    Dedup.dedupGroups(docs, pairs, idCol)
+      .select(col(idCol), col("group_id"),
+        when(hashBucket(col("group_id")) < trainPct, lit("train"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy(col(idCol))
+
   /** Per-language split audit: row counts and token sums per (lang,
     * split) — the sanity check run before training that the split
     * proportions hold within every stratum. */

@@ -182,4 +182,25 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(small.subsetOf(large))
   }
+
+  test("leakSafeSplit: near-dup clusters never straddle the split; singletons match the plain split") {
+    import spark.implicits._
+    // components: {1,2,3} via chain, {5,6}; singletons 4, 7
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (5L, 6L, 0.9))
+      .toDF("a_id", "b_id", "jaccard")
+    val out = Sampling.leakSafeSplit(docs, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    // every cluster member shares its component's split — no pair straddles
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(Set(out(5L), out(6L)).size == 1)
+    // singletons group to themselves => identical to the per-doc hash split
+    for (id <- Seq(4L, 7L)) {
+      val plain = if (Seq((id, "x")).toDF("doc_id", "t")
+        .select(Sampling.hashBucket(org.apache.spark.sql.functions.col("doc_id")))
+        .head.getLong(0) < 80) "train" else "test"
+      assert(out(id) == ((id, plain)))
+    }
+  }
 }
