@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -321,8 +321,11 @@ object Dedup {
                            n: Int = 8, seeds: Int = 12, bands: Int = 4,
                            jaccardThreshold: Double = 0.5): DataFrame = {
     val shRef = ngramShingled(reference, idCol, textCol, n)
-    nearIncrementalAgainst(incoming, shRef, ngramBandKeys(shRef, seeds, bands),
-      idCol, ngramShingled(_, idCol, textCol, n), seeds, bands, jaccardThreshold)
+    nearIncrementalAgainst(incoming, ngramBandKeys(shRef, seeds, bands),
+      idCol, ngramShingled(_, idCol, textCol, n),
+      sbFromText(reference, idCol, textCol,
+        LshFunctions.char_shingle_hash56(_, n)),
+      seeds, bands, jaccardThreshold)
   }
 
   /** [[ngramNearIncremental]]'s word-shingle twin: incremental near-dedup
@@ -336,9 +339,11 @@ object Dedup {
                              shingleSize: Int = 3, seeds: Int = 12, bands: Int = 6,
                              jaccardThreshold: Double = 0.3): DataFrame = {
     val shRef = minhashShingled(reference, idCol, textCol, shingleSize)
-    nearIncrementalAgainst(incoming, shRef, ngramBandKeys(shRef, seeds, bands),
-      idCol, minhashShingled(_, idCol, textCol, shingleSize), seeds, bands,
-      jaccardThreshold)
+    nearIncrementalAgainst(incoming, ngramBandKeys(shRef, seeds, bands),
+      idCol, minhashShingled(_, idCol, textCol, shingleSize),
+      sbFromText(reference, idCol, textCol,
+        LshFunctions.word_shingle_hash56(_, shingleSize)),
+      seeds, bands, jaccardThreshold)
   }
 
   /** [[minhashNearIncremental]] against a CATALOG-MANAGED word-shingle
@@ -368,10 +373,10 @@ object Dedup {
       ngramBandKeys(spark.read.parquet(s"$out/hs"), seeds, bands)
         .write.mode("overwrite").parquet(s"$out/bands")
     }
-    nearIncrementalAgainst(incoming, spark.read.parquet(s"${idx.path}/hs"),
-      spark.read.parquet(s"${idx.path}/bands"),
-      idCol, minhashShingled(_, idCol, textCol, shingleSize), seeds, bands,
-      jaccardThreshold)
+    nearIncrementalAgainst(incoming, spark.read.parquet(s"${idx.path}/bands"),
+      idCol, minhashShingled(_, idCol, textCol, shingleSize),
+      sbFromStored(spark.read.parquet(s"${idx.path}/hs")),
+      seeds, bands, jaccardThreshold)
   }
 
   /** [[ngramNearIncremental]] against a CATALOG-MANAGED shingle index,
@@ -404,19 +409,49 @@ object Dedup {
       ngramBandKeys(spark.read.parquet(s"$out/hs"), seeds, bands)
         .write.mode("overwrite").parquet(s"$out/bands")
     }
-    nearIncrementalAgainst(incoming, spark.read.parquet(s"${idx.path}/hs"),
-      spark.read.parquet(s"${idx.path}/bands"),
-      idCol, ngramShingled(_, idCol, textCol, n), seeds, bands, jaccardThreshold)
+    nearIncrementalAgainst(incoming, spark.read.parquet(s"${idx.path}/bands"),
+      idCol, ngramShingled(_, idCol, textCol, n),
+      sbFromStored(spark.read.parquet(s"${idx.path}/hs")),
+      seeds, bands, jaccardThreshold)
   }
 
-  /** The admission half of the near-dup incremental family: `shRef` /
-    * `refBands` are the reference side's (doc_id, hs) shingle table and
-    * its (doc_id, band, key) LSH keys — computed inline or read from the
-    * stored index; `shingle` is the family's shingling pass (char n-grams
-    * or word shingles), applied to the incoming batch only. */
-  private def nearIncrementalAgainst(incoming: DataFrame, shRef: DataFrame,
+  /** Verify-side `sb` attachment for the INLINE incremental variants: join
+    * the candidate rows to the reference TEXT first (a join on the id key,
+    * no hashing), then compute the shingle hashes in a projection ABOVE
+    * the join — so the md5 work runs on CANDIDATE rows only, never a
+    * second full-reference shingling pass. (Putting the shingle expression
+    * below the join would evaluate it for every reference row: Catalyst
+    * does not defer projected expressions past joins.) The round-8 shape
+    * fix: the previous formulation re-consumed the full reference shingle
+    * subtree for verification, and when AQE stage reuse missed at that
+    * fan-out the whole corpus was re-hashed (measured 2.9 s ↔ 12.4 s
+    * run-to-run at sf0.1); candidates-only recompute is deterministic
+    * either way and strictly cheaper at scale (candidates ≪ corpus). */
+  private def sbFromText(reference: DataFrame, idCol: String, textCol: String,
+                         shingleOf: Column => Column): DataFrame => DataFrame =
+    cand => cand
+      .join(reference.select(col(idCol).as("ref_id"), col(textCol).as("__ref_text")),
+        Seq("ref_id"))
+      .withColumn("sb", shingleOf(col("__ref_text")))
+      .drop("__ref_text")
+
+  /** Verify-side `sb` attachment for the INDEXED variants: join the stored
+    * (doc_id, hs) table — history text is never re-shingled at all. */
+  private def sbFromStored(storedHs: DataFrame): DataFrame => DataFrame =
+    cand => cand.join(
+      storedHs.select(col("doc_id").as("ref_id"), col("hs").as("sb")), Seq("ref_id"))
+
+  /** The admission half of the near-dup incremental family: `refBands` is
+    * the reference side's (doc_id, band, key) LSH keys — computed inline
+    * or read from the stored index; `shingle` is the family's shingling
+    * pass (char n-grams or word shingles), applied to the incoming batch
+    * only; `attachSb` joins the reference-side shingle sets onto the
+    * candidate rows (from text for inline, from the stored index table
+    * for indexed). */
+  private def nearIncrementalAgainst(incoming: DataFrame,
                                      refBands: DataFrame,
                                      idCol: String, shingle: DataFrame => DataFrame,
+                                     attachSb: DataFrame => DataFrame,
                                      seeds: Int, bands: Int,
                                      jaccardThreshold: Double): DataFrame = {
     // Spread an UNDER-SPLIT batch before shingling: on a single-split
@@ -426,8 +461,9 @@ object Dedup {
     // untouched: an unconditional spread costs a full text shuffle that
     // doubles the probe on multi-split sources (measured 2.5 s → 5.1 s).
     // Safe here because shInc has only two consumers (band keys + sa
-    // join); the 4-subtree inline formulation cannot afford the nested
-    // exchange (AQE loses stage reuse at that fan-out — 53 s vs 17 s).
+    // join); the reference side has ONE (its band keys — the verify-side
+    // sb comes from attachSb above the candidate join, never a second
+    // consumption of the reference shingle subtree).
     val p = incoming.sparkSession.sparkContext.defaultParallelism
     val spread =
       if (incoming.rdd.getNumPartitions >= p / 2) incoming
@@ -437,9 +473,8 @@ object Dedup {
       .withColumnRenamed("doc_id", "inc_id")
       .join(refBands.withColumnRenamed("doc_id", "ref_id"), Seq("band", "key"))
       .select(col("inc_id"), col("ref_id")).distinct()
-    val near = cand
-      .join(shInc.select(col("doc_id").as("inc_id"), col("hs").as("sa")), Seq("inc_id"))
-      .join(shRef.select(col("doc_id").as("ref_id"), col("hs").as("sb")), Seq("ref_id"))
+    val near = attachSb(cand
+      .join(shInc.select(col("doc_id").as("inc_id"), col("hs").as("sa")), Seq("inc_id")))
       .select(col("inc_id"),
         round(LshFunctions.jaccard(col("sa"), col("sb")), 6).as("j"))
       .where(col("j") >= jaccardThreshold)
