@@ -137,6 +137,7 @@ object SparkEntry {
       Decontaminate.semanticContamination(Tables.embeddings(s, dir))),
     "bigram_novelty" -> ((s, dir) => TextAnalysis.bigramNovelty(Tables.documents(s, dir))),
     "lm_score" -> ((s, dir) => TextAnalysis.lmCrossEntropy(Tables.documents(s, dir))),
+    "lm_score_bigram" -> ((s, dir) => TextAnalysis.lmCrossEntropyBigram(Tables.documents(s, dir))),
     "corpus_filter" -> ((s, dir) => CorpusFilter.decisions(Tables.documents(s, dir))),
     "text_stats"   -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     "docs_sample"  -> ((s, dir) => Sampling
@@ -1049,6 +1050,43 @@ object SparkEntry {
         |    -log2((coalesce(c.c, 0) + 1.0)
         |          / ((SELECT n_train FROM tot) + (SELECT v FROM tot) + 1.0)) AS b
         |  FROM tok t LEFT JOIN counts c ON t.w = c.w),
+        |per AS (SELECT doc_id, count(*) AS n_tokens,
+        |    round(sum(b) / count(*), 6) AS xent FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  coalesce(p.xent, 0.0) AS xent
+        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.lmCrossEntropyBigram: Jelinek-Mercer
+    // interpolation of a bigram MLE with the add-one unigram, lambda 0.7,
+    // unigram-only at position 0 / unseen context
+    "lm_score_bigram" ->
+      """WITH t0 AS (SELECT doc_id,
+        |    list_transform(list_filter(string_split(text, ' '), x -> x != ''),
+        |                   x -> lower(x)) AS t,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS bucket
+        |  FROM documents),
+        |tok AS MATERIALIZED (SELECT doc_id, bucket,
+        |    unnest(range(len(t))) AS pos, unnest(t) AS cur,
+        |    unnest(list_concat(CAST([NULL] AS VARCHAR[]), t[1:len(t)-1])) AS prev
+        |  FROM t0 WHERE len(t) > 0),
+        |uni AS MATERIALIZED (SELECT cur, count(*) AS c FROM tok WHERE bucket < 50 GROUP BY cur),
+        |big AS MATERIALIZED (SELECT prev, cur, count(*) AS cb FROM tok
+        |  WHERE bucket < 50 AND prev IS NOT NULL GROUP BY prev, cur),
+        |ctx AS (SELECT prev, sum(cb) AS cctx FROM big GROUP BY prev),
+        |tot AS (SELECT sum(c) AS n_train, count(*) AS v FROM uni),
+        |bits AS (SELECT t.doc_id,
+        |    -log2(CASE WHEN t.prev IS NOT NULL AND cx.cctx > 0
+        |      THEN 0.7 * (coalesce(b.cb, 0)::DOUBLE / cx.cctx::DOUBLE)
+        |           + (1.0 - 0.7) * ((coalesce(u.c, 0)::DOUBLE + 1.0)
+        |               / ((SELECT n_train FROM tot)::DOUBLE + (SELECT v FROM tot)::DOUBLE + 1.0))
+        |      ELSE (coalesce(u.c, 0)::DOUBLE + 1.0)
+        |           / ((SELECT n_train FROM tot)::DOUBLE + (SELECT v FROM tot)::DOUBLE + 1.0)
+        |      END) AS b
+        |  FROM tok t
+        |  LEFT JOIN uni u ON u.cur = t.cur
+        |  LEFT JOIN ctx cx ON cx.prev = t.prev
+        |  LEFT JOIN big b ON b.prev = t.prev AND b.cur = t.cur),
         |per AS (SELECT doc_id, count(*) AS n_tokens,
         |    round(sum(b) / count(*), 6) AS xent FROM bits GROUP BY doc_id)
         |SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,

@@ -375,6 +375,89 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Zipf-safe LEFT join of a key-hot probe stream against a count table:
+    * the bounded head (top-`headSize` rows by count) broadcasts so hot
+    * keys resolve map-side; only head-miss rows (tail + unseen, per-key
+    * multiplicity capped by the rank-`headSize` count) reach the shuffled
+    * tail join. Exactness is independent of where the cut falls. Null
+    * probe keys never match (standard left-join semantics) and keep their
+    * row with a null count. */
+  private def headTailLeftJoin(stream: DataFrame, counts: DataFrame,
+                               keys: Seq[String], cName: String,
+                               headSize: Int): DataFrame = {
+    val head = counts
+      .orderBy(desc(cName) +: keys.map(asc): _*).limit(headSize)
+    val tail = counts.join(broadcast(head.select(keys.map(col): _*)),
+      keys, "left_anti")
+    val probed = stream.join(
+      broadcast(head.withColumnRenamed(cName, s"__${cName}_h")), keys, "left")
+    val hit = probed.where(col(s"__${cName}_h").isNotNull)
+      .withColumn(cName, col(s"__${cName}_h")).drop(s"__${cName}_h")
+    val miss = probed.where(col(s"__${cName}_h").isNull)
+      .drop(s"__${cName}_h").join(tail, keys, "left")
+    hit.unionByName(miss)
+  }
+
+  /** Interpolated BIGRAM LM cross-entropy — [[lmCrossEntropy]] with the
+    * key widened one step, exactly as its scaladoc promises: per-token
+    * `P(w_i | w_{i-1}) = λ·c(w_{i-1},w_i)/c_ctx(w_{i-1}) +
+    * (1−λ)·P_uni(w_i)`, falling back to the smoothed unigram alone at
+    * position 0 or when the context never appeared in the reference slice
+    * (Jelinek–Mercer interpolation, the standard backbone before
+    * Kneser–Ney). The context normalizer `c_ctx` is the exact row sum of
+    * the bigram table, so every conditional distribution sums to 1.
+    *
+    * Scale shape: the (prev, cur) pairing is built NARROWLY per document
+    * (zip of the token array with its shift — never a positional
+    * self-join), and all three model joins (unigram on cur, context on
+    * prev, bigram on (prev, cur)) go through [[headTailLeftJoin]]: the
+    * Zipf head of each table broadcasts, so "of the" never shuffles on a
+    * raw token key. Model tables are aggregates — the bigram table is the
+    * big one (vocab², Zipf-truncated in practice); a 5-gram KenLM-style
+    * model is this same plan with a wider key. */
+  def lmCrossEntropyBigram(docs: DataFrame, trainBucketMax: Int = 50,
+                           headSize: Int = 65536,
+                           lambda: Double = 0.7): DataFrame = {
+    val base = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        expr("transform(filter(split(text, ' '), x -> x != ''), x -> lower(x))").as("t"))
+      .where(size(col("t")) > 0)
+    val paired = base
+      .select(col("doc_id"),
+        posexplode(expr(
+          """zip_with(concat(array(CAST(NULL AS STRING)), slice(t, 1, size(t) - 1)), t,
+            |  (p, c) -> struct(p AS prev, c AS cur))""".stripMargin)).as(Seq("pos", "pc")))
+      .select(col("doc_id"), col("pos"), col("pc.prev").as("prev"), col("pc.cur").as("cur"))
+    val train = paired.where(Sampling.hashBucket(col("doc_id")) < trainBucketMax)
+    val uni = train.groupBy(col("cur")).agg(count(lit(1)).as("c"))
+    val big = train.where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+    val ctx = big.groupBy(col("prev")).agg(sum(col("cb")).as("cctx"))
+    val tot = uni.agg(sum(col("c")).as("n_train"), count(lit(1)).as("v"))
+
+    val s1 = headTailLeftJoin(paired, uni, Seq("cur"), "c", headSize)
+    val s2 = headTailLeftJoin(s1, ctx, Seq("prev"), "cctx", headSize)
+    val s3 = headTailLeftJoin(s2, big, Seq("prev", "cur"), "cb", headSize)
+
+    val denom = col("n_train").cast("double") + col("v").cast("double") + 1.0
+    val pUni = (coalesce(col("c"), lit(0L)).cast("double") + 1.0) / denom
+    val pInterp = lit(lambda) * (coalesce(col("cb"), lit(0L)).cast("double") / col("cctx").cast("double")) +
+      (lit(1.0) - lit(lambda)) * pUni
+    val per = s3.crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        (-log2(when(col("prev").isNotNull && col("cctx") > 0, pInterp)
+          .otherwise(pUni))).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).cast("bigint").as("n_tokens"),
+        round(coalesce(col("sum_bits") / col("n_tokens"), lit(0.0)), 6).as("xent"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-distribution drift between the deterministic train split and
     * the holdout: the top-k tokens by absolute rate difference — the
     * monitor a pipeline runs on every new crawl snapshot (a token whose

@@ -343,6 +343,33 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(small == out)
   }
 
+  test("bigram lm: interpolation, unseen-context backoff, position-0, head-cut invariance") {
+    import spark.implicits._
+    val buckets = (0L until 50L).map(id => id ->
+      Seq((id, "x")).toDF("id", "t").select(Sampling.hashBucket(col("id")))
+        .collect().head.getLong(0)).toMap
+    val trainId = buckets.collectFirst { case (id, b) if b < 50 => id }.get
+    val testId = buckets.collectFirst { case (id, b) if b >= 50 => id }.get
+    // model: uni aa->2 bb->2 (N=4, V=2, denom=7); big (aa,bb)->2 (bb,aa)->1;
+    // ctx aa->2 bb->1
+    val docs = Seq((trainId, "aa bb aa bb"), (testId, "aa bb cc"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmCrossEntropyBigram(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val lam = 0.7; val om = 1.0 - lam
+    def pu(c: Long) = (c + 1.0) / 7.0
+    // pos0 "aa": unigram only; (aa->bb): seen bigram; (bb->cc): seen
+    // context, unseen bigram -> lambda*0 + (1-lambda)*P_uni(cc)
+    val want = -(log2(pu(2)) + log2(lam * (2.0 / 2.0) + om * pu(2)) +
+      log2(lam * 0.0 + om * pu(0))) / 3
+    assert(out(testId)._1 == 3L)
+    assert(math.abs(out(testId)._2 - want) < 1e-6, s"got ${out(testId)._2}, want $want")
+    val small = TextAnalysis.lmCrossEntropyBigram(docs, headSize = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(small == out)
+  }
+
   test("jacobi eigensolver: recovers analytic eigenpairs of a symmetric matrix") {
     // [[2,1],[1,2]] has eigenvalues 3 (v=[1,1]/√2) and 1 (v=[1,-1]/√2)
     val (vals, vecs) = EmbeddingStats.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
