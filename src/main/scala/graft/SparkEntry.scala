@@ -139,6 +139,7 @@ object SparkEntry {
     "lm_score" -> ((s, dir) => TextAnalysis.lmCrossEntropy(Tables.documents(s, dir))),
     "lm_score_bigram" -> ((s, dir) => TextAnalysis.lmCrossEntropyBigram(Tables.documents(s, dir))),
     "corpus_filter" -> ((s, dir) => CorpusFilter.decisions(Tables.documents(s, dir))),
+    "corpus_report" -> ((s, dir) => CorpusFilter.report(Tables.documents(s, dir))),
     "text_stats"   -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     "docs_sample"  -> ((s, dir) => Sampling
       .sampleByPercent(Tables.documents(s, dir), "doc_id", 10)
@@ -1035,6 +1036,60 @@ object SparkEntry {
         |    THEN coalesce(p.n_rare, 0)::DOUBLE / p.n_bigrams ELSE 0.0 END, 6) AS novelty
         |FROM documents d LEFT JOIN per p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors CorpusFilter.report: per-lang rollup of the per-doc arms
+    // (quality, exact-dup keep, raw-text PII, unigram-LM xent)
+    "corpus_report" ->
+      """WITH tq AS (SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','is'))) AS en_hits,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','que','y','en'))) AS es_hits,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und','ist','ein'))) AS de_hits,
+        |    CASE WHEN length(text) > 0
+        |         THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / length(text)
+        |         ELSE 0.0 END AS punct_raw
+        |  FROM documents),
+        |qual AS (SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    round(least(1.0, n_tokens::DOUBLE / 100.0) * (1.0 - punct_raw)
+        |      * (0.5 + 0.5 * CASE WHEN n_tokens > 0
+        |                          THEN (en_hits + es_hits + de_hits)::DOUBLE / n_tokens
+        |                          ELSE 0.0 END), 6) AS quality
+        |  FROM tq),
+        |dup AS (SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS keep
+        |  FROM documents),
+        |p1 AS (SELECT doc_id, text,
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+        |  FROM documents),
+        |p2 AS (SELECT doc_id, text, after_email,
+        |    regexp_replace(after_email, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS after_phone
+        |  FROM p1),
+        |pii AS (SELECT doc_id,
+        |    (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(after_email, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))
+        |     + len(regexp_extract_all(after_phone, '(?:[0-9]{1,3}\.){3}[0-9]{1,3}'))) > 0 AS has_pii
+        |  FROM p2),
+        |ltok AS MATERIALIZED (SELECT doc_id, lower(w) AS w FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+        |    FROM documents)),
+        |lcounts AS MATERIALIZED (SELECT w, count(*) AS c FROM ltok
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 50
+        |  GROUP BY w),
+        |ltot AS (SELECT sum(c) AS n_train, count(*) AS v FROM lcounts),
+        |lbits AS (SELECT t.doc_id,
+        |    -log2((coalesce(c.c, 0) + 1.0)
+        |          / ((SELECT n_train FROM ltot) + (SELECT v FROM ltot) + 1.0)) AS b
+        |  FROM ltok t LEFT JOIN lcounts c ON t.w = c.w),
+        |lper AS (SELECT doc_id, round(sum(b) / count(*), 6) AS xent FROM lbits GROUP BY doc_id),
+        |lm AS (SELECT d.doc_id, coalesce(l.xent, 0.0) AS xent
+        |  FROM documents d LEFT JOIN lper l ON l.doc_id = d.doc_id)
+        |SELECT qual.lang, count(*) AS n_docs,
+        |  CAST(sum(qual.n_tokens) AS BIGINT) AS total_tokens,
+        |  round(avg(qual.quality), 6) AS avg_quality,
+        |  round(avg(CASE WHEN dup.keep THEN 0.0 ELSE 1.0 END), 6) AS exact_dup_share,
+        |  round(avg(CASE WHEN pii.has_pii THEN 1.0 ELSE 0.0 END), 6) AS pii_share,
+        |  round(avg(lm.xent), 6) AS avg_xent
+        |FROM qual JOIN dup USING (doc_id) JOIN pii USING (doc_id) JOIN lm USING (doc_id)
+        |GROUP BY qual.lang ORDER BY qual.lang""".stripMargin,
 
     // mirrors TextAnalysis.lmCrossEntropy: unigram add-one LM trained on
     // the bucket<50 slice, per-token cross-entropy in bits over all docs

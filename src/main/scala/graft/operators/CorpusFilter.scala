@@ -38,4 +38,32 @@ object CorpusFilter {
           col("pii_ok") && col("dedup_ok")).as("kept"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-language corpus report — the dataset card a pipeline publishes
+    * with a training run: document/token volume, exact-duplicate share,
+    * PII incidence, mean heuristic quality and mean LM cross-entropy, per
+    * language. Pure composition: every column is an already-audited
+    * operator's per-document output ([[graft.operators.Dedup.exact]],
+    * [[graft.operators.Pii.scan]], [[TextAnalysis.quality]],
+    * [[TextAnalysis.lmCrossEntropy]]) joined on doc_id — the same
+    * id-keyed audit-join shape as [[decisions]] — and collapsed by one
+    * language-keyed aggregation. Scale cost is the sum of the arms; the
+    * final shuffle carries languages × partitions rows. */
+  def report(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+    val dup = Dedup.exact(docs).select(col("doc_id"), col("keep"))
+    val pii = Pii.scan(docs).select(col("doc_id"), col("has_pii"))
+    val lm = TextAnalysis.lmCrossEntropy(docs).select(col("doc_id"), col("xent"))
+    q.join(dup, Seq("doc_id")).join(pii, Seq("doc_id")).join(lm, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("quality")), 6).as("avg_quality"),
+        round(avg(when(col("keep"), 0.0).otherwise(1.0)), 6).as("exact_dup_share"),
+        round(avg(when(col("has_pii"), 1.0).otherwise(0.0)), 6).as("pii_share"),
+        round(avg(col("xent")), 6).as("avg_xent"))
+      .orderBy(col("lang"))
+  }
 }

@@ -32,4 +32,22 @@ class CorpusFilterSpec extends SparkSpec {
     // audit property: kept == AND of the four verdicts, every row
     out.values.foreach { case (q, r, p, d, kept) => assert(kept == (q && r && p && d)) }
   }
+
+  test("report: per-lang rollup accounts for every doc; shares are probabilities") {
+    import spark.implicits._
+    val dup = "the a of and to is repeated body long enough to count"
+    val docs = Seq(
+      (1L, dup, "en"), (2L, dup, "en"),                       // exact dup pair
+      (3L, "mail me at a@b.co now", "en"),                    // pii doc
+      (4L, "el la de que y en words aqui", "es")
+    ).toDF("doc_id", "text", "lang")
+    val out = CorpusFilter.report(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out.keySet == Set("en", "es"))
+    assert(out("en")._1 == 3L && out("es")._1 == 1L) // every doc accounted once
+    assert(out("en")._3 == 0.333333)                 // one dup of three en docs
+    assert(out("en")._4 == 0.333333)                 // one pii doc of three
+    assert(out("es")._3 == 0.0 && out("es")._4 == 0.0)
+  }
 }
