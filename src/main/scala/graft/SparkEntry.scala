@@ -763,6 +763,25 @@ object SparkEntry {
       |LEFT JOIN nears n ON n.inc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Shared per-doc unigram-LM CTE chain (add-one smoothing, bucket<50
+    * train slice) ending in `lper(doc_id, n_tokens, xent)` — used by the
+    * lm_score oracle and as the LM arm of corpus_report, so the model
+    * definition cannot drift between them. */
+  private def lmPerDocCtes: String =
+    """ltok AS MATERIALIZED (SELECT doc_id, lower(w) AS w FROM (
+      |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+      |    FROM documents)),
+      |lcounts AS MATERIALIZED (SELECT w, count(*) AS c FROM ltok
+      |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 50
+      |  GROUP BY w),
+      |ltot AS (SELECT sum(c) AS n_train, count(*) AS v FROM lcounts),
+      |lbits AS (SELECT t.doc_id,
+      |    -log2((coalesce(c.c, 0) + 1.0)
+      |          / ((SELECT n_train FROM ltot) + (SELECT v FROM ltot) + 1.0)) AS b
+      |  FROM ltok t LEFT JOIN lcounts c ON t.w = c.w),
+      |lper AS (SELECT doc_id, count(*) AS n_tokens,
+      |    round(sum(b) / count(*), 6) AS xent FROM lbits GROUP BY doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "topk_single" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1040,7 +1059,7 @@ object SparkEntry {
     // mirrors CorpusFilter.report: per-lang rollup of the per-doc arms
     // (quality, exact-dup keep, raw-text PII, unigram-LM xent)
     "corpus_report" ->
-      """WITH tq AS (SELECT doc_id, lang,
+      ("""WITH tq AS (SELECT doc_id, lang,
         |    len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
         |    len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','is'))) AS en_hits,
         |    len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','que','y','en'))) AS es_hits,
@@ -1068,18 +1087,7 @@ object SparkEntry {
         |     + len(regexp_extract_all(after_email, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))
         |     + len(regexp_extract_all(after_phone, '(?:[0-9]{1,3}\.){3}[0-9]{1,3}'))) > 0 AS has_pii
         |  FROM p2),
-        |ltok AS MATERIALIZED (SELECT doc_id, lower(w) AS w FROM (
-        |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
-        |    FROM documents)),
-        |lcounts AS MATERIALIZED (SELECT w, count(*) AS c FROM ltok
-        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 50
-        |  GROUP BY w),
-        |ltot AS (SELECT sum(c) AS n_train, count(*) AS v FROM lcounts),
-        |lbits AS (SELECT t.doc_id,
-        |    -log2((coalesce(c.c, 0) + 1.0)
-        |          / ((SELECT n_train FROM ltot) + (SELECT v FROM ltot) + 1.0)) AS b
-        |  FROM ltok t LEFT JOIN lcounts c ON t.w = c.w),
-        |lper AS (SELECT doc_id, round(sum(b) / count(*), 6) AS xent FROM lbits GROUP BY doc_id),
+        |""".stripMargin + lmPerDocCtes + """,
         |lm AS (SELECT d.doc_id, coalesce(l.xent, 0.0) AS xent
         |  FROM documents d LEFT JOIN lper l ON l.doc_id = d.doc_id)
         |SELECT qual.lang, count(*) AS n_docs,
@@ -1089,27 +1097,15 @@ object SparkEntry {
         |  round(avg(CASE WHEN pii.has_pii THEN 1.0 ELSE 0.0 END), 6) AS pii_share,
         |  round(avg(lm.xent), 6) AS avg_xent
         |FROM qual JOIN dup USING (doc_id) JOIN pii USING (doc_id) JOIN lm USING (doc_id)
-        |GROUP BY qual.lang ORDER BY qual.lang""".stripMargin,
+        |GROUP BY qual.lang ORDER BY qual.lang""".stripMargin),
 
     // mirrors TextAnalysis.lmCrossEntropy: unigram add-one LM trained on
     // the bucket<50 slice, per-token cross-entropy in bits over all docs
     "lm_score" ->
-      """WITH tok AS MATERIALIZED (SELECT doc_id, lower(w) AS w FROM (
-        |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
-        |    FROM documents)),
-        |counts AS MATERIALIZED (SELECT w, count(*) AS c FROM tok
-        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 50
-        |  GROUP BY w),
-        |tot AS (SELECT sum(c) AS n_train, count(*) AS v FROM counts),
-        |bits AS (SELECT t.doc_id,
-        |    -log2((coalesce(c.c, 0) + 1.0)
-        |          / ((SELECT n_train FROM tot) + (SELECT v FROM tot) + 1.0)) AS b
-        |  FROM tok t LEFT JOIN counts c ON t.w = c.w),
-        |per AS (SELECT doc_id, count(*) AS n_tokens,
-        |    round(sum(b) / count(*), 6) AS xent FROM bits GROUP BY doc_id)
+      s"""WITH $lmPerDocCtes
         |SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
         |  coalesce(p.xent, 0.0) AS xent
-        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+        |FROM documents d LEFT JOIN lper p ON p.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
     // mirrors TextAnalysis.lmCrossEntropyBigram: Jelinek-Mercer

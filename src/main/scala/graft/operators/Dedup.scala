@@ -59,10 +59,16 @@ object Dedup {
     * variant: `refFps` is a DISTINCT `fp` column — computed inline or read
     * from the stored index. */
   private def admitAgainstFps(incoming: DataFrame, refFps: DataFrame,
-                              idCol: String, textCol: String): DataFrame = {
+                              idCol: String, textCol: String): DataFrame =
+    admitFps(incoming.select(col(idCol), sha2(col(textCol), 256).as("fp")),
+      refFps, idCol)
+
+  /** [[admitAgainstFps]] over a pre-fingerprinted `(idCol, fp)` batch —
+    * the seam that lets the Bloom path hash the batch exactly once. */
+  private def admitFps(withFp: DataFrame, refFps: DataFrame,
+                       idCol: String): DataFrame = {
     val byFp = Window.partitionBy(col("fp"))
-    incoming
-      .select(col(idCol), sha2(col(textCol), 256).as("fp"))
+    withFp
       .join(refFps.withColumn("in_ref", lit(true)), Seq("fp"), "left")
       .withColumn("seen_in_corpus", coalesce(col("in_ref"), lit(false)))
       .withColumn("first_in_batch", col(idCol) === min(col(idCol)).over(byFp))
@@ -112,16 +118,20 @@ object Dedup {
         .write.mode("overwrite").parquet(out)
     }
     val stored = spark.read.parquet(idx.path)
-    val refFps =
-      if (bloomFpp <= 0) stored
-      else {
-        val batchFps = incoming.select(sha2(col(textCol), 256).as("fp"))
-        val bloom = batchFps.stat.bloomFilter(
-          "fp", math.max(batchFps.count(), 1L), bloomFpp)
-        val mightContain = udf((fp: String) => fp != null && bloom.mightContainString(fp))
-        stored.where(mightContain(col("fp")))
-      }
-    admitAgainstFps(incoming, refFps, idCol, textCol)
+    if (bloomFpp <= 0) admitAgainstFps(incoming, stored, idCol, textCol)
+    else {
+      // localCheckpoint materializes the batch fingerprints ONCE: the
+      // count, the Bloom build, and the admission join all read the same
+      // frozen blocks (one hash pass instead of three; and a
+      // non-deterministic incoming can no longer produce a filter that
+      // disagrees with the admitted batch)
+      val withFp = incoming
+        .select(col(idCol), sha2(col(textCol), 256).as("fp")).localCheckpoint()
+      val bloom = withFp.stat.bloomFilter(
+        "fp", math.max(withFp.count(), 1L), bloomFpp)
+      val mightContain = udf((fp: String) => fp != null && bloom.mightContainString(fp))
+      admitFps(withFp, stored.where(mightContain(col("fp"))), idCol)
+    }
   }
 
   /** Candidate pairs from LSH buckets, shared by every near-dup family:

@@ -138,19 +138,32 @@ object EmbeddingStats {
     *
     * Engine parity: E[x_i·x_j] and the means are rounded to 9 dp before
     * the subtraction (summation-order drift), the result to 6 dp. */
-  def covariance(embeddings: DataFrame, dim: Int = 64): DataFrame = {
-    val prods = embeddings
+  /** The (pos, 9-dp mean) moment table behind [[covariance]] and
+    * [[whiten]]: each row expands to its flattened d² outer product WITH
+    * the raw vector appended, so positions 0..d²−1 average to E[x_i·x_j]
+    * and positions d²..d²+d−1 to the means — second and first moments
+    * from literally one Generate + one aggregation. */
+  private def moments(embeddings: DataFrame): DataFrame =
+    embeddings
       .select(posexplode(expr(
-        """flatten(transform(CAST(embedding AS ARRAY<DOUBLE>),
-          |  a -> transform(CAST(embedding AS ARRAY<DOUBLE>), b -> a * b)))"""
-          .stripMargin)).as(Seq("pos", "p")))
-      .groupBy(col("pos")).agg(round(avg(col("p")), 9).as("e_ab"))
-    val means = embeddings
-      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
-      .groupBy(col("i")).agg(avg(col("x")).as("mi"))
+        """concat(
+          |  flatten(transform(CAST(embedding AS ARRAY<DOUBLE>),
+          |    a -> transform(CAST(embedding AS ARRAY<DOUBLE>), b -> a * b))),
+          |  CAST(embedding AS ARRAY<DOUBLE>))""".stripMargin)).as(Seq("pos", "p")))
+      .groupBy(col("pos")).agg(round(avg(col("p")), 9).as("m"))
+
+  def covariance(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    // localCheckpoint: the (d²+d)-row moment table feeds two consumers
+    // (products + the means array); materializing it guarantees the single
+    // corpus pass regardless of exchange-reuse luck, at d²+d rows of
+    // executor storage
+    val mom = moments(embeddings).localCheckpoint()
+    val prods = mom.where(col("pos") < dim * dim)
+      .select(col("pos"), col("m").as("e_ab"))
+    val means = mom.where(col("pos") >= dim * dim)
       .groupBy()
-      .agg(array_sort(collect_list(struct(col("i"), col("mi")))).as("pm"))
-      .select(expr("transform(pm, s -> round(s.mi, 9))").as("m"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(expr("transform(pm, s -> s.m)").as("mu"))
     prods.crossJoin(broadcast(means))
       .select(
         expr(s"CAST(pos DIV $dim AS BIGINT)").as("i"),
@@ -159,25 +172,32 @@ object EmbeddingStats {
         // zero representation (a -0.0 survives round() and sorts/hashes
         // differently from 0.0 in the driver compare)
         (round(col("e_ab") -
-          element_at(col("m"), (col("pos") / lit(dim)).cast("int") + 1) *
-          element_at(col("m"), (col("pos") % lit(dim)).cast("int") + 1), 6) + lit(0.0)).as("cov"))
+          element_at(col("mu"), (col("pos") / lit(dim)).cast("int") + 1) *
+          element_at(col("mu"), (col("pos") % lit(dim)).cast("int") + 1), 6) + lit(0.0)).as("cov"))
       .orderBy(col("i"), col("j"))
   }
 
-  /** ZCA whitening: project every embedding with W = U·(Λ+eps)^(-1/2)·U^T
-    * from the eigendecomposition of [[covariance]] — after it, the sample
-    * covariance is the identity, which repairs anisotropic embedding
-    * spaces before cosine-similarity retrieval (the standard
-    * whitening-for-retrieval transform). The eigensolve runs on the
-    * DRIVER over the d×d matrix (bounded, d² doubles — never corpus
-    * data); the corpus itself is touched exactly twice, once by the
-    * covariance aggregation and once by the projection, which folds W
-    * into codegen as a literal matrix (same discipline as the SimHash
-    * plane fold — no join against a weights table). */
+  /** ZCA whitening: project every embedding as x' = W·(x − μ) with
+    * W = U·(Λ+eps)^(-1/2)·U^T from the eigendecomposition of the sample
+    * covariance — after it, the whitened sample has ZERO mean and identity
+    * covariance, which repairs anisotropic embedding spaces before
+    * cosine-similarity retrieval (the standard whitening-for-retrieval
+    * transform; subtracting μ is what removes the dominant common
+    * direction — W alone would leave every vector sharing an amplified
+    * W·μ component and pairwise cosines unrepaired). The moment
+    * aggregation is ONE corpus pass collected at d²+d rows; the eigensolve
+    * runs on the DRIVER over the d×d matrix (never corpus data); the
+    * projection folds W and μ into codegen as literals (same discipline as
+    * the SimHash plane fold — no join against a weights table). */
   def whiten(embeddings: DataFrame, dim: Int = 64, eps: Double = 1e-6): DataFrame = {
     val c = Array.ofDim[Double](dim, dim)
-    covariance(embeddings, dim).collect()
-      .foreach(r => c(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2))
+    val mu = Array.ofDim[Double](dim)
+    moments(embeddings).collect().foreach { r =>
+      val pos = r.getInt(0); val m = r.getDouble(1)
+      if (pos < dim * dim) c(pos / dim)(pos % dim) = m
+      else mu(pos - dim * dim) = m
+    }
+    for (i <- 0 until dim; j <- 0 until dim) c(i)(j) -= mu(i) * mu(j)
     val (evals, u) = jacobiEigen(c)
     // W[r][s] = Σ_k u[r][k] · (λ_k+eps)^(-1/2) · u[s][k]
     val w = Array.tabulate(dim, dim) { (r, s) =>
@@ -190,10 +210,13 @@ object EmbeddingStats {
       acc
     }
     val wCol = array(w.map(row => array(row.map(lit(_)).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val muCol = array(mu.map(lit(_)).toIndexedSeq: _*)
+    val centered = zip_with(col("embedding").cast("array<double>"), muCol,
+      (a, b) => a - b)
     embeddings.select(col("vec_id"), col("label"),
       transform(wCol, row =>
-        round(aggregate(zip_with(col("embedding").cast("array<double>"), row,
-          (a, b) => a * b), lit(0.0), (acc, x) => acc + x), 6)).as("whitened"))
+        round(aggregate(zip_with(centered, row, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x), 6)).as("whitened"))
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix — returns

@@ -351,19 +351,11 @@ object TextAnalysis {
       .select(col("doc_id"), lower(col("w0")).as("w"))
     val counts = tok.where(Sampling.hashBucket(col("doc_id")) < trainBucketMax)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val head = counts.orderBy(desc("c"), asc("w")).limit(headSize)
-    val tail = counts.join(broadcast(head.select(col("w"))), Seq("w"), "left_anti")
     val tot = counts.agg(sum(col("c")).as("n_train"), count(lit(1)).as("v"))
-    val probed = tok.join(broadcast(head.withColumnRenamed("c", "c_head")), Seq("w"), "left")
-    val hit = probed.where(col("c_head").isNotNull)
-      .select(col("doc_id"), col("c_head").as("c"))
-    val miss = probed.where(col("c_head").isNull)
-      .join(tail, Seq("w"), "left")
-      .select(col("doc_id"), coalesce(col("c"), lit(0L)).as("c"))
-    val per = hit.unionByName(miss)
+    val per = headTailLeftJoin(tok, counts, Seq("w"), "c", headSize)
       .crossJoin(broadcast(tot))
       .select(col("doc_id"),
-        (-log2((col("c").cast("double") + 1.0) /
+        (-log2((coalesce(col("c"), lit(0L)).cast("double") + 1.0) /
           (col("n_train").cast("double") + col("v").cast("double") + 1.0))).as("bits"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
@@ -425,10 +417,10 @@ object TextAnalysis {
       .where(size(col("t")) > 0)
     val paired = base
       .select(col("doc_id"),
-        posexplode(expr(
+        explode(expr(
           """zip_with(concat(array(CAST(NULL AS STRING)), slice(t, 1, size(t) - 1)), t,
-            |  (p, c) -> struct(p AS prev, c AS cur))""".stripMargin)).as(Seq("pos", "pc")))
-      .select(col("doc_id"), col("pos"), col("pc.prev").as("prev"), col("pc.cur").as("cur"))
+            |  (p, c) -> struct(p AS prev, c AS cur))""".stripMargin)).as("pc"))
+      .select(col("doc_id"), col("pc.prev").as("prev"), col("pc.cur").as("cur"))
     val train = paired.where(Sampling.hashBucket(col("doc_id")) < trainBucketMax)
     val uni = train.groupBy(col("cur")).agg(count(lit(1)).as("c"))
     val big = train.where(col("prev").isNotNull)

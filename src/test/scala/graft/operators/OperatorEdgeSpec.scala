@@ -383,7 +383,8 @@ class OperatorEdgeSpec extends SparkSpec {
     }
   }
 
-  test("whiten: sample covariance of the whitened embeddings is the identity") {
+  test("whiten: whitened embeddings have zero mean and identity covariance") {
+    import org.apache.spark.sql.functions.{avg, posexplode}
     val e = Tables.embeddings(spark, dir)
     val w = EmbeddingStats.whiten(e).withColumnRenamed("whitened", "embedding")
     val cov = EmbeddingStats.covariance(w).collect()
@@ -393,6 +394,13 @@ class OperatorEdgeSpec extends SparkSpec {
       // 6 dp projection rounding + eps regularization bound the residue
       assert(math.abs(c - want) < 1e-3, s"cov($i,$j) = $c, want $want")
     }
+    // x' = W(x - mu): the common-direction removal a W-only projection
+    // would miss shows up as a zero whitened mean
+    val mus = w.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(avg(col("x")).as("m")).collect()
+    assert(mus.length == 64)
+    mus.foreach(r => assert(math.abs(r.getDouble(1)) < 1e-3,
+      s"whitened mean dim ${r.getInt(0)} = ${r.getDouble(1)}"))
   }
 
   test("token drift: a split-exclusive token tops the report with the right rates") {
