@@ -144,7 +144,7 @@ object ScaleSmoke {
     // replicas get byte-identical texts (exact-dup families the bounded
     // design excludes); two independent windows give 18×19 = 342 targets
     require(docFactor <= 342, s"docFactor $docFactor exceeds distinct translate targets")
-    val docs = replicate("docs4", docFactor, // tag versions the generator formula
+    val docs = replicate("docs5", docFactor, // tag versions the generator formula
       Tables.documents(spark, dir), (crossed, n) =>
         crossed.select((col("doc_id") + col("rep") * n).as("doc_id"),
           when(col("rep") < 2, concat(col("text"), lit(" r"), col("rep")))
@@ -154,7 +154,7 @@ object ScaleSmoke {
                 |  substr('bcdfghjklmnpqrstvwxz', cast(pmod(rep div 18, 19) as int) + 1, 2),
                 |  '_'))""".stripMargin))
             .as("text"),
-          col("lang")))
+          col("lang"), col("source")))
     // content-hash split, not id magnitude: sparse or offset id spaces
     // would make a value-threshold split degenerate to one empty side
     val half = graft.operators.Sampling.hashBucket(col("doc_id")) < 50
@@ -178,9 +178,12 @@ object ScaleSmoke {
     locally {
       val link = java.nio.file.Paths.get(scaleDir, "documents.parquet")
       java.nio.file.Files.createDirectories(link.getParent)
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(
-          s"${sys.props("java.io.tmpdir")}/graft-scale-docs4-$dirHash-$docFactor"))
+      // recreate unconditionally: a link left by an older generator tag
+      // would silently serve stale data (and exists() follows links, so a
+      // dangling one also defeats a create-if-missing guard)
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(
+        s"${sys.props("java.io.tmpdir")}/graft-scale-docs5-$dirHash-$docFactor"))
     }
     def dropIfRegistered(name: String): Unit = {
       val reg = graft.operators.CatalogOps.indexRegistry(spark, scaleDir)
@@ -252,6 +255,25 @@ object ScaleSmoke {
     stage("pack sequences") { S.packSequences(docs).queryExecution.toRdd.count() }
     stage(s"cell sample c$nc") {
       S.cellBalancedSample(e, nCells = nc, perCell = 20).queryExecution.toRdd.count()
+    }
+
+    // Round-8b additions: LM quality scoring (unigram + interpolated
+    // bigram — the bigram model table is the one whose size grows with
+    // corpus entropy, the measurement of interest), per-source MinHash
+    // sketches, and the d² covariance aggregate over the replicated
+    // embedding corpus.
+    val T = graft.operators.TextAnalysis
+    stage("lm unigram xent") {
+      T.lmCrossEntropy(docs).queryExecution.toRdd.count()
+    }
+    stage("lm bigram xent") {
+      T.lmCrossEntropyBigram(docs).queryExecution.toRdd.count()
+    }
+    stage("source overlap") {
+      D.sourceOverlap(docs).queryExecution.toRdd.count()
+    }
+    stage("embed covariance") {
+      graft.operators.EmbeddingStats.covariance(e).queryExecution.toRdd.count()
     }
     spark.stop()
   }

@@ -138,43 +138,55 @@ object EmbeddingStats {
     *
     * Engine parity: E[x_i·x_j] and the means are rounded to 9 dp before
     * the subtraction (summation-order drift), the result to 6 dp. */
-  /** The (pos, 9-dp mean) moment table behind [[covariance]] and
-    * [[whiten]]: each row expands to its flattened d² outer product WITH
-    * the raw vector appended, so positions 0..d²−1 average to E[x_i·x_j]
-    * and positions d²..d²+d−1 to the means — second and first moments
-    * from literally one Generate + one aggregation. */
-  private def moments(embeddings: DataFrame): DataFrame =
-    embeddings
-      .select(posexplode(expr(
-        """concat(
-          |  flatten(transform(CAST(embedding AS ARRAY<DOUBLE>),
-          |    a -> transform(CAST(embedding AS ARRAY<DOUBLE>), b -> a * b))),
-          |  CAST(embedding AS ARRAY<DOUBLE>))""".stripMargin)).as(Seq("pos", "p")))
-      .groupBy(col("pos")).agg(round(avg(col("p")), 9).as("m"))
+  /** One-pass raw moments: per-partition Gram accumulation into a flat
+    * d²+d double array (positions 0..d²−1 = Σ x_i·x_j, d²..d²+d−1 = Σ x_i)
+    * tree-combined to the driver — the `RowMatrix.computeGramian` shape.
+    * Shuffle-free and d² multiply-adds per row in a tight loop; the
+    * earlier explode-the-outer-product formulation paid per-VALUE row
+    * machinery through the aggregate (measured 180 s vs ~3 s at 1M×64).
+    * Combine order across partitions is timing-dependent, but the
+    * sub-ulp summation drift sits ~7 orders below the 9 dp rounding the
+    * consumers apply. Returns (sums, row count). */
+  private def gramMoments(embeddings: DataFrame, dim: Int): (Array[Double], Long) =
+    embeddings.select(col("embedding").cast("array<double>"))
+      .rdd.map(_.getSeq[Double](0).toArray)
+      .treeAggregate((new Array[Double](dim * dim + dim), 0L))(
+        seqOp = { case ((acc, c), v) =>
+          var i = 0
+          while (i < dim) {
+            val vi = v(i); val base = i * dim
+            var j = 0
+            while (j < dim) { acc(base + j) += vi * v(j); j += 1 }
+            acc(dim * dim + i) += vi
+            i += 1
+          }
+          (acc, c + 1L)
+        },
+        combOp = { case ((a, ca), (b, cb)) =>
+          var k = 0
+          while (k < a.length) { a(k) += b(k); k += 1 }
+          (a, ca + cb)
+        })
 
   def covariance(embeddings: DataFrame, dim: Int = 64): DataFrame = {
-    // localCheckpoint: the (d²+d)-row moment table feeds two consumers
-    // (products + the means array); materializing it guarantees the single
-    // corpus pass regardless of exchange-reuse luck, at d²+d rows of
-    // executor storage
-    val mom = moments(embeddings).localCheckpoint()
-    val prods = mom.where(col("pos") < dim * dim)
-      .select(col("pos"), col("m").as("e_ab"))
-    val means = mom.where(col("pos") >= dim * dim)
-      .groupBy()
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(expr("transform(pm, s -> s.m)").as("mu"))
-    prods.crossJoin(broadcast(means))
-      .select(
-        expr(s"CAST(pos DIV $dim AS BIGINT)").as("i"),
-        expr(s"CAST(pos % $dim AS BIGINT)").as("j"),
-        // + 0.0 folds IEEE negative zero to +0.0 so both engines emit one
-        // zero representation (a -0.0 survives round() and sorts/hashes
-        // differently from 0.0 in the driver compare)
-        (round(col("e_ab") -
-          element_at(col("mu"), (col("pos") / lit(dim)).cast("int") + 1) *
-          element_at(col("mu"), (col("pos") % lit(dim)).cast("int") + 1), 6) + lit(0.0)).as("cov"))
-      .orderBy(col("i"), col("j"))
+    val spark = embeddings.sparkSession
+    val (sums, n) = gramMoments(embeddings, dim)
+    val nd = math.max(n, 1L).toDouble
+    // HALF_UP (= round half away from zero), matching both Catalyst's
+    // Round and DuckDB's round(); rint's half-even would diverge on ties
+    def r(x: Double, scale: Int): Double =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = for (i <- 0 until dim; j <- 0 until dim) yield {
+      val eab = r(sums(i * dim + j) / nd, 9)
+      val mi = r(sums(dim * dim + i) / nd, 9)
+      val mj = r(sums(dim * dim + j) / nd, 9)
+      // + 0.0 folds IEEE negative zero to +0.0 so both engines emit one
+      // zero representation (a -0.0 survives rounding and sorts/hashes
+      // differently from 0.0 in the driver compare)
+      (i.toLong, j.toLong, r(eab - mi * mj, 6) + 0.0)
+    }
+    import spark.implicits._
+    rows.toDF("i", "j", "cov").orderBy(col("i"), col("j"))
   }
 
   /** ZCA whitening: project every embedding as x' = W·(x − μ) with
@@ -190,14 +202,11 @@ object EmbeddingStats {
     * projection folds W and μ into codegen as literals (same discipline as
     * the SimHash plane fold — no join against a weights table). */
   def whiten(embeddings: DataFrame, dim: Int = 64, eps: Double = 1e-6): DataFrame = {
-    val c = Array.ofDim[Double](dim, dim)
-    val mu = Array.ofDim[Double](dim)
-    moments(embeddings).collect().foreach { r =>
-      val pos = r.getInt(0); val m = r.getDouble(1)
-      if (pos < dim * dim) c(pos / dim)(pos % dim) = m
-      else mu(pos - dim * dim) = m
-    }
-    for (i <- 0 until dim; j <- 0 until dim) c(i)(j) -= mu(i) * mu(j)
+    val (sums, n) = gramMoments(embeddings, dim)
+    val nd = math.max(n, 1L).toDouble
+    val mu = Array.tabulate(dim)(i => sums(dim * dim + i) / nd)
+    val c = Array.tabulate(dim, dim)((i, j) =>
+      sums(i * dim + j) / nd - mu(i) * mu(j))
     val (evals, u) = jacobiEigen(c)
     // W[r][s] = Σ_k u[r][k] · (λ_k+eps)^(-1/2) · u[s][k]
     val w = Array.tabulate(dim, dim) { (r, s) =>
