@@ -194,6 +194,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"head set not bounded by limit:\n$p")
   }
 
+  test("lm_score_bigram: all three model joins broadcast their Zipf heads") {
+    val p = plan(graft.operators.TextAnalysis.lmCrossEntropyBigram(Tables.documents(spark, dir)))
+    assert(!p.contains("CartesianProduct"), s"unexpected cross product:\n$p")
+    // unigram (cur), context (prev), bigram (prev,cur): each probe meets
+    // its model head map-side; hot tokens never shuffle on a raw token key
+    assert("""BroadcastHashJoin \[cur#\d+\], \[cur#\d+\], LeftOuter""".r
+      .findFirstIn(p).isDefined, s"unigram head not broadcast:\n$p")
+    assert("""BroadcastHashJoin \[prev#\d+\], \[prev#\d+\], LeftOuter""".r
+      .findFirstIn(p).isDefined, s"context head not broadcast:\n$p")
+    assert("""BroadcastHashJoin \[prev#\d+, cur#\d+\], \[prev#\d+, cur#\d+\], LeftOuter""".r
+      .findFirstIn(p).isDefined, s"bigram head not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"heads not bounded by limit:\n$p")
+  }
+
+  test("source_overlap: one corpus aggregate; the pairwise stage touches only the sketch table") {
+    val p = plan(graft.operators.Dedup.sourceOverlap(Tables.documents(spark, dir)))
+    // the corpus side is a single source-keyed aggregation (partial
+    // map-side); the inequality self-join is allowed to be a
+    // BroadcastNestedLoopJoin because both sides are the sources x seeds
+    // sketch table, never corpus data
+    assert(!p.contains("CartesianProduct"), s"unexpected cross product:\n$p")
+    assert("""BroadcastNestedLoopJoin BuildRight, Inner, \(source_a#\d+ < source_b#\d+\)""".r
+      .findFirstIn(p).isDefined, s"pairwise stage not the bounded sketch join:\n$p")
+  }
+
   test("dedup_semantic: pairs come from a cell equi-join, never a cross product") {
     val p = plan(graft.operators.Dedup.semanticDedup(Tables.embeddings(spark, dir)))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
