@@ -65,6 +65,7 @@ object SparkEntry {
       ngramPairs(s, dir))),
     "leak_safe_split" -> ((s, dir) => Sampling.leakSafeSplit(Tables.documents(s, dir),
       ngramPairs(s, dir))),
+    "weighted_sample" -> ((s, dir) => Sampling.weightedSample(Tables.documents(s, dir))),
     // incremental dedup: reference corpus = hash-split half; the incoming
     // batch is the other half PLUS re-keyed clones of reference docs
     // (a crawler re-fetching known pages → seen_in_corpus) and re-keyed
@@ -1843,6 +1844,18 @@ object SparkEntry {
         |  md5(string_agg(event_type, '|' ORDER BY ts, event_id)) AS seq_fp,
         |  array_to_string((list(event_type ORDER BY ts, event_id))[1:8], '|') AS head
         |FROM recent GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // mirrors Sampling.weightedSample: Efraimidis-Spirakis keys from the
+    // deterministic hash56 uniform, top-200 by (key DESC, doc_id)
+    "weighted_sample" ->
+      """WITH ks AS (SELECT doc_id,
+        |    CAST(greatest(n_chars, 1) AS BIGINT) AS w,
+        |    round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT + 1.0)
+        |             / 72057594037927936.0)
+        |          / greatest(n_chars, 1), 9) AS key
+        |  FROM documents)
+        |SELECT doc_id, w, key FROM ks
+        |ORDER BY key DESC, doc_id ASC LIMIT 200""".stripMargin,
 
     // mirrors Sampling.qualitySample: TextAnalysis.quality's composite
     // score, quantile_cont == Spark exact percentile (6 dp), hash56 keep

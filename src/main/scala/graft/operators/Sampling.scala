@@ -223,6 +223,34 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    * each document draws key = ln(u)/w from a deterministic hash-uniform
+    * u ∈ (0, 1] and weight w, and the k largest keys ARE an exact weighted
+    * sample without replacement — the one-pass answer to "give me 10k
+    * docs, longer/better ones proportionally more likely" that a naive
+    * cumulative-weight approach needs a global prefix sum for.
+    *
+    * Scale shape: narrow per-row key computation, then `orderBy + limit`
+    * ⇒ `TakeOrderedAndProject` — a per-partition bounded heap merged on
+    * the driver (k·partitions rows), never a global sort. No RNG: u
+    * derives from the md5-based [[graft.functions.LshFunctions.hash56]],
+    * so membership is stable across runs, partitionings, and engines —
+    * and the same keys make the sample INCREMENTALLY maintainable (a
+    * streaming reservoir keeps the running top-k key set; appending a
+    * batch can only replace, never reshuffle, prior members). Keys are
+    * rounded to 9 dp with doc_id tie-break so both engines rank
+    * identically. */
+  def weightedSample(docs: DataFrame, k: Int = 200,
+                     weightCol: String = "n_chars"): DataFrame = {
+    val u = (graft.functions.LshFunctions.hash56(col("doc_id").cast("string"))
+      .cast("double") + 1.0) / lit(7.2057594037927936e16)
+    val w = greatest(col(weightCol), lit(1L)).cast("double")
+    docs.select(col("doc_id"),
+        greatest(col(weightCol), lit(1L)).cast("bigint").as("w"),
+        round(log(u) / w, 9).as("key"))
+      .orderBy(desc("key"), asc("doc_id")).limit(k)
+  }
+
   /** Leakage-safe train/test split: assign splits by near-dup CLUSTER, not
     * by document, so a test document can never have a near-duplicate in
     * train (the classic eval-inflation leak a per-doc hash split permits —

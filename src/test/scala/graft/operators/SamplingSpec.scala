@@ -183,6 +183,23 @@ class SamplingSpec extends SparkSpec {
     assert(small.subsetOf(large))
   }
 
+  test("weightedSample: heavy weights dominate; ranking is weight-scale invariant") {
+    import spark.implicits._
+    val docs = ((0L until 50L).map(i => (i, 1000000L)) ++
+      (50L until 100L).map(i => (i, 1L))).toDF("doc_id", "n_chars")
+    val picked = Sampling.weightedSample(docs, k = 50).collect()
+      .map(_.getLong(0)).toSet
+    // P(a w=1 doc out-keys a w=1e6 doc) ~ 4e-5: the 50-slot sample is
+    // essentially the heavy block
+    assert(picked.count(_ < 50L) >= 45, s"heavy docs under-sampled: $picked")
+    // keys are ln(u)/w, so scaling every weight scales every key equally:
+    // membership must not change
+    val scaled = Sampling.weightedSample(
+      docs.withColumn("n_chars", col("n_chars") * 7L), k = 50).collect()
+      .map(_.getLong(0)).toSet
+    assert(scaled == picked)
+  }
+
   test("leakSafeSplit: near-dup clusters never straddle the split; singletons match the plain split") {
     import spark.implicits._
     // components: {1,2,3} via chain, {5,6}; singletons 4, 7
