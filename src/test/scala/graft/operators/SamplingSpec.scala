@@ -200,6 +200,23 @@ class SamplingSpec extends SparkSpec {
     assert(scaled == picked)
   }
 
+  test("weightedSample: reservoir identity — top-k(b1 ∪ b2) == top-k(top-k(b1) ∪ b2)") {
+    import spark.implicits._
+    // the A-Res key is a pure row function, so a maintained reservoir
+    // (prior sample ∪ new batch → re-top-k) is EXACTLY the batch answer —
+    // the incremental-maintainability claim, tested
+    val b1 = (0L until 80L).map(i => (i, i % 7 * 100 + 1)).toDF("doc_id", "n_chars")
+    val b2 = (80L until 160L).map(i => (i, i % 5 * 211 + 1)).toDF("doc_id", "n_chars")
+    val direct = Sampling.weightedSample(b1.unionByName(b2), k = 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val reservoir = Sampling.weightedSample(
+      Sampling.weightedSample(b1, k = 25)
+        .select(col("doc_id"), col("w").as("n_chars"))
+        .unionByName(b2), k = 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(direct == reservoir)
+  }
+
   test("leakSafeSplit: near-dup clusters never straddle the split; singletons match the plain split") {
     import spark.implicits._
     // components: {1,2,3} via chain, {5,6}; singletons 4, 7
