@@ -6,8 +6,10 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
+import org.apache.hadoop.fs.Path
+
 import graft.core.GraftDatabase
-import graft.operators.Ingest
+import graft.operators.{Ingest, Sampling}
 
 /** Structured Streaming surface — beyond-reference (SURVEY.md §7.5: the
   * reference is fully synchronous; streaming is engine-native surface a
@@ -321,6 +323,82 @@ object Streaming {
         }
       }
       .start()
+
+  /** Continuous weighted-reservoir maintenance: a streaming (doc_id,
+    * weight) source folds into a persisted k-row Efraimidis–Spirakis
+    * sample — per micro-batch, prior reservoir ∪ batch → dedup by doc_id
+    * (max weight wins deterministically, so an at-least-once redelivery
+    * cannot double-enter a document) →
+    * [[graft.operators.Sampling.weightedSample]]. Because the A-Res key
+    * is a pure row function, the maintained reservoir is EXACTLY the
+    * batch answer over everything ever streamed (the reservoir identity
+    * SamplingSpec pins), and replaying a batch is a no-op — the sample is
+    * exactly-once-equivalent under at-least-once delivery with no
+    * dedup state beyond the k rows themselves.
+    *
+    * Persistence follows the index layout's written-last discipline:
+    * each update writes a fresh `v<batchId>` parquet dir, then swaps the
+    * tiny `_latest` marker; a crash between the two leaves the prior
+    * marker valid, and a reader that finds no marker falls back to the
+    * highest committed version. Scale: the reservoir is k rows by
+    * construction — the collect is bounded, the per-batch cost is the
+    * batch's narrow key projection + a k-bounded heap. */
+  def streamWeightedReservoir(docs: DataFrame, k: Int, reservoirPath: String,
+                              checkpointDir: String,
+                              weightCol: String = "n_chars"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val prior = readReservoir(spark, reservoirPath)
+            .map(_.select(col("doc_id"), col("w").as(weightCol)))
+            .getOrElse(Seq.empty[(Long, Long)].toDF("doc_id", weightCol))
+          val merged = Sampling.weightedSample(
+            batch.select(col("doc_id"), col(weightCol).cast("bigint").as(weightCol))
+              .unionByName(prior)
+              .groupBy(col("doc_id")).agg(max(col(weightCol)).as(weightCol)),
+            k, weightCol)
+          val rows = merged.collect() // bounded: k rows by construction
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+          val vdir = f"v$batchId%020d"
+          rows.toDF("doc_id", "w", "key").repartition(1)
+            .write.mode("overwrite").parquet(s"$reservoirPath/$vdir")
+          val fs = new Path(reservoirPath).getFileSystem(
+            spark.sessionState.newHadoopConf())
+          val tmp = new Path(reservoirPath, "_latest.tmp")
+          val out = fs.create(tmp, true)
+          out.write(vdir.getBytes("UTF-8")); out.close()
+          fs.delete(new Path(reservoirPath, "_latest"), false)
+          fs.rename(tmp, new Path(reservoirPath, "_latest"))
+          ()
+        }
+      }
+      .start()
+
+  /** The committed reservoir, or None before the first update: the
+    * `_latest` marker's version, falling back to the highest version dir
+    * with a `_SUCCESS` commit if the marker is missing (crash window). */
+  def readReservoir(spark: SparkSession, reservoirPath: String): Option[DataFrame] = {
+    val root = new Path(reservoirPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val marker = new Path(root, "_latest")
+    val fromMarker =
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        val v = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+        Some(new Path(root, v)).filter(p => fs.exists(new Path(p, "_SUCCESS")))
+      } else None
+    val chosen = fromMarker.orElse {
+      fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("v") && fs.exists(new Path(p, "_SUCCESS")))
+        .sortBy(_.getName).lastOption
+    }
+    chosen.map(p => spark.read.parquet(p.toString))
+  }
 
   /** Continuous collection ingest: any streaming (id, chunk) text source →
     * per-micro-batch chunk/embed/validate/append through the SAME batch

@@ -325,4 +325,41 @@ class StreamingSpec extends SparkSpec {
     try q.awaitTermination(120000) finally q.stop()
     assert(admitted.sorted == Seq(11L, 13L), s"admitted: $admitted")
   }
+
+  test("weighted reservoir sink: maintained sample equals the batch answer; redelivery is a no-op") {
+    import java.nio.file.Files
+    val res = Files.createTempDirectory("graft-reservoir-").toString + "/r"
+    val all = (0L until 120L).map(i => (i, i % 11 * 97 + 1))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    mem.addData(all.take(60): _*)
+    mem.addData(all.drop(60): _*)
+    val q = Streaming.streamWeightedReservoir(mem.toDF().toDF("doc_id", "n_chars"),
+      k = 20, res, Files.createTempDirectory("graft-reservoir-ckpt-").toString)
+    try q.awaitTermination(120000) finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(org.apache.spark.sql.functions.desc("key"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val direct = rows(graft.operators.Sampling.weightedSample(
+      all.toDF("doc_id", "n_chars"), k = 20))
+    assert(rows(Streaming.readReservoir(spark, res).get) == direct)
+
+    // at-least-once redelivery: a fresh stream re-sending everything must
+    // leave the reservoir exactly where it was (dedup by id + pure keys)
+    val mem2 = MemoryStream[(Long, Long)]
+    mem2.addData(all: _*)
+    val q2 = Streaming.streamWeightedReservoir(mem2.toDF().toDF("doc_id", "n_chars"),
+      k = 20, res, Files.createTempDirectory("graft-reservoir-ckpt-").toString)
+    try q2.awaitTermination(120000) finally q2.stop()
+    assert(rows(Streaming.readReservoir(spark, res).get) == direct)
+
+    // crash window: a lost _latest marker falls back to the highest
+    // committed version
+    val fs = new org.apache.hadoop.fs.Path(res)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(res, "_latest"), false)
+    assert(rows(Streaming.readReservoir(spark, res).get) == direct)
+  }
 }
