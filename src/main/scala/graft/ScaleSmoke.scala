@@ -275,6 +275,9 @@ object ScaleSmoke {
     stage("embed covariance") {
       graft.operators.EmbeddingStats.covariance(e).queryExecution.toRdd.count()
     }
+    stage("dsir weights") {
+      T.dsirWeights(docs).queryExecution.toRdd.count()
+    }
     spark.stop()
   }
 

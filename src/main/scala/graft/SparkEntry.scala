@@ -139,6 +139,7 @@ object SparkEntry {
     "bigram_novelty" -> ((s, dir) => TextAnalysis.bigramNovelty(Tables.documents(s, dir))),
     "lm_score" -> ((s, dir) => TextAnalysis.lmCrossEntropy(Tables.documents(s, dir))),
     "lm_score_bigram" -> ((s, dir) => TextAnalysis.lmCrossEntropyBigram(Tables.documents(s, dir))),
+    "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(Tables.documents(s, dir))),
     "corpus_filter" -> ((s, dir) => CorpusFilter.decisions(Tables.documents(s, dir))),
     "corpus_report" -> ((s, dir) => CorpusFilter.report(Tables.documents(s, dir))),
     "text_stats"   -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
@@ -209,6 +210,7 @@ object SparkEntry {
     "ivfpq_recall" -> ((s, dir) => Ann.ivfPqRecall(s, dir, 8, 10, 16, 4)),
     "embed_label_stats" -> ((s, dir) => EmbeddingStats.perLabelCohesion(Tables.embeddings(s, dir))),
     "knn_label_audit" -> ((s, dir) => EmbeddingStats.knnLabelAudit(Tables.embeddings(s, dir))),
+    "retrieval_eval" -> ((s, dir) => EmbeddingStats.retrievalEval(Tables.embeddings(s, dir))),
     "dim_recall" -> ((s, dir) => EmbeddingStats.dimRecall(Tables.embeddings(s, dir))),
     "embed_drift" -> ((s, dir) => EmbeddingStats.embedDrift(Tables.embeddings(s, dir))),
     "embed_covariance" -> ((s, dir) => EmbeddingStats.covariance(Tables.embeddings(s, dir))),
@@ -1146,6 +1148,34 @@ object SparkEntry {
         |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    // mirrors TextAnalysis.dsirWeights: hashed-token (hash56 mod 4096)
+    // add-one models on the target (bucket<20) and raw (bucket>=50)
+    // slices; per-doc log2-likelihood ratio
+    "dsir_weights" ->
+      """WITH t0 AS (SELECT doc_id,
+        |    list_transform(list_filter(string_split(text, ' '), x -> x != ''),
+        |                   x -> lower(x)) AS t,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS bucket
+        |  FROM documents),
+        |tok AS MATERIALIZED (SELECT doc_id, bucket,
+        |    ('0x' || substr(md5(unnest(t)), 1, 14))::UBIGINT % 4096 AS feat
+        |  FROM t0 WHERE len(t) > 0),
+        |tgt AS (SELECT feat, count(*) AS ct FROM tok WHERE bucket < 20 GROUP BY feat),
+        |rawm AS (SELECT feat, count(*) AS cr FROM tok WHERE bucket >= 50 GROUP BY feat),
+        |tot AS (SELECT (SELECT sum(ct) FROM tgt) AS nt, (SELECT sum(cr) FROM rawm) AS nr),
+        |per AS (SELECT t.doc_id, count(*) AS n_tokens,
+        |    sum(log2((coalesce(g.ct, 0)::DOUBLE + 1.0) / (tot.nt::DOUBLE + 4096.0))
+        |      - log2((coalesce(r.cr, 0)::DOUBLE + 1.0) / (tot.nr::DOUBLE + 4096.0))) AS s
+        |  FROM tok t
+        |  LEFT JOIN tgt g ON g.feat = t.feat
+        |  LEFT JOIN rawm r ON r.feat = t.feat, tot
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  round(coalesce(p.s, 0.0), 6) AS lr_bits,
+        |  round(coalesce(p.s / p.n_tokens, 0.0), 6) AS lr_per_token
+        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "corpus_filter" ->
       """WITH toks AS (SELECT doc_id, text,
         |    list_filter(string_split(text, ' '), x -> x != '') AS t FROM documents),
@@ -1908,9 +1938,9 @@ object SparkEntry {
         |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tok
         |  FROM documents),
         |c AS (SELECT doc_id, lang, n_tok,
-        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |    CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      - n_tok AS start
+        |      - n_tok AS BIGINT) AS start
         |  FROM d)
         |SELECT doc_id, lang, n_tok, start,
         |  start // 1024 AS seq_first,
@@ -2008,6 +2038,38 @@ object SparkEntry {
          |       CAST(sum(ok) AS BIGINT) AS correct,
          |       round(CAST(sum(ok) AS BIGINT) / count(*), 6) AS acc
          |FROM pred GROUP BY query_label
+         |ORDER BY label""".stripMargin,
+
+    // mirrors EmbeddingStats.retrievalEval: same rounded-score ranking,
+    // binary label relevance, IDCG over min(label_n - 1, k)
+    "retrieval_eval" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+         |      FROM e WHERE vec_id % 7 = 0),
+         |lc AS (SELECT label AS query_label, count(*)::BIGINT AS label_n FROM e GROUP BY label),
+         |scored AS (
+         |  SELECT q.query_id, q.query_label, e.vec_id,
+         |         CASE WHEN e.label = q.query_label THEN 1 ELSE 0 END AS rel,
+         |         ${cosSql("e.v", "q.qv")} AS score
+         |  FROM e, q WHERE e.vec_id != q.query_id),
+         |top AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY score DESC, vec_id ASC) AS rnk
+         |  FROM scored) t WHERE rnk <= 10),
+         |per AS (SELECT query_id, query_label,
+         |  max(CASE WHEN rel = 1 THEN 1.0 / rnk ELSE 0.0 END) AS mrr,
+         |  sum(CASE WHEN rel = 1 THEN 1.0 / log2(rnk + 1.0) ELSE 0.0 END) AS dcg
+         |  FROM top GROUP BY query_id, query_label),
+         |ideal AS (SELECT per.*,
+         |  CASE WHEN least(lc.label_n - 1, 10) >= 1
+         |    THEN list_sum(list_transform(range(1, least(lc.label_n - 1, 10) + 1),
+         |                                 i -> 1.0 / log2(i + 1.0)))
+         |    ELSE 0.0 END AS idcg
+         |  FROM per JOIN lc USING (query_label))
+         |SELECT query_label AS label, count(*)::BIGINT AS n_queries,
+         |  round(avg(mrr), 6) AS mrr,
+         |  round(avg(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END), 6) AS ndcg
+         |FROM ideal GROUP BY query_label
          |ORDER BY label""".stripMargin,
 
     // mirrors Mining.hardNegatives: same rounded-score ranking + vec_id

@@ -361,4 +361,52 @@ object EmbeddingStats {
         round(col("correct") / col("n"), 6).as("acc"))
       .orderBy(col("label"))
   }
+
+  /** Retrieval-quality eval — per-label mean MRR and NDCG@k of cosine
+    * retrieval over hash-sampled anchor queries, with binary relevance =
+    * label agreement. The ranking-metric report an embedding-model eval
+    * publishes next to [[knnLabelAudit]]'s classification view: MRR grades
+    * where the FIRST relevant hit lands, NDCG@k grades the whole ranked
+    * prefix with the standard 1/log2(rank+1) discount, normalized by the
+    * ideal DCG over min(corpus relevant, k) — so a label with fewer than k
+    * members can still score 1.0 when retrieval is perfect.
+    *
+    * Plan shape = [[knnLabelAudit]]: anchors broadcast against the corpus
+    * (`anchorMod` dials the eval-set size — production eval sets are fixed
+    * a-priori samples, so the broadcast side is bounded by contract), one
+    * window per anchor bounded at k, then anchor- and label-keyed
+    * aggregations. The per-label relevant-count table is a label-keyed
+    * aggregate (labels ≪ corpus, broadcast). Determinism: 6-dp-rounded
+    * scores with vec_id tie-break, the contract every ranking oracle
+    * shares. */
+  def retrievalEval(embeddings: DataFrame, k: Int = 10, anchorMod: Long = 7L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchors = embeddings.where(pmod(col("vec_id"), lit(anchorMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("embedding").as("query_vec"))
+    val labelCounts = embeddings.groupBy(col("label").as("query_label"))
+      .agg(count(lit(1)).as("label_n"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), asc("vec_id"))
+    val top = embeddings.crossJoin(broadcast(anchors))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("query_label"), col("vec_id"),
+        (col("label") === col("query_label")).cast("int").as("rel"),
+        round(cosine_sim(col("embedding"), col("query_vec")), 6).as("score"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+    val per = top.groupBy(col("query_id"), col("query_label"))
+      .agg(
+        max(col("rel").cast("double") / col("rnk").cast("double")).as("mrr"),
+        sum(col("rel").cast("double") / log2(col("rnk").cast("double") + 1.0)).as("dcg"))
+    val ideal = per.join(broadcast(labelCounts), Seq("query_label"))
+      .withColumn("m", least(col("label_n") - 1, lit(k.toLong)))
+      .withColumn("idcg", when(col("m") >= 1, expr(
+        "aggregate(sequence(1L, m), 0D, (acc, i) -> acc + 1.0 / log2(CAST(i AS DOUBLE) + 1.0))"))
+        .otherwise(lit(0.0)))
+    ideal
+      .groupBy(col("query_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("mrr")), 6).as("mrr"),
+        round(avg(when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(0.0)), 6).as("ndcg"))
+      .orderBy(col("label"))
+  }
 }

@@ -367,6 +367,60 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR importance weight — data selection via importance resampling
+    * (Xie et al. 2023, arXiv:2302.03169): per-document log-likelihood ratio
+    * `log2 p_target(x) − log2 p_raw(x)` under two bag-of-hashed-token
+    * models, where the target model is estimated on the deterministic
+    * reference slice (`hashBucket(doc_id) < targetBucketMax` — the same
+    * slice contract as [[lmCrossEntropy]]) and the raw model on the
+    * disjoint tail slice (`>= rawBucketMin`). Docs that look more like the
+    * target than the raw pool score positive; feeding `exp`-scaled scores
+    * to [[Sampling.weightedSample]] IS the DSIR resampling step.
+    *
+    * The deliberate difference from [[lmCrossEntropy]]: tokens are hashed
+    * into a FIXED feature space of `buckets` ids (`hash56 mod buckets` —
+    * the paper's hashed n-gram features). That bounds BOTH model tables at
+    * `buckets` rows by construction, independent of corpus vocabulary — so
+    * at 100 TB each model is one word-count-shaped aggregation over its
+    * slice followed by a guaranteed-broadcastable table, scoring is two
+    * map-side broadcast joins (no Zipf head/tail machinery needed: the hot
+    * "the" feature is one row of a 4096-row broadcast), and the only
+    * doc-sized shuffle is the final per-doc aggregation. Add-one smoothing
+    * over the fixed space keeps unseen features finite in both models.
+    * Every hash is the cross-engine [[graft.functions.LshFunctions.hash56]],
+    * so the oracle reproduces feature ids bit-for-bit. */
+  def dsirWeights(docs: DataFrame, targetBucketMax: Int = 20,
+                  rawBucketMin: Int = 50, buckets: Int = 4096): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(toks).as("w0"))
+      .select(col("doc_id"),
+        pmod(graft.functions.LshFunctions.hash56(lower(col("w0"))),
+          lit(buckets.toLong)).as("feat"))
+    val slice = Sampling.hashBucket(col("doc_id"))
+    val tgt = tok.where(slice < targetBucketMax)
+      .groupBy(col("feat")).agg(count(lit(1)).as("ct"))
+    val raw = tok.where(slice >= rawBucketMin)
+      .groupBy(col("feat")).agg(count(lit(1)).as("cr"))
+    val tot = tgt.agg(sum(col("ct")).as("nt")).crossJoin(raw.agg(sum(col("cr")).as("nr")))
+    val b = lit(buckets.toDouble)
+    val bits =
+      log2((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) / (col("nt").cast("double") + b)) -
+      log2((coalesce(col("cr"), lit(0L)).cast("double") + 1.0) / (col("nr").cast("double") + b))
+    val per = tok
+      .join(broadcast(tgt), Seq("feat"), "left")
+      .join(broadcast(raw), Seq("feat"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), bits.as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("s"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).cast("bigint").as("n_tokens"),
+        round(coalesce(col("s"), lit(0.0)), 6).as("lr_bits"),
+        round(coalesce(col("s") / col("n_tokens"), lit(0.0)), 6).as("lr_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Zipf-safe LEFT join of a key-hot probe stream against a count table:
     * the bounded head (top-`headSize` rows by count) broadcasts so hot
     * keys resolve map-side; only head-miss rows (tail + unseen, per-key

@@ -194,6 +194,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"head set not bounded by limit:\n$p")
   }
 
+  test("dsir_weights: both fixed-size models broadcast; probe never shuffles on feat") {
+    val p = plan(graft.operators.TextAnalysis.dsirWeights(Tables.documents(spark, dir)))
+    assert(!p.contains("CartesianProduct"), s"unexpected cross product:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"model join fell back to a shuffle join:\n$p")
+    // the hashed feature space bounds each model at `buckets` rows, so BOTH
+    // model joins must meet the token stream map-side — no head/tail split
+    // is needed and no join may shuffle on the feature key
+    assert("""BroadcastHashJoin \[feat#\d+L?\], \[feat#\d+L?\], LeftOuter""".r
+      .findAllIn(p).size >= 2, s"fixed-size models not broadcast-joined:\n$p")
+  }
+
   test("lm_score_bigram: all three model joins broadcast their Zipf heads") {
     val p = plan(graft.operators.TextAnalysis.lmCrossEntropyBigram(Tables.documents(spark, dir)))
     assert(!p.contains("CartesianProduct"), s"unexpected cross product:\n$p")

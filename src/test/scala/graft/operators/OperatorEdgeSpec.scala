@@ -119,6 +119,41 @@ class OperatorEdgeSpec extends SparkSpec {
     }
   }
 
+  test("retrievalEval: hand-computed MRR and NDCG, small-label IDCG normalization") {
+    import spark.implicits._
+    // anchors are vec_id % 7 == 0 => ids 0 (label A) and 7 (label B)
+    val e = Seq(
+      (0L, "A", Seq(1f, 0f)),
+      (1L, "A", Seq(1f, 0f)),    // exact match for anchor 0: rank 1, relevant
+      (2L, "B", Seq(0.9f, 0.1f)),// near anchor 0 but label B: rank 2
+      (3L, "A", Seq(0f, 1f)),    // orthogonal to 0 (rank 3 by id tie-break), top hit for 7
+      (7L, "B", Seq(0f, 1f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = EmbeddingStats.retrievalEval(e).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    // anchor 0: relevant at ranks 1 and 3; label A has 2 other members => m=2
+    val ndcgA = (1.0 / log2(2.0) + 1.0 / log2(4.0)) / (1.0 / log2(2.0) + 1.0 / log2(3.0))
+    // anchor 7: the only other B lands at rank 2; m=1 => IDCG=1
+    val ndcgB = 1.0 / log2(3.0)
+    assert(out("A")._1 == 1L && out("A")._2 == 1.0)
+    assert(math.abs(out("A")._3 - ndcgA) < 1e-5)
+    assert(out("B")._1 == 1L && out("B")._2 == 0.5)
+    assert(math.abs(out("B")._3 - ndcgB) < 1e-5)
+  }
+
+  test("retrievalEval: anchor conservation and metric bounds on real embeddings") {
+    val e = Tables.embeddings(spark, dir)
+    val nAnchors = e.where(expr("vec_id % 7 = 0")).count()
+    val rows = EmbeddingStats.retrievalEval(e).collect()
+    assert(rows.map(_.getLong(1)).sum == nAnchors) // every anchor graded once
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0) // mrr
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0) // ndcg
+      assert(r.getDouble(3) >= r.getDouble(2) * (1.0 / 10.0)) // both zero together
+    }
+  }
+
   test("knnLabelAudit: anchor counts conserved; acc = correct/n in [0,1]") {
     val e = Tables.embeddings(spark, dir)
     val nAnchors = e.where(expr("vec_id % 7 = 0")).count()
@@ -341,6 +376,39 @@ class OperatorEdgeSpec extends SparkSpec {
     val small = TextAnalysis.lmCrossEntropy(docs, headSize = 1).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(small == out)
+  }
+
+  test("dsir weights: hand-computed log-likelihood ratio, slice membership, empty-doc restore") {
+    import spark.implicits._
+    val buckets = (0L until 400L).map(id => id ->
+      Seq((id, "x")).toDF("id", "t").select(Sampling.hashBucket(col("id")))
+        .collect().head.getLong(0)).toMap
+    val tgtId = buckets.collectFirst { case (id, b) if b < 20 => id }.get
+    val rawId = buckets.collectFirst { case (id, b) if b >= 50 => id }.get
+    val mids = buckets.collect { case (id, b) if b >= 20 && b < 50 => id }.toSeq.sorted
+    val (midId, emptyId) = (mids.head, mids(1))
+    val docs = Seq(
+      (tgtId, "aa aa bb"),    // target model: aa->2, bb->1 (Nt=3)
+      (rawId, "aa cc cc cc"), // raw model: aa->1, cc->3 (Nr=4)
+      (midId, "aa bb"),       // scored only: in neither slice
+      (emptyId, "")           // tokenless: restored with zeros
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    // add-one over the fixed 4096-feature space
+    def lr(ct: Long, cr: Long) =
+      log2((ct + 1.0) / (3 + 4096.0)) - log2((cr + 1.0) / (4 + 4096.0))
+    val expMid = lr(2, 1) + lr(1, 0) // aa + bb
+    assert(out(emptyId) == ((0L, 0.0, 0.0)))
+    assert(out(midId)._1 == 2L)
+    assert(math.abs(out(midId)._2 - expMid) < 1e-5)
+    assert(math.abs(out(midId)._3 - expMid / 2) < 1e-5)
+    // target-slice doc reads as target-like, raw-slice doc as raw-like
+    val expTgt = lr(2, 1) * 2 + lr(1, 0)
+    val expRaw = lr(2, 1) + lr(0, 3) * 3
+    assert(math.abs(out(tgtId)._2 - expTgt) < 1e-5 && expTgt > 0)
+    assert(math.abs(out(rawId)._2 - expRaw) < 1e-5 && expRaw < 0)
   }
 
   test("bigram lm: interpolation, unseen-context backoff, position-0, head-cut invariance") {
