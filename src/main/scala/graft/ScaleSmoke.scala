@@ -278,6 +278,9 @@ object ScaleSmoke {
     stage("dsir weights") {
       T.dsirWeights(docs).queryExecution.toRdd.count()
     }
+    stage("quality classifier") {
+      T.qualityClassifier(docs).queryExecution.toRdd.count()
+    }
     spark.stop()
   }
 

@@ -140,6 +140,7 @@ object SparkEntry {
     "lm_score" -> ((s, dir) => TextAnalysis.lmCrossEntropy(Tables.documents(s, dir))),
     "lm_score_bigram" -> ((s, dir) => TextAnalysis.lmCrossEntropyBigram(Tables.documents(s, dir))),
     "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(Tables.documents(s, dir))),
+    "quality_classifier" -> ((s, dir) => TextAnalysis.qualityClassifier(Tables.documents(s, dir))),
     "corpus_filter" -> ((s, dir) => CorpusFilter.decisions(Tables.documents(s, dir))),
     "corpus_report" -> ((s, dir) => CorpusFilter.report(Tables.documents(s, dir))),
     "text_stats"   -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
@@ -1174,6 +1175,51 @@ object SparkEntry {
         |  round(coalesce(p.s, 0.0), 6) AS lr_bits,
         |  round(coalesce(p.s / p.n_tokens, 0.0), 6) AS lr_per_token
         |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.qualityClassifier: 3 unrolled full-batch
+    // logistic-regression steps (w0 = 0 makes step 1 closed-form), lr 1.0,
+    // mean gradient, tf features + bias over the same hashed space as dsir
+    "quality_classifier" ->
+      """WITH t0 AS (SELECT doc_id,
+        |    list_transform(list_filter(string_split(text, ' '), x -> x != ''),
+        |                   x -> lower(x)) AS t,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS bucket
+        |  FROM documents),
+        |tok AS (SELECT doc_id, ('0x' || substr(md5(unnest(t)), 1, 14))::UBIGINT % 4096 AS feat
+        |  FROM t0 WHERE len(t) > 0),
+        |cnts AS (SELECT doc_id, feat, count(*)::DOUBLE AS c FROM tok GROUP BY doc_id, feat),
+        |nt AS (SELECT doc_id, sum(c) AS n FROM cnts GROUP BY doc_id),
+        |x AS MATERIALIZED (SELECT cnts.doc_id, feat, c / n AS xf FROM cnts JOIN nt USING (doc_id)
+        |  UNION ALL SELECT doc_id, 4096, 1.0 FROM documents),
+        |lab AS (SELECT doc_id, CASE WHEN bucket < 20 THEN 1.0 ELSE 0.0 END AS y
+        |  FROM t0 WHERE bucket < 20 OR bucket >= 50),
+        |ntr AS (SELECT count(*)::DOUBLE AS m FROM lab),
+        |xt AS MATERIALIZED (SELECT x.doc_id, x.feat, x.xf, lab.y FROM x JOIN lab USING (doc_id)),
+        |g1 AS (SELECT feat, sum((0.5 - y) * xf) / (SELECT m FROM ntr) AS g
+        |  FROM xt GROUP BY feat),
+        |w1 AS (SELECT feat, -g AS w FROM g1),
+        |e2 AS (SELECT doc_id, 1.0 / (1.0 + exp(-sum(coalesce(w1.w, 0) * xf)))
+        |      - any_value(y) AS err
+        |  FROM xt LEFT JOIN w1 USING (feat) GROUP BY doc_id),
+        |g2 AS (SELECT feat, sum(err * xf) / (SELECT m FROM ntr) AS g
+        |  FROM xt JOIN e2 USING (doc_id) GROUP BY feat),
+        |w2 AS (SELECT coalesce(w1.feat, g2.feat) AS feat,
+        |    coalesce(w1.w, 0) - coalesce(g2.g, 0) AS w
+        |  FROM w1 FULL OUTER JOIN g2 ON w1.feat = g2.feat),
+        |e3 AS (SELECT doc_id, 1.0 / (1.0 + exp(-sum(coalesce(w2.w, 0) * xf)))
+        |      - any_value(y) AS err
+        |  FROM xt LEFT JOIN w2 USING (feat) GROUP BY doc_id),
+        |g3 AS (SELECT feat, sum(err * xf) / (SELECT m FROM ntr) AS g
+        |  FROM xt JOIN e3 USING (doc_id) GROUP BY feat),
+        |w3 AS (SELECT coalesce(w2.feat, g3.feat) AS feat,
+        |    coalesce(w2.w, 0) - coalesce(g3.g, 0) AS w
+        |  FROM w2 FULL OUTER JOIN g3 ON w2.feat = g3.feat),
+        |sc AS (SELECT x.doc_id,
+        |    round(1.0 / (1.0 + exp(-sum(coalesce(w3.w, 0) * xf))), 6) AS score
+        |  FROM x LEFT JOIN w3 USING (feat) GROUP BY x.doc_id)
+        |SELECT d.doc_id, sc.score, sc.score >= 0.5 AS pass
+        |FROM documents d JOIN sc USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
     "corpus_filter" ->

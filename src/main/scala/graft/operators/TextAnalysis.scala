@@ -421,6 +421,84 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Trained quality classifier — the GPT-3/CCNet-style learned filter:
+    * logistic regression over hashed bag-of-token features, trained to
+    * separate the deterministic target slice (`hashBucket(doc_id) <
+    * targetBucketMax`, label 1) from the raw slice (`>= rawBucketMin`,
+    * label 0), then scoring EVERY document with σ(w·x). The same fixed
+    * 4096-feature space as [[dsirWeights]] (term frequencies normalized by
+    * doc length, plus an explicit bias feature), so the model is always
+    * `buckets + 1` doubles of driver state.
+    *
+    * Training follows the [[graft.operators.Ann.trainCentroids]] contract
+    * that makes iterative fitting oracle-able: a FIXED number of full-batch
+    * gradient steps (no early exit, no RNG — `w0 = 0`, so the first step is
+    * closed-form), each step one doc-keyed scoring aggregation plus one
+    * feature-keyed gradient aggregation (both with map-side partials), the
+    * model folded back in as a single array literal (`typedlit` — one
+    * Literal object, codegen-safe). Driver state and per-iteration driver
+    * traffic are `buckets + 1` doubles — independent of corpus size; at
+    * 100 TB the per-step cost is two bounded-key shuffles over the train
+    * slices only, and final scoring is one corpus pass.
+    *
+    * Output: per-doc `score` = σ(w·x) in (0,1) and the threshold verdict
+    * `pass`. Compose with [[Sampling.qualitySample]] /
+    * [[Sampling.weightedSample]] for Pareto-style stochastic keeps. */
+  def qualityClassifier(docs: DataFrame, targetBucketMax: Int = 20,
+                        rawBucketMin: Int = 50, buckets: Int = 4096,
+                        iters: Int = 3, learnRate: Double = 1.0): DataFrame = {
+    val bias = buckets.toLong
+    val tok = docs.select(col("doc_id"), explode(toks).as("w0"))
+      .select(col("doc_id"),
+        pmod(graft.functions.LshFunctions.hash56(lower(col("w0"))),
+          lit(buckets.toLong)).as("feat"))
+    val counts = tok.groupBy(col("doc_id"), col("feat"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val ntok = counts.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val x = counts.join(ntok, "doc_id")
+      .select(col("doc_id"), col("feat"), (col("c") / col("n")).as("xf"))
+      .unionByName(docs.select(col("doc_id"), lit(bias).as("feat"), lit(1.0).as("xf")))
+    val slice = Sampling.hashBucket(col("doc_id"))
+    val labels = docs.select(col("doc_id"),
+        when(slice < targetBucketMax, lit(1.0))
+          .when(slice >= rawBucketMin, lit(0.0)).as("y"))
+      .where(col("y").isNotNull)
+    // The train-slice feature table feeds every gradient step twice —
+    // persist it for the loop (the slices are bounded a-priori samples by
+    // contract, the same dial as every eval surface here), then release.
+    val xtr = x.join(labels, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTrain = labels.count().toDouble // scalar driver state, like Lloyd's convergence check
+    val w = Array.fill(buckets + 1)(0.0)
+    try {
+      for (_ <- 1 to iters) {
+        val wl = typedlit(w.toSeq)
+        val err = xtr.groupBy(col("doc_id"), col("y"))
+          .agg(sum(element_at(wl, (col("feat") + 1).cast("int")) * col("xf")).as("s"))
+          .select(col("doc_id"),
+            (lit(1.0) / (lit(1.0) + exp(-col("s"))) - col("y")).as("err"))
+        val grad = xtr.join(err, "doc_id")
+          .groupBy(col("feat"))
+          .agg((sum(col("err") * col("xf")) / lit(nTrain)).as("g"))
+          .collect() // bounded: <= buckets + 1 rows, the model-sized driver transfer
+        grad.foreach { r =>
+          val f = r.getLong(0).toInt
+          w(f) = w(f) - learnRate * r.getDouble(1)
+        }
+      }
+    } finally xtr.unpersist(false)
+    val wl = typedlit(w.toSeq)
+    val scored = x.groupBy(col("doc_id"))
+      .agg(sum(element_at(wl, (col("feat") + 1).cast("int")) * col("xf")).as("s"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("s"))), 6).as("score"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("score"), lit(0.5)).as("score"))
+      .withColumn("pass", col("score") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
   /** Zipf-safe LEFT join of a key-hot probe stream against a count table:
     * the bounded head (top-`headSize` rows by count) broadcasts so hot
     * keys resolve map-side; only head-miss rows (tail + unseen, per-key

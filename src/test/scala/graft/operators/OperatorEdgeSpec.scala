@@ -411,6 +411,36 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(math.abs(out(rawId)._2 - expRaw) < 1e-5 && expRaw < 0)
   }
 
+  test("quality classifier: closed-form first step, separation after training, empty-doc bias score") {
+    import spark.implicits._
+    val buckets = (0L until 400L).map(id => id ->
+      Seq((id, "x")).toDF("id", "t").select(Sampling.hashBucket(col("id")))
+        .collect().head.getLong(0)).toMap
+    val tgtId = buckets.collectFirst { case (id, b) if b < 20 => id }.get
+    val rawId = buckets.collectFirst { case (id, b) if b >= 50 => id }.get
+    val mids = buckets.collect { case (id, b) if b >= 20 && b < 50 => id }.toSeq.sorted
+    // one target doc ("aa aa") vs one raw doc ("bb"): with w0 = 0 the first
+    // step is closed-form: g(aa) = (0.5-1)/2, g(bb) = (0.5-0)/2, g(bias) = 0
+    val docs = Seq(
+      (tgtId, "aa aa"), (rawId, "bb"),
+      (mids(0), "aa"),  // unlabeled probe: pure aa signal
+      (mids(1), "bb"),  // unlabeled probe: pure bb signal
+      (mids(2), "")     // tokenless: scored through the bias feature alone
+    ).toDF("doc_id", "text")
+    def sigma(s: Double) = 1.0 / (1.0 + math.exp(-s))
+    val one = TextAnalysis.qualityClassifier(docs, iters = 1).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(math.abs(one(mids(0))._1 - sigma(0.25)) < 1e-6 && one(mids(0))._2)
+    assert(math.abs(one(mids(1))._1 - sigma(-0.25)) < 1e-6 && !one(mids(1))._2)
+    assert(one(mids(2))._1 == 0.5 && one(mids(2))._2) // bias weight stays 0
+    // after the default 3 steps the separation only widens, scores stay in (0,1)
+    val out = TextAnalysis.qualityClassifier(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(mids(0)) > one(mids(0))._1 && out(mids(1)) < one(mids(1))._1)
+    out.values.foreach(s => assert(s > 0.0 && s < 1.0))
+    assert(out(tgtId) > 0.5 && out(rawId) < 0.5)
+  }
+
   test("bigram lm: interpolation, unseen-context backoff, position-0, head-cut invariance") {
     import spark.implicits._
     val buckets = (0L until 50L).map(id => id ->
