@@ -281,6 +281,9 @@ object ScaleSmoke {
     stage("quality classifier") {
       T.qualityClassifier(docs).queryExecution.toRdd.count()
     }
+    stage("ppl buckets") {
+      T.perplexityBuckets(docs).queryExecution.toRdd.count()
+    }
     spark.stop()
   }
 

@@ -141,6 +141,7 @@ object SparkEntry {
     "lm_score_bigram" -> ((s, dir) => TextAnalysis.lmCrossEntropyBigram(Tables.documents(s, dir))),
     "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(Tables.documents(s, dir))),
     "quality_classifier" -> ((s, dir) => TextAnalysis.qualityClassifier(Tables.documents(s, dir))),
+    "ppl_buckets" -> ((s, dir) => TextAnalysis.perplexityBuckets(Tables.documents(s, dir))),
     "corpus_filter" -> ((s, dir) => CorpusFilter.decisions(Tables.documents(s, dir))),
     "corpus_report" -> ((s, dir) => CorpusFilter.report(Tables.documents(s, dir))),
     "text_stats"   -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
@@ -1111,6 +1112,30 @@ object SparkEntry {
         |  coalesce(p.xent, 0.0) AS xent
         |FROM documents d LEFT JOIN lper p ON p.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.perplexityBuckets: per-language xent terciles
+    // from the deterministic 30% hash sample, value-at-rank ceil(j*n/3)
+    // thresholds, head = lowest xent (CCNet head/middle/tail)
+    "ppl_buckets" ->
+      s"""WITH $lmPerDocCtes,
+        |lx AS (SELECT d.doc_id, d.lang, coalesce(p.xent, 0.0) AS xent
+        |  FROM documents d LEFT JOIN lper p ON p.doc_id = d.doc_id),
+        |samp AS (SELECT lang, xent,
+        |    row_number() OVER (PARTITION BY lang ORDER BY xent, doc_id) AS r,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM lx
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 30),
+        |thr AS (SELECT lang,
+        |    min(CASE WHEN r = CAST(ceil(n / 3.0) AS BIGINT) THEN xent END) AS t1,
+        |    min(CASE WHEN r = CAST(ceil(2.0 * n / 3.0) AS BIGINT) THEN xent END) AS t2
+        |  FROM samp GROUP BY lang)
+        |SELECT lx.doc_id, lx.lang, lx.xent,
+        |  CASE WHEN thr.lang IS NULL THEN 'tail'
+        |       WHEN lx.xent <= thr.t1 THEN 'head'
+        |       WHEN lx.xent <= thr.t2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM lx LEFT JOIN thr ON lx.lang = thr.lang
+        |ORDER BY lx.doc_id""".stripMargin,
 
     // mirrors TextAnalysis.lmCrossEntropyBigram: Jelinek-Mercer
     // interpolation of a bigram MLE with the add-one unigram, lambda 0.7,

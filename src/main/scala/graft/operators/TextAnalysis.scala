@@ -344,8 +344,20 @@ object TextAnalysis {
     * left join with xent 0.0. */
   def lmCrossEntropy(docs: DataFrame, trainBucketMax: Int = 50,
                      headSize: Int = 65536): DataFrame = {
+    // ROUND-ROBIN repartition, deliberately: this pins parallelism off the
+    // source's split count (same rationale as winnowFingerprints) without
+    // claiming a doc_id HashPartitioning. A doc_id claim here propagates
+    // into headTailLeftJoin's hit ∪ miss union, and Spark 4's UnionExec
+    // zips "co-partitioned" children only when their partitioning
+    // expressions match EXACTLY — under subtree reuse (two lmCrossEntropy
+    // copies in one plan, ReusedExchange ids) the match silently fails,
+    // the union concatenates 2N physical partitions while EnsureRequirements
+    // still trusts the claimed N, and the parent SortMergeJoin dies with
+    // "Can't zip RDDs with unequal numbers of partitions". The cost is one
+    // extra exchange of PARTIAL-aggregated per-doc rows — a few rows per
+    // doc per partition, not the token stream.
     val base = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), toks.as("t"))
     val tok = base.select(col("doc_id"), explode(col("t")).as("w0"))
       .select(col("doc_id"), lower(col("w0")).as("w"))
@@ -499,6 +511,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity bucketing: split each language's corpus into
+    * `head` / `middle` / `tail` terciles of LM cross-entropy (CCNet §4.3 —
+    * Wikipedia-trained KenLM perplexity terciles per language; `head` =
+    * lowest xent = most reference-like). Thresholds come from a
+    * DETERMINISTIC hash sample (`hashBucket(doc_id) < sampleBucketMax`),
+    * not the full corpus: at 100 TB the sample fraction is the dial (the
+    * same bounded a-priori eval-surface contract as
+    * [[graft.operators.EmbeddingStats.retrievalEval]]'s anchors), the
+    * threshold table is `langs × 2` doubles — always broadcast — and
+    * bucketing every document is a pure map-side projection over the
+    * already-Zipf-safe [[lmCrossEntropy]] scores. Threshold = value at
+    * rank `ceil(j·n/3)` of the sample's (xent, doc_id) order — the lower-
+    * quantile definition both engines compute identically on the 6-dp
+    * rounded scores, no interpolation. A language absent from the sample
+    * (possible only when the sample is far too small) buckets `tail` —
+    * the conservative verdict for an uncalibrated language. */
+  def perplexityBuckets(docs: DataFrame, sampleBucketMax: Int = 30,
+                        trainBucketMax: Int = 50,
+                        headSize: Int = 65536): DataFrame = {
+    val lx = docs.select(col("doc_id"), col("lang"))
+      .join(lmCrossEntropy(docs, trainBucketMax, headSize)
+        .select(col("doc_id"), col("xent")), Seq("doc_id"))
+    val byLang = Window.partitionBy(col("lang"))
+    val ranked = lx.where(Sampling.hashBucket(col("doc_id")) < sampleBucketMax)
+      .select(col("lang"), col("xent"),
+        row_number().over(byLang.orderBy(asc("xent"), asc("doc_id"))).as("r"),
+        count(lit(1)).over(byLang).as("n"))
+    val thr = ranked.groupBy(col("lang")).agg(
+      min(when(col("r") === ceil(col("n") / lit(3.0)).cast("long"),
+        col("xent"))).as("t1"),
+      min(when(col("r") === ceil(lit(2.0) * col("n") / lit(3.0)).cast("long"),
+        col("xent"))).as("t2"))
+    lx.join(broadcast(thr), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("xent"),
+        when(col("t1").isNull, lit("tail"))
+          .when(col("xent") <= col("t1"), lit("head"))
+          .when(col("xent") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Zipf-safe LEFT join of a key-hot probe stream against a count table:
     * the bounded head (top-`headSize` rows by count) broadcasts so hot
     * keys resolve map-side; only head-miss rows (tail + unseen, per-key
@@ -542,8 +595,11 @@ object TextAnalysis {
   def lmCrossEntropyBigram(docs: DataFrame, trainBucketMax: Int = 50,
                            headSize: Int = 65536,
                            lambda: Double = 0.7): DataFrame = {
+    // round-robin, not hash-by-doc_id: see lmCrossEntropy — a doc_id
+    // partitioning claim through headTailLeftJoin's union breaks under
+    // subtree reuse (Spark 4 UnionExec zip-vs-concat mismatch)
     val base = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         expr("transform(filter(split(text, ' '), x -> x != ''), x -> lower(x))").as("t"))
       .where(size(col("t")) > 0)

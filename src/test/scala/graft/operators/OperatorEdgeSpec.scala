@@ -378,6 +378,44 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(small == out)
   }
 
+  test("ppl buckets: terciles match a direct recomputation from the operator's own xent") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.perplexityBuckets(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    // independent recomputation: thresholds = value at rank ceil(j*n/3) of
+    // the 30%-sample xents per lang (xent itself is oracle-checked via
+    // lm_score — here we pin the bucketing layer on top of it)
+    def bucketOf(id: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val h = BigInt(1, md5.take(7)).toLong
+      h % 100
+    }
+    val byLang = out.filter(r => bucketOf(r._1) < 30)
+      .groupBy(_._2).map { case (lang, rs) =>
+        val xs = rs.sortBy(r => (r._3, r._1)).map(_._3)
+        val t1 = xs(math.ceil(xs.length / 3.0).toInt - 1)
+        val t2 = xs(math.ceil(2.0 * xs.length / 3.0).toInt - 1)
+        lang -> (t1, t2)
+      }
+    assert(out.nonEmpty && byLang.nonEmpty)
+    out.foreach { case (id, lang, xent, bucket) =>
+      val expected = byLang.get(lang) match {
+        case None => "tail"
+        case Some((t1, _)) if xent <= t1 => "head"
+        case Some((_, t2)) if xent <= t2 => "middle"
+        case _ => "tail"
+      }
+      assert(bucket == expected, s"doc $id lang $lang xent $xent")
+    }
+    // every language present in the sample has all three buckets populated
+    byLang.keys.foreach { lang =>
+      val bs = out.filter(_._2 == lang).map(_._4).toSet
+      assert(bs == Set("head", "middle", "tail"), s"$lang -> $bs")
+    }
+  }
+
   test("dsir weights: hand-computed log-likelihood ratio, slice membership, empty-doc restore") {
     import spark.implicits._
     val buckets = (0L until 400L).map(id => id ->
