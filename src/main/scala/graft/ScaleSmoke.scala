@@ -284,6 +284,9 @@ object ScaleSmoke {
     stage("ppl buckets") {
       T.perplexityBuckets(docs).queryExecution.toRdd.count()
     }
+    stage("page rank (knn k=5, 5 iters)") {
+      graft.operators.Centrality.similarityPageRank(e).queryExecution.toRdd.count()
+    }
     spark.stop()
   }
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Ann, AsofJoin, CatalogOps, CorpusFilter, Decontaminate, Dedup, Diagnostics, EmbeddingStats, Funnel, Ingest, Mining, Multimodal, Pii, RangeJoin, Relational, Salting, Sampling, Search, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, CatalogOps, Centrality, CorpusFilter, Decontaminate, Dedup, Diagnostics, EmbeddingStats, Funnel, Ingest, Mining, Multimodal, Pii, RangeJoin, Relational, Salting, Sampling, Search, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -45,6 +45,7 @@ object SparkEntry {
     "topk_filtered" -> ((s, dir) => Similarity.topKFiltered(s, dir, 0L, 10, 3)),
     "point_lookup"  -> ((s, dir) => Similarity.pointLookup(s, dir, 42L)),
     "sim_join_topk" -> ((s, dir) => Similarity.batchSimilarityJoin(s, dir, 8, 5)),
+    "page_rank" -> ((s, dir) => Centrality.similarityPageRank(Tables.embeddings(s, dir))),
     "topk_via_catalog" -> ((s, dir) => CatalogOps.topkViaCatalog(s, dir, 0L, 10)),
     "chunk_docs" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, length}
@@ -157,6 +158,7 @@ object SparkEntry {
     "salted_priority_revenue" -> ((s, dir) =>
       Salting.saltedPriorityRevenue(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "token_topk"   -> ((s, dir) => TextAnalysis.tokenTopK(Tables.documents(s, dir), 20)),
+    "token_cms"    -> ((s, dir) => TextAnalysis.tokenCms(Tables.documents(s, dir))),
     "token_drift"  -> ((s, dir) => TextAnalysis.tokenDrift(Tables.documents(s, dir), 20)),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "lang_id"      -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
@@ -1464,6 +1466,29 @@ object SparkEntry {
         |FROM (SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk FROM c)
         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
 
+    // mirrors TextAnalysis.tokenCms: 4x1024 Count-Min sketch over the
+    // lowercased token stream, estimate = min over rows, audited against
+    // the exact top-20
+    "token_cms" ->
+      """WITH tok AS (SELECT lower(unnest(list_filter(string_split(text, ' '), x -> x != ''))) AS w
+        |             FROM documents),
+        |dd AS (SELECT unnest(range(4)) AS d),
+        |sk AS (SELECT d,
+        |    ('0x' || substr(md5(CAST(d AS VARCHAR) || '|' || w), 1, 14))::UBIGINT % 1024 AS bucket,
+        |    count(*) AS c
+        |  FROM tok CROSS JOIN dd GROUP BY 1, 2),
+        |topk AS (SELECT w AS token, count(*) AS exact_cnt FROM tok
+        |  GROUP BY w ORDER BY exact_cnt DESC, token ASC LIMIT 20),
+        |est AS (SELECT t.token, min(sk.c) AS est_cnt
+        |  FROM topk t CROSS JOIN dd
+        |  JOIN sk ON sk.d = dd.d AND sk.bucket =
+        |    ('0x' || substr(md5(CAST(dd.d AS VARCHAR) || '|' || t.token), 1, 14))::UBIGINT % 1024
+        |  GROUP BY t.token)
+        |SELECT t.token, t.exact_cnt, e.est_cnt,
+        |  e.est_cnt - t.exact_cnt AS overestimate
+        |FROM topk t JOIN est e USING (token)
+        |ORDER BY t.exact_cnt DESC, t.token""".stripMargin,
+
     "token_drift" ->
       """WITH tok AS (SELECT
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 80 AS train,
@@ -2170,6 +2195,38 @@ object SparkEntry {
          |SELECT vec_id, label, score FROM scored
          |WHERE score >= 0.2
          |ORDER BY score DESC, vec_id ASC""".stripMargin,
+
+    // mirrors Centrality.similarityPageRank: exact kNN (k=5) cosine edges,
+    // 5 unrolled PageRank steps (d=0.85, leaked-mass variant), per-step
+    // 12-dp rounding — the cross-engine determinization grid
+    "page_rank" -> {
+      def step(prev: String, cur: String): String =
+        s"""$cur AS (SELECT e2.vec_id,
+           |    round((1.0 - 0.85) / (SELECT n FROM nn)
+           |          + 0.85 * coalesce(m.m, 0.0), 12) AS r
+           |  FROM e e2 LEFT JOIN (
+           |    SELECT ed.dst, sum(p.r / od.odeg) AS m
+           |    FROM ed JOIN od USING (src) JOIN $prev p ON p.vec_id = ed.src
+           |    GROUP BY ed.dst) m ON m.dst = e2.vec_id)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sc AS (SELECT q.vec_id AS src, e.vec_id AS dst,
+         |    ${cosSql("e.v", "q.qv")} AS score
+         |  FROM e, (SELECT vec_id, v AS qv FROM e) q
+         |  WHERE e.vec_id != q.vec_id),
+         |ed AS MATERIALIZED (SELECT src, dst FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src
+         |      ORDER BY score DESC, dst ASC) AS rnk FROM sc)
+         |  WHERE rnk <= 5),
+         |od AS (SELECT src, count(*) AS odeg FROM ed GROUP BY src),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM e),
+         |r0 AS (SELECT vec_id, 1.0 / (SELECT n FROM nn) AS r FROM e),
+         |${step("r0", "r1")},
+         |${step("r1", "r2")},
+         |${step("r2", "r3")},
+         |${step("r3", "r4")},
+         |${step("r4", "r5")}
+         |SELECT vec_id, round(r, 6) AS rank FROM r5 ORDER BY vec_id""".stripMargin
+    },
 
     "sim_join_topk" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

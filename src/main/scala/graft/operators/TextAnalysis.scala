@@ -552,6 +552,50 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Count-Min sketch token-frequency audit (Cormode & Muthukrishnan
+    * 2005): build a `depth × width` CMS over the lowercased token stream
+    * — cell `(d, b)` counts tokens with `hash56(d || '|' || w) mod width
+    * = b` — then report, for the exact top-`k` tokens, the sketch
+    * estimate `min_d cell(d, h_d(w))` next to the true count and the
+    * (always ≥ 0) overestimate. The audit answers the operational
+    * question "how wide must the sketch be before heavy-hitter counts
+    * are trustworthy" on the corpus's own Zipf shape.
+    *
+    * Scale shape: the sketch is ONE (d, bucket)-keyed aggregation with
+    * map-side partials — the shuffle carries at most `depth × width` rows
+    * per map partition regardless of corpus size, and the sketch table
+    * (≤ depth × width longs) always broadcasts to the probe join. CMS
+    * cells are sums, so sketches merge across shards/streams by addition
+    * — the same mergeability contract as [[Dedup.sourceOverlap]]'s
+    * MinHash sketches. Hashes are the cross-engine
+    * [[graft.functions.LshFunctions.hash56]], so the oracle reproduces
+    * every cell exactly. */
+  def tokenCms(docs: DataFrame, depth: Int = 4, width: Int = 1024,
+               k: Int = 20): DataFrame = {
+    import graft.functions.LshFunctions.hash56
+    require(depth >= 1 && width >= 1, s"bad CMS dims: $depth x $width")
+    val rows = array((0 until depth).map(lit): _*)
+    def bucket(w: Column, d: Column): Column =
+      pmod(hash56(concat(d.cast("string"), lit("|"), w)), lit(width.toLong))
+    val tok = docs.select(explode(toks).as("w0"))
+      .select(lower(col("w0")).as("w"))
+    val sketch = tok.select(col("w"), explode(rows).as("d"))
+      .select(col("d"), bucket(col("w"), col("d")).as("bucket"))
+      .groupBy(col("d"), col("bucket")).agg(count(lit(1)).as("c"))
+    val topk = tok.groupBy(col("w")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(desc("exact_cnt"), asc("w")).limit(k)
+      .withColumnRenamed("w", "token")
+    val est = topk.select(col("token"), explode(rows).as("pd"))
+      .join(broadcast(sketch),
+        sketch("d") === col("pd") &&
+          sketch("bucket") === bucket(col("token"), col("pd")))
+      .groupBy(col("token")).agg(min(col("c")).as("est_cnt"))
+    topk.join(est, Seq("token"))
+      .select(col("token"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("exact_cnt")).as("overestimate"))
+      .orderBy(desc("exact_cnt"), asc("token"))
+  }
+
   /** Zipf-safe LEFT join of a key-hot probe stream against a count table:
     * the bounded head (top-`headSize` rows by count) broadcasts so hot
     * keys resolve map-side; only head-miss rows (tail + unseen, per-key

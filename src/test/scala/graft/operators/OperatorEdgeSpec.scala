@@ -378,6 +378,70 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(small == out)
   }
 
+  test("token cms: est >= exact always; wide sketch is exact; width-1 collapses to the total") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa aa aa bb"), (2L, "bb cc aa"), (3L, "dd"))
+      .toDF("doc_id", "text") // counts: aa 4, bb 2, cc 1, dd 1; total 8
+    val wide = TextAnalysis.tokenCms(docs, depth = 4, width = 4096, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(wide.map(t => t._1 -> t._2).toMap ==
+      Map("aa" -> 4L, "bb" -> 2L, "cc" -> 1L, "dd" -> 1L))
+    wide.foreach { case (w, exact, est, over) =>
+      assert(est >= exact && over == est - exact, w) // the CMS guarantee
+    }
+    // 4 tokens in 4096 buckets x 4 rows: some row is collision-free
+    wide.foreach { case (w, exact, est, _) => assert(est == exact, w) }
+    // width 1: every row's single cell counts the whole stream
+    val tiny = TextAnalysis.tokenCms(docs, depth = 2, width = 1, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tiny.values.toSet == Set(8L))
+    // real corpus: the audit holds on actual Zipf mass
+    val real = TextAnalysis.tokenCms(
+      Tables.documents(spark, "/root/testdata/sf0.001"), k = 5).collect()
+    assert(real.length == 5)
+    real.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
+  }
+
+  test("page rank: matches a driver-side recomputation; dangling node leaks mass") {
+    import spark.implicits._
+    // 1→2, 1→3, 2→3, 3→1, 3→4; node 4 dangles (no out-edges): its mass
+    // leaks, so the total settles below 1 — the documented variant
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
+    val got = Centrality.pageRank(edges, nodes).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // independent recomputation with the same per-iteration 12-dp grid
+    val odeg = Map(1L -> 2.0, 2L -> 1.0, 3L -> 2.0)
+    val in = Map(1L -> Seq(3L), 2L -> Seq(1L), 3L -> Seq(1L, 2L), 4L -> Seq(3L))
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var r = Map(1L -> 0.25, 2L -> 0.25, 3L -> 0.25, 4L -> 0.25)
+    for (_ <- 1 to 5) r = r.map { case (v, _) =>
+      v -> r12((1.0 - 0.85) / 4 + 0.85 * in(v).map(u => r(u) / odeg(u)).sum)
+    }
+    val want = r.map { case (v, x) =>
+      v -> BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    assert(got == want)
+    assert(got.values.sum < 1.0 - 1e-3) // leaked mass is visible
+    assert(got(3L) > got(2L))           // two in-edges beat one
+  }
+
+  test("similarity page rank: deterministic, mass-conserving, non-degenerate on real embeddings") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = Centrality.similarityPageRank(e, k = 4, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val b = Centrality.similarityPageRank(e, k = 4, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(a.sameElements(b)) // rerun-deterministic
+    val n = e.count()
+    assert(a.length == n)     // every node ranked
+    // kNN graph has no dangling nodes: total mass conserved (to 6-dp grid)
+    assert(math.abs(a.map(_._2).sum - 1.0) < n * 1e-6)
+    assert(a.map(_._2).distinct.length > 1) // centrality actually varies
+    a.foreach { case (_, s) => assert(s > 0.0 && s < 1.0) }
+  }
+
   test("ppl buckets: terciles match a direct recomputation from the operator's own xent") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
