@@ -324,6 +324,47 @@ object Streaming {
       }
       .start()
 
+  /** Continuous quality-admission gate: per micro-batch, run the
+    * [[graft.operators.CorpusFilter.decisions]] audit (heuristic quality ∧
+    * non-repetition ∧ no-PII ∧ in-batch exact dedup) on the batch and
+    * route — documents with `kept` to `sink`, the rest (with their full
+    * per-gate audit row) to `rejects`, the quarantine stream a curation
+    * pipeline keeps for gate forensics. Batches need (doc_id, text, lang).
+    *
+    * The gate is STATELESS per batch — every arm is a pure function of
+    * the batch (the dedup arm collapses exact copies WITHIN the batch
+    * only), so a replayed batch reproduces its admissions exactly and the
+    * checkpoint alone gives idempotent delivery to idempotent sinks.
+    * Corpus-level axes stack downstream: the stored-index near-dup gate
+    * is [[streamNearDedupAdmit]], collection-contents exact dedup is
+    * [[streamIngestDeduped]] — this gate is the cheap first stage that
+    * keeps obvious garbage out of both.
+    *
+    * Scale shape per batch: quality/repetition/PII are narrow per-row
+    * projections; the only shuffles are the batch-sized exact-dedup
+    * fingerprint aggregation and the audit-join on doc_id. */
+  def streamQualityAdmit(docs: DataFrame, checkpointDir: String,
+                         minQuality: Double = 0.3)
+                        (sink: DataFrame => Unit,
+                         rejects: DataFrame => Unit = _ => ()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val audit = graft.operators.CorpusFilter
+            .decisions(batch, minQuality)
+            // both routes consume the audit; the arms re-run otherwise
+            .persist()
+          try {
+            sink(batch.join(audit.where(col("kept")).select(col("doc_id")),
+              Seq("doc_id"), "left_semi"))
+            rejects(audit.where(!col("kept")))
+          } finally audit.unpersist(false)
+        }
+      }
+      .start()
+
   /** Continuous weighted-reservoir maintenance: a streaming (doc_id,
     * weight) source folds into a persisted k-row Efraimidis–Spirakis
     * sample — per micro-batch, prior reservoir ∪ batch → dedup by doc_id

@@ -326,6 +326,57 @@ class StreamingSpec extends SparkSpec {
     assert(admitted.sorted == Seq(11L, 13L), s"admitted: $admitted")
   }
 
+  test("streamQualityAdmit: admissions equal the batch audit; rejects carry the failing arm; replay identical") {
+    implicit val sqlCtx = spark.sqlContext
+    // >= 100 tokens (length factor 1.0), half stopwords, all n-grams
+    // distinct (repetition clean), no punctuation
+    val good = (1 to 60).map(i => s"the word$i of thing$i").mkString(" ")
+    val rows = Seq(
+      (1L, good, "en"),                                      // clean -> kept
+      (2L, "x", "en"),                                       // too short -> quality arm
+      (3L, Seq.fill(40)("spam").mkString(" "), "en"),        // repetition arm
+      (4L, good + " contact alice@example.com today", "en"), // PII arm
+      (5L, good + " second copy body", "en"),                // dup pair {5,6}
+      (6L, good + " second copy body", "en"))
+    val batchTruth = graft.operators.CorpusFilter.decisions(
+      rows.toDF("doc_id", "text", "lang")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData(rows: _*)
+    val docs = mem.toDF().toDF("doc_id", "text", "lang")
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val rejected = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Boolean, Boolean, Boolean)]
+    val q = Streaming.streamQualityAdmit(docs,
+      Files.createTempDirectory("graft-qgate-ckpt-").toString)(
+      b => admitted ++= b.select(col("doc_id")).collect().map(_.getLong(0)),
+      r => rejected ++= r.collect().map(x =>
+        (x.getLong(0), x.getBoolean(1), x.getBoolean(2), x.getBoolean(3), x.getBoolean(4))))
+    try q.awaitTermination(120000) finally q.stop()
+
+    // the stream IS the batch audit (stateless-per-batch contract)
+    assert(admitted.toSet == batchTruth.filter(_._2).keySet)
+    assert(admitted.contains(1L) && !admitted.contains(4L))
+    val rej = rejected.map(r => r._1 -> r).toMap
+    assert(rej.keySet == batchTruth.filterNot(_._2).keySet)
+    assert(!rej(2L)._2, "2 fails the quality arm")
+    assert(!rej(3L)._3, "3 fails the repetition arm")
+    assert(!rej(4L)._4, "4 fails the PII arm")
+    assert(rej.contains(5L) ^ rej.contains(6L), "exactly one of the dup pair is rejected")
+    assert(!rejected.find(r => r._1 == 5L || r._1 == 6L).get._5, "dup loser fails the dedup arm")
+
+    // at-least-once replay: a fresh stream re-sending the same batch
+    // admits exactly the same set (stateless gate + pure arms)
+    val mem2 = MemoryStream[(Long, String, String)]
+    mem2.addData(rows: _*)
+    val admitted2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q2 = Streaming.streamQualityAdmit(mem2.toDF().toDF("doc_id", "text", "lang"),
+      Files.createTempDirectory("graft-qgate-ckpt-").toString)(
+      b => admitted2 ++= b.select(col("doc_id")).collect().map(_.getLong(0)))
+    try q2.awaitTermination(120000) finally q2.stop()
+    assert(admitted2.sorted == admitted.sorted)
+  }
+
   test("weighted reservoir sink: maintained sample equals the batch answer; redelivery is a no-op") {
     import java.nio.file.Files
     val res = Files.createTempDirectory("graft-reservoir-").toString + "/r"
