@@ -284,6 +284,9 @@ object ScaleSmoke {
     stage("ppl buckets") {
       T.perplexityBuckets(docs).queryExecution.toRdd.count()
     }
+    stage("bpe train (8 merges)") {
+      graft.operators.Bpe.train(docs, 8).queryExecution.toRdd.count()
+    }
     // page rank: the measurement of interest at scale is the ITERATION
     // core (join + keyed agg per step) over a prebuilt edge artifact —
     // the documented 100 TB contract (edges come from the stored ANN

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Ann, AsofJoin, CatalogOps, Centrality, CorpusFilter, Decontaminate, Dedup, Diagnostics, EmbeddingStats, Funnel, Ingest, Mining, Multimodal, Pii, RangeJoin, Relational, Salting, Sampling, Search, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, Bpe, CatalogOps, Centrality, CorpusFilter, Decontaminate, Dedup, Diagnostics, EmbeddingStats, Funnel, Ingest, Mining, Multimodal, Pii, RangeJoin, Relational, Salting, Sampling, Search, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -159,6 +159,8 @@ object SparkEntry {
       Salting.saltedPriorityRevenue(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "token_topk"   -> ((s, dir) => TextAnalysis.tokenTopK(Tables.documents(s, dir), 20)),
     "token_cms"    -> ((s, dir) => TextAnalysis.tokenCms(Tables.documents(s, dir))),
+    "bpe_merges"   -> ((s, dir) => Bpe.train(Tables.documents(s, dir))),
+    "bpe_fertility" -> ((s, dir) => Bpe.fertility(Tables.documents(s, dir))),
     "token_drift"  -> ((s, dir) => TextAnalysis.tokenDrift(Tables.documents(s, dir), 20)),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "lang_id"      -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
@@ -788,6 +790,31 @@ object SparkEntry {
       |  FROM ltok t LEFT JOIN lcounts c ON t.w = c.w),
       |lper AS (SELECT doc_id, count(*) AS n_tokens,
       |    round(sum(b) / count(*), 6) AS xent FROM lbits GROUP BY doc_id)""".stripMargin
+
+  /** Shared CTE chain for the BPE oracles: symbolized weighted word table
+    * `bw0`, then 8 unrolled merge steps — each `bpK` = weighted pair
+    * counts, `bmK` = the deterministic argmax, `bwK` = the leftmost-non-
+    * overlapping replace (bit-identical to the JVM replace semantics the
+    * operator uses; see operators/Bpe.scala). */
+  private def bpeCtes: String = {
+    def step(k: Int): String =
+      s"""bp$k AS (SELECT prev AS a, cur AS b, sum(cnt) AS pc FROM (
+         |    SELECT cnt, unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS cur
+         |    FROM (SELECT list_filter(string_split(sym, '  '), x -> x != '') AS t, cnt
+         |          FROM bw${k - 1})
+         |    WHERE len(t) >= 2)
+         |  GROUP BY 1, 2),
+         |bm$k AS MATERIALIZED (SELECT a, b, pc FROM bp$k ORDER BY pc DESC, a, b LIMIT 1),
+         |bw$k AS MATERIALIZED (SELECT replace(sym,
+         |    ' ' || (SELECT a FROM bm$k) || '  ' || (SELECT b FROM bm$k) || ' ',
+         |    ' ' || (SELECT a FROM bm$k) || (SELECT b FROM bm$k) || ' ') AS sym, cnt
+         |  FROM bw${k - 1})""".stripMargin
+    s"""btok AS (SELECT lower(unnest(list_filter(string_split(text, ' '), x -> x != ''))) AS w
+       |  FROM documents),
+       |bw0 AS MATERIALIZED (SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS sym,
+       |    count(*) AS cnt FROM btok GROUP BY w),
+       |${(1 to 8).map(step).mkString(",\n")}""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "topk_single" ->
@@ -1465,6 +1492,28 @@ object SparkEntry {
         |SELECT token, cnt, rnk
         |FROM (SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk FROM c)
         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    // mirrors Bpe.train: 8 unrolled Sennrich merge steps over the weighted
+    // word table, argmax tie-break (pc DESC, a, b)
+    "bpe_merges" ->
+      s"""WITH $bpeCtes
+        |SELECT * FROM (
+        |${(1 to 8).map(k =>
+          s"  SELECT CAST($k AS BIGINT) AS step, a AS lhs, b AS rhs, " +
+            s"a || b AS merged, pc AS pair_count FROM bm$k")
+          .mkString("\n  UNION ALL BY NAME\n")}
+        |) ORDER BY step""".stripMargin,
+
+    // mirrors Bpe.fertility: weighted mean symbols per word occurrence
+    // after the same 8 merges
+    "bpe_fertility" ->
+      s"""WITH $bpeCtes
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_words,
+        |  CAST(sum(cnt * ns) AS BIGINT) AS n_symbols,
+        |  round(sum(cnt * ns)::DOUBLE / sum(cnt)::DOUBLE, 6) AS fertility
+        |FROM (SELECT cnt,
+        |    len(list_filter(string_split(sym, '  '), x -> x != '')) AS ns
+        |  FROM bw8)""".stripMargin,
 
     // mirrors TextAnalysis.tokenCms: 4x1024 Count-Min sketch over the
     // lowercased token stream, estimate = min over rows, audited against

@@ -283,6 +283,33 @@ class PlanShapeSpec extends SparkSpec {
       s"degenerated to a pairwise time join:\n$p")
   }
 
+  test("ppl_buckets: threshold table broadcast; bucketing never shuffles on lang") {
+    val p = plan(graft.operators.TextAnalysis.perplexityBuckets(Tables.documents(spark, dir)))
+    // langs x 2 doubles must meet the scored corpus map-side — a shuffled
+    // lang join is the one degenerate shape this operator rules out
+    assert("""BroadcastHashJoin \[lang#\d+\], \[lang#\d+\], LeftOuter""".r
+      .findFirstIn(p).isDefined, s"threshold join not broadcast on lang:\n$p")
+    assert(!"""SortMergeJoin \[lang#\d+\]""".r.findFirstIn(p).isDefined,
+      s"shuffled lang join:\n$p")
+  }
+
+  test("token_cms: sketch broadcast to the probe; no shuffled joins anywhere") {
+    val p = plan(graft.operators.TextAnalysis.tokenCms(Tables.documents(spark, dir)))
+    assert(p.contains("BroadcastHashJoin"), s"sketch probe not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"sketch surfaces must stay bounded-broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not a bounded heap:\n$p")
+  }
+
+  test("bpe merge step: pure aggregation over the word table — no joins at all") {
+    val p = plan(graft.operators.Bpe.pairCounts(
+      graft.operators.Bpe.symbolized(Tables.documents(spark, dir))))
+    assert(!p.contains("Join"), s"pair statistics must not join:\n$p")
+    // one vocab-keyed agg then one pair-keyed agg: exactly two exchanges
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"pair step should shuffle exactly twice (word agg, pair agg):\n$p")
+  }
+
   test("indexed incremental dedup: reference side reads the stored index, not documents") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, dir)

@@ -378,6 +378,34 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(small == out)
   }
 
+  test("bpe: hand-computed Sennrich merges, fertility, segment counts, early stop") {
+    import spark.implicits._
+    // the classic corpus: low x5, lower x2, newest x6, widest x3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    // step 1: (e,s)=9 ties (s,t)=9 -> lhs asc; step 2: (es,t)=9;
+    // step 3: (l,o)=7 ties (o,w)=7; step 4: (lo,w)=7
+    val got = Bpe.train(docs, merges = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "e", "s", "es", 9L), (2L, "es", "t", "est", 9L),
+      (3L, "l", "o", "lo", 7L), (4L, "lo", "w", "low", 7L)))
+    // after 4 merges: low=[low], lower=[low,e,r], newest=[n,e,w,est],
+    // widest=[w,i,d,est] -> 47 symbols over 16 word occurrences
+    val f = Bpe.fertility(docs, merges = 4).collect().head
+    assert((f.getLong(0), f.getLong(1), f.getDouble(2)) == (16L, 47L, 2.9375))
+    // segmentation with the learned merges is the same arithmetic per doc
+    val two = Seq((1L, "low lower"), (2L, "newest")).toDF("doc_id", "text")
+    val seg = Bpe.segmentCounts(two, got.map(m => (m._2, m._3)).toSeq)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seg == Map(1L -> 4L, 2L -> 4L))
+    // a fully-merged vocabulary stops early instead of emitting null steps
+    val tiny = Bpe.train(Seq((1L, "ab ab")).toDF("doc_id", "text"), merges = 8)
+      .collect()
+    assert(tiny.length == 1 && tiny.head.getString(3) == "ab")
+  }
+
   test("token cms: est >= exact always; wide sketch is exact; width-1 collapses to the total") {
     import spark.implicits._
     val docs = Seq((1L, "aa aa aa bb"), (2L, "bb cc aa"), (3L, "dd"))
