@@ -159,6 +159,7 @@ object SparkEntry {
       Salting.saltedPriorityRevenue(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "token_topk"   -> ((s, dir) => TextAnalysis.tokenTopK(Tables.documents(s, dir), 20)),
     "token_cms"    -> ((s, dir) => TextAnalysis.tokenCms(Tables.documents(s, dir))),
+    "token_hll"    -> ((s, dir) => TextAnalysis.tokenHll(Tables.documents(s, dir))),
     "bpe_merges"   -> ((s, dir) => Bpe.train(Tables.documents(s, dir))),
     "bpe_fertility" -> ((s, dir) => Bpe.fertility(Tables.documents(s, dir))),
     "token_drift"  -> ((s, dir) => TextAnalysis.tokenDrift(Tables.documents(s, dir), 20)),
@@ -1492,6 +1493,32 @@ object SparkEntry {
         |SELECT token, cnt, rnk
         |FROM (SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk FROM c)
         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    // mirrors TextAnalysis.tokenHll: p=10 HyperLogLog over hash56, rho via
+    // binary-digit count (integer arithmetic — no float log2), linear
+    // counting below 2.5m
+    "token_hll" ->
+      """WITH tok AS (SELECT lower(unnest(list_filter(string_split(text, ' '), x -> x != ''))) AS w
+        |             FROM documents),
+        |cells AS (SELECT h % 1024 AS bucket, h // 1024 AS r FROM (
+        |    SELECT ('0x' || substr(md5(w), 1, 14))::UBIGINT AS h FROM tok)),
+        |regs AS (SELECT bucket,
+        |    max(CASE WHEN r > 0 THEN 47 - length(bin(r)) ELSE 47 END) AS reg
+        |  FROM cells GROUP BY bucket),
+        |dense AS (SELECT coalesce(reg, 0) AS reg
+        |  FROM range(1024) LEFT JOIN regs ON range = regs.bucket),
+        |agg AS (SELECT sum(power(2.0, -reg)) AS z,
+        |    sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS v FROM dense),
+        |est AS (SELECT CASE
+        |    WHEN (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024 / z <= 2.5 * 1024
+        |         AND v > 0
+        |    THEN CAST(1024 AS DOUBLE) * ln(CAST(1024 AS DOUBLE) / v)
+        |    ELSE (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024 / z END AS e
+        |  FROM agg),
+        |ex AS (SELECT count(DISTINCT w) AS exact_distinct FROM tok)
+        |SELECT exact_distinct, round(e, 6) AS est,
+        |  round((e - exact_distinct) / exact_distinct, 6) AS rel_err
+        |FROM ex, est""".stripMargin,
 
     // mirrors Bpe.train: 8 unrolled Sennrich merge steps over the weighted
     // word table, argmax tie-break (pc DESC, a, b)

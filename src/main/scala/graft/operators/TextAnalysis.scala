@@ -596,6 +596,59 @@ object TextAnalysis {
       .orderBy(desc("exact_cnt"), asc("token"))
   }
 
+  /** HyperLogLog distinct-token audit (Flajolet et al. 2007) — the
+    * cardinality member of the sketch family ([[Dedup.sourceOverlap]]'s
+    * MinHash estimates similarity, [[tokenCms]] counts frequencies, this
+    * counts DISTINCTS in `p`-bits-of-registers space): bucket =
+    * `hash56 mod m`, rho = leading-zero rank of the remaining `56 − p`
+    * bits computed with INTEGER arithmetic (`bits + 1 − length(bin(r))`
+    * — a float `log2` differs across engines in the last ulp at power-of-
+    * two boundaries, a binary-digit count cannot), registers = one
+    * bucket-keyed `max` aggregation. Standard small-range correction
+    * (linear counting when `E ≤ 2.5m` with empty registers); the 2^56
+    * large-range regime is out of reach by construction. Output is ONE
+    * row: exact distinct count, estimate, relative error — the audit that
+    * tells an operator how much to trust `approx_count_distinct`-style
+    * numbers on this corpus's own vocabulary.
+    *
+    * Scale shape: registers are a `bucket`-keyed max with map-side
+    * partials — the shuffle carries ≤ m rows per map partition, corpus
+    * never reaches it; registers merge across shards/streams by `max`,
+    * the same mergeability as [[tokenCms]] cells. The exact arm is the
+    * expensive one (a true distinct) — it exists because this IS an
+    * audit; drop it in production and the sketch is one bounded pass. */
+  def tokenHll(docs: DataFrame, p: Int = 10): DataFrame = {
+    import graft.functions.LshFunctions.hash56
+    require(p >= 4 && p <= 20, s"p out of range: $p")
+    val m = 1L << p
+    val bits = 56 - p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val tok = docs.select(explode(toks).as("w0"))
+      .select(lower(col("w0")).as("w"))
+    val regs = tok.select(hash56(col("w")).as("h"))
+      .select(pmod(col("h"), lit(m)).as("bucket"),
+        expr(s"h div $m").as("r"))
+      .select(col("bucket"),
+        when(col("r") > 0, lit(bits + 1) - length(bin(col("r"))))
+          .otherwise(lit(bits + 1)).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("reg"))
+    val dense = docs.sparkSession.range(m).toDF("bucket")
+      .join(regs, Seq("bucket"), "left")
+      .select(coalesce(col("reg"), lit(0L)).as("reg"))
+    val est = dense.agg(
+        sum(pow(lit(2.0), -col("reg"))).as("z"),
+        sum(when(col("reg") === 0, 1L).otherwise(0L)).as("v"))
+      .select(
+        when((lit(alpha * m * m) / col("z")) <= lit(2.5 * m) && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(lit(alpha * m * m) / col("z")).as("e"))
+    val exact = tok.agg(countDistinct(col("w")).as("exact_distinct"))
+    exact.crossJoin(est)
+      .select(col("exact_distinct"), round(col("e"), 6).as("est"),
+        round((col("e") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double"), 6).as("rel_err"))
+  }
+
   /** Zipf-safe LEFT join of a key-hot probe stream against a count table:
     * the bounded head (top-`headSize` rows by count) broadcasts so hot
     * keys resolve map-side; only head-miss rows (tail + unseen, per-key

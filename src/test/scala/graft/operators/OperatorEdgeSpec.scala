@@ -378,6 +378,46 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(small == out)
   }
 
+  test("token hll: matches an independent recomputation; raw branch accurate at 10k distincts") {
+    import spark.implicits._
+    def hll(tokens: Seq[String], p: Int = 10): (Long, Double) = {
+      val m = 1L << p
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h56(s: String): Long =
+        BigInt(1, md.digest(s.getBytes("UTF-8")).take(7)).toLong
+      val regs = Array.fill(m.toInt)(0L)
+      tokens.distinct.foreach { w => // distinct irrelevant for max, clearer
+        val h = h56(w); val b = (h % m).toInt; val r = h / m
+        val rho = if (r > 0) 56 - p + 1 - (64 - java.lang.Long.numberOfLeadingZeros(r))
+                  else 56 - p + 1
+        regs(b) = math.max(regs(b), rho)
+      }
+      val z = regs.map(x => math.pow(2.0, -x)).sum
+      val v = regs.count(_ == 0)
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val e = alpha * m * m / z
+      val est = if (e <= 2.5 * m && v > 0) m.toDouble * math.log(m.toDouble / v) else e
+      (tokens.distinct.size.toLong, est)
+    }
+    // small corpus -> linear-counting branch, recomputed exactly
+    val small = Seq((1L, "aa bb cc dd aa"), (2L, "ee ff aa"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenHll(small).collect().head
+    val (ex, est) = hll(Seq("aa", "bb", "cc", "dd", "ee", "ff"))
+    assert(got.getLong(0) == ex)
+    assert(math.abs(got.getDouble(1) - est) < 1e-6)
+    assert(got.getDouble(2) ==
+      BigDecimal((est - ex) / ex).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // 10k distincts over 1024 registers -> the raw-estimate branch; the
+    // deterministic hash makes this a fixed number, bound it by theory
+    val tokens = (0 until 10000).map(i => s"tok$i")
+    val big = Seq((1L, tokens.mkString(" "))).toDF("doc_id", "text")
+    val g2 = TextAnalysis.tokenHll(big).collect().head
+    val (ex2, est2) = hll(tokens)
+    assert(g2.getLong(0) == ex2 && math.abs(g2.getDouble(1) - est2) < 1e-4)
+    assert(math.abs(g2.getDouble(2)) < 0.1, s"rel_err ${g2.getDouble(2)}")
+  }
+
   test("bpe: hand-computed Sennrich merges, fertility, segment counts, early stop") {
     import spark.implicits._
     // the classic corpus: low x5, lower x2, newest x6, widest x3
