@@ -221,6 +221,7 @@ object SparkEntry {
     "dim_recall" -> ((s, dir) => EmbeddingStats.dimRecall(Tables.embeddings(s, dir))),
     "embed_drift" -> ((s, dir) => EmbeddingStats.embedDrift(Tables.embeddings(s, dir))),
     "embed_covariance" -> ((s, dir) => EmbeddingStats.covariance(Tables.embeddings(s, dir))),
+    "embed_spectrum" -> ((s, dir) => EmbeddingStats.spectrum(Tables.embeddings(s, dir))),
     "quality_sample" -> ((s, dir) => Sampling.qualitySample(Tables.documents(s, dir))),
     "source_mix" -> ((s, dir) => Sampling.sourceMixture(Tables.documents(s, dir))),
     "pack_sequences" -> ((s, dir) => Sampling.packSequences(Tables.documents(s, dir))),
@@ -1709,6 +1710,22 @@ object SparkEntry {
         |SELECT p.i, p.j, round(eab - ma.mi * mb.mi, 6) + 0.0 AS cov
         |FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
         |ORDER BY p.i, p.j""".stripMargin,
+
+    // mirrors EmbeddingStats.spectrum: trace / Frobenius / participation
+    // ratio off the SAME 6-dp covariance table as embed_covariance
+    "embed_spectrum" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT vec_id, i, v[CAST(i + 1 AS INT)] AS xi
+        |      FROM e CROSS JOIN range(0, 64) t(i)),
+        |m AS (SELECT i, round(avg(xi), 9) AS mi FROM x GROUP BY i),
+        |p AS (SELECT a.i AS i, b.i AS j, round(avg(a.xi * b.xi), 9) AS eab
+        |      FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+        |cov AS (SELECT p.i, p.j, round(eab - ma.mi * mb.mi, 6) + 0.0 AS cov
+        |  FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j),
+        |s AS (SELECT round(sum(CASE WHEN i = j THEN cov ELSE 0.0 END), 6) AS trace,
+        |    round(sum(cov * cov), 6) AS frob_sq FROM cov)
+        |SELECT trace, frob_sq,
+        |  round(trace * trace / frob_sq, 6) AS effective_rank FROM s""".stripMargin,
 
     "token_counts" ->
       """SELECT doc_id,

@@ -189,6 +189,29 @@ object EmbeddingStats {
     rows.toDF("i", "j", "cov").orderBy(col("i"), col("j"))
   }
 
+  /** Spectrum audit — the anisotropy number behind [[whiten]]'s repair:
+    * effective rank of the embedding distribution as the participation
+    * ratio `ER = (Σλ)² / Σλ²` (Roy & Vetterli 2007) over the covariance
+    * eigenvalues. The identity `Σλ = trace(C)`, `Σλ² = ‖C‖²_F` (C
+    * symmetric) means NO eigensolve is needed — both numbers read
+    * directly off the [[covariance]] table, which also makes the audit
+    * SQL-oracle-able where an eigendecomposition is not. ER ≈ dim ⇒
+    * isotropic (cosine retrieval well-conditioned); ER ≪ dim ⇒ the mass
+    * sits in a few directions and [[whiten]] (or mean-centering alone)
+    * is worth running before retrieval.
+    *
+    * Scale: one [[covariance]] pass (shuffle-free Gram accumulation);
+    * the aggregate here runs over the d² driver-built table. */
+  def spectrum(embeddings: DataFrame, dim: Int = 64): DataFrame =
+    covariance(embeddings, dim)
+      .agg(
+        round(sum(when(col("i") === col("j"), col("cov")).otherwise(0.0)), 6)
+          .as("trace"),
+        round(sum(col("cov") * col("cov")), 6).as("frob_sq"))
+      .select(col("trace"), col("frob_sq"),
+        round(col("trace") * col("trace") / col("frob_sq"), 6)
+          .as("effective_rank"))
+
   /** ZCA whitening: project every embedding as x' = W·(x − μ) with
     * W = U·(Λ+eps)^(-1/2)·U^T from the eigendecomposition of the sample
     * covariance — after it, the whitened sample has ZERO mean and identity

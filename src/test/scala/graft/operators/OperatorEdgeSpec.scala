@@ -378,6 +378,31 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(small == out)
   }
 
+  test("embed spectrum: matches the eigenvalue identity; rank-1 data scores ER ~ 1") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val s = EmbeddingStats.spectrum(e).collect().head
+    val (trace, frob, er) = (s.getDouble(0), s.getDouble(1), s.getDouble(2))
+    assert(er > 1.0 && er <= 64.0)
+    // the identity the operator exploits: (sum λ)²/Σλ² over the ACTUAL
+    // eigenvalues of the same covariance matrix — exercised through the
+    // independent Jacobi solver
+    val cov = EmbeddingStats.covariance(e).collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getDouble(2))).toMap
+    val mat = Array.tabulate(64, 64)((i, j) => cov((i, j)))
+    val lambda = EmbeddingStats.jacobiEigen(mat, 64)._1
+    val erEig = math.pow(lambda.sum, 2) / lambda.map(x => x * x).sum
+    assert(math.abs(er - erEig) < 1e-3, s"op $er vs eigen $erEig")
+    assert(math.abs(trace - lambda.sum) < 1e-3)
+    assert(frob > 0.0)
+    // all vectors on one line -> one nonzero eigenvalue -> ER ≈ 1
+    val line = (1 to 200).map { i =>
+      (i.toLong, Array.tabulate(64)(d => (d + 1.0) * (i % 7 + 1)).toSeq, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val er1 = EmbeddingStats.spectrum(line).collect().head.getDouble(2)
+    assert(math.abs(er1 - 1.0) < 0.01, s"rank-1 ER $er1")
+  }
+
   test("token hll: matches an independent recomputation; raw branch accurate at 10k distincts") {
     import spark.implicits._
     def hll(tokens: Seq[String], p: Int = 10): (Long, Double) = {
