@@ -25,7 +25,7 @@ object TextAnalysis {
 
   /** Non-empty whitespace tokens — the canonical tokenizer every
     * token-counting surface (stats, counts, split audit) shares. */
-  private[operators] val toks: Column = expr("filter(split(text, ' '), x -> x != '')")
+  private[graft] val toks: Column = expr("filter(split(text, ' '), x -> x != '')")
 
   /** Corpus statistics per (lang, source). */
   def stats(docs: DataFrame): DataFrame =
@@ -618,35 +618,50 @@ object TextAnalysis {
     * expensive one (a true distinct) — it exists because this IS an
     * audit; drop it in production and the sketch is one bounded pass. */
   def tokenHll(docs: DataFrame, p: Int = 10): DataFrame = {
+    val tok = docs.select(explode(toks).as("w0"))
+      .select(lower(col("w0")).as("w"))
+    val est = hllEstimate(hllRegisters(tok, p), p)
+    val exact = tok.agg(countDistinct(col("w")).as("exact_distinct"))
+    exact.crossJoin(est)
+      .select(col("exact_distinct"), round(col("e"), 6).as("est"),
+        round((col("e") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double"), 6).as("rel_err"))
+  }
+
+  /** HLL register table `(bucket, reg)` for a token stream (column `w`) —
+    * the mergeable state: registers combine across shards, batches, or
+    * snapshots by bucket-keyed `max` (idempotent, so at-least-once replay
+    * is harmless — the property [[graft.streaming.Streaming
+    * .streamDistinctMonitor]] is built on). */
+  private[graft] def hllRegisters(tok: DataFrame, p: Int): DataFrame = {
     import graft.functions.LshFunctions.hash56
     require(p >= 4 && p <= 20, s"p out of range: $p")
     val m = 1L << p
     val bits = 56 - p
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
-    val tok = docs.select(explode(toks).as("w0"))
-      .select(lower(col("w0")).as("w"))
-    val regs = tok.select(hash56(col("w")).as("h"))
+    tok.select(hash56(col("w")).as("h"))
       .select(pmod(col("h"), lit(m)).as("bucket"),
         expr(s"h div $m").as("r"))
       .select(col("bucket"),
         when(col("r") > 0, lit(bits + 1) - length(bin(col("r"))))
           .otherwise(lit(bits + 1)).as("rho"))
       .groupBy(col("bucket")).agg(max(col("rho")).as("reg"))
-    val dense = docs.sparkSession.range(m).toDF("bucket")
+  }
+
+  /** One-row `(e)` unrounded HLL estimate from a register table, with the
+    * linear-counting small-range correction. */
+  private[graft] def hllEstimate(regs: DataFrame, p: Int): DataFrame = {
+    val m = 1L << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs.sparkSession.range(m).toDF("bucket")
       .join(regs, Seq("bucket"), "left")
       .select(coalesce(col("reg"), lit(0L)).as("reg"))
-    val est = dense.agg(
+      .agg(
         sum(pow(lit(2.0), -col("reg"))).as("z"),
         sum(when(col("reg") === 0, 1L).otherwise(0L)).as("v"))
       .select(
         when((lit(alpha * m * m) / col("z")) <= lit(2.5 * m) && col("v") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
           .otherwise(lit(alpha * m * m) / col("z")).as("e"))
-    val exact = tok.agg(countDistinct(col("w")).as("exact_distinct"))
-    exact.crossJoin(est)
-      .select(col("exact_distinct"), round(col("e"), 6).as("est"),
-        round((col("e") - col("exact_distinct").cast("double")) /
-          col("exact_distinct").cast("double"), 6).as("rel_err"))
   }
 
   /** Zipf-safe LEFT join of a key-hot probe stream against a count table:

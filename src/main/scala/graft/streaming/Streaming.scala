@@ -404,17 +404,7 @@ object Streaming {
             k, weightCol)
           val rows = merged.collect() // bounded: k rows by construction
             .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-          val vdir = f"v$batchId%020d"
-          rows.toDF("doc_id", "w", "key").repartition(1)
-            .write.mode("overwrite").parquet(s"$reservoirPath/$vdir")
-          val fs = new Path(reservoirPath).getFileSystem(
-            spark.sessionState.newHadoopConf())
-          val tmp = new Path(reservoirPath, "_latest.tmp")
-          val out = fs.create(tmp, true)
-          out.write(vdir.getBytes("UTF-8")); out.close()
-          fs.delete(new Path(reservoirPath, "_latest"), false)
-          fs.rename(tmp, new Path(reservoirPath, "_latest"))
-          ()
+          commitVersion(rows.toDF("doc_id", "w", "key"), reservoirPath, batchId)
         }
       }
       .start()
@@ -422,8 +412,13 @@ object Streaming {
   /** The committed reservoir, or None before the first update: the
     * `_latest` marker's version, falling back to the highest version dir
     * with a `_SUCCESS` commit if the marker is missing (crash window). */
-  def readReservoir(spark: SparkSession, reservoirPath: String): Option[DataFrame] = {
-    val root = new Path(reservoirPath)
+  def readReservoir(spark: SparkSession, reservoirPath: String): Option[DataFrame] =
+    readLatestVersion(spark, reservoirPath)
+
+  /** Written-last version-swap read side, shared by every versioned
+    * small-state store here (reservoir, HLL registers). */
+  private def readLatestVersion(spark: SparkSession, rootPath: String): Option[DataFrame] = {
+    val root = new Path(rootPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return None
     val marker = new Path(root, "_latest")
@@ -440,6 +435,68 @@ object Streaming {
     }
     chosen.map(p => spark.read.parquet(p.toString))
   }
+
+  /** Written-last version-swap commit: parquet the version dir, then swap
+    * the tiny `_latest` marker — a crash between the two leaves the prior
+    * marker valid. */
+  private def commitVersion(df: DataFrame, rootPath: String, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val vdir = f"v$batchId%020d"
+    df.repartition(1).write.mode("overwrite").parquet(s"$rootPath/$vdir")
+    val fs = new Path(rootPath).getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(rootPath, "_latest.tmp")
+    val out = fs.create(tmp, true)
+    out.write(vdir.getBytes("UTF-8")); out.close()
+    fs.delete(new Path(rootPath, "_latest"), false)
+    fs.rename(tmp, new Path(rootPath, "_latest"))
+    ()
+  }
+
+  /** Continuous distinct-vocabulary monitor: fold each micro-batch's HLL
+    * registers ([[graft.operators.TextAnalysis.hllRegisters]] over the
+    * batch's lowercased whitespace tokens) into a persisted `(bucket,
+    * reg)` table by bucket-keyed `max`. Register max-merge is IDEMPOTENT,
+    * so an at-least-once redelivery cannot move the estimate — the
+    * exactly-once-equivalence argument the weighted reservoir makes via
+    * pure keys, here made by the algebra of the sketch itself. State is
+    * ≤ 2^p rows regardless of stream volume; persistence follows the
+    * written-last version/marker discipline.
+    *
+    * Read the running estimate back with [[readDistinctEstimate]]; the
+    * registers also merge (again by `max`) with any batch-side
+    * [[graft.operators.TextAnalysis.hllRegisters]] table — one sketch
+    * algebra across batch and stream. */
+  def streamDistinctMonitor(docs: DataFrame, registersPath: String,
+                            checkpointDir: String, p: Int = 10): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val T = graft.operators.TextAnalysis
+          val tok = batch.select(explode(T.toks).as("w0"))
+            .select(lower(col("w0")).as("w"))
+          val prior = readLatestVersion(spark, registersPath)
+            .getOrElse(Seq.empty[(Long, Long)].toDF("bucket", "reg"))
+          val merged = T.hllRegisters(tok, p).unionByName(prior)
+            .groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+          // bounded: <= 2^p rows by construction
+          val rows = merged.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          commitVersion(rows.toDF("bucket", "reg"), registersPath, batchId)
+        }
+      }
+      .start()
+
+  /** The monitor's current 6-dp distinct estimate, or None before the
+    * first committed batch. */
+  def readDistinctEstimate(spark: SparkSession, registersPath: String,
+                           p: Int = 10): Option[Double] =
+    readLatestVersion(spark, registersPath).map { regs =>
+      graft.operators.TextAnalysis.hllEstimate(regs, p)
+        .select(round(col("e"), 6)).head().getDouble(0)
+    }
 
   /** Continuous collection ingest: any streaming (id, chunk) text source →
     * per-micro-batch chunk/embed/validate/append through the SAME batch

@@ -377,6 +377,36 @@ class StreamingSpec extends SparkSpec {
     assert(admitted2.sorted == admitted.sorted)
   }
 
+  test("distinct monitor: maintained HLL estimate equals the batch answer; redelivery is a no-op") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val regs = Files.createTempDirectory("graft-hllmon-").toString + "/regs"
+    val batch1 = (0 until 400).map(i => (i.toLong, s"alpha$i beta${i % 50} gamma"))
+    val batch2 = (400 until 800).map(i => (i.toLong, s"alpha$i delta${i % 25}"))
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(batch1: _*)
+    mem.addData(batch2: _*)
+    val q = Streaming.streamDistinctMonitor(mem.toDF().toDF("doc_id", "text"),
+      regs, Files.createTempDirectory("graft-hllmon-ckpt-").toString)
+    try q.awaitTermination(120000) finally q.stop()
+
+    // the maintained registers ARE the batch sketch over everything
+    // streamed: estimates agree exactly (max-merge associativity)
+    val batchEst = graft.operators.TextAnalysis.tokenHll(
+      (batch1 ++ batch2).toDF("doc_id", "text")).collect().head.getDouble(1)
+    val streamEst = Streaming.readDistinctEstimate(spark, regs).get
+    assert(streamEst == batchEst, s"stream $streamEst vs batch $batchEst")
+
+    // max is idempotent: re-sending the whole history cannot move it
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData((batch1 ++ batch2): _*)
+    val q2 = Streaming.streamDistinctMonitor(mem2.toDF().toDF("doc_id", "text"),
+      regs, Files.createTempDirectory("graft-hllmon-ckpt-").toString)
+    try q2.awaitTermination(120000) finally q2.stop()
+    assert(Streaming.readDistinctEstimate(spark, regs).get == batchEst)
+  }
+
   test("weighted reservoir sink: maintained sample equals the batch answer; redelivery is a no-op") {
     import java.nio.file.Files
     val res = Files.createTempDirectory("graft-reservoir-").toString + "/r"
