@@ -807,9 +807,11 @@ object SparkEntry {
          |    WHERE len(t) >= 2)
          |  GROUP BY 1, 2),
          |bm$k AS MATERIALIZED (SELECT a, b, pc FROM bp$k ORDER BY pc DESC, a, b LIMIT 1),
-         |bw$k AS MATERIALIZED (SELECT replace(sym,
-         |    ' ' || (SELECT a FROM bm$k) || '  ' || (SELECT b FROM bm$k) || ' ',
-         |    ' ' || (SELECT a FROM bm$k) || (SELECT b FROM bm$k) || ' ') AS sym, cnt
+         |bw$k AS MATERIALIZED (SELECT CASE
+         |    WHEN (SELECT count(*) FROM bm$k) = 0 THEN sym
+         |    ELSE replace(sym,
+         |      ' ' || (SELECT a FROM bm$k) || '  ' || (SELECT b FROM bm$k) || ' ',
+         |      ' ' || (SELECT a FROM bm$k) || (SELECT b FROM bm$k) || ' ') END AS sym, cnt
          |  FROM bw${k - 1})""".stripMargin
     s"""btok AS (SELECT lower(unnest(list_filter(string_split(text, ' '), x -> x != ''))) AS w
        |  FROM documents),
@@ -1518,7 +1520,8 @@ object SparkEntry {
         |  FROM agg),
         |ex AS (SELECT count(DISTINCT w) AS exact_distinct FROM tok)
         |SELECT exact_distinct, round(e, 6) AS est,
-        |  round((e - exact_distinct) / exact_distinct, 6) AS rel_err
+        |  CASE WHEN exact_distinct = 0 THEN 0.0
+        |       ELSE round((e - exact_distinct) / exact_distinct, 6) END AS rel_err
         |FROM ex, est""".stripMargin,
 
     // mirrors Bpe.train: 8 unrolled Sennrich merge steps over the weighted
@@ -1725,7 +1728,8 @@ object SparkEntry {
         |s AS (SELECT round(sum(CASE WHEN i = j THEN cov ELSE 0.0 END), 6) AS trace,
         |    round(sum(cov * cov), 6) AS frob_sq FROM cov)
         |SELECT trace, frob_sq,
-        |  round(trace * trace / frob_sq, 6) AS effective_rank FROM s""".stripMargin,
+        |  CASE WHEN frob_sq = 0 THEN 0.0
+        |       ELSE round(trace * trace / frob_sq, 6) END AS effective_rank FROM s""".stripMargin,
 
     "token_counts" ->
       """SELECT doc_id,

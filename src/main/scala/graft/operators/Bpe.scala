@@ -29,11 +29,10 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   private[graft] def symbolized(docs: DataFrame): DataFrame =
-    docs.select(explode(TextAnalysis.toks).as("w0"))
-      .select(lower(col("w0")).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    TextAnalysis.lowerTok(docs)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(
-        concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  ")).as("sym"),
+        concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  ")).as("sym"),
         col("cnt"))
 
   private[graft] def pairCounts(syms: DataFrame): DataFrame =
@@ -120,10 +119,13 @@ object Bpe {
         .agg(sum(col("cnt")).as("n_words"),
           sum(col("cnt") * col("ns")).as("n_symbols"))
         .collect() // one row, materialized while the loop cache is live
-      Seq((row.getLong(0), row.getLong(1)))
-        .toDF("n_words", "n_symbols")
+      // empty corpus: both sums are NULL — report zeros, not an NPE
+      val (nw, ns) =
+        if (row.isNullAt(0)) (0L, 0L) else (row.getLong(0), row.getLong(1))
+      Seq((nw, ns)).toDF("n_words", "n_symbols")
         .select(col("n_words"), col("n_symbols"),
-          round(col("n_symbols").cast("double") / col("n_words"), 6)
+          when(col("n_words") === 0, lit(0.0))
+            .otherwise(round(col("n_symbols").cast("double") / col("n_words"), 6))
             .as("fertility"))
     }
   }
@@ -137,15 +139,20 @@ object Bpe {
   def segmentCounts(docs: DataFrame,
                     merges: Seq[(String, String)]): DataFrame = {
     val sym0: Column = concat(lit("  "),
-      regexp_replace(lower(col("w0")), "(.)", "$1  "))
+      regexp_replace(col("w"), "(.)", "$1  "))
     val folded = merges.foldLeft(sym0) { case (c, (a, b)) =>
       replace(c, lit(s" $a  $b "), lit(s" $a$b "))
     }
     val nSyms = size(filter(split(folded, "  "), x => x =!= lit("")))
-    docs.select(col("doc_id"), explode(TextAnalysis.toks).as("w0"))
+    val per = TextAnalysis.lowerTok(docs)
       .select(col("doc_id"), nSyms.cast("bigint").as("n"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).cast("bigint").as("bpe_tokens"))
+    // tokenless documents have a 0 budget, not a missing row — the same
+    // restore contract as every per-doc operator here
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
       .orderBy(col("doc_id"))
   }
 }

@@ -209,7 +209,10 @@ object EmbeddingStats {
           .as("trace"),
         round(sum(col("cov") * col("cov")), 6).as("frob_sq"))
       .select(col("trace"), col("frob_sq"),
-        round(col("trace") * col("trace") / col("frob_sq"), 6)
+        // a zero covariance matrix (constant embeddings at 6-dp) has no
+        // spectrum: report 0, not the engine-dependent 0/0
+        when(col("frob_sq") === 0, lit(0.0))
+          .otherwise(round(col("trace") * col("trace") / col("frob_sq"), 6))
           .as("effective_rank"))
 
   /** ZCA whitening: project every embedding as x' = W·(x − μ) with

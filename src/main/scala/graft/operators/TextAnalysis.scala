@@ -401,12 +401,24 @@ object TextAnalysis {
     * over the fixed space keeps unseen features finite in both models.
     * Every hash is the cross-engine [[graft.functions.LshFunctions.hash56]],
     * so the oracle reproduces feature ids bit-for-bit. */
+  /** The lowercased token stream `(doc_id, w)` — ONE definition shared by
+    * every token-level surface so the cross-engine tokenizer contract
+    * cannot drift per call site. */
+  private[graft] def lowerTok(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(toks).as("w0"))
+      .select(col("doc_id"), lower(col("w0")).as("w"))
+
+  /** The shared hashed bag-of-token feature stream `(doc_id, feat)` —
+    * [[dsirWeights]] and [[qualityClassifier]] both promise "the same
+    * fixed feature space"; this helper IS that promise. */
+  private def hashedFeatures(docs: DataFrame, buckets: Int): DataFrame =
+    lowerTok(docs).select(col("doc_id"),
+      pmod(graft.functions.LshFunctions.hash56(col("w")),
+        lit(buckets.toLong)).as("feat"))
+
   def dsirWeights(docs: DataFrame, targetBucketMax: Int = 20,
                   rawBucketMin: Int = 50, buckets: Int = 4096): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(toks).as("w0"))
-      .select(col("doc_id"),
-        pmod(graft.functions.LshFunctions.hash56(lower(col("w0"))),
-          lit(buckets.toLong)).as("feat"))
+    val tok = hashedFeatures(docs, buckets)
     val slice = Sampling.hashBucket(col("doc_id"))
     val tgt = tok.where(slice < targetBucketMax)
       .groupBy(col("feat")).agg(count(lit(1)).as("ct"))
@@ -460,10 +472,7 @@ object TextAnalysis {
                         rawBucketMin: Int = 50, buckets: Int = 4096,
                         iters: Int = 3, learnRate: Double = 1.0): DataFrame = {
     val bias = buckets.toLong
-    val tok = docs.select(col("doc_id"), explode(toks).as("w0"))
-      .select(col("doc_id"),
-        pmod(graft.functions.LshFunctions.hash56(lower(col("w0"))),
-          lit(buckets.toLong)).as("feat"))
+    val tok = hashedFeatures(docs, buckets)
     val counts = tok.groupBy(col("doc_id"), col("feat"))
       .agg(count(lit(1)).cast("double").as("c"))
     val ntok = counts.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
@@ -577,8 +586,7 @@ object TextAnalysis {
     val rows = array((0 until depth).map(lit): _*)
     def bucket(w: Column, d: Column): Column =
       pmod(hash56(concat(d.cast("string"), lit("|"), w)), lit(width.toLong))
-    val tok = docs.select(explode(toks).as("w0"))
-      .select(lower(col("w0")).as("w"))
+    val tok = lowerTok(docs).select(col("w"))
     val sketch = tok.select(col("w"), explode(rows).as("d"))
       .select(col("d"), bucket(col("w"), col("d")).as("bucket"))
       .groupBy(col("d"), col("bucket")).agg(count(lit(1)).as("c"))
@@ -618,14 +626,16 @@ object TextAnalysis {
     * expensive one (a true distinct) — it exists because this IS an
     * audit; drop it in production and the sketch is one bounded pass. */
   def tokenHll(docs: DataFrame, p: Int = 10): DataFrame = {
-    val tok = docs.select(explode(toks).as("w0"))
-      .select(lower(col("w0")).as("w"))
+    val tok = lowerTok(docs).select(col("w"))
     val est = hllEstimate(hllRegisters(tok, p), p)
     val exact = tok.agg(countDistinct(col("w")).as("exact_distinct"))
     exact.crossJoin(est)
       .select(col("exact_distinct"), round(col("e"), 6).as("est"),
-        round((col("e") - col("exact_distinct").cast("double")) /
-          col("exact_distinct").cast("double"), 6).as("rel_err"))
+        // token-free corpus: exact = est = 0 — report 0 error, not the
+        // engine-dependent 0/0 (NaN in Spark, NULL in DuckDB)
+        when(col("exact_distinct") === 0, lit(0.0))
+          .otherwise(round((col("e") - col("exact_distinct").cast("double")) /
+            col("exact_distinct").cast("double"), 6)).as("rel_err"))
   }
 
   /** HLL register table `(bucket, reg)` for a token stream (column `w`) —

@@ -476,26 +476,43 @@ object Streaming {
           val spark = batch.sparkSession
           import spark.implicits._
           val T = graft.operators.TextAnalysis
-          val tok = batch.select(explode(T.toks).as("w0"))
-            .select(lower(col("w0")).as("w"))
+          val tok = T.lowerTok(batch).select(col("w"))
           val prior = readLatestVersion(spark, registersPath)
+            .map { df => requireSameP(df, p, registersPath); df.select(col("bucket"), col("reg")) }
             .getOrElse(Seq.empty[(Long, Long)].toDF("bucket", "reg"))
           val merged = T.hllRegisters(tok, p).unionByName(prior)
             .groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
           // bounded: <= 2^p rows by construction
           val rows = merged.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-          commitVersion(rows.toDF("bucket", "reg"), registersPath, batchId)
+          // p is persisted WITH the registers: an estimate over registers
+          // built at a different precision is silently wrong, so readers
+          // check it instead of trusting their default
+          commitVersion(rows.toDF("bucket", "reg")
+            .withColumn("p", lit(p)), registersPath, batchId)
         }
       }
       .start()
 
   /** The monitor's current 6-dp distinct estimate, or None before the
-    * first committed batch. */
+    * first committed batch. The stored precision must match `p` — a
+    * mismatch raises instead of producing a plausible-but-wrong estimate
+    * over a densification grid of the wrong size. */
   def readDistinctEstimate(spark: SparkSession, registersPath: String,
                            p: Int = 10): Option[Double] =
     readLatestVersion(spark, registersPath).map { regs =>
-      graft.operators.TextAnalysis.hllEstimate(regs, p)
+      requireSameP(regs, p, registersPath)
+      graft.operators.TextAnalysis.hllEstimate(
+          regs.select(col("bucket"), col("reg")), p)
         .select(round(col("e"), 6)).head().getDouble(0)
+    }
+
+  private def requireSameP(regs: DataFrame, p: Int, path: String): Unit =
+    // an empty register table (all-empty batches so far) constrains nothing
+    regs.select(col("p")).limit(1).collect().headOption.foreach { r =>
+      if (r.getInt(0) != p)
+        throw new graft.core.GraftException(
+          s"HLL register store at $path was built with p=${r.getInt(0)}; " +
+            s"refusing to estimate with p=$p")
     }
 
   /** Continuous collection ingest: any streaming (id, chunk) text source →

@@ -378,6 +378,30 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(small == out)
   }
 
+  test("degenerate-input contracts: empty corpus, tokenless docs, zero covariance") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // fertility: zeros, not an NPE; train: empty merge table
+    val f = Bpe.fertility(empty).collect().head
+    assert((f.getLong(0), f.getLong(1), f.getDouble(2)) == (0L, 0L, 0.0))
+    assert(Bpe.train(empty).collect().isEmpty)
+    // segmentCounts restores tokenless docs with a 0 budget
+    val seg = Bpe.segmentCounts(
+      Seq((1L, "low"), (2L, ""), (3L, "  ")).toDF("doc_id", "text"),
+      Seq(("l", "o"), ("lo", "w"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seg == Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
+    // hll on a token-free corpus: (0, 0.0, 0.0) — no NaN
+    val h = TextAnalysis.tokenHll(Seq((1L, " ")).toDF("doc_id", "text"))
+      .collect().head
+    assert((h.getLong(0), h.getDouble(1), h.getDouble(2)) == (0L, 0.0, 0.0))
+    // identical embeddings: zero covariance at 6 dp -> ER reports 0.0
+    val const = (1 to 50).map(i =>
+      (i.toLong, Array.fill(64)(0.5).toSeq, 0)).toDF("vec_id", "embedding", "label")
+    val s0 = EmbeddingStats.spectrum(const).collect().head
+    assert(s0.getDouble(2) == 0.0 && !s0.getDouble(2).isNaN)
+  }
+
   test("embed spectrum: matches the eigenvalue identity; rank-1 data scores ER ~ 1") {
     import spark.implicits._
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -405,6 +405,13 @@ class StreamingSpec extends SparkSpec {
       regs, Files.createTempDirectory("graft-hllmon-ckpt-").toString)
     try q2.awaitTermination(120000) finally q2.stop()
     assert(Streaming.readDistinctEstimate(spark, regs).get == batchEst)
+
+    // precision is part of the stored state: estimating a p=10 store at
+    // p=12 must refuse, not silently densify the wrong grid
+    val err = intercept[graft.core.GraftException] {
+      Streaming.readDistinctEstimate(spark, regs, p = 12)
+    }
+    assert(err.getMessage.contains("built with p=10"), err.getMessage)
   }
 
   test("weighted reservoir sink: maintained sample equals the batch answer; redelivery is a no-op") {
