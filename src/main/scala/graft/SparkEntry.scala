@@ -162,6 +162,12 @@ object SparkEntry {
     "token_hll"    -> ((s, dir) => TextAnalysis.tokenHll(Tables.documents(s, dir))),
     "bpe_merges"   -> ((s, dir) => Bpe.train(Tables.documents(s, dir))),
     "bpe_fertility" -> ((s, dir) => Bpe.fertility(Tables.documents(s, dir))),
+    "bpe_segment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = Bpe.train(docs, 8).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.segmentCounts(docs, merges)
+    }),
     "token_drift"  -> ((s, dir) => TextAnalysis.tokenDrift(Tables.documents(s, dir), 20)),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "lang_id"      -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
@@ -1534,6 +1540,32 @@ object SparkEntry {
             s"a || b AS merged, pc AS pair_count FROM bm$k")
           .mkString("\n  UNION ALL BY NAME\n")}
         |) ORDER BY step""".stripMargin,
+
+    // mirrors Bpe.segmentCounts over Bpe.train's merges: the train+apply
+    // round trip — per-doc token budget under the freshly learned vocab
+    "bpe_segment" -> {
+      def dstep(k: Int): String =
+        s"""dsym$k AS (SELECT doc_id, CASE
+           |    WHEN (SELECT count(*) FROM bm$k) = 0 THEN sym
+           |    ELSE replace(sym,
+           |      ' ' || (SELECT a FROM bm$k) || '  ' || (SELECT b FROM bm$k) || ' ',
+           |      ' ' || (SELECT a FROM bm$k) || (SELECT b FROM bm$k) || ' ') END AS sym
+           |  FROM dsym${k - 1})""".stripMargin
+      s"""WITH $bpeCtes,
+         |dtok AS (SELECT doc_id,
+         |    lower(unnest(list_filter(string_split(text, ' '), x -> x != ''))) AS w
+         |  FROM documents),
+         |dsym0 AS (SELECT doc_id, '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS sym
+         |  FROM dtok),
+         |${(1 to 8).map(dstep).mkString(",\n")},
+         |per AS (SELECT doc_id,
+         |    CAST(sum(len(list_filter(string_split(sym, '  '), x -> x != ''))) AS BIGINT)
+         |      AS bpe_tokens
+         |  FROM dsym8 GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(per.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+         |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // mirrors Bpe.fertility: weighted mean symbols per word occurrence
     // after the same 8 merges
