@@ -273,6 +273,7 @@ object SparkEntry {
     "shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
     "asof_purchase_click" -> ((s, dir) => AsofJoin.eventsAsof(Tables.events(s, dir))),
     "sessions" -> ((s, dir) => Sessionize.sessions(Tables.events(s, dir))),
+    "retention" -> ((s, dir) => Sessionize.retentionCohorts(Tables.events(s, dir))),
     "funnel"   -> ((s, dir) => Funnel.conversion(Tables.events(s, dir))),
     "range_join_clicks" -> ((s, dir) => RangeJoin.eventCountsInRange(Tables.events(s, dir))),
     "attribution" -> ((s, dir) => {
@@ -1919,6 +1920,21 @@ object SparkEntry {
         |  CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // mirrors Sessionize.retentionCohorts: integer epoch-week cohorts
+    "retention" ->
+      """WITH active AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS week FROM events),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week FROM active GROUP BY user_id),
+        |sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY cohort_week),
+        |cells AS (SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+        |    count(*) AS n_active
+        |  FROM active a JOIN cohort c ON a.user_id = c.user_id
+        |  GROUP BY 1, 2)
+        |SELECT cells.cohort_week, week_offset, n_active, sizes.cohort_size,
+        |  round(n_active::DOUBLE / cohort_size, 6) AS retention
+        |FROM cells JOIN sizes ON cells.cohort_week = sizes.cohort_week
+        |ORDER BY cells.cohort_week, week_offset""".stripMargin,
 
     "funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS qual_ts FROM events

@@ -18,6 +18,39 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
+  /** Retention cohort matrix — the product-analytics staple over the same
+    * event log the sessionizer consumes: users cohorted by their FIRST
+    * active week, then for every (cohort, weeks-since-cohort) cell the
+    * share of the cohort still active. Weeks are exact integer epoch
+    * arithmetic (`unix_micros div week`) rather than calendar
+    * `date_trunc` — engine-identical by construction, no week-start or
+    * timezone convention to align.
+    *
+    * Scale shape: one (user, week) distinct (user-keyed shuffle with
+    * map-side partials), one user-keyed min for cohort assignment, one
+    * equi-join back on `user_id`, then a (cohort, offset)-keyed count —
+    * all shuffles user- or cohort-keyed; the cohort-size table (one row
+    * per week in history) is broadcast back onto the matrix. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val weekMicros = 7L * 86400L * 1000000L
+    val active = events
+      .select(col("user_id"), expr(s"unix_micros(ts) div $weekMicros").as("week"))
+      .distinct()
+    val cohort = active.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    active.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Close sessions after `gapMinutes` of user silence; emit one row per
     * session with start/end, event count and value sum. Deterministic
     * ordering inside a user via the (ts, event_id) tie-break. */

@@ -378,6 +378,29 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(small == out)
   }
 
+  test("retention cohorts: hand-computed matrix; week-0 retention is always 1.0") {
+    import spark.implicits._
+    def ts(week: Long, d: Int = 0) =
+      new java.sql.Timestamp((week * 7 + d) * 86400L * 1000L)
+    // users 1,2 start week 0 (1 returns week 1); user 3 starts week 1
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(0, 2)), (1L, ts(1)),
+      (2L, ts(0, 3)),
+      (3L, ts(1, 1)), (3L, ts(3))
+    ).map { case (u, t) => (u, t, "click", 1.0) }
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = Sessionize.retentionCohorts(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == Map(
+      (0L, 0L) -> (2L, 2L, 1.0),   // users 1,2 active in their week 0
+      (0L, 1L) -> (1L, 2L, 0.5),   // only user 1 returns
+      (1L, 0L) -> (1L, 1L, 1.0),   // user 3's cohort
+      (1L, 2L) -> (1L, 1L, 1.0)))
+    // structural invariant: every cohort's offset-0 cell retains 100%
+    got.collect { case ((_, 0L), (_, _, r)) => r }.foreach(r => assert(r == 1.0))
+  }
+
   test("degenerate-input contracts: empty corpus, tokenless docs, zero covariance") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
