@@ -143,6 +143,7 @@ object SparkEntry {
     "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(Tables.documents(s, dir))),
     "quality_classifier" -> ((s, dir) => TextAnalysis.qualityClassifier(Tables.documents(s, dir))),
     "ppl_buckets" -> ((s, dir) => TextAnalysis.perplexityBuckets(Tables.documents(s, dir))),
+    "doremi_weights" -> ((s, dir) => TextAnalysis.doremiWeights(Tables.documents(s, dir))),
     "corpus_filter" -> ((s, dir) => CorpusFilter.decisions(Tables.documents(s, dir))),
     "corpus_report" -> ((s, dir) => CorpusFilter.report(Tables.documents(s, dir))),
     "text_stats"   -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
@@ -1152,6 +1153,28 @@ object SparkEntry {
         |  coalesce(p.xent, 0.0) AS xent
         |FROM documents d LEFT JOIN lper p ON p.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.doremiWeights: one multiplicative-weights step
+    // over per-source mean xent vs the corpus mean, token-share baseline
+    "doremi_weights" ->
+      s"""WITH $lmPerDocCtes,
+        |per AS (SELECT d.doc_id, d.source,
+        |    coalesce(p.n_tokens, 0) AS n_tokens, coalesce(p.xent, 0.0) AS xent
+        |  FROM documents d LEFT JOIN lper p ON p.doc_id = d.doc_id),
+        |bysrc AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    round(avg(xent), 6) AS mean_xent
+        |  FROM per GROUP BY source),
+        |gl AS (SELECT round(avg(xent), 6) AS global_xent,
+        |    sum(n_tokens) AS total_tokens FROM per),
+        |raw AS (SELECT source, n_docs, n_tokens, mean_xent,
+        |    round(greatest(mean_xent - gl.global_xent, 0.0), 6) AS excess,
+        |    (n_tokens::DOUBLE / gl.total_tokens) *
+        |      exp(1.0 * round(greatest(mean_xent - gl.global_xent, 0.0), 6)) AS raw_w
+        |  FROM bysrc, gl)
+        |SELECT source, n_docs, n_tokens, mean_xent, excess,
+        |  round(raw_w / (SELECT sum(raw_w) FROM raw), 6) AS weight
+        |FROM raw ORDER BY source""".stripMargin,
 
     // mirrors TextAnalysis.perplexityBuckets: per-language xent terciles
     // from the deterministic 30% hash sample, value-at-rank ceil(j*n/3)

@@ -520,6 +520,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** DoReMi-style mixture reweighting, reduced to its dataflow (Xie et
+    * al. 2023, arXiv:2305.10429 — there the excess loss comes from a
+    * trained proxy/reference model pair; here the reference-slice unigram
+    * LM of [[lmCrossEntropy]] stands in): per source, excess loss =
+    * `max(mean xent − corpus mean xent, 0)`, and the updated mixture
+    * weight is the token-share baseline scaled by `exp(η · excess)`,
+    * renormalized. Sources the reference model finds hard gain weight —
+    * the paper's multiplicative-weights update, one step.
+    *
+    * Scale shape: everything after the (already Zipf-safe) per-doc
+    * scoring is source-keyed aggregation over ≤|sources| rows; the corpus
+    * mean and the normalizer are 1-row broadcasts. Feeding the weights to
+    * [[Sampling.sourceMixture]] closes the loop into sampling epochs. */
+  def doremiWeights(docs: DataFrame, eta: Double = 1.0,
+                    trainBucketMax: Int = 50): DataFrame = {
+    val per = docs.select(col("doc_id"), col("source"))
+      .join(lmCrossEntropy(docs, trainBucketMax)
+        .select(col("doc_id"), col("n_tokens"), col("xent")), Seq("doc_id"))
+    val bySrc = per.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      round(avg(col("xent")), 6).as("mean_xent"))
+    val global = per.agg(round(avg(col("xent")), 6).as("global_xent"),
+      sum(col("n_tokens")).as("total_tokens"))
+    val raw = bySrc.crossJoin(broadcast(global))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("mean_xent"),
+        round(greatest(col("mean_xent") - col("global_xent"), lit(0.0)), 6)
+          .as("excess"),
+        ((col("n_tokens").cast("double") / col("total_tokens")) *
+          exp(lit(eta) *
+            round(greatest(col("mean_xent") - col("global_xent"), lit(0.0)), 6)))
+          .as("raw_w"))
+    raw.crossJoin(broadcast(raw.agg(sum(col("raw_w")).as("z"))))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("mean_xent"),
+        col("excess"), round(col("raw_w") / col("z"), 6).as("weight"))
+      .orderBy(col("source"))
+  }
+
   /** CCNet-style perplexity bucketing: split each language's corpus into
     * `head` / `middle` / `tail` terciles of LM cross-entropy (CCNet §4.3 —
     * Wikipedia-trained KenLM perplexity terciles per language; `head` =

@@ -378,6 +378,35 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(small == out)
   }
 
+  test("doremi weights: normalized, hard sources gain over their token share, eta=0 is the baseline") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.doremiWeights(docs).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(4), r.getDouble(5)))
+    assert(out.length > 1)
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-5) // normalized
+    val total = out.map(_._2).sum.toDouble
+    out.foreach { case (_, _, excess, w) => assert(excess >= 0.0 && w > 0.0) }
+    // the actual multiplicative-weights guarantee: the uplift over the
+    // token-share baseline is monotone in excess loss (normalization can
+    // shrink everyone, but never reorder), and zero-excess sources can
+    // only lose (Z >= 1)
+    val uplifts = out.sortBy(_._3).map { case (_, ntok, excess, w) =>
+      (excess, w / (ntok / total))
+    }
+    uplifts.sliding(2).foreach {
+      case Array((e1, u1), (e2, u2)) =>
+        if (e2 > e1) assert(u2 >= u1 - 1e-9, s"uplift not monotone: $uplifts")
+      case _ => ()
+    }
+    uplifts.collect { case (0.0, u) => u }.foreach(u => assert(u <= 1.0 + 1e-9))
+    // eta = 0 collapses to the pure token-share baseline
+    val base = TextAnalysis.doremiWeights(docs, eta = 0.0).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(5))).toMap
+    base.foreach { case (src, (ntok, w)) =>
+      assert(math.abs(w - ntok / total) < 1e-5, src)
+    }
+  }
+
   test("retention cohorts: hand-computed matrix; week-0 retention is always 1.0") {
     import spark.implicits._
     def ts(week: Long, d: Int = 0) =
