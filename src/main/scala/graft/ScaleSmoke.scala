@@ -284,6 +284,15 @@ object ScaleSmoke {
     stage("ppl buckets") {
       T.perplexityBuckets(docs).queryExecution.toRdd.count()
     }
+    stage("token cms (4x1024)") {
+      T.tokenCms(docs).queryExecution.toRdd.count()
+    }
+    stage("token hll (p=10)") {
+      T.tokenHll(docs).queryExecution.toRdd.count()
+    }
+    stage("doremi weights") {
+      T.doremiWeights(docs).queryExecution.toRdd.count()
+    }
     stage("bpe train (8 merges)") {
       graft.operators.Bpe.train(docs, 8).queryExecution.toRdd.count()
     }
