@@ -310,6 +310,20 @@ class PlanShapeSpec extends SparkSpec {
       s"pair step should shuffle exactly twice (word agg, pair agg):\n$p")
   }
 
+  test("retention: cohort sizes broadcast onto the matrix; no cartesian") {
+    val p = plan(graft.operators.Sessionize.retentionCohorts(Tables.events(spark, dir)))
+    assert(p.contains("BroadcastHashJoin"), s"cohort-size join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("doremi_weights: post-scoring stages are bounded — 1-row broadcasts, no raw-token shuffle joins") {
+    val p = plan(graft.operators.TextAnalysis.doremiWeights(Tables.documents(spark, dir)))
+    // the corpus mean and the normalizer must be broadcast 1-row sides
+    assert("BroadcastNestedLoopJoin|BroadcastExchange IdentityBroadcastMode".r
+      .findFirstIn(p).isDefined, s"global stats not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
   test("indexed incremental dedup: reference side reads the stored index, not documents") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, dir)
