@@ -230,6 +230,7 @@ object SparkEntry {
     "embed_covariance" -> ((s, dir) => EmbeddingStats.covariance(Tables.embeddings(s, dir))),
     "embed_spectrum" -> ((s, dir) => EmbeddingStats.spectrum(Tables.embeddings(s, dir))),
     "quality_sample" -> ((s, dir) => Sampling.qualitySample(Tables.documents(s, dir))),
+    "topic_balance" -> ((s, dir) => Sampling.topicBalance(Tables.documents(s, dir))),
     "source_mix" -> ((s, dir) => Sampling.sourceMixture(Tables.documents(s, dir))),
     "pack_sequences" -> ((s, dir) => Sampling.packSequences(Tables.documents(s, dir))),
     "cell_sample" -> ((s, dir) => Sampling.cellBalancedSample(Tables.embeddings(s, dir))),
@@ -455,7 +456,9 @@ object SparkEntry {
     * is the identity, so running all `iters` steps here lands on the same
     * centroids regardless of where the Scala loop stopped. Ends with a
     * `c<iters>(cell, pos, m)` CTE (and the shared `e`). */
-  private def ivfTrainChainSql(iters: Int = 10, nCells: Int = 16, dim: Int = 64): String = {
+  private def ivfTrainChainSql(iters: Int = 10, nCells: Int = 16, dim: Int = 64,
+      sourceSql: String =
+        "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings"): String = {
     // Two DuckDB-performance musts, without which the 10-step chain runs
     // for MINUTES instead of <1 s:
     //  - AS MATERIALIZED on every per-step CTE: each step references its
@@ -467,7 +470,7 @@ object SparkEntry {
     //    exhaustively over all (vector, centroid) pairs at sf0.01), at a
     //    fraction of the per-element interpreter overhead.
     val b = new StringBuilder
-    b ++= s"""WITH e AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    b ++= s"""WITH e AS MATERIALIZED ($sourceSql),
              |ev AS MATERIALIZED (SELECT v, sqrt(list_sum(list_transform(v, x -> x*x))) AS vns FROM e),
              |c0 AS MATERIALIZED (SELECT CAST(vec_id + 1 AS BIGINT) AS cell, CAST(u.pos AS BIGINT) AS pos, u.val AS m FROM (
              |  SELECT vec_id, unnest(list_transform(range(0, $dim), i -> {'pos': i, 'val': v[i+1]})) AS u
@@ -1786,6 +1789,51 @@ object SparkEntry {
         |SELECT trace, frob_sq,
         |  CASE WHEN frob_sq = 0 THEN 0.0
         |       ELSE round(trace * trace / frob_sq, 6) END AS effective_rank FROM s""".stripMargin,
+
+    // mirrors Sampling.topicBalance: hash-embed docs (normalization
+    // mirrors hashProjection's x * (1/sqrt(s)) op order exactly), 5
+    // unrolled Lloyd steps seeded from doc_id < 8, assignment with the
+    // trained centroids, per-cell volume + mean quality
+    "topic_balance" -> {
+      val docSrc =
+        s"""SELECT doc_id AS vec_id, 0 AS label,
+           |  CASE WHEN s > 0 THEN list_transform(v, x -> x * (1.0 / sqrt(s)))
+           |       ELSE v END AS v
+           |FROM (SELECT doc_id, v, list_sum(list_transform(v, x -> x*x)) AS s
+           |      FROM (SELECT doc_id, ${embSql("text")} AS v FROM documents))""".stripMargin
+      s"""${ivfTrainChainSql(5, 8, 64, docSrc)},
+         |clT AS MATERIALIZED (SELECT list(cm ORDER BY cell) AS cl,
+         |    list(sqrt(cn) ORDER BY cell) AS cns FROM (
+         |  SELECT cell, cm, list_sum(list_transform(cm, x -> x*x)) AS cn FROM (
+         |    SELECT cell, list(m ORDER BY pos) AS cm FROM c5 GROUP BY cell) t0) t),
+         |asg AS (SELECT vec_id, list_position(sc, list_max(sc)) AS cell FROM (
+         |  SELECT ev2.vec_id, list_transform(range(1, 9), ci ->
+         |      CASE WHEN cns[ci] = 0 OR ev2.en = 0 THEN 0.0
+         |           ELSE list_dot_product(cl[ci], ev2.v) / (cns[ci] * ev2.en) END) AS sc
+         |  FROM (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS en
+         |        FROM e) ev2, clT) t2),
+         |tq AS (SELECT doc_id,
+         |    round(least(1.0, n_tokens::DOUBLE / 100.0) * (1.0 - punct_raw)
+         |      * (0.5 + 0.5 * CASE WHEN n_tokens > 0
+         |                          THEN (en_hits + es_hits + de_hits)::DOUBLE / n_tokens
+         |                          ELSE 0.0 END), 6) AS quality
+         |  FROM (SELECT doc_id,
+         |      len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+         |      len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','is'))) AS en_hits,
+         |      len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','que','y','en'))) AS es_hits,
+         |      len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und','ist','ein'))) AS de_hits,
+         |      CASE WHEN length(text) > 0
+         |           THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / length(text)
+         |           ELSE 0.0 END AS punct_raw
+         |    FROM documents)),
+         |rep AS (SELECT asg.cell, count(*) AS n_docs,
+         |    round(avg(tq.quality), 6) AS mean_quality
+         |  FROM asg JOIN tq ON tq.doc_id = asg.vec_id GROUP BY asg.cell)
+         |SELECT CAST(cell AS BIGINT) AS cell, n_docs,
+         |  round(n_docs::DOUBLE / (SELECT count(*) FROM documents), 6) AS share,
+         |  mean_quality
+         |FROM rep ORDER BY cell""".stripMargin
+    },
 
     "token_counts" ->
       """SELECT doc_id,

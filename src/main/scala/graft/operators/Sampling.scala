@@ -24,6 +24,43 @@ object Sampling {
     pmod(graft.functions.LshFunctions.hash56(idCol.cast("string")),
       lit(buckets.toLong))
 
+  /** Topic-balance report — DataComp/SemDeDup-style cluster accounting
+    * over the DOCUMENT corpus: embed every document with the
+    * deterministic `local/hash-64` embedder (the ingest code path — a
+    * declared JVM fence, off every hot path), Lloyd-train `nCells`
+    * centroids with the [[graft.operators.Ann.trainCentroids]] contract
+    * (fixed steps, seeded from the first ids, no RNG — oracle-able), and
+    * report per-cluster volume share and mean heuristic quality. The view
+    * that says "this corpus is 40% one topic" BEFORE sampling decisions;
+    * thin the fat cells with [[cellBalancedSample]], reweigh sources with
+    * [[graft.operators.TextAnalysis.doremiWeights]].
+    *
+    * Scale shape: embedding + assignment are narrow per-row passes;
+    * training is one keyed aggregation per step with `nCells × dim`
+    * doubles of driver state; the report is a cell-keyed count plus a
+    * 1-row total broadcast. */
+  def topicBalance(docs: DataFrame, nCells: Int = 8, iters: Int = 5): DataFrame = {
+    val embed = udf((b: Array[Byte]) =>
+      graft.core.Embedders.get("local/hash-64")(b))
+    val vecs = docs.select(col("doc_id").as("vec_id"),
+      embed(col("text").cast("binary")).as("embedding"))
+    val (cents, _) = graft.operators.Ann.trainCentroids(
+      vecs, nCells, maxIters = iters, tol = 0.0)
+    val q = TextAnalysis.quality(docs)
+      .select(col("doc_id").as("vec_id"), col("quality"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    graft.operators.Ann.assignCells(vecs, cents)
+      .join(q, Seq("vec_id"))
+      .groupBy(col("cell").cast("bigint").as("cell"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("quality")), 6).as("mean_quality"))
+      .crossJoin(broadcast(total))
+      .select(col("cell"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 6).as("share"),
+        col("mean_quality"))
+      .orderBy(col("cell"))
+  }
+
   /** Keep ~`percent`% of rows, deterministically. */
   def sampleByPercent(df: DataFrame, idCol: String, percent: Int): DataFrame =
     df.where(hashBucket(col(idCol)) < percent)

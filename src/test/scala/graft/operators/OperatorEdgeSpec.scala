@@ -378,6 +378,27 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(small == out)
   }
 
+  test("topic balance: exhaustive accounting, identical texts co-cluster, deterministic") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Sampling.topicBalance(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._2).sum == docs.count())      // every doc lands somewhere
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-4)
+    out.foreach { case (cell, _, share, mq) =>
+      assert(cell >= 1 && cell <= 8 && share > 0.0 && mq >= 0.0 && mq <= 1.0)
+    }
+    assert(Sampling.topicBalance(docs).collect().toSeq ==
+      Sampling.topicBalance(docs).collect().toSeq) // rerun-deterministic
+    // identical text = identical hash embedding = same cell, always
+    val twins = (0L until 40L).map(i => (i, if (i % 2 == 0) "alpha beta gamma delta"
+                                            else "omega psi chi phi upsilon"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val cells = Sampling.topicBalance(twins, nCells = 4).collect()
+    assert(cells.map(_.getLong(1)).sum == 40L)
+    assert(cells.length <= 2, s"two distinct texts need at most two cells: ${cells.mkString(",")}")
+  }
+
   test("doremi weights: normalized, hard sources gain over their token share, eta=0 is the baseline") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val out = TextAnalysis.doremiWeights(docs).collect()
