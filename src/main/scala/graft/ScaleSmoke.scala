@@ -284,6 +284,9 @@ object ScaleSmoke {
     stage("ppl buckets") {
       T.perplexityBuckets(docs).queryExecution.toRdd.count()
     }
+    stage("topic balance (8c, 5 iters)") {
+      S.topicBalance(docs).queryExecution.toRdd.count()
+    }
     stage("token cms (4x1024)") {
       T.tokenCms(docs).queryExecution.toRdd.count()
     }

@@ -40,25 +40,39 @@ object Sampling {
     * doubles of driver state; the report is a cell-keyed count plus a
     * 1-row total broadcast. */
   def topicBalance(docs: DataFrame, nCells: Int = 8, iters: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
     val embed = udf((b: Array[Byte]) =>
       graft.core.Embedders.get("local/hash-64")(b))
+    // persisted for the loop: every Lloyd step re-reads the vectors, and
+    // re-embedding the corpus per step is iters× the dominant cost (the
+    // qualityClassifier xtr contract; ~0.05% of corpus bytes at d=64)
     val vecs = docs.select(col("doc_id").as("vec_id"),
-      embed(col("text").cast("binary")).as("embedding"))
-    val (cents, _) = graft.operators.Ann.trainCentroids(
-      vecs, nCells, maxIters = iters, tol = 0.0)
-    val q = TextAnalysis.quality(docs)
-      .select(col("doc_id").as("vec_id"), col("quality"))
-    val total = docs.agg(count(lit(1)).as("n_total"))
-    graft.operators.Ann.assignCells(vecs, cents)
-      .join(q, Seq("vec_id"))
-      .groupBy(col("cell").cast("bigint").as("cell"))
-      .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("quality")), 6).as("mean_quality"))
-      .crossJoin(broadcast(total))
-      .select(col("cell"), col("n_docs"),
-        round(col("n_docs").cast("double") / col("n_total"), 6).as("share"),
-        col("mean_quality"))
-      .orderBy(col("cell"))
+        embed(col("text").cast("binary")).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (cents, _) = graft.operators.Ann.trainCentroids(
+        vecs, nCells, maxIters = iters, tol = 0.0)
+      val q = TextAnalysis.quality(docs)
+        .select(col("doc_id").as("vec_id"), col("quality"))
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      // the report is ≤ nCells rows — materialize it while the vector
+      // cache is live, hand back a local frame
+      val rows = graft.operators.Ann.assignCells(vecs, cents)
+        .join(q, Seq("vec_id"))
+        .groupBy(col("cell").cast("bigint").as("cell"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("quality")), 6).as("mean_quality"))
+        .crossJoin(broadcast(total))
+        .select(col("cell"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("n_total"), 6).as("share"),
+          col("mean_quality"))
+        .orderBy(col("cell"))
+        .collect()
+      import spark.implicits._
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toSeq.toDF("cell", "n_docs", "share", "mean_quality")
+        .orderBy(col("cell"))
+    } finally vecs.unpersist(false)
   }
 
   /** Keep ~`percent`% of rows, deterministically. */
