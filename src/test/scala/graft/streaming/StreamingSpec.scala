@@ -412,6 +412,13 @@ class StreamingSpec extends SparkSpec {
       Streaming.readDistinctEstimate(spark, regs, p = 12)
     }
     assert(err.getMessage.contains("built with p=10"), err.getMessage)
+
+    // crash window: losing the _latest marker must fall back to the
+    // highest committed version (the reservoir's written-last contract)
+    val root = new org.apache.hadoop.fs.Path(regs)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_latest"), false)
+    assert(Streaming.readDistinctEstimate(spark, regs).get == batchEst)
   }
 
   test("weighted reservoir sink: maintained sample equals the batch answer; redelivery is a no-op") {
