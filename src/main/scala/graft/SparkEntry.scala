@@ -174,6 +174,7 @@ object SparkEntry {
     "lang_id"      -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "doc_winnow"   -> ((s, dir) => TextAnalysis.winnowFingerprints(Tables.documents(s, dir))),
+    "winnow_pairs" -> ((s, dir) => TextAnalysis.winnowPairs(Tables.documents(s, dir))),
     "text_normalize" -> ((s, dir) => TextAnalysis.normalize(Tables.documents(s, dir))),
     "text_repetition" -> ((s, dir) => TextAnalysis.repetition(Tables.documents(s, dir))),
     "bm25_topk" -> ((s, dir) => Search.bm25TopK(Tables.documents(s, dir), Bm25Terms, 15)),
@@ -1462,6 +1463,26 @@ object SparkEntry {
         |  list_min(fps) AS fp_min, list_max(fps) AS fp_max,
         |  CAST(list_sum(list_transform(fps, x -> x % 1000003)) AS BIGINT) AS fp_sum
         |FROM fps ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.winnowPairs: doc pairs sharing >= 2 winnowed
+    // fingerprints of corpus df <= 8 (hot fps are boilerplate, excluded)
+    "winnow_pairs" ->
+      """WITH gh AS (SELECT doc_id,
+        |    list_transform(range(0, length(text) - 4),
+        |      i -> CAST(('0x' || substr(md5(substr(text, CAST(i + 1 AS BIGINT), 5)), 1, 14))::UBIGINT AS BIGINT)) AS gh
+        |  FROM documents WHERE length(text) >= 8),
+        |fps AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(0, len(gh) - 3),
+        |      wi -> list_min(gh[wi+1:wi+4]))) AS fps
+        |  FROM gh),
+        |ex AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fp FROM fps),
+        |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM ex GROUP BY fp)
+        |  WHERE df <= 8),
+        |r AS MATERIALIZED (SELECT doc_id, fp FROM ex JOIN rare USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "docs_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -163,7 +163,10 @@ object TextAnalysis {
     * 56-bit values can exceed 2^63), which pins the full set for
     * cross-engine checks without exploding rows. Narrow single scan, no
     * shuffle. */
-  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+  /** The winnowed fingerprint SET per document — shared by the per-doc
+    * summary ([[winnowFingerprints]]) and the pairwise detector
+    * ([[winnowPairs]]). */
+  private def winnowFps(docs: DataFrame, k: Int, w: Int): DataFrame = {
     import graft.functions.LshFunctions.hash56
     docs
       // one md5 per character position is pure compute with no reduction —
@@ -180,6 +183,10 @@ object TextAnalysis {
       .select(col("doc_id"), expr(
         s"""array_distinct(transform(sequence(0, size(gh) - $w),
            |  wi -> array_min(slice(gh, wi + 1, $w))))""".stripMargin).as("fps"))
+  }
+
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    winnowFps(docs, k, w)
       .select(col("doc_id"),
         size(col("fps")).cast("bigint").as("n_fps"),
         array_min(col("fps")).as("fp_min"),
@@ -189,6 +196,34 @@ object TextAnalysis {
         aggregate(col("fps"), lit(0L), (acc, x) => acc + pmod(x, lit(1000003L)))
           .as("fp_sum"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Winnow-fingerprint pair detection — the MOSS report (Schleimer et
+    * al. 2003): document pairs sharing at least `minShared` winnowed
+    * fingerprints whose corpus document frequency is ≤ `maxDf`. The df
+    * cap is BOTH the semantic filter and the scale discipline: a
+    * fingerprint in hundreds of documents is corpus boilerplate — a
+    * dedup-family signal, not pairwise-copy evidence (MOSS ignores such
+    * positions for the same reason) — and excluding it bounds the
+    * per-fingerprint pair fan-out at `maxDf²`, so the candidate volume is
+    * `rare-fps × maxDf²` regardless of how hot the hottest k-gram is.
+    * Same equi-join-never-all-pairs skeleton as the banded MinHash
+    * families; the guarantee differs — winnowing detects COVERAGE of
+    * matching spans (any shared run ≥ k+w−1 chars yields a shared
+    * fingerprint), not estimated whole-document similarity. */
+  def winnowPairs(docs: DataFrame, k: Int = 5, w: Int = 4,
+                  maxDf: Int = 8, minShared: Int = 2): DataFrame = {
+    val ex = winnowFps(docs, k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val rare = ex.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("fp"))
+    val r = ex.join(rare, Seq("fp"))
+    r.as("a").join(r.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Word n-grams over the canonical tokens, empty when the document has

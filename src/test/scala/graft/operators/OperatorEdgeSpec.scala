@@ -378,6 +378,33 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(small == out)
   }
 
+  test("winnow pairs: copied span detected, disjoint docs silent, boilerplate df-capped out") {
+    import spark.implicits._
+    val span = "the quick brown fox jumps over the lazy dog tonight"
+    val boiler = "all rights reserved contact legal for permission terms"
+    val docs = (Seq(
+      (1L, s"0123456789 $span 9876543210"),      // copied span, different frame
+      (2L, s"ABCDEFGHIJ $span JIHGFEDCBA"),
+      (3L, "zzzzyyyyxxxxwwwwvvvvuuuuttttssss")   // shares nothing
+    ) ++ (10L until 20L).map { i =>
+        // disjoint-alphabet prefixes: the ONLY grams shared among these
+        // docs come from the boilerplate span itself (fingerprint df is
+        // selection-dependent, so near-identical prefixes can smuggle in
+        // rare shared fingerprints)
+        (i, s"${('a' + (i - 10)).toChar.toString * 12} $boiler")
+      }).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the copied span guarantees shared fingerprints (winnowing coverage);
+    // the boilerplate span sits in 10 docs > maxDf=8, so its fingerprints
+    // are excluded and those docs produce NO pairs
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)), pairs.mkString(","))
+    assert(pairs.head._3 >= 2)
+    // raising the cap re-admits the boilerplate family
+    val loose = TextAnalysis.winnowPairs(docs, maxDf = 20).collect()
+    assert(loose.length > 1)
+  }
+
   test("topic balance: exhaustive accounting, identical texts co-cluster, deterministic") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
