@@ -1585,7 +1585,7 @@ object SparkEntry {
         |SELECT * FROM (
         |${(1 to 8).map(k =>
           s"  SELECT CAST($k AS BIGINT) AS step, a AS lhs, b AS rhs, " +
-            s"a || b AS merged, pc AS pair_count FROM bm$k")
+            s"a || b AS merged, CAST(pc AS BIGINT) AS pair_count FROM bm$k")
           .mkString("\n  UNION ALL BY NAME\n")}
         |) ORDER BY step""".stripMargin,
 

@@ -500,21 +500,34 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     * maintenance — rebuilds never delete (see [[buildIndex]]), so in-flight
     * readers of a superseded version survive until the orchestrator decides
     * the quiet window has arrived. */
-  def vacuumIndexes(): Unit =
-    GraftDatabase.manifestIoLock(basePath).synchronized {
-      val live = readIndexManifest().map(m => m.name -> m.path.split('/').last).toMap
-      val root = new HPath(s"$basePath/_indexes")
-      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(root)) fs.listStatus(root).foreach { nameDir =>
-        live.get(nameDir.getPath.getName) match {
+  def vacuumIndexes(): Unit = {
+    val root = new HPath(s"$basePath/_indexes")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    // Per-name build lock, THEN manifest lock (inside readIndexManifest) —
+    // the same order buildIndex takes them (indexBuildLock →
+    // persistIndexDelta), so no ABBA deadlock. Holding the name's build
+    // lock means no build of that name is in flight: buildIndex registers
+    // last INSIDE the lock, so a version dir that is absent from the
+    // manifest here is a crashed/lost-race leftover, never a
+    // not-yet-registered in-flight build whose data we'd be deleting out
+    // from under it.
+    fs.listStatus(root).foreach { nameDir =>
+      val name = nameDir.getPath.getName
+      GraftDatabase.indexBuildLock(basePath, name).synchronized {
+        val current = readIndexManifest()
+          .find(_.name == name).map(_.path.split('/').last)
+        current match {
           case None => fs.delete(nameDir.getPath, true)
           case Some(currentVersionDir) =>
-            fs.listStatus(nameDir.getPath)
-              .filter(_.getPath.getName != currentVersionDir)
-              .foreach(v => fs.delete(v.getPath, true))
+            if (fs.exists(nameDir.getPath))
+              fs.listStatus(nameDir.getPath)
+                .filter(_.getPath.getName != currentVersionDir)
+                .foreach(v => fs.delete(v.getPath, true))
         }
       }
     }
+  }
 
   def getIndex(name: String): IndexMeta =
     indexes.getOrElse(name, throw new GraftException(
@@ -596,10 +609,11 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     * indexes on the same database must both survive. Entries merged in
     * from disk also refresh this instance's view of indexes it does not
     * own. The write goes through a temp file + rename so a concurrent
-    * reader never parses a half-written manifest (the brief no-file window
-    * of the delete+rename pair reads as an empty registry — same as
-    * pre-first-build; cross-PROCESS writers additionally need an external
-    * coordinator, exactly like the collection manifest). */
+    * reader never parses a half-written manifest; same-process readers all
+    * go through [[readIndexManifest]], which takes this same lock, so the
+    * brief no-file window of the delete+rename pair is invisible to them
+    * (cross-PROCESS writers additionally need an external coordinator,
+    * exactly like the collection manifest). */
   private def persistIndexDelta(name: String, entry: Option[IndexMeta]): Unit =
     GraftDatabase.manifestIoLock(basePath).synchronized {
       val disk = scala.collection.mutable.LinkedHashMap.empty[String, IndexMeta]
@@ -627,9 +641,19 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
           s"Failed to publish index manifest $indexManifestPath")
     }
 
-  /** Parse the on-disk index manifest (empty when absent — also the state a
-    * concurrent [[persistIndexDelta]] rename window exposes). */
-  private def readIndexManifest(): Seq[IndexMeta] = {
+  /** Parse the on-disk index manifest (empty when absent). Takes the
+    * process-wide [[GraftDatabase.manifestIoLock]] so a same-process reader
+    * can never observe [[persistIndexDelta]]'s delete→rename no-file window
+    * (which would read as an empty registry and spuriously fail a
+    * FailIfMissing gate or trigger a redundant BuildIfMissing rebuild).
+    * Reentrant from persistIndexDelta/vacuumIndexes, which already hold it;
+    * cross-PROCESS readers still need the external coordinator. */
+  private def readIndexManifest(): Seq[IndexMeta] =
+    GraftDatabase.manifestIoLock(basePath).synchronized {
+      readIndexManifestUnlocked()
+    }
+
+  private def readIndexManifestUnlocked(): Seq[IndexMeta] = {
     val fs = indexManifestPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(indexManifestPath)) Seq.empty
     else {

@@ -18,16 +18,27 @@ object Tables {
 
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
 
-  /** Timestamp columns in the driver tables are parquet TIMESTAMP(NANOS),
-    * which Spark's vectorized reader rejects; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong` so they read as LONGs of nanos,
-    * converted here to micros timestamps (integer div — nanos exceed double
-    * precision). */
+  /** Normalize a driver-table timestamp column to TIMESTAMP (LTZ), which is
+    * what every downstream operator (`unix_micros`, windows, watermarks)
+    * expects. The driver has generated two physical encodings across rounds:
+    *   - parquet TIMESTAMP(NANOS) — Spark's vectorized reader rejects it;
+    *     sessions set `spark.sql.legacy.parquet.nanosAsLong`, it reads as a
+    *     LONG of nanos, converted here via integer div (nanos exceed double
+    *     precision);
+    *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark 4 infers
+    *     TIMESTAMP_NTZ; cast to LTZ here. Sessions pin
+    *     `spark.sql.session.timeZone=UTC`, so the cast reinterprets the
+    *     wall-clock as the same UTC instant the DuckDB oracle reads.
+    * Already-LTZ columns pass through untouched. */
   private def nanosToTs(df: DataFrame, cols: String*): DataFrame =
     cols.foldLeft(df) { (d, c) =>
-      if (d.schema(c).dataType == org.apache.spark.sql.types.LongType)
-        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
-      else d
+      d.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+        case _ => d
+      }
     }
 
   def events(spark: SparkSession, dir: String): DataFrame =

@@ -53,8 +53,13 @@ object Centrality {
                damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val n = nodes.count().toDouble // bounded driver scalar, like Lloyd's tol
-    val esrc = edges.join(
-      edges.groupBy(col("src")).agg(count(lit(1)).as("odeg")), "src")
+    // Out-degree via a src-keyed window, NOT a self-join: the edge table is
+    // often an expensive subtree (the kNN scoring below), and a self-join
+    // evaluates it twice before the cache exists. One window = one pass,
+    // same src-hash shuffle the loop joins need anyway (measured 30.7 s →
+    // edge-build cost once at sf0.1 for the cache fill).
+    val esrc = edges.withColumn("odeg",
+        count(lit(1)).over(Window.partitionBy(col("src"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var r = nodes.select(col("vec_id"), (lit(1.0) / lit(n)).as("r"))
     for (_ <- 1 to iters) {
@@ -67,11 +72,17 @@ object Centrality {
           round((lit(1.0) - lit(damping)) / lit(n) +
             lit(damping) * coalesce(col("m"), lit(0.0)), 12).as("r"))
     }
-    val out = r.select(col("vec_id"), round(col("r"), 6).as("rank"))
-      .orderBy(col("vec_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try out.queryExecution.toRdd.count() // materialize before releasing edges
-    finally esrc.unpersist(false)
+    // localCheckpoint, NOT persist: the ranks must be materialized before
+    // the edge cache is released, but a persist here would leave a live
+    // CacheManager entry the caller never sees — any later identical call
+    // silently aliases the stale cached plan (and its blocks pin memory
+    // until session end). Checkpoint blocks are owned by the RDD and
+    // reclaimed by the ContextCleaner when the result is dropped.
+    val out = try {
+      r.select(col("vec_id"), round(col("r"), 6).as("rank"))
+        .orderBy(col("vec_id"))
+        .localCheckpoint(true)
+    } finally esrc.unpersist(false)
     out
   }
 
@@ -89,14 +100,31 @@ object Centrality {
     * directly — the centrality core is edge-source-agnostic. */
   def similarityPageRank(embeddings: DataFrame, k: Int = 5, iters: Int = 5,
                          damping: Double = 0.85): DataFrame = {
-    val q = embeddings
-      .select(col("vec_id").as("src"), col("embedding").as("qv"))
     val w = Window.partitionBy(col("src"))
       .orderBy(desc("score"), asc("dst"))
-    val edges = embeddings.crossJoin(broadcast(q))
-      .where(col("vec_id") =!= col("src"))
-      .select(col("src"), col("vec_id").as("dst"),
-        round(cosine_sim(col("embedding"), col("qv")), 6).as("score"))
+    // Probe side carries SRC, broadcast side carries the neighbor
+    // candidates: each src's full candidate set is then produced inside the
+    // one partition that owns the src, so the top-k window's hash(src)
+    // requirement is satisfied by the repartition below and the N×N scored
+    // intermediate NEVER crosses the wire — only the ≤k·N edge rows do.
+    // The repartition itself must exist and be EXPLICIT, twice over: the
+    // probe side of a broadcast nested-loop join keeps its input
+    // partitioning, and a small parquet read is ONE partition, which
+    // serializes the whole N×N scoring into a single task (measured 15.5 s
+    // for 2000² pairs at sf0.1; 1 of 32 cores busy); and AQE coalesces a
+    // count-less repartition back to one partition for a KB-sized input —
+    // the cost here is the N×|bcast| score fan-out ABOVE the exchange,
+    // which AQE cannot see.
+    val targets = broadcast(embeddings
+      .select(col("vec_id").as("dst"), col("embedding").as("tv")))
+    val edges = embeddings
+      .select(col("vec_id").as("src"), col("embedding"))
+      .repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism, col("src"))
+      .crossJoin(targets)
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(cosine_sim(col("embedding"), col("tv")), 6).as("score"))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("src"), col("dst"))

@@ -33,8 +33,15 @@ object Sessionize {
     * per week in history) is broadcast back onto the matrix. */
   def retentionCohorts(events: DataFrame): DataFrame = {
     val weekMicros = 7L * 86400L * 1000000L
+    // FLOOR division, not `div` (which truncates toward zero): the DuckDB
+    // oracle's `//` floors, and the two diverge on pre-1970 timestamps
+    // (negative unix_micros) — `x - pmod(x, w)` is exactly divisible and
+    // stays in 64-bit integer arithmetic (micros overflow a double's
+    // 53-bit mantissa for dates past ~2255, so no float detour).
     val active = events
-      .select(col("user_id"), expr(s"unix_micros(ts) div $weekMicros").as("week"))
+      .select(col("user_id"), expr(
+        s"(unix_micros(ts) - pmod(unix_micros(ts), $weekMicros)) div $weekMicros")
+        .as("week"))
       .distinct()
     val cohort = active.groupBy(col("user_id"))
       .agg(min(col("week")).as("cohort_week"))

@@ -438,7 +438,12 @@ object Streaming {
 
   /** Written-last version-swap commit: parquet the version dir, then swap
     * the tiny `_latest` marker — a crash between the two leaves the prior
-    * marker valid. */
+    * marker valid. After the swap, versions older than the IMMEDIATELY
+    * superseded one are best-effort deleted: a long-running monitor stream
+    * otherwise grows one directory per micro-batch without bound. The
+    * previous version itself is retained for the crash window (the marker
+    * fallback scans for the highest `_SUCCESS`-committed dir), and a
+    * delete failure never fails the batch — the next commit retries. */
   private def commitVersion(df: DataFrame, rootPath: String, batchId: Long): Unit = {
     val spark = df.sparkSession
     val vdir = f"v$batchId%020d"
@@ -449,6 +454,12 @@ object Streaming {
     out.write(vdir.getBytes("UTF-8")); out.close()
     fs.delete(new Path(rootPath, "_latest"), false)
     fs.rename(tmp, new Path(rootPath, "_latest"))
+    try {
+      val stale = fs.listStatus(new Path(rootPath)).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("v") && p.getName < vdir)
+        .sortBy(_.getName).dropRight(1) // keep the immediate predecessor
+      stale.foreach(p => fs.delete(p, true))
+    } catch { case _: java.io.IOException => () }
     ()
   }
 
