@@ -142,6 +142,9 @@ object SparkEntry {
     "lm_score_bigram" -> ((s, dir) => TextAnalysis.lmCrossEntropyBigram(Tables.documents(s, dir))),
     "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(Tables.documents(s, dir))),
     "quality_classifier" -> ((s, dir) => TextAnalysis.qualityClassifier(Tables.documents(s, dir))),
+    "calibration_audit" -> ((s, dir) => TextAnalysis.calibrationAudit(Tables.documents(s, dir))),
+    "zipf_fit"  -> ((s, dir) => TextAnalysis.zipfFit(Tables.documents(s, dir))),
+    "heaps_fit" -> ((s, dir) => TextAnalysis.heapsFit(Tables.documents(s, dir))),
     "ppl_buckets" -> ((s, dir) => TextAnalysis.perplexityBuckets(Tables.documents(s, dir))),
     "doremi_weights" -> ((s, dir) => TextAnalysis.doremiWeights(Tables.documents(s, dir))),
     "corpus_filter" -> ((s, dir) => CorpusFilter.decisions(Tables.documents(s, dir))),
@@ -832,6 +835,65 @@ object SparkEntry {
        |${(1 to 8).map(step).mkString(",\n")}""".stripMargin
   }
 
+  /** Shared CTE chain for the trained-quality-classifier oracles: hashed
+    * tf features `x`, labeled slices `lab`, 3 unrolled logistic-regression
+    * steps (w0 = 0 makes step 1 closed-form), ending in `sc(doc_id, score)`
+    * — used by quality_classifier and calibration_audit so the model
+    * definition cannot drift between them. */
+  private def qcCtes: String =
+    """t0 AS (SELECT doc_id,
+      |    list_transform(list_filter(string_split(text, ' '), x -> x != ''),
+      |                   x -> lower(x)) AS t,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS bucket
+      |  FROM documents),
+      |tok AS (SELECT doc_id, ('0x' || substr(md5(unnest(t)), 1, 14))::UBIGINT % 4096 AS feat
+      |  FROM t0 WHERE len(t) > 0),
+      |cnts AS (SELECT doc_id, feat, count(*)::DOUBLE AS c FROM tok GROUP BY doc_id, feat),
+      |nt AS (SELECT doc_id, sum(c) AS n FROM cnts GROUP BY doc_id),
+      |x AS MATERIALIZED (SELECT cnts.doc_id, feat, c / n AS xf FROM cnts JOIN nt USING (doc_id)
+      |  UNION ALL SELECT doc_id, 4096, 1.0 FROM documents),
+      |lab AS (SELECT doc_id, CASE WHEN bucket < 20 THEN 1.0 ELSE 0.0 END AS y
+      |  FROM t0 WHERE bucket < 20 OR bucket >= 50),
+      |ntr AS (SELECT count(*)::DOUBLE AS m FROM lab),
+      |xt AS MATERIALIZED (SELECT x.doc_id, x.feat, x.xf, lab.y FROM x JOIN lab USING (doc_id)),
+      |g1 AS (SELECT feat, sum((0.5 - y) * xf) / (SELECT m FROM ntr) AS g
+      |  FROM xt GROUP BY feat),
+      |w1 AS (SELECT feat, -g AS w FROM g1),
+      |e2 AS (SELECT doc_id, 1.0 / (1.0 + exp(-sum(coalesce(w1.w, 0) * xf)))
+      |      - any_value(y) AS err
+      |  FROM xt LEFT JOIN w1 USING (feat) GROUP BY doc_id),
+      |g2 AS (SELECT feat, sum(err * xf) / (SELECT m FROM ntr) AS g
+      |  FROM xt JOIN e2 USING (doc_id) GROUP BY feat),
+      |w2 AS (SELECT coalesce(w1.feat, g2.feat) AS feat,
+      |    coalesce(w1.w, 0) - coalesce(g2.g, 0) AS w
+      |  FROM w1 FULL OUTER JOIN g2 ON w1.feat = g2.feat),
+      |e3 AS (SELECT doc_id, 1.0 / (1.0 + exp(-sum(coalesce(w2.w, 0) * xf)))
+      |      - any_value(y) AS err
+      |  FROM xt LEFT JOIN w2 USING (feat) GROUP BY doc_id),
+      |g3 AS (SELECT feat, sum(err * xf) / (SELECT m FROM ntr) AS g
+      |  FROM xt JOIN e3 USING (doc_id) GROUP BY feat),
+      |w3 AS (SELECT coalesce(w2.feat, g3.feat) AS feat,
+      |    coalesce(w2.w, 0) - coalesce(g3.g, 0) AS w
+      |  FROM w2 FULL OUTER JOIN g3 ON w2.feat = g3.feat),
+      |sc AS (SELECT x.doc_id,
+      |    round(1.0 / (1.0 + exp(-sum(coalesce(w3.w, 0) * xf))), 6) AS score
+      |  FROM x LEFT JOIN w3 USING (feat) GROUP BY x.doc_id)""".stripMargin
+
+  /** Closed-form OLS over a small `pts(lx, ly)` CTE → `fit(n_points,
+    * slope, intercept, r2)` — the SQL mirror of TextAnalysis.olsFit,
+    * shared by the zipf_fit and heaps_fit oracles. */
+  private def olsSql: String =
+    """m AS (SELECT count(*) AS n_points, avg(lx) AS mx, avg(ly) AS my,
+      |    avg(lx * lx) AS mxx, avg(ly * ly) AS myy, avg(lx * ly) AS mxy
+      |  FROM pts),
+      |fit AS (SELECT n_points,
+      |    (mxy - mx * my) / (mxx - mx * mx) AS slope,
+      |    my - (mxy - mx * my) / (mxx - mx * mx) * mx AS intercept,
+      |    CASE WHEN (mxx - mx * mx) = 0 OR (myy - my * my) = 0 THEN 0.0
+      |         ELSE pow(mxy - mx * my, 2) / ((mxx - mx * mx) * (myy - my * my))
+      |    END AS r2
+      |  FROM m)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "topk_single" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1273,46 +1335,64 @@ object SparkEntry {
     // logistic-regression steps (w0 = 0 makes step 1 closed-form), lr 1.0,
     // mean gradient, tf features + bias over the same hashed space as dsir
     "quality_classifier" ->
-      """WITH t0 AS (SELECT doc_id,
-        |    list_transform(list_filter(string_split(text, ' '), x -> x != ''),
-        |                   x -> lower(x)) AS t,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS bucket
-        |  FROM documents),
-        |tok AS (SELECT doc_id, ('0x' || substr(md5(unnest(t)), 1, 14))::UBIGINT % 4096 AS feat
-        |  FROM t0 WHERE len(t) > 0),
-        |cnts AS (SELECT doc_id, feat, count(*)::DOUBLE AS c FROM tok GROUP BY doc_id, feat),
-        |nt AS (SELECT doc_id, sum(c) AS n FROM cnts GROUP BY doc_id),
-        |x AS MATERIALIZED (SELECT cnts.doc_id, feat, c / n AS xf FROM cnts JOIN nt USING (doc_id)
-        |  UNION ALL SELECT doc_id, 4096, 1.0 FROM documents),
-        |lab AS (SELECT doc_id, CASE WHEN bucket < 20 THEN 1.0 ELSE 0.0 END AS y
-        |  FROM t0 WHERE bucket < 20 OR bucket >= 50),
-        |ntr AS (SELECT count(*)::DOUBLE AS m FROM lab),
-        |xt AS MATERIALIZED (SELECT x.doc_id, x.feat, x.xf, lab.y FROM x JOIN lab USING (doc_id)),
-        |g1 AS (SELECT feat, sum((0.5 - y) * xf) / (SELECT m FROM ntr) AS g
-        |  FROM xt GROUP BY feat),
-        |w1 AS (SELECT feat, -g AS w FROM g1),
-        |e2 AS (SELECT doc_id, 1.0 / (1.0 + exp(-sum(coalesce(w1.w, 0) * xf)))
-        |      - any_value(y) AS err
-        |  FROM xt LEFT JOIN w1 USING (feat) GROUP BY doc_id),
-        |g2 AS (SELECT feat, sum(err * xf) / (SELECT m FROM ntr) AS g
-        |  FROM xt JOIN e2 USING (doc_id) GROUP BY feat),
-        |w2 AS (SELECT coalesce(w1.feat, g2.feat) AS feat,
-        |    coalesce(w1.w, 0) - coalesce(g2.g, 0) AS w
-        |  FROM w1 FULL OUTER JOIN g2 ON w1.feat = g2.feat),
-        |e3 AS (SELECT doc_id, 1.0 / (1.0 + exp(-sum(coalesce(w2.w, 0) * xf)))
-        |      - any_value(y) AS err
-        |  FROM xt LEFT JOIN w2 USING (feat) GROUP BY doc_id),
-        |g3 AS (SELECT feat, sum(err * xf) / (SELECT m FROM ntr) AS g
-        |  FROM xt JOIN e3 USING (doc_id) GROUP BY feat),
-        |w3 AS (SELECT coalesce(w2.feat, g3.feat) AS feat,
-        |    coalesce(w2.w, 0) - coalesce(g3.g, 0) AS w
-        |  FROM w2 FULL OUTER JOIN g3 ON w2.feat = g3.feat),
-        |sc AS (SELECT x.doc_id,
-        |    round(1.0 / (1.0 + exp(-sum(coalesce(w3.w, 0) * xf))), 6) AS score
-        |  FROM x LEFT JOIN w3 USING (feat) GROUP BY x.doc_id)
+      s"""WITH $qcCtes
         |SELECT d.doc_id, sc.score, sc.score >= 0.5 AS pass
         |FROM documents d JOIN sc USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.calibrationAudit: the classifier's scores binned
+    // into 10 equal-width confidence bins over the labeled slices, plus the
+    // corpus ECE replicated onto every row
+    "calibration_audit" ->
+      s"""WITH $qcCtes,
+        |j AS (SELECT least(CAST(floor(sc.score * 10) AS BIGINT), 9) AS bin,
+        |        sc.score, lab.y
+        |      FROM sc JOIN lab USING (doc_id)),
+        |b AS (SELECT bin, count(*) AS n, avg(score) AS conf, avg(y) AS acc
+        |      FROM j GROUP BY bin),
+        |t AS (SELECT sum(n) AS nt, sum(n * abs(conf - acc)) AS gap_sum FROM b)
+        |SELECT bin, CAST(n AS BIGINT) AS n,
+        |  round(conf, 6) AS confidence, round(acc, 6) AS accuracy,
+        |  round(abs(conf - acc), 6) AS abs_gap,
+        |  round(gap_sum / nt, 6) AS ece
+        |FROM b, t ORDER BY bin""".stripMargin,
+
+    // mirrors TextAnalysis.zipfFit: ln-ln OLS over the top-100 token
+    // frequencies, rank ties broken by token
+    "zipf_fit" ->
+      s"""WITH tok AS (SELECT lower(unnest(list_filter(string_split(text, ' '), x -> x != ''))) AS w
+        |             FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w ORDER BY c DESC, w LIMIT 100),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank FROM cnt),
+        |pts AS (SELECT ln(rank::DOUBLE) AS lx, ln(c::DOUBLE) AS ly FROM rk),
+        |$olsSql
+        |SELECT CAST(n_points AS BIGINT) AS n_points,
+        |  round(slope, 6) AS slope, round(intercept, 6) AS intercept,
+        |  round(r2, 6) AS r2
+        |FROM fit""".stripMargin,
+
+    // mirrors TextAnalysis.heapsFit: vocabulary growth over 16 hash-ordered
+    // doc groups — first-group vocab entry + per-group token counts, then
+    // ln-ln OLS over the cumulative checkpoints
+    "heaps_fit" ->
+      s"""WITH tok AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 16 AS g,
+        |    lower(unnest(list_filter(string_split(text, ' '), x -> x != ''))) AS w
+        |  FROM documents),
+        |pg AS (SELECT g, count(*) AS toks FROM tok GROUP BY g),
+        |fi AS (SELECT g, count(*) AS vnew FROM (
+        |    SELECT w, min(g) AS g FROM tok GROUP BY w) GROUP BY g),
+        |cum AS (SELECT pg.g, sum(pg.toks) OVER (ORDER BY pg.g) AS n,
+        |        sum(coalesce(fi.vnew, 0)) OVER (ORDER BY pg.g) AS v
+        |        FROM pg LEFT JOIN fi ON pg.g = fi.g),
+        |pts AS (SELECT ln(n::DOUBLE) AS lx, ln(v::DOUBLE) AS ly FROM cum
+        |        WHERE n > 0 AND v > 0),
+        |$olsSql
+        |SELECT CAST(n_points AS BIGINT) AS n_points,
+        |  round(slope, 6) AS beta, round(exp(intercept), 6) AS k_coef,
+        |  round(r2, 6) AS r2
+        |FROM fit""".stripMargin,
+
 
     "corpus_filter" ->
       """WITH toks AS (SELECT doc_id, text,

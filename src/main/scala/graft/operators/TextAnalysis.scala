@@ -905,4 +905,133 @@ object TextAnalysis {
         md5(lower(col("text"))).as("fp"))
       .orderBy(col("doc_id"))
   }
+
+  /** Calibration audit for the trained quality filter (Guo et al. 2017,
+    * arXiv:1706.04599): bin the [[qualityClassifier]] scores of the LABELED
+    * docs into `bins` equal-width confidence bins; per bin report count,
+    * mean predicted score (confidence), empirical positive rate (accuracy),
+    * their absolute gap, and the corpus expected calibration error
+    * ECE = Σ nᵢ·|confᵢ − accᵢ| / Σ nᵢ (same value on every row — the
+    * number a filtering-threshold decision actually needs). A filter can
+    * hold high AUC while its scores drift from probabilities; sampling by
+    * mis-calibrated scores ([[Sampling.qualitySample]]) silently reweights
+    * the corpus, which is why this audit belongs next to the classifier.
+    *
+    * Scale shape: training is [[qualityClassifier]]'s (two bounded-key
+    * shuffles per step over the train slices); the audit itself is one
+    * map-side-combinable groupBy over ≤`bins` keys and a 1-row broadcast
+    * for the ECE normalizer. Binning uses the 6-dp-rounded scores, so the
+    * bin edges are cross-engine exact; score 1.0 folds into the top bin. */
+  def calibrationAudit(docs: DataFrame, targetBucketMax: Int = 20,
+                       rawBucketMin: Int = 50, buckets: Int = 4096,
+                       iters: Int = 3, learnRate: Double = 1.0,
+                       bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val scored = qualityClassifier(docs, targetBucketMax, rawBucketMin,
+      buckets, iters, learnRate).select(col("doc_id"), col("score"))
+    val slice = Sampling.hashBucket(col("doc_id"))
+    val lab = docs.select(col("doc_id"),
+        when(slice < targetBucketMax, lit(1.0))
+          .when(slice >= rawBucketMin, lit(0.0)).as("y"))
+      .where(col("y").isNotNull)
+    val perBin = scored.join(lab, "doc_id")
+      .select(least(floor(col("score") * bins), lit((bins - 1).toLong))
+        .cast("bigint").as("bin"), col("score"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), avg(col("score")).as("conf"),
+        avg(col("y")).as("acc"))
+    val tot = perBin.agg(sum(col("n")).as("nt"),
+      sum(col("n") * abs(col("conf") - col("acc"))).as("gap_sum"))
+    perBin.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"),
+        round(col("conf"), 6).as("confidence"),
+        round(col("acc"), 6).as("accuracy"),
+        round(abs(col("conf") - col("acc")), 6).as("abs_gap"),
+        round(col("gap_sum") / col("nt"), 6).as("ece"))
+      .orderBy(col("bin"))
+  }
+
+  /** Least-squares slope/intercept/R² of `ly` on `lx` over a SMALL keyed
+    * frame — the shared closed-form OLS core of [[zipfFit]]/[[heapsFit]].
+    * One aggregation over rows that are already ≤ a few hundred by
+    * construction; emits one row. */
+  private def olsFit(pts: DataFrame, lx: Column, ly: Column): DataFrame =
+    pts.agg(count(lit(1)).as("n_points"),
+        avg(lx).as("mx"), avg(ly).as("my"),
+        avg(lx * lx).as("mxx"), avg(ly * ly).as("myy"),
+        avg(lx * ly).as("mxy"))
+      .select(col("n_points"),
+        ((col("mxy") - col("mx") * col("my")) /
+          (col("mxx") - col("mx") * col("mx"))).as("slope"),
+        col("mx"), col("my"), col("mxx"), col("myy"), col("mxy"))
+      .select(col("n_points"), col("slope"),
+        (col("my") - col("slope") * col("mx")).as("intercept"),
+        // R² = corr²; guard the zero-variance degenerate corpus
+        when((col("mxx") - col("mx") * col("mx")) === 0.0 ||
+             (col("myy") - col("my") * col("my")) === 0.0, lit(0.0))
+          .otherwise(
+            pow(col("mxy") - col("mx") * col("my"), 2) /
+              ((col("mxx") - col("mx") * col("mx")) *
+               (col("myy") - col("my") * col("my")))).as("r2"))
+
+  /** Zipf-law fit over the token frequency spectrum: OLS of ln(freq) on
+    * ln(rank) for the top-`k` tokens (rank ties broken by token text, the
+    * [[tokenTopK]] contract). A healthy natural-language corpus fits
+    * slope ≈ −1 with high R²; a flat slope flags boilerplate/template
+    * floods and a cliff flags vocabulary collapse — the dataset-card
+    * number next to [[tokenHll]]'s distinct count.
+    *
+    * Scale shape: ONE token-keyed count with map-side partials (the
+    * [[tokenTopK]] aggregation), a k-row bounded sort, then [[olsFit]]
+    * over k rows on the driver-adjacent side — no corpus-sized shuffle
+    * beyond the count. */
+  def zipfFit(docs: DataFrame, k: Int = 100): DataFrame = {
+    val counts = lowerTok(docs)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w")).limit(k)
+      .select(col("c"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("c"), asc("w"))).as("rank"))
+    olsFit(counts, log(col("rank").cast("double")), log(col("c").cast("double")))
+      .select(col("n_points"), round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"), round(col("r2"), 6).as("r2"))
+  }
+
+  /** Heaps-law fit V(n) ≈ K·n^β — vocabulary growth against corpus size.
+    * Reading the corpus in doc_id order, the checkpoint after ordered doc
+    * group g has n = tokens seen so far and V = distinct tokens seen so
+    * far; β comes from OLS of ln V on ln n over the `groups` checkpoints.
+    * β well below the ~0.4-0.6 natural-language band means the tail of the
+    * corpus adds no new vocabulary — the global signature of large-scale
+    * duplication that per-doc dedup scores cannot see.
+    *
+    * Scale shape: the cumulative-distinct problem is reduced to two
+    * token-keyed aggregations — a token's FIRST group (`min(doc group)`,
+    * the group where it enters the vocabulary) and per-group token counts —
+    * plus a `groups`-row cumulative window. No global row ordering, no
+    * per-occurrence window: the only single-partition step is over
+    * `groups` rows. A doc's group is a deterministic hash bucket of its
+    * id, read as an arbitrary-but-fixed corpus order — any fixed order is
+    * a valid Heaps draw, and hash order avoids the skew a time-ordered
+    * crawl would inject into id-ordered reading. */
+  def heapsFit(docs: DataFrame, groups: Int = 16): DataFrame = {
+    require(groups >= 2, s"groups must be >= 2, got $groups")
+    val g = Sampling.hashBucket(col("doc_id"), groups).cast("bigint").as("g")
+    val tok = lowerTok(docs).select(col("w"), g)
+    val perGroup = tok.groupBy(col("g")).agg(count(lit(1)).as("toks"))
+    val firstIn = tok.groupBy(col("w")).agg(min(col("g")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("vnew"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("g"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val pts = perGroup.join(firstIn, Seq("g"), "left")
+      .select(col("g"), col("toks"), coalesce(col("vnew"), lit(0L)).as("vnew"))
+      .select(col("g"), sum(col("toks")).over(w).as("n"),
+        sum(col("vnew")).over(w).as("v"))
+      .where(col("n") > 0 && col("v") > 0)
+    olsFit(pts, log(col("n").cast("double")), log(col("v").cast("double")))
+      .select(col("n_points"), round(col("slope"), 6).as("beta"),
+        round(exp(col("intercept")), 6).as("k_coef"),
+        round(col("r2"), 6).as("r2"))
+  }
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Corpus-health fits and the classifier calibration audit on inputs with
+  * KNOWN structure — the driver oracle pins cross-engine parity on the
+  * synthetic corpus; these pin the math itself.
+  */
+class CorpusHealthSpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("zipfFit recovers the exponent of an exactly Zipfian spectrum") {
+    // token w_r appears round(1000 / r^0.8) times, r = 1..30: OLS on the
+    // ln-ln points must land near -0.8 with near-perfect R^2 (rounding of
+    // the counts perturbs it slightly).
+    val rows = (1 to 30).flatMap { r =>
+      val c = math.round(1000.0 / math.pow(r, 0.8)).toInt
+      Seq.fill(c)(s"tok$r")
+    }
+    // one doc per token occurrence — doc structure is irrelevant to the fit
+    val df = docs(rows.zipWithIndex.map { case (w, i) => (i.toLong, w) })
+    val fit = TextAnalysis.zipfFit(df, k = 30).collect().head
+    assert(fit.getLong(0) == 30L)
+    assert(math.abs(fit.getDouble(1) - (-0.8)) < 0.01, s"slope ${fit.getDouble(1)}")
+    assert(fit.getDouble(3) > 0.999, s"r2 ${fit.getDouble(3)}")
+  }
+
+  test("heapsFit recovers beta=1 growth and guards the flat-vocab corpus") {
+    // Every doc contributes the same token count and all-new vocabulary:
+    // V(n) = n exactly, so beta = 1 and R^2 = 1.
+    val grow = docs((0L until 64L).map(i =>
+      (i, (0 until 5).map(j => s"w${i}_$j").mkString(" "))))
+    val f1 = TextAnalysis.heapsFit(grow, groups = 8).collect().head
+    assert(math.abs(f1.getDouble(1) - 1.0) < 1e-6, s"beta ${f1.getDouble(1)}")
+    assert(math.abs(f1.getDouble(3) - 1.0) < 1e-6, s"r2 ${f1.getDouble(3)}")
+
+    // Degenerate corpus: one token everywhere — V is constant, the
+    // zero-variance guard must yield r2 = 0 instead of NaN.
+    val flat = docs((0L until 32L).map(i => (i, "same same same")))
+    val f2 = TextAnalysis.heapsFit(flat, groups = 8).collect().head
+    assert(f2.getDouble(1) == 0.0 && f2.getDouble(3) == 0.0, f2.toString)
+  }
+
+  test("calibrationAudit: bins partition the labeled docs and ECE is the weighted gap") {
+    val df = docs((0L until 400L).map(i =>
+      (i, if (i % 3 == 0) "alpha beta gamma" else "delta epsilon zeta")))
+    val out = TextAnalysis.calibrationAudit(df).collect()
+    assert(out.nonEmpty)
+    val n = out.map(_.getLong(1)).sum
+    // every labeled doc (hash bucket < 20 or >= 50) lands in exactly one bin
+    val labeled = df.where(
+      graft.operators.Sampling.hashBucket(org.apache.spark.sql.functions.col("doc_id")) < 20 ||
+      graft.operators.Sampling.hashBucket(org.apache.spark.sql.functions.col("doc_id")) >= 50)
+      .count()
+    assert(n == labeled, s"binned $n vs labeled $labeled")
+    // ECE equals sum(n_i * gap_i) / sum(n_i) over the reported rows, and is
+    // replicated identically on every row
+    val ece = out.map(r => r.getLong(1) * r.getDouble(4)).sum / n
+    out.foreach(r => assert(math.abs(r.getDouble(5) - ece) < 5e-7, r.toString))
+    // bins are within range and confidences sit inside their bin edges
+    out.foreach { r =>
+      val bin = r.getLong(0); val conf = r.getDouble(2)
+      assert(bin >= 0 && bin < 10)
+      assert(conf >= bin / 10.0 - 1e-9 && conf <= (bin + 1) / 10.0 + 1e-9, r.toString)
+    }
+  }
+}
