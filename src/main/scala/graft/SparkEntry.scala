@@ -221,6 +221,7 @@ object SparkEntry {
       Ann.centroidsToDF(s, cents).orderBy("cell", "pos")
     }),
     "ivf_topk_trained" -> ((s, dir) => Ann.ivfTopkTrained(s, dir, 0L, 10, 16, 4)),
+    "ivf_delta_topk" -> ((s, dir) => Ann.ivfDeltaTopk(s, dir, 0L, 10, 16, 4)),
     "pq_err"  -> ((s, dir) => Ann.pqError(s, dir)),
     "pq_topk" -> ((s, dir) => Ann.pqTopk(s, dir, 0L, 10)),
     "pq_topk_indexed" -> ((s, dir) => Ann.pqTopkIndexed(s, dir, 0L, 10)),
@@ -2206,6 +2207,35 @@ object SparkEntry {
          |ORDER BY score DESC, vec_id ASC
          |LIMIT 10""".stripMargin,
     "ivf_topk" -> ivfTopkSql,
+
+    // mirrors Ann.ivfDeltaTopk: centroids Lloyd-trained on the BASE slice
+    // only (vec_id < 250, the corpus at index-build time); the whole
+    // corpus — base plus un-retrained delta — is assigned with those
+    // frozen centroids and probed
+    "ivf_delta_topk" ->
+      s"""${ivfTrainChainSql(10, sourceSql =
+            "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 250")},
+         |clF AS MATERIALIZED (SELECT list(cm ORDER BY cell) AS cl FROM (
+         |  SELECT cell, list(m ORDER BY pos) AS cm FROM c10 GROUP BY cell) t),
+         |eAll AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM eAll WHERE vec_id = 0),
+         |qcell AS (
+         |  SELECT ci FROM (
+         |    SELECT u.ci AS ci, u.s AS s FROM (
+         |      SELECT unnest(list_transform(range(1, 17),
+         |        ci -> {'ci': ci, 's': round(${cosRawSql("cl[ci]", "q.qv")}, 6)})) AS u
+         |      FROM clF, q) z) t
+         |  ORDER BY s DESC, ci ASC LIMIT 4),
+         |assigned AS (
+         |  SELECT vec_id, label, v, list_position(sc, list_max(sc)) AS cell FROM (
+         |    SELECT eAll.vec_id, eAll.label, eAll.v,
+         |           list_transform(range(1, 17), ci -> ${cosRawSql("cl[ci]", "eAll.v")}) AS sc
+         |    FROM eAll, clF) t2)
+         |SELECT a.vec_id, a.label, ${cosSql("a.v", "q.qv")} AS score
+         |FROM assigned a, q
+         |WHERE a.cell IN (SELECT ci FROM qcell)
+         |ORDER BY score DESC, vec_id ASC
+         |LIMIT 10""".stripMargin,
 
     "ivf_train_step" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

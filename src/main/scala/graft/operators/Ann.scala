@@ -681,4 +681,38 @@ object Ann {
       .orderBy(desc("score"), asc("vec_id"))
       .limit(k)
   }
+
+  /** IVF probe over a base index PLUS an un-retrained delta — the batch
+    * semantics of continuous index maintenance
+    * ([[graft.streaming.Streaming.streamIvfIngest]]): centroids are
+    * trained on the base corpus only (`vec_id < splitId`, the vectors
+    * that existed at index-build time), later arrivals are assigned to
+    * cells with those SAME frozen centroids and appended, and a probe
+    * reads base ∪ delta pruned to the probed cells. This is the state an
+    * index is in between retrains; [[ivfRecall]] over it is the retrain
+    * trigger ([[ivfTopkTrained]] note on drift).
+    *
+    * Scale shape: one Lloyd run over the base (bounded driver state), one
+    * fused assignment pass per side, and a cell-pruned scan — with the
+    * cell as a partition column (as the streaming sink writes it), the
+    * probe reads only probed partitions of both base and delta. The
+    * base/delta union is assignment-identical to assigning the whole
+    * corpus with the frozen centroids, which is what makes the operator
+    * SQL-oracle-able. */
+  def ivfDeltaTopk(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+                   k: Int = 10, nCells: Int = 16, nProbe: Int = 4,
+                   maxIters: Int = 10, splitId: Long = 250L): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val base = e.where(col("vec_id") < splitId)
+    val delta = e.where(col("vec_id") >= splitId)
+    val (cents, _) = trainCentroids(base, nCells, maxIters)
+    val qv = Similarity.queryVector(spark, dir, queryVecId)
+    val probeCells = probe(cents, qv, nProbe)
+    assignCells(base, cents).unionByName(assignCells(delta, cents))
+      .where(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), col("label"),
+        round(cosine_sim(col("embedding"), typedLit(qv)), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
 }

@@ -543,4 +543,31 @@ object Streaming {
         }
       }
       .start()
+
+  /** Continuous IVF index maintenance: assign each streamed embedding to
+    * its nearest FROZEN centroid (the exact assignment expression the
+    * stored index was built with — [[graft.operators.Ann.assignCells]])
+    * and append it to a cell-partitioned parquet delta area. Probes then
+    * read base ∪ delta pruned to the probed cells
+    * ([[graft.operators.Ann.ivfDeltaTopk]] is the batch-mode semantics
+    * contract, oracle-checked), and [[graft.operators.Ann.ivfRecall]]
+    * over the union is the retrain trigger.
+    *
+    * Spark-first exactly-once: this is the built-in FILE sink, not
+    * foreachBatch — its `_spark_metadata` transaction log makes replayed
+    * micro-batches invisible to readers that go through it, and
+    * `partitionBy(cell)` lays the delta out so a probe's cell filter is
+    * partition pruning, same as the base index. State is zero (the
+    * centroids are a frozen literal); the only growth is the delta data
+    * itself, which the next retrain folds into a new base version. */
+  def streamIvfIngest(embStream: DataFrame, cents: Seq[Seq[Double]],
+                      deltaPath: String, checkpointDir: String): StreamingQuery =
+    graft.operators.Ann.assignCells(embStream, cents)
+      .writeStream
+      .format("parquet")
+      .partitionBy("cell")
+      .option("path", deltaPath)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
 }

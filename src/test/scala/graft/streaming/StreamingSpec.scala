@@ -457,4 +457,45 @@ class StreamingSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(res, "_latest"), false)
     assert(rows(Streaming.readReservoir(spark, res).get) == direct)
   }
+
+  test("streamIvfIngest: frozen-centroid assignment into a cell-partitioned delta") {
+    implicit val sqlCtx = spark.sqlContext
+    // Two frozen unit-axis centroids — assignment is then readable by eye:
+    // a vector near e1 lands in cell 1, near e2 in cell 2.
+    val cents: Seq[Seq[Double]] = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val mem = MemoryStream[(Long, Seq[Double], Int)]
+    val emb = mem.toDF().toDF("vec_id", "embedding", "label")
+    val delta = Files.createTempDirectory("graft-ivf-delta-").toString
+    val q = Streaming.streamIvfIngest(emb, cents, delta,
+      Files.createTempDirectory("graft-ivf-delta-ckpt-").toString)
+    try {
+      mem.addData((10L, Seq(0.9, 0.1), 0), (11L, Seq(0.2, 0.8), 1))
+      q.processAllAvailable()
+      mem.addData((12L, Seq(-0.7, -0.6), 0)) // ties/negatives: argmax cosine
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // The delta reads back with the SAME cells the batch-mode assignment
+    // expression produces — the one-assignment-site contract.
+    val got = spark.read.parquet(delta)
+      .select(col("vec_id"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val expect = graft.operators.Ann.assignCells(
+        Seq((10L, Seq(0.9, 0.1), 0), (11L, Seq(0.2, 0.8), 1), (12L, Seq(-0.7, -0.6), 0))
+          .toDF("vec_id", "embedding", "label"), cents)
+      .select(col("vec_id"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect, s"$got vs $expect")
+    assert(got.values.toSet == Set(1L, 2L)) // both cells materialized
+
+    // cell is a PARTITION column: a probe's cell filter must prune at the
+    // file-source level, not post-scan
+    val probePlan = spark.read.parquet(delta).where(col("cell") === 1)
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("PartitionFilters: [isnotnull(cell"), probePlan)
+
+    // exactly-once surface: the file sink's transaction log exists, so a
+    // replayed micro-batch cannot double-appear to log-aware readers
+    assert(new java.io.File(s"$delta/_spark_metadata").exists())
+  }
 }
