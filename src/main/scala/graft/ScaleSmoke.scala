@@ -299,6 +299,15 @@ object ScaleSmoke {
     stage("bpe train (8 merges)") {
       graft.operators.Bpe.train(docs, 8).queryExecution.toRdd.count()
     }
+    stage("zipf fit (k=100)") {
+      T.zipfFit(docs).queryExecution.toRdd.count()
+    }
+    stage("heaps fit (g=16)") {
+      T.heapsFit(docs).queryExecution.toRdd.count()
+    }
+    stage("calibration audit") {
+      T.calibrationAudit(docs).queryExecution.toRdd.count()
+    }
     // page rank: the measurement of interest at scale is the ITERATION
     // core (join + keyed agg per step) over a prebuilt edge artifact —
     // the documented 100 TB contract (edges come from the stored ANN
