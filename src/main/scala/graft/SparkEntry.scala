@@ -143,6 +143,7 @@ object SparkEntry {
     "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(Tables.documents(s, dir))),
     "quality_classifier" -> ((s, dir) => TextAnalysis.qualityClassifier(Tables.documents(s, dir))),
     "calibration_audit" -> ((s, dir) => TextAnalysis.calibrationAudit(Tables.documents(s, dir))),
+    "classifier_auc" -> ((s, dir) => TextAnalysis.classifierAuc(Tables.documents(s, dir))),
     "zipf_fit"  -> ((s, dir) => TextAnalysis.zipfFit(Tables.documents(s, dir))),
     "heaps_fit" -> ((s, dir) => TextAnalysis.heapsFit(Tables.documents(s, dir))),
     "ppl_buckets" -> ((s, dir) => TextAnalysis.perplexityBuckets(Tables.documents(s, dir))),
@@ -1357,6 +1358,23 @@ object SparkEntry {
         |  round(abs(conf - acc), 6) AS abs_gap,
         |  round(gap_sum / nt, 6) AS ece
         |FROM b, t ORDER BY bin""".stripMargin,
+
+    // mirrors TextAnalysis.classifierAuc: tie-aware Mann-Whitney AUC over
+    // distinct classifier scores (ties count half)
+    "classifier_auc" ->
+      s"""WITH $qcCtes,
+        |ps AS (SELECT sc.score, sum(lab.y) AS np, sum(1.0 - lab.y) AS nn
+        |       FROM sc JOIN lab USING (doc_id) GROUP BY sc.score),
+        |t AS (SELECT np, nn,
+        |        coalesce(sum(nn) OVER (ORDER BY score
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nnb
+        |      FROM ps),
+        |a AS (SELECT sum(np) AS npos, sum(nn) AS nneg,
+        |        sum(np * (nnb + nn / 2)) AS u FROM t)
+        |SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+        |  CASE WHEN npos = 0 OR nneg = 0 THEN 0.5
+        |       ELSE round(u / (npos * nneg), 6) END AS auc
+        |FROM a""".stripMargin,
 
     // mirrors TextAnalysis.zipfFit: ln-ln OLS over the top-100 token
     // frequencies, rank ties broken by token

@@ -42,13 +42,16 @@ object Decontaminate {
       LshFunctions.word_shingle_hash56(col(textCol), n).as("hs"))
 
     val bench = hs.where(col("bucket") >= benchFromPct)
-      .select(explode(col("hs")).as("g")).distinct()
+      .select(explode_outer(col("hs")).as("g"))
+      .where(col("g").isNotNull).distinct()
 
     val train = hs.where(col("bucket") < trainPct)
 
     // hs is already distinct per document, so one joined row = one
     // distinct contaminated shingle
-    val hits = train.select(col("doc_id"), explode(col("hs")).as("g"))
+    val hits = train
+      .select(col("doc_id"), explode_outer(col("hs")).as("g"))
+      .where(col("g").isNotNull)
       .join(broadcast(bench), "g")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated"))

@@ -233,8 +233,14 @@ object Dedup {
     * boilerplate key; the all-docs restore is a left join on doc_id. */
   def spanDedup(docs: DataFrame, shingleSize: Int = 5, tau: Double = 0.5,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // explode_outer + null-filter: a plain explode of the expensive hs
+    // alias lets InferFiltersFromGenerate push a duplicate of the whole
+    // shingle-hash expression into the pre-repartition scan Filter (an
+    // extra corpus pass in a single task); outer generates skip the rule,
+    // and hs elements are never null.
     val ex = minhashShingled(docs, idCol, textCol, shingleSize)
-      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .select(col("doc_id"), explode_outer(col("hs")).as("h"))
+      .where(col("h").isNotNull)
     val dfs = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val per = ex.join(dfs, Seq("h"))
       .groupBy(col("doc_id"))
@@ -516,7 +522,8 @@ object Dedup {
     * equality-count are integer ops. */
   def sourceOverlap(docs: DataFrame, shingleSize: Int = 3, seeds: Int = 64): DataFrame = {
     val sh = docs.select(col("source"),
-      explode(LshFunctions.word_shingle_hash56(col("text"), shingleSize)).as("h"))
+        explode_outer(LshFunctions.word_shingle_hash56(col("text"), shingleSize)).as("h"))
+      .where(col("h").isNotNull)
     val mins = (0 until seeds).map(sd =>
       min(col("h").bitwiseXOR(lit(LshFunctions.seedMask(sd)))).as(s"m$sd"))
     val sig = sh.groupBy(col("source")).agg(mins.head, mins.tail: _*)

@@ -51,7 +51,8 @@ object TextAnalysis {
     * tokens); only the k survivors are ranked, inside one k-row partition. */
   def tokenTopK(docs: DataFrame, k: Int = 20): DataFrame = {
     val topk = docs
-      .select(explode(toks).as("token"))
+      .select(explode_outer(toks).as("token"))
+      .where(col("token").isNotNull)
       .select(lower(col("token")).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
@@ -180,9 +181,19 @@ object TextAnalysis {
       .select(col("doc_id"),
         transform(sequence(lit(0), length(col("text")) - k), i =>
           hash56(col("text").substr(i + 1, lit(k)))).as("gh"))
-      .select(col("doc_id"), expr(
-        s"""array_distinct(transform(sequence(0, size(gh) - $w),
-           |  wi -> array_min(slice(gh, wi + 1, $w))))""".stripMargin).as("fps"))
+      // Sliding-window min as a fold of w SHIFTED slices zipped with
+      // `least` — NOT `transform(sequence, wi -> array_min(slice(gh, …)))`.
+      // The slice form puts `gh` inside the lambda body, and any optimizer
+      // substitution of gh's definition (InferFiltersFromGenerate +
+      // predicate pushdown inlines the whole projection into a scan-level
+      // Filter) then re-evaluates the O(len) hash transform once PER
+      // WINDOW POSITION — O(len²) digests in a single pre-repartition
+      // task (measured 648 s at sf0.1). In the zip_with form gh appears
+      // only as an argument, evaluated once per row wherever the
+      // expression lands.
+      .select(col("doc_id"), array_distinct(
+        (1 to w).map(s => slice(col("gh"), lit(s), size(col("gh")) - lit(w - 1)))
+          .reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))).as("fps"))
   }
 
   def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
@@ -213,8 +224,14 @@ object TextAnalysis {
     * fingerprint), not estimated whole-document similarity. */
   def winnowPairs(docs: DataFrame, k: Int = 5, w: Int = 4,
                   maxDf: Int = 8, minShared: Int = 2): DataFrame = {
+    // explode_outer + null-filter, not explode: InferFiltersFromGenerate
+    // turns a plain explode of an expensive aliased array into a pushed-
+    // down scan Filter carrying the whole fps expression (an extra full
+    // evaluation in the pre-repartition single task); the rule does not
+    // fire on outer generates, and fps elements are never null.
     val ex = winnowFps(docs, k, w)
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+      .where(col("fp").isNotNull)
     val rare = ex.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("fp"))
     val r = ex.join(rare, Seq("fp"))
@@ -229,10 +246,20 @@ object TextAnalysis {
   /** Word n-grams over the canonical tokens, empty when the document has
     * fewer than `n` tokens (Spark's `sequence` counts DOWN for a negative
     * span, so the guard is required, not defensive). */
-  private def wordGrams(n: Int): Column = expr(
-    s"""CASE WHEN size(t) >= $n THEN
-       |  transform(sequence(0, size(t) - $n), i -> concat_ws(' ', slice(t, i + 1, $n)))
-       |ELSE array() END""".stripMargin)
+  /** Word n-grams from the aliased token array `t` as a fold of n SHIFTED
+    * slices zipped with space-concat — the same linearization as the
+    * winnowing window min: `t` appears only in argument position, so an
+    * optimizer that substitutes t's definition (split+filter) into this
+    * expression evaluates it n times per ROW, never once per gram
+    * position (the `slice(t, i+1, n)`-inside-a-lambda form degrades to
+    * O(tokens²) re-splits when inlined). */
+  private def wordGrams(n: Int): Column = {
+    val m = size(col("t")) - lit(n - 1)
+    val grams = (1 to n).map(s => slice(col("t"), lit(s), m))
+      .reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
+    when(size(col("t")) >= n, grams)
+      .otherwise(array().cast("array<string>"))
+  }
 
   /** Repetition scoring (the Gopher/C4 family of quality signals): the
     * fraction of word 2-/3-grams that are repeats of an earlier n-gram in
@@ -260,11 +287,16 @@ object TextAnalysis {
 
     // one row per (doc, distinct gram) after the inner agg: sum(c) = total
     // grams, count = distinct grams, max(c) = the dominant gram's count
-    val g2 = base.select(col("doc_id"), explode(wordGrams(2)).as("g"))
+    // explode_outer + null-filter: see winnowPairs — keeps the inferred
+    // generate filter (and with it a second full gram build at the scan)
+    // out of the plan; gram elements are never null.
+    val g2 = base.select(col("doc_id"), explode_outer(wordGrams(2)).as("g"))
+      .where(col("g").isNotNull)
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_2grams"), count(lit(1)).as("d2"), max(col("c")).as("top_c"))
-    val g3 = base.select(col("doc_id"), explode(wordGrams(3)).as("g"))
+    val g3 = base.select(col("doc_id"), explode_outer(wordGrams(3)).as("g"))
+      .where(col("g").isNotNull)
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_3grams"), count(lit(1)).as("d3"))
@@ -323,7 +355,8 @@ object TextAnalysis {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), toks.as("t"))
     val dg = base.select(col("doc_id"),
-      explode(array_distinct(wordGrams(2))).as("g"))
+        explode_outer(array_distinct(wordGrams(2))).as("g"))
+      .where(col("g").isNotNull)
     val dfTable = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
     // Scale shape, exact at every size: the BROADCAST side is the bounded
     // top-64k HEAD set (df >= minDf, highest df first) — never the rare
@@ -394,7 +427,8 @@ object TextAnalysis {
     val base = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), toks.as("t"))
-    val tok = base.select(col("doc_id"), explode(col("t")).as("w0"))
+    val tok = base.select(col("doc_id"), explode_outer(col("t")).as("w0"))
+      .where(col("w0").isNotNull)
       .select(col("doc_id"), lower(col("w0")).as("w"))
     val counts = tok.where(Sampling.hashBucket(col("doc_id")) < trainBucketMax)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -440,7 +474,8 @@ object TextAnalysis {
     * every token-level surface so the cross-engine tokenizer contract
     * cannot drift per call site. */
   private[graft] def lowerTok(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(toks).as("w0"))
+    docs.select(col("doc_id"), explode_outer(toks).as("w0"))
+      .where(col("w0").isNotNull)
       .select(col("doc_id"), lower(col("w0")).as("w"))
 
   /** The shared hashed bag-of-token feature stream `(doc_id, feat)` —
@@ -800,9 +835,10 @@ object TextAnalysis {
       .where(size(col("t")) > 0)
     val paired = base
       .select(col("doc_id"),
-        explode(expr(
+        explode_outer(expr(
           """zip_with(concat(array(CAST(NULL AS STRING)), slice(t, 1, size(t) - 1)), t,
             |  (p, c) -> struct(p AS prev, c AS cur))""".stripMargin)).as("pc"))
+      .where(col("pc").isNotNull)
       .select(col("doc_id"), col("pc.prev").as("prev"), col("pc.cur").as("cur"))
     val train = paired.where(Sampling.hashBucket(col("doc_id")) < trainBucketMax)
     val uni = train.groupBy(col("cur")).agg(count(lit(1)).as("c"))
@@ -848,7 +884,8 @@ object TextAnalysis {
   def tokenDrift(docs: DataFrame, k: Int = 20, trainPct: Int = 80): DataFrame = {
     val isTrain = Sampling.hashBucket(col("doc_id")) < trainPct
     val tok = docs
-      .select(isTrain.as("train"), explode(toks).as("t"))
+      .select(isTrain.as("train"), explode_outer(toks).as("t"))
+      .where(col("t").isNotNull)
       .select(col("train"), lower(col("t")).as("token"))
     val counts = tok.groupBy(col("token"))
       .agg(
@@ -949,6 +986,46 @@ object TextAnalysis {
         round(abs(col("conf") - col("acc")), 6).as("abs_gap"),
         round(col("gap_sum") / col("nt"), 6).as("ece"))
       .orderBy(col("bin"))
+  }
+
+  /** ROC-AUC of the trained quality filter over the labeled slices — the
+    * threshold-free ranking-power number beside [[calibrationAudit]]'s
+    * probability-faithfulness one (a filter can hold AUC while its scores
+    * drift from probabilities, and vice versa; threshold decisions need
+    * both). Tie-aware Mann–Whitney form: AUC = Σ_s nPos(s)·(nNegBelow(s) +
+    * nNeg(s)/2) / (nPos·nNeg), summed over DISTINCT scores — ties count
+    * half, matching the trapezoidal ROC. Degenerate single-class slices
+    * report 0.5.
+    *
+    * Scale shape: one doc-keyed join + one score-keyed aggregation with
+    * map-side partials; the cumulative window then runs over DISTINCT
+    * 6-dp-rounded scores — a set bounded by the rounding grid (≤ 1e6 rows
+    * ever, vocabulary-sized in practice), which is what makes the one
+    * unpartitioned window a non-surface at corpus scale. */
+  def classifierAuc(docs: DataFrame, targetBucketMax: Int = 20,
+                    rawBucketMin: Int = 50, buckets: Int = 4096,
+                    iters: Int = 3, learnRate: Double = 1.0): DataFrame = {
+    val scored = qualityClassifier(docs, targetBucketMax, rawBucketMin,
+      buckets, iters, learnRate).select(col("doc_id"), col("score"))
+    val slice = Sampling.hashBucket(col("doc_id"))
+    val lab = docs.select(col("doc_id"),
+        when(slice < targetBucketMax, lit(1.0))
+          .when(slice >= rawBucketMin, lit(0.0)).as("y"))
+      .where(col("y").isNotNull)
+    val perScore = scored.join(lab, "doc_id")
+      .groupBy(col("score"))
+      .agg(sum(col("y")).as("np"), sum(lit(1.0) - col("y")).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val terms = perScore.select(col("np"), col("nn"),
+      coalesce(sum(col("nn")).over(w), lit(0.0)).as("nnb"))
+    terms.agg(sum(col("np")).as("npos"), sum(col("nn")).as("nneg"),
+        sum(col("np") * (col("nnb") + col("nn") / 2)).as("u"))
+      .select(col("npos").cast("bigint").as("n_pos"),
+        col("nneg").cast("bigint").as("n_neg"),
+        when(col("npos") === 0 || col("nneg") === 0, lit(0.5))
+          .otherwise(round(col("u") / (col("npos") * col("nneg")), 6))
+          .as("auc"))
   }
 
   /** Least-squares slope/intercept/R² of `ly` on `lx` over a SMALL keyed

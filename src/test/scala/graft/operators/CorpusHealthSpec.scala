@@ -46,6 +46,30 @@ class CorpusHealthSpec extends SparkSpec {
     assert(f2.getDouble(1) == 0.0 && f2.getDouble(3) == 0.0, f2.toString)
   }
 
+  test("classifierAuc equals the brute-force pairwise Mann-Whitney statistic") {
+    import org.apache.spark.sql.functions.col
+    val df = docs((0L until 300L).map(i =>
+      (i, if (i % 2 == 0) "alpha beta gamma delta" else "epsilon zeta eta theta")))
+    val Array(row) = TextAnalysis.classifierAuc(df).collect()
+    val (nPos, nNeg, auc) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    // brute force over (pos, neg) score pairs: win 1, tie 0.5
+    val scored = TextAnalysis.qualityClassifier(df)
+      .select(col("doc_id"), col("score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bucket = df.select(col("doc_id"),
+        Sampling.hashBucket(col("doc_id")).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pos = bucket.collect { case (id, b) if b < 20 => scored(id) }.toSeq
+    val neg = bucket.collect { case (id, b) if b >= 50 => scored(id) }.toSeq
+    assert(nPos == pos.size && nNeg == neg.size)
+    val u = (for (p <- pos; n <- neg) yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val expected = BigDecimal(u / (pos.size.toDouble * neg.size))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(auc - expected) < 2e-6, s"auc $auc vs brute $expected")
+    assert(auc >= 0.0 && auc <= 1.0)
+  }
+
   test("calibrationAudit: bins partition the labeled docs and ECE is the weighted gap") {
     val df = docs((0L until 400L).map(i =>
       (i, if (i % 3 == 0) "alpha beta gamma" else "delta epsilon zeta")))
