@@ -192,9 +192,15 @@ object Dedup {
   private[graft] def minhashShingled(docs: DataFrame, idCol: String, textCol: String,
                                      shingleSize: Int): DataFrame =
     docs
+      // empty-shingle docs are dropped via the PRECONDITION (fewer than n
+      // tokens), not `size(hs) > 0`: a filter on the hs alias gets pushed
+      // below the repartition with the whole shingle-hash expression
+      // inlined — a duplicate hashing pass over the corpus in the
+      // single-task scan stage. The token-count predicate costs one split.
+      .where(expr(
+        s"size(filter(split($textCol, ' '), x -> x != '')) >= $shingleSize"))
       .select(col(idCol).as("doc_id"),
         LshFunctions.word_shingle_hash56(col(textCol), shingleSize).as("hs"))
-      .where(size(col("hs")) > 0)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
 
   def minhashNear(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",

@@ -347,4 +347,26 @@ class PlanShapeSpec extends SparkSpec {
       assert(p.contains("_indexes"), s"$idxKind: stored index not in the scan path:\n$p")
     }
   }
+
+  test("expensive-array explodes: no generate-inferred projection copy in any Filter") {
+    // InferFiltersFromGenerate + pushdown once inlined the whole winnowing
+    // projection into the scan Filter, where the lambda-nested window form
+    // re-evaluated the O(len) hash build per position — O(len²) digests in
+    // a single pre-repartition task (648 s at sf0.1; see PLANS.md). The
+    // operators now use explode_outer + a null filter (which the rule
+    // skips) and argument-position zip_with folds; this guard pins the
+    // observable symptom — no Filter node may carry the expensive
+    // expression (hash56 / a split-based gram build) in these plans.
+    def filterLines(p: String) = p.linesIterator.filter(_.contains("Filter"))
+    val docs = Tables.documents(spark, dir)
+    val pw = plan(graft.operators.TextAnalysis.winnowPairs(docs))
+    assert(!filterLines(pw).exists(_.contains("hash56")),
+      s"hash56 inside a Filter — inferred generate filter is back:\n$pw")
+    val pr = plan(graft.operators.TextAnalysis.repetition(docs))
+    assert(!filterLines(pr).exists(_.contains("split(")),
+      s"gram build inside a Filter — inferred generate filter is back:\n$pr")
+    val pd = plan(graft.operators.Dedup.spanDedup(docs))
+    assert(!filterLines(pd).exists(_.contains("hash56")),
+      s"shingle hash inside a Filter — inferred generate filter is back:\n$pd")
+  }
 }
