@@ -252,6 +252,9 @@ object ScaleSmoke {
       D.semanticDedup(e, nCells = nc, tau = 0.4).queryExecution.toRdd.count()
     }
     stage("span dedup") { D.spanDedup(docs).queryExecution.toRdd.count() }
+    stage("winnow pairs") {
+      graft.operators.TextAnalysis.winnowPairs(docs).queryExecution.toRdd.count()
+    }
     stage("pack sequences") { S.packSequences(docs).queryExecution.toRdd.count() }
     stage(s"cell sample c$nc") {
       S.cellBalancedSample(e, nCells = nc, perCell = 20).queryExecution.toRdd.count()
