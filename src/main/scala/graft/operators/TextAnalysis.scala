@@ -829,10 +829,14 @@ object TextAnalysis {
     // partitioning claim through headTailLeftJoin's union breaks under
     // subtree reuse (Spark 4 UnionExec zip-vs-concat mismatch)
     val base = docs
+      // tokenless docs dropped via the cheap PRECONDITION (only spaces in
+      // text), not size(t) > 0: the alias filter gets pushed to the scan
+      // with the whole tokenize expression inlined — one duplicate
+      // tokenize pass per subtree copy in the single-task scan stage
+      .where(trim(col("text")) =!= "")
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         expr("transform(filter(split(text, ' '), x -> x != ''), x -> lower(x))").as("t"))
-      .where(size(col("t")) > 0)
     val paired = base
       .select(col("doc_id"),
         explode_outer(expr(
