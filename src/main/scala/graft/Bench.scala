@@ -112,7 +112,18 @@ object Bench {
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => esc(k) + ":" + esc(v) }
         .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec,"repeats":$repeats$spreadJson$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec,"repeats":$repeats$spreadJson$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // Self-reported artifact: the driver's BENCH_r{N}.json captures only the
+    // tail of stdout, which has been truncating the first ~28 queries'
+    // medians out of the round record. Writing the full line ourselves makes
+    // every query auditable regardless of how much log noise precedes it.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

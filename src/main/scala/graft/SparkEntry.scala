@@ -1408,7 +1408,7 @@ object SparkEntry {
         |        WHERE n > 0 AND v > 0),
         |$olsSql
         |SELECT CAST(n_points AS BIGINT) AS n_points,
-        |  round(slope, 6) AS beta, round(exp(intercept), 6) AS k_coef,
+        |  round(slope, 6) AS beta, round(intercept, 6) AS ln_k,
         |  round(r2, 6) AS r2
         |FROM fit""".stripMargin,
 

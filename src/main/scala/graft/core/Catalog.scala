@@ -512,19 +512,33 @@ final class GraftDatabase(val spark: SparkSession, val basePath: String) {
     // manifest here is a crashed/lost-race leftover, never a
     // not-yet-registered in-flight build whose data we'd be deleting out
     // from under it.
-    fs.listStatus(root).foreach { nameDir =>
-      val name = nameDir.getPath.getName
-      GraftDatabase.indexBuildLock(basePath, name).synchronized {
-        val current = readIndexManifest()
-          .find(_.name == name).map(_.path.split('/').last)
-        current match {
-          case None => fs.delete(nameDir.getPath, true)
-          case Some(currentVersionDir) =>
-            if (fs.exists(nameDir.getPath))
-              fs.listStatus(nameDir.getPath)
-                .filter(_.getPath.getName != currentVersionDir)
-                .foreach(v => fs.delete(v.getPath, true))
-        }
+    fs.listStatus(root).foreach(nameDir => vacuumOneIndex(fs, nameDir.getPath))
+  }
+
+  /** Name-scoped [[vacuumIndexes]] — GC superseded/orphan versions of ONE
+    * index. This is the form a long-running admission gate calls after a
+    * RebuildIfStale replacement: it touches only the index the gate itself
+    * just superseded, so other indexes' retained versions (which may have
+    * concurrent readers outside the gate's knowledge) are left alone. */
+  def vacuumIndex(name: String): Unit = {
+    val nameDir = new HPath(s"$basePath/_indexes/$name")
+    val fs = nameDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(nameDir)) vacuumOneIndex(fs, nameDir)
+  }
+
+  private def vacuumOneIndex(fs: org.apache.hadoop.fs.FileSystem,
+                             nameDir: HPath): Unit = {
+    val name = nameDir.getName
+    GraftDatabase.indexBuildLock(basePath, name).synchronized {
+      val current = readIndexManifest()
+        .find(_.name == name).map(_.path.split('/').last)
+      current match {
+        case None => fs.delete(nameDir, true)
+        case Some(currentVersionDir) =>
+          if (fs.exists(nameDir))
+            fs.listStatus(nameDir)
+              .filter(_.getPath.getName != currentVersionDir)
+              .foreach(v => fs.delete(v.getPath, true))
       }
     }
   }

@@ -197,8 +197,11 @@ object Dedup {
       // below the repartition with the whole shingle-hash expression
       // inlined — a duplicate hashing pass over the corpus in the
       // single-task scan stage. The token-count predicate costs one split.
-      .where(expr(
-        s"size(filter(split($textCol, ' '), x -> x != '')) >= $shingleSize"))
+      // Token count = split-keeping-empties (spaces+1), matching
+      // Hash56.wordShingles' `m < n` gate exactly — filtering empties here
+      // would silently exclude docs whose non-empty count dips below n
+      // while the fused hash (and the DuckDB oracle) still shingles them.
+      .where(expr(s"size(split($textCol, ' ')) >= $shingleSize"))
       .select(col(idCol).as("doc_id"),
         LshFunctions.word_shingle_hash56(col(textCol), shingleSize).as("hs"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
@@ -350,6 +353,16 @@ object Dedup {
       seeds, bands, jaccardThreshold)
   }
 
+  /** Registry names of the catalog-managed dedup band indexes — the
+    * shingle definition is part of the identity, so the char-n-gram and
+    * word-shingle families never collide. Exposed so gate maintenance
+    * (e.g. [[graft.streaming.Streaming.streamNearDedupAdmit]]'s
+    * post-rebuild vacuum) can address exactly the index a probe used. */
+  private[graft] def ngramBandIndexName(refBucketMax: Int, n: Int): String =
+    s"documents-dedup-band2-b$refBucketMax-n$n"
+  private[graft] def wordBandIndexName(refBucketMax: Int, shingleSize: Int): String =
+    s"documents-dedup-wband-b$refBucketMax-s$shingleSize"
+
   /** [[ngramNearIncremental]]'s word-shingle twin: incremental near-dedup
     * under the [[minhashNear]] family's definition (word `shingleSize`-gram
     * shingles, banded r=2×6 signatures, Jaccard ≥ `jaccardThreshold`).
@@ -380,7 +393,7 @@ object Dedup {
                                     jaccardThreshold: Double = 0.3,
                                     policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
     val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
-      name = s"documents-dedup-wband-b$refBucketMax-s$shingleSize", kind = "dedup-band",
+      name = wordBandIndexName(refBucketMax, shingleSize), kind = "dedup-band",
       sourcePath = s"$dir/documents.parquet",
       params = Map("refBucketMax" -> refBucketMax.toString,
         "shingleSize" -> shingleSize.toString, "shingles" -> "word",
@@ -417,7 +430,7 @@ object Dedup {
                                   jaccardThreshold: Double = 0.5,
                                   policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
     val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
-      name = s"documents-dedup-band2-b$refBucketMax-n$n", kind = "dedup-band",
+      name = ngramBandIndexName(refBucketMax, n), kind = "dedup-band",
       sourcePath = s"$dir/documents.parquet",
       params = Map("refBucketMax" -> refBucketMax.toString, "n" -> n.toString,
         "seeds" -> seeds.toString, "bands" -> bands.toString,

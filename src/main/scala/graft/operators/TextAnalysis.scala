@@ -1110,9 +1110,13 @@ object TextAnalysis {
       .select(col("g"), sum(col("toks")).over(w).as("n"),
         sum(col("vnew")).over(w).as("v"))
       .where(col("n") > 0 && col("v") > 0)
+    // Emit ln K (the OLS intercept) rather than K = exp(intercept): exp
+    // amplifies the sub-ulp cross-engine differences of ln past any fixed
+    // rounding grid, while the intercept itself is stable at 6 dp — the
+    // same contract zipf_fit uses. Consumers recover K = exp(ln_k).
     olsFit(pts, log(col("n").cast("double")), log(col("v").cast("double")))
       .select(col("n_points"), round(col("slope"), 6).as("beta"),
-        round(exp(col("intercept")), 6).as("k_coef"),
+        round(col("intercept"), 6).as("ln_k"),
         round(col("r2"), 6).as("r2"))
   }
 }

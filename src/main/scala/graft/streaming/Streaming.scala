@@ -320,6 +320,18 @@ object Streaming {
               .where(col("keep")).select(col("doc_id")),
             Seq("doc_id"), "left_semi")
           sink(admitted)
+          // Under RebuildIfStale a long-running gate replaces the index
+          // whenever the corpus fingerprint moves, and rebuilds never
+          // delete (buildIndex retains superseded versions for in-flight
+          // readers) — so without GC here the gate accumulates one full
+          // index copy per rebuild, unbounded. After the sink has consumed
+          // the batch (this batch only ever read the CURRENT version — a
+          // rebuild this batch means the probe resolved the new one), the
+          // gate vacuums ITS OWN index name only: other indexes on the
+          // database keep their quiet-window vacuum contract.
+          if (policy == graft.core.IndexPolicy.RebuildIfStale)
+            graft.operators.CatalogOps.indexRegistry(spark, dir)
+              .vacuumIndex(graft.operators.Dedup.ngramBandIndexName(refBucketMax, n))
         }
       }
       .start()
@@ -386,7 +398,8 @@ object Streaming {
     * batch's narrow key projection + a k-bounded heap. */
   def streamWeightedReservoir(docs: DataFrame, k: Int, reservoirPath: String,
                               checkpointDir: String,
-                              weightCol: String = "n_chars"): StreamingQuery =
+                              weightCol: String = "n_chars",
+                              retainVersions: Int = 1): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -404,7 +417,8 @@ object Streaming {
             k, weightCol)
           val rows = merged.collect() // bounded: k rows by construction
             .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-          commitVersion(rows.toDF("doc_id", "w", "key"), reservoirPath, batchId)
+          commitVersion(rows.toDF("doc_id", "w", "key"), reservoirPath, batchId,
+            retainVersions)
         }
       }
       .start()
@@ -412,6 +426,11 @@ object Streaming {
   /** The committed reservoir, or None before the first update: the
     * `_latest` marker's version, falling back to the highest version dir
     * with a `_SUCCESS` commit if the marker is missing (crash window). */
+  /** Current committed reservoir, or None before the first commit.
+    * Retention contract: a resolved DataFrame stays readable only while
+    * the writer commits fewer than its `retainVersions` (default 1)
+    * further micro-batches — consume promptly, or raise the writer's
+    * `retainVersions` for readers that lag. */
   def readReservoir(spark: SparkSession, reservoirPath: String): Option[DataFrame] =
     readLatestVersion(spark, reservoirPath)
 
@@ -438,13 +457,19 @@ object Streaming {
 
   /** Written-last version-swap commit: parquet the version dir, then swap
     * the tiny `_latest` marker — a crash between the two leaves the prior
-    * marker valid. After the swap, versions older than the IMMEDIATELY
-    * superseded one are best-effort deleted: a long-running monitor stream
+    * marker valid. After the swap, all but the newest `retain` SUPERSEDED
+    * versions are best-effort deleted: a long-running monitor stream
     * otherwise grows one directory per micro-batch without bound. The
-    * previous version itself is retained for the crash window (the marker
-    * fallback scans for the highest `_SUCCESS`-committed dir), and a
+    * retained window (default 1 — the immediate predecessor, which the
+    * marker fallback's highest-`_SUCCESS` scan also needs for the crash
+    * window) is the read-side contract: an EXTERNAL reader that resolved a
+    * version via [[readLatestVersion]] keeps a live directory only while
+    * it lags fewer than `retain` commits; readers that may lag further
+    * (slow dashboards polling [[readReservoir]]/[[readDistinctEstimate]]
+    * across micro-batches) should be given a larger `retainVersions`. A
     * delete failure never fails the batch — the next commit retries. */
-  private def commitVersion(df: DataFrame, rootPath: String, batchId: Long): Unit = {
+  private def commitVersion(df: DataFrame, rootPath: String, batchId: Long,
+                            retain: Int = 1): Unit = {
     val spark = df.sparkSession
     val vdir = f"v$batchId%020d"
     df.repartition(1).write.mode("overwrite").parquet(s"$rootPath/$vdir")
@@ -457,7 +482,7 @@ object Streaming {
     try {
       val stale = fs.listStatus(new Path(rootPath)).toSeq.map(_.getPath)
         .filter(p => p.getName.startsWith("v") && p.getName < vdir)
-        .sortBy(_.getName).dropRight(1) // keep the immediate predecessor
+        .sortBy(_.getName).dropRight(math.max(1, retain))
       stale.foreach(p => fs.delete(p, true))
     } catch { case _: java.io.IOException => () }
     ()
@@ -478,7 +503,8 @@ object Streaming {
     * [[graft.operators.TextAnalysis.hllRegisters]] table — one sketch
     * algebra across batch and stream. */
   def streamDistinctMonitor(docs: DataFrame, registersPath: String,
-                            checkpointDir: String, p: Int = 10): StreamingQuery =
+                            checkpointDir: String, p: Int = 10,
+                            retainVersions: Int = 1): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -499,7 +525,7 @@ object Streaming {
           // built at a different precision is silently wrong, so readers
           // check it instead of trusting their default
           commitVersion(rows.toDF("bucket", "reg")
-            .withColumn("p", lit(p)), registersPath, batchId)
+            .withColumn("p", lit(p)), registersPath, batchId, retainVersions)
         }
       }
       .start()
@@ -507,7 +533,10 @@ object Streaming {
   /** The monitor's current 6-dp distinct estimate, or None before the
     * first committed batch. The stored precision must match `p` — a
     * mismatch raises instead of producing a plausible-but-wrong estimate
-    * over a densification grid of the wrong size. */
+    * over a densification grid of the wrong size. Estimates collect
+    * eagerly here, so the writer's `retainVersions` window (see
+    * [[readReservoir]]) only matters to callers using
+    * readLatestVersion-style lazy frames. */
   def readDistinctEstimate(spark: SparkSession, registersPath: String,
                            p: Int = 10): Option[Double] =
     readLatestVersion(spark, registersPath).map { regs =>

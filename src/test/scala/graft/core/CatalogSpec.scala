@@ -456,6 +456,41 @@ class CatalogSpec extends SparkSpec {
       names.tail.forall(after.isIndexRegistered))
   }
 
+  test("index manifest readers never observe the delete+rename no-file window") {
+    // persistIndexDelta swaps the manifest via temp-write + delete + rename;
+    // same-process readers (GraftDatabase.make -> loadIndexManifest) take
+    // the same manifestIoLock, so the brief no-file window must be
+    // invisible: a reader racing a writer sees SOME consistent manifest —
+    // never a vanished file (which would silently resurrect an empty
+    // registry) and never a half-written one (parse error).
+    val base = freshDb().basePath
+    val src = freshSource()
+    GraftDatabase.make(spark, base).buildIndex("anchor", "k", src, Map.empty)(out =>
+      spark.read.parquet(src).write.parquet(out))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          // a fresh instance re-reads the manifest on construction; the
+          // anchor entry predates every writer delta, so ANY consistent
+          // snapshot contains it
+          if (!GraftDatabase.make(spark, base).isIndexRegistered("anchor"))
+            failures.add(new AssertionError("reader saw a manifest without anchor"))
+        } catch { case t: Throwable => failures.add(t) }
+      }
+    })
+    reader.start()
+    try (0 until 30).foreach { i =>
+      GraftDatabase.make(spark, base).buildIndex(s"churn$i", "k", src, Map.empty)(
+        out => java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out)))
+    } finally { stop.set(true); reader.join() }
+    assert(failures.isEmpty, s"concurrent reads failed: ${failures.peek()}")
+    val end = GraftDatabase.make(spark, base)
+    assert(end.isIndexRegistered("anchor") &&
+      (0 until 30).forall(i => end.isIndexRegistered(s"churn$i")))
+  }
+
   test("dropIndex removes the entry and backing data; dropping a missing index errors") {
     val db = freshDb()
     val src = freshSource()

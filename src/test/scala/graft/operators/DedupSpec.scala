@@ -84,6 +84,20 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(2) >= 0.3))
   }
 
+  test("minhashShingled keeps docs whose token count only clears n with empties") {
+    // "a  b" splits (keeping empties) to ["a","","b"] — 3 tokens, so a
+    // 3-shingle exists — but only 2 NON-empty tokens. The precondition must
+    // use the keeping-empties count (Hash56.wordShingles' m = spaces+1 gate)
+    // or this doc is silently excluded while the oracle still shingles it.
+    import spark.implicits._
+    val df = Seq((1L, "a  b"), (2L, "x y"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashShingled(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).length).toMap
+    assert(got.keySet == Set(1L, 3L), s"kept ${got.keySet}") // 2L: 2 tokens < 3
+    assert(got(1L) == 1 && got(3L) == 2, got.toString)
+  }
+
   test("minhash near-dup: verified jaccard matches a direct computation") {
     val docs = Tables.documents(spark, dir)
     val pairs = Dedup.minhashNear(docs).collect()

@@ -326,6 +326,55 @@ class StreamingSpec extends SparkSpec {
     assert(admitted.sorted == Seq(11L, 13L), s"admitted: $admitted")
   }
 
+  test("streamNearDedupAdmit under RebuildIfStale: rebuild replaces the index and vacuums ONLY its own superseded versions") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-nearvac-").toString
+    Seq((1L, "the stored corpus document with some long boilerplate paragraph body", "en"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
+
+    val reg = graft.operators.CatalogOps.indexRegistry(spark, dir)
+    val gateIdx = graft.operators.Dedup.ngramBandIndexName(100, 8)
+    // build the gate's index v0, plus an UNRELATED index with a superseded
+    // version — the gate's vacuum must not touch the bystander's retained dir
+    graft.operators.Dedup.ngramNearIncrementalIndexed(spark, dir,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), refBucketMax = 100,
+      policy = graft.core.IndexPolicy.BuildIfMissing).collect()
+    def build(out: String): Unit =
+      Files.createDirectories(java.nio.file.Paths.get(out))
+    reg.buildIndex("bystander", "k", s"$dir/documents.parquet", Map.empty)(build)
+    reg.buildIndex("bystander", "k", s"$dir/documents.parquet", Map.empty)(build)
+
+    def versions(name: String): Int = {
+      val p = java.nio.file.Paths.get(
+        reg.getIndex(name).path).getParent
+      java.nio.file.Files.list(p).count().toInt
+    }
+    assert(versions("bystander") == 2)
+
+    // corpus moves -> the per-batch RebuildIfStale resolve replaces the
+    // gate index; the gate then GCs its own superseded version
+    Seq((1L, "the stored corpus document with some long boilerplate paragraph body", "en"),
+        (2L, "a brand new corpus document that changes the source fingerprint", "en"))
+      .toDF("doc_id", "text", "lang").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((10L, "an incoming document sharing no eight character runs with anything"))
+    val q = Streaming.streamNearDedupAdmit(spark, dir, mem.toDF().toDF("doc_id", "text"),
+      Files.createTempDirectory("graft-nearvac-ckpt-").toString,
+      policy = graft.core.IndexPolicy.RebuildIfStale)(_.collect())
+    try q.awaitTermination(120000) finally q.stop()
+
+    val reg2 = graft.operators.CatalogOps.indexRegistry(spark, dir)
+    assert(reg2.getIndex(gateIdx).version == 1, "expected a rebuild")
+    def versions2(name: String): Int = {
+      val p = java.nio.file.Paths.get(reg2.getIndex(name).path).getParent
+      java.nio.file.Files.list(p).count().toInt
+    }
+    assert(versions2(gateIdx) == 1, "gate index superseded version not vacuumed")
+    assert(versions2("bystander") == 2, "bystander's retained version was deleted")
+    reg2.dropIndex("bystander")
+  }
+
   test("streamQualityAdmit: admissions equal the batch audit; rejects carry the failing arm; replay identical") {
     implicit val sqlCtx = spark.sqlContext
     // >= 100 tokens (length factor 1.0), half stopwords, all n-grams
