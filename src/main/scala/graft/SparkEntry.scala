@@ -2178,6 +2178,9 @@ object SparkEntry {
         |  CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS BIGINT) AS width,
         |  CAST(CASE WHEN length(text) > 1 THEN ascii(substr(text, 2, 1)) ELSE 0 END AS BIGINT) AS height,
         |  CAST(strlen(text) // 64 AS BIGINT) AS n_frames,
+        |  CAST(0 AS BIGINT) AS sample_rate,
+        |  CAST(0 AS BIGINT) AS channels,
+        |  CAST(0 AS BIGINT) AS duration_ms,
         |  md5(text) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -103,6 +103,15 @@ object LshFunctions {
     array((0 until seeds).map(sd =>
       array_min(transform(hashedCol, b => b.bitwiseXOR(lit(seedMask(sd)))))): _*)
 
+  /** Fused `band_keys(minhash_signature_long(hs, seeds) as strings, bands,
+    * seeds/bands, "|")` — ONE primitive pass instead of `seeds`
+    * interpreted array_min(transform(...)) scans (see [[MinHashBandKeys]];
+    * the composed form's boxing dominated the near-dedup mining profile). */
+  def minhash_band_keys(hashedCol: Column, seeds: Int, bands: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(MinHashBandKeys(Bridge.expression(hashedCol), seeds, bands))
+  }
+
   /** Deterministic Rademacher hyperplanes for SimHash: sign(p, i) = +1 iff
     * the first hex digit of md5("<p>_<i>") < 8. */
   def simhashPlanes(bits: Int, dim: Int): Seq[Seq[Double]] = {

@@ -214,8 +214,10 @@ object Dedup {
 
     val cand = candidatePairs(banded, "band", "key", "doc_id")
 
-    cand
+    cand // shuffle-hash, cand as build: see ngramNear (same rationale)
+      .hint("shuffle_hash")
       .join(sh.select(col("doc_id"), col("hs").as("sa")), col("a_id") === col("doc_id")).drop("doc_id")
+      .hint("shuffle_hash")
       .join(sh.select(col("doc_id"), col("hs").as("sb")), col("b_id") === col("doc_id")).drop("doc_id")
       .select(col("a_id"), col("b_id"),
         round(LshFunctions.jaccard(col("sa"), col("sb")), 6).as("jaccard"))
@@ -251,7 +253,13 @@ object Dedup {
       .select(col("doc_id"), explode_outer(col("hs")).as("h"))
       .where(col("h").isNotNull)
     val dfs = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val per = ex.join(dfs, Seq("h"))
+    // shuffle-hash, dfs as build: the df table is DISTINCT-SHINGLE-sized
+    // (grows with the corpus — never broadcastable at scale, and collecting
+    // it to the driver dominated the local profile when Catalyst's
+    // estimates flipped this join to broadcast); both sides are already
+    // keyed by h, so the shuffle is the word-count shape the scaladoc
+    // describes, with AQE skew-split covering residual boilerplate keys.
+    val per = ex.join(dfs.hint("shuffle_hash"), Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
@@ -292,19 +300,28 @@ object Dedup {
   private[graft] def ngramShingled(docs: DataFrame, idCol: String, textCol: String,
                                    n: Int): DataFrame =
     docs
+      // empty-shingle docs dropped via the PRECONDITION (text shorter than
+      // n chars — exactly when the char-shingle set is empty), not
+      // `size(hs) > 0`: a filter on the hs alias is pushed below the
+      // repartition with the whole shingle-hash expression inlined, i.e. a
+      // duplicate hashing pass over the corpus inside the (often
+      // single-task) scan stage. Same discipline as [[minhashShingled]].
+      .where(length(col(textCol)) >= n)
       .select(col(idCol).as("doc_id"),
         LshFunctions.char_shingle_hash56(col(textCol), n).as("hs"))
-      .where(size(col("hs")) > 0)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
 
   /** (doc_id, band, key) banded minhash signature keys over a shingled
-    * table — the LSH bucketing every ngram variant joins on. */
+    * table — the LSH bucketing every ngram variant joins on. The fused
+    * native [[graft.functions.MinHashBandKeys]] expression: the composed
+    * signature tree (seeds × interpreted array_min(transform(hs, XOR)))
+    * was the dominant cost of the whole near-dedup family at 32 cores
+    * (round-10 stage audit: 300+ executor-seconds of boxing/GC at sf0.1,
+    * evaluated on BOTH join sides). */
   private[graft] def ngramBandKeys(sh: DataFrame, seeds: Int, bands: Int): DataFrame = {
     require(seeds % bands == 0, "seeds must divide evenly into bands")
     sh.select(col("doc_id"),
-      posexplode(LshFunctions.band_keys(
-        transform(LshFunctions.minhash_signature_long(col("hs"), seeds),
-          v => v.cast("string")), bands, seeds / bands, "|"))
+      posexplode(LshFunctions.minhash_band_keys(col("hs"), seeds, bands))
         .as(Seq("band", "key")))
   }
 
@@ -317,8 +334,15 @@ object Dedup {
     // Exact Jaccard over the hashed shingle sets: both engines compare the
     // same 56-bit values, so the verdicts are identical; a hash collision
     // (~|s|²/2^57 per pair) would fold the same pair of shingles in both.
+    // shuffle-hash with the CANDIDATE side as build on both join-backs:
+    // left to its size estimates Catalyst broadcasts the corpus-sized hs
+    // table (its MATERIALIZED arrays are ~8 bytes/char — the wrong side at
+    // any scale); candidates are the bounded table, and sh reuses its
+    // pinned doc_id partitioning so only the pairs shuffle.
     candidatePairs(banded, "band", "key", "doc_id")
+      .hint("shuffle_hash")
       .join(sh.select(col("doc_id"), col("hs").as("sa")), col("a_id") === col("doc_id")).drop("doc_id")
+      .hint("shuffle_hash")
       .join(sh.select(col("doc_id"), col("hs").as("sb")), col("b_id") === col("doc_id")).drop("doc_id")
       .select(col("a_id"), col("b_id"),
         round(LshFunctions.jaccard(col("sa"), col("sb")), 6).as("jaccard"))
@@ -465,6 +489,11 @@ object Dedup {
   private def sbFromText(reference: DataFrame, idCol: String, textCol: String,
                          shingleOf: Column => Column): DataFrame => DataFrame =
     cand => cand
+      // shuffle-hash with the CANDIDATE side as build: without the hint
+      // Spark broadcasts the reference text (the whole history at scale —
+      // wrong side to broadcast, and the round-10 GC profile showed the
+      // cost even at sf0.1). Candidates are the bounded table here.
+      .hint("shuffle_hash")
       .join(reference.select(col(idCol).as("ref_id"), col(textCol).as("__ref_text")),
         Seq("ref_id"))
       .withColumn("sb", shingleOf(col("__ref_text")))
@@ -508,7 +537,12 @@ object Dedup {
       .withColumnRenamed("doc_id", "inc_id")
       .join(refBands.withColumnRenamed("doc_id", "ref_id"), Seq("band", "key"))
       .select(col("inc_id"), col("ref_id")).distinct()
-    val near = attachSb(cand
+    // shuffle-hash with cand as build side: Spark's size estimate for the
+    // shingled batch derives from the parquet scan, so it broadcasts the
+    // MATERIALIZED hs arrays (~8 bytes per char — hundreds of MB at sf0.1,
+    // the dominant GC cost in the round-10 stage audit). shInc is already
+    // hash-partitioned on doc_id, so this shuffles only the candidates.
+    val near = attachSb(cand.hint("shuffle_hash")
       .join(shInc.select(col("doc_id").as("inc_id"), col("hs").as("sa")), Seq("inc_id")))
       .select(col("inc_id"),
         round(LshFunctions.jaccard(col("sa"), col("sb")), 6).as("j"))

@@ -20,16 +20,24 @@ import graft.core.Embedders
   * Decode boundary: IMAGE blobs (PNG/JPEG, detected by magic bytes) get a
   * REAL header parse via the JDK's `javax.imageio` — dimensions come from
   * the format header without decoding pixel data, so the per-row cost is a
-  * few hundred bytes of reads regardless of blob size. Non-image blobs
-  * (audio/video codecs are not in the JDK) fall through to a clearly-marked
-  * deterministic fake (first two bytes as width/height, 64-byte "frames");
-  * swapping that fake for an ffmpeg call changes only the fallback branch.
+  * few hundred bytes of reads regardless of blob size. AUDIO blobs
+  * (RIFF/WAVE magic) get a real chunk-walk header parse — sample rate,
+  * channels, and duration from the `fmt `/`data` chunks, again without
+  * touching the sample payload. Remaining blobs (video codecs are not in
+  * the JDK) fall through to a clearly-marked deterministic fake (first two
+  * bytes as width/height, 64-byte "frames"); swapping that fake for an
+  * ffmpeg call changes only the fallback branch.
   */
 object Multimodal {
 
-  /** Typed metadata extracted from a binary blob. */
+  /** Typed metadata extracted from a binary blob. Modality-dependent
+    * fields are 0 where they don't apply: images carry width/height
+    * (sample_rate/channels/duration_ms = 0), WAV audio carries
+    * sample_rate/channels/duration_ms and n_frames = PCM sample frames
+    * (width/height = 0). */
   final case class BlobMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long,
-                            n_frames: Long, fp: String)
+                            n_frames: Long, sample_rate: Long, channels: Long,
+                            duration_ms: Long, fp: String)
 
   private def md5hex(b: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
@@ -44,6 +52,45 @@ object Multimodal {
       b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a) ||
     (b.length >= 3 &&
       b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte)
+
+  /** RIFF/WAVE magic: "RIFF" at 0, "WAVE" at 8. */
+  private[operators] def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Header-only WAV parse: walk the RIFF chunk list for `fmt ` (channels,
+    * sample rate, byte rate, block align) and `data` (payload length) —
+    * never reads the sample payload, so per-row cost is bounded by the
+    * header size regardless of blob size. Returns
+    * (sampleRate, channels, durationMs, sampleFrames); corrupt or
+    * truncated chunk structure yields zeros for whatever was not parsed —
+    * the operator must never throw mid-corpus on bad bytes. */
+  private[operators] def wavMeta(b: Array[Byte]): (Long, Long, Long, Long) = {
+    def u16(o: Int): Long = ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)).toLong
+    def u32(o: Int): Long =
+      (b(o) & 0xff).toLong | ((b(o + 1) & 0xff).toLong << 8) |
+        ((b(o + 2) & 0xff).toLong << 16) | ((b(o + 3) & 0xff).toLong << 24)
+    var off = 12L
+    var rate = 0L; var ch = 0L; var byteRate = 0L; var blockAlign = 0L
+    var dataLen = -1L
+    while (off + 8 <= b.length && (rate == 0L || dataLen < 0L)) {
+      val o = off.toInt
+      val id = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = u32(o + 4)
+      if (id == "fmt " && sz >= 16 && o + 8 + 16 <= b.length) {
+        ch = u16(o + 8 + 2); rate = u32(o + 8 + 4)
+        byteRate = u32(o + 8 + 8); blockAlign = u16(o + 8 + 12)
+      } else if (id == "data" && dataLen < 0L)
+        // declared size, clamped to the bytes actually present (truncated file)
+        dataLen = math.min(sz, (b.length - o - 8).toLong)
+      off += 8L + sz + (sz & 1L) // RIFF chunks are word-aligned
+    }
+    val d = math.max(dataLen, 0L)
+    val durMs = if (byteRate > 0) d * 1000L / byteRate else 0L
+    val frames = if (blockAlign > 0) d / blockAlign else 0L
+    (rate, ch, durMs, frames)
+  }
 
   /** Header-only image dimension parse: ImageIO reader over an in-memory
     * stream, `getWidth(0)`/`getHeight(0)` read the format header without
@@ -67,10 +114,13 @@ object Multimodal {
   /** Decode pass: one `mapPartitions` over (id, blob) pairs producing typed
     * metadata rows — binary in, fixed struct out, no driver involvement.
     * PNG/JPEG blobs get real `javax.imageio` header dimensions (n_frames=1:
-    * a still image); other blobs keep the deterministic fake (see object
-    * scaladoc). The driver-oracle query runs over text blobs, which are
-    * never image-magic, so the oracle pins the fake arm; MultimodalSpec
-    * pins the image arm against ImageIO-written PNG/JPEG fixtures. */
+    * a still image); RIFF/WAVE blobs get the real [[wavMeta]] chunk walk
+    * (sample rate, channels, duration, PCM frame count); other blobs keep
+    * the deterministic fake (see object scaladoc). The driver-oracle query
+    * runs over text blobs, which are never image- or RIFF-magic, so the
+    * oracle pins the fake arm; MultimodalSpec pins the image arm against
+    * ImageIO-written PNG/JPEG fixtures and the audio arm against a
+    * hand-assembled RIFF/WAVE header. */
   def decodeMeta(spark: SparkSession, docs: DataFrame,
                  idCol: String = "doc_id", blobCol: String = "blob"): DataFrame = {
     import spark.implicits._
@@ -80,12 +130,17 @@ object Multimodal {
           val bytes = Option(b).getOrElse(Array.emptyByteArray)
           if (isImage(bytes)) {
             val (w, h) = imageDims(bytes)
-            BlobMeta(id, bytes.length.toLong, w, h, 1L, md5hex(bytes))
+            BlobMeta(id, bytes.length.toLong, w, h, 1L, 0L, 0L, 0L, md5hex(bytes))
+          } else if (isWav(bytes)) {
+            val (rate, ch, durMs, frames) = wavMeta(bytes)
+            BlobMeta(id, bytes.length.toLong, 0L, 0L, frames, rate, ch, durMs,
+              md5hex(bytes))
           } else {
-            // deterministic fake for non-image modalities (no JDK codec)
+            // deterministic fake for the remaining modalities (no JDK codec)
             val w = if (bytes.length > 0) (bytes(0) & 0xff).toLong else 0L
             val h = if (bytes.length > 1) (bytes(1) & 0xff).toLong else 0L
-            BlobMeta(id, bytes.length.toLong, w, h, bytes.length / 64L, md5hex(bytes))
+            BlobMeta(id, bytes.length.toLong, w, h, bytes.length / 64L,
+              0L, 0L, 0L, md5hex(bytes))
           }
         }
       }(Encoders.product[BlobMeta])

@@ -94,6 +94,26 @@ class LshFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("minhash_band_keys fused ≡ composed band_keys(minhash_signature_long)") {
+    val df = Seq("abcdefghijklm", "spark graft near dedup", "ωμυλτι βψτε τεξτ here",
+      "x" * 200, "shortish")
+      .toDF("t")
+      .select(LshFunctions.char_shingle_hash56(col("t"), 4).as("hs"))
+    val rows = df.select(
+      LshFunctions.minhash_band_keys(col("hs"), 12, 4).as("fused"),
+      LshFunctions.band_keys(
+        transform(LshFunctions.minhash_signature_long(col("hs"), 12),
+          v => v.cast("string")), 4, 3, "|").as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // empty shingle array → empty key array (callers precondition empties out)
+    val empty = Seq("ab").toDF("t")
+      .select(LshFunctions.char_shingle_hash56(col("t"), 4).as("hs"))
+      .select(LshFunctions.minhash_band_keys(col("hs"), 12, 4).as("k"))
+      .collect()
+    assert(empty.head.getSeq[String](0).isEmpty)
+  }
+
   test("word_shingle_hash56 ≡ hash56 over word n-grams (set-equal, empties kept)") {
     val df = Seq("", "a b", "a b c d e", "a  b c", " lead", "trail ", "ω multi byte token ω")
       .toDF("t")

@@ -52,6 +52,52 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(0).getLong(1) == png.length.toLong)
   }
 
+  /** Minimal valid RIFF/WAVE: fmt chunk (PCM, ch channels, rate Hz, 16-bit)
+    * + data chunk of `dataBytes` zero samples. */
+  private def wavBytes(rate: Int, ch: Int, dataBytes: Int): Array[Byte] = {
+    val blockAlign = ch * 2
+    val byteRate = rate * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(ch.toShort).putInt(rate).putInt(byteRate)
+      .putShort(blockAlign.toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    bb.array()
+  }
+
+  test("decodeMeta: real RIFF/WAVE header parse — rate, channels, duration, frames") {
+    // 8000 Hz stereo 16-bit, 1600 bytes of samples = 400 frames = 50 ms
+    val wav = wavBytes(rate = 8000, ch = 2, dataBytes = 1600)
+    assert(Multimodal.isWav(wav) && !Multimodal.isImage(wav))
+    val rows = Multimodal.decodeMeta(spark, Seq((1L, wav)).toDF("doc_id", "blob"))
+      .collect()
+    val r = rows.head
+    assert(r.getLong(1) == wav.length.toLong)        // n_bytes
+    assert(r.getLong(2) == 0 && r.getLong(3) == 0)   // no image dims
+    assert(r.getLong(4) == 400)                      // PCM frames
+    assert(r.getAs[Long]("sample_rate") == 8000)
+    assert(r.getAs[Long]("channels") == 2)
+    assert(r.getAs[Long]("duration_ms") == 50)
+  }
+
+  test("decodeMeta: truncated WAV data chunk clamps duration, never throws") {
+    // header declares 1600 data bytes but only 800 are present
+    val full = wavBytes(rate = 8000, ch = 2, dataBytes = 1600)
+    val truncated = full.take(44 + 800)
+    val r = Multimodal.decodeMeta(spark,
+      Seq((1L, truncated)).toDF("doc_id", "blob")).collect().head
+    assert(r.getAs[Long]("duration_ms") == 25)       // 800 / 32000 B/s
+    assert(r.getLong(4) == 200)
+    // RIFF magic with garbage chunk structure parses to zeros, no throw
+    val corrupt = "RIFFxxxxWAVEgarbage".getBytes("US-ASCII")
+    val c = Multimodal.decodeMeta(spark,
+      Seq((2L, corrupt)).toDF("doc_id", "blob")).collect().head
+    assert(c.getAs[Long]("sample_rate") == 0 && c.getAs[Long]("duration_ms") == 0)
+  }
+
   test("decodeMeta: corrupt image magic yields 0x0, never throws") {
     val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
       1, 2, 3, 4) // valid signature, garbage header
