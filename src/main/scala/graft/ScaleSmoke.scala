@@ -311,6 +311,42 @@ object ScaleSmoke {
     stage("calibration audit") {
       T.calibrationAudit(docs).queryExecution.toRdd.count()
     }
+    stage("classifier auc") {
+      // shares the classifier's training subtree; the AUC itself is a
+      // rank-window over DISTINCT 6-dp scores — bounded by the rounding
+      // grid, so the audit stays noise on top of training at every scale
+      T.classifierAuc(docs).queryExecution.toRdd.count()
+    }
+    // IVF continuous-maintenance probe at scale: centroids trained on the
+    // BASE half only (the index-build-time corpus), the replicated delta
+    // assigned with those frozen centroids, probe reads base ∪ delta
+    // pruned to the probed cells — the batch semantics of
+    // Streaming.streamIvfIngest / Ann.ivfDeltaTopk on the big corpus.
+    locally {
+      import graft.functions.VectorFunctions.cosine_sim
+      val A = graft.operators.Ann
+      val n = e.count()
+      val base = e.where(col("vec_id") < n / 2)
+      val delta = e.where(col("vec_id") >= n / 2)
+      var tc: Seq[Seq[Double]] = null
+      // rebuild-time cost: Lloyd over the base half at the production cell
+      // granularity (nc scales with the corpus — 125 vectors/cell mean)
+      stage(s"ivf delta train c$nc") {
+        tc = A.trainCentroids(base, nc, maxIters = 3)._1
+        tc.length.toLong
+      }
+      if (tc != null) stage("ivf delta probe") {
+        // steady-state per-query cost between retrains: frozen-centroid
+        // assignment of base ∪ delta, pruned to the probed cells
+        val probeCells = A.probe(tc, qv, math.max(1, nc / 4))
+        A.assignCells(base, tc).unionByName(A.assignCells(delta, tc))
+          .where(col("cell").isin(probeCells: _*))
+          .select(col("vec_id"),
+            round(cosine_sim(col("embedding"), typedLit(qv)), 6).as("s"))
+          .orderBy(desc("s"), asc("vec_id")).limit(10)
+          .queryExecution.toRdd.count()
+      }
+    }
     // page rank: the measurement of interest at scale is the ITERATION
     // core (join + keyed agg per step) over a prebuilt edge artifact —
     // the documented 100 TB contract (edges come from the stored ANN

@@ -56,6 +56,9 @@ object SparkEntry {
     "chunk_doc_topk" -> ((s, dir) => Search.chunkDocRetrieval(s, dir, "spark data query", 10, 128)),
     "dedup_exact"   -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashNear(Tables.documents(s, dir))),
+    // signature-only verify (agreeing-seed estimate) — the shape that
+    // never ships shingle sets; same banding as dedup_minhash
+    "dedup_minhash_approx" -> ((s, dir) => Dedup.minhashNearApprox(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashNear(Tables.embeddings(s, dir))),
     "dedup_semantic" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir))),
     "dedup_spans" -> ((s, dir) => Dedup.spanDedup(Tables.documents(s, dir))),
@@ -989,6 +992,37 @@ object SparkEntry {
         |      JOIN sh sa ON sa.doc_id = c.a_id
         |      JOIN sh sb ON sb.doc_id = c.b_id)
         |SELECT a_id, b_id, jaccard FROM v WHERE jaccard >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // mirrors Dedup.minhashNearApprox: same shingles/signature/banding as
+    // dedup_minhash, verify = agreeing-seed fraction instead of exact
+    // Jaccard (integer equality counts — exact in both engines)
+    "dedup_minhash_approx" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_transform(
+        |           list_distinct(list_transform(range(0, len(t) - 2),
+        |             i -> array_to_string(t[i+1:i+3], ' '))),
+        |           x -> CAST(('0x' || substr(md5(x), 1, 14))::UBIGINT AS BIGINT)) AS hs
+        |       FROM toks WHERE len(t) >= 3),
+        |mh AS (SELECT doc_id,
+        |    list_transform(range(0, 12),
+        |      sd -> list_min(list_transform(hs,
+        |        b -> xor(b, CAST(('0x' || substr(md5(CAST(sd AS VARCHAR)), 1, 14))::UBIGINT AS BIGINT))))) AS sig
+        |  FROM sh),
+        |bands AS (SELECT doc_id, u.band, u.key FROM (
+        |  SELECT doc_id, unnest(list_transform(range(0, 6), b ->
+        |    {'band': b, 'key': array_to_string(sig[b*2+1:b*2+2], '|')})) AS u FROM mh) q),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |v AS (SELECT c.a_id, c.b_id,
+        |        round(len(list_filter(range(0, 12),
+        |                i -> sa.sig[i+1] = sb.sig[i+1]))::DOUBLE / 12, 6) AS est_jaccard
+        |      FROM cand c
+        |      JOIN mh sa ON sa.doc_id = c.a_id
+        |      JOIN mh sb ON sb.doc_id = c.b_id)
+        |SELECT a_id, b_id, est_jaccard FROM v WHERE est_jaccard >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_simhash" ->

@@ -112,6 +112,14 @@ object LshFunctions {
     Bridge.column(MinHashBandKeys(Bridge.expression(hashedCol), seeds, bands))
   }
 
+  /** Fused `minhash_signature_long(hs, seeds)` — the [[MinHashBandKeys]]
+    * mins pass exposed as a signature array, for consumers that compare
+    * whole signatures (estimated Jaccard = agreeing-seed fraction). */
+  def minhash_signature_fused(hashedCol: Column, seeds: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(MinHashSignature(Bridge.expression(hashedCol), seeds))
+  }
+
   /** Deterministic Rademacher hyperplanes for SimHash: sign(p, i) = +1 iff
     * the first hex digit of md5("<p>_<i>") < 8. */
   def simhashPlanes(bits: Int, dim: Int): Seq[Seq[Double]] = {

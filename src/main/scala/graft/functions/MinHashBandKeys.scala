@@ -59,15 +59,55 @@ case class MinHashBandKeys(child: Expression, seeds: Int, bands: Int)
     copy(child = newChild)
 }
 
+/** Fused MinHash signature (array of the `seeds` masked minima) — the
+  * [[MinHashBandKeys]] mins pass WITHOUT the banding, for consumers that
+  * compare whole signatures (the approximate verify path: estimated
+  * Jaccard = fraction of agreeing seeds). Value-identical to
+  * `minhash_signature_long(hs, seeds)`; empty input yields an empty array
+  * (callers precondition empties out). */
+case class MinHashSignature(child: Expression, seeds: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if seeds >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires seeds >= 1, got $seeds")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(hs: Any): Any = {
+    val mins = MinHashBandKeys.seedMins(hs.asInstanceOf[ArrayData], seeds)
+    if (mins == null) MinHashBandKeys.EmptyArray
+    else new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""long[] ${ev.value}_m = graft.functions.MinHashBandKeys.seedMins($x, $seeds);
+         |${ev.value} = ${ev.value}_m == null ? graft.functions.MinHashBandKeys.EmptyArray()
+         |  : new org.apache.spark.sql.catalyst.util.GenericArrayData(${ev.value}_m);
+         |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
 object MinHashBandKeys {
   // masks are a pure function of the seed index; memoize per seed count
   private val maskCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
   private def masks(seeds: Int): Array[Long] =
     maskCache.computeIfAbsent(seeds, s => Array.tabulate(s)(LshFunctions.seedMask))
 
-  def compute(hs: ArrayData, seeds: Int, bands: Int): GenericArrayData = {
+  /** The shared mins pass: all `seeds` masked minima in one scan, or null
+    * for an empty input array. */
+  def seedMins(hs: ArrayData, seeds: Int): Array[Long] = {
     val n = hs.numElements()
-    if (n == 0) return Empty
+    if (n == 0) return null
     val mk = masks(seeds)
     val mins = new Array[Long](seeds)
     java.util.Arrays.fill(mins, Long.MaxValue)
@@ -82,6 +122,15 @@ object MinHashBandKeys {
       }
       i += 1
     }
+    mins
+  }
+
+  /** Shared empty result (codegen calls this as `EmptyArray()`). */
+  def EmptyArray(): GenericArrayData = Empty
+
+  def compute(hs: ArrayData, seeds: Int, bands: Int): GenericArrayData = {
+    val mins = seedMins(hs, seeds)
+    if (mins == null) return Empty
     val r = seeds / bands
     val out = new Array[Any](bands)
     var b = 0

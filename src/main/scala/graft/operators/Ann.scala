@@ -604,7 +604,7 @@ object Ann {
   /** Query-side probe list: top nProbe cells by (rounded) centroid cosine,
     * lowest cell index on ties — 1-based to match the oracle's
     * list_position. */
-  private def probe(cents: Seq[Seq[Double]], qv: Array[Double], nProbe: Int): Seq[Int] =
+  private[graft] def probe(cents: Seq[Seq[Double]], qv: Array[Double], nProbe: Int): Seq[Int] =
     cents.zipWithIndex
       .map { case (c, i) =>
         // HALF_UP = round-away-from-zero, matching SQL round() semantics

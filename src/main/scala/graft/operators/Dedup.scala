@@ -225,6 +225,54 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** X3b-approx — SIGNATURE-ONLY near-duplicate pairs: the [[minhashNear]]
+    * banding with the exact-Jaccard verify replaced by the MinHash
+    * ESTIMATE (fraction of agreeing seeds, the unbiased estimator,
+    * ±1/√seeds). The shingle-hash sets never leave the map side: the
+    * per-doc state that shuffles, joins, and verifies is the fixed
+    * `seeds`-long signature (~100 bytes regardless of document size) —
+    * the shape a 100 TB near-dedup actually runs, where shipping exact
+    * shingle sets per candidate is the dominant cost ([[minhashNear]]'s
+    * hs shuffle is ~8 bytes per corpus CHARACTER). Exact in both engines:
+    * integer minima and equality counts, no floats until the final ratio.
+    *
+    * `estThreshold` is granular at 1/seeds (default 0.5 = 6 of 12 seeds);
+    * use [[minhashNear]] when the decision boundary must be exact-Jaccard.
+    *
+    * Scale shape: ONE corpus pass computes signature per doc BELOW the
+    * pinned exchange (the shuffle carries signatures, not shingle sets);
+    * banding explodes `bands` rows/doc; candidate verification joins the
+    * signature table with the bounded candidate side as shuffle-hash
+    * build. Nothing in the plan is proportional to document length past
+    * the scan. */
+  def minhashNearApprox(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                        shingleSize: Int = 3, seeds: Int = 12, bands: Int = 6,
+                        estThreshold: Double = 0.5): DataFrame = {
+    val sig = docs
+      .where(expr(s"size(split($textCol, ' ')) >= $shingleSize"))
+      .select(col(idCol).as("doc_id"),
+        LshFunctions.minhash_signature_fused(
+          LshFunctions.word_shingle_hash56(col(textCol), shingleSize), seeds).as("sig"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    require(seeds % bands == 0, "seeds must divide evenly into bands")
+    val banded = sig.select(col("doc_id"),
+      posexplode(LshFunctions.band_keys(
+        transform(col("sig"), v => v.cast("string")), bands, seeds / bands, "|"))
+        .as(Seq("band", "key")))
+    val cand = candidatePairs(banded, "band", "key", "doc_id")
+    cand // shuffle-hash, cand as build: see ngramNear (same rationale)
+      .hint("shuffle_hash")
+      .join(sig.select(col("doc_id"), col("sig").as("ga")), col("a_id") === col("doc_id")).drop("doc_id")
+      .hint("shuffle_hash")
+      .join(sig.select(col("doc_id"), col("sig").as("gb")), col("b_id") === col("doc_id")).drop("doc_id")
+      .select(col("a_id"), col("b_id"),
+        round(aggregate(zip_with(col("ga"), col("gb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / seeds, 6).as("est_jaccard"))
+      .where(col("est_jaccard") >= estThreshold)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** X3e — duplicated-span audit, the shingle-granular reading of exact
     * substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better"): for each document, the fraction of its

@@ -114,6 +114,17 @@ class LshFunctionsSpec extends SparkSpec {
     assert(empty.head.getSeq[String](0).isEmpty)
   }
 
+  test("minhash_signature_fused ≡ composed minhash_signature_long") {
+    val df = Seq("abcdefghijkl", "spark graft near dedup approx", "y" * 120)
+      .toDF("t")
+      .select(LshFunctions.char_shingle_hash56(col("t"), 4).as("hs"))
+    val rows = df.select(
+      LshFunctions.minhash_signature_fused(col("hs"), 12).as("fused"),
+      LshFunctions.minhash_signature_long(col("hs"), 12).as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("word_shingle_hash56 ≡ hash56 over word n-grams (set-equal, empties kept)") {
     val df = Seq("", "a b", "a b c d e", "a  b c", " lead", "trail ", "ω multi byte token ω")
       .toDF("t")
