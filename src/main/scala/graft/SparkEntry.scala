@@ -130,6 +130,21 @@ object SparkEntry {
       val bucket = Sampling.hashBucket(col("doc_id"))
       Dedup.minhashNearIncremental(d.where(bucket >= 50), d.where(bucket < 50))
     }),
+    // signature-only admission (agreeing-seed estimate) over the same
+    // split — the variant whose verify and stored index never touch
+    // shingle sets; inline vs indexed oracle identity as above
+    "dedup_minhash_approx_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = Tables.documents(s, dir)
+      val bucket = Sampling.hashBucket(col("doc_id"))
+      Dedup.minhashNearIncrementalApprox(d.where(bucket >= 50), d.where(bucket < 50))
+    }),
+    "dedup_minhash_approx_incremental_indexed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = Tables.documents(s, dir)
+      val bucket = Sampling.hashBucket(col("doc_id"))
+      Dedup.minhashNearIncrementalApproxIndexed(s, dir, d.where(bucket >= 50))
+    }),
     "dedup_minhash_incremental_indexed" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       val d = Tables.documents(s, dir)
@@ -794,6 +809,47 @@ object SparkEntry {
       |LEFT JOIN nears n ON n.inc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** [[dedupMinhashIncrementalSql]] with the signature-only verify —
+    * shared by the inline and indexed approx variants (index-correctness
+    * proof). The estimate is an integer equality count, exact in both
+    * engines. */
+  private def dedupMinhashApproxIncrementalSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS bucket
+      |  FROM documents),
+      |sh AS MATERIALIZED (SELECT doc_id, bucket,
+      |    list_transform(
+      |      list_distinct(list_transform(range(0, len(t) - 2),
+      |        i -> array_to_string(t[i+1:i+3], ' '))),
+      |      x -> CAST(('0x' || substr(md5(x), 1, 14))::UBIGINT AS BIGINT)) AS hs
+      |  FROM toks WHERE len(t) >= 3),
+      |mh AS MATERIALIZED (SELECT doc_id, bucket,
+      |    list_transform(range(0, 12),
+      |      sd -> list_min(list_transform(hs,
+      |        b -> xor(b, CAST(('0x' || substr(md5(CAST(sd AS VARCHAR)), 1, 14))::UBIGINT AS BIGINT))))) AS sig
+      |  FROM sh),
+      |bands AS (SELECT doc_id, bucket, u.band, u.key FROM (
+      |  SELECT doc_id, bucket, unnest(list_transform(range(0, 6), b ->
+      |    {'band': b, 'key': array_to_string(sig[b*2+1:b*2+2], '|')})) AS u FROM mh) q),
+      |cand AS (SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS ref_id
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      |         WHERE a.bucket >= 50 AND b.bucket < 50),
+      |v AS (SELECT c.inc_id,
+      |        round(len(list_filter(range(0, 12),
+      |                i -> sa.sig[i+1] = sb.sig[i+1]))::DOUBLE / 12, 6) AS j
+      |      FROM cand c
+      |      JOIN mh sa ON sa.doc_id = c.inc_id
+      |      JOIN mh sb ON sb.doc_id = c.ref_id),
+      |nears AS (SELECT inc_id, count(*) AS n_near, max(j) AS max_est_jaccard
+      |          FROM v WHERE j >= 0.5 GROUP BY inc_id)
+      |SELECT d.doc_id, CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near,
+      |  coalesce(n.max_est_jaccard, 0.0) AS max_est_jaccard,
+      |  coalesce(n.n_near, 0) = 0 AS keep
+      |FROM (SELECT doc_id FROM documents
+      |      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 >= 50) d
+      |LEFT JOIN nears n ON n.inc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Shared per-doc unigram-LM CTE chain (add-one smoothing, bucket<50
     * train slice) ending in `lper(doc_id, n_tokens, xent)` — used by the
     * lm_score oracle and as the LM arm of corpus_report, so the model
@@ -1131,6 +1187,8 @@ object SparkEntry {
     "dedup_near_incremental_indexed" -> dedupNearIncrementalSql,
     "dedup_minhash_incremental" -> dedupMinhashIncrementalSql,
     "dedup_minhash_incremental_indexed" -> dedupMinhashIncrementalSql,
+    "dedup_minhash_approx_incremental" -> dedupMinhashApproxIncrementalSql,
+    "dedup_minhash_approx_incremental_indexed" -> dedupMinhashApproxIncrementalSql,
     // mirrors Dedup.sourceOverlap: per-source 64-seed MinHash signature
     // over word-trigram shingle hashes, est Jaccard = agreeing-seed share
     "source_overlap" ->

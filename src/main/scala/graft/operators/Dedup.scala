@@ -245,32 +245,136 @@ object Dedup {
     * signature table with the bounded candidate side as shuffle-hash
     * build. Nothing in the plan is proportional to document length past
     * the scan. */
-  def minhashNearApprox(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                        shingleSize: Int = 3, seeds: Int = 12, bands: Int = 6,
-                        estThreshold: Double = 0.5): DataFrame = {
-    val sig = docs
+  /** Per-doc fused word-shingle MinHash signature — the signature-only
+    * family's shingling pass. The shingle-hash set exists only INSIDE the
+    * fused expression (hash → mins in one pass, nothing array-sized is
+    * ever a column), so no downstream exchange or join can carry it. */
+  private def wordSig(docs: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int, seeds: Int): DataFrame =
+    docs
       .where(expr(s"size(split($textCol, ' ')) >= $shingleSize"))
       .select(col(idCol).as("doc_id"),
         LshFunctions.minhash_signature_fused(
           LshFunctions.word_shingle_hash56(col(textCol), shingleSize), seeds).as("sig"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+
+  /** (doc_id, band, key) LSH keys derived from a stored/computed signature
+    * column — `bands` trivially-sized transforms per row, no re-hashing. */
+  private def sigBandKeys(sig: DataFrame, seeds: Int, bands: Int): DataFrame = {
     require(seeds % bands == 0, "seeds must divide evenly into bands")
-    val banded = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(LshFunctions.band_keys(
         transform(col("sig"), v => v.cast("string")), bands, seeds / bands, "|"))
         .as(Seq("band", "key")))
-    val cand = candidatePairs(banded, "band", "key", "doc_id")
+  }
+
+  /** Agreeing-seed MinHash estimate between two signature columns. */
+  private def sigEstimate(a: Column, b: Column, seeds: Int): Column =
+    round(aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / seeds, 6)
+
+  def minhashNearApprox(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                        shingleSize: Int = 3, seeds: Int = 12, bands: Int = 6,
+                        estThreshold: Double = 0.5): DataFrame = {
+    val sig = wordSig(docs, idCol, textCol, shingleSize, seeds)
+    val cand = candidatePairs(sigBandKeys(sig, seeds, bands), "band", "key", "doc_id")
     cand // shuffle-hash, cand as build: see ngramNear (same rationale)
       .hint("shuffle_hash")
       .join(sig.select(col("doc_id"), col("sig").as("ga")), col("a_id") === col("doc_id")).drop("doc_id")
       .hint("shuffle_hash")
       .join(sig.select(col("doc_id"), col("sig").as("gb")), col("b_id") === col("doc_id")).drop("doc_id")
       .select(col("a_id"), col("b_id"),
-        round(aggregate(zip_with(col("ga"), col("gb"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / seeds, 6).as("est_jaccard"))
+        sigEstimate(col("ga"), col("gb"), seeds).as("est_jaccard"))
       .where(col("est_jaccard") >= estThreshold)
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** [[minhashNearApprox]]'s ADMISSION twin — the [[minhashNearIncremental]]
+    * plumbing with the signature-only verify: per incoming document, how
+    * many reference documents its ESTIMATED Jaccard (agreeing-seed
+    * fraction) reaches `estThreshold` against, best estimate, admit flag.
+    * The per-doc state on both sides is the fixed `seeds`-long signature —
+    * which is also what the stored-index variant persists
+    * ([[minhashNearIncrementalApproxIndexed]]): a signature index is
+    * ~`seeds`×8 bytes per history doc versus ~8 bytes per history CHARACTER
+    * for the exact-verify band+hs index, the difference between an index
+    * that fits hot storage at 100 TB and one that is itself corpus-sized. */
+  def minhashNearIncrementalApprox(incoming: DataFrame, reference: DataFrame,
+                                   idCol: String = "doc_id", textCol: String = "text",
+                                   shingleSize: Int = 3, seeds: Int = 12, bands: Int = 6,
+                                   estThreshold: Double = 0.5): DataFrame = {
+    val sigRef = wordSig(reference, idCol, textCol, shingleSize, seeds)
+    sigIncrementalAgainst(incoming, idCol,
+      wordSig(incoming, idCol, textCol, shingleSize, seeds),
+      sigBandKeys(sigRef, seeds, bands), sigRef, seeds, bands, estThreshold)
+  }
+
+  /** [[minhashNearIncrementalApprox]] against a CATALOG-MANAGED signature
+    * index — two stored tables (`bands` for candidate generation, `sig`
+    * for the agreeing-seed verify); history text is never re-shingled and
+    * the stored footprint is signature-sized (see the inline twin's note).
+    * Same registry contract as [[minhashNearIncrementalIndexed]]. */
+  def minhashNearIncrementalApproxIndexed(spark: SparkSession, dir: String, incoming: DataFrame,
+                                          refBucketMax: Int = 50,
+                                          idCol: String = "doc_id", textCol: String = "text",
+                                          shingleSize: Int = 3, seeds: Int = 12, bands: Int = 6,
+                                          estThreshold: Double = 0.5,
+                                          policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
+    val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
+      name = wordSigIndexName(refBucketMax, shingleSize), kind = "dedup-sig",
+      sourcePath = s"$dir/documents.parquet",
+      params = Map("refBucketMax" -> refBucketMax.toString,
+        "shingleSize" -> shingleSize.toString, "shingles" -> "word",
+        "seeds" -> seeds.toString, "bands" -> bands.toString,
+        "layout" -> "bands+sig", "idCol" -> idCol, "textCol" -> textCol),
+      policy = policy) { out =>
+      val sig = wordSig(
+        graft.core.Tables.documents(spark, dir)
+          .where(Sampling.hashBucket(col(idCol)) < refBucketMax),
+        idCol, textCol, shingleSize, seeds)
+      sig.write.mode("overwrite").parquet(s"$out/sig")
+      sigBandKeys(spark.read.parquet(s"$out/sig"), seeds, bands)
+        .write.mode("overwrite").parquet(s"$out/bands")
+    }
+    sigIncrementalAgainst(incoming, idCol,
+      wordSig(incoming, idCol, textCol, shingleSize, seeds),
+      spark.read.parquet(s"${idx.path}/bands"),
+      spark.read.parquet(s"${idx.path}/sig"), seeds, bands, estThreshold)
+  }
+
+  private[graft] def wordSigIndexName(refBucketMax: Int, shingleSize: Int): String =
+    s"documents-dedup-wsig-b$refBucketMax-s$shingleSize"
+
+  /** Signature-only admission core: candidates from the (band, key) equi-
+    * join, verify = agreeing-seed estimate between the incoming and
+    * reference SIGNATURE tables (both `seeds` longs per row — nothing in
+    * the verify is proportional to document length), restore to all
+    * incoming rows. Shuffle-hash hints as in [[nearIncrementalAgainst]]
+    * (candidates are the bounded build side). */
+  private def sigIncrementalAgainst(incoming: DataFrame, idCol: String,
+                                    sigInc: DataFrame, refBands: DataFrame,
+                                    sigRef: DataFrame,
+                                    seeds: Int, bands: Int,
+                                    estThreshold: Double): DataFrame = {
+    val cand = sigBandKeys(sigInc, seeds, bands)
+      .withColumnRenamed("doc_id", "inc_id")
+      .join(refBands.withColumnRenamed("doc_id", "ref_id"), Seq("band", "key"))
+      .select(col("inc_id"), col("ref_id")).distinct()
+    val near = cand.hint("shuffle_hash")
+      .join(sigInc.select(col("doc_id").as("inc_id"), col("sig").as("ga")), Seq("inc_id"))
+      .hint("shuffle_hash")
+      .join(sigRef.select(col("doc_id").as("ref_id"), col("sig").as("gb")), Seq("ref_id"))
+      .select(col("inc_id"), sigEstimate(col("ga"), col("gb"), seeds).as("j"))
+      .where(col("j") >= estThreshold)
+      .groupBy(col("inc_id"))
+      .agg(count(lit(1)).as("n_near"), max(col("j")).as("max_est_jaccard"))
+    incoming.select(col(idCol).as("inc_id"))
+      .join(near, Seq("inc_id"), "left")
+      .select(col("inc_id").as(idCol),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("max_est_jaccard"), lit(0.0)).as("max_est_jaccard"),
+        (coalesce(col("n_near"), lit(0L)) === 0L).as("keep"))
+      .orderBy(col(idCol))
   }
 
   /** X3e — duplicated-span audit, the shingle-granular reading of exact

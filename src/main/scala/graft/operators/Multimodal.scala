@@ -22,11 +22,14 @@ import graft.core.Embedders
   * the format header without decoding pixel data, so the per-row cost is a
   * few hundred bytes of reads regardless of blob size. AUDIO blobs
   * (RIFF/WAVE magic) get a real chunk-walk header parse — sample rate,
-  * channels, and duration from the `fmt `/`data` chunks, again without
-  * touching the sample payload. Remaining blobs (video codecs are not in
-  * the JDK) fall through to a clearly-marked deterministic fake (first two
-  * bytes as width/height, 64-byte "frames"); swapping that fake for an
-  * ffmpeg call changes only the fallback branch.
+  * channels, and duration from the `fmt `/`data` chunks — and VIDEO
+  * containers (ISO-BMFF `ftyp` magic: MP4/MOV) a real box-walk parse —
+  * duration from `moov/mvhd`, presentation dimensions from the first
+  * `trak/tkhd` — in both cases without touching the sample payload.
+  * Remaining blobs fall through to a clearly-marked deterministic fake
+  * (first two bytes as width/height, 64-byte "frames"); decoding FRAME
+  * CONTENT (vs container metadata) still needs an external codec and
+  * would change only the fallback branch.
   */
 object Multimodal {
 
@@ -92,6 +95,73 @@ object Multimodal {
     (rate, ch, durMs, frames)
   }
 
+  /** ISO-BMFF (MP4/MOV) magic: a top-level `ftyp` box at offset 4. */
+  private[operators] def isMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  /** Header-only MP4 parse: walk the top-level box list for `moov`, then
+    * its children for `mvhd` (timescale + duration → duration_ms) and the
+    * first `trak`/`tkhd` (presentation width/height, 16.16 fixed point).
+    * Box sizes are big-endian u32 (1 → 64-bit largesize follows; 0 → box
+    * extends to end). Handles mvhd/tkhd versions 0 and 1. Never reads
+    * sample data (`mdat` is skipped by its declared size); corrupt or
+    * truncated structure yields zeros for whatever was not parsed. */
+  private[operators] def mp4Meta(b: Array[Byte]): (Long, Long, Long) = {
+    def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def boxType(o: Int): String =
+      new String(b, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    var durMs = 0L; var w = 0L; var h = 0L
+    // walk [from, until) box list; returns the offset of `want`'s PAYLOAD
+    // and its payload length, or (-1, 0)
+    def find(from: Long, until: Long, want: String): (Long, Long) = {
+      var off = from
+      while (off + 8 <= until) {
+        val o = off.toInt
+        val sz0 = u32(o)
+        val (payload, end) =
+          if (sz0 == 1L && off + 16 <= until) (off + 16, off + u64(o + 8))
+          else if (sz0 == 0L) (off + 8, until)
+          else (off + 8, off + sz0)
+        if (end <= off || end > until) return (-1L, 0L) // corrupt size
+        if (boxType(o) == want) return (payload, end - payload)
+        off = end
+      }
+      (-1L, 0L)
+    }
+    val (moov, moovLen) = find(0L, b.length.toLong, "moov")
+    if (moov >= 0) {
+      val (mvhd, mvhdLen) = find(moov, moov + moovLen, "mvhd")
+      if (mvhd >= 0 && mvhdLen >= 20) {
+        val o = mvhd.toInt
+        val v = b(o) & 0xff
+        val (ts, dur) =
+          if (v == 1 && mvhdLen >= 28) (u32(o + 20), u64(o + 24))
+          else (u32(o + 12), u32(o + 16))
+        if (ts > 0) durMs = dur * 1000L / ts
+      }
+      val (trak, trakLen) = find(moov, moov + moovLen, "trak")
+      if (trak >= 0) {
+        val (tkhd, tkhdLen) = find(trak, trak + trakLen, "tkhd")
+        if (tkhd >= 0) {
+          val o = tkhd.toInt
+          val v = b(o) & 0xff
+          // width/height are the LAST 8 payload bytes (16.16 fixed point)
+          // in both versions (v0 payload 84 bytes, v1 96)
+          val need = if (v == 1) 96 else 84
+          if (tkhdLen >= need) {
+            w = u32(o + need - 8) >> 16
+            h = u32(o + need - 4) >> 16
+          }
+        }
+      }
+    }
+    (w, h, durMs)
+  }
+
   /** Header-only image dimension parse: ImageIO reader over an in-memory
     * stream, `getWidth(0)`/`getHeight(0)` read the format header without
     * decoding pixel data. Corrupt headers (image magic, unreadable rest)
@@ -134,6 +204,10 @@ object Multimodal {
           } else if (isWav(bytes)) {
             val (rate, ch, durMs, frames) = wavMeta(bytes)
             BlobMeta(id, bytes.length.toLong, 0L, 0L, frames, rate, ch, durMs,
+              md5hex(bytes))
+          } else if (isMp4(bytes)) {
+            val (w, h, durMs) = mp4Meta(bytes)
+            BlobMeta(id, bytes.length.toLong, w, h, 0L, 0L, 0L, durMs,
               md5hex(bytes))
           } else {
             // deterministic fake for the remaining modalities (no JDK codec)

@@ -320,4 +320,54 @@ class DedupSpec extends SparkSpec {
     // must never be served from it (shingle definition is index identity)
     assert(built.params("shingles") == "word")
   }
+
+  test("approx incremental near-dedup: inline equals indexed, estimates on the seed grid") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+    val bucket = Sampling.hashBucket(col("doc_id"))
+    val incoming = docs.where(bucket >= 50)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    val inline = rows(Dedup.minhashNearIncrementalApprox(incoming, docs.where(bucket < 50)))
+    assert(inline.nonEmpty)
+    // every admitted doc is present exactly once; estimates are agreeing-
+    // seed fractions, so they live on the k/12 grid
+    assert(inline.map(_._1).distinct.size == inline.size)
+    inline.foreach { case (_, n, est, keep) =>
+      assert(keep == (n == 0L))
+      // est is the 6-dp ROUNDING of k/12 — compare against the nearest
+      // grid point, not exact divisibility
+      assert(math.abs(est - math.rint(est * 12) / 12.0) < 1e-5)
+    }
+    val reg = CatalogOps.indexRegistry(spark, dir)
+    val name = Dedup.wordSigIndexName(50, 3)
+    if (reg.isIndexRegistered(name)) reg.dropIndex(name)
+    assert(rows(Dedup.minhashNearIncrementalApproxIndexed(spark, dir, incoming)) == inline)
+    // served from the stored signature index on the second call
+    val built = CatalogOps.indexRegistry(spark, dir).getIndex(name)
+    assert(rows(Dedup.minhashNearIncrementalApproxIndexed(spark, dir, incoming)) == inline)
+    assert(CatalogOps.indexRegistry(spark, dir).getIndex(name).version == built.version)
+    assert(built.params("layout") == "bands+sig")
+  }
+
+  test("minhashNearApprox: pairs match signature-agreement recomputation") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.LshFunctions
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashNearApprox(docs).collect()
+    assert(pairs.nonEmpty)
+    val sigs = docs
+      .where(org.apache.spark.sql.functions.expr("size(split(text, ' ')) >= 3"))
+      .select(col("doc_id"),
+        LshFunctions.minhash_signature_long(
+          LshFunctions.word_shingle_hash56(col("text"), 3), 12).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    pairs.foreach { r =>
+      val (a, b, est) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val agree = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }
+      assert(est == math.rint(agree.toDouble / 12 * 1e6) / 1e6)
+      assert(est >= 0.5)
+      assert(a < b)
+    }
+  }
 }

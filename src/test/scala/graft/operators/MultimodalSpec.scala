@@ -98,6 +98,45 @@ class MultimodalSpec extends SparkSpec {
     assert(c.getAs[Long]("sample_rate") == 0 && c.getAs[Long]("duration_ms") == 0)
   }
 
+  /** Minimal ISO-BMFF: ftyp + moov(mvhd v0 + trak(tkhd v0)) + mdat.
+    * Big-endian throughout; width/height are 16.16 fixed point. */
+  private def mp4Bytes(timescale: Int, duration: Int, w: Int, h: Int): Array[Byte] = {
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val mvhd = java.nio.ByteBuffer.allocate(100)
+      .putInt(0)                 // version 0 + flags
+      .putInt(0).putInt(0)       // ctime, mtime
+      .putInt(timescale).putInt(duration)
+      .array()                   // rest (rate, volume, matrix…) zeros
+    val tkhd = java.nio.ByteBuffer.allocate(84)
+      .putInt(0).putInt(0).putInt(0).putInt(1).putInt(0).putInt(0)
+      .array()
+    val tk = java.nio.ByteBuffer.wrap(tkhd)
+    tk.putInt(84 - 8, w << 16).putInt(84 - 4, h << 16)
+    val moov = box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+    box("ftyp", "isom0000".getBytes("US-ASCII")) ++ moov ++
+      box("mdat", Array.fill[Byte](32)(0x55))
+  }
+
+  test("decodeMeta: real MP4 box-walk — duration from mvhd, dims from tkhd") {
+    // timescale 600, duration 9000 ticks = 15 s; 640x360 presentation
+    val mp4 = mp4Bytes(timescale = 600, duration = 9000, w = 640, h = 360)
+    assert(Multimodal.isMp4(mp4) && !Multimodal.isWav(mp4) && !Multimodal.isImage(mp4))
+    val r = Multimodal.decodeMeta(spark, Seq((1L, mp4)).toDF("doc_id", "blob"))
+      .collect().head
+    assert(r.getAs[Long]("width") == 640 && r.getAs[Long]("height") == 360)
+    assert(r.getAs[Long]("duration_ms") == 15000)
+    assert(r.getAs[Long]("sample_rate") == 0 && r.getAs[Long]("channels") == 0)
+    // ftyp magic with garbage box structure parses to zeros, no throw
+    val corrupt = mp4.take(16)
+    val c = Multimodal.decodeMeta(spark, Seq((2L, corrupt)).toDF("doc_id", "blob"))
+      .collect().head
+    assert(c.getAs[Long]("duration_ms") == 0 && c.getAs[Long]("width") == 0)
+  }
+
   test("decodeMeta: corrupt image magic yields 0x0, never throws") {
     val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
       1, 2, 3, 4) // valid signature, garbage header
