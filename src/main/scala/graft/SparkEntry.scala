@@ -1478,8 +1478,8 @@ object SparkEntry {
         |pts AS (SELECT ln(rank::DOUBLE) AS lx, ln(c::DOUBLE) AS ly FROM rk),
         |$olsSql
         |SELECT CAST(n_points AS BIGINT) AS n_points,
-        |  round(slope, 6) AS slope, round(intercept, 6) AS intercept,
-        |  round(r2, 6) AS r2
+        |  round(slope, 6) + 0.0 AS slope, round(intercept, 6) + 0.0 AS intercept,
+        |  round(r2, 6) + 0.0 AS r2
         |FROM fit""".stripMargin,
 
     // mirrors TextAnalysis.heapsFit: vocabulary growth over 16 hash-ordered
@@ -1500,8 +1500,8 @@ object SparkEntry {
         |        WHERE n > 0 AND v > 0),
         |$olsSql
         |SELECT CAST(n_points AS BIGINT) AS n_points,
-        |  round(slope, 6) AS beta, round(intercept, 6) AS ln_k,
-        |  round(r2, 6) AS r2
+        |  round(slope, 6) + 0.0 AS beta, round(intercept, 6) + 0.0 AS ln_k,
+        |  round(r2, 6) + 0.0 AS r2
         |FROM fit""".stripMargin,
 
 

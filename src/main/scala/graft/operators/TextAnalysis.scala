@@ -1074,8 +1074,15 @@ object TextAnalysis {
         org.apache.spark.sql.expressions.Window
           .orderBy(desc("c"), asc("w"))).as("rank"))
     olsFit(counts, log(col("rank").cast("double")), log(col("c").cast("double")))
-      .select(col("n_points"), round(col("slope"), 6).as("slope"),
-        round(col("intercept"), 6).as("intercept"), round(col("r2"), 6).as("r2"))
+      // + 0.0 after the round: a DEGENERATE corpus (constant ly) makes the
+      // slope a mathematically-zero float whose SIGN depends on summation
+      // order — DuckDB's round then emits -0.0 vs Spark's 0.0 and the
+      // cross-engine hash breaks nondeterministically. IEEE -0.0 + 0.0 is
+      // +0.0 and the addition is identity for every other value; the
+      // oracle applies the same normalization.
+      .select(col("n_points"), (round(col("slope"), 6) + lit(0.0)).as("slope"),
+        (round(col("intercept"), 6) + lit(0.0)).as("intercept"),
+        (round(col("r2"), 6) + lit(0.0)).as("r2"))
   }
 
   /** Heaps-law fit V(n) ≈ K·n^β — vocabulary growth against corpus size.
@@ -1115,8 +1122,12 @@ object TextAnalysis {
     // rounding grid, while the intercept itself is stable at 6 dp — the
     // same contract zipf_fit uses. Consumers recover K = exp(ln_k).
     olsFit(pts, log(col("n").cast("double")), log(col("v").cast("double")))
-      .select(col("n_points"), round(col("slope"), 6).as("beta"),
-        round(col("intercept"), 6).as("ln_k"),
-        round(col("r2"), 6).as("r2"))
+      // + 0.0: negative-zero normalization — see zipfFit. heapsFit is the
+      // fit that actually GOES degenerate in practice (a small fixed
+      // vocabulary makes V(n) constant, slope exactly 0), so the -0.0
+      // hazard is live here, not just theoretical.
+      .select(col("n_points"), (round(col("slope"), 6) + lit(0.0)).as("beta"),
+        (round(col("intercept"), 6) + lit(0.0)).as("ln_k"),
+        (round(col("r2"), 6) + lit(0.0)).as("r2"))
   }
 }
