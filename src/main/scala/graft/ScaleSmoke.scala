@@ -233,6 +233,10 @@ object ScaleSmoke {
       }
 
     stage("minhash near-dup") { D.minhashNear(docs).queryExecution.toRdd.count() }
+    stage("minhash approx near-dup") {
+      // signature-only verify: nothing document-length-sized past the scan
+      D.minhashNearApprox(docs).queryExecution.toRdd.count()
+    }
     lshStats("minhash buckets r2b6",
       D.ngramBandKeys(D.minhashShingled(docs, "doc_id", "text", 3), 12, 6), "doc_id")
     stage("ngram near-dup") { D.ngramNear(docs).queryExecution.toRdd.count() }

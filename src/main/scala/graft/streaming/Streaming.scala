@@ -336,6 +336,48 @@ object Streaming {
       }
       .start()
 
+  /** [[streamNearDedupAdmit]]'s SIGNATURE-ONLY twin: the same two-stage
+    * admission (in-batch near-dedup, then admission against the stored
+    * history index) with the MinHash agreeing-seed estimate as the
+    * verify on both stages — per-batch cost and stored-index footprint
+    * are signature-sized (`seeds` longs per doc), never shingle-sized.
+    * The gate for throughput-bound ingest where the near-dup decision
+    * tolerates the ±1/√seeds estimator error; swap in
+    * [[streamNearDedupAdmit]] when the boundary must be exact-Jaccard.
+    * Same statelessness/replay contract and RebuildIfStale self-vacuum. */
+  def streamSigDedupAdmit(spark: SparkSession, dir: String, docs: DataFrame,
+                          checkpointDir: String,
+                          refBucketMax: Int = 100,
+                          shingleSize: Int = 3, seeds: Int = 12, bands: Int = 6,
+                          estThreshold: Double = 0.5,
+                          policy: graft.core.IndexPolicy = graft.core.IndexPolicy.FailIfMissing)
+                         (sink: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val D = graft.operators.Dedup
+          val pairs = D.minhashNearApprox(batch, shingleSize = shingleSize,
+            seeds = seeds, bands = bands, estThreshold = estThreshold)
+          val batchKept = batch.join(
+            D.resolveKeepers(batch, pairs).where(col("keep")).select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          val admitted = batchKept.join(
+            D.minhashNearIncrementalApproxIndexed(spark, dir, batchKept,
+                refBucketMax = refBucketMax, shingleSize = shingleSize,
+                seeds = seeds, bands = bands, estThreshold = estThreshold,
+                policy = policy)
+              .where(col("keep")).select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          sink(admitted)
+          if (policy == graft.core.IndexPolicy.RebuildIfStale)
+            graft.operators.CatalogOps.indexRegistry(spark, dir)
+              .vacuumIndex(graft.operators.Dedup.wordSigIndexName(refBucketMax, shingleSize))
+        }
+      }
+      .start()
+
   /** Continuous quality-admission gate: per micro-batch, run the
     * [[graft.operators.CorpusFilter.decisions]] audit (heuristic quality ∧
     * non-repetition ∧ no-PII ∧ in-batch exact dedup) on the batch and

@@ -326,6 +326,42 @@ class StreamingSpec extends SparkSpec {
     assert(admitted.sorted == Seq(11L, 13L), s"admitted: $admitted")
   }
 
+  test("streamSigDedupAdmit: signature-only gate — family collapsed, corpus near-dups dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-siggate-").toString
+    val refText = "the reference corpus already contains this long boilerplate paragraph body repeated across many stored documents"
+    Seq((1L, refText, "en"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
+
+    val mem = MemoryStream[(Long, String)]
+    val fresh = "genuinely novel content nothing in the corpus resembles even slightly here today"
+    mem.addData(
+      (10L, refText + " x"),  // near-dup of stored doc 1 -> dropped at the index gate
+      (11L, fresh),           // fresh -> admitted
+      (12L, fresh + " y"),    // in-batch near-dup family {11,12} -> 11 keeps
+      (13L, "a second totally distinct novel document carrying its own unique wording entirely"))
+    val docs = mem.toDF().toDF("doc_id", "text")
+
+    // build the signature index over the whole stored corpus, then admit
+    graft.operators.Dedup.minhashNearIncrementalApproxIndexed(spark, dir,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), refBucketMax = 100,
+      policy = graft.core.IndexPolicy.BuildIfMissing).collect()
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streaming.streamSigDedupAdmit(spark, dir, docs,
+      Files.createTempDirectory("graft-siggate-ckpt-").toString)(
+      b => admitted ++= b.select(col("doc_id")).collect().map(_.getLong(0)))
+    try q.awaitTermination(120000) finally q.stop()
+    assert(admitted.sorted == Seq(11L, 13L), s"admitted: $admitted")
+    // the stored footprint really is the signature layout, not shingle sets
+    val reg = graft.operators.CatalogOps.indexRegistry(spark, dir)
+    val idx = reg.getIndex(graft.operators.Dedup.wordSigIndexName(100, 3))
+    assert(idx.params("layout") == "bands+sig")
+    val sig = spark.read.parquet(s"${idx.path}/sig")
+    assert(sig.columns.toSeq == Seq("doc_id", "sig"))
+    assert(sig.select(org.apache.spark.sql.functions.size(col("sig"))).collect()
+      .forall(_.getInt(0) == 12))
+  }
+
   test("streamNearDedupAdmit under RebuildIfStale: rebuild replaces the index and vacuums ONLY its own superseded versions") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-nearvac-").toString
