@@ -256,6 +256,7 @@ object ScaleSmoke {
       D.semanticDedup(e, nCells = nc, tau = 0.4).queryExecution.toRdd.count()
     }
     stage("span dedup") { D.spanDedup(docs).queryExecution.toRdd.count() }
+    stage("span trim") { D.trimSpans(docs).queryExecution.toRdd.count() }
     stage("winnow pairs") {
       graft.operators.TextAnalysis.winnowPairs(docs).queryExecution.toRdd.count()
     }

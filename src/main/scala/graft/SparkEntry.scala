@@ -59,6 +59,8 @@ object SparkEntry {
     // signature-only verify (agreeing-seed estimate) — the shape that
     // never ships shingle sets; same banding as dedup_minhash
     "dedup_minhash_approx" -> ((s, dir) => Dedup.minhashNearApprox(Tables.documents(s, dir))),
+    // span-level TREATMENT: duplicated 5-word spans removed from the text
+    "span_trim" -> ((s, dir) => Dedup.trimSpans(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashNear(Tables.embeddings(s, dir))),
     "dedup_semantic" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir))),
     "dedup_spans" -> ((s, dir) => Dedup.spanDedup(Tables.documents(s, dir))),
@@ -1142,6 +1144,38 @@ object SparkEntry {
         |  coalesce(per.n_dup, 0)::DOUBLE / greatest(coalesce(per.n_shingles, 0), 1) >= 0.5 AS flagged
         |FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
         |ORDER BY doc.doc_id""".stripMargin,
+
+    // mirrors Dedup.trimSpans: positions covered by a duplicated (df>=2,
+    // per-doc-distinct) 5-word shingle removed; trimmed text reassembled
+    // by ordered aggregation — Spark's sort_array(collect_list(struct))
+    // reassembly == string_agg ORDER BY here
+    "span_trim" ->
+      """WITH t0 AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, u.pos AS pos,
+        |    CAST(('0x' || substr(md5(array_to_string(t[u.pos+1:u.pos+5], ' ')), 1, 14))::UBIGINT AS BIGINT) AS h
+        |  FROM (SELECT doc_id, t, unnest(list_transform(range(0, len(t) - 4), i -> {'pos': i})) AS u
+        |        FROM t0 WHERE len(t) >= 5) q),
+        |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM pos) dd
+        |        GROUP BY h HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT p.doc_id, p.pos + r.d AS ti
+        |        FROM pos p JOIN dup USING (h) CROSS JOIN range(0, 5) r(d)),
+        |tok AS (SELECT doc_id, u.ti AS ti, u.w AS w FROM (
+        |  SELECT doc_id, unnest(list_transform(range(0, len(t)), i -> {'ti': i, 'w': t[i+1]})) AS u
+        |  FROM t0 WHERE len(t) >= 5) q),
+        |kept AS (SELECT tok.doc_id, string_agg(w, ' ' ORDER BY tok.ti) AS kept_text,
+        |           count(*) AS n_kept
+        |         FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.ti = cov.ti
+        |         WHERE cov.ti IS NULL GROUP BY tok.doc_id)
+        |SELECT t0.doc_id,
+        |  CASE WHEN len(t) < 5 THEN text ELSE coalesce(kept.kept_text, '') END AS kept_text,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN len(t) < 5 THEN 0
+        |            ELSE len(t) - coalesce(kept.n_kept, 0) END AS BIGINT) AS n_removed,
+        |  round((CASE WHEN len(t) < 5 THEN 0
+        |              ELSE len(t) - coalesce(kept.n_kept, 0) END)::DOUBLE
+        |        / greatest(len(t), 1), 6) AS removed_ratio
+        |FROM t0 LEFT JOIN kept ON t0.doc_id = kept.doc_id
+        |ORDER BY t0.doc_id""".stripMargin,
 
     "dedup_ngram" ->
       s"""WITH ${ngramPairsSql()}

@@ -427,6 +427,73 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** X3e' — span-level dedup TREATMENT: the trim [[spanDedup]]'s audit
+    * promises. Every word position covered by a DUPLICATED
+    * `shingleSize`-word shingle (one occurring in ≥ 2 distinct documents,
+    * the [[spanDedup]] df definition) is removed from the text; what
+    * remains is the document minus its cross-document boilerplate runs —
+    * exact-substring dedup at word granularity (Lee et al. 2022 §4's
+    * "remove the duplicated span" applied corpus-wide). Emits the trimmed
+    * text plus accounting (token counts, removed share); documents with
+    * fewer than `shingleSize` tokens pass through untouched.
+    *
+    * Scale shape: all word-count-shaped — positional shingles explode
+    * once (one md5 per position via [[LshFunctions.hash56]]); the df
+    * aggregate reuses [[spanDedup]]'s per-doc-distinct definition; the
+    * duplicated-position join is shuffle-hash on the 56-bit key (df side
+    * build); coverage expands to ≤ positions × shingleSize token ids; the
+    * trimmed text reassembles with ONE doc-keyed aggregation
+    * (`sort_array(collect_list(struct(idx, w)))` — per-doc state is the
+    * doc's own tokens, never corpus-sized). No per-token lambda over the
+    * covered set, so a fully-duplicated document costs O(tokens·n), not
+    * O(tokens²). */
+  def trimSpans(docs: DataFrame, shingleSize: Int = 5,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        split(col(textCol), " ").as("t"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    val eligible = base.where(size(col("t")) >= shingleSize)
+    // positional shingle hashes: (doc_id, pos, h); h identical to
+    // Hash56.wordShingles' digest (single-space join = original byte range)
+    val pos = eligible.select(col("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, size(t) - $shingleSize),
+           |  i -> concat_ws(' ', slice(t, i + 1, $shingleSize)))""".stripMargin))
+        .as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), LshFunctions.hash56(col("s")).as("h"))
+    val dupHashes = pos.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2).select(col("h"))
+    // word ids covered by any duplicated-shingle occurrence
+    val covered = pos.join(dupHashes.hint("shuffle_hash"), Seq("h"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(shingleSize - 1))).as("ti"))
+      .distinct()
+    val tokens = eligible.select(col("doc_id"), posexplode(col("t")).as(Seq("ti", "w")))
+    val trimmed = tokens.join(covered, Seq("doc_id", "ti"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        transform(sort_array(collect_list(struct(col("ti"), col("w")))),
+          s => s.getField("w"))).as("__kept"),
+        count(lit(1)).as("__n_kept"))
+    base.select(col("doc_id"), col("__text"), size(col("t")).as("n_tokens"))
+      .join(trimmed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        // short docs and fully-duplicated docs: coalesce order matters —
+        // a doc whose every token is covered gets "" (n_kept row absent
+        // because left_anti removed all tokens), not its original text
+        when(col("n_tokens") < shingleSize, col("__text"))
+          .otherwise(coalesce(col("__kept"), lit(""))).as("kept_text"),
+        col("n_tokens").cast("bigint").as("n_tokens"),
+        when(col("n_tokens") < shingleSize, lit(0L))
+          .otherwise(col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_removed"))
+      .withColumn("removed_ratio",
+        round(col("n_removed").cast("double") / greatest(col("n_tokens"), lit(1L)), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** X3b' — character n-gram Jaccard near-duplicate pairs.
     *
     * Same MinHash-LSH skeleton as [[minhashNear]] but over character

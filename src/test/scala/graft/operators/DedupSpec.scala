@@ -350,6 +350,40 @@ class DedupSpec extends SparkSpec {
     assert(built.params("layout") == "bands+sig")
   }
 
+  test("trimSpans: cross-doc boilerplate removed, unique text kept, short docs untouched") {
+    import spark.implicits._
+    val boiler = "this exact boilerplate run is shared between documents verbatim"
+    val docs = Seq(
+      (1L, s"alpha unique opening words here $boiler and a distinct alpha ending run"),
+      (2L, s"totally different beta preamble text $boiler plus another beta specific closing"),
+      (3L, "entirely unique document with no shared spans against anything else present"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val out = Dedup.trimSpans(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+
+    // the shared 10-word run plus every 5-shingle straddling it is covered;
+    // compute the expectation directly from the definition
+    def toks(s: String) = s.split(" ", -1).toSeq
+    val all = Seq(1L, 2L, 3L).map(id => id -> toks(docs.where($"doc_id" === id)
+      .head().getString(1))).toMap
+    val perDocShingles = all.map { case (id, t) =>
+      id -> (0 to t.length - 5).map(i => t.slice(i, i + 5).mkString(" ")).toSet }
+    val dup = perDocShingles.values.toSeq.flatMap(_.toSeq)
+      .groupBy(identity).collect { case (s, occ) if occ.size >= 2 => s }.toSet
+    for (id <- Seq(1L, 2L, 3L)) {
+      val t = all(id)
+      val covered = (0 to t.length - 5).filter(i =>
+        dup(t.slice(i, i + 5).mkString(" "))).flatMap(i => i until i + 5).toSet
+      val expect = t.zipWithIndex.collect { case (w, i) if !covered(i) => w }.mkString(" ")
+      assert(out(id)._1 == expect, s"doc $id")
+      assert(out(id)._3 == covered.size.toLong)
+    }
+    // the boilerplate really was removed from both carriers, kept elsewhere
+    assert(!out(1L)._1.contains("boilerplate") && !out(2L)._1.contains("boilerplate"))
+    assert(out(3L)._3 == 0L && out(3L)._1 == all(3L).mkString(" "))
+    assert(out(4L) == (("short doc", 2L, 0L)))
+  }
+
   test("minhashNearApprox: pairs match signature-agreement recomputation") {
     import org.apache.spark.sql.functions.col
     import graft.functions.LshFunctions
