@@ -802,7 +802,17 @@ object TextAnalysis {
       .withColumn(cName, col(s"__${cName}_h")).drop(s"__${cName}_h")
     val miss = probed.where(col(s"__${cName}_h").isNull)
       .drop(s"__${cName}_h").join(tail, keys, "left")
+    // coalesce the hit ∪ miss concat back to the session parallelism:
+    // UnionExec CONCATENATES child partitions (hit's N + miss's N), and a
+    // chain of these joins doubles the count per level — the bigram LM's
+    // three joins ran its scoring stage at 2³×32 = 256 near-empty tasks
+    // whose per-task overhead dominated (round-10 stage audit: 38-50
+    // executor-seconds at ~0.15 s/task). Coalesce merges within-stage
+    // (no shuffle) and claims no output partitioning, so the Spark 4
+    // union zip-vs-concat hazard documented at the call sites is
+    // untouched.
     hit.unionByName(miss)
+      .coalesce(stream.sparkSession.sparkContext.defaultParallelism)
   }
 
   /** Interpolated BIGRAM LM cross-entropy — [[lmCrossEntropy]] with the

@@ -36,6 +36,8 @@ object ProfileNearInc {
       val d = Tables.documents(spark, sfDir)
       val bucket = Sampling.hashBucket(col("doc_id"))
       which match {
+        case "lmbigram" => graft.operators.TextAnalysis.lmCrossEntropyBigram(d)
+        case "qc"       => graft.operators.TextAnalysis.qualityClassifier(d)
         case "ngram"   => Dedup.ngramNearIncremental(d.where(bucket >= 50), d.where(bucket < 50))
         case "minhash" => Dedup.minhashNearIncremental(d.where(bucket >= 50), d.where(bucket < 50))
         case "indexed" => Dedup.ngramNearIncrementalIndexed(spark, sfDir, d.where(bucket >= 50))
