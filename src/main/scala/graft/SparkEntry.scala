@@ -61,6 +61,10 @@ object SparkEntry {
     "dedup_minhash_approx" -> ((s, dir) => Dedup.minhashNearApprox(Tables.documents(s, dir))),
     // span-level TREATMENT: duplicated 5-word spans removed from the text
     "span_trim" -> ((s, dir) => Dedup.trimSpans(Tables.documents(s, dir))),
+    // token-budget shard layout (export step) — two-level scan vs the
+    // oracle's plain global running sum
+    "shard_assign" -> ((s, dir) =>
+      Sampling.tokenShards(Tables.documents(s, dir), tokensPerShard = 10000L)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashNear(Tables.embeddings(s, dir))),
     "dedup_semantic" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir))),
     "dedup_spans" -> ((s, dir) => Dedup.spanDedup(Tables.documents(s, dir))),
@@ -2520,6 +2524,20 @@ object SparkEntry {
         |  round(pow(per.tokens, 0.5) / tot.denom, 6) AS weight,
         |  round(pow(per.tokens, 0.5) / tot.denom * 10000000.0 / per.tokens, 6) AS epochs
         |FROM per, tot ORDER BY per.source""".stripMargin,
+
+    // mirrors Sampling.tokenShards: shard = tokens-before div budget over
+    // the PLAIN doc_id-ordered running sum (the two-level-scan proof,
+    // pack_sequences' shape without the lang key)
+    "shard_assign" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM t)
+        |SELECT doc_id, n_tok, CAST(before // 10000 AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // the oracle is the PLAIN per-lang running sum — proving the sharded
     // two-level scan computes the same global offsets

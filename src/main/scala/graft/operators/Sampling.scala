@@ -179,6 +179,42 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget SHARD assignment — the export layout step after packing:
+    * reading the corpus in doc_id order, a document belongs to shard
+    * `floor(tokens_before_it / tokensPerShard)`, so every shard except the
+    * last carries ≥ `tokensPerShard` whitespace tokens (a shard closes
+    * when the running sum crosses its budget; the crossing document
+    * overhangs into its own shard's count, the standard greedy layout).
+    * [[graft.io.Export.writeShards]] turns the assignment into
+    * partitioned files + a manifest.
+    *
+    * Scale shape: the [[packSequences]] two-level distributed prefix scan
+    * without the language key — local running sums inside `shardWidth`-doc
+    * id groups, group offsets via a window over ≤ docs/shardWidth rows
+    * (the only unpartitioned step), offsets broadcast back. Never a
+    * single-reducer global window over documents. */
+  def tokenShards(docs: DataFrame, tokensPerShard: Long,
+                  shardWidth: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tokensPerShard > 0, s"tokensPerShard must be positive, got $tokensPerShard")
+    require(shardWidth > 0, s"shardWidth must be positive, got $shardWidth")
+    val base = docs.select(col("doc_id"),
+      size(TextAnalysis.toks).cast("bigint").as("n_tok"),
+      expr(s"doc_id div $shardWidth").as("__grp"))
+    val wLocal = Window.partitionBy(col("__grp")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("local_cum", sum(col("n_tok")).over(wLocal))
+    val wGrp = Window.orderBy(col("__grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = base.groupBy(col("__grp")).agg(sum(col("n_tok")).as("grp_tok"))
+      .withColumn("grp_off", sum(col("grp_tok")).over(wGrp) - col("grp_tok"))
+      .select(col("__grp"), col("grp_off"))
+    local.join(broadcast(offsets), Seq("__grp"))
+      .select(col("doc_id"), col("n_tok"),
+        expr(s"(grp_off + local_cum - n_tok) div $tokensPerShard").as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Training-mixture accounting per source — the data-mixing stage of
     * LLM pretraining (the temperature-scaled sampling used by multilingual
     * corpora: weight_s ∝ tokens_s^alpha, renormalized). For each source:

@@ -149,6 +149,64 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"offsets join must broadcast:\n$plan")
   }
 
+  test("tokenShards: two-level scan equals the plain running sum; shards close at the budget") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val budget = 500L
+    val got = Sampling.tokenShards(docs, budget, shardWidth = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // plain single-window reference
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = docs.select(col("doc_id"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("bigint").as("n_tok"))
+      .withColumn("shard",
+        expr(s"coalesce(sum(n_tok) over (order by doc_id rows between unbounded preceding and 1 preceding), 0) div $budget"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == ref.toSeq)
+    // shard ids are monotone in doc order, and every present shard except
+    // the last closes past its budget boundary: the cumulative token count
+    // through a shard's final document reaches (shard+1)·budget (a huge
+    // doc may overhang several budgets, leaving later shards sparse — the
+    // greedy layout's documented behavior — so per-shard sums alone are
+    // NOT bounded below)
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
+    val cums = got.scanLeft(0L)(_ + _._2).tail
+    val lastShard = got.last._3
+    got.zip(cums).zipWithIndex.foreach { case (((_, _, s), cum), i) =>
+      val isLastOfShard = i == got.length - 1 || got(i + 1)._3 != s
+      if (isLastOfShard && s != lastShard)
+        assert(cum >= (s + 1) * budget, s"shard $s closed at $cum")
+    }
+  }
+
+  test("writeShards: partitioned files round-trip, manifest totals match") {
+    val docs = Tables.documents(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-shards-").toString
+    val manifest = graft.io.Export
+      .writeShards(spark, docs, path, tokensPerShard = 500L).collect()
+    val back = spark.read.json(path)
+    assert(back.count() == docs.count())
+    // every doc reads back into the shard the assignment chose
+    val assigned = Sampling.tokenShards(docs, 500L)
+      .select(col("doc_id"), col("shard")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    back.select(col("doc_id"), col("shard")).collect()
+      // the shard partition column reads back as its narrowest type (int)
+      .foreach(r => assert(assigned(r.getLong(0)) == r.getAs[Number](1).longValue))
+    val mf = ujsonLite(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "manifest.json")), "UTF-8"))
+    assert(mf("n_shards") == manifest.length)
+    assert(manifest.map(_.getLong(1)).sum == docs.count())
+  }
+
+  // minimal manifest probe (avoids a JSON dependency): extracts top-level
+  // integer fields of the flat manifest header
+  private def ujsonLite(s: String): Map[String, Long] =
+    "\"(tokens_per_shard|n_shards)\":(\\d+)".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+
   test("cellBalancedSample: at most perCell kept per cell, hash order deterministic") {
     val e = Tables.embeddings(spark, dir)
     val res = Sampling.cellBalancedSample(e, nCells = 16, perCell = 5).collect()
