@@ -65,6 +65,8 @@ object SparkEntry {
     // oracle's plain global running sum
     "shard_assign" -> ((s, dir) =>
       Sampling.tokenShards(Tables.documents(s, dir), tokensPerShard = 10000L)),
+    // executable mixture: per-doc deterministic repetition counts
+    "mixture_draw" -> ((s, dir) => Sampling.mixtureDraw(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashNear(Tables.embeddings(s, dir))),
     "dedup_semantic" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir))),
     "dedup_spans" -> ((s, dir) => Dedup.spanDedup(Tables.documents(s, dir))),
@@ -2538,6 +2540,26 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_tok, CAST(before // 10000 AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // mirrors Sampling.mixtureDraw: floor(epochs) + a deterministic
+    // hash-threshold extra draw; epochs is the 6-dp source_mix value so
+    // both engines threshold identical doubles
+    "mixture_draw" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(pow(tokens, 0.5)) AS denom FROM per),
+        |mix AS (SELECT source,
+        |    round(pow(tokens, 0.5) / denom * 10000000.0 / tokens, 6) AS epochs
+        |  FROM per, tot)
+        |SELECT d.doc_id, d.source,
+        |  CAST(floor(epochs) +
+        |    CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14))::UBIGINT
+        |              < CAST(floor((epochs - floor(epochs)) * 72057594037927936.0) AS BIGINT)
+        |         THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+        |FROM documents d JOIN mix USING (source)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the oracle is the PLAIN per-lang running sum — proving the sharded
     // two-level scan computes the same global offsets

@@ -246,6 +246,38 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** [[sourceMixture]]'s EXECUTABLE half — materialize the epoch plan:
+    * each document's repetition count under the temperature-scaled
+    * mixture, `floor(epochs_s)` plus one more with probability
+    * `frac(epochs_s)` by the deterministic 56-bit id hash (the same
+    * hash-threshold device as [[hashBucket]] splits, at full resolution).
+    * Per source, Σ n_repeats·tokens then lands on `weight_s · budget` in
+    * expectation with the per-doc draw reproducible across engines, runs,
+    * and partitionings — the property an auditable mixture needs (a rerun
+    * or a resumed job re-draws IDENTICAL repetitions). A training loader
+    * consumes (doc_id, n_repeats) directly.
+    *
+    * Scale shape: the mixture table is sources-sized and broadcast; the
+    * per-doc draw is one narrow codegen projection — the corpus is
+    * touched once, nothing shuffles. Exact cross-engine: epochs is the
+    * 6-dp-rounded mixture value (identical doubles), and the threshold
+    * `floor(frac·2^56)` is one correctly-rounded multiply + floor on
+    * identical inputs — integer comparison from there. */
+  def mixtureDraw(docs: DataFrame, alpha: Double = 0.5,
+                  budgetTokens: Long = 10000000L): DataFrame = {
+    import graft.functions.LshFunctions
+    val mix = sourceMixture(docs, alpha, budgetTokens)
+      .select(col("source"), col("epochs"))
+    docs.join(broadcast(mix), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        (floor(col("epochs")).cast("bigint") +
+          when(LshFunctions.hash56(col("doc_id").cast("string")) <
+              floor((col("epochs") - floor(col("epochs")))
+                * lit(72057594037927936.0)).cast("bigint"),
+            lit(1L)).otherwise(lit(0L))).as("n_repeats"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cluster-balanced (diversity) sampling over an embedding table — the
     * curation move that equalizes cluster representation instead of
     * source representation ([[sourceMixture]]'s semantic twin): assign

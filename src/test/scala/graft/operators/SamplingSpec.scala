@@ -149,6 +149,35 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"offsets join must broadcast:\n$plan")
   }
 
+  test("mixtureDraw: repetitions match the definition; per-source totals land on weight*budget") {
+    val docs = Tables.documents(spark, dir)
+    val budget = 100000L
+    val draws = Sampling.mixtureDraw(docs, budgetTokens = budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val mix = Sampling.sourceMixture(docs, budgetTokens = budget).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    // floor/ceil of epochs bound every draw; at least one doc drew each side
+    draws.foreach { case (_, src, n) =>
+      val e = mix(src)._2
+      assert(n == math.floor(e).toLong || n == math.floor(e).toLong + 1, s"$src: $n vs $e")
+    }
+    // expected per-source token total = weight * budget; the deterministic
+    // hash draw concentrates tightly (each source has hundreds of docs)
+    val toks = docs.selectExpr("doc_id", "source",
+        "cast(size(filter(split(text, ' '), x -> x != '')) as long) as n_tok")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val perSource = draws.groupBy(_._2).view.mapValues(
+      _.map { case (id, _, n) => toks(id)._2 * n }.sum).toMap
+    perSource.foreach { case (src, got) =>
+      val want = mix(src)._1 * budget
+      assert(math.abs(got - want) / want < 0.25, s"$src: $got vs $want")
+    }
+    // re-evaluation draws identical repetitions (determinism)
+    val again = Sampling.mixtureDraw(docs, budgetTokens = budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(draws.toSeq == again.toSeq)
+  }
+
   test("tokenShards: two-level scan equals the plain running sum; shards close at the budget") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
