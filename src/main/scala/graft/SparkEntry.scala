@@ -67,6 +67,8 @@ object SparkEntry {
       Sampling.tokenShards(Tables.documents(s, dir), tokensPerShard = 10000L)),
     // executable mixture: per-doc deterministic repetition counts
     "mixture_draw" -> ((s, dir) => Sampling.mixtureDraw(Tables.documents(s, dir))),
+    // interpretable hard-rule quality audit (Gopher rule family)
+    "gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashNear(Tables.embeddings(s, dir))),
     "dedup_semantic" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir))),
     "dedup_spans" -> ((s, dir) => Dedup.spanDedup(Tables.documents(s, dir))),
@@ -1338,10 +1340,12 @@ object SparkEntry {
         |  FROM documents d LEFT JOIN lper l ON l.doc_id = d.doc_id)
         |SELECT qual.lang, count(*) AS n_docs,
         |  CAST(sum(qual.n_tokens) AS BIGINT) AS total_tokens,
-        |  round(avg(qual.quality), 6) AS avg_quality,
+        |  round(sum(CAST(round(qual.quality * 1000000.0) AS BIGINT))::DOUBLE
+        |        / 1000000.0 / count(*), 6) AS avg_quality,
         |  round(avg(CASE WHEN dup.keep THEN 0.0 ELSE 1.0 END), 6) AS exact_dup_share,
         |  round(avg(CASE WHEN pii.has_pii THEN 1.0 ELSE 0.0 END), 6) AS pii_share,
-        |  round(avg(lm.xent), 6) AS avg_xent
+        |  round(sum(CAST(round(lm.xent * 1000000.0) AS BIGINT))::DOUBLE
+        |        / 1000000.0 / count(*), 6) AS avg_xent
         |FROM qual JOIN dup USING (doc_id) JOIN pii USING (doc_id) JOIN lm USING (doc_id)
         |GROUP BY qual.lang ORDER BY qual.lang""".stripMargin),
 
@@ -1363,9 +1367,11 @@ object SparkEntry {
         |  FROM documents d LEFT JOIN lper p ON p.doc_id = d.doc_id),
         |bysrc AS (SELECT source, count(*) AS n_docs,
         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-        |    round(avg(xent), 6) AS mean_xent
+        |    round(sum(CAST(round(xent * 1000000.0) AS BIGINT))::DOUBLE
+        |          / 1000000.0 / count(*), 6) AS mean_xent
         |  FROM per GROUP BY source),
-        |gl AS (SELECT round(avg(xent), 6) AS global_xent,
+        |gl AS (SELECT round(sum(CAST(round(xent * 1000000.0) AS BIGINT))::DOUBLE
+        |          / 1000000.0 / count(*), 6) AS global_xent,
         |    sum(n_tokens) AS total_tokens FROM per),
         |raw AS (SELECT source, n_docs, n_tokens, mean_xent,
         |    round(greatest(mean_xent - gl.global_xent, 0.0), 6) AS excess,
@@ -1482,7 +1488,9 @@ object SparkEntry {
         |j AS (SELECT least(CAST(floor(sc.score * 10) AS BIGINT), 9) AS bin,
         |        sc.score, lab.y
         |      FROM sc JOIN lab USING (doc_id)),
-        |b AS (SELECT bin, count(*) AS n, avg(score) AS conf, avg(y) AS acc
+        |b AS (SELECT bin, count(*) AS n,
+        |    sum(CAST(round(score * 1000000.0) AS BIGINT))::DOUBLE
+        |      / 1000000.0 / count(*) AS conf, avg(y) AS acc
         |      FROM j GROUP BY bin),
         |t AS (SELECT sum(n) AS nt, sum(n * abs(conf - acc)) AS gap_sum FROM b)
         |SELECT bin, CAST(n AS BIGINT) AS n,
@@ -1961,7 +1969,8 @@ object SparkEntry {
          |  FROM rec
          |  WHERE sqrt(list_sum(list_transform(v, x -> x*x))) > 0)
          |SELECT label, count(*) AS n,
-         |  round(avg(rel_err), 6) AS avg_err,
+         |  round(sum(CAST(round(rel_err * 1000000000.0) AS BIGINT))::DOUBLE
+         |        / 1000000000.0 / count(*), 6) AS avg_err,
          |  round(max(rel_err), 6) AS max_err
          |FROM err GROUP BY label ORDER BY label""".stripMargin,
 
@@ -2540,6 +2549,37 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_tok, CAST(before // 10000 AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.gopherRules: integer tallies per rule, the pass
+    // conjunction uses only integer comparisons (x10/x5 scalings)
+    "gopher_rules" ->
+      """WITH g AS (SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS w,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS nh,
+        |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS ne
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sl,
+        |    nh, ne,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS na,
+        |    CAST(len(list_filter(w, x -> lower(x) IN ('the','a','of','and','to','is',
+        |      'el','la','de','que','y','en','der','die','das','und','ist','ein'))) AS BIGINT) AS n_stop_hits,
+        |    (text LIKE '- %' OR text LIKE '* %') AS bullet_start,
+        |    (text LIKE '%...') AS ellipsis_end
+        |  FROM g)
+        |SELECT doc_id, n_words,
+        |  round(CASE WHEN n_words > 0 THEN coalesce(sl, 0)::DOUBLE / n_words ELSE 0.0 END, 6) AS mean_word_len,
+        |  round(CASE WHEN n_words > 0 THEN (nh + ne)::DOUBLE / n_words ELSE 0.0 END, 6) AS symbol_ratio,
+        |  round(CASE WHEN n_words > 0 THEN na::DOUBLE / n_words ELSE 0.0 END, 6) AS alpha_word_ratio,
+        |  n_stop_hits, bullet_start, ellipsis_end,
+        |  (n_words >= 20 AND n_words <= 100000 AND n_words > 0
+        |   AND coalesce(sl, 0) >= 3 * n_words AND coalesce(sl, 0) <= 10 * n_words
+        |   AND (nh + ne) * 10 <= n_words
+        |   AND na * 5 >= n_words * 4
+        |   AND n_stop_hits >= 2
+        |   AND NOT bullet_start AND NOT ellipsis_end) AS pass
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // mirrors Sampling.mixtureDraw: floor(epochs) + a deterministic
     // hash-threshold extra draw; epochs is the 6-dp source_mix value so

@@ -286,7 +286,10 @@ object Ann {
       .groupBy(col("label"))
       .agg(
         count(lit(1)).as("n"),
-        round(avg(col("rel_err")), 6).as("avg_err"),
+        // micro-units mean of the 9-dp-rounded errors (order-free integer
+        // sum; see TextAnalysis.doremiWeights rationale)
+        round(sum(round(col("rel_err") * lit(1e9)).cast("bigint")).cast("double")
+          / lit(1e9) / count(lit(1)), 6).as("avg_err"),
         round(max(col("rel_err")), 6).as("max_err"))
       .orderBy(col("label"))
   }

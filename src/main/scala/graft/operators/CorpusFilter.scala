@@ -60,10 +60,19 @@ object CorpusFilter {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
-        round(avg(col("quality")), 6).as("avg_quality"),
+        // averages of 6-dp-ROUNDED per-doc values go through integer
+        // micro-units: a float sum of the rounded doubles is summation-
+        // ORDER-dependent in its last ulp, and when the true mean sits on
+        // a 5e-7 boundary the 6-dp round flips between engines (observed
+        // at sf0.001: 0.300938 vs 0.300937). Summing exact integers is
+        // order-free; the two divisions then run on identical inputs.
+        // The 0/1 share averages are already exact (integer-valued terms).
+        round(sum(round(col("quality") * lit(1000000.0)).cast("bigint")).cast("double")
+          / lit(1000000.0) / count(lit(1)), 6).as("avg_quality"),
         round(avg(when(col("keep"), 0.0).otherwise(1.0)), 6).as("exact_dup_share"),
         round(avg(when(col("has_pii"), 1.0).otherwise(0.0)), 6).as("pii_share"),
-        round(avg(col("xent")), 6).as("avg_xent"))
+        round(sum(round(col("xent") * lit(1000000.0)).cast("bigint")).cast("double")
+          / lit(1000000.0) / count(lit(1)), 6).as("avg_xent"))
       .orderBy(col("lang"))
   }
 }

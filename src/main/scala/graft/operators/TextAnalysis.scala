@@ -20,6 +20,7 @@ object TextAnalysis {
   private val EnStop = Seq("the", "a", "of", "and", "to", "is")
   private val EsStop = Seq("el", "la", "de", "que", "y", "en")
   private val DeStop = Seq("der", "die", "das", "und", "ist", "ein")
+  private val AllStop = EnStop ++ EsStop ++ DeStop
 
   private def inList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
 
@@ -608,11 +609,19 @@ object TextAnalysis {
     val per = docs.select(col("doc_id"), col("source"))
       .join(lmCrossEntropy(docs, trainBucketMax)
         .select(col("doc_id"), col("n_tokens"), col("xent")), Seq("doc_id"))
+    // integer micro-units, not avg(double): xent is 6-dp-rounded per doc,
+    // and a float sum of rounded values is summation-order-dependent in
+    // its last ulp — on a 5e-7 boundary the mean's own 6-dp round flips
+    // between engines (the corpus_report avg_quality flake, r10). Exact
+    // integer sums are order-free; the divisions run on identical inputs.
+    def microMean(c: Column): Column =
+      round(sum(round(c * lit(1000000.0)).cast("bigint")).cast("double")
+        / lit(1000000.0) / count(lit(1)), 6)
     val bySrc = per.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_tokens")).as("n_tokens"),
-      round(avg(col("xent")), 6).as("mean_xent"))
-    val global = per.agg(round(avg(col("xent")), 6).as("global_xent"),
+      microMean(col("xent")).as("mean_xent"))
+    val global = per.agg(microMean(col("xent")).as("global_xent"),
       sum(col("n_tokens")).as("total_tokens"))
     val raw = bySrc.crossJoin(broadcast(global))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("mean_xent"),
@@ -957,6 +966,61 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style rule audit (Rae et al. 2021 §A1.1, the rule family
+    * C4/MassiveText/RedPajama filters share) — per document, each rule's
+    * raw signal AND its boolean verdict, so a curator can tune thresholds
+    * from the same scan that enforces them:
+    *   R1 word count in [minWords, maxWords]
+    *   R2 mean word length in [3, 10] characters
+    *   R3 symbol-to-word ratio ('#' and '...') ≤ 0.1
+    *   R4 ≥ 80% of words contain an alphabetic character
+    *   R5 at least 2 stop-word hits (the cross-language list [[quality]] uses)
+    *   R6 does not open with a bullet, does not trail off in an ellipsis
+    * `pass` is the conjunction. Complements [[quality]] (a composite
+    * score) with the interpretable hard-rule reading of the same signals.
+    *
+    * Scale shape: narrow codegen string/array expressions over ONE scan —
+    * no shuffle at all before the output sort. Exact cross-engine:
+    * counts and replace-based substring tallies are integers; the two
+    * ratios are single divisions of identical integers, rounded 6 dp. */
+  def gopherRules(docs: DataFrame, minWords: Int = 20, maxWords: Int = 100000): DataFrame = {
+    val nTok = size(toks).cast("bigint")
+    val sumLen = expr("aggregate(filter(split(text, ' '), x -> x != ''), 0L, (a, w) -> a + length(w))")
+    val nHash = (length(col("text")) - length(regexp_replace(col("text"), "#", ""))).cast("bigint")
+    val nEll = ((length(col("text")) -
+      length(expr("replace(text, '...', '')"))) / 3).cast("bigint")
+    val nAlpha = size(expr("filter(split(text, ' '), x -> x != '' AND x rlike '[a-zA-Z]')")).cast("bigint")
+    val stopHits =
+      size(expr(s"filter(split(text, ' '), x -> lower(x) IN (${inList(AllStop)}))")).cast("bigint")
+    docs.select(col("doc_id"), nTok.as("n_words"), sumLen.as("__sl"),
+        nHash.as("__nh"), nEll.as("__ne"), nAlpha.as("__na"),
+        stopHits.as("n_stop_hits"),
+        col("text").startsWith("- ").or(col("text").startsWith("* ")).as("bullet_start"),
+        col("text").endsWith("...").as("ellipsis_end"))
+      .select(col("doc_id"), col("n_words"),
+        round(when(col("n_words") > 0, col("__sl").cast("double") / col("n_words"))
+          .otherwise(lit(0.0)), 6).as("mean_word_len"),
+        round(when(col("n_words") > 0,
+            (col("__nh") + col("__ne")).cast("double") / col("n_words"))
+          .otherwise(lit(0.0)), 6).as("symbol_ratio"),
+        round(when(col("n_words") > 0, col("__na").cast("double") / col("n_words"))
+          .otherwise(lit(0.0)), 6).as("alpha_word_ratio"),
+        col("n_stop_hits"), col("bullet_start"), col("ellipsis_end"),
+        col("__sl"), col("__nh"), col("__ne"), col("__na"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("alpha_word_ratio"), col("n_stop_hits"),
+        col("bullet_start"), col("ellipsis_end"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("n_words") > 0 &&
+          col("__sl").cast("double") >= lit(3.0) * col("n_words") &&
+          col("__sl").cast("double") <= lit(10.0) * col("n_words") &&
+          (col("__nh") + col("__ne")).cast("double") * 10 <= col("n_words").cast("double") &&
+          col("__na").cast("double") * 5 >= col("n_words").cast("double") * 4 &&
+          col("n_stop_hits") >= 2 &&
+          !col("bullet_start") && !col("ellipsis_end")).as("pass"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Calibration audit for the trained quality filter (Guo et al. 2017,
     * arXiv:1706.04599): bin the [[qualityClassifier]] scores of the LABELED
     * docs into `bins` equal-width confidence bins; per bin report count,
@@ -989,7 +1053,13 @@ object TextAnalysis {
       .select(least(floor(col("score") * bins), lit((bins - 1).toLong))
         .cast("bigint").as("bin"), col("score"), col("y"))
       .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"), avg(col("score")).as("conf"),
+      // conf goes through integer micro-units: scores are 6-dp-rounded,
+      // and a float avg of rounded values is summation-order-dependent in
+      // its last ulp (see doremiWeights.microMean). acc averages exact
+      // 0/1 terms — already order-free.
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("score") * lit(1000000.0)).cast("bigint")).cast("double")
+          / lit(1000000.0) / count(lit(1))).as("conf"),
         avg(col("y")).as("acc"))
     val tot = perBin.agg(sum(col("n")).as("nt"),
       sum(col("n") * abs(col("conf") - col("acc"))).as("gap_sum"))

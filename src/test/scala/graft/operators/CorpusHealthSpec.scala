@@ -93,4 +93,29 @@ class CorpusHealthSpec extends SparkSpec {
       assert(conf >= bin / 10.0 - 1e-9 && conf <= (bin + 1) / 10.0 + 1e-9, r.toString)
     }
   }
+
+  test("gopherRules: rule verdicts on constructed edge documents") {
+    val good = "the quick brown fox jumps over the lazy dog and then trots away to rest " +
+      "under a shady tree while birds sing softly in the warm afternoon air today"
+    val rows = Seq(
+      1L -> good,                                     // passes every rule
+      2L -> ("- the bulleted doc " + good),           // bullet opener
+      3L -> (good + " trailing off..."),              // ellipsis closer
+      4L -> ("# ## ### " * 10 + good),                // symbol flood
+      5L -> "too short to pass",                      // word count
+      6L -> "")                                       // empty
+    val out = TextAnalysis.gopherRules(docs(rows.map(r => (r._1, r._2))))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8))).toMap
+    assert(out(1L)._8, s"good doc failed: ${out(1L)}")
+    assert(out(2L)._6 && !out(2L)._8)                  // bullet_start, fails
+    assert(out(3L)._7 && !out(3L)._8)                  // ellipsis_end, fails
+    assert(out(4L)._3 > 0.1 && !out(4L)._8)            // symbol_ratio kills it
+    assert(out(5L)._1 < 20 && !out(5L)._8)
+    assert(out(6L) == ((0L, 0.0, 0.0, 0.0, 0L, false, false, false)))
+    // mean word length is the exact character average
+    val t = good.split(" ")
+    assert(math.abs(out(1L)._2 - t.map(_.length).sum.toDouble / t.length) < 1e-6)
+  }
 }
