@@ -47,6 +47,40 @@ class LshPropertiesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("fused band keys/signature ≡ composed forms on generated shingle sets") {
+    val samples = Gen.listOfN(40, setGen).sample.get
+    val rows = samples.toDF("s")
+      .select(LshFunctions.hashed_shingles(col("s")).as("hs"))
+      .select(
+        LshFunctions.minhash_band_keys(col("hs"), 8, 4).as("fk"),
+        LshFunctions.band_keys(
+          transform(LshFunctions.minhash_signature_long(col("hs"), 8),
+            v => v.cast("string")), 4, 2, "|").as("ck"),
+        LshFunctions.minhash_signature_fused(col("hs"), 8).as("fs"),
+        LshFunctions.minhash_signature_long(col("hs"), 8).as("cs"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    }
+  }
+
+  test("agreeing-seed estimate: 1 on identical sets, superset agreement bounds interpolate") {
+    val samples = Gen.listOfN(40, setGen).sample.get
+    val seeds = 12
+    val est = (a: String, b: String) =>
+      org.apache.spark.sql.functions.aggregate(
+        zip_with(LshFunctions.minhash_signature_fused(
+            LshFunctions.hashed_shingles(col(a)), seeds),
+          LshFunctions.minhash_signature_fused(
+            LshFunctions.hashed_shingles(col(b)), seeds),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v)
+    val rows = samples.map(s => (s, s)).toDF("a", "b")
+      .select(est("a", "b").as("same")).collect()
+    rows.foreach(r => assert(r.getInt(0) == seeds))
+  }
+
   test("quantize_int8: invariant under exact power-of-two rescaling") {
     val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-100.0, 100.0))
       .retryUntil(v => v.exists(x => math.abs(x) > 1e-6))
