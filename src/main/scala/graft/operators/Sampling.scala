@@ -194,10 +194,16 @@ object Sampling {
     * (the only unpartitioned step), offsets broadcast back. Never a
     * single-reducer global window over documents. */
   def tokenShards(docs: DataFrame, tokensPerShard: Long,
-                  shardWidth: Int = 128): DataFrame = {
+                  shardWidth: Int = 128,
+                  // tokens already exported before this frame — the
+                  // continuation offset the STREAMING export carries
+                  // across micro-batches ([[graft.streaming.Streaming
+                  // .streamShardExport]]); 0 for a one-shot batch export
+                  baseTokens: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tokensPerShard > 0, s"tokensPerShard must be positive, got $tokensPerShard")
     require(shardWidth > 0, s"shardWidth must be positive, got $shardWidth")
+    require(baseTokens >= 0, s"baseTokens must be non-negative, got $baseTokens")
     val base = docs.select(col("doc_id"),
       size(TextAnalysis.toks).cast("bigint").as("n_tok"),
       expr(s"doc_id div $shardWidth").as("__grp"))
@@ -211,7 +217,7 @@ object Sampling {
       .select(col("__grp"), col("grp_off"))
     local.join(broadcast(offsets), Seq("__grp"))
       .select(col("doc_id"), col("n_tok"),
-        expr(s"(grp_off + local_cum - n_tok) div $tokensPerShard").as("shard"))
+        expr(s"($baseTokens + grp_off + local_cum - n_tok) div $tokensPerShard").as("shard"))
       .orderBy(col("doc_id"))
   }
 

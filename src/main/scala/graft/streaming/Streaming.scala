@@ -476,6 +476,79 @@ object Streaming {
   def readReservoir(spark: SparkSession, reservoirPath: String): Option[DataFrame] =
     readLatestVersion(spark, reservoirPath)
 
+  /** Continuous token-budget shard export — the streaming half of
+    * [[graft.io.Export.writeShards]]: each micro-batch's documents are
+    * assigned to shards CONTINUING the global running token count
+    * ([[graft.operators.Sampling.tokenShards]] with `baseTokens` = the
+    * cumulative total committed by prior batches) and appended as
+    * `b<batchId>/shard=<k>/` files, so a pretraining reader sees one
+    * ever-growing budget-sharded corpus across the life of the stream.
+    *
+    * Exactly-once-equivalence under at-least-once delivery, by
+    * construction: (1) batch files land in a PER-BATCH directory written
+    * with overwrite — a replayed batch replaces its own files, never
+    * appends beside them; (2) the cumulative count is versioned state
+    * read at the STRICT PREDECESSOR of the current batch id — a replay
+    * cannot see the total its own failed attempt committed, so it
+    * re-derives identical shard ids. `retainVersions` ≥ 1 keeps the
+    * predecessor alive through the commit (the [[commitVersion]] crash
+    * window); read the export back with [[readShardExport]]. */
+  def streamShardExport(docs: DataFrame, path: String, checkpointDir: String,
+                        tokensPerShard: Long,
+                        retainVersions: Int = 1): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val prev = readVersionBelow(spark, s"$path/_state", batchId)
+            .map(_.head().getLong(0)).getOrElse(0L)
+          val assigned = graft.operators.Sampling
+            .tokenShards(batch, tokensPerShard, baseTokens = prev)
+          batch.join(assigned.select(col("doc_id"), col("shard")), Seq("doc_id"))
+            .write.mode("overwrite").partitionBy("shard")
+            .parquet(f"$path/b$batchId%020d")
+          val batchTok = assigned.agg(coalesce(sum(col("n_tok")), lit(0L)))
+            .head().getLong(0)
+          commitVersion(Seq(prev + batchTok).toDF("cum_tokens"),
+            s"$path/_state", batchId, retainVersions)
+        }
+      }
+      .start()
+
+  /** All batches of a [[streamShardExport]] run as one DataFrame (shard
+    * column restored from the partition dirs). Batch-count-bounded driver
+    * listing; each batch dir reads as its own parquet root. */
+  def readShardExport(spark: SparkSession, path: String): Option[DataFrame] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val dirs = fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("b") && fs.exists(new Path(p, "_SUCCESS")))
+      .sortBy(_.getName)
+    if (dirs.isEmpty) None
+    else Some(dirs.map(p => spark.read.parquet(p.toString)).reduce(_ unionByName _))
+  }
+
+  /** Highest committed version STRICTLY BELOW `batchId` — the replay-safe
+    * state read for sinks whose state ACCUMULATES (a replayed batch must
+    * not observe the total its own failed attempt committed; contrast the
+    * reservoir/HLL sinks, whose merges are idempotent and read latest). */
+  private def readVersionBelow(spark: SparkSession, rootPath: String,
+                               batchId: Long): Option[DataFrame] = {
+    val root = new Path(rootPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val cutoff = f"v$batchId%020d"
+    fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("v") && p.getName < cutoff &&
+        fs.exists(new Path(p, "_SUCCESS")))
+      .sortBy(_.getName).lastOption
+      .map(p => spark.read.parquet(p.toString))
+  }
+
   /** Written-last version-swap read side, shared by every versioned
     * small-state store here (reservoir, HLL registers). */
   private def readLatestVersion(spark: SparkSession, rootPath: String): Option[DataFrame] = {

@@ -215,6 +215,52 @@ class StreamingSpec extends SparkSpec {
     assert(stored == expected.toSeq)
   }
 
+  test("streamShardExport: shards continue across batches; batch-1 replay after a commit-marker crash changes nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("graft-shardx-").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-shardx-ckpt-").toString
+    val docs = (0L until 40L).map(i => (i, ("w " * ((i % 7).toInt + 1)).trim))
+
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(60000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs.take(20): _*)
+    runToCompletion(Streaming.streamShardExport(
+      mem.toDF().toDF("doc_id", "text"), path, ckpt, tokensPerShard = 9L))
+    mem.addData(docs.drop(20): _*)
+    runToCompletion(Streaming.streamShardExport(
+      mem.toDF().toDF("doc_id", "text"), path, ckpt, tokensPerShard = 9L))
+
+    def exported(): Map[Long, Long] = Streaming.readShardExport(spark, path).get
+      .select(col("doc_id"), col("shard")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    // streamed shards ≡ the one-shot batch export over the same corpus
+    // (ids arrive in doc_id order, so the running totals line up)
+    import spark.implicits._
+    val expect = graft.operators.Sampling
+      .tokenShards(docs.toDF("doc_id", "text"), 9L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(exported() == expect)
+    assert(expect.values.max > 0, "test corpus must span multiple shards")
+
+    // crash image: batch 1's files + state are durable, checkpoint commit
+    // marker is not — the restart replays batch 1; the strict-predecessor
+    // state read + per-batch overwrite must reproduce identical files
+    val commit1 = java.nio.file.Paths.get(ckpt, "commits", "1")
+    assert(Files.exists(commit1), "expected checkpoint commit marker commits/1")
+    Files.delete(commit1)
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    runToCompletion(Streaming.streamShardExport(
+      mem.toDF().toDF("doc_id", "text"), path, ckpt, tokensPerShard = 9L))
+    assert(exported() == expect)
+    // no duplicate rows from the replay either
+    assert(Streaming.readShardExport(spark, path).get.count() == 40L)
+  }
+
   test("streamIngestDeduped: crash between parquet append and checkpoint commit — replay admits nothing") {
     implicit val sqlCtx = spark.sqlContext
     val db = GraftDatabase.make(spark, Files.createTempDirectory("graft-crash-").toString)
