@@ -369,4 +369,57 @@ class PlanShapeSpec extends SparkSpec {
     assert(!filterLines(pd).exists(_.contains("hash56")),
       s"shingle hash inside a Filter — inferred generate filter is back:\n$pd")
   }
+
+  test("near-dedup verify joins: shingle/signature tables are NEVER the broadcast side") {
+    // Catalyst's size estimate for the shingled corpus derives from the
+    // parquet scan, but the materialized hs arrays are ~8 bytes/char — in
+    // round 10 it broadcast that side of the sa/sb verify joins (~240 MB
+    // at sf0.1, the dominant GC cost; wrong side at ANY scale). The
+    // operators pin shuffle-hash with the bounded candidate side as
+    // build; this guard fails if a refactor drops the hints and the
+    // estimates flip the join back.
+    val docs = Tables.documents(spark, dir)
+    def noBroadcastOfShingles(p: String, label: String): Unit = {
+      val lines = p.linesIterator.toSeq
+      lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).foreach {
+        case (_, i) =>
+          // the broadcast PAYLOAD is described by the immediate child op's
+          // output list: an hs/sa/sb array column there means the shingle
+          // sets themselves are being broadcast (band keys derived FROM hs
+          // deeper in the subtree are fine — they are narrow strings)
+          val child = lines.drop(i + 1).headOption.getOrElse("")
+          assert(!child.contains("hs#") && !child.contains("AS sa") &&
+            !child.contains("AS sb"),
+            s"$label: shingle arrays in a broadcast payload:\n$child\n$p")
+      }
+    }
+    noBroadcastOfShingles(plan(graft.operators.Dedup.ngramNear(docs)), "ngramNear")
+    noBroadcastOfShingles(plan(graft.operators.Dedup.minhashNear(docs)), "minhashNear")
+    val bucket = graft.operators.Sampling.hashBucket(
+      org.apache.spark.sql.functions.col("doc_id"))
+    noBroadcastOfShingles(plan(graft.operators.Dedup.ngramNearIncremental(
+      docs.where(bucket >= 50), docs.where(bucket < 50))), "ngramNearIncremental")
+    // spanDedup's df join: the distinct-shingle table must be a
+    // shuffle-hash build, never broadcast (it grows with the corpus)
+    val pd2 = plan(graft.operators.Dedup.spanDedup(docs))
+    assert(pd2.contains("ShuffledHashJoin"),
+      s"spanDedup df join lost its shuffle-hash pin:\n$pd2")
+  }
+
+  test("trimSpans: word-count shapes only — no cartesian, no corpus-wide window") {
+    val p = plan(graft.operators.Dedup.trimSpans(Tables.documents(spark, dir)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // reassembly is a doc-keyed aggregation, not a global sort of tokens
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("tokenShards: the only single-partition window is over the group offsets") {
+    val p = plan(graft.operators.Sampling.tokenShards(
+      Tables.documents(spark, dir), 10000L))
+    // local running sums are keyed by the id group; the offsets window is
+    // SinglePartition but over ≤ docs/shardWidth rows by construction
+    val singles = p.linesIterator.filter(_.contains("SinglePartition")).size
+    assert(singles <= 2, s"unexpected single-partition stages:\n$p")
+    assert(p.contains("Window"), p)
+  }
 }
