@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Ann, AsofJoin, Bpe, CatalogOps, Centrality, CorpusFilter, Decontaminate, Dedup, Diagnostics, EmbeddingStats, Funnel, Ingest, Mining, Multimodal, Pii, RangeJoin, Relational, Salting, Sampling, Search, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, Bpe, CatalogOps, Centrality, CorpusFilter, Curate, Decontaminate, Dedup, Diagnostics, EmbeddingStats, Funnel, Ingest, Mining, Multimodal, Pii, RangeJoin, Relational, Salting, Sampling, Search, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -69,6 +69,9 @@ object SparkEntry {
     "mixture_draw" -> ((s, dir) => Sampling.mixtureDraw(Tables.documents(s, dir))),
     // interpretable hard-rule quality audit (Gopher rule family)
     "gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(Tables.documents(s, dir))),
+    // the assembled end-to-end curation pipeline — gates + near-dedup +
+    // decontamination + split + shard in one auditable frame
+    "curate" -> ((s, dir) => Curate.pipeline(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashNear(Tables.embeddings(s, dir))),
     "dedup_semantic" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir))),
     "dedup_spans" -> ((s, dir) => Dedup.spanDedup(Tables.documents(s, dir))),
@@ -965,6 +968,61 @@ object SparkEntry {
       |    END AS r2
       |  FROM m)""".stripMargin
 
+  /** The corpus_filter gate CTE chain, ending in `cfd(doc_id,
+    * quality_ok, repetition_ok, pii_ok, dedup_ok, cf_kept)` plus the
+    * shared `buck` id-hash bucket table — reused verbatim by the
+    * standalone corpus_filter oracle and the assembled `curate` pipeline
+    * oracle so the gate definitions cannot drift between them. */
+  private def corpusFilterCtes: String =
+      """toks AS (SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS t FROM documents),
+        |q AS (SELECT doc_id,
+        |    round(least(1.0, len(t)::DOUBLE / 100.0)
+        |      * (1.0 - CASE WHEN length(text) > 0
+        |               THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / length(text)
+        |               ELSE 0.0 END)
+        |      * (0.5 + 0.5 * CASE WHEN len(t) > 0
+        |          THEN (len(list_filter(t, x -> x IN ('the','a','of','and','to','is')))
+        |              + len(list_filter(t, x -> x IN ('el','la','de','que','y','en')))
+        |              + len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein'))))::DOUBLE / len(t)
+        |          ELSE 0.0 END), 6) >= 0.3 AS quality_ok
+        |  FROM toks),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 2 THEN list_transform(range(0, len(t) - 1),
+        |      i -> array_to_string(t[i+1:i+2], ' ')) ELSE CAST([] AS VARCHAR[]) END AS g2,
+        |    CASE WHEN len(t) >= 3 THEN list_transform(range(0, len(t) - 2),
+        |      i -> array_to_string(t[i+1:i+3], ' ')) ELSE CAST([] AS VARCHAR[]) END AS g3
+        |  FROM toks),
+        |top AS (SELECT doc_id, max(c) AS top_c FROM (
+        |    SELECT doc_id, gi, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(g2) AS gi FROM g) u GROUP BY doc_id, gi) v
+        |  GROUP BY doc_id),
+        |rep AS (SELECT g.doc_id,
+        |    NOT (round(CASE WHEN len(g2) > 0
+        |           THEN coalesce(top.top_c, 0)::DOUBLE / len(g2) ELSE 0.0 END, 6) > 0.05
+        |      OR round(CASE WHEN len(g3) > 0
+        |           THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) ELSE 0.0 END, 6) > 0.05)
+        |      AS repetition_ok
+        |  FROM g LEFT JOIN top ON g.doc_id = top.doc_id),
+        |pii AS (SELECT doc_id,
+        |    (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(text, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))
+        |     + len(regexp_extract_all(text, '(?:[0-9]{1,3}\.){3}[0-9]{1,3}'))) = 0 AS pii_ok
+        |  FROM documents),
+        |dd AS (SELECT doc_id,
+        |    doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS dedup_ok
+        |  FROM documents),
+        |buck AS (SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS b
+        |  FROM documents),
+        |cfd AS (SELECT q.doc_id, q.quality_ok, rep.repetition_ok,
+        |    pii.pii_ok, dd.dedup_ok,
+        |    (q.quality_ok AND rep.repetition_ok AND pii.pii_ok AND dd.dedup_ok) AS cf_kept
+        |  FROM q
+        |  JOIN rep ON q.doc_id = rep.doc_id
+        |  JOIN pii ON q.doc_id = pii.doc_id
+        |  JOIN dd  ON q.doc_id = dd.doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "topk_single" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1554,51 +1612,56 @@ object SparkEntry {
 
 
     "corpus_filter" ->
-      """WITH toks AS (SELECT doc_id, text,
-        |    list_filter(string_split(text, ' '), x -> x != '') AS t FROM documents),
-        |q AS (SELECT doc_id,
-        |    round(least(1.0, len(t)::DOUBLE / 100.0)
-        |      * (1.0 - CASE WHEN length(text) > 0
-        |               THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / length(text)
-        |               ELSE 0.0 END)
-        |      * (0.5 + 0.5 * CASE WHEN len(t) > 0
-        |          THEN (len(list_filter(t, x -> x IN ('the','a','of','and','to','is')))
-        |              + len(list_filter(t, x -> x IN ('el','la','de','que','y','en')))
-        |              + len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein'))))::DOUBLE / len(t)
-        |          ELSE 0.0 END), 6) >= 0.3 AS quality_ok
-        |  FROM toks),
-        |g AS (SELECT doc_id,
-        |    CASE WHEN len(t) >= 2 THEN list_transform(range(0, len(t) - 1),
-        |      i -> array_to_string(t[i+1:i+2], ' ')) ELSE CAST([] AS VARCHAR[]) END AS g2,
-        |    CASE WHEN len(t) >= 3 THEN list_transform(range(0, len(t) - 2),
-        |      i -> array_to_string(t[i+1:i+3], ' ')) ELSE CAST([] AS VARCHAR[]) END AS g3
-        |  FROM toks),
-        |top AS (SELECT doc_id, max(c) AS top_c FROM (
-        |    SELECT doc_id, gi, count(*) AS c
-        |    FROM (SELECT doc_id, unnest(g2) AS gi FROM g) u GROUP BY doc_id, gi) v
-        |  GROUP BY doc_id),
-        |rep AS (SELECT g.doc_id,
-        |    NOT (round(CASE WHEN len(g2) > 0
-        |           THEN coalesce(top.top_c, 0)::DOUBLE / len(g2) ELSE 0.0 END, 6) > 0.05
-        |      OR round(CASE WHEN len(g3) > 0
-        |           THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) ELSE 0.0 END, 6) > 0.05)
-        |      AS repetition_ok
-        |  FROM g LEFT JOIN top ON g.doc_id = top.doc_id),
-        |pii AS (SELECT doc_id,
-        |    (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |     + len(regexp_extract_all(text, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))
-        |     + len(regexp_extract_all(text, '(?:[0-9]{1,3}\.){3}[0-9]{1,3}'))) = 0 AS pii_ok
-        |  FROM documents),
-        |dd AS (SELECT doc_id,
-        |    doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS dedup_ok
-        |  FROM documents)
-        |SELECT q.doc_id, q.quality_ok, rep.repetition_ok, pii.pii_ok, dd.dedup_ok,
-        |  (q.quality_ok AND rep.repetition_ok AND pii.pii_ok AND dd.dedup_ok) AS kept
-        |FROM q
-        |JOIN rep ON q.doc_id = rep.doc_id
-        |JOIN pii ON q.doc_id = pii.doc_id
-        |JOIN dd  ON q.doc_id = dd.doc_id
-        |ORDER BY q.doc_id""".stripMargin,
+      s"""WITH $corpusFilterCtes
+        |SELECT doc_id, quality_ok, repetition_ok, pii_ok, dedup_ok,
+        |  cf_kept AS kept
+        |FROM cfd ORDER BY doc_id""".stripMargin,
+
+    // the assembled pipeline: corpus_filter's gates + near-dedup keeper
+    // election + train-split decontamination + hash split + token-budget
+    // shards over kept train docs — every arm shared verbatim with its
+    // standalone oracle
+    "curate" ->
+      s"""WITH $corpusFilterCtes,
+        |${ngramPairsSql()},
+        |dct0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |dchs AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(0, len(t) - 4),
+        |      i -> CAST(('0x' || substr(md5(array_to_string(t[i+1:i+5], ' ')), 1, 14))::UBIGINT AS BIGINT))) AS hs
+        |  FROM dct0),
+        |dcbench AS (SELECT DISTINCT unnest(hs) AS g FROM dchs
+        |  JOIN buck USING (doc_id) WHERE b >= 90),
+        |dctg AS (SELECT dchs.doc_id, unnest(hs) AS g FROM dchs
+        |  JOIN buck USING (doc_id) WHERE b < 80),
+        |dchits AS (SELECT doc_id, count(*) AS n FROM dctg
+        |  JOIN dcbench USING (g) GROUP BY doc_id),
+        |flags AS (SELECT cfd.doc_id, cfd.quality_ok, cfd.repetition_ok,
+        |    cfd.pii_ok, cfd.dedup_ok,
+        |    cfd.doc_id NOT IN (SELECT b_id FROM pairs) AS near_ok,
+        |    CASE WHEN buck.b < 80 THEN coalesce(dchits.n, 0) = 0
+        |         ELSE TRUE END AS decontam_ok,
+        |    buck.b AS b
+        |  FROM cfd JOIN buck ON cfd.doc_id = buck.doc_id
+        |  LEFT JOIN dchits ON cfd.doc_id = dchits.doc_id),
+        |fk AS (SELECT *, (quality_ok AND repetition_ok AND pii_ok AND dedup_ok
+        |    AND near_ok AND decontam_ok) AS kept FROM flags),
+        |ck AS (SELECT fk.doc_id,
+        |    CAST(len(list_filter(string_split(d.text, ' '), x -> x != '')) AS BIGINT) AS n_tok
+        |  FROM fk JOIN documents d ON fk.doc_id = d.doc_id
+        |  WHERE fk.kept AND fk.b < 80),
+        |cs AS (SELECT doc_id,
+        |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 10000 AS shard
+        |  FROM ck)
+        |SELECT fk.doc_id, fk.quality_ok, fk.repetition_ok, fk.pii_ok,
+        |  fk.dedup_ok, fk.near_ok, fk.decontam_ok, fk.kept,
+        |  CASE WHEN NOT fk.kept THEN NULL
+        |       WHEN fk.b < 80 THEN 'train'
+        |       WHEN fk.b < 90 THEN 'val' ELSE 'bench' END AS split,
+        |  CAST(cs.shard AS BIGINT) AS shard
+        |FROM fk LEFT JOIN cs ON fk.doc_id = cs.doc_id
+        |ORDER BY fk.doc_id""".stripMargin,
+
 
     "text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
