@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The assembled end-to-end curation pipeline — what a user actually runs
@@ -66,5 +66,28 @@ object Curate {
         when(col("kept") && col("__b") < trainPct, col("shard"))
           .otherwise(lit(null).cast("bigint")).as("shard"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Materialize a [[pipeline]] run: kept TRAIN docs as token-budget
+    * shards ([[graft.io.Export.writeShards]] — files + manifest), every
+    * rejected doc with its per-gate attribution to `path/quarantine`
+    * (the forensics table curators re-tune thresholds from), and the
+    * per-language dataset card ([[CorpusFilter.report]] over the kept
+    * corpus) to `path/card`. Returns the decision frame so callers can
+    * chain without recomputing. */
+  def export(spark: SparkSession, docs: DataFrame, path: String,
+             minQuality: Double = 0.3, tokensPerShard: Long = 10000L,
+             trainPct: Int = 80, benchFromPct: Int = 90): DataFrame = {
+    val decisions = pipeline(docs, minQuality, tokensPerShard, trainPct, benchFromPct)
+    val trainDocs = docs.join(
+      decisions.where(col("kept") && col("split") === "train").select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    graft.io.Export.writeShards(spark, trainDocs, s"$path/train", tokensPerShard)
+    decisions.where(!col("kept"))
+      .write.mode("overwrite").parquet(s"$path/quarantine")
+    CorpusFilter.report(docs.join(
+        decisions.where(col("kept")).select(col("doc_id")), Seq("doc_id"), "left_semi"))
+      .write.mode("overwrite").parquet(s"$path/card")
+    decisions
   }
 }

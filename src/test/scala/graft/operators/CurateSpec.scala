@@ -53,4 +53,26 @@ class CurateSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(keptTrain == expect)
   }
+
+  test("curate export: train shards + quarantine + dataset card materialize consistently") {
+    val docs = Tables.documents(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-curate-").toString
+    val decisions = Curate.export(spark, docs, path)
+    val kept = decisions.where(col("kept")).count()
+    val keptTrain = decisions
+      .where(col("kept") && col("split") === "train").count()
+    // the shard export carries exactly the kept train docs
+    val shards = spark.read.json(s"$path/train")
+    assert(shards.count() == keptTrain)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "train", "manifest.json")))
+    // the quarantine holds every rejected doc with its gate attribution
+    val quarantine = spark.read.parquet(s"$path/quarantine")
+    assert(quarantine.count() == docs.count() - kept)
+    assert(quarantine.columns.contains("quality_ok"))
+    assert(quarantine.where(col("kept")).count() == 0)
+    // the card aggregates the KEPT corpus only
+    val card = spark.read.parquet(s"$path/card")
+    assert(card.agg(sum(col("n_docs"))).head().getLong(0) == kept)
+  }
 }
