@@ -257,6 +257,10 @@ object ScaleSmoke {
     }
     stage("span dedup") { D.spanDedup(docs).queryExecution.toRdd.count() }
     stage("span trim") { D.trimSpans(docs).queryExecution.toRdd.count() }
+    stage("curate pipeline") {
+      // the assembled end-to-end frame: sum of the arms' shapes by design
+      graft.operators.Curate.pipeline(docs).queryExecution.toRdd.count()
+    }
     stage("winnow pairs") {
       graft.operators.TextAnalysis.winnowPairs(docs).queryExecution.toRdd.count()
     }

@@ -40,22 +40,37 @@ object Curate {
     val deco = Decontaminate.contamination(docs,
         trainPct = trainPct, benchFromPct = benchFromPct)
       .select(col("doc_id"), (!col("contaminated")).as("__dc"))
-    val flags = docs.select(col("doc_id"), bucket.as("__b"))
+    val flags = docs.select(col("doc_id"), bucket.as("__b"),
+        size(TextAnalysis.toks).cast("bigint").as("__ntok"))
       .join(gates, Seq("doc_id"))
       .join(near, Seq("doc_id"))
       .join(deco, Seq("doc_id"), "left")
       .select(col("doc_id"), col("quality_ok"), col("repetition_ok"),
         col("pii_ok"), col("dedup_ok"), col("near_ok"),
-        coalesce(col("__dc"), lit(true)).as("decontam_ok"), col("__b"))
+        coalesce(col("__dc"), lit(true)).as("decontam_ok"),
+        col("__b"), col("__ntok"))
       .withColumn("kept",
         col("quality_ok") && col("repetition_ok") && col("pii_ok") &&
           col("dedup_ok") && col("near_ok") && col("decontam_ok"))
+    // MATERIALIZATION BOUNDARY before the fan-out: the flags frame has
+    // two consumers (the shard scan over kept-train rows, and the final
+    // output), and without a boundary Catalyst re-evaluates every gate
+    // arm — including the near-dup mine — for each (measured 150 s vs
+    // ~100 s of summed arms at 250k docs). A lazy localCheckpoint
+    // materializes the corpus-sized-but-NARROW verdict rows once on
+    // first action; conditional-prefix-scan formulations that avoid the
+    // fan-out still consume the frame twice (offsets aggregation + final
+    // join), so the boundary is the fix, not a rewrite.
+    val matFlags = flags.localCheckpoint(false)
+    // running token sums over kept-train docs only; the conditional-zero
+    // contribution equals tokenShards over the kept-train SUBSET, which
+    // is what the oracle computes
     val shards = Sampling.tokenShards(
-      docs.join(flags.where(col("kept") && col("__b") < trainPct)
+      docs.join(matFlags.where(col("kept") && col("__b") < trainPct)
           .select(col("doc_id")), Seq("doc_id"), "left_semi"),
       tokensPerShard)
       .select(col("doc_id"), col("shard"))
-    flags.join(shards, Seq("doc_id"), "left")
+    matFlags.join(shards, Seq("doc_id"), "left")
       .select(col("doc_id"), col("quality_ok"), col("repetition_ok"),
         col("pii_ok"), col("dedup_ok"), col("near_ok"), col("decontam_ok"),
         col("kept"),
