@@ -874,4 +874,33 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(out(6L) == (("und", 0L, 0L, 0.0, false)))
     assert(out(7L) == (("de", 1L, 2L, 0.5, false)))
   }
+
+  test("round-10 operators: empty/degenerate corpus edges never throw or mis-shape") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // trimSpans: empty corpus -> empty frame; tokenless doc passes through
+    assert(Dedup.trimSpans(empty).collect().isEmpty)
+    val spacey = Seq((1L, ""), (2L, "   "), (3L, "one two")).toDF("doc_id", "text")
+    val ts = Dedup.trimSpans(spacey).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(ts(1L) == (("", 0L)) && ts(3L) == (("one two", 0L)))
+    assert(ts(2L)._2 == 0L) // short doc untouched
+    // tokenShards: tokenless docs contribute 0 but keep their row
+    val sh = Sampling.tokenShards(spacey, 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sh.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(sh.forall(_._3 == 0L)) // all before-sums under one budget
+    assert(Sampling.tokenShards(empty, 10L).collect().isEmpty)
+    // minhashNearApprox: corpus below the shingle size -> no pairs, no throw
+    assert(Dedup.minhashNearApprox(spacey).collect().isEmpty)
+    // gopherRules on whitespace-only text: zero words, all-false verdicts
+    val gr = TextAnalysis.gopherRules(spacey).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(8))).toMap
+    assert(gr(1L) == ((0L, false)) && gr(2L) == ((0L, false)))
+    // mixtureDraw on a single-source corpus: every doc draws >= 1
+    val single = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s0"))
+    val md = Sampling.mixtureDraw(single, budgetTokens = 6L).collect()
+    assert(md.length == 2 && md.forall(_.getLong(2) >= 1L))
+  }
 }
