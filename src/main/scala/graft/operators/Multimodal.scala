@@ -95,10 +95,19 @@ object Multimodal {
     (rate, ch, durMs, frames)
   }
 
-  /** ISO-BMFF (MP4/MOV) magic: a top-level `ftyp` box at offset 4. */
-  private[operators] def isMp4(b: Array[Byte]): Boolean =
-    b.length >= 12 &&
-      b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+  /** ISO-BMFF (MP4/MOV) magic: a top-level `ftyp` box at offset 4 whose
+    * declared big-endian size is PLAUSIBLE (8 ≤ size ≤ blob length). The
+    * size gate matters because `ftyp` is lowercase ASCII: a text blob
+    * containing it at offset 4 would otherwise flip to the video arm,
+    * but its first four ASCII bytes parse as a ~2×10⁹ box size and are
+    * rejected here. */
+  private[operators] def isMp4(b: Array[Byte]): Boolean = {
+    if (b.length < 12 ||
+      b(4) != 'f' || b(5) != 't' || b(6) != 'y' || b(7) != 'p') return false
+    val sz = ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+      ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+    sz >= 8L && sz <= b.length
+  }
 
   /** Header-only MP4 parse: walk the top-level box list for `moov`, then
     * its children for `mvhd` (timescale + duration → duration_ms) and the

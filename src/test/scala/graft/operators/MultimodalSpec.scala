@@ -135,6 +135,13 @@ class MultimodalSpec extends SparkSpec {
     val c = Multimodal.decodeMeta(spark, Seq((2L, corrupt)).toDF("doc_id", "blob"))
       .collect().head
     assert(c.getAs[Long]("duration_ms") == 0 && c.getAs[Long]("width") == 0)
+    // plain TEXT containing 'ftyp' at offset 4 stays in the fake arm: its
+    // ASCII prefix parses as an implausible big-endian box size
+    val texty = "and ftyp words continue here for a while".getBytes("US-ASCII")
+    assert(!Multimodal.isMp4(texty))
+    val t = Multimodal.decodeMeta(spark, Seq((3L, texty)).toDF("doc_id", "blob"))
+      .collect().head
+    assert(t.getAs[Long]("width") == 'a'.toLong) // fake arm: first byte
   }
 
   test("decodeMeta: corrupt image magic yields 0x0, never throws") {
