@@ -1,8 +1,8 @@
 package graft.io
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -44,8 +44,14 @@ object Export {
       .mkString(
         s"""{"tokens_per_shard":$tokensPerShard,"n_shards":${rows.length},"shards":[""",
         ",", "]}\n")
-    Files.write(Paths.get(path, "manifest.json"),
-      body.getBytes(StandardCharsets.UTF_8))
+    // Hadoop FS, not java.nio: the shard data above goes wherever the
+    // path's scheme points (hdfs://, s3a://, file:), and the
+    // manifest-written-last completeness contract only holds if the
+    // manifest lands on the SAME filesystem.
+    val manifestPath = new Path(path, "manifest.json")
+    val fs = manifestPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(manifestPath, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     manifest
   }
 }

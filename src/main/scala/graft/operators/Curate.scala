@@ -40,15 +40,14 @@ object Curate {
     val deco = Decontaminate.contamination(docs,
         trainPct = trainPct, benchFromPct = benchFromPct)
       .select(col("doc_id"), (!col("contaminated")).as("__dc"))
-    val flags = docs.select(col("doc_id"), bucket.as("__b"),
-        size(TextAnalysis.toks).cast("bigint").as("__ntok"))
+    val flags = docs.select(col("doc_id"), bucket.as("__b"))
       .join(gates, Seq("doc_id"))
       .join(near, Seq("doc_id"))
       .join(deco, Seq("doc_id"), "left")
       .select(col("doc_id"), col("quality_ok"), col("repetition_ok"),
         col("pii_ok"), col("dedup_ok"), col("near_ok"),
         coalesce(col("__dc"), lit(true)).as("decontam_ok"),
-        col("__b"), col("__ntok"))
+        col("__b"))
       .withColumn("kept",
         col("quality_ok") && col("repetition_ok") && col("pii_ok") &&
           col("dedup_ok") && col("near_ok") && col("decontam_ok"))

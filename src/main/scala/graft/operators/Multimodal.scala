@@ -135,7 +135,10 @@ object Multimodal {
           if (sz0 == 1L && off + 16 <= until) (off + 16, off + u64(o + 8))
           else if (sz0 == 0L) (off + 8, until)
           else (off + 8, off + sz0)
-        if (end <= off || end > until) return (-1L, 0L) // corrupt size
+        // corrupt size: a real box is ≥ 8 bytes (header included), so any
+        // end < off + 8 — sz0 in 2..7, or a truncated 64-bit largesize —
+        // must terminate the walk, not degrade to a byte-granular scan
+        if (end < off + 8 || end > until) return (-1L, 0L)
         if (boxType(o) == want) return (payload, end - payload)
         off = end
       }

@@ -144,6 +144,20 @@ class MultimodalSpec extends SparkSpec {
     assert(t.getAs[Long]("width") == 'a'.toLong) // fake arm: first byte
   }
 
+  test("mp4Meta: corrupt box sizes terminate the walk immediately") {
+    // a declared size in 2..7 (smaller than the 8-byte header) must stop
+    // the walk, not degrade to a byte-granular scan
+    val tiny = java.nio.ByteBuffer.allocate(1024)
+    tiny.putInt(16).put("ftypisom0000".getBytes("US-ASCII"))
+    tiny.putInt(3).put("free".getBytes("US-ASCII")) // sz0 = 3 < 8: corrupt
+    assert(Multimodal.mp4Meta(tiny.array()) == ((0L, 0L, 0L)))
+    // a truncated 64-bit largesize (sz0 == 1 with < 16 bytes left) likewise
+    val trunc = java.nio.ByteBuffer.allocate(28)
+    trunc.putInt(16).put("ftypisom0000".getBytes("US-ASCII"))
+    trunc.putInt(1).put("moov".getBytes("US-ASCII")).putInt(0) // largesize cut off
+    assert(Multimodal.mp4Meta(trunc.array()) == ((0L, 0L, 0L)))
+  }
+
   test("decodeMeta: corrupt image magic yields 0x0, never throws") {
     val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
       1, 2, 3, 4) // valid signature, garbage header
