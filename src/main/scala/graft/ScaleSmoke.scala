@@ -370,6 +370,17 @@ object ScaleSmoke {
       graft.operators.Centrality.pageRank(edges, e.select(col("vec_id")))
         .queryExecution.toRdd.count()
     }
+    // the executable ANN edge build at scale: nCells grows ∝ √N (the
+    // per-cell-work-flat dial from the annEdges scaladoc), so the pair
+    // fan-out nProbe·N²/nCells stays ~nProbe·N^1.5 — the measurement is
+    // that the build remains distributed (no corpus broadcast, no
+    // single-task stage) and tracks that envelope
+    stage("ann-edge page rank") {
+      val nCells = math.max(16, math.sqrt(e.count().toDouble).toInt)
+      graft.operators.Centrality
+        .similarityPageRankAnn(e, k = 5, iters = 5, nCells = nCells, nProbe = 4)
+        .queryExecution.toRdd.count()
+    }
     spark.stop()
   }
 

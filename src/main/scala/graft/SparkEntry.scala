@@ -46,6 +46,7 @@ object SparkEntry {
     "point_lookup"  -> ((s, dir) => Similarity.pointLookup(s, dir, 42L)),
     "sim_join_topk" -> ((s, dir) => Similarity.batchSimilarityJoin(s, dir, 8, 5)),
     "page_rank" -> ((s, dir) => Centrality.similarityPageRank(Tables.embeddings(s, dir))),
+    "page_rank_ann" -> ((s, dir) => Centrality.similarityPageRankAnn(Tables.embeddings(s, dir))),
     "topk_via_catalog" -> ((s, dir) => CatalogOps.topkViaCatalog(s, dir, 0L, 10)),
     "chunk_docs" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, length}
@@ -341,6 +342,27 @@ object SparkEntry {
 
   private def cosSql(v: String, qv: String): String =
     s"round(${cosRawSql(v, qv)}, 6)"
+
+  /** Shared PageRank tail: expects CTEs `e(vec_id, …)` (the node set) and
+    * `ed(src, dst)` (the edge table) to be in scope; appends out-degrees,
+    * `iters` unrolled damped steps (12-dp per-step grid — the
+    * Centrality.pageRank contract), and the final 6-dp rank select. */
+  private def pageRankTailSql(iters: Int, damping: Double = 0.85): String = {
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (SELECT e2.vec_id,
+         |    round((1.0 - $damping) / (SELECT n FROM nn)
+         |          + $damping * coalesce(m.m, 0.0), 12) AS r
+         |  FROM e e2 LEFT JOIN (
+         |    SELECT ed.dst, sum(p.r / od.odeg) AS m
+         |    FROM ed JOIN od USING (src) JOIN $prev p ON p.vec_id = ed.src
+         |    GROUP BY ed.dst) m ON m.dst = e2.vec_id)""".stripMargin
+    val steps = (1 to iters).map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""od AS (SELECT src, count(*) AS odeg FROM ed GROUP BY src),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM e),
+       |r0 AS (SELECT vec_id, 1.0 / (SELECT n FROM nn) AS r FROM e),
+       |$steps
+       |SELECT vec_id, round(r, 6) AS rank FROM r$iters ORDER BY vec_id""".stripMargin
+  }
 
   /** DuckDB reproduction of the `local/hash-<dim>` embedder for text `t`
     * (see Embedders.hashProjection: top 53 bits of little-endian MD5 head,
@@ -2836,15 +2858,7 @@ object SparkEntry {
     // mirrors Centrality.similarityPageRank: exact kNN (k=5) cosine edges,
     // 5 unrolled PageRank steps (d=0.85, leaked-mass variant), per-step
     // 12-dp rounding — the cross-engine determinization grid
-    "page_rank" -> {
-      def step(prev: String, cur: String): String =
-        s"""$cur AS (SELECT e2.vec_id,
-           |    round((1.0 - 0.85) / (SELECT n FROM nn)
-           |          + 0.85 * coalesce(m.m, 0.0), 12) AS r
-           |  FROM e e2 LEFT JOIN (
-           |    SELECT ed.dst, sum(p.r / od.odeg) AS m
-           |    FROM ed JOIN od USING (src) JOIN $prev p ON p.vec_id = ed.src
-           |    GROUP BY ed.dst) m ON m.dst = e2.vec_id)""".stripMargin
+    "page_rank" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |sc AS (SELECT q.vec_id AS src, e.vec_id AS dst,
          |    ${cosSql("e.v", "q.qv")} AS score
@@ -2854,16 +2868,37 @@ object SparkEntry {
          |    SELECT *, row_number() OVER (PARTITION BY src
          |      ORDER BY score DESC, dst ASC) AS rnk FROM sc)
          |  WHERE rnk <= 5),
-         |od AS (SELECT src, count(*) AS odeg FROM ed GROUP BY src),
-         |nn AS (SELECT count(*)::DOUBLE AS n FROM e),
-         |r0 AS (SELECT vec_id, 1.0 / (SELECT n FROM nn) AS r FROM e),
-         |${step("r0", "r1")},
-         |${step("r1", "r2")},
-         |${step("r2", "r3")},
-         |${step("r3", "r4")},
-         |${step("r4", "r5")}
-         |SELECT vec_id, round(r, 6) AS rank FROM r5 ORDER BY vec_id""".stripMargin
-    },
+         |${pageRankTailSql(5)}""".stripMargin,
+
+    // the ANN-edge variant: same PageRank tail over IVF-probed kNN edges —
+    // the qcell/assigned CTEs are the ivf_recall contract with EVERY vector
+    // as a query (seed centroids vec_id < 16, 6-dp probe ranking, raw
+    // argmax assignment)
+    "page_rank_ann" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS MATERIALIZED (SELECT list(v ORDER BY vec_id) AS cl FROM e WHERE vec_id < 16),
+         |qcell AS MATERIALIZED (SELECT src, ci FROM (
+         |  SELECT src, ci,
+         |    row_number() OVER (PARTITION BY src ORDER BY s DESC, ci ASC) AS r
+         |  FROM (SELECT z.src, u.ci AS ci, u.s AS s FROM (
+         |        SELECT e.vec_id AS src, unnest(list_transform(range(1, 17),
+         |          ci -> {'ci': ci, 's': round(${cosRawSql("cl[ci]", "e.v")}, 6)})) AS u
+         |        FROM cents, e) z) y) t
+         |  WHERE r <= 4),
+         |assigned AS MATERIALIZED (
+         |  SELECT vec_id, v, list_position(sc, list_max(sc)) AS cell FROM (
+         |    SELECT e.vec_id, e.v,
+         |           list_transform(range(1, 17), ci -> ${cosRawSql("cl[ci]", "e.v")}) AS sc
+         |    FROM e, cents) t2),
+         |ed AS MATERIALIZED (SELECT src, dst FROM (
+         |  SELECT qc.src, a.vec_id AS dst,
+         |    row_number() OVER (PARTITION BY qc.src
+         |      ORDER BY ${cosSql("a.v", "q.v")} DESC, a.vec_id ASC) AS rnk
+         |  FROM assigned a
+         |  JOIN qcell qc ON a.cell = qc.ci
+         |  JOIN e q ON q.vec_id = qc.src
+         |  WHERE a.vec_id != qc.src) t WHERE rnk <= 5),
+         |${pageRankTailSql(5)}""".stripMargin,
 
     "sim_join_topk" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -98,6 +98,81 @@ object Centrality {
     * table from the stored ANN index instead ([[Ann.annTopkIndexed]] /
     * [[Ann.ivfTopkTrained]] per shard) and feed it to [[pageRank]]
     * directly — the centrality core is edge-source-agnostic. */
+  /** Directed kNN edge table from IVF-probed candidates — the 100 TB edge
+    * builder for [[pageRank]], replacing [[similarityPageRank]]'s exact
+    * all-pairs broadcast. Per source vector: rank the `nCells` seed
+    * centroids (the [[Ann.ivfRecall]] contract — `vec_id < nCells`,
+    * 6-dp-rounded cosine, lower cell on ties) as a NARROW array expression
+    * (no shuffle, no broadcast — the centroid list is `nCells × dim`
+    * doubles of driver state baked into the plan as a literal), explode
+    * the top `nProbe` cells, and join candidates ASSIGNED to those cells
+    * (fused [[graft.functions.NearestCentroid]] argmax — the same
+    * assignment the stored IVF index persists). Each (src, dst) pair
+    * occurs at most once (assignment is unique), scored and top-k-ranked
+    * per src exactly as the exact builder (6-dp score desc, dst asc, self
+    * excluded).
+    *
+    * Scale shape: nothing corpus-sized is ever broadcast or collected —
+    * the probe side shuffles `nProbe ×` corpus rows by cell (the inherent
+    * IVF candidate-generation cost), the candidate side shuffles once by
+    * cell (or not at all when read from the cell-PARTITIONED stored index,
+    * [[Ann.ivfTopkTrained]]'s layout), and the per-src top-k runs under a
+    * WindowGroupLimit so only ≤ k·nProbe·|cell| candidate rows reach the
+    * src exchange. Pair fan-out is Σ_cells probes_c·members_c ≈
+    * nProbe·N²/nCells — the IVF recall/cost dial: grow `nCells` with the
+    * corpus (∝ √N keeps per-cell work flat), raise `nProbe` for recall.
+    * PlanShapeSpec asserts the no-corpus-broadcast claim structurally
+    * (no BroadcastNestedLoopJoin / CartesianProduct anywhere). */
+  def annEdges(embeddings: DataFrame, k: Int = 5, nCells: Int = 16,
+               nProbe: Int = 4): DataFrame = {
+    val cents: Seq[Seq[Double]] = embeddings.where(col("vec_id") < nCells)
+      .orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    require(cents.nonEmpty, "cannot seed probe centroids from an empty corpus")
+    // top-nProbe cells per src as one fused primitive pass — the composed
+    // transform/array_sort/slice form runs nCells INTERPRETED cosines per
+    // row (lambdas never codegen), which dominates the build once nCells
+    // grows √N with the corpus; see [[graft.functions.TopCells]]
+    import org.apache.spark.sql.graft.Bridge
+    val probeCells = Bridge.column(graft.functions.TopCells(
+      Bridge.expression(col("embedding").cast("array<double>")), cents, nProbe))
+    // explicit hash repartition before the per-row centroid work (nCells
+    // cosines/row on both sides): a small parquet read is ONE partition,
+    // which would serialize it — the similarityPageRank lesson. At real
+    // scale the source has many input splits and this is a no-op-sized
+    // shuffle compared to the cell exchange that follows either way.
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
+    val e = embeddings.repartition(par, col("vec_id"))
+    val probes = e
+      .select(col("vec_id").as("src"),
+        col("embedding").cast("array<double>").as("qv"),
+        explode(probeCells).as("cell"))
+    val cands = Ann.assignCells(e, cents)
+      .select(col("vec_id").as("dst"),
+        col("embedding").cast("array<double>").as("tv"), col("cell"))
+    val w = Window.partitionBy(col("src")).orderBy(desc("score"), asc("dst"))
+    probes.join(cands, Seq("cell"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(cosine_sim(col("qv"), col("tv")), 6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("src"), col("dst"))
+  }
+
+  /** [[pageRank]] over the IVF-probed approximate kNN graph
+    * ([[annEdges]]) — the executable 100 TB path the exact
+    * [[similarityPageRank]]'s scaladoc promised: same centrality core,
+    * edge build without the corpus broadcast. Recall against the exact
+    * edge set is the [[Ann.ivfRecall]] dial (sweep nProbe, deploy the
+    * knee); OperatorEdgeSpec records the agreement at test scale. */
+  def similarityPageRankAnn(embeddings: DataFrame, k: Int = 5, iters: Int = 5,
+                            damping: Double = 0.85, nCells: Int = 16,
+                            nProbe: Int = 4): DataFrame =
+    pageRank(annEdges(embeddings, k, nCells, nProbe),
+      embeddings.select(col("vec_id")), iters, damping)
+
   def similarityPageRank(embeddings: DataFrame, k: Int = 5, iters: Int = 5,
                          damping: Double = 0.85): DataFrame = {
     val w = Window.partitionBy(col("src"))

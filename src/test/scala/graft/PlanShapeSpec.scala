@@ -238,6 +238,18 @@ class PlanShapeSpec extends SparkSpec {
       .findFirstIn(p).isDefined, s"pair join not keyed on the cell:\n$p")
   }
 
+  test("page_rank_ann edges: cell equi-join, no corpus-sized broadcast, rank limit before the exchange") {
+    val p = plan(graft.operators.Centrality.annEdges(Tables.embeddings(spark, dir)))
+    // the whole point of the ANN edge builder: nothing all-pairs — the
+    // exact builder's IdentityBroadcastMode corpus broadcast must be gone
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop") &&
+      !p.contains("IdentityBroadcastMode"), s"corpus-sized broadcast:\n$p")
+    assert("""(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell#\d+""".r
+      .findFirstIn(p).isDefined, s"candidate join not keyed on the cell:\n$p")
+    // only ≤ k·(probed cells) rows per src may reach the top-k exchange
+    assert(p.contains("WindowGroupLimit"), s"no partial rank limit:\n$p")
+  }
+
   test("dedup_spans: df join is an equi-join on the shingle hash") {
     val p = plan(graft.operators.Dedup.spanDedup(Tables.documents(spark, dir)))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),

@@ -659,6 +659,57 @@ class OperatorEdgeSpec extends SparkSpec {
     a.foreach { case (_, s) => assert(s > 0.0 && s < 1.0) }
   }
 
+  test("ann-edge page rank: edge recall vs exact kNN, rank agreement with the exact graph") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = e.count()
+    // exact kNN edges: the similarityPageRank builder's semantics, rebuilt
+    // independently with a driver-side scorer over the small corpus
+    val rows = e.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exactEdges = rows.flatMap { case (src, v) =>
+      rows.filter(_._1 != src)
+        .map { case (dst, w) => (dst, r6(Ann.cosine(v, w))) }
+        .sortBy { case (dst, s) => (-s, dst) }.take(5)
+        .map { case (dst, _) => (src, dst) }
+    }.toSet
+    def edgeRecall(nProbe: Int): Double = {
+      val annE = Centrality.annEdges(e, k = 5, nProbe = nProbe).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // every src emits exactly k edges (assignment is unique, self excluded)
+      assert(annE.size == n * 5, s"nProbe=$nProbe edges=${annE.size}")
+      annE.intersect(exactEdges).size.toDouble / exactEdges.size
+    }
+    assert(exactEdges.size == n * 5)
+    // the ivfRecall dial, applied to edges: probing every cell IS the
+    // exact builder (recall 1.0 by construction), and recall rises
+    // monotonically toward it as nProbe grows
+    val r4 = edgeRecall(4); val r8 = edgeRecall(8); val r16 = edgeRecall(16)
+    assert(r16 == 1.0, s"full probe not exact: $r16")
+    assert(r4 <= r8 && r8 <= r16, s"recall not monotone: $r4 $r8 $r16")
+    assert(r4 >= 0.3, s"nProbe=4 edge recall degenerate: $r4")
+    // rank agreement, strong form: with approximation off (full probe) the
+    // ANN path must reproduce the exact path's ranks EXACTLY — same edges,
+    // same 12-dp iteration grid, same 6-dp output
+    val exactRanks = Centrality.similarityPageRank(e, k = 5, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fullProbe = Centrality.similarityPageRankAnn(e, k = 5, iters = 5, nProbe = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fullProbe == exactRanks)
+    // partial probe: ~50 near-uniform synthetic vectors rank their head by
+    // hair-thin margins, so top-set overlap is only a degeneracy check
+    // here; the production dial is the recall curve above
+    val topN = math.max((n / 10).toInt, 5)
+    def topSet(m: Map[Long, Double]) = m.toSeq
+      .sortBy { case (id, s) => (-s, id) }.take(topN).map(_._1).toSet
+    val annTop8 = topSet(Centrality.similarityPageRankAnn(e, k = 5, iters = 5, nProbe = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+    val agree = annTop8.intersect(topSet(exactRanks)).size.toDouble / topN
+    assert(agree >= 0.2, s"top-decile rank agreement at nProbe=8 degenerate: $agree")
+  }
+
   test("ppl buckets: terciles match a direct recomputation from the operator's own xent") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
