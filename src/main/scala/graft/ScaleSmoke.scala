@@ -265,6 +265,12 @@ object ScaleSmoke {
       graft.operators.TextAnalysis.winnowPairs(docs).queryExecution.toRdd.count()
     }
     stage("pack sequences") { S.packSequences(docs).queryExecution.toRdd.count() }
+    stage("token shards (auto width)") {
+      // the auto √N group width: both prefix-scan levels stay ~√N-bounded
+      // regardless of factor — the cost here must track the tokenization
+      // pass (linear), not the offsets stage
+      S.tokenShards(docs, 10000L).queryExecution.toRdd.count()
+    }
     stage(s"cell sample c$nc") {
       S.cellBalancedSample(e, nCells = nc, perCell = 20).queryExecution.toRdd.count()
     }

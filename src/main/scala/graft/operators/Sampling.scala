@@ -151,17 +151,21 @@ object Sampling {
     * sum (the only per-lang ordered pass) runs over that much smaller
     * table, and the exclusive shard offsets broadcast-join back:
     * `start = shard_offset + local_cum − n_tok`. `shardWidth` is the
-    * scale dial — pick it so corpus/shardWidth rows broadcast comfortably
-    * (at 10B docs, shardWidth 8192 → 1.2M offset rows); a third scan
-    * level would shrink that again if ever needed. */
+    * scale dial: the default 0 means AUTO — `≈ √N` from one cheap count
+    * ([[shardGroupWidth]]), which bounds BOTH levels at ~√N rows (the
+    * local windows and the offsets table alike) for any corpus size: at
+    * 10B docs, width 10⁵ → 10⁵-row offset broadcast. An explicit positive
+    * width is honored unchanged (the spec's equality tests pin that the
+    * output is width-INDEPENDENT — width only decomposes the scan). */
   def packSequences(docs: DataFrame, seqLen: Int = 1024,
-                    shardWidth: Int = 128): DataFrame = {
+                    shardWidth: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    require(shardWidth > 0, s"shardWidth must be positive, got $shardWidth")
+    require(shardWidth >= 0, s"shardWidth must be >= 0 (0 = auto), got $shardWidth")
+    val width = if (shardWidth > 0) shardWidth else shardGroupWidth(docs.count())
     val base = docs.select(col("doc_id"), col("lang"),
       size(TextAnalysis.toks).cast("bigint").as("n_tok"),
-      expr(s"doc_id div $shardWidth").as("shard"))
+      expr(s"doc_id div $width").as("shard"))
     val wLocal = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = base.withColumn("local_cum", sum(col("n_tok")).over(wLocal))
@@ -179,6 +183,17 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** AUTO group width for the two-level prefix scans: `max(128, ⌈√N⌉)`.
+    * Balances the decomposition — the local windows hold ≤ width rows and
+    * the offsets table ⌈N/width⌉ rows, so BOTH levels are ≤ ~√N for any
+    * N (the offsets broadcast at 10¹² docs is 10⁶ rows ≈ a few MB). The
+    * 128 floor keeps tiny inputs on the round-8-verified decomposition.
+    * One `count()` buys the bound — a metadata-cheap aggregate next to
+    * the tokenization pass that follows. */
+  private[graft] def shardGroupWidth(n: Long): Int =
+    math.max(128L, math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toLong)
+      .min(Int.MaxValue.toLong).toInt
+
   /** Token-budget SHARD assignment — the export layout step after packing:
     * reading the corpus in doc_id order, a document belongs to shard
     * `floor(tokens_before_it / tokensPerShard)`, so every shard except the
@@ -192,9 +207,11 @@ object Sampling {
     * without the language key — local running sums inside `shardWidth`-doc
     * id groups, group offsets via a window over ≤ docs/shardWidth rows
     * (the only unpartitioned step), offsets broadcast back. Never a
-    * single-reducer global window over documents. */
+    * single-reducer global window over documents; with the default AUTO
+    * width (≈ √N, [[shardGroupWidth]]) both levels stay ~√N-bounded at
+    * any corpus size. */
   def tokenShards(docs: DataFrame, tokensPerShard: Long,
-                  shardWidth: Int = 128,
+                  shardWidth: Int = 0,
                   // tokens already exported before this frame — the
                   // continuation offset the STREAMING export carries
                   // across micro-batches ([[graft.streaming.Streaming
@@ -202,11 +219,12 @@ object Sampling {
                   baseTokens: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tokensPerShard > 0, s"tokensPerShard must be positive, got $tokensPerShard")
-    require(shardWidth > 0, s"shardWidth must be positive, got $shardWidth")
+    require(shardWidth >= 0, s"shardWidth must be >= 0 (0 = auto), got $shardWidth")
     require(baseTokens >= 0, s"baseTokens must be non-negative, got $baseTokens")
+    val width = if (shardWidth > 0) shardWidth else shardGroupWidth(docs.count())
     val base = docs.select(col("doc_id"),
       size(TextAnalysis.toks).cast("bigint").as("n_tok"),
-      expr(s"doc_id div $shardWidth").as("__grp"))
+      expr(s"doc_id div $width").as("__grp"))
     val wLocal = Window.partitionBy(col("__grp")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = base.withColumn("local_cum", sum(col("n_tok")).over(wLocal))

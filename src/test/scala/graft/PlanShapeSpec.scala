@@ -268,6 +268,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"offsets join not broadcast:\n$p")
   }
 
+  test("token_shards: corpus window keyed by the id group — never SinglePartition over documents") {
+    val p = plan(graft.operators.Sampling.tokenShards(Tables.documents(spark, dir), 500L))
+    // the corpus-sized window must partition by the auto-width id group;
+    // the only unpartitioned window runs over the <= N/width offset rows
+    assert("""hashpartitioning\(__grp#\d+""".r.findFirstIn(p).isDefined,
+      s"local prefix window not grouped:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"offsets join not broadcast:\n$p")
+  }
+
   test("cell_sample: one window, keyed by the cell — never SinglePartition") {
     val p = plan(graft.operators.Sampling.cellBalancedSample(Tables.embeddings(spark, dir)))
     assert("""hashpartitioning\(cell#\d+""".r.findFirstIn(p).isDefined,

@@ -210,6 +210,26 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("shardGroupWidth: both scan levels stay ~sqrt(N)-bounded at any corpus size") {
+    // the unbounded-N fix: for EVERY n, the local windows (width rows) and
+    // the offsets table (ceil(n/width) rows) are both <= max(128, ~sqrt(n))
+    for (n <- Seq(0L, 1L, 100L, 16384L, 1000000L, 10000000000L, 1000000000000L)) {
+      val w = Sampling.shardGroupWidth(n)
+      val offsets = if (n == 0) 0L else (n + w - 1) / w
+      val bound = math.max(128L, math.ceil(math.sqrt(n.toDouble)).toLong + 1)
+      assert(w <= bound, s"n=$n width=$w")
+      assert(offsets <= bound, s"n=$n offsets=$offsets width=$w")
+    }
+    // output is width-INDEPENDENT: auto == explicit on the same corpus
+    val docs = Tables.documents(spark, dir)
+    val auto = Sampling.tokenShards(docs, 500L).collect().toSeq
+    val explicit = Sampling.tokenShards(docs, 500L, shardWidth = 7).collect().toSeq
+    assert(auto == explicit)
+    val autoPack = Sampling.packSequences(docs, seqLen = 256).collect().toSeq
+    val explicitPack = Sampling.packSequences(docs, seqLen = 256, shardWidth = 16).collect().toSeq
+    assert(autoPack == explicitPack)
+  }
+
   test("writeShards: partitioned files round-trip, manifest totals match") {
     val docs = Tables.documents(spark, dir)
     val path = java.nio.file.Files.createTempDirectory("graft-shards-").toString
