@@ -281,6 +281,22 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("blob")))
         .orderBy(col("doc_id"))
     }),
+    "multimodal_audio" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
+      // real PCM content decode over a synthetic-but-real WAV corpus: each
+      // ASCII-pure document's bytes become the 16-bit sample payload behind
+      // a canonical header (the header OVER-declares its data size — the
+      // parser's clamp-to-present-bytes arm is on the oracle path), capped
+      // at 512 payload bytes to pin the byte-budget arm too
+      val header = Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL)
+      Multimodal.audioStats(s,
+        Tables.documents(s, dir)
+          .where(octet_length(col("text")) === length(col("text")))
+          .select(col("doc_id"),
+            concat(lit(header), col("text").cast("binary")).as("blob")),
+        maxBytes = 512)
+        .orderBy(col("doc_id"))
+    }),
     "multimodal_frames" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, length, md5, octet_length}
       // ASCII-pure docs only: the operator slices BYTES (its domain is real
@@ -2409,6 +2425,30 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS duration_ms,
         |  md5(text) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the oracle rebuilds the 16-bit LE samples from the document bytes the
+    // Spark side wrapped in a WAV header (ASCII-pure rows: bytes == chars,
+    // so ascii() IS the byte — the multimodal_frames device); hi byte
+    // <= 127 keeps every sample non-negative, matching the signed decode
+    "multimodal_audio" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE strlen(text) = length(text)),
+        |p AS (SELECT doc_id, least(strlen(text), 512) // 2 AS n, text FROM d),
+        |sm AS (SELECT doc_id, n, list_transform(range(0, n), i ->
+        |     ascii(substr(text, CAST(2*i+2 AS BIGINT), 1)) * 256
+        |   + ascii(substr(text, CAST(2*i+1 AS BIGINT), 1))) AS s FROM p)
+        |SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(coalesce(list_max(list_transform(s, v -> abs(v))), 0) AS BIGINT) AS peak,
+        |  CASE WHEN n = 0 THEN 0.0
+        |       ELSE round(sqrt(list_sum(list_transform(s, v -> CAST(v AS DOUBLE) * v)) / n), 6) END AS rms,
+        |  CASE WHEN n = 0 THEN 0.0
+        |       ELSE round(len(list_filter(s, v -> abs(v) >= 32767)) / CAST(n AS DOUBLE), 6) END AS clipping_share,
+        |  CAST(CASE WHEN n = 0 THEN 0
+        |       ELSE list_min(list_transform(range(0, n), i ->
+        |              CASE WHEN abs(s[CAST(i+1 AS BIGINT)]) > 327 THEN i ELSE n END)) * 1000 // 8000
+        |       END AS BIGINT) AS leading_silence_ms
+        |FROM sm ORDER BY doc_id""".stripMargin,
 
     "multimodal_frames" ->
       """WITH f AS (SELECT doc_id, u.f AS frame_no,

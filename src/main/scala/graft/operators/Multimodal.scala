@@ -95,6 +95,110 @@ object Multimodal {
     (rate, ch, durMs, frames)
   }
 
+  /** PCM amplitude stats from a WAV blob's `data` chunk — the first CONTENT
+    * decode (the round-10 verdict's ask): the chunk walk [[wavMeta]]
+    * already does, continued into the payload under a HARD byte budget.
+    * Returns (rate, channels, nSamples, peak, rms, clipShare, leadMs):
+    *  - nSamples: 16-bit samples actually read = min(data length, budget,
+    *    bytes present) / 2 — a truncated or over-declaring header reads
+    *    what exists, never past the buffer;
+    *  - peak = max |v|; rms = round(sqrt(Σv²/n), 6) (integer-valued Σv² is
+    *    exact in a double up to 2⁵³ — order-free, the cross-engine rule);
+    *  - clipShare = round(#{|v| ≥ 32767}/n, 6) (full-scale hits — the
+    *    clipped-recording audit);
+    *  - leadMs = leading samples with |v| ≤ 327 (−40 dBFS) converted to ms
+    *    at rate×channels samples/sec, integer division.
+    * Only uncompressed 16-bit PCM (fmt tag 1) is decoded; other encodings
+    * keep their header fields with zero content stats — the same honest
+    * boundary as the container parsers. */
+  private[operators] def pcm16Stats(b: Array[Byte], maxBytes: Int)
+      : (Long, Long, Long, Long, Double, Double, Long) = {
+    def u16(o: Int): Long = ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)).toLong
+    def u32(o: Int): Long =
+      (b(o) & 0xff).toLong | ((b(o + 1) & 0xff).toLong << 8) |
+        ((b(o + 2) & 0xff).toLong << 16) | ((b(o + 3) & 0xff).toLong << 24)
+    var off = 12L
+    var fmtTag = 0L; var rate = 0L; var ch = 0L; var bits = 0L
+    var dataOff = -1L; var dataLen = 0L
+    while (off + 8 <= b.length && (rate == 0L || dataOff < 0L)) {
+      val o = off.toInt
+      val id = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = u32(o + 4)
+      if (id == "fmt " && sz >= 16 && o + 8 + 16 <= b.length) {
+        fmtTag = u16(o + 8); ch = u16(o + 10); rate = u32(o + 12)
+        bits = u16(o + 22)
+      } else if (id == "data" && dataOff < 0L) {
+        dataOff = (o + 8).toLong
+        dataLen = math.min(sz, (b.length - o - 8).toLong)
+      }
+      off += 8L + sz + (sz & 1L)
+    }
+    if (dataOff < 0L || fmtTag != 1L || bits != 16L || rate == 0L || ch == 0L)
+      return (rate, ch, 0L, 0L, 0.0, 0.0, 0L)
+    val n = (math.min(dataLen, maxBytes.toLong) / 2L).toInt
+    if (n == 0) return (rate, ch, 0L, 0L, 0.0, 0.0, 0L)
+    var sumSq = 0.0; var peak = 0L; var clip = 0L; var lead = -1
+    var i = 0
+    while (i < n) {
+      val o = dataOff.toInt + 2 * i
+      val v = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+      val a = math.abs(v)
+      sumSq += v.toDouble * v
+      if (a > peak) peak = a
+      if (a >= 32767) clip += 1
+      if (lead < 0 && a > 327) lead = i
+      i += 1
+    }
+    val silent = if (lead < 0) n else lead
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (rate, ch, n.toLong, peak,
+      r6(math.sqrt(sumSq / n)), r6(clip.toDouble / n),
+      silent.toLong * 1000L / (rate * ch))
+  }
+
+  /** 44-byte canonical PCM WAV header (RIFF + fmt + data chunk header),
+    * little-endian. Used by the spec fixtures and the oracle query's
+    * synthetic corpus (`declaredDataLen` may over-declare — the parsers
+    * clamp to the bytes present, so one fixed header serves any payload). */
+  private[graft] def pcmWavHeader(rate: Int, ch: Int,
+                                  declaredDataLen: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt((36L + declaredDataLen).toInt)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(ch.toShort).putInt(rate)
+      .putInt(rate * ch * 2).putShort((ch * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(declaredDataLen.toInt)
+    bb.array()
+  }
+
+  /** One row of PCM amplitude stats per WAV blob (non-WAV rows are
+    * filtered — the audit reads the audio slice of a corpus). Same
+    * partition-batched `mapPartitions` shape as [[decodeMeta]]; per-row
+    * cost is capped by `maxBytes` regardless of blob size. */
+  def audioStats(spark: SparkSession, docs: DataFrame,
+                 idCol: String = "doc_id", blobCol: String = "blob",
+                 maxBytes: Int = 1 << 20): DataFrame = {
+    import spark.implicits._
+    require(maxBytes >= 2, s"maxBytes must be >= 2, got $maxBytes")
+    docs.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, b) =>
+          val bytes = Option(b).getOrElse(Array.emptyByteArray)
+          if (!isWav(bytes)) None
+          else {
+            val (rate, ch, n, peak, rms, clip, leadMs) = pcm16Stats(bytes, maxBytes)
+            Some((id, rate, ch, n, peak, rms, clip, leadMs))
+          }
+        }
+      }
+      .toDF(idCol, "sample_rate", "channels", "n_samples", "peak", "rms",
+        "clipping_share", "leading_silence_ms")
+  }
+
   /** ISO-BMFF (MP4/MOV) magic: a top-level `ftyp` box at offset 4 whose
     * declared big-endian size is PLAUSIBLE (8 ≤ size ≤ blob length). The
     * size gate matters because `ftyp` is lowercase ASCII: a text blob

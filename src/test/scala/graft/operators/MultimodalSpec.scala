@@ -144,6 +144,50 @@ class MultimodalSpec extends SparkSpec {
     assert(t.getAs[Long]("width") == 'a'.toLong) // fake arm: first byte
   }
 
+  test("audioStats: PCM amplitude stats — clipping, silence, truncation, byte cap, non-PCM") {
+    def wav(samples: Seq[Int], rate: Int = 8000, declaredLen: Option[Long] = None): Array[Byte] = {
+      val data = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(s => data.putShort(s.toShort))
+      Multimodal.pcmWavHeader(rate, 1, declaredLen.getOrElse(samples.length * 2L)) ++
+        data.array()
+    }
+    // 4 leading silent samples (|v| <= 327), then a full-scale negative
+    // clip, a positive clip, and two ordinary values
+    val s1 = Seq(0, 100, -327, 327, -32768, 32767, 1000, -1000)
+    val (rate, ch, n, peak, rms, clip, leadMs) = Multimodal.pcm16Stats(wav(s1), 1 << 20)
+    assert((rate, ch, n) == ((8000L, 1L, 8L)))
+    assert(peak == 32768L && clip == 0.25) // 2 of 8 at/over full scale
+    val wantRms = BigDecimal(math.sqrt(s1.map(v => v.toDouble * v).sum / 8))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rms == wantRms)
+    assert(leadMs == 4L * 1000 / 8000) // 4 silent samples at 8 kHz = 0 ms
+    // at 1 kHz the same 4 samples are 4 ms
+    assert(Multimodal.pcm16Stats(wav(s1, rate = 1000), 1 << 20)._7 == 4L)
+    // all-silent payload: leading silence spans the whole read
+    assert(Multimodal.pcm16Stats(wav(Seq(0, 0, 0, 0), rate = 1000), 1 << 20)._7 == 4L)
+    // over-declaring header clamps to the bytes present (truncated file)
+    val (_, _, nTrunc, _, _, _, _) =
+      Multimodal.pcm16Stats(wav(s1, declaredLen = Some(0x7FFFFFFFL)), 1 << 20)
+    assert(nTrunc == 8L)
+    // byte budget caps the read: 6 bytes -> first 3 samples only
+    val (_, _, nCap, peakCap, _, _, _) = Multimodal.pcm16Stats(wav(s1), 6)
+    assert(nCap == 3L && peakCap == 327L)
+    // an odd trailing byte never yields a half-sample
+    assert(Multimodal.pcm16Stats(wav(s1).dropRight(1), 1 << 20)._3 == 7L)
+    // non-16-bit (or non-PCM) formats keep header fields, zero stats
+    val w8 = wav(s1); w8(34) = 8 // bits-per-sample byte in the fmt chunk
+    val z = Multimodal.pcm16Stats(w8, 1 << 20)
+    assert(z._1 == 8000L && z._3 == 0L && z._5 == 0.0)
+    // the Dataset wrapper filters non-WAV rows and keys by id
+    import spark.implicits._
+    val rows = Multimodal.audioStats(spark,
+      Seq((1L, wav(s1)), (2L, "not audio at all".getBytes("US-ASCII")))
+        .toDF("doc_id", "blob")).collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 1L &&
+      rows.head.getAs[Long]("peak") == 32768L)
+  }
+
   test("mp4Meta: corrupt box sizes terminate the walk immediately") {
     // a declared size in 2..7 (smaller than the 8-byte header) must stop
     // the walk, not degrade to a byte-granular scan
