@@ -256,6 +256,18 @@ object ScaleSmoke {
       D.semanticDedup(e, nCells = nc, tau = 0.4).queryExecution.toRdd.count()
     }
     stage("span dedup") { D.spanDedup(docs).queryExecution.toRdd.count() }
+    stage("image dedup (phash)") {
+      // the LINEAR treatment form at its at-scale settings: exact grids
+      // collapse before the rep mine, and 3-band agreement (21-bit keys,
+      // maxHamming 5 — the lossless bound at t=3) keeps candidate volume
+      // D²·C(8,3)/2^21 over D distinct hashes; the 2-band default's
+      // 14-bit keys measured ~5 min of candidate expansion at 82k
+      // distinct hashes where t=3 mines in seconds
+      D.imageDedup(spark,
+        docs.select(col("doc_id"), col("text").cast("binary").as("blob")),
+        maxHamming = 5, agreeBands = 3)
+        .queryExecution.toRdd.count()
+    }
     stage("span trim") { D.trimSpans(docs).queryExecution.toRdd.count() }
     stage("curate pipeline") {
       // the assembled end-to-end frame: sum of the arms' shapes by design

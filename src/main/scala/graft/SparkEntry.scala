@@ -281,6 +281,23 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("blob")))
         .orderBy(col("doc_id"))
     }),
+    "dedup_image_near" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, length, octet_length}
+      // the oracle pins the fake (byte-grid) arm on ASCII-pure docs — the
+      // multimodal_meta device; the ImageIO arm is fixture-pinned in
+      // MultimodalSpec
+      Dedup.imageNear(s,
+        Tables.documents(s, dir)
+          .where(octet_length(col("text")) === length(col("text")))
+          .select(col("doc_id"), col("text").cast("binary").as("blob")))
+    }),
+    "dedup_image" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, length, octet_length}
+      Dedup.imageDedup(s,
+        Tables.documents(s, dir)
+          .where(octet_length(col("text")) === length(col("text")))
+          .select(col("doc_id"), col("text").cast("binary").as("blob")))
+    }),
     "multimodal_audio" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
       // real PCM content decode over a synthetic-but-real WAV corpus: each
@@ -2425,6 +2442,55 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS duration_ms,
         |  md5(text) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // fake-arm dHash re-derivation: 8x8 byte grid (0-padded), bit r*7+c set
+    // iff grid(r,c+1) > grid(r,c). The oracle brute-forces the pair set —
+    // band-pair candidate generation is LOSSLESS at maxHamming <= bands-2
+    // (DedupSpec proves banded == brute on the same corpus), so the banded
+    // operator must return exactly these rows
+    "dedup_image_near" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE strlen(text) = length(text)),
+        |g AS (SELECT doc_id, list_transform(range(0, 64), i ->
+        |        CASE WHEN i < strlen(text)
+        |             THEN ascii(substr(text, CAST(i+1 AS BIGINT), 1)) ELSE 0 END) AS gr
+        |      FROM d),
+        |h AS MATERIALIZED (SELECT doc_id, CAST(list_sum(list_transform(range(0, 56), k ->
+        |        CASE WHEN gr[CAST((k//7)*8 + (k%7) + 2 AS BIGINT)]
+        |                  > gr[CAST((k//7)*8 + (k%7) + 1 AS BIGINT)]
+        |             THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE 0 END)) AS BIGINT) AS ph
+        |      FROM g)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id AND bit_count(xor(a.ph, b.ph)) <= 6
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // exact-collapse + rep-pair components: reps = min doc per distinct
+    // hash; the oracle brute-forces rep pairs (banding is lossless at
+    // maxHamming < bands, so the banded mine finds exactly these), then
+    // the dedup_groups recursive walk over reps; docs inherit their rep's
+    // root
+    "dedup_image" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE strlen(text) = length(text)),
+        |g AS (SELECT doc_id, list_transform(range(0, 64), i ->
+        |        CASE WHEN i < strlen(text)
+        |             THEN ascii(substr(text, CAST(i+1 AS BIGINT), 1)) ELSE 0 END) AS gr
+        |      FROM d),
+        |h AS MATERIALIZED (SELECT doc_id, CAST(list_sum(list_transform(range(0, 56), k ->
+        |        CASE WHEN gr[CAST((k//7)*8 + (k%7) + 2 AS BIGINT)]
+        |                  > gr[CAST((k//7)*8 + (k%7) + 1 AS BIGINT)]
+        |             THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE 0 END)) AS BIGINT) AS ph
+        |      FROM g),
+        |r AS MATERIALIZED (SELECT ph, min(doc_id) AS rep FROM h GROUP BY ph),
+        |pr AS (SELECT a.rep AS pa, b.rep AS pb FROM r a JOIN r b
+        |       ON a.rep < b.rep AND bit_count(xor(a.ph, b.ph)) <= 6),
+        |e AS (SELECT pa, pb FROM pr UNION SELECT pb, pa FROM pr),
+        |walk(pa, pb) AS (SELECT pa, pb FROM e
+        |                 UNION SELECT walk.pa, e.pb FROM walk JOIN e ON walk.pb = e.pa),
+        |roots AS (SELECT pa AS id, least(pa, min(pb)) AS root FROM walk GROUP BY pa)
+        |SELECT h.doc_id, coalesce(rt.root, r.rep) AS group_id,
+        |       h.doc_id = coalesce(rt.root, r.rep) AS keep
+        |FROM h JOIN r ON r.ph = h.ph LEFT JOIN roots rt ON rt.id = r.rep
+        |ORDER BY h.doc_id""".stripMargin,
 
     // the oracle rebuilds the 16-bit LE samples from the document bytes the
     // Spark side wrapped in a WAV header (ASCII-pure rows: bytes == chars,

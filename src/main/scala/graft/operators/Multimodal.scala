@@ -337,6 +337,104 @@ object Multimodal {
       .toDF()
   }
 
+  /** 56-bit difference hash (dHash) over an 8×8 grayscale grid: bit
+    * `r·7+c` is set iff grid(r, c+1) > grid(r, c) — 8 rows × 7 horizontal
+    * gradients. 56 bits (not the textbook 64) keeps the hash inside the
+    * engine's non-negative-BIGINT convention ([[graft.functions.Hash56]]),
+    * so banding/XOR/popcount arithmetic is sign-free in BOTH engines. */
+  private[operators] def dhash56(gray: Array[Int]): Long = {
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 7) {
+        if (gray(r * 8 + c + 1) > gray(r * 8 + c)) h |= 1L << (r * 7 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** 8×8 grayscale grid for [[dhash56]]. PNG/JPEG blobs decode via ImageIO
+    * with source SUBSAMPLING chosen so at most ~64×64 pixels are ever
+    * materialized (the bounded-thumbnail decode — per-row cost is capped
+    * regardless of image size), then area-average per grid block with
+    * integer sums (deterministic across partitionings). Everything else —
+    * including images whose decode fails — takes the deterministic fake
+    * arm (first 64 bytes AS the grid, 0-padded), the [[decodeMeta]]
+    * oracle device: text corpora pin the arithmetic end-to-end while the
+    * image arm is pinned by ImageIO-written fixtures in MultimodalSpec. */
+  private[operators] def grayGrid(b: Array[Byte]): Array[Int] = {
+    def fake = Array.tabulate(64)(i => if (i < b.length) b(i) & 0xff else 0)
+    if (!isImage(b)) fake
+    else {
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) fake
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val (w0, h0) = (r.getWidth(0), r.getHeight(0))
+              if (w0 <= 0 || h0 <= 0) fake
+              else {
+                val p = r.getDefaultReadParam
+                p.setSourceSubsampling(
+                  math.max(1, w0 / 64), math.max(1, h0 / 64), 0, 0)
+                val img = r.read(0, p)
+                val (w, h) = (img.getWidth, img.getHeight)
+                val g = new Array[Int](64)
+                var gr = 0
+                while (gr < 8) {
+                  var gc = 0
+                  while (gc < 8) {
+                    val x0 = gc * w / 8; val x1 = math.max((gc + 1) * w / 8, x0 + 1)
+                    val y0 = gr * h / 8; val y1 = math.max((gr + 1) * h / 8, y0 + 1)
+                    var sum = 0L; var n = 0L
+                    var y = y0
+                    while (y < math.min(y1, h)) {
+                      var x = x0
+                      while (x < math.min(x1, w)) {
+                        val rgb = img.getRGB(x, y)
+                        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                        n += 1; x += 1
+                      }
+                      y += 1
+                    }
+                    g(gr * 8 + gc) = if (n == 0) 0 else (sum / (3 * n)).toInt
+                    gc += 1
+                  }
+                  gr += 1
+                }
+                g
+              }
+            } catch {
+              case _: java.io.IOException | _: RuntimeException => fake
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: java.io.IOException => fake }
+    }
+  }
+
+  /** One (id, phash) row per blob — the perceptual-hash ingest pass
+    * [[Dedup.imageNear]] bands. Same partition-batched shape as
+    * [[decodeMeta]]. */
+  def imagePHash(spark: SparkSession, docs: DataFrame,
+                 idCol: String = "doc_id", blobCol: String = "blob"): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        (id, dhash56(grayGrid(Option(b).getOrElse(Array.emptyByteArray))))
+      })
+      .toDF(idCol, "phash")
+  }
+
   /** Frame/patch sampling: slice a blob into `n` evenly spaced fixed-size
     * byte windows (a video frame-sampler's access pattern). Pure built-in
     * expressions — `substring` works on BINARY — so the plan stays narrow
