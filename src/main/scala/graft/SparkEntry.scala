@@ -73,6 +73,9 @@ object SparkEntry {
     // the assembled end-to-end curation pipeline — gates + near-dedup +
     // decontamination + split + shard in one auditable frame
     "curate" -> ((s, dir) => Curate.pipeline(Tables.documents(s, dir))),
+    // the signature-only near arm — the batch frame streamCurate is proven
+    // equivalent to (StreamingSpec), oracle-checked in its own right
+    "curate_approx" -> ((s, dir) => Curate.pipeline(Tables.documents(s, dir), approxNear = true)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashNear(Tables.embeddings(s, dir))),
     "dedup_semantic" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir))),
     "dedup_spans" -> ((s, dir) => Dedup.spanDedup(Tables.documents(s, dir))),
@@ -422,6 +425,38 @@ object SparkEntry {
     * XOR-mask minhashes (mask_sd = 56-bit head of md5(sd)) in 4 bands of
     * r=3, exact Jaccard over the hashed sets, >= 0.5). Ends with a
     * `pairs` CTE for reuse by the resolution query. */
+  /** minhashNearApprox's pair set as CTEs ending in `pairs(a_id, b_id)` —
+    * the near arm of curate_approx (same word-shingle/signature constants
+    * as the dedup_minhash_approx oracle, ap-prefixed names so the chain
+    * composes beside corpusFilterCtes). */
+  private def approxPairsSql(shingle: Int = 3, seeds: Int = 12, bands: Int = 6,
+                             tau: Double = 0.5): String = {
+    val r = seeds / bands
+    s"""aptk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |apsh AS (SELECT doc_id,
+       |         list_transform(
+       |           list_distinct(list_transform(range(0, len(t) - ${shingle - 1}),
+       |             i -> array_to_string(t[i+1:i+$shingle], ' '))),
+       |           x -> CAST(('0x' || substr(md5(x), 1, 14))::UBIGINT AS BIGINT)) AS hs
+       |       FROM aptk WHERE len(t) >= $shingle),
+       |apmh AS MATERIALIZED (SELECT doc_id,
+       |    list_transform(range(0, $seeds),
+       |      sd -> list_min(list_transform(hs,
+       |        b -> xor(b, CAST(('0x' || substr(md5(CAST(sd AS VARCHAR)), 1, 14))::UBIGINT AS BIGINT))))) AS sig
+       |  FROM apsh),
+       |apbands AS (SELECT doc_id, u.band, u.key FROM (
+       |  SELECT doc_id, unnest(list_transform(range(0, $bands), b ->
+       |    {'band': b, 'key': array_to_string(sig[b*$r+1:b*$r+$r], '|')})) AS u FROM apmh) q),
+       |apcand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM apbands a JOIN apbands b
+       |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |pairs AS MATERIALIZED (SELECT c.a_id, c.b_id FROM apcand c
+       |      JOIN apmh sa ON sa.doc_id = c.a_id
+       |      JOIN apmh sb ON sb.doc_id = c.b_id
+       |      WHERE round(len(list_filter(range(0, $seeds),
+       |                i -> sa.sig[i+1] = sb.sig[i+1]))::DOUBLE / $seeds, 6) >= $tau)""".stripMargin
+  }
+
   private def ngramPairsSql(n: Int = 8, seeds: Int = 12, bands: Int = 4,
                             tau: Double = 0.5): String = {
     val r = seeds / bands
@@ -1676,6 +1711,47 @@ object SparkEntry {
     // election + train-split decontamination + hash split + token-budget
     // shards over kept train docs — every arm shared verbatim with its
     // standalone oracle
+    "curate_approx" ->
+      s"""WITH $corpusFilterCtes,
+        |${approxPairsSql()},
+        |dct0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |dchs AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(0, len(t) - 4),
+        |      i -> CAST(('0x' || substr(md5(array_to_string(t[i+1:i+5], ' ')), 1, 14))::UBIGINT AS BIGINT))) AS hs
+        |  FROM dct0),
+        |dcbench AS (SELECT DISTINCT unnest(hs) AS g FROM dchs
+        |  JOIN buck USING (doc_id) WHERE b >= 90),
+        |dctg AS (SELECT dchs.doc_id, unnest(hs) AS g FROM dchs
+        |  JOIN buck USING (doc_id) WHERE b < 80),
+        |dchits AS (SELECT doc_id, count(*) AS n FROM dctg
+        |  JOIN dcbench USING (g) GROUP BY doc_id),
+        |flags AS (SELECT cfd.doc_id, cfd.quality_ok, cfd.repetition_ok,
+        |    cfd.pii_ok, cfd.dedup_ok,
+        |    cfd.doc_id NOT IN (SELECT b_id FROM pairs) AS near_ok,
+        |    CASE WHEN buck.b < 80 THEN coalesce(dchits.n, 0) = 0
+        |         ELSE TRUE END AS decontam_ok,
+        |    buck.b AS b
+        |  FROM cfd JOIN buck ON cfd.doc_id = buck.doc_id
+        |  LEFT JOIN dchits ON cfd.doc_id = dchits.doc_id),
+        |fk AS (SELECT *, (quality_ok AND repetition_ok AND pii_ok AND dedup_ok
+        |    AND near_ok AND decontam_ok) AS kept FROM flags),
+        |ck AS (SELECT fk.doc_id,
+        |    CAST(len(list_filter(string_split(d.text, ' '), x -> x != '')) AS BIGINT) AS n_tok
+        |  FROM fk JOIN documents d ON fk.doc_id = d.doc_id
+        |  WHERE fk.kept AND fk.b < 80),
+        |cs AS (SELECT doc_id,
+        |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 10000 AS shard
+        |  FROM ck)
+        |SELECT fk.doc_id, fk.quality_ok, fk.repetition_ok, fk.pii_ok,
+        |  fk.dedup_ok, fk.near_ok, fk.decontam_ok, fk.kept,
+        |  CASE WHEN NOT fk.kept THEN NULL
+        |       WHEN fk.b < 80 THEN 'train'
+        |       WHEN fk.b < 90 THEN 'val' ELSE 'bench' END AS split,
+        |  CAST(cs.shard AS BIGINT) AS shard
+        |FROM fk LEFT JOIN cs ON fk.doc_id = cs.doc_id
+        |ORDER BY fk.doc_id""".stripMargin,
+
     "curate" ->
       s"""WITH $corpusFilterCtes,
         |${ngramPairsSql()},

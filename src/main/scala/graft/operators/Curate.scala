@@ -29,10 +29,16 @@ object Curate {
 
   def pipeline(docs: DataFrame, minQuality: Double = 0.3,
                tokensPerShard: Long = 10000L,
-               trainPct: Int = 80, benchFromPct: Int = 90): DataFrame = {
+               trainPct: Int = 80, benchFromPct: Int = 90,
+               // signature-only near arm (minhashNearApprox) instead of
+               // the exact char-n-gram mine — the arm the STREAMING sink
+               // can maintain incrementally; graft.streaming.Streaming
+               // .streamCurate is proven ≡ pipeline(approxNear = true)
+               approxNear: Boolean = false): DataFrame = {
     val bucket = Sampling.hashBucket(col("doc_id"))
     val gates = CorpusFilter.decisions(docs, minQuality).drop("kept")
-    val near = Dedup.resolveKeepers(docs, Dedup.ngramNear(docs))
+    val nearPairs = if (approxNear) Dedup.minhashNearApprox(docs) else Dedup.ngramNear(docs)
+    val near = Dedup.resolveKeepers(docs, nearPairs)
       .select(col("doc_id"), col("keep").as("near_ok"))
     // contamination() reports TRAIN-slice docs only; val/bench docs are
     // vacuously clean (they are never trained on), restored via the left

@@ -35,14 +35,27 @@ object Decontaminate {
     */
   def contamination(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", n: Int = 5,
-                    trainPct: Int = 80, benchFromPct: Int = 90): DataFrame = {
+                    trainPct: Int = 80, benchFromPct: Int = 90): DataFrame =
+    contaminationAgainst(docs,
+      docs.where(Sampling.hashBucket(col(idCol)) >= benchFromPct),
+      idCol, textCol, n, trainPct)
+
+  /** [[contamination]] with an EXPLICIT eval corpus: the train slice of
+    * `docs` (id-hash bucket < trainPct) is checked against the distinct
+    * shingles of `evalDocs` — the form a STREAMING pipeline needs, where
+    * the benchmark suite is a fixed reference rather than a slice of the
+    * (unbounded) stream, and the form [[contamination]] itself reduces to
+    * with `evalDocs` = its own bench slice. */
+  def contaminationAgainst(docs: DataFrame, evalDocs: DataFrame,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           n: Int = 5, trainPct: Int = 80): DataFrame = {
     val hs = docs.select(
       col(idCol).as("doc_id"),
       Sampling.hashBucket(col(idCol)).as("bucket"),
       LshFunctions.word_shingle_hash56(col(textCol), n).as("hs"))
 
-    val bench = hs.where(col("bucket") >= benchFromPct)
-      .select(explode_outer(col("hs")).as("g"))
+    val bench = evalDocs
+      .select(explode_outer(LshFunctions.word_shingle_hash56(col(textCol), n)).as("g"))
       .where(col("g").isNotNull).distinct()
 
     val train = hs.where(col("bucket") < trainPct)

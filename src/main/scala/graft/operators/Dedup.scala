@@ -345,6 +345,26 @@ object Dedup {
   private[graft] def wordSigIndexName(refBucketMax: Int, shingleSize: Int): String =
     s"documents-dedup-wsig-b$refBucketMax-s$shingleSize"
 
+  /** Signature-state hooks for the streaming curate sink
+    * ([[graft.streaming.Streaming.streamCurate]]): the per-batch (doc_id,
+    * sig) rows it persists, and the signature-only admission of a batch
+    * against the ACCUMULATED state table — [[minhashNearIncrementalApprox]]
+    * with the reference side already in signature form, so history text is
+    * never re-shingled and the state is `seeds`×8 bytes per seen doc. */
+  private[graft] def wordSignatures(docs: DataFrame, idCol: String = "doc_id",
+                                    textCol: String = "text", shingleSize: Int = 3,
+                                    seeds: Int = 12): DataFrame =
+    wordSig(docs, idCol, textCol, shingleSize, seeds)
+
+  private[graft] def sigIncrementalAgainstState(incoming: DataFrame, sigState: DataFrame,
+                                                idCol: String = "doc_id", textCol: String = "text",
+                                                shingleSize: Int = 3, seeds: Int = 12,
+                                                bands: Int = 6,
+                                                estThreshold: Double = 0.5): DataFrame =
+    sigIncrementalAgainst(incoming, idCol,
+      wordSig(incoming, idCol, textCol, shingleSize, seeds),
+      sigBandKeys(sigState, seeds, bands), sigState, seeds, bands, estThreshold)
+
   /** Signature-only admission core: candidates from the (band, key) equi-
     * join, verify = agreeing-seed estimate between the incoming and
     * reference SIGNATURE tables (both `seeds` longs per row — nothing in

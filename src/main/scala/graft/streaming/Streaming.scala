@@ -518,6 +518,161 @@ object Streaming {
       }
       .start()
 
+  /** Streaming curation END-TO-END — [[graft.operators.Curate.pipeline]]
+    * as a continuous sink: per micro-batch, every gate verdict
+    * ([[graft.operators.CorpusFilter.decisions]]), the near-dup keeper
+    * (in-batch signature mine + signature-only admission against the
+    * ACCUMULATED cross-batch state), decontamination against the FIXED
+    * `evalDocs` benchmark suite, the deterministic id-hash split, and the
+    * token-budget shard CONTINUING the global running count — one
+    * decision frame per batch under `path/b<id>`, readable as one corpus
+    * via [[readCurate]].
+    *
+    * Batch ≡ stream: over any corpus streamed in doc_id-ORDERED batches,
+    * the union of per-batch decision frames equals
+    * `Curate.pipeline(corpus, approxNear = true)` with the same
+    * parameters (StreamingSpec pins agreement and crash-replay identity).
+    * The near arm decomposes exactly: any corpus pair (a < b) is found
+    * either in b's own batch (in-batch mine, lower id keeps) or when b's
+    * batch is admitted against the state that already holds a's signature
+    * — which is why the state stores EVERY seen doc's signature, kept or
+    * not (a rejected near-dup must still suppress its later copies, as it
+    * does in the batch mine). Under UNORDERED arrival the gate degrades
+    * to first-arrival-wins — the standard streaming-dedup semantics, no
+    * longer the batch frame's lowest-id-wins.
+    *
+    * Exactly-once-equivalence under at-least-once delivery, the
+    * [[streamShardExport]] discipline on every piece of state: per-batch
+    * OVERWRITE dirs for decisions and signatures (a replay replaces its
+    * own output), the cumulative token count read at the STRICT
+    * PREDECESSOR version, and signature-state reads bounded to batch ids
+    * STRICTLY BELOW the current one (a replayed batch can never see its
+    * own failed attempt's signatures — it would self-match and reject
+    * everything).
+    *
+    * Scale shape per batch: the arms' documented shapes on batch-sized
+    * inputs; the cross-batch admission shuffles signature-sized rows only
+    * (`seeds`×8 B per seen doc — the index-footprint argument of
+    * [[graft.operators.Dedup.minhashNearIncrementalApproxIndexed]]). */
+  def streamCurate(docs: DataFrame, evalDocs: DataFrame, path: String,
+                   checkpointDir: String,
+                   minQuality: Double = 0.3, tokensPerShard: Long = 10000L,
+                   trainPct: Int = 80, benchFromPct: Int = 90,
+                   shingleSize: Int = 3, seeds: Int = 12, bands: Int = 6,
+                   estThreshold: Double = 0.5,
+                   retainVersions: Int = 1): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val D = graft.operators.Dedup
+          val gates = graft.operators.CorpusFilter.decisions(batch, minQuality)
+            .drop("kept")
+          // cross-batch EXACT dedup: the in-batch min-id keeper in `gates`
+          // only sees its own batch; a copy of an earlier batch's doc must
+          // lose its dedup_ok exactly as the corpus-wide window drops it
+          val fpOk = readBatchState(spark, s"$path/_fps", batchId) match {
+            case Some(prior) =>
+              batch.select(col("doc_id"), sha2(col("text"), 256).as("fp"))
+                .join(prior.select(col("fp"), lit(false).as("__hit")).distinct(),
+                  Seq("fp"), "left")
+                .select(col("doc_id"), coalesce(col("__hit"), lit(true)).as("__fp_ok"))
+            case None => batch.select(col("doc_id"), lit(true).as("__fp_ok"))
+          }
+          val inKeep = D.resolveKeepers(batch,
+              D.minhashNearApprox(batch, shingleSize = shingleSize,
+                seeds = seeds, bands = bands, estThreshold = estThreshold))
+            .select(col("doc_id"), col("keep").as("__in_ok"))
+          val crossKeep = readBatchState(spark, s"$path/_sigs", batchId) match {
+            case Some(state) =>
+              D.sigIncrementalAgainstState(batch, state,
+                  shingleSize = shingleSize, seeds = seeds, bands = bands,
+                  estThreshold = estThreshold)
+                .select(col("doc_id"), col("keep").as("__x_ok"))
+            case None => batch.select(col("doc_id"), lit(true).as("__x_ok"))
+          }
+          val deco = graft.operators.Decontaminate
+            .contaminationAgainst(batch, evalDocs, trainPct = trainPct)
+            .select(col("doc_id"), (!col("contaminated")).as("__dc"))
+          val bucket = graft.operators.Sampling.hashBucket(col("doc_id"))
+          // the Curate.pipeline materialization boundary, per batch: the
+          // flags frame has two consumers (kept-train shard scan + final)
+          val flags = batch.select(col("doc_id"), bucket.as("__b"))
+            .join(gates, Seq("doc_id"))
+            .join(fpOk, Seq("doc_id"))
+            .join(inKeep, Seq("doc_id"))
+            .join(crossKeep, Seq("doc_id"))
+            .join(deco, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("quality_ok"), col("repetition_ok"),
+              col("pii_ok"), (col("dedup_ok") && col("__fp_ok")).as("dedup_ok"),
+              (col("__in_ok") && col("__x_ok")).as("near_ok"),
+              coalesce(col("__dc"), lit(true)).as("decontam_ok"), col("__b"))
+            .withColumn("kept",
+              col("quality_ok") && col("repetition_ok") && col("pii_ok") &&
+                col("dedup_ok") && col("near_ok") && col("decontam_ok"))
+            .localCheckpoint(false)
+          val prev = readVersionBelow(spark, s"$path/_state", batchId)
+            .map(_.head().getLong(0)).getOrElse(0L)
+          val assigned = graft.operators.Sampling.tokenShards(
+            batch.join(flags.where(col("kept") && col("__b") < trainPct)
+                .select(col("doc_id")), Seq("doc_id"), "left_semi"),
+            tokensPerShard, baseTokens = prev)
+          flags.join(assigned.select(col("doc_id"), col("shard")), Seq("doc_id"), "left")
+            .select(col("doc_id"), col("quality_ok"), col("repetition_ok"),
+              col("pii_ok"), col("dedup_ok"), col("near_ok"), col("decontam_ok"),
+              col("kept"),
+              when(!col("kept"), lit(null).cast("string"))
+                .when(col("__b") < trainPct, lit("train"))
+                .when(col("__b") < benchFromPct, lit("val"))
+                .otherwise(lit("bench")).as("split"),
+              when(col("kept") && col("__b") < trainPct, col("shard"))
+                .otherwise(lit(null).cast("bigint")).as("shard"))
+            .write.mode("overwrite").parquet(f"$path/b$batchId%020d")
+          D.wordSignatures(batch, shingleSize = shingleSize, seeds = seeds)
+            .write.mode("overwrite").parquet(f"$path/_sigs/b$batchId%020d")
+          batch.select(sha2(col("text"), 256).as("fp")).distinct()
+            .write.mode("overwrite").parquet(f"$path/_fps/b$batchId%020d")
+          val batchTok = assigned.agg(coalesce(sum(col("n_tok")), lit(0L)))
+            .head().getLong(0)
+          commitVersion(Seq(prev + batchTok).toDF("cum_tokens"),
+            s"$path/_state", batchId, retainVersions)
+        }
+      }
+      .start()
+
+  /** All batches of a [[streamCurate]] run as one decision frame. */
+  def readCurate(spark: SparkSession, path: String): Option[DataFrame] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val dirs = fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("b") && fs.exists(new Path(p, "_SUCCESS")))
+      .sortBy(_.getName)
+    if (dirs.isEmpty) None
+    else Some(dirs.map(p => spark.read.parquet(p.toString)).reduce(_ unionByName _))
+  }
+
+  /** Accumulated per-batch state (signatures, fingerprints): every
+    * committed `b<id>` dir with id STRICTLY BELOW `batchId` (replay
+    * safety — see [[streamCurate]]). */
+  private def readBatchState(spark: SparkSession, rootPath: String,
+                             batchId: Long): Option[DataFrame] = {
+    val root = new Path(rootPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val cutoff = f"b$batchId%020d"
+    val dirs = fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("b") && p.getName < cutoff &&
+        fs.exists(new Path(p, "_SUCCESS")))
+      .sortBy(_.getName)
+    if (dirs.isEmpty) None
+    else Some(dirs.map(p => spark.read.parquet(p.toString)).reduce(_ unionByName _)
+      .coalesce(spark.sparkContext.defaultParallelism))
+  }
+
   /** All batches of a [[streamShardExport]] run as one DataFrame (shard
     * column restored from the partition dirs). Batch-count-bounded driver
     * listing; each batch dir reads as its own parquet root. */

@@ -261,6 +261,55 @@ class StreamingSpec extends SparkSpec {
     assert(Streaming.readShardExport(spark, path).get.count() == 40L)
   }
 
+  test("streamCurate: id-ordered batched stream ≡ Curate.pipeline(approxNear); commit-crash replay changes nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("graft-scurate-").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-scurate-ckpt-").toString
+    val corpusDF = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val corpus = corpusDF.orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    // the fixed benchmark suite = the corpus's own bench slice, which is
+    // exactly what Curate.pipeline decontaminates against
+    val evalDocs = corpusDF
+      .where(graft.operators.Sampling.hashBucket(col("doc_id")) >= 90)
+
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    val mem = MemoryStream[(Long, String, String, String)]
+    def run(): Unit = runToCompletion(Streaming.streamCurate(
+      mem.toDF().toDF("doc_id", "text", "lang", "source"), evalDocs, path, ckpt))
+    // three id-ordered batches — the precondition under which the gate's
+    // first-arrival-wins equals the batch frame's lowest-id-wins
+    val chunks = corpus.grouped((corpus.length + 2) / 3).toSeq
+    chunks.foreach { c => mem.addData(c: _*); run() }
+
+    def streamed(): Seq[Seq[Any]] = Streaming.readCurate(spark, path).get
+      .collect().map(_.toSeq.toVector).toSeq.sortBy(_.head.asInstanceOf[Long])
+    val batchFrame = graft.operators.Curate.pipeline(corpusDF, approxNear = true)
+      .collect().map(_.toSeq.toVector).toSeq.sortBy(_.head.asInstanceOf[Long])
+    assert(streamed() == batchFrame)
+    // sanity: the corpus actually exercises every arm
+    val kept = batchFrame.count(_(7) == true)
+    assert(kept > 0 && kept < corpus.length)
+    assert(batchFrame.exists(r => r(8) == "train" && r(9) != null))
+
+    // crash image: batch 1's decision files + signature/fp/token state are
+    // durable, the checkpoint commit marker is not — the restart replays
+    // batch 1; strict-predecessor state reads + per-batch overwrites must
+    // reproduce byte-identical decisions (no self-match, no double count)
+    val commit1 = java.nio.file.Paths.get(ckpt, "commits", "1")
+    assert(Files.exists(commit1), "expected checkpoint commit marker commits/1")
+    Files.delete(commit1)
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    run()
+    assert(streamed() == batchFrame)
+  }
+
   test("streamIngestDeduped: crash between parquet append and checkpoint commit — replay admits nothing") {
     implicit val sqlCtx = spark.sqlContext
     val db = GraftDatabase.make(spark, Files.createTempDirectory("graft-crash-").toString)
@@ -587,6 +636,51 @@ class StreamingSpec extends SparkSpec {
       .getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(res, "_latest"), false)
     assert(rows(Streaming.readReservoir(spark, res).get) == direct)
+  }
+
+  test("retainVersions > 1: a reader lagging one commit keeps a live version across the next") {
+    import java.nio.file.Files
+    val res = Files.createTempDirectory("graft-retain-").toString + "/r"
+    val all = (0L until 90L).map(i => (i, i % 13 * 53 + 1))
+    implicit val sqlCtx = spark.sqlContext
+
+    val ckpt = Files.createTempDirectory("graft-retain-ckpt-").toString
+    val mem = MemoryStream[(Long, Long)]
+    def runBatch(data: Seq[(Long, Long)], retain: Int): Unit = {
+      mem.addData(data: _*)
+      val q = Streaming.streamWeightedReservoir(mem.toDF().toDF("doc_id", "n_chars"),
+        k = 15, res, ckpt, retainVersions = retain)
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    runBatch(all.take(30), retain = 2)
+    // the lagging reader resolves NOW (version v0) ...
+    val lagging = Streaming.readReservoir(spark, res).get
+    val snapshot = lagging.collect().map(_.toSeq.toVector).toSeq.sortBy(_.toString)
+    // ... then the writer commits TWO more micro-batches under retain=2:
+    // v0 survives the first (within the retained window) — the lagging
+    // reader's plan must still re-collect identical rows from live files
+    runBatch(all.slice(30, 60), retain = 2)
+    assert(lagging.collect().map(_.toSeq.toVector).toSeq.sortBy(_.toString) == snapshot,
+      "reader one commit behind lost its version despite retainVersions = 2")
+    // the third commit pushes v0 out of the retained window: the default
+    // retain=1 writer would have deleted it one commit earlier — pin that
+    // the window is exactly `retain` superseded versions, no more
+    runBatch(all.drop(60), retain = 2)
+    val root = new org.apache.hadoop.fs.Path(res)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("v")).sorted.toSeq
+    assert(versions.length == 3, // latest + 2 retained predecessors
+      s"expected latest + 2 retained, got $versions")
+    // and the current reader still resolves the freshest state
+    val direct = graft.operators.Sampling.weightedSample(
+      all.toDF("doc_id", "n_chars"), k = 15)
+      .collect().map(_.toSeq.toVector).toSeq.sortBy(_.toString)
+    assert(Streaming.readReservoir(spark, res).get
+      .collect().map(_.toSeq.toVector).toSeq.sortBy(_.toString) == direct)
   }
 
   test("streamIvfIngest: frozen-centroid assignment into a cell-partitioned delta") {
