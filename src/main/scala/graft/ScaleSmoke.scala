@@ -273,6 +273,14 @@ object ScaleSmoke {
       // the assembled end-to-end frame: sum of the arms' shapes by design
       graft.operators.Curate.pipeline(docs).queryExecution.toRdd.count()
     }
+    stage("curate approx pipeline") {
+      // the signature-only near arm (what streamCurate maintains): the
+      // exact pipeline's cost at this scale is dominated by the ngram
+      // mine's exact-Jaccard verify — the approx arm replaces it with the
+      // agreeing-seed estimate, per-doc state seeds x 8 bytes
+      graft.operators.Curate.pipeline(docs, approxNear = true)
+        .queryExecution.toRdd.count()
+    }
     stage("winnow pairs") {
       graft.operators.TextAnalysis.winnowPairs(docs).queryExecution.toRdd.count()
     }

@@ -210,6 +210,7 @@ object SparkEntry {
     }),
     "token_drift"  -> ((s, dir) => TextAnalysis.tokenDrift(Tables.documents(s, dir), 20)),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
+    "quality_calibrated" -> ((s, dir) => TextAnalysis.qualityCalibrated(Tables.documents(s, dir))),
     "lang_id"      -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "doc_winnow"   -> ((s, dir) => TextAnalysis.winnowFingerprints(Tables.documents(s, dir))),
@@ -2126,6 +2127,39 @@ object SparkEntry {
         |       ELSE 'und' END AS lang_guess,
         |  md5(lower(text)) AS fp
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    // per-language discrete inverse-CDF on the 6-dp quality grid; the
+    // rank threshold is an INTEGER ceiling in micro-units (q=0.2 →
+    // 200000) — no float multiply near an integer boundary
+    "quality_calibrated" ->
+      """WITH q0 AS (
+        | SELECT doc_id, lang,
+        |   len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+        |   len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','is'))) AS en_hits,
+        |   len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','que','y','en'))) AS es_hits,
+        |   len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und','ist','ein'))) AS de_hits,
+        |   CASE WHEN length(text) > 0
+        |        THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / length(text)
+        |        ELSE 0.0 END AS punct_raw
+        | FROM documents),
+        |ql AS (SELECT doc_id, lang,
+        |  round(least(1.0, n_tokens::DOUBLE / 100.0) * (1.0 - punct_raw)
+        |        * (0.5 + 0.5 * CASE WHEN n_tokens > 0
+        |                            THEN (en_hits + es_hits + de_hits)::DOUBLE / n_tokens
+        |                            ELSE 0.0 END), 6) AS quality
+        |  FROM q0),
+        |hist AS (SELECT lang, quality, count(*) AS c FROM ql GROUP BY lang, quality),
+        |cum AS (SELECT lang, quality,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY quality
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM hist),
+        |cut AS (SELECT lang, min(quality) AS cutoff FROM cum
+        |        WHERE cum >= (n * 200000 + 999999) // 1000000 GROUP BY lang)
+        |SELECT ql.doc_id, ql.lang, ql.quality, cut.cutoff,
+        |       ql.quality >= cut.cutoff AS keep
+        |FROM ql JOIN cut ON ql.lang = cut.lang
+        |ORDER BY ql.doc_id""".stripMargin,
 
     // marker lists must stay IDENTICAL to TextAnalysis.LangMarkers; CASE
     // order (de,en,es,fr,zh) is the alphabetical tie-break contract

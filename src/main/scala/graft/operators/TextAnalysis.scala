@@ -966,6 +966,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-language CALIBRATED quality gate — a fixed global threshold
+    * (the [[graft.operators.CorpusFilter.decisions]] arm) over-filters
+    * whole languages whose score distribution sits lower (stop-word lists
+    * and punctuation norms are language-biased), so production pipelines
+    * gate each language at its own quantile: drop the bottom `q` of EACH
+    * language. Per document: its language's cutoff and the calibrated
+    * verdict `quality ≥ cutoff`.
+    *
+    * Quantile definition (cross-engine exact): the smallest 6-dp grid
+    * value v with ≥ ⌈n_lang·qµ/10⁶⌉ documents of the language scoring
+    * ≤ v — the discrete inverse CDF over already-rounded values, no
+    * interpolation, with the ceiling taken in INTEGER micro-units
+    * (`qµ = round(q·10⁶)`) so no float multiply can straddle an integer
+    * boundary differently across engines.
+    *
+    * Scale shape: NOT a per-language global sort (one reducer per
+    * language — the skew ceiling [[graft.operators.Sampling.packBatches]]
+    * refused): quality lives on the bounded 6-dp grid, so the quantile is
+    * a (lang, value)-keyed HISTOGRAM — one map-side-combined groupBy of
+    * the corpus, cumulative windows over ≤ grid-values rows per language,
+    * and the langs-sized cutoff table broadcast back. */
+  def qualityCalibrated(docs: DataFrame, q: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(q > 0 && q < 1, s"q must be in (0, 1), got $q")
+    val qMicro = math.round(q * 1e6)
+    val ql = quality(docs).select(col("doc_id"), col("lang"), col("quality"))
+    val hist = ql.groupBy(col("lang"), col("quality")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("quality"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("lang"))
+    val cutoffs = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .where(col("cum") >= expr(s"(n * $qMicro + 999999) div 1000000"))
+      .groupBy(col("lang")).agg(min(col("quality")).as("cutoff"))
+    ql.join(broadcast(cutoffs), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("cutoff"),
+        (col("quality") >= col("cutoff")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style rule audit (Rae et al. 2021 §A1.1, the rule family
     * C4/MassiveText/RedPajama filters share) — per document, each rule's
     * raw signal AND its boolean verdict, so a curator can tune thresholds

@@ -118,4 +118,47 @@ class CorpusHealthSpec extends SparkSpec {
     val t = good.split(" ")
     assert(math.abs(out(1L)._2 - t.map(_.length).sum.toDouble / t.length) < 1e-6)
   }
+
+  test("qualityCalibrated: each language drops ~q of itself; a global threshold would erase the low-scoring language") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two synthetic languages with disjoint score regimes: 'hi' docs are
+    // stop-word-rich long prose (high quality score), 'lo' docs are short
+    // and stop-word-free (the scoring heuristic is biased against them)
+    // within-language spread: per-doc punctuation (hi) / length (lo) vary
+    // the 6-dp score so each language has a real distribution to cut
+    val hi = (0L until 50L).map(i =>
+      (i, ("the of and is a to " * 20) + ("." * (i % 10).toInt) + "word" + i, "hi", "s"))
+    val lo = (100L until 150L).map(i =>
+      (i, (3 to (3 + (i % 7).toInt)).map(j => s"zz$i$j").mkString(" "), "lo", "s"))
+    val docs = (hi ++ lo).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.qualityCalibrated(docs, q = 0.2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.length == 100)
+    // every language keeps roughly (1-q) of itself — the calibration claim
+    for (lang <- Seq("hi", "lo")) {
+      val ofLang = out.filter(_._2 == lang)
+      val dropped = ofLang.count(!_._5)
+      // >= floor(q*n) may over-drop only through grid ties at the cutoff
+      assert(dropped >= 1 && dropped <= ofLang.length / 2,
+        s"$lang dropped $dropped of ${ofLang.length}")
+      // cutoff is the discrete q-quantile: #(quality < cutoff) < ceil(q*n)
+      // <= #(quality <= cutoff), recomputed driver-side
+      val qs = ofLang.map(_._3).sorted
+      val need = math.ceil(ofLang.length * 0.2).toInt
+      val cutoff = ofLang.head._4
+      assert(qs.count(_ < cutoff) < need && qs.count(_ <= cutoff) >= need, s"$lang cutoff $cutoff")
+    }
+    // the motivating failure: a global threshold at the hi-language's
+    // cutoff erases the lo language entirely; calibration keeps most of it
+    val hiCut = out.find(_._2 == "hi").get._4
+    assert(out.filter(_._2 == "lo").forall(_._3 < hiCut),
+      "fixture must put every lo doc under the hi cutoff")
+    assert(out.count(r => r._2 == "lo" && r._5) > 25)
+    // scale guard: the corpus window is keyed by (lang, grid value) — the
+    // only per-language ordered pass runs over histogram rows, and the
+    // cutoff table comes back as a broadcast
+    val p = TextAnalysis.qualityCalibrated(docs).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"cutoffs not broadcast:\n$p")
+  }
 }
