@@ -302,6 +302,23 @@ object SparkEntry {
           .where(octet_length(col("text")) === length(col("text")))
           .select(col("doc_id"), col("text").cast("binary").as("blob")))
     }),
+    "audio_near" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
+      // same synthetic-WAV device as multimodal_audio: the envelope and
+      // the signature chain both run on the REAL operator path. Bucket
+      // slice: text-derived envelopes cluster hard (few loudness levels),
+      // so the PAIR OUTPUT on the full table is ~6% dense — quadratic by
+      // its own size on both engines (the imageNear pair-output lesson);
+      // the slice keeps the oracle meaningful at linear cost
+      val header = Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL)
+      Dedup.audioNear(s,
+        Tables.documents(s, dir)
+          .where(octet_length(col("text")) === length(col("text")) &&
+            graft.operators.Sampling.hashBucket(col("doc_id")) < 20)
+          .select(col("doc_id"),
+            concat(lit(header), col("text").cast("binary")).as("blob")),
+        maxBytes = 512)
+    }),
     "multimodal_audio" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
       // real PCM content decode over a synthetic-but-real WAV corpus: each
@@ -431,9 +448,10 @@ object SparkEntry {
     * as the dedup_minhash_approx oracle, ap-prefixed names so the chain
     * composes beside corpusFilterCtes). */
   private def approxPairsSql(shingle: Int = 3, seeds: Int = 12, bands: Int = 6,
-                             tau: Double = 0.5): String = {
+                             tau: Double = 0.5,
+                             sourceSql: String = "SELECT doc_id, text FROM documents"): String = {
     val r = seeds / bands
-    s"""aptk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""aptk AS (SELECT doc_id, string_split(text, ' ') AS t FROM ($sourceSql) apsrc),
        |apsh AS (SELECT doc_id,
        |         list_transform(
        |           list_distinct(list_transform(range(0, len(t) - ${shingle - 1}),
@@ -451,7 +469,10 @@ object SparkEntry {
        |apcand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |         FROM apbands a JOIN apbands b
        |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-       |pairs AS MATERIALIZED (SELECT c.a_id, c.b_id FROM apcand c
+       |pairs AS MATERIALIZED (SELECT c.a_id, c.b_id,
+       |      round(len(list_filter(range(0, $seeds),
+       |            i -> sa.sig[i+1] = sb.sig[i+1]))::DOUBLE / $seeds, 6) AS est_jaccard
+       |      FROM apcand c
        |      JOIN apmh sa ON sa.doc_id = c.a_id
        |      JOIN apmh sb ON sb.doc_id = c.b_id
        |      WHERE round(len(list_filter(range(0, $seeds),
@@ -2601,6 +2622,31 @@ object SparkEntry {
         |       h.doc_id = coalesce(rt.root, r.rep) AS keep
         |FROM h JOIN r ON r.ph = h.ph LEFT JOIN roots rt ON rt.id = r.rep
         |ORDER BY h.doc_id""".stripMargin,
+
+    // envelope re-derivation from the same header-wrapped bytes as
+    // multimodal_audio: 16-sample windows, level = count of quarter-octave
+    // thresholds reached (the EXACT integer table Multimodal embeds — no
+    // float log/pow on either engine), then the approx signature chain
+    // over the level string with 4-level shingles
+    "audio_near" -> {
+      val thresholds = graft.operators.Multimodal.QuarterOctaveThresholds
+        .mkString("[", ",", "]")
+      val envSrc =
+        s"""SELECT doc_id, array_to_string(list_transform(
+          |    list_transform(range(0, n // 16), w -> list_sum(list_transform(
+          |        range(w*16, w*16 + 16), j -> CAST(s[CAST(j+1 AS BIGINT)] AS BIGINT) * s[CAST(j+1 AS BIGINT)]))),
+          |    ss -> CAST(len(list_filter($thresholds, t -> ss >= t)) AS VARCHAR)), ' ') AS text
+          |  FROM sm""".stripMargin
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |  WHERE strlen(text) = length(text)
+         |    AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 20),
+         |p AS (SELECT doc_id, least(strlen(text), 512) // 2 AS n, text FROM d),
+         |sm AS (SELECT doc_id, n, list_transform(range(0, n), i ->
+         |     ascii(substr(text, CAST(2*i+2 AS BIGINT), 1)) * 256
+         |   + ascii(substr(text, CAST(2*i+1 AS BIGINT), 1))) AS s FROM p),
+         |${approxPairsSql(shingle = 4, sourceSql = envSrc)}
+         |SELECT a_id, b_id, est_jaccard FROM pairs ORDER BY a_id, b_id""".stripMargin
+    },
 
     // the oracle rebuilds the 16-bit LE samples from the document bytes the
     // Spark side wrapped in a WAV header (ASCII-pure rows: bytes == chars,

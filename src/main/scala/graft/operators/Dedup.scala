@@ -1014,6 +1014,25 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** X3h — AUDIO near-duplicate pairs by energy-envelope fingerprint: the
+    * third modality of the near-dup triad (text shingles, image dHash,
+    * audio envelope). [[Multimodal.audioEnvelope]] reduces each WAV blob
+    * to a space-joined integer level string, and near-dup over envelopes
+    * IS [[minhashNearApprox]] over that string — level k-grams as word
+    * shingles, signature-only verify, the same banding, the same oracle
+    * chain. Per-doc state: `seeds` longs; nothing audio-sized shuffles.
+    * Matches re-encodes/level-preserving copies; time-SHIFT robustness
+    * would need spectral landmarks (documented out of scope). */
+  def audioNear(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                idCol: String = "doc_id", blobCol: String = "blob",
+                windowSamples: Int = 16, maxBytes: Int = 1 << 20,
+                shingleSize: Int = 4, seeds: Int = 12, bands: Int = 6,
+                estThreshold: Double = 0.5): DataFrame =
+    minhashNearApprox(
+      Multimodal.audioEnvelope(spark, docs, idCol, blobCol, windowSamples, maxBytes)
+        .select(col(idCol), col("env").as("text")),
+      idCol, "text", shingleSize, seeds, bands, estThreshold)
+
   /** [[imageNear]]'s TREATMENT form, and its 100 TB shape: per-doc
     * keep/group verdicts with LINEAR output. [[imageNear]]'s pair list is
     * inherently quadratic on grid-identical groups (N boilerplate-prefixed

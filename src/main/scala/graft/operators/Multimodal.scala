@@ -157,6 +157,115 @@ object Multimodal {
       silent.toLong * 1000L / (rate * ch))
   }
 
+  /** Quarter-octave (≈1.5 dB) loudness thresholds: `T(k) = ⌈2^(k/4)⌉` for
+    * k in 0..160, PRECOMPUTED as exact integer literals (Decimal ceiling,
+    * no runtime pow — a libm call here would be a cross-engine/JVM
+    * determinism hole). A window's level = #{k : Σv² ≥ T(k)}; T(160) >
+    * the max possible 16-bit window energy, so levels are in [0, 160].
+    * The oracle embeds THIS table verbatim ([[graft.SparkEntry]] reads it
+    * to build the SQL literal). */
+  private[graft] val QuarterOctaveThresholds: Array[Long] = Array(
+    1L, 2L, 2L, 2L, 2L, 3L, 3L, 4L,
+    4L, 5L, 6L, 7L, 8L, 10L, 12L, 14L,
+    16L, 20L, 23L, 27L, 32L, 39L, 46L, 54L,
+    64L, 77L, 91L, 108L, 128L, 153L, 182L, 216L,
+    256L, 305L, 363L, 431L, 512L, 609L, 725L, 862L,
+    1024L, 1218L, 1449L, 1723L, 2048L, 2436L, 2897L, 3445L,
+    4096L, 4871L, 5793L, 6889L, 8192L, 9742L, 11586L, 13778L,
+    16384L, 19484L, 23171L, 27555L, 32768L, 38968L, 46341L, 55109L,
+    65536L, 77936L, 92682L, 110218L, 131072L, 155872L, 185364L, 220436L,
+    262144L, 311744L, 370728L, 440872L, 524288L, 623488L, 741456L, 881744L,
+    1048576L, 1246975L, 1482911L, 1763488L, 2097152L, 2493949L, 2965821L, 3526976L,
+    4194304L, 4987897L, 5931642L, 7053951L, 8388608L, 9975793L, 11863284L, 14107901L,
+    16777216L, 19951585L, 23726567L, 28215802L, 33554432L, 39903170L, 47453133L, 56431604L,
+    67108864L, 79806339L, 94906266L, 112863207L, 134217728L, 159612678L, 189812532L, 225726413L,
+    268435456L, 319225355L, 379625063L, 451452826L, 536870912L, 638450709L, 759250125L, 902905651L,
+    1073741824L, 1276901417L, 1518500250L, 1805811302L, 2147483648L, 2553802834L, 3037000500L, 3611622603L,
+    4294967296L, 5107605668L, 6074001000L, 7223245206L, 8589934592L, 10215211335L, 12148002000L, 14446490412L,
+    17179869184L, 20430422669L, 24296004000L, 28892980823L, 34359738368L, 40860845337L, 48592008000L, 57785961646L,
+    68719476736L, 81721690674L, 97184016000L, 115571923291L, 137438953472L, 163443381348L, 194368031999L, 231143846582L,
+    274877906944L, 326886762695L, 388736063997L, 462287693164L, 549755813888L, 653773525390L, 777472127994L, 924575386327L,
+    1099511627776L)
+
+  /** Audio energy-envelope fingerprint: the PCM payload (same chunk walk
+    * and byte budget as [[pcm16Stats]]) sliced into `windowSamples`-sample
+    * windows, each reduced to an INTEGER loudness level — the count of
+    * [[QuarterOctaveThresholds]] the window's sum of squares reaches
+    * (≈1.5 dB resolution, integer comparisons only) — and the level
+    * sequence joined into a space-separated string. A quarter-octave
+    * log-energy envelope: the classic cheap audio fingerprint
+    * baseline (re-encodes and level-preserving copies match; true
+    * time-shift robustness needs spectral landmarks, out of scope and
+    * said so). The STRING form is deliberate: near-dup over envelopes is
+    * then [[graft.operators.Dedup.minhashNearApprox]] VERBATIM (word
+    * shingles = level k-grams), machinery and oracle included. Windows
+    * with fewer than `windowSamples` samples are dropped (a trailing
+    * partial window would make the same audio hash differently under a
+    * different byte budget). */
+  private[operators] def envelopeLevels(b: Array[Byte], windowSamples: Int,
+                                        maxBytes: Int): Array[Long] = {
+    def u32(o: Int): Long =
+      (b(o) & 0xff).toLong | ((b(o + 1) & 0xff).toLong << 8) |
+        ((b(o + 2) & 0xff).toLong << 16) | ((b(o + 3) & 0xff).toLong << 24)
+    def u16(o: Int): Long = ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)).toLong
+    var off = 12L
+    var fmtTag = 0L; var bits = 0L; var rate = 0L
+    var dataOff = -1L; var dataLen = 0L
+    while (off + 8 <= b.length && (rate == 0L || dataOff < 0L)) {
+      val o = off.toInt
+      val id = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = u32(o + 4)
+      if (id == "fmt " && sz >= 16 && o + 8 + 16 <= b.length) {
+        fmtTag = u16(o + 8); rate = u32(o + 12); bits = u16(o + 22)
+      } else if (id == "data" && dataOff < 0L) {
+        dataOff = (o + 8).toLong
+        dataLen = math.min(sz, (b.length - o - 8).toLong)
+      }
+      off += 8L + sz + (sz & 1L)
+    }
+    if (dataOff < 0L || fmtTag != 1L || bits != 16L) return Array.empty
+    val n = (math.min(dataLen, maxBytes.toLong) / 2L).toInt
+    val nWin = n / windowSamples
+    val out = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      var ss = 0L
+      var i = 0
+      while (i < windowSamples) {
+        val o = dataOff.toInt + 2 * (w * windowSamples + i)
+        val v = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toLong
+        ss += v * v
+        i += 1
+      }
+      // quarter-octave level: count of thresholds reached (binarySearch
+      // gives the same count in O(log n))
+      val idx = java.util.Arrays.binarySearch(QuarterOctaveThresholds, ss)
+      out(w) = if (idx >= 0) idx + 1L else -(idx + 1).toLong
+      w += 1
+    }
+    out
+  }
+
+  /** One (id, env, n_windows) row per WAV blob — the fingerprint pass
+    * [[graft.operators.Dedup.audioNear]] shingles. */
+  def audioEnvelope(spark: SparkSession, docs: DataFrame,
+                    idCol: String = "doc_id", blobCol: String = "blob",
+                    windowSamples: Int = 16, maxBytes: Int = 1 << 20): DataFrame = {
+    import spark.implicits._
+    require(windowSamples >= 1, s"windowSamples must be >= 1, got $windowSamples")
+    docs.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        val bytes = Option(b).getOrElse(Array.emptyByteArray)
+        if (!isWav(bytes)) None
+        else {
+          val lv = envelopeLevels(bytes, windowSamples, maxBytes)
+          Some((id, lv.mkString(" "), lv.length.toLong))
+        }
+      })
+      .toDF(idCol, "env", "n_windows")
+  }
+
   /** 44-byte canonical PCM WAV header (RIFF + fmt + data chunk header),
     * little-endian. Used by the spec fixtures and the oracle query's
     * synthetic corpus (`declaredDataLen` may over-declare — the parsers

@@ -188,6 +188,35 @@ class MultimodalSpec extends SparkSpec {
       rows.head.getAs[Long]("peak") == 32768L)
   }
 
+  test("audioEnvelope + audioNear: re-encodes pair up, different programme material does not") {
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val data = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(s => data.putShort(s.toShort))
+      Multimodal.pcmWavHeader(8000, 1, samples.length * 2L) ++ data.array()
+    }
+    // deterministic "programme": a loud-soft-loud amplitude pattern
+    def prog(seed: Int): Seq[Int] = (0 until 512).map { i =>
+      val amp = if ((i / 64) % 2 == 0) 12000 else 300
+      (if ((i + seed) % 2 == 0) amp else -amp) + (i % 7)
+    }
+    val a = wav(prog(0))
+    val b = wav(prog(1) ++ Seq.fill(16)(5)) // same envelope, different phase + a trailing quiet window
+    val c = wav((0 until 512).map(i => if (i % 97 == 0) 20000 else 10)) // different dynamics
+    val lvA = Multimodal.envelopeLevels(a, 16, 1 << 20)
+    val lvB = Multimodal.envelopeLevels(b, 16, 1 << 20)
+    assert(lvA.length == 32 && lvA.toSeq.distinct.length > 1) // real dynamics
+    assert(lvA.toSeq == lvB.toSeq.take(32)) // phase-insensitive: energy only
+    import spark.implicits._
+    val pairs = Dedup.audioNear(spark,
+        Seq((1L, a), (2L, b), (3L, c), (4L, "not audio".getBytes("US-ASCII")))
+          .toDF("doc_id", "blob"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // byte budget truncates the envelope deterministically
+    assert(Multimodal.envelopeLevels(a, 16, 64).length == 2)
+  }
+
   test("mp4Meta: corrupt box sizes terminate the walk immediately") {
     // a declared size in 2..7 (smaller than the 8-byte header) must stop
     // the walk, not degrade to a byte-granular scan
