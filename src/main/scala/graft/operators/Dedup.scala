@@ -1072,6 +1072,27 @@ object Dedup {
       .orderBy(col(idCol))
   }
 
+  /** Batch docs with ≥ 1 accumulated-state hash within `maxHamming` — the
+    * cross-batch arm of [[graft.streaming.Streaming.streamImageDedupAdmit]].
+    * Both sides go through the same lossless [[bandSubsetKeys]] buckets;
+    * the verify is the exact popcount on candidate (doc, state-hash)
+    * pairs. `stateHashes` needs one `phash` column (distinct hashes — the
+    * state is signature-sized, never pixels). */
+  private[graft] def imageMatchesAgainst(hashed: DataFrame, stateHashes: DataFrame,
+                                         bands: Int = 8, maxHamming: Int = 6,
+                                         agreeBands: Int = 2): DataFrame = {
+    val stateKeys = bandSubsetKeys(
+      stateHashes.select(col("phash"), col("phash").as("__sid")),
+      "phash", "__sid", bands, 56, agreeBands)
+      .select(col("band"), col("key"), col("doc_id").as("__sph"))
+    bandSubsetKeys(hashed, "phash", "doc_id", bands, 56, agreeBands)
+      .join(stateKeys, Seq("band", "key"))
+      .select(col("doc_id"), col("__sph")).distinct()
+      .join(hashed.select(col("doc_id"), col("phash")), Seq("doc_id"))
+      .where(expr("bit_count(phash ^ __sph)") <= maxHamming)
+      .select(col("doc_id")).distinct()
+  }
+
   /** X3d — SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication"):
     * partition the embedding space into cells via the engine's

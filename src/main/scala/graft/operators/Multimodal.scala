@@ -451,7 +451,7 @@ object Multimodal {
     * gradients. 56 bits (not the textbook 64) keeps the hash inside the
     * engine's non-negative-BIGINT convention ([[graft.functions.Hash56]]),
     * so banding/XOR/popcount arithmetic is sign-free in BOTH engines. */
-  private[operators] def dhash56(gray: Array[Int]): Long = {
+  private[graft] def dhash56(gray: Array[Int]): Long = {
     var h = 0L
     var r = 0
     while (r < 8) {
@@ -474,7 +474,7 @@ object Multimodal {
     * arm (first 64 bytes AS the grid, 0-padded), the [[decodeMeta]]
     * oracle device: text corpora pin the arithmetic end-to-end while the
     * image arm is pinned by ImageIO-written fixtures in MultimodalSpec. */
-  private[operators] def grayGrid(b: Array[Byte]): Array[Int] = {
+  private[graft] def grayGrid(b: Array[Byte]): Array[Int] = {
     def fake = Array.tabulate(64)(i => if (i < b.length) b(i) & 0xff else 0)
     if (!isImage(b)) fake
     else {

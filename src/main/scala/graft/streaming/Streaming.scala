@@ -643,6 +643,58 @@ object Streaming {
       }
       .start()
 
+  /** Streaming IMAGE-dedup admission gate — the continuous twin of
+    * [[graft.operators.Dedup.imageDedup]]: per micro-batch, in-batch
+    * perceptual-hash components elect keepers (exact-grid collapse +
+    * band-subset Hamming mine + min-label components), and whole in-batch
+    * CLUSTERS are rejected when ANY member's hash sits within
+    * `maxHamming` of the accumulated cross-batch state. The cluster-level
+    * taint (not per-doc) is what preserves transitivity: a batch doc can
+    * be chained to history only THROUGH a same-batch near-dup (c—b in
+    * batch, b—a in state, c far from a); testing members individually
+    * would re-admit c. Under doc_id-ordered arrival the admitted set
+    * equals `imageDedup(corpus).where(keep)` exactly (StreamingSpec pins
+    * an engineered chain); unordered arrival degrades to
+    * first-arrival-wins.
+    *
+    * State: distinct phashes of EVERY seen doc (admitted or not — a
+    * rejected near-dup must still suppress later copies), one long per
+    * distinct grid, per-batch overwrite dirs read STRICTLY BELOW the
+    * current batch id — the [[streamCurate]] replay discipline (a
+    * replayed batch can never self-match). */
+  def streamImageDedupAdmit(docs: DataFrame, path: String, checkpointDir: String,
+                            bands: Int = 8, maxHamming: Int = 6,
+                            agreeBands: Int = 2)
+                           (sink: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val D = graft.operators.Dedup
+          val M = graft.operators.Multimodal
+          val hashed = M.imagePHash(spark, batch).localCheckpoint(false)
+          val groups = D.imageDedup(spark, batch,
+            bands = bands, maxHamming = maxHamming, agreeBands = agreeBands)
+          val admitted = readBatchState(spark, s"$path/_ph", batchId) match {
+            case Some(state) =>
+              val taintedGroups = D.imageMatchesAgainst(hashed, state,
+                  bands, maxHamming, agreeBands)
+                .join(groups, Seq("doc_id"))
+                .select(col("group_id")).distinct()
+              groups.where(col("keep"))
+                .join(taintedGroups, Seq("group_id"), "left_anti")
+                .select(col("doc_id"))
+            case None => groups.where(col("keep")).select(col("doc_id"))
+          }
+          sink(batch.join(admitted, Seq("doc_id"), "left_semi"))
+          hashed.select(col("phash")).distinct()
+            .write.mode("overwrite").parquet(f"$path/_ph/b$batchId%020d")
+        }
+      }
+      .start()
+
   /** All batches of a [[streamCurate]] run as one decision frame. */
   def readCurate(spark: SparkSession, path: String): Option[DataFrame] = {
     val root = new Path(path)

@@ -310,6 +310,81 @@ class StreamingSpec extends SparkSpec {
     assert(streamed() == batchFrame)
   }
 
+  test("streamImageDedupAdmit: admitted set ≡ batch imageDedup keepers; cross-batch chains reject through in-batch near-dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("graft-simg-").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-simg-ckpt-").toString
+
+    // fake-arm blobs realizing EXACT dHashes: byte grid where bit (r,c)
+    // set ⇔ grid(r,8c..)+1 step — flipping a bit flips exactly one
+    // gradient, so Hamming distances are engineered precisely
+    def blobFor(bits: Set[Int]): Array[Byte] = {
+      val g = new Array[Byte](64)
+      for (r <- 0 until 8) {
+        g(r * 8) = 100
+        for (c <- 0 until 7)
+          g(r * 8 + c + 1) =
+            (g(r * 8 + c) + (if (bits(r * 7 + c)) 1 else 0)).toByte
+      }
+      g
+    }
+    val baseBits = (0 until 20).toSet
+    val a = blobFor(baseBits)                          // id 1, batch 1
+    val b = blobFor(baseBits -- (0 until 5))           // hamming(a,b) = 5
+    val c = blobFor((baseBits -- (0 until 5)) ++ Set(30, 31, 32, 33, 34)) // hamming(b,c)=5, hamming(a,c)=10
+    val far = blobFor((40 until 56).toSet)             // far from all
+    // sanity on the engineered distances
+    def h(x: Array[Byte]) = graft.operators.Multimodal.dhash56(
+      graft.operators.Multimodal.grayGrid(x))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(h(a), h(b)) == 5 && ham(h(b), h(c)) == 5 && ham(h(a), h(c)) == 10)
+    assert(ham(h(a), h(far)) > 6 && ham(h(b), h(far)) > 6 && ham(h(c), h(far)) > 6)
+
+    // ids ordered across batches; within batch 2, c (id 2) precedes b (3):
+    // the in-batch cluster {c, b} elects c — but b chains to a in state,
+    // so the WHOLE cluster must reject (the taint-transitivity case)
+    val batch1 = Seq((1L, a), (4L, far))
+    val batch2 = Seq((2L, c), (3L, b), (5L, far))      // 5 = exact dup of 4
+
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val mem = MemoryStream[(Long, Array[Byte])]
+    def run(): Unit = runToCompletion(Streaming.streamImageDedupAdmit(
+      mem.toDF().toDF("doc_id", "blob"), path, ckpt) { df =>
+      admitted ++= df.select(col("doc_id")).collect().map(_.getLong(0))
+    })
+    mem.addData(batch1: _*); run()
+    mem.addData(batch2: _*); run()
+    // batch reference over the whole corpus
+    import spark.implicits._
+    val all = (batch1 ++ batch2).toDF("doc_id", "blob")
+    val batchKeep = graft.operators.Dedup.imageDedup(spark, all)
+      .where(col("keep")).collect().map(_.getLong(0)).toSet
+    assert(batchKeep == Set(1L, 4L)) // a's cluster roots at 1; far at 4; 5 is 4's copy
+    assert(admitted.toSet == batchKeep)
+    assert(admitted.size == admitted.toSet.size)
+
+    // commit-crash replay of batch 1: strict-below state read + per-batch
+    // overwrite ⇒ the replayed batch re-admits the same rows, state is
+    // byte-identical, and batch 2 was never re-delivered
+    val commit1 = java.nio.file.Paths.get(ckpt, "commits", "1")
+    assert(Files.exists(commit1), "expected checkpoint commit marker commits/1")
+    Files.delete(commit1)
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    admitted.clear()
+    run()
+    assert(admitted.toSet.subsetOf(Set(2L, 3L, 5L)) || admitted.toSet == Set.empty,
+      s"replayed batch-2 admissions drifted: $admitted")
+    // the replay re-derives batch 2 identically: same admissions as before
+    assert(admitted.toSet == Set(5L).filter(batchKeep) ++ Set(2L, 3L).filter(batchKeep),
+      s"replay admissions: $admitted")
+  }
+
   test("streamIngestDeduped: crash between parquet append and checkpoint commit — replay admits nothing") {
     implicit val sqlCtx = spark.sqlContext
     val db = GraftDatabase.make(spark, Files.createTempDirectory("graft-crash-").toString)
