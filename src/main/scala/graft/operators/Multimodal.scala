@@ -237,10 +237,17 @@ object Multimodal {
         ss += v * v
         i += 1
       }
-      // quarter-octave level: count of thresholds reached (binarySearch
-      // gives the same count in O(log n))
-      val idx = java.util.Arrays.binarySearch(QuarterOctaveThresholds, ss)
-      out(w) = if (idx >= 0) idx + 1L else -(idx + 1).toLong
+      // quarter-octave level: count of thresholds ≤ ss. binarySearch gives
+      // no guarantee WHICH duplicate it lands on (the table has four 2s,
+      // two 3s, two 4s from the small-k ceilings), so on a hit advance to
+      // the LAST equal element — otherwise ss ∈ {2,3,4} under-counts vs
+      // the oracle's `len(list_filter(ts, t -> ss >= t))`.
+      var idx = java.util.Arrays.binarySearch(QuarterOctaveThresholds, ss)
+      if (idx >= 0) {
+        while (idx + 1 < QuarterOctaveThresholds.length &&
+          QuarterOctaveThresholds(idx + 1) == ss) idx += 1
+        out(w) = idx + 1L
+      } else out(w) = -(idx + 1).toLong
       w += 1
     }
     out

@@ -217,6 +217,34 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.envelopeLevels(a, 16, 64).length == 2)
   }
 
+  test("envelopeLevels: duplicated thresholds count ALL equal entries (ss in {2,3,4})") {
+    // the threshold table has four 2s, two 3s, two 4s (small-k ceilings);
+    // the level must equal #{t : t <= ss} — the oracle's
+    // len(list_filter(ts, t -> ss >= t)) — regardless of which duplicate
+    // binarySearch happens to land on
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val data = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(s => data.putShort(s.toShort))
+      Multimodal.pcmWavHeader(8000, 1, samples.length * 2L) ++ data.array()
+    }
+    def levelOf(ss: Seq[Int]): Long = {
+      val padded = ss ++ Seq.fill(16 - ss.length)(0)
+      Multimodal.envelopeLevels(wav(padded), 16, 1 << 20).head
+    }
+    val want = Map[Long, Long](
+      0L -> 0L, 1L -> 1L, 2L -> 5L, 3L -> 7L, 4L -> 9L, 5L -> 10L)
+    for ((ssVal, lvl) <- want)
+      assert(lvl == Multimodal.QuarterOctaveThresholds.count(_ <= ssVal).toLong,
+        s"test-table self-check for ss=$ssVal")
+    assert(levelOf(Seq()) == want(0L))                 // ss = 0
+    assert(levelOf(Seq(1)) == want(1L))                // ss = 1
+    assert(levelOf(Seq(1, -1)) == want(2L))            // ss = 2: four dup 2s
+    assert(levelOf(Seq(1, 1, -1)) == want(3L))         // ss = 3: two dup 3s
+    assert(levelOf(Seq(2)) == want(4L))                // ss = 4: two dup 4s
+    assert(levelOf(Seq(2, 1)) == want(5L))             // ss = 5: non-dup hit
+  }
+
   test("mp4Meta: corrupt box sizes terminate the walk immediately") {
     // a declared size in 2..7 (smaller than the 8-byte header) must stop
     // the walk, not degrade to a byte-granular scan
