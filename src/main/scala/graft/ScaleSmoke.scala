@@ -407,6 +407,28 @@ object ScaleSmoke {
         .similarityPageRankAnn(e, k = 5, iters = 5, nCells = nCells, nProbe = 4)
         .queryExecution.toRdd.count()
     }
+    // the hierarchical rung, at the dial the hierarchy LIBERATES: the flat
+    // build's nCells is capped by its plan-literal/driver-collect ceiling
+    // (√N is the documented compromise), which leaves |cell| ∝ √N and the
+    // candidate rerank at nProbe·N^1.5. With the fine layer as a joined
+    // TABLE, constant cell size (nFine = N/125, the semanticDedup
+    // convention) is legal at ANY N: candidates per src become
+    // nProbe·125 = O(1), the whole build O(N) up to the coarse ranking —
+    // while driver state stays at the √nFine coarse layer. Same k and
+    // nProbe as the flat row above; finer cells = sharper selectivity is
+    // exactly the capability under measurement, not a free lunch — recall
+    // at fixed nProbe drops as cells shrink, and wCoarse/nProbe are the
+    // recall dials (OperatorEdgeSpec measures that curve).
+    stage("ann2-edge page rank") {
+      val n = e.count()
+      val nFine = math.max(16, (n / 125L).toInt)
+      val nCoarse = math.max(4, math.sqrt(nFine.toDouble).toInt)
+      val wCoarse = math.max(2, nCoarse / 16)
+      graft.operators.Centrality
+        .similarityPageRankAnn2(e, k = 5, iters = 5, nFine = nFine,
+          nCoarse = nCoarse, wCoarse = wCoarse, nProbe = 4)
+        .queryExecution.toRdd.count()
+    }
     spark.stop()
   }
 

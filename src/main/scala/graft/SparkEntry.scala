@@ -47,6 +47,7 @@ object SparkEntry {
     "sim_join_topk" -> ((s, dir) => Similarity.batchSimilarityJoin(s, dir, 8, 5)),
     "page_rank" -> ((s, dir) => Centrality.similarityPageRank(Tables.embeddings(s, dir))),
     "page_rank_ann" -> ((s, dir) => Centrality.similarityPageRankAnn(Tables.embeddings(s, dir))),
+    "page_rank_ann2" -> ((s, dir) => Centrality.similarityPageRankAnn2(Tables.embeddings(s, dir))),
     "topk_via_catalog" -> ((s, dir) => CatalogOps.topkViaCatalog(s, dir, 0L, 10)),
     "chunk_docs" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, length}
@@ -258,6 +259,8 @@ object SparkEntry {
       Ann.centroidsToDF(s, cents).orderBy("cell", "pos")
     }),
     "ivf_topk_trained" -> ((s, dir) => Ann.ivfTopkTrained(s, dir, 0L, 10, 16, 4)),
+    "ivf_topk2" -> ((s, dir) => Ann.ivfTopk2(s, dir, 0L, 10, 16, 4, 2, 4)),
+    "ivf_topk2_indexed" -> ((s, dir) => Ann.ivfTopk2Indexed(s, dir, 0L, 10, 16, 4, 2, 4)),
     "ivf_delta_topk" -> ((s, dir) => Ann.ivfDeltaTopk(s, dir, 0L, 10, 16, 4)),
     "pq_err"  -> ((s, dir) => Ann.pqError(s, dir)),
     "pq_topk" -> ((s, dir) => Ann.pqTopk(s, dir, 0L, 10)),
@@ -333,6 +336,23 @@ object SparkEntry {
           .select(col("doc_id"),
             concat(lit(header), col("text").cast("binary")).as("blob")),
         maxBytes = 512)
+        .orderBy(col("doc_id"))
+    }),
+    "multimodal_video" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
+      // video CONTENT decode via the canonical over-declaring container
+      // (the pcmWavHeader device, video edition): each ASCII-pure doc's
+      // bytes are the single video sample behind a CONSTANT ISO-BMFF
+      // prefix — the operator must walk moov/trak/mdia/minf/stbl, read
+      // stsz/stco, clamp the over-declared sample to the present bytes,
+      // and hash the SAMPLE; the oracle re-derives the dHash from the raw
+      // text, so a single mis-parsed offset breaks every row
+      val header = Multimodal.mp4VideoHeader()
+      Multimodal.imagePHash(s,
+        Tables.documents(s, dir)
+          .where(octet_length(col("text")) === length(col("text")))
+          .select(col("doc_id"),
+            concat(lit(header), col("text").cast("binary")).as("blob")))
         .orderBy(col("doc_id"))
     }),
     "multimodal_frames" -> ((s, dir) => {
@@ -595,6 +615,53 @@ object SparkEntry {
        |WHERE a.cell IN (SELECT ci FROM qcell)
        |ORDER BY score DESC, vec_id ASC
        |LIMIT 10""".stripMargin
+
+  /** Two-level (hierarchical coarse quantizer) IVF CTEs — no leading WITH.
+    * Mirrors Ann.fineCentroids / Ann.assignCells2: coarse layer = first
+    * nCoarse stored vectors (raw-argmax assignment, the NearestCentroid
+    * contract), fine layer = first nFine stored vectors as a TABLE with
+    * ccell = each fine centroid's own coarse parent, corpus assignment =
+    * coarse raw argmax then fine 6-dp-rounded rank-1 (fcell asc ties —
+    * the max_by contract). Ends with `af(vec_id, label, v, fcell)`, plus
+    * `e`, `cc(cl)`, `ft(fcell, fv, ccell)` in scope. */
+  private def ivf2Ctes(nFine: Int = 16, nCoarse: Int = 4): String =
+    s"""e AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |cc AS MATERIALIZED (SELECT list(v ORDER BY vec_id) AS cl FROM e WHERE vec_id < $nCoarse),
+       |ft AS MATERIALIZED (SELECT vec_id + 1 AS fcell, v AS fv,
+       |    list_position(sc, list_max(sc)) AS ccell FROM (
+       |      SELECT e.vec_id, e.v, list_transform(range(1, ${nCoarse + 1}),
+       |        ci -> ${cosRawSql("cl[ci]", "e.v")}) AS sc
+       |      FROM e, cc WHERE e.vec_id < $nFine) tft),
+       |acc AS MATERIALIZED (SELECT vec_id, label, v, list_position(sc, list_max(sc)) AS ccell FROM (
+       |      SELECT e.vec_id, e.label, e.v, list_transform(range(1, ${nCoarse + 1}),
+       |        ci -> ${cosRawSql("cl[ci]", "e.v")}) AS sc
+       |      FROM e, cc) tacc),
+       |af AS MATERIALIZED (SELECT vec_id, label, v, fcell FROM (
+       |      SELECT acc.vec_id, acc.label, acc.v, ft.fcell,
+       |        row_number() OVER (PARTITION BY acc.vec_id
+       |          ORDER BY round(${cosRawSql("ft.fv", "acc.v")}, 6) DESC, ft.fcell ASC) AS rnk
+       |      FROM acc JOIN ft ON ft.ccell = acc.ccell) taf WHERE rnk = 1)""".stripMargin
+
+  /** Two-level IVF probe: driver-contract params (nFine=16, nCoarse=4,
+    * wCoarse=2, nProbe=4, k=10, query vec 0) — shared by the scan-time and
+    * stored-index variants (identical layers ⇒ identical candidates). */
+  private def ivfTopk2Sql(nFine: Int = 16, nCoarse: Int = 4, wCoarse: Int = 2,
+                          nProbe: Int = 4, k: Int = 10): String =
+    s"""WITH ${ivf2Ctes(nFine, nCoarse)},
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |qc AS (SELECT ci FROM (
+       |    SELECT u.ci AS ci, u.s AS s FROM (
+       |      SELECT unnest(list_transform(range(1, ${nCoarse + 1}),
+       |        ci -> {'ci': ci, 's': round(${cosRawSql("cl[ci]", "q.qv")}, 6)})) AS u
+       |      FROM cc, q) z) t
+       |  ORDER BY s DESC, ci ASC LIMIT $wCoarse),
+       |qf AS (SELECT fcell FROM (
+       |    SELECT ft.fcell, round(${cosRawSql("ft.fv", "q.qv")}, 6) AS s
+       |    FROM ft, q WHERE ft.ccell IN (SELECT ci FROM qc)) t2
+       |  ORDER BY s DESC, fcell ASC LIMIT $nProbe)
+       |SELECT af.vec_id, af.label, ${cosSql("af.v", "q.qv")} AS score
+       |FROM af, q WHERE af.fcell IN (SELECT fcell FROM qf)
+       |ORDER BY score DESC, vec_id ASC LIMIT $k""".stripMargin
 
   /** Full Lloyd training as chained CTEs — exactly `iters` unrolled
     * k-means steps (each the `ivf_train_step` oracle: assignment by raw
@@ -2623,6 +2690,22 @@ object SparkEntry {
         |FROM h JOIN r ON r.ph = h.ph LEFT JOIN roots rt ON rt.id = r.rep
         |ORDER BY h.doc_id""".stripMargin,
 
+    // the video first-sample extraction, pinned end-to-end: the sample
+    // behind the constant mp4VideoHeader prefix IS the doc text, so the
+    // fake-arm dHash over the extracted sample equals the dHash over the
+    // text's own first 64 bytes (the dedup_image grid CTE)
+    "multimodal_video" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE strlen(text) = length(text)),
+        |g AS (SELECT doc_id, list_transform(range(0, 64), i ->
+        |        CASE WHEN i < strlen(text)
+        |             THEN ascii(substr(text, CAST(i+1 AS BIGINT), 1)) ELSE 0 END) AS gr
+        |      FROM d)
+        |SELECT doc_id, CAST(list_sum(list_transform(range(0, 56), k ->
+        |        CASE WHEN gr[CAST((k//7)*8 + (k%7) + 2 AS BIGINT)]
+        |                  > gr[CAST((k//7)*8 + (k%7) + 1 AS BIGINT)]
+        |             THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE 0 END)) AS BIGINT) AS phash
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     // envelope re-derivation from the same header-wrapped bytes as
     // multimodal_audio: 16-sample windows, level = count of quarter-octave
     // thresholds reached (the EXACT integer table Multimodal embeds — no
@@ -2716,6 +2799,10 @@ object SparkEntry {
          |ORDER BY score DESC, vec_id ASC
          |LIMIT 10""".stripMargin,
     "ivf_topk" -> ivfTopkSql,
+    // two-level (hierarchical coarse quantizer) probe; the indexed variant
+    // persists the same layers, so one oracle serves both
+    "ivf_topk2" -> ivfTopk2Sql(),
+    "ivf_topk2_indexed" -> ivfTopk2Sql(),
 
     // mirrors Ann.ivfDeltaTopk: centroids Lloyd-trained on the BASE slice
     // only (vec_id < 250, the corpus at index-build time); the whole
@@ -3160,6 +3247,35 @@ object SparkEntry {
          |  JOIN qcell qc ON a.cell = qc.ci
          |  JOIN e q ON q.vec_id = qc.src
          |  WHERE a.vec_id != qc.src) t WHERE rnk <= 5),
+         |${pageRankTailSql(5)}""".stripMargin,
+
+    // the two-level-quantizer variant: same PageRank tail over edges from
+    // the hierarchical probe — coarse top-wCoarse (6-dp, ci asc) per src,
+    // fine top-nProbe among the opened cells' children (6-dp, fcell asc),
+    // candidates from the two-level assignment (the ivf2Ctes `af` CTE)
+    "page_rank_ann2" ->
+      s"""WITH ${ivf2Ctes(16, 4)},
+         |qc2 AS MATERIALIZED (SELECT src, ci FROM (
+         |  SELECT src, ci,
+         |    row_number() OVER (PARTITION BY src ORDER BY s DESC, ci ASC) AS r
+         |  FROM (SELECT z.src, u.ci AS ci, u.s AS s FROM (
+         |        SELECT e.vec_id AS src, unnest(list_transform(range(1, 5),
+         |          ci -> {'ci': ci, 's': round(${cosRawSql("cl[ci]", "e.v")}, 6)})) AS u
+         |        FROM cc, e) z) y) t
+         |  WHERE r <= 2),
+         |pb AS MATERIALIZED (SELECT src, fcell FROM (
+         |  SELECT qc2.src, ft.fcell,
+         |    row_number() OVER (PARTITION BY qc2.src
+         |      ORDER BY round(${cosRawSql("ft.fv", "q.v")}, 6) DESC, ft.fcell ASC) AS r
+         |  FROM qc2 JOIN ft ON ft.ccell = qc2.ci
+         |  JOIN e q ON q.vec_id = qc2.src) t WHERE r <= 4),
+         |ed AS MATERIALIZED (SELECT src, dst FROM (
+         |  SELECT pb.src, af.vec_id AS dst,
+         |    row_number() OVER (PARTITION BY pb.src
+         |      ORDER BY ${cosSql("af.v", "q.v")} DESC, af.vec_id ASC) AS rnk
+         |  FROM af JOIN pb ON af.fcell = pb.fcell
+         |  JOIN e q ON q.vec_id = pb.src
+         |  WHERE af.vec_id != pb.src) t WHERE rnk <= 5),
          |${pageRankTailSql(5)}""".stripMargin,
 
     "sim_join_topk" ->

@@ -628,6 +628,159 @@ object Ann {
       Bridge.expression(col("embedding").cast("array<double>")), cents)))
   }
 
+  /** First `n` stored vectors as a driver-side centroid seed matrix — the
+    * deterministic seeding contract every IVF operator here shares
+    * (reference point: the in-memory store scores ALL records per query,
+    * `/root/reference/collection/collection.go:64-151`; seeding makes the
+    * sub-linear probe oracle-reproducible). Driver state is `n × dim`
+    * doubles — callers must keep `n` at the COARSE layer's size. */
+  private[graft] def seedCentroids(e: DataFrame, n: Int): Seq[Seq[Double]] =
+    e.where(col("vec_id") < n).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+
+  /** The fine layer of the TWO-LEVEL coarse quantizer as a TABLE, never
+    * driver state: one row per fine centroid — `(fcell, ccell, fv)` where
+    * `fcell = vec_id + 1` (the seeding contract at the fine layer: fine
+    * centroid j is stored vector j−1) and `ccell` is the fine centroid's
+    * own coarse parent under [[assignCells]]'s raw-argmax contract.
+    *
+    * This is the structure that retires the flat IVF family's last scale
+    * rung: a flat probe bakes `nCells × dim` doubles into every plan as a
+    * literal and collects them driver-side — at the √N cell dial and
+    * 10¹²-vector scale that is a ~0.5 GB plan literal per query. Here only
+    * the COARSE layer (≈ √nFine ∝ N^¼ rows) is ever a literal; the fine
+    * layer lives in this table and reaches the plan through equi-joins on
+    * `ccell` (assignment/probe) and `fcell` (candidate pruning). */
+  private[graft] def fineCentroids(e: DataFrame, coarse: Seq[Seq[Double]],
+                                   nFine: Int): DataFrame =
+    assignCells(e.where(col("vec_id") < nFine), coarse)
+      .select((col("vec_id") + lit(1L)).as("fcell"),
+        col("cell").as("ccell"),
+        col("embedding").cast("array<double>").as("fv"))
+
+  /** Two-level cell assignment: vector → nearest COARSE cell (fused
+    * [[graft.functions.NearestCentroid]] over the literal-sized coarse
+    * layer), then nearest FINE centroid among that coarse cell's children,
+    * resolved by an equi-join against [[fineCentroids]] — the fine layer
+    * is joined, never collected or baked into the plan. Fine ranking
+    * contract: 6-dp-rounded cosine desc, lower `fcell` on ties (the
+    * [[probe]] contract, which is what keeps the join+aggregate form
+    * SQL-oracle-able — the oracle reproduces it as a row_number window).
+    *
+    * The per-vector argmax is a `max_by` HASH aggregation, not a window:
+    * partial map-side combine keeps ≤1 row per vector per partition before
+    * the exchange with NO local sort of the join fan-out (the fan-out is
+    * nFine/nCoarse ≈ √nFine rows per vector — pipelined through the join
+    * and collapsed immediately). Standard hierarchical-IVF caveat, stated:
+    * assignment is approximate — a vector near a coarse boundary may sit
+    * closer to a fine centroid in the unprobed neighbor cell; recall is
+    * the wCoarse/nProbe dial measured the [[ivfRecall]] way. Arithmetic
+    * per vector is nCoarse + nFine/nCoarse cosines vs the flat layer's
+    * nFine — at 10¹² vectors / 10⁶ fine cells, ~2·10³ vs 10⁶ per row. */
+  private[graft] def assignCells2(e: DataFrame, coarse: Seq[Seq[Double]],
+                                  fineTab: DataFrame): DataFrame =
+    assignCells(e, coarse).withColumnRenamed("cell", "ccell")
+      .join(fineTab, Seq("ccell"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("fcell"),
+        round(cosine_sim(col("embedding").cast("array<double>"), col("fv")), 6)
+          .as("fs"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("label"), col("embedding"), col("fcell")),
+        struct(col("fs"), (-col("fcell")).as("nf"))).as("m"))
+      .select(col("vec_id"), col("m.label").as("label"),
+        col("m.embedding").as("embedding"), col("m.fcell").as("fcell"))
+
+  /** Two-level IVF top-k — the hierarchical-coarse-quantizer probe: rank
+    * the `nCoarse` coarse cells against the query driver-side (coarse
+    * layer only — the one literal), open the top `wCoarse`, rank the fine
+    * centroids inside them (a filter + top-nProbe over [[fineCentroids]],
+    * a ≤ wCoarse·nFine/nCoarse-row subtree), and exact-rerank the corpus
+    * rows ASSIGNED ([[assignCells2]]) to the probed fine cells — the
+    * candidate gate is a broadcast semi-join on `fcell` (≤ nProbe rows).
+    *
+    * Scale shape: driver state is nCoarse × dim ≈ N^¼·dim doubles (10¹²
+    * vectors → ~0.5 MB vs the flat layout's ~0.5 GB); nothing corpus-sized
+    * is broadcast, collected, or planned as a literal (PlanShapeSpec
+    * asserts the join directions). Same recall/cost dial as flat IVF with
+    * one more rung: grow nFine ∝ √N, nCoarse ∝ √nFine, raise
+    * wCoarse/nProbe for recall. */
+  def ivfTopk2(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+               k: Int = 10, nFine: Int = 16, nCoarse: Int = 4,
+               wCoarse: Int = 2, nProbe: Int = 4): DataFrame = {
+    require(nCoarse <= nFine, s"nCoarse ($nCoarse) must be <= nFine ($nFine)")
+    val e = Tables.embeddings(spark, dir)
+    val coarse = seedCentroids(e, nCoarse)
+    val fineTab = fineCentroids(e, coarse, nFine)
+    val qv = Similarity.queryVector(spark, dir, queryVecId)
+    val qc = probe(coarse, qv, wCoarse)
+    val qFine = fineTab.where(col("ccell").isin(qc: _*))
+      .select(col("fcell"),
+        round(cosine_sim(col("fv"), typedLit(qv.toSeq)), 6).as("s"))
+      .orderBy(desc("s"), asc("fcell")).limit(nProbe)
+      .select(col("fcell"))
+    assignCells2(e, coarse, fineTab)
+      .join(broadcast(qFine), Seq("fcell"), "leftsemi")
+      .select(col("vec_id"), col("label"),
+        round(cosine_sim(col("embedding"), typedLit(qv.toSeq)), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** [[ivfTopk2]] against a PERSISTED two-level index: the corpus written
+    * once partitioned by FINE cell, the fine-centroid table stored beside
+    * it (`_fine_centroids` — the "stored coarse→fine table" the
+    * hierarchical layout is named for), and the coarse layer stored as
+    * `_coarse_centroids` so probe-side ranking always uses the exact
+    * layers the cells were assigned with. A probe reads ≤ nProbe of nFine
+    * partitions (real partition pruning at the FINE granularity — nFine
+    * grows √N, so pruning sharpens as the corpus grows) plus the two
+    * centroid artifacts: the fine table scan is nFine rows filtered to
+    * wCoarse coarse cells, the coarse read is the only driver collect.
+    * Same layers, same assignment, same ranking ⇒ same oracle as
+    * [[ivfTopk2]]. Index lifecycle contract as [[annTopkIndexed]]. */
+  def ivfTopk2Indexed(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+                      k: Int = 10, nFine: Int = 16, nCoarse: Int = 4,
+                      wCoarse: Int = 2, nProbe: Int = 4,
+                      policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
+    val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
+      name = s"embeddings-ivf2-f$nFine-c$nCoarse", kind = "ivf-two-level",
+      sourcePath = s"$dir/embeddings.parquet",
+      params = Map("nFine" -> nFine.toString, "nCoarse" -> nCoarse.toString),
+      policy = policy) { out =>
+      val e = Tables.embeddings(spark, dir)
+      val coarse = seedCentroids(e, nCoarse)
+      val fineTab = fineCentroids(e, coarse, nFine)
+      assignCells2(e, coarse, fineTab)
+        .write.mode("overwrite").partitionBy("fcell").parquet(out)
+      fineTab.coalesce(1).write.mode("overwrite").parquet(s"$out/_fine_centroids")
+      centroidsToDF(spark, coarse)
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/_coarse_centroids")
+    }
+    val crows = spark.read.parquet(s"${idx.path}/_coarse_centroids").collect()
+    val dim = crows.iterator.map(_.getLong(1)).max.toInt + 1
+    val a = Array.ofDim[Double](crows.iterator.map(_.getLong(0)).max.toInt, dim)
+    crows.foreach(r => a(r.getLong(0).toInt - 1)(r.getLong(1).toInt) = r.getDouble(2))
+    val coarse: Seq[Seq[Double]] = a.map(_.toSeq).toSeq
+    val qv = Similarity.queryVector(spark, dir, queryVecId)
+    val qc = probe(coarse, qv, wCoarse)
+    // ≤ nProbe fine ids — bounded driver state, and the literal the scan's
+    // partition pruning needs
+    val fineIds = spark.read.parquet(s"${idx.path}/_fine_centroids")
+      .where(col("ccell").isin(qc: _*))
+      .select(col("fcell"),
+        round(cosine_sim(col("fv"), typedLit(qv.toSeq)), 6).as("s"))
+      .orderBy(desc("s"), asc("fcell")).limit(nProbe)
+      .collect().map(_.getLong(0))
+    spark.read.parquet(idx.path)
+      .where(col("fcell").isin(fineIds: _*))
+      .select(col("vec_id"), col("label"),
+        round(cosine_sim(col("embedding"), typedLit(qv.toSeq)), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Recall@k audit of the IVF probe against the exact scan — the
     * [[annRecall]] twin for the centroid index, and the tool that picks
     * `nProbe`: sweep it, read the recall/cost curve, deploy the knee. With

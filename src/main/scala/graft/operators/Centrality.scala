@@ -161,6 +161,78 @@ object Centrality {
       .select(col("src"), col("dst"))
   }
 
+  /** Directed kNN edge table from the TWO-LEVEL coarse quantizer — the
+    * rung above [[annEdges]] on the ANN scale ladder. [[annEdges]] still
+    * bakes the full `nCells × dim` centroid matrix into the plan as a
+    * literal and collects it driver-side; at the √N cell dial and 10¹²
+    * vectors that is a ~0.5 GB literal per query. Here the only literal is
+    * the COARSE layer (nCoarse ≈ √nFine ∝ N^¼ rows — 10¹² vectors →
+    * ~0.5 MB): per source vector the fused [[graft.functions.TopCells]]
+    * pass ranks the coarse cells, the top `wCoarse` explode and resolve to
+    * fine cells through an equi-join against [[Ann.fineCentroids]] (the
+    * fine layer as a TABLE), a per-src WindowGroupLimit keeps the top
+    * `nProbe` fine cells, and candidates come from the [[Ann.assignCells2]]
+    * assignment joined on `fcell`. Scoring/ranking contract unchanged from
+    * [[annEdges]] (6-dp score desc, dst asc, self excluded; ≤ k·nProbe·
+    * |cell| rows reach the src exchange).
+    *
+    * Arithmetic per source: nCoarse + wCoarse·nFine/nCoarse fine-ranking
+    * cosines + the probed-candidate rerank, vs the flat builder's nFine
+    * per source — the fan-out envelope drops from nProbe·N²/nFine to the
+    * same candidate term with a ~√nFine-times-cheaper probe stage, and no
+    * GB-scale plan literal anywhere. PlanShapeSpec asserts both joins are
+    * equi-joins (ccell, then fcell) with no corpus-sized broadcast. */
+  def annEdges2(embeddings: DataFrame, k: Int = 5, nFine: Int = 16,
+                nCoarse: Int = 4, wCoarse: Int = 2, nProbe: Int = 4): DataFrame = {
+    require(nCoarse <= nFine, s"nCoarse ($nCoarse) must be <= nFine ($nFine)")
+    val coarse = Ann.seedCentroids(embeddings, nCoarse)
+    require(coarse.nonEmpty, "cannot seed probe centroids from an empty corpus")
+    import org.apache.spark.sql.graft.Bridge
+    val probeCoarse = Bridge.column(graft.functions.TopCells(
+      Bridge.expression(col("embedding").cast("array<double>")), coarse, wCoarse))
+    // same explicit pre-repartition as annEdges: a small parquet read is ONE
+    // partition, which would serialize the per-row coarse ranking
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
+    val e = embeddings.repartition(par, col("vec_id"))
+    val fineTab = Ann.fineCentroids(e, coarse, nFine)
+    val wf = Window.partitionBy(col("src")).orderBy(desc("fs"), asc("fcell"))
+    val probes = e
+      .select(col("vec_id").as("src"),
+        col("embedding").cast("array<double>").as("qv"),
+        explode(probeCoarse).as("ccell"))
+      .join(fineTab, Seq("ccell"))
+      .withColumn("fs", round(cosine_sim(col("qv"), col("fv")), 6))
+      .withColumn("frnk", row_number().over(wf))
+      .where(col("frnk") <= nProbe)
+      .select(col("src"), col("qv"), col("fcell"))
+    // fine cells have exactly one coarse parent, so a src's probed fcells
+    // are distinct and each (src, dst) pair occurs at most once
+    val cands = Ann.assignCells2(e, coarse, fineTab)
+      .select(col("vec_id").as("dst"),
+        col("embedding").cast("array<double>").as("tv"), col("fcell"))
+    val w = Window.partitionBy(col("src")).orderBy(desc("score"), asc("dst"))
+    probes.join(cands, Seq("fcell"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(cosine_sim(col("qv"), col("tv")), 6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("src"), col("dst"))
+  }
+
+  /** [[pageRank]] over the two-level-quantizer kNN graph ([[annEdges2]]) —
+    * the extreme-N configuration of [[similarityPageRankAnn]]: same
+    * centrality core, edge build whose only driver state / plan literal is
+    * the N^¼-sized coarse layer. With `wCoarse = nCoarse` and
+    * `nProbe = nFine` the probe opens everything and the ranks reproduce
+    * the exact builder EXACTLY (OperatorEdgeSpec pins this). */
+  def similarityPageRankAnn2(embeddings: DataFrame, k: Int = 5, iters: Int = 5,
+                             damping: Double = 0.85, nFine: Int = 16,
+                             nCoarse: Int = 4, wCoarse: Int = 2,
+                             nProbe: Int = 4): DataFrame =
+    pageRank(annEdges2(embeddings, k, nFine, nCoarse, wCoarse, nProbe),
+      embeddings.select(col("vec_id")), iters, damping)
+
   /** [[pageRank]] over the IVF-probed approximate kNN graph
     * ([[annEdges]]) — the executable 100 TB path the exact
     * [[similarityPageRank]]'s scaladoc promised: same centrality core,

@@ -867,6 +867,18 @@ object Dedup {
     // large edge subtree, while execution itself was seconds. Truncating
     // per round keeps every analysis flat; blocks of dereferenced rounds
     // are reclaimed by the ContextCleaner.
+    //
+    // Fault-tolerance trade-off (deliberate): localCheckpoint blocks live
+    // UNREPLICATED on executors with lineage cut, so losing an executor
+    // mid-loop loses rounds that cache() could have recomputed — the whole
+    // job fails and restarts. That is the right default here because the
+    // loop is short (2-3 rounds on near-dup graphs) and restart cost ≈ one
+    // pair-mine, while the alternative (uncut lineage) is the measured
+    // exponential-analysis wall above — a guaranteed failure mode vs a
+    // rare one. For very long component chains on preemptible clusters,
+    // reliable `checkpoint()` against the cluster FS (or persisting
+    // `labels` to a table per round) restores recoverability at the cost
+    // of one FS round-trip per iteration.
     val p = pairs.select(col("a_id"), col("b_id"))
     val edges = p.union(p.select(col("b_id"), col("a_id"))).toDF("src", "dst")
       .localCheckpoint(true)

@@ -329,55 +329,64 @@ object Multimodal {
     sz >= 8L && sz <= b.length
   }
 
-  /** Header-only MP4 parse: walk the top-level box list for `moov`, then
-    * its children for `mvhd` (timescale + duration → duration_ms) and the
-    * first `trak`/`tkhd` (presentation width/height, 16.16 fixed point).
+  private def beU32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def beU64(b: Array[Byte], o: Int): Long =
+    (beU32(b, o) << 32) | beU32(b, o + 4)
+
+  /** Walk the `[from, until)` box list for the `nth` occurrence of `want`;
+    * returns the offset of its PAYLOAD and the payload length, or (-1, 0).
     * Box sizes are big-endian u32 (1 → 64-bit largesize follows; 0 → box
-    * extends to end). Handles mvhd/tkhd versions 0 and 1. Never reads
-    * sample data (`mdat` is skipped by its declared size); corrupt or
-    * truncated structure yields zeros for whatever was not parsed. */
-  private[operators] def mp4Meta(b: Array[Byte]): (Long, Long, Long) = {
-    def u32(o: Int): Long =
-      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
-        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
-    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
-    def boxType(o: Int): String =
-      new String(b, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    var durMs = 0L; var w = 0L; var h = 0L
-    // walk [from, until) box list; returns the offset of `want`'s PAYLOAD
-    // and its payload length, or (-1, 0)
-    def find(from: Long, until: Long, want: String): (Long, Long) = {
-      var off = from
-      while (off + 8 <= until) {
-        val o = off.toInt
-        val sz0 = u32(o)
-        val (payload, end) =
-          if (sz0 == 1L && off + 16 <= until) (off + 16, off + u64(o + 8))
-          else if (sz0 == 0L) (off + 8, until)
-          else (off + 8, off + sz0)
-        // corrupt size: a real box is ≥ 8 bytes (header included), so any
-        // end < off + 8 — sz0 in 2..7, or a truncated 64-bit largesize —
-        // must terminate the walk, not degrade to a byte-granular scan
-        if (end < off + 8 || end > until) return (-1L, 0L)
-        if (boxType(o) == want) return (payload, end - payload)
-        off = end
+    * extends to end). Corrupt size: a real box is ≥ 8 bytes (header
+    * included), so any end < off + 8 — sz0 in 2..7, or a truncated 64-bit
+    * largesize — terminates the walk, never degrades to a byte-granular
+    * scan. */
+  private def boxFind(b: Array[Byte], from: Long, until: Long, want: String,
+                      nth: Int = 0): (Long, Long) = {
+    var off = from
+    var skip = nth
+    while (off + 8 <= until) {
+      val o = off.toInt
+      val sz0 = beU32(b, o)
+      val (payload, end) =
+        if (sz0 == 1L && off + 16 <= until) (off + 16, off + beU64(b, o + 8))
+        else if (sz0 == 0L) (off + 8, until)
+        else (off + 8, off + sz0)
+      if (end < off + 8 || end > until) return (-1L, 0L)
+      if (new String(b, o + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII) == want) {
+        if (skip == 0) return (payload, end - payload)
+        skip -= 1
       }
-      (-1L, 0L)
+      off = end
     }
-    val (moov, moovLen) = find(0L, b.length.toLong, "moov")
+    (-1L, 0L)
+  }
+
+  /** Header-only MP4 parse: walk the top-level box list for `moov`, then
+    * its children for `mvhd` (timescale + duration → duration_ms), the
+    * first `trak`/`tkhd` (presentation width/height, 16.16 fixed point),
+    * and the first sample table's `stsz` (sample count — the real frame
+    * count). Handles mvhd/tkhd versions 0 and 1. Never reads sample data
+    * (`mdat` is skipped by its declared size); corrupt or truncated
+    * structure yields zeros for whatever was not parsed. */
+  private[operators] def mp4Meta(b: Array[Byte]): (Long, Long, Long, Long) = {
+    var durMs = 0L; var w = 0L; var h = 0L; var nFrames = 0L
+    val (moov, moovLen) = boxFind(b, 0L, b.length.toLong, "moov")
     if (moov >= 0) {
-      val (mvhd, mvhdLen) = find(moov, moov + moovLen, "mvhd")
+      val (mvhd, mvhdLen) = boxFind(b, moov, moov + moovLen, "mvhd")
       if (mvhd >= 0 && mvhdLen >= 20) {
         val o = mvhd.toInt
         val v = b(o) & 0xff
         val (ts, dur) =
-          if (v == 1 && mvhdLen >= 28) (u32(o + 20), u64(o + 24))
-          else (u32(o + 12), u32(o + 16))
+          if (v == 1 && mvhdLen >= 28) (beU32(b, o + 20), beU64(b, o + 24))
+          else (beU32(b, o + 12), beU32(b, o + 16))
         if (ts > 0) durMs = dur * 1000L / ts
       }
-      val (trak, trakLen) = find(moov, moov + moovLen, "trak")
+      val (trak, trakLen) = boxFind(b, moov, moov + moovLen, "trak")
       if (trak >= 0) {
-        val (tkhd, tkhdLen) = find(trak, trak + trakLen, "tkhd")
+        val (tkhd, tkhdLen) = boxFind(b, trak, trak + trakLen, "tkhd")
         if (tkhd >= 0) {
           val o = tkhd.toInt
           val v = b(o) & 0xff
@@ -385,13 +394,150 @@ object Multimodal {
           // in both versions (v0 payload 84 bytes, v1 96)
           val need = if (v == 1) 96 else 84
           if (tkhdLen >= need) {
-            w = u32(o + need - 8) >> 16
-            h = u32(o + need - 4) >> 16
+            w = beU32(b, o + need - 8) >> 16
+            h = beU32(b, o + need - 4) >> 16
           }
         }
       }
+      videoStbl(b, moov, moovLen).foreach { case (sb, sbLen) =>
+        val (stsz, stszLen) = boxFind(b, sb, sb + sbLen, "stsz")
+        if (stsz >= 0 && stszLen >= 12) nFrames = beU32(b, stsz.toInt + 8)
+      }
     }
-    (w, h, durMs)
+    (w, h, durMs, nFrames)
+  }
+
+  /** The video trak's sample table (`stbl` payload offset+length): first
+    * trak whose `mdia/hdlr` declares handler `vide`; if no trak says so
+    * (minimal writers omit hdlr), the first trak carrying an stbl. */
+  private def videoStbl(b: Array[Byte], moov: Long,
+                        moovLen: Long): Option[(Long, Long)] = {
+    var fallback = Option.empty[(Long, Long)]
+    var i = 0
+    while (true) {
+      val (trak, trakLen) = boxFind(b, moov, moov + moovLen, "trak", i)
+      if (trak < 0) return fallback
+      val (mdia, mdiaLen) = boxFind(b, trak, trak + trakLen, "mdia")
+      if (mdia >= 0) {
+        val (minf, minfLen) = boxFind(b, mdia, mdia + mdiaLen, "minf")
+        if (minf >= 0) {
+          val (sb, sbLen) = boxFind(b, minf, minf + minfLen, "stbl")
+          if (sb >= 0) {
+            if (fallback.isEmpty) fallback = Some((sb, sbLen))
+            val (hdlr, hdlrLen) = boxFind(b, mdia, mdia + mdiaLen, "hdlr")
+            if (hdlr >= 0 && hdlrLen >= 12 &&
+              new String(b, hdlr.toInt + 8, 4,
+                java.nio.charset.StandardCharsets.US_ASCII) == "vide")
+              return Some((sb, sbLen))
+          }
+        }
+      }
+      i += 1
+    }
+    fallback // unreachable
+  }
+
+  /** Per-blob byte budget for the video first-sample extraction — the
+    * [[pcm16Stats]] discipline: per-row decode cost is capped no matter
+    * how large the container is. The dHash grid only ever reads the first
+    * 64 sample bytes; the budget bounds the slice copy itself. */
+  private[operators] val VideoSampleBytes: Int = 1 << 20
+
+  /** First video sample's bytes — the video CONTENT decode: resolve the
+    * video trak's sample table ([[videoStbl]]), read sample 1's size from
+    * `stsz` (uniform `sample_size` or the first entry) and chunk 1's
+    * absolute file offset from `stco` (u32) or `co64` (u64), and slice the
+    * payload under `maxBytes` with full bounds-checks.
+    *
+    * `None` = the container STRUCTURE did not yield a sample (no stbl /
+    * stsz / chunk offset, zero samples, offset outside the blob) — callers
+    * fall back to the container-level fake arm. `Some(bytes)` may be
+    * SHORTER than the declared sample size: a declared size past the end
+    * of the present bytes (truncated `mdat`, or the canonical
+    * over-declaring [[mp4VideoHeader]]) clamps to what exists — the
+    * [[pcm16Stats]] clamp discipline, and the oracle-device arm. */
+  private[operators] def mp4FirstSample(b: Array[Byte],
+                                        maxBytes: Int = VideoSampleBytes): Option[Array[Byte]] = {
+    val (moov, moovLen) = boxFind(b, 0L, b.length.toLong, "moov")
+    if (moov < 0) return None
+    videoStbl(b, moov, moovLen).flatMap { case (sb, sbLen) =>
+      val (stsz, stszLen) = boxFind(b, sb, sb + sbLen, "stsz")
+      if (stsz < 0 || stszLen < 12) return None
+      val so = stsz.toInt
+      val uniform = beU32(b, so + 4)
+      val count = beU32(b, so + 8)
+      if (count < 1) return None
+      val size0 =
+        if (uniform != 0) uniform
+        else if (stszLen >= 16) beU32(b, so + 12)
+        else return None
+      val off0 = {
+        val (stco, stcoLen) = boxFind(b, sb, sb + sbLen, "stco")
+        if (stco >= 0 && stcoLen >= 12 && beU32(b, stco.toInt + 4) >= 1)
+          beU32(b, stco.toInt + 8)
+        else {
+          val (co64, co64Len) = boxFind(b, sb, sb + sbLen, "co64")
+          if (co64 >= 0 && co64Len >= 16 && beU32(b, co64.toInt + 4) >= 1)
+            beU64(b, co64.toInt + 8)
+          else return None
+        }
+      }
+      if (off0 < 0 || off0 > b.length) return None
+      val n = math.min(math.min(size0, b.length - off0), maxBytes.toLong).toInt
+      Some(java.util.Arrays.copyOfRange(b, off0.toInt, off0.toInt + n))
+    }
+  }
+
+  /** Canonical minimal MP4 video container PREFIX — the video twin of
+    * [[pcmWavHeader]], the oracle device: `prefix ++ payload` is a real
+    * ISO-BMFF file whose single video sample IS `payload` (`stsz`
+    * over-declares `declaredSampleSize`, so [[mp4FirstSample]]'s
+    * clamp-to-present-bytes arm is on the oracle path; `mdat` uses size 0
+    * = extends-to-end). The prefix is CONSTANT — independent of the
+    * payload — so a SQL `concat(lit(prefix), textBytes)` builds the corpus
+    * without any per-row driver work. */
+  private[graft] def mp4VideoHeader(declaredSampleSize: Long = 0x7FFFFFFFL,
+                                    width: Int = 64, height: Int = 64): Array[Byte] = {
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length)
+        .put(tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        .put(payload)
+      bb.array()
+    }
+    def u32s(vs: Long*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(v => bb.putInt(v.toInt))
+      bb.array()
+    }
+    // mvhd v0: ver/flags, ctime, mtime, timescale 1000, duration 1000, the
+    // rest (rate/volume/matrix/predefined/next-track) zeros — 100 bytes
+    val mvhd = u32s(Seq(0L, 0L, 0L, 1000L, 1000L) ++ Seq.fill(20)(0L): _*)
+    // tkhd v0: 84 bytes, width/height 16.16 in the last 8
+    val tkhd = u32s(Seq.fill(19)(0L) ++
+      Seq(width.toLong << 16, height.toLong << 16): _*)
+    // hdlr declaring the video handler (what picks this trak), 24 bytes
+    val hdlr = u32s(0L, 0L) ++
+      "vide".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      u32s(0L, 0L, 0L)
+    val stsd = u32s(0L, 0L)                          // ver/flags, 0 entries
+    val stsz = u32s(0L, declaredSampleSize, 1L)      // uniform size, 1 sample
+    def moovOf(chunkOffset: Long): Array[Byte] = {
+      val stco = u32s(0L, 1L, chunkOffset)
+      val stbl = box("stbl", box("stsd", stsd) ++ box("stsz", stsz) ++
+        box("stco", stco))
+      val mdia = box("mdia", box("hdlr", hdlr) ++ box("minf", stbl))
+      box("moov", box("mvhd", mvhd) ++
+        box("trak", box("tkhd", tkhd) ++ mdia))
+    }
+    val ftyp = box("ftyp",
+      "isomisom".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val mdatHeader = u32s(0L) ++                      // size 0: to end
+      "mdat".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    // stco's own encoded size is offset-independent, so two passes resolve
+    // the chunk offset exactly
+    val total = ftyp.length + moovOf(0L).length + mdatHeader.length
+    ftyp ++ moovOf(total.toLong) ++ mdatHeader
   }
 
   /** Header-only image dimension parse: ImageIO reader over an in-memory
@@ -438,8 +584,8 @@ object Multimodal {
             BlobMeta(id, bytes.length.toLong, 0L, 0L, frames, rate, ch, durMs,
               md5hex(bytes))
           } else if (isMp4(bytes)) {
-            val (w, h, durMs) = mp4Meta(bytes)
-            BlobMeta(id, bytes.length.toLong, w, h, 0L, 0L, 0L, durMs,
+            val (w, h, durMs, nFrames) = mp4Meta(bytes)
+            BlobMeta(id, bytes.length.toLong, w, h, nFrames, 0L, 0L, durMs,
               md5hex(bytes))
           } else {
             // deterministic fake for the remaining modalities (no JDK codec)
@@ -480,8 +626,20 @@ object Multimodal {
     * including images whose decode fails — takes the deterministic fake
     * arm (first 64 bytes AS the grid, 0-padded), the [[decodeMeta]]
     * oracle device: text corpora pin the arithmetic end-to-end while the
-    * image arm is pinned by ImageIO-written fixtures in MultimodalSpec. */
-  private[graft] def grayGrid(b: Array[Byte]): Array[Int] = {
+    * image arm is pinned by ImageIO-written fixtures in MultimodalSpec.
+    *
+    * MP4 containers hash their first VIDEO SAMPLE ([[mp4FirstSample]]),
+    * not the container bytes — a re-muxed copy of the same stream (moved
+    * boxes, different ftyp brands) keeps its phash, which is what lets
+    * video blobs join [[graft.operators.Dedup.imageDedup]]. A JPEG
+    * keyframe (the MJPEG case) takes the real bounded-thumbnail decode;
+    * any other payload takes the fake arm OVER THE SAMPLE BYTES (the
+    * `multimodal_video` oracle device); a container whose structure yields
+    * no sample falls back to the fake arm over the container. */
+  private[graft] def grayGrid(b: Array[Byte]): Array[Int] =
+    if (isMp4(b)) gridOf(mp4FirstSample(b).getOrElse(b)) else gridOf(b)
+
+  private def gridOf(b: Array[Byte]): Array[Int] = {
     def fake = Array.tabulate(64)(i => if (i < b.length) b(i) & 0xff else 0)
     if (!isImage(b)) fake
     else {

@@ -560,7 +560,8 @@ object Streaming {
                    trainPct: Int = 80, benchFromPct: Int = 90,
                    shingleSize: Int = 3, seeds: Int = 12, bands: Int = 6,
                    estThreshold: Double = 0.5,
-                   retainVersions: Int = 1): StreamingQuery =
+                   retainVersions: Int = 1,
+                   compactEvery: Int = 16): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -635,6 +636,8 @@ object Streaming {
             .write.mode("overwrite").parquet(f"$path/_sigs/b$batchId%020d")
           batch.select(sha2(col("text"), 256).as("fp")).distinct()
             .write.mode("overwrite").parquet(f"$path/_fps/b$batchId%020d")
+          compactBatchState(spark, s"$path/_sigs", batchId, compactEvery)
+          compactBatchState(spark, s"$path/_fps", batchId, compactEvery)
           val batchTok = assigned.agg(coalesce(sum(col("n_tok")), lit(0L)))
             .head().getLong(0)
           commitVersion(Seq(prev + batchTok).toDF("cum_tokens"),
@@ -664,7 +667,7 @@ object Streaming {
     * replayed batch can never self-match). */
   def streamImageDedupAdmit(docs: DataFrame, path: String, checkpointDir: String,
                             bands: Int = 8, maxHamming: Int = 6,
-                            agreeBands: Int = 2)
+                            agreeBands: Int = 2, compactEvery: Int = 16)
                            (sink: DataFrame => Unit): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -691,6 +694,7 @@ object Streaming {
           sink(batch.join(admitted, Seq("doc_id"), "left_semi"))
           hashed.select(col("phash")).distinct()
             .write.mode("overwrite").parquet(f"$path/_ph/b$batchId%020d")
+          compactBatchState(spark, s"$path/_ph", batchId, compactEvery)
         }
       }
       .start()
@@ -707,22 +711,67 @@ object Streaming {
     else Some(dirs.map(p => spark.read.parquet(p.toString)).reduce(_ unionByName _))
   }
 
-  /** Accumulated per-batch state (signatures, fingerprints): every
-    * committed `b<id>` dir with id STRICTLY BELOW `batchId` (replay
-    * safety — see [[streamCurate]]). */
+  /** Accumulated per-batch state (signatures, fingerprints): the latest
+    * committed consolidated `c<id>` dir (see [[compactBatchState]]) plus
+    * every committed `b<id>` dir above it — all with id STRICTLY BELOW
+    * `batchId` (replay safety — see [[streamCurate]]). A `b` dir already
+    * covered by the chosen `c` dir is ignored even if its cleanup delete
+    * never ran, so compaction is crash-safe at any interleaving. */
   private def readBatchState(spark: SparkSession, rootPath: String,
                              batchId: Long): Option[DataFrame] = {
     val root = new Path(rootPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return None
-    val cutoff = f"b$batchId%020d"
-    val dirs = fs.listStatus(root).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith("b") && p.getName < cutoff &&
-        fs.exists(new Path(p, "_SUCCESS")))
-      .sortBy(_.getName)
+    def idOf(p: Path): Long = p.getName.drop(1).toLong
+    val st = fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => fs.exists(new Path(p, "_SUCCESS")))
+    val cBase = st.filter(p => p.getName.startsWith("c") && idOf(p) < batchId)
+      .sortBy(idOf).lastOption
+    val base = cBase.map(idOf).getOrElse(-1L)
+    val dirs = cBase.toSeq ++ st
+      .filter(p => p.getName.startsWith("b") && idOf(p) > base && idOf(p) < batchId)
+      .sortBy(idOf)
     if (dirs.isEmpty) None
     else Some(dirs.map(p => spark.read.parquet(p.toString)).reduce(_ unionByName _)
       .coalesce(spark.sparkContext.defaultParallelism))
+  }
+
+  /** Fold the committed `b<id>` state dirs with id STRICTLY BELOW
+    * `batchId` into one consolidated `c<maxCoveredId>` dir once more than
+    * `every` of them sit above the previous consolidation. Without this a
+    * long-running stream's state read grows O(B) dirs per batch (O(B²)
+    * driver listings and parquet-read fan-ins over a run) even though the
+    * per-row state is signature-sized. Rows are preserved verbatim (plain
+    * union — admission decisions are replay-identical before/after).
+    *
+    * Crash safety: the new `c` dir becomes visible only with its
+    * `_SUCCESS`; [[readBatchState]] ignores dirs the latest `c` covers, so
+    * the trailing deletes are pure cleanup and a crash at ANY point leaves
+    * a readable, non-duplicating state set. The current batch's own dir is
+    * never compacted (id < batchId) — a replayed batch still cannot see
+    * its failed attempt's state. */
+  private def compactBatchState(spark: SparkSession, rootPath: String,
+                                batchId: Long, every: Int): Unit = {
+    if (every <= 0) return
+    val root = new Path(rootPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    def idOf(p: Path): Long = p.getName.drop(1).toLong
+    val st = fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => fs.exists(new Path(p, "_SUCCESS")))
+    val cBase = st.filter(p => p.getName.startsWith("c") && idOf(p) < batchId)
+      .sortBy(idOf).lastOption
+    val base = cBase.map(idOf).getOrElse(-1L)
+    val bDirs = st
+      .filter(p => p.getName.startsWith("b") && idOf(p) > base && idOf(p) < batchId)
+      .sortBy(idOf)
+    if (bDirs.size < every) return
+    val maxId = idOf(bDirs.last)
+    (cBase.toSeq ++ bDirs).map(p => spark.read.parquet(p.toString))
+      .reduce(_ unionByName _)
+      .coalesce(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(f"$rootPath/c$maxId%020d")
+    (cBase.toSeq ++ bDirs).foreach(p => fs.delete(p, true))
   }
 
   /** All batches of a [[streamShardExport]] run as one DataFrame (shard

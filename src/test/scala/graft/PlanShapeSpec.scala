@@ -63,6 +63,38 @@ class PlanShapeSpec extends SparkSpec {
       s"no partition pruning on the cell id:\n$p")
   }
 
+  test("ivf_topk2: fine layer reaches the plan through equi-joins, never a corpus-sized broadcast") {
+    val p = plan(Ann.ivfTopk2(spark, dir, 0L, 10, 16, 4, 2, 4))
+    // the hierarchical contract: the only literal is the coarse layer —
+    // the fine centroids and the corpus candidates arrive via equi-joins
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop") &&
+      !p.contains("IdentityBroadcastMode"), s"corpus-sized broadcast:\n$p")
+    assert("""(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[ccell#\d+""".r
+      .findFirstIn(p).isDefined, s"fine layer not equi-joined on the coarse cell:\n$p")
+    assert("""(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[fcell#\d+""".r
+      .findFirstIn(p).isDefined, s"candidate gate not keyed on the fine cell:\n$p")
+  }
+
+  test("ivf_topk2_indexed: probe prunes index partitions on the FINE cell id") {
+    val p = plan(Ann.ivfTopk2Indexed(spark, dir, 0L, 10, 16, 4, 2, 4))
+    assert(p.contains("PartitionFilters") && p.contains("fcell#"),
+      s"no partition pruning on the fine cell id:\n$p")
+    // the probe subtree is gone entirely: candidate read is a pruned scan,
+    // no join anywhere
+    assert(!p.contains("Join"), s"indexed probe not narrow:\n$p")
+  }
+
+  test("page_rank_ann2 edges: ccell+fcell equi-joins, no corpus broadcast, rank limit before the exchange") {
+    val p = plan(graft.operators.Centrality.annEdges2(Tables.embeddings(spark, dir)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop") &&
+      !p.contains("IdentityBroadcastMode"), s"corpus-sized broadcast:\n$p")
+    assert("""(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[ccell#\d+""".r
+      .findFirstIn(p).isDefined, s"fine resolution not keyed on the coarse cell:\n$p")
+    assert("""(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[fcell#\d+""".r
+      .findFirstIn(p).isDefined, s"candidate join not keyed on the fine cell:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"no partial rank limit:\n$p")
+  }
+
   test("sim_join_topk: broadcast query side + rank limit before the exchange") {
     val p = plan(Similarity.batchSimilarityJoin(spark, dir, 8, 5))
     assert(p.contains("BroadcastNestedLoopJoin"), p)

@@ -245,18 +245,90 @@ class MultimodalSpec extends SparkSpec {
     assert(levelOf(Seq(2, 1)) == want(5L))             // ss = 5: non-dup hit
   }
 
+  test("mp4FirstSample: real container round-trip, JPEG keyframe joins the image hash, clamp + corrupt arms") {
+    import spark.implicits._
+    // canonical wrapper round-trip: the single video sample IS the payload
+    val payload = "the quick brown fox jumps over the lazy dog".getBytes("US-ASCII")
+    val vid = Multimodal.mp4VideoHeader() ++ payload
+    assert(Multimodal.isMp4(vid) && !Multimodal.isImage(vid))
+    assert(Multimodal.mp4FirstSample(vid).get.toSeq == payload.toSeq)
+    // the container's phash = the fake-arm hash of the SAMPLE bytes — the
+    // multimodal_video oracle device (re-muxing can't change the phash)
+    val viaVideo = Multimodal.imagePHash(spark, Seq((1L, vid)).toDF("doc_id", "blob"))
+      .collect().head.getLong(1)
+    assert(viaVideo == Multimodal.dhash56(Array.tabulate(64)(i =>
+      if (i < payload.length) payload(i) & 0xff else 0)))
+    // real tiny MP4 with a JPEG keyframe: video phash == the image's own
+    // phash, so video blobs join imageDedup clusters with their stills
+    val jpg = imageBytes("jpg", 33, 21)
+    val mjpeg = Multimodal.mp4VideoHeader() ++ jpg
+    val hashes = Multimodal.imagePHash(spark,
+      Seq((1L, mjpeg), (2L, jpg)).toDF("doc_id", "blob"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L), "MJPEG keyframe must hash like its still")
+    // frame count is real now: the wrapper declares 1 sample
+    val meta = Multimodal.decodeMeta(spark, Seq((1L, vid)).toDF("doc_id", "blob"))
+      .collect().head
+    assert(meta.getAs[Long]("n_frames") == 1L)
+    // truncated mdat: declared sample size past the present bytes clamps
+    val cut = vid.take(vid.length - 20)
+    assert(Multimodal.mp4FirstSample(cut).get.toSeq ==
+      payload.take(payload.length - 20).toSeq)
+    // byte budget caps the slice
+    assert(Multimodal.mp4FirstSample(vid, maxBytes = 5).get.toSeq ==
+      payload.take(5).toSeq)
+    // a container with no sample table (the header-only fixture) yields no
+    // sample; grayGrid falls back to the container-level fake arm
+    val noStbl = mp4Bytes(timescale = 600, duration = 9000, w = 64, h = 64)
+    assert(Multimodal.mp4FirstSample(noStbl).isEmpty)
+    assert(Multimodal.grayGrid(noStbl).toSeq ==
+      Array.tabulate(64)(i => if (i < noStbl.length) noStbl(i) & 0xff else 0).toSeq)
+    // empty payload: structure parses, zero bytes exist — Some(empty), so
+    // the hash is the all-zero grid's, not the container fake arm's
+    val hollow = Multimodal.mp4VideoHeader()
+    assert(Multimodal.mp4FirstSample(hollow).get.isEmpty)
+  }
+
+  test("mp4FirstSample: co64 64-bit chunk offsets resolve the same sample") {
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    def u32s(vs: Long*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(v => bb.putInt(v.toInt)); bb.array()
+    }
+    val payload = "sixty-four bit offsets".getBytes("US-ASCII")
+    val hdlr = u32s(0L, 0L) ++ "vide".getBytes("US-ASCII") ++ u32s(0L, 0L, 0L)
+    val stsz = u32s(0L, payload.length.toLong, 1L)
+    def moovOf(off: Long): Array[Byte] = {
+      val co64 = u32s(0L, 1L) ++
+        java.nio.ByteBuffer.allocate(8).putLong(off).array()
+      val stbl = box("stbl", box("stsz", stsz) ++ box("co64", co64))
+      box("moov", box("trak", box("mdia", box("hdlr", hdlr) ++
+        box("minf", stbl))))
+    }
+    val ftyp = box("ftyp", "isomisom".getBytes("US-ASCII"))
+    val mdatH = u32s(0L) ++ "mdat".getBytes("US-ASCII")
+    val total = ftyp.length + moovOf(0L).length + mdatH.length
+    val vid = ftyp ++ moovOf(total.toLong) ++ mdatH ++ payload
+    assert(Multimodal.isMp4(vid))
+    assert(Multimodal.mp4FirstSample(vid).get.toSeq == payload.toSeq)
+  }
+
   test("mp4Meta: corrupt box sizes terminate the walk immediately") {
     // a declared size in 2..7 (smaller than the 8-byte header) must stop
     // the walk, not degrade to a byte-granular scan
     val tiny = java.nio.ByteBuffer.allocate(1024)
     tiny.putInt(16).put("ftypisom0000".getBytes("US-ASCII"))
     tiny.putInt(3).put("free".getBytes("US-ASCII")) // sz0 = 3 < 8: corrupt
-    assert(Multimodal.mp4Meta(tiny.array()) == ((0L, 0L, 0L)))
+    assert(Multimodal.mp4Meta(tiny.array()) == ((0L, 0L, 0L, 0L)))
     // a truncated 64-bit largesize (sz0 == 1 with < 16 bytes left) likewise
     val trunc = java.nio.ByteBuffer.allocate(28)
     trunc.putInt(16).put("ftypisom0000".getBytes("US-ASCII"))
     trunc.putInt(1).put("moov".getBytes("US-ASCII")).putInt(0) // largesize cut off
-    assert(Multimodal.mp4Meta(trunc.array()) == ((0L, 0L, 0L)))
+    assert(Multimodal.mp4Meta(trunc.array()) == ((0L, 0L, 0L, 0L)))
   }
 
   test("decodeMeta: corrupt image magic yields 0x0, never throws") {

@@ -710,6 +710,60 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(agree >= 0.2, s"top-decile rank agreement at nProbe=8 degenerate: $agree")
   }
 
+  test("two-level ann edges: full probe reproduces the exact graph; recall monotone in the probe dials") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = e.count()
+    val rows = e.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exactEdges = rows.flatMap { case (src, v) =>
+      rows.filter(_._1 != src)
+        .map { case (dst, w) => (dst, r6(Ann.cosine(v, w))) }
+        .sortBy { case (dst, s) => (-s, dst) }.take(5)
+        .map { case (dst, _) => (src, dst) }
+    }.toSet
+    def edgeRecall(wCoarse: Int, nProbe: Int): Double = {
+      val annE = Centrality.annEdges2(e, k = 5, nFine = 16, nCoarse = 4,
+        wCoarse = wCoarse, nProbe = nProbe).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(annE.size == n * 5, s"wCoarse=$wCoarse nProbe=$nProbe edges=${annE.size}")
+      annE.intersect(exactEdges).size.toDouble / exactEdges.size
+    }
+    // opening everything IS the exact builder: every fine cell probed ⇒
+    // candidate set is the corpus, same 6-dp ranking contract
+    assert(edgeRecall(4, 16) == 1.0)
+    // fixed wCoarse: larger nProbe opens a superset of fine cells; and the
+    // full-open dial is an upper bound for both
+    val r24 = edgeRecall(2, 4); val r28 = edgeRecall(2, 8)
+    assert(r24 <= r28 && r28 <= 1.0, s"recall not monotone: $r24 $r28")
+    assert(r24 >= 0.3, s"wCoarse=2 nProbe=4 edge recall degenerate: $r24")
+    // rank agreement, strong form: approximation off ⇒ ranks EXACTLY equal
+    // to the exact builder AND to the flat ANN builder at full probe
+    val exactRanks = Centrality.similarityPageRank(e, k = 5, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val full2 = Centrality.similarityPageRankAnn2(e, k = 5, iters = 5,
+      nFine = 16, nCoarse = 4, wCoarse = 4, nProbe = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(full2 == exactRanks)
+  }
+
+  test("two-level ivf topk: full probe equals the exact scan; indexed variant equals the scan-time variant") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = Similarity.topKSingle(spark, dir, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getDouble(2))).toSeq
+    val full = Ann.ivfTopk2(spark, dir, 0L, 10, nFine = 16, nCoarse = 4,
+      wCoarse = 4, nProbe = 16).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getDouble(2))).toSeq
+    assert(full == exact, "full two-level probe must reproduce the exact scan")
+    val scan = Ann.ivfTopk2(spark, dir, 0L, 10, 16, 4, 2, 4).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getDouble(2))).toSeq
+    val indexed = Ann.ivfTopk2Indexed(spark, dir, 0L, 10, 16, 4, 2, 4).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getDouble(2))).toSeq
+    assert(indexed == scan, "persisted two-level layers must reproduce the scan-time probe")
+  }
+
   test("ppl buckets: terciles match a direct recomputation from the operator's own xent") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

@@ -385,6 +385,134 @@ class StreamingSpec extends SparkSpec {
       s"replay admissions: $admitted")
   }
 
+  test("streamCurate with state compaction: decisions ≡ batch pipeline, listing bounded, post-compaction replay identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("graft-scurate-cp-").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-scurate-cp-ckpt-").toString
+    val corpusDF = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val corpus = corpusDF.orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val evalDocs = corpusDF
+      .where(graft.operators.Sampling.hashBucket(col("doc_id")) >= 90)
+
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    val mem = MemoryStream[(Long, String, String, String)]
+    def run(): Unit = runToCompletion(Streaming.streamCurate(
+      mem.toDF().toDF("doc_id", "text", "lang", "source"), evalDocs, path, ckpt,
+      compactEvery = 2))
+    // five id-ordered batches with compactEvery=2: the _sigs/_fps listings
+    // MUST fold mid-run (the O(B)-dirs-per-batch growth this bounds)
+    val chunks = corpus.grouped((corpus.length + 4) / 5).toSeq
+    chunks.foreach { c => mem.addData(c: _*); run() }
+
+    def streamed(): Seq[Seq[Any]] = Streaming.readCurate(spark, path).get
+      .collect().map(_.toSeq.toVector).toSeq.sortBy(_.head.asInstanceOf[Long])
+    val batchFrame = graft.operators.Curate.pipeline(corpusDF, approxNear = true)
+      .collect().map(_.toSeq.toVector).toSeq.sortBy(_.head.asInstanceOf[Long])
+    assert(streamed() == batchFrame)
+    // listing bound: a consolidated dir exists and uncompacted b-dirs stay
+    // below the dial (5 batches, every=2 ⇒ at most 2 b-dirs remain)
+    def dirsOf(sub: String): Seq[String] = {
+      val d = java.nio.file.Paths.get(path, sub)
+      java.nio.file.Files.list(d).toArray.map(_.toString.split('/').last).toSeq
+        .filterNot(_.startsWith("."))
+    }
+    for (sub <- Seq("_sigs", "_fps")) {
+      val names = dirsOf(sub)
+      assert(names.exists(_.startsWith("c")), s"$sub never compacted: $names")
+      assert(names.count(_.startsWith("b")) <= 2, s"$sub listing unbounded: $names")
+    }
+    // commit-crash replay of the LAST batch, whose state reads now cross
+    // the consolidated dir: decisions must stay byte-identical
+    val last = chunks.length - 1
+    val commitLast = java.nio.file.Paths.get(ckpt, "commits", last.toString)
+    assert(Files.exists(commitLast), s"expected checkpoint commit marker commits/$last")
+    Files.delete(commitLast)
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", s".$last.crc"))
+    run()
+    assert(streamed() == batchFrame)
+  }
+
+  test("streamImageDedupAdmit under UNORDERED arrival: first-arrival-wins pinned — ≥1 keeper per component, admitted pairwise non-matching, replay deterministic") {
+    implicit val sqlCtx = spark.sqlContext
+    def blobFor(bits: Set[Int]): Array[Byte] = {
+      val g = new Array[Byte](64)
+      for (r <- 0 until 8) {
+        g(r * 8) = 100
+        for (c <- 0 until 7)
+          g(r * 8 + c + 1) =
+            (g(r * 8 + c) + (if (bits(r * 7 + c)) 1 else 0)).toByte
+      }
+      g
+    }
+    val baseBits = (0 until 20).toSet
+    val a = blobFor(baseBits)                          // id 1
+    val b = blobFor(baseBits -- (0 until 5))           // hamming(a,b)=5
+    val c = blobFor((baseBits -- (0 until 5)) ++ Set(30, 31, 32, 33, 34)) // h(b,c)=5, h(a,c)=10
+    val far = blobFor((40 until 56).toSet)
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    def runStream(batches: Seq[Seq[(Long, Array[Byte])]]): Seq[Long] = {
+      val path = Files.createTempDirectory("graft-simg-uo-").toString + "/out"
+      val ckpt = Files.createTempDirectory("graft-simg-uo-ckpt-").toString
+      val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+      val mem = MemoryStream[(Long, Array[Byte])]
+      def run(): Unit = runToCompletion(Streaming.streamImageDedupAdmit(
+        mem.toDF().toDF("doc_id", "blob"), path, ckpt) { df =>
+        admitted ++= df.select(col("doc_id")).collect().map(_.getLong(0))
+      })
+      batches.foreach { bt => mem.addData(bt: _*); run() }
+      admitted.toSeq
+    }
+    // Scenario 1 — the chain arrives tail-first: c before {a, b}. The
+    // component's FIRST arrival (c) is the keeper; when a and b arrive
+    // together, b chains to c in state, tainting its in-batch cluster
+    // {a, b} — the id-ordered keeper (a, which batch mode admits) loses.
+    val s1 = runStream(Seq(Seq(2L -> c, 4L -> far), Seq(1L -> a, 3L -> b, 5L -> far)))
+    assert(s1.toSet == Set(2L, 4L), s"tail-first arrival: $s1")
+    // Scenario 2 — the DOCUMENTED degradation, pinned precisely: the two
+    // chain ENDS (a, c — not near: hamming 10 > maxHamming 6) arrive
+    // before the bridge b. Both ends are admitted; the late bridge rejects
+    // via both — so one component keeps TWO docs. This is exactly the
+    // first-arrival-wins contract: admission depends on arrival order, and
+    // the surviving guarantees are the invariants below, not one-per-
+    // component.
+    val s2 = runStream(Seq(Seq(1L -> a, 2L -> c), Seq(3L -> b)))
+    assert(s2.toSet == Set(1L, 2L), s"split-ends arrival: $s2")
+    // Surviving invariants, checked on both orders:
+    // (1) every full-corpus component has ≥ 1 admitted member (a
+    //     component's first-arriving batch has no state to taint it);
+    // (2) no two admitted docs are DIRECT banded matches (within a batch
+    //     they sit in different clusters; across batches the later would
+    //     have been state-tainted);
+    // (3) rerun from scratch with the same arrival order is deterministic.
+    def h(x: Array[Byte]) = graft.operators.Multimodal.dhash56(
+      graft.operators.Multimodal.grayGrid(x))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val blobs = Map(1L -> a, 2L -> c, 3L -> b, 4L -> far, 5L -> far)
+    for (adm <- Seq(s1, s2)) {
+      val comps = Seq(Set(1L, 2L, 3L), Set(4L, 5L)).filter(_.subsetOf(blobs.keySet
+        .filter(k => adm == s1 || k <= 3L)))
+      comps.foreach(cset => assert(cset.intersect(adm.toSet).nonEmpty,
+        s"component $cset lost every member: $adm"))
+      for (x <- adm; y <- adm if x < y)
+        assert(ham(h(blobs(x)), h(blobs(y))) > 6,
+          s"admitted pair ($x, $y) is a direct near-match")
+    }
+    val s2again = runStream(Seq(Seq(1L -> a, 2L -> c), Seq(3L -> b)))
+    assert(s2again == s2, "same arrival order, different admissions")
+  }
+
   test("streamIngestDeduped: crash between parquet append and checkpoint commit — replay admits nothing") {
     implicit val sqlCtx = spark.sqlContext
     val db = GraftDatabase.make(spark, Files.createTempDirectory("graft-crash-").toString)
