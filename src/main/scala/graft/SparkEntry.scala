@@ -305,6 +305,20 @@ object SparkEntry {
           .where(octet_length(col("text")) === length(col("text")))
           .select(col("doc_id"), col("text").cast("binary").as("blob")))
     }),
+    "dedup_image_auto" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, length, octet_length}
+      // agreeBands = 0 → AUTO t from the distinct-hash count
+      // (Dedup.autoAgreeBands). Any clamped t is lossless, so this shares
+      // dedup_image's oracle — and because the auto pick CHANGES with
+      // corpus size (sf0.001 → t=1, sf0.01 → t=2), the cross-scale runs
+      // exercise different candidate paths against the same brute-force
+      // pair set, pinning t-independence end-to-end.
+      Dedup.imageDedup(s,
+        Tables.documents(s, dir)
+          .where(octet_length(col("text")) === length(col("text")))
+          .select(col("doc_id"), col("text").cast("binary").as("blob")),
+        agreeBands = 0)
+    }),
     "audio_near" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
       // same synthetic-WAV device as multimodal_audio: the envelope and
@@ -742,6 +756,34 @@ object SparkEntry {
   /** Recall@k of the IVF probe vs the exact scan, per query — multi-query
     * generalization of [[ivfTopkSql]]'s assignment/probe CTEs (identical
     * cell semantics), with the [[annRecallSql]] rank-set-join tail. */
+  /** dedup_image / dedup_image_auto oracle — exact-collapse + rep-pair
+    * components: reps = min doc per distinct hash; the oracle brute-forces
+    * rep pairs (banding is lossless at any clamped t, so the banded mine
+    * finds exactly these), then the dedup_groups recursive walk over reps;
+    * docs inherit their rep's root. */
+  private def dedupImageSql: String =
+    """WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE strlen(text) = length(text)),
+      |g AS (SELECT doc_id, list_transform(range(0, 64), i ->
+      |        CASE WHEN i < strlen(text)
+      |             THEN ascii(substr(text, CAST(i+1 AS BIGINT), 1)) ELSE 0 END) AS gr
+      |      FROM d),
+      |h AS MATERIALIZED (SELECT doc_id, CAST(list_sum(list_transform(range(0, 56), k ->
+      |        CASE WHEN gr[CAST((k//7)*8 + (k%7) + 2 AS BIGINT)]
+      |                  > gr[CAST((k//7)*8 + (k%7) + 1 AS BIGINT)]
+      |             THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE 0 END)) AS BIGINT) AS ph
+      |      FROM g),
+      |r AS MATERIALIZED (SELECT ph, min(doc_id) AS rep FROM h GROUP BY ph),
+      |pr AS (SELECT a.rep AS pa, b.rep AS pb FROM r a JOIN r b
+      |       ON a.rep < b.rep AND bit_count(xor(a.ph, b.ph)) <= 6),
+      |e AS (SELECT pa, pb FROM pr UNION SELECT pb, pa FROM pr),
+      |walk(pa, pb) AS (SELECT pa, pb FROM e
+      |                 UNION SELECT walk.pa, e.pb FROM walk JOIN e ON walk.pb = e.pa),
+      |roots AS (SELECT pa AS id, least(pa, min(pb)) AS root FROM walk GROUP BY pa)
+      |SELECT h.doc_id, coalesce(rt.root, r.rep) AS group_id,
+      |       h.doc_id = coalesce(rt.root, r.rep) AS keep
+      |FROM h JOIN r ON r.ph = h.ph LEFT JOIN roots rt ON rt.id = r.rep
+      |ORDER BY h.doc_id""".stripMargin
+
   private def ivfRecallSql(nQ: Int = 8, k: Int = 10, nCells: Int = 16,
                            nProbe: Int = 4): String =
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2667,28 +2709,10 @@ object SparkEntry {
     // maxHamming < bands, so the banded mine finds exactly these), then
     // the dedup_groups recursive walk over reps; docs inherit their rep's
     // root
-    "dedup_image" ->
-      """WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE strlen(text) = length(text)),
-        |g AS (SELECT doc_id, list_transform(range(0, 64), i ->
-        |        CASE WHEN i < strlen(text)
-        |             THEN ascii(substr(text, CAST(i+1 AS BIGINT), 1)) ELSE 0 END) AS gr
-        |      FROM d),
-        |h AS MATERIALIZED (SELECT doc_id, CAST(list_sum(list_transform(range(0, 56), k ->
-        |        CASE WHEN gr[CAST((k//7)*8 + (k%7) + 2 AS BIGINT)]
-        |                  > gr[CAST((k//7)*8 + (k%7) + 1 AS BIGINT)]
-        |             THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE 0 END)) AS BIGINT) AS ph
-        |      FROM g),
-        |r AS MATERIALIZED (SELECT ph, min(doc_id) AS rep FROM h GROUP BY ph),
-        |pr AS (SELECT a.rep AS pa, b.rep AS pb FROM r a JOIN r b
-        |       ON a.rep < b.rep AND bit_count(xor(a.ph, b.ph)) <= 6),
-        |e AS (SELECT pa, pb FROM pr UNION SELECT pb, pa FROM pr),
-        |walk(pa, pb) AS (SELECT pa, pb FROM e
-        |                 UNION SELECT walk.pa, e.pb FROM walk JOIN e ON walk.pb = e.pa),
-        |roots AS (SELECT pa AS id, least(pa, min(pb)) AS root FROM walk GROUP BY pa)
-        |SELECT h.doc_id, coalesce(rt.root, r.rep) AS group_id,
-        |       h.doc_id = coalesce(rt.root, r.rep) AS keep
-        |FROM h JOIN r ON r.ph = h.ph LEFT JOIN roots rt ON rt.id = r.rep
-        |ORDER BY h.doc_id""".stripMargin,
+    "dedup_image" -> dedupImageSql,
+    // auto-t shares the oracle: any clamped t is lossless, so the banded
+    // mine reproduces the same brute-force rep-pair set at every setting
+    "dedup_image_auto" -> dedupImageSql,
 
     // the video first-sample extraction, pinned end-to-end: the sample
     // behind the constant mp4VideoHeader prefix IS the doc text, so the

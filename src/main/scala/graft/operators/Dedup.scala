@@ -991,6 +991,32 @@ object Dedup {
       posexplode(expr(keysExpr)).as(Seq("band", "key")))
   }
 
+  /** AUTO band-subset size `t` for [[bandSubsetKeys]] — the
+    * [[graft.operators.Sampling.shardGroupWidth]] discipline applied to
+    * the Hamming-LSH dial: one bounded `count()` of DISTINCT hashes buys
+    * the setting instead of a hand dial with a measured degenerate corner
+    * (t=1 at 250k docs: >9 min, killed). Expected candidate volume per
+    * t-subset is ~D²/2^(t·r) over D distinct hashes, so the smallest t
+    * with `2^(t·r) ≥ D` keeps bucket-join work ~linear in D:
+    * `t = ⌈log₂(max(D,2)) / r⌉`, clamped to the LOSSLESS ceiling
+    * `t ≤ bands − maxHamming` (the pigeonhole bound — above it pairs at
+    * maxHamming could be missed, so the clamp is a hard fence, not a
+    * tuning choice). At r=7: D ≤ 128 → t=1, D ≤ 16k → t=2, D ≤ 2M → t=3.
+    * A corpus whose D pushes past the ceiling needs a coarser band split
+    * (more, narrower bands — e.g. 14×4 raises the ceiling to
+    * `14 − maxHamming` at C(14,t) key rows per hash) or a relaxed
+    * maxHamming; the clamp documents that trade instead of silently
+    * breaking losslessness. Driver-side log/ceil only picks t — any
+    * clamped t is lossless, so the operator OUTPUT is t-independent and
+    * one oracle serves every setting. */
+  private[graft] def autoAgreeBands(distinctHashes: Long, bands: Int, bits: Int,
+                                    maxHamming: Int): Int = {
+    val r = bits / bands
+    val need = math.ceil(
+      math.log(math.max(distinctHashes, 2L).toDouble) / (math.log(2.0) * r)).toInt
+    math.min(math.max(need, 1), bands - maxHamming)
+  }
+
   /** X3g — image near-duplicate pairs by perceptual hash: the multimodal
     * twin of text near-dedup. Each blob hashes to a 56-bit dHash
     * ([[Multimodal.imagePHash]]: 8×8 bounded-thumbnail gray grid, 8×7
@@ -1010,12 +1036,18 @@ object Dedup {
                 idCol: String = "doc_id", blobCol: String = "blob",
                 bands: Int = 8, maxHamming: Int = 6, agreeBands: Int = 2): DataFrame = {
     require(56 % bands == 0, s"bands must divide 56, got $bands")
-    require(agreeBands >= 1 && maxHamming >= 0 && maxHamming <= bands - agreeBands,
+    require(agreeBands >= 0 && maxHamming >= 0 && maxHamming <= bands - math.max(agreeBands, 1),
       s"need maxHamming in [0, bands - agreeBands] for lossless band-subset keys, " +
         s"got maxHamming=$maxHamming agreeBands=$agreeBands bands=$bands")
     val hashed = Multimodal.imagePHash(spark, docs, idCol, blobCol)
+    // agreeBands = 0 → AUTO t from the distinct-hash count (one bounded
+    // count over the signature column; any clamped t is lossless, so the
+    // output — and the oracle — is t-independent)
+    val t = if (agreeBands == 0)
+      autoAgreeBands(hashed.select(col("phash")).distinct().count(), bands, 56, maxHamming)
+    else agreeBands
     val cand = candidatePairs(
-      bandSubsetKeys(hashed, "phash", idCol, bands, 56, agreeBands),
+      bandSubsetKeys(hashed, "phash", idCol, bands, 56, t),
       "band", "key", "doc_id")
     cand
       .join(hashed.select(col(idCol).as("a_id"), col("phash").as("ha")), Seq("a_id"))
@@ -1061,13 +1093,17 @@ object Dedup {
                  idCol: String = "doc_id", blobCol: String = "blob",
                  bands: Int = 8, maxHamming: Int = 6, agreeBands: Int = 2): DataFrame = {
     require(56 % bands == 0, s"bands must divide 56, got $bands")
-    require(agreeBands >= 1 && maxHamming >= 0 && maxHamming <= bands - agreeBands,
+    require(agreeBands >= 0 && maxHamming >= 0 && maxHamming <= bands - math.max(agreeBands, 1),
       s"need maxHamming in [0, bands - agreeBands] for lossless band-subset keys, " +
         s"got maxHamming=$maxHamming agreeBands=$agreeBands bands=$bands")
     val hashed = Multimodal.imagePHash(spark, docs, idCol, blobCol)
     val reps = hashed.groupBy(col("phash")).agg(min(col(idCol)).as("rep"))
+    // agreeBands = 0 → AUTO t; `reps` IS the distinct-hash set here, so
+    // its count is the [[autoAgreeBands]] input for free
+    val t = if (agreeBands == 0) autoAgreeBands(reps.count(), bands, 56, maxHamming)
+    else agreeBands
     val cand = candidatePairs(
-      bandSubsetKeys(reps, "phash", "rep", bands, 56, agreeBands)
+      bandSubsetKeys(reps, "phash", "rep", bands, 56, t)
         .withColumnRenamed("doc_id", "rep"),
       "band", "key", "rep")
     val repPairs = cand

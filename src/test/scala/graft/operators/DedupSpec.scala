@@ -450,4 +450,30 @@ class DedupSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"all-pairs blowup:\n$p")
   }
+
+  test("autoAgreeBands: log-scaled t, hard lossless clamp; imageDedup auto ≡ manual") {
+    import org.apache.spark.sql.functions.col
+    // formula pins at r = 7 (bands = 8 over 56 bits): smallest t with
+    // 2^(t·r) ≥ D, exact-power boundaries included
+    assert(Dedup.autoAgreeBands(1L, 8, 56, 6) == 1)      // tiny-corpus floor
+    assert(Dedup.autoAgreeBands(128L, 8, 56, 6) == 1)    // 2^7 exactly
+    assert(Dedup.autoAgreeBands(129L, 8, 56, 6) == 2)
+    assert(Dedup.autoAgreeBands(500L, 8, 56, 6) == 2)    // sf0.01 regime
+    assert(Dedup.autoAgreeBands(16384L, 8, 56, 6) == 2)  // 2^14 exactly
+    // the clamp is the PIGEONHOLE fence, not a preference: 250k distinct
+    // hashes want t=3 but maxHamming=6 caps the lossless t at 2
+    assert(Dedup.autoAgreeBands(250000L, 8, 56, 6) == 2)
+    assert(Dedup.autoAgreeBands(250000L, 8, 56, 5) == 3) // relaxed mH → ceiling 3
+    // a wider band split (14×4) raises the ceiling: D = 2^40 wants t=10,
+    // lossless cap is 14 − 6 = 8
+    assert(Dedup.autoAgreeBands(1L << 40, 14, 56, 6) == 8)
+    // auto ≡ manual end-to-end on the real corpus: any clamped t is
+    // lossless, so the verdict set is t-independent
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    def run(t: Int) = Dedup.imageDedup(spark, docs, agreeBands = t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(run(0) == run(2))
+    assert(run(1) == run(2))
+  }
 }
