@@ -262,6 +262,7 @@ object SparkEntry {
     "ivf_topk2" -> ((s, dir) => Ann.ivfTopk2(s, dir, 0L, 10, 16, 4, 2, 4)),
     "ivf_topk2_indexed" -> ((s, dir) => Ann.ivfTopk2Indexed(s, dir, 0L, 10, 16, 4, 2, 4)),
     "ivf_delta_topk" -> ((s, dir) => Ann.ivfDeltaTopk(s, dir, 0L, 10, 16, 4)),
+    "ivf_retrain_on_recall" -> ((s, dir) => Ann.ivfRetrainOnRecall(s, dir)),
     "pq_err"  -> ((s, dir) => Ann.pqError(s, dir)),
     "pq_topk" -> ((s, dir) => Ann.pqTopk(s, dir, 0L, 10)),
     "pq_topk_indexed" -> ((s, dir) => Ann.pqTopkIndexed(s, dir, 0L, 10)),
@@ -688,7 +689,8 @@ object SparkEntry {
     * `c<iters>(cell, pos, m)` CTE (and the shared `e`). */
   private def ivfTrainChainSql(iters: Int = 10, nCells: Int = 16, dim: Int = 64,
       sourceSql: String =
-        "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings"): String = {
+        "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings",
+      tag: String = ""): String = {
     // Two DuckDB-performance musts, without which the 10-step chain runs
     // for MINUTES instead of <1 s:
     //  - AS MATERIALIZED on every per-step CTE: each step references its
@@ -699,30 +701,35 @@ object SparkEntry {
     //    double accumulation, same sqrt/divide tree — cross-checked
     //    exhaustively over all (vector, centroid) pairs at sf0.01), at a
     //    fraction of the per-element interpreter overhead.
+    // `tag` prefixes every CTE name so TWO chains (e.g. a stale base-slice
+    // train and a fresh full-corpus retrain) can coexist in one WITH
+    // clause; the default "" keeps the historical names (e, ev, c0..cN).
+    // The leading `WITH ` is the CALLER's to write — a chain may not be
+    // the first element of the clause.
     val b = new StringBuilder
-    b ++= s"""WITH e AS MATERIALIZED ($sourceSql),
-             |ev AS MATERIALIZED (SELECT v, sqrt(list_sum(list_transform(v, x -> x*x))) AS vns FROM e),
-             |c0 AS MATERIALIZED (SELECT CAST(vec_id + 1 AS BIGINT) AS cell, CAST(u.pos AS BIGINT) AS pos, u.val AS m FROM (
+    b ++= s"""${tag}e AS MATERIALIZED ($sourceSql),
+             |${tag}ev AS MATERIALIZED (SELECT v, sqrt(list_sum(list_transform(v, x -> x*x))) AS vns FROM ${tag}e),
+             |${tag}c0 AS MATERIALIZED (SELECT CAST(vec_id + 1 AS BIGINT) AS cell, CAST(u.pos AS BIGINT) AS pos, u.val AS m FROM (
              |  SELECT vec_id, unnest(list_transform(range(0, $dim), i -> {'pos': i, 'val': v[i+1]})) AS u
-             |  FROM e WHERE vec_id < $nCells) t)""".stripMargin
+             |  FROM ${tag}e WHERE vec_id < $nCells) t)""".stripMargin
     for (k <- 0 until iters) {
       b ++= s""",
-               |cl$k AS MATERIALIZED (SELECT list(cm ORDER BY cell) AS cl, list(sqrt(cn) ORDER BY cell) AS cns FROM (
+               |${tag}cl$k AS MATERIALIZED (SELECT list(cm ORDER BY cell) AS cl, list(sqrt(cn) ORDER BY cell) AS cns FROM (
                |  SELECT cell, cm, list_sum(list_transform(cm, x -> x*x)) AS cn FROM (
-               |    SELECT cell, list(m ORDER BY pos) AS cm FROM c$k GROUP BY cell) t0) t),
-               |a$k AS MATERIALIZED (SELECT v, list_position(sc, list_max(sc)) AS cell FROM (
-               |  SELECT ev.v, list_transform(range(1, ${nCells + 1}), ci ->
-               |    CASE WHEN cns[ci] = 0 OR ev.vns = 0 THEN 0.0
-               |         ELSE list_dot_product(cl[ci], ev.v) / (cns[ci] * ev.vns) END) AS sc
-               |  FROM ev, cl$k) t2),
-               |x$k AS (SELECT cell, u.pos AS pos, u.val AS val FROM (
+               |    SELECT cell, list(m ORDER BY pos) AS cm FROM ${tag}c$k GROUP BY cell) t0) t),
+               |${tag}a$k AS MATERIALIZED (SELECT v, list_position(sc, list_max(sc)) AS cell FROM (
+               |  SELECT ${tag}ev.v, list_transform(range(1, ${nCells + 1}), ci ->
+               |    CASE WHEN cns[ci] = 0 OR ${tag}ev.vns = 0 THEN 0.0
+               |         ELSE list_dot_product(cl[ci], ${tag}ev.v) / (cns[ci] * ${tag}ev.vns) END) AS sc
+               |  FROM ${tag}ev, ${tag}cl$k) t2),
+               |${tag}x$k AS (SELECT cell, u.pos AS pos, u.val AS val FROM (
                |  SELECT cell, unnest(list_transform(range(0, $dim), i -> {'pos': i, 'val': v[i+1]})) AS u
-               |  FROM a$k) t),
-               |m$k AS MATERIALIZED (SELECT CAST(cell AS BIGINT) AS cell, CAST(pos AS BIGINT) AS pos,
+               |  FROM ${tag}a$k) t),
+               |${tag}m$k AS MATERIALIZED (SELECT CAST(cell AS BIGINT) AS cell, CAST(pos AS BIGINT) AS pos,
                |    round(avg(val), 9) AS m
-               |  FROM x$k GROUP BY cell, pos),
-               |c${k + 1} AS MATERIALIZED (SELECT c.cell, c.pos, coalesce(m.m, c.m) AS m
-               |  FROM c$k c LEFT JOIN m$k m ON m.cell = c.cell AND m.pos = c.pos)""".stripMargin
+               |  FROM ${tag}x$k GROUP BY cell, pos),
+               |${tag}c${k + 1} AS MATERIALIZED (SELECT c.cell, c.pos, coalesce(m.m, c.m) AS m
+               |  FROM ${tag}c$k c LEFT JOIN ${tag}m$k m ON m.cell = c.cell AND m.pos = c.pos)""".stripMargin
     }
     b.toString
   }
@@ -821,6 +828,91 @@ object SparkEntry {
        |       round(coalesce(h.hits, 0) / ${k.toDouble}, 6) AS recall
        |FROM q LEFT JOIN h ON h.query_id = q.query_id
        |ORDER BY q.query_id""".stripMargin
+
+  /** The recall-drop → rebuild loop, reproduced decision and all — mirrors
+    * Ann.ivfRetrainOnRecall: TWO Lloyd chains (stale = trained on the
+    * `vec_id < splitId` base slice, fresh = the full corpus, disambiguated
+    * by the chain `tag`), the stale probe's summed hit count vs the exact
+    * scan over the first nQ queries as ONE integer, and a UNION ALL whose
+    * arms are gated on the exact integer comparison `th < minHits` — so
+    * the oracle takes the same branch the operator took, bit-for-bit (no
+    * float recall crosses the engines). The served arm reuses the
+    * ivf_delta_topk serving form (whole-corpus assignment ≡ base ∪ delta
+    * under frozen centroids). */
+  private def ivfRetrainOnRecallSql(nQ: Int = 8, k: Int = 10, nCells: Int = 16,
+                                    nProbe: Int = 4, iters: Int = 10,
+                                    splitId: Long = 250L, minHits: Long = 64L): String =
+    s"""WITH ${ivfTrainChainSql(iters, nCells, sourceSql =
+          s"SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < $splitId")},
+       |${ivfTrainChainSql(iters, nCells, tag = "r")},
+       |clS AS MATERIALIZED (SELECT list(cm ORDER BY cell) AS cl FROM (
+       |  SELECT cell, list(m ORDER BY pos) AS cm FROM c$iters GROUP BY cell) t),
+       |clR AS MATERIALIZED (SELECT list(cm ORDER BY cell) AS cl FROM (
+       |  SELECT cell, list(m ORDER BY pos) AS cm FROM rc$iters GROUP BY cell) t),
+       |eAll AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM eAll WHERE vec_id < $nQ),
+       |qcell AS (SELECT query_id, ci FROM (
+       |  SELECT query_id, ci,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, ci ASC) AS r
+       |  FROM (SELECT z.query_id, u.ci AS ci, u.s AS s FROM (
+       |        SELECT q.query_id, unnest(list_transform(range(1, ${nCells + 1}),
+       |          ci -> {'ci': ci, 's': round(${cosRawSql("cl[ci]", "q.qv")}, 6)})) AS u
+       |        FROM clS, q) z) y) t
+       |  WHERE r <= $nProbe),
+       |assignedS AS MATERIALIZED (
+       |  SELECT vec_id, label, v, list_position(sc, list_max(sc)) AS cell FROM (
+       |    SELECT eAll.vec_id, eAll.label, eAll.v,
+       |           list_transform(range(1, ${nCells + 1}), ci -> ${cosRawSql("cl[ci]", "eAll.v")}) AS sc
+       |    FROM eAll, clS) t2),
+       |exact AS (SELECT query_id, vec_id FROM (
+       |  SELECT q.query_id, eAll.vec_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |                       ORDER BY ${cosSql("eAll.v", "q.qv")} DESC, eAll.vec_id ASC) AS rnk
+       |  FROM eAll, q) t WHERE rnk <= $k),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |  SELECT qc.query_id, a.vec_id,
+       |    row_number() OVER (PARTITION BY qc.query_id
+       |                       ORDER BY ${cosSql("a.v", "q.qv")} DESC, a.vec_id ASC) AS rnk
+       |  FROM assignedS a
+       |  JOIN qcell qc ON a.cell = qc.ci
+       |  JOIN q ON q.query_id = qc.query_id) t WHERE rnk <= $k),
+       |tot AS (SELECT CAST(coalesce(sum(hits), 0) AS BIGINT) AS th FROM (
+       |  SELECT x.query_id, count(*) AS hits
+       |  FROM exact x JOIN cand c ON c.query_id = x.query_id AND c.vec_id = x.vec_id
+       |  GROUP BY x.query_id) hh),
+       |qv0 AS (SELECT v AS qv FROM eAll WHERE vec_id = 0),
+       |scell AS (SELECT ci FROM (
+       |    SELECT u.ci AS ci, u.s AS s FROM (
+       |      SELECT unnest(list_transform(range(1, ${nCells + 1}),
+       |        ci -> {'ci': ci, 's': round(${cosRawSql("cl[ci]", "qv0.qv")}, 6)})) AS u
+       |      FROM clS, qv0) z) t
+       |  ORDER BY s DESC, ci ASC LIMIT $nProbe),
+       |rcell AS (SELECT ci FROM (
+       |    SELECT u.ci AS ci, u.s AS s FROM (
+       |      SELECT unnest(list_transform(range(1, ${nCells + 1}),
+       |        ci -> {'ci': ci, 's': round(${cosRawSql("cl[ci]", "qv0.qv")}, 6)})) AS u
+       |      FROM clR, qv0) z) t
+       |  ORDER BY s DESC, ci ASC LIMIT $nProbe),
+       |assignedR AS (
+       |  SELECT vec_id, label, v, list_position(sc, list_max(sc)) AS cell FROM (
+       |    SELECT eAll.vec_id, eAll.label, eAll.v,
+       |           list_transform(range(1, ${nCells + 1}), ci -> ${cosRawSql("cl[ci]", "eAll.v")}) AS sc
+       |    FROM eAll, clR) t2),
+       |staleArm AS (SELECT vec_id, label, score FROM (
+       |  SELECT a.vec_id, a.label, ${cosSql("a.v", "qv0.qv")} AS score
+       |  FROM assignedS a, qv0 WHERE a.cell IN (SELECT ci FROM scell)
+       |  ORDER BY score DESC, vec_id ASC LIMIT $k) t),
+       |freshArm AS (SELECT vec_id, label, score FROM (
+       |  SELECT a.vec_id, a.label, ${cosSql("a.v", "qv0.qv")} AS score
+       |  FROM assignedR a, qv0 WHERE a.cell IN (SELECT ci FROM rcell)
+       |  ORDER BY score DESC, vec_id ASC LIMIT $k) t)
+       |SELECT vec_id, label, score, rebuilt, total_hits FROM (
+       |  SELECT s.vec_id, s.label, s.score, false AS rebuilt, tot.th AS total_hits
+       |  FROM staleArm s, tot WHERE tot.th >= $minHits
+       |  UNION ALL
+       |  SELECT f.vec_id, f.label, f.score, true AS rebuilt, tot.th AS total_hits
+       |  FROM freshArm f, tot WHERE tot.th < $minHits) u
+       |ORDER BY score DESC, vec_id ASC""".stripMargin
 
   /** Recall@k of residual IVF-PQ vs raw-vector PQ, both against the exact
     * ranking of the probed-cell subset — mirrors Ann.ivfPqRecall (same
@@ -2420,7 +2512,7 @@ object SparkEntry {
            |       ELSE v END AS v
            |FROM (SELECT doc_id, v, list_sum(list_transform(v, x -> x*x)) AS s
            |      FROM (SELECT doc_id, ${embSql("text")} AS v FROM documents))""".stripMargin
-      s"""${ivfTrainChainSql(5, 8, 64, docSrc)},
+      s"""WITH ${ivfTrainChainSql(5, 8, 64, docSrc)},
          |clT AS MATERIALIZED (SELECT list(cm ORDER BY cell) AS cl,
          |    list(sqrt(cn) ORDER BY cell) AS cns FROM (
          |  SELECT cell, cm, list_sum(list_transform(cm, x -> x*x)) AS cn FROM (
@@ -2794,14 +2886,14 @@ object SparkEntry {
     "ivf_topk_indexed" -> ivfTopkSql, // identical semantics: same centroids, same probe, same rerank
 
     "ivf_train_full" ->
-      s"""${ivfTrainChainSql(10)}
+      s"""WITH ${ivfTrainChainSql(10)}
          |SELECT cell, pos, m FROM c10 ORDER BY cell, pos""".stripMargin,
 
     // the trained-centroid probe: rank cells against the TRAINED centroids
     // (c10), assign the corpus with the same centroids, rerank exactly —
     // the ivfTopkSql shape with the seed centroids swapped for trained ones
     "ivf_topk_trained" ->
-      s"""${ivfTrainChainSql(10)},
+      s"""WITH ${ivfTrainChainSql(10)},
          |clF AS MATERIALIZED (SELECT list(cm ORDER BY cell) AS cl FROM (
          |  SELECT cell, list(m ORDER BY pos) AS cm FROM c10 GROUP BY cell) t),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
@@ -2827,13 +2919,16 @@ object SparkEntry {
     // persists the same layers, so one oracle serves both
     "ivf_topk2" -> ivfTopk2Sql(),
     "ivf_topk2_indexed" -> ivfTopk2Sql(),
+    // the recall-drop → rebuild loop: the decision (integer hit threshold)
+    // and the served arm are both part of the compared result
+    "ivf_retrain_on_recall" -> ivfRetrainOnRecallSql(),
 
     // mirrors Ann.ivfDeltaTopk: centroids Lloyd-trained on the BASE slice
     // only (vec_id < 250, the corpus at index-build time); the whole
     // corpus — base plus un-retrained delta — is assigned with those
     // frozen centroids and probed
     "ivf_delta_topk" ->
-      s"""${ivfTrainChainSql(10, sourceSql =
+      s"""WITH ${ivfTrainChainSql(10, sourceSql =
             "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 250")},
          |clF AS MATERIALIZED (SELECT list(cm ORDER BY cell) AS cl FROM (
          |  SELECT cell, list(m ORDER BY pos) AS cm FROM c10 GROUP BY cell) t),

@@ -794,14 +794,17 @@ object Ann {
     * list — an equi-join on the cell id, so with cells as partition
     * columns the audit reads only probed partitions. Exact arm and final
     * rank-set join as in [[annRecall]]. */
-  def ivfRecall(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
-                nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+  /** Per-query hit counts of the IVF probe vs the exact scan over the
+    * first `nQueries` stored vectors, for a GIVEN centroid matrix — the
+    * shared measurement core of [[ivfRecall]] (seeded centroids, per-query
+    * report) and [[ivfRetrainOnRecall]] (stale trained centroids, summed
+    * to the integer rebuild trigger). Returns `(query_id, hits)` with a
+    * row for every query (zero-hit queries included via the left join). */
+  private def probeHits(e: DataFrame, cents: Seq[Seq[Double]], nQueries: Int,
+                        k: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = e.sparkSession
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-    val cents: Seq[Seq[Double]] = e.where(col("vec_id") < nCells)
-      .orderBy(col("vec_id")).select(col("embedding")).collect()
-      .map(_.getSeq[Double](0).toSeq).toSeq
     val qRows = e.where(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
@@ -821,9 +824,18 @@ object Ann {
       .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
     queries.select(col("query_id"))
       .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"),
-        coalesce(col("hits"), lit(0L)).as("hits"),
-        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 6).as("recall"))
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
+  def ivfRecall(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
+                nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents: Seq[Seq[Double]] = e.where(col("vec_id") < nCells)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    probeHits(e, cents, nQueries, k, nProbe)
+      .select(col("query_id"), col("hits"),
+        round(col("hits") / lit(k.toDouble), 6).as("recall"))
       .orderBy(asc("query_id"))
   }
 
@@ -870,5 +882,70 @@ object Ann {
         round(cosine_sim(col("embedding"), typedLit(qv)), 6).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** The recall-drop → rebuild loop as an OPERATOR — the composition
+    * [[ivfRecall]]'s scaladoc calls "the retrain trigger" and
+    * [[ivfDeltaTopk]]'s "the state an index is in between retrains",
+    * wired end-to-end instead of prose:
+    *
+    *  1. the index is in the delta state — centroids Lloyd-trained on the
+    *     base corpus only (`vec_id < splitId`, the vectors that existed at
+    *     build time), later arrivals assigned with those frozen centroids;
+    *  2. the trigger measures it — [[probeHits]] of the stale probe vs the
+    *     exact scan over the first `nQueries` stored vectors, summed to
+    *     ONE integer `total_hits` (out of `nQueries·k`). The threshold is
+    *     an INTEGER `minHits`, not a float recall — the branch is an exact
+    *     integer comparison on both engines, so the oracle reproduces the
+    *     decision bit-for-bit;
+    *  3. the branch acts — `total_hits < minHits` retrains over the FULL
+    *     corpus ([[trainCentroids]], same fixpoint contract) and serves
+    *     the probe from the fresh centroids; otherwise the stale delta
+    *     layout keeps serving ([[ivfDeltaTopk]]'s base ∪ delta form).
+    *
+    * Output: the served top-k plus the decision record — `rebuilt` and
+    * `total_hits` as constant columns, so the verdict is part of the
+    * oracle-checked result, not a log line.
+    *
+    * Scale shape: the trigger is one assignment pass + a k-row-per-query
+    * rank-set join (the [[ivfRecall]] shape); its driver state is ONE long
+    * (the summed hits — control flow has to surface driver-side to pick a
+    * plan). Retraining costs one Lloyd run over the corpus — the loop
+    * exists precisely so that price is paid only when measured recall says
+    * so. The same trigger composes with the PERSISTED index family: run
+    * the measurement against [[ivfTopkTrained]]'s stored centroids and on
+    * a drop re-resolve with `IndexPolicy.ForceRebuild` — the registry's
+    * versioned-dir discipline makes the swap atomic (readers of the old
+    * version are undisturbed; the manifest flips last). */
+  def ivfRetrainOnRecall(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+                         k: Int = 10, nCells: Int = 16, nProbe: Int = 4,
+                         maxIters: Int = 10, splitId: Long = 250L,
+                         nQueries: Int = 8, minHits: Long = 64L): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val base = e.where(col("vec_id") < splitId)
+    val delta = e.where(col("vec_id") >= splitId)
+    val (stale, _) = trainCentroids(base, nCells, maxIters)
+    val totalHits = probeHits(e, stale, nQueries, k, nProbe)
+      .agg(sum(col("hits"))).collect()(0).getLong(0)
+    val qv = Similarity.queryVector(spark, dir, queryVecId)
+    val rebuilt = totalHits < minHits
+    val served =
+      if (rebuilt) {
+        val (fresh, _) = trainCentroids(e, nCells, maxIters)
+        val probeCells = probe(fresh, qv, nProbe)
+        assignCells(e, fresh)
+          .where(col("cell").isin(probeCells: _*))
+      } else {
+        val probeCells = probe(stale, qv, nProbe)
+        assignCells(base, stale).unionByName(assignCells(delta, stale))
+          .where(col("cell").isin(probeCells: _*))
+      }
+    served
+      .select(col("vec_id"), col("label"),
+        round(cosine_sim(col("embedding"), typedLit(qv)), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+      .withColumn("rebuilt", lit(rebuilt))
+      .withColumn("total_hits", lit(totalHits))
   }
 }

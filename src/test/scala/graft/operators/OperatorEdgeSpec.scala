@@ -74,6 +74,38 @@ class OperatorEdgeSpec extends SparkSpec {
     }
   }
 
+  test("ivfRetrainOnRecall: both branches pinned — forced keep serves the stale delta layout, forced rebuild the fresh retrain") {
+    // minHits = 0 → no hit count is ever below it → the stale branch is
+    // forced, and the served rows are EXACTLY ivfDeltaTopk (same base
+    // slice, same frozen centroids, same probe)
+    val kept = Ann.ivfRetrainOnRecall(spark, dir, 0L, 5, nCells = 8, nProbe = 2,
+      splitId = 25L, nQueries = 4, minHits = 0L).collect()
+    assert(kept.forall(!_.getBoolean(3)), "minHits=0 must never rebuild")
+    val delta = Ann.ivfDeltaTopk(spark, dir, 0L, 5, nCells = 8, nProbe = 2,
+      splitId = 25L).collect()
+    assert(kept.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      delta.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
+    // minHits above the nQueries·k ceiling → rebuild always fires, and the
+    // rebuilt arm IS the full-corpus retrain: ivfDeltaTopk with splitId
+    // covering everything trains on the identical (whole) corpus with an
+    // empty delta, so its rows are the rebuild's expected output
+    val rebuilt = Ann.ivfRetrainOnRecall(spark, dir, 0L, 5, nCells = 8, nProbe = 2,
+      splitId = 25L, nQueries = 4, minHits = 4L * 5 + 1).collect()
+    assert(rebuilt.forall(_.getBoolean(3)), "minHits > nQueries*k must rebuild")
+    val fresh = Ann.ivfDeltaTopk(spark, dir, 0L, 5, nCells = 8, nProbe = 2,
+      splitId = Long.MaxValue).collect()
+    assert(rebuilt.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      fresh.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
+    // the decision record is bounded by construction: every query's own
+    // cell is probed, so the self-match floors hits at nQueries; the
+    // ceiling is nQueries·k
+    val hits = rebuilt.head.getLong(4)
+    assert(hits >= 4L && hits <= 20L,
+      s"hits must sit in [nQueries, nQueries*k], got $hits")
+    assert(kept.head.getLong(4) == hits,
+      "same stale training (same splitId) must measure the same total_hits")
+  }
+
   test("hardNegatives: positive shares the anchor's label, negative doesn't, no self-pairs") {
     val labels = Tables.embeddings(spark, dir)
       .select("vec_id", "label").collect()
