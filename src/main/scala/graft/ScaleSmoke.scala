@@ -268,6 +268,19 @@ object ScaleSmoke {
         maxHamming = 5, agreeBands = 3)
         .queryExecution.toRdd.count()
     }
+    stage("audio landmark near") {
+      // pair output stays bounded on this corpus: replicas 0-1 differ from
+      // base only in a trailing " r<n>" (one near-dup partner per base
+      // doc), later replicas are byte-translated so their sample energies
+      // — and hence landmark keys — diverge; the 512-byte budget is the
+      // declared query's slice discipline
+      val hdr = graft.operators.Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL)
+      D.audioLandmarkNear(spark,
+        docs.select(col("doc_id"),
+          concat(lit(hdr), col("text").cast("binary")).as("blob")),
+        maxBytes = 512)
+        .queryExecution.toRdd.count()
+    }
     stage("span trim") { D.trimSpans(docs).queryExecution.toRdd.count() }
     stage("curate pipeline") {
       // the assembled end-to-end frame: sum of the arms' shapes by design

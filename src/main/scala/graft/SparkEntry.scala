@@ -337,6 +337,27 @@ object SparkEntry {
             concat(lit(header), col("text").cast("binary")).as("blob")),
         maxBytes = 512)
     }),
+    "audio_shift_near" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
+      // the shift-robustness proof IS the corpus: every sliced doc appears
+      // twice — as-is, and delayed by 12 zero SAMPLES (24 zero bytes; 12
+      // is 3 hops but NOT a multiple of the 16-sample window, exactly the
+      // misalignment that defeats the aligned envelope of audio_near) —
+      // and the operator must re-pair each doc with its own delayed twin
+      // through landmark keys + offset voting. Same slice/byte budget as
+      // audio_near.
+      val header = Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL)
+      val zeros = Array.fill[Byte](24)(0)
+      val base = Tables.documents(s, dir)
+        .where(octet_length(col("text")) === length(col("text")) &&
+          graft.operators.Sampling.hashBucket(col("doc_id")) < 20)
+      Dedup.audioLandmarkNear(s,
+        base.select(col("doc_id"),
+            concat(lit(header), col("text").cast("binary")).as("blob"))
+          .unionByName(base.select((col("doc_id") + lit(100000L)).as("doc_id"),
+            concat(lit(header), lit(zeros), col("text").cast("binary")).as("blob"))),
+        maxBytes = 512)
+    }),
     "multimodal_audio" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
       // real PCM content decode over a synthetic-but-real WAV corpus: each
@@ -2845,6 +2866,54 @@ object SparkEntry {
          |   + ascii(substr(text, CAST(2*i+1 AS BIGINT), 1))) AS s FROM p),
          |${approxPairsSql(shingle = 4, sourceSql = envSrc)}
          |SELECT a_id, b_id, est_jaccard FROM pairs ORDER BY a_id, b_id""".stripMargin
+    },
+
+    // the full landmark pipeline re-derived in SQL: both arms' samples
+    // (arm B = 12 zero samples ++ content truncated to the same 512-byte
+    // payload budget), HOPPED windows (hop 4, window 16), quarter-octave
+    // levels from the exact threshold table, strict-rise/non-strict-fall
+    // peaks, anchor→next-≤3-peaks-within-8 landmark pairs, and the
+    // (la, lb, dt)-key join with per-offset voting — one mis-derived
+    // window boundary or peak rule and every vote count shifts
+    "audio_shift_near" -> {
+      val thresholds = graft.operators.Multimodal.QuarterOctaveThresholds
+        .mkString("[", ",", "]")
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |  WHERE strlen(text) = length(text)
+         |    AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 20),
+         |smA AS (SELECT doc_id AS id, least(strlen(text), 512) // 2 AS n,
+         |  list_transform(range(0, least(strlen(text), 512) // 2), i ->
+         |     ascii(substr(text, CAST(2*i+2 AS BIGINT), 1)) * 256
+         |   + ascii(substr(text, CAST(2*i+1 AS BIGINT), 1))) AS s FROM d),
+         |smB AS (SELECT doc_id + 100000 AS id, 12 + least(strlen(text), 488) // 2 AS n,
+         |  list_concat(list_transform(range(0, 12), z -> 0),
+         |    list_transform(range(0, least(strlen(text), 488) // 2), i ->
+         |       ascii(substr(text, CAST(2*i+2 AS BIGINT), 1)) * 256
+         |     + ascii(substr(text, CAST(2*i+1 AS BIGINT), 1)))) AS s FROM d),
+         |sm AS (SELECT * FROM smA UNION ALL SELECT * FROM smB),
+         |lv AS (SELECT id, list_transform(
+         |    list_transform(range(0, CASE WHEN n >= 16 THEN (n - 16) // 4 + 1 ELSE 0 END),
+         |      w -> list_sum(list_transform(range(w*4, w*4 + 16),
+         |             j -> CAST(s[CAST(j+1 AS BIGINT)] AS BIGINT) * s[CAST(j+1 AS BIGINT)]))),
+         |    ss -> len(list_filter($thresholds, t -> ss >= t))) AS L FROM sm),
+         |pk AS (SELECT id, list_filter(
+         |    list_transform(range(1, len(L) - 1), t -> {'t': t, 'l': L[t+1]}),
+         |    p -> p.l > L[p.t] AND p.l >= L[p.t+2]) AS pk FROM lv),
+         |lm AS (SELECT id, flatten(list_transform(range(0, len(pk)), i ->
+         |    list_filter(list_transform(range(i+1, least(i+1+3, len(pk))), j ->
+         |      {'la': pk[CAST(i+1 AS BIGINT)].l, 'lb': pk[CAST(j+1 AS BIGINT)].l,
+         |       'dt': pk[CAST(j+1 AS BIGINT)].t - pk[CAST(i+1 AS BIGINT)].t,
+         |       'ta': pk[CAST(i+1 AS BIGINT)].t}),
+         |      x -> x.dt <= 8))) AS lms FROM pk),
+         |lmr AS (SELECT id, u.la AS la, u.lb AS lb, u.dt AS dt, u.ta AS ta
+         |        FROM (SELECT id, unnest(lms) AS u FROM lm) q),
+         |vt AS (SELECT a.id AS a_id, b.id AS b_id, a.ta - b.ta AS off, count(*) AS v
+         |       FROM lmr a JOIN lmr b
+         |         ON a.la = b.la AND a.lb = b.lb AND a.dt = b.dt AND a.id < b.id
+         |       GROUP BY 1, 2, 3)
+         |SELECT a_id, b_id, CAST(max(v) AS BIGINT) AS votes
+         |FROM vt GROUP BY a_id, b_id HAVING max(v) >= 5
+         |ORDER BY a_id, b_id""".stripMargin
     },
 
     // the oracle rebuilds the 16-bit LE samples from the document bytes the

@@ -1077,6 +1077,57 @@ object Dedup {
         .select(col(idCol), col("env").as("text")),
       idCol, "text", shingleSize, seeds, bands, estThreshold)
 
+  /** X3i — TIME-SHIFT-robust audio near-duplicate pairs by landmark
+    * voting: the step [[audioNear]]'s scaladoc declared out of scope, now
+    * in scope. [[Multimodal.audioLandmarks]] reduces each blob to
+    * `(la, lb, dt, ta)` landmark rows over a HOPPED envelope; two docs
+    * match when ≥ `minVotes` of their landmarks agree on key AND on a
+    * single time offset:
+    *
+    *  - the equi-join key `(la, lb, dt)` is shift-INVARIANT — delaying a
+    *    copy by any multiple of `hop` samples moves both peak times
+    *    together, leaving levels and Δt untouched;
+    *  - the VOTE `off = ta_a − ta_b` is shift-COVARIANT — true copies
+    *    concentrate all their key matches on one offset (the shift in
+    *    window units), while coincidental level collisions scatter across
+    *    offsets. `votes` = the max per-offset match count, an integer on
+    *    both engines.
+    *
+    * Robustness contract, stated exactly: a copy delayed by k·`hop`
+    * samples (any k, NOT restricted to multiples of `windowSamples`)
+    * matches with votes ≈ its interior landmark count; a sub-hop shift
+    * re-samples every window and degrades like any re-encode — `hop` is
+    * the granularity dial (hop 1 = full per-sample robustness at
+    * windowSamples× the landmark rows).
+    *
+    * Scale shape: per-doc state is the bounded landmark set (the
+    * signature-only discipline); candidates come from the `(la, lb, dt)`
+    * equi-join — key space ≈ levels²·maxDt buckets, the banding story's
+    * dial (raise maxDt/fanout for sharper keys, at more rows per doc); the
+    * offset vote is a two-level hash aggregation with map-side partial
+    * collapse, never a sort. Pair OUTPUT is quadratic on identical-audio
+    * groups like every pair form here — slice or threshold accordingly. */
+  def audioLandmarkNear(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                        idCol: String = "doc_id", blobCol: String = "blob",
+                        windowSamples: Int = 16, hop: Int = 4,
+                        maxBytes: Int = 1 << 20, maxDt: Int = 8,
+                        fanout: Int = 3, minVotes: Int = 5): DataFrame = {
+    val lm = Multimodal.audioLandmarks(spark, docs, idCol, blobCol,
+      windowSamples, hop, maxBytes, maxDt, fanout)
+    val a = lm.select(col(idCol).as("a_id"), col("la"), col("lb"), col("dt"),
+      col("ta").as("taa"))
+    val b = lm.select(col(idCol).as("b_id"), col("la"), col("lb"), col("dt"),
+      col("ta").as("tab"))
+    a.join(b, Seq("la", "lb", "dt"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), (col("taa") - col("tab")).as("off"))
+      .agg(count(lit(1)).as("v"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(max(col("v")).as("votes"))
+      .where(col("votes") >= minVotes)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** [[imageNear]]'s TREATMENT form, and its 100 TB shape: per-doc
     * keep/group verdicts with LINEAR output. [[imageNear]]'s pair list is
     * inherently quadratic on grid-identical groups (N boilerplate-prefixed

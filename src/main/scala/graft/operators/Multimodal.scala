@@ -203,7 +203,20 @@ object Multimodal {
     * partial window would make the same audio hash differently under a
     * different byte budget). */
   private[operators] def envelopeLevels(b: Array[Byte], windowSamples: Int,
-                                        maxBytes: Int): Array[Long] = {
+                                        maxBytes: Int): Array[Long] =
+    envelopeLevelsHopped(b, windowSamples, maxBytes, windowSamples)
+
+  /** [[envelopeLevels]] generalized to OVERLAPPING windows: window `w`
+    * covers samples `[w·hop, w·hop + windowSamples)`, so levels are
+    * computed every `hop` samples instead of every `windowSamples`. At
+    * `hop = windowSamples` this is exactly the non-overlapping envelope
+    * (window count `(n − W)/W + 1 = ⌊n/W⌋` for `n ≥ W`). The hop is what
+    * buys TIME-SHIFT robustness for the landmark fingerprint: a copy
+    * delayed by any multiple of `hop` samples sees the identical interior
+    * window energies, just at shifted window indices — which the
+    * landmark-pair (level, level, Δt) keys are invariant to. */
+  private[operators] def envelopeLevelsHopped(b: Array[Byte], windowSamples: Int,
+                                              maxBytes: Int, hop: Int): Array[Long] = {
     def u32(o: Int): Long =
       (b(o) & 0xff).toLong | ((b(o + 1) & 0xff).toLong << 8) |
         ((b(o + 2) & 0xff).toLong << 16) | ((b(o + 3) & 0xff).toLong << 24)
@@ -225,14 +238,14 @@ object Multimodal {
     }
     if (dataOff < 0L || fmtTag != 1L || bits != 16L) return Array.empty
     val n = (math.min(dataLen, maxBytes.toLong) / 2L).toInt
-    val nWin = n / windowSamples
+    val nWin = if (n >= windowSamples) (n - windowSamples) / hop + 1 else 0
     val out = new Array[Long](nWin)
     var w = 0
     while (w < nWin) {
       var ss = 0L
       var i = 0
       while (i < windowSamples) {
-        val o = dataOff.toInt + 2 * (w * windowSamples + i)
+        val o = dataOff.toInt + 2 * (w * hop + i)
         val v = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toLong
         ss += v * v
         i += 1
@@ -271,6 +284,58 @@ object Multimodal {
         }
       })
       .toDF(idCol, "env", "n_windows")
+  }
+
+  /** Landmark-pair audio fingerprints — the standard shift-robust step up
+    * from the aligned envelope ([[audioEnvelope]]'s scaladoc names it; the
+    * design is the landmark-hash scheme of Wang 2003, "An Industrial-
+    * Strength Audio Search Algorithm", with integer envelope-level PEAKS
+    * standing in for spectrogram peaks — no FFT, every step integer-exact
+    * and so SQL-oracle-able).
+    *
+    * Pipeline per WAV blob: [[envelopeLevelsHopped]] levels every `hop`
+    * samples (overlap is the shift-robustness dial — a copy delayed by any
+    * multiple of `hop` samples reproduces the interior levels at shifted
+    * indices) → local PEAKS of the level sequence (strict rise, non-strict
+    * fall: `lev(i) > lev(i−1) ∧ lev(i) ≥ lev(i+1)` — the first index of a
+    * plateau wins, deterministically) → each peak anchors pairs with its
+    * next ≤ `fanout` peaks within `maxDt` windows. A landmark row is
+    * `(la, lb, dt, ta)`: the two peak levels, their window distance (the
+    * shift-INVARIANT key — both times move together under a shift), and
+    * the anchor time (which [[graft.operators.Dedup.audioLandmarkNear]]
+    * differences across docs for offset voting).
+    *
+    * Scale shape: one bounded decode per row (`maxBytes` cap), ≤
+    * peaks·fanout ≈ (maxBytes/2/hop)·fanout landmark rows per doc — per-doc
+    * state stays signature-sized; nothing audio-length-dependent leaves the
+    * decode pass unbounded. */
+  def audioLandmarks(spark: SparkSession, docs: DataFrame,
+                     idCol: String = "doc_id", blobCol: String = "blob",
+                     windowSamples: Int = 16, hop: Int = 4,
+                     maxBytes: Int = 1 << 20,
+                     maxDt: Int = 8, fanout: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(windowSamples >= 1 && hop >= 1, "windowSamples and hop must be >= 1")
+    require(maxDt >= 1 && fanout >= 1, "maxDt and fanout must be >= 1")
+    docs.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        val bytes = Option(b).getOrElse(Array.emptyByteArray)
+        if (!isWav(bytes)) Iterator.empty
+        else {
+          val lv = envelopeLevelsHopped(bytes, windowSamples, maxBytes, hop)
+          val peaks = (1 until lv.length - 1).iterator
+            .filter(i => lv(i) > lv(i - 1) && lv(i) >= lv(i + 1))
+            .map(i => (i.toLong, lv(i))).toArray
+          for {
+            i <- peaks.indices.iterator
+            j <- (i + 1) until math.min(i + 1 + fanout, peaks.length)
+            dt = peaks(j)._1 - peaks(i)._1
+            if dt <= maxDt
+          } yield (id, peaks(i)._2, peaks(j)._2, dt, peaks(i)._1)
+        }
+      })
+      .toDF(idCol, "la", "lb", "dt", "ta")
   }
 
   /** 44-byte canonical PCM WAV header (RIFF + fmt + data chunk header),

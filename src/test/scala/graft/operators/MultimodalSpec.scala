@@ -217,6 +217,65 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.envelopeLevels(a, 16, 64).length == 2)
   }
 
+  test("audioLandmarks + audioLandmarkNear: sub-window time shift pairs up where the aligned envelope cannot") {
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val data = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(s => data.putShort(s.toShort))
+      Multimodal.pcmWavHeader(8000, 1, samples.length * 2L) ++ data.array()
+    }
+    // dense peaks (every ~3 blocks of 8 samples = ~6 hopped windows, inside
+    // maxDt = 8) with a per-period amplitude drift so landmark keys stay
+    // mostly unambiguous — the slow 64-sample square wave of the envelope
+    // test has peaks ~32 windows apart and yields NO landmarks
+    def prog(seed: Int): Seq[Int] = (0 until 512).map { i =>
+      val blk = i / 8
+      val amp = 200 * (1 + (blk * 7 + seed) % 23 + 2 * (blk / 23))
+      (if (i % 2 == 0) amp else -amp) + (i % 7)
+    }
+    // hop = windowSamples degenerates to the aligned envelope exactly
+    val a = wav(prog(0))
+    assert(Multimodal.envelopeLevelsHopped(a, 16, 1 << 20, 16).toSeq ==
+      Multimodal.envelopeLevels(a, 16, 1 << 20).toSeq)
+    // hopped window count: (n - W)/hop + 1
+    assert(Multimodal.envelopeLevelsHopped(a, 16, 1 << 20, 4).length ==
+      (512 - 16) / 4 + 1)
+    // a copy delayed by 12 samples = 3 hops, NOT a multiple of the
+    // 16-sample window: interior hopped window w+3 of the copy covers
+    // exactly content window w of the original
+    val shifted = wav(Seq.fill(12)(0) ++ prog(0))
+    val lvA = Multimodal.envelopeLevelsHopped(a, 16, 1 << 20, 4)
+    val lvS = Multimodal.envelopeLevelsHopped(shifted, 16, 1 << 20, 4)
+    assert(lvS.drop(3).toSeq == lvA.toSeq)
+    val c = wav((0 until 512).map(i => if (i % 97 == 0) 20000 else 10))
+    import spark.implicits._
+    val docs = Seq((1L, a), (2L, shifted), (3L, c),
+      (4L, "not audio".getBytes("US-ASCII"))).toDF("doc_id", "blob")
+    // the aligned envelope (audioNear) misses the misaligned copy...
+    val aligned = Dedup.audioNear(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!aligned.contains((1L, 2L)),
+      "a 12-sample shift must defeat the ALIGNED envelope — else this fixture proves nothing")
+    // ...while landmark voting recovers it, with votes concentrated on the
+    // single true offset (3 windows) and no coincidental pairs
+    val lm = Dedup.audioLandmarkNear(spark, docs).collect()
+    assert(lm.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(lm.head.getLong(2) >= 10L, s"expected a decisive vote, got ${lm.head.getLong(2)}")
+    // offset covariance pinned directly on the landmark rows: interior
+    // keys match with ta(copy) - ta(orig) = 3 everywhere
+    val rows = Multimodal.audioLandmarks(spark, docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)), r.getLong(4)))
+    val byKey1 = rows.filter(_._1 == 1L).groupBy(_._2)
+    val byKey2 = rows.filter(_._1 == 2L).groupBy(_._2)
+    val offsets = for {
+      (k, v1) <- byKey1.toSeq; v2 <- byKey2.get(k).toSeq
+      if v1.length == 1 && v2.length == 1 // unambiguous keys only
+    } yield v2.head._3 - v1.head._3
+    assert(offsets.nonEmpty && offsets.count(_ == 3L) >= offsets.length - 1)
+    // non-WAV blob contributes no landmarks
+    assert(!rows.exists(_._1 == 4L))
+  }
+
   test("envelopeLevels: duplicated thresholds count ALL equal entries (ss in {2,3,4})") {
     // the threshold table has four 2s, two 3s, two 4s (small-k ceilings);
     // the level must equal #{t : t <= ss} — the oracle's
