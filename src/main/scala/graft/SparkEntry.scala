@@ -320,6 +320,23 @@ object SparkEntry {
           .select(col("doc_id"), col("text").cast("binary").as("blob")),
         agreeBands = 0)
     }),
+    "dedup_video" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
+      // cross-MODALITY dedup: each doc appears as a raw blob (the fake
+      // byte-grid arm) AND as an MP4-wrapped video whose first sample is
+      // the same bytes (the real container walk, offset ids). grayGrid
+      // hashes the SAMPLE, so every video twin lands in its still's exact-
+      // hash group and the components are the dedup_image components with
+      // both arms as members — one mis-parsed stbl offset and every video
+      // row escapes its cluster
+      val header = Multimodal.mp4VideoHeader()
+      val base = Tables.documents(s, dir)
+        .where(octet_length(col("text")) === length(col("text")))
+      Dedup.imageDedup(s,
+        base.select(col("doc_id"), col("text").cast("binary").as("blob"))
+          .unionByName(base.select((col("doc_id") + lit(100000L)).as("doc_id"),
+            concat(lit(header), col("text").cast("binary")).as("blob"))))
+    }),
     "audio_near" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
       // same synthetic-WAV device as multimodal_audio: the envelope and
@@ -789,8 +806,17 @@ object SparkEntry {
     * rep pairs (banding is lossless at any clamped t, so the banded mine
     * finds exactly these), then the dedup_groups recursive walk over reps;
     * docs inherit their rep's root. */
-  private def dedupImageSql: String =
-    """WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE strlen(text) = length(text)),
+  private def dedupImageSql(videoTwin: Boolean = false): String = {
+    // videoTwin: every doc also appears as an MP4-wrapped copy at
+    // doc_id + 100000 whose extracted first sample IS the text — the grid,
+    // and hence the hash and components, are the same computation
+    val dCte =
+      if (videoTwin)
+        """d0 AS (SELECT doc_id, text FROM documents WHERE strlen(text) = length(text)),
+          |d AS (SELECT doc_id, text FROM d0
+          |      UNION ALL SELECT doc_id + 100000, text FROM d0),""".stripMargin
+      else "d AS (SELECT doc_id, text FROM documents WHERE strlen(text) = length(text)),"
+    s"""WITH RECURSIVE $dCte
       |g AS (SELECT doc_id, list_transform(range(0, 64), i ->
       |        CASE WHEN i < strlen(text)
       |             THEN ascii(substr(text, CAST(i+1 AS BIGINT), 1)) ELSE 0 END) AS gr
@@ -811,6 +837,7 @@ object SparkEntry {
       |       h.doc_id = coalesce(rt.root, r.rep) AS keep
       |FROM h JOIN r ON r.ph = h.ph LEFT JOIN roots rt ON rt.id = r.rep
       |ORDER BY h.doc_id""".stripMargin
+  }
 
   private def ivfRecallSql(nQ: Int = 8, k: Int = 10, nCells: Int = 16,
                            nProbe: Int = 4): String =
@@ -2822,10 +2849,14 @@ object SparkEntry {
     // maxHamming < bands, so the banded mine finds exactly these), then
     // the dedup_groups recursive walk over reps; docs inherit their rep's
     // root
-    "dedup_image" -> dedupImageSql,
+    "dedup_image" -> dedupImageSql(),
     // auto-t shares the oracle: any clamped t is lossless, so the banded
     // mine reproduces the same brute-force rep-pair set at every setting
-    "dedup_image_auto" -> dedupImageSql,
+    "dedup_image_auto" -> dedupImageSql(),
+    // the cross-modality arm: the video twin's extracted sample is the
+    // text, so its grid — and the whole component structure — is the
+    // dedup_image computation over the doubled id space
+    "dedup_video" -> dedupImageSql(videoTwin = true),
 
     // the video first-sample extraction, pinned end-to-end: the sample
     // behind the constant mp4VideoHeader prefix IS the doc text, so the
