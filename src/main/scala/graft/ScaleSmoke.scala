@@ -255,6 +255,18 @@ object ScaleSmoke {
     stage(s"semantic dedup c$nc") {
       D.semanticDedup(e, nCells = nc, tau = 0.4).queryExecution.toRdd.count()
     }
+    stage(s"bitext mine c$nc p4") {
+      // two-set margin mining at the IVF dial: candidate fan-out is
+      // nProbe·|X|·|Y|/nCells — nc grows with the corpus so per-cell pair
+      // work stays flat, the same granularity contract as semantic dedup
+      graft.operators.Bitext.minePairs(
+        e.where(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("src_id"), col("embedding").as("src_vec")),
+        e.where(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("tgt_id"), col("embedding").as("tgt_vec")),
+        k = 4, tau = 1.0, nCells = nc, nProbe = 4)
+        .queryExecution.toRdd.count()
+    }
     stage("span dedup") { D.spanDedup(docs).queryExecution.toRdd.count() }
     stage("image dedup (phash)") {
       // the LINEAR treatment form at its at-scale settings: exact grids
@@ -276,6 +288,17 @@ object ScaleSmoke {
       // declared query's slice discipline
       val hdr = graft.operators.Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL)
       D.audioLandmarkNear(spark,
+        docs.select(col("doc_id"),
+          concat(lit(hdr), col("text").cast("binary")).as("blob")),
+        maxBytes = 512)
+        .queryExecution.toRdd.count()
+    }
+    stage("audio dedup (landmarks)") {
+      // the LINEAR treatment form: envelope-identical payloads collapse
+      // before the landmark mine (the imageDedup discipline), so exact
+      // replicas never reach the pair join
+      val hdr = graft.operators.Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL)
+      D.audioDedup(spark,
         docs.select(col("doc_id"),
           concat(lit(hdr), col("text").cast("binary")).as("blob")),
         maxBytes = 512)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Ann, AsofJoin, Bpe, CatalogOps, Centrality, CorpusFilter, Curate, Decontaminate, Dedup, Diagnostics, EmbeddingStats, Funnel, Ingest, Mining, Multimodal, Pii, RangeJoin, Relational, Salting, Sampling, Search, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, Bitext, Bpe, CatalogOps, Centrality, CorpusFilter, Curate, Decontaminate, Dedup, Diagnostics, EmbeddingStats, Funnel, Ingest, Mining, Multimodal, Pii, RangeJoin, Relational, Salting, Sampling, Search, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -239,6 +239,19 @@ object SparkEntry {
     "ann_topk_indexed" -> ((s, dir) => Ann.annTopkIndexed(s, dir, 0L, 10)),
     "ann_recall" -> ((s, dir) => Ann.annRecall(s, dir, 8, 10)),
     "hard_negatives" -> ((s, dir) => Mining.hardNegatives(Tables.embeddings(s, dir), 8)),
+    "bitext_mine" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      // two "languages" = the even/odd vec_id halves; full probe
+      // (nProbe = nCells) makes the cell-blocked candidate set exact, so
+      // the oracle is the brute-force margin definition with no quantizer
+      val e = Tables.embeddings(s, dir)
+      Bitext.minePairs(
+        e.where(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("src_id"), col("embedding").as("src_vec")),
+        e.where(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("tgt_id"), col("embedding").as("tgt_vec")),
+        k = 4, tau = 1.0, nCells = 8, nProbe = 8)
+    }),
     "ivf_topk" -> ((s, dir) => Ann.ivfTopk(s, dir, 0L, 10, 16, 4)),
     "ivf_recall" -> ((s, dir) => Ann.ivfRecall(s, dir, 8, 10, 16, 4)),
     "ann_range" -> ((s, dir) => Ann.annRange(s, dir, 0L, 0.2)),
@@ -369,6 +382,23 @@ object SparkEntry {
         .where(octet_length(col("text")) === length(col("text")) &&
           graft.operators.Sampling.hashBucket(col("doc_id")) < 20)
       Dedup.audioLandmarkNear(s,
+        base.select(col("doc_id"),
+            concat(lit(header), col("text").cast("binary")).as("blob"))
+          .unionByName(base.select((col("doc_id") + lit(100000L)).as("doc_id"),
+            concat(lit(header), lit(zeros), col("text").cast("binary")).as("blob"))),
+        maxBytes = 512)
+    }),
+    "audio_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
+      // the TREATMENT form over the same shift-twin corpus: every doc must
+      // land in one component with its delayed twin (keep = the original),
+      // via envelope collapse + landmark mine among reps + components
+      val header = Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL)
+      val zeros = Array.fill[Byte](24)(0)
+      val base = Tables.documents(s, dir)
+        .where(octet_length(col("text")) === length(col("text")) &&
+          graft.operators.Sampling.hashBucket(col("doc_id")) < 20)
+      Dedup.audioDedup(s,
         base.select(col("doc_id"),
             concat(lit(header), col("text").cast("binary")).as("blob"))
           .unionByName(base.select((col("doc_id") + lit(100000L)).as("doc_id"),
@@ -806,6 +836,57 @@ object SparkEntry {
     * rep pairs (banding is lossless at any clamped t, so the banded mine
     * finds exactly these), then the dedup_groups recursive walk over reps;
     * docs inherit their rep's root. */
+  /** Shared oracle prefix for the audio landmark queries: the shift-twin
+    * corpus (every sliced ASCII-pure doc as-is at its own id, plus a
+    * 12-zero-sample-delayed copy at id + 100000, both under the 512-byte
+    * payload budget), 16-bit LE samples re-derived from the text bytes,
+    * HOPPED windows (hop 4, window 16), and quarter-octave levels from the
+    * exact integer threshold table — ends at `lv(id, L)`. */
+  private def audioShiftLvCtes: String = {
+    val thresholds = graft.operators.Multimodal.QuarterOctaveThresholds
+      .mkString("[", ",", "]")
+    s"""WITH RECURSIVE d AS (SELECT doc_id, text FROM documents
+       |  WHERE strlen(text) = length(text)
+       |    AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 20),
+       |smA AS (SELECT doc_id AS id, least(strlen(text), 512) // 2 AS n,
+       |  list_transform(range(0, least(strlen(text), 512) // 2), i ->
+       |     ascii(substr(text, CAST(2*i+2 AS BIGINT), 1)) * 256
+       |   + ascii(substr(text, CAST(2*i+1 AS BIGINT), 1))) AS s FROM d),
+       |smB AS (SELECT doc_id + 100000 AS id, 12 + least(strlen(text), 488) // 2 AS n,
+       |  list_concat(list_transform(range(0, 12), z -> 0),
+       |    list_transform(range(0, least(strlen(text), 488) // 2), i ->
+       |       ascii(substr(text, CAST(2*i+2 AS BIGINT), 1)) * 256
+       |     + ascii(substr(text, CAST(2*i+1 AS BIGINT), 1)))) AS s FROM d),
+       |sm AS (SELECT * FROM smA UNION ALL SELECT * FROM smB),
+       |lv AS (SELECT id, list_transform(
+       |    list_transform(range(0, CASE WHEN n >= 16 THEN (n - 16) // 4 + 1 ELSE 0 END),
+       |      w -> list_sum(list_transform(range(w*4, w*4 + 16),
+       |             j -> CAST(s[CAST(j+1 AS BIGINT)] AS BIGINT) * s[CAST(j+1 AS BIGINT)]))),
+       |    ss -> len(list_filter($thresholds, t -> ss >= t))) AS L FROM sm)""".stripMargin
+  }
+
+  /** The landmark chain over a `(id, L)` source CTE: strict-rise /
+    * non-strict-fall peaks, anchor→next-≤3-peaks-within-8 landmark pairs,
+    * and the (la, lb, dt)-key join with per-offset voting — one
+    * mis-derived window boundary or peak rule and every vote count
+    * shifts. Ends at `vt(a_id, b_id, off, v)`. */
+  private def audioLandmarkVoteCtes(src: String): String =
+    s"""pk AS (SELECT id, list_filter(
+       |    list_transform(range(1, len(L) - 1), t -> {'t': t, 'l': L[t+1]}),
+       |    p -> p.l > L[p.t] AND p.l >= L[p.t+2]) AS pk FROM $src),
+       |lm AS (SELECT id, flatten(list_transform(range(0, len(pk)), i ->
+       |    list_filter(list_transform(range(i+1, least(i+1+3, len(pk))), j ->
+       |      {'la': pk[CAST(i+1 AS BIGINT)].l, 'lb': pk[CAST(j+1 AS BIGINT)].l,
+       |       'dt': pk[CAST(j+1 AS BIGINT)].t - pk[CAST(i+1 AS BIGINT)].t,
+       |       'ta': pk[CAST(i+1 AS BIGINT)].t}),
+       |      x -> x.dt <= 8))) AS lms FROM pk),
+       |lmr AS (SELECT id, u.la AS la, u.lb AS lb, u.dt AS dt, u.ta AS ta
+       |        FROM (SELECT id, unnest(lms) AS u FROM lm) q),
+       |vt AS (SELECT a.id AS a_id, b.id AS b_id, a.ta - b.ta AS off, count(*) AS v
+       |       FROM lmr a JOIN lmr b
+       |         ON a.la = b.la AND a.lb = b.lb AND a.dt = b.dt AND a.id < b.id
+       |       GROUP BY 1, 2, 3)""".stripMargin
+
   private def dedupImageSql(videoTwin: Boolean = false): String = {
     // videoTwin: every doc also appears as an MP4-wrapped copy at
     // doc_id + 100000 whose extracted first sample IS the text — the grid,
@@ -2906,46 +2987,33 @@ object SparkEntry {
     // peaks, anchor→next-≤3-peaks-within-8 landmark pairs, and the
     // (la, lb, dt)-key join with per-offset voting — one mis-derived
     // window boundary or peak rule and every vote count shifts
-    "audio_shift_near" -> {
-      val thresholds = graft.operators.Multimodal.QuarterOctaveThresholds
-        .mkString("[", ",", "]")
-      s"""WITH d AS (SELECT doc_id, text FROM documents
-         |  WHERE strlen(text) = length(text)
-         |    AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 20),
-         |smA AS (SELECT doc_id AS id, least(strlen(text), 512) // 2 AS n,
-         |  list_transform(range(0, least(strlen(text), 512) // 2), i ->
-         |     ascii(substr(text, CAST(2*i+2 AS BIGINT), 1)) * 256
-         |   + ascii(substr(text, CAST(2*i+1 AS BIGINT), 1))) AS s FROM d),
-         |smB AS (SELECT doc_id + 100000 AS id, 12 + least(strlen(text), 488) // 2 AS n,
-         |  list_concat(list_transform(range(0, 12), z -> 0),
-         |    list_transform(range(0, least(strlen(text), 488) // 2), i ->
-         |       ascii(substr(text, CAST(2*i+2 AS BIGINT), 1)) * 256
-         |     + ascii(substr(text, CAST(2*i+1 AS BIGINT), 1)))) AS s FROM d),
-         |sm AS (SELECT * FROM smA UNION ALL SELECT * FROM smB),
-         |lv AS (SELECT id, list_transform(
-         |    list_transform(range(0, CASE WHEN n >= 16 THEN (n - 16) // 4 + 1 ELSE 0 END),
-         |      w -> list_sum(list_transform(range(w*4, w*4 + 16),
-         |             j -> CAST(s[CAST(j+1 AS BIGINT)] AS BIGINT) * s[CAST(j+1 AS BIGINT)]))),
-         |    ss -> len(list_filter($thresholds, t -> ss >= t))) AS L FROM sm),
-         |pk AS (SELECT id, list_filter(
-         |    list_transform(range(1, len(L) - 1), t -> {'t': t, 'l': L[t+1]}),
-         |    p -> p.l > L[p.t] AND p.l >= L[p.t+2]) AS pk FROM lv),
-         |lm AS (SELECT id, flatten(list_transform(range(0, len(pk)), i ->
-         |    list_filter(list_transform(range(i+1, least(i+1+3, len(pk))), j ->
-         |      {'la': pk[CAST(i+1 AS BIGINT)].l, 'lb': pk[CAST(j+1 AS BIGINT)].l,
-         |       'dt': pk[CAST(j+1 AS BIGINT)].t - pk[CAST(i+1 AS BIGINT)].t,
-         |       'ta': pk[CAST(i+1 AS BIGINT)].t}),
-         |      x -> x.dt <= 8))) AS lms FROM pk),
-         |lmr AS (SELECT id, u.la AS la, u.lb AS lb, u.dt AS dt, u.ta AS ta
-         |        FROM (SELECT id, unnest(lms) AS u FROM lm) q),
-         |vt AS (SELECT a.id AS a_id, b.id AS b_id, a.ta - b.ta AS off, count(*) AS v
-         |       FROM lmr a JOIN lmr b
-         |         ON a.la = b.la AND a.lb = b.lb AND a.dt = b.dt AND a.id < b.id
-         |       GROUP BY 1, 2, 3)
+    "audio_shift_near" ->
+      s"""$audioShiftLvCtes,
+         |${audioLandmarkVoteCtes("lv")}
          |SELECT a_id, b_id, CAST(max(v) AS BIGINT) AS votes
          |FROM vt GROUP BY a_id, b_id HAVING max(v) >= 5
-         |ORDER BY a_id, b_id""".stripMargin
-    },
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // the treatment form's oracle: same corpus and landmark chain, but the
+    // mine runs among ENVELOPE-distinct representatives (rep = min id per
+    // level list — the exact-collapse discipline), pairs at max(v) >= 5
+    // feed the dedup_image recursive component walk, and every doc
+    // inherits its rep's root
+    "audio_dedup" ->
+      s"""$audioShiftLvCtes,
+         |rp AS (SELECT id, min(id) OVER (PARTITION BY L) AS rep FROM lv),
+         |lvr AS (SELECT lv.* FROM lv JOIN rp ON lv.id = rp.id AND rp.id = rp.rep),
+         |${audioLandmarkVoteCtes("lvr")},
+         |pr AS (SELECT a_id AS pa, b_id AS pb FROM vt
+         |       GROUP BY a_id, b_id HAVING max(v) >= 5),
+         |e AS (SELECT pa, pb FROM pr UNION SELECT pb, pa FROM pr),
+         |walk(pa, pb) AS (SELECT pa, pb FROM e
+         |                 UNION SELECT walk.pa, e.pb FROM walk JOIN e ON walk.pb = e.pa),
+         |roots AS (SELECT pa AS id, least(pa, min(pb)) AS root FROM walk GROUP BY pa)
+         |SELECT rp.id AS doc_id, coalesce(rt.root, rp.rep) AS group_id,
+         |       rp.id = coalesce(rt.root, rp.rep) AS keep
+         |FROM rp LEFT JOIN roots rt ON rt.id = rp.rep
+         |ORDER BY doc_id""".stripMargin,
 
     // the oracle rebuilds the 16-bit LE samples from the document bytes the
     // Spark side wrapped in a WAV header (ASCII-pure rows: bytes == chars,
@@ -3509,5 +3577,36 @@ object SparkEntry {
          |SELECT query_id, rnk, vec_id, label, score
          |FROM ranked WHERE rnk <= 5
          |ORDER BY query_id ASC, rnk ASC""".stripMargin,
+
+    // brute-force ratio-margin mining (full probe ⇒ candidates = all
+    // pairs): integer micro-unit cosines so the k-NN means are exact
+    // integer sums; margin = one IEEE division over integer operands,
+    // 6-dp rounded; mutual argmax with (margin desc, id asc) ties
+    "bitext_mine" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |xs AS (SELECT vec_id AS src_id, v FROM e WHERE vec_id % 2 = 0),
+         |ys AS (SELECT vec_id AS tgt_id, v FROM e WHERE vec_id % 2 = 1),
+         |p AS (SELECT src_id, tgt_id,
+         |        CAST(round((${cosRawSql("x.v", "y.v")}) * 1e6, 0) AS BIGINT) AS c6
+         |      FROM xs x, ys y),
+         |fwd AS (SELECT src_id, sum(c6) AS sx, count(*) AS kx FROM (
+         |    SELECT src_id, c6,
+         |      row_number() OVER (PARTITION BY src_id ORDER BY c6 DESC, tgt_id ASC) AS r
+         |    FROM p) t WHERE r <= 4 GROUP BY src_id),
+         |bwd AS (SELECT tgt_id, sum(c6) AS sy, count(*) AS ky FROM (
+         |    SELECT tgt_id, c6,
+         |      row_number() OVER (PARTITION BY tgt_id ORDER BY c6 DESC, src_id ASC) AS r
+         |    FROM p) t WHERE r <= 4 GROUP BY tgt_id),
+         |m AS (SELECT p.src_id, p.tgt_id,
+         |        round(2.0 * c6 * kx * ky / (sx * ky + sy * kx), 6) AS margin
+         |      FROM p JOIN fwd USING (src_id) JOIN bwd USING (tgt_id)
+         |      WHERE sx * ky + sy * kx > 0),
+         |r AS (SELECT src_id, tgt_id, margin,
+         |        row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC) AS rs,
+         |        row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id ASC) AS rt
+         |      FROM m)
+         |SELECT src_id, tgt_id, margin FROM r
+         |WHERE rs = 1 AND rt = 1 AND margin >= 1.0
+         |ORDER BY src_id""".stripMargin,
   )
 }

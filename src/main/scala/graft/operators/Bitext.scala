@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.cosine_sim
+
+/** Margin-based parallel-pair mining over two embedding sets — the
+  * bitext-mining stage of a multilingual training-data pipeline (the
+  * design is Artetxe & Schwenk 2019, "Margin-based Parallel Corpus Mining
+  * with Multilingual Sentence Embeddings": raw cosine between sentence
+  * embeddings is miscalibrated across language pairs, so candidates are
+  * scored by the RATIO of their cosine to the mean cosine of each side's
+  * k nearest neighbors — a pair only counts if it stands out from BOTH
+  * sides' neighborhoods).
+  *
+  * Reference point: the in-memory store's query path scores a query
+  * against every stored record (`/root/reference/collection/
+  * collection.go:64-151`); mining extends that single-set scan to the
+  * two-set mutual-best regime the reference's API would need for
+  * cross-collection alignment.
+  */
+object Bitext {
+
+  /** Mutual-best ratio-margin pairs between `x` (`src_id`, `src_vec`) and
+    * `y` (`tgt_id`, `tgt_vec`).
+    *
+    * Pipeline: candidates from the shared seeded quantizer (centroids =
+    * `x`'s `nCells` lowest-id vectors — the [[Ann.seedCentroids]]
+    * contract; each src probes its top `nProbe` cells via the fused
+    * [[graft.functions.TopCells]] pass, each tgt sits in its argmax cell,
+    * candidates = the cell equi-join, so `nProbe = nCells` is EXACT and
+    * smaller probes are the standard IVF recall/cost dial). Every
+    * candidate pair carries an integer micro-unit cosine
+    * `c6 = round(cos·10⁶)` — k-NN means are then INTEGER sums, immune to
+    * accumulation-order drift (the corpus_report lesson). Forward k-NN
+    * per src and backward k-NN per tgt are row_number windows over
+    * `(c6 desc, id asc)` (partial WindowGroupLimit before each exchange);
+    * the margin of a candidate pair is
+    * `2·c6·kx·ky / (sx·ky + sy·kx)` — all-integer operands, one IEEE
+    * division, rounded to 6 dp on both engines (at the corpus edge a side
+    * may have fewer than k neighbors; the mean uses the ACTUAL count, and
+    * the oracle mirrors that). A pair is emitted iff each side is the
+    * other's argmax by `(margin desc, id asc)` — the paper's
+    * "intersection" strategy — and `margin ≥ tau`. Non-positive
+    * neighborhood sums are excluded: a margin against a non-positive
+    * denominator ranks nothing meaningfully.
+    *
+    * Scale shape: nothing corpus-sized is broadcast or collected — the
+    * probe side shuffles `nProbe ×` src rows by cell, the tgt side once by
+    * cell; pair fan-out is the IVF dial `nProbe·|X|·|Y|/nCells` with
+    * `nCells ∝ √N`; the two k-NN aggregations and the two argmax windows
+    * all run under WindowGroupLimit/partial-agg so exchanges carry
+    * bounded rows per key. Backward k-NN at partial probe is computed on
+    * the probed candidate set (the standard ANN-backed mining
+    * approximation); `nProbe = nCells` restores the exact definition. */
+  def minePairs(x: DataFrame, y: DataFrame, k: Int = 4, tau: Double = 1.0,
+                nCells: Int = 8, nProbe: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
+      s"need 1 <= nProbe <= nCells, got nProbe=$nProbe nCells=$nCells")
+    import org.apache.spark.sql.graft.Bridge
+    // the nCells LOWEST-id src vectors (orderBy+limit, not an id-value
+    // filter — a split side's id space is not dense)
+    val cents: Seq[Seq[Double]] = x.orderBy(col("src_id")).limit(nCells)
+      .select(col("src_vec").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    require(cents.nonEmpty, "cannot seed probe centroids from an empty src side")
+    val par = x.sparkSession.sparkContext.defaultParallelism
+    val probeCells = Bridge.column(graft.functions.TopCells(
+      Bridge.expression(col("src_vec").cast("array<double>")), cents,
+      math.min(nProbe, cents.length)))
+    val probes = x.repartition(par, col("src_id"))
+      .select(col("src_id"), col("src_vec").cast("array<double>").as("qv"),
+        explode(probeCells).as("cell"))
+    val cands = y.repartition(par, col("tgt_id"))
+      .withColumn("cell", Bridge.column(graft.functions.NearestCentroid(
+        Bridge.expression(col("tgt_vec").cast("array<double>")), cents)))
+      .select(col("tgt_id"), col("tgt_vec").cast("array<double>").as("tv"),
+        col("cell"))
+    val pairs = probes.join(cands, Seq("cell"))
+      .select(col("src_id"), col("tgt_id"),
+        round(cosine_sim(col("qv"), col("tv")) * 1e6, 0).cast("bigint").as("c6"))
+    val wf = Window.partitionBy(col("src_id")).orderBy(desc("c6"), asc("tgt_id"))
+    val fwd = pairs.withColumn("rnk", row_number().over(wf))
+      .where(col("rnk") <= k)
+      .groupBy(col("src_id"))
+      .agg(sum(col("c6")).as("sx"), count(lit(1)).as("kx"))
+    val wb = Window.partitionBy(col("tgt_id")).orderBy(desc("c6"), asc("src_id"))
+    val bwd = pairs.withColumn("rnk", row_number().over(wb))
+      .where(col("rnk") <= k)
+      .groupBy(col("tgt_id"))
+      .agg(sum(col("c6")).as("sy"), count(lit(1)).as("ky"))
+    val margins = pairs
+      .join(fwd, Seq("src_id")).join(bwd, Seq("tgt_id"))
+      .where(col("sx") * col("ky") + col("sy") * col("kx") > 0)
+      .select(col("src_id"), col("tgt_id"),
+        round(lit(2.0) * col("c6") * col("kx") * col("ky") /
+          (col("sx") * col("ky") + col("sy") * col("kx")), 6).as("margin"))
+    val ms = Window.partitionBy(col("src_id")).orderBy(desc("margin"), asc("tgt_id"))
+    val mt = Window.partitionBy(col("tgt_id")).orderBy(desc("margin"), asc("src_id"))
+    margins
+      .withColumn("rs", row_number().over(ms))
+      .withColumn("rt", row_number().over(mt))
+      .where(col("rs") === 1 && col("rt") === 1 && col("margin") >= tau)
+      .select(col("src_id"), col("tgt_id"), col("margin"))
+      .orderBy(col("src_id"))
+  }
+}

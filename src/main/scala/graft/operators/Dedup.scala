@@ -1111,9 +1111,17 @@ object Dedup {
                         idCol: String = "doc_id", blobCol: String = "blob",
                         windowSamples: Int = 16, hop: Int = 4,
                         maxBytes: Int = 1 << 20, maxDt: Int = 8,
-                        fanout: Int = 3, minVotes: Int = 5): DataFrame = {
-    val lm = Multimodal.audioLandmarks(spark, docs, idCol, blobCol,
-      windowSamples, hop, maxBytes, maxDt, fanout)
+                        fanout: Int = 3, minVotes: Int = 5): DataFrame =
+    landmarkVotes(Multimodal.audioLandmarks(spark, docs, idCol, blobCol,
+      windowSamples, hop, maxBytes, maxDt, fanout), idCol, minVotes)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** The landmark vote join shared by [[audioLandmarkNear]] and
+    * [[audioDedup]]: self-join on the shift-invariant `(la, lb, dt)` key,
+    * per-offset count, max-vote threshold. Two-level hash aggregation
+    * with map-side partial collapse — no sort. */
+  private def landmarkVotes(lm: DataFrame, idCol: String,
+                            minVotes: Int): DataFrame = {
     val a = lm.select(col(idCol).as("a_id"), col("la"), col("lb"), col("dt"),
       col("ta").as("taa"))
     val b = lm.select(col(idCol).as("b_id"), col("la"), col("lb"), col("dt"),
@@ -1125,7 +1133,69 @@ object Dedup {
       .groupBy(col("a_id"), col("b_id"))
       .agg(max(col("v")).as("votes"))
       .where(col("votes") >= minVotes)
-      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** [[audioLandmarkNear]]'s TREATMENT form with LINEAR output — the
+    * [[imageDedup]] discipline for the audio modality: docs with
+    * byte-identical (envelope-identical) payloads collapse to one
+    * representative BEFORE the landmark mine (the pair form is inherently
+    * quadratic on identical-audio groups), reps pair by landmark voting,
+    * components resolve via [[dedupGroups]], and every doc inherits its
+    * rep's verdict. Output: one `(doc_id, group_id, keep)` row per WAV
+    * input row (non-WAV rows are not audio and get no verdict —
+    * [[graft.streaming.Streaming.streamAudioDedupAdmit]] passes them
+    * through). The collapse fingerprint is the HOPPED envelope string —
+    * the same windows the landmarks see, so collapse and mine agree on
+    * what "the same audio" means; identical-envelope docs are near-dups by
+    * the envelope metric by definition. Docs whose level sequence yields
+    * < minVotes landmarks can only group through envelope identity — a
+    * too-short or too-flat clip carries too little evidence for a
+    * near-match verdict, stated rather than guessed. */
+  def audioDedup(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                 idCol: String = "doc_id", blobCol: String = "blob",
+                 windowSamples: Int = 16, hop: Int = 4,
+                 maxBytes: Int = 1 << 20, maxDt: Int = 8,
+                 fanout: Int = 3, minVotes: Int = 5): DataFrame = {
+    val env = Multimodal.audioEnvelope(spark, docs, idCol, blobCol,
+      windowSamples, maxBytes, hop)
+    val reps = env.groupBy(col("env")).agg(min(col(idCol)).as("rep"))
+    val repDocs = docs.select(col(idCol).cast("long").as(idCol), col(blobCol))
+      .join(reps.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
+    val pairs = landmarkVotes(Multimodal.audioLandmarks(spark, repDocs,
+        idCol, blobCol, windowSamples, hop, maxBytes, maxDt, fanout),
+      idCol, minVotes)
+      .select(col("a_id"), col("b_id"))
+    val groups = dedupGroups(reps.select(col("rep").as(idCol)), pairs, idCol)
+      .withColumnRenamed(idCol, "rep").withColumnRenamed("group_id", "__gid")
+    env.join(reps, Seq("env"))
+      .join(groups, Seq("rep"))
+      .select(col(idCol), col("__gid").as("group_id"),
+        (col(idCol) === col("__gid")).as("keep"))
+      .orderBy(col(idCol))
+  }
+
+  /** Batch WAV docs whose landmarks agree with ≥ `minVotes` of ANY single
+    * accumulated-state doc's landmarks on one time offset, OR whose
+    * envelope fingerprint appears verbatim in state — the cross-batch arm
+    * of [[graft.streaming.Streaming.streamAudioDedupAdmit]]. `stateLm`
+    * needs `(doc_id, la, lb, dt, ta)` landmark rows; `stateEnv` one `env`
+    * string column (distinct envelopes). Both arms are equi-joins on
+    * bounded per-doc state — nothing audio-sized. */
+  private[graft] def audioMatchesAgainst(lm: DataFrame, env: DataFrame,
+                                         stateLm: DataFrame, stateEnv: DataFrame,
+                                         idCol: String = "doc_id",
+                                         minVotes: Int = 5): DataFrame = {
+    val voteHits = lm
+      .select(col(idCol), col("la"), col("lb"), col("dt"), col("ta").as("taa"))
+      .join(stateLm.select(col(idCol).as("__sid"), col("la"), col("lb"),
+        col("dt"), col("ta").as("tab")), Seq("la", "lb", "dt"))
+      .groupBy(col(idCol), col("__sid"), (col("taa") - col("tab")).as("off"))
+      .agg(count(lit(1)).as("v"))
+      .where(col("v") >= minVotes)
+      .select(col(idCol))
+    val envHits = env.join(stateEnv.select(col("env")), Seq("env"), "left_semi")
+      .select(col(idCol))
+    voteHits.unionByName(envHits).distinct()
   }
 
   /** [[imageNear]]'s TREATMENT form, and its 100 TB shape: per-doc

@@ -267,19 +267,26 @@ object Multimodal {
   }
 
   /** One (id, env, n_windows) row per WAV blob — the fingerprint pass
-    * [[graft.operators.Dedup.audioNear]] shingles. */
+    * [[graft.operators.Dedup.audioNear]] shingles. `hop = 0` (default)
+    * means the aligned envelope (hop = windowSamples); an explicit hop
+    * gives the overlapping-window variant [[graft.operators.Dedup
+    * .audioDedup]] uses as its exact-collapse fingerprint, consistent with
+    * the landmark metric over the same windows. */
   def audioEnvelope(spark: SparkSession, docs: DataFrame,
                     idCol: String = "doc_id", blobCol: String = "blob",
-                    windowSamples: Int = 16, maxBytes: Int = 1 << 20): DataFrame = {
+                    windowSamples: Int = 16, maxBytes: Int = 1 << 20,
+                    hop: Int = 0): DataFrame = {
     import spark.implicits._
     require(windowSamples >= 1, s"windowSamples must be >= 1, got $windowSamples")
+    require(hop >= 0, s"hop must be >= 0 (0 = aligned), got $hop")
+    val h = if (hop == 0) windowSamples else hop
     docs.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) =>
         val bytes = Option(b).getOrElse(Array.emptyByteArray)
         if (!isWav(bytes)) None
         else {
-          val lv = envelopeLevels(bytes, windowSamples, maxBytes)
+          val lv = envelopeLevelsHopped(bytes, windowSamples, maxBytes, h)
           Some((id, lv.mkString(" "), lv.length.toLong))
         }
       })

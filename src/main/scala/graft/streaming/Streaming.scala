@@ -699,6 +699,83 @@ object Streaming {
       }
       .start()
 
+  /** Streaming AUDIO-dedup admission gate — the continuous twin of
+    * [[graft.operators.Dedup.audioDedup]], completing the modality matrix
+    * (text exact/near/signature gates, image gate, this): per micro-batch,
+    * in-batch envelope-collapse + landmark-vote components elect keepers,
+    * and whole in-batch clusters are rejected when ANY member either
+    * landmark-votes ≥ `minVotes` against the accumulated cross-batch state
+    * or repeats a seen envelope verbatim (the exact arm — a copy too short
+    * or too flat to carry `minVotes` of landmark evidence still suppresses
+    * byte-identical replays). Cluster-level taint preserves transitivity,
+    * exactly as [[streamImageDedupAdmit]] argues. NON-WAV rows pass
+    * through untouched: an audio gate has no verdict on text or images —
+    * composition with the other gates is the pipeline's job.
+    *
+    * State per batch: landmark rows of every seen WAV doc (admitted or
+    * not — ≤ peaks·fanout bounded rows/doc) in `_lm`, distinct envelope
+    * strings (budget-bounded fingerprints) in `_env`; both read STRICTLY
+    * BELOW the current batch id and compacted on the [[compactBatchState]]
+    * schedule — the [[streamCurate]] replay discipline throughout. Under
+    * doc_id-ordered arrival the admitted WAV set equals
+    * `audioDedup(corpus).where(keep)`; unordered arrival degrades to
+    * first-arrival-wins with the same invariants the image gate pins. */
+  def streamAudioDedupAdmit(docs: DataFrame, path: String, checkpointDir: String,
+                            windowSamples: Int = 16, hop: Int = 4,
+                            maxBytes: Int = 1 << 20, maxDt: Int = 8,
+                            fanout: Int = 3, minVotes: Int = 5,
+                            compactEvery: Int = 16)
+                           (sink: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val D = graft.operators.Dedup
+          val M = graft.operators.Multimodal
+          val lm = M.audioLandmarks(spark, batch,
+            windowSamples = windowSamples, hop = hop, maxBytes = maxBytes,
+            maxDt = maxDt, fanout = fanout).localCheckpoint(false)
+          val env = M.audioEnvelope(spark, batch,
+            windowSamples = windowSamples, maxBytes = maxBytes, hop = hop)
+            .select(col("doc_id"), col("env")).localCheckpoint(false)
+          val groups = D.audioDedup(spark, batch,
+            windowSamples = windowSamples, hop = hop, maxBytes = maxBytes,
+            maxDt = maxDt, fanout = fanout, minVotes = minVotes)
+          // a crash between the two state writes may leave one side a batch
+          // ahead — a missing side is EMPTY state, not no-state, so the
+          // committed side still taints
+          val stateLmOpt = readBatchState(spark, s"$path/_lm", batchId)
+          val stateEnvOpt = readBatchState(spark, s"$path/_env", batchId)
+          val keepers =
+            if (stateLmOpt.isEmpty && stateEnvOpt.isEmpty)
+              groups.where(col("keep")).select(col("doc_id"))
+            else {
+              val taintedGroups = D.audioMatchesAgainst(lm, env,
+                  stateLmOpt.getOrElse(lm.limit(0)),
+                  stateEnvOpt.getOrElse(env.select(col("env")).limit(0)),
+                  minVotes = minVotes)
+                .join(groups, Seq("doc_id"))
+                .select(col("group_id")).distinct()
+              groups.where(col("keep"))
+                .join(taintedGroups, Seq("group_id"), "left_anti")
+                .select(col("doc_id"))
+            }
+          // pass-through: rows with no envelope are not audio
+          val admitted = keepers.unionByName(
+            batch.select(col("doc_id"))
+              .join(env.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+          sink(batch.join(admitted, Seq("doc_id"), "left_semi"))
+          lm.write.mode("overwrite").parquet(f"$path/_lm/b$batchId%020d")
+          env.select(col("env")).distinct()
+            .write.mode("overwrite").parquet(f"$path/_env/b$batchId%020d")
+          compactBatchState(spark, s"$path/_lm", batchId, compactEvery)
+          compactBatchState(spark, s"$path/_env", batchId, compactEvery)
+        }
+      }
+      .start()
+
   /** All batches of a [[streamCurate]] run as one decision frame. */
   def readCurate(spark: SparkSession, path: String): Option[DataFrame] = {
     val root = new Path(path)

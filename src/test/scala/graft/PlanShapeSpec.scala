@@ -475,4 +475,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(singles <= 2, s"unexpected single-partition stages:\n$p")
     assert(p.contains("Window"), p)
   }
+
+  test("bitext minePairs: cell equi-join candidates, rank limits before the exchanges, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, dir)
+    val p = plan(graft.operators.Bitext.minePairs(
+      e.where(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("src_id"), col("embedding").as("src_vec")),
+      e.where(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("tgt_id"), col("embedding").as("tgt_vec")),
+      k = 4, tau = 1.0, nCells = 8, nProbe = 4))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"corpus×corpus not cell-blocked:\n$p")
+    assert("""(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell#\d+""".r
+      .findFirstIn(p).isDefined, s"candidates not keyed on the probe cell:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"no partial rank limit:\n$p")
+  }
 }

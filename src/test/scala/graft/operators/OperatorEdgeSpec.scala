@@ -1040,4 +1040,59 @@ class OperatorEdgeSpec extends SparkSpec {
     val md = Sampling.mixtureDraw(single, budgetTokens = 6L).collect()
     assert(md.length == 2 && md.forall(_.getLong(2) >= 1L))
   }
+
+  test("bitext minePairs: translated twins mine as mutual best; full probe ≡ driver brute-force margins") {
+    // deterministic "multilingual" corpus: 24 distinct unit-ish directions;
+    // tgt i+1 is src i's near-identical "translation" (tiny perturbation
+    // that cannot reorder 6-dp margins against unrelated directions)
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val srcs = (0 until 24).map(i =>
+      (2L * i, Array.fill(dim)(rnd.nextGaussian()).toSeq))
+    val tgts = srcs.map { case (id, v) =>
+      (id + 1L, v.map(_ * 1.000001)) } // same direction: cos = 1 exactly at 6 dp
+    val x = srcs.toDF("src_id", "src_vec")
+    val y = tgts.toDF("tgt_id", "tgt_vec")
+    val mined = Bitext.minePairs(x, y, k = 4, tau = 1.0, nCells = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every src finds exactly its twin, margins > 1 (cos 1.0 vs a
+    // neighborhood mean strictly below 1 on distinct random directions)
+    assert(mined.map(p => (p._1, p._2)).toSet ==
+      srcs.map(_._1).map(i => (i, i + 1L)).toSet, s"mined: ${mined.toSeq}")
+    assert(mined.forall(_._3 > 1.0))
+
+    // driver brute-force of the full definition (integer micro-cosines,
+    // actual-count means, mutual argmax) must reproduce the operator
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (p, q) => p * q }.sum
+      val na = math.sqrt(a.map(p => p * p).sum); val nb = math.sqrt(b.map(p => p * p).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val c6 = (for ((si, sv) <- srcs; (ti, tv) <- tgts)
+      yield ((si, ti), math.round(cos(sv, tv) * 1e6))).toMap
+    def fwdSum(si: Long): (Long, Long) = {
+      val top = tgts.map(_._1).sortBy(ti => (-c6((si, ti)), ti)).take(4)
+      (top.map(ti => c6((si, ti))).sum, top.length.toLong)
+    }
+    def bwdSum(ti: Long): (Long, Long) = {
+      val top = srcs.map(_._1).sortBy(si => (-c6((si, ti)), si)).take(4)
+      (top.map(si => c6((si, ti))).sum, top.length.toLong)
+    }
+    val margins = for ((si, _) <- srcs; (ti, _) <- tgts) yield {
+      val (sx, kx) = fwdSum(si)
+      val (sy, ky) = bwdSum(ti)
+      val den = sx * ky + sy * kx
+      ((si, ti), if (den > 0) BigDecimal(2.0 * c6((si, ti)) * kx * ky / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble else Double.NaN)
+    }
+    val mm = margins.filterNot(_._2.isNaN).toMap
+    val bestPerSrc = mm.groupBy(_._1._1).map { case (s, g) =>
+      s -> g.toSeq.sortBy(t => (-t._2, t._1._2)).head._1._2 }
+    val bestPerTgt = mm.groupBy(_._1._2).map { case (t, g) =>
+      t -> g.toSeq.sortBy(s => (-s._2, s._1._1)).head._1._1 }
+    val brute = mm.keys.toSeq
+      .filter { case (s, t) => bestPerSrc(s) == t && bestPerTgt(t) == s && mm((s, t)) >= 1.0 }
+      .map { case (s, t) => (s, t, mm((s, t))) }.toSet
+    assert(mined.toSet == brute, s"operator ${mined.toSeq} vs brute $brute")
+  }
 }

@@ -385,6 +385,79 @@ class StreamingSpec extends SparkSpec {
       s"replay admissions: $admitted")
   }
 
+  test("streamAudioDedupAdmit: admitted ≡ batch audioDedup keepers; landmark taint is cluster-transitive; exact-envelope arm catches landmark-poor copies; non-WAV passes through") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("graft-saud-").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-saud-ckpt-").toString
+    val M = graft.operators.Multimodal
+
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val data = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(s => data.putShort(s.toShort))
+      M.pcmWavHeader(8000, 1, samples.length * 2L) ++ data.array()
+    }
+    // the MultimodalSpec landmark programme: dense peaks, drifting keys
+    def prog: Seq[Int] = (0 until 512).map { i =>
+      val blk = i / 8
+      val amp = 200 * (1 + (blk * 7) % 23 + 2 * (blk / 23))
+      (if (i % 2 == 0) amp else -amp) + (i % 7)
+    }
+    val a = wav(prog)
+    val a12 = wav(Seq.fill(12)(0) ++ prog)   // 3-hop shift: landmark-votes vs a
+    val a24 = wav(Seq.fill(24)(0) ++ prog)   // 6-hop shift: votes vs a AND a12
+    // landmark-POOR programme (no level peaks): its exact copy can reject
+    // ONLY through the envelope arm — this fixture pins that arm
+    val flat = wav((0 until 512).map(i => if (i % 97 == 0) 20000 else 10))
+    assert(M.audioLandmarks(spark,
+        Seq((9L, flat)).toDF("doc_id", "blob")).count() == 0L,
+      "fixture must be landmark-free or the exact-arm test proves nothing")
+
+    // batch 1 seeds state; batch 2: {a24, a12} form an in-batch cluster
+    // whose members BOTH chain to a in state — whole cluster rejects;
+    // flatCopy is byte-identical to flat (exact arm); 6 is not audio
+    val batch1 = Seq((1L, a), (4L, flat))
+    val batch2 = Seq((2L, a24), (3L, a12), (5L, flat.clone()),
+      (6L, "not audio at all".getBytes("US-ASCII")))
+
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val mem = MemoryStream[(Long, Array[Byte])]
+    def run(): Unit = runToCompletion(Streaming.streamAudioDedupAdmit(
+      mem.toDF().toDF("doc_id", "blob"), path, ckpt) { df =>
+      admitted ++= df.select(col("doc_id")).collect().map(_.getLong(0))
+    })
+    mem.addData(batch1: _*); run()
+    mem.addData(batch2: _*); run()
+
+    // batch reference over the WAV corpus: {1,2,3} component roots at 1,
+    // {4,5} collapse on envelope — keepers {1,4}
+    val all = (batch1 ++ batch2).toDF("doc_id", "blob")
+    val batchVerdicts = graft.operators.Dedup.audioDedup(spark, all).collect()
+    assert(batchVerdicts.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L)),
+      "batch component structure drifted — fixture no longer engineered")
+    val batchKeep = batchVerdicts.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(batchKeep == Set(1L, 4L))
+    // streamed admissions = batch keepers plus the non-audio pass-through
+    assert(admitted.toSet == batchKeep + 6L, s"admitted: $admitted")
+    assert(admitted.size == admitted.toSet.size)
+
+    // commit-crash replay of batch 2: strict-below state reads ⇒ identical
+    val commit1 = java.nio.file.Paths.get(ckpt, "commits", "1")
+    assert(Files.exists(commit1), "expected checkpoint commit marker commits/1")
+    Files.delete(commit1)
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    admitted.clear()
+    run()
+    assert(admitted.toSet == Set(6L), s"replay admissions drifted: $admitted")
+  }
+
   test("streamCurate with state compaction: decisions ≡ batch pipeline, listing bounded, post-compaction replay identical") {
     implicit val sqlCtx = spark.sqlContext
     val path = Files.createTempDirectory("graft-scurate-cp-").toString + "/out"
