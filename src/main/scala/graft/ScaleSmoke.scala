@@ -280,28 +280,65 @@ object ScaleSmoke {
         maxHamming = 5, agreeBands = 3)
         .queryExecution.toRdd.count()
     }
-    stage("audio landmark near") {
-      // pair output stays bounded on this corpus: replicas 0-1 differ from
-      // base only in a trailing " r<n>" (one near-dup partner per base
-      // doc), later replicas are byte-translated so their sample energies
-      // — and hence landmark keys — diverge; the 512-byte budget is the
-      // declared query's slice discipline
+    // Synthetic DIVERSE audio for the landmark stages — the operator's
+    // true domain. Text-wrapped bytes (the oracle device) are adversarial
+    // at this scale: ASCII-derived sample energies collapse to ~10²
+    // distinct (la, lb, dt) keys, Σ|bucket|² goes quadratic, and a 250k-doc
+    // mine measured as effectively unbounded — which is exactly the
+    // saturation regime the keyPeaks dial exists for (see
+    // Multimodal.audioLandmarks). Here: SPARSE hashed spikes over a quiet
+    // floor — the constellation shape real fingerprinting relies on. Every
+    // design choice below was driven by a measured failure mode of a
+    // simpler corpus: (1) a small parameter family repeats programmes —
+    // the documented quadratic-on-identical regime; (2) dense iid
+    // amplitudes concentrate peak levels near the max (energy is max-
+    // dominated) so ~40% of ALL pairs cleared minVotes on coincidental
+    // offset pileups; (3) 512-byte clips concentrate offsets into ~60
+    // buckets — 4096 samples spread them over ±1000; (4) spike magnitudes
+    // are LOG-uniform so quarter-octave levels are uniform, not top-heavy;
+    // (5) the per-(doc, block) hash is a full-avalanche splitmix64 — a
+    // LINEAR g·A + blk·B form gives doc pairs a translation lattice whose
+    // partial alignments voted ~10 per random pair (simulated: splitmix64
+    // drops chance votes to 0 while 3-hop twins vote ≥ 30 of ~44
+    // landmarks). Every odd id is a 12-sample-delayed twin of its even
+    // neighbor: expected matches ≈ N/2, output linear.
+    def syntheticAudio = {
+      import spark.implicits._
       val hdr = graft.operators.Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL)
-      D.audioLandmarkNear(spark,
-        docs.select(col("doc_id"),
-          concat(lit(hdr), col("text").cast("binary")).as("blob")),
-        maxBytes = 512)
+      docs.select(col("doc_id").cast("long")).as[Long].mapPartitions(_.map { id =>
+        val g = id >> 1
+        val delay = if ((id & 1L) == 1L) 12 else 0
+        val n = 4096
+        val bb = java.nio.ByteBuffer.allocate(2 * (n + delay))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < delay) { bb.putShort(0); i += 1 }
+        i = 0
+        while (i < n) {
+          var z = g * 4096L + i / 8 + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          val x = (z ^ (z >>> 31)) >>> 33
+          val amp =
+            if (x % 5 < 2)
+              (512.0 * math.pow(2.0, 4.5 * ((x >>> 8) % 4096L).toDouble / 4096.0)).toInt
+            else 150
+          bb.putShort((if (i % 2 == 0) amp else -amp).toShort)
+          i += 1
+        }
+        (id, hdr ++ bb.array())
+      }).toDF("doc_id", "blob")
+    }
+    stage("audio landmark near k3") {
+      // minVotes scaled to the clip (see the corpus comment above): twins
+      // vote ≥ 30 of ~44 landmarks, chance votes simulated at 0
+      D.audioLandmarkNear(spark, syntheticAudio, keyPeaks = 3, minVotes = 12)
         .queryExecution.toRdd.count()
     }
-    stage("audio dedup (landmarks)") {
+    stage("audio dedup (landmarks k3)") {
       // the LINEAR treatment form: envelope-identical payloads collapse
-      // before the landmark mine (the imageDedup discipline), so exact
-      // replicas never reach the pair join
-      val hdr = graft.operators.Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL)
-      D.audioDedup(spark,
-        docs.select(col("doc_id"),
-          concat(lit(hdr), col("text").cast("binary")).as("blob")),
-        maxBytes = 512)
+      // before the landmark mine (the imageDedup discipline)
+      D.audioDedup(spark, syntheticAudio, keyPeaks = 3, minVotes = 12)
         .queryExecution.toRdd.count()
     }
     stage("span trim") { D.trimSpans(docs).queryExecution.toRdd.count() }

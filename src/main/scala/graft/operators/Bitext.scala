@@ -54,14 +54,45 @@ object Bitext {
     * bounded rows per key. Backward k-NN at partial probe is computed on
     * the probed candidate set (the standard ANN-backed mining
     * approximation); `nProbe = nCells` restores the exact definition. */
-  def minePairs(x: DataFrame, y: DataFrame, k: Int = 4, tau: Double = 1.0,
-                nCells: Int = 8, nProbe: Int = 8): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
+  /** Hubness audit over the forward k-NN graph — the diagnostic that
+    * MOTIVATES the ratio margin: in high dimensions a few "hub" targets
+    * appear in a disproportionate share of sources' neighbor lists
+    * (Radovanović et al. 2010), and raw-cosine mining pairs everything
+    * with the hubs. Reports the top `topN` targets by how many sources
+    * hold them in their k-NN (same candidate generation and ranking
+    * contract as [[minePairs]]'s forward pass — this IS that pass,
+    * re-aggregated by target). Run it before mining: a heavy tail here is
+    * the signal that raw-cosine thresholds would be miscalibrated.
+    *
+    * Scale shape: the k-NN selection is [[minePairs]]'s (cell-blocked
+    * candidates, WindowGroupLimit); the hub count is one tgt-keyed hash
+    * aggregation with map-side partials; top-N is a bounded-heap
+    * TakeOrdered, never a global sort. */
+  def hubness(x: DataFrame, y: DataFrame, k: Int = 4,
+              nCells: Int = 8, nProbe: Int = 8, topN: Int = 20): DataFrame = {
+    val wf = Window.partitionBy(col("src_id")).orderBy(desc("c6"), asc("tgt_id"))
+    val wr = Window.orderBy(desc("hub_count"), asc("tgt_id"))
+    candidates(x, y, nCells, nProbe)
+      .withColumn("rnk", row_number().over(wf))
+      .where(col("rnk") <= k)
+      .groupBy(col("tgt_id"))
+      .agg(count(lit(1)).as("hub_count"))
+      .orderBy(desc("hub_count"), asc("tgt_id")).limit(topN)
+      .withColumn("rnk", row_number().over(wr).cast("bigint"))
+      .select(col("rnk"), col("tgt_id"), col("hub_count"))
+  }
+
+  /** Cell-blocked candidate pairs `(src_id, tgt_id, c6)` shared by
+    * [[minePairs]] and [[hubness]]: centroids = the `nCells` LOWEST-id src
+    * vectors (orderBy+limit, not an id-value filter — a split side's id
+    * space is not dense), src probes its top `nProbe` cells via the fused
+    * [[graft.functions.TopCells]] pass, tgt sits in its argmax cell, and
+    * each surviving pair carries the integer micro-unit cosine. */
+  private def candidates(x: DataFrame, y: DataFrame,
+                         nCells: Int, nProbe: Int): DataFrame = {
     require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
       s"need 1 <= nProbe <= nCells, got nProbe=$nProbe nCells=$nCells")
     import org.apache.spark.sql.graft.Bridge
-    // the nCells LOWEST-id src vectors (orderBy+limit, not an id-value
-    // filter — a split side's id space is not dense)
     val cents: Seq[Seq[Double]] = x.orderBy(col("src_id")).limit(nCells)
       .select(col("src_vec").cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toSeq).toSeq
@@ -78,9 +109,15 @@ object Bitext {
         Bridge.expression(col("tgt_vec").cast("array<double>")), cents)))
       .select(col("tgt_id"), col("tgt_vec").cast("array<double>").as("tv"),
         col("cell"))
-    val pairs = probes.join(cands, Seq("cell"))
+    probes.join(cands, Seq("cell"))
       .select(col("src_id"), col("tgt_id"),
         round(cosine_sim(col("qv"), col("tv")) * 1e6, 0).cast("bigint").as("c6"))
+  }
+
+  def minePairs(x: DataFrame, y: DataFrame, k: Int = 4, tau: Double = 1.0,
+                nCells: Int = 8, nProbe: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = candidates(x, y, nCells, nProbe)
     val wf = Window.partitionBy(col("src_id")).orderBy(desc("c6"), asc("tgt_id"))
     val fwd = pairs.withColumn("rnk", row_number().over(wf))
       .where(col("rnk") <= k)

@@ -1111,22 +1111,24 @@ object Dedup {
                         idCol: String = "doc_id", blobCol: String = "blob",
                         windowSamples: Int = 16, hop: Int = 4,
                         maxBytes: Int = 1 << 20, maxDt: Int = 8,
-                        fanout: Int = 3, minVotes: Int = 5): DataFrame =
+                        fanout: Int = 3, minVotes: Int = 5,
+                        keyPeaks: Int = 2): DataFrame =
     landmarkVotes(Multimodal.audioLandmarks(spark, docs, idCol, blobCol,
-      windowSamples, hop, maxBytes, maxDt, fanout), idCol, minVotes)
+      windowSamples, hop, maxBytes, maxDt, fanout, keyPeaks), idCol, minVotes)
       .orderBy(col("a_id"), col("b_id"))
 
   /** The landmark vote join shared by [[audioLandmarkNear]] and
-    * [[audioDedup]]: self-join on the shift-invariant `(la, lb, dt)` key,
-    * per-offset count, max-vote threshold. Two-level hash aggregation
-    * with map-side partial collapse — no sort. */
+    * [[audioDedup]]: self-join on the shift-invariant full 5-column key
+    * (`lc = dt2 = 0` under pair keys, so the pair semantics are
+    * unchanged), per-offset count, max-vote threshold. Two-level hash
+    * aggregation with map-side partial collapse — no sort. */
   private def landmarkVotes(lm: DataFrame, idCol: String,
                             minVotes: Int): DataFrame = {
-    val a = lm.select(col(idCol).as("a_id"), col("la"), col("lb"), col("dt"),
-      col("ta").as("taa"))
-    val b = lm.select(col(idCol).as("b_id"), col("la"), col("lb"), col("dt"),
-      col("ta").as("tab"))
-    a.join(b, Seq("la", "lb", "dt"))
+    val a = lm.select(col(idCol).as("a_id"), col("la"), col("lb"), col("lc"),
+      col("dt"), col("dt2"), col("ta").as("taa"))
+    val b = lm.select(col(idCol).as("b_id"), col("la"), col("lb"), col("lc"),
+      col("dt"), col("dt2"), col("ta").as("tab"))
+    a.join(b, Seq("la", "lb", "lc", "dt", "dt2"))
       .where(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"), (col("taa") - col("tab")).as("off"))
       .agg(count(lit(1)).as("v"))
@@ -1155,14 +1157,15 @@ object Dedup {
                  idCol: String = "doc_id", blobCol: String = "blob",
                  windowSamples: Int = 16, hop: Int = 4,
                  maxBytes: Int = 1 << 20, maxDt: Int = 8,
-                 fanout: Int = 3, minVotes: Int = 5): DataFrame = {
+                 fanout: Int = 3, minVotes: Int = 5,
+                 keyPeaks: Int = 2): DataFrame = {
     val env = Multimodal.audioEnvelope(spark, docs, idCol, blobCol,
       windowSamples, maxBytes, hop)
     val reps = env.groupBy(col("env")).agg(min(col(idCol)).as("rep"))
     val repDocs = docs.select(col(idCol).cast("long").as(idCol), col(blobCol))
       .join(reps.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
     val pairs = landmarkVotes(Multimodal.audioLandmarks(spark, repDocs,
-        idCol, blobCol, windowSamples, hop, maxBytes, maxDt, fanout),
+        idCol, blobCol, windowSamples, hop, maxBytes, maxDt, fanout, keyPeaks),
       idCol, minVotes)
       .select(col("a_id"), col("b_id"))
     val groups = dedupGroups(reps.select(col("rep").as(idCol)), pairs, idCol)
@@ -1178,7 +1181,7 @@ object Dedup {
     * accumulated-state doc's landmarks on one time offset, OR whose
     * envelope fingerprint appears verbatim in state — the cross-batch arm
     * of [[graft.streaming.Streaming.streamAudioDedupAdmit]]. `stateLm`
-    * needs `(doc_id, la, lb, dt, ta)` landmark rows; `stateEnv` one `env`
+    * needs `(doc_id, la, lb, lc, dt, dt2, ta)` landmark rows; `stateEnv` one `env`
     * string column (distinct envelopes). Both arms are equi-joins on
     * bounded per-doc state — nothing audio-sized. */
   private[graft] def audioMatchesAgainst(lm: DataFrame, env: DataFrame,
@@ -1186,9 +1189,11 @@ object Dedup {
                                          idCol: String = "doc_id",
                                          minVotes: Int = 5): DataFrame = {
     val voteHits = lm
-      .select(col(idCol), col("la"), col("lb"), col("dt"), col("ta").as("taa"))
+      .select(col(idCol), col("la"), col("lb"), col("lc"), col("dt"),
+        col("dt2"), col("ta").as("taa"))
       .join(stateLm.select(col(idCol).as("__sid"), col("la"), col("lb"),
-        col("dt"), col("ta").as("tab")), Seq("la", "lb", "dt"))
+        col("lc"), col("dt"), col("dt2"), col("ta").as("tab")),
+        Seq("la", "lb", "lc", "dt", "dt2"))
       .groupBy(col(idCol), col("__sid"), (col("taa") - col("tab")).as("off"))
       .agg(count(lit(1)).as("v"))
       .where(col("v") >= minVotes)

@@ -315,15 +315,32 @@ object Multimodal {
     * Scale shape: one bounded decode per row (`maxBytes` cap), ≤
     * peaks·fanout ≈ (maxBytes/2/hop)·fanout landmark rows per doc — per-doc
     * state stays signature-sized; nothing audio-length-dependent leaves the
-    * decode pass unbounded. */
+    * decode pass unbounded.
+    *
+    * KEY-SPACE dial (`keyPeaks`): the pair key's space is at most
+    * levels²·maxDt ≈ 161²·8 ≈ 2·10⁵ buckets — and far smaller on
+    * low-dynamic-range audio, where levels concentrate in a narrow band.
+    * The downstream vote join's candidate volume is Σ_keys |bucket|² ≈
+    * L²/keys for L total landmark rows, so at corpus scale the PAIR key
+    * saturates and the join goes quadratic (measured: 250k text-wrapped
+    * docs collapse to ~10² distinct keys). `keyPeaks = 3` emits TRIPLE
+    * landmarks — anchor + an ordered pair of following peaks, key
+    * `(la, lb, lc, dt, dt2)` — multiplying the space by another
+    * levels·maxDt (~10³); rows per doc grow only fanout-choose-2 / fanout.
+    * The same shift-invariance argument applies verbatim: all three peak
+    * times move together under a delay, so levels and both gaps are
+    * unchanged. Schema is keyPeaks-independent (`lc = dt2 = 0` for pairs)
+    * so every consumer joins on the full 5-column key. */
   def audioLandmarks(spark: SparkSession, docs: DataFrame,
                      idCol: String = "doc_id", blobCol: String = "blob",
                      windowSamples: Int = 16, hop: Int = 4,
                      maxBytes: Int = 1 << 20,
-                     maxDt: Int = 8, fanout: Int = 3): DataFrame = {
+                     maxDt: Int = 8, fanout: Int = 3,
+                     keyPeaks: Int = 2): DataFrame = {
     import spark.implicits._
     require(windowSamples >= 1 && hop >= 1, "windowSamples and hop must be >= 1")
     require(maxDt >= 1 && fanout >= 1, "maxDt and fanout must be >= 1")
+    require(keyPeaks == 2 || keyPeaks == 3, s"keyPeaks must be 2 or 3, got $keyPeaks")
     docs.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) =>
@@ -334,15 +351,26 @@ object Multimodal {
           val peaks = (1 until lv.length - 1).iterator
             .filter(i => lv(i) > lv(i - 1) && lv(i) >= lv(i + 1))
             .map(i => (i.toLong, lv(i))).toArray
-          for {
-            i <- peaks.indices.iterator
-            j <- (i + 1) until math.min(i + 1 + fanout, peaks.length)
-            dt = peaks(j)._1 - peaks(i)._1
-            if dt <= maxDt
-          } yield (id, peaks(i)._2, peaks(j)._2, dt, peaks(i)._1)
+          if (keyPeaks == 2)
+            for {
+              i <- peaks.indices.iterator
+              j <- (i + 1) until math.min(i + 1 + fanout, peaks.length)
+              dt = peaks(j)._1 - peaks(i)._1
+              if dt <= maxDt
+            } yield (id, peaks(i)._2, peaks(j)._2, 0L, dt, 0L, peaks(i)._1)
+          else
+            for {
+              i <- peaks.indices.iterator
+              j <- (i + 1) until math.min(i + 1 + fanout, peaks.length)
+              dt = peaks(j)._1 - peaks(i)._1
+              if dt <= maxDt
+              k <- (j + 1) until math.min(i + 1 + fanout, peaks.length)
+              dt2 = peaks(k)._1 - peaks(j)._1
+              if dt2 <= maxDt
+            } yield (id, peaks(i)._2, peaks(j)._2, peaks(k)._2, dt, dt2, peaks(i)._1)
         }
       })
-      .toDF(idCol, "la", "lb", "dt", "ta")
+      .toDF(idCol, "la", "lb", "lc", "dt", "dt2", "ta")
   }
 
   /** 44-byte canonical PCM WAV header (RIFF + fmt + data chunk header),

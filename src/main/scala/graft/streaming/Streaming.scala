@@ -724,7 +724,7 @@ object Streaming {
                             windowSamples: Int = 16, hop: Int = 4,
                             maxBytes: Int = 1 << 20, maxDt: Int = 8,
                             fanout: Int = 3, minVotes: Int = 5,
-                            compactEvery: Int = 16)
+                            compactEvery: Int = 16, keyPeaks: Int = 2)
                            (sink: DataFrame => Unit): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -736,13 +736,15 @@ object Streaming {
           val M = graft.operators.Multimodal
           val lm = M.audioLandmarks(spark, batch,
             windowSamples = windowSamples, hop = hop, maxBytes = maxBytes,
-            maxDt = maxDt, fanout = fanout).localCheckpoint(false)
+            maxDt = maxDt, fanout = fanout, keyPeaks = keyPeaks)
+            .localCheckpoint(false)
           val env = M.audioEnvelope(spark, batch,
             windowSamples = windowSamples, maxBytes = maxBytes, hop = hop)
             .select(col("doc_id"), col("env")).localCheckpoint(false)
           val groups = D.audioDedup(spark, batch,
             windowSamples = windowSamples, hop = hop, maxBytes = maxBytes,
-            maxDt = maxDt, fanout = fanout, minVotes = minVotes)
+            maxDt = maxDt, fanout = fanout, minVotes = minVotes,
+            keyPeaks = keyPeaks)
           // a crash between the two state writes may leave one side a batch
           // ahead — a missing side is EMPTY state, not no-state, so the
           // committed side still taints

@@ -264,7 +264,11 @@ class MultimodalSpec extends SparkSpec {
     // offset covariance pinned directly on the landmark rows: interior
     // keys match with ta(copy) - ta(orig) = 3 everywhere
     val rows = Multimodal.audioLandmarks(spark, docs).collect()
-      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)), r.getLong(4)))
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)),
+        r.getLong(6)))
+    // pair keys carry lc = dt2 = 0 (the schema-stable contract)
+    assert(rows.forall(r => r._2._3 == 0L && r._2._5 == 0L))
     val byKey1 = rows.filter(_._1 == 1L).groupBy(_._2)
     val byKey2 = rows.filter(_._1 == 2L).groupBy(_._2)
     val offsets = for {
@@ -274,6 +278,14 @@ class MultimodalSpec extends SparkSpec {
     assert(offsets.nonEmpty && offsets.count(_ == 3L) >= offsets.length - 1)
     // non-WAV blob contributes no landmarks
     assert(!rows.exists(_._1 == 4L))
+    // TRIPLE keys (the key-space dial): same shift-invariance — the
+    // shifted twin still pairs decisively, and every emitted key uses all
+    // three levels with both gaps bounded
+    val lm3 = Multimodal.audioLandmarks(spark, docs, keyPeaks = 3).collect()
+    assert(lm3.nonEmpty && lm3.forall(r => r.getLong(4) >= 1 && r.getLong(5) >= 1))
+    val near3 = Dedup.audioLandmarkNear(spark, docs, keyPeaks = 3).collect()
+    assert(near3.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(near3.head.getLong(2) >= 5L)
   }
 
   test("envelopeLevels: duplicated thresholds count ALL equal entries (ss in {2,3,4})") {
