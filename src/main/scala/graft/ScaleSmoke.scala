@@ -267,6 +267,19 @@ object ScaleSmoke {
         k = 4, tau = 1.0, nCells = nc, nProbe = 4)
         .queryExecution.toRdd.count()
     }
+    stage(s"bitext mine2 f$nc") {
+      // the hierarchical rung: same fine-cell count, coarse layer ~√nc —
+      // the only literal shrinks from nc×dim (~4 MB at this dial, 11 MB
+      // task binaries) to √nc×dim (~50 KB)
+      val ncoarse = math.max(2, math.sqrt(nc.toDouble).toInt)
+      graft.operators.Bitext.minePairs2(
+        e.where(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("src_id"), col("embedding").as("src_vec")),
+        e.where(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("tgt_id"), col("embedding").as("tgt_vec")),
+        k = 4, tau = 1.0, nFine = nc, nCoarse = ncoarse, wCoarse = 5, nProbe = 4)
+        .queryExecution.toRdd.count()
+    }
     stage("span dedup") { D.spanDedup(docs).queryExecution.toRdd.count() }
     stage("image dedup (phash)") {
       // the LINEAR treatment form at its at-scale settings: exact grids

@@ -252,6 +252,21 @@ object SparkEntry {
           .select(col("vec_id").as("tgt_id"), col("embedding").as("tgt_vec")),
         k = 4, tau = 1.0, nCells = 8, nProbe = 8)
     }),
+    "bitext_mine2" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      // the two-level candidate generator at FULL-OPEN settings
+      // (wCoarse = nCoarse, nProbe = nFine): candidates are exact, so this
+      // must reproduce bitext_mine's answer bit-for-bit through an
+      // entirely different candidate plan (ccell/fcell equi-joins, coarse
+      // literal only)
+      val e = Tables.embeddings(s, dir)
+      Bitext.minePairs2(
+        e.where(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("src_id"), col("embedding").as("src_vec")),
+        e.where(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("tgt_id"), col("embedding").as("tgt_vec")),
+        k = 4, tau = 1.0, nFine = 8, nCoarse = 3, wCoarse = 3, nProbe = 8)
+    }),
     "bitext_hubness" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       // the diagnostic that motivates the margin: top hub targets by
@@ -501,6 +516,33 @@ object SparkEntry {
   // mirrors graft.functions.CosineSimilarity (same sequential accumulation
   // order, so the doubles are bit-identical before rounding).
   // ---------------------------------------------------------------------
+  private def bitextMineSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |xs AS (SELECT vec_id AS src_id, v FROM e WHERE vec_id % 2 = 0),
+       |ys AS (SELECT vec_id AS tgt_id, v FROM e WHERE vec_id % 2 = 1),
+       |p AS (SELECT src_id, tgt_id,
+       |        CAST(round((${cosRawSql("x.v", "y.v")}) * 1e6, 0) AS BIGINT) AS c6
+       |      FROM xs x, ys y),
+       |fwd AS (SELECT src_id, sum(c6) AS sx, count(*) AS kx FROM (
+       |    SELECT src_id, c6,
+       |      row_number() OVER (PARTITION BY src_id ORDER BY c6 DESC, tgt_id ASC) AS r
+       |    FROM p) t WHERE r <= 4 GROUP BY src_id),
+       |bwd AS (SELECT tgt_id, sum(c6) AS sy, count(*) AS ky FROM (
+       |    SELECT tgt_id, c6,
+       |      row_number() OVER (PARTITION BY tgt_id ORDER BY c6 DESC, src_id ASC) AS r
+       |    FROM p) t WHERE r <= 4 GROUP BY tgt_id),
+       |m AS (SELECT p.src_id, p.tgt_id,
+       |        round(2.0 * c6 * kx * ky / (sx * ky + sy * kx), 6) AS margin
+       |      FROM p JOIN fwd USING (src_id) JOIN bwd USING (tgt_id)
+       |      WHERE sx * ky + sy * kx > 0),
+       |r AS (SELECT src_id, tgt_id, margin,
+       |        row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC) AS rs,
+       |        row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id ASC) AS rt
+       |      FROM m)
+       |SELECT src_id, tgt_id, margin FROM r
+       |WHERE rs = 1 AND rt = 1 AND margin >= 1.0
+       |ORDER BY src_id""".stripMargin
+
   private def cosRawSql(v: String, qv: String): String =
     s"""CASE WHEN list_sum(list_transform($v, x -> x*x)) = 0
        |      OR list_sum(list_transform($qv, x -> x*x)) = 0 THEN 0.0
@@ -3594,32 +3636,11 @@ object SparkEntry {
     // pairs): integer micro-unit cosines so the k-NN means are exact
     // integer sums; margin = one IEEE division over integer operands,
     // 6-dp rounded; mutual argmax with (margin desc, id asc) ties
-    "bitext_mine" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |xs AS (SELECT vec_id AS src_id, v FROM e WHERE vec_id % 2 = 0),
-         |ys AS (SELECT vec_id AS tgt_id, v FROM e WHERE vec_id % 2 = 1),
-         |p AS (SELECT src_id, tgt_id,
-         |        CAST(round((${cosRawSql("x.v", "y.v")}) * 1e6, 0) AS BIGINT) AS c6
-         |      FROM xs x, ys y),
-         |fwd AS (SELECT src_id, sum(c6) AS sx, count(*) AS kx FROM (
-         |    SELECT src_id, c6,
-         |      row_number() OVER (PARTITION BY src_id ORDER BY c6 DESC, tgt_id ASC) AS r
-         |    FROM p) t WHERE r <= 4 GROUP BY src_id),
-         |bwd AS (SELECT tgt_id, sum(c6) AS sy, count(*) AS ky FROM (
-         |    SELECT tgt_id, c6,
-         |      row_number() OVER (PARTITION BY tgt_id ORDER BY c6 DESC, src_id ASC) AS r
-         |    FROM p) t WHERE r <= 4 GROUP BY tgt_id),
-         |m AS (SELECT p.src_id, p.tgt_id,
-         |        round(2.0 * c6 * kx * ky / (sx * ky + sy * kx), 6) AS margin
-         |      FROM p JOIN fwd USING (src_id) JOIN bwd USING (tgt_id)
-         |      WHERE sx * ky + sy * kx > 0),
-         |r AS (SELECT src_id, tgt_id, margin,
-         |        row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC) AS rs,
-         |        row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id ASC) AS rt
-         |      FROM m)
-         |SELECT src_id, tgt_id, margin FROM r
-         |WHERE rs = 1 AND rt = 1 AND margin >= 1.0
-         |ORDER BY src_id""".stripMargin,
+    "bitext_mine" -> bitextMineSql,
+    // the two-level candidate generator at FULL-OPEN settings is exact —
+    // same brute-force margin oracle verbatim (the dedup_image_auto
+    // shared-oracle device)
+    "bitext_mine2" -> bitextMineSql,
 
     // the forward-kNN pass of bitext_mine re-aggregated by target: hub
     // count = how many sources hold the target in their k-NN

@@ -114,10 +114,90 @@ object Bitext {
         round(cosine_sim(col("qv"), col("tv")) * 1e6, 0).cast("bigint").as("c6"))
   }
 
+  /** Two-level candidate pairs — the hierarchical rung above
+    * [[candidates]], exactly [[graft.operators.Centrality.annEdges2]]'s
+    * shape for the two-set case: only the COARSE layer (`nCoarse` lowest-id
+    * src vectors) is ever a plan literal or driver state; the FINE layer
+    * (`nFine` lowest-id src vectors, parented to their coarse argmax) is a
+    * TABLE reached by `ccell`/`fcell` equi-joins. Src probes `wCoarse`
+    * coarse cells then its top `nProbe` fine cells within them; tgt takes
+    * its coarse argmax then the fine argmax inside it (`max_by` hash
+    * aggregation — partial map-side collapse, no sort). Full-open
+    * (`wCoarse = nCoarse`, `nProbe = nFine`) is EXACT — candidates = all
+    * pairs — so the brute-force oracle carries over; partial settings are
+    * the standard hierarchical-IVF recall dial with the coarse-boundary
+    * caveat stated at [[Ann.assignCells2]]. The `fcell` id is a
+    * row_number over the `nFine`-row fine base — the only single-partition
+    * window, bounded by construction. */
+  private def candidates2(x: DataFrame, y: DataFrame, nFine: Int, nCoarse: Int,
+                          wCoarse: Int, nProbe: Int): DataFrame = {
+    require(nCoarse >= 1 && wCoarse >= 1 && wCoarse <= nCoarse,
+      s"need 1 <= wCoarse <= nCoarse, got wCoarse=$wCoarse nCoarse=$nCoarse")
+    require(nFine >= nCoarse && nProbe >= 1 && nProbe <= nFine,
+      s"need nCoarse <= nFine and 1 <= nProbe <= nFine")
+    import org.apache.spark.sql.graft.Bridge
+    val coarse: Seq[Seq[Double]] = x.orderBy(col("src_id")).limit(nCoarse)
+      .select(col("src_vec").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    require(coarse.nonEmpty, "cannot seed coarse centroids from an empty src side")
+    val par = x.sparkSession.sparkContext.defaultParallelism
+    val fineTab = x.orderBy(col("src_id")).limit(nFine)
+      .select(col("src_id"), col("src_vec").cast("array<double>").as("fv"))
+      .withColumn("ccell", Bridge.column(graft.functions.NearestCentroid(
+        Bridge.expression(col("fv")), coarse)))
+      .withColumn("fcell",
+        row_number().over(Window.orderBy(col("src_id"))).cast("long"))
+      .select(col("fcell"), col("ccell"), col("fv"))
+    val wf = Window.partitionBy(col("src_id")).orderBy(desc("fs"), asc("fcell"))
+    val probes = x.repartition(par, col("src_id"))
+      .select(col("src_id"), col("src_vec").cast("array<double>").as("qv"),
+        explode(Bridge.column(graft.functions.TopCells(
+          Bridge.expression(col("src_vec").cast("array<double>")), coarse,
+          math.min(wCoarse, coarse.length)))).as("ccell"))
+      .join(fineTab, Seq("ccell"))
+      .withColumn("fs", round(cosine_sim(col("qv"), col("fv")), 6))
+      .withColumn("frnk", row_number().over(wf))
+      .where(col("frnk") <= nProbe)
+      .select(col("src_id"), col("qv"), col("fcell"))
+    val cands = y.repartition(par, col("tgt_id"))
+      .select(col("tgt_id"), col("tgt_vec").cast("array<double>").as("tv"))
+      .withColumn("ccell", Bridge.column(graft.functions.NearestCentroid(
+        Bridge.expression(col("tv")), coarse)))
+      .join(fineTab, Seq("ccell"))
+      .select(col("tgt_id"), col("tv"), col("fcell"),
+        round(cosine_sim(col("tv"), col("fv")), 6).as("fs"))
+      .groupBy(col("tgt_id"))
+      .agg(max_by(struct(col("tv"), col("fcell")),
+        struct(col("fs"), (-col("fcell")).as("nf"))).as("m"))
+      .select(col("tgt_id"), col("m.tv").as("tv"), col("m.fcell").as("fcell"))
+    probes.join(cands, Seq("fcell"))
+      .select(col("src_id"), col("tgt_id"),
+        round(cosine_sim(col("qv"), col("tv")) * 1e6, 0).cast("bigint").as("c6"))
+  }
+
+  /** [[minePairs]] over [[candidates2]] — ratio-margin mining with
+    * NO corpus-scale plan literal: driver state is nCoarse ≈ N^¼ rows.
+    * Full-open settings reproduce [[minePairs]]'s exact answer (and share
+    * its brute-force oracle); partial settings are the hierarchical
+    * recall/cost dial. */
+  def minePairs2(x: DataFrame, y: DataFrame, k: Int = 4, tau: Double = 1.0,
+                 nFine: Int = 8, nCoarse: Int = 2, wCoarse: Int = 2,
+                 nProbe: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    mineFromCandidates(candidates2(x, y, nFine, nCoarse, wCoarse, nProbe), k, tau)
+  }
+
   def minePairs(x: DataFrame, y: DataFrame, k: Int = 4, tau: Double = 1.0,
                 nCells: Int = 8, nProbe: Int = 8): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val pairs = candidates(x, y, nCells, nProbe)
+    mineFromCandidates(candidates(x, y, nCells, nProbe), k, tau)
+  }
+
+  /** The margin/mutual-argmax tail shared by [[minePairs]] and
+    * [[minePairs2]] — everything downstream of candidate generation. */
+  private def mineFromCandidates(pairs0: DataFrame, k: Int,
+                                 tau: Double): DataFrame = {
+    val pairs = pairs0
     val wf = Window.partitionBy(col("src_id")).orderBy(desc("c6"), asc("tgt_id"))
     val fwd = pairs.withColumn("rnk", row_number().over(wf))
       .where(col("rnk") <= k)

@@ -491,4 +491,21 @@ class PlanShapeSpec extends SparkSpec {
       .findFirstIn(p).isDefined, s"candidates not keyed on the probe cell:\n$p")
     assert(p.contains("WindowGroupLimit"), s"no partial rank limit:\n$p")
   }
+
+  test("bitext minePairs2: ccell+fcell equi-joins, no corpus-sized broadcast or cartesian") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, dir)
+    val p = plan(graft.operators.Bitext.minePairs2(
+      e.where(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("src_id"), col("embedding").as("src_vec")),
+      e.where(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("tgt_id"), col("embedding").as("tgt_vec")),
+      k = 4, tau = 1.0, nFine = 8, nCoarse = 3, wCoarse = 2, nProbe = 4))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop") &&
+      !p.contains("IdentityBroadcastMode"), s"corpus-sized broadcast:\n$p")
+    assert("""(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[ccell#\d+""".r
+      .findFirstIn(p).isDefined, s"fine layer not equi-joined on the coarse cell:\n$p")
+    assert("""(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[fcell#\d+""".r
+      .findFirstIn(p).isDefined, s"candidates not keyed on the fine cell:\n$p")
+  }
 }

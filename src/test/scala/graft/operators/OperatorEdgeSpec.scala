@@ -1094,5 +1094,12 @@ class OperatorEdgeSpec extends SparkSpec {
       .filter { case (s, t) => bestPerSrc(s) == t && bestPerTgt(t) == s && mm((s, t)) >= 1.0 }
       .map { case (s, t) => (s, t, mm((s, t))) }.toSet
     assert(mined.toSet == brute, s"operator ${mined.toSeq} vs brute $brute")
+
+    // the two-level generator at FULL-OPEN settings must reproduce the
+    // flat answer exactly through a different candidate plan
+    val mined2 = Bitext.minePairs2(x, y, k = 4, tau = 1.0,
+        nFine = 6, nCoarse = 2, wCoarse = 2, nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mined2 == mined.toSet, s"two-level $mined2 vs flat ${mined.toSet}")
   }
 }
