@@ -586,6 +586,81 @@ class StreamingSpec extends SparkSpec {
     assert(s2again == s2, "same arrival order, different admissions")
   }
 
+  test("streamAudioDedupAdmit under UNORDERED arrival: first-arrival-wins pinned on a spliced-content chain") {
+    implicit val sqlCtx = spark.sqlContext
+    val M = graft.operators.Multimodal
+    // a pure-delay chain is a CLIQUE (the landmark key join is
+    // shift-invariant at any offset), so the image gate's bridge topology
+    // needs CONTENT structure here: Y splices X's programme before Z's —
+    // X↔Y vote on the shared prefix, Y↔Z on the shared suffix, X↔Z share
+    // nothing. Programmes are the ScaleSmoke sparse-spike constellation
+    // (splitmix64-hashed — cross-programme chance votes are zero).
+    def spk(g: Long): Seq[Int] = (0 until 1024).map { i =>
+      var z = g * 4096L + i / 8 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      val x = (z ^ (z >>> 31)) >>> 33
+      val amp =
+        if (x % 5 < 2)
+          (512.0 * math.pow(2.0, 4.5 * ((x >>> 8) % 4096L).toDouble / 4096.0)).toInt
+        else 150
+      if (i % 2 == 0) amp else -amp
+    }
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val data = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(s => data.putShort(s.toShort))
+      M.pcmWavHeader(8000, 1, samples.length * 2L) ++ data.array()
+    }
+    val xBlob = wav(spk(1))
+    val yBlob = wav(spk(1) ++ spk(2))
+    val zBlob = wav(spk(2))
+    // fixture sanity: the chain is X—Y—Z with NO X—Z edge
+    val pairs = graft.operators.Dedup.audioLandmarkNear(spark,
+        Seq((1L, xBlob), (2L, yBlob), (3L, zBlob)).toDF("doc_id", "blob"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)), s"chain fixture drifted: $pairs")
+
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    def runStream(batches: Seq[Seq[(Long, Array[Byte])]]): Seq[Long] = {
+      val path = Files.createTempDirectory("graft-saud-uo-").toString + "/out"
+      val ckpt = Files.createTempDirectory("graft-saud-uo-ckpt-").toString
+      val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+      val mem = MemoryStream[(Long, Array[Byte])]
+      def run(): Unit = runToCompletion(Streaming.streamAudioDedupAdmit(
+        mem.toDF().toDF("doc_id", "blob"), path, ckpt) { df =>
+        admitted ++= df.select(col("doc_id")).collect().map(_.getLong(0))
+      })
+      batches.foreach { bt => mem.addData(bt: _*); run() }
+      admitted.toSeq
+    }
+    // tail-first: Z (id 3) seeds state; {X, Y} arrive — Y chains to Z, so
+    // the in-batch cluster {X, Y} rejects wholesale: the id-ordered keeper
+    // X (which batch mode admits) loses to first arrival
+    val s1 = runStream(Seq(Seq(3L -> zBlob), Seq(1L -> xBlob, 2L -> yBlob)))
+    assert(s1.toSet == Set(3L), s"tail-first arrival: $s1")
+    // split-ends: X and Z (no edge) both admit; the late bridge Y rejects
+    // via both — one component keeps TWO docs, exactly the documented
+    // first-arrival-wins degradation
+    val s2 = runStream(Seq(Seq(1L -> xBlob, 3L -> zBlob), Seq(2L -> yBlob)))
+    assert(s2.toSet == Set(1L, 3L), s"split-ends arrival: $s2")
+    // surviving invariants on both orders: ≥1 admitted member per
+    // component, and no two admitted docs are direct landmark matches
+    for (adm <- Seq(s1, s2)) {
+      assert(adm.nonEmpty, "component lost every member")
+      for (x <- adm; y <- adm if x < y)
+        assert(!pairs.contains((x, y)), s"admitted pair ($x, $y) is a direct match")
+    }
+    // same arrival order ⇒ same admissions
+    assert(runStream(Seq(Seq(1L -> xBlob, 3L -> zBlob), Seq(2L -> yBlob))) == s2,
+      "same arrival order, different admissions")
+  }
+
   test("streamIngestDeduped: crash between parquet append and checkpoint commit — replay admits nothing") {
     implicit val sqlCtx = spark.sqlContext
     val db = GraftDatabase.make(spark, Files.createTempDirectory("graft-crash-").toString)
