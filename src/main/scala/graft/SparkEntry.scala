@@ -79,6 +79,8 @@ object SparkEntry {
     "curate_approx" -> ((s, dir) => Curate.pipeline(Tables.documents(s, dir), approxNear = true)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashNear(Tables.embeddings(s, dir))),
     "dedup_semantic" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir))),
+    "dedup_semantic_split" -> ((s, dir) =>
+      Dedup.semanticDedupSplit(Tables.embeddings(s, dir), maxCell = 32)),
     "dedup_spans" -> ((s, dir) => Dedup.spanDedup(Tables.documents(s, dir))),
     "dedup_ngram"   -> ((s, dir) => Dedup.ngramNear(Tables.documents(s, dir))),
     "dedup_resolve" -> ((s, dir) => Dedup.resolveKeepers(Tables.documents(s, dir),
@@ -414,6 +416,22 @@ object SparkEntry {
           .unionByName(base.select((col("doc_id") + lit(100000L)).as("doc_id"),
             concat(lit(header), lit(zeros), col("text").cast("binary")).as("blob"))),
         maxBytes = 512)
+    }),
+    "audio_key_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
+      // the keyPeaks decision rule measured on the audio_shift_near corpus:
+      // audit the pair-form landmark key distribution BEFORE mining
+      val header = Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL)
+      val zeros = Array.fill[Byte](24)(0)
+      val base = Tables.documents(s, dir)
+        .where(octet_length(col("text")) === length(col("text")) &&
+          graft.operators.Sampling.hashBucket(col("doc_id")) < 20)
+      Dedup.landmarkKeyAudit(Multimodal.audioLandmarks(s,
+        base.select(col("doc_id"),
+            concat(lit(header), col("text").cast("binary")).as("blob"))
+          .unionByName(base.select((col("doc_id") + lit(100000L)).as("doc_id"),
+            concat(lit(header), lit(zeros), col("text").cast("binary")).as("blob"))),
+        maxBytes = 512))
     }),
     "audio_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
@@ -924,7 +942,10 @@ object SparkEntry {
     * and the (la, lb, dt)-key join with per-offset voting — one
     * mis-derived window boundary or peak rule and every vote count
     * shifts. Ends at `vt(a_id, b_id, off, v)`. */
-  private def audioLandmarkVoteCtes(src: String): String =
+  /** The landmark ROWS alone (peaks → anchor-pair rows), ending at
+    * `lmr(id, la, lb, dt, ta)` — shared by the vote chain and the
+    * key-saturation audit. */
+  private def audioLandmarkRowCtes(src: String): String =
     s"""pk AS (SELECT id, list_filter(
        |    list_transform(range(1, len(L) - 1), t -> {'t': t, 'l': L[t+1]}),
        |    p -> p.l > L[p.t] AND p.l >= L[p.t+2]) AS pk FROM $src),
@@ -935,7 +956,10 @@ object SparkEntry {
        |       'ta': pk[CAST(i+1 AS BIGINT)].t}),
        |      x -> x.dt <= 8))) AS lms FROM pk),
        |lmr AS (SELECT id, u.la AS la, u.lb AS lb, u.dt AS dt, u.ta AS ta
-       |        FROM (SELECT id, unnest(lms) AS u FROM lm) q),
+       |        FROM (SELECT id, unnest(lms) AS u FROM lm) q)""".stripMargin
+
+  private def audioLandmarkVoteCtes(src: String): String =
+    s"""${audioLandmarkRowCtes(src)},
        |vt AS (SELECT a.id AS a_id, b.id AS b_id, a.ta - b.ta AS off, count(*) AS v
        |       FROM lmr a JOIN lmr b
        |         ON a.la = b.la AND a.lb = b.lb AND a.dt = b.dt AND a.id < b.id
@@ -1684,6 +1708,36 @@ object SparkEntry {
          |SELECT s.vec_id, s.cell, (d.dup_of IS NULL) AS keep, d.dup_of
          |FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
          |ORDER BY s.vec_id""".stripMargin,
+
+    // hot-cell split SemDeDup: same assignment as dedup_semantic, cells
+    // with population > 32 pair only within an 8-bit SimHash sub-bucket
+    // (planes re-derived from the md5 sign convention, as dedup_simhash)
+    "dedup_semantic_split" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT list(v ORDER BY vec_id) AS cl FROM e WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, v, CAST(list_position(sc, list_max(sc)) AS BIGINT) AS cell FROM (
+         |    SELECT e.vec_id, e.v,
+         |           list_transform(range(1, 17), ci -> ${cosRawSql("cl[ci]", "e.v")}) AS sc
+         |    FROM e, cents) t),
+         |sizes AS (SELECT cell, count(*) AS cn FROM assigned GROUP BY cell),
+         |keyed AS (
+         |  SELECT a.vec_id, a.v, a.cell, s.cn > 32 AS split,
+         |    CASE WHEN s.cn > 32 THEN array_to_string(list_transform(range(0, 8), p ->
+         |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+         |        a.v[i+1] * (CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
+         |                         BETWEEN '0' AND '7' THEN 1 ELSE -1 END)
+         |      )) >= 0 THEN '1' ELSE '0' END), '') ELSE '' END AS sub
+         |  FROM assigned a JOIN sizes s ON a.cell = s.cell),
+         |dups AS (
+         |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+         |  FROM keyed a JOIN keyed b
+         |    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v")} >= 0.4
+         |  GROUP BY b.vec_id)
+         |SELECT k.vec_id, k.cell, k.split, (d.dup_of IS NULL) AS keep, d.dup_of
+         |FROM keyed k LEFT JOIN dups d ON k.vec_id = d.vec_id
+         |ORDER BY k.vec_id""".stripMargin,
 
     // span-level duplication: distinct 5-word shingles (the minhash
     // shingling convention), df over the corpus, per-doc duplicated share
@@ -3047,6 +3101,21 @@ object SparkEntry {
          |SELECT a_id, b_id, CAST(max(v) AS BIGINT) AS votes
          |FROM vt GROUP BY a_id, b_id HAVING max(v) >= 5
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // the key-saturation audit over the same landmark rows: bucket sizes
+    // by the (la, lb, dt) pair key (lc = dt2 = 0 under pairs, so the
+    // 3-column grouping is the operator's 5-column one), Σ|bucket|² is the
+    // vote join's pre-cut row count exactly
+    "audio_key_audit" ->
+      s"""$audioShiftLvCtes,
+         |${audioLandmarkRowCtes("lv")},
+         |b AS (SELECT la, lb, dt, count(*) AS bn FROM lmr GROUP BY 1, 2, 3)
+         |SELECT CAST(sum(bn) AS BIGINT) AS n_landmarks,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(max(bn) AS BIGINT) AS max_bucket,
+         |  round(sum(bn)::DOUBLE / count(*), 6) AS mean_bucket,
+         |  CAST(sum(bn * bn) AS BIGINT) AS est_candidates
+         |FROM b""".stripMargin,
 
     // the treatment form's oracle: same corpus and landmark chain, but the
     // mine runs among ENVELOPE-distinct representatives (rep = min id per

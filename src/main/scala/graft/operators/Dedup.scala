@@ -858,7 +858,8 @@ object Dedup {
     * convergence detector per round (the labels stay distributed);
     * `maxIters` is the runaway bound. */
   def dedupGroups(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
-                  maxIters: Int = 20): DataFrame = {
+                  maxIters: Int = 20,
+                  checkpointDir: Option[String] = None): DataFrame = {
     // localCheckpoint (lineage-TRUNCATING), not cache: the loop references
     // `edges` every round and `labels` twice per round, so a cached-but-
     // uncut logical plan DOUBLES per round and Catalyst's per-action
@@ -876,19 +877,25 @@ object Dedup {
     // pair-mine, while the alternative (uncut lineage) is the measured
     // exponential-analysis wall above — a guaranteed failure mode vs a
     // rare one. For very long component chains on preemptible clusters,
-    // reliable `checkpoint()` against the cluster FS (or persisting
-    // `labels` to a table per round) restores recoverability at the cost
-    // of one FS round-trip per iteration.
+    // pass `checkpointDir`: rounds then cut lineage via RELIABLE
+    // `checkpoint()` against that (cluster) FS — executor loss replays
+    // from the last completed round instead of failing the job — at the
+    // cost of one FS round-trip per iteration. Labels are identical
+    // either way (the cut is a materialization boundary, not a semantic
+    // one); DedupSpec pins that equivalence.
+    val sc = docs.sparkSession.sparkContext
+    checkpointDir.foreach { d => if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d) }
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+
     val p = pairs.select(col("a_id"), col("b_id"))
-    val edges = p.union(p.select(col("b_id"), col("a_id"))).toDF("src", "dst")
-      .localCheckpoint(true)
+    val edges = cut(p.union(p.select(col("b_id"), col("a_id"))).toDF("src", "dst"))
 
     // Only nodes that appear in some pair can change labels; singletons
     // join back at the end. Keeps the loop's working set at pair-graph
     // size, not corpus size.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("root"))
-      .localCheckpoint(true)
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("root")))
     // Convergence detector: roots only ever DECREASE under min-propagation,
     // so the label sum is strictly decreasing until the fixpoint — one
     // cheap aggregate per round instead of a change-detection join.
@@ -901,9 +908,8 @@ object Dedup {
     while (!converged && iters < maxIters) {
       val viaNeighbors = labels.join(edges, labels("id") === edges("src"))
         .select(col("dst").as("id"), col("root"))
-      val next = labels.union(viaNeighbors)
-        .groupBy(col("id")).agg(min(col("root")).as("root"))
-        .localCheckpoint(true)
+      val next = cut(labels.union(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("root")).as("root")))
       val s = labelSum(next)
       labels = next
       converged = s == prevSum
@@ -1137,6 +1143,30 @@ object Dedup {
       .where(col("votes") >= minVotes)
   }
 
+  /** Landmark KEY-SPACE saturation audit — the measured decision rule for
+    * [[audioLandmarkNear]]'s `keyPeaks` dial, as an operator instead of a
+    * PLANS.md table. Over a landmark table ([[graft.operators.Multimodal
+    * .audioLandmarks]] output) it reports, in one bounded row:
+    * `n_landmarks` (rows L), `n_keys` (distinct join keys D),
+    * `max_bucket`, `mean_bucket` = L/D, and `est_candidates` =
+    * Σ_keys |bucket|² — the EXACT row count of [[landmarkVotes]]' key
+    * self-join before the `a_id < b_id` cut (ordered pairs, self included),
+    * i.e. the quantity that blew up the measured saturation regime
+    * (250k text-wrapped docs → ~10² distinct keys → a >12-min mine).
+    * Run the audit on the cheap pair-form landmarks first; if
+    * `est_candidates` is quadratic-ish in L (mean_bucket ≫ fanout), the
+    * key space is saturated for this corpus — re-extract with
+    * `keyPeaks = 3` before mining. One hash aggregation over
+    * signature-sized rows; nothing audio-sized. */
+  def landmarkKeyAudit(lm: DataFrame): DataFrame =
+    lm.groupBy(col("la"), col("lb"), col("lc"), col("dt"), col("dt2"))
+      .agg(count(lit(1)).as("bn"))
+      .agg(sum(col("bn")).as("n_landmarks"),
+        count(lit(1)).as("n_keys"),
+        max(col("bn")).as("max_bucket"),
+        round(sum(col("bn")).cast("double") / count(lit(1)), 6).as("mean_bucket"),
+        sum(col("bn") * col("bn")).as("est_candidates"))
+
   /** [[audioLandmarkNear]]'s TREATMENT form with LINEAR output — the
     * [[imageDedup]] discipline for the audio modality: docs with
     * byte-identical (envelope-identical) payloads collapse to one
@@ -1286,7 +1316,7 @@ object Dedup {
     * Pair work is Σ|cell|², so at 100 TB nCells grows with the corpus to
     * hold the target cluster size (the paper runs ~100k clusters for
     * 100M+ points); an oversized hot cell is re-split by a SimHash band
-    * key before pairing — the same dial [[simhashNear]] already measures.
+    * key before pairing — [[semanticDedupSplit]] is that form.
     * Output is one row per input vector: (vec_id, cell, keep, dup_of). */
   def semanticDedup(e: DataFrame, nCells: Int = 16, tau: Double = 0.4): DataFrame = {
     val cents: Seq[Seq[Double]] = e.where(col("vec_id") < nCells)
@@ -1304,6 +1334,62 @@ object Dedup {
       .join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("dup_of").isNull.as("keep"),
         col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** [[semanticDedup]] with the HOT-CELL RE-SPLIT the Σ|cell|² scale note
+    * promises, as code instead of prose: cells whose population exceeds
+    * `maxCell` get a `subBits`-bit SimHash band key appended to the pair
+    * key, so pairing inside a hot cell runs per (cell, simhash-band
+    * bucket) and its pair work drops from |cell|² to Σ_sub |sub|² — the
+    * exact [[simhashNear]] bucket discipline applied inside the cell.
+    * Cool cells keep the empty sub-key and are compared exactly, so the
+    * split form degrades only where the exact form is the thing that
+    * doesn't scale.
+    *
+    * Declared (approximate) semantics, mirrored by the oracle: a vector
+    * is a duplicate iff some lower-id vector in its cell — AND, in a hot
+    * cell, in its SimHash sub-bucket — has cosine ≥ `tau`. The price is
+    * the standard LSH miss: a near-pair straddling a sub-bucket boundary
+    * of a hot cell is not compared (P[all subBits sign bits agree] ≈
+    * (1 − θ/π)^subBits). Identical and near-identical vectors share the
+    * band key, so the SemDeDup prune target — tight semantic copies —
+    * survives the split by construction.
+    *
+    * Scale shape: the cell-size table is ≤ nCells rows (broadcast); the
+    * sub-key is one fused SimHashBits projection; the self-join is
+    * co-partitioned on (cell, sub). `maxCell` is the Σ|cell|² dial the
+    * operator now owns instead of documenting: at the paper's ~corpus/1000
+    * cluster granularity, maxCell a small multiple of the target cluster
+    * size bounds every bucket regardless of how skewed the assignment is.
+    * Output adds a `split` audit column: (vec_id, cell, split, keep,
+    * dup_of). */
+  def semanticDedupSplit(e: DataFrame, nCells: Int = 16, tau: Double = 0.4,
+                         maxCell: Long = 32, subBits: Int = 8,
+                         dim: Int = 64): DataFrame = {
+    val cents: Seq[Seq[Double]] = e.where(col("vec_id") < nCells)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val assigned = Ann.assignCells(e, cents)
+      .select(col("vec_id"), col("embedding"), col("cell").cast("bigint").as("cell"))
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__cn"))
+    val keyed = assigned.join(broadcast(sizes), Seq("cell"))
+      .withColumn("split", col("__cn") > maxCell)
+      .withColumn("sub", when(col("split"),
+          concat_ws("", LshFunctions.simhash_bits(col("embedding"), subBits, dim)))
+        .otherwise(lit("")))
+      .select(col("vec_id"), col("embedding"), col("cell"), col("split"), col("sub"))
+    val dups = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.cell") === col("b.cell") && col("a.sub") === col("b.sub") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .where(round(cosine_sim(col("a.embedding"), col("b.embedding")), 6) >= tau)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("dup_of"))
+    keyed.select(col("vec_id"), col("cell"), col("split"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("split"),
+        col("dup_of").isNull.as("keep"), col("dup_of"))
       .orderBy(col("vec_id"))
   }
 }

@@ -162,6 +162,92 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("landmarkKeyAudit: est_candidates is the key self-join's pre-cut row count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 3 docs, two keys: key (5,7,2) holds 3 rows, key (4,7,1) holds 2
+    val lm = Seq(
+      (1L, 5, 7, 0, 2, 0, 10), (2L, 5, 7, 0, 2, 0, 11), (3L, 5, 7, 0, 2, 0, 12),
+      (1L, 4, 7, 0, 1, 0, 20), (3L, 4, 7, 0, 1, 0, 21)
+    ).toDF("doc_id", "la", "lb", "lc", "dt", "dt2", "ta")
+    val r = Dedup.landmarkKeyAudit(lm).collect().head
+    assert(r.getLong(0) == 5L, "n_landmarks")
+    assert(r.getLong(1) == 2L, "n_keys")
+    assert(r.getLong(2) == 3L, "max_bucket")
+    assert(math.abs(r.getDouble(3) - 2.5) < 1e-9, "mean_bucket")
+    assert(r.getLong(4) == 13L, "est_candidates = 3^2 + 2^2")
+    // and 13 is EXACTLY the self-join row count before the a < b cut
+    val j = lm.as("a").join(lm.as("b"), Seq("la", "lb", "lc", "dt", "dt2")).count()
+    assert(j == 13L)
+  }
+
+  test("dedupGroups: reliable checkpointDir reproduces the localCheckpoint labels") {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashNear(docs)
+    val local = Dedup.dedupGroups(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    try {
+      val reliable = Dedup.dedupGroups(docs, pairs, checkpointDir = Some(ckDir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local, "reliable-checkpoint labels must be identical")
+      // the opt-in genuinely wrote recoverable state to the FS
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .anyMatch(p => java.nio.file.Files.isRegularFile(p))
+      assert(wrote, "reliable checkpoint must materialize files under checkpointDir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckDir))
+    }
+  }
+
+  test("semanticDedupSplit: no hot cells == exact form; hot cells pair within sub-buckets") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, dir)
+    // maxCell above any cell population -> every sub-key is empty and the
+    // verdicts are EXACTLY semanticDedup's (the split column all-false)
+    val wide = Dedup.semanticDedupSplit(e, nCells = 16, tau = 0.35,
+      maxCell = Long.MaxValue).collect()
+    assert(wide.forall(!_.getBoolean(2)), "no cell may split under an infinite cap")
+    val exact = Dedup.semanticDedup(e, nCells = 16, tau = 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    val wideT = wide.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3),
+      if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(wideT.toSeq == exact.toSeq, "infinite cap must reproduce the exact form")
+
+    // a cap that genuinely splits: every verdict still one row per vector,
+    // keepers/drops consistent, and every drop's dup_of shares its cell AND
+    // (when the cell split) its simhash sub-bucket
+    val df = Dedup.semanticDedupSplit(e, nCells = 16, tau = 0.35, maxCell = 24)
+    val plan = physicalPlan(df)
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == e.count(), "one verdict row per vector")
+    assert(rows.exists(_.getBoolean(2)), "cap 24 must split at least one cell")
+    // a split-cell drop can only name a dup_of from the same sub-bucket, so
+    // dup_of must itself sit in the same (cell, bits) bucket
+    val bits = e.select(col("vec_id"),
+        concat_ws("", graft.functions.LshFunctions.simhash_bits(col("embedding"), 8, 64)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    rows.filterNot(_.getBoolean(3)).foreach { r =>
+      val d = r.getLong(4)
+      assert(byId(d).getLong(1) == r.getLong(1), "dup_of must share the cell")
+      if (r.getBoolean(2)) assert(bits(d) == bits(r.getLong(0)),
+        s"split-cell drop ${r.getLong(0)} must share the sub-bucket with $d")
+    }
+    // identical vectors always collapse regardless of the split: vector
+    // pairs with equal embeddings share cell and simhash by construction
+    val dupPairs = e.as("x").join(e.as("y"),
+        col("x.vec_id") < col("y.vec_id") &&
+          col("x.embedding") === col("y.embedding"))
+      .select(col("y.vec_id")).collect().map(_.getLong(0)).toSet
+    dupPairs.foreach { id =>
+      assert(!byId(id).getBoolean(3), s"identical vector $id must be dropped")
+    }
+  }
+
   test("spanDedup: duplicated-shingle fractions match a direct per-doc computation") {
     val docs = Tables.documents(spark, dir)
     val res = Dedup.spanDedup(docs, shingleSize = 5, tau = 0.5).collect()
