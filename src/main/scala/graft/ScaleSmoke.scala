@@ -255,6 +255,15 @@ object ScaleSmoke {
     stage(s"semantic dedup c$nc") {
       D.semanticDedup(e, nCells = nc, tau = 0.4).queryExecution.toRdd.count()
     }
+    stage("semantic dedup split c16") {
+      // the hot-cell regime ON PURPOSE: 16 cells over the whole corpus —
+      // a dial the exact form cannot run (Σ|cell|² ≈ 16·(N/16)² cosine
+      // verifies, ~6e10 at factor 500). The 8-bit SimHash sub-split
+      // re-buckets each hot cell at sign-pattern granularity, so pair
+      // work collapses to Σ|sub-bucket|² regardless of assignment skew.
+      D.semanticDedupSplit(e, nCells = 16, tau = 0.4, maxCell = 1000)
+        .queryExecution.toRdd.count()
+    }
     stage(s"bitext mine c$nc p4") {
       // two-set margin mining at the IVF dial: candidate fan-out is
       // nProbe·|X|·|Y|/nCells — nc grows with the corpus so per-cell pair
@@ -369,6 +378,18 @@ object ScaleSmoke {
     }
     stage("winnow pairs") {
       graft.operators.TextAnalysis.winnowPairs(docs).queryExecution.toRdd.count()
+    }
+    stage("star cc (1M chain)") {
+      // the adversarial component shape: ONE chain across the whole node
+      // set — HashToMin would need N rounds (its maxIters guard rejects
+      // it by design); star alternation must land min-labels for every
+      // node in O(log N) alternations with edge-sized working sets
+      val n = 1000000L
+      val chainDocs = spark.range(n).toDF("doc_id")
+      val chainPairs = spark.range(n - 1)
+        .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+      graft.operators.Dedup.dedupGroupsStar(chainDocs, chainPairs)
+        .queryExecution.toRdd.count()
     }
     stage("pack sequences") { S.packSequences(docs).queryExecution.toRdd.count() }
     stage("token shards (auto width)") {

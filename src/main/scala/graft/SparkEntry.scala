@@ -87,6 +87,8 @@ object SparkEntry {
       ngramPairs(s, dir))),
     "dedup_groups"  -> ((s, dir) => Dedup.dedupGroups(Tables.documents(s, dir),
       ngramPairs(s, dir))),
+    "dedup_groups_star" -> ((s, dir) => Dedup.dedupGroupsStar(Tables.documents(s, dir),
+      ngramPairs(s, dir))),
     "leak_safe_split" -> ((s, dir) => Sampling.leakSafeSplit(Tables.documents(s, dir),
       ngramPairs(s, dir))),
     "weighted_sample" -> ((s, dir) => Sampling.weightedSample(Tables.documents(s, dir))),
@@ -942,6 +944,20 @@ object SparkEntry {
     * and the (la, lb, dt)-key join with per-offset voting — one
     * mis-derived window boundary or peak rule and every vote count
     * shifts. Ends at `vt(a_id, b_id, off, v)`. */
+  /** Near-dup components over the n-gram pair graph: min id per connected
+    * component via a recursive walk — the oracle both `dedup_groups`
+    * (HashToMin) and `dedup_groups_star` (star contraction) must hit. */
+  private def dedupGroupsOracleSql: String =
+    s"""WITH RECURSIVE ${ngramPairsSql()},
+       |e AS (SELECT a_id AS a, b_id AS b FROM pairs
+       |      UNION SELECT b_id, a_id FROM pairs),
+       |walk(a, b) AS (SELECT a, b FROM e
+       |               UNION SELECT walk.a, e.b FROM walk JOIN e ON walk.b = e.a),
+       |roots AS (SELECT a AS id, least(a, min(b)) AS root FROM walk GROUP BY a)
+       |SELECT d.doc_id, coalesce(r.root, d.doc_id) AS group_id
+       |FROM documents d LEFT JOIN roots r ON d.doc_id = r.id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** The landmark ROWS alone (peaks → anchor-pair rows), ending at
     * `lmr(id, la, lb, dt, ta)` — shared by the vote chain and the
     * key-saturation audit. */
@@ -1802,16 +1818,12 @@ object SparkEntry {
          |SELECT d.doc_id, d.doc_id NOT IN (SELECT b_id FROM pairs) AS keep
          |FROM documents d ORDER BY d.doc_id""".stripMargin,
 
-    "dedup_groups" ->
-      s"""WITH RECURSIVE ${ngramPairsSql()},
-         |e AS (SELECT a_id AS a, b_id AS b FROM pairs
-         |      UNION SELECT b_id, a_id FROM pairs),
-         |walk(a, b) AS (SELECT a, b FROM e
-         |               UNION SELECT walk.a, e.b FROM walk JOIN e ON walk.b = e.a),
-         |roots AS (SELECT a AS id, least(a, min(b)) AS root FROM walk GROUP BY a)
-         |SELECT d.doc_id, coalesce(r.root, d.doc_id) AS group_id
-         |FROM documents d LEFT JOIN roots r ON d.doc_id = r.id
-         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_groups" -> dedupGroupsOracleSql,
+
+    // the star-contraction form must land the SAME components through a
+    // structurally different loop (the shared-oracle device): the oracle
+    // is dedup_groups' recursive walk verbatim
+    "dedup_groups_star" -> dedupGroupsOracleSql,
 
     // dedup_groups' components + a split hashed on the GROUP id — the
     // leakage-safe split contract (no near-dup pair straddles the split)

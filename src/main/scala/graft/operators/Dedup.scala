@@ -929,6 +929,101 @@ object Dedup {
       .orderBy(col(idCol))
   }
 
+  /** [[dedupGroups]] by ALTERNATING STAR contraction (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond") — the O(log²)-round
+    * form for graphs with long chains. HashToMin min-label propagation
+    * moves the component min ONE HOP per round, so a k-hop chain needs k
+    * rounds — and near-dup graphs can chain arbitrarily (A≈B≈C≈… under a
+    * perceptual-hash or cosine threshold, each link within tolerance of
+    * the next), which trips [[dedupGroups]]'s `maxIters` guard by design.
+    * Star alternation contracts DISTANCE, not labels: large-star hangs
+    * every strictly-larger neighbor of a node directly onto its
+    * neighborhood minimum, small-star does the same for the smaller side,
+    * and the alternation halves chain diameter per round (the paper's
+    * convergence bound). DedupSpec pins the motivating case: a chain the
+    * default HashToMin budget rejects, converged here in a handful of
+    * rounds.
+    *
+    * The fixpoint is the star graph of each component rooted at its
+    * minimum id — unique regardless of intermediate round order, so the
+    * output CONTRACT is [[dedupGroups]]'s exactly: (id, group_id = the
+    * component min, singletons label themselves). The driver's oracle for
+    * `dedup_groups_star` is the `dedup_groups` SQL verbatim — same answer
+    * through a structurally different plan (the shared-oracle device).
+    *
+    * Scale shape per round: one groupBy(node) min-aggregate plus one
+    * node-keyed equi-join per star — hash-partitioned, map-side partial
+    * min; the working set stays edge-sized and edges only ever REWIRE
+    * toward minima (never multiply: output edges ≤ input edges per star).
+    * Convergence detector: the edge multiset's (count, Σ xxhash64(a,b))
+    * checksum — one scalar aggregate per round, like [[dedupGroups]]'s
+    * label sum; a collision would need 2⁻⁶⁴-scale luck AND an equal count,
+    * documented rather than hidden. Same lineage discipline as
+    * [[dedupGroups]] (truncate per round; `checkpointDir` opts into
+    * reliable FS checkpoints). */
+  def dedupGroupsStar(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+                      maxIters: Int = 50,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
+    checkpointDir.foreach { d => if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d) }
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+
+    // normalized undirected edges (lo, hi), self-loops dropped
+    var edges = cut(pairs
+      .select(least(col("a_id"), col("b_id")).as("lo"),
+        greatest(col("a_id"), col("b_id")).as("hi"))
+      .where(col("lo") =!= col("hi")).distinct())
+
+    // decimal(38,0) so the hash sum cannot overflow under ANSI arithmetic
+    // at any edge count (the labelSum discipline)
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("lo"), col("hi")).cast("decimal(38,0)"))).head
+      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    // large-star: u's strictly larger neighbors rewire to min(Γ⁺(u))
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+        .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(mins, Seq("u"))
+        .where(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("m").as("lo"), col("v").as("hi")).distinct()
+    }
+    // small-star: u and its smaller neighbors rewire to their min
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(col("hi").as("u"), col("lo").as("v"))
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val rewired = dir.join(mins, Seq("u"))
+        .where(col("v") =!= col("m"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+      rewired.union(mins.select(col("m").as("lo"), col("u").as("hi"))).distinct()
+    }
+
+    var prev = checksum(edges)
+    var converged = edges.isEmpty
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val next = cut(smallStar(largeStar(edges)))
+      val s = checksum(next)
+      edges = next
+      converged = s == prev
+      prev = s
+      iters += 1
+    }
+    if (!converged)
+      throw new graft.core.GraftException(
+        s"dedupGroupsStar did not converge in $maxIters rounds")
+
+    // fixpoint edges are (component min, member); singletons self-label
+    docs.select(col(idCol))
+      .join(edges.select(col("hi").as("__id"), col("lo").as("__root")),
+        docs(idCol) === col("__id"), "left")
+      .select(col(idCol), coalesce(col("__root"), col(idCol)).as("group_id"))
+      .orderBy(col(idCol))
+  }
+
   /** Deterministic Rademacher hyperplanes — see
     * [[graft.functions.LshFunctions.simhashPlanes]]. */
   private[operators] def simhashPlanes(bits: Int, dim: Int): Seq[Seq[Double]] =

@@ -200,6 +200,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupGroupsStar: matches HashToMin on real pairs; converges on the chain that defeats it") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashNear(docs)
+    val viaHash = Dedup.dedupGroups(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = Dedup.dedupGroupsStar(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaHash, "star contraction must land the same components")
+
+    // the motivating case: a 60-hop chain. HashToMin moves the min one hop
+    // per round, so the default 20-round budget must reject it...
+    val n = 60
+    val chainDocs = (0 until n).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+    val chainPairs = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("a_id", "b_id")
+    intercept[graft.core.GraftException] {
+      Dedup.dedupGroups(chainDocs, chainPairs).collect()
+    }
+    // ...while star alternation contracts diameter geometrically and labels
+    // every node with the chain min well inside a log-scale round budget
+    val star = Dedup.dedupGroupsStar(chainDocs, chainPairs, maxIters = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.values.forall(_ == 0L), "every chain node joins component 0")
+    assert(star.size == n)
+  }
+
   test("semanticDedupSplit: no hot cells == exact form; hot cells pair within sub-buckets") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, dir)
