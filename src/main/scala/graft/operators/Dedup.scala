@@ -1458,7 +1458,16 @@ object Dedup {
     * cluster granularity, maxCell a small multiple of the target cluster
     * size bounds every bucket regardless of how skewed the assignment is.
     * Output adds a `split` audit column: (vec_id, cell, split, keep,
-    * dup_of). */
+    * dup_of).
+    *
+    * `maxCell = 0` selects the cap AUTOMATICALLY as `max(64, 4·N/nCells)`
+    * — four times the mean cell population, the
+    * [[autoAgreeBands]]/[[graft.operators.Sampling.shardGroupWidth]]
+    * discipline: the dial comes from a measured count (one broadcast-sized
+    * aggregate the operator already runs), so only genuinely SKEWED cells
+    * (≥ 4× their fair share) pay the LSH approximation, and the operator
+    * cannot be launched into the Σ|cell|² regime by a stale manual cap.
+    * The floor keeps tiny corpora exact. */
   def semanticDedupSplit(e: DataFrame, nCells: Int = 16, tau: Double = 0.4,
                          maxCell: Long = 32, subBits: Int = 8,
                          dim: Int = 64): DataFrame = {
@@ -1468,8 +1477,14 @@ object Dedup {
     val assigned = Ann.assignCells(e, cents)
       .select(col("vec_id"), col("embedding"), col("cell").cast("bigint").as("cell"))
     val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__cn"))
+    val cap =
+      if (maxCell > 0) maxCell
+      else { // driver scalar from the (≤ nCells)-row size table, like Lloyd's tol
+        val n = sizes.agg(sum(col("__cn"))).head.getLong(0)
+        math.max(64L, 4L * n / nCells)
+      }
     val keyed = assigned.join(broadcast(sizes), Seq("cell"))
-      .withColumn("split", col("__cn") > maxCell)
+      .withColumn("split", col("__cn") > cap)
       .withColumn("sub", when(col("split"),
           concat_ws("", LshFunctions.simhash_bits(col("embedding"), subBits, dim)))
         .otherwise(lit("")))

@@ -274,6 +274,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedupSplit auto cap: equals the explicit 4x-mean cap; skew trips it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, dir)
+    // 500 vectors / 16 cells -> auto cap = max(64, 4*500/16) = 125
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))
+    val auto = Dedup.semanticDedupSplit(e, maxCell = 0).collect().map(key)
+    val explicit = Dedup.semanticDedupSplit(e, maxCell = 125).collect().map(key)
+    assert(auto.toSeq == explicit.toSeq, "auto must equal the documented rule's explicit cap")
+
+    // a corpus skewed past 4x its fair share: 16 basis seeds, then 300
+    // vectors piled onto seed 5's cell and the rest spread -> only that
+    // cell may split under the auto cap (max(64, 4*N/16))
+    val dim = 64
+    def basis(i: Int, scale: Double): Seq[Double] =
+      Seq.tabulate(dim)(j => if (j == i) scale else 0.0)
+    val rows =
+      (0 until 16).map(i => (i.toLong, basis(i, 1.0))) ++            // seeds = centroids
+      (0 until 300).map(k => (100L + k, basis(5, 1.0 + k * 1e-7))) ++ // hot cell 6 (1-based)
+      (0 until 48).map(k => (1000L + k, basis(k % 16, 2.0 + k * 1e-7)))
+    val skewed = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedupSplit(skewed, nCells = 16, tau = 0.9, maxCell = 0)
+      .collect()
+    val splitCells = out.filter(_.getBoolean(2)).map(_.getLong(1)).toSet
+    assert(splitCells.size == 1, s"exactly the hot cell splits, got $splitCells")
+    // scaled copies of the same direction are cosine-1 dups: the pile
+    // still collapses to its lowest id despite the split
+    val pile = out.filter(r => r.getLong(0) >= 100L && r.getLong(0) < 400L)
+    assert(pile.forall(!_.getBoolean(3)), "every piled vector is a duplicate")
+    assert(pile.forall(r => r.getLong(4) == 5L || r.getLong(4) == 100L),
+      "piled vectors collapse toward the cell's lowest ids")
+  }
+
   test("spanDedup: duplicated-shingle fractions match a direct per-doc computation") {
     val docs = Tables.documents(spark, dir)
     val res = Dedup.spanDedup(docs, shingleSize = 5, tau = 0.5).collect()
