@@ -255,6 +255,15 @@ object ScaleSmoke {
     stage(s"semantic dedup c$nc") {
       D.semanticDedup(e, nCells = nc, tau = 0.4).queryExecution.toRdd.count()
     }
+    stage(s"semantic dedup2 f$nc") {
+      // the hierarchical rung at the same fine granularity: only the
+      // ~√nc coarse layer is driver state/literal; the fine layer is a
+      // TABLE and assignment ships each vector through a ccell equi-join
+      // (~nc/√nc fine candidates/vector) instead of nc fused cosines
+      val ncoarse = math.max(2, math.sqrt(nc.toDouble).toInt)
+      D.semanticDedup2(e, nFine = nc, nCoarse = ncoarse, tau = 0.4)
+        .queryExecution.toRdd.count()
+    }
     stage("semantic dedup split c16") {
       // the hot-cell regime ON PURPOSE: 16 cells over the whole corpus —
       // a dial the exact form cannot run (Σ|cell|² ≈ 16·(N/16)² cosine

@@ -81,6 +81,7 @@ object SparkEntry {
     "dedup_semantic" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir))),
     "dedup_semantic_split" -> ((s, dir) =>
       Dedup.semanticDedupSplit(Tables.embeddings(s, dir), maxCell = 32)),
+    "dedup_semantic2" -> ((s, dir) => Dedup.semanticDedup2(Tables.embeddings(s, dir))),
     "dedup_spans" -> ((s, dir) => Dedup.spanDedup(Tables.documents(s, dir))),
     "dedup_ngram"   -> ((s, dir) => Dedup.ngramNear(Tables.documents(s, dir))),
     "dedup_resolve" -> ((s, dir) => Dedup.resolveKeepers(Tables.documents(s, dir),
@@ -1745,6 +1746,35 @@ object SparkEntry {
          |                         BETWEEN '0' AND '7' THEN 1 ELSE -1 END)
          |      )) >= 0 THEN '1' ELSE '0' END), '') ELSE '' END AS sub
          |  FROM assigned a JOIN sizes s ON a.cell = s.cell),
+         |dups AS (
+         |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+         |  FROM keyed a JOIN keyed b
+         |    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v")} >= 0.4
+         |  GROUP BY b.vec_id)
+         |SELECT k.vec_id, k.cell, k.split, (d.dup_of IS NULL) AS keep, d.dup_of
+         |FROM keyed k LEFT JOIN dups d ON k.vec_id = d.vec_id
+         |ORDER BY k.vec_id""".stripMargin,
+
+    // TWO-LEVEL SemDeDup: assignment via the shared hierarchical quantizer
+    // CTEs (coarse literal + fine TABLE — the ivf_topk2 chain), pairing
+    // within the FINE cell under the auto hot-cell cap rule
+    // greatest(64, 4N/nFine); at this scale no fine cell trips the cap,
+    // so the sub-key CASE stays cold on both engines
+    "dedup_semantic2" ->
+      s"""WITH ${ivf2Ctes()},
+         |sz AS (SELECT fcell, count(*) AS cn FROM af GROUP BY fcell),
+         |tot AS (SELECT count(*) AS n FROM af),
+         |keyed AS (
+         |  SELECT af.vec_id, af.v, CAST(af.fcell AS BIGINT) AS cell,
+         |    sz.cn > greatest(64, (4 * (SELECT n FROM tot)) // 16) AS split,
+         |    CASE WHEN sz.cn > greatest(64, (4 * (SELECT n FROM tot)) // 16)
+         |         THEN array_to_string(list_transform(range(0, 8), p ->
+         |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+         |        af.v[i+1] * (CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
+         |                          BETWEEN '0' AND '7' THEN 1 ELSE -1 END)
+         |      )) >= 0 THEN '1' ELSE '0' END), '') ELSE '' END AS sub
+         |  FROM af JOIN sz ON af.fcell = sz.fcell),
          |dups AS (
          |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
          |  FROM keyed a JOIN keyed b

@@ -1476,6 +1476,46 @@ object Dedup {
       .map(_.getSeq[Double](0).toSeq).toSeq
     val assigned = Ann.assignCells(e, cents)
       .select(col("vec_id"), col("embedding"), col("cell").cast("bigint").as("cell"))
+    dedupWithinCells(assigned, nCells, tau, maxCell, subBits, dim)
+  }
+
+  /** TWO-LEVEL [[semanticDedupSplit]] — the hierarchical-coarse-quantizer
+    * rung ([[graft.operators.Ann.fineCentroids]]/`assignCells2`, the
+    * structure that retired the flat probe's plan-literal for `ivf_topk2`,
+    * `page_rank_ann2` and `bitext_mine2`) applied to the LAST
+    * cell-partitioned family member. SemDeDup's published recipe runs
+    * ~100k clusters at 100M points and nCells grows with the corpus — at
+    * the √N dial a flat [[semanticDedupSplit]] bakes nCells × dim doubles
+    * into the plan and collects them driver-side, the exact rung the
+    * hierarchy exists for. Here only the COARSE layer (nCoarse ≈ N^¼
+    * rows) is driver state; the fine layer is a TABLE reached by
+    * ccell/fcell equi-joins, and pairing runs within the FINE cell under
+    * the same hot-cell split/auto-cap discipline.
+    *
+    * Standard hierarchical caveat, stated: two-level assignment is
+    * approximate at coarse boundaries (a vector may sit closer to a fine
+    * centroid of an unprobed coarse cell) — the oracle re-derives the SAME
+    * two-level definition, so the contract is exact about its own
+    * approximation. Output: (vec_id, cell = fine cell, split, keep,
+    * dup_of). */
+  def semanticDedup2(e: DataFrame, nFine: Int = 16, nCoarse: Int = 4,
+                     tau: Double = 0.4, maxCell: Long = 0, subBits: Int = 8,
+                     dim: Int = 64): DataFrame = {
+    val coarse = Ann.seedCentroids(e, nCoarse)
+    val fineTab = Ann.fineCentroids(e, coarse, nFine)
+    val assigned = Ann.assignCells2(e, coarse, fineTab)
+      .select(col("vec_id"), col("embedding"), col("fcell").cast("bigint").as("cell"))
+    dedupWithinCells(assigned, nFine, tau, maxCell, subBits, dim)
+  }
+
+  /** Shared within-cell pairing core of [[semanticDedupSplit]] /
+    * [[semanticDedup2]]: hot cells (population > cap; `maxCell = 0` auto
+    * = max(64, 4·N/nCells)) pair within the `subBits`-bit SimHash
+    * sub-bucket, cool cells exactly; verdict = lowest qualifying lower-id
+    * neighbor. */
+  private def dedupWithinCells(assigned: DataFrame, nCells: Int, tau: Double,
+                               maxCell: Long, subBits: Int,
+                               dim: Int): DataFrame = {
     val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__cn"))
     val cap =
       if (maxCell > 0) maxCell

@@ -274,6 +274,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup2: two-level verdicts consistent with its own fine assignment") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, dir)
+    val df = Dedup.semanticDedup2(e, nFine = 16, nCoarse = 4, tau = 0.35)
+    val plan = physicalPlan(df)
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == e.count(), "one verdict row per vector")
+    val cellOf = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0
+      else BigDecimal(d / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // within the operator's OWN fine cells, verdicts are the exact min-id
+    // rule (no fine cell is hot at this scale, so pairing is exact)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val want = cellOf.keys.filter(o => o < id && cellOf(o) == cellOf(id))
+        .filter(o => cos(vecs(o), vecs(id)) >= 0.35)
+      if (r.getBoolean(3)) assert(want.isEmpty, s"keeper $id has a qualifying neighbor")
+      else assert(want.nonEmpty && want.min == r.getLong(4), s"dup_of mismatch for $id")
+    }
+    // the fine cell ids live in the fine layer's range (seeding contract)
+    assert(rows.forall(r => r.getLong(1) >= 1L && r.getLong(1) <= 16L))
+  }
+
   test("semanticDedupSplit auto cap: equals the explicit 4x-mean cap; skew trips it") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
