@@ -778,6 +778,69 @@ object Streaming {
       }
       .start()
 
+  /** Streaming SEMANTIC (embedding-space) admission gate — the continuous
+    * twin of [[graft.operators.Dedup.semanticDedup]], completing the gate
+    * set's modalities (text signatures, image hashes, audio landmarks,
+    * now vectors — the natural gate for a vector-native store). Per
+    * micro-batch each vector takes the batch form's verdict against
+    * FIXED centroids (`cents`, the catalog's seeded or trained layer —
+    * held constant across batches so cell geometry never drifts
+    * mid-stream): dropped iff a LOWER-ID same-cell vector with cosine ≥
+    * `tau` arrived in this batch, or ANY same-cell state vector matches.
+    *
+    * No cluster taint is needed, unlike the image/audio gates:
+    * [[graft.operators.Dedup.semanticDedup]]'s verdict is non-transitive
+    * by construction — ANY lower-id qualifying vector suppresses, keeper
+    * or not — which is also exactly why state must hold EVERY seen
+    * vector (admitted or rejected alike). Under vec_id-ordered arrival
+    * the admitted set equals `semanticDedup(corpus).where(keep)`
+    * (StreamingSpec pins it over the real embeddings table); unordered
+    * arrival degrades to first-arrival-wins.
+    *
+    * State: (cell, embedding) per DISTINCT seen embedding — dim floats
+    * per row, cell-keyed so the cross-batch check is the same
+    * co-partitioned equi-join as the batch operator; per-batch overwrite
+    * dirs read STRICTLY BELOW the current batch id (the [[streamCurate]]
+    * replay discipline — a replayed batch can never self-match) with
+    * periodic compaction. */
+  def streamSemanticDedupAdmit(vecs: DataFrame, cents: Seq[Seq[Double]],
+                               path: String, checkpointDir: String,
+                               tau: Double = 0.4, compactEvery: Int = 16)
+                              (sink: DataFrame => Unit): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import graft.functions.VectorFunctions.cosine_sim
+          val assigned = graft.operators.Ann.assignCells(
+              batch.select(col("vec_id"), col("embedding")), cents)
+            .select(col("vec_id"), col("embedding"),
+              col("cell").cast("bigint").as("cell"))
+            .localCheckpoint(false)
+          val inHit = assigned.as("a").join(assigned.as("b"),
+              col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+            .where(round(cosine_sim(col("a.embedding"), col("b.embedding")), 6) >= tau)
+            .select(col("b.vec_id").as("vec_id")).distinct()
+          val crossHit = readBatchState(spark, s"$path/_vecs", batchId) match {
+            case Some(state) =>
+              assigned.join(state.withColumnRenamed("embedding", "__sv"), Seq("cell"))
+                .where(round(cosine_sim(col("embedding"), col("__sv")), 6) >= tau)
+                .select(col("vec_id")).distinct()
+            case None => assigned.select(col("vec_id")).limit(0)
+          }
+          val admitted = assigned.select(col("vec_id"))
+            .join(inHit, Seq("vec_id"), "left_anti")
+            .join(crossHit, Seq("vec_id"), "left_anti")
+          sink(batch.join(admitted, Seq("vec_id"), "left_semi"))
+          assigned.select(col("cell"), col("embedding")).distinct()
+            .write.mode("overwrite").parquet(f"$path/_vecs/b$batchId%020d")
+          compactBatchState(spark, s"$path/_vecs", batchId, compactEvery)
+        }
+      }
+      .start()
+
   /** All batches of a [[streamCurate]] run as one decision frame. */
   def readCurate(spark: SparkSession, path: String): Option[DataFrame] = {
     val root = new Path(path)

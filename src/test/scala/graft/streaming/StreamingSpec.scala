@@ -512,6 +512,53 @@ class StreamingSpec extends SparkSpec {
     assert(streamed() == batchFrame)
   }
 
+  test("streamSemanticDedupAdmit: admitted ≡ batch semanticDedup keepers; commit-crash replay identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("graft-ssem-").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-ssem-ckpt-").toString
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = e.orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cents: Seq[Seq[Double]] = rows.take(16).map(_._2.toSeq).toSeq
+    val batches = rows.grouped((rows.length + 2) / 3).toSeq
+
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val mem = MemoryStream[(Long, Seq[Double])]
+    def run(): Unit = runToCompletion(Streaming.streamSemanticDedupAdmit(
+      mem.toDF().toDF("vec_id", "embedding"), cents, path, ckpt, tau = 0.35) { df =>
+      admitted ++= df.select(col("vec_id")).collect().map(_.getLong(0))
+    })
+    batches.foreach { b => mem.addData(b: _*); run() }
+
+    // id-ordered arrival ⇒ the union of admissions IS the batch operator's
+    // keeper set (any lower-id qualifying vector suppresses — in-batch via
+    // the self-join arm, earlier-batch via state, exactly the global rule)
+    val want = graft.operators.Dedup.semanticDedup(e, nCells = 16, tau = 0.35)
+      .where(col("keep")).collect().map(_.getLong(0)).toSet
+    assert(admitted.toSet == want, s"stream/batch divergence: " +
+      s"extra=${admitted.toSet -- want} missing=${want -- admitted.toSet}")
+    assert(admitted.size == admitted.toSet.size, "no vector admitted twice")
+
+    // commit-crash replay of the last batch: strict-below state reads +
+    // per-batch overwrite dirs ⇒ identical re-admissions, no drift
+    val last = batches.length - 1
+    val commit = java.nio.file.Paths.get(ckpt, "commits", last.toString)
+    assert(Files.exists(commit), s"expected commit marker commits/$last")
+    Files.delete(commit)
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", s".$last.crc"))
+    val before = admitted.toSet
+    admitted.clear(); run()
+    val lastIds = batches(last).map(_._1).toSet
+    assert(admitted.toSet == before.intersect(lastIds),
+      s"replayed admissions drifted: $admitted")
+  }
+
   test("streamImageDedupAdmit under UNORDERED arrival: first-arrival-wins pinned — ≥1 keeper per component, admitted pairwise non-matching, replay deterministic") {
     implicit val sqlCtx = spark.sqlContext
     def blobFor(bits: Set[Int]): Array[Byte] = {
