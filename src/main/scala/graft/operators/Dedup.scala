@@ -1283,7 +1283,7 @@ object Dedup {
                  windowSamples: Int = 16, hop: Int = 4,
                  maxBytes: Int = 1 << 20, maxDt: Int = 8,
                  fanout: Int = 3, minVotes: Int = 5,
-                 keyPeaks: Int = 2): DataFrame = {
+                 keyPeaks: Int = 2, starCC: Boolean = false): DataFrame = {
     val env = Multimodal.audioEnvelope(spark, docs, idCol, blobCol,
       windowSamples, maxBytes, hop)
     val reps = env.groupBy(col("env")).agg(min(col(idCol)).as("rep"))
@@ -1293,7 +1293,11 @@ object Dedup {
         idCol, blobCol, windowSamples, hop, maxBytes, maxDt, fanout, keyPeaks),
       idCol, minVotes)
       .select(col("a_id"), col("b_id"))
-    val groups = dedupGroups(reps.select(col("rep").as(idCol)), pairs, idCol)
+    // spliced/offset copies chain the same way phash near-dups do — see
+    // the [[imageDedup]] starCC note; identical fixpoint either way
+    val ccEngine: (DataFrame, DataFrame, String) => DataFrame =
+      if (starCC) dedupGroupsStar(_, _, _) else dedupGroups(_, _, _)
+    val groups = ccEngine(reps.select(col("rep").as(idCol)), pairs, idCol)
       .withColumnRenamed(idCol, "rep").withColumnRenamed("group_id", "__gid")
     env.join(reps, Seq("env"))
       .join(groups, Seq("rep"))
@@ -1342,7 +1346,8 @@ object Dedup {
     * cluster (exact-identical ∪ Hamming-chained), `keep` = doc == root. */
   def imageDedup(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
                  idCol: String = "doc_id", blobCol: String = "blob",
-                 bands: Int = 8, maxHamming: Int = 6, agreeBands: Int = 2): DataFrame = {
+                 bands: Int = 8, maxHamming: Int = 6, agreeBands: Int = 2,
+                 starCC: Boolean = false): DataFrame = {
     require(56 % bands == 0, s"bands must divide 56, got $bands")
     require(agreeBands >= 0 && maxHamming >= 0 && maxHamming <= bands - math.max(agreeBands, 1),
       s"need maxHamming in [0, bands - agreeBands] for lossless band-subset keys, " +
@@ -1362,7 +1367,12 @@ object Dedup {
       .join(reps.select(col("rep").as("b_id"), col("phash").as("hb")), Seq("b_id"))
       .where(expr("bit_count(ha ^ hb)") <= maxHamming)
       .select(col("a_id"), col("b_id"))
-    val groups = dedupGroups(reps.select(col("rep").as(idCol)), repPairs, idCol)
+    // phash near-dups CHAIN (a≈b≈c, each link within maxHamming) — the
+    // graph family where HashToMin's rounds track chain length; starCC
+    // selects the O(log)-round contraction with the identical fixpoint
+    val ccEngine: (DataFrame, DataFrame, String) => DataFrame =
+      if (starCC) dedupGroupsStar(_, _, _) else dedupGroups(_, _, _)
+    val groups = ccEngine(reps.select(col("rep").as(idCol)), repPairs, idCol)
       .withColumnRenamed(idCol, "rep").withColumnRenamed("group_id", "__gid")
     hashed.join(reps, Seq("phash"))
       .join(groups, Seq("rep"))

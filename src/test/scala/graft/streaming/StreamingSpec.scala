@@ -559,6 +559,58 @@ class StreamingSpec extends SparkSpec {
       s"replayed admissions drifted: $admitted")
   }
 
+  test("streamSemanticDedupAdmit under UNORDERED arrival: admitted pairwise non-matching, every rejection has a qualifying neighbor") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("graft-ssemu-").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-ssemu-ckpt-").toString
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = e.orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cents: Seq[Seq[Double]] = rows.take(16).map(_._2.toSeq).toSeq
+    // deterministic shuffle: arrival order = md5 of the id, NOT id order
+    def md5Of(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val shuffled = rows.sortBy(t => md5Of(t._1.toString))
+    val batches = shuffled.grouped((shuffled.length + 2) / 3).toSeq
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val mem = MemoryStream[(Long, Seq[Double])]
+    def run(): Unit = runToCompletion(Streaming.streamSemanticDedupAdmit(
+      mem.toDF().toDF("vec_id", "embedding"), cents, path, ckpt, tau = 0.35) { df =>
+      admitted ++= df.select(col("vec_id")).collect().map(_.getLong(0))
+    })
+    batches.foreach { b => mem.addData(b: _*); run() }
+
+    // the invariants that survive ANY arrival order (first-arrival-wins):
+    val cellOf = graft.operators.Ann.assignCells(e, cents)
+      .select(col("vec_id"), col("cell").cast("bigint"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = rows.toMap.map { case (k, v) => k -> v.toArray }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0
+      else BigDecimal(d / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val adm = admitted.toSet
+    assert(admitted.size == adm.size, "no double admission")
+    // (a) admitted vectors are pairwise non-matching within a cell — an
+    // admitted matcher would have been in state (or lower in-batch)
+    for (x <- adm; y <- adm if x < y && cellOf(x) == cellOf(y))
+      assert(cos(vecs(x), vecs(y)) < 0.35, s"admitted near-pair ($x, $y)")
+    // (b) every rejection is justified: some same-cell qualifying
+    // neighbor exists in the corpus
+    (rows.map(_._1).toSet -- adm).foreach { r =>
+      assert(rows.map(_._1).exists(o => o != r && cellOf(o) == cellOf(r) &&
+        cos(vecs(o), vecs(r)) >= 0.35), s"unjustified rejection of $r")
+    }
+  }
+
   test("streamImageDedupAdmit under UNORDERED arrival: first-arrival-wins pinned — ≥1 keeper per component, admitted pairwise non-matching, replay deterministic") {
     implicit val sqlCtx = spark.sqlContext
     def blobFor(bits: Set[Int]): Array[Byte] = {
