@@ -1442,6 +1442,44 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** X3d' — incremental SEMANTIC dedup, completing the incremental family
+    * (exact/minhash/ngram have batch-vs-reference twins; the embedding
+    * tier now does too — it is also the batch arm of
+    * [[graft.streaming.Streaming.streamSemanticDedupAdmit]]): an incoming
+    * vector is admitted iff no same-cell REFERENCE vector and no LOWER-ID
+    * same-cell in-batch vector scores cosine ≥ `tau` against it. Per-batch
+    * cost is O(batch·cell-density), never O(|history|²) — the reference
+    * side is one cell-keyed equi-join, exactly the continuously-ingested
+    * shape every incremental twin here exists for.
+    *
+    * Centroids come from the REFERENCE corpus (`vec_id < nCells`, the
+    * seeding contract) — the stable layer, so cell geometry cannot drift
+    * as batches arrive. Output mirrors [[exactIncremental]]:
+    * (vec_id, cell, seen_in_corpus, matched_in_batch, keep). */
+  def semanticIncremental(incoming: DataFrame, reference: DataFrame,
+                          nCells: Int = 16, tau: Double = 0.4): DataFrame = {
+    val cents = Ann.seedCentroids(reference, nCells)
+    val inc = Ann.assignCells(incoming.select(col("vec_id"), col("embedding")), cents)
+      .select(col("vec_id"), col("embedding"), col("cell").cast("bigint").as("cell"))
+    val ref = Ann.assignCells(reference.select(col("vec_id"), col("embedding")), cents)
+      .select(col("embedding").as("__rv"), col("cell").cast("bigint").as("cell"))
+    val corpusHit = inc.join(ref, Seq("cell"))
+      .where(round(cosine_sim(col("embedding"), col("__rv")), 6) >= tau)
+      .select(col("vec_id")).distinct().withColumn("__c", lit(true))
+    val batchHit = inc.as("a").join(inc.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .where(round(cosine_sim(col("a.embedding"), col("b.embedding")), 6) >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct().withColumn("__b", lit(true))
+    inc.select(col("vec_id"), col("cell"))
+      .join(corpusHit, Seq("vec_id"), "left")
+      .join(batchHit, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("__c"), lit(false)).as("seen_in_corpus"),
+        coalesce(col("__b"), lit(false)).as("matched_in_batch"),
+        (col("__c").isNull && col("__b").isNull).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** [[semanticDedup]] with the HOT-CELL RE-SPLIT the Σ|cell|² scale note
     * promises, as code instead of prose: cells whose population exceeds
     * `maxCell` get a `subBits`-bit SimHash band key appended to the pair

@@ -274,6 +274,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semanticIncremental: corpus matches dropped, in-batch repeats keep first, fresh kept; re-admission idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def basis(i: Int, scale: Double): Seq[Double] =
+      Seq.tabulate(64)(j => if (j == i) scale else 0.0)
+    // reference: 4 orthogonal directions (ids 0..3 = the centroid seeds)
+    val reference = (0 until 4).map(i => (i.toLong, basis(i, 1.0)))
+      .toDF("vec_id", "embedding")
+    val incoming = Seq(
+      (10L, basis(0, 2.0)),   // scaled copy of ref dir 0 -> corpus hit
+      (11L, basis(1, -1.0)),  // NEGATED dir 1: cosine -1 vs ref -> fresh
+      (12L, basis(2, -1.0)),  // negated dir 2 -> fresh, first in batch
+      (13L, basis(2, -3.0))   // same negated dir -> in-batch repeat of 12
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticIncremental(incoming, reference, nCells = 4, tau = 0.4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(out(10L) == ((true, false, false)), "scaled ref copy must be a corpus hit")
+    assert(out(11L) == ((false, false, true)), "negated direction is fresh")
+    assert(out(12L) == ((false, false, true)), "first in-batch occurrence kept")
+    assert(out(13L) == ((false, true, false)), "in-batch repeat dropped")
+    // admitting the keepers then re-running the SAME batch admits nothing
+    // new: every previously-admitted vector now corpus-matches itself
+    val admitted = incoming.where(col("vec_id").isin(
+      out.collect { case (id, (_, _, true)) => id }.toSeq: _*))
+    val again = Dedup.semanticIncremental(incoming,
+        reference.unionByName(admitted), nCells = 4, tau = 0.4)
+      .collect().map(_.getBoolean(4))
+    assert(!again.exists(identity), "second pass must admit nothing")
+  }
+
   test("semanticDedup2: two-level verdicts consistent with its own fine assignment") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, dir)
