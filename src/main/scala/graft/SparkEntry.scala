@@ -99,6 +99,18 @@ object SparkEntry {
           .withColumn("vec_id", col("vec_id") + 2L * off))
       Dedup.semanticIncremental(incoming, ref)
     }),
+    "dedup_semantic_incremental_indexed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{coalesce, col, lit, max => smax}
+      val e = Tables.embeddings(s, dir)
+      val off = e.agg(coalesce(smax(col("vec_id")), lit(0L))).head.getLong(0) + 1L
+      val bucket = Sampling.hashBucket(col("vec_id"))
+      val incoming = e.where(bucket >= 50)
+        .unionByName(e.where(bucket < 10)
+          .withColumn("vec_id", col("vec_id") + off))
+        .unionByName(e.where(bucket >= 95)
+          .withColumn("vec_id", col("vec_id") + 2L * off))
+      Dedup.semanticIncrementalIndexed(s, dir, incoming)
+    }),
     "dedup_spans" -> ((s, dir) => Dedup.spanDedup(Tables.documents(s, dir))),
     "dedup_ngram"   -> ((s, dir) => Dedup.ngramNear(Tables.documents(s, dir))),
     "dedup_resolve" -> ((s, dir) => Dedup.resolveKeepers(Tables.documents(s, dir),
@@ -962,6 +974,42 @@ object SparkEntry {
     * and the (la, lb, dt)-key join with per-offset voting — one
     * mis-derived window boundary or peak rule and every vote count
     * shifts. Ends at `vt(a_id, b_id, off, v)`. */
+  /** Incremental SemDeDup over the standard incremental split: centroids
+    * from the REFERENCE slice's vec_id < 16 (len(cl) cells — the slice
+    * keeps only some of 0..15), corpus hits via the cell equi-join,
+    * in-batch hits via the lower-id self-join. Shared verbatim by the
+    * inline and indexed variants (identical admissions contract). */
+  private def dedupSemanticIncrementalSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS bucket
+       |  FROM embeddings),
+       |off AS (SELECT coalesce(max(vec_id), 0) + 1 AS o FROM e),
+       |rf AS (SELECT vec_id, v FROM e WHERE bucket < 50),
+       |inc AS (SELECT vec_id, v FROM e WHERE bucket >= 50
+       |  UNION ALL SELECT vec_id + (SELECT o FROM off), v FROM e WHERE bucket < 10
+       |  UNION ALL SELECT vec_id + 2 * (SELECT o FROM off), v FROM e WHERE bucket >= 95),
+       |cents AS (SELECT list(v ORDER BY vec_id) AS cl FROM rf WHERE vec_id < 16),
+       |ra AS MATERIALIZED (SELECT vec_id, v, CAST(list_position(sc, list_max(sc)) AS BIGINT) AS cell FROM (
+       |    SELECT rf.vec_id, rf.v,
+       |      list_transform(range(1, len(cl) + 1), ci -> ${cosRawSql("cl[ci]", "rf.v")}) AS sc
+       |    FROM rf, cents) t),
+       |ia AS MATERIALIZED (SELECT vec_id, v, CAST(list_position(sc, list_max(sc)) AS BIGINT) AS cell FROM (
+       |    SELECT inc.vec_id, inc.v,
+       |      list_transform(range(1, len(cl) + 1), ci -> ${cosRawSql("cl[ci]", "inc.v")}) AS sc
+       |    FROM inc, cents) t),
+       |ch AS (SELECT DISTINCT ia.vec_id FROM ia JOIN ra ON ia.cell = ra.cell
+       |       WHERE ${cosSql("ia.v", "ra.v")} >= 0.4),
+       |bh AS (SELECT DISTINCT b.vec_id FROM ia a JOIN ia b
+       |       ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |       WHERE ${cosSql("a.v", "b.v")} >= 0.4)
+       |SELECT ia.vec_id, ia.cell,
+       |  (ch.vec_id IS NOT NULL) AS seen_in_corpus,
+       |  (bh.vec_id IS NOT NULL) AS matched_in_batch,
+       |  (ch.vec_id IS NULL AND bh.vec_id IS NULL) AS keep
+       |FROM ia LEFT JOIN ch ON ia.vec_id = ch.vec_id
+       |        LEFT JOIN bh ON ia.vec_id = bh.vec_id
+       |ORDER BY ia.vec_id""".stripMargin
+
   /** Near-dup components over the n-gram pair graph: min id per connected
     * component via a recursive walk — the oracle both `dedup_groups`
     * (HashToMin) and `dedup_groups_star` (star contraction) must hit. */
@@ -1777,36 +1825,11 @@ object SparkEntry {
     // from the REFERENCE slice's vec_id < 16 (len(cl) cells — the slice
     // keeps only some of 0..15), corpus hits via the cell equi-join,
     // in-batch hits via the lower-id self-join
-    "dedup_semantic_incremental" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-         |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS bucket
-         |  FROM embeddings),
-         |off AS (SELECT coalesce(max(vec_id), 0) + 1 AS o FROM e),
-         |rf AS (SELECT vec_id, v FROM e WHERE bucket < 50),
-         |inc AS (SELECT vec_id, v FROM e WHERE bucket >= 50
-         |  UNION ALL SELECT vec_id + (SELECT o FROM off), v FROM e WHERE bucket < 10
-         |  UNION ALL SELECT vec_id + 2 * (SELECT o FROM off), v FROM e WHERE bucket >= 95),
-         |cents AS (SELECT list(v ORDER BY vec_id) AS cl FROM rf WHERE vec_id < 16),
-         |ra AS MATERIALIZED (SELECT vec_id, v, CAST(list_position(sc, list_max(sc)) AS BIGINT) AS cell FROM (
-         |    SELECT rf.vec_id, rf.v,
-         |      list_transform(range(1, len(cl) + 1), ci -> ${cosRawSql("cl[ci]", "rf.v")}) AS sc
-         |    FROM rf, cents) t),
-         |ia AS MATERIALIZED (SELECT vec_id, v, CAST(list_position(sc, list_max(sc)) AS BIGINT) AS cell FROM (
-         |    SELECT inc.vec_id, inc.v,
-         |      list_transform(range(1, len(cl) + 1), ci -> ${cosRawSql("cl[ci]", "inc.v")}) AS sc
-         |    FROM inc, cents) t),
-         |ch AS (SELECT DISTINCT ia.vec_id FROM ia JOIN ra ON ia.cell = ra.cell
-         |       WHERE ${cosSql("ia.v", "ra.v")} >= 0.4),
-         |bh AS (SELECT DISTINCT b.vec_id FROM ia a JOIN ia b
-         |       ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |       WHERE ${cosSql("a.v", "b.v")} >= 0.4)
-         |SELECT ia.vec_id, ia.cell,
-         |  (ch.vec_id IS NOT NULL) AS seen_in_corpus,
-         |  (bh.vec_id IS NOT NULL) AS matched_in_batch,
-         |  (ch.vec_id IS NULL AND bh.vec_id IS NULL) AS keep
-         |FROM ia LEFT JOIN ch ON ia.vec_id = ch.vec_id
-         |        LEFT JOIN bh ON ia.vec_id = bh.vec_id
-         |ORDER BY ia.vec_id""".stripMargin,
+    "dedup_semantic_incremental" -> dedupSemanticIncrementalSql,
+
+    // the indexed variant must produce BYTE-IDENTICAL admissions — the
+    // stored index caches the reference assignment + centroids, nothing more
+    "dedup_semantic_incremental_indexed" -> dedupSemanticIncrementalSql,
 
     // TWO-LEVEL SemDeDup: assignment via the shared hierarchical quantizer
     // CTEs (coarse literal + fine TABLE — the ivf_topk2 chain), pairing

@@ -1459,10 +1459,22 @@ object Dedup {
   def semanticIncremental(incoming: DataFrame, reference: DataFrame,
                           nCells: Int = 16, tau: Double = 0.4): DataFrame = {
     val cents = Ann.seedCentroids(reference, nCells)
+    semanticIncrementalAgainst(incoming, cents,
+      Ann.assignCells(reference.select(col("vec_id"), col("embedding")), cents)
+        .select(col("cell").cast("bigint").as("cell"), col("embedding")),
+      tau)
+  }
+
+  /** The admission half of [[semanticIncremental]], shared with the
+    * indexed variant: `refCells` is the reference side's (cell, embedding)
+    * assignment — computed inline or read from the stored index. */
+  private def semanticIncrementalAgainst(incoming: DataFrame,
+                                         cents: Seq[Seq[Double]],
+                                         refCells: DataFrame,
+                                         tau: Double): DataFrame = {
     val inc = Ann.assignCells(incoming.select(col("vec_id"), col("embedding")), cents)
       .select(col("vec_id"), col("embedding"), col("cell").cast("bigint").as("cell"))
-    val ref = Ann.assignCells(reference.select(col("vec_id"), col("embedding")), cents)
-      .select(col("embedding").as("__rv"), col("cell").cast("bigint").as("cell"))
+    val ref = refCells.select(col("cell"), col("embedding").as("__rv"))
     val corpusHit = inc.join(ref, Seq("cell"))
       .where(round(cosine_sim(col("embedding"), col("__rv")), 6) >= tau)
       .select(col("vec_id")).distinct().withColumn("__c", lit(true))
@@ -1478,6 +1490,47 @@ object Dedup {
         coalesce(col("__b"), lit(false)).as("matched_in_batch"),
         (col("__c").isNull && col("__b").isNull).as("keep"))
       .orderBy(col("vec_id"))
+  }
+
+  /** [[semanticIncremental]] against a CATALOG-MANAGED cell index — the
+    * production shape, mirroring [[exactIncrementalIndexed]]: the
+    * reference corpus's (cell, embedding) assignment AND its seed
+    * centroids are built once, registered in the `GraftDatabase` index
+    * manifest (content-fingerprinted and parameter-pinned like every
+    * other index), and each batch admission reads the stored assignment
+    * instead of re-assigning history. Admissions are byte-identical to
+    * the inline twin — the driver's oracle for
+    * `dedup_semantic_incremental_indexed` is the inline SQL verbatim.
+    * Storing the CENTROIDS alongside the assignment is what pins cell
+    * geometry: a probe re-deriving seeds from a drifted corpus would
+    * silently re-cell history, exactly the class of mismatch the
+    * registry's definition-fingerprint check exists to catch. */
+  def semanticIncrementalIndexed(spark: SparkSession, dir: String, incoming: DataFrame,
+                                 refBucketMax: Int = 50, nCells: Int = 16,
+                                 tau: Double = 0.4,
+                                 policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
+    val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
+      name = s"embeddings-semcells-b$refBucketMax-c$nCells", kind = "semantic-cells",
+      sourcePath = s"$dir/embeddings.parquet",
+      params = Map("refBucketMax" -> refBucketMax.toString,
+        "nCells" -> nCells.toString, "seeding" -> "vec_id<nCells",
+        "metric" -> "cosine6", "layout" -> "cents+cells"),
+      policy = policy) { out =>
+      val ref = graft.core.Tables.embeddings(spark, dir)
+        .where(Sampling.hashBucket(col("vec_id")) < refBucketMax)
+      val cents = Ann.seedCentroids(ref, nCells)
+      import spark.implicits._
+      cents.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cidx", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/cents")
+      Ann.assignCells(ref.select(col("vec_id"), col("embedding")), cents)
+        .select(col("cell").cast("bigint").as("cell"), col("embedding"))
+        .write.mode("overwrite").parquet(s"$out/cells")
+    }
+    val cents: Seq[Seq[Double]] = spark.read.parquet(s"${idx.path}/cents")
+      .orderBy(col("cidx")).select(col("cv")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    semanticIncrementalAgainst(incoming, cents,
+      spark.read.parquet(s"${idx.path}/cells"), tau)
   }
 
   /** [[semanticDedup]] with the HOT-CELL RE-SPLIT the Σ|cell|² scale note

@@ -476,6 +476,30 @@ class DedupSpec extends SparkSpec {
     assert(rows(Dedup.exactIncrementalIndexed(spark, dir, incoming, bloomFpp = 0)) == inline)
   }
 
+  test("indexed incremental semantic dedup: equals inline against the stored cell index") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, dir)
+    val bucket = Sampling.hashBucket(col("vec_id"))
+    val incoming = e.where(bucket >= 50)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4))).toSeq
+    val inline = rows(Dedup.semanticIncremental(incoming, e.where(bucket < 50)))
+    val reg = CatalogOps.indexRegistry(spark, dir)
+    val name = "embeddings-semcells-b50-c16"
+    if (reg.isIndexRegistered(name)) reg.dropIndex(name)
+    intercept[graft.core.GraftException] {
+      Dedup.semanticIncrementalIndexed(spark, dir, incoming,
+        policy = graft.core.IndexPolicy.FailIfMissing).collect()
+    }
+    assert(rows(Dedup.semanticIncrementalIndexed(spark, dir, incoming)) == inline)
+    val built = CatalogOps.indexRegistry(spark, dir).getIndex(name)
+    // second probe serves the stored index: same version, no rebuild —
+    // and the round-tripped centroids reproduce cell geometry exactly
+    assert(rows(Dedup.semanticIncrementalIndexed(spark, dir, incoming)) == inline)
+    assert(CatalogOps.indexRegistry(spark, dir).getIndex(name).version == built.version)
+  }
+
   test("indexed incremental near-dedup: equals inline against the stored shingle index") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, dir)
