@@ -226,6 +226,38 @@ class DedupSpec extends SparkSpec {
     assert(star.size == n)
   }
 
+  test("dedupGroupsStar: generated random graphs — labels equal a driver union-find and HashToMin") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    // deterministic scalacheck sample: a batch of random edge sets over
+    // small node ranges, incl. chains (the star form's motivating shape)
+    val edgeGen = for {
+      n <- Gen.choose(2, 30)
+      m <- Gen.choose(1, 40)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield (n, es.map { case (a, b) => (a.toLong, b.toLong) }.filter(t => t._1 != t._2))
+    val chain = (30, (0 until 29).map(i => (i.toLong, i + 1L)).toList)
+    val cases = chain :: Gen.listOfN(6, edgeGen).sample.get.filter(_._2.nonEmpty)
+    cases.zipWithIndex.foreach { case ((n, es), i) =>
+      val docs = (0 until n).map(_.toLong).toDF("doc_id")
+      val pairs = es.toDF("a_id", "b_id")
+      // reference: driver-side union-find with min-root labels
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(x => x.toLong -> find(x).toLong).toMap
+      val star = Dedup.dedupGroupsStar(docs, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == want, s"case $i: star vs union-find, edges=$es")
+      val hash = Dedup.dedupGroups(docs, pairs, maxIters = 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hash == want, s"case $i: hashToMin vs union-find, edges=$es")
+    }
+  }
+
   test("semanticDedupSplit: no hot cells == exact form; hot cells pair within sub-buckets") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, dir)
