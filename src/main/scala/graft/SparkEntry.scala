@@ -81,6 +81,8 @@ object SparkEntry {
     "dedup_semantic" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir))),
     "dedup_semantic_split" -> ((s, dir) =>
       Dedup.semanticDedupSplit(Tables.embeddings(s, dir), maxCell = 32)),
+    "dedup_semantic_split2" -> ((s, dir) =>
+      Dedup.semanticDedupSplit(Tables.embeddings(s, dir), maxCell = 32, subBands = 2)),
     "dedup_semantic2" -> ((s, dir) => Dedup.semanticDedup2(Tables.embeddings(s, dir))),
     "dedup_semantic_incremental" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{coalesce, col, lit, max => smax}
@@ -1819,6 +1821,45 @@ object SparkEntry {
          |  GROUP BY b.vec_id)
          |SELECT k.vec_id, k.cell, k.split, (d.dup_of IS NULL) AS keep, d.dup_of
          |FROM keyed k LEFT JOIN dups d ON k.vec_id = d.vec_id
+         |ORDER BY k.vec_id""".stripMargin,
+
+    // the OR-of-bands recall dial at subBands = 2: hot-cell rows fan out
+    // to one row per 4-bit half of the 8-bit sign key, pairs compare when
+    // ANY band agrees (the within-cell simhashNear banding); cool cells
+    // keep the single always-agreeing empty key
+    "dedup_semantic_split2" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT list(v ORDER BY vec_id) AS cl FROM e WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, v, CAST(list_position(sc, list_max(sc)) AS BIGINT) AS cell FROM (
+         |    SELECT e.vec_id, e.v,
+         |           list_transform(range(1, 17), ci -> ${cosRawSql("cl[ci]", "e.v")}) AS sc
+         |    FROM e, cents) t),
+         |sizes AS (SELECT cell, count(*) AS cn FROM assigned GROUP BY cell),
+         |keyed0 AS (
+         |  SELECT a.vec_id, a.v, a.cell, s.cn > 32 AS split,
+         |    CASE WHEN s.cn > 32 THEN array_to_string(list_transform(range(0, 8), p ->
+         |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+         |        a.v[i+1] * (CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
+         |                         BETWEEN '0' AND '7' THEN 1 ELSE -1 END)
+         |      )) >= 0 THEN '1' ELSE '0' END), '') ELSE '' END AS bits
+         |  FROM assigned a JOIN sizes s ON a.cell = s.cell),
+         |kx AS (SELECT vec_id, v, cell, split, u.band AS band, u.key AS key FROM (
+         |    SELECT vec_id, v, cell, split,
+         |      unnest(CASE WHEN split
+         |        THEN [{'band': 0, 'key': substr(bits, 1, 4)},
+         |              {'band': 1, 'key': substr(bits, 5, 4)}]
+         |        ELSE [{'band': 0, 'key': ''}] END) AS u
+         |    FROM keyed0) q),
+         |dups AS (
+         |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+         |  FROM kx a JOIN kx b
+         |    ON a.cell = b.cell AND a.band = b.band AND a.key = b.key
+         |   AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v")} >= 0.4
+         |  GROUP BY b.vec_id)
+         |SELECT k.vec_id, k.cell, k.split, (d.dup_of IS NULL) AS keep, d.dup_of
+         |FROM keyed0 k LEFT JOIN dups d ON k.vec_id = d.vec_id
          |ORDER BY k.vec_id""".stripMargin,
 
     // incremental SemDeDup over the standard incremental split: centroids

@@ -1584,13 +1584,13 @@ object Dedup {
     * The floor keeps tiny corpora exact. */
   def semanticDedupSplit(e: DataFrame, nCells: Int = 16, tau: Double = 0.4,
                          maxCell: Long = 32, subBits: Int = 8,
-                         dim: Int = 64): DataFrame = {
+                         dim: Int = 64, subBands: Int = 1): DataFrame = {
     val cents: Seq[Seq[Double]] = e.where(col("vec_id") < nCells)
       .orderBy(col("vec_id")).select(col("embedding")).collect()
       .map(_.getSeq[Double](0).toSeq).toSeq
     val assigned = Ann.assignCells(e, cents)
       .select(col("vec_id"), col("embedding"), col("cell").cast("bigint").as("cell"))
-    dedupWithinCells(assigned, nCells, tau, maxCell, subBits, dim)
+    dedupWithinCells(assigned, nCells, tau, maxCell, subBits, dim, subBands)
   }
 
   /** TWO-LEVEL [[semanticDedupSplit]] — the hierarchical-coarse-quantizer
@@ -1614,22 +1614,35 @@ object Dedup {
     * dup_of). */
   def semanticDedup2(e: DataFrame, nFine: Int = 16, nCoarse: Int = 4,
                      tau: Double = 0.4, maxCell: Long = 0, subBits: Int = 8,
-                     dim: Int = 64): DataFrame = {
+                     dim: Int = 64, subBands: Int = 1): DataFrame = {
     val coarse = Ann.seedCentroids(e, nCoarse)
     val fineTab = Ann.fineCentroids(e, coarse, nFine)
     val assigned = Ann.assignCells2(e, coarse, fineTab)
       .select(col("vec_id"), col("embedding"), col("fcell").cast("bigint").as("cell"))
-    dedupWithinCells(assigned, nFine, tau, maxCell, subBits, dim)
+    dedupWithinCells(assigned, nFine, tau, maxCell, subBits, dim, subBands)
   }
 
   /** Shared within-cell pairing core of [[semanticDedupSplit]] /
     * [[semanticDedup2]]: hot cells (population > cap; `maxCell = 0` auto
-    * = max(64, 4·N/nCells)) pair within the `subBits`-bit SimHash
-    * sub-bucket, cool cells exactly; verdict = lowest qualifying lower-id
-    * neighbor. */
+    * = max(64, 4·N/nCells)) pair within SimHash sub-buckets, cool cells
+    * exactly; verdict = lowest qualifying lower-id neighbor.
+    *
+    * `subBands` is the hot-cell RECALL dial, [[simhashNear]]'s OR-of-bands
+    * banding applied inside the cell: the `subBits` sign bits split into
+    * `subBands` keys and a hot-cell pair is compared when ANY band
+    * agrees. `subBands = 1` is the single-key form (one `subBits`-bit
+    * bucket — cheapest, misses a near-pair that differs in any sign);
+    * more bands shorten each key, so P[compared] rises from (1−θ/π)^r·b
+    * per band toward certainty at small angles while pair work grows as
+    * Σ_bands Σ_keys |bucket|². The dropped set can only GROW with
+    * `subBands` (any full-key agreement implies every band agrees —
+    * DedupSpec pins the monotonicity). */
   private def dedupWithinCells(assigned: DataFrame, nCells: Int, tau: Double,
                                maxCell: Long, subBits: Int,
-                               dim: Int): DataFrame = {
+                               dim: Int, subBands: Int = 1): DataFrame = {
+    require(subBands >= 1 && subBits % subBands == 0,
+      s"subBands ($subBands) must divide subBits ($subBits)")
+    val r = subBits / subBands
     val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__cn"))
     val cap =
       if (maxCell > 0) maxCell
@@ -1637,20 +1650,25 @@ object Dedup {
         val n = sizes.agg(sum(col("__cn"))).head.getLong(0)
         math.max(64L, 4L * n / nCells)
       }
-    val keyed = assigned.join(broadcast(sizes), Seq("cell"))
+    val base = assigned.join(broadcast(sizes), Seq("cell"))
       .withColumn("split", col("__cn") > cap)
-      .withColumn("sub", when(col("split"),
-          concat_ws("", LshFunctions.simhash_bits(col("embedding"), subBits, dim)))
-        .otherwise(lit("")))
-      .select(col("vec_id"), col("embedding"), col("cell"), col("split"), col("sub"))
+      .select(col("vec_id"), col("embedding"), col("cell"), col("split"))
+    // hot rows fan out to one row per band key; cool rows keep a single
+    // always-agreeing empty key (a cell is hot or cool as a whole, so the
+    // two forms never meet in a join)
+    val keyed = base.select(col("vec_id"), col("embedding"), col("cell"),
+      posexplode(when(col("split"),
+          LshFunctions.band_keys(
+            LshFunctions.simhash_bits(col("embedding"), subBits, dim), subBands, r))
+        .otherwise(array(lit("")))).as(Seq("band", "key")))
     val dups = keyed.as("a")
       .join(keyed.as("b"),
-        col("a.cell") === col("b.cell") && col("a.sub") === col("b.sub") &&
-          col("a.vec_id") < col("b.vec_id"))
+        col("a.cell") === col("b.cell") && col("a.band") === col("b.band") &&
+          col("a.key") === col("b.key") && col("a.vec_id") < col("b.vec_id"))
       .where(round(cosine_sim(col("a.embedding"), col("b.embedding")), 6) >= tau)
       .groupBy(col("b.vec_id").as("vec_id"))
       .agg(min(col("a.vec_id")).as("dup_of"))
-    keyed.select(col("vec_id"), col("cell"), col("split"))
+    base.select(col("vec_id"), col("cell"), col("split"))
       .join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("split"),
         col("dup_of").isNull.as("keep"), col("dup_of"))

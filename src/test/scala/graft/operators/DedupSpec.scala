@@ -367,6 +367,24 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(1) >= 1L && r.getLong(1) <= 16L))
   }
 
+  test("semanticDedupSplit subBands: recall is monotone in bands, bounded by the exact form") {
+    val e = Tables.embeddings(spark, dir)
+    def dropped(subBands: Int): Set[Long] =
+      Dedup.semanticDedupSplit(e, nCells = 16, tau = 0.35, maxCell = 24,
+          subBands = subBands)
+        .collect().filterNot(_.getBoolean(3)).map(_.getLong(0)).toSet
+    val d1 = dropped(1); val d2 = dropped(2); val d8 = dropped(8)
+    // full-key agreement implies every band agrees: more bands can only
+    // compare MORE hot-cell pairs, so the dropped set grows monotonically
+    assert(d1.subsetOf(d2), s"subBands=2 lost drops: ${d1 -- d2}")
+    assert(d2.subsetOf(d8), s"subBands=8 lost drops: ${d2 -- d8}")
+    // and every split-form drop is a genuine exact-form drop (banding only
+    // ever MISSES pairs, never invents them)
+    val exact = Dedup.semanticDedup(e, nCells = 16, tau = 0.35)
+      .collect().filterNot(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(d8.subsetOf(exact), s"banded drops outside the exact set: ${d8 -- exact}")
+  }
+
   test("semanticDedupSplit auto cap: equals the explicit 4x-mean cap; skew trips it") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
