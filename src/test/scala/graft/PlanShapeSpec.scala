@@ -507,14 +507,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
-  test("semanticDedupSplit: sizes table broadcast, pairing equi-joined on (cell, sub)") {
+  test("semanticDedupSplit: sizes table broadcast, pairing equi-joined on (cell, band, key)") {
     val e = Tables.embeddings(spark, dir)
     val p = plan(graft.operators.Dedup.semanticDedupSplit(e, maxCell = 24))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop") &&
       !p.contains("IdentityBroadcastMode"), s"non-equi pairing:\n$p")
-    // the pair self-join keys on (cell, sub) — both columns in one join key
-    assert("""(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell#\d+L?, sub#\d+""".r
-      .findFirstIn(p).isDefined, s"pairing not keyed on (cell, sub):\n$p")
+    // the pair self-join keys on (cell, band, key) — the full sub-bucket
+    // key in one equi-join, never a within-cell cross product
+    assert("""(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell#\d+L?, band#\d+, key#\d+""".r
+      .findFirstIn(p).isDefined, s"pairing not keyed on (cell, band, key):\n$p")
   }
 
   test("bitext minePairs2: ccell+fcell equi-joins, no corpus-sized broadcast or cartesian") {
