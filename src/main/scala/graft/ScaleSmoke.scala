@@ -305,6 +305,14 @@ object ScaleSmoke {
       D.semanticDedupSplit(e, nCells = 16, tau = 0.4, maxCell = 1000)
         .queryExecution.toRdd.count()
     }
+    stage("semantic dedup split2 c16") {
+      // the recall dial's measured price: 2 OR-banded 4-bit keys per hot
+      // row — candidate volume grows as Σ_bands Σ_keys |bucket|² with
+      // coarser (4-bit) buckets
+      D.semanticDedupSplit(e, nCells = 16, tau = 0.4, maxCell = 1000,
+          subBands = 2)
+        .queryExecution.toRdd.count()
+    }
     stage(s"bitext mine c$nc p4") {
       // two-set margin mining at the IVF dial: candidate fan-out is
       // nProbe·|X|·|Y|/nCells — nc grows with the corpus so per-cell pair
