@@ -121,6 +121,7 @@ object SparkEntry {
       ngramPairs(s, dir))),
     "dedup_groups_star" -> ((s, dir) => Dedup.dedupGroupsStar(Tables.documents(s, dir),
       ngramPairs(s, dir))),
+    "dedup_groups_indexed" -> ((s, dir) => Dedup.dedupGroupsIndexed(s, dir)),
     "leak_safe_split" -> ((s, dir) => Sampling.leakSafeSplit(Tables.documents(s, dir),
       ngramPairs(s, dir))),
     "weighted_sample" -> ((s, dir) => Sampling.weightedSample(Tables.documents(s, dir))),
@@ -1970,6 +1971,10 @@ object SparkEntry {
     // structurally different loop (the shared-oracle device): the oracle
     // is dedup_groups' recursive walk verbatim
     "dedup_groups_star" -> dedupGroupsOracleSql,
+
+    // the stored component map is a cache of the same computation —
+    // byte-identical labels through the registry
+    "dedup_groups_indexed" -> dedupGroupsOracleSql,
 
     // dedup_groups' components + a split hashed on the GROUP id — the
     // leakage-safe split contract (no near-dup pair straddles the split)

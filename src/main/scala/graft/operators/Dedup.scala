@@ -1024,6 +1024,33 @@ object Dedup {
       .orderBy(col(idCol))
   }
 
+  /** [[dedupGroups]] against a CATALOG-MANAGED component index — the
+    * shape that makes near-dup CLUSTER IDS a maintained asset instead of
+    * a per-run recomputation. [[graft.operators.Sampling.leakSafeSplit]]'s
+    * guarantee is that mirror copies land on the same split side ACROSS
+    * RUNS, which holds only if the group map is stable: re-mining over a
+    * corpus that appended rows can re-root components (a new lower-id
+    * member) and silently flip a cluster's split. The index pins the
+    * mine's parameters and the source content fingerprint (the registry
+    * contract — a drifted corpus is a definition mismatch, never silently
+    * served), stores one (doc_id, group_id) row per document, and probes
+    * read the stored map. The driver's oracle for `dedup_groups_indexed`
+    * is the `dedup_groups` recursive-walk SQL verbatim. */
+  def dedupGroupsIndexed(spark: SparkSession, dir: String,
+                         policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
+    val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
+      name = "documents-dedup-groups-ngram8", kind = "dedup-groups",
+      sourcePath = s"$dir/documents.parquet",
+      params = Map("pairs" -> "ngramNear(n=8,seeds=12,bands=4,jaccard=0.5)",
+        "cc" -> "min-label"),
+      policy = policy) { out =>
+      val docs = graft.core.Tables.documents(spark, dir)
+      dedupGroups(docs, ngramNear(docs).select(col("a_id"), col("b_id")))
+        .write.mode("overwrite").parquet(out)
+    }
+    spark.read.parquet(idx.path).orderBy(col("doc_id"))
+  }
+
   /** Deterministic Rademacher hyperplanes — see
     * [[graft.functions.LshFunctions.simhashPlanes]]. */
   private[operators] def simhashPlanes(bits: Int, dim: Int): Seq[Seq[Double]] =

@@ -526,6 +526,26 @@ class DedupSpec extends SparkSpec {
     assert(rows(Dedup.exactIncrementalIndexed(spark, dir, incoming, bloomFpp = 0)) == inline)
   }
 
+  test("indexed dedup groups: stored component map equals inline, build-once serve-twice") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val inline = rows(Dedup.dedupGroups(docs, Dedup.ngramNear(docs)
+      .select(col("a_id"), col("b_id"))))
+    val reg = CatalogOps.indexRegistry(spark, dir)
+    val name = "documents-dedup-groups-ngram8"
+    if (reg.isIndexRegistered(name)) reg.dropIndex(name)
+    intercept[graft.core.GraftException] {
+      Dedup.dedupGroupsIndexed(spark, dir,
+        policy = graft.core.IndexPolicy.FailIfMissing).collect()
+    }
+    assert(rows(Dedup.dedupGroupsIndexed(spark, dir)) == inline)
+    val built = CatalogOps.indexRegistry(spark, dir).getIndex(name)
+    assert(rows(Dedup.dedupGroupsIndexed(spark, dir)) == inline)
+    assert(CatalogOps.indexRegistry(spark, dir).getIndex(name).version == built.version)
+  }
+
   test("indexed incremental semantic dedup: equals inline against the stored cell index") {
     import org.apache.spark.sql.functions.col
     val e = Tables.embeddings(spark, dir)
