@@ -452,6 +452,22 @@ object SparkEntry {
             concat(lit(header), lit(zeros), col("text").cast("binary")).as("blob"))),
         maxBytes = 512)
     }),
+    "audio_auto_near" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
+      // the shift-twin corpus saturates the pair key (measured mean
+      // bucket 18.4 > 16), so the auto mine must take the TRIPLE branch
+      val header = Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL)
+      val zeros = Array.fill[Byte](24)(0)
+      val base = Tables.documents(s, dir)
+        .where(octet_length(col("text")) === length(col("text")) &&
+          graft.operators.Sampling.hashBucket(col("doc_id")) < 20)
+      Dedup.audioLandmarkNearAuto(s,
+        base.select(col("doc_id"),
+            concat(lit(header), col("text").cast("binary")).as("blob"))
+          .unionByName(base.select((col("doc_id") + lit(100000L)).as("doc_id"),
+            concat(lit(header), lit(zeros), col("text").cast("binary")).as("blob"))),
+        maxBytes = 512)
+    }),
     "audio_key_audit" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
       // the keyPeaks decision rule measured on the audio_shift_near corpus:
@@ -1049,6 +1065,32 @@ object SparkEntry {
        |       FROM lmr a JOIN lmr b
        |         ON a.la = b.la AND a.lb = b.lb AND a.dt = b.dt AND a.id < b.id
        |       GROUP BY 1, 2, 3)""".stripMargin
+
+  /** TRIPLE landmark rows + vote chain (keyPeaks = 3): anchor i, follower
+    * j within the anchor's fanout window and maxDt, then a SECOND
+    * follower k still within the ANCHOR's fanout window with
+    * dt2 = t_k − t_j ≤ maxDt — the exact Scala loop bounds
+    * (`Multimodal.audioLandmarks`). Expects `pk` from
+    * [[audioLandmarkRowCtes]] to be in scope; ends at
+    * `vt3(a_id, b_id, off, v)` keyed on the full 5-tuple. */
+  private def audioLandmarkTripleCtes: String =
+    s"""lm3 AS (SELECT id, flatten(list_transform(range(0, len(pk)), i ->
+       |    flatten(list_transform(range(i+1, least(i+1+3, len(pk))), j ->
+       |      list_filter(list_transform(range(j+1, least(i+1+3, len(pk))), k ->
+       |        {'la': pk[CAST(i+1 AS BIGINT)].l, 'lb': pk[CAST(j+1 AS BIGINT)].l,
+       |         'lc': pk[CAST(k+1 AS BIGINT)].l,
+       |         'dt': pk[CAST(j+1 AS BIGINT)].t - pk[CAST(i+1 AS BIGINT)].t,
+       |         'dt2': pk[CAST(k+1 AS BIGINT)].t - pk[CAST(j+1 AS BIGINT)].t,
+       |         'ta': pk[CAST(i+1 AS BIGINT)].t}),
+       |        x -> x.dt <= 8 AND x.dt2 <= 8))))) AS lms FROM pk),
+       |lmr3 AS (SELECT id, u.la AS la, u.lb AS lb, u.lc AS lc, u.dt AS dt,
+       |                u.dt2 AS dt2, u.ta AS ta
+       |         FROM (SELECT id, unnest(lms) AS u FROM lm3) q),
+       |vt3 AS (SELECT a.id AS a_id, b.id AS b_id, a.ta - b.ta AS off, count(*) AS v
+       |        FROM lmr3 a JOIN lmr3 b
+       |          ON a.la = b.la AND a.lb = b.lb AND a.lc = b.lc
+       |         AND a.dt = b.dt AND a.dt2 = b.dt2 AND a.id < b.id
+       |        GROUP BY 1, 2, 3)""".stripMargin
 
   private def dedupImageSql(videoTwin: Boolean = false): String = {
     // videoTwin: every doc also appears as an MP4-wrapped copy at
@@ -3263,6 +3305,25 @@ object SparkEntry {
          |${audioLandmarkVoteCtes("lv")}
          |SELECT a_id, b_id, CAST(max(v) AS BIGINT) AS votes
          |FROM vt GROUP BY a_id, b_id HAVING max(v) >= 5
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // the self-dialing mine: the pair-form audit's mean bucket gates
+    // which vote chain produces rows — at this corpus 18.43 > 16 fires
+    // the TRIPLE chain (its first oracle exercise; the operator
+    // re-extracts triples exactly when the pair key space is saturated)
+    "audio_auto_near" ->
+      s"""$audioShiftLvCtes,
+         |${audioLandmarkVoteCtes("lv")},
+         |$audioLandmarkTripleCtes,
+         |bkt AS (SELECT la, lb, dt, count(*) AS bn FROM lmr GROUP BY 1, 2, 3),
+         |dec AS (SELECT round(sum(bn)::DOUBLE / count(*), 6) > 16.0 AS hot FROM bkt)
+         |SELECT a_id, b_id, CAST(max(v) AS BIGINT) AS votes
+         |FROM vt WHERE NOT (SELECT hot FROM dec)
+         |GROUP BY a_id, b_id HAVING max(v) >= 5
+         |UNION ALL
+         |SELECT a_id, b_id, CAST(max(v) AS BIGINT) AS votes
+         |FROM vt3 WHERE (SELECT hot FROM dec)
+         |GROUP BY a_id, b_id HAVING max(v) >= 5
          |ORDER BY a_id, b_id""".stripMargin,
 
     // the key-saturation audit over the same landmark rows: bucket sizes

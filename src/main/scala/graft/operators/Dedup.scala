@@ -1289,6 +1289,37 @@ object Dedup {
         round(sum(col("bn")).cast("double") / count(lit(1)), 6).as("mean_bucket"),
         sum(col("bn") * col("bn")).as("est_candidates"))
 
+  /** [[audioLandmarkNear]] with the `keyPeaks` dial SELF-DIALED from the
+    * measured key saturation — [[landmarkKeyAudit]] turned from a
+    * diagnostic into the decision it exists for (the auto-t /
+    * shardGroupWidth discipline, applied to the landmark family). The
+    * pair-form landmarks are extracted once and audited; if their mean
+    * bucket exceeds `meanBucketMax` the key space is saturated for this
+    * corpus (the measured 250k-doc regime: ~10² distinct keys, a >12-min
+    * quadratic mine) and the mine re-extracts TRIPLE landmarks instead —
+    * one extra LINEAR decode pass traded against a quadratic join, and
+    * only paid in the regime where the quadratic join is the
+    * alternative. The audit is one bounded row (a driver scalar decision,
+    * like Lloyd's tol); the oracle re-derives the same rule and gates the
+    * two vote chains on it. */
+  def audioLandmarkNearAuto(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                            idCol: String = "doc_id", blobCol: String = "blob",
+                            windowSamples: Int = 16, hop: Int = 4,
+                            maxBytes: Int = 1 << 20, maxDt: Int = 8,
+                            fanout: Int = 3, minVotes: Int = 5,
+                            meanBucketMax: Double = 16.0): DataFrame = {
+    val lmPairs = Multimodal.audioLandmarks(spark, docs, idCol, blobCol,
+      windowSamples, hop, maxBytes, maxDt, fanout, keyPeaks = 2)
+      .localCheckpoint(true)
+    val mean = landmarkKeyAudit(lmPairs).head.getAs[Double]("mean_bucket")
+    val lm =
+      if (mean > meanBucketMax)
+        Multimodal.audioLandmarks(spark, docs, idCol, blobCol,
+          windowSamples, hop, maxBytes, maxDt, fanout, keyPeaks = 3)
+      else lmPairs
+    landmarkVotes(lm, idCol, minVotes).orderBy(col("a_id"), col("b_id"))
+  }
+
   /** [[audioLandmarkNear]]'s TREATMENT form with LINEAR output — the
     * [[imageDedup]] discipline for the audio modality: docs with
     * byte-identical (envelope-identical) payloads collapse to one

@@ -181,6 +181,31 @@ class DedupSpec extends SparkSpec {
     assert(j == 13L)
   }
 
+  test("audioLandmarkNearAuto: saturation fires the triple branch, headroom keeps pairs") {
+    import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
+    val header = graft.operators.Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL)
+    val base = Tables.documents(spark, dir)
+      .where(octet_length(col("text")) === length(col("text")) &&
+        Sampling.hashBucket(col("doc_id")) < 20)
+      .select(col("doc_id"), concat(lit(header), col("text").cast("binary")).as("blob"))
+    // both sides of the decision, driven by the threshold lever (the
+    // default threshold's behavior on a saturated corpus is pinned by the
+    // sf0.01 oracle, whose shift-twin corpus measures mean bucket 18.4):
+    // a floor threshold fires triples, a ceiling keeps pairs — each must
+    // be EXACTLY the explicit-keyPeaks output
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val autoLo = rows(Dedup.audioLandmarkNearAuto(spark, base, maxBytes = 512,
+      meanBucketMax = 0.5))
+    val k3 = rows(Dedup.audioLandmarkNear(spark, base, maxBytes = 512, keyPeaks = 3))
+    assert(autoLo == k3, "saturated decision must mine with triple landmarks")
+    val autoHi = rows(Dedup.audioLandmarkNearAuto(spark, base, maxBytes = 512,
+      meanBucketMax = 1e9))
+    val k2 = rows(Dedup.audioLandmarkNear(spark, base, maxBytes = 512))
+    assert(autoHi == k2, "unsaturated decision must mine with pair landmarks")
+    assert(autoLo != autoHi, "the two branches genuinely differ on this corpus")
+  }
+
   test("dedupGroups: reliable checkpointDir reproduces the localCheckpoint labels") {
     val docs = Tables.documents(spark, dir)
     val pairs = Dedup.minhashNear(docs)
