@@ -30,4 +30,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // at 8g the tail of the bench run is GC-bound (queries measured 3-8×
   // slower than in isolation); the box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // JIT code-cache headroom for the 160-query bench suite's generated
+  // classes in one JVM. Round-13 measurement (full suite, committed r12
+  // code, -XX:+PrintCodeCache at exit): 136 MB used of the JDK 17 default
+  // 240 MB, zero "CodeCache is full" warnings — NOT exhausted, so this is
+  // prophylaxis against the suite's ~20-queries/round growth, not the fix
+  // for the r12 curate_approx drift (which did not reproduce at suite
+  // position: 3.86 s median; see PLANS.md round-13 adjudication).
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -1,4 +1,5 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — one JSON line on stdout for the driver.
@@ -7,6 +8,17 @@ import org.apache.spark.sql.SparkSession
   * wall-time -1 and land in an "errors" map; JVM/parquet/codegen warmup is
   * measured once up front and reported separately ("warmup_sec") so the
   * first query's time is comparable across rounds.
+  *
+  * Adjudication instrumentation (round-12 verdict): alongside each wall
+  * median the record carries "exec_sec" (summed stage executorRunTime
+  * across the query's repeats, the [[graft.tools.BenchAB]] stage-listener
+  * number) and "gc_sec" (summed jvmGCTime). Cross-container bench drift is
+  * then one field-compare: a real regression moves executor-seconds; a
+  * container/context artifact moves wall while executor-seconds stay flat
+  * (the proven r11 case: a 1.12 s wall median that today's measured 68
+  * executor-seconds can't reach on 32 cores). A query window whose wall
+  * balloons with flat exec+gc is DEAD TIME (scheduling/cleanup
+  * contention), not work.
   */
 object Bench {
   private def esc(s: String): String = "\"" + s.flatMap {
@@ -29,6 +41,18 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // stage-metric accumulator: zeroed at each query boundary, so the sums
+    // attribute to the query whose window the stages completed in (repeats
+    // included — divide by `repeats` to compare against a single BenchAB run)
+    val execMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val gcMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        execMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+        gcMs.addAndGet(sc.stageInfo.taskMetrics.jvmGCTime)
+      }
+    })
 
     // Warm up the JVM, parquet reader, codegen, and shuffle machinery once,
     // so the first measured query doesn't absorb ~5s of startup.
@@ -68,6 +92,8 @@ object Bench {
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val execSec = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val gcSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // settle BEFORE each query, not each repeat: heap debt left by the
       // previous query (broadcast cleanup, shuffle buffers) otherwise
@@ -75,6 +101,7 @@ object Bench {
       // the contamination instead of discarding it (measured: identical
       // code, 39.9s vs 76.3s totals run-to-run without this)
       System.gc()
+      execMs.set(0); gcMs.set(0)
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       var failed = false
       var i = 0
@@ -91,6 +118,8 @@ object Bench {
         if (!failed) times += (System.nanoTime() - t0) / 1e9
         i += 1
       }
+      execSec(name) = execMs.get() / 1000.0
+      gcSec(name) = gcMs.get() / 1000.0
       if (failed) name -> -1.0
       else {
         val sorted = times.sorted
@@ -104,15 +133,18 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // Locale.ROOT: the f interpolator uses the default locale, which on
     // comma-decimal locales would emit 1,23 and corrupt the JSON line
-    val spreadJson = ",\"max_over_median\":" + spreads
+    def fmtMap(m: scala.collection.Map[String, Double]): String = m
       .map { case (k, v) =>
         esc(k) + ":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) }
       .mkString("{", ",", "}")
+    val spreadJson = ",\"max_over_median\":" + fmtMap(spreads)
+    val metricsJson =
+      ",\"exec_sec\":" + fmtMap(execSec) + ",\"gc_sec\":" + fmtMap(gcSec)
     val errJson =
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => esc(k) + ":" + esc(v) }
         .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec,"repeats":$repeats$spreadJson$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec,"repeats":$repeats$spreadJson$metricsJson$errJson,"sf":"$sfDir"}"""
     println(line)
     // Self-reported artifact: the driver's BENCH_r{N}.json captures only the
     // tail of stdout, which has been truncating the first ~28 queries'

@@ -48,6 +48,15 @@ object SparkEntry {
     "page_rank" -> ((s, dir) => Centrality.similarityPageRank(Tables.embeddings(s, dir))),
     "page_rank_ann" -> ((s, dir) => Centrality.similarityPageRankAnn(Tables.embeddings(s, dir))),
     "page_rank_ann2" -> ((s, dir) => Centrality.similarityPageRankAnn2(Tables.embeddings(s, dir))),
+    // the rung-picker auto twins: below the literal threshold auto IS the
+    // flat entry point (same oracle verbatim); `flatCellMax = 0` forces the
+    // two-level rung with the derived params (nCoarse = wCoarse = ⌈√16⌉ = 4
+    // — coarse full-open), oracle = the existing two-level generator at
+    // those params
+    "page_rank_ann_auto" -> ((s, dir) =>
+      Centrality.similarityPageRankAnnAuto(Tables.embeddings(s, dir))),
+    "page_rank_ann_auto2" -> ((s, dir) =>
+      Centrality.similarityPageRankAnnAuto(Tables.embeddings(s, dir), flatCellMax = 0)),
     "topk_via_catalog" -> ((s, dir) => CatalogOps.topkViaCatalog(s, dir, 0L, 10)),
     "chunk_docs" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, length}
@@ -84,6 +93,12 @@ object SparkEntry {
     "dedup_semantic_split2" -> ((s, dir) =>
       Dedup.semanticDedupSplit(Tables.embeddings(s, dir), maxCell = 32, subBands = 2)),
     "dedup_semantic2" -> ((s, dir) => Dedup.semanticDedup2(Tables.embeddings(s, dir))),
+    // rung-picker auto twins (each side shares its rung's oracle verbatim;
+    // the two-level side carries that rung's `split` diagnostic column)
+    "dedup_semantic_auto" -> ((s, dir) =>
+      Dedup.semanticDedupAuto(Tables.embeddings(s, dir))),
+    "dedup_semantic_auto2" -> ((s, dir) =>
+      Dedup.semanticDedupAuto(Tables.embeddings(s, dir), flatCellMax = 0)),
     "dedup_semantic_incremental" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{coalesce, col, lit, max => smax}
       // the incremental family's standard split: reference = bucket < 50;
@@ -304,6 +319,53 @@ object SparkEntry {
           .select(col("vec_id").as("tgt_id"), col("embedding").as("tgt_vec")),
         k = 4, tau = 1.0, nFine = 8, nCoarse = 3, wCoarse = 3, nProbe = 8)
     }),
+    // rung-picker auto twins: the caller's dial here is full-open
+    // (nProbe = nCells), so BOTH rungs are exact and the brute-force
+    // margin oracle serves auto on either side of the threshold —
+    // auto2's derived params (nCoarse = wCoarse = ⌈√8⌉ = 3) are exactly
+    // bitext_mine2's registered settings
+    "bitext_mine_auto" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.embeddings(s, dir)
+      Bitext.minePairsAuto(
+        e.where(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("src_id"), col("embedding").as("src_vec")),
+        e.where(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("tgt_id"), col("embedding").as("tgt_vec")),
+        k = 4, tau = 1.0, nCells = 8, nProbe = 8)
+    }),
+    "bitext_mine_auto2" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.embeddings(s, dir)
+      Bitext.minePairsAuto(
+        e.where(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("src_id"), col("embedding").as("src_vec")),
+        e.where(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("tgt_id"), col("embedding").as("tgt_vec")),
+        k = 4, tau = 1.0, nCells = 8, nProbe = 8, flatCellMax = 0)
+    }),
+    // incremental mining: NEW src batch (hash bucket >= 50 of the even
+    // half) against the stored odd-half target corpus; quantizer anchored
+    // to the corpus side, full probe ⇒ the brute-force margin oracle over
+    // the sliced src side
+    "bitext_mine_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val batch = Tables.embeddings(s, dir)
+        .where(col("vec_id") % 2 === 0 &&
+          graft.operators.Sampling.hashBucket(col("vec_id")) >= 50)
+        .select(col("vec_id").as("src_id"), col("embedding").as("src_vec"))
+      Bitext.minePairsIncremental(batch, Bitext.tgtSide(s, dir),
+        k = 4, tau = 1.0, nCells = 8, nProbe = 8)
+    }),
+    "bitext_mine_incremental_indexed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val batch = Tables.embeddings(s, dir)
+        .where(col("vec_id") % 2 === 0 &&
+          graft.operators.Sampling.hashBucket(col("vec_id")) >= 50)
+        .select(col("vec_id").as("src_id"), col("embedding").as("src_vec"))
+      Bitext.minePairsIncrementalIndexed(s, dir, batch,
+        k = 4, tau = 1.0, nCells = 8, nProbe = 8)
+    }),
     "bitext_hubness" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       // the diagnostic that motivates the margin: top hub targets by
@@ -338,6 +400,12 @@ object SparkEntry {
     "ivf_topk_trained" -> ((s, dir) => Ann.ivfTopkTrained(s, dir, 0L, 10, 16, 4)),
     "ivf_topk2" -> ((s, dir) => Ann.ivfTopk2(s, dir, 0L, 10, 16, 4, 2, 4)),
     "ivf_topk2_indexed" -> ((s, dir) => Ann.ivfTopk2Indexed(s, dir, 0L, 10, 16, 4, 2, 4)),
+    // rung-picker auto twins: flat side = ivf_topk's oracle verbatim;
+    // forced two-level side = the ivfTopk2Sql generator at the derived
+    // params (nFine = 16, nCoarse = wCoarse = ⌈√16⌉ = 4 — coarse full-open)
+    "ivf_topk_auto" -> ((s, dir) => Ann.ivfTopkAuto(s, dir, 0L, 10, 16, 4)),
+    "ivf_topk_auto2" -> ((s, dir) =>
+      Ann.ivfTopkAuto(s, dir, 0L, 10, 16, 4, flatCellMax = 0)),
     "ivf_delta_topk" -> ((s, dir) => Ann.ivfDeltaTopk(s, dir, 0L, 10, 16, 4)),
     "ivf_retrain_on_recall" -> ((s, dir) => Ann.ivfRetrainOnRecall(s, dir)),
     "pq_err"  -> ((s, dir) => Ann.pqError(s, dir)),
@@ -585,9 +653,128 @@ object SparkEntry {
   // mirrors graft.functions.CosineSimilarity (same sequential accumulation
   // order, so the doubles are bit-identical before rounding).
   // ---------------------------------------------------------------------
-  private def bitextMineSql: String =
+  /** Flat ANN-edge PageRank oracle — shared verbatim by `page_rank_ann`
+    * and the rung-picker twin `page_rank_ann_auto`. */
+  private def pageRankAnnSql: String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cents AS MATERIALIZED (SELECT list(v ORDER BY vec_id) AS cl FROM e WHERE vec_id < 16),
+       |qcell AS MATERIALIZED (SELECT src, ci FROM (
+       |  SELECT src, ci,
+       |    row_number() OVER (PARTITION BY src ORDER BY s DESC, ci ASC) AS r
+       |  FROM (SELECT z.src, u.ci AS ci, u.s AS s FROM (
+       |        SELECT e.vec_id AS src, unnest(list_transform(range(1, 17),
+       |          ci -> {'ci': ci, 's': round(${cosRawSql("cl[ci]", "e.v")}, 6)})) AS u
+       |        FROM cents, e) z) y) t
+       |  WHERE r <= 4),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, v, list_position(sc, list_max(sc)) AS cell FROM (
+       |    SELECT e.vec_id, e.v,
+       |           list_transform(range(1, 17), ci -> ${cosRawSql("cl[ci]", "e.v")}) AS sc
+       |    FROM e, cents) t2),
+       |ed AS MATERIALIZED (SELECT src, dst FROM (
+       |  SELECT qc.src, a.vec_id AS dst,
+       |    row_number() OVER (PARTITION BY qc.src
+       |      ORDER BY ${cosSql("a.v", "q.v")} DESC, a.vec_id ASC) AS rnk
+       |  FROM assigned a
+       |  JOIN qcell qc ON a.cell = qc.ci
+       |  JOIN e q ON q.vec_id = qc.src
+       |  WHERE a.vec_id != qc.src) t WHERE rnk <= 5),
+       |${pageRankTailSql(5)}""".stripMargin
+
+  /** Two-level ANN-edge PageRank oracle, parameterized by the coarse
+    * probe window — `page_rank_ann2` runs it at the registered wCoarse = 2;
+    * the forced rung-picker twin `page_rank_ann_auto2` at the derived
+    * full-open wCoarse = 4. */
+  private def pageRankAnn2Sql(wCoarse: Int = 2): String =
+    s"""WITH ${ivf2Ctes(16, 4)},
+       |qc2 AS MATERIALIZED (SELECT src, ci FROM (
+       |  SELECT src, ci,
+       |    row_number() OVER (PARTITION BY src ORDER BY s DESC, ci ASC) AS r
+       |  FROM (SELECT z.src, u.ci AS ci, u.s AS s FROM (
+       |        SELECT e.vec_id AS src, unnest(list_transform(range(1, 5),
+       |          ci -> {'ci': ci, 's': round(${cosRawSql("cl[ci]", "e.v")}, 6)})) AS u
+       |        FROM cc, e) z) y) t
+       |  WHERE r <= $wCoarse),
+       |pb AS MATERIALIZED (SELECT src, fcell FROM (
+       |  SELECT qc2.src, ft.fcell,
+       |    row_number() OVER (PARTITION BY qc2.src
+       |      ORDER BY round(${cosRawSql("ft.fv", "q.v")}, 6) DESC, ft.fcell ASC) AS r
+       |  FROM qc2 JOIN ft ON ft.ccell = qc2.ci
+       |  JOIN e q ON q.vec_id = qc2.src) t WHERE r <= 4),
+       |ed AS MATERIALIZED (SELECT src, dst FROM (
+       |  SELECT pb.src, af.vec_id AS dst,
+       |    row_number() OVER (PARTITION BY pb.src
+       |      ORDER BY ${cosSql("af.v", "q.v")} DESC, af.vec_id ASC) AS rnk
+       |  FROM af JOIN pb ON af.fcell = pb.fcell
+       |  JOIN e q ON q.vec_id = pb.src
+       |  WHERE af.vec_id != pb.src) t WHERE rnk <= 5),
+       |${pageRankTailSql(5)}""".stripMargin
+
+  /** Flat SemDeDup oracle — shared verbatim by `dedup_semantic` and the
+    * rung-picker twin `dedup_semantic_auto` (whose default threshold keeps
+    * the flat rung at nCells = 16). */
+  private def semanticDedupSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |xs AS (SELECT vec_id AS src_id, v FROM e WHERE vec_id % 2 = 0),
+       |cents AS (SELECT list(v ORDER BY vec_id) AS cl FROM e WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT vec_id, v, CAST(list_position(sc, list_max(sc)) AS BIGINT) AS cell FROM (
+       |    SELECT e.vec_id, e.v,
+       |           list_transform(range(1, 17), ci -> ${cosRawSql("cl[ci]", "e.v")}) AS sc
+       |    FROM e, cents) t),
+       |dups AS (
+       |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.v", "b.v")} >= 0.4
+       |  GROUP BY b.vec_id)
+       |SELECT s.vec_id, s.cell, (d.dup_of IS NULL) AS keep, d.dup_of
+       |FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+       |ORDER BY s.vec_id""".stripMargin
+
+  /** Two-level SemDeDup oracle (hierarchical quantizer CTEs + auto
+    * hot-cell cap) — shared verbatim by `dedup_semantic2` and the forced
+    * rung-picker twin `dedup_semantic_auto2` (flatCellMax = 0 derives
+    * exactly the registered nFine = 16 / nCoarse = 4 call). */
+  private def semanticDedup2Sql: String =
+    s"""WITH ${ivf2Ctes()},
+       |sz AS (SELECT fcell, count(*) AS cn FROM af GROUP BY fcell),
+       |tot AS (SELECT count(*) AS n FROM af),
+       |keyed AS (
+       |  SELECT af.vec_id, af.v, CAST(af.fcell AS BIGINT) AS cell,
+       |    sz.cn > greatest(64, (4 * (SELECT n FROM tot)) // 16) AS split,
+       |    CASE WHEN sz.cn > greatest(64, (4 * (SELECT n FROM tot)) // 16)
+       |         THEN array_to_string(list_transform(range(0, 8), p ->
+       |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+       |        af.v[i+1] * (CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
+       |                          BETWEEN '0' AND '7' THEN 1 ELSE -1 END)
+       |      )) >= 0 THEN '1' ELSE '0' END), '') ELSE '' END AS sub
+       |  FROM af JOIN sz ON af.fcell = sz.fcell),
+       |dups AS (
+       |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+       |  FROM keyed a JOIN keyed b
+       |    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.v", "b.v")} >= 0.4
+       |  GROUP BY b.vec_id)
+       |SELECT k.vec_id, k.cell, k.split, (d.dup_of IS NULL) AS keep, d.dup_of
+       |FROM keyed k LEFT JOIN dups d ON k.vec_id = d.vec_id
+       |ORDER BY k.vec_id""".stripMargin
+
+  private def bitextMineSql: String = bitextMineSqlOver("TRUE")
+
+  /** Shared by `bitext_mine_incremental` and its indexed twin — the
+    * inline SQL verbatim (the dedup_semantic_incremental_indexed
+    * convention): src batch = hash bucket ≥ 50 of the even half. */
+  private def bitextMineIncrementalSql: String = bitextMineSqlOver(
+    "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14))::UBIGINT % 100 >= 50")
+
+  /** Brute-force ratio-margin oracle over (src slice × tgt side) — the
+    * src slice parameterized so the incremental family (mining a NEW
+    * batch of sources against the stored target corpus) shares the exact
+    * same margin/mutual-argmax derivation: at full probe the quantizer is
+    * irrelevant (candidates = all pairs) whichever side seeds it. */
+  private def bitextMineSqlOver(srcExtra: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |xs AS (SELECT vec_id AS src_id, v FROM e WHERE vec_id % 2 = 0 AND ($srcExtra)),
        |ys AS (SELECT vec_id AS tgt_id, v FROM e WHERE vec_id % 2 = 1),
        |p AS (SELECT src_id, tgt_id,
        |        CAST(round((${cosRawSql("x.v", "y.v")}) * 1e6, 0) AS BIGINT) AS c6
@@ -1818,23 +2005,10 @@ object SparkEntry {
 
     // SemDeDup: same seeded-centroid assignment as the IVF oracles
     // (raw argmax cosine, first position on ties), pairs within a cell only
-    "dedup_semantic" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cents AS (SELECT list(v ORDER BY vec_id) AS cl FROM e WHERE vec_id < 16),
-         |assigned AS (
-         |  SELECT vec_id, v, CAST(list_position(sc, list_max(sc)) AS BIGINT) AS cell FROM (
-         |    SELECT e.vec_id, e.v,
-         |           list_transform(range(1, 17), ci -> ${cosRawSql("cl[ci]", "e.v")}) AS sc
-         |    FROM e, cents) t),
-         |dups AS (
-         |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
-         |  FROM assigned a JOIN assigned b
-         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  WHERE ${cosSql("a.v", "b.v")} >= 0.4
-         |  GROUP BY b.vec_id)
-         |SELECT s.vec_id, s.cell, (d.dup_of IS NULL) AS keep, d.dup_of
-         |FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
-         |ORDER BY s.vec_id""".stripMargin,
+    "dedup_semantic" -> semanticDedupSql,
+    // the rung-picker twin below the literal threshold IS semanticDedup —
+    // same oracle verbatim (the dedup_image_auto shared-oracle device)
+    "dedup_semantic_auto" -> semanticDedupSql,
 
     // hot-cell split SemDeDup: same assignment as dedup_semantic, cells
     // with population > 32 pair only within an 8-bit SimHash sub-bucket
@@ -1920,29 +2094,11 @@ object SparkEntry {
     // within the FINE cell under the auto hot-cell cap rule
     // greatest(64, 4N/nFine); at this scale no fine cell trips the cap,
     // so the sub-key CASE stays cold on both engines
-    "dedup_semantic2" ->
-      s"""WITH ${ivf2Ctes()},
-         |sz AS (SELECT fcell, count(*) AS cn FROM af GROUP BY fcell),
-         |tot AS (SELECT count(*) AS n FROM af),
-         |keyed AS (
-         |  SELECT af.vec_id, af.v, CAST(af.fcell AS BIGINT) AS cell,
-         |    sz.cn > greatest(64, (4 * (SELECT n FROM tot)) // 16) AS split,
-         |    CASE WHEN sz.cn > greatest(64, (4 * (SELECT n FROM tot)) // 16)
-         |         THEN array_to_string(list_transform(range(0, 8), p ->
-         |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
-         |        af.v[i+1] * (CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
-         |                          BETWEEN '0' AND '7' THEN 1 ELSE -1 END)
-         |      )) >= 0 THEN '1' ELSE '0' END), '') ELSE '' END AS sub
-         |  FROM af JOIN sz ON af.fcell = sz.fcell),
-         |dups AS (
-         |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
-         |  FROM keyed a JOIN keyed b
-         |    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
-         |  WHERE ${cosSql("a.v", "b.v")} >= 0.4
-         |  GROUP BY b.vec_id)
-         |SELECT k.vec_id, k.cell, k.split, (d.dup_of IS NULL) AS keep, d.dup_of
-         |FROM keyed k LEFT JOIN dups d ON k.vec_id = d.vec_id
-         |ORDER BY k.vec_id""".stripMargin,
+    "dedup_semantic2" -> semanticDedup2Sql,
+    // the forced two-level rung (flatCellMax = 0) at the derived params
+    // (nFine = 16, nCoarse = ⌈√16⌉ = 4) IS semanticDedup2's registered
+    // call — same oracle verbatim
+    "dedup_semantic_auto2" -> semanticDedup2Sql,
 
     // span-level duplication: distinct 5-word shingles (the minhash
     // shingling convention), df over the corpus, per-doc duplicated share
@@ -3338,7 +3494,7 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_keys,
          |  CAST(max(bn) AS BIGINT) AS max_bucket,
          |  round(sum(bn)::DOUBLE / count(*), 6) AS mean_bucket,
-         |  CAST(sum(bn * bn) AS BIGINT) AS est_candidates
+         |  CAST(sum(bn * bn) AS DOUBLE) AS est_candidates
          |FROM b""".stripMargin,
 
     // the treatment form's oracle: same corpus and landmark chain, but the
@@ -3434,6 +3590,11 @@ object SparkEntry {
     // persists the same layers, so one oracle serves both
     "ivf_topk2" -> ivfTopk2Sql(),
     "ivf_topk2_indexed" -> ivfTopk2Sql(),
+    // rung-picker auto twins: flat side shares ivf_topk's oracle verbatim;
+    // the forced two-level side is the same generator at the derived
+    // params (nCoarse = wCoarse = ⌈√16⌉ = 4 — coarse full-open)
+    "ivf_topk_auto" -> ivfTopkSql,
+    "ivf_topk_auto2" -> ivfTopk2Sql(16, 4, 4, 4),
     // the recall-drop → rebuild loop: the decision (integer hit threshold)
     // and the served arm are both part of the compared result
     "ivf_retrain_on_recall" -> ivfRetrainOnRecallSql(),
@@ -3857,60 +4018,19 @@ object SparkEntry {
     // the qcell/assigned CTEs are the ivf_recall contract with EVERY vector
     // as a query (seed centroids vec_id < 16, 6-dp probe ranking, raw
     // argmax assignment)
-    "page_rank_ann" ->
-      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cents AS MATERIALIZED (SELECT list(v ORDER BY vec_id) AS cl FROM e WHERE vec_id < 16),
-         |qcell AS MATERIALIZED (SELECT src, ci FROM (
-         |  SELECT src, ci,
-         |    row_number() OVER (PARTITION BY src ORDER BY s DESC, ci ASC) AS r
-         |  FROM (SELECT z.src, u.ci AS ci, u.s AS s FROM (
-         |        SELECT e.vec_id AS src, unnest(list_transform(range(1, 17),
-         |          ci -> {'ci': ci, 's': round(${cosRawSql("cl[ci]", "e.v")}, 6)})) AS u
-         |        FROM cents, e) z) y) t
-         |  WHERE r <= 4),
-         |assigned AS MATERIALIZED (
-         |  SELECT vec_id, v, list_position(sc, list_max(sc)) AS cell FROM (
-         |    SELECT e.vec_id, e.v,
-         |           list_transform(range(1, 17), ci -> ${cosRawSql("cl[ci]", "e.v")}) AS sc
-         |    FROM e, cents) t2),
-         |ed AS MATERIALIZED (SELECT src, dst FROM (
-         |  SELECT qc.src, a.vec_id AS dst,
-         |    row_number() OVER (PARTITION BY qc.src
-         |      ORDER BY ${cosSql("a.v", "q.v")} DESC, a.vec_id ASC) AS rnk
-         |  FROM assigned a
-         |  JOIN qcell qc ON a.cell = qc.ci
-         |  JOIN e q ON q.vec_id = qc.src
-         |  WHERE a.vec_id != qc.src) t WHERE rnk <= 5),
-         |${pageRankTailSql(5)}""".stripMargin,
+    "page_rank_ann" -> pageRankAnnSql,
+    // the rung-picker twin below the literal threshold IS the flat ANN
+    // edge build — same oracle verbatim
+    "page_rank_ann_auto" -> pageRankAnnSql,
 
     // the two-level-quantizer variant: same PageRank tail over edges from
     // the hierarchical probe — coarse top-wCoarse (6-dp, ci asc) per src,
     // fine top-nProbe among the opened cells' children (6-dp, fcell asc),
     // candidates from the two-level assignment (the ivf2Ctes `af` CTE)
-    "page_rank_ann2" ->
-      s"""WITH ${ivf2Ctes(16, 4)},
-         |qc2 AS MATERIALIZED (SELECT src, ci FROM (
-         |  SELECT src, ci,
-         |    row_number() OVER (PARTITION BY src ORDER BY s DESC, ci ASC) AS r
-         |  FROM (SELECT z.src, u.ci AS ci, u.s AS s FROM (
-         |        SELECT e.vec_id AS src, unnest(list_transform(range(1, 5),
-         |          ci -> {'ci': ci, 's': round(${cosRawSql("cl[ci]", "e.v")}, 6)})) AS u
-         |        FROM cc, e) z) y) t
-         |  WHERE r <= 2),
-         |pb AS MATERIALIZED (SELECT src, fcell FROM (
-         |  SELECT qc2.src, ft.fcell,
-         |    row_number() OVER (PARTITION BY qc2.src
-         |      ORDER BY round(${cosRawSql("ft.fv", "q.v")}, 6) DESC, ft.fcell ASC) AS r
-         |  FROM qc2 JOIN ft ON ft.ccell = qc2.ci
-         |  JOIN e q ON q.vec_id = qc2.src) t WHERE r <= 4),
-         |ed AS MATERIALIZED (SELECT src, dst FROM (
-         |  SELECT pb.src, af.vec_id AS dst,
-         |    row_number() OVER (PARTITION BY pb.src
-         |      ORDER BY ${cosSql("af.v", "q.v")} DESC, af.vec_id ASC) AS rnk
-         |  FROM af JOIN pb ON af.fcell = pb.fcell
-         |  JOIN e q ON q.vec_id = pb.src
-         |  WHERE af.vec_id != pb.src) t WHERE rnk <= 5),
-         |${pageRankTailSql(5)}""".stripMargin,
+    "page_rank_ann2" -> pageRankAnn2Sql(),
+    // the forced two-level rung at the derived params: same generator,
+    // coarse window full-open (wCoarse = nCoarse = 4)
+    "page_rank_ann_auto2" -> pageRankAnn2Sql(wCoarse = 4),
 
     "sim_join_topk" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3934,6 +4054,16 @@ object SparkEntry {
     // same brute-force margin oracle verbatim (the dedup_image_auto
     // shared-oracle device)
     "bitext_mine2" -> bitextMineSql,
+    // rung-picker auto twins: the registered dial is full-open on both
+    // rungs, so the brute-force oracle serves either side of the threshold
+    "bitext_mine_auto" -> bitextMineSql,
+    "bitext_mine_auto2" -> bitextMineSql,
+    // incremental mining: the NEW src batch (hash bucket >= 50 of the even
+    // half) against the stored odd-half target corpus, full probe ⇒ the
+    // same brute-force margin SQL over the sliced src side; the indexed
+    // twin must be byte-identical (stored assignment + pinned centroids)
+    "bitext_mine_incremental" -> bitextMineIncrementalSql,
+    "bitext_mine_incremental_indexed" -> bitextMineIncrementalSql,
 
     // the forward-kNN pass of bitext_mine re-aggregated by target: hub
     // count = how many sources hold the target in their k-NN

@@ -199,6 +199,54 @@ object Ann {
     * centroid matrix; the probe is a `cell IN (...)` filter — with the cell
     * id materialized as a partition column, that's partition pruning, i.e.
     * the scan itself skips (nCells - nProbe)/nCells of the data. */
+  /** Rung decision shared by every default entry point of the flat vs
+    * two-level IVF family ([[ivfTopkAuto]], [[graft.operators.Dedup
+    * .semanticDedupAuto]], [[graft.operators.Bitext.minePairsAuto]],
+    * [[graft.operators.Centrality.annEdgesAuto]]) — the `autoAgreeBands`
+    * / `maxCell = 0` auto-dial discipline applied to the rung choice the
+    * round-12 verdict flagged: the two-level twins existed, but a user at
+    * 10⁹ vectors had to KNOW to reach for them, because every default
+    * entry point ran the flat rung with its `nCells × dim` plan literal +
+    * driver collect.
+    *
+    * The dial is LITERAL SIZE, not throughput: the smoke table's measured
+    * pain row is nCells = 8000 at dim 64 → a ~4 MB plan literal with
+    * 11 MB task binaries shipped per stage (and the same doubles collected
+    * on the driver), growing linearly in nCells — while at small nCells
+    * the flat rung's fused in-core cosines beat the hierarchy's equi-join
+    * (two-level is measured SLOWER at 1M vectors: 228 vs 188 s semantic,
+    * 269 vs 111 s mining). So the flat rung stays the pick until the
+    * literal itself is the problem: `flatCellMax = 4096` keeps plan
+    * literals ≤ ~2 MB at dim 64 and is crossed exactly where the measured
+    * 8000-cell row hurt. Above it, the coarse layer shrinks driver state
+    * to ⌈√nCells⌉ rows (N^¼ at the √N cell dial) and the fine layer
+    * becomes a TABLE. */
+  private[graft] val FlatCellMax = 4096
+
+  /** ⌈√nCells⌉ — the derived coarse-layer size when [[FlatCellMax]] sends
+    * a default entry point to the two-level rung. */
+  private[graft] def coarseFor(nCells: Int): Int =
+    math.max(1, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+
+  /** [[ivfTopk]] with the flat-vs-two-level rung SELF-DIALED from the
+    * requested cell count (see [[FlatCellMax]]). At `nCells ≤ flatCellMax`
+    * this IS [[ivfTopk]] (same plan, same oracle); above, it is
+    * [[ivfTopk2]] with `nFine = nCells`, `nCoarse = wCoarse =
+    * ⌈√nCells⌉` — the coarse layer FULL-OPEN on the query side, because
+    * the hierarchy's job here is retiring the plan literal and driver
+    * collect, not adding an unasked recall cut: with `wCoarse = nCoarse`
+    * the query ranks every fine centroid (as a distributed table pass)
+    * exactly like the flat rung does in-core, so the only semantic
+    * difference is [[assignCells2]]'s documented data-side
+    * coarse-boundary caveat. RungPickerSpec pins auto ≡ explicit on both sides
+    * of the threshold. */
+  def ivfTopkAuto(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+                  k: Int = 10, nCells: Int = 16, nProbe: Int = 4,
+                  flatCellMax: Int = FlatCellMax): DataFrame =
+    if (nCells <= flatCellMax) ivfTopk(spark, dir, queryVecId, k, nCells, nProbe)
+    else ivfTopk2(spark, dir, queryVecId, k, nCells, coarseFor(nCells),
+      coarseFor(nCells), nProbe)
+
   def ivfTopk(spark: SparkSession, dir: String, queryVecId: Long = 0L, k: Int = 10,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = Tables.embeddings(spark, dir)

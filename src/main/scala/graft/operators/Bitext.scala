@@ -193,6 +193,158 @@ object Bitext {
     mineFromCandidates(candidates(x, y, nCells, nProbe), k, tau)
   }
 
+  /** [[minePairs]] with the flat-vs-two-level rung SELF-DIALED from the
+    * requested cell count — [[graft.operators.Ann.FlatCellMax]]'s dial
+    * applied to the mining family, whose flat rung was the round-12 smoke
+    * table's measured pain row (nCells = 8000 → ~4 MB plan literal, 11 MB
+    * task binaries, driver collect). At `nCells ≤ flatCellMax` this IS
+    * [[minePairs]]; above, [[minePairs2]] with `nFine = nCells`,
+    * `nCoarse = wCoarse = ⌈√nCells⌉` (coarse full-open on the probe side —
+    * the rung switch retires the literal, it does not add a recall cut)
+    * and the same `nProbe` fine-cell dial. When the caller's dial was
+    * already full-open (`nProbe = nCells`, the exact setting), both rungs
+    * produce the exact brute-force answer, so the flat oracle carries
+    * over verbatim on BOTH sides of the threshold; RungPickerSpec pins auto ≡
+    * explicit either way. */
+  def minePairsAuto(x: DataFrame, y: DataFrame, k: Int = 4, tau: Double = 1.0,
+                    nCells: Int = 8, nProbe: Int = 8,
+                    flatCellMax: Int = Ann.FlatCellMax): DataFrame =
+    if (nCells <= flatCellMax) minePairs(x, y, k, tau, nCells, nProbe)
+    else minePairs2(x, y, k, tau, nCells, Ann.coarseFor(nCells),
+      Ann.coarseFor(nCells), nProbe)
+
+  /** INCREMENTAL [[minePairs]] — the growing-parallel-corpus shape that
+    * completes the mining family's matrix (every other mining family here
+    * has batch + incremental/indexed forms; until now a new snapshot of a
+    * parallel corpus re-mined everything from scratch). `x` is the NEW
+    * batch of source sentences; `y` the STABLE stored target corpus. The
+    * quantizer is anchored to `y`: centroids are the target side's
+    * `nCells` lowest-id vectors and the cell assignment is the target
+    * assignment — so as batches arrive, cell geometry never drifts with
+    * the stream (the [[graft.operators.Dedup.semanticIncremental]]
+    * stable-layer contract).
+    *
+    * Declared semantics: ratio-margin mutual-best pairs between THIS
+    * batch's sources and the stored targets — forward k-NN per batch src
+    * over its probed candidates, backward k-NN per tgt over the
+    * candidates THIS batch generated (a snapshot's backward neighborhood
+    * is its own batch, the same per-snapshot scoping every incremental
+    * twin here declares). At full probe (`nProbe = nCells`) candidates
+    * are exact, so the brute-force margin oracle over (batch × corpus)
+    * carries over verbatim.
+    *
+    * Scale shape: per batch, one bounded centroid probe on the batch
+    * side, one cell equi-join against the corpus assignment with the
+    * BATCH side broadcast by contract (the pinned-direction lesson: a
+    * filtered batch is size-estimated at its file's full bytes, so
+    * without the pin Catalyst sort-merge-shuffles the corpus per
+    * snapshot), and the [[mineFromCandidates]] tail — nothing
+    * corpus-sized shuffles or collects. */
+  def minePairsIncremental(x: DataFrame, y: DataFrame, k: Int = 4,
+                           tau: Double = 1.0, nCells: Int = 8,
+                           nProbe: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
+      s"need 1 <= nProbe <= nCells, got nProbe=$nProbe nCells=$nCells")
+    val cents = seedTgtCentroids(y, nCells)
+    mineFromCandidates(
+      candidatesAgainst(x, cents, tgtCellsOf(y, cents), nProbe), k, tau)
+  }
+
+  /** [[minePairsIncremental]] against a CATALOG-MANAGED target-cell index
+    * — the production shape, mirroring [[graft.operators.Dedup
+    * .semanticIncrementalIndexed]] verbatim: the stored corpus's
+    * (cell, tgt_id, vector) assignment AND its seed centroids are built
+    * once, registered in the `GraftDatabase` manifest
+    * (content-fingerprinted, parameter-pinned), and each batch mine reads
+    * the stored assignment instead of re-assigning the corpus. Storing
+    * the CENTROIDS alongside the assignment pins cell geometry — a probe
+    * re-deriving seeds from a drifted corpus would silently re-cell
+    * history, the mismatch class the registry fingerprint exists to
+    * catch. Pairs are byte-identical to the inline twin (BitextSpec
+    * pins it; the driver's `bitext_mine_incremental_indexed` oracle is
+    * the inline SQL verbatim). The indexed target side is the engine's
+    * standard bitext convention over the embeddings table (odd `vec_id`
+    * halves as targets). */
+  def minePairsIncrementalIndexed(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, x: DataFrame, k: Int = 4,
+                                  tau: Double = 1.0, nCells: Int = 8,
+                                  nProbe: Int = 8,
+                                  policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
+      name = s"embeddings-bitext-cells-c$nCells", kind = "bitext-cells",
+      sourcePath = s"$dir/embeddings.parquet",
+      params = Map("nCells" -> nCells.toString, "side" -> "vec_id%2=1",
+        "seeding" -> "lowest-tgt-id", "metric" -> "cosine6",
+        "layout" -> "cents+cells"),
+      policy = policy) { out =>
+      val y = tgtSide(spark, dir)
+      val cents = seedTgtCentroids(y, nCells)
+      import spark.implicits._
+      cents.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cidx", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/cents")
+      tgtCellsOf(y, cents).write.mode("overwrite").parquet(s"$out/cells")
+    }
+    val cents: Seq[Seq[Double]] = spark.read.parquet(s"${idx.path}/cents")
+      .orderBy(col("cidx")).select(col("cv")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    mineFromCandidates(candidatesAgainst(x, cents,
+      spark.read.parquet(s"${idx.path}/cells"), nProbe), k, tau)
+  }
+
+  /** The engine's standard bitext target side over the embeddings table
+    * (odd `vec_id` half) — the corpus [[minePairsIncrementalIndexed]]
+    * indexes. */
+  private[graft] def tgtSide(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame =
+    graft.core.Tables.embeddings(spark, dir)
+      .where(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("tgt_vec"))
+
+  /** Target-side seed centroids: the `nCells` lowest-tgt_id vectors —
+    * [[candidates]]' orderBy+limit seeding contract, anchored to the
+    * STABLE corpus side for the incremental family. */
+  private def seedTgtCentroids(y: DataFrame, nCells: Int): Seq[Seq[Double]] = {
+    val cents: Seq[Seq[Double]] = y.orderBy(col("tgt_id")).limit(nCells)
+      .select(col("tgt_vec").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    require(cents.nonEmpty, "cannot seed centroids from an empty target side")
+    cents
+  }
+
+  /** The target corpus's (cell, tgt_id, tv) assignment under `cents` —
+    * computed inline by [[minePairsIncremental]], persisted by
+    * [[minePairsIncrementalIndexed]]'s build. */
+  private def tgtCellsOf(y: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val par = y.sparkSession.sparkContext.defaultParallelism
+    y.repartition(par, col("tgt_id"))
+      .withColumn("cell", Bridge.column(graft.functions.NearestCentroid(
+        Bridge.expression(col("tgt_vec").cast("array<double>")), cents)))
+      .select(col("cell"), col("tgt_id"),
+        col("tgt_vec").cast("array<double>").as("tv"))
+  }
+
+  /** Candidate pairs for the incremental family — [[candidates]] with the
+    * quantizer anchored to the stored corpus: probes from the batch side
+    * against a PRECOMPUTED target assignment, batch side broadcast by
+    * contract (see [[minePairsIncremental]]'s scale note). */
+  private def candidatesAgainst(x: DataFrame, cents: Seq[Seq[Double]],
+                                tgtCells: DataFrame, nProbe: Int): DataFrame = {
+    require(cents.nonEmpty, "cannot probe with an empty centroid set")
+    import org.apache.spark.sql.graft.Bridge
+    val par = x.sparkSession.sparkContext.defaultParallelism
+    val probes = x.repartition(par, col("src_id"))
+      .select(col("src_id"), col("src_vec").cast("array<double>").as("qv"),
+        explode(Bridge.column(graft.functions.TopCells(
+          Bridge.expression(col("src_vec").cast("array<double>")), cents,
+          math.min(nProbe, cents.length)))).as("cell"))
+    probes.hint("broadcast").join(tgtCells, Seq("cell"))
+      .select(col("src_id"), col("tgt_id"),
+        round(cosine_sim(col("qv"), col("tv")) * 1e6, 0).cast("bigint").as("c6"))
+  }
+
   /** The margin/mutual-argmax tail shared by [[minePairs]] and
     * [[minePairs2]] — everything downstream of candidate generation. */
   private def mineFromCandidates(pairs0: DataFrame, k: Int,

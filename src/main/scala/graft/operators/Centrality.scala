@@ -245,6 +245,32 @@ object Centrality {
     pageRank(annEdges(embeddings, k, nCells, nProbe),
       embeddings.select(col("vec_id")), iters, damping)
 
+  /** [[annEdges]] with the flat-vs-two-level rung SELF-DIALED from the
+    * requested cell count ([[graft.operators.Ann.FlatCellMax]] — the
+    * literal-size dial: this family's flat rung collects `nCells` vectors
+    * and bakes them into the edge-build plan, the exact shape the smoke
+    * table measured at ~4 MB literal / 11 MB task binaries for
+    * nCells = 8000). At `nCells ≤ flatCellMax` this IS [[annEdges]];
+    * above, [[annEdges2]] with `nFine = nCells`, `nCoarse = wCoarse =
+    * ⌈√nCells⌉` (coarse full-open on the probe side — the rung switch
+    * retires the literal, it does not add a recall cut). RungPickerSpec
+    * pins auto ≡ explicit on both sides of the threshold. */
+  def annEdgesAuto(embeddings: DataFrame, k: Int = 5, nCells: Int = 16,
+                   nProbe: Int = 4,
+                   flatCellMax: Int = graft.operators.Ann.FlatCellMax): DataFrame =
+    if (nCells <= flatCellMax) annEdges(embeddings, k, nCells, nProbe)
+    else annEdges2(embeddings, k, nCells, graft.operators.Ann.coarseFor(nCells),
+      graft.operators.Ann.coarseFor(nCells), nProbe)
+
+  /** [[similarityPageRankAnn]] over [[annEdgesAuto]] — the default
+    * centrality entry point with the rung self-dialed. */
+  def similarityPageRankAnnAuto(embeddings: DataFrame, k: Int = 5,
+                                iters: Int = 5, damping: Double = 0.85,
+                                nCells: Int = 16, nProbe: Int = 4,
+                                flatCellMax: Int = graft.operators.Ann.FlatCellMax): DataFrame =
+    pageRank(annEdgesAuto(embeddings, k, nCells, nProbe, flatCellMax),
+      embeddings.select(col("vec_id")), iters, damping)
+
   def similarityPageRank(embeddings: DataFrame, k: Int = 5, iters: Int = 5,
                          damping: Double = 0.85): DataFrame = {
     val w = Window.partitionBy(col("src"))

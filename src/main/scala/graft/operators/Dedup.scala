@@ -844,6 +844,29 @@ object Dedup {
       .select(col(idCol), col("_dup_id").isNull.as("keep"))
       .orderBy(col(idCol))
 
+  /** Honor a caller's reliable-checkpoint location: the requested dir
+    * always WINS (SparkContext.setCheckpointDir applies to RDDs
+    * checkpointed after the call, so re-pointing is safe mid-session), and
+    * overriding a different pre-existing setting is logged rather than
+    * silent — previously the passed dir was dropped whenever the context
+    * already had one, so the caller's FS choice quietly didn't apply and
+    * the first caller's setting leaked across every later caller. */
+  private def setCheckpointDir(sc: org.apache.spark.SparkContext,
+                               dir: String): Unit = {
+    // getCheckpointDir returns the resolved (scheme-qualified) path, so a
+    // suffix match means "already pointing where the caller asked" — don't
+    // churn the setting (or warn) over a scheme prefix.
+    def sameDir(e: String): Boolean =
+      e == dir || e.endsWith("/" + dir.stripPrefix("/")) || dir.endsWith(e)
+    sc.getCheckpointDir match {
+      case Some(e) if sameDir(e) => // already effective
+      case other =>
+        other.foreach(e => System.err.println(
+          s"[graft] overriding SparkContext checkpoint dir $e with requested $dir"))
+        sc.setCheckpointDir(dir)
+    }
+  }
+
   /** Duplicate-cluster assignment: each document labeled with the minimum
     * doc id of its connected component in the near-dup pair graph
     * (singletons label themselves). The fixpoint is iteration-order
@@ -883,8 +906,15 @@ object Dedup {
     // cost of one FS round-trip per iteration. Labels are identical
     // either way (the cut is a materialization boundary, not a semantic
     // one); DedupSpec pins that equivalence.
+    //
+    // Housekeeping: reliable checkpoints leave one directory per round on
+    // that FS for the application's lifetime; superseded rounds are only
+    // deleted automatically when the session sets
+    // `spark.cleaner.referenceTracking.cleanCheckpoints=true` (each
+    // round's RDD is dereferenced as soon as the next round materializes,
+    // so the ContextCleaner reclaims them promptly under that flag).
     val sc = docs.sparkSession.sparkContext
-    checkpointDir.foreach { d => if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d) }
+    checkpointDir.foreach(setCheckpointDir(sc, _))
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
 
@@ -965,7 +995,7 @@ object Dedup {
                       maxIters: Int = 50,
                       checkpointDir: Option[String] = None): DataFrame = {
     val sc = docs.sparkSession.sparkContext
-    checkpointDir.foreach { d => if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d) }
+    checkpointDir.foreach(setCheckpointDir(sc, _))
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
 
@@ -1271,10 +1301,15 @@ object Dedup {
     * .audioLandmarks]] output) it reports, in one bounded row:
     * `n_landmarks` (rows L), `n_keys` (distinct join keys D),
     * `max_bucket`, `mean_bucket` = L/D, and `est_candidates` =
-    * Σ_keys |bucket|² — the EXACT row count of [[landmarkVotes]]' key
+    * Σ_keys |bucket|² — the row count of [[landmarkVotes]]' key
     * self-join before the `a_id < b_id` cut (ordered pairs, self included),
     * i.e. the quantity that blew up the measured saturation regime
     * (250k text-wrapped docs → ~10² distinct keys → a >12-min mine).
+    * The square is computed in decimal(38,0) and reported as DOUBLE
+    * (exact below 2⁵³): a single bucket past ~3·10⁹ rows overflows
+    * long under ANSI arithmetic — precisely the saturated regime this
+    * audit exists to diagnose, so the audit itself must not be the
+    * thing that dies there.
     * Run the audit on the cheap pair-form landmarks first; if
     * `est_candidates` is quadratic-ish in L (mean_bucket ≫ fanout), the
     * key space is saturated for this corpus — re-extract with
@@ -1287,7 +1322,8 @@ object Dedup {
         count(lit(1)).as("n_keys"),
         max(col("bn")).as("max_bucket"),
         round(sum(col("bn")).cast("double") / count(lit(1)), 6).as("mean_bucket"),
-        sum(col("bn") * col("bn")).as("est_candidates"))
+        sum(col("bn").cast("decimal(38,0)") * col("bn"))
+          .cast("double").as("est_candidates"))
 
   /** [[audioLandmarkNear]] with the `keyPeaks` dial SELF-DIALED from the
     * measured key saturation — [[landmarkKeyAudit]] turned from a
@@ -1308,15 +1344,23 @@ object Dedup {
                             maxBytes: Int = 1 << 20, maxDt: Int = 8,
                             fanout: Int = 3, minVotes: Int = 5,
                             meanBucketMax: Double = 16.0): DataFrame = {
+    // persist (not localCheckpoint): there is no iterative loop here, so
+    // lineage truncation buys nothing, and Dataset.unpersist can actually
+    // FREE a persisted block where localCheckpoint blocks stay pinned in
+    // executor storage for the session. The audit's global aggregate fills
+    // the cache (every partition scanned); the kept branch's vote join
+    // then reads it back instead of decoding the audio twice.
     val lmPairs = Multimodal.audioLandmarks(spark, docs, idCol, blobCol,
       windowSamples, hop, maxBytes, maxDt, fanout, keyPeaks = 2)
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mean = landmarkKeyAudit(lmPairs).head.getAs[Double]("mean_bucket")
     val lm =
-      if (mean > meanBucketMax)
+      if (mean > meanBucketMax) {
+        // triple branch: the pair-form blocks are dead weight from here on
+        lmPairs.unpersist(false)
         Multimodal.audioLandmarks(spark, docs, idCol, blobCol,
           windowSamples, hop, maxBytes, maxDt, fanout, keyPeaks = 3)
-      else lmPairs
+      } else lmPairs
     landmarkVotes(lm, idCol, minVotes).orderBy(col("a_id"), col("b_id"))
   }
 
@@ -1499,6 +1543,21 @@ object Dedup {
         col("dup_of"))
       .orderBy(col("vec_id"))
   }
+
+  /** [[semanticDedup]] with the flat-vs-two-level rung SELF-DIALED from
+    * the requested cell count ([[graft.operators.Ann.FlatCellMax]] — the
+    * literal-size dial, not a throughput claim: two-level is measured
+    * SLOWER at 1M vectors and exists for the regime where the flat
+    * `nCells × dim` plan literal + driver collect is untenable). At
+    * `nCells ≤ flatCellMax` this IS [[semanticDedup]]; above, it is
+    * [[semanticDedup2]] with `nFine = nCells`, `nCoarse = ⌈√nCells⌉` and
+    * the same `tau` (the two-level form's hot-cell/auto-cap dials keep
+    * their own defaults — `maxCell = 0` self-caps). RungPickerSpec pins auto ≡
+    * explicit on both sides of the threshold. */
+  def semanticDedupAuto(e: DataFrame, nCells: Int = 16, tau: Double = 0.4,
+                        flatCellMax: Int = Ann.FlatCellMax): DataFrame =
+    if (nCells <= flatCellMax) semanticDedup(e, nCells, tau)
+    else semanticDedup2(e, nCells, Ann.coarseFor(nCells), tau)
 
   /** X3d' — incremental SEMANTIC dedup, completing the incremental family
     * (exact/minhash/ngram have batch-vs-reference twins; the embedding
