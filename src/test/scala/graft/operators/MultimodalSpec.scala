@@ -388,6 +388,96 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.mp4FirstSample(vid).get.toSeq == payload.toSeq)
   }
 
+  test("mp4Samples: consecutive frames, short tail, absent-tail drop, frame cap") {
+    val payload = (0 until 80).map(i => ('a' + i % 26).toChar).mkString
+      .getBytes("US-ASCII")
+    val vid = Multimodal.mp4VideoFramesHeader(frameBytes = 32) ++ payload
+    val frames = Multimodal.mp4Samples(vid)
+    // 80 bytes at 32/frame: two full frames + one 16-byte tail; the
+    // declared-but-absent 4096-sample tail is dropped by the bounds clamp
+    assert(frames.map(_._1) == Seq(0L, 1L, 2L))
+    assert(frames(0)._2.toSeq == payload.slice(0, 32).toSeq)
+    assert(frames(1)._2.toSeq == payload.slice(32, 64).toSeq)
+    assert(frames(2)._2.toSeq == payload.slice(64, 80).toSeq)
+    // maxFrames caps the walk
+    assert(Multimodal.mp4Samples(vid, maxFrames = 2).map(_._1) == Seq(0L, 1L))
+    // per-slice byte budget clamps each frame
+    assert(Multimodal.mp4Samples(vid, maxBytes = 5).forall(_._2.length <= 5))
+    // sample 0 must equal the first-sample walk
+    assert(frames(0)._2.toSeq == Multimodal.mp4FirstSample(vid).get.toSeq)
+  }
+
+  test("mp4Samples: stsc multi-chunk layout with per-entry stsz sizes") {
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    def u32s(vs: Long*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(v => bb.putInt(v.toInt)); bb.array()
+    }
+    // 5 samples, sizes 4,5,6,7,8; chunk 1 holds samples 0-2, chunk 2 the
+    // rest (stsc runs (1,3),(2,2)); a junk gap between the chunks proves
+    // the walk trusts stco, not adjacency
+    val sizes = Seq(4, 5, 6, 7, 8)
+    val samples = sizes.zipWithIndex.map { case (n, i) =>
+      Array.fill[Byte](n)(('A' + i).toByte)
+    }
+    val hdlr = u32s(0L, 0L) ++ "vide".getBytes("US-ASCII") ++ u32s(0L, 0L, 0L)
+    val stsz = u32s(Seq(0L, 0L, 5L) ++ sizes.map(_.toLong): _*)
+    val stsc = u32s(0L, 2L, 1L, 3L, 1L, 2L, 2L, 1L)
+    val gap = "JUNKJUNK".getBytes("US-ASCII")
+    def moovOf(off1: Long, off2: Long): Array[Byte] = {
+      val stco = u32s(0L, 2L, off1, off2)
+      val stbl = box("stbl", box("stsz", stsz) ++ box("stsc", stsc) ++
+        box("stco", stco))
+      box("moov", box("trak", box("mdia", box("hdlr", hdlr) ++
+        box("minf", stbl))))
+    }
+    val ftyp = box("ftyp", "isomisom".getBytes("US-ASCII"))
+    val mdatH = u32s(0L) ++ "mdat".getBytes("US-ASCII")
+    val base = ftyp.length + moovOf(0L, 0L).length + mdatH.length
+    val chunk1 = samples.take(3).reduce(_ ++ _)
+    val off1 = base.toLong
+    val off2 = off1 + chunk1.length + gap.length
+    val vid = ftyp ++ moovOf(off1, off2) ++ mdatH ++ chunk1 ++ gap ++
+      samples.drop(3).reduce(_ ++ _)
+    assert(Multimodal.isMp4(vid))
+    val frames = Multimodal.mp4Samples(vid)
+    assert(frames.map(_._1) == (0L until 5L))
+    frames.zip(samples).foreach { case ((_, got), want) =>
+      assert(got.toSeq == want.toSeq)
+    }
+    // and the gap bytes never leak into any frame
+    assert(frames.forall(!_._2.sameElements(gap)))
+  }
+
+  test("videoNear recovers the re-introed twin that first-sample clustering provably misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val header = Multimodal.mp4VideoFramesHeader()
+    // 160 varied payload bytes = 5 full frames
+    val text = (0 until 160).map(i => ('a' + (i * 7) % 26).toChar).mkString
+      .getBytes("US-ASCII")
+    val junk = Array.fill[Byte](32)('z'.toByte)
+    val docs = Seq(
+      (1L, header ++ text),
+      (2L, header ++ junk ++ text)
+    ).toDF("doc_id", "blob")
+    // frame vote: doc 2's frames 1..5 are doc 1's 0..4 — five votes at
+    // offset -1
+    val pairs = Dedup.videoNear(spark, docs).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs.head.getLong(2) == 5L)
+    // the first-sample form misses: different first frames ⇒ different
+    // container hashes ⇒ two singleton groups (the round-12 named residual
+    // this operator exists to close)
+    val groups = Dedup.imageDedup(spark, docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(1L) != groups(2L))
+  }
+
   test("mp4Meta: corrupt box sizes terminate the walk immediately") {
     // a declared size in 2..7 (smaller than the 8-byte header) must stop
     // the walk, not degrade to a byte-granular scan
