@@ -538,6 +538,79 @@ object ScaleSmoke {
           .queryExecution.toRdd.count()
       }
     }
+    // Indexed IVF probe latency at scale — the hierarchy's READ path, not
+    // just its build (the round-12 verdict's missing row): the corpus is
+    // persisted cell-partitioned ONCE through the catalog (build stages —
+    // the registry drop lives inside them so an isolated probe run reuses
+    // a prior build), then each probe is a partition-PRUNED read + rerank
+    // of nProbe/nCells of the data. Flat (`ivf IDX`) vs two-level
+    // (`ivf2 IDX`, fine-cell-partitioned with the coarse→fine walk on the
+    // stored fine table) at the same granularity, so the rows compare
+    // directly. A dir-shaped symlink view backs the registry (the
+    // incr-IDX device: the index API is dir-coupled by design).
+    locally {
+      val A = graft.operators.Ann
+      val embDir = s"${sys.props("java.io.tmpdir")}/graft-scale-embdir-$dirHash-$factor"
+      val link = java.nio.file.Paths.get(embDir, "embeddings.parquet")
+      java.nio.file.Files.createDirectories(link.getParent)
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(
+        s"${sys.props("java.io.tmpdir")}/graft-scale-emb-$dirHash-$factor"))
+      def dropIdx(name: String): Unit = {
+        val reg = graft.operators.CatalogOps.indexRegistry(spark, embDir)
+        if (reg.isIndexRegistered(name)) reg.dropIndex(name)
+      }
+      stage("ivf IDX build (flat c16)") {
+        dropIdx("embeddings-ivf-c16")
+        A.ivfTopkIndexed(spark, embDir, 0L, 10, 16, 4)
+          .queryExecution.toRdd.count()
+      }
+      stage("ivf IDX probe (flat c16)") {
+        A.ivfTopkIndexed(spark, embDir, 0L, 10, 16, 4)
+          .queryExecution.toRdd.count()
+      }
+      stage("ivf2 IDX build (f16 c4)") {
+        dropIdx("embeddings-ivf2-f16-c4")
+        A.ivfTopk2Indexed(spark, embDir, 0L, 10, 16, 4, 2, 4)
+          .queryExecution.toRdd.count()
+      }
+      stage("ivf2 IDX probe (f16 c4)") {
+        A.ivfTopk2Indexed(spark, embDir, 0L, 10, 16, 4, 2, 4)
+          .queryExecution.toRdd.count()
+      }
+    }
+    // Incremental bitext mining at scale: the inline form re-assigns the
+    // full stored target corpus per snapshot (the cost the index retires);
+    // the registry-backed twin probes the STORED assignment — build paid
+    // once (its own stage, drop inside so an isolated probe run reuses a
+    // prior build), steady-state = batch assignment + cell equi-join +
+    // margin tail. Batch = 0.1% of the corpus (the per-snapshot shape);
+    // candidate fan-out = |batch|·nProbe·|tgt|/nCells, the IVF dial.
+    locally {
+      val B = graft.operators.Bitext
+      val embDir = s"${sys.props("java.io.tmpdir")}/graft-scale-embdir-$dirHash-$factor"
+      val batch = e.where(col("vec_id") % 1000 === 0)
+        .select(col("vec_id").as("src_id"), col("embedding").as("src_vec"))
+      val tgt = e.where(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("tgt_id"), col("embedding").as("tgt_vec"))
+      stage("bitext incr mine (inline)") {
+        B.minePairsIncremental(batch, tgt, k = 4, tau = 1.0,
+          nCells = 64, nProbe = 8).queryExecution.toRdd.count()
+      }
+      def dropIdx(name: String): Unit = {
+        val reg = graft.operators.CatalogOps.indexRegistry(spark, embDir)
+        if (reg.isIndexRegistered(name)) reg.dropIndex(name)
+      }
+      stage("bitext incr IDX build") {
+        dropIdx("embeddings-bitext-cells-c64")
+        B.minePairsIncrementalIndexed(spark, embDir, batch, k = 4, tau = 1.0,
+          nCells = 64, nProbe = 8).queryExecution.toRdd.count()
+      }
+      stage("bitext incr IDX probe") {
+        B.minePairsIncrementalIndexed(spark, embDir, batch, k = 4, tau = 1.0,
+          nCells = 64, nProbe = 8).queryExecution.toRdd.count()
+      }
+    }
     // page rank: the measurement of interest at scale is the ITERATION
     // core (join + keyed agg per step) over a prebuilt edge artifact —
     // the documented 100 TB contract (edges come from the stored ANN

@@ -841,6 +841,78 @@ object Streaming {
       }
       .start()
 
+  /** [[streamSemanticDedupAdmit]] with PQ-CODED state — the 100 TB
+    * posture for the gate's one structural cost: the raw gate's contract
+    * (non-transitive verdict ⇒ EVERY seen vector in state) makes `_vecs`
+    * itself corpus-sized in raw doubles. Here state stores `(cell, code)`
+    * — the vector's per-subspace PQ indices ([[graft.functions.PqCodes]],
+    * M longs in place of `dim` doubles: 8× by schema at dim 64 / M 8,
+    * more on disk where small ints RLE-compress; identical codes within a
+    * cell also collapse under the distinct, which raw doubles rarely do).
+    *
+    * Declared semantics (the honest contract, spec-measured rather than
+    * hand-waved): the cross-batch verdict matches the incoming RAW vector
+    * against the QUANTIZED history — `cosine(v, decode(code)) ≥ tau`
+    * ([[graft.functions.PqDecode]], the asymmetric-distance form: one
+    * side exact, one side reconstructed). In-batch suppression is
+    * unchanged (raw × raw). Once raw history is discarded there is no
+    * exact re-check to fall back to — the admission delta vs the raw
+    * gate IS the codebook's distortion, the quantity [[graft.operators
+    * .Ann.pqError]] and `ivfpq_recall` audit; run those on the corpus
+    * and pick `m`/`kCodes` BEFORE trusting the compressed gate, exactly
+    * as the IVF-PQ read path demands. The codebook (like `cents`) is
+    * FIXED across batches — re-training mid-stream would re-quantize
+    * nothing (history keeps its codes) and drift the metric instead.
+    *
+    * StreamingSpec pins: replay identity (strict-below reads, per-batch
+    * overwrite dirs), the measured admission agreement vs the raw gate
+    * on the real embeddings table, and the state-width cut. */
+  def streamSemanticDedupAdmitPq(vecs: DataFrame, cents: Seq[Seq[Double]],
+                                 codebook: Seq[Seq[Seq[Double]]],
+                                 path: String, checkpointDir: String,
+                                 tau: Double = 0.4, compactEvery: Int = 16)
+                                (sink: DataFrame => Unit): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import graft.functions.VectorFunctions.cosine_sim
+          import org.apache.spark.sql.graft.Bridge
+          val assigned = graft.operators.Ann.assignCells(
+              batch.select(col("vec_id"), col("embedding")), cents)
+            .select(col("vec_id"), col("embedding"),
+              col("cell").cast("bigint").as("cell"))
+            .localCheckpoint(false)
+          val inHit = assigned.as("a").join(assigned.as("b"),
+              col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+            .where(round(cosine_sim(col("a.embedding"), col("b.embedding")), 6) >= tau)
+            .select(col("b.vec_id").as("vec_id")).distinct()
+          val crossHit = readBatchState(spark, s"$path/_codes", batchId) match {
+            case Some(state) =>
+              val decoded = Bridge.column(graft.functions.PqDecode(
+                Bridge.expression(col("__code")), codebook))
+              assigned.join(state.withColumnRenamed("code", "__code"), Seq("cell"))
+                .where(round(cosine_sim(col("embedding"), decoded), 6) >= tau)
+                .select(col("vec_id")).distinct()
+            case None => assigned.select(col("vec_id")).limit(0)
+          }
+          val admitted = assigned.select(col("vec_id"))
+            .join(inHit, Seq("vec_id"), "left_anti")
+            .join(crossHit, Seq("vec_id"), "left_anti")
+          sink(batch.join(admitted, Seq("vec_id"), "left_semi"))
+          assigned.select(col("cell"),
+              Bridge.column(graft.functions.PqCodes(
+                Bridge.expression(col("embedding").cast("array<double>")),
+                codebook)).as("code"))
+            .distinct()
+            .write.mode("overwrite").parquet(f"$path/_codes/b$batchId%020d")
+          compactBatchState(spark, s"$path/_codes", batchId, compactEvery)
+        }
+      }
+      .start()
+
   /** All batches of a [[streamCurate]] run as one decision frame. */
   def readCurate(spark: SparkSession, path: String): Option[DataFrame] = {
     val root = new Path(path)

@@ -559,6 +559,83 @@ class StreamingSpec extends SparkSpec {
       s"replayed admissions drifted: $admitted")
   }
 
+  test("streamSemanticDedupAdmitPq: state is PQ-coded (width cut asserted), agreement with the raw gate measured, commit-crash replay identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val pathPq = Files.createTempDirectory("graft-spq-").toString + "/out"
+    val ckptPq = Files.createTempDirectory("graft-spq-ckpt-").toString
+    val pathRaw = Files.createTempDirectory("graft-spqr-").toString + "/out"
+    val ckptRaw = Files.createTempDirectory("graft-spqr-ckpt-").toString
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = e.orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cents: Seq[Seq[Double]] = rows.take(16).map(_._2.toSeq).toSeq
+    // seeded per-subspace codebook (the pqCodebook contract: first kCodes
+    // vectors, sliced per subspace) — m=8 subspaces over dim 64
+    val (m, dsub) = (8, 8)
+    val codebook: Seq[Seq[Seq[Double]]] = (0 until m).map(s =>
+      cents.map(_.slice(s * dsub, (s + 1) * dsub)))
+    val batches = rows.grouped((rows.length + 2) / 3).toSeq
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    val admPq = scala.collection.mutable.ArrayBuffer[Long]()
+    val admRaw = scala.collection.mutable.ArrayBuffer[Long]()
+    val memPq = MemoryStream[(Long, Seq[Double])]
+    val memRaw = MemoryStream[(Long, Seq[Double])]
+    def runPq(): Unit = runToCompletion(Streaming.streamSemanticDedupAdmitPq(
+      memPq.toDF().toDF("vec_id", "embedding"), cents, codebook,
+      pathPq, ckptPq, tau = 0.35) { df =>
+      admPq ++= df.select(col("vec_id")).collect().map(_.getLong(0))
+    })
+    def runRaw(): Unit = runToCompletion(Streaming.streamSemanticDedupAdmit(
+      memRaw.toDF().toDF("vec_id", "embedding"), cents,
+      pathRaw, ckptRaw, tau = 0.35) { df =>
+      admRaw ++= df.select(col("vec_id")).collect().map(_.getLong(0))
+    })
+    batches.foreach { b => memPq.addData(b: _*); runPq() }
+    batches.foreach { b => memRaw.addData(b: _*); runRaw() }
+
+    // (1) the state rows are CODES, not vectors: M longs per row where the
+    // raw gate holds dim doubles — the 8× schema-width cut by construction
+    val stPq = spark.read.parquet(s"$pathPq/_codes/b" + "0" * 19 + "0")
+    assert(stPq.schema("code").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }, s"code column must be ARRAY<BIGINT>, got ${stPq.schema("code").dataType}")
+    assert(stPq.select(org.apache.spark.sql.functions.size(col("code")))
+      .distinct().collect().map(_.getInt(0)).toSeq == Seq(m))
+    val stRaw = spark.read.parquet(s"$pathRaw/_vecs/b" + "0" * 19 + "0")
+    assert(stRaw.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head.getInt(0) == m * dsub)
+
+    // (2) honest agreement measurement vs the raw gate: the delta IS the
+    // codebook's distortion (the pqError/ivfpq_recall quantity). With the
+    // crude 16-seed codebook the reconstruction is the WORST case a user
+    // would ship, so this bound is conservative for a trained codebook.
+    assert(admPq.size == admPq.toSet.size, "no double admission")
+    val (sp, sr) = (admPq.toSet, admRaw.toSet)
+    val agree = sp.intersect(sr).size.toDouble / math.max(1, sp.union(sr).size)
+    info(f"pq-vs-raw admission agreement: $agree%.3f " +
+      s"(pq=${sp.size} raw=${sr.size} both=${sp.intersect(sr).size})")
+    assert(agree >= 0.6, f"agreement $agree%.3f collapsed — codebook unusable")
+
+    // (3) commit-crash replay identity: same discipline as the raw gate
+    val last = batches.length - 1
+    val commit = java.nio.file.Paths.get(ckptPq, "commits", last.toString)
+    assert(Files.exists(commit), s"expected commit marker commits/$last")
+    Files.delete(commit)
+    Files.deleteIfExists(java.nio.file.Paths.get(ckptPq, "commits", s".$last.crc"))
+    val before = admPq.toSet
+    admPq.clear(); runPq()
+    val lastIds = batches(last).map(_._1).toSet
+    assert(admPq.toSet == before.intersect(lastIds),
+      s"replayed admissions drifted: $admPq")
+  }
+
   test("streamSemanticDedupAdmit under UNORDERED arrival: admitted pairwise non-matching, every rejection has a qualifying neighbor") {
     implicit val sqlCtx = spark.sqlContext
     val path = Files.createTempDirectory("graft-ssemu-").toString + "/out"
