@@ -47,10 +47,15 @@ object Bench {
     // included — divide by `repeats` to compare against a single BenchAB run)
     val execMs = new java.util.concurrent.atomic.AtomicLong(0)
     val gcMs = new java.util.concurrent.atomic.AtomicLong(0)
+    // cpu vs run disambiguates the round-13 curate finding: executorRunTime
+    // is task WALL, so co-resident threads (cleaner, GC) inflate it in
+    // suite context; executorCpuTime moves only when the work itself moved
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         execMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
         gcMs.addAndGet(sc.stageInfo.taskMetrics.jvmGCTime)
+        cpuNs.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime)
       }
     })
 
@@ -94,6 +99,7 @@ object Bench {
     val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val execSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     val gcSec = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val cpuSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // settle BEFORE each query, not each repeat: heap debt left by the
       // previous query (broadcast cleanup, shuffle buffers) otherwise
@@ -101,7 +107,7 @@ object Bench {
       // the contamination instead of discarding it (measured: identical
       // code, 39.9s vs 76.3s totals run-to-run without this)
       System.gc()
-      execMs.set(0); gcMs.set(0)
+      execMs.set(0); gcMs.set(0); cpuNs.set(0)
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       var failed = false
       var i = 0
@@ -120,6 +126,7 @@ object Bench {
       }
       execSec(name) = execMs.get() / 1000.0
       gcSec(name) = gcMs.get() / 1000.0
+      cpuSec(name) = cpuNs.get() / 1e9
       if (failed) name -> -1.0
       else {
         val sorted = times.sorted
@@ -139,7 +146,8 @@ object Bench {
       .mkString("{", ",", "}")
     val spreadJson = ",\"max_over_median\":" + fmtMap(spreads)
     val metricsJson =
-      ",\"exec_sec\":" + fmtMap(execSec) + ",\"gc_sec\":" + fmtMap(gcSec)
+      ",\"exec_sec\":" + fmtMap(execSec) + ",\"gc_sec\":" + fmtMap(gcSec) +
+        ",\"cpu_sec\":" + fmtMap(cpuSec)
     val errJson =
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => esc(k) + ":" + esc(v) }

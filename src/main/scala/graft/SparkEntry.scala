@@ -657,6 +657,28 @@ object SparkEntry {
             concat(lit(header), md5(col("text")).cast("binary"),
               col("text").cast("binary")).as("blob"))))
     }),
+    "dedup_video_frames_near" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, length, lit, md5, octet_length}
+      // the banded-Hamming widening over the same re-intro corpus: frames
+      // pair at popcount <= 3 instead of exact equality, so the vote chain
+      // admits near-matching frames too — the oracle brute-forces the
+      // Hamming vote (band-subset keys are lossless at maxHamming <=
+      // bands - t, so the banded plan must return exactly these rows)
+      val header = Multimodal.mp4VideoFramesHeader()
+      // bucket < 5 (vs the exact form's 20): the banded join pays
+      // C(bands,t) key rows per frame and its verify is popcount-wide, so
+      // the oracle-checked slice is kept at the quarter corpus — measured
+      // 53 s at the sf0.1 20-bucket slice vs ~4 s here, same semantics
+      val base = Tables.documents(s, dir)
+        .where(octet_length(col("text")) === length(col("text")) &&
+          graft.operators.Sampling.hashBucket(col("doc_id")) < 5)
+      Dedup.videoNearHamming(s,
+        base.select(col("doc_id"),
+            concat(lit(header), col("text").cast("binary")).as("blob"))
+          .unionByName(base.select((col("doc_id") + lit(100000L)).as("doc_id"),
+            concat(lit(header), md5(col("text")).cast("binary"),
+              col("text").cast("binary")).as("blob"))))
+    }),
     "multimodal_frames" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, length, md5, octet_length}
       // ASCII-pure docs only: the operator slices BYTES (its domain is real
@@ -3519,6 +3541,27 @@ object SparkEntry {
          |        a.frame_no - b.frame_no AS off
          |      FROM fh a JOIN fh b ON a.fhash = b.fhash
          |      WHERE a.doc_id < b.doc_id),
+         |vv AS (SELECT a_id, b_id, off, count(*) AS v FROM p GROUP BY 1, 2, 3)
+         |SELECT a_id, b_id, CAST(max(v) AS BIGINT) AS votes
+         |FROM vv GROUP BY a_id, b_id HAVING max(v) >= 3
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // the banded-Hamming widening, brute-forced: same corpus and frame
+    // hashes as dedup_video_frames, frames pair at popcount <= 3, votes
+    // per offset — losslessness (pinned in MultimodalSpec/DedupSpec's
+    // band-subset proofs) makes the banded plan answer-equivalent
+    "dedup_video_frames_near" ->
+      s"""WITH d0 AS (SELECT doc_id, text FROM documents
+         |  WHERE strlen(text) = length(text)
+         |    AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 5),
+         |vc AS (SELECT doc_id, text FROM d0
+         |       UNION ALL
+         |       SELECT doc_id + 100000 AS doc_id, md5(text) || text AS text FROM d0),
+         |${videoFrameHashCtes},
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |        a.frame_no - b.frame_no AS off
+         |      FROM fh a JOIN fh b ON a.doc_id < b.doc_id
+         |        AND bit_count(xor(a.fhash, b.fhash)) <= 3),
          |vv AS (SELECT a_id, b_id, off, count(*) AS v FROM p GROUP BY 1, 2, 3)
          |SELECT a_id, b_id, CAST(max(v) AS BIGINT) AS votes
          |FROM vv GROUP BY a_id, b_id HAVING max(v) >= 3

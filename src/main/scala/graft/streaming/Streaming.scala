@@ -719,7 +719,20 @@ object Streaming {
     * schedule — the [[streamCurate]] replay discipline throughout. Under
     * doc_id-ordered arrival the admitted WAV set equals
     * `audioDedup(corpus).where(keep)`; unordered arrival degrades to
-    * first-arrival-wins with the same invariants the image gate pins. */
+    * first-arrival-wins with the same invariants the image gate pins.
+    *
+    * `keyPeaks` is deliberately a SETUP-TIME dial here, not the per-batch
+    * self-dial the batch forms got ([[graft.operators.Dedup
+    * .audioDedupAuto]]): the cross-batch arm joins incoming landmarks
+    * against ACCUMULATED state rows, so every batch must extract
+    * landmarks under the SAME key shape — pair rows (`lc = dt2 = 0`) and
+    * triple rows never vote against each other, and a mid-stream switch
+    * would silently blind the gate to everything admitted before it.
+    * Like `cents` on the semantic gate (and the PQ gate's codebook), the
+    * dial is stream-constant by contract: run [[graft.operators.Dedup
+    * .landmarkKeyAudit]] on a representative corpus BEFORE launching and
+    * pick `keyPeaks` from the measured saturation — the audit is the
+    * setup-time decision for streams, the per-mine decision for batch. */
   def streamAudioDedupAdmit(docs: DataFrame, path: String, checkpointDir: String,
                             windowSamples: Int = 16, hop: Int = 4,
                             maxBytes: Int = 1 << 20, maxDt: Int = 8,

@@ -478,6 +478,47 @@ class MultimodalSpec extends SparkSpec {
     assert(groups(1L) != groups(2L))
   }
 
+  test("videoNearHamming recovers the per-frame-drifted re-intro twin exact voting misses") {
+    import spark.implicits._
+    val header = Multimodal.mp4VideoFramesHeader()
+    val text = (0 until 160).map(i => ('a' + (i * 7) % 26).toChar).mkString
+      .getBytes("US-ASCII")
+    // the re-encode device: flip ONE gradient bit per frame — byte 31 of a
+    // 32-byte frame only participates in the row-3 c=6 gradient (bit 27),
+    // so forcing that comparison to invert changes every frame hash by
+    // EXACTLY one bit
+    val drifted = text.clone()
+    var i = 31
+    while (i < drifted.length) {
+      val prev = drifted(i - 1) & 0xff
+      drifted(i) =
+        (if ((drifted(i) & 0xff) > prev) math.max(prev - 1, 0)
+         else math.min(prev + 1, 255)).toByte
+      i += 32
+    }
+    val junk = Array.fill[Byte](32)('z'.toByte)
+    val docs = Seq(
+      (1L, header ++ text),
+      (2L, header ++ junk ++ drifted)
+    ).toDF("doc_id", "blob")
+    // exact frame voting provably misses: every shared frame differs by
+    // one bit, so no frame hash ever joins
+    assert(Dedup.videoNear(spark, docs).collect().isEmpty)
+    // the banded-Hamming widening (explicit t) recovers the twin at
+    // offset -1 with all five full frames voting
+    val pairs = Dedup.videoNearHamming(spark, docs, agreeBands = 2).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs.head.getLong(2) == 5L)
+    // maxHamming = 0 degenerates to the exact form's answer (empty here)
+    assert(Dedup.videoNearHamming(spark, docs, maxHamming = 0, agreeBands = 2)
+      .collect().isEmpty)
+    // auto-t (the default) is lossless at every clamped setting — same
+    // answer as the explicit dial
+    val auto = Dedup.videoNearHamming(spark, docs).collect()
+    assert(auto.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("mp4Meta: corrupt box sizes terminate the walk immediately") {
     // a declared size in 2..7 (smaller than the 8-byte header) must stop
     // the walk, not degrade to a byte-granular scan

@@ -41,14 +41,15 @@ object BenchAB {
     val unknown = names.filterNot(graft.SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
 
-    // per-stage (id, name, executorRunTime ms, jvmGCTime ms, tasks)
-    val stages = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Int)]()
+    // per-stage (id, name, executorRunTime ms, jvmGCTime ms, cpu ns, tasks)
+    val stages = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Long, Int)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         stages.synchronized {
           stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(60),
-            si.taskMetrics.executorRunTime, si.taskMetrics.jvmGCTime, si.numTasks))
+            si.taskMetrics.executorRunTime, si.taskMetrics.jvmGCTime,
+            si.taskMetrics.executorCpuTime, si.numTasks))
         }
       }
     })
@@ -71,12 +72,14 @@ object BenchAB {
         val n = fn(spark, sfDir).queryExecution.toRdd.count()
         val wall = (System.nanoTime() - t0) / 1e9
         walls += wall
-        val (run, gc) = stages.synchronized(
-          (stages.map(_._3).sum, stages.map(_._4).sum))
-        println(f"  run $i: rows=$n wall=$wall%.2f s executorRun=${run / 1000.0}%.2f s gc=${gc / 1000.0}%.2f s")
+        val (run, gc, cpu) = stages.synchronized(
+          (stages.map(_._3).sum, stages.map(_._4).sum, stages.map(_._5).sum))
+        // cpu vs run separates real work from task-wall inflation by
+        // co-resident threads (the round-13 curate adjudication lesson)
+        println(f"  run $i: rows=$n wall=$wall%.2f s executorRun=${run / 1000.0}%.2f s cpu=${cpu / 1e9}%.2f s gc=${gc / 1000.0}%.2f s")
         if (i == repeats) stages.synchronized {
-          stages.sortBy(-_._3).take(10).foreach { case (id, nm, r, g, t) =>
-            println(f"    stage $id%5d $nm%-60s run=${r / 1000.0}%8.2f s gc=${g / 1000.0}%6.2f s tasks=$t%4d")
+          stages.sortBy(-_._3).take(10).foreach { case (id, nm, r, g, c, t) =>
+            println(f"    stage $id%5d $nm%-60s run=${r / 1000.0}%8.2f s cpu=${c / 1e9}%6.2f s gc=${g / 1000.0}%6.2f s tasks=$t%4d")
           }
         }
       }
