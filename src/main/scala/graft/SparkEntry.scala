@@ -366,6 +366,28 @@ object SparkEntry {
       Bitext.minePairsIncrementalIndexed(s, dir, batch,
         k = 4, tau = 1.0, nCells = 8, nProbe = 8)
     }),
+    // the two-level incremental rung at FULL-OPEN settings (wCoarse =
+    // nCoarse, nProbe = nFine): exact candidates, so both the inline and
+    // the three-stored-layer indexed form share the incremental
+    // brute-force oracle verbatim
+    "bitext_mine_incremental2" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val batch = Tables.embeddings(s, dir)
+        .where(col("vec_id") % 2 === 0 &&
+          graft.operators.Sampling.hashBucket(col("vec_id")) >= 50)
+        .select(col("vec_id").as("src_id"), col("embedding").as("src_vec"))
+      Bitext.minePairsIncremental2(batch, Bitext.tgtSide(s, dir),
+        k = 4, tau = 1.0, nFine = 8, nCoarse = 3, wCoarse = 3, nProbe = 8)
+    }),
+    "bitext_mine_incremental_indexed2" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val batch = Tables.embeddings(s, dir)
+        .where(col("vec_id") % 2 === 0 &&
+          graft.operators.Sampling.hashBucket(col("vec_id")) >= 50)
+        .select(col("vec_id").as("src_id"), col("embedding").as("src_vec"))
+      Bitext.minePairsIncrementalIndexed2(s, dir, batch,
+        k = 4, tau = 1.0, nFine = 8, nCoarse = 3, wCoarse = 3, nProbe = 8)
+    }),
     "bitext_hubness" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       // the diagnostic that motivates the margin: top hub targets by
@@ -4248,6 +4270,10 @@ object SparkEntry {
     // twin must be byte-identical (stored assignment + pinned centroids)
     "bitext_mine_incremental" -> bitextMineIncrementalSql,
     "bitext_mine_incremental_indexed" -> bitextMineIncrementalSql,
+    // the two-level incremental rung at full-open is exact — same
+    // incremental brute-force oracle for the inline and indexed forms
+    "bitext_mine_incremental2" -> bitextMineIncrementalSql,
+    "bitext_mine_incremental_indexed2" -> bitextMineIncrementalSql,
 
     // the forward-kNN pass of bitext_mine re-aggregated by target: hub
     // count = how many sources hold the target in their k-NN

@@ -293,6 +293,150 @@ object Bitext {
       spark.read.parquet(s"${idx.path}/cells"), nProbe), k, tau)
   }
 
+  /** TWO-LEVEL [[minePairsIncremental]] — the hierarchical rung for the
+    * incremental family, so the per-snapshot probe carries no
+    * `nCells × dim` literal either: only the COARSE layer
+    * (`nCoarse ≈ ⌈√nFine⌉` lowest-tgt_id vectors) is driver state; the
+    * fine layer is a TABLE (stored by the indexed twin) reached through
+    * `ccell`/`fcell` equi-joins, and the corpus assignment is keyed by
+    * FINE cell. Full-open (`wCoarse = nCoarse`, `nProbe = nFine`) is
+    * exact, so the incremental brute-force oracle carries over verbatim
+    * — [[minePairs2]]'s contract, anchored to the stable corpus side. */
+  def minePairsIncremental2(x: DataFrame, y: DataFrame, k: Int = 4,
+                            tau: Double = 1.0, nFine: Int = 8,
+                            nCoarse: Int = 3, wCoarse: Int = 3,
+                            nProbe: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nCoarse >= 1 && wCoarse >= 1 && wCoarse <= nCoarse,
+      s"need 1 <= wCoarse <= nCoarse, got wCoarse=$wCoarse nCoarse=$nCoarse")
+    require(nFine >= nCoarse && nProbe >= 1 && nProbe <= nFine,
+      s"need nCoarse <= nFine and 1 <= nProbe <= nFine")
+    val coarse = seedTgtCentroids(y, nCoarse)
+    val fineTab = tgtFineTab(y, coarse, nFine)
+    mineFromCandidates(candidatesAgainst2(x, coarse, fineTab,
+      tgtCells2Of(y, coarse, fineTab), wCoarse, nProbe), k, tau)
+  }
+
+  /** [[minePairsIncremental2]] against the CATALOG-MANAGED two-level
+    * index: coarse centroids (the only driver state at probe time), the
+    * fine-centroid TABLE, and the corpus's fine-cell assignment are all
+    * persisted and fingerprint-pinned — a snapshot mine reads three
+    * stored layers and re-assigns nothing. The indexed twin's pairs are
+    * byte-identical to the inline form (BitextSpec pins it; the oracle
+    * is the inline SQL verbatim at full-open). */
+  def minePairsIncrementalIndexed2(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, x: DataFrame, k: Int = 4,
+                                   tau: Double = 1.0, nFine: Int = 8,
+                                   nCoarse: Int = 3, wCoarse: Int = 3,
+                                   nProbe: Int = 8,
+                                   policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
+      name = s"embeddings-bitext-cells2-f$nFine-c$nCoarse", kind = "bitext-cells-2level",
+      sourcePath = s"$dir/embeddings.parquet",
+      params = Map("nFine" -> nFine.toString, "nCoarse" -> nCoarse.toString,
+        "side" -> "vec_id%2=1", "seeding" -> "lowest-tgt-id",
+        "metric" -> "cosine6", "layout" -> "coarse+fine+cells2"),
+      policy = policy) { out =>
+      val y = tgtSide(spark, dir)
+      val coarse = seedTgtCentroids(y, nCoarse)
+      import spark.implicits._
+      coarse.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cidx", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/coarse")
+      val fineTab = tgtFineTab(y, coarse, nFine)
+      fineTab.coalesce(1).write.mode("overwrite").parquet(s"$out/fine")
+      tgtCells2Of(y, coarse, fineTab)
+        .write.mode("overwrite").parquet(s"$out/cells2")
+    }
+    val coarse: Seq[Seq[Double]] = spark.read.parquet(s"${idx.path}/coarse")
+      .orderBy(col("cidx")).select(col("cv")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    mineFromCandidates(candidatesAgainst2(x, coarse,
+      spark.read.parquet(s"${idx.path}/fine"),
+      spark.read.parquet(s"${idx.path}/cells2"), wCoarse, nProbe), k, tau)
+  }
+
+  /** [[minePairsIncremental]] with the flat-vs-two-level rung SELF-DIALED
+    * from the requested cell count — [[graft.operators.Ann.FlatCellMax]]'s
+    * dial completing the rung discipline for the incremental family (the
+    * flat incremental probe collects `nCells` corpus vectors and bakes
+    * them into every snapshot's plan — the same literal the batch auto
+    * twins retire). RungPickerSpec pins auto ≡ explicit on both sides. */
+  def minePairsIncrementalAuto(x: DataFrame, y: DataFrame, k: Int = 4,
+                               tau: Double = 1.0, nCells: Int = 8,
+                               nProbe: Int = 8,
+                               flatCellMax: Int = Ann.FlatCellMax): DataFrame =
+    if (nCells <= flatCellMax) minePairsIncremental(x, y, k, tau, nCells, nProbe)
+    else minePairsIncremental2(x, y, k, tau, nCells, Ann.coarseFor(nCells),
+      Ann.coarseFor(nCells), nProbe)
+
+  /** Fine-centroid TABLE anchored to the target side: one row per fine
+    * centroid — `(fcell, ccell, fv)` where fcell is 1-based over the
+    * `nFine` lowest-tgt_id vectors and ccell its coarse argmax (the
+    * [[graft.operators.Ann.fineCentroids]] contract on the corpus side).
+    * The row_number window is the only single-partition pass, bounded by
+    * `nFine` rows by construction. */
+  private def tgtFineTab(y: DataFrame, coarse: Seq[Seq[Double]],
+                         nFine: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    y.orderBy(col("tgt_id")).limit(nFine)
+      .select(col("tgt_id"), col("tgt_vec").cast("array<double>").as("fv"))
+      .withColumn("ccell", Bridge.column(graft.functions.NearestCentroid(
+        Bridge.expression(col("fv")), coarse)))
+      .withColumn("fcell",
+        row_number().over(Window.orderBy(col("tgt_id"))).cast("long"))
+      .select(col("fcell"), col("ccell"), col("fv"))
+  }
+
+  /** The target corpus's FINE-cell assignment under the two-level
+    * quantizer: coarse argmax, then the fine max_by among that coarse
+    * cell's children (6-dp cosine desc, lower fcell on ties — the
+    * [[graft.operators.Ann.assignCells2]] ranking contract). Stored by
+    * [[minePairsIncrementalIndexed2]]; nothing here is driver state. */
+  private def tgtCells2Of(y: DataFrame, coarse: Seq[Seq[Double]],
+                          fineTab: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val par = y.sparkSession.sparkContext.defaultParallelism
+    y.repartition(par, col("tgt_id"))
+      .select(col("tgt_id"), col("tgt_vec").cast("array<double>").as("tv"))
+      .withColumn("ccell", Bridge.column(graft.functions.NearestCentroid(
+        Bridge.expression(col("tv")), coarse)))
+      .join(fineTab, Seq("ccell"))
+      .select(col("tgt_id"), col("tv"), col("fcell"),
+        round(cosine_sim(col("tv"), col("fv")), 6).as("fs"))
+      .groupBy(col("tgt_id"))
+      .agg(max_by(struct(col("tv"), col("fcell")),
+        struct(col("fs"), (-col("fcell")).as("nf"))).as("m"))
+      .select(col("m.fcell").as("fcell"), col("tgt_id"), col("m.tv").as("tv"))
+  }
+
+  /** Two-level candidate pairs for the incremental family: the batch
+    * probes `wCoarse` coarse cells (literal-sized ranking), opens their
+    * children through the fine TABLE, keeps its top `nProbe` fine cells,
+    * and equi-joins the STORED fine-cell corpus assignment — batch side
+    * broadcast by contract ([[candidatesAgainst]]'s pinned direction). */
+  private def candidatesAgainst2(x: DataFrame, coarse: Seq[Seq[Double]],
+                                 fineTab: DataFrame, tgtCells2: DataFrame,
+                                 wCoarse: Int, nProbe: Int): DataFrame = {
+    require(coarse.nonEmpty, "cannot probe with an empty coarse layer")
+    import org.apache.spark.sql.graft.Bridge
+    val par = x.sparkSession.sparkContext.defaultParallelism
+    val wf = Window.partitionBy(col("src_id")).orderBy(desc("fs"), asc("fcell"))
+    val probes = x.repartition(par, col("src_id"))
+      .select(col("src_id"), col("src_vec").cast("array<double>").as("qv"),
+        explode(Bridge.column(graft.functions.TopCells(
+          Bridge.expression(col("src_vec").cast("array<double>")), coarse,
+          math.min(wCoarse, coarse.length)))).as("ccell"))
+      .join(fineTab, Seq("ccell"))
+      .withColumn("fs", round(cosine_sim(col("qv"), col("fv")), 6))
+      .withColumn("frnk", row_number().over(wf))
+      .where(col("frnk") <= nProbe)
+      .select(col("src_id"), col("qv"), col("fcell"))
+    probes.hint("broadcast").join(tgtCells2, Seq("fcell"))
+      .select(col("src_id"), col("tgt_id"),
+        round(cosine_sim(col("qv"), col("tv")) * 1e6, 0).cast("bigint").as("c6"))
+  }
+
   /** The engine's standard bitext target side over the embeddings table
     * (odd `vec_id` half) — the corpus [[minePairsIncrementalIndexed]]
     * indexes. */

@@ -534,4 +534,39 @@ class PlanShapeSpec extends SparkSpec {
     assert("""(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[fcell#\d+""".r
       .findFirstIn(p).isDefined, s"candidates not keyed on the fine cell:\n$p")
   }
+
+  test("bitext minePairsIncremental: the BATCH probe side broadcasts — the corpus assignment streams") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, dir)
+    val batch = e.where(col("vec_id") % 2 === 0 &&
+        graft.operators.Sampling.hashBucket(col("vec_id")) >= 50)
+      .select(col("vec_id").as("src_id"), col("embedding").as("src_vec"))
+    val p = plan(graft.operators.Bitext.minePairsIncremental(
+      batch, graft.operators.Bitext.tgtSide(spark, dir)))
+    // the pinned-direction lesson: a filtered parquet batch is
+    // size-estimated at the whole file, so without the hint Catalyst
+    // sort-merge-shuffles the stored corpus per snapshot
+    assert("""BroadcastHashJoin \[cell#\d+L?\], \[cell#\d+L?\], Inner, BuildLeft""".r
+      .findFirstIn(p).isDefined, s"batch probe side not broadcast on the cell join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("WindowGroupLimit"), s"no partial rank limit:\n$p")
+  }
+
+  test("videoNear / videoNearHamming: frame pairing is keyed, capped, never a cartesian") {
+    import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
+    val header = graft.operators.Multimodal.mp4VideoFramesHeader()
+    val corpus = Tables.documents(spark, dir)
+      .where(octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), concat(lit(header), col("text").cast("binary")).as("blob"))
+    val pe = plan(graft.operators.Dedup.videoNear(spark, corpus))
+    assert(!pe.contains("CartesianProduct") && !pe.contains("BroadcastNestedLoop"),
+      s"exact frame vote not keyed on the hash:\n$pe")
+    assert("""(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[fhash#\d+""".r
+      .findFirstIn(pe).isDefined, s"frames not equi-joined on fhash:\n$pe")
+    val ph = plan(graft.operators.Dedup.videoNearHamming(spark, corpus, agreeBands = 2))
+    assert(!ph.contains("CartesianProduct") && !ph.contains("BroadcastNestedLoop"),
+      s"banded frame vote lost its bucket keying:\n$ph")
+    // the constant-band guard is IN the plan: bucket size filtered to the cap
+    assert(ph.contains("size(bucket"), s"bucket-size cap missing from the plan:\n$ph")
+  }
 }

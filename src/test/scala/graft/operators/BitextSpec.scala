@@ -57,6 +57,40 @@ class BitextSpec extends SparkSpec {
       policy = graft.core.IndexPolicy.FailIfMissing)) == inline)
   }
 
+  test("minePairsIncremental2: full-open ≡ flat incremental; indexed2 ≡ inline2; FailIfMissing") {
+    val batch = srcSide(_.where(Sampling.hashBucket(col("vec_id")) >= 50))
+    val corpus = Bitext.tgtSide(spark, dir)
+    val flat = rows(Bitext.minePairsIncremental(batch, corpus))
+    // full-open two-level: exact candidates — the flat answer bit-for-bit
+    // through the coarse-literal + fine-table plan
+    val inline2 = rows(Bitext.minePairsIncremental2(batch, corpus,
+      nFine = 8, nCoarse = 3, wCoarse = 3, nProbe = 8))
+    assert(inline2 == flat)
+    val reg = CatalogOps.indexRegistry(spark, dir)
+    val name = "embeddings-bitext-cells2-f8-c3"
+    if (reg.isIndexRegistered(name)) reg.dropIndex(name)
+    intercept[graft.core.GraftException] {
+      Bitext.minePairsIncrementalIndexed2(spark, dir, batch,
+        policy = graft.core.IndexPolicy.FailIfMissing).collect()
+    }
+    assert(rows(Bitext.minePairsIncrementalIndexed2(spark, dir, batch)) == inline2)
+    val built = CatalogOps.indexRegistry(spark, dir).getIndex(name)
+    assert(rows(Bitext.minePairsIncrementalIndexed2(spark, dir, batch)) == inline2)
+    assert(CatalogOps.indexRegistry(spark, dir).getIndex(name).version == built.version)
+  }
+
+  test("minePairsIncrementalAuto: auto ≡ explicit on both sides of the threshold") {
+    val batch = srcSide(_.where(Sampling.hashBucket(col("vec_id")) >= 50))
+    val corpus = Bitext.tgtSide(spark, dir)
+    assert(rows(Bitext.minePairsIncrementalAuto(batch, corpus,
+        nCells = 8, nProbe = 8)) ==
+      rows(Bitext.minePairsIncremental(batch, corpus, nCells = 8, nProbe = 8)))
+    assert(rows(Bitext.minePairsIncrementalAuto(batch, corpus,
+        nCells = 8, nProbe = 8, flatCellMax = 0)) ==
+      rows(Bitext.minePairsIncremental2(batch, corpus,
+        nFine = 8, nCoarse = 3, wCoarse = 3, nProbe = 8)))
+  }
+
   test("minePairsIncremental: partial probe is a subset of the full-probe pairs") {
     // the IVF dial only removes candidates; a mutual-best pair that
     // survives a smaller candidate set need not survive the larger one,
