@@ -610,6 +610,20 @@ object ScaleSmoke {
         B.minePairsIncrementalIndexed(spark, embDir, batch, k = 4, tau = 1.0,
           nCells = 64, nProbe = 8).queryExecution.toRdd.count()
       }
+      // the two-level rung at the same fine granularity: probe-time driver
+      // state shrinks from 64 centroids to the 8-row coarse layer; the
+      // fine layer and the corpus assignment are stored tables
+      stage("bitext incr IDX2 build") {
+        dropIdx("embeddings-bitext-cells2-f64-c8")
+        B.minePairsIncrementalIndexed2(spark, embDir, batch, k = 4, tau = 1.0,
+          nFine = 64, nCoarse = 8, wCoarse = 8, nProbe = 8)
+          .queryExecution.toRdd.count()
+      }
+      stage("bitext incr IDX2 probe") {
+        B.minePairsIncrementalIndexed2(spark, embDir, batch, k = 4, tau = 1.0,
+          nFine = 64, nCoarse = 8, wCoarse = 8, nProbe = 8)
+          .queryExecution.toRdd.count()
+      }
     }
     // page rank: the measurement of interest at scale is the ITERATION
     // core (join + keyed agg per step) over a prebuilt edge artifact —

@@ -361,7 +361,7 @@ object Bitext {
     * dial completing the rung discipline for the incremental family (the
     * flat incremental probe collects `nCells` corpus vectors and bakes
     * them into every snapshot's plan — the same literal the batch auto
-    * twins retire). RungPickerSpec pins auto ≡ explicit on both sides. */
+    * twins retire). BitextSpec pins auto ≡ explicit on both sides. */
   def minePairsIncrementalAuto(x: DataFrame, y: DataFrame, k: Int = 4,
                                tau: Double = 1.0, nCells: Int = 8,
                                nProbe: Int = 8,

@@ -559,6 +559,67 @@ class StreamingSpec extends SparkSpec {
       s"replayed admissions drifted: $admitted")
   }
 
+  test("streamBitextMine: per-batch pairs ≡ the indexed batch miner; FailIfMissing refuses; commit-crash replay byte-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val path = Files.createTempDirectory("graft-sbtx-").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-sbtx-ckpt-").toString
+    val e = graft.core.Tables.embeddings(spark, dir)
+    val srcRows = e.where(col("vec_id") % 2 === 0).orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val batches = srcRows.grouped((srcRows.length + 1) / 2).toSeq
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    val mem = MemoryStream[(Long, Seq[Double])]
+    // an unbuilt index must refuse (FailIfMissing default): the stream
+    // terminates with the registry's not-built error
+    val reg = graft.operators.CatalogOps.indexRegistry(spark, dir)
+    if (reg.isIndexRegistered("embeddings-bitext-cells-c8"))
+      reg.dropIndex("embeddings-bitext-cells-c8")
+    mem.addData(batches.head: _*)
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = Streaming.streamBitextMine(spark, dir,
+        mem.toDF().toDF("src_id", "src_vec"), path, ckpt)
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    assert(failed.getMessage.contains("not built"), failed.getMessage)
+    // build through the batch API (the orchestrated step), then stream
+    val batchDf = (ids: Seq[(Long, Seq[Double])]) => {
+      import spark.implicits._
+      ids.toDF("src_id", "src_vec")
+    }
+    graft.operators.Bitext.minePairsIncrementalIndexed(spark, dir,
+      batchDf(batches.head),
+      policy = graft.core.IndexPolicy.BuildIfMissing).collect()
+    def run(): Unit = runToCompletion(Streaming.streamBitextMine(spark, dir,
+      mem.toDF().toDF("src_id", "src_vec"), path, ckpt))
+    run() // batch 0 (already queued above)
+    mem.addData(batches(1): _*); run()
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = pairs(Streaming.readMinedPairs(spark, path).get)
+    // per-batch equivalence: the union of batch dirs equals the indexed
+    // batch miner run over each batch independently
+    val want = batches.map(b => pairs(
+      graft.operators.Bitext.minePairsIncrementalIndexed(spark, dir, batchDf(b),
+        policy = graft.core.IndexPolicy.FailIfMissing))).reduce(_ ++ _)
+    assert(streamed == want, s"stream/batch divergence: " +
+      s"extra=${streamed -- want} missing=${want -- streamed}")
+    // commit-crash replay: stateless given the index ⇒ byte-identical dirs
+    val last = batches.length - 1
+    val commit = java.nio.file.Paths.get(ckpt, "commits", last.toString)
+    assert(Files.exists(commit), s"expected commit marker commits/$last")
+    Files.delete(commit)
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", s".$last.crc"))
+    run()
+    assert(pairs(Streaming.readMinedPairs(spark, path).get) == want,
+      "replay changed the mined-pair table")
+  }
+
   test("streamSemanticDedupAdmitPq: state is PQ-coded (width cut asserted), agreement with the raw gate measured, commit-crash replay identical") {
     implicit val sqlCtx = spark.sqlContext
     val pathPq = Files.createTempDirectory("graft-spq-").toString + "/out"
