@@ -701,6 +701,26 @@ object SparkEntry {
             concat(lit(header), md5(col("text")).cast("binary"),
               col("text").cast("binary")).as("blob"))))
     }),
+    "video_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, length, lit, md5, octet_length}
+      // the treatment form's three-arm corpus: each sliced doc as an
+      // n-frame video (A), its re-introed near twin (B, one md5-hex junk
+      // frame prepended), and a byte-identical re-mux stand-in (C — same
+      // frame-hash sequence as A, so it must COLLAPSE with A before the
+      // mine); components must be {A, B, C} with A as the keeper
+      val header = Multimodal.mp4VideoFramesHeader()
+      val base = Tables.documents(s, dir)
+        .where(octet_length(col("text")) === length(col("text")) &&
+          graft.operators.Sampling.hashBucket(col("doc_id")) < 20)
+      Dedup.videoDedup(s,
+        base.select(col("doc_id"),
+            concat(lit(header), col("text").cast("binary")).as("blob"))
+          .unionByName(base.select((col("doc_id") + lit(100000L)).as("doc_id"),
+            concat(lit(header), md5(col("text")).cast("binary"),
+              col("text").cast("binary")).as("blob")))
+          .unionByName(base.select((col("doc_id") + lit(200000L)).as("doc_id"),
+            concat(lit(header), col("text").cast("binary")).as("blob"))))
+    }),
     "multimodal_frames" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, length, md5, octet_length}
       // ASCII-pure docs only: the operator slices BYTES (its domain is real
@@ -3567,6 +3587,41 @@ object SparkEntry {
          |SELECT a_id, b_id, CAST(max(v) AS BIGINT) AS votes
          |FROM vv GROUP BY a_id, b_id HAVING max(v) >= 3
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // the treatment form: fingerprint collapse (ordered frame-hash list)
+    // before the vote mine, components via the recursive walk over rep
+    // pairs, every video inherits its rep's root — the audio_dedup oracle
+    // structure for the video modality over the three-arm corpus
+    "video_dedup" ->
+      s"""WITH RECURSIVE d0 AS (SELECT doc_id, text FROM documents
+         |  WHERE strlen(text) = length(text)
+         |    AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 20),
+         |vc AS (SELECT doc_id, text FROM d0
+         |       UNION ALL
+         |       SELECT doc_id + 100000 AS doc_id, md5(text) || text AS text FROM d0
+         |       UNION ALL
+         |       SELECT doc_id + 200000 AS doc_id, text FROM d0),
+         |${videoFrameHashCtes},
+         |fp AS (SELECT doc_id, string_agg(
+         |         CAST(frame_no AS VARCHAR) || ':' || CAST(fhash AS VARCHAR),
+         |         ' ' ORDER BY frame_no) AS fp
+         |       FROM fh GROUP BY doc_id),
+         |rp AS (SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY fp) AS rep FROM fp),
+         |fhr AS (SELECT fh.* FROM fh JOIN rp ON fh.doc_id = rp.id AND rp.id = rp.rep),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |        a.frame_no - b.frame_no AS off
+         |      FROM fhr a JOIN fhr b ON a.fhash = b.fhash AND a.doc_id < b.doc_id),
+         |vv AS (SELECT a_id, b_id, off, count(*) AS v FROM p GROUP BY 1, 2, 3),
+         |pr AS (SELECT a_id AS pa, b_id AS pb FROM vv
+         |       GROUP BY a_id, b_id HAVING max(v) >= 3),
+         |e AS (SELECT pa, pb FROM pr UNION SELECT pb, pa FROM pr),
+         |walk(pa, pb) AS (SELECT pa, pb FROM e
+         |                 UNION SELECT walk.pa, e.pb FROM walk JOIN e ON walk.pb = e.pa),
+         |roots AS (SELECT pa AS id, least(pa, min(pb)) AS root FROM walk GROUP BY pa)
+         |SELECT rp.id AS doc_id, coalesce(rt.root, rp.rep) AS group_id,
+         |       rp.id = coalesce(rt.root, rp.rep) AS keep
+         |FROM rp LEFT JOIN roots rt ON rt.id = rp.rep
+         |ORDER BY doc_id""".stripMargin,
 
     // the banded-Hamming widening, brute-forced: same corpus and frame
     // hashes as dedup_video_frames, frames pair at popcount <= 3, votes

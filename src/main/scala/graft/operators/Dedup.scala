@@ -1528,9 +1528,16 @@ object Dedup {
   def videoNear(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
                 idCol: String = "doc_id", blobCol: String = "blob",
                 maxFrames: Int = 16, maxBytes: Int = 1 << 20,
-                minVotes: Int = 3): DataFrame = {
-    val fr = Multimodal.videoFrameHashes(spark, docs, idCol, blobCol,
-      maxFrames, maxBytes)
+                minVotes: Int = 3): DataFrame =
+    frameVotes(Multimodal.videoFrameHashes(spark, docs, idCol, blobCol,
+      maxFrames, maxBytes), idCol, minVotes)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** The exact-frame-hash offset vote shared by [[videoNear]] and
+    * [[videoDedup]] — [[landmarkVotes]]' shape over (id, frame_no, fhash)
+    * rows. */
+  private def frameVotes(fr: DataFrame, idCol: String,
+                         minVotes: Int): DataFrame = {
     val a = fr.select(col(idCol).as("a_id"), col("fhash"),
       col("frame_no").as("fa"))
     val b = fr.select(col(idCol).as("b_id"), col("fhash"),
@@ -1542,7 +1549,49 @@ object Dedup {
       .groupBy(col("a_id"), col("b_id"))
       .agg(max(col("v")).as("votes"))
       .where(col("votes") >= minVotes)
-      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** [[videoNear]]'s TREATMENT form with LINEAR output — the
+    * [[audioDedup]] discipline for the video modality: videos whose
+    * FRAME-HASH SEQUENCE is identical (re-muxed copies — moved boxes,
+    * different brands, same stream) collapse to one representative BEFORE
+    * the frame-vote mine (the pair form is inherently quadratic on
+    * identical-video groups), reps pair by offset-voted frame agreement,
+    * components resolve via [[dedupGroups]] (or [[dedupGroupsStar]] for
+    * long re-cut chains), and every video inherits its rep's verdict.
+    * The collapse fingerprint is the ordered frame-hash list — the exact
+    * rows the mine sees, so collapse and mine agree on what "the same
+    * video" means. Output: one `(doc_id, group_id, keep)` row per MP4
+    * input row that yields ≥ 1 frame (non-video rows get no verdict —
+    * the [[audioDedup]] pass-through convention); `group_id` = the
+    * smallest doc id in the duplicate cluster, `keep` = doc == root. */
+  def videoDedup(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                 idCol: String = "doc_id", blobCol: String = "blob",
+                 maxFrames: Int = 16, maxBytes: Int = 1 << 20,
+                 minVotes: Int = 3, starCC: Boolean = false): DataFrame = {
+    val fr = Multimodal.videoFrameHashes(spark, docs, idCol, blobCol,
+      maxFrames, maxBytes)
+    // collapse fingerprint: frame hashes in frame order, one string per doc
+    val fp = fr
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("frame_no"), col("fhash")))),
+        s => concat(s.getField("frame_no").cast("string"), lit(":"),
+          s.getField("fhash").cast("string"))), " ").as("fp"))
+    val reps = fp.groupBy(col("fp")).agg(min(col(idCol)).as("rep"))
+    val repFrames = fr
+      .join(reps.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
+    val pairs = frameVotes(repFrames, idCol, minVotes)
+      .select(col("a_id"), col("b_id"))
+    val ccEngine: (DataFrame, DataFrame, String) => DataFrame =
+      if (starCC) dedupGroupsStar(_, _, _) else dedupGroups(_, _, _)
+    val groups = ccEngine(reps.select(col("rep").as(idCol)), pairs, idCol)
+      .withColumnRenamed(idCol, "rep").withColumnRenamed("group_id", "__gid")
+    fp.join(reps, Seq("fp"))
+      .join(groups, Seq("rep"))
+      .select(col(idCol), col("__gid").as("group_id"),
+        (col(idCol) === col("__gid")).as("keep"))
+      .orderBy(col(idCol))
   }
 
   /** [[videoNear]] with BANDED-HAMMING frame matching — the named

@@ -519,6 +519,30 @@ class MultimodalSpec extends SparkSpec {
       pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("videoDedup: re-mux copies collapse, the re-intro twin components, keeper = smallest id") {
+    import spark.implicits._
+    val header = Multimodal.mp4VideoFramesHeader()
+    val text = (0 until 160).map(i => ('a' + (i * 7) % 26).toChar).mkString
+      .getBytes("US-ASCII")
+    val junk = Array.fill[Byte](32)('z'.toByte)
+    val other = (0 until 160).map(i => ('A' + (i * 11) % 26).toChar).mkString
+      .getBytes("US-ASCII")
+    val docs = Seq(
+      (1L, header ++ text),          // original
+      (2L, header ++ junk ++ text),  // re-introed near twin (vote arm)
+      (3L, header ++ text),          // identical frame sequence (collapse arm)
+      (4L, header ++ other),         // unrelated video — its own singleton
+      (5L, "not a video".getBytes("US-ASCII")) // non-MP4: no verdict row
+    ).toDF("doc_id", "blob")
+    val out = Dedup.videoDedup(spark, docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), s"verdict rows: ${out.keySet}")
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((1L, false)), "re-intro twin must inherit the component root")
+    assert(out(3L) == ((1L, false)), "re-mux copy must collapse into the original")
+    assert(out(4L) == ((4L, true)), "unrelated video stays its own keeper")
+  }
+
   test("mp4Meta: corrupt box sizes terminate the walk immediately") {
     // a declared size in 2..7 (smaller than the 8-byte header) must stop
     // the walk, not degrade to a byte-granular scan
