@@ -1572,12 +1572,7 @@ object Dedup {
     val fr = Multimodal.videoFrameHashes(spark, docs, idCol, blobCol,
       maxFrames, maxBytes)
     // collapse fingerprint: frame hashes in frame order, one string per doc
-    val fp = fr
-      .groupBy(col(idCol))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("frame_no"), col("fhash")))),
-        s => concat(s.getField("frame_no").cast("string"), lit(":"),
-          s.getField("fhash").cast("string"))), " ").as("fp"))
+    val fp = videoFingerprints(fr, idCol)
     val reps = fp.groupBy(col("fp")).agg(min(col(idCol)).as("rep"))
     val repFrames = fr
       .join(reps.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
@@ -1684,6 +1679,44 @@ object Dedup {
       .where(col("votes") >= minVotes)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** Batch MP4 docs whose frames agree with ≥ `minVotes` of ANY single
+    * accumulated-state video's frames on one frame-index offset, OR whose
+    * frame-hash fingerprint appears verbatim in state — the cross-batch
+    * arm of [[graft.streaming.Streaming.streamVideoDedupAdmit]], the
+    * [[audioMatchesAgainst]] two-arm design for the video modality (the
+    * exact arm covers clips with too few frames to carry `minVotes` of
+    * vote evidence). `stateFr` needs `(doc_id, frame_no, fhash)` frame
+    * rows; `stateFp` one `fp` string column (distinct fingerprints). Both
+    * arms are equi-joins on bounded per-video state — pixels never
+    * shuffle. */
+  private[graft] def videoMatchesAgainst(fr: DataFrame, fp: DataFrame,
+                                         stateFr: DataFrame, stateFp: DataFrame,
+                                         idCol: String = "doc_id",
+                                         minVotes: Int = 3): DataFrame = {
+    val voteHits = fr
+      .select(col(idCol), col("fhash"), col("frame_no").as("na"))
+      .join(stateFr.select(col(idCol).as("__sid"), col("fhash"),
+        col("frame_no").as("nb")), Seq("fhash"))
+      .groupBy(col(idCol), col("__sid"), (col("na") - col("nb")).as("off"))
+      .agg(count(lit(1)).as("v"))
+      .where(col("v") >= minVotes)
+      .select(col(idCol))
+    val fpHits = fp.join(stateFp.select(col("fp")), Seq("fp"), "left_semi")
+      .select(col(idCol))
+    voteHits.unionByName(fpHits).distinct()
+  }
+
+  /** Per-video frame-hash fingerprint (ordered frame-hash list) — the
+    * [[videoDedup]] collapse key, shared with the streaming gate's exact
+    * arm. */
+  private[graft] def videoFingerprints(fr: DataFrame,
+                                       idCol: String = "doc_id"): DataFrame =
+    fr.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("frame_no"), col("fhash")))),
+        s => concat(s.getField("frame_no").cast("string"), lit(":"),
+          s.getField("fhash").cast("string"))), " ").as("fp"))
 
   /** [[imageNear]]'s TREATMENT form, and its 100 TB shape: per-doc
     * keep/group verdicts with LINEAR output. [[imageNear]]'s pair list is

@@ -791,6 +791,78 @@ object Streaming {
       }
       .start()
 
+  /** Streaming VIDEO-dedup admission gate — the continuous twin of
+    * [[graft.operators.Dedup.videoDedup]], giving the video modality its
+    * OWN gate (until now video blobs rode the image gate's first-sample
+    * hash, which the multi-frame work showed a re-cut copy escapes). Per
+    * micro-batch: in-batch [[graft.operators.Dedup.videoDedup]] keepers;
+    * whole in-batch clusters rejected when ANY member either frame-VOTES
+    * ≥ `minVotes` against accumulated cross-batch frame state (the
+    * [[graft.operators.Dedup.videoNear]] offset vote — a re-cut copy of
+    * a seen video still taints) or repeats a seen frame-hash FINGERPRINT
+    * verbatim (the exact arm — a clip with fewer than `minVotes` frames
+    * carries too little vote evidence, but its re-mux is still a
+    * duplicate; [[streamAudioDedupAdmit]]'s two-arm argument verbatim).
+    * Cluster-level taint preserves transitivity; non-MP4 rows (and
+    * containers yielding no frame) pass through — composition with the
+    * other gates is the pipeline's job.
+    *
+    * State per batch: ≤ `maxFrames` frame-hash rows per seen video in
+    * `_fr`, distinct fingerprints in `_fp` — signature-sized both, read
+    * STRICTLY BELOW the current batch id with [[compactBatchState]]
+    * compaction (the [[streamCurate]] replay discipline). Pixels never
+    * enter state. */
+  def streamVideoDedupAdmit(docs: DataFrame, path: String, checkpointDir: String,
+                            maxFrames: Int = 16, maxBytes: Int = 1 << 20,
+                            minVotes: Int = 3, compactEvery: Int = 16)
+                           (sink: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val D = graft.operators.Dedup
+          val fr = graft.operators.Multimodal.videoFrameHashes(spark, batch,
+            maxFrames = maxFrames, maxBytes = maxBytes)
+            .localCheckpoint(false)
+          val fp = D.videoFingerprints(fr).localCheckpoint(false)
+          val groups = D.videoDedup(spark, batch,
+            maxFrames = maxFrames, maxBytes = maxBytes, minVotes = minVotes)
+          // a crash between the two state writes may leave one side a batch
+          // ahead — a missing side is EMPTY state, not no-state, so the
+          // committed side still taints
+          val stateFrOpt = readBatchState(spark, s"$path/_fr", batchId)
+          val stateFpOpt = readBatchState(spark, s"$path/_fp", batchId)
+          val keepers =
+            if (stateFrOpt.isEmpty && stateFpOpt.isEmpty)
+              groups.where(col("keep")).select(col("doc_id"))
+            else {
+              val taintedGroups = D.videoMatchesAgainst(fr, fp,
+                  stateFrOpt.getOrElse(fr.limit(0)),
+                  stateFpOpt.getOrElse(fp.select(col("fp")).limit(0)),
+                  minVotes = minVotes)
+                .join(groups, Seq("doc_id"))
+                .select(col("group_id")).distinct()
+              groups.where(col("keep"))
+                .join(taintedGroups, Seq("group_id"), "left_anti")
+                .select(col("doc_id"))
+            }
+          // pass-through: rows with no extracted frame are not videos
+          val admitted = keepers.unionByName(
+            batch.select(col("doc_id"))
+              .join(fr.select(col("doc_id")), Seq("doc_id"), "left_anti")
+              .distinct())
+          sink(batch.join(admitted, Seq("doc_id"), "left_semi"))
+          fr.write.mode("overwrite").parquet(f"$path/_fr/b$batchId%020d")
+          fp.select(col("fp")).distinct()
+            .write.mode("overwrite").parquet(f"$path/_fp/b$batchId%020d")
+          compactBatchState(spark, s"$path/_fr", batchId, compactEvery)
+          compactBatchState(spark, s"$path/_fp", batchId, compactEvery)
+        }
+      }
+      .start()
+
   /** Streaming SEMANTIC (embedding-space) admission gate — the continuous
     * twin of [[graft.operators.Dedup.semanticDedup]], completing the gate
     * set's modalities (text signatures, image hashes, audio landmarks,

@@ -559,6 +559,54 @@ class StreamingSpec extends SparkSpec {
       s"replayed admissions drifted: $admitted")
   }
 
+  test("streamVideoDedupAdmit: vote arm catches the re-cut, fp arm the short re-mux, pass-through, replay identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("graft-svid-").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-svid-ckpt-").toString
+    val header = graft.operators.Multimodal.mp4VideoFramesHeader()
+    val textA = (0 until 160).map(i => ('a' + (i * 7) % 26).toChar).mkString
+      .getBytes("US-ASCII")
+    val textS = (0 until 40).map(i => ('k' + (i * 5) % 13).toChar).mkString
+      .getBytes("US-ASCII") // 2 frames — below the 3-vote evidence floor
+    val textF = (0 until 160).map(i => ('A' + (i * 11) % 26).toChar).mkString
+      .getBytes("US-ASCII")
+    val junk = Array.fill[Byte](32)('z'.toByte)
+    val b1 = Seq(
+      (1L, header ++ textA),                     // video A
+      (2L, header ++ textS),                     // short video S
+      (3L, "just text, not a container".getBytes("US-ASCII"))) // pass-through
+    val b2 = Seq(
+      (11L, header ++ junk ++ textA),            // A re-cut: ONLY the vote arm sees it
+      (12L, header ++ textS),                    // S re-mux: ONLY the fp arm (2 < 3 votes)
+      (13L, header ++ textF),                    // fresh video
+      (14L, "more text".getBytes("US-ASCII")))   // pass-through
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val mem = MemoryStream[(Long, Array[Byte])]
+    def run(): Unit = runToCompletion(Streaming.streamVideoDedupAdmit(
+      mem.toDF().toDF("doc_id", "blob"), path, ckpt) { df =>
+      admitted ++= df.select(col("doc_id")).collect().map(_.getLong(0))
+    })
+    mem.addData(b1: _*); run()
+    assert(admitted.toSet == Set(1L, 2L, 3L), s"batch 1 admissions: $admitted")
+    admitted.clear()
+    mem.addData(b2: _*); run()
+    assert(admitted.toSet == Set(13L, 14L),
+      s"batch 2 must reject the re-cut (votes) AND the short re-mux (fp): $admitted")
+    // commit-crash replay of batch 2: strict-below reads + overwrite dirs
+    val commit = java.nio.file.Paths.get(ckpt, "commits", "1")
+    assert(Files.exists(commit), "expected commit marker commits/1")
+    Files.delete(commit)
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    admitted.clear(); run()
+    assert(admitted.toSet == Set(13L, 14L), s"replay drifted: $admitted")
+  }
+
   test("streamBitextMine: per-batch pairs ≡ the indexed batch miner; FailIfMissing refuses; commit-crash replay byte-identical") {
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
