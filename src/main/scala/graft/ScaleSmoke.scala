@@ -351,6 +351,36 @@ object ScaleSmoke {
         maxHamming = 5, agreeBands = 3)
         .queryExecution.toRdd.count()
     }
+    // Multi-frame video pipeline at scale: every replicated doc wrapped as
+    // an n-frame container (the frames-header device). The treatment form
+    // must stay linear (fingerprint collapse before the vote mine); the
+    // banded-Hamming pair form runs under the constant-band bucket cap +
+    // auto-t — the regime the round-13 degeneracy note documents.
+    locally {
+      val M = graft.operators.Multimodal
+      val vheader = M.mp4VideoFramesHeader()
+      val vids = docs.select(col("doc_id"),
+        concat(lit(vheader), col("text").cast("binary")).as("blob"))
+      stage("video frame hashes") {
+        M.videoFrameHashes(spark, vids).queryExecution.toRdd.count()
+      }
+      stage("video dedup (frames)") {
+        D.videoDedup(spark, vids).queryExecution.toRdd.count()
+      }
+      // the banded-Hamming pair form runs on a 10% slice: text-derived
+      // fake-arm hashes are PATHOLOGICALLY skewed (common lowercase
+      // gradients), and at 2.4M frames the under-cap hot buckets alone
+      // generated > 77 GB of candidate shuffle (measured: disk-full kill)
+      // — the landmark-saturation regime, video edition; the Σ|bucket|²
+      // audit discipline applies to the fhash key before mining any
+      // unknown corpus, and real frame-hash spaces (near-uniform 56-bit
+      // dHashes of distinct frames) do not carry 1000× hot buckets
+      stage("video near hamming (10%)") {
+        D.videoNearHamming(spark,
+          vids.where(graft.operators.Sampling.hashBucket(col("doc_id")) < 10))
+          .queryExecution.toRdd.count()
+      }
+    }
     // Synthetic DIVERSE audio for the landmark stages — the operator's
     // true domain. Text-wrapped bytes (the oracle device) are adversarial
     // at this scale: ASCII-derived sample energies collapse to ~10²

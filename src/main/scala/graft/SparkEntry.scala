@@ -400,6 +400,18 @@ object SparkEntry {
           .select(col("vec_id").as("tgt_id"), col("embedding").as("tgt_vec")),
         k = 4, nCells = 8, nProbe = 8, topN = 20)
     }),
+    // the audit's two-level rung at full-open — exact, so it shares the
+    // brute-force hub-count oracle verbatim
+    "bitext_hubness2" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.embeddings(s, dir)
+      Bitext.hubness2(
+        e.where(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("src_id"), col("embedding").as("src_vec")),
+        e.where(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("tgt_id"), col("embedding").as("tgt_vec")),
+        k = 4, nFine = 8, nCoarse = 3, wCoarse = 3, nProbe = 8, topN = 20)
+    }),
     "ivf_topk" -> ((s, dir) => Ann.ivfTopk(s, dir, 0L, 10, 16, 4)),
     "ivf_recall" -> ((s, dir) => Ann.ivfRecall(s, dir, 8, 10, 16, 4)),
     "ann_range" -> ((s, dir) => Ann.annRange(s, dir, 0L, 0.2)),
@@ -4332,20 +4344,27 @@ object SparkEntry {
 
     // the forward-kNN pass of bitext_mine re-aggregated by target: hub
     // count = how many sources hold the target in their k-NN
-    "bitext_hubness" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |xs AS (SELECT vec_id AS src_id, v FROM e WHERE vec_id % 2 = 0),
-         |ys AS (SELECT vec_id AS tgt_id, v FROM e WHERE vec_id % 2 = 1),
-         |p AS (SELECT src_id, tgt_id,
-         |        CAST(round((${cosRawSql("x.v", "y.v")}) * 1e6, 0) AS BIGINT) AS c6
-         |      FROM xs x, ys y),
-         |knn AS (SELECT src_id, tgt_id FROM (
-         |    SELECT src_id, tgt_id,
-         |      row_number() OVER (PARTITION BY src_id ORDER BY c6 DESC, tgt_id ASC) AS r
-         |    FROM p) t WHERE r <= 4),
-         |h AS (SELECT tgt_id, count(*) AS hub_count FROM knn GROUP BY tgt_id)
-         |SELECT row_number() OVER (ORDER BY hub_count DESC, tgt_id ASC) AS rnk,
-         |       tgt_id, hub_count
-         |FROM h ORDER BY hub_count DESC, tgt_id ASC LIMIT 20""".stripMargin,
+    "bitext_hubness" -> bitextHubnessSql,
+    // the two-level audit rung at full-open is exact — same brute-force
+    // hub-count oracle verbatim
+    "bitext_hubness2" -> bitextHubnessSql,
   )
+
+  /** Brute-force hub-count oracle — shared verbatim by `bitext_hubness`
+    * and the two-level rung `bitext_hubness2` (full-open ⇒ exact). */
+  private def bitextHubnessSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |xs AS (SELECT vec_id AS src_id, v FROM e WHERE vec_id % 2 = 0),
+       |ys AS (SELECT vec_id AS tgt_id, v FROM e WHERE vec_id % 2 = 1),
+       |p AS (SELECT src_id, tgt_id,
+       |        CAST(round((${cosRawSql("x.v", "y.v")}) * 1e6, 0) AS BIGINT) AS c6
+       |      FROM xs x, ys y),
+       |knn AS (SELECT src_id, tgt_id FROM (
+       |    SELECT src_id, tgt_id,
+       |      row_number() OVER (PARTITION BY src_id ORDER BY c6 DESC, tgt_id ASC) AS r
+       |    FROM p) t WHERE r <= 4),
+       |h AS (SELECT tgt_id, count(*) AS hub_count FROM knn GROUP BY tgt_id)
+       |SELECT row_number() OVER (ORDER BY hub_count DESC, tgt_id ASC) AS rnk,
+       |       tgt_id, hub_count
+       |FROM h ORDER BY hub_count DESC, tgt_id ASC LIMIT 20""".stripMargin
 }

@@ -82,6 +82,36 @@ object Bitext {
       .select(col("rnk"), col("tgt_id"), col("hub_count"))
   }
 
+  /** [[hubness]] over [[candidates2]] — the audit's two-level rung, so the
+    * diagnostic that motivates the margin can itself run without the
+    * `nCells × dim` literal; full-open settings reproduce [[hubness]]'s
+    * exact answer (shared oracle). */
+  def hubness2(x: DataFrame, y: DataFrame, k: Int = 4, nFine: Int = 8,
+               nCoarse: Int = 3, wCoarse: Int = 3, nProbe: Int = 8,
+               topN: Int = 20): DataFrame = {
+    val wf = Window.partitionBy(col("src_id")).orderBy(desc("c6"), asc("tgt_id"))
+    val wr = Window.orderBy(desc("hub_count"), asc("tgt_id"))
+    candidates2(x, y, nFine, nCoarse, wCoarse, nProbe)
+      .withColumn("rnk", row_number().over(wf))
+      .where(col("rnk") <= k)
+      .groupBy(col("tgt_id"))
+      .agg(count(lit(1)).as("hub_count"))
+      .orderBy(desc("hub_count"), asc("tgt_id")).limit(topN)
+      .withColumn("rnk", row_number().over(wr).cast("bigint"))
+      .select(col("rnk"), col("tgt_id"), col("hub_count"))
+  }
+
+  /** [[hubness]] with the flat-vs-two-level rung SELF-DIALED
+    * ([[graft.operators.Ann.FlatCellMax]] — completes the rung discipline
+    * over every entry point of this object). BitextSpec pins auto ≡
+    * explicit on both sides. */
+  def hubnessAuto(x: DataFrame, y: DataFrame, k: Int = 4, nCells: Int = 8,
+                  nProbe: Int = 8, topN: Int = 20,
+                  flatCellMax: Int = Ann.FlatCellMax): DataFrame =
+    if (nCells <= flatCellMax) hubness(x, y, k, nCells, nProbe, topN)
+    else hubness2(x, y, k, nCells, Ann.coarseFor(nCells),
+      Ann.coarseFor(nCells), nProbe, topN)
+
   /** Cell-blocked candidate pairs `(src_id, tgt_id, c6)` shared by
     * [[minePairs]] and [[hubness]]: centroids = the `nCells` LOWEST-id src
     * vectors (orderBy+limit, not an id-value filter — a split side's id

@@ -1631,6 +1631,13 @@ object Dedup {
     * selective (≈ D/2^r-sized, under any sane cap), so the brute-force
     * oracle remains exactly reproducible on this corpus family — stated,
     * spec-pinned, and cheap to re-audit (the Σ|bucket|² discipline).
+    * The cap default is 1024, sized by a SECOND measured constraint:
+    * [[candidatePairs]]' in-bucket expansion materializes the whole
+    * |bucket|²/2 pair array per bucket before exploding, so a 4096 cap
+    * admitted ~400 MB transients per near-cap bucket and OOM'd 32
+    * concurrent tasks at 2.4M frames; 1024 bounds the transient at
+    * ~25 MB, and buckets between the two caps are still near-constant
+    * keys (≥ 2⁵× the mean selective bucket at corpus D) — same contract.
     *
     * Scale shape: C(bands, t) signature-sized key rows per frame, bucket
     * equi-join, popcount verify on candidates only, then the bounded
@@ -1643,7 +1650,7 @@ object Dedup {
                        idCol: String = "doc_id", blobCol: String = "blob",
                        maxFrames: Int = 16, maxBytes: Int = 1 << 20,
                        minVotes: Int = 3, bands: Int = 8, maxHamming: Int = 3,
-                       agreeBands: Int = 0, maxBucket: Int = 4096): DataFrame = {
+                       agreeBands: Int = 0, maxBucket: Int = 1024): DataFrame = {
     require(56 % bands == 0, s"bands must divide 56, got $bands")
     require(maxFrames <= 64, s"maxFrames must be <= 64 (frame-id packing), got $maxFrames")
     require(agreeBands >= 0 && maxHamming >= 0 && maxHamming <= bands - math.max(agreeBands, 1),

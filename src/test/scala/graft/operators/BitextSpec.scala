@@ -91,6 +91,20 @@ class BitextSpec extends SparkSpec {
         nFine = 8, nCoarse = 3, wCoarse = 3, nProbe = 8)))
   }
 
+  test("hubnessAuto / hubness2: full-open two-level ≡ flat; auto ≡ explicit both sides") {
+    val x = srcSide()
+    val y = Bitext.tgtSide(spark, dir)
+    def h(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val flat = h(Bitext.hubness(x, y, k = 4, nCells = 8, nProbe = 8))
+    assert(flat.nonEmpty)
+    assert(h(Bitext.hubness2(x, y, k = 4, nFine = 8, nCoarse = 3,
+      wCoarse = 3, nProbe = 8)) == flat)
+    assert(h(Bitext.hubnessAuto(x, y, k = 4, nCells = 8, nProbe = 8)) == flat)
+    assert(h(Bitext.hubnessAuto(x, y, k = 4, nCells = 8, nProbe = 8,
+      flatCellMax = 0)) == flat)
+  }
+
   test("minePairsIncremental: partial probe is a subset of the full-probe pairs") {
     // the IVF dial only removes candidates; a mutual-best pair that
     // survives a smaller candidate set need not survive the larger one,
