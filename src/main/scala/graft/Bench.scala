@@ -51,11 +51,18 @@ object Bench {
     // is task WALL, so co-resident threads (cleaner, GC) inflate it in
     // suite context; executorCpuTime moves only when the work itself moved
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+    // shuffle volume per query window: candidate-volume regressions (the
+    // banded-pair families' kill signature is tens of GB of candidate
+    // shuffle) become visible in the round record without a rerun
+    val shufR = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufW = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         execMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
         gcMs.addAndGet(sc.stageInfo.taskMetrics.jvmGCTime)
         cpuNs.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime)
+        shufR.addAndGet(sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+        shufW.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
       }
     })
 
@@ -100,6 +107,8 @@ object Bench {
     val execSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     val gcSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     val cpuSec = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val shufReadMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val shufWriteMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // settle BEFORE each query, not each repeat: heap debt left by the
       // previous query (broadcast cleanup, shuffle buffers) otherwise
@@ -107,7 +116,12 @@ object Bench {
       // the contamination instead of discarding it (measured: identical
       // code, 39.9s vs 76.3s totals run-to-run without this)
       System.gc()
-      execMs.set(0); gcMs.set(0); cpuNs.set(0)
+      // drain the async listener bus BEFORE zeroing: stage-completed events
+      // are delivered asynchronously, so without the flush a late event
+      // from the previous query lands in this query's window — the exact
+      // misattribution these fields exist to adjudicate
+      org.apache.spark.graft.CoreBridge.flushListenerBus(spark.sparkContext)
+      execMs.set(0); gcMs.set(0); cpuNs.set(0); shufR.set(0); shufW.set(0)
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       var failed = false
       var i = 0
@@ -124,9 +138,13 @@ object Bench {
         if (!failed) times += (System.nanoTime() - t0) / 1e9
         i += 1
       }
+      // flush again before READING, so this query's own late events are in
+      org.apache.spark.graft.CoreBridge.flushListenerBus(spark.sparkContext)
       execSec(name) = execMs.get() / 1000.0
       gcSec(name) = gcMs.get() / 1000.0
       cpuSec(name) = cpuNs.get() / 1e9
+      shufReadMb(name) = shufR.get() / 1048576.0
+      shufWriteMb(name) = shufW.get() / 1048576.0
       if (failed) name -> -1.0
       else {
         val sorted = times.sorted
@@ -147,7 +165,9 @@ object Bench {
     val spreadJson = ",\"max_over_median\":" + fmtMap(spreads)
     val metricsJson =
       ",\"exec_sec\":" + fmtMap(execSec) + ",\"gc_sec\":" + fmtMap(gcSec) +
-        ",\"cpu_sec\":" + fmtMap(cpuSec)
+        ",\"cpu_sec\":" + fmtMap(cpuSec) +
+        ",\"shuffle_read_mb\":" + fmtMap(shufReadMb) +
+        ",\"shuffle_write_mb\":" + fmtMap(shufWriteMb)
     val errJson =
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => esc(k) + ":" + esc(v) }

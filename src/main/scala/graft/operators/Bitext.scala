@@ -300,8 +300,19 @@ object Bitext {
                                   dir: String, x: DataFrame, k: Int = 4,
                                   tau: Double = 1.0, nCells: Int = 8,
                                   nProbe: Int = 8,
-                                  policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
+                                  policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing,
+                                  // IN THE SIGNATURE, not just scaladoc: the
+                                  // indexed twin mines against dir's stored
+                                  // convention side ONLY — a caller who fed a
+                                  // custom `y` to the inline form gets a
+                                  // DIFFERENT answer here, so asking for any
+                                  // other side must fail loudly
+                                  targetSide: String = TargetSideConvention): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(targetSide == TargetSideConvention,
+      s"the indexed incremental twin is dir-convention-only (targetSide = " +
+        s"'$TargetSideConvention', the stored corpus's odd-vec_id half); " +
+        s"got '$targetSide' — use minePairsIncremental(x, y, ...) for a custom target side")
     val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
       name = s"embeddings-bitext-cells-c$nCells", kind = "bitext-cells",
       sourcePath = s"$dir/embeddings.parquet",
@@ -359,8 +370,12 @@ object Bitext {
                                    tau: Double = 1.0, nFine: Int = 8,
                                    nCoarse: Int = 3, wCoarse: Int = 3,
                                    nProbe: Int = 8,
-                                   policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
+                                   policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing,
+                                   targetSide: String = TargetSideConvention): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(targetSide == TargetSideConvention,
+      s"the indexed incremental twin is dir-convention-only (targetSide = " +
+        s"'$TargetSideConvention'); got '$targetSide' — use minePairsIncremental2 for a custom target side")
     val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
       name = s"embeddings-bitext-cells2-f$nFine-c$nCoarse", kind = "bitext-cells-2level",
       sourcePath = s"$dir/embeddings.parquet",
@@ -466,6 +481,10 @@ object Bitext {
       .select(col("src_id"), col("tgt_id"),
         round(cosine_sim(col("qv"), col("tv")) * 1e6, 0).cast("bigint").as("c6"))
   }
+
+  /** The one target side the indexed incremental twins can mine against —
+    * see [[TargetSideConvention]] in their signatures. */
+  val TargetSideConvention: String = "vec_id%2=1"
 
   /** The engine's standard bitext target side over the embeddings table
     * (odd `vec_id` half) — the corpus [[minePairsIncrementalIndexed]]

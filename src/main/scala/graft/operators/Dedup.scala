@@ -863,11 +863,20 @@ object Dedup {
     * the first caller's setting leaked across every later caller. */
   private def setCheckpointDir(sc: org.apache.spark.SparkContext,
                                dir: String): Unit = {
-    // getCheckpointDir returns the resolved (scheme-qualified) path, so a
-    // suffix match means "already pointing where the caller asked" — don't
-    // churn the setting (or warn) over a scheme prefix.
+    // SparkContext.setCheckpointDir stores `qualified(<dir>)/<random UUID>`
+    // (verified against the 4.1.2 bytecode), so "already pointing where the
+    // caller asked" means: the resolved setting's PARENT equals the
+    // requested dir qualified against the same FileSystem. A path compare,
+    // not a string-suffix heuristic — the suffix form false-positived on
+    // distinct dirs sharing a tail (relative "ckpt" vs ".../other/ckpt"),
+    // silently dropping the caller's requested dir.
     def sameDir(e: String): Boolean =
-      e == dir || e.endsWith("/" + dir.stripPrefix("/")) || dir.endsWith(e)
+      try {
+        val req = new org.apache.hadoop.fs.Path(dir)
+        val reqQ = req.getFileSystem(sc.hadoopConfiguration).makeQualified(req)
+        val parent = new org.apache.hadoop.fs.Path(e).getParent
+        parent != null && parent == reqQ
+      } catch { case _: Exception => e == dir }
     sc.getCheckpointDir match {
       case Some(e) if sameDir(e) => // already effective
       case other =>
@@ -1529,8 +1538,13 @@ object Dedup {
                 idCol: String = "doc_id", blobCol: String = "blob",
                 maxFrames: Int = 16, maxBytes: Int = 1 << 20,
                 minVotes: Int = 3): DataFrame =
+    // persist: frameVotes self-joins fr (a and b sides), and the decode
+    // pass under each side is the dominant cost — one cached fill instead
+    // of relying on exchange reuse surviving plan changes
     frameVotes(Multimodal.videoFrameHashes(spark, docs, idCol, blobCol,
-      maxFrames, maxBytes), idCol, minVotes)
+      maxFrames, maxBytes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      idCol, minVotes)
       .orderBy(col("a_id"), col("b_id"))
 
   /** The exact-frame-hash offset vote shared by [[videoNear]] and
@@ -1569,8 +1583,12 @@ object Dedup {
                  idCol: String = "doc_id", blobCol: String = "blob",
                  maxFrames: Int = 16, maxBytes: Int = 1 << 20,
                  minVotes: Int = 3, starCC: Boolean = false): DataFrame = {
+    // persist: fr feeds BOTH the fingerprint collapse and (via repFrames)
+    // the vote mine — separate exchanges, so without a cache the blob
+    // decode runs twice (the videoNearHamming persist discipline)
     val fr = Multimodal.videoFrameHashes(spark, docs, idCol, blobCol,
       maxFrames, maxBytes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // collapse fingerprint: frame hashes in frame order, one string per doc
     val fp = videoFingerprints(fr, idCol)
     val reps = fp.groupBy(col("fp")).agg(min(col(idCol)).as("rep"))
@@ -1656,6 +1674,13 @@ object Dedup {
     require(agreeBands >= 0 && maxHamming >= 0 && maxHamming <= bands - math.max(agreeBands, 1),
       s"need maxHamming in [0, bands - agreeBands] for lossless band-subset keys, " +
         s"got maxHamming=$maxHamming agreeBands=$agreeBands bands=$bands")
+    // persist: the frame table feeds FOUR consumers (the stats action
+    // below, the band-key build, and the two hash-lookup joins), and
+    // without a cache each re-runs the blob-decode mapPartitions pass —
+    // the dominant cost at the scales the cap discussion cites. No
+    // unpersist on the return path: the output is lazy, so the caller
+    // materializes after we return; blocks are MEMORY_AND_DISK and freed
+    // by LRU or session end (the audioLandmarkNearAuto discipline).
     val fr = Multimodal.videoFrameHashes(spark, docs, idCol, blobCol,
       maxFrames, maxBytes)
       // one synthetic id per frame: frame_no < 64, so the packing is
@@ -1663,8 +1688,19 @@ object Dedup {
       // exactly one row per unordered frame pair
       .select((col(idCol) * 64 + col("frame_no")).as("fid"),
         col(idCol).as("vid"), col("frame_no"), col("fhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one action buys three scalars: the distinct-hash count for auto-t
+    // AND the id range for the fid-packing guard (doc_id * 64 + frame_no
+    // is only injective/order-preserving for 0 <= doc_id <= MaxValue/64 —
+    // out-of-range ids must fail loudly, not corrupt pair identity)
+    val st = fr.agg(count_distinct(col("fhash")).as("d"),
+      min(col("vid")).as("lo"), max(col("vid")).as("hi")).head
+    if (!st.isNullAt(1))
+      require(st.getLong(1) >= 0L && st.getLong(2) <= (Long.MaxValue >> 6),
+        s"doc ids must be in [0, 2^57) for frame-id packing, " +
+          s"got [${st.getLong(1)}, ${st.getLong(2)}]")
     val t = if (agreeBands == 0)
-      autoAgreeBands(fr.select(col("fhash")).distinct().count(), bands, 56, maxHamming)
+      autoAgreeBands(st.getLong(0), bands, 56, maxHamming)
     else agreeBands
     val cand = candidatePairs(
       bandSubsetKeys(fr, "fhash", "fid", bands, 56, t), "band", "key", "doc_id",
