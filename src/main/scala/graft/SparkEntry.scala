@@ -733,6 +733,24 @@ object SparkEntry {
           .unionByName(base.select((col("doc_id") + lit(200000L)).as("doc_id"),
             concat(lit(header), col("text").cast("binary")).as("blob"))))
     }),
+    "video_key_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
+      // the fhash key-space audit over the saturating intro-card corpus
+      // (frames alternate a constant 'z'*32 card with doc content slices):
+      // the constant frame makes one corpus-hot bucket, so est_candidates
+      // is quadratic-ish — the measured decision quantity, as an oracle row
+      Dedup.videoKeyAudit(Multimodal.videoFrameHashes(s,
+        videoSaturatedCorpus(s, dir)))
+    }),
+    "video_near_auto" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      // the self-dialing mine: the audit's fan-out (est_candidates /
+      // n_frames) gates which vote chain produces rows — this corpus
+      // saturates (fan-out ≫ 16), so the BIGRAM chain is the live arm
+      // (its first oracle exercise); the oracle re-derives the rule and
+      // gates both chains on it
+      Dedup.videoNearHammingAuto(s, videoSaturatedCorpus(s, dir))
+    }),
     "multimodal_frames" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, length, md5, octet_length}
       // ASCII-pure docs only: the operator slices BYTES (its domain is real
@@ -784,6 +802,33 @@ object SparkEntry {
   // mirrors graft.functions.CosineSimilarity (same sequential accumulation
   // order, so the doubles are bit-identical before rounding).
   // ---------------------------------------------------------------------
+  /** The SATURATING video corpus for the auto-escape pair
+    * (`video_key_audit` / `video_near_auto`): each ASCII-pure doc becomes a
+    * video whose frames ALTERNATE a constant 32-byte intro card ('z'×32 —
+    * one corpus-hot fhash bucket, the letterboxed/black-lead-in analogue)
+    * with the doc's own 32-byte text slices (selective), plus a re-introed
+    * twin (one md5-hex junk frame prepended). Unigram frame keys saturate
+    * (fan-out ≫ 16) while consecutive BIGRAMS stay doc-selective — the
+    * exact regime [[graft.operators.Dedup.videoNearHammingAuto]] exists
+    * to catch. */
+  private def videoSaturatedCorpus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, expr, length, lit, md5, octet_length}
+    val header = graft.operators.Multimodal.mp4VideoFramesHeader()
+    val base = Tables.documents(s, dir)
+      .where(octet_length(col("text")) === length(col("text")) &&
+        length(col("text")) >= 32 &&
+        graft.operators.Sampling.hashBucket(col("doc_id")) < 20)
+    val inter = expr(
+      s"""array_join(transform(
+         |  sequence(0, cast(least(8, (length(text)+31) div 32) as int) - 1),
+         |  j -> concat('${"z" * 32}', substring(text, cast(j*32+1 as int), 32))), '')""".stripMargin)
+    base.select(col("doc_id"),
+        concat(lit(header), inter.cast("binary")).as("blob"))
+      .unionByName(base.select((col("doc_id") + lit(100000L)).as("doc_id"),
+        concat(lit(header), md5(col("text")).cast("binary"),
+          inter.cast("binary")).as("blob")))
+  }
+
   /** Per-frame dHash derivation over a `vc(doc_id, text)` corpus CTE —
     * the multi-frame video oracle device: the frames container declares
     * uniform 32-byte samples in one chunk, so extracted sample i IS
@@ -791,6 +836,21 @@ object SparkEntry {
     * frame's fake-arm dHash is the `multimodal_video` 8×7-gradient sum
     * over the frame's zero-padded first 64 bytes. `fh` is MATERIALIZED:
     * the dedup oracle self-joins it. */
+  /** The DuckDB twin of [[videoSaturatedCorpus]]: builds the same
+    * interleaved-payload `vc(doc_id, text)` both arms, ready for
+    * [[videoFrameHashCtes]]. */
+  private def videoSaturatedVcCtes: String =
+    s"""d0 AS (SELECT doc_id, text FROM documents
+       |  WHERE strlen(text) = length(text) AND strlen(text) >= 32
+       |    AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 20),
+       |ii AS (SELECT doc_id, text, array_to_string(list_transform(
+       |         range(0, least(8, (strlen(text)+31)//32)),
+       |         j -> '${"z" * 32}' || substr(text, CAST(j*32+1 AS BIGINT), 32)), '') AS iv
+       |       FROM d0),
+       |vc AS (SELECT doc_id, iv AS text FROM ii
+       |       UNION ALL
+       |       SELECT doc_id + 100000 AS doc_id, md5(text) || iv AS text FROM ii)""".stripMargin
+
   private def videoFrameHashCtes: String =
     """fr AS (SELECT doc_id, CAST(u AS BIGINT) AS frame_no,
       |         substr(text, CAST(u*32+1 AS BIGINT), 32) AS fb
@@ -3654,6 +3714,52 @@ object SparkEntry {
          |vv AS (SELECT a_id, b_id, off, count(*) AS v FROM p GROUP BY 1, 2, 3)
          |SELECT a_id, b_id, CAST(max(v) AS BIGINT) AS votes
          |FROM vv GROUP BY a_id, b_id HAVING max(v) >= 3
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // the fhash key-space audit: bucket sizes by exact frame hash over the
+    // saturating intro-card corpus; Σ|bucket|² is the vote join's pre-cut
+    // row count — the audio_key_audit device, video edition
+    "video_key_audit" ->
+      s"""WITH $videoSaturatedVcCtes,
+         |$videoFrameHashCtes,
+         |bkt AS (SELECT fhash, count(*) AS bn FROM fh GROUP BY 1)
+         |SELECT CAST(sum(bn) AS BIGINT) AS n_frames,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(max(bn) AS BIGINT) AS max_bucket,
+         |  round(sum(bn)::DOUBLE / count(*), 6) AS mean_bucket,
+         |  CAST(sum(bn * bn) AS DOUBLE) AS est_candidates
+         |FROM bkt""".stripMargin,
+
+    // the self-dialing mine: the audit's fan-out (Σ|bucket|² / n_frames)
+    // gates the brute-forced Hamming vote chain vs the consecutive-bigram
+    // vote chain — the audio_auto_near branching device; this corpus
+    // saturates, so the bigram arm is the live one on both engines
+    "video_near_auto" ->
+      s"""WITH $videoSaturatedVcCtes,
+         |$videoFrameHashCtes,
+         |bkt AS (SELECT fhash, count(*) AS bn FROM fh GROUP BY 1),
+         |dec AS (SELECT sum(bn * bn)::DOUBLE > 16.0 * sum(bn)::DOUBLE AS hot FROM bkt),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |        a.frame_no - b.frame_no AS off
+         |      FROM fh a JOIN fh b ON a.doc_id < b.doc_id
+         |        AND bit_count(xor(a.fhash, b.fhash)) <= 3),
+         |vv AS (SELECT a_id, b_id, off, count(*) AS v FROM p GROUP BY 1, 2, 3),
+         |bg AS (SELECT doc_id, frame_no, fhash,
+         |         lead(fhash) OVER (PARTITION BY doc_id ORDER BY frame_no) AS nhash
+         |       FROM fh),
+         |bgn AS (SELECT * FROM bg WHERE nhash IS NOT NULL),
+         |p2 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         a.frame_no - b.frame_no AS off
+         |       FROM bgn a JOIN bgn b ON a.fhash = b.fhash AND a.nhash = b.nhash
+         |         AND a.doc_id < b.doc_id),
+         |vv2 AS (SELECT a_id, b_id, off, count(*) AS v FROM p2 GROUP BY 1, 2, 3)
+         |SELECT a_id, b_id, CAST(max(v) AS BIGINT) AS votes
+         |FROM vv WHERE NOT (SELECT hot FROM dec)
+         |GROUP BY a_id, b_id HAVING max(v) >= 3
+         |UNION ALL
+         |SELECT a_id, b_id, CAST(max(v) AS BIGINT) AS votes
+         |FROM vv2 WHERE (SELECT hot FROM dec)
+         |GROUP BY a_id, b_id HAVING max(v) >= 3
          |ORDER BY a_id, b_id""".stripMargin,
 
     "multimodal_video" ->

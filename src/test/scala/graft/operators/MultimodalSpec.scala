@@ -519,6 +519,91 @@ class MultimodalSpec extends SparkSpec {
       pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  // the saturation device for the auto family: frames alternate a CONSTANT
+  // intro-card frame C with doc-specific content slices, so the unigram
+  // fhash key has one corpus-hot bucket (every C frame hashes identically)
+  // while consecutive BIGRAMS (C, t_i) / (t_i, C) stay doc-selective —
+  // exactly the regime the fan-out audit exists to catch
+  private def saturatedVideoCorpus = {
+    val header = Multimodal.mp4VideoFramesHeader()
+    val cFrame = Array.fill[Byte](32)('z'.toByte)
+    def slice(d: Int, j: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(d * 1000 + j)
+      Array.fill[Byte](32)((rnd.nextInt(96) + 32).toByte) // printable, random gradient
+    }
+    def payload(d: Int): Array[Byte] =
+      (0 until 8).flatMap(j => cFrame ++ slice(d, j)).toArray
+    def junk(d: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(d * 7 + 3)
+      Array.fill[Byte](32)((rnd.nextInt(96) + 32).toByte)
+    }
+    (1 to 3).map(d => (d.toLong, header ++ payload(d))) ++
+      (1 to 3).map(d => (d + 100L, header ++ junk(d) ++ payload(d)))
+  }
+
+  test("videoKeyAudit: one bounded row, the hot constant frame dominates Σ|bucket|²") {
+    val docs = saturatedVideoCorpus.toDF("doc_id", "blob")
+    val fr = Multimodal.videoFrameHashes(spark, docs)
+    val a = Dedup.videoKeyAudit(fr).collect()
+    assert(a.length == 1)
+    val r = a.head
+    assert(r.getLong(0) == 96L, s"n_frames: ${r.getLong(0)}") // 6 docs × 16 frames
+    // the constant frame appears 8× per doc on both arms → one 48-bucket
+    assert(r.getLong(2) >= 48L, s"max_bucket: ${r.getLong(2)}")
+    assert(r.getAs[Double]("est_candidates") >= 48.0 * 48.0)
+    // the decision quantity: expected fan-out per frame probe is quadratic-ish
+    assert(r.getAs[Double]("est_candidates") / 96.0 > 16.0)
+  }
+
+  test("videoNearHammingAuto: saturated corpus escalates to the bigram vote (branches genuinely differ)") {
+    val docs = saturatedVideoCorpus.toDF("doc_id", "blob")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val auto = rows(Dedup.videoNearHammingAuto(spark, docs))
+    val bigram = rows(Dedup.videoNearBigram(spark, docs))
+    val hamming = rows(Dedup.videoNearHamming(spark, docs))
+    // auto ≡ the explicit escalated arm, exactly (pairs AND votes)
+    assert(auto == bigram)
+    // the twin pairs, recovered at 14 bigram votes each (15 shared frames
+    // in the 16-frame window → 14 shared consecutive bigrams at offset -1)
+    assert(auto == Seq((1L, 101L, 14L), (2L, 102L, 14L), (3L, 103L, 14L)), s"auto: $auto")
+    // the unigram Hamming arm is GARBAGE here — every doc pair shares the
+    // 8 constant frames at offset 0, so all 15 pairs "match": the branches
+    // genuinely differ, and the auto pick is the semantic fix, not a tune
+    assert(hamming.size == 15, s"hamming pairs: ${hamming.size}")
+    assert(auto != hamming)
+  }
+
+  test("videoNearHammingAuto: unsaturated corpus IS the explicit Hamming form (drift recovery kept)") {
+    import spark.implicits._
+    val header = Multimodal.mp4VideoFramesHeader()
+    val text = (0 until 160).map(i => ('a' + (i * 7) % 26).toChar).mkString
+      .getBytes("US-ASCII")
+    val drifted = text.clone()
+    var i = 31
+    while (i < drifted.length) {
+      val prev = drifted(i - 1) & 0xff
+      drifted(i) =
+        (if ((drifted(i) & 0xff) > prev) math.max(prev - 1, 0)
+         else math.min(prev + 1, 255)).toByte
+      i += 32
+    }
+    val junk = Array.fill[Byte](32)('z'.toByte)
+    val docs = Seq(
+      (1L, header ++ text),
+      (2L, header ++ junk ++ drifted)
+    ).toDF("doc_id", "blob")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val auto = rows(Dedup.videoNearHammingAuto(spark, docs))
+    val hamming = rows(Dedup.videoNearHamming(spark, docs))
+    assert(auto == hamming && auto == Seq((1L, 2L, 5L)))
+    // and the trade the auto pick protects: exact bigrams CANNOT recover a
+    // drifted twin (every frame hash differs by one bit), so blindly
+    // escalating would lose the widening — the audit gates it instead
+    assert(Dedup.videoNearBigram(spark, docs).collect().isEmpty)
+  }
+
   test("videoDedup: re-mux copies collapse, the re-intro twin components, keeper = smallest id") {
     import spark.implicits._
     val header = Multimodal.mp4VideoFramesHeader()
