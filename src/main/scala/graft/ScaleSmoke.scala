@@ -380,6 +380,27 @@ object ScaleSmoke {
           vids.where(graft.operators.Sampling.hashBucket(col("doc_id")) < 10))
           .queryExecution.toRdd.count()
       }
+      stage("video near auto (full)") {
+        // the FULL text-wrapped corpus through the self-dialed entry point:
+        // the fhash audit measures the saturation (fan-out ≫ 16 on this
+        // skew) and routes to the bigram chain — the measured 77 GB
+        // candidate-shuffle / disk-full regime is unreachable by default
+        D.videoNearHammingAuto(spark, vids).queryExecution.toRdd.count()
+      }
+    }
+    stage("candidate pairs near-cap x64") {
+      // the captured r13 OOM mechanism, reproduced and retired: 64 buckets
+      // of 4000 ids at cap 4096 — the old in-bucket array path materialized
+      // |bucket|²/2 ≈ 8M structs (~400 MB) per near-cap bucket, 32
+      // concurrently (heap-space task failure); the join expansion streams
+      // the same ~512M pairs through the (band, key) self-join with the
+      // per-task transient bounded by pairExplodeMax
+      val keyed = spark.range(256000L).select(
+        (col("id") / 4000).cast("int").as("band"),
+        (col("id") / 4000).cast("long").as("key"),
+        col("id").as("doc_id"))
+      D.candidatePairs(keyed, "band", "key", "doc_id", maxBucket = 4096)
+        .queryExecution.toRdd.count()
     }
     // Synthetic DIVERSE audio for the landmark stages — the operator's
     // true domain. Text-wrapped bytes (the oracle device) are adversarial

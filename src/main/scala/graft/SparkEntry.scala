@@ -388,6 +388,27 @@ object SparkEntry {
       Bitext.minePairsIncrementalIndexed2(s, dir, batch,
         k = 4, tau = 1.0, nFine = 8, nCoarse = 3, wCoarse = 3, nProbe = 8)
     }),
+    // the stored-index rung picker for the incremental mine: both sides
+    // full-open ⇒ exact candidates ⇒ the incremental brute-force oracle
+    // verbatim either way (the build picks the stored layout from nCells)
+    "bitext_mine_incr_indexed_auto" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val batch = Tables.embeddings(s, dir)
+        .where(col("vec_id") % 2 === 0 &&
+          graft.operators.Sampling.hashBucket(col("vec_id")) >= 50)
+        .select(col("vec_id").as("src_id"), col("embedding").as("src_vec"))
+      Bitext.minePairsIncrementalIndexedAuto(s, dir, batch,
+        k = 4, tau = 1.0, nCells = 8, nProbe = 8)
+    }),
+    "bitext_mine_incr_indexed_auto2" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val batch = Tables.embeddings(s, dir)
+        .where(col("vec_id") % 2 === 0 &&
+          graft.operators.Sampling.hashBucket(col("vec_id")) >= 50)
+        .select(col("vec_id").as("src_id"), col("embedding").as("src_vec"))
+      Bitext.minePairsIncrementalIndexedAuto(s, dir, batch,
+        k = 4, tau = 1.0, nCells = 8, nProbe = 8, flatCellMax = 0)
+    }),
     "bitext_hubness" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       // the diagnostic that motivates the margin: top hub targets by
@@ -440,6 +461,13 @@ object SparkEntry {
     "ivf_topk_auto" -> ((s, dir) => Ann.ivfTopkAuto(s, dir, 0L, 10, 16, 4)),
     "ivf_topk_auto2" -> ((s, dir) =>
       Ann.ivfTopkAuto(s, dir, 0L, 10, 16, 4, flatCellMax = 0)),
+    // the STORED-index rung picker: flat side = ivf_topk_indexed's oracle
+    // (same stored flat layout); forced side = the two-level layout at the
+    // derived params — the build picks the layout, the probe follows it
+    "ivf_topk_auto_indexed" -> ((s, dir) =>
+      Ann.ivfTopkIndexedAuto(s, dir, 0L, 10, 16, 4)),
+    "ivf_topk_auto_indexed2" -> ((s, dir) =>
+      Ann.ivfTopkIndexedAuto(s, dir, 0L, 10, 16, 4, flatCellMax = 0)),
     "ivf_delta_topk" -> ((s, dir) => Ann.ivfDeltaTopk(s, dir, 0L, 10, 16, 4)),
     "ivf_retrain_on_recall" -> ((s, dir) => Ann.ivfRetrainOnRecall(s, dir)),
     "pq_err"  -> ((s, dir) => Ann.pqError(s, dir)),
@@ -3974,6 +4002,11 @@ object SparkEntry {
     // params (nCoarse = wCoarse = ⌈√16⌉ = 4 — coarse full-open)
     "ivf_topk_auto" -> ivfTopkSql,
     "ivf_topk_auto2" -> ivfTopk2Sql(16, 4, 4, 4),
+    // stored-index rung picker: identical semantics to the inline rungs
+    // (same centroids, same assignment, same rerank — the layout only
+    // changes WHERE the cells live)
+    "ivf_topk_auto_indexed" -> ivfTopkSql,
+    "ivf_topk_auto_indexed2" -> ivfTopk2Sql(16, 4, 4, 4),
     // the recall-drop → rebuild loop: the decision (integer hit threshold)
     // and the served arm are both part of the compared result
     "ivf_retrain_on_recall" -> ivfRetrainOnRecallSql(),
@@ -4447,6 +4480,10 @@ object SparkEntry {
     // incremental brute-force oracle for the inline and indexed forms
     "bitext_mine_incremental2" -> bitextMineIncrementalSql,
     "bitext_mine_incremental_indexed2" -> bitextMineIncrementalSql,
+    // stored-index rung picker: full-open on both rungs ⇒ exact candidates
+    // ⇒ one brute-force incremental oracle serves both sides
+    "bitext_mine_incr_indexed_auto" -> bitextMineIncrementalSql,
+    "bitext_mine_incr_indexed_auto2" -> bitextMineIncrementalSql,
 
     // the forward-kNN pass of bitext_mine re-aggregated by target: hub
     // count = how many sources hold the target in their k-NN

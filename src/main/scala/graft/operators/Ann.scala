@@ -829,6 +829,32 @@ object Ann {
       .limit(k)
   }
 
+  /** [[ivfTopkIndexed]] with the flat-vs-two-level rung SELF-DIALED from
+    * the requested cell count — [[FlatCellMax]]'s dial extended to the
+    * STORED-index family, closing the round-13 residual (the rung-picker
+    * covered the inline entry points while the indexed probes still made
+    * the caller pick the layout at build time). The BUILD picks the
+    * layout: at `nCells ≤ flatCellMax` this IS [[ivfTopkIndexed]] (flat
+    * cell-partitioned layout, `nCells × dim` driver collect at probe
+    * time); above, [[ivfTopk2Indexed]] with `nFine = nCells`, `nCoarse =
+    * wCoarse = ⌈√nCells⌉` — coarse full-open, so the switch retires the
+    * plan literal and driver collect without adding a recall cut. The
+    * REGISTRY records the rung implicitly and exactly: the two layouts
+    * register under different names/params (`embeddings-ivf-c·` vs
+    * `embeddings-ivf2-f·-c·`), and the probe re-derives the same branch
+    * from the same pure function of `nCells` — a stored layout can never
+    * be read through the other rung's probe. RungPickerSpec pins auto ≡
+    * explicit on both sides. */
+  def ivfTopkIndexedAuto(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+                         k: Int = 10, nCells: Int = 16, nProbe: Int = 4,
+                         policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing,
+                         flatCellMax: Int = FlatCellMax): DataFrame =
+    if (nCells <= flatCellMax)
+      ivfTopkIndexed(spark, dir, queryVecId, k, nCells, nProbe, policy)
+    else
+      ivfTopk2Indexed(spark, dir, queryVecId, k, nCells, coarseFor(nCells),
+        coarseFor(nCells), nProbe, policy)
+
   /** Recall@k audit of the IVF probe against the exact scan — the
     * [[annRecall]] twin for the centroid index, and the tool that picks
     * `nProbe`: sweep it, read the recall/cost curve, deploy the knee. With

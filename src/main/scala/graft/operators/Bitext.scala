@@ -415,6 +415,35 @@ object Bitext {
     else minePairsIncremental2(x, y, k, tau, nCells, Ann.coarseFor(nCells),
       Ann.coarseFor(nCells), nProbe)
 
+  /** [[minePairsIncrementalIndexed]] with the flat-vs-two-level rung
+    * SELF-DIALED from the requested cell count — [[graft.operators.Ann
+    * .FlatCellMax]]'s dial extended to the STORED-index mining family
+    * (the round-13 residual: the inline incremental probe self-dialed
+    * while the indexed twin still made the caller pick the stored layout
+    * at build time). At `nCells ≤ flatCellMax` this IS
+    * [[minePairsIncrementalIndexed]] (cents+cells layout, nCells-vector
+    * driver collect per snapshot); above,
+    * [[minePairsIncrementalIndexed2]] with `nFine = nCells`, `nCoarse =
+    * wCoarse = ⌈√nCells⌉` (coarse+fine+cells2 layout — only √nCells rows
+    * of driver state per snapshot, coarse full-open so no recall cut).
+    * The registry records the rung via distinct index names/params, and
+    * the probe re-derives the branch from the same pure function of
+    * `nCells` — stored layout and probe can never disagree.
+    * RungPickerSpec pins auto ≡ explicit on both sides. */
+  def minePairsIncrementalIndexedAuto(spark: org.apache.spark.sql.SparkSession,
+                                      dir: String, x: DataFrame, k: Int = 4,
+                                      tau: Double = 1.0, nCells: Int = 8,
+                                      nProbe: Int = 8,
+                                      policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing,
+                                      targetSide: String = TargetSideConvention,
+                                      flatCellMax: Int = Ann.FlatCellMax): DataFrame =
+    if (nCells <= flatCellMax)
+      minePairsIncrementalIndexed(spark, dir, x, k, tau, nCells, nProbe,
+        policy, targetSide)
+    else
+      minePairsIncrementalIndexed2(spark, dir, x, k, tau, nCells,
+        Ann.coarseFor(nCells), Ann.coarseFor(nCells), nProbe, policy, targetSide)
+
   /** Fine-centroid TABLE anchored to the target side: one row per fine
     * centroid — `(fcell, ccell, fv)` where fcell is 1-based over the
     * `nFine` lowest-tgt_id vectors and ccell its coarse argmax (the

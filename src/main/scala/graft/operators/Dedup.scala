@@ -150,17 +150,66 @@ object Dedup {
     * (see [[videoNearHamming]]). */
   private[graft] def candidatePairs(keyed: DataFrame, k1: String, k2: String,
                                     idCol: String,
-                                    maxBucket: Int = Int.MaxValue): DataFrame =
-    keyed
+                                    maxBucket: Int = Int.MaxValue,
+                                    pairExplodeMax: Int = 256): DataFrame = {
+    val buckets = keyed
       .groupBy(col(k1), col(k2))
       .agg(sort_array(collect_list(col(idCol))).as("bucket"))
       .where(size(col("bucket")) > 1 && size(col("bucket")) <= maxBucket)
+    // SMALL buckets expand in-bucket: the transform materializes the whole
+    // |bucket|²/2 pair array per bucket before exploding, which is the
+    // cheapest plan while the array is small — and a ~400 MB transient per
+    // bucket once it isn't (the measured 32-task OOM at 2.4M frames under a
+    // 4096 cap: memory and candidate volume coupled through one dial).
+    val small = buckets
+      .where(size(col("bucket")) <= pairExplodeMax)
       .select(explode(expr(
         """flatten(transform(bucket,
           |  (x, i) -> transform(slice(bucket, i + 2, size(bucket)),
           |            y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
-      .distinct()
+    // LARGE buckets expand through a SALT-BLOCKED self equi-join: members
+    // chunk into √-quantum salt groups of `pairExplodeMax` (the bucket is
+    // sorted, so salts are id-ordered), the a-side replicates each member
+    // to its (own salt, ≥ salt) group pairs and the b-side to its
+    // (≤ salt, own salt) ones, and the join key CARRIES the salt pair —
+    // every unordered member pair lands in exactly one (gi, gj) group. Two
+    // structural wins over the array path, both from measured failures:
+    // per-task transients are bounded by pairExplodeMax² rows regardless
+    // of the cap (the r13 400 MB-array OOM), and a single giant bucket's
+    // quadratic output spreads across C(ns+1, 2) groups instead of one
+    // task (a plain (k1, k2)-keyed join measured ~1.5 busy cores of 32 on
+    // the 64×4000 smoke corpus — the quadratic work all sat in the few
+    // partitions holding the hot keys, with the distinct's partial map
+    // growing to tens of GB in one task). The repartitions are PINNED
+    // (explicit numPartitions — AQE respects user repartitions): the key
+    // rows are byte-small while the join output is quadratic, so AQE's
+    // byte-sized coalescing would otherwise fold the expansion back into
+    // one task. Replication cost is ~ns/2 key-sized rows per member —
+    // trivial against the |bucket|²/2 output it parallelizes.
+    val c = pairExplodeMax
+    val par = keyed.sparkSession.sparkContext.defaultParallelism
+    val ex = buckets
+      .where(size(col("bucket")) > pairExplodeMax)
+      .select(col(k1), col(k2),
+        ceil(size(col("bucket")).cast("double") / c).cast("int").as("ns"),
+        posexplode(col("bucket")).as(Seq("pos", "m")))
+      .select(col(k1), col(k2), (col("pos") / c).cast("int").as("salt"),
+        col("ns"), col("m"))
+    val aSide = ex.select(col(k1), col(k2), col("salt").as("gi"),
+        explode(expr("sequence(salt, ns - 1)")).as("gj"), col("m").as("a_id"))
+      .repartition(par, col(k1), col(k2), col("gi"), col("gj"))
+    val bSide = ex.select(col(k1), col(k2),
+        explode(expr("sequence(0, salt)")).as("gi"), col("salt").as("gj"),
+        col("m").as("b_id"))
+      .repartition(par, col(k1), col(k2), col("gi"), col("gj"))
+    val large = aSide.join(bSide, Seq(k1, k2, "gi", "gj"))
+      // salts are id-ordered, so cross-salt groups satisfy a < b by
+      // construction; the filter is load-bearing only on the diagonal
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    small.unionByName(large).distinct()
+  }
 
   /** X3b — MinHash LSH near-duplicate text pairs.
     *

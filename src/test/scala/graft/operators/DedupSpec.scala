@@ -841,4 +841,27 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
     assert(run(true) == run(false))
   }
+
+  test("candidatePairs: join expansion for oversized buckets ≡ in-bucket array path; caps respected") {
+    import spark.implicits._
+    // buckets: size 5 (above a tiny pairExplodeMax → join path), size 2
+    // (array path), size 1 (dropped — no pair), size 7 (above maxBucket —
+    // dropped by the cap regardless of expansion strategy)
+    val keyed = (Seq(
+      (0, 10L, 1L), (0, 10L, 2L), (0, 10L, 3L), (0, 10L, 4L), (0, 10L, 5L),
+      (1, 20L, 6L), (1, 20L, 7L),
+      (2, 30L, 8L)
+    ) ++ (0 until 7).map(i => (3, 40L, 100L + i))).toDF("band", "key", "doc_id")
+    def pairs(pairExplodeMax: Int) =
+      Dedup.candidatePairs(keyed, "band", "key", "doc_id",
+          maxBucket = 6, pairExplodeMax = pairExplodeMax)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      a <- 1L to 5L; b <- (a + 1) to 5L
+    } yield (a, b)).toSet + ((6L, 7L))
+    // everything through the array path vs the size-5 bucket through the
+    // join path: pair-identical output
+    assert(pairs(pairExplodeMax = 256) == expected)
+    assert(pairs(pairExplodeMax = 3) == expected)
+  }
 }

@@ -66,6 +66,40 @@ class RungPickerSpec extends SparkSpec {
         wCoarse = 3, nProbe = 8))
   }
 
+  test("ivfTopkIndexedAuto: both sides of the threshold (stored layouts)") {
+    same(Ann.ivfTopkIndexedAuto(spark, dir, 0L, 10, 16, 4),
+      Ann.ivfTopkIndexed(spark, dir, 0L, 10, 16, 4))
+    same(Ann.ivfTopkIndexedAuto(spark, dir, 0L, 10, 16, 4, flatCellMax = 0),
+      Ann.ivfTopk2Indexed(spark, dir, 0L, 10, nFine = 16, nCoarse = 4,
+        wCoarse = 4, nProbe = 4))
+  }
+
+  test("minePairsIncrementalIndexedAuto: both sides of the threshold (stored layouts)") {
+    val batch = Tables.embeddings(spark, dir)
+      .where(col("vec_id") % 2 === 0 &&
+        graft.operators.Sampling.hashBucket(col("vec_id")) >= 50)
+      .select(col("vec_id").as("src_id"), col("embedding").as("src_vec"))
+    same(Bitext.minePairsIncrementalIndexedAuto(spark, dir, batch,
+        k = 4, tau = 1.0, nCells = 8, nProbe = 8),
+      Bitext.minePairsIncrementalIndexed(spark, dir, batch,
+        k = 4, tau = 1.0, nCells = 8, nProbe = 8))
+    same(Bitext.minePairsIncrementalIndexedAuto(spark, dir, batch,
+        k = 4, tau = 1.0, nCells = 8, nProbe = 8, flatCellMax = 0),
+      Bitext.minePairsIncrementalIndexed2(spark, dir, batch,
+        k = 4, tau = 1.0, nFine = 8, nCoarse = 3, wCoarse = 3, nProbe = 8))
+  }
+
+  test("indexed incremental twins are dir-convention-only: a foreign targetSide fails loudly") {
+    val batch = Tables.embeddings(spark, dir)
+      .where(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("src_id"), col("embedding").as("src_vec"))
+    val e = intercept[IllegalArgumentException] {
+      Bitext.minePairsIncrementalIndexed(spark, dir, batch,
+        targetSide = "vec_id%3=0")
+    }
+    assert(e.getMessage.contains("dir-convention-only"))
+  }
+
   test("minePairsAuto: full-open dial is rung-independent (exact either way)") {
     // the registered bitext dial is nProbe = nCells (exact candidates), so
     // the two rungs must agree with EACH OTHER, not just each with itself —
