@@ -34,7 +34,21 @@ object Curate {
                // the exact char-n-gram mine — the arm the STREAMING sink
                // can maintain incrementally; graft.streaming.Streaming
                // .streamCurate is proven ≡ pipeline(approxNear = true)
-               approxNear: Boolean = false): DataFrame = {
+               approxNear: Boolean = false): DataFrame =
+    decide(docs, textFlags(docs, minQuality, trainPct, benchFromPct, approxNear),
+      TextGates, tokensPerShard, trainPct, benchFromPct)
+
+  /** The text gate columns of [[pipeline]]'s decision frame, in output
+    * order. */
+  private val TextGates = Seq("quality_ok", "repetition_ok", "pii_ok",
+    "dedup_ok", "near_ok", "decontam_ok")
+
+  /** The per-doc TEXT gate verdicts (no `kept` yet): heuristic gates,
+    * near-dedup keeper, decontamination — one row per doc with the gate
+    * booleans and the split bucket `__b`. */
+  private def textFlags(docs: DataFrame, minQuality: Double,
+                        trainPct: Int, benchFromPct: Int,
+                        approxNear: Boolean): DataFrame = {
     val bucket = Sampling.hashBucket(col("doc_id"))
     val gates = CorpusFilter.decisions(docs, minQuality).drop("kept")
     val nearPairs = if (approxNear) Dedup.minhashNearApprox(docs) else Dedup.ngramNear(docs)
@@ -46,7 +60,7 @@ object Curate {
     val deco = Decontaminate.contamination(docs,
         trainPct = trainPct, benchFromPct = benchFromPct)
       .select(col("doc_id"), (!col("contaminated")).as("__dc"))
-    val flags = docs.select(col("doc_id"), bucket.as("__b"))
+    docs.select(col("doc_id"), bucket.as("__b"))
       .join(gates, Seq("doc_id"))
       .join(near, Seq("doc_id"))
       .join(deco, Seq("doc_id"), "left")
@@ -54,9 +68,17 @@ object Curate {
         col("pii_ok"), col("dedup_ok"), col("near_ok"),
         coalesce(col("__dc"), lit(true)).as("decontam_ok"),
         col("__b"))
-      .withColumn("kept",
-        col("quality_ok") && col("repetition_ok") && col("pii_ok") &&
-          col("dedup_ok") && col("near_ok") && col("decontam_ok"))
+  }
+
+  /** The shared decision tail: `kept` = the conjunction of `gateCols`,
+    * token-budget shards over kept-train docs, the leak-bucketed split —
+    * one auditable frame whose gate columns are whatever the caller's
+    * flags carry ([[pipeline]]'s six text gates; [[pipelineMultimodal]]
+    * appends `media_ok`). */
+  private def decide(docs: DataFrame, flags: DataFrame, gateCols: Seq[String],
+                     tokensPerShard: Long, trainPct: Int,
+                     benchFromPct: Int): DataFrame = {
+    val flagged = flags.withColumn("kept", gateCols.map(col).reduce(_ && _))
     // MATERIALIZATION BOUNDARY before the fan-out: the flags frame has
     // two consumers (the shard scan over kept-train rows, and the final
     // output), and without a boundary Catalyst re-evaluates every gate
@@ -66,7 +88,7 @@ object Curate {
     // first action; conditional-prefix-scan formulations that avoid the
     // fan-out still consume the frame twice (offsets aggregation + final
     // join), so the boundary is the fix, not a rewrite.
-    val matFlags = flags.localCheckpoint(false)
+    val matFlags = flagged.localCheckpoint(false)
     // running token sums over kept-train docs only; the conditional-zero
     // contribution equals tokenShards over the kept-train SUBSET, which
     // is what the oracle computes
@@ -76,16 +98,62 @@ object Curate {
       tokensPerShard)
       .select(col("doc_id"), col("shard"))
     matFlags.join(shards, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("quality_ok"), col("repetition_ok"),
-        col("pii_ok"), col("dedup_ok"), col("near_ok"), col("decontam_ok"),
-        col("kept"),
+      .select(col("doc_id") +: gateCols.map(col) :+
+        col("kept") :+
         when(!col("kept"), lit(null).cast("string"))
           .when(col("__b") < trainPct, lit("train"))
           .when(col("__b") < benchFromPct, lit("val"))
-          .otherwise(lit("bench")).as("split"),
+          .otherwise(lit("bench")).as("split") :+
         when(col("kept") && col("__b") < trainPct, col("shard"))
-          .otherwise(lit(null).cast("bigint")).as("shard"))
+          .otherwise(lit(null).cast("bigint")).as("shard"): _*)
       .orderBy(col("doc_id"))
+  }
+
+  /** [[pipeline]] with the MEDIA duplicate gate joined into the same audit
+    * frame — the round-13 residual closed: the per-modality dedup
+    * treatment forms existed as standalone operators and streaming gates,
+    * but the one assembled frame a user actually runs was text-only.
+    * Pure composition of oracle-checked arms: `blobs` (doc_id, blob) rows
+    * dispatch on the blob HEADER — RIFF/WAVE → [[Dedup.audioDedup]],
+    * plausible-ftyp ISO-BMFF → [[Dedup.videoDedup]], EVERYTHING ELSE →
+    * [[Dedup.imageDedup]] (whose container-level fake arm is the engine's
+    * declared path for non-media binaries, so every blob gets exactly one
+    * family) — and each family's keeper verdict lands as `media_ok`.
+    * Docs with no blob row (or whose family yields no verdict: a
+    * sample-less MP4, a WAV the envelope cannot window) are vacuously
+    * media-clean, the [[textFlags]] decontamination convention. `kept` =
+    * text gates ∧ media_ok, and the split/shard assignment runs over the
+    * COMPOSED verdict (a media-dropped doc never consumes shard budget —
+    * joining the media gate after the fact would mis-number every later
+    * shard).
+    *
+    * Scale shape: the sum of the arms' documented shapes; the dispatch is
+    * one header sniff per blob (bounded bytes, a mapPartitions-free UDF on
+    * the magic prefix), each family scans only its own modality's rows
+    * (filter pushdown below each arm's decode), and the composition joins
+    * signature-sized verdict rows on doc_id — pixels/samples never meet
+    * the text side. */
+  def pipelineMultimodal(spark: SparkSession, docs: DataFrame, blobs: DataFrame,
+                         idCol: String = "doc_id", blobCol: String = "blob",
+                         minQuality: Double = 0.3,
+                         tokensPerShard: Long = 10000L,
+                         trainPct: Int = 80, benchFromPct: Int = 90,
+                         approxNear: Boolean = false): DataFrame = {
+    val typed = blobs
+      .select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
+      .withColumn("__mod", Multimodal.modalityUdf(col("blob")))
+    def arm(m: String)(f: DataFrame => DataFrame): DataFrame =
+      f(typed.where(col("__mod") === m).select(col("doc_id"), col("blob")))
+        .select(col("doc_id"), col("keep").as("__media"))
+    val media = arm("image")(d => Dedup.imageDedup(spark, d))
+      .unionByName(arm("audio")(d => Dedup.audioDedup(spark, d)))
+      .unionByName(arm("video")(d => Dedup.videoDedup(spark, d)))
+    val flags = textFlags(docs, minQuality, trainPct, benchFromPct, approxNear)
+      .join(media, Seq("doc_id"), "left")
+      .withColumn("media_ok", coalesce(col("__media"), lit(true)))
+      .drop("__media")
+    decide(docs, flags, TextGates :+ "media_ok",
+      tokensPerShard, trainPct, benchFromPct)
   }
 
   /** Materialize a [[pipeline]] run: kept TRAIN docs as token-budget

@@ -56,6 +56,21 @@ object Multimodal {
     (b.length >= 3 &&
       b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte)
 
+  /** The engine's standing modality dispatch, as one UDF: RIFF/WAVE →
+    * "audio", plausible-ftyp ISO-BMFF → "video", null → "none", and
+    * EVERYTHING ELSE → "image" ([[imagePHash]]'s container-level fake arm
+    * is the declared path for non-media binaries, so every blob lands in
+    * exactly one family). Shared by [[graft.operators.Curate
+    * .pipelineMultimodal]] and [[graft.streaming.Streaming
+    * .streamMediaDedupAdmit]] — dispatch and arm can never disagree about
+    * what a blob is because they call the same header predicates. */
+  private[graft] def modalityUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((b: Array[Byte]) =>
+      if (b == null) "none"
+      else if (isWav(b)) "audio"
+      else if (isMp4(b)) "video"
+      else "image")
+
   /** RIFF/WAVE magic: "RIFF" at 0, "WAVE" at 8. */
   private[operators] def isWav(b: Array[Byte]): Boolean =
     b.length >= 12 &&

@@ -674,30 +674,41 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val D = graft.operators.Dedup
-          val M = graft.operators.Multimodal
-          val hashed = M.imagePHash(spark, batch).localCheckpoint(false)
-          val groups = D.imageDedup(spark, batch,
-            bands = bands, maxHamming = maxHamming, agreeBands = agreeBands)
-          val admitted = readBatchState(spark, s"$path/_ph", batchId) match {
-            case Some(state) =>
-              val taintedGroups = D.imageMatchesAgainst(hashed, state,
-                  bands, maxHamming, agreeBands)
-                .join(groups, Seq("doc_id"))
-                .select(col("group_id")).distinct()
-              groups.where(col("keep"))
-                .join(taintedGroups, Seq("group_id"), "left_anti")
-                .select(col("doc_id"))
-            case None => groups.where(col("keep")).select(col("doc_id"))
-          }
+          val admitted = imageAdmitBatch(batch, path, batchId,
+            bands, maxHamming, agreeBands, compactEvery)
           sink(batch.join(admitted, Seq("doc_id"), "left_semi"))
-          hashed.select(col("phash")).distinct()
-            .write.mode("overwrite").parquet(f"$path/_ph/b$batchId%020d")
-          compactBatchState(spark, s"$path/_ph", batchId, compactEvery)
         }
       }
       .start()
+
+  /** One micro-batch of [[streamImageDedupAdmit]]: returns the admitted
+    * doc ids and writes/compacts this batch's `_ph` state — shared
+    * verbatim with [[streamMediaDedupAdmit]]'s image arm. */
+  private def imageAdmitBatch(batch: DataFrame, path: String, batchId: Long,
+                              bands: Int, maxHamming: Int, agreeBands: Int,
+                              compactEvery: Int): DataFrame = {
+    val spark = batch.sparkSession
+    val D = graft.operators.Dedup
+    val M = graft.operators.Multimodal
+    val hashed = M.imagePHash(spark, batch).localCheckpoint(false)
+    val groups = D.imageDedup(spark, batch,
+      bands = bands, maxHamming = maxHamming, agreeBands = agreeBands)
+    val admitted = readBatchState(spark, s"$path/_ph", batchId) match {
+      case Some(state) =>
+        val taintedGroups = D.imageMatchesAgainst(hashed, state,
+            bands, maxHamming, agreeBands)
+          .join(groups, Seq("doc_id"))
+          .select(col("group_id")).distinct()
+        groups.where(col("keep"))
+          .join(taintedGroups, Seq("group_id"), "left_anti")
+          .select(col("doc_id"))
+      case None => groups.where(col("keep")).select(col("doc_id"))
+    }
+    hashed.select(col("phash")).distinct()
+      .write.mode("overwrite").parquet(f"$path/_ph/b$batchId%020d")
+    compactBatchState(spark, s"$path/_ph", batchId, compactEvery)
+    admitted
+  }
 
   /** Streaming AUDIO-dedup admission gate — the continuous twin of
     * [[graft.operators.Dedup.audioDedup]], completing the modality matrix
@@ -744,52 +755,66 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val D = graft.operators.Dedup
-          val M = graft.operators.Multimodal
-          val lm = M.audioLandmarks(spark, batch,
-            windowSamples = windowSamples, hop = hop, maxBytes = maxBytes,
-            maxDt = maxDt, fanout = fanout, keyPeaks = keyPeaks)
-            .localCheckpoint(false)
-          val env = M.audioEnvelope(spark, batch,
-            windowSamples = windowSamples, maxBytes = maxBytes, hop = hop)
-            .select(col("doc_id"), col("env")).localCheckpoint(false)
-          val groups = D.audioDedup(spark, batch,
-            windowSamples = windowSamples, hop = hop, maxBytes = maxBytes,
-            maxDt = maxDt, fanout = fanout, minVotes = minVotes,
-            keyPeaks = keyPeaks)
-          // a crash between the two state writes may leave one side a batch
-          // ahead — a missing side is EMPTY state, not no-state, so the
-          // committed side still taints
-          val stateLmOpt = readBatchState(spark, s"$path/_lm", batchId)
-          val stateEnvOpt = readBatchState(spark, s"$path/_env", batchId)
-          val keepers =
-            if (stateLmOpt.isEmpty && stateEnvOpt.isEmpty)
-              groups.where(col("keep")).select(col("doc_id"))
-            else {
-              val taintedGroups = D.audioMatchesAgainst(lm, env,
-                  stateLmOpt.getOrElse(lm.limit(0)),
-                  stateEnvOpt.getOrElse(env.select(col("env")).limit(0)),
-                  minVotes = minVotes)
-                .join(groups, Seq("doc_id"))
-                .select(col("group_id")).distinct()
-              groups.where(col("keep"))
-                .join(taintedGroups, Seq("group_id"), "left_anti")
-                .select(col("doc_id"))
-            }
-          // pass-through: rows with no envelope are not audio
-          val admitted = keepers.unionByName(
-            batch.select(col("doc_id"))
-              .join(env.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+          val admitted = audioAdmitBatch(batch, path, batchId,
+            windowSamples, hop, maxBytes, maxDt, fanout, minVotes,
+            compactEvery, keyPeaks)
           sink(batch.join(admitted, Seq("doc_id"), "left_semi"))
-          lm.write.mode("overwrite").parquet(f"$path/_lm/b$batchId%020d")
-          env.select(col("env")).distinct()
-            .write.mode("overwrite").parquet(f"$path/_env/b$batchId%020d")
-          compactBatchState(spark, s"$path/_lm", batchId, compactEvery)
-          compactBatchState(spark, s"$path/_env", batchId, compactEvery)
         }
       }
       .start()
+
+  /** One micro-batch of [[streamAudioDedupAdmit]]: returns the admitted
+    * doc ids (keepers plus the non-WAV pass-through) and writes/compacts
+    * this batch's `_lm`/`_env` state — shared verbatim with
+    * [[streamMediaDedupAdmit]]'s audio arm. */
+  private def audioAdmitBatch(batch: DataFrame, path: String, batchId: Long,
+                              windowSamples: Int, hop: Int, maxBytes: Int,
+                              maxDt: Int, fanout: Int, minVotes: Int,
+                              compactEvery: Int, keyPeaks: Int): DataFrame = {
+    val spark = batch.sparkSession
+    val D = graft.operators.Dedup
+    val M = graft.operators.Multimodal
+    val lm = M.audioLandmarks(spark, batch,
+      windowSamples = windowSamples, hop = hop, maxBytes = maxBytes,
+      maxDt = maxDt, fanout = fanout, keyPeaks = keyPeaks)
+      .localCheckpoint(false)
+    val env = M.audioEnvelope(spark, batch,
+      windowSamples = windowSamples, maxBytes = maxBytes, hop = hop)
+      .select(col("doc_id"), col("env")).localCheckpoint(false)
+    val groups = D.audioDedup(spark, batch,
+      windowSamples = windowSamples, hop = hop, maxBytes = maxBytes,
+      maxDt = maxDt, fanout = fanout, minVotes = minVotes,
+      keyPeaks = keyPeaks)
+    // a crash between the two state writes may leave one side a batch
+    // ahead — a missing side is EMPTY state, not no-state, so the
+    // committed side still taints
+    val stateLmOpt = readBatchState(spark, s"$path/_lm", batchId)
+    val stateEnvOpt = readBatchState(spark, s"$path/_env", batchId)
+    val keepers =
+      if (stateLmOpt.isEmpty && stateEnvOpt.isEmpty)
+        groups.where(col("keep")).select(col("doc_id"))
+      else {
+        val taintedGroups = D.audioMatchesAgainst(lm, env,
+            stateLmOpt.getOrElse(lm.limit(0)),
+            stateEnvOpt.getOrElse(env.select(col("env")).limit(0)),
+            minVotes = minVotes)
+          .join(groups, Seq("doc_id"))
+          .select(col("group_id")).distinct()
+        groups.where(col("keep"))
+          .join(taintedGroups, Seq("group_id"), "left_anti")
+          .select(col("doc_id"))
+      }
+    // pass-through: rows with no envelope are not audio
+    val admitted = keepers.unionByName(
+      batch.select(col("doc_id"))
+        .join(env.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    lm.write.mode("overwrite").parquet(f"$path/_lm/b$batchId%020d")
+    env.select(col("env")).distinct()
+      .write.mode("overwrite").parquet(f"$path/_env/b$batchId%020d")
+    compactBatchState(spark, s"$path/_lm", batchId, compactEvery)
+    compactBatchState(spark, s"$path/_env", batchId, compactEvery)
+    admitted
+  }
 
   /** Streaming VIDEO-dedup admission gate — the continuous twin of
     * [[graft.operators.Dedup.videoDedup]], giving the video modality its
@@ -821,44 +846,111 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val D = graft.operators.Dedup
-          val fr = graft.operators.Multimodal.videoFrameHashes(spark, batch,
-            maxFrames = maxFrames, maxBytes = maxBytes)
-            .localCheckpoint(false)
-          val fp = D.videoFingerprints(fr).localCheckpoint(false)
-          val groups = D.videoDedup(spark, batch,
-            maxFrames = maxFrames, maxBytes = maxBytes, minVotes = minVotes)
-          // a crash between the two state writes may leave one side a batch
-          // ahead — a missing side is EMPTY state, not no-state, so the
-          // committed side still taints
-          val stateFrOpt = readBatchState(spark, s"$path/_fr", batchId)
-          val stateFpOpt = readBatchState(spark, s"$path/_fp", batchId)
-          val keepers =
-            if (stateFrOpt.isEmpty && stateFpOpt.isEmpty)
-              groups.where(col("keep")).select(col("doc_id"))
-            else {
-              val taintedGroups = D.videoMatchesAgainst(fr, fp,
-                  stateFrOpt.getOrElse(fr.limit(0)),
-                  stateFpOpt.getOrElse(fp.select(col("fp")).limit(0)),
-                  minVotes = minVotes)
-                .join(groups, Seq("doc_id"))
-                .select(col("group_id")).distinct()
-              groups.where(col("keep"))
-                .join(taintedGroups, Seq("group_id"), "left_anti")
-                .select(col("doc_id"))
-            }
-          // pass-through: rows with no extracted frame are not videos
-          val admitted = keepers.unionByName(
-            batch.select(col("doc_id"))
-              .join(fr.select(col("doc_id")), Seq("doc_id"), "left_anti")
-              .distinct())
+          val admitted = videoAdmitBatch(batch, path, batchId,
+            maxFrames, maxBytes, minVotes, compactEvery)
           sink(batch.join(admitted, Seq("doc_id"), "left_semi"))
-          fr.write.mode("overwrite").parquet(f"$path/_fr/b$batchId%020d")
-          fp.select(col("fp")).distinct()
-            .write.mode("overwrite").parquet(f"$path/_fp/b$batchId%020d")
-          compactBatchState(spark, s"$path/_fr", batchId, compactEvery)
-          compactBatchState(spark, s"$path/_fp", batchId, compactEvery)
+        }
+      }
+      .start()
+
+  /** One micro-batch of [[streamVideoDedupAdmit]]: returns the admitted
+    * doc ids (keepers plus the non-MP4 pass-through) and writes/compacts
+    * this batch's `_fr`/`_fp` state — shared verbatim with
+    * [[streamMediaDedupAdmit]]'s video arm. */
+  private def videoAdmitBatch(batch: DataFrame, path: String, batchId: Long,
+                              maxFrames: Int, maxBytes: Int, minVotes: Int,
+                              compactEvery: Int): DataFrame = {
+    val spark = batch.sparkSession
+    val D = graft.operators.Dedup
+    val fr = graft.operators.Multimodal.videoFrameHashes(spark, batch,
+      maxFrames = maxFrames, maxBytes = maxBytes)
+      .localCheckpoint(false)
+    val fp = D.videoFingerprints(fr).localCheckpoint(false)
+    val groups = D.videoDedup(spark, batch,
+      maxFrames = maxFrames, maxBytes = maxBytes, minVotes = minVotes)
+    // a crash between the two state writes may leave one side a batch
+    // ahead — a missing side is EMPTY state, not no-state, so the
+    // committed side still taints
+    val stateFrOpt = readBatchState(spark, s"$path/_fr", batchId)
+    val stateFpOpt = readBatchState(spark, s"$path/_fp", batchId)
+    val keepers =
+      if (stateFrOpt.isEmpty && stateFpOpt.isEmpty)
+        groups.where(col("keep")).select(col("doc_id"))
+      else {
+        val taintedGroups = D.videoMatchesAgainst(fr, fp,
+            stateFrOpt.getOrElse(fr.limit(0)),
+            stateFpOpt.getOrElse(fp.select(col("fp")).limit(0)),
+            minVotes = minVotes)
+          .join(groups, Seq("doc_id"))
+          .select(col("group_id")).distinct()
+        groups.where(col("keep"))
+          .join(taintedGroups, Seq("group_id"), "left_anti")
+          .select(col("doc_id"))
+      }
+    // pass-through: rows with no extracted frame are not videos
+    val admitted = keepers.unionByName(
+      batch.select(col("doc_id"))
+        .join(fr.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .distinct())
+    fr.write.mode("overwrite").parquet(f"$path/_fr/b$batchId%020d")
+    fp.select(col("fp")).distinct()
+      .write.mode("overwrite").parquet(f"$path/_fp/b$batchId%020d")
+    compactBatchState(spark, s"$path/_fr", batchId, compactEvery)
+    compactBatchState(spark, s"$path/_fp", batchId, compactEvery)
+    admitted
+  }
+
+  /** Streaming MULTIMODAL media-dedup admission gate — the continuous twin
+    * of [[graft.operators.Curate.pipelineMultimodal]]'s media arm: one
+    * gate for a MIXED blob stream. Per micro-batch, every blob dispatches
+    * on its header through [[graft.operators.Multimodal.modalityUdf]]
+    * (the batch pipeline's exact convention: RIFF/WAVE → audio,
+    * plausible-ftyp → video, everything else → the image family's fake
+    * arm; null blob → pass through) and each family's slice runs the SAME
+    * per-batch admit logic as its standalone gate — literally the shared
+    * function, against family-scoped state under `path/image`,
+    * `path/audio`, `path/video`. A doc is admitted iff its family's gate
+    * admits it; the three families never see each other's rows or state,
+    * exactly as in the batch composition.
+    *
+    * State/replay: the three families' per-batch overwrite dirs and
+    * strict-below reads are inherited unchanged, so the composed gate
+    * keeps every family's replay-identity contract; a crash between
+    * family writes leaves the committed families tainting (the two-arm
+    * crash argument, one level up). */
+  def streamMediaDedupAdmit(docs: DataFrame, path: String, checkpointDir: String,
+                            bands: Int = 8, maxHamming: Int = 6,
+                            agreeBands: Int = 2,
+                            windowSamples: Int = 16, hop: Int = 4,
+                            audioMaxBytes: Int = 1 << 20, maxDt: Int = 8,
+                            fanout: Int = 3, audioMinVotes: Int = 5,
+                            keyPeaks: Int = 2,
+                            maxFrames: Int = 16, videoMaxBytes: Int = 1 << 20,
+                            videoMinVotes: Int = 3,
+                            compactEvery: Int = 16)
+                           (sink: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val typed = batch
+            .select(col("doc_id"), col("blob"))
+            .withColumn("__mod",
+              graft.operators.Multimodal.modalityUdf(col("blob")))
+            .localCheckpoint(false)
+          def slice(m: String): DataFrame =
+            typed.where(col("__mod") === m).select(col("doc_id"), col("blob"))
+          val admitted = imageAdmitBatch(slice("image"), s"$path/image",
+              batchId, bands, maxHamming, agreeBands, compactEvery)
+            .unionByName(audioAdmitBatch(slice("audio"), s"$path/audio",
+              batchId, windowSamples, hop, audioMaxBytes, maxDt, fanout,
+              audioMinVotes, compactEvery, keyPeaks))
+            .unionByName(videoAdmitBatch(slice("video"), s"$path/video",
+              batchId, maxFrames, videoMaxBytes, videoMinVotes, compactEvery))
+            .unionByName(typed.where(col("__mod") === "none")
+              .select(col("doc_id")))
+          sink(batch.join(admitted, Seq("doc_id"), "left_semi"))
         }
       }
       .start()

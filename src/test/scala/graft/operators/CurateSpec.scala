@@ -54,6 +54,66 @@ class CurateSpec extends SparkSpec {
     assert(keptTrain == expect)
   }
 
+  test("pipelineMultimodal: per-modality offenders gate kept; media_ok composes the treatment arms") {
+    val docs = Tables.documents(spark, dir)
+    // the pair device: docs 2k and 2k+1 share a blob payload (512 bytes of
+    // repeated md5 hex keyed on doc_id div 2) in the SAME modality
+    // ((doc_id div 2) % 3), so every complete pair's odd member is a media
+    // duplicate — offenders guaranteed in all three families; doc_id % 97
+    // == 0 rows get NO blob (the vacuously-clean arm)
+    val wavH = lit(Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL))
+    val mp4H = lit(Multimodal.mp4VideoFramesHeader())
+    val payload = expr("repeat(md5(cast(doc_id div 2 as string)), 16)").cast("binary")
+    val m = expr("(doc_id div 2) % 3")
+    val blobs = docs.where(expr("doc_id % 97 != 0"))
+      .select(col("doc_id"),
+        when(m === 0, payload)
+          .when(m === 1, concat(wavH, payload))
+          .otherwise(concat(mp4H, payload)).as("blob"))
+    val out = Curate.pipelineMultimodal(spark, docs, blobs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 500)
+
+    // text gate columns carried verbatim from the text-only pipeline
+    val text = Curate.pipeline(docs).collect().map(r => r.getLong(0) -> r).toMap
+    out.foreach { case (id, r) =>
+      (1 to 6).foreach(i => assert(r.getBoolean(i) == text(id).getBoolean(i),
+        s"text gate $i diverged for doc $id"))
+    }
+
+    // media_ok equals the standalone treatment arms on the dispatched slices
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val media =
+      verdicts(Dedup.imageDedup(spark, blobs.where(m === 0))) ++
+      verdicts(Dedup.audioDedup(spark, blobs.where(m === 1))) ++
+      verdicts(Dedup.videoDedup(spark, blobs.where(m === 2)))
+    out.foreach { case (id, r) =>
+      assert(r.getBoolean(7) == media.getOrElse(id, true),
+        s"media_ok diverged for doc $id")
+    }
+    // one offender per modality, and the no-blob docs are vacuously clean
+    (0 to 2).foreach(mm => assert(out.exists { case (id, r) =>
+      (id / 2) % 3 == mm && !r.getBoolean(7) }, s"no offender in modality $mm"))
+    out.collect { case (id, r) if id % 97 == 0 => assert(r.getBoolean(7)) }
+
+    // kept = text gates ∧ media_ok; split/shard respect the COMPOSED verdict
+    out.foreach { case (id, r) =>
+      val kept = (1 to 7).forall(r.getBoolean)
+      assert(r.getBoolean(8) == kept)
+      if (!kept) assert(r.isNullAt(9) && r.isNullAt(10))
+    }
+    val keptTrain = out.collect {
+      case (id, r) if r.getBoolean(8) && !r.isNullAt(10) => id -> r.getLong(10)
+    }.toMap
+    assert(keptTrain.nonEmpty)
+    val expect = Sampling.tokenShards(
+        docs.where(col("doc_id").isin(keptTrain.keys.toSeq: _*)), 10000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(keptTrain == expect,
+      "shard numbering must run over the media-composed kept set")
+  }
+
   test("curate export: train shards + quarantine + dataset card materialize consistently") {
     val docs = Tables.documents(spark, dir)
     val path = java.nio.file.Files.createTempDirectory("graft-curate-").toString

@@ -607,6 +607,61 @@ class StreamingSpec extends SparkSpec {
     assert(admitted.toSet == Set(13L, 14L), s"replay drifted: $admitted")
   }
 
+  test("streamMediaDedupAdmit: one gate for a mixed stream — per-family dispatch, cross-batch taint, family isolation, replay identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("graft-smedia-").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-smedia-ckpt-").toString
+    val wavH = graft.operators.Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL)
+    val mp4H = graft.operators.Multimodal.mp4VideoFramesHeader()
+    val imgBytes = (0 until 96).map(i => ('a' + (i * 7) % 26).toChar).mkString
+      .getBytes("US-ASCII")
+    val audBytes = (0 until 128).map(i => ('c' + (i * 5) % 22).toChar).mkString
+      .getBytes("US-ASCII")
+    val vidBytes = (0 until 160).map(i => ('A' + (i * 11) % 26).toChar).mkString
+      .getBytes("US-ASCII")
+    val freshImg = (0 until 96).map(i => ('N' + (i * 13) % 13).toChar).mkString
+      .getBytes("US-ASCII")
+    val b1 = Seq(
+      (1L, imgBytes),             // image family (fake arm)
+      (2L, wavH ++ audBytes),     // audio family
+      (3L, mp4H ++ vidBytes),     // video family
+      (4L, null: Array[Byte]))    // no blob: pass-through
+    val b2 = Seq(
+      (11L, imgBytes),            // exact image dup of 1 → rejected
+      (12L, wavH ++ audBytes),    // exact audio dup of 2 → rejected
+      (13L, mp4H ++ vidBytes),    // exact video dup of 3 → rejected
+      (14L, freshImg),            // fresh image → admitted
+      // FAMILY ISOLATION: the seen IMAGE payload wrapped as a WAV lands in
+      // the audio family, whose state has never seen these samples —
+      // admitted; a single shared state would wrongly taint it
+      (15L, wavH ++ imgBytes))
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val mem = MemoryStream[(Long, Array[Byte])]
+    def run(): Unit = runToCompletion(Streaming.streamMediaDedupAdmit(
+      mem.toDF().toDF("doc_id", "blob"), path, ckpt) { df =>
+      admitted ++= df.select(col("doc_id")).collect().map(_.getLong(0))
+    })
+    mem.addData(b1: _*); run()
+    assert(admitted.toSet == Set(1L, 2L, 3L, 4L), s"batch 1 admissions: $admitted")
+    admitted.clear()
+    mem.addData(b2: _*); run()
+    assert(admitted.toSet == Set(14L, 15L),
+      s"batch 2 must reject each family's cross-batch dup and keep family state isolated: $admitted")
+    // commit-crash replay of batch 2: strict-below reads + overwrite dirs
+    val commit = java.nio.file.Paths.get(ckpt, "commits", "1")
+    assert(Files.exists(commit), "expected commit marker commits/1")
+    Files.delete(commit)
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    admitted.clear(); run()
+    assert(admitted.toSet == Set(14L, 15L), s"replay drifted: $admitted")
+  }
+
   test("streamBitextMine: per-batch pairs ≡ the indexed batch miner; FailIfMissing refuses; commit-crash replay byte-identical") {
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
