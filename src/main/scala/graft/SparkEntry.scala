@@ -471,6 +471,15 @@ object SparkEntry {
       Ann.centroidsToDF(s, cents).orderBy("cell", "pos")
     }),
     "ivf_topk_trained" -> ((s, dir) => Ann.ivfTopkTrained(s, dir, 0L, 10, 16, 4)),
+    // one Lloyd step of PQ codebook training from the seeded codebook —
+    // the ivf_train_step device for the subquantizers: the oracle
+    // re-derives the per-subspace L2 argmin (first index on ties) and the
+    // 9-dp mean update, so a mis-sliced subspace or a drifted tie rule
+    // breaks every row
+    "pq_train_step" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Ann.pqTrainStep(e, Ann.pqCodebook(e, m = 8, kCodes = 16, dim = 64))
+    }),
     "ivf_topk2" -> ((s, dir) => Ann.ivfTopk2(s, dir, 0L, 10, 16, 4, 2, 4)),
     "ivf_topk2_indexed" -> ((s, dir) => Ann.ivfTopk2Indexed(s, dir, 0L, 10, 16, 4, 2, 4)),
     // rung-picker auto twins: flat side = ivf_topk's oracle verbatim;
@@ -4119,6 +4128,27 @@ object SparkEntry {
     "ivf_topk" -> ivfTopkSql,
     // two-level (hierarchical coarse quantizer) probe; the indexed variant
     // persists the same layers, so one oracle serves both
+    // one PQ training step: per-subspace squared-L2 against the seeded
+    // codebook (list ops in the SAME left-to-right accumulation order as
+    // PqReconstruct.compute — bit-identical doubles before any rounding),
+    // first-index argmin, then the 9-dp mean per (subspace, code, pos)
+    "pq_train_step" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sl AS (SELECT list(v ORDER BY vec_id) AS sl FROM e WHERE vec_id < 16),
+        |sc AS (SELECT t.vec_id, t.s,
+        |    list_transform(range(0, 16), k -> list_sum(list_transform(range(0, 8), p ->
+        |      (t.v[CAST(t.s*8+p+1 AS BIGINT)] - sl[CAST(k+1 AS BIGINT)][CAST(t.s*8+p+1 AS BIGINT)])
+        |    * (t.v[CAST(t.s*8+p+1 AS BIGINT)] - sl[CAST(k+1 AS BIGINT)][CAST(t.s*8+p+1 AS BIGINT)])))) AS d
+        |  FROM (SELECT vec_id, v, unnest(range(0, 8)) AS s FROM e) t, sl),
+        |asg AS (SELECT vec_id, s, list_position(d, list_min(d)) - 1 AS code FROM sc)
+        |SELECT CAST(a.s AS BIGINT) AS s, CAST(a.code AS BIGINT) AS code,
+        |  CAST(pp.p AS BIGINT) AS p,
+        |  round(avg(e.v[CAST(a.s*8 + pp.p + 1 AS BIGINT)]), 9) AS mv,
+        |  count(*) AS members
+        |FROM asg a JOIN e ON e.vec_id = a.vec_id,
+        |     (SELECT unnest(range(0, 8)) AS p) pp
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     "ivf_topk2" -> ivfTopk2Sql(),
     "ivf_topk2_indexed" -> ivfTopk2Sql(),
     // rung-picker auto twins: flat side shares ivf_topk's oracle verbatim;

@@ -299,7 +299,7 @@ object Ann {
     * build replaces the seeding with per-subspace k-means
     * ([[kmeansStep]]'s shape, once per subspace); encode/score are
     * unchanged. */
-  private[operators] def pqCodebook(e: DataFrame, m: Int, kCodes: Int,
+  private[graft] def pqCodebook(e: DataFrame, m: Int, kCodes: Int,
                                     dim: Int): Seq[Seq[Seq[Double]]] = {
     val dsub = dim / m
     val seeds = e.where(col("vec_id") < kCodes).orderBy(col("vec_id"))
@@ -591,6 +591,80 @@ object Ann {
       iters += 1
     }
     (cents.map(_.toSeq).toSeq, iters)
+  }
+
+  /** Full PQ codebook training: per-subspace Lloyd iterated to a 9-dp
+    * fixpoint — [[trainCentroids]]' discipline applied to the
+    * subquantizers, and the step that turns the PQ family's deterministic
+    * seeding ([[pqCodebook]]: subspace slices of the first `kCodes`
+    * vectors) into a production codebook. Assignment uses
+    * [[graft.functions.PqCodes]] ITSELF (L2 argmin, first index on ties) —
+    * training and encoding can never disagree about which code a
+    * subvector takes — and the update is the per-(subspace, code,
+    * position) mean, all M subspaces in ONE keyed aggregation per
+    * iteration (m·kCodes·dsub bounded groups; the corpus is touched once
+    * per iteration, the driver holds only the codebook). A code that
+    * loses all members keeps its previous centroid (the
+    * [[trainCentroids]] empty-cluster fallback). Means round to 9 dp so
+    * the run is reproducible across partitionings and engines, and
+    * `tol = 0.0` stops only at an exact fixpoint — the property that
+    * makes a fixed-depth SQL oracle exact.
+    *
+    * This is the SETUP-TIME step for [[graft.streaming.Streaming
+    * .streamSemanticDedupAdmitPq]]: train here, measure the admission
+    * agreement against the raw gate (StreamingSpec does), then launch
+    * with the codebook stream-constant — the gate's scaladoc contract.
+    *
+    * Returns (codebook, iterations run); `iterations < maxIters` ⇒
+    * converged. */
+  def trainPqCodebook(e: DataFrame, m: Int = 8, kCodes: Int = 16,
+                      dim: Int = 64, maxIters: Int = 10,
+                      tol: Double = 0.0): (Seq[Seq[Seq[Double]]], Int) = {
+    var cb: Array[Array[Array[Double]]] =
+      pqCodebook(e, m, kCodes, dim).map(_.map(_.toArray).toArray).toArray
+    require(cb.forall(_.nonEmpty), "cannot seed a PQ codebook from an empty corpus")
+    var iters = 0
+    var shift = Double.MaxValue
+    while (iters < maxIters && shift > tol) {
+      val rows = pqTrainStep(e, cb.map(_.map(_.toSeq).toSeq).toSeq, dim).collect()
+      val next = cb.map(_.map(_.clone))
+      rows.foreach { r =>
+        next(r.getLong(0).toInt)(r.getLong(1).toInt)(r.getLong(2).toInt) = r.getDouble(3)
+      }
+      shift = cb.iterator.zip(next.iterator)
+        .flatMap { case (a, b) => a.iterator.zip(b.iterator) }
+        .flatMap { case (a, b) => a.iterator.zip(b.iterator) }
+        .map { case (x, y) => math.abs(x - y) }.max
+      cb = next
+      iters += 1
+    }
+    (cb.map(_.map(_.toSeq).toSeq).toSeq, iters)
+  }
+
+  /** One Lloyd iteration of PQ codebook training — [[kmeansStep]]'s shape
+    * for the subquantizers: encode every vector with
+    * [[graft.functions.PqCodes]] under the given codebook (L2 argmin,
+    * first index on ties — the exact assignment the store uses), emit the
+    * new codeword components as (s, code, p, mv, members) rows, 0-based
+    * throughout. All M subspaces in ONE keyed aggregation (m·k·dsub
+    * bounded groups); means round to 9 dp (the [[kmeansStep]]
+    * reproducibility contract). */
+  def pqTrainStep(e: DataFrame, codebook: Seq[Seq[Seq[Double]]],
+                  dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val m = codebook.length
+    require(m > 0 && dim % m == 0, s"dim $dim must be divisible by m $m")
+    val dsub = dim / m
+    val codes = Bridge.column(graft.functions.PqCodes(
+      Bridge.expression(col("embedding").cast("array<double>")), codebook))
+    e.select(codes.as("codes"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .select((col("pos") / dsub).cast("long").as("s"),
+        element_at(col("codes"), (col("pos") / dsub).cast("int") + 1).as("code"),
+        (col("pos") % dsub).cast("long").as("p"), col("v"))
+      .groupBy(col("s"), col("code"), col("p"))
+      .agg(round(avg(col("v")), 9).as("mv"), count(lit(1)).as("members"))
+      .orderBy(col("s"), col("code"), col("p"))
   }
 
   /** The (cell, pos, m) row layout of a centroid matrix — 1-based cells,

@@ -1035,9 +1035,16 @@ object Streaming {
     * unchanged (raw × raw). Once raw history is discarded there is no
     * exact re-check to fall back to — the admission delta vs the raw
     * gate IS the codebook's distortion, the quantity [[graft.operators
-    * .Ann.pqError]] and `ivfpq_recall` audit; run those on the corpus
-    * and pick `m`/`kCodes` BEFORE trusting the compressed gate, exactly
-    * as the IVF-PQ read path demands. The codebook (like `cents`) is
+    * .Ann.pqError]] and `ivfpq_recall` audit; TRAIN with
+    * [[graft.operators.Ann.trainPqCodebook]] and measure agreement on
+    * the corpus BEFORE trusting the compressed gate, exactly as the
+    * IVF-PQ read path demands. The measured curve on the real
+    * embeddings table (StreamingSpec, tau 0.35) is not monotone in
+    * "train harder": m=8/k=16 seeded 0.909 vs TRAINED 0.878 — at tiny k
+    * the L2 means break angles that real-slice codewords keep — and the
+    * 0.98 production bound is first cleared at m=32/k=64 trained
+    * (0.985, a 2× schema cut): the compression dial is bought with a
+    * measurement, never assumed. The codebook (like `cents`) is
     * FIXED across batches — re-training mid-stream would re-quantize
     * nothing (history keeps its codes) and drift the metric instead.
     *

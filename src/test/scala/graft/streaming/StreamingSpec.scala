@@ -800,6 +800,75 @@ class StreamingSpec extends SparkSpec {
       s"replayed admissions drifted: $admPq")
   }
 
+  test("streamSemanticDedupAdmitPq with a TRAINED codebook: per-subspace Lloyd closes the distortion gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val pathPq = Files.createTempDirectory("graft-spqt-").toString + "/out"
+    val ckptPq = Files.createTempDirectory("graft-spqt-ckpt-").toString
+    val pathRaw = Files.createTempDirectory("graft-spqtr-").toString + "/out"
+    val ckptRaw = Files.createTempDirectory("graft-spqtr-ckpt-").toString
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = e.orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cents: Seq[Seq[Double]] = rows.take(16).map(_._2.toSeq).toSeq
+    // the SETUP-TIME step the gate's scaladoc mandates: train the
+    // subquantizers on the real corpus (per-subspace Lloyd to the 9-dp
+    // fixpoint or maxIters), THEN launch with the codebook stream-constant.
+    // The (m, kCodes) dial was MEASURED on this table, not assumed —
+    // admission agreement vs the raw gate at tau 0.35:
+    //   m=8  k=16 seeded   0.909   (8× schema cut — the sibling test)
+    //   m=8  k=16 trained  0.878   (training HURT: L2 means break angles
+    //                               where real-slice codewords keep them)
+    //   m=8  k=64 trained  0.900
+    //   m=16 k=64 trained  0.942   (4× cut)
+    //   m=32 k=64 trained  0.985   (2× cut — the first setting clearing
+    //                               the 0.98 production bound)
+    // — on THIS corpus the 0.98 bound costs compression: the distortion
+    // price is a curve, and the dial must be bought with a measurement
+    // exactly as the gate's scaladoc demands (the ivfpq_recall story).
+    val (codebook, iters) = graft.operators.Ann.trainPqCodebook(
+      e, m = 32, kCodes = 64, dim = 64, maxIters = 10)
+    info(s"pq codebook training ran $iters iterations")
+    val batches = rows.grouped((rows.length + 2) / 3).toSeq
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    val admPq = scala.collection.mutable.ArrayBuffer[Long]()
+    val admRaw = scala.collection.mutable.ArrayBuffer[Long]()
+    val memPq = MemoryStream[(Long, Seq[Double])]
+    val memRaw = MemoryStream[(Long, Seq[Double])]
+    def runPq(): Unit = runToCompletion(Streaming.streamSemanticDedupAdmitPq(
+      memPq.toDF().toDF("vec_id", "embedding"), cents, codebook,
+      pathPq, ckptPq, tau = 0.35) { df =>
+      admPq ++= df.select(col("vec_id")).collect().map(_.getLong(0))
+    })
+    def runRaw(): Unit = runToCompletion(Streaming.streamSemanticDedupAdmit(
+      memRaw.toDF().toDF("vec_id", "embedding"), cents,
+      pathRaw, ckptRaw, tau = 0.35) { df =>
+      admRaw ++= df.select(col("vec_id")).collect().map(_.getLong(0))
+    })
+    batches.foreach { b => memPq.addData(b: _*); runPq() }
+    batches.foreach { b => memRaw.addData(b: _*); runRaw() }
+    // state stays M longs per row — training changes the VALUES, not the
+    // schema contract
+    val stPq = spark.read.parquet(s"$pathPq/_codes/b" + "0" * 19 + "0")
+    assert(stPq.select(org.apache.spark.sql.functions.size(col("code")))
+      .distinct().collect().map(_.getInt(0)).toSeq == Seq(32))
+    // the distortion price, measured on the real embeddings table: the
+    // crude 16-seed codebook's agreement was 0.909 (the sibling test's
+    // measurement); the trained codebook must close the gap — this bound
+    // is the number a user ships against, recorded next to ivfpq_recall's
+    // story (train first, measure, THEN trust the compressed gate)
+    val (sp, sr) = (admPq.toSet, admRaw.toSet)
+    val agree = sp.intersect(sr).size.toDouble / math.max(1, sp.union(sr).size)
+    info(f"TRAINED pq-vs-raw admission agreement: $agree%.3f " +
+      s"(pq=${sp.size} raw=${sr.size} both=${sp.intersect(sr).size})")
+    assert(agree >= 0.98,
+      f"trained-codebook agreement $agree%.3f below the 0.98 production bound")
+  }
+
   test("streamSemanticDedupAdmit under UNORDERED arrival: admitted pairwise non-matching, every rejection has a qualifying neighbor") {
     implicit val sqlCtx = spark.sqlContext
     val path = Files.createTempDirectory("graft-ssemu-").toString + "/out"
