@@ -388,6 +388,52 @@ object ScaleSmoke {
         D.videoNearHammingAuto(spark, vids).queryExecution.toRdd.count()
       }
     }
+    stage("video gate state growth") {
+      // the streaming video gate's cost curve, measured like every other
+      // family's: state accumulates ≤ maxFrames hash rows + one
+      // fingerprint per seen video, and each batch's admit join runs
+      // incoming frames against ALL of it — this row records state bytes
+      // and the per-batch latency trend so the cross-batch join's growth
+      // is in the table, not assumed
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val vheader = graft.operators.Multimodal.mp4VideoFramesHeader()
+      val rows = docs.select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect()
+        .map { case (id, t) => (id, vheader ++ t.getBytes("UTF-8")) }
+      val base = java.nio.file.Files.createTempDirectory("graft-vgate-").toString
+      val (path, ckpt) = (s"$base/out", s"$base/ckpt")
+      val mem = MemoryStream[(Long, Array[Byte])]
+      var admitted = 0L
+      // 50 restarts × 5k videos covers the full 250k corpus; the restart
+      // overhead (~8 s of query machinery per AvailableNow cycle) is a
+      // CONSTANT in the per-batch trend, so halving the batch count
+      // halves the overhead without changing the state-growth signal
+      val batches = rows.grouped(5000).take(50).toSeq
+      batches.zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b: _*)
+        val t0 = System.nanoTime()
+        val q = graft.streaming.Streaming.streamVideoDedupAdmit(
+          mem.toDF().toDF("doc_id", "blob"), path, ckpt) { df =>
+          admitted += df.count()
+        }
+        try q.awaitTermination(600000) finally q.stop()
+        val tt0 = System.currentTimeMillis()
+        while (spark.streams.active.nonEmpty && System.currentTimeMillis() - tt0 < 10000)
+          Thread.sleep(50)
+        if (i % 10 == 0 || i == batches.length - 1)
+          println(f"##   batch $i%3d admit ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      }
+      def duBytes(p: String): Long = {
+        val root = java.nio.file.Paths.get(p)
+        if (!java.nio.file.Files.exists(root)) 0L
+        else java.nio.file.Files.walk(root).filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+      }
+      println(f"##   state bytes: _fr ${duBytes(s"$path/_fr")}%,d  _fp ${duBytes(s"$path/_fp")}%,d  (${batches.map(_.length).sum}%,d videos seen)")
+      admitted
+    }
     stage("candidate pairs near-cap x64") {
       // the captured r13 OOM mechanism, reproduced and retired: 64 buckets
       // of 4000 ids at cap 4096 — the old in-bucket array path materialized

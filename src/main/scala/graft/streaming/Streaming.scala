@@ -704,10 +704,16 @@ object Streaming {
           .select(col("doc_id"))
       case None => groups.where(col("keep")).select(col("doc_id"))
     }
+    // EAGERLY materialize before touching state: the caller's sink runs
+    // after this function writes + compacts, and a lazy admit plan still
+    // references the pre-compaction b-dirs — at the first compaction
+    // boundary the deferred read hits deleted files (caught by the 50-batch
+    // ScaleSmoke run: FAILED_READ_FILE at batch 16, the first compaction)
+    val pinned = admitted.localCheckpoint(true)
     hashed.select(col("phash")).distinct()
       .write.mode("overwrite").parquet(f"$path/_ph/b$batchId%020d")
     compactBatchState(spark, s"$path/_ph", batchId, compactEvery)
-    admitted
+    pinned
   }
 
   /** Streaming AUDIO-dedup admission gate — the continuous twin of
@@ -808,6 +814,9 @@ object Streaming {
     val admitted = keepers.unionByName(
       batch.select(col("doc_id"))
         .join(env.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+      // eager: pin the admit rows BEFORE compaction deletes the b-dirs the
+      // lazy plan reads (see imageAdmitBatch)
+      .localCheckpoint(true)
     lm.write.mode("overwrite").parquet(f"$path/_lm/b$batchId%020d")
     env.select(col("env")).distinct()
       .write.mode("overwrite").parquet(f"$path/_env/b$batchId%020d")
@@ -892,6 +901,9 @@ object Streaming {
       batch.select(col("doc_id"))
         .join(fr.select(col("doc_id")), Seq("doc_id"), "left_anti")
         .distinct())
+      // eager: pin the admit rows BEFORE compaction deletes the b-dirs the
+      // lazy plan reads (see imageAdmitBatch)
+      .localCheckpoint(true)
     fr.write.mode("overwrite").parquet(f"$path/_fr/b$batchId%020d")
     fp.select(col("fp")).distinct()
       .write.mode("overwrite").parquet(f"$path/_fp/b$batchId%020d")
