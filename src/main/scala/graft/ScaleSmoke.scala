@@ -380,6 +380,13 @@ object ScaleSmoke {
           vids.where(graft.operators.Sampling.hashBucket(col("doc_id")) < 10))
           .queryExecution.toRdd.count()
       }
+      stage("video dedup auto (full)") {
+        // the self-dialed TREATMENT form at the full corpus: the audit on
+        // the reps' frames measures the text-gradient skew as saturated
+        // and re-keys the rep mine to bigrams — same verdict contract,
+        // quadratic hot-frame join volume retired
+        D.videoDedupAuto(spark, vids).queryExecution.toRdd.count()
+      }
       stage("video near auto (full)") {
         // the FULL text-wrapped corpus through the self-dialed entry point:
         // the fhash audit measures the saturation (fan-out ≫ 16 on this

@@ -806,6 +806,16 @@ object SparkEntry {
       // gates both chains on it
       Dedup.videoNearHammingAuto(s, videoSaturatedCorpus(s, dir))
     }),
+    "video_dedup_auto" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      // the treatment form's branching device: the intro-card corpus
+      // saturates the REPS' frame-hash space (re-cut twins are distinct
+      // fingerprints, so collapse does not absorb the hot card), and the
+      // self-dialed rep mine must take the bigram chain and STILL group
+      // each twin with its base — the audio_dedup_auto shape, video
+      // edition; the oracle gates both rep vote chains on the audit rule
+      Dedup.videoDedupAuto(s, videoSaturatedCorpus(s, dir))
+    }),
     "multimodal_frames" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, length, md5, octet_length}
       // ASCII-pure docs only: the operator slices BYTES (its domain is real
@@ -3922,6 +3932,50 @@ object SparkEntry {
          |FROM vv2 WHERE (SELECT hot FROM dec)
          |GROUP BY a_id, b_id HAVING max(v) >= 3
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // the self-dialed TREATMENT form: fingerprint collapse first, then the
+    // audit (fan-out over the REPS' frames) gates which rep vote chain
+    // feeds the component walk — saturated here, so the bigram chain is
+    // the live arm; verdicts inherit the rep's root as in video_dedup
+    "video_dedup_auto" ->
+      s"""WITH RECURSIVE $videoSaturatedVcCtes,
+         |$videoFrameHashCtes,
+         |fp AS (SELECT doc_id, string_agg(
+         |         CAST(frame_no AS VARCHAR) || ':' || CAST(fhash AS VARCHAR),
+         |         ' ' ORDER BY frame_no) AS fp
+         |       FROM fh GROUP BY doc_id),
+         |rp AS (SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY fp) AS rep FROM fp),
+         |fhr AS (SELECT fh.* FROM fh JOIN rp ON fh.doc_id = rp.id AND rp.id = rp.rep),
+         |bkt AS (SELECT fhash, count(*) AS bn FROM fhr GROUP BY 1),
+         |dec AS (SELECT sum(bn * bn)::DOUBLE > 16.0 * sum(bn)::DOUBLE AS hot FROM bkt),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |        a.frame_no - b.frame_no AS off
+         |      FROM fhr a JOIN fhr b ON a.fhash = b.fhash AND a.doc_id < b.doc_id),
+         |vv AS (SELECT a_id, b_id, off, count(*) AS v FROM p GROUP BY 1, 2, 3),
+         |bg AS (SELECT doc_id, frame_no, fhash,
+         |         lead(fhash) OVER (PARTITION BY doc_id ORDER BY frame_no) AS nhash
+         |       FROM fhr),
+         |bgn AS (SELECT * FROM bg WHERE nhash IS NOT NULL),
+         |p2 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         a.frame_no - b.frame_no AS off
+         |       FROM bgn a JOIN bgn b ON a.fhash = b.fhash AND a.nhash = b.nhash
+         |         AND a.doc_id < b.doc_id),
+         |vv2 AS (SELECT a_id, b_id, off, count(*) AS v FROM p2 GROUP BY 1, 2, 3),
+         |pr AS (SELECT a_id AS pa, b_id AS pb FROM vv
+         |       WHERE NOT (SELECT hot FROM dec)
+         |       GROUP BY a_id, b_id HAVING max(v) >= 3
+         |       UNION ALL
+         |       SELECT a_id AS pa, b_id AS pb FROM vv2
+         |       WHERE (SELECT hot FROM dec)
+         |       GROUP BY a_id, b_id HAVING max(v) >= 3),
+         |e AS (SELECT pa, pb FROM pr UNION SELECT pb, pa FROM pr),
+         |walk(pa, pb) AS (SELECT pa, pb FROM e
+         |                 UNION SELECT walk.pa, e.pb FROM walk JOIN e ON walk.pb = e.pa),
+         |roots AS (SELECT pa AS id, least(pa, min(pb)) AS root FROM walk GROUP BY pa)
+         |SELECT rp.id AS doc_id, coalesce(rt.root, rp.rep) AS group_id,
+         |       rp.id = coalesce(rt.root, rp.rep) AS keep
+         |FROM rp LEFT JOIN roots rt ON rt.id = rp.rep
+         |ORDER BY doc_id""".stripMargin,
 
     "multimodal_video" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE strlen(text) = length(text)),

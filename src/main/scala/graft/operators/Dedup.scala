@@ -1645,6 +1645,56 @@ object Dedup {
       .join(reps.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
     val pairs = frameVotes(repFrames, idCol, minVotes)
       .select(col("a_id"), col("b_id"))
+    videoVerdictsFrom(fp, reps, pairs, idCol, starCC)
+  }
+
+  /** [[videoDedup]] with the rep mine's key SELF-DIALED from the measured
+    * frame-hash saturation — [[audioDedupAuto]]'s audit-then-branch for
+    * the video treatment form, closing the same asymmetry one modality
+    * over: [[videoNearHammingAuto]] guarded the pair form while the form
+    * a pipeline actually runs could still be launched into the hot-frame
+    * regime (a shared intro card / black lead-in across distinct videos
+    * makes [[frameVotes]]' exact-hash join quadratic in the reps sharing
+    * it — fingerprint collapse does NOT help, because a re-cut is a
+    * DISTINCT fingerprint by construction). The audit runs on the
+    * REPRESENTATIVES' frames — exactly the rows the mine would join — and
+    * past `fanoutMax` the rep mine re-keys to consecutive frame-hash
+    * bigrams ([[bigramVotes]]: one extra linear window pass, losing
+    * Hamming-free exact-unigram matches between videos that share only
+    * SCATTERED frames — a declared trade; contiguous shared runs, the
+    * re-cut signature, carry m−1 bigram votes). Verdict tail unchanged:
+    * components over rep pairs, every video inherits its rep's root. */
+  def videoDedupAuto(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                     idCol: String = "doc_id", blobCol: String = "blob",
+                     maxFrames: Int = 16, maxBytes: Int = 1 << 20,
+                     minVotes: Int = 3, fanoutMax: Double = 16.0,
+                     starCC: Boolean = false): DataFrame = {
+    val fr = Multimodal.videoFrameHashes(spark, docs, idCol, blobCol,
+      maxFrames, maxBytes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fp = videoFingerprints(fr, idCol)
+    val reps = fp.groupBy(col("fp")).agg(min(col(idCol)).as("rep"))
+    val repFrames = fr
+      .join(reps.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
+      // the audit's global aggregate fills this cache; the chosen vote
+      // chain reads the rep frames back instead of re-deriving the
+      // semi-join (fr itself is already cached below the join)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = videoKeyAudit(repFrames).head
+    val saturated = !a.isNullAt(0) &&
+      a.getAs[Double]("est_candidates") >
+        fanoutMax * math.max(a.getLong(0), 1L).toDouble
+    val pairs = (if (saturated) bigramVotes(repFrames, idCol, minVotes)
+                 else frameVotes(repFrames, idCol, minVotes))
+      .select(col("a_id"), col("b_id"))
+    videoVerdictsFrom(fp, reps, pairs, idCol, starCC)
+  }
+
+  /** Shared verdict tail of [[videoDedup]] / [[videoDedupAuto]]:
+    * components over rep pairs, every video inherits its rep's root. */
+  private def videoVerdictsFrom(fp: DataFrame, reps: DataFrame,
+                                pairs: DataFrame, idCol: String,
+                                starCC: Boolean): DataFrame = {
     val ccEngine: (DataFrame, DataFrame, String) => DataFrame =
       if (starCC) dedupGroupsStar(_, _, _) else dedupGroups(_, _, _)
     val groups = ccEngine(reps.select(col("rep").as(idCol)), pairs, idCol)

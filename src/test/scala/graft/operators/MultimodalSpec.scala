@@ -604,6 +604,38 @@ class MultimodalSpec extends SparkSpec {
     assert(Dedup.videoNearBigram(spark, docs).collect().isEmpty)
   }
 
+  test("videoDedupAuto: saturated corpus escalates the REP MINE to bigrams; unsaturated IS videoDedup") {
+    val docs = saturatedVideoCorpus.toDF("doc_id", "blob")
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val auto = verdicts(Dedup.videoDedupAuto(spark, docs))
+    // the exact treatment form is GARBAGE here: every rep pair shares the
+    // 8 constant intro frames at offset 0, so the unigram rep mine chains
+    // the whole corpus into one component
+    val exact = verdicts(Dedup.videoDedup(spark, docs))
+    assert(exact.values.map(_._1).toSet.size == 1,
+      s"device check: the exact mine should collapse everything, got ${exact.values.map(_._1).toSet}")
+    // the auto form's bigram rep mine recovers exactly the twin structure:
+    // each re-introed twin inherits its base's root, nothing else chains
+    assert(auto == Map(
+      1L -> (1L, true), 2L -> (2L, true), 3L -> (3L, true),
+      101L -> (1L, false), 102L -> (2L, false), 103L -> (3L, false)), s"auto: $auto")
+    // unsaturated side: the drifted-twin corpus fans out ~1, so auto IS
+    // the explicit exact form (same plan through the shared tail)
+    import spark.implicits._
+    val header = Multimodal.mp4VideoFramesHeader()
+    val text = (0 until 160).map(i => ('a' + (i * 7) % 26).toChar).mkString
+      .getBytes("US-ASCII")
+    val junk = Array.fill[Byte](32)('q'.toByte)
+    val plain = Seq(
+      (1L, header ++ text),
+      (2L, header ++ junk ++ text),   // re-intro twin (vote arm)
+      (3L, header ++ text)            // re-mux (collapse arm)
+    ).toDF("doc_id", "blob")
+    assert(verdicts(Dedup.videoDedupAuto(spark, plain)) ==
+      verdicts(Dedup.videoDedup(spark, plain)))
+  }
+
   test("videoDedup: re-mux copies collapse, the re-intro twin components, keeper = smallest id") {
     import spark.implicits._
     val header = Multimodal.mp4VideoFramesHeader()
