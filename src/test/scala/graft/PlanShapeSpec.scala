@@ -569,4 +569,42 @@ class PlanShapeSpec extends SparkSpec {
     // the constant-band guard is IN the plan: bucket size filtered to the cap
     assert(ph.contains("size(bucket"), s"bucket-size cap missing from the plan:\n$ph")
   }
+
+  test("video bigram vote: equi-join on the (fhash, nhash) bigram key, never a nested loop") {
+    import org.apache.spark.sql.functions._
+    val header = graft.operators.Multimodal.mp4VideoFramesHeader()
+    val corpus = Tables.documents(spark, dir)
+      .where(octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), concat(lit(header), col("text").cast("binary")).as("blob"))
+    val p = plan(graft.operators.Dedup.videoNearBigram(spark, corpus))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"bigram vote lost its key:\n$p")
+    assert("""(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[fhash#\d+L?, nhash#\d+""".r
+      .findFirstIn(p).isDefined, s"bigrams not equi-joined on (fhash, nhash):\n$p")
+  }
+
+  test("salt-blocked candidate expansion: the large-bucket join key CARRIES the salt pair") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one bucket above pairExplodeMax forces the join branch into the plan
+    val keyed = (0 until 600).map(i => (0, 0L, i.toLong)).toDF("band", "key", "doc_id")
+    val p = plan(graft.operators.Dedup.candidatePairs(
+      keyed, "band", "key", "doc_id", maxBucket = 4096))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the join key must include gi/gj — a (band, key)-only join puts a giant
+    // bucket's quadratic output into the few partitions holding its hot key
+    assert("""(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[band#\d+, key#\d+L?, gi#\d+, gj#\d+""".r
+      .findFirstIn(p).isDefined, s"salt pair missing from the join key:\n$p")
+    // and the expansion parallelism is PINNED against AQE byte-coalescing
+    assert(p.contains("REPARTITION_BY_NUM"), s"pinned repartition missing:\n$p")
+  }
+
+  test("curate_multimodal media arms: verdicts join the text flags on doc_id, no cartesian") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val payload = expr("repeat(md5(cast(doc_id div 2 as string)), 16)").cast("binary")
+    val blobs = docs.select(col("doc_id"), payload.as("blob"))
+    val p = plan(graft.operators.Curate.pipelineMultimodal(spark, docs, blobs))
+    assert(!p.contains("CartesianProduct"), s"cartesian in the composed frame:\n$p")
+  }
 }
