@@ -480,6 +480,18 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Ann.pqTrainStep(e, Ann.pqCodebook(e, m = 8, kCodes = 16, dim = 64))
     }),
+    // full PQ training (3 Lloyd iterations): the ivf_train_full device —
+    // the fixed-depth unrolled oracle is exact because the Scala loop only
+    // exits early at a 9-dp fixpoint, where every further step is the
+    // identity (same codes ⇒ same rounded means); the empty-code fallback
+    // (a code that loses all members keeps its previous centroid) is the
+    // chained coalesce in SQL
+    "pq_train_full" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val (cb, _) = Ann.trainPqCodebook(Tables.embeddings(s, dir),
+        m = 8, kCodes = 16, dim = 64, maxIters = 3)
+      Ann.pqCodebookToDF(s, cb).orderBy(col("s"), col("code"), col("p"))
+    }),
     "ivf_topk2" -> ((s, dir) => Ann.ivfTopk2(s, dir, 0L, 10, 16, 4, 2, 4)),
     "ivf_topk2_indexed" -> ((s, dir) => Ann.ivfTopk2Indexed(s, dir, 0L, 10, 16, 4, 2, 4)),
     // rung-picker auto twins: flat side = ivf_topk's oracle verbatim;
@@ -1587,6 +1599,35 @@ object SparkEntry {
       |    buck.b AS b
       |  FROM cfd JOIN buck ON cfd.doc_id = buck.doc_id
       |  LEFT JOIN dchits ON cfd.doc_id = dchits.doc_id)""".stripMargin
+
+  /** Chained PQ-training CTEs: iteration i reads `cb{i-1}` (s, code, p,
+    * mv rows), encodes every vector by per-subspace squared-L2 argmin
+    * (first index on ties — [[graft.functions.PqCodes]]' rule, distances
+    * accumulated left-to-right like PqReconstruct.compute so the doubles
+    * are bit-identical), emits the 9-dp means, and coalesces against the
+    * previous codebook (a code with no members keeps its centroid — the
+    * Scala clone-then-update fallback). Ends at `cb$iters`. */
+  private def pqTrainChainSql(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""cbv$i AS (SELECT s, code, list(mv ORDER BY p) AS cv FROM cb${i - 1} GROUP BY s, code),
+         |cbl$i AS (SELECT s, list(cv ORDER BY code) AS kl FROM cbv$i GROUP BY s),
+         |sc$i AS (SELECT t.vec_id, t.s,
+         |    list_transform(range(0, 16), k -> list_sum(list_transform(range(0, 8), p ->
+         |      (t.v[CAST(t.s*8+p+1 AS BIGINT)] - kl[CAST(k+1 AS BIGINT)][CAST(p+1 AS BIGINT)])
+         |    * (t.v[CAST(t.s*8+p+1 AS BIGINT)] - kl[CAST(k+1 AS BIGINT)][CAST(p+1 AS BIGINT)])))) AS d
+         |  FROM (SELECT vec_id, v, unnest(range(0, 8)) AS s FROM e) t
+         |  JOIN cbl$i ON cbl$i.s = t.s),
+         |asg$i AS (SELECT vec_id, s, list_position(d, list_min(d)) - 1 AS code FROM sc$i),
+         |cbn$i AS (SELECT CAST(a.s AS BIGINT) AS s, CAST(a.code AS BIGINT) AS code,
+         |    CAST(pp.p AS BIGINT) AS p,
+         |    round(avg(e.v[CAST(a.s*8 + pp.p + 1 AS BIGINT)]), 9) AS mv
+         |  FROM asg$i a JOIN e ON e.vec_id = a.vec_id,
+         |       (SELECT unnest(range(0, 8)) AS p) pp
+         |  GROUP BY 1, 2, 3),
+         |cb$i AS (SELECT o.s, o.code, o.p, coalesce(n.mv, o.mv) AS mv
+         |  FROM cb${i - 1} o LEFT JOIN cbn$i n
+         |    ON n.s = o.s AND n.code = o.code AND n.p = o.p)""".stripMargin
+    }.mkString(",\n")
 
   private def dedupImageSql(videoTwin: Boolean = false): String = {
     // videoTwin: every doc also appears as an MP4-wrapped copy at
@@ -4202,6 +4243,20 @@ object SparkEntry {
         |FROM asg a JOIN e ON e.vec_id = a.vec_id,
         |     (SELECT unnest(range(0, 8)) AS p) pp
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // full PQ training, 3 unrolled Lloyd iterations (exact by the fixpoint
+    // argument — see the query registration); empty-code fallback = the
+    // per-step coalesce against the previous codebook
+    "pq_train_full" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cb0 AS (SELECT CAST(u.s AS BIGINT) AS s, CAST(e.vec_id AS BIGINT) AS code,
+         |          CAST(u2.p AS BIGINT) AS p,
+         |          e.v[CAST(u.s*8 + u2.p + 1 AS BIGINT)] AS mv
+         |        FROM e, (SELECT unnest(range(0, 8)) AS s) u,
+         |             (SELECT unnest(range(0, 8)) AS p) u2
+         |        WHERE e.vec_id < 16),
+         |${pqTrainChainSql(3)}
+         |SELECT s, code, p, mv FROM cb3 ORDER BY s, code, p""".stripMargin,
 
     "ivf_topk2" -> ivfTopk2Sql(),
     "ivf_topk2_indexed" -> ivfTopk2Sql(),

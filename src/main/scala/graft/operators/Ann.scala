@@ -667,6 +667,20 @@ object Ann {
       .orderBy(col("s"), col("code"), col("p"))
   }
 
+  /** The (s, code, p, mv) row layout of a PQ codebook — 0-based
+    * throughout, matching [[pqTrainStep]]'s keys. Owned here so the
+    * `pq_train_full` query/oracle and any persisted codebook share one
+    * contract. */
+  private[graft] def pqCodebookToDF(spark: SparkSession,
+                                    cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import spark.implicits._
+    cb.zipWithIndex.flatMap { case (ks, s) =>
+      ks.zipWithIndex.flatMap { case (cv, k) =>
+        cv.zipWithIndex.map { case (v, p) => (s.toLong, k.toLong, p.toLong, v) }
+      }
+    }.toDF("s", "code", "p", "mv")
+  }
+
   /** The (cell, pos, m) row layout of a centroid matrix — 1-based cells,
     * 0-based positions. ONE site owns this contract: the persisted
     * `_centroids` parquet, its reader in [[ivfTopkTrained]], and the
