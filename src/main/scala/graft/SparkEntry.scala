@@ -117,6 +117,38 @@ object SparkEntry {
       Dedup.semanticDedupAuto(Tables.embeddings(s, dir))),
     "dedup_semantic_auto2" -> ((s, dir) =>
       Dedup.semanticDedupAuto(Tables.embeddings(s, dir), flatCellMax = 0)),
+    "dedup_image_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{coalesce, col, length, lit, octet_length, max => smax}
+      // the incremental family's standard split over text-as-binary blobs:
+      // reference = bucket < 50; incoming = the rest, plus re-ingested
+      // copies of bucket < 10 (corpus hits at Hamming 0) and offset copies
+      // of bucket >= 95 (in-batch repeats)
+      val base = Tables.documents(s, dir)
+        .where(octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      val off = base.agg(coalesce(smax(col("doc_id")), lit(0L))).head.getLong(0) + 1L
+      val bucket = Sampling.hashBucket(col("doc_id"))
+      val incoming = base.where(bucket >= 50)
+        .unionByName(base.where(bucket < 10)
+          .withColumn("doc_id", col("doc_id") + off))
+        .unionByName(base.where(bucket >= 95)
+          .withColumn("doc_id", col("doc_id") + 2L * off))
+      Dedup.imageIncremental(s, incoming, base.where(bucket < 50))
+    }),
+    "dedup_image_incremental_indexed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{coalesce, col, length, lit, octet_length, max => smax}
+      val base = Tables.documents(s, dir)
+        .where(octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      val off = base.agg(coalesce(smax(col("doc_id")), lit(0L))).head.getLong(0) + 1L
+      val bucket = Sampling.hashBucket(col("doc_id"))
+      val incoming = base.where(bucket >= 50)
+        .unionByName(base.where(bucket < 10)
+          .withColumn("doc_id", col("doc_id") + off))
+        .unionByName(base.where(bucket >= 95)
+          .withColumn("doc_id", col("doc_id") + 2L * off))
+      Dedup.imageIncrementalIndexed(s, dir, incoming)
+    }),
     "dedup_semantic_incremental" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{coalesce, col, lit, max => smax}
       // the incremental family's standard split: reference = bucket < 50;
@@ -1509,6 +1541,51 @@ object SparkEntry {
        |        LEFT JOIN bh ON ia.vec_id = bh.vec_id
        |ORDER BY ia.vec_id""".stripMargin
 
+  /** Incremental image admission over the standard incremental split:
+    * reference = pure-ASCII docs bucket < 50 as text-byte blobs, incoming
+    * = the rest plus re-keyed copies; fake-grid dHash both sides; corpus
+    * hits vs the reference's DISTINCT hashes, in-batch hits via the
+    * lower-id self-join. Shared verbatim by the inline and indexed
+    * variants (identical admissions contract). */
+  private def dedupImageIncrementalSql: String =
+    """WITH d AS (SELECT doc_id, text,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS b
+      |  FROM documents WHERE strlen(text) = length(text)),
+      |off AS (SELECT coalesce(max(doc_id), 0) + 1 AS o FROM d),
+      |rf AS (SELECT doc_id, text FROM d WHERE b < 50),
+      |inc AS (SELECT doc_id, text FROM d WHERE b >= 50
+      |  UNION ALL SELECT doc_id + (SELECT o FROM off), text FROM d WHERE b < 10
+      |  UNION ALL SELECT doc_id + 2 * (SELECT o FROM off), text FROM d WHERE b >= 95),
+      |rg AS (SELECT doc_id, list_transform(range(0, 64), i ->
+      |        CASE WHEN i < strlen(text)
+      |             THEN ascii(substr(text, CAST(i+1 AS BIGINT), 1)) ELSE 0 END) AS gr
+      |      FROM rf),
+      |rh AS MATERIALIZED (SELECT DISTINCT CAST(list_sum(list_transform(range(0, 56), k ->
+      |        CASE WHEN gr[CAST((k//7)*8 + (k%7) + 2 AS BIGINT)]
+      |                  > gr[CAST((k//7)*8 + (k%7) + 1 AS BIGINT)]
+      |             THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE 0 END)) AS BIGINT) AS ph
+      |      FROM rg),
+      |ig AS (SELECT doc_id, list_transform(range(0, 64), i ->
+      |        CASE WHEN i < strlen(text)
+      |             THEN ascii(substr(text, CAST(i+1 AS BIGINT), 1)) ELSE 0 END) AS gr
+      |      FROM inc),
+      |ih AS MATERIALIZED (SELECT doc_id, CAST(list_sum(list_transform(range(0, 56), k ->
+      |        CASE WHEN gr[CAST((k//7)*8 + (k%7) + 2 AS BIGINT)]
+      |                  > gr[CAST((k//7)*8 + (k%7) + 1 AS BIGINT)]
+      |             THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE 0 END)) AS BIGINT) AS ph
+      |      FROM ig),
+      |ch AS (SELECT DISTINCT ih.doc_id FROM ih
+      |       JOIN rh ON bit_count(xor(ih.ph, rh.ph)) <= 6),
+      |bh AS (SELECT DISTINCT b2.doc_id FROM ih a JOIN ih b2
+      |       ON a.doc_id < b2.doc_id AND bit_count(xor(a.ph, b2.ph)) <= 6)
+      |SELECT ih.doc_id, ih.ph AS phash,
+      |  (ch.doc_id IS NOT NULL) AS seen_in_corpus,
+      |  (bh.doc_id IS NOT NULL) AS matched_in_batch,
+      |  (ch.doc_id IS NULL AND bh.doc_id IS NULL) AS keep
+      |FROM ih LEFT JOIN ch ON ih.doc_id = ch.doc_id
+      |        LEFT JOIN bh ON ih.doc_id = bh.doc_id
+      |ORDER BY ih.doc_id""".stripMargin
+
   /** Near-dup components over the n-gram pair graph: min id per connected
     * component via a recursive walk — the oracle both `dedup_groups`
     * (HashToMin) and `dedup_groups_star` (star contraction) must hit. */
@@ -2433,6 +2510,14 @@ object SparkEntry {
     // from the REFERENCE slice's vec_id < 16 (len(cl) cells — the slice
     // keeps only some of 0..15), corpus hits via the cell equi-join,
     // in-batch hits via the lower-id self-join
+    // incremental image admission: the standard split, the fake-grid dHash
+    // chain of dedup_image on both sides, corpus arm = brute-force Hamming
+    // vs the reference's DISTINCT hashes, batch arm = lower-id in-batch —
+    // the banded+verified plan must return exactly these verdicts
+    // (losslessness at maxHamming <= bands - agreeBands)
+    "dedup_image_incremental" -> dedupImageIncrementalSql,
+    "dedup_image_incremental_indexed" -> dedupImageIncrementalSql,
+
     "dedup_semantic_incremental" -> dedupSemanticIncrementalSql,
 
     // the indexed variant must produce BYTE-IDENTICAL admissions — the

@@ -1284,6 +1284,111 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Incremental IMAGE dedup — [[semanticIncremental]]'s contract for the
+    * perceptual-hash modality, completing the media families' batch
+    * incremental rung (until now the streaming gate was the only
+    * against-seen-corpus form): each incoming blob is dropped iff its
+    * 56-bit dHash sits within `maxHamming` of ANY seen (reference) hash,
+    * or of a LOWER-ID in-batch hash. Both arms run through the lossless
+    * [[bandSubsetKeys]] buckets with popcount verify on candidates only —
+    * never incoming × reference. Reference state is SIGNATURE-ONLY:
+    * distinct phashes, one long per distinct seen grid (exactly what
+    * [[imageIncrementalIndexed]] stores — and what
+    * [[graft.streaming.Streaming.streamImageDedupAdmit]] accumulates, so
+    * the three forms share one state contract). Output: one
+    * (doc_id, phash, seen_in_corpus, matched_in_batch, keep) row per
+    * incoming blob. */
+  def imageIncremental(spark: org.apache.spark.sql.SparkSession,
+                       incoming: DataFrame, reference: DataFrame,
+                       idCol: String = "doc_id", blobCol: String = "blob",
+                       bands: Int = 8, maxHamming: Int = 6,
+                       agreeBands: Int = 2): DataFrame =
+    imageIncrementalFrom(
+      Multimodal.imagePHash(spark, incoming, idCol, blobCol),
+      Multimodal.imagePHash(spark, reference, idCol, blobCol)
+        .select(col("phash")).distinct(),
+      idCol, bands, maxHamming, agreeBands)
+
+  /** [[imageIncremental]] against a CATALOG-MANAGED phash index — the
+    * [[exactIncrementalIndexed]] shape for the image modality: the
+    * reference slice's DISTINCT dHashes are built once from dir's
+    * documents table (text-as-binary blobs, [[Multimodal.imagePHash]]'s
+    * fake arm for non-image bytes — the engine's standing convention),
+    * registered content-fingerprinted in the manifest, and each batch
+    * admission reads the stored signatures instead of re-hashing the
+    * corpus. Admissions are byte-identical to the inline twin (DedupSpec
+    * pins it; the driver oracle is the inline SQL verbatim). */
+  def imageIncrementalIndexed(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, incoming: DataFrame,
+                              refBucketMax: Int = 50,
+                              idCol: String = "doc_id", blobCol: String = "blob",
+                              bands: Int = 8, maxHamming: Int = 6,
+                              agreeBands: Int = 2,
+                              policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
+    val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
+      name = s"documents-image-phash-b$refBucketMax", kind = "image-phash",
+      sourcePath = s"$dir/documents.parquet",
+      params = Map("refBucketMax" -> refBucketMax.toString, "algo" -> "dhash56",
+        "idCol" -> idCol, "blob" -> "text-as-binary"),
+      policy = policy) { out =>
+      Multimodal.imagePHash(spark,
+          graft.core.Tables.documents(spark, dir)
+            .where(Sampling.hashBucket(col(idCol)) < refBucketMax)
+            .select(col(idCol), col("text").cast("binary").as("blob")),
+          idCol, "blob")
+        .select(col("phash")).distinct()
+        .write.mode("overwrite").parquet(out)
+    }
+    imageIncrementalFrom(
+      Multimodal.imagePHash(spark, incoming, idCol, blobCol),
+      spark.read.parquet(idx.path),
+      idCol, bands, maxHamming, agreeBands)
+  }
+
+  /** The admission half of [[imageIncremental]], shared with the indexed
+    * twin: `refHashes` is the seen corpus's distinct-phash column —
+    * computed inline or read from the stored index. The incoming hash
+    * pass is lazily cached (four consumers: band keys, two verify
+    * lookups, the output projection). The corpus arm keys the reference
+    * by ITS OWN HASH (the signature is the identity — there is no
+    * reference doc id to carry, and none is needed). */
+  private[graft] def imageIncrementalFrom(incHashed: DataFrame,
+                                          refHashes: DataFrame, idCol: String,
+                                          bands: Int, maxHamming: Int,
+                                          agreeBands: Int): DataFrame = {
+    require(56 % bands == 0, s"bands must divide 56, got $bands")
+    require(agreeBands >= 1 && maxHamming >= 0 && maxHamming <= bands - agreeBands,
+      s"need maxHamming in [0, bands - agreeBands] for lossless band-subset keys, " +
+        s"got maxHamming=$maxHamming agreeBands=$agreeBands bands=$bands")
+    val inc = incHashed.localCheckpoint(false)
+    val incKeys = bandSubsetKeys(inc, "phash", idCol, bands, 56, agreeBands)
+    val refKeys = bandSubsetKeys(
+      refHashes.select(col("phash"), col("phash").as("rh")),
+      "phash", "rh", bands, 56, agreeBands)
+      .withColumnRenamed("doc_id", "rh")
+    val ch = incKeys.join(refKeys, Seq("band", "key"))
+      .select(col("doc_id"), col("rh")).distinct()
+      .join(inc.select(col(idCol).as("doc_id"), col("phash")), Seq("doc_id"))
+      .where(expr("bit_count(phash ^ rh)") <= maxHamming)
+      .select(col("doc_id")).distinct()
+    val cand = candidatePairs(incKeys, "band", "key", "doc_id")
+    val bh = cand
+      .join(inc.select(col(idCol).as("a_id"), col("phash").as("ha")), Seq("a_id"))
+      .join(inc.select(col(idCol).as("b_id"), col("phash").as("hb")), Seq("b_id"))
+      .where(expr("bit_count(ha ^ hb)") <= maxHamming)
+      .select(col("b_id").as("doc_id")).distinct()
+    val chF = ch.select(col("doc_id").as("__cid"), lit(true).as("__c"))
+    val bhF = bh.select(col("doc_id").as("__bid"), lit(true).as("__m"))
+    inc.select(col(idCol), col("phash"))
+      .join(chF, col(idCol) === col("__cid"), "left")
+      .join(bhF, col(idCol) === col("__bid"), "left")
+      .select(col(idCol), col("phash"),
+        coalesce(col("__c"), lit(false)).as("seen_in_corpus"),
+        coalesce(col("__m"), lit(false)).as("matched_in_batch"),
+        (col("__c").isNull && col("__m").isNull).as("keep"))
+      .orderBy(col(idCol))
+  }
+
   /** X3h — AUDIO near-duplicate pairs by energy-envelope fingerprint: the
     * third modality of the near-dup triad (text shingles, image dHash,
     * audio envelope). [[Multimodal.audioEnvelope]] reduces each WAV blob

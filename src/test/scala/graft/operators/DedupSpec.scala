@@ -578,6 +578,57 @@ class DedupSpec extends SparkSpec {
     assert(rows(Dedup.exactIncrementalIndexed(spark, dir, incoming, bloomFpp = 0)) == inline)
   }
 
+  test("incremental image dedup: NEAR copies of the seen corpus dropped; indexed equals inline, build-once") {
+    import org.apache.spark.sql.functions.{col, length, octet_length}
+    import spark.implicits._
+    // engineered arm: a strictly-ascending 64-byte grid (every gradient bit
+    // set); swapping two adjacent mid-row bytes flips EXACTLY one gradient
+    // comparison — the near admission an exact-fingerprint form provably
+    // cannot catch
+    val a = Array.tabulate[Byte](64)(i => (i + 32).toByte)
+    val drift = a.clone(); val t = drift(10); drift(10) = drift(11); drift(11) = t
+    val other = Array.tabulate[Byte](64)(i => (127 - i).toByte)
+    val fresh = Array.tabulate[Byte](64)(i => ((i * 37) % 96 + 32).toByte)
+    val ref = Seq((1L, a), (2L, other)).toDF("doc_id", "blob")
+    val incoming = Seq(
+      (10L, a),      // exact copy of seen → seen_in_corpus
+      (11L, drift),  // 1-bit near copy → seen_in_corpus (Hamming arm)
+      (12L, fresh),  // fresh → keep
+      (13L, fresh)   // in-batch repeat → matched_in_batch
+    ).toDF("doc_id", "blob")
+    val out = Dedup.imageIncremental(spark, incoming, ref).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(out(10L) == ((true, false, false)))
+    // seen via the corpus arm AND in-batch matched (doc 10 is a lower-id
+    // exact copy of the same grid, itself within Hamming 1 of the drift)
+    assert(out(11L) == ((true, true, false)), "the 1-bit drifted copy must be seen")
+    assert(out(12L) == ((false, false, true)))
+    assert(out(13L) == ((false, true, false)))
+
+    // indexed twin over the standard split: byte-identical to inline,
+    // built once then served
+    val base = Tables.documents(spark, dir)
+      .where(octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    val bucket = Sampling.hashBucket(col("doc_id"))
+    val batch = base.where(bucket >= 50)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4))).toSeq
+    val inline = rows(Dedup.imageIncremental(spark, batch, base.where(bucket < 50)))
+    val reg = CatalogOps.indexRegistry(spark, dir)
+    val name = "documents-image-phash-b50"
+    if (reg.isIndexRegistered(name)) reg.dropIndex(name)
+    intercept[graft.core.GraftException] {
+      Dedup.imageIncrementalIndexed(spark, dir, batch,
+        policy = graft.core.IndexPolicy.FailIfMissing).collect()
+    }
+    assert(rows(Dedup.imageIncrementalIndexed(spark, dir, batch)) == inline)
+    val built = CatalogOps.indexRegistry(spark, dir).getIndex(name)
+    assert(rows(Dedup.imageIncrementalIndexed(spark, dir, batch)) == inline)
+    assert(CatalogOps.indexRegistry(spark, dir).getIndex(name).version == built.version)
+  }
+
   test("indexed dedup groups: stored component map equals inline, build-once serve-twice") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, dir)
