@@ -149,6 +149,17 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + 2L * off))
       Dedup.imageIncrementalIndexed(s, dir, incoming)
     }),
+    "audio_dedup_incremental" -> ((s, dir) =>
+      Dedup.audioIncremental(s, audioIncrementalIncoming(s, dir),
+        audioIncrementalReference(s, dir), maxBytes = 512)),
+    "audio_dedup_incremental_indexed" -> ((s, dir) =>
+      Dedup.audioIncrementalIndexed(s, dir, audioIncrementalIncoming(s, dir),
+        maxBytes = 512)),
+    "video_dedup_incremental" -> ((s, dir) =>
+      Dedup.videoIncremental(s, videoIncrementalIncoming(s, dir),
+        videoIncrementalReference(s, dir))),
+    "video_dedup_incremental_indexed" -> ((s, dir) =>
+      Dedup.videoIncrementalIndexed(s, dir, videoIncrementalIncoming(s, dir))),
     "dedup_semantic_incremental" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{coalesce, col, lit, max => smax}
       // the incremental family's standard split: reference = bucket < 50;
@@ -938,6 +949,91 @@ object SparkEntry {
           inter.cast("binary")).as("blob")))
   }
 
+  /** The bucket<20 pure-ASCII universe the audio/video incremental splits
+    * share (the audio oracles' cost slice), with its id-offset quantum. */
+  private def mediaIncrementalBase(s: SparkSession, dir: String): (DataFrame, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, length, lit, octet_length, max => smax}
+    val base = Tables.documents(s, dir)
+      .where(octet_length(col("text")) === length(col("text")) &&
+        graft.operators.Sampling.hashBucket(col("doc_id")) < 20)
+    (base, base.agg(coalesce(smax(col("doc_id")), lit(0L))).head.getLong(0) + 1L)
+  }
+
+  /** Reference arm of the audio incremental split: bucket < 10 of the
+    * universe, WAV-wrapped — exactly the slice
+    * `audioIncrementalIndexed(refBucketMax = 10)` builds its state from,
+    * so the indexed twin shares the inline oracle verbatim. */
+  private def audioIncrementalReference(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val header = graft.operators.Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL)
+    val (base, _) = mediaIncrementalBase(s, dir)
+    base.where(graft.operators.Sampling.hashBucket(col("doc_id")) < 10)
+      .select(col("doc_id"),
+        concat(lit(header), col("text").cast("binary")).as("blob"))
+  }
+
+  /** Incoming arm of the audio incremental split: bucket >= 10 of the
+    * universe, plus verbatim re-ingests of bucket < 2 (corpus hits via
+    * the ENVELOPE arm), 12-sample-delayed copies of bucket < 2 (corpus
+    * hits via the landmark VOTE arm only — the audio_shift_near
+    * misalignment device), and verbatim copies of bucket >= 18 (in-batch
+    * hits against their lower-id originals). */
+  private def audioIncrementalIncoming(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val header = graft.operators.Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL)
+    val zeros = Array.fill[Byte](24)(0)
+    val (base, off) = mediaIncrementalBase(s, dir)
+    val bucket = graft.operators.Sampling.hashBucket(col("doc_id"))
+    def wav(d: DataFrame) = d.select(col("doc_id"),
+      concat(lit(header), col("text").cast("binary")).as("blob"))
+    wav(base.where(bucket >= 10))
+      .unionByName(wav(base.where(bucket < 2)
+        .withColumn("doc_id", col("doc_id") + lit(off))))
+      .unionByName(base.where(bucket < 2)
+        .withColumn("doc_id", col("doc_id") + lit(2L * off))
+        .select(col("doc_id"),
+          concat(lit(header), lit(zeros), col("text").cast("binary")).as("blob")))
+      .unionByName(wav(base.where(bucket >= 18)
+        .withColumn("doc_id", col("doc_id") + lit(3L * off))))
+  }
+
+  /** Reference arm of the video incremental split: bucket < 10 of the
+    * universe as n-frame videos — the
+    * `videoIncrementalIndexed(refBucketMax = 10)` state slice. */
+  private def videoIncrementalReference(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val header = graft.operators.Multimodal.mp4VideoFramesHeader()
+    val (base, _) = mediaIncrementalBase(s, dir)
+    base.where(graft.operators.Sampling.hashBucket(col("doc_id")) < 10)
+      .select(col("doc_id"),
+        concat(lit(header), col("text").cast("binary")).as("blob"))
+  }
+
+  /** Incoming arm of the video incremental split: bucket >= 10, plus
+    * verbatim re-ingests of bucket < 2 (corpus hits via the FINGERPRINT
+    * arm and the vote arm both), re-INTROED copies of bucket < 2 (one
+    * md5-hex junk frame prepended — a distinct fingerprint, so corpus
+    * hits via the frame-VOTE arm only: the video_dedup re-cut device),
+    * and verbatim copies of bucket >= 18 (in-batch hits). */
+  private def videoIncrementalIncoming(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, lit, md5}
+    val header = graft.operators.Multimodal.mp4VideoFramesHeader()
+    val (base, off) = mediaIncrementalBase(s, dir)
+    val bucket = graft.operators.Sampling.hashBucket(col("doc_id"))
+    def mp4(d: DataFrame) = d.select(col("doc_id"),
+      concat(lit(header), col("text").cast("binary")).as("blob"))
+    mp4(base.where(bucket >= 10))
+      .unionByName(mp4(base.where(bucket < 2)
+        .withColumn("doc_id", col("doc_id") + lit(off))))
+      .unionByName(base.where(bucket < 2)
+        .withColumn("doc_id", col("doc_id") + lit(2L * off))
+        .select(col("doc_id"),
+          concat(lit(header), md5(col("text")).cast("binary"),
+            col("text").cast("binary")).as("blob")))
+      .unionByName(mp4(base.where(bucket >= 18)
+        .withColumn("doc_id", col("doc_id") + lit(3L * off))))
+  }
+
   /** Per-frame dHash derivation over a `vc(doc_id, text)` corpus CTE —
     * the multi-frame video oracle device: the frames container declares
     * uniform 32-byte samples in one chunk, so extracted sample i IS
@@ -1585,6 +1681,130 @@ object SparkEntry {
       |FROM ih LEFT JOIN ch ON ih.doc_id = ch.doc_id
       |        LEFT JOIN bh ON ih.doc_id = bh.doc_id
       |ORDER BY ih.doc_id""".stripMargin
+
+  /** Incremental audio admission over the media incremental split
+    * (bucket<20 pure-ASCII universe; reference = bucket < 10 WAV-wrapped;
+    * incoming = bucket >= 10 plus verbatim re-ingests of bucket < 2
+    * [envelope-arm corpus hits], 12-sample-DELAYED copies of bucket < 2
+    * [landmark-vote-arm corpus hits — the audio_shift_near misalignment
+    * device], and verbatim copies of bucket >= 18 [in-batch hits]). The
+    * full landmark chain re-derived over the tagged union (reference ids
+    * negative), both [[graft.operators.Dedup.audioMatchesAgainst]] arms +
+    * both in-batch arms in SQL. Shared verbatim by the inline and indexed
+    * variants (identical admissions contract). */
+  private def audioDedupIncrementalSql: String = {
+    val thresholds = graft.operators.Multimodal.QuarterOctaveThresholds
+      .mkString("[", ",", "]")
+    val plainN = "least(strlen(text), 512) // 2"
+    val plainS =
+      """list_transform(range(0, least(strlen(text), 512) // 2), i ->
+        |     ascii(substr(text, CAST(2*i+2 AS BIGINT), 1)) * 256
+        |   + ascii(substr(text, CAST(2*i+1 AS BIGINT), 1)))""".stripMargin
+    val delayedS =
+      """list_concat(list_transform(range(0, 12), z -> 0),
+        |   list_transform(range(0, least(strlen(text), 488) // 2), i ->
+        |       ascii(substr(text, CAST(2*i+2 AS BIGINT), 1)) * 256
+        |     + ascii(substr(text, CAST(2*i+1 AS BIGINT), 1))))""".stripMargin
+    s"""WITH d AS (SELECT doc_id, text, b FROM (
+       |    SELECT doc_id, text,
+       |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS b
+       |    FROM documents WHERE strlen(text) = length(text)) t WHERE b < 20),
+       |off AS (SELECT coalesce(max(doc_id), 0) + 1 AS o FROM d),
+       |sm AS (SELECT -(doc_id + 1) AS id, $plainN AS n, $plainS AS s FROM d WHERE b < 10
+       |  UNION ALL SELECT doc_id, $plainN, $plainS FROM d WHERE b >= 10
+       |  UNION ALL SELECT doc_id + (SELECT o FROM off), $plainN, $plainS
+       |    FROM d WHERE b < 2
+       |  UNION ALL SELECT doc_id + 2*(SELECT o FROM off),
+       |    12 + least(strlen(text), 488) // 2, $delayedS FROM d WHERE b < 2
+       |  UNION ALL SELECT doc_id + 3*(SELECT o FROM off), $plainN, $plainS
+       |    FROM d WHERE b >= 18),
+       |lv AS (SELECT id, list_transform(
+       |    list_transform(range(0, CASE WHEN n >= 16 THEN (n - 16) // 4 + 1 ELSE 0 END),
+       |      w -> list_sum(list_transform(range(w*4, w*4 + 16),
+       |             j -> CAST(s[CAST(j+1 AS BIGINT)] AS BIGINT) * s[CAST(j+1 AS BIGINT)]))),
+       |    ss -> len(list_filter($thresholds, t -> ss >= t))) AS L FROM sm),
+       |${audioLandmarkRowCtes("lv")},
+       |cv AS (SELECT DISTINCT a.id FROM lmr a JOIN lmr b
+       |       ON a.la = b.la AND a.lb = b.lb AND a.dt = b.dt
+       |        AND a.id >= 0 AND b.id < 0
+       |       GROUP BY a.id, b.id, a.ta - b.ta HAVING count(*) >= 5),
+       |bv AS (SELECT DISTINCT b.id FROM lmr a JOIN lmr b
+       |       ON a.la = b.la AND a.lb = b.lb AND a.dt = b.dt
+       |        AND a.id >= 0 AND b.id >= 0 AND a.id < b.id
+       |       GROUP BY a.id, b.id, a.ta - b.ta HAVING count(*) >= 5),
+       |ev AS MATERIALIZED (SELECT id, array_to_string(L, ' ') AS env FROM lv),
+       |ce AS (SELECT DISTINCT a.id FROM ev a
+       |       JOIN (SELECT DISTINCT env FROM ev WHERE id < 0) r ON a.env = r.env
+       |       WHERE a.id >= 0),
+       |be AS (SELECT DISTINCT a.id FROM ev a JOIN ev b
+       |       ON a.env = b.env AND b.id >= 0 AND a.id > b.id
+       |       WHERE a.id >= 0),
+       |ch AS (SELECT id FROM cv UNION SELECT id FROM ce),
+       |bh AS (SELECT id FROM bv UNION SELECT id FROM be)
+       |SELECT i.id AS doc_id, TRUE AS is_audio,
+       |  (ch.id IS NOT NULL) AS seen_in_corpus,
+       |  (bh.id IS NOT NULL) AS matched_in_batch,
+       |  (ch.id IS NULL AND bh.id IS NULL) AS keep
+       |FROM (SELECT id FROM lv WHERE id >= 0) i
+       |LEFT JOIN ch ON i.id = ch.id
+       |LEFT JOIN bh ON i.id = bh.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Incremental video admission over the same split (reference = bucket
+    * < 10 as n-frame videos; incoming = bucket >= 10 plus verbatim
+    * re-ingests of bucket < 2 [fingerprint-arm corpus hits], re-INTROED
+    * copies of bucket < 2 [one md5-hex junk frame prepended — a distinct
+    * fingerprint, frame-VOTE-arm corpus hits: the video_dedup re-cut
+    * device], and verbatim copies of bucket >= 18 [in-batch hits]). Both
+    * [[graft.operators.Dedup.videoMatchesAgainst]] arms + both in-batch
+    * arms in SQL; is_video from the frame walk (an empty payload yields
+    * no frame and keeps — the pass-through). Shared verbatim by the
+    * inline and indexed variants. */
+  private def videoDedupIncrementalSql: String =
+    s"""WITH d AS (SELECT doc_id, text, b FROM (
+       |    SELECT doc_id, text,
+       |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS b
+       |    FROM documents WHERE strlen(text) = length(text)) t WHERE b < 20),
+       |off AS (SELECT coalesce(max(doc_id), 0) + 1 AS o FROM d),
+       |vc AS (SELECT -(doc_id + 1) AS doc_id, text FROM d WHERE b < 10
+       |  UNION ALL SELECT doc_id, text FROM d WHERE b >= 10
+       |  UNION ALL SELECT doc_id + (SELECT o FROM off), text FROM d WHERE b < 2
+       |  UNION ALL SELECT doc_id + 2*(SELECT o FROM off), md5(text) || text
+       |    FROM d WHERE b < 2
+       |  UNION ALL SELECT doc_id + 3*(SELECT o FROM off), text FROM d WHERE b >= 18),
+       |$videoFrameHashCtes,
+       |fp AS MATERIALIZED (SELECT doc_id, string_agg(
+       |         CAST(frame_no AS VARCHAR) || ':' || CAST(fhash AS VARCHAR),
+       |         ' ' ORDER BY frame_no) AS fp
+       |       FROM fh GROUP BY doc_id),
+       |cv AS (SELECT DISTINCT a.doc_id AS id FROM fh a JOIN fh b
+       |       ON a.fhash = b.fhash AND a.doc_id >= 0 AND b.doc_id < 0
+       |       GROUP BY a.doc_id, b.doc_id, a.frame_no - b.frame_no
+       |       HAVING count(*) >= 3),
+       |bv AS (SELECT DISTINCT b.doc_id AS id FROM fh a JOIN fh b
+       |       ON a.fhash = b.fhash AND a.doc_id >= 0 AND b.doc_id >= 0
+       |        AND a.doc_id < b.doc_id
+       |       GROUP BY a.doc_id, b.doc_id, a.frame_no - b.frame_no
+       |       HAVING count(*) >= 3),
+       |cf AS (SELECT DISTINCT a.doc_id AS id FROM fp a
+       |       JOIN (SELECT DISTINCT fp FROM fp WHERE doc_id < 0) r ON a.fp = r.fp
+       |       WHERE a.doc_id >= 0),
+       |bf AS (SELECT DISTINCT a.doc_id AS id FROM fp a JOIN fp b
+       |       ON a.fp = b.fp AND b.doc_id >= 0 AND a.doc_id > b.doc_id
+       |       WHERE a.doc_id >= 0),
+       |ch AS (SELECT id FROM cv UNION SELECT id FROM cf),
+       |bh AS (SELECT id FROM bv UNION SELECT id FROM bf),
+       |iv AS (SELECT DISTINCT doc_id FROM fh WHERE doc_id >= 0),
+       |inc AS (SELECT doc_id FROM vc WHERE doc_id >= 0)
+       |SELECT inc.doc_id, (iv.doc_id IS NOT NULL) AS is_video,
+       |  (ch.id IS NOT NULL) AS seen_in_corpus,
+       |  (bh.id IS NOT NULL) AS matched_in_batch,
+       |  (ch.id IS NULL AND bh.id IS NULL) AS keep
+       |FROM inc LEFT JOIN iv ON inc.doc_id = iv.doc_id
+       |LEFT JOIN ch ON inc.doc_id = ch.id
+       |LEFT JOIN bh ON inc.doc_id = bh.id
+       |ORDER BY inc.doc_id""".stripMargin
 
   /** Near-dup components over the n-gram pair graph: min id per connected
     * component via a recursive walk — the oracle both `dedup_groups`
@@ -2517,6 +2737,10 @@ object SparkEntry {
     // (losslessness at maxHamming <= bands - agreeBands)
     "dedup_image_incremental" -> dedupImageIncrementalSql,
     "dedup_image_incremental_indexed" -> dedupImageIncrementalSql,
+    "audio_dedup_incremental" -> audioDedupIncrementalSql,
+    "audio_dedup_incremental_indexed" -> audioDedupIncrementalSql,
+    "video_dedup_incremental" -> videoDedupIncrementalSql,
+    "video_dedup_incremental_indexed" -> videoDedupIncrementalSql,
 
     "dedup_semantic_incremental" -> dedupSemanticIncrementalSql,
 

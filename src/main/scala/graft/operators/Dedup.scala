@@ -152,10 +152,19 @@ object Dedup {
                                     idCol: String,
                                     maxBucket: Int = Int.MaxValue,
                                     pairExplodeMax: Int = 256): DataFrame = {
+    // The aggregate has THREE consumers (the small-bucket filter and both
+    // sides of the salt-blocked join), and Spark recomputes the whole
+    // exchange per consumer — the r14 ScaleSmoke measured the two-branch
+    // rewrite costing the explicit videoNearHamming form 188.2 → 223.8 s on
+    // its 10% slice purely from the re-read. A lazy localCheckpoint
+    // materializes the bucket rows once at first action; the checkpointed
+    // blocks are bucket-id + id-array rows (candidate-volume-sized, not
+    // corpus-sized), so the cache cost is the small side of the trade.
     val buckets = keyed
       .groupBy(col(k1), col(k2))
       .agg(sort_array(collect_list(col(idCol))).as("bucket"))
       .where(size(col("bucket")) > 1 && size(col("bucket")) <= maxBucket)
+      .localCheckpoint(false)
     // SMALL buckets expand in-bucket: the transform materializes the whole
     // |bucket|²/2 pair array per bucket before exploding, which is the
     // cheapest plan while the array is small — and a ~400 MB transient per
@@ -1658,6 +1667,141 @@ object Dedup {
     voteHits.unionByName(envHits).distinct()
   }
 
+  /** Incremental AUDIO dedup — [[imageIncremental]]'s contract for the
+    * landmark modality, closing the media matrix's last batch asymmetry
+    * (audio covered the against-seen-corpus semantics only through its
+    * streaming gate): each incoming blob is flagged `seen_in_corpus` iff
+    * it landmark-VOTES ≥ `minVotes` against any single reference clip on
+    * one time offset OR repeats a reference envelope verbatim (the
+    * [[audioMatchesAgainst]] two-arm rule — literally that function, the
+    * streaming gate's cross-batch arm), and `matched_in_batch` iff it
+    * votes against a LOWER-ID in-batch clip or repeats a lower-id
+    * in-batch envelope. Reference state is SIGNATURE-ONLY: landmark rows
+    * + distinct envelope strings — exactly what
+    * [[graft.streaming.Streaming.streamAudioDedupAdmit]] accumulates and
+    * what [[audioIncrementalIndexed]] stores, so all three forms share
+    * one state contract. Non-WAV rows are not audio and keep (the gate's
+    * pass-through). `keyPeaks` must match the state's extraction dial —
+    * the stream-constant contract, verbatim. Output: one
+    * `(doc_id, is_audio, seen_in_corpus, matched_in_batch, keep)` row
+    * per incoming row. */
+  def audioIncremental(spark: org.apache.spark.sql.SparkSession,
+                       incoming: DataFrame, reference: DataFrame,
+                       idCol: String = "doc_id", blobCol: String = "blob",
+                       windowSamples: Int = 16, hop: Int = 4,
+                       maxBytes: Int = 1 << 20, maxDt: Int = 8,
+                       fanout: Int = 3, minVotes: Int = 5,
+                       keyPeaks: Int = 2): DataFrame =
+    audioIncrementalFrom(spark, incoming,
+      Multimodal.audioLandmarks(spark, reference, idCol, blobCol,
+        windowSamples, hop, maxBytes, maxDt, fanout, keyPeaks),
+      Multimodal.audioEnvelope(spark, reference, idCol, blobCol,
+        windowSamples, maxBytes, hop).select(col("env")).distinct(),
+      idCol, blobCol, windowSamples, hop, maxBytes, maxDt, fanout,
+      minVotes, keyPeaks)
+
+  /** [[audioIncremental]] against a CATALOG-MANAGED landmark+envelope
+    * index — the [[imageIncrementalIndexed]] shape for the audio
+    * modality: the reference slice's landmark rows (`lm/`) and distinct
+    * envelope strings (`env/`) are built once from dir's documents table
+    * (WAV-wrapped text bytes behind [[Multimodal.pcmWavHeader]] — the
+    * engine's synthetic-WAV convention, recorded in the params),
+    * registered content-fingerprinted in the manifest, and each batch
+    * admission reads the stored signatures instead of re-decoding the
+    * corpus. Admissions are byte-identical to the inline twin. */
+  def audioIncrementalIndexed(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, incoming: DataFrame,
+                              refBucketMax: Int = 10,
+                              idCol: String = "doc_id", blobCol: String = "blob",
+                              windowSamples: Int = 16, hop: Int = 4,
+                              maxBytes: Int = 1 << 20, maxDt: Int = 8,
+                              fanout: Int = 3, minVotes: Int = 5,
+                              keyPeaks: Int = 2,
+                              policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
+    val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
+      name = s"documents-audio-state-b$refBucketMax", kind = "audio-landmarks",
+      sourcePath = s"$dir/documents.parquet",
+      params = Map("refBucketMax" -> refBucketMax.toString,
+        "windowSamples" -> windowSamples.toString, "hop" -> hop.toString,
+        "maxBytes" -> maxBytes.toString, "maxDt" -> maxDt.toString,
+        "fanout" -> fanout.toString, "keyPeaks" -> keyPeaks.toString,
+        "idCol" -> idCol, "blob" -> "wav-wrapped-text"),
+      policy = policy) { out =>
+      val header = Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL)
+      val ref = graft.core.Tables.documents(spark, dir)
+        .where(octet_length(col("text")) === length(col("text")) &&
+          Sampling.hashBucket(col(idCol)) < refBucketMax)
+        .select(col(idCol),
+          concat(lit(header), col("text").cast("binary")).as("blob"))
+      Multimodal.audioLandmarks(spark, ref, idCol, "blob",
+          windowSamples, hop, maxBytes, maxDt, fanout, keyPeaks)
+        .write.mode("overwrite").parquet(s"$out/lm")
+      Multimodal.audioEnvelope(spark, ref, idCol, "blob",
+          windowSamples, maxBytes, hop)
+        .select(col("env")).distinct()
+        .write.mode("overwrite").parquet(s"$out/env")
+    }
+    audioIncrementalFrom(spark, incoming,
+      spark.read.parquet(s"${idx.path}/lm"),
+      spark.read.parquet(s"${idx.path}/env"),
+      idCol, blobCol, windowSamples, hop, maxBytes, maxDt, fanout,
+      minVotes, keyPeaks)
+  }
+
+  /** The admission half of [[audioIncremental]], shared with the indexed
+    * twin: `refLm`/`refEnv` are the seen corpus's landmark rows and
+    * distinct envelope strings — computed inline or read from the stored
+    * index. The incoming landmark and envelope passes are lazily cached
+    * (each has two+ consumers and the decode under them is the dominant
+    * cost). Both arms are equi-joins on signature-sized rows — never
+    * incoming × reference, nothing audio-sized shuffles. */
+  private[graft] def audioIncrementalFrom(spark: org.apache.spark.sql.SparkSession,
+                                          incoming: DataFrame,
+                                          refLm: DataFrame, refEnv: DataFrame,
+                                          idCol: String, blobCol: String,
+                                          windowSamples: Int, hop: Int,
+                                          maxBytes: Int, maxDt: Int,
+                                          fanout: Int, minVotes: Int,
+                                          keyPeaks: Int): DataFrame = {
+    val incLm = Multimodal.audioLandmarks(spark, incoming, idCol, blobCol,
+      windowSamples, hop, maxBytes, maxDt, fanout, keyPeaks)
+      .localCheckpoint(false)
+    val incEnv = Multimodal.audioEnvelope(spark, incoming, idCol, blobCol,
+      windowSamples, maxBytes, hop)
+      .select(col(idCol), col("env")).localCheckpoint(false)
+    val seen = audioMatchesAgainst(incLm, incEnv, refLm, refEnv, idCol, minVotes)
+    val batchVote = landmarkVotes(incLm, idCol, minVotes)
+      .select(col("b_id").as(idCol))
+    val envReps = incEnv.groupBy(col("env")).agg(min(col(idCol)).as("__rep"))
+    val batchEnv = incEnv.join(envReps, Seq("env"))
+      .where(col(idCol) =!= col("__rep")).select(col(idCol))
+    incrementalVerdicts(incoming, incEnv.select(col(idCol)), seen,
+      batchVote.unionByName(batchEnv).distinct(), idCol, "is_audio")
+  }
+
+  /** The shared verdict tail of [[audioIncrementalFrom]] /
+    * [[videoIncrementalFrom]]: one row per incoming row, the modality
+    * flag from the signature pass (a row with no signature is not this
+    * modality and keeps — the streaming gates' pass-through), `keep` iff
+    * neither arm hit. */
+  private def incrementalVerdicts(incoming: DataFrame, modalityIds: DataFrame,
+                                  seen: DataFrame, batchHit: DataFrame,
+                                  idCol: String, flagCol: String): DataFrame = {
+    val modF = modalityIds.distinct().select(col(idCol).as("__fid"), lit(true).as("__f"))
+    val seenF = seen.select(col(idCol).as("__sid"), lit(true).as("__c"))
+    val batchF = batchHit.select(col(idCol).as("__bid"), lit(true).as("__m"))
+    incoming.select(col(idCol).cast("long").as(idCol))
+      .join(modF, col(idCol) === col("__fid"), "left")
+      .join(seenF, col(idCol) === col("__sid"), "left")
+      .join(batchF, col(idCol) === col("__bid"), "left")
+      .select(col(idCol),
+        coalesce(col("__f"), lit(false)).as(flagCol),
+        coalesce(col("__c"), lit(false)).as("seen_in_corpus"),
+        coalesce(col("__m"), lit(false)).as("matched_in_batch"),
+        (col("__c").isNull && col("__m").isNull).as("keep"))
+      .orderBy(col(idCol))
+  }
+
   /** Video near-dup pairs by FRAME-VOTE agreement — the multi-frame
     * robustness rung above [[imageDedup]]'s first-sample clustering, and
     * the named round-12 residual: a re-cut video whose FIRST frame differs
@@ -2092,6 +2236,103 @@ object Dedup {
         array_sort(collect_list(struct(col("frame_no"), col("fhash")))),
         s => concat(s.getField("frame_no").cast("string"), lit(":"),
           s.getField("fhash").cast("string"))), " ").as("fp"))
+
+  /** Incremental VIDEO dedup — [[audioIncremental]]'s contract for the
+    * frame-hash modality, completing the media matrix (every media family
+    * now has batch / incremental / indexed / streaming forms on one state
+    * contract): each incoming blob is flagged `seen_in_corpus` iff it
+    * frame-VOTES ≥ `minVotes` against any single reference video on one
+    * frame-index offset OR repeats a reference frame-hash FINGERPRINT
+    * verbatim (the [[videoMatchesAgainst]] two-arm rule — literally that
+    * function, the streaming gate's cross-batch arm), and
+    * `matched_in_batch` iff it votes against a LOWER-ID in-batch video or
+    * repeats a lower-id in-batch fingerprint. Reference state is
+    * SIGNATURE-ONLY: ≤ `maxFrames` frame-hash rows per seen video +
+    * distinct fingerprints — exactly what
+    * [[graft.streaming.Streaming.streamVideoDedupAdmit]] accumulates and
+    * what [[videoIncrementalIndexed]] stores. Non-MP4 rows (and
+    * containers yielding no frame) are not videos and keep. Output: one
+    * `(doc_id, is_video, seen_in_corpus, matched_in_batch, keep)` row per
+    * incoming row. */
+  def videoIncremental(spark: org.apache.spark.sql.SparkSession,
+                       incoming: DataFrame, reference: DataFrame,
+                       idCol: String = "doc_id", blobCol: String = "blob",
+                       maxFrames: Int = 16, maxBytes: Int = 1 << 20,
+                       minVotes: Int = 3): DataFrame = {
+    val refFr = Multimodal.videoFrameHashes(spark, reference, idCol, blobCol,
+      maxFrames, maxBytes).localCheckpoint(false)
+    videoIncrementalFrom(spark, incoming, refFr,
+      videoFingerprints(refFr, idCol).select(col("fp")).distinct(),
+      idCol, blobCol, maxFrames, maxBytes, minVotes)
+  }
+
+  /** [[videoIncremental]] against a CATALOG-MANAGED frame+fingerprint
+    * index — the [[audioIncrementalIndexed]] shape for the video
+    * modality: the reference slice's frame-hash rows (`fr/`) and distinct
+    * fingerprints (`fp/`) are built once from dir's documents table
+    * (frames-container-wrapped text bytes behind
+    * [[Multimodal.mp4VideoFramesHeader]] — the engine's synthetic-MP4
+    * convention, recorded in the params), registered
+    * content-fingerprinted in the manifest, and each batch admission
+    * reads the stored signatures instead of re-walking the corpus.
+    * Admissions are byte-identical to the inline twin. */
+  def videoIncrementalIndexed(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, incoming: DataFrame,
+                              refBucketMax: Int = 10,
+                              idCol: String = "doc_id", blobCol: String = "blob",
+                              maxFrames: Int = 16, maxBytes: Int = 1 << 20,
+                              minVotes: Int = 3,
+                              policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
+    val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
+      name = s"documents-video-state-b$refBucketMax", kind = "video-frames",
+      sourcePath = s"$dir/documents.parquet",
+      params = Map("refBucketMax" -> refBucketMax.toString,
+        "maxFrames" -> maxFrames.toString, "maxBytes" -> maxBytes.toString,
+        "idCol" -> idCol, "blob" -> "mp4-frames-wrapped-text"),
+      policy = policy) { out =>
+      val header = Multimodal.mp4VideoFramesHeader()
+      val ref = graft.core.Tables.documents(spark, dir)
+        .where(octet_length(col("text")) === length(col("text")) &&
+          Sampling.hashBucket(col(idCol)) < refBucketMax)
+        .select(col(idCol),
+          concat(lit(header), col("text").cast("binary")).as("blob"))
+      val fr = Multimodal.videoFrameHashes(spark, ref, idCol, "blob",
+        maxFrames, maxBytes).localCheckpoint(false)
+      fr.write.mode("overwrite").parquet(s"$out/fr")
+      videoFingerprints(fr, idCol).select(col("fp")).distinct()
+        .write.mode("overwrite").parquet(s"$out/fp")
+    }
+    videoIncrementalFrom(spark, incoming,
+      spark.read.parquet(s"${idx.path}/fr"),
+      spark.read.parquet(s"${idx.path}/fp"),
+      idCol, blobCol, maxFrames, maxBytes, minVotes)
+  }
+
+  /** The admission half of [[videoIncremental]], shared with the indexed
+    * twin: `refFr`/`refFp` are the seen corpus's frame-hash rows and
+    * distinct fingerprints — computed inline or read from the stored
+    * index. The incoming frame pass is lazily cached (corpus arm,
+    * in-batch vote, fingerprint derivation, modality flag all read it);
+    * both arms are equi-joins on signature-sized rows — pixels never
+    * shuffle, never incoming × reference. */
+  private[graft] def videoIncrementalFrom(spark: org.apache.spark.sql.SparkSession,
+                                          incoming: DataFrame,
+                                          refFr: DataFrame, refFp: DataFrame,
+                                          idCol: String, blobCol: String,
+                                          maxFrames: Int, maxBytes: Int,
+                                          minVotes: Int): DataFrame = {
+    val incFr = Multimodal.videoFrameHashes(spark, incoming, idCol, blobCol,
+      maxFrames, maxBytes).localCheckpoint(false)
+    val incFp = videoFingerprints(incFr, idCol).localCheckpoint(false)
+    val seen = videoMatchesAgainst(incFr, incFp, refFr, refFp, idCol, minVotes)
+    val batchVote = frameVotes(incFr, idCol, minVotes)
+      .select(col("b_id").as(idCol))
+    val fpReps = incFp.groupBy(col("fp")).agg(min(col(idCol)).as("__rep"))
+    val batchFp = incFp.join(fpReps, Seq("fp"))
+      .where(col(idCol) =!= col("__rep")).select(col(idCol))
+    incrementalVerdicts(incoming, incFr.select(col(idCol)), seen,
+      batchVote.unionByName(batchFp).distinct(), idCol, "is_video")
+  }
 
   /** [[imageNear]]'s TREATMENT form, and its 100 TB shape: per-doc
     * keep/group verdicts with LINEAR output. [[imageNear]]'s pair list is

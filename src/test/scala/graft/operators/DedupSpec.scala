@@ -629,6 +629,130 @@ class DedupSpec extends SparkSpec {
     assert(CatalogOps.indexRegistry(spark, dir).getIndex(name).version == built.version)
   }
 
+  test("incremental audio dedup: delayed copy caught by the VOTE arm where the envelope arm provably misses") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val header = Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL)
+    def pcm(vals: Seq[Int]): Array[Byte] =
+      vals.flatMap(v => Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)).toArray
+    // 12-loud/12-quiet oscillation: window 16 / hop 4 levels peak every ~6
+    // windows, so the clip carries well over minVotes=5 landmarks
+    val samples = Seq.tabulate(256)(k => if ((k / 12) % 2 == 0) 20000 else 100)
+    val wav = header ++ pcm(samples)
+    // 12 zero SAMPLES prepended = 3 hops but NOT a window multiple — the
+    // audio_shift_near misalignment: every interior level reappears at
+    // shifted indices (landmark keys invariant), the env string does not
+    val delayed = header ++ pcm(Seq.fill(12)(0) ++ samples)
+    val fresh = header ++ pcm(Seq.tabulate(256)(k => if ((k / 9) % 3 == 0) 28000 else 3000))
+    val ref = Seq((1L, wav)).toDF("doc_id", "blob")
+    val incoming = Seq(
+      (10L, wav),      // verbatim re-ingest → seen (envelope arm)
+      (11L, delayed),  // delayed copy → seen (vote arm ONLY)
+      (12L, fresh),    // fresh clip → keep
+      (13L, fresh),    // in-batch repeat → matched_in_batch
+      (14L, "not audio at all".getBytes("UTF-8")) // non-WAV → pass-through
+    ).toDF("doc_id", "blob")
+    // the envelope-arm miss is structural, not assumed: the delayed env
+    // string is NOT in the reference's envelope state
+    val refEnvs = Multimodal.audioEnvelope(spark, ref)
+      .select(col("env")).collect().map(_.getString(0)).toSet
+    val delayedEnv = Multimodal.audioEnvelope(spark,
+        incoming.where(col("doc_id") === 11L))
+      .select(col("env")).head.getString(0)
+    assert(!refEnvs.contains(delayedEnv), "the delay must change the envelope string")
+    val out = Dedup.audioIncremental(spark, incoming, ref).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(out(10L) == ((true, true, false, false)))
+    // seen via votes AND in-batch matched (doc 10 is a lower-id clip it
+    // also votes against)
+    assert(out(11L) == ((true, true, true, false)),
+      "the delayed copy must be seen through the landmark-vote arm")
+    assert(out(12L) == ((true, false, false, true)))
+    assert(out(13L) == ((true, false, true, false)))
+    assert(out(14L) == ((false, false, false, true)), "non-WAV rows pass through")
+  }
+
+  test("incremental video dedup: re-introed copy caught by the VOTE arm where the fingerprint arm provably misses") {
+    import spark.implicits._
+    val header = Multimodal.mp4VideoFramesHeader()
+    val payload = Array.tabulate[Byte](128)(i => ((i * 7) % 96 + 32).toByte)
+    val junk = Array.tabulate[Byte](32)(i => ((i * 13) % 96 + 32).toByte)
+    val base = header ++ payload
+    val reintro = header ++ junk ++ payload // distinct fingerprint, shared frames at one offset
+    val fresh = header ++ Array.tabulate[Byte](128)(i => ((i * 31) % 96 + 32).toByte)
+    val ref = Seq((1L, base)).toDF("doc_id", "blob")
+    val incoming = Seq(
+      (10L, base),    // re-mux stand-in → seen (fingerprint arm)
+      (11L, reintro), // re-cut → seen (vote arm ONLY)
+      (12L, fresh),   // fresh → keep
+      (13L, fresh),   // in-batch repeat → matched_in_batch
+      (14L, "not a video".getBytes("UTF-8")) // non-MP4 → pass-through
+    ).toDF("doc_id", "blob")
+    // the fingerprint-arm miss is structural: the re-introed fingerprint
+    // differs from the reference's
+    val fps = Dedup.videoFingerprints(Multimodal.videoFrameHashes(spark,
+        ref.unionByName(incoming.where(org.apache.spark.sql.functions.col("doc_id") === 11L))))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) != fps(11L), "the junk intro frame must change the fingerprint")
+    val out = Dedup.videoIncremental(spark, incoming, ref).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(out(10L) == ((true, true, false, false)))
+    assert(out(11L) == ((true, true, true, false)),
+      "the re-introed copy must be seen through the frame-vote arm")
+    assert(out(12L) == ((true, false, false, true)))
+    assert(out(13L) == ((true, false, true, false)))
+    assert(out(14L) == ((false, false, false, true)), "non-MP4 rows pass through")
+  }
+
+  test("indexed incremental audio/video dedup: equals inline, FailIfMissing, build-once serve-twice") {
+    import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
+    val wavHeader = Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL)
+    val mp4Header = Multimodal.mp4VideoFramesHeader()
+    val bucket = Sampling.hashBucket(col("doc_id"))
+    val base = Tables.documents(spark, dir)
+      .where(octet_length(col("text")) === length(col("text")) && bucket < 20)
+    def wrapped(h: Array[Byte], d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"),
+        concat(lit(h), col("text").cast("binary")).as("blob"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4))).toSeq
+    val reg = CatalogOps.indexRegistry(spark, dir)
+    // audio: incoming = the >= 10 slice; state = the < 10 slice's
+    // landmark rows + distinct envelopes (what the streaming gate keeps)
+    val aInc = wrapped(wavHeader, base.where(bucket >= 10))
+    val aInline = rows(Dedup.audioIncremental(spark, aInc,
+      wrapped(wavHeader, base.where(bucket < 10)), maxBytes = 512))
+    if (reg.isIndexRegistered("documents-audio-state-b10"))
+      reg.dropIndex("documents-audio-state-b10")
+    intercept[graft.core.GraftException] {
+      Dedup.audioIncrementalIndexed(spark, dir, aInc, maxBytes = 512,
+        policy = graft.core.IndexPolicy.FailIfMissing).collect()
+    }
+    assert(rows(Dedup.audioIncrementalIndexed(spark, dir, aInc, maxBytes = 512)) == aInline)
+    val aBuilt = CatalogOps.indexRegistry(spark, dir).getIndex("documents-audio-state-b10")
+    assert(rows(Dedup.audioIncrementalIndexed(spark, dir, aInc, maxBytes = 512)) == aInline)
+    assert(CatalogOps.indexRegistry(spark, dir)
+      .getIndex("documents-audio-state-b10").version == aBuilt.version)
+    // video: same split, frame-hash rows + distinct fingerprints
+    val vInc = wrapped(mp4Header, base.where(bucket >= 10))
+    val vInline = rows(Dedup.videoIncremental(spark, vInc,
+      wrapped(mp4Header, base.where(bucket < 10))))
+    if (reg.isIndexRegistered("documents-video-state-b10"))
+      reg.dropIndex("documents-video-state-b10")
+    intercept[graft.core.GraftException] {
+      Dedup.videoIncrementalIndexed(spark, dir, vInc,
+        policy = graft.core.IndexPolicy.FailIfMissing).collect()
+    }
+    assert(rows(Dedup.videoIncrementalIndexed(spark, dir, vInc)) == vInline)
+    val vBuilt = CatalogOps.indexRegistry(spark, dir).getIndex("documents-video-state-b10")
+    assert(rows(Dedup.videoIncrementalIndexed(spark, dir, vInc)) == vInline)
+    assert(CatalogOps.indexRegistry(spark, dir)
+      .getIndex("documents-video-state-b10").version == vBuilt.version)
+  }
+
   test("indexed dedup groups: stored component map equals inline, build-once serve-twice") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, dir)
