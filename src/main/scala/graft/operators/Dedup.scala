@@ -152,72 +152,67 @@ object Dedup {
                                     idCol: String,
                                     maxBucket: Int = Int.MaxValue,
                                     pairExplodeMax: Int = 256): DataFrame = {
-    // The aggregate has THREE consumers (the small-bucket filter and both
-    // sides of the salt-blocked join), and Spark recomputes the whole
-    // exchange per consumer — the r14 ScaleSmoke measured the two-branch
-    // rewrite costing the explicit videoNearHamming form 188.2 → 223.8 s on
-    // its 10% slice purely from the re-read. A lazy localCheckpoint
-    // materializes the bucket rows once at first action; the checkpointed
-    // blocks are bucket-id + id-array rows (candidate-volume-sized, not
-    // corpus-sized), so the cache cost is the small side of the trade.
-    val buckets = keyed
+    // The expansion is ONE linear chain — aggregate once, explode each
+    // bucket into its (gi, gj) CHUNK-PAIR work units, repartition those
+    // units, expand chunk × chunk in-task. History of the shape, all
+    // measured: the r13 all-array form built the whole |bucket|²/2 pair
+    // array per bucket in one task (400 MB transients → OOM at a 4096 cap);
+    // the r14 salt-blocked self-JOIN bounded transients and spread the
+    // quadratic output, but read the bucket aggregate THREE times (small
+    // filter + both join sides re-run the collect_list/sort over the reused
+    // exchange) and paid two repartitions + an SMJ — an 18% ScaleSmoke
+    // regression on the explicit videoNearHamming slice, and a lazy
+    // localCheckpoint of the aggregate measured 1.5× WORSE than the
+    // re-reads (455 vs 302 s: caching bucket arrays costs more than
+    // re-aggregating compressed shuffle blocks). This form keeps both r14
+    // bounds with none of those costs:
+    //  - a bucket of ns = ⌈|bucket|/c⌉ id-ordered chunks emits one row per
+    //    unordered chunk pair (gi ≤ gj), carrying the two ≤ c-element
+    //    slices (~2c longs ≈ 4 KB) — replication ≈ |bucket|·ns/2 ids,
+    //    ~1/c of the pair output it parallelizes;
+    //  - per-task transients are bounded by c² pair structs regardless of
+    //    `maxBucket` (the r13 OOM decoupling, kept);
+    //  - a giant bucket's quadratic output spreads across C(ns+1, 2)
+    //    independent work units (the r14 skew win, kept);
+    //  - the repartition is PINNED (explicit numPartitions — AQE respects
+    //    user repartitions): work-unit rows are byte-small while their
+    //    expansion is quadratic, so AQE's byte-sized coalescing would
+    //    otherwise fold the expansion back into one task.
+    // Chunks are id-ordered (the bucket is sorted), so cross-chunk pairs
+    // satisfy a < b by construction and the diagonal (gi = gj) expands
+    // triangularly — exactly one row per unordered member pair, no
+    // in-bucket dedup needed; the trailing distinct dedups across BUCKETS
+    // (the same pair agreeing on several band keys).
+    val c = pairExplodeMax
+    val par = keyed.sparkSession.sparkContext.defaultParallelism
+    keyed
       .groupBy(col(k1), col(k2))
       .agg(sort_array(collect_list(col(idCol))).as("bucket"))
       .where(size(col("bucket")) > 1 && size(col("bucket")) <= maxBucket)
-      .localCheckpoint(false)
-    // SMALL buckets expand in-bucket: the transform materializes the whole
-    // |bucket|²/2 pair array per bucket before exploding, which is the
-    // cheapest plan while the array is small — and a ~400 MB transient per
-    // bucket once it isn't (the measured 32-task OOM at 2.4M frames under a
-    // 4096 cap: memory and candidate volume coupled through one dial).
-    val small = buckets
-      .where(size(col("bucket")) <= pairExplodeMax)
+      .select(col(k1), col(k2), explode(expr(
+        s"""transform(flatten(transform(
+           |    sequence(0, cast(ceil(size(bucket) / cast($c as double)) as int) - 1),
+           |    gi -> transform(
+           |      sequence(gi, cast(ceil(size(bucket) / cast($c as double)) as int) - 1),
+           |      gj -> named_struct('gi', gi, 'gj', gj)))),
+           |  g -> named_struct(
+           |    'gi', g.gi, 'gj', g.gj,
+           |    'sa', slice(bucket, g.gi * $c + 1, $c),
+           |    'sb', slice(bucket, g.gj * $c + 1, $c)))""".stripMargin)).as("g"))
+      .select(col(k1), col(k2), col("g.gi").as("gi"), col("g.gj").as("gj"),
+        col("g.sa").as("sa"), col("g.sb").as("sb"))
+      .repartition(par, col(k1), col(k2), col("gi"), col("gj"))
       .select(explode(expr(
-        """flatten(transform(bucket,
-          |  (x, i) -> transform(slice(bucket, i + 2, size(bucket)),
-          |            y -> struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
+        """CASE WHEN gi = gj THEN
+          |  flatten(transform(sa,
+          |    (x, i) -> transform(slice(sa, i + 2, size(sa)),
+          |              y -> struct(x AS a_id, y AS b_id))))
+          |ELSE
+          |  flatten(transform(sa,
+          |    x -> transform(sb, y -> struct(x AS a_id, y AS b_id))))
+          |END""".stripMargin)).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
-    // LARGE buckets expand through a SALT-BLOCKED self equi-join: members
-    // chunk into √-quantum salt groups of `pairExplodeMax` (the bucket is
-    // sorted, so salts are id-ordered), the a-side replicates each member
-    // to its (own salt, ≥ salt) group pairs and the b-side to its
-    // (≤ salt, own salt) ones, and the join key CARRIES the salt pair —
-    // every unordered member pair lands in exactly one (gi, gj) group. Two
-    // structural wins over the array path, both from measured failures:
-    // per-task transients are bounded by pairExplodeMax² rows regardless
-    // of the cap (the r13 400 MB-array OOM), and a single giant bucket's
-    // quadratic output spreads across C(ns+1, 2) groups instead of one
-    // task (a plain (k1, k2)-keyed join measured ~1.5 busy cores of 32 on
-    // the 64×4000 smoke corpus — the quadratic work all sat in the few
-    // partitions holding the hot keys, with the distinct's partial map
-    // growing to tens of GB in one task). The repartitions are PINNED
-    // (explicit numPartitions — AQE respects user repartitions): the key
-    // rows are byte-small while the join output is quadratic, so AQE's
-    // byte-sized coalescing would otherwise fold the expansion back into
-    // one task. Replication cost is ~ns/2 key-sized rows per member —
-    // trivial against the |bucket|²/2 output it parallelizes.
-    val c = pairExplodeMax
-    val par = keyed.sparkSession.sparkContext.defaultParallelism
-    val ex = buckets
-      .where(size(col("bucket")) > pairExplodeMax)
-      .select(col(k1), col(k2),
-        ceil(size(col("bucket")).cast("double") / c).cast("int").as("ns"),
-        posexplode(col("bucket")).as(Seq("pos", "m")))
-      .select(col(k1), col(k2), (col("pos") / c).cast("int").as("salt"),
-        col("ns"), col("m"))
-    val aSide = ex.select(col(k1), col(k2), col("salt").as("gi"),
-        explode(expr("sequence(salt, ns - 1)")).as("gj"), col("m").as("a_id"))
-      .repartition(par, col(k1), col(k2), col("gi"), col("gj"))
-    val bSide = ex.select(col(k1), col(k2),
-        explode(expr("sequence(0, salt)")).as("gi"), col("salt").as("gj"),
-        col("m").as("b_id"))
-      .repartition(par, col(k1), col(k2), col("gi"), col("gj"))
-    val large = aSide.join(bSide, Seq(k1, k2, "gi", "gj"))
-      // salts are id-ordered, so cross-salt groups satisfy a < b by
-      // construction; the filter is load-bearing only on the diagonal
-      .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-    small.unionByName(large).distinct()
+      .distinct()
   }
 
   /** X3b — MinHash LSH near-duplicate text pairs.

@@ -583,18 +583,23 @@ class PlanShapeSpec extends SparkSpec {
       .findFirstIn(p).isDefined, s"bigrams not equi-joined on (fhash, nhash):\n$p")
   }
 
-  test("salt-blocked candidate expansion: the large-bucket join key CARRIES the salt pair") {
+  test("chunk-blocked candidate expansion: work units repartition on the chunk pair, no join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    // one bucket above pairExplodeMax forces the join branch into the plan
+    // one bucket above pairExplodeMax forces multi-chunk work units
     val keyed = (0 until 600).map(i => (0, 0L, i.toLong)).toDF("band", "key", "doc_id")
     val p = plan(graft.operators.Dedup.candidatePairs(
       keyed, "band", "key", "doc_id", maxBucket = 4096))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
-    // the join key must include gi/gj — a (band, key)-only join puts a giant
-    // bucket's quadratic output into the few partitions holding its hot key
-    assert("""(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[band#\d+, key#\d+L?, gi#\d+, gj#\d+""".r
-      .findFirstIn(p).isDefined, s"salt pair missing from the join key:\n$p")
+    // the expansion is join-free (one aggregate consumer, chunk slices
+    // carried in the work-unit row itself)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"chunk expansion must not self-join:\n$p")
+    // the repartition key must include gi/gj — a (band, key)-only key puts
+    // a giant bucket's quadratic expansion into the partitions holding its
+    // hot key
+    assert("""hashpartitioning\(band#\d+, key#\d+L?, gi#\d+, gj#\d+""".r
+      .findFirstIn(p).isDefined, s"chunk pair missing from the repartition key:\n$p")
     // and the expansion parallelism is PINNED against AQE byte-coalescing
     assert(p.contains("REPARTITION_BY_NUM"), s"pinned repartition missing:\n$p")
   }
