@@ -619,9 +619,43 @@ object Ann {
     * converged. */
   def trainPqCodebook(e: DataFrame, m: Int = 8, kCodes: Int = 16,
                       dim: Int = 64, maxIters: Int = 10,
-                      tol: Double = 0.0): (Seq[Seq[Seq[Double]]], Int) = {
+                      tol: Double = 0.0): (Seq[Seq[Seq[Double]]], Int) =
+    trainPqLoop(e, pqCodebook(e, m, kCodes, dim), dim, maxIters, tol)
+
+  /** RESIDUAL-trained PQ codebook — [[trainPqCodebook]] run on
+    * `v − centroid(cell(v))` with [[residualCodebook]]'s seeds: the
+    * IVF-PQ layout's training step ([[ivfPqTopk]]'s scaladoc argument —
+    * within one cell the residuals are centered near zero, so the same
+    * code budget spans a far smaller range). This is the setup-time step
+    * for the RESIDUAL form of [[graft.streaming.Streaming
+    * .streamSemanticDedupAdmitPq]]: the gate's state stays (cell, code)
+    * with identical schema; only what the codes MEAN changes, which is
+    * why the residual flag — like the codebook and `cents` — is
+    * stream-constant by contract. */
+  def trainResidualPqCodebook(e: DataFrame, cents: Seq[Seq[Double]],
+                              m: Int = 16, kCodes: Int = 64,
+                              dim: Int = 64, maxIters: Int = 10,
+                              tol: Double = 0.0): (Seq[Seq[Seq[Double]]], Int) =
+    trainPqLoop(residualsOf(e, cents), residualCodebook(e, cents, m, kCodes, dim),
+      dim, maxIters, tol)
+
+  /** `(vec_id, embedding = v − centroid(cell(v)))` — the residual view of
+    * a corpus under a fixed coarse quantizer, shared by residual training
+    * and any residual encode audit. */
+  private[graft] def residualsOf(e: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
+    assignCells(e.select(col("vec_id"), col("embedding")), cents)
+      .select(col("vec_id"),
+        zip_with(col("embedding").cast("array<double>"),
+          element_at(typedLit(cents), col("cell").cast("int")),
+          (x, y) => x - y).as("embedding"))
+
+  /** The Lloyd loop shared by [[trainPqCodebook]] (raw seeds/vectors) and
+    * [[trainResidualPqCodebook]] (residual seeds/vectors). */
+  private def trainPqLoop(e: DataFrame, seed: Seq[Seq[Seq[Double]]],
+                          dim: Int, maxIters: Int,
+                          tol: Double): (Seq[Seq[Seq[Double]]], Int) = {
     var cb: Array[Array[Array[Double]]] =
-      pqCodebook(e, m, kCodes, dim).map(_.map(_.toArray).toArray).toArray
+      seed.map(_.map(_.toArray).toArray).toArray
     require(cb.forall(_.nonEmpty), "cannot seed a PQ codebook from an empty corpus")
     var iters = 0
     var shift = Double.MaxValue

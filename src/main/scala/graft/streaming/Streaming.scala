@@ -1053,12 +1053,21 @@ object Streaming {
     * IVF-PQ read path demands. The measured curve on the real
     * embeddings table (StreamingSpec, tau 0.35) is not monotone in
     * "train harder": m=8/k=16 seeded 0.909 vs TRAINED 0.878 — at tiny k
-    * the L2 means break angles that real-slice codewords keep — and the
-    * 0.98 production bound is first cleared at m=32/k=64 trained
-    * (0.985, a 2× schema cut): the compression dial is bought with a
-    * measurement, never assumed. The codebook (like `cents`) is
-    * FIXED across batches — re-training mid-stream would re-quantize
-    * nothing (history keeps its codes) and drift the metric instead.
+    * the L2 means break angles that real-slice codewords keep. The
+    * PRODUCTION setting: state width is M longs regardless of `kCodes`,
+    * so the alphabet is free state-wise — m=16 over a trained 256-code
+    * alphabet measures 0.991 and buys the 4× cut past the 0.98 bound
+    * (r15; the r14 2×-cut point m=32/k=64 = 0.985 stays on the curve).
+    * `residual = true` encodes `v − centroid(cell)` (the IVF-PQ layout;
+    * train with [[graft.operators.Ann.trainResidualPqCodebook]]) —
+    * measured WORSE than raw codes for this gate's threshold semantics
+    * at every tried setting (0.937/0.969 at m=16 k=64/256, vs raw
+    * 0.942/0.991; ties at m=32): the read path's residual win does not
+    * transfer when the coarse cells are seeded rather than trained —
+    * measure before choosing, never assume. The codebook, `cents`, and
+    * the residual flag are FIXED across batches — re-training or
+    * re-flagging mid-stream would re-quantize nothing (history keeps
+    * its codes) and silently misread state instead.
     *
     * StreamingSpec pins: replay identity (strict-below reads, per-batch
     * overwrite dirs), the measured admission agreement vs the raw gate
@@ -1066,7 +1075,8 @@ object Streaming {
   def streamSemanticDedupAdmitPq(vecs: DataFrame, cents: Seq[Seq[Double]],
                                  codebook: Seq[Seq[Seq[Double]]],
                                  path: String, checkpointDir: String,
-                                 tau: Double = 0.4, compactEvery: Int = 16)
+                                 tau: Double = 0.4, compactEvery: Int = 16,
+                                 residual: Boolean = false)
                                 (sink: DataFrame => Unit): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -1076,6 +1086,13 @@ object Streaming {
           val spark = batch.sparkSession
           import graft.functions.VectorFunctions.cosine_sim
           import org.apache.spark.sql.graft.Bridge
+          // residual = true: codes span v − centroid(cell) (the IVF-PQ
+          // layout — train with Ann.trainResidualPqCodebook), decode adds
+          // the centroid back before the cosine. State schema is identical
+          // either way; like `cents` and the codebook, the flag is
+          // STREAM-CONSTANT — flipping it mid-stream would misread every
+          // code already in state.
+          val cellCent = element_at(typedLit(cents), col("cell").cast("int"))
           val assigned = graft.operators.Ann.assignCells(
               batch.select(col("vec_id"), col("embedding")), cents)
             .select(col("vec_id"), col("embedding"),
@@ -1087,8 +1104,11 @@ object Streaming {
             .select(col("b.vec_id").as("vec_id")).distinct()
           val crossHit = readBatchState(spark, s"$path/_codes", batchId) match {
             case Some(state) =>
-              val decoded = Bridge.column(graft.functions.PqDecode(
+              val decoded0 = Bridge.column(graft.functions.PqDecode(
                 Bridge.expression(col("__code")), codebook))
+              val decoded =
+                if (residual) zip_with(decoded0, cellCent, (x, y) => x + y)
+                else decoded0
               assigned.join(state.withColumnRenamed("code", "__code"), Seq("cell"))
                 .where(round(cosine_sim(col("embedding"), decoded), 6) >= tau)
                 .select(col("vec_id")).distinct()
@@ -1098,10 +1118,13 @@ object Streaming {
             .join(inHit, Seq("vec_id"), "left_anti")
             .join(crossHit, Seq("vec_id"), "left_anti")
           sink(batch.join(admitted, Seq("vec_id"), "left_semi"))
+          val toCode =
+            if (residual) zip_with(col("embedding").cast("array<double>"),
+              cellCent, (x, y) => x - y)
+            else col("embedding").cast("array<double>")
           assigned.select(col("cell"),
               Bridge.column(graft.functions.PqCodes(
-                Bridge.expression(col("embedding").cast("array<double>")),
-                codebook)).as("code"))
+                Bridge.expression(toCode), codebook)).as("code"))
             .distinct()
             .write.mode("overwrite").parquet(f"$path/_codes/b$batchId%020d")
           compactBatchState(spark, s"$path/_codes", batchId, compactEvery)

@@ -821,10 +821,13 @@ class StreamingSpec extends SparkSpec {
     //   m=8  k=64 trained  0.900
     //   m=16 k=64 trained  0.942   (4× cut)
     //   m=32 k=64 trained  0.985   (2× cut — the first setting clearing
-    //                               the 0.98 production bound)
-    // — on THIS corpus the 0.98 bound costs compression: the distortion
-    // price is a curve, and the dial must be bought with a measurement
-    // exactly as the gate's scaladoc demands (the ivfpq_recall story).
+    //                               the 0.98 production bound in r14)
+    // — r15 extended the curve along the ALPHABET axis (state width is M
+    // longs regardless of kCodes): m=16 k=256 trained raw = 0.991 buys
+    // the 4× cut past the bound (the "4x cut PURCHASED" test); residual
+    // encoding measured 0.937/0.969 at k=64/256 — worse than raw, see
+    // the residual test's record. This m=32 setting remains the pinned
+    // 2×-cut point of the curve.
     val (codebook, iters) = graft.operators.Ann.trainPqCodebook(
       e, m = 32, kCodes = 64, dim = 64, maxIters = 10)
     info(s"pq codebook training ran $iters iterations")
@@ -867,6 +870,106 @@ class StreamingSpec extends SparkSpec {
       s"(pq=${sp.size} raw=${sr.size} both=${sp.intersect(sr).size})")
     assert(agree >= 0.98,
       f"trained-codebook agreement $agree%.3f below the 0.98 production bound")
+  }
+
+  /** Shared harness for the PQ-gate agreement curve: run the PQ gate
+    * (given codebook/flag) and the raw gate over the same id-ordered
+    * batches, return (agreement, codeWidth). */
+  private def pqGateAgreement(codebook: Seq[Seq[Seq[Double]]],
+                              residual: Boolean,
+                              tag: String): (Double, Int) = {
+    implicit val sqlCtx = spark.sqlContext
+    val pathPq = Files.createTempDirectory(s"graft-$tag-").toString + "/out"
+    val ckptPq = Files.createTempDirectory(s"graft-$tag-ckpt-").toString
+    val pathRaw = Files.createTempDirectory(s"graft-$tag-r-").toString + "/out"
+    val ckptRaw = Files.createTempDirectory(s"graft-$tag-r-ckpt-").toString
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = e.orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cents: Seq[Seq[Double]] = rows.take(16).map(_._2.toSeq).toSeq
+    val batches = rows.grouped((rows.length + 2) / 3).toSeq
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    val admPq = scala.collection.mutable.ArrayBuffer[Long]()
+    val admRaw = scala.collection.mutable.ArrayBuffer[Long]()
+    val memPq = MemoryStream[(Long, Seq[Double])]
+    val memRaw = MemoryStream[(Long, Seq[Double])]
+    def runPq(): Unit = runToCompletion(Streaming.streamSemanticDedupAdmitPq(
+      memPq.toDF().toDF("vec_id", "embedding"), cents, codebook,
+      pathPq, ckptPq, tau = 0.35, residual = residual) { df =>
+      admPq ++= df.select(col("vec_id")).collect().map(_.getLong(0))
+    })
+    def runRaw(): Unit = runToCompletion(Streaming.streamSemanticDedupAdmit(
+      memRaw.toDF().toDF("vec_id", "embedding"), cents,
+      pathRaw, ckptRaw, tau = 0.35) { df =>
+      admRaw ++= df.select(col("vec_id")).collect().map(_.getLong(0))
+    })
+    batches.foreach { b => memPq.addData(b: _*); runPq() }
+    batches.foreach { b => memRaw.addData(b: _*); runRaw() }
+    val stPq = spark.read.parquet(s"$pathPq/_codes/b" + "0" * 19 + "0")
+    val widths = stPq.select(org.apache.spark.sql.functions.size(col("code")))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(widths.length == 1, s"non-uniform code width: $widths")
+    val (sp, sr) = (admPq.toSet, admRaw.toSet)
+    (sp.intersect(sr).size.toDouble / math.max(1, sp.union(sr).size), widths.head)
+  }
+
+  test("streamSemanticDedupAdmitPq: the 4x cut PURCHASED — raw codes over a 256-code alphabet clear the production bound at m=16") {
+    // the r14 verdict asked for residual m=16 as the next point on the
+    // curve; the measured answer INVERTED the expectation (see the sibling
+    // residual test), and the lever that actually buys the 4× cut is the
+    // code ALPHABET: state width is M longs regardless of kCodes, so a
+    // 256-codeword codebook (driver-side m·k·dsub = 16·256·4 doubles,
+    // broadcast-bounded) costs nothing in state. Measured curve at
+    // tau 0.35 on the real embeddings table (agreement vs the raw gate):
+    //   m=16 k=64  trained raw       0.942
+    //   m=16 k=64  trained residual  0.937
+    //   m=16 k=256 trained residual  0.969
+    //   m=16 k=256 trained raw       0.991  ← the 4× cut past the bound
+    //   m=32 k=64  trained raw       0.985   (the r14 2× setting)
+    //   m=32 k=64  trained residual  0.985
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (codebook, iters) = graft.operators.Ann.trainPqCodebook(
+      e, m = 16, kCodes = 256, dim = 64, maxIters = 10)
+    info(s"pq codebook training (m=16, k=256) ran $iters iterations")
+    val (agree, width) = pqGateAgreement(codebook, residual = false, tag = "spq4x")
+    assert(width == 16, s"state must stay 16 longs per row, got $width")
+    info(f"m=16 k=256 RAW pq-vs-raw admission agreement: $agree%.3f")
+    assert(agree >= 0.98,
+      f"m=16/k=256 agreement $agree%.3f below the 0.98 production bound")
+  }
+
+  test("streamSemanticDedupAdmitPq with a RESIDUAL-trained codebook: measured, and the honest answer is that residual does NOT pay for the gate here") {
+    // r14 verdict #3 hypothesized residual m=16 would clear 0.98 (the
+    // ivfpq_recall result: residual ≥ raw at identical M on the READ
+    // path's within-cell top-k ranking). Measured for the GATE's
+    // threshold semantics it does not, and is slightly WORSE than raw at
+    // both alphabets (0.937 vs 0.942 @ k=64; 0.969 vs 0.991 @ k=256).
+    // The plausible mechanism, stated not proven: the coarse cells are
+    // SEEDED corpus vectors, not trained centroids, so within-cell
+    // residuals are not the small centered offsets the residual premise
+    // needs — and the gate thresholds cosine(v, recon) where raw codes
+    // point recon directly at v. The residual path stays (it is the
+    // IVF-PQ layout and composes with trained cells); this test pins its
+    // encode/decode correctness (agreement would collapse if the
+    // centroid add-back were wrong) and records the measured point.
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = e.orderBy(col("vec_id")).limit(16).collect()
+    val cents: Seq[Seq[Double]] = rows.map(_.getSeq[Double](1).toSeq).toSeq
+    val (codebook, iters) = graft.operators.Ann.trainResidualPqCodebook(
+      e, cents, m = 16, kCodes = 64, dim = 64, maxIters = 10)
+    info(s"residual pq codebook training ran $iters iterations")
+    val (agree, width) = pqGateAgreement(codebook, residual = true, tag = "spqres")
+    assert(width == 16, s"state must stay 16 longs per row, got $width")
+    info(f"RESIDUAL m=16 k=64 pq-vs-raw admission agreement: $agree%.3f")
+    assert(agree >= 0.9,
+      f"residual agreement $agree%.3f collapsed — the encode/decode pair is broken")
+    assert(agree < 0.98, // if this ever flips, promote the residual point honestly
+      f"residual m=16/k=64 now clears the bound ($agree%.3f) — update the curve record")
   }
 
   test("streamSemanticDedupAdmit under UNORDERED arrival: admitted pairwise non-matching, every rejection has a qualifying neighbor") {
