@@ -566,85 +566,188 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          curateBatch(batch, evalDocs, path, batchId, minQuality,
+            tokensPerShard, trainPct, benchFromPct, shingleSize, seeds,
+            bands, estThreshold, retainVersions, compactEvery,
+            mediaOk = None)
+      }
+      .start()
+
+  /** Streaming MULTIMODAL curation — [[graft.operators.Curate
+    * .pipelineMultimodal]] as a continuous sink, closing the round-14
+    * residual (the batch frame composed the media gate; the streamed
+    * frame was text-only with [[streamMediaDedupAdmit]] running BESIDE
+    * it, not inside the one decision frame). `docs` carries a nullable
+    * `blob` column beside the text: per micro-batch every blob dispatches
+    * on its header ([[graft.operators.Multimodal.modalityUdf]] — the
+    * batch pipeline's exact convention) and each family's slice runs the
+    * SAME per-batch admit logic as its standalone gate (literally the
+    * shared functions) against family-scoped state under
+    * `path/media/{image,audio,video}`; the verdict lands as `media_ok` in
+    * the decision frame BEFORE the shard scan, so a media-dropped doc
+    * never consumes shard budget — exactly the batch composition. No-blob
+    * docs and non-media bytes' pass-throughs are vacuously media-clean.
+    *
+    * Batch ≡ stream: over any corpus streamed in doc_id-ORDERED batches
+    * the union of per-batch frames equals
+    * `Curate.pipelineMultimodal(corpus, blobs, approxNear = true)`
+    * (StreamingSpec pins it row-for-row, with commit-crash replay
+    * identity) — the media arm decomposes exactly as the near arm does:
+    * an in-batch duplicate loses to the treatment form's in-batch
+    * verdict, a cross-batch one to the family state that already holds
+    * the earlier copy's signature. Replay/state discipline is inherited
+    * unchanged from [[streamCurate]] (text) and the family gates
+    * (media); a crash between family writes leaves the committed
+    * families tainting — the [[streamMediaDedupAdmit]] argument. */
+  def streamCurateMultimodal(docs: DataFrame, evalDocs: DataFrame,
+                             path: String, checkpointDir: String,
+                             minQuality: Double = 0.3,
+                             tokensPerShard: Long = 10000L,
+                             trainPct: Int = 80, benchFromPct: Int = 90,
+                             shingleSize: Int = 3, seeds: Int = 12,
+                             bands: Int = 6, estThreshold: Double = 0.5,
+                             imgBands: Int = 8, maxHamming: Int = 6,
+                             agreeBands: Int = 2,
+                             windowSamples: Int = 16, hop: Int = 4,
+                             audioMaxBytes: Int = 1 << 20, maxDt: Int = 8,
+                             fanout: Int = 3, audioMinVotes: Int = 5,
+                             keyPeaks: Int = 2,
+                             maxFrames: Int = 16, videoMaxBytes: Int = 1 << 20,
+                             videoMinVotes: Int = 3,
+                             retainVersions: Int = 1,
+                             compactEvery: Int = 16): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          import spark.implicits._
-          val D = graft.operators.Dedup
-          val gates = graft.operators.CorpusFilter.decisions(batch, minQuality)
-            .drop("kept")
-          // cross-batch EXACT dedup: the in-batch min-id keeper in `gates`
-          // only sees its own batch; a copy of an earlier batch's doc must
-          // lose its dedup_ok exactly as the corpus-wide window drops it
-          val fpOk = readBatchState(spark, s"$path/_fps", batchId) match {
-            case Some(prior) =>
-              batch.select(col("doc_id"), sha2(col("text"), 256).as("fp"))
-                .join(prior.select(col("fp"), lit(false).as("__hit")).distinct(),
-                  Seq("fp"), "left")
-                .select(col("doc_id"), coalesce(col("__hit"), lit(true)).as("__fp_ok"))
-            case None => batch.select(col("doc_id"), lit(true).as("__fp_ok"))
-          }
-          val inKeep = D.resolveKeepers(batch,
-              D.minhashNearApprox(batch, shingleSize = shingleSize,
-                seeds = seeds, bands = bands, estThreshold = estThreshold))
-            .select(col("doc_id"), col("keep").as("__in_ok"))
-          val crossKeep = readBatchState(spark, s"$path/_sigs", batchId) match {
-            case Some(state) =>
-              D.sigIncrementalAgainstState(batch, state,
-                  shingleSize = shingleSize, seeds = seeds, bands = bands,
-                  estThreshold = estThreshold)
-                .select(col("doc_id"), col("keep").as("__x_ok"))
-            case None => batch.select(col("doc_id"), lit(true).as("__x_ok"))
-          }
-          val deco = graft.operators.Decontaminate
-            .contaminationAgainst(batch, evalDocs, trainPct = trainPct)
-            .select(col("doc_id"), (!col("contaminated")).as("__dc"))
-          val bucket = graft.operators.Sampling.hashBucket(col("doc_id"))
-          // the Curate.pipeline materialization boundary, per batch: the
-          // flags frame has two consumers (kept-train shard scan + final)
-          val flags = batch.select(col("doc_id"), bucket.as("__b"))
-            .join(gates, Seq("doc_id"))
-            .join(fpOk, Seq("doc_id"))
-            .join(inKeep, Seq("doc_id"))
-            .join(crossKeep, Seq("doc_id"))
-            .join(deco, Seq("doc_id"), "left")
-            .select(col("doc_id"), col("quality_ok"), col("repetition_ok"),
-              col("pii_ok"), (col("dedup_ok") && col("__fp_ok")).as("dedup_ok"),
-              (col("__in_ok") && col("__x_ok")).as("near_ok"),
-              coalesce(col("__dc"), lit(true)).as("decontam_ok"), col("__b"))
-            .withColumn("kept",
-              col("quality_ok") && col("repetition_ok") && col("pii_ok") &&
-                col("dedup_ok") && col("near_ok") && col("decontam_ok"))
+          val typed = batch
+            .select(col("doc_id"), col("blob"))
+            .withColumn("__mod",
+              graft.operators.Multimodal.modalityUdf(col("blob")))
             .localCheckpoint(false)
-          val prev = readVersionBelow(spark, s"$path/_state", batchId)
-            .map(_.head().getLong(0)).getOrElse(0L)
-          val assigned = graft.operators.Sampling.tokenShards(
-            batch.join(flags.where(col("kept") && col("__b") < trainPct)
-                .select(col("doc_id")), Seq("doc_id"), "left_semi"),
-            tokensPerShard, baseTokens = prev)
-          flags.join(assigned.select(col("doc_id"), col("shard")), Seq("doc_id"), "left")
-            .select(col("doc_id"), col("quality_ok"), col("repetition_ok"),
-              col("pii_ok"), col("dedup_ok"), col("near_ok"), col("decontam_ok"),
-              col("kept"),
-              when(!col("kept"), lit(null).cast("string"))
-                .when(col("__b") < trainPct, lit("train"))
-                .when(col("__b") < benchFromPct, lit("val"))
-                .otherwise(lit("bench")).as("split"),
-              when(col("kept") && col("__b") < trainPct, col("shard"))
-                .otherwise(lit(null).cast("bigint")).as("shard"))
-            .write.mode("overwrite").parquet(f"$path/b$batchId%020d")
-          D.wordSignatures(batch, shingleSize = shingleSize, seeds = seeds)
-            .write.mode("overwrite").parquet(f"$path/_sigs/b$batchId%020d")
-          batch.select(sha2(col("text"), 256).as("fp")).distinct()
-            .write.mode("overwrite").parquet(f"$path/_fps/b$batchId%020d")
-          compactBatchState(spark, s"$path/_sigs", batchId, compactEvery)
-          compactBatchState(spark, s"$path/_fps", batchId, compactEvery)
-          val batchTok = assigned.agg(coalesce(sum(col("n_tok")), lit(0L)))
-            .head().getLong(0)
-          commitVersion(Seq(prev + batchTok).toDF("cum_tokens"),
-            s"$path/_state", batchId, retainVersions)
+          def slice(m: String): DataFrame =
+            typed.where(col("__mod") === m).select(col("doc_id"), col("blob"))
+          // the standalone gates' shared per-batch functions, family-scoped
+          // state — each returns keepers + its own yields-no-verdict
+          // pass-through, which is exactly the batch frame's vacuous-clean set
+          val famAdmitted = imageAdmitBatch(slice("image"), s"$path/media/image",
+              batchId, imgBands, maxHamming, agreeBands, compactEvery)
+            .unionByName(audioAdmitBatch(slice("audio"), s"$path/media/audio",
+              batchId, windowSamples, hop, audioMaxBytes, maxDt, fanout,
+              audioMinVotes, compactEvery, keyPeaks))
+            .unionByName(videoAdmitBatch(slice("video"), s"$path/media/video",
+              batchId, maxFrames, videoMaxBytes, videoMinVotes, compactEvery))
+          val mediaOk = typed.where(col("__mod") =!= "none")
+            .select(col("doc_id"))
+            .join(famAdmitted.select(col("doc_id"), lit(true).as("__adm"))
+              .distinct(), Seq("doc_id"), "left")
+            .select(col("doc_id"), coalesce(col("__adm"), lit(false)).as("media_ok"))
+          curateBatch(batch.drop("blob"), evalDocs, path, batchId, minQuality,
+            tokensPerShard, trainPct, benchFromPct, shingleSize, seeds,
+            bands, estThreshold, retainVersions, compactEvery,
+            mediaOk = Some(mediaOk))
         }
       }
       .start()
+
+  /** One micro-batch of [[streamCurate]] / [[streamCurateMultimodal]]:
+    * the full text decision frame (gates, cross-batch exact + near
+    * dedup, decontamination, split, global-count shards), with
+    * `mediaOk` — when present — joined as the `media_ok` gate column
+    * (absent doc_id → vacuously true) and added to the `kept`
+    * conjunction BEFORE the shard scan. */
+  private def curateBatch(batch: DataFrame, evalDocs: DataFrame, path: String,
+                          batchId: Long, minQuality: Double,
+                          tokensPerShard: Long, trainPct: Int,
+                          benchFromPct: Int, shingleSize: Int, seeds: Int,
+                          bands: Int, estThreshold: Double,
+                          retainVersions: Int, compactEvery: Int,
+                          mediaOk: Option[DataFrame]): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val D = graft.operators.Dedup
+    val gates = graft.operators.CorpusFilter.decisions(batch, minQuality)
+      .drop("kept")
+    // cross-batch EXACT dedup: the in-batch min-id keeper in `gates`
+    // only sees its own batch; a copy of an earlier batch's doc must
+    // lose its dedup_ok exactly as the corpus-wide window drops it
+    val fpOk = readBatchState(spark, s"$path/_fps", batchId) match {
+      case Some(prior) =>
+        batch.select(col("doc_id"), sha2(col("text"), 256).as("fp"))
+          .join(prior.select(col("fp"), lit(false).as("__hit")).distinct(),
+            Seq("fp"), "left")
+          .select(col("doc_id"), coalesce(col("__hit"), lit(true)).as("__fp_ok"))
+      case None => batch.select(col("doc_id"), lit(true).as("__fp_ok"))
+    }
+    val inKeep = D.resolveKeepers(batch,
+        D.minhashNearApprox(batch, shingleSize = shingleSize,
+          seeds = seeds, bands = bands, estThreshold = estThreshold))
+      .select(col("doc_id"), col("keep").as("__in_ok"))
+    val crossKeep = readBatchState(spark, s"$path/_sigs", batchId) match {
+      case Some(state) =>
+        D.sigIncrementalAgainstState(batch, state,
+            shingleSize = shingleSize, seeds = seeds, bands = bands,
+            estThreshold = estThreshold)
+          .select(col("doc_id"), col("keep").as("__x_ok"))
+      case None => batch.select(col("doc_id"), lit(true).as("__x_ok"))
+    }
+    val deco = graft.operators.Decontaminate
+      .contaminationAgainst(batch, evalDocs, trainPct = trainPct)
+      .select(col("doc_id"), (!col("contaminated")).as("__dc"))
+    val bucket = graft.operators.Sampling.hashBucket(col("doc_id"))
+    val textFlags = batch.select(col("doc_id"), bucket.as("__b"))
+      .join(gates, Seq("doc_id"))
+      .join(fpOk, Seq("doc_id"))
+      .join(inKeep, Seq("doc_id"))
+      .join(crossKeep, Seq("doc_id"))
+      .join(deco, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality_ok"), col("repetition_ok"),
+        col("pii_ok"), (col("dedup_ok") && col("__fp_ok")).as("dedup_ok"),
+        (col("__in_ok") && col("__x_ok")).as("near_ok"),
+        coalesce(col("__dc"), lit(true)).as("decontam_ok"), col("__b"))
+    val gateCols = Seq("quality_ok", "repetition_ok", "pii_ok",
+      "dedup_ok", "near_ok", "decontam_ok") ++
+      (if (mediaOk.isDefined) Seq("media_ok") else Nil)
+    val withMedia = mediaOk match {
+      case Some(m) =>
+        textFlags.join(m.withColumnRenamed("media_ok", "__m"), Seq("doc_id"), "left")
+          .withColumn("media_ok", coalesce(col("__m"), lit(true))).drop("__m")
+      case None => textFlags
+    }
+    // the Curate.pipeline materialization boundary, per batch: the
+    // flags frame has two consumers (kept-train shard scan + final)
+    val flags = withMedia
+      .withColumn("kept", gateCols.map(col).reduce(_ && _))
+      .localCheckpoint(false)
+    val prev = readVersionBelow(spark, s"$path/_state", batchId)
+      .map(_.head().getLong(0)).getOrElse(0L)
+    val assigned = graft.operators.Sampling.tokenShards(
+      batch.join(flags.where(col("kept") && col("__b") < trainPct)
+          .select(col("doc_id")), Seq("doc_id"), "left_semi"),
+      tokensPerShard, baseTokens = prev)
+    flags.join(assigned.select(col("doc_id"), col("shard")), Seq("doc_id"), "left")
+      .select(col("doc_id") +: gateCols.map(col) :+
+        col("kept") :+
+        when(!col("kept"), lit(null).cast("string"))
+          .when(col("__b") < trainPct, lit("train"))
+          .when(col("__b") < benchFromPct, lit("val"))
+          .otherwise(lit("bench")).as("split") :+
+        when(col("kept") && col("__b") < trainPct, col("shard"))
+          .otherwise(lit(null).cast("bigint")).as("shard"): _*)
+      .write.mode("overwrite").parquet(f"$path/b$batchId%020d")
+    D.wordSignatures(batch, shingleSize = shingleSize, seeds = seeds)
+      .write.mode("overwrite").parquet(f"$path/_sigs/b$batchId%020d")
+    batch.select(sha2(col("text"), 256).as("fp")).distinct()
+      .write.mode("overwrite").parquet(f"$path/_fps/b$batchId%020d")
+    compactBatchState(spark, s"$path/_sigs", batchId, compactEvery)
+    compactBatchState(spark, s"$path/_fps", batchId, compactEvery)
+    val batchTok = assigned.agg(coalesce(sum(col("n_tok")), lit(0L)))
+      .head().getLong(0)
+    commitVersion(Seq(prev + batchTok).toDF("cum_tokens"),
+      s"$path/_state", batchId, retainVersions)
+  }
 
   /** Streaming IMAGE-dedup admission gate — the continuous twin of
     * [[graft.operators.Dedup.imageDedup]]: per micro-batch, in-batch

@@ -310,6 +310,68 @@ class StreamingSpec extends SparkSpec {
     assert(streamed() == batchFrame)
   }
 
+  test("streamCurateMultimodal: id-ordered docs+blobs stream ≡ Curate.pipelineMultimodal row-for-row; commit-crash replay identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("graft-scmm-").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-scmm-ckpt-").toString
+    val corpusDF = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // the curate_multimodal pair device: docs 2k/2k+1 share a 512-byte
+    // blob in the same modality ((doc_id div 2) % 3 → image/audio/video),
+    // so every complete pair's odd member is a media duplicate — offenders
+    // in all three families; doc_id % 97 == 0 rows get NO blob (the
+    // vacuously-clean arm)
+    val wavH = lit(graft.operators.Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL))
+    val mp4H = lit(graft.operators.Multimodal.mp4VideoFramesHeader())
+    val payload = expr("repeat(md5(cast(doc_id div 2 as string)), 16)").cast("binary")
+    val m = expr("(doc_id div 2) % 3")
+    val blobsDF = corpusDF.where(expr("doc_id % 97 != 0"))
+      .select(col("doc_id"),
+        when(m === 0, payload)
+          .when(m === 1, concat(wavH, payload))
+          .otherwise(concat(mp4H, payload)).as("blob"))
+    val evalDocs = corpusDF
+      .where(graft.operators.Sampling.hashBucket(col("doc_id")) >= 90)
+    val rows = corpusDF.join(blobsDF, Seq("doc_id"), "left")
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        if (r.isNullAt(4)) null else r.getAs[Array[Byte]](4)))
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    val mem = MemoryStream[(Long, String, String, String, Array[Byte])]
+    def run(): Unit = runToCompletion(Streaming.streamCurateMultimodal(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "blob"),
+      evalDocs, path, ckpt))
+    val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+    chunks.foreach { c => mem.addData(c: _*); run() }
+    def streamed(): Seq[Seq[Any]] = Streaming.readCurate(spark, path).get
+      .collect().map(_.toSeq.toVector).toSeq.sortBy(_.head.asInstanceOf[Long])
+    val batchFrame = graft.operators.Curate.pipelineMultimodal(
+        spark, corpusDF, blobsDF, approxNear = true)
+      .collect().map(_.toSeq.toVector).toSeq.sortBy(_.head.asInstanceOf[Long])
+    assert(streamed() == batchFrame)
+    // sanity: the device exercises the media gate (offenders exist), the
+    // vacuous-clean arm, and shard numbering over the COMPOSED kept set
+    val mediaIdx = 7 // doc_id, 6 text gates, media_ok, kept, split, shard
+    assert(batchFrame.exists(_(mediaIdx) == false), "no media offender in the device")
+    assert(batchFrame.count(_(8) == true) > 0)
+    assert(batchFrame.exists(r => r(9) == "train" && r(10) != null))
+    // commit-crash replay: batch 1's decision dir + text state + all three
+    // family media states are durable, the commit marker is not — the
+    // replay must reproduce byte-identical decisions (strict-below reads
+    // keep a replayed batch from self-matching in ANY family's state)
+    val commit1 = java.nio.file.Paths.get(ckpt, "commits", "1")
+    assert(Files.exists(commit1), "expected checkpoint commit marker commits/1")
+    Files.delete(commit1)
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    run()
+    assert(streamed() == batchFrame)
+  }
+
   test("streamImageDedupAdmit: admitted set ≡ batch imageDedup keepers; cross-batch chains reject through in-batch near-dups") {
     implicit val sqlCtx = spark.sqlContext
     val path = Files.createTempDirectory("graft-simg-").toString + "/out"
