@@ -843,6 +843,18 @@ object SparkEntry {
           .unionByName(base.select((col("doc_id") + lit(200000L)).as("doc_id"),
             concat(lit(header), col("text").cast("binary")).as("blob"))))
     }),
+    "image_key_audit" -> ((s, dir) =>
+      // the phash key-space audit over the saturating replica corpus:
+      // 20 duplicate classes of ~25 docs each, so est_candidates/n_images
+      // ≈ 25 > 16 — the quadratic-pair-output regime, measured as one row
+      Dedup.phashKeyAudit(Multimodal.imagePHash(s,
+        imageSaturatedCorpus(s, dir)))),
+    "image_near_auto" -> ((s, dir) =>
+      // the self-dialing escape: the audit's fan-out rule gates the full
+      // pair chain vs the rep mine — this corpus saturates, so the
+      // REP-PAIR arm is the live one; the oracle re-derives the rule and
+      // gates both chains on it (the video_near_auto device, image edition)
+      Dedup.imageNearAuto(s, imageSaturatedCorpus(s, dir))),
     "video_key_audit" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
       // the fhash key-space audit over the saturating intro-card corpus
@@ -949,6 +961,22 @@ object SparkEntry {
           inter.cast("binary")).as("blob")))
   }
 
+  /** The SATURATING image corpus for the phash audit pair: every doc's
+    * blob is the md5 hex of its duplicate class (doc_id % 10), with
+    * classes 10–19 carrying a one-byte tweak at position 4 (bounded
+    * gradient change — each tweaked class is a NEAR twin of its base
+    * class). ~25 docs per distinct grid ⇒ pair fan-out ≈ 25 ≫ 16: the
+    * quadratic-pair-output regime [[graft.operators.Dedup.imageNearAuto]]
+    * exists to catch. */
+  private def imageSaturatedCorpus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    Tables.documents(s, dir).select(col("doc_id"), expr(
+      """cast(CASE WHEN doc_id % 20 < 10 THEN md5(cast(doc_id % 10 as string))
+        |     ELSE concat(substring(md5(cast(doc_id % 10 as string)), 1, 3), '~',
+        |                 substring(md5(cast(doc_id % 10 as string)), 5))
+        |     END as binary)""".stripMargin).as("blob"))
+  }
+
   /** The bucket<20 pure-ASCII universe the audio/video incremental splits
     * share (the audio oracles' cost slice), with its id-offset quantum. */
   private def mediaIncrementalBase(s: SparkSession, dir: String): (DataFrame, Long) = {
@@ -1044,6 +1072,25 @@ object SparkEntry {
   /** The DuckDB twin of [[videoSaturatedCorpus]]: builds the same
     * interleaved-payload `vc(doc_id, text)` both arms, ready for
     * [[videoFrameHashCtes]]. */
+  /** The DuckDB twin of [[imageSaturatedCorpus]] ending at
+    * `h(doc_id, ph)` — the fake-arm dHash over the class-md5 grid. */
+  private def imageSaturatedHashCtes: String =
+    """g0 AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 20 < 10 THEN md5(CAST(doc_id % 10 AS VARCHAR))
+      |         ELSE substr(md5(CAST(doc_id % 10 AS VARCHAR)), 1, 3) || '~' ||
+      |              substr(md5(CAST(doc_id % 10 AS VARCHAR)), 5)
+      |         END AS t
+      |  FROM documents),
+      |g AS (SELECT doc_id, list_transform(range(0, 64), i ->
+      |        CASE WHEN i < strlen(t)
+      |             THEN ascii(substr(t, CAST(i+1 AS BIGINT), 1)) ELSE 0 END) AS gr
+      |      FROM g0),
+      |h AS MATERIALIZED (SELECT doc_id, CAST(list_sum(list_transform(range(0, 56), k ->
+      |        CASE WHEN gr[CAST((k//7)*8 + (k%7) + 2 AS BIGINT)]
+      |                  > gr[CAST((k//7)*8 + (k%7) + 1 AS BIGINT)]
+      |             THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE 0 END)) AS BIGINT) AS ph
+      |      FROM g)""".stripMargin
+
   private def videoSaturatedVcCtes: String =
     s"""d0 AS (SELECT doc_id, text FROM documents
        |  WHERE strlen(text) = length(text) AND strlen(text) >= 32
@@ -4235,6 +4282,42 @@ object SparkEntry {
          |vv AS (SELECT a_id, b_id, off, count(*) AS v FROM p GROUP BY 1, 2, 3)
          |SELECT a_id, b_id, CAST(max(v) AS BIGINT) AS votes
          |FROM vv GROUP BY a_id, b_id HAVING max(v) >= 3
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // the phash key-space audit: bucket sizes by exact dHash over the
+    // saturating replica corpus; Σ|bucket|² is imageNear's pair output on
+    // hash-identical groups — the video_key_audit device, image edition
+    "image_key_audit" ->
+      s"""WITH $imageSaturatedHashCtes,
+         |b AS (SELECT ph, count(*) AS bn FROM h GROUP BY 1)
+         |SELECT CAST(sum(bn) AS BIGINT) AS n_images,
+         |  CAST(count(*) AS BIGINT) AS n_hashes,
+         |  CAST(max(bn) AS BIGINT) AS max_bucket,
+         |  round(sum(bn)::DOUBLE / count(*), 6) AS mean_bucket,
+         |  CAST(sum(bn * bn) AS DOUBLE) AS est_candidates
+         |FROM b""".stripMargin,
+
+    // the self-dialing escape: the audit's fan-out rule gates the full
+    // pair chain (brute-force Hamming over all docs) vs the REP mine
+    // (brute-force over min-id reps of distinct hashes) — this corpus
+    // saturates, so the rep arm is the live one on both engines
+    "image_near_auto" ->
+      s"""WITH $imageSaturatedHashCtes,
+         |b AS (SELECT ph, count(*) AS bn FROM h GROUP BY 1),
+         |dec AS (SELECT CAST(sum(bn * bn) AS DOUBLE)
+         |               > 16.0 * greatest(sum(bn), 1) AS hot FROM b),
+         |rep AS MATERIALIZED (SELECT min(doc_id) AS doc_id, ph FROM h GROUP BY ph),
+         |pf AS (SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+         |         CAST(bit_count(xor(a.ph, b2.ph)) AS BIGINT) AS hamming
+         |       FROM h a JOIN h b2
+         |         ON a.doc_id < b2.doc_id AND bit_count(xor(a.ph, b2.ph)) <= 6),
+         |pr AS (SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+         |         CAST(bit_count(xor(a.ph, b2.ph)) AS BIGINT) AS hamming
+         |       FROM rep a JOIN rep b2
+         |         ON a.doc_id < b2.doc_id AND bit_count(xor(a.ph, b2.ph)) <= 6)
+         |SELECT a_id, b_id, hamming FROM pf WHERE NOT (SELECT hot FROM dec)
+         |UNION ALL
+         |SELECT a_id, b_id, hamming FROM pr WHERE (SELECT hot FROM dec)
          |ORDER BY a_id, b_id""".stripMargin,
 
     // the fhash key-space audit: bucket sizes by exact frame hash over the

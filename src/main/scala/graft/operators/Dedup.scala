@@ -1264,12 +1264,21 @@ object Dedup {
     * pre-pass makes the output linear. */
   def imageNear(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
                 idCol: String = "doc_id", blobCol: String = "blob",
-                bands: Int = 8, maxHamming: Int = 6, agreeBands: Int = 2): DataFrame = {
+                bands: Int = 8, maxHamming: Int = 6, agreeBands: Int = 2): DataFrame =
+    hammingPhashPairs(Multimodal.imagePHash(spark, docs, idCol, blobCol),
+      idCol, bands, maxHamming, agreeBands)
+
+  /** The banded-Hamming pair chain of [[imageNear]] over an
+    * already-hashed `(idCol, phash)` table — shared with
+    * [[imageNearAuto]]'s unsaturated branch so auto ≡ explicit is the
+    * same plan, not a lookalike. */
+  private def hammingPhashPairs(hashed: DataFrame, idCol: String,
+                                bands: Int, maxHamming: Int,
+                                agreeBands: Int): DataFrame = {
     require(56 % bands == 0, s"bands must divide 56, got $bands")
     require(agreeBands >= 0 && maxHamming >= 0 && maxHamming <= bands - math.max(agreeBands, 1),
       s"need maxHamming in [0, bands - agreeBands] for lossless band-subset keys, " +
         s"got maxHamming=$maxHamming agreeBands=$agreeBands bands=$bands")
-    val hashed = Multimodal.imagePHash(spark, docs, idCol, blobCol)
     // agreeBands = 0 → AUTO t from the distinct-hash count (one bounded
     // count over the signature column; any clamped t is lossless, so the
     // output — and the oracle — is t-independent)
@@ -1286,6 +1295,62 @@ object Dedup {
         expr("bit_count(ha ^ hb)").cast("bigint").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Image phash KEY-SPACE saturation audit — [[videoKeyAudit]]'s twin
+    * for the image modality, completing the audit discipline across all
+    * three hot-key media families: over an ([[Multimodal.imagePHash]]
+    * output) hash table it reports, in one bounded row, `n_images`,
+    * `n_hashes` (distinct dHashes D), `max_bucket`, `mean_bucket`, and
+    * `est_candidates` = Σ_hashes |bucket|² — the pair OUTPUT of
+    * [[imageNear]] on hash-identical groups before any banding can help
+    * (N copies of one image are N² ordered pairs of nothing the banding
+    * parameters cannot cut: the key carries no information within the
+    * group). decimal(38,0) square reported as DOUBLE — the overflow
+    * regime IS the regime the audit diagnoses.
+    * `est_candidates / n_images` is the expected pair fan-out per image;
+    * ~1–2 on a healthy near-distinct corpus, quadratic-ish under heavy
+    * exact duplication (replica crawls, boilerplate grids). */
+  def phashKeyAudit(hashed: DataFrame): DataFrame =
+    hashed.groupBy(col("phash")).agg(count(lit(1)).as("bn"))
+      .agg(sum(col("bn")).as("n_images"),
+        count(lit(1)).as("n_hashes"),
+        max(col("bn")).as("max_bucket"),
+        round(sum(col("bn")).cast("double") / count(lit(1)), 6).as("mean_bucket"),
+        sum(col("bn").cast("decimal(38,0)") * col("bn"))
+          .cast("double").as("est_candidates"))
+
+  /** [[imageNear]] with the quadratic-output escape SELF-DIALED from the
+    * measured hash saturation — [[videoNearHammingAuto]]'s
+    * audit-then-branch for the image modality. The audit runs off the
+    * same persisted hash pass; past `fanoutMax` expected pairs per image
+    * the corpus is duplication-saturated and the mine runs
+    * [[imageDedup]]'s exact-collapse-first discipline over the PAIR
+    * contract: distinct hashes collapse to their min-id representative
+    * and the banded-Hamming mine pairs REPRESENTATIVES only — output
+    * LINEAR in distinct grids (a million identical images are one rep
+    * row), each near relation reported once as its reps' pair. Below the
+    * threshold the unsaturated branch IS [[imageNear]]'s tail
+    * (same plan). Declared trade: the escalated arm's pairs name group
+    * representatives, not every member — member-level expansion is
+    * [[imageDedup]]'s verdict join, which is where a saturated corpus
+    * should be anyway (the [[imageNear]] scaladoc's standing caveat,
+    * now enforced by measurement instead of prose). */
+  def imageNearAuto(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                    idCol: String = "doc_id", blobCol: String = "blob",
+                    bands: Int = 8, maxHamming: Int = 6, agreeBands: Int = 2,
+                    fanoutMax: Double = 16.0): DataFrame = {
+    val hashed = Multimodal.imagePHash(spark, docs, idCol, blobCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = phashKeyAudit(hashed).head
+    val saturated = !a.isNullAt(0) &&
+      a.getAs[Double]("est_candidates") >
+        fanoutMax * math.max(a.getLong(0), 1L).toDouble
+    if (saturated)
+      hammingPhashPairs(
+        hashed.groupBy(col("phash")).agg(min(col(idCol)).as(idCol)),
+        idCol, bands, maxHamming, agreeBands)
+    else hammingPhashPairs(hashed, idCol, bands, maxHamming, agreeBands)
   }
 
   /** Incremental IMAGE dedup — [[semanticIncremental]]'s contract for the

@@ -629,6 +629,36 @@ class DedupSpec extends SparkSpec {
     assert(CatalogOps.indexRegistry(spark, dir).getIndex(name).version == built.version)
   }
 
+  test("imageNearAuto: the saturation audit routes a replica corpus to the rep mine; unsaturated side ≡ imageNear") {
+    import spark.implicits._
+    val a = Array.tabulate[Byte](64)(i => (i + 32).toByte)
+    val drift = a.clone(); val t0 = drift(10); drift(10) = drift(11); drift(11) = t0
+    val far = Array.tabulate[Byte](64)(i => (127 - i).toByte)
+    // replica corpus: 6 copies each of a near-twin grid pair + one far
+    // grid — est_candidates/n = 73/13 ≈ 5.6, so fanoutMax = 2 saturates
+    // and the default 16 does not (both branches pinned on one corpus)
+    val docs = ((1L to 6L).map(i => (i, a)) ++
+      (11L to 16L).map(i => (i, drift)) ++ Seq((20L, far)))
+      .toDF("doc_id", "blob")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val explicit = rows(Dedup.imageNear(spark, docs))
+    // the explicit form is quadratic on the replica groups: 15 + 15
+    // intra-group Hamming-0 pairs + 36 cross pairs at Hamming 1
+    assert(explicit.length == 66, s"expected 66 pairs, got ${explicit.length}")
+    // saturated branch: distinct grids collapse to min-id reps, ONE pair
+    val escalated = rows(Dedup.imageNearAuto(spark, docs, fanoutMax = 2.0))
+    assert(escalated == Seq((1L, 11L, 1L)),
+      s"rep mine must report exactly the rep pair: $escalated")
+    // unsaturated branch (default threshold): auto ≡ explicit, same rows
+    assert(rows(Dedup.imageNearAuto(spark, docs)) == explicit)
+    // audit row sanity: the quantities the rule reads
+    val audit = Dedup.phashKeyAudit(
+      graft.operators.Multimodal.imagePHash(spark, docs)).head
+    assert(audit.getLong(0) == 13 && audit.getLong(1) == 3 &&
+      audit.getLong(2) == 6 && audit.getAs[Double]("est_candidates") == 73.0)
+  }
+
   test("incremental audio dedup: delayed copy caught by the VOTE arm where the envelope arm provably misses") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
