@@ -57,10 +57,29 @@ object ScaleSmoke {
         expr("transform(embedding, (x, i) -> CASE WHEN i = 0 THEN x + rep * 1e-9 ELSE x END)")
           .as("embedding"),
         col("label")))
+    // per-stage shuffle volume — the Bench suite's candidate-volume
+    // instrument carried into the smoke rows (r14 verdict #8): the banded
+    // families' kill signature is tens of GB of candidate shuffle, and the
+    // at-scale rows should carry the field, not just wall time. Same
+    // listener + flush-before-zero/flush-before-read discipline as Bench.
+    val shufR = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufW = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shufR.addAndGet(sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+        shufW.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+    })
     def time(label: String)(f: => Long): Unit = {
+      org.apache.spark.graft.CoreBridge.flushListenerBus(spark.sparkContext)
+      shufR.set(0); shufW.set(0)
       val t0 = System.nanoTime()
       val rows = f
-      println(f"## $label%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+      val secs = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.CoreBridge.flushListenerBus(spark.sparkContext)
+      println(f"## $label%-22s $secs%8.2f s  ($rows rows)  " +
+        f"[shuffle r ${shufR.get() / 1048576.0}%.1f MB / w ${shufW.get() / 1048576.0}%.1f MB]")
     }
     println(s"## corpus: ${e.count()} vectors x 64 dims, " +
       s"${e.rdd.getNumPartitions} scan partitions")
@@ -527,6 +546,27 @@ object ScaleSmoke {
       // mine's exact-Jaccard verify — the approx arm replaces it with the
       // agreeing-seed estimate, per-doc state seeds x 8 bytes
       graft.operators.Curate.pipeline(docs, approxNear = true)
+        .queryExecution.toRdd.count()
+    }
+    stage("curate multimodal") {
+      // the composed frame at scale — the driver suite's new heaviest query
+      // (8.5 s at sf0.01) measured at 250k docs with a MIXED blob corpus:
+      // the curate_multimodal pair device (docs 2k/2k+1 share a 512-byte
+      // blob; modality by (doc_id div 2) % 3 → image/audio/video; % 97
+      // rows blobless). Text mine + all three media dedup chains (three CC
+      // walks) in one frame; the arms join signature-sized verdicts on
+      // doc_id, so the cost must track the SUM of the arms, not their
+      // product.
+      val wavH = lit(graft.operators.Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL))
+      val mp4H = lit(graft.operators.Multimodal.mp4VideoFramesHeader())
+      val payload = expr("repeat(md5(cast(doc_id div 2 as string)), 16)").cast("binary")
+      val m = expr("(doc_id div 2) % 3")
+      val blobs = docs.where(expr("doc_id % 97 != 0"))
+        .select(col("doc_id"),
+          when(m === 0, payload)
+            .when(m === 1, concat(wavH, payload))
+            .otherwise(concat(mp4H, payload)).as("blob"))
+      graft.operators.Curate.pipelineMultimodal(spark, docs, blobs)
         .queryExecution.toRdd.count()
     }
     stage("winnow pairs") {
