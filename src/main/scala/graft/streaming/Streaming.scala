@@ -1165,9 +1165,11 @@ object Streaming {
     * train with [[graft.operators.Ann.trainResidualPqCodebook]]) —
     * measured WORSE than raw codes for this gate's threshold semantics
     * at every tried setting (0.937/0.969 at m=16 k=64/256, vs raw
-    * 0.942/0.991; ties at m=32): the read path's residual win does not
-    * transfer when the coarse cells are seeded rather than trained —
-    * measure before choosing, never assume. The codebook, `cents`, and
+    * 0.942/0.991; ties at m=32; still behind under Lloyd-TRAINED cells,
+    * 0.917 vs 0.928 — the seeded-cells explanation was tested and
+    * falsified): the read path's residual win does not transfer to
+    * threshold admission — measure before choosing, never assume. The
+    * codebook, `cents`, and
     * the residual flag are FIXED across batches — re-training or
     * re-flagging mid-stream would re-quantize nothing (history keeps
     * its codes) and silently misread state instead.

@@ -936,10 +936,12 @@ class StreamingSpec extends SparkSpec {
 
   /** Shared harness for the PQ-gate agreement curve: run the PQ gate
     * (given codebook/flag) and the raw gate over the same id-ordered
-    * batches, return (agreement, codeWidth). */
+    * batches — BOTH against the same coarse cells (`centsOpt`, default
+    * the 16 seed vectors) — and return (agreement, codeWidth). */
   private def pqGateAgreement(codebook: Seq[Seq[Seq[Double]]],
                               residual: Boolean,
-                              tag: String): (Double, Int) = {
+                              tag: String,
+                              centsOpt: Option[Seq[Seq[Double]]] = None): (Double, Int) = {
     implicit val sqlCtx = spark.sqlContext
     val pathPq = Files.createTempDirectory(s"graft-$tag-").toString + "/out"
     val ckptPq = Files.createTempDirectory(s"graft-$tag-ckpt-").toString
@@ -948,7 +950,8 @@ class StreamingSpec extends SparkSpec {
     val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rows = e.orderBy(col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
-    val cents: Seq[Seq[Double]] = rows.take(16).map(_._2.toSeq).toSeq
+    val cents: Seq[Seq[Double]] =
+      centsOpt.getOrElse(rows.take(16).map(_._2.toSeq).toSeq)
     val batches = rows.grouped((rows.length + 2) / 3).toSeq
     def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
       try q.awaitTermination(120000) finally q.stop()
@@ -1011,14 +1014,15 @@ class StreamingSpec extends SparkSpec {
     // path's within-cell top-k ranking). Measured for the GATE's
     // threshold semantics it does not, and is slightly WORSE than raw at
     // both alphabets (0.937 vs 0.942 @ k=64; 0.969 vs 0.991 @ k=256).
-    // The plausible mechanism, stated not proven: the coarse cells are
-    // SEEDED corpus vectors, not trained centroids, so within-cell
-    // residuals are not the small centered offsets the residual premise
-    // needs — and the gate thresholds cosine(v, recon) where raw codes
-    // point recon directly at v. The residual path stays (it is the
-    // IVF-PQ layout and composes with trained cells); this test pins its
-    // encode/decode correctness (agreement would collapse if the
-    // centroid add-back were wrong) and records the measured point.
+    // The seeded-cells attribution was TESTED below and FALSIFIED:
+    // under Lloyd-trained coarse cells residual still loses (0.917 vs
+    // 0.928 at m=16/k=64), so the robust statement is simply that the
+    // read path's residual win does not transfer to threshold admission
+    // on this corpus — raw codes point recon directly at v, which is
+    // what cosine(v, recon) ≥ tau rewards. The residual path stays (it
+    // is the IVF-PQ layout); this test pins its encode/decode
+    // correctness (agreement would collapse if the centroid add-back
+    // were wrong) and records the measured points.
     val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rows = e.orderBy(col("vec_id")).limit(16).collect()
     val cents: Seq[Seq[Double]] = rows.map(_.getSeq[Double](1).toSeq).toSeq
@@ -1032,6 +1036,22 @@ class StreamingSpec extends SparkSpec {
       f"residual agreement $agree%.3f collapsed — the encode/decode pair is broken")
     assert(agree < 0.98, // if this ever flips, promote the residual point honestly
       f"residual m=16/k=64 now clears the bound ($agree%.3f) — update the curve record")
+    // the mechanism leg that produced the falsification above: residual
+    // vs raw at m=16/k=64 under TRAINED coarse cells (Lloyd to the
+    // fixpoint, both gates on the same cells). Measured 0.917 vs 0.928 —
+    // training the cells does not rescue residual coding for the gate.
+    val (tc, _) = graft.operators.Ann.trainCentroids(e, nCells = 16, maxIters = 10)
+    val (rcbT, _) = graft.operators.Ann.trainResidualPqCodebook(
+      e, tc, m = 16, kCodes = 64, dim = 64, maxIters = 10)
+    val (agreeResT, _) = pqGateAgreement(rcbT, residual = true,
+      tag = "spqrest", centsOpt = Some(tc))
+    val (cbRawT, _) = graft.operators.Ann.trainPqCodebook(
+      e, m = 16, kCodes = 64, dim = 64, maxIters = 10)
+    val (agreeRawT, _) = pqGateAgreement(cbRawT, residual = false,
+      tag = "spqrawt", centsOpt = Some(tc))
+    info(f"TRAINED-cells m=16 k=64: residual $agreeResT%.3f vs raw $agreeRawT%.3f")
+    assert(agreeResT >= 0.9 && agreeRawT >= 0.9,
+      f"trained-cells leg collapsed (res $agreeResT%.3f raw $agreeRawT%.3f)")
   }
 
   test("streamSemanticDedupAdmit under UNORDERED arrival: admitted pairwise non-matching, every rejection has a qualifying neighbor") {
