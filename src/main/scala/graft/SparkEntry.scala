@@ -855,6 +855,26 @@ object SparkEntry {
       // REP-PAIR arm is the live one; the oracle re-derives the rule and
       // gates both chains on it (the video_near_auto device, image edition)
       Dedup.imageNearAuto(s, imageSaturatedCorpus(s, dir))),
+    "minhash_key_audit" -> ((s, dir) =>
+      // the band-key-space audit over the saturating replica-crawl text
+      // corpus: 20 exact-duplicate classes sharing every band key, so
+      // est_candidates/n_docs ≈ bands·class-size ≫ 16 — the quadratic-
+      // candidate regime, measured as one row
+      Dedup.minhashKeyAudit(textSaturatedCorpus(s, dir))),
+    "minhash_near_auto" -> ((s, dir) =>
+      // the self-dialing escape for the word-level text family: the
+      // audit's fan-out rule gates the full banded chain vs the sha-256
+      // exact-collapse REP mine — this corpus saturates, so the rep arm
+      // is the live one; the oracle re-derives the rule and gates both
+      // chains on it (the image_near_auto device, text edition)
+      Dedup.minhashNearAuto(textSaturatedCorpus(s, dir))),
+    "ngram_key_audit" -> ((s, dir) =>
+      // same audit over the char-8-gram family's 4-band keys
+      Dedup.ngramKeyAudit(textSaturatedCorpus(s, dir))),
+    "ngram_near_auto" -> ((s, dir) =>
+      // the char-shingle edition of minhash_near_auto (shared branch
+      // helper in Dedup.textNearAutoFrom; tau 0.5, 4 bands of r=3)
+      Dedup.ngramNearAuto(textSaturatedCorpus(s, dir))),
     "video_key_audit" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
       // the fhash key-space audit over the saturating intro-card corpus
@@ -959,6 +979,28 @@ object SparkEntry {
       .unionByName(base.select((col("doc_id") + lit(100000L)).as("doc_id"),
         concat(lit(header), md5(col("text")).cast("binary"),
           inter.cast("binary")).as("blob")))
+  }
+
+  /** The SATURATING text corpus for the minhash/ngram audit pairs — the
+    * replica-crawl regime: every doc's text maps to one of 10 duplicate
+    * classes (doc_id % 10), six class-specific md5-chunk words, with the
+    * odd decades appending one extra word (word-trigram Jaccard 0.8
+    * between a class's two variants, 0 across classes). Exact-duplicate
+    * groups of ~n/20 byte-identical texts share EVERY band key, so the
+    * expected candidate fan-out per doc is ≈ bands·n/20 ≫ 16 — the
+    * quadratic-candidate regime [[graft.operators.Dedup.minhashNearAuto]]
+    * exists to catch. */
+  private def textSaturatedCorpus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    Tables.documents(s, dir).select(col("doc_id"), expr(
+      """concat(concat_ws(' ',
+        |    substring(md5(cast(doc_id % 10 as string)), 1, 5),
+        |    substring(md5(cast(doc_id % 10 as string)), 6, 5),
+        |    substring(md5(cast(doc_id % 10 as string)), 11, 5),
+        |    substring(md5(cast(doc_id % 10 as string)), 16, 5),
+        |    substring(md5(cast(doc_id % 10 as string)), 21, 5),
+        |    substring(md5(cast(doc_id % 10 as string)), 26, 5)),
+        |  CASE WHEN doc_id % 20 < 10 THEN '' ELSE ' zvariant' END)""".stripMargin).as("text"))
   }
 
   /** The SATURATING image corpus for the phash audit pair: every doc's
@@ -1072,6 +1114,105 @@ object SparkEntry {
   /** The DuckDB twin of [[videoSaturatedCorpus]]: builds the same
     * interleaved-payload `vc(doc_id, text)` both arms, ready for
     * [[videoFrameHashCtes]]. */
+  /** The DuckDB twin of [[textSaturatedCorpus]] — the `tsc(doc_id, text)`
+    * replica-crawl corpus CTE the minhash/ngram audit+auto oracles share. */
+  private def textSaturatedCorpusCte: String =
+    """tsc AS (SELECT doc_id,
+      |    concat(concat_ws(' ',
+      |      substr(md5(CAST(doc_id % 10 AS VARCHAR)), 1, 5),
+      |      substr(md5(CAST(doc_id % 10 AS VARCHAR)), 6, 5),
+      |      substr(md5(CAST(doc_id % 10 AS VARCHAR)), 11, 5),
+      |      substr(md5(CAST(doc_id % 10 AS VARCHAR)), 16, 5),
+      |      substr(md5(CAST(doc_id % 10 AS VARCHAR)), 21, 5),
+      |      substr(md5(CAST(doc_id % 10 AS VARCHAR)), 26, 5)),
+      |      CASE WHEN doc_id % 20 < 10 THEN '' ELSE ' zvariant' END) AS text
+      |  FROM documents)""".stripMargin
+
+  /** The dedup_minhash CTE chain over [[textSaturatedCorpusCte]] — word
+    * trigrams hashed to 56-bit ints, 12 XOR-mask minhashes in 6 bands of
+    * r=2 — ending at `bands` with `sh` kept for the verify. */
+  private def textSaturatedBandCtes: String =
+    s"""$textSaturatedCorpusCte,
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM tsc),
+       |sh AS MATERIALIZED (SELECT doc_id,
+       |         list_transform(
+       |           list_distinct(list_transform(range(0, len(t) - 2),
+       |             i -> array_to_string(t[i+1:i+3], ' '))),
+       |           x -> CAST(('0x' || substr(md5(x), 1, 14))::UBIGINT AS BIGINT)) AS hs
+       |       FROM toks WHERE len(t) >= 3),
+       |mh AS (SELECT doc_id,
+       |    list_transform(range(0, 12),
+       |      sd -> list_min(list_transform(hs,
+       |        b -> xor(b, CAST(('0x' || substr(md5(CAST(sd AS VARCHAR)), 1, 14))::UBIGINT AS BIGINT))))) AS sig
+       |  FROM sh),
+       |bands AS MATERIALIZED (SELECT doc_id, u.band, u.key FROM (
+       |  SELECT doc_id, unnest(list_transform(range(0, 6), b ->
+       |    {'band': b, 'key': array_to_string(sig[b*2+1:b*2+2], '|')})) AS u FROM mh) q)""".stripMargin
+
+  /** The dedup_ngram CTE chain over [[textSaturatedCorpusCte]] — char
+    * 8-grams, 12 seeds in 4 bands of r=3 — same ending contract. */
+  private def textSaturatedNgramBandCtes: String =
+    s"""$textSaturatedCorpusCte,
+       |sh AS MATERIALIZED (SELECT doc_id,
+       |    list_transform(
+       |      list_distinct(list_transform(range(0, length(text) - 7),
+       |        i -> substr(text, CAST(i + 1 AS BIGINT), 8))),
+       |      x -> CAST(('0x' || substr(md5(x), 1, 14))::UBIGINT AS BIGINT)) AS hs
+       |  FROM tsc WHERE length(text) >= 8),
+       |mh AS (SELECT doc_id,
+       |    list_transform(range(0, 12),
+       |      sd -> list_min(list_transform(hs,
+       |        b -> xor(b, CAST(('0x' || substr(md5(CAST(sd AS VARCHAR)), 1, 14))::UBIGINT AS BIGINT))))) AS sig
+       |  FROM sh),
+       |bands AS MATERIALIZED (SELECT doc_id, u.band, u.key FROM (
+       |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+       |    {'band': b, 'key': array_to_string(sig[b*3+1:b*3+3], '|')})) AS u FROM mh) q)""".stripMargin
+
+  /** The band-bucket audit row over a `bands` CTE — [[textSaturatedBandCtes]]'
+    * tail, shared by both text key-audit oracles (`nb` = band count). */
+  private def bandAuditSql(nb: Int): String =
+    s"""b AS (SELECT band, key, count(*) AS bn FROM bands GROUP BY 1, 2)
+       |SELECT CAST(sum(bn) / $nb AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_keys,
+       |  CAST(max(bn) AS BIGINT) AS max_bucket,
+       |  round(sum(bn)::DOUBLE / count(*), 6) AS mean_bucket,
+       |  CAST(sum(bn * bn) AS DOUBLE) AS est_candidates
+       |FROM b""".stripMargin
+
+  /** The audit-gated two-arm mine over `bands`+`sh`+`tsc` CTEs — the
+    * image_near_auto device, text edition: the fan-out rule re-derived in
+    * SQL gates the FULL banded chain vs the sha-256 exact-collapse REP
+    * chain (`nb` = band count, `tau` = the family's Jaccard threshold). */
+  private def textNearAutoSql(nb: Int, tau: Double): String =
+    s"""b AS (SELECT band, key, count(*) AS bn FROM bands GROUP BY 1, 2),
+       |dec AS (SELECT CAST(sum(bn * bn) AS DOUBLE)
+       |               > 16.0 * greatest(CAST(sum(bn) / $nb AS BIGINT), 1) AS hot FROM b),
+       |rep AS MATERIALIZED (SELECT min(doc_id) AS doc_id
+       |       FROM (SELECT doc_id, sha256(text) AS fp FROM tsc) f GROUP BY fp),
+       |cf AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+       |       FROM bands a JOIN bands b2
+       |         ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id),
+       |vf AS (SELECT c.a_id, c.b_id,
+       |         round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+       |               / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS jaccard
+       |       FROM cf c JOIN sh sa ON sa.doc_id = c.a_id
+       |                 JOIN sh sb ON sb.doc_id = c.b_id),
+       |bandsr AS (SELECT b3.* FROM bands b3 JOIN rep r ON b3.doc_id = r.doc_id),
+       |cr AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+       |       FROM bandsr a JOIN bandsr b2
+       |         ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id),
+       |vr AS (SELECT c.a_id, c.b_id,
+       |         round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+       |               / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS jaccard
+       |       FROM cr c JOIN sh sa ON sa.doc_id = c.a_id
+       |                 JOIN sh sb ON sb.doc_id = c.b_id)
+       |SELECT a_id, b_id, jaccard FROM vf
+       |WHERE jaccard >= $tau AND NOT (SELECT hot FROM dec)
+       |UNION ALL
+       |SELECT a_id, b_id, jaccard FROM vr
+       |WHERE jaccard >= $tau AND (SELECT hot FROM dec)
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** The DuckDB twin of [[imageSaturatedCorpus]] ending at
     * `h(doc_id, ph)` — the fake-arm dHash over the class-md5 grid. */
   private def imageSaturatedHashCtes: String =
@@ -4319,6 +4460,31 @@ object SparkEntry {
          |UNION ALL
          |SELECT a_id, b_id, hamming FROM pr WHERE (SELECT hot FROM dec)
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // the band-key-space audit: (band, key) bucket sizes over the
+    // saturating replica-crawl text corpus; Σ|bucket|² is candidatePairs'
+    // exact pre-distinct join volume — the image_key_audit device, word-
+    // minhash edition
+    "minhash_key_audit" ->
+      s"""WITH $textSaturatedBandCtes,
+         |${bandAuditSql(6)}""".stripMargin,
+
+    // the self-dialing escape: the audit's fan-out rule gates the full
+    // banded chain vs the sha-256 exact-collapse REP mine — this corpus
+    // saturates, so the rep arm is the live one on both engines
+    "minhash_near_auto" ->
+      s"""WITH $textSaturatedBandCtes,
+         |${textNearAutoSql(6, 0.3)}""".stripMargin,
+
+    // same audit over the char-8-gram family's 4-band keys
+    "ngram_key_audit" ->
+      s"""WITH $textSaturatedNgramBandCtes,
+         |${bandAuditSql(4)}""".stripMargin,
+
+    // the char-shingle edition of minhash_near_auto (tau 0.5, 4 bands)
+    "ngram_near_auto" ->
+      s"""WITH $textSaturatedNgramBandCtes,
+         |${textNearAutoSql(4, 0.5)}""".stripMargin,
 
     // the fhash key-space audit: bucket sizes by exact frame hash over the
     // saturating intro-card corpus; Σ|bucket|² is the vote join's pre-cut

@@ -271,22 +271,10 @@ object Dedup {
 
   def minhashNear(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                   shingleSize: Int = 3, seeds: Int = 12, bands: Int = 6,
-                  jaccardThreshold: Double = 0.3): DataFrame = {
-    val sh = minhashShingled(docs, idCol, textCol, shingleSize)
-    val banded = ngramBandKeys(sh, seeds, bands) // same signature skeleton
-
-    val cand = candidatePairs(banded, "band", "key", "doc_id")
-
-    cand // shuffle-hash, cand as build: see ngramNear (same rationale)
-      .hint("shuffle_hash")
-      .join(sh.select(col("doc_id"), col("hs").as("sa")), col("a_id") === col("doc_id")).drop("doc_id")
-      .hint("shuffle_hash")
-      .join(sh.select(col("doc_id"), col("hs").as("sb")), col("b_id") === col("doc_id")).drop("doc_id")
-      .select(col("a_id"), col("b_id"),
-        round(LshFunctions.jaccard(col("sa"), col("sb")), 6).as("jaccard"))
-      .where(col("jaccard") >= jaccardThreshold)
-      .orderBy(col("a_id"), col("b_id"))
-  }
+                  jaccardThreshold: Double = 0.3): DataFrame =
+    // same banded skeleton + verify tail as ngramNear (shared plan)
+    jaccardPairsFrom(minhashShingled(docs, idCol, textCol, shingleSize),
+      seeds, bands, jaccardThreshold)
 
   /** X3b-approx — SIGNATURE-ONLY near-duplicate pairs: the [[minhashNear]]
     * banding with the exact-Jaccard verify replaced by the MinHash
@@ -629,19 +617,26 @@ object Dedup {
 
   def ngramNear(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                 n: Int = 8, seeds: Int = 12, bands: Int = 4,
-                jaccardThreshold: Double = 0.5): DataFrame = {
-    val sh = ngramShingled(docs, idCol, textCol, n)
-    val banded = ngramBandKeys(sh, seeds, bands)
+                jaccardThreshold: Double = 0.5): DataFrame =
+    jaccardPairsFrom(ngramShingled(docs, idCol, textCol, n),
+      seeds, bands, jaccardThreshold)
 
-    // Exact Jaccard over the hashed shingle sets: both engines compare the
-    // same 56-bit values, so the verdicts are identical; a hash collision
-    // (~|s|²/2^57 per pair) would fold the same pair of shingles in both.
-    // shuffle-hash with the CANDIDATE side as build on both join-backs:
-    // left to its size estimates Catalyst broadcasts the corpus-sized hs
-    // table (its MATERIALIZED arrays are ~8 bytes/char — the wrong side at
-    // any scale); candidates are the bounded table, and sh reuses its
-    // pinned doc_id partitioning so only the pairs shuffle.
-    candidatePairs(banded, "band", "key", "doc_id")
+  /** Shared banded-mine verify tail of [[minhashNear]]/[[ngramNear]] (and
+    * their [[minhashNearAuto]]/[[ngramNearAuto]] twins): band keys →
+    * candidate pairs → exact-Jaccard verify join-backs over a shingled
+    * `(doc_id, hs)` table.
+    *
+    * Exact Jaccard over the hashed shingle sets: both engines compare the
+    * same 56-bit values, so the verdicts are identical; a hash collision
+    * (~|s|²/2^57 per pair) would fold the same pair of shingles in both.
+    * shuffle-hash with the CANDIDATE side as build on both join-backs:
+    * left to its size estimates Catalyst broadcasts the corpus-sized hs
+    * table (its MATERIALIZED arrays are ~8 bytes/char — the wrong side at
+    * any scale); candidates are the bounded table, and sh reuses its
+    * pinned doc_id partitioning so only the pairs shuffle. */
+  private def jaccardPairsFrom(sh: DataFrame, seeds: Int, bands: Int,
+                               jaccardThreshold: Double): DataFrame =
+    candidatePairs(ngramBandKeys(sh, seeds, bands), "band", "key", "doc_id")
       .hint("shuffle_hash")
       .join(sh.select(col("doc_id"), col("hs").as("sa")), col("a_id") === col("doc_id")).drop("doc_id")
       .hint("shuffle_hash")
@@ -650,7 +645,103 @@ object Dedup {
         round(LshFunctions.jaccard(col("sa"), col("sb")), 6).as("jaccard"))
       .where(col("jaccard") >= jaccardThreshold)
       .orderBy(col("a_id"), col("b_id"))
+
+  /** TEXT band-key-space saturation audit — the [[phashKeyAudit]] /
+    * [[videoKeyAudit]] / [[landmarkKeyAudit]] shape for the LSH-banded
+    * text families, completing the audit discipline across EVERY hot-key
+    * mine in the engine: over a `(doc_id, band, key)` banded table it
+    * reports, in one bounded row, `n_docs` (= Σ bucket sizes / `bands` —
+    * each doc contributes exactly one row per band), `n_keys` (distinct
+    * `(band, key)` buckets), `max_bucket`, `mean_bucket`, and
+    * `est_candidates` = Σ_buckets |bucket|² — [[candidatePairs]]' exact
+    * pre-distinct join volume over these keys. On a healthy near-distinct
+    * corpus buckets are ~singleton so `est_candidates ≈ bands · n_docs`
+    * (fan-out ≈ `bands`); under exact-duplicate saturation — replica
+    * crawls, the dominant 100 TB web-text regime, where N byte-identical
+    * documents share EVERY band key — each duplicate class contributes
+    * `bands · N²` rows that no banding parameter can cut (the key carries
+    * no information within the class). decimal(38,0) square reported as
+    * DOUBLE — the overflow regime IS the regime the audit diagnoses.
+    * `est_candidates / n_docs` is the expected candidate fan-out per
+    * document, the decision quantity [[minhashNearAuto]] gates on. */
+  def bandKeyAudit(banded: DataFrame, bands: Int): DataFrame =
+    banded.groupBy(col("band"), col("key")).agg(count(lit(1)).as("bn"))
+      .agg((sum(col("bn")) / lit(bands)).cast("bigint").as("n_docs"),
+        count(lit(1)).as("n_keys"),
+        max(col("bn")).as("max_bucket"),
+        round(sum(col("bn")).cast("double") / count(lit(1)), 6).as("mean_bucket"),
+        sum(col("bn").cast("decimal(38,0)") * col("bn"))
+          .cast("double").as("est_candidates"))
+
+  /** [[bandKeyAudit]] over [[minhashNear]]'s word-shingle band keys —
+    * the one-row saturation probe a pipeline runs before pointing the
+    * word-level near-dedup at a new crawl snapshot. */
+  def minhashKeyAudit(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                      shingleSize: Int = 3, seeds: Int = 12, bands: Int = 6): DataFrame =
+    bandKeyAudit(ngramBandKeys(
+      minhashShingled(docs, idCol, textCol, shingleSize), seeds, bands), bands)
+
+  /** [[bandKeyAudit]] over [[ngramNear]]'s char-shingle band keys. */
+  def ngramKeyAudit(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 8, seeds: Int = 12, bands: Int = 4): DataFrame =
+    bandKeyAudit(ngramBandKeys(
+      ngramShingled(docs, idCol, textCol, n), seeds, bands), bands)
+
+  /** The audit-then-branch shared by [[minhashNearAuto]] and
+    * [[ngramNearAuto]]: the band-key audit runs off the same persisted
+    * shingle pass the mine reads; past `fanoutMax` expected candidates
+    * per document the corpus is duplication-saturated and the mine runs
+    * the exact-collapse-first discipline over the PAIR contract —
+    * byte-identical texts (sha-256 fingerprint, [[exact]]'s key: the
+    * saturation mechanism at web scale IS the replica crawl) collapse to
+    * their min-id representative and the banded mine pairs
+    * REPRESENTATIVES only, so output is linear in distinct texts (a
+    * million copies of one page are one rep row and zero self-pairs).
+    * Below the threshold the branch IS the explicit form's tail (same
+    * plan, row-identical). Declared trade on the escalated arm: pairs
+    * name group representatives, not every member — member-level
+    * expansion is [[exact]]'s keeper join, which is where a saturated
+    * corpus should be routed first anyway. */
+  private def textNearAutoFrom(docs: DataFrame, sh0: DataFrame,
+                               idCol: String, textCol: String,
+                               seeds: Int, bands: Int,
+                               jaccardThreshold: Double,
+                               fanoutMax: Double): DataFrame = {
+    val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bandKeyAudit(ngramBandKeys(sh, seeds, bands), bands).head
+    val saturated = !a.isNullAt(0) &&
+      a.getAs[Double]("est_candidates") >
+        fanoutMax * math.max(a.getLong(0), 1L).toDouble
+    val mineSh =
+      if (saturated)
+        sh.join(docs.select(col(idCol).as("doc_id"), sha2(col(textCol), 256).as("fp"))
+            .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+            .select(col("doc_id")),
+          Seq("doc_id"))
+      else sh
+    jaccardPairsFrom(mineSh, seeds, bands, jaccardThreshold)
   }
+
+  /** [[minhashNear]] with the quadratic-candidate escape SELF-DIALED from
+    * the measured band-key saturation — [[imageNearAuto]]'s
+    * audit-then-branch for the word-level text family (see
+    * [[textNearAutoFrom]] for the branch semantics and the declared
+    * rep-pair trade). */
+  def minhashNearAuto(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                      shingleSize: Int = 3, seeds: Int = 12, bands: Int = 6,
+                      jaccardThreshold: Double = 0.3,
+                      fanoutMax: Double = 16.0): DataFrame =
+    textNearAutoFrom(docs, minhashShingled(docs, idCol, textCol, shingleSize),
+      idCol, textCol, seeds, bands, jaccardThreshold, fanoutMax)
+
+  /** [[ngramNear]]'s audit-then-branch twin (char-shingle edition of
+    * [[minhashNearAuto]]). */
+  def ngramNearAuto(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 8, seeds: Int = 12, bands: Int = 4,
+                    jaccardThreshold: Double = 0.5,
+                    fanoutMax: Double = 16.0): DataFrame =
+    textNearAutoFrom(docs, ngramShingled(docs, idCol, textCol, n),
+      idCol, textCol, seeds, bands, jaccardThreshold, fanoutMax)
 
   /** X3b''' — incremental NEAR-dedup: for each incoming document, how many
     * reference-corpus documents its char-n-gram Jaccard reaches `tau`

@@ -659,6 +659,61 @@ class DedupSpec extends SparkSpec {
       audit.getLong(2) == 6 && audit.getAs[Double]("est_candidates") == 73.0)
   }
 
+  test("minhashNearAuto: the band-key audit routes a replica corpus to the sha-collapse rep mine; unsaturated side ≡ minhashNear") {
+    import spark.implicits._
+    // replica corpus: 8 byte-identical copies of A, one near twin B
+    // (word-trigram Jaccard 4/5 = 0.8), two far docs — the A group shares
+    // every band key, so est_candidates/n_docs ≫ 16 saturates the default
+    // dial; fanoutMax = 1e9 pins the unsaturated branch on the SAME corpus
+    val a = "aa bb cc dd ee ff"
+    val b = a + " gg"
+    val docs = ((1L to 8L).map(i => (i, a)) ++ Seq((11L, b),
+      (20L, "pp qq rr ss tt uu"), (21L, "vv ww xx yy zz qv")))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val explicit = rows(Dedup.minhashNear(docs))
+    // quadratic on the replica group: C(8,2) = 28 exact pairs at J=1.0,
+    // plus the 8 A–B near pairs the banding surfaces deterministically
+    assert(explicit.length == 36, s"expected 36 pairs, got ${explicit.length}")
+    assert(explicit.count(_._3 == 1.0) == 28)
+    // saturated branch (default fanoutMax 16): byte-identical texts
+    // collapse to min-id reps, so the mine reports ONE rep pair
+    val escalated = rows(Dedup.minhashNearAuto(docs))
+    assert(escalated == Seq((1L, 11L, 0.8)),
+      s"rep mine must report exactly the rep pair: $escalated")
+    // unsaturated branch: auto ≡ explicit, row-identical
+    assert(rows(Dedup.minhashNearAuto(docs, fanoutMax = 1e9)) == explicit)
+    // audit quantities the rule reads, hand-counted: 11 docs enter the
+    // mine; the A bucket is 8 (9 where B's band agrees)
+    val audit = Dedup.minhashKeyAudit(docs).head
+    assert(audit.getLong(0) == 11, s"n_docs: ${audit.getLong(0)}")
+    assert(audit.getLong(2) >= 8 && audit.getLong(2) <= 9,
+      s"max_bucket: ${audit.getLong(2)}")
+    assert(audit.getAs[Double]("est_candidates") >= 6.0 * 64,
+      "the replica group alone contributes >= bands * 8^2")
+  }
+
+  test("ngramNearAuto: same audit-then-branch over the char-shingle family") {
+    import spark.implicits._
+    val a = "aa bb cc dd ee ff"
+    val b = a + " gg"
+    val docs = ((1L to 8L).map(i => (i, a)) ++ Seq((11L, b),
+      (20L, "pp qq rr ss tt uu"), (21L, "vv ww xx yy zz qv")))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val explicit = rows(Dedup.ngramNear(docs))
+    assert(explicit.count(_._3 == 1.0) == 28, "28 exact replica pairs")
+    // saturated: reps only — at most the (1, 11) near pair survives
+    val escalated = rows(Dedup.ngramNearAuto(docs))
+    assert(escalated.forall(p => p._1 == 1L && p._2 == 11L),
+      s"rep mine must pair reps only: $escalated")
+    assert(escalated.length < explicit.length, "escape must cut the output")
+    // unsaturated: row-identical to the explicit form
+    assert(rows(Dedup.ngramNearAuto(docs, fanoutMax = 1e9)) == explicit)
+  }
+
   test("incremental audio dedup: delayed copy caught by the VOTE arm where the envelope arm provably misses") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
