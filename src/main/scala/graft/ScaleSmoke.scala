@@ -258,6 +258,36 @@ object ScaleSmoke {
     }
     lshStats("minhash buckets r2b6",
       D.ngramBandKeys(D.minhashShingled(docs, "doc_id", "text", 3), 12, 6), "doc_id")
+    // the replica-crawl saturation regime, TEXT edition (the r15 band-key
+    // audit discipline): every doc maps to one of 2000 duplicate classes
+    // (two near-twin variants each, word-trigram J = 0.8), so byte-
+    // identical groups of ~n/4000 share EVERY band key and Σ|bucket|² is
+    // quadratic in the group size — no banding parameter can cut it. The
+    // audit-gated auto entry collapses to the ~4000 distinct texts before
+    // mining (output linear); the explicit form is registered on a 10%
+    // slice only — the bounded measurement of the quadratic arm, the
+    // video-near-hamming device.
+    locally {
+      val cls = "md5(cast(doc_id % 2000 as string))"
+      val tsat = docs.select(col("doc_id"), expr(
+        s"""concat(concat_ws(' ',
+           |    substring($cls, 1, 5), substring($cls, 6, 5),
+           |    substring($cls, 11, 5), substring($cls, 16, 5),
+           |    substring($cls, 21, 5), substring($cls, 26, 5)),
+           |  CASE WHEN doc_id % 4000 < 2000 THEN '' ELSE ' zvariant' END)""".stripMargin)
+        .as("text"))
+      stage("minhash key audit (sat)") {
+        D.minhashKeyAudit(tsat).queryExecution.toRdd.count()
+      }
+      stage("minhash near (sat 10%)") {
+        D.minhashNear(tsat.where(
+          graft.operators.Sampling.hashBucket(col("doc_id")) < 10))
+          .queryExecution.toRdd.count()
+      }
+      stage("minhash near auto (sat)") {
+        D.minhashNearAuto(tsat).queryExecution.toRdd.count()
+      }
+    }
     stage("ngram near-dup") { D.ngramNear(docs).queryExecution.toRdd.count() }
     lshStats("ngram buckets n8r3b4",
       D.ngramBandKeys(D.ngramShingled(docs, "doc_id", "text", 8), 12, 4), "doc_id")
@@ -413,6 +443,14 @@ object ScaleSmoke {
         // candidate-shuffle / disk-full regime is unreachable by default
         D.videoNearHammingAuto(spark, vids).queryExecution.toRdd.count()
       }
+      stage("video incr dedup (10%)") {
+        // the r15 batch incremental rung at scale: 10% incoming against
+        // the other 90% — frame-VOTE arm + fingerprint arm, reference
+        // state ≤ maxFrames hash rows + one fingerprint per seen video
+        val b = graft.operators.Sampling.hashBucket(col("doc_id"))
+        D.videoIncremental(spark, vids.where(b >= 90), vids.where(b < 90))
+          .queryExecution.toRdd.count()
+      }
     }
     stage("video gate state growth") {
       // the streaming video gate's cost curve, measured like every other
@@ -533,6 +571,16 @@ object ScaleSmoke {
       // the LINEAR treatment form: envelope-identical payloads collapse
       // before the landmark mine (the imageDedup discipline)
       D.audioDedup(spark, syntheticAudio, keyPeaks = 3, minVotes = 12)
+        .queryExecution.toRdd.count()
+    }
+    stage("audio incr dedup (10%)") {
+      // the r15 batch incremental rung at scale: a 10% incoming batch
+      // admitted against the other 90% as the seen corpus — landmark
+      // VOTE arm + envelope arm, state signature-sized on the ref side
+      val au = syntheticAudio
+      val b = graft.operators.Sampling.hashBucket(col("doc_id"))
+      D.audioIncremental(spark, au.where(b >= 90), au.where(b < 90),
+        keyPeaks = 3, minVotes = 12)
         .queryExecution.toRdd.count()
     }
     stage("span trim") { D.trimSpans(docs).queryExecution.toRdd.count() }

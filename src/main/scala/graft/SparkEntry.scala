@@ -875,6 +875,18 @@ object SparkEntry {
       // the char-shingle edition of minhash_near_auto (shared branch
       // helper in Dedup.textNearAutoFrom; tau 0.5, 4 bands of r=3)
       Dedup.ngramNearAuto(textSaturatedCorpus(s, dir))),
+    "simhash_key_audit" -> ((s, dir) =>
+      // the sign-plane band-key audit over the saturating replica
+      // embedding corpus (every vector replaced by its class rep's —
+      // duplicate docs embedded twice, the replica mechanism in
+      // embedding space)
+      Dedup.simhashKeyAudit(embeddingSaturatedCorpus(s, dir))),
+    "simhash_near_auto" -> ((s, dir) =>
+      // the embedding-family escape: past the fan-out rule the mine
+      // collapses FULL-bit-signature twins (lossless for banding — same
+      // simhash ⇒ same key in every band) to min-id reps; the oracle
+      // gates both cosine-verified chains on the re-derived rule
+      Dedup.simhashNearAuto(embeddingSaturatedCorpus(s, dir))),
     "video_key_audit" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
       // the fhash key-space audit over the saturating intro-card corpus
@@ -1001,6 +1013,25 @@ object SparkEntry {
         |    substring(md5(cast(doc_id % 10 as string)), 21, 5),
         |    substring(md5(cast(doc_id % 10 as string)), 26, 5)),
         |  CASE WHEN doc_id % 20 < 10 THEN '' ELSE ' zvariant' END)""".stripMargin).as("text"))
+  }
+
+  /** The SATURATING embedding corpus for the simhash audit pair: every
+    * vector replaced by its duplicate class representative's (vec_id %
+    * 10) — byte-identical vectors share the full bit signature, so each
+    * class shares EVERY band key — with the odd decades (vec_id % 20 ≥
+    * 10) carrying a +1.0 nudge on component 0: a NEAR twin of its base
+    * class (cosine ≈ 1, bit signature generally distinct — exact double
+    * arithmetic, identical in both engines). */
+  private def embeddingSaturatedCorpus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val base = Tables.embeddings(s, dir)
+    base.select(col("vec_id"), (col("vec_id") % 10).as("cls"),
+        ((col("vec_id") % 20) >= 10).as("tweak"))
+      .join(base.select(col("vec_id").as("cls"), col("embedding")), Seq("cls"))
+      .select(col("vec_id"), expr(
+        """CASE WHEN tweak
+          |     THEN transform(embedding, (x, i) -> CASE WHEN i = 0 THEN x + 1.0D ELSE x END)
+          |     ELSE embedding END""".stripMargin).as("embedding"))
   }
 
   /** The SATURATING image corpus for the phash audit pair: every doc's
@@ -1167,6 +1198,26 @@ object SparkEntry {
        |bands AS MATERIALIZED (SELECT doc_id, u.band, u.key FROM (
        |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
        |    {'band': b, 'key': array_to_string(sig[b*3+1:b*3+3], '|')})) AS u FROM mh) q)""".stripMargin
+
+  /** The DuckDB twin of [[embeddingSaturatedCorpus]] + the dedup_simhash
+    * CTE chain over it — 24 sign-plane bits in 3 bands of 8 — ending at
+    * `bands` with `bits` and `esc` kept for the collapse and the verify. */
+  private def simhashSaturatedBandCtes: String =
+    """esc AS (SELECT a.vec_id,
+      |    CASE WHEN a.vec_id % 20 >= 10
+      |         THEN list_transform(range(0, 64), i ->
+      |           CASE WHEN i = 0 THEN b.embedding[1]::DOUBLE + 1.0
+      |                ELSE b.embedding[i+1]::DOUBLE END)
+      |         ELSE b.embedding::DOUBLE[] END AS v
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id % 10),
+      |bits AS (SELECT vec_id, list_transform(range(0, 24), p ->
+      |    CASE WHEN list_sum(list_transform(range(0, 64), i ->
+      |      v[i+1] * (CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
+      |                     BETWEEN '0' AND '7' THEN 1 ELSE -1 END)
+      |    )) >= 0 THEN '1' ELSE '0' END) AS bs FROM esc),
+      |bands AS MATERIALIZED (SELECT vec_id, u.band, u.key FROM (
+      |   SELECT vec_id, unnest(list_transform(range(0, 3), b ->
+      |     {'band': b, 'key': array_to_string(bs[b*8+1:b*8+8], '')})) AS u FROM bits) q)""".stripMargin
 
   /** The band-bucket audit row over a `bands` CTE — [[textSaturatedBandCtes]]'
     * tail, shared by both text key-audit oracles (`nb` = band count). */
@@ -4485,6 +4536,42 @@ object SparkEntry {
     "ngram_near_auto" ->
       s"""WITH $textSaturatedNgramBandCtes,
          |${textNearAutoSql(4, 0.5)}""".stripMargin,
+
+    // the sign-plane band-key audit over the saturating replica
+    // embedding corpus — the image_key_audit device, embedding edition
+    "simhash_key_audit" ->
+      s"""WITH $simhashSaturatedBandCtes,
+         |${bandAuditSql(3)}""".stripMargin,
+
+    // the embedding-family escape: the fan-out rule gates the full
+    // cosine-verified chain vs the full-bit-signature rep chain — this
+    // corpus saturates, so the rep arm is the live one on both engines
+    "simhash_near_auto" ->
+      s"""WITH $simhashSaturatedBandCtes,
+         |b AS (SELECT band, key, count(*) AS bn FROM bands GROUP BY 1, 2),
+         |dec AS (SELECT CAST(sum(bn * bn) AS DOUBLE)
+         |               > 16.0 * greatest(CAST(sum(bn) / 3 AS BIGINT), 1) AS hot FROM b),
+         |rep AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM bits
+         |       GROUP BY array_to_string(bs, '')),
+         |cf AS (SELECT DISTINCT a.vec_id AS a_id, b2.vec_id AS b_id
+         |       FROM bands a JOIN bands b2
+         |         ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id),
+         |vf AS (SELECT c.a_id, c.b_id, ${cosSql("ea.v", "eb.v")} AS score
+         |       FROM cf c JOIN esc ea ON ea.vec_id = c.a_id
+         |                 JOIN esc eb ON eb.vec_id = c.b_id),
+         |bandsr AS (SELECT b3.* FROM bands b3 JOIN rep r ON b3.vec_id = r.vec_id),
+         |cr AS (SELECT DISTINCT a.vec_id AS a_id, b2.vec_id AS b_id
+         |       FROM bandsr a JOIN bandsr b2
+         |         ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id),
+         |vr AS (SELECT c.a_id, c.b_id, ${cosSql("ea.v", "eb.v")} AS score
+         |       FROM cr c JOIN esc ea ON ea.vec_id = c.a_id
+         |                 JOIN esc eb ON eb.vec_id = c.b_id)
+         |SELECT a_id, b_id, score FROM vf
+         |WHERE score >= 0.3 AND NOT (SELECT hot FROM dec)
+         |UNION ALL
+         |SELECT a_id, b_id, score FROM vr
+         |WHERE score >= 0.3 AND (SELECT hot FROM dec)
+         |ORDER BY a_id, b_id""".stripMargin,
 
     // the fhash key-space audit: bucket sizes by exact frame hash over the
     // saturating intro-card corpus; Σ|bucket|² is the vote join's pre-cut

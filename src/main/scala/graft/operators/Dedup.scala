@@ -1286,6 +1286,57 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** [[bandKeyAudit]] over [[simhashNear]]'s sign-plane band keys — the
+    * saturation probe for the EMBEDDING-space banded family (identical
+    * vectors — duplicate docs embedded twice — share every band key, the
+    * same replica mechanism as the text families). */
+  def simhashKeyAudit(embeddings: DataFrame, idCol: String = "vec_id",
+                      vecCol: String = "embedding", bits: Int = 24,
+                      bands: Int = 3, dim: Int = 64): DataFrame =
+    bandKeyAudit(simhashBandedKeys(embeddings, idCol, vecCol, bits, bands, dim), bands)
+
+  /** [[simhashNear]] with the audit-then-branch escape
+    * ([[minhashNearAuto]]'s discipline for the embedding family): past
+    * `fanoutMax` expected candidates per vector the mine collapses
+    * vectors sharing the FULL bit signature — the exact-for-banding
+    * equivalence: identical simhash ⇒ identical key in every band, so
+    * the collapse is lossless for candidate generation — to their min-id
+    * representative and pairs reps only (cosine-verified on the real
+    * vectors). Below the threshold the branch is [[simhashNear]]'s tail,
+    * row-identical. Same declared rep-pair trade as the other autos. */
+  def simhashNearAuto(embeddings: DataFrame, idCol: String = "vec_id",
+                      vecCol: String = "embedding", bits: Int = 24,
+                      bands: Int = 3, dim: Int = 64,
+                      cosineThreshold: Double = 0.3,
+                      fanoutMax: Double = 16.0): DataFrame = {
+    val withBits = embeddings
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        LshFunctions.simhash_bits(col(vecCol), bits, dim).as("bs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bandedOf(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+        posexplode(LshFunctions.band_keys(col("bs"), bands, bits / bands))
+          .as(Seq("band", "key")))
+    val a = bandKeyAudit(bandedOf(withBits), bands).head
+    val saturated = !a.isNullAt(0) &&
+      a.getAs[Double]("est_candidates") >
+        fanoutMax * math.max(a.getLong(0), 1L).toDouble
+    val mine =
+      if (saturated)
+        withBits.join(
+          withBits.groupBy(col("bs")).agg(min(col("vec_id")).as("vec_id"))
+            .select(col("vec_id")),
+          Seq("vec_id"))
+      else withBits
+    candidatePairs(bandedOf(mine), "band", "key", "vec_id")
+      .join(mine.select(col("vec_id"), col("v").as("va")), col("a_id") === col("vec_id")).drop("vec_id")
+      .join(mine.select(col("vec_id"), col("v").as("vb")), col("b_id") === col("vec_id")).drop("vec_id")
+      .select(col("a_id"), col("b_id"),
+        round(cosine_sim(col("va"), col("vb")), 6).as("score"))
+      .where(col("score") >= cosineThreshold)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Band-SUBSET LSH keys for Hamming-space candidate generation over a
     * non-negative ≤63-bit hash column: the hash splits into `bands` r-bit
     * bands, and each of the C(bands, t) band t-SUBSETS contributes one

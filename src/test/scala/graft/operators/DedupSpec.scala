@@ -714,6 +714,38 @@ class DedupSpec extends SparkSpec {
     assert(rows(Dedup.ngramNearAuto(docs, fanoutMax = 1e9)) == explicit)
   }
 
+  test("simhashNearAuto: full-bit-signature collapse on a replica embedding corpus; unsaturated side ≡ simhashNear") {
+    import spark.implicits._
+    // 8 byte-identical copies of A, one near twin B (1e-9 nudge on dim 0:
+    // same sign planes, cosine ≈ 1), two orthogonal far vectors (disjoint
+    // support, cosine 0 — banded or not, the verify drops them)
+    val a = Array.tabulate(64)(i => if (i < 8) 1.0 else 0.0).toSeq
+    val b = a.updated(0, 1.0 + 1e-9)
+    val f1 = Array.tabulate(64)(i => if (i >= 30 && i < 38) 1.0 else 0.0).toSeq
+    val f2 = Array.tabulate(64)(i => if (i >= 50 && i < 58) 1.0 else 0.0).toSeq
+    val e = ((1L to 8L).map(i => (i, a)) ++ Seq((11L, b), (20L, f1), (21L, f2)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val explicit = rows(Dedup.simhashNear(e))
+    // quadratic on the replica group: C(8,2) = 28 identical pairs at
+    // score 1.0 plus the 8 A–B pairs
+    assert(explicit.length == 36, s"expected 36 pairs, got ${explicit.length}")
+    assert(explicit.count(_._3 == 1.0) >= 28)
+    // saturated (default fanoutMax 16): identical bit signatures collapse
+    // to min-id reps — exactly the (1, 11) rep pair survives
+    val escalated = rows(Dedup.simhashNearAuto(e))
+    assert(escalated.map(p => (p._1, p._2)) == Seq((1L, 11L)),
+      s"rep mine must report exactly the rep pair: $escalated")
+    // unsaturated: row-identical to the explicit form
+    assert(rows(Dedup.simhashNearAuto(e, fanoutMax = 1e9)) == explicit)
+    // audit quantities: 11 vectors, the A bucket is 8 or 9 per band
+    val audit = Dedup.simhashKeyAudit(e).head
+    assert(audit.getLong(0) == 11, s"n_docs: ${audit.getLong(0)}")
+    assert(audit.getLong(2) >= 8 && audit.getLong(2) <= 9,
+      s"max_bucket: ${audit.getLong(2)}")
+  }
+
   test("incremental audio dedup: delayed copy caught by the VOTE arm where the envelope arm provably misses") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
