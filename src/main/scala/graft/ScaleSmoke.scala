@@ -267,15 +267,17 @@ object ScaleSmoke {
     // mining (output linear); the explicit form is registered on a 10%
     // slice only — the bounded measurement of the quadratic arm, the
     // video-near-hamming device.
-    locally {
+    val tsat = {
       val cls = "md5(cast(doc_id % 2000 as string))"
-      val tsat = docs.select(col("doc_id"), expr(
+      docs.select(col("doc_id"), expr(
         s"""concat(concat_ws(' ',
            |    substring($cls, 1, 5), substring($cls, 6, 5),
            |    substring($cls, 11, 5), substring($cls, 16, 5),
            |    substring($cls, 21, 5), substring($cls, 26, 5)),
            |  CASE WHEN doc_id % 4000 < 2000 THEN '' ELSE ' zvariant' END)""".stripMargin)
-        .as("text"))
+        .as("text"), col("lang"), col("source"))
+    }
+    locally {
       stage("minhash key audit (sat)") {
         D.minhashKeyAudit(tsat).queryExecution.toRdd.count()
       }
@@ -595,6 +597,15 @@ object ScaleSmoke {
       // agreeing-seed estimate, per-doc state seeds x 8 bytes
       graft.operators.Curate.pipeline(docs, approxNear = true)
         .queryExecution.toRdd.count()
+    }
+    stage("curate pipeline (sat)") {
+      // the curate frame pointed at a REPLICA CRAWL (2000 duplicate
+      // classes × 2 variants at 250k docs): with the collapse-first near
+      // arm (ngramDedup) the mine runs over the ~4000 distinct texts —
+      // before the swap this was the Σ|class|²·bands candidate regime
+      // (~60M candidates at this corpus) inside the one frame a user
+      // actually runs on a crawl snapshot
+      graft.operators.Curate.pipeline(tsat).queryExecution.toRdd.count()
     }
     stage("curate multimodal") {
       // the composed frame at scale — the driver suite's new heaviest query

@@ -875,6 +875,16 @@ object SparkEntry {
       // the char-shingle edition of minhash_near_auto (shared branch
       // helper in Dedup.textNearAutoFrom; tau 0.5, 4 bands of r=3)
       Dedup.ngramNearAuto(textSaturatedCorpus(s, dir))),
+    "minhash_dedup" -> ((s, dir) =>
+      // the collapse-first TREATMENT form on the replica corpus: exact
+      // groups collapse to min-id reps, the banded mine pairs reps only,
+      // member verdicts restore through the fingerprint groups — the
+      // oracle re-derives collapse + rep mine + restore and must agree
+      // doc-for-doc (keepers = each class's A-variant rep)
+      Dedup.minhashDedup(textSaturatedCorpus(s, dir))),
+    "ngram_dedup" -> ((s, dir) =>
+      // the char-shingle treatment twin (4 bands, tau 0.5)
+      Dedup.ngramDedup(textSaturatedCorpus(s, dir))),
     "simhash_key_audit" -> ((s, dir) =>
       // the sign-plane band-key audit over the saturating replica
       // embedding corpus (every vector replaced by its class rep's —
@@ -1198,6 +1208,26 @@ object SparkEntry {
        |bands AS MATERIALIZED (SELECT doc_id, u.band, u.key FROM (
        |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
        |    {'band': b, 'key': array_to_string(sig[b*3+1:b*3+3], '|')})) AS u FROM mh) q)""".stripMargin
+
+  /** The collapse-first treatment tail over `tsc`+`bands`+`sh` CTEs —
+    * sha-256 collapse, rep-restricted banded mine, member restore. */
+  private def textDedupSql(tau: Double): String =
+    s"""fpt AS (SELECT doc_id, sha256(text) AS fp FROM tsc),
+       |rp AS (SELECT fp, min(doc_id) AS rep FROM fpt GROUP BY fp),
+       |bandsr AS (SELECT b.* FROM bands b JOIN rp ON b.doc_id = rp.rep),
+       |cr AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+       |       FROM bandsr a JOIN bandsr b2
+       |         ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id),
+       |vr AS (SELECT c.a_id, c.b_id,
+       |         round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+       |               / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS jaccard
+       |       FROM cr c JOIN sh sa ON sa.doc_id = c.a_id
+       |                 JOIN sh sb ON sb.doc_id = c.b_id),
+       |losers AS (SELECT DISTINCT b_id FROM vr WHERE jaccard >= $tau)
+       |SELECT f.doc_id, (f.doc_id = r.rep AND l.b_id IS NULL) AS keep
+       |FROM fpt f JOIN rp r USING (fp)
+       |LEFT JOIN losers l ON r.rep = l.b_id
+       |ORDER BY f.doc_id""".stripMargin
 
   /** The DuckDB twin of [[embeddingSaturatedCorpus]] + the dedup_simhash
     * CTE chain over it — 24 sign-plane bits in 3 bands of 8 — ending at
@@ -4536,6 +4566,19 @@ object SparkEntry {
     "ngram_near_auto" ->
       s"""WITH $textSaturatedNgramBandCtes,
          |${textNearAutoSql(4, 0.5)}""".stripMargin,
+
+    // the collapse-first treatment form: sha-256 groups → min-id reps →
+    // banded mine over reps only → member restore; keep = is-the-rep AND
+    // rep never the larger side of a rep pair (resolveKeepers' rule
+    // through the collapse — the scaladoc equivalence, re-checked in SQL)
+    "minhash_dedup" ->
+      s"""WITH $textSaturatedBandCtes,
+         |${textDedupSql(0.3)}""".stripMargin,
+
+    // the char-shingle treatment twin
+    "ngram_dedup" ->
+      s"""WITH $textSaturatedNgramBandCtes,
+         |${textDedupSql(0.5)}""".stripMargin,
 
     // the sign-plane band-key audit over the saturating replica
     // embedding corpus — the image_key_audit device, embedding edition

@@ -51,8 +51,16 @@ object Curate {
                         approxNear: Boolean): DataFrame = {
     val bucket = Sampling.hashBucket(col("doc_id"))
     val gates = CorpusFilter.decisions(docs, minQuality).drop("kept")
-    val nearPairs = if (approxNear) Dedup.minhashNearApprox(docs) else Dedup.ngramNear(docs)
-    val near = Dedup.resolveKeepers(docs, nearPairs)
+    // exact-verify arm: the collapse-first treatment form — verdict-
+    // identical to resolveKeepers over the naive ngramNear mine (the
+    // Dedup.ngramDedup scaladoc's proof; the unchanged curate oracles
+    // re-check it every round) but saturation-proof on a replica crawl,
+    // where the naive mine's candidate volume is Σ|class|²·bands. The
+    // approx arm stays the signature-only resolveKeepers form — it is
+    // the per-batch function the streaming sink maintains state for.
+    val near = (if (approxNear)
+        Dedup.resolveKeepers(docs, Dedup.minhashNearApprox(docs))
+      else Dedup.ngramDedup(docs))
       .select(col("doc_id"), col("keep").as("near_ok"))
     // contamination() reports TRAIN-slice docs only; val/bench docs are
     // vacuously clean (they are never trained on), restored via the left

@@ -1286,6 +1286,60 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Collapse-first TREATMENT form for the WORD-shingle text family —
+    * [[imageDedup]]'s discipline finally applied to text, where the
+    * replica crawl makes it matter most: byte-identical texts collapse
+    * to their min-id representative (sha-256, [[exact]]'s key), the
+    * banded mine pairs REPS only, and member verdicts restore through
+    * the fingerprint groups. PROVABLY verdict-identical to
+    * `resolveKeepers(docs, minhashNear(docs))` (DedupSpec pins it on an
+    * engineered replica corpus): a non-rep member always loses — it
+    * pairs with its smaller-id rep at J = 1.0, and identical texts are
+    * guaranteed candidates (identical signature ⇒ every band key
+    * shared) — and a rep loses iff some smaller doc near-matches it,
+    * which holds iff that doc's rep (≤ it, same shingle set) rep-pairs
+    * with it. Candidate volume drops from Σ|class|²·bands to the
+    * distinct-text mine — the saturation-proof form a replica crawl
+    * should run (and the one [[graft.operators.Curate.pipeline]]'s
+    * exact-verify near arm runs). */
+  def minhashDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                   shingleSize: Int = 3, seeds: Int = 12, bands: Int = 6,
+                   jaccardThreshold: Double = 0.3): DataFrame =
+    textDedupFrom(docs, idCol, textCol, reps =>
+      jaccardPairsFrom(minhashShingled(reps, idCol, textCol, shingleSize),
+        seeds, bands, jaccardThreshold))
+
+  /** [[minhashDedup]]'s char-shingle twin — the collapse-first form of
+    * `resolveKeepers(docs, ngramNear(docs))`, verdict-identical. */
+  def ngramDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                 n: Int = 8, seeds: Int = 12, bands: Int = 4,
+                 jaccardThreshold: Double = 0.5): DataFrame =
+    textDedupFrom(docs, idCol, textCol, reps =>
+      jaccardPairsFrom(ngramShingled(reps, idCol, textCol, n),
+        seeds, bands, jaccardThreshold))
+
+  /** The shared collapse/restore frame of [[minhashDedup]]/[[ngramDedup]]:
+    * `mine` maps the rep slice to its (a_id, b_id, …) near pairs. The
+    * fingerprint pass is materialized once (two consumers: the rep
+    * aggregation and the member restore — the imageIncrementalFrom
+    * boundary discipline). Output: one `(idCol, keep)` row per doc,
+    * keep = is-the-rep ∧ rep never the larger side of a rep pair —
+    * [[resolveKeepers]]' exact rule through the collapse. */
+  private def textDedupFrom(docs: DataFrame, idCol: String, textCol: String,
+                            mine: DataFrame => DataFrame): DataFrame = {
+    val fp = docs.select(col(idCol), sha2(col(textCol), 256).as("fp"))
+      .localCheckpoint(false)
+    val reps = fp.groupBy(col("fp")).agg(min(col(idCol)).as("__rep"))
+    val repPairs = mine(docs.join(
+      reps.select(col("__rep").as(idCol)), Seq(idCol)))
+    val losers = repPairs.select(col("b_id").as("__lrep")).distinct()
+    fp.join(reps, Seq("fp"))
+      .join(losers, col("__rep") === col("__lrep"), "left")
+      .select(col(idCol),
+        (col(idCol) === col("__rep") && col("__lrep").isNull).as("keep"))
+      .orderBy(col(idCol))
+  }
+
   /** [[bandKeyAudit]] over [[simhashNear]]'s sign-plane band keys — the
     * saturation probe for the EMBEDDING-space banded family (identical
     * vectors — duplicate docs embedded twice — share every band key, the

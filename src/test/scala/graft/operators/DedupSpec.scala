@@ -714,6 +714,29 @@ class DedupSpec extends SparkSpec {
     assert(rows(Dedup.ngramNearAuto(docs, fanoutMax = 1e9)) == explicit)
   }
 
+  test("minhashDedup/ngramDedup: collapse-first treatment form ≡ resolveKeepers over the naive mine, member for member") {
+    import spark.implicits._
+    // replica classes + a near twin + uniques: 8 copies of A, twin B
+    // (J = 0.8 to A), 2 copies of F, two far uniques — keepers must be
+    // the class min-ids minus any rep that near-loses to a smaller rep
+    val a = "aa bb cc dd ee ff"
+    val docs = ((1L to 8L).map(i => (i, a)) ++ Seq((11L, a + " gg"),
+      (20L, "pp qq rr ss tt uu"), (21L, "vv ww xx yy zz qv")) ++
+      Seq((30L, "hh ii jj kk ll mm"), (31L, "hh ii jj kk ll mm")))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    val naiveMh = rows(Dedup.resolveKeepers(docs, Dedup.minhashNear(docs)))
+    assert(rows(Dedup.minhashDedup(docs)) == naiveMh,
+      "collapse-first minhash verdicts must equal the naive mine's")
+    val naiveNg = rows(Dedup.resolveKeepers(docs, Dedup.ngramNear(docs)))
+    assert(rows(Dedup.ngramDedup(docs)) == naiveNg,
+      "collapse-first ngram verdicts must equal the naive mine's")
+    // hand count: members 2–8 lose to rep 1; twin 11 loses to 1; 31
+    // loses to 30; keepers are 1, 20, 21, 30
+    assert(naiveMh.filter(_._2).map(_._1) == Seq(1L, 20L, 21L, 30L))
+  }
+
   test("simhashNearAuto: full-bit-signature collapse on a replica embedding corpus; unsaturated side ≡ simhashNear") {
     import spark.implicits._
     // 8 byte-identical copies of A, one near twin B (1e-9 nudge on dim 0:
