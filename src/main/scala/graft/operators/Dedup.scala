@@ -1948,11 +1948,19 @@ object Dedup {
                        maxBytes: Int = 1 << 20, maxDt: Int = 8,
                        fanout: Int = 3, minVotes: Int = 5,
                        keyPeaks: Int = 2): DataFrame =
+    // both reference extracts behind a materialization boundary (the
+    // videoIncremental refFr discipline): unboundaried, the vote join's
+    // planning re-reads the decode subtree and the inline form measured
+    // 263 s at 250k clips where build(85 s) + probe(35 s) of the SAME
+    // state costs 120 s through parquet — see the ScaleSmoke audio incr
+    // rows
     audioIncrementalFrom(spark, incoming,
       Multimodal.audioLandmarks(spark, reference, idCol, blobCol,
-        windowSamples, hop, maxBytes, maxDt, fanout, keyPeaks),
+        windowSamples, hop, maxBytes, maxDt, fanout, keyPeaks)
+        .localCheckpoint(false),
       Multimodal.audioEnvelope(spark, reference, idCol, blobCol,
-        windowSamples, maxBytes, hop).select(col("env")).distinct(),
+        windowSamples, maxBytes, hop).select(col("env")).distinct()
+        .localCheckpoint(false),
       idCol, blobCol, windowSamples, hop, maxBytes, maxDt, fanout,
       minVotes, keyPeaks)
 
