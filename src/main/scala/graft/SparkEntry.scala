@@ -897,6 +897,17 @@ object SparkEntry {
       // simhash ⇒ same key in every band) to min-id reps; the oracle
       // gates both cosine-verified chains on the re-derived rule
       Dedup.simhashNearAuto(embeddingSaturatedCorpus(s, dir))),
+    "semantic_key_audit" -> ((s, dir) =>
+      // the distinct-embedding group audit: Σ|group|² is the within-cell
+      // pair volume the hot-cell split provably cannot cut (identical
+      // vectors share every sub-bucket in every band)
+      Dedup.embedKeyAudit(embeddingSaturatedCorpus(s, dir))),
+    "dedup_semantic_auto_sat" -> ((s, dir) =>
+      // the SemDeDup escape on the replica corpus: past the fan-out rule
+      // the rung runs over min-id reps of each distinct embedding and
+      // members inherit the rep verdicts (cell space = the rep slice's
+      // DISTINCT seed window — the declared trade, re-derived in SQL)
+      Dedup.semanticDedupAuto(embeddingSaturatedCorpus(s, dir))),
     "video_key_audit" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
       // the fhash key-space audit over the saturating intro-card corpus
@@ -1232,14 +1243,20 @@ object SparkEntry {
   /** The DuckDB twin of [[embeddingSaturatedCorpus]] + the dedup_simhash
     * CTE chain over it — 24 sign-plane bits in 3 bands of 8 — ending at
     * `bands` with `bits` and `esc` kept for the collapse and the verify. */
-  private def simhashSaturatedBandCtes: String =
+  /** The DuckDB twin of [[embeddingSaturatedCorpus]] alone — the
+    * `esc(vec_id, v)` replica embedding CTE shared by the simhash and
+    * semantic audit+auto oracles. */
+  private def embeddingSaturatedCte: String =
     """esc AS (SELECT a.vec_id,
       |    CASE WHEN a.vec_id % 20 >= 10
       |         THEN list_transform(range(0, 64), i ->
       |           CASE WHEN i = 0 THEN b.embedding[1]::DOUBLE + 1.0
       |                ELSE b.embedding[i+1]::DOUBLE END)
       |         ELSE b.embedding::DOUBLE[] END AS v
-      |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id % 10),
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id % 10)""".stripMargin
+
+  private def simhashSaturatedBandCtes: String =
+    s"""$embeddingSaturatedCte,
       |bits AS (SELECT vec_id, list_transform(range(0, 24), p ->
       |    CASE WHEN list_sum(list_transform(range(0, 64), i ->
       |      v[i+1] * (CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
@@ -4615,6 +4632,70 @@ object SparkEntry {
          |SELECT a_id, b_id, score FROM vr
          |WHERE score >= 0.3 AND (SELECT hot FROM dec)
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // the distinct-embedding group audit over the replica corpus —
+    // Σ|group|² is the within-cell pair floor no hot-cell dial can cut
+    "semantic_key_audit" ->
+      s"""WITH $embeddingSaturatedCte,
+         |g AS (SELECT v, count(*) AS gn FROM esc GROUP BY v)
+         |SELECT CAST(sum(gn) AS BIGINT) AS n_vecs,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(max(gn) AS BIGINT) AS max_group,
+         |  round(sum(gn)::DOUBLE / count(*), 6) AS mean_group,
+         |  CAST(sum(gn * gn) AS DOUBLE) AS est_candidates
+         |FROM g""".stripMargin,
+
+    // the SemDeDup exact-collapse escape: the fan-out rule gates the
+    // naive within-cell chain vs the rep-slice chain + member restore
+    // (members share their rep's cell, lose to it, and inherit its
+    // dup_of; the rep slice re-seeds from its own vec_id < 16 window)
+    "dedup_semantic_auto_sat" ->
+      s"""WITH $embeddingSaturatedCte,
+         |g AS MATERIALIZED (SELECT v, min(vec_id) AS rep, count(*) AS gn
+         |     FROM esc GROUP BY v),
+         |dec AS (SELECT CAST(sum(gn * gn) AS DOUBLE)
+         |               > 16.0 * greatest(sum(gn), 1) AS hot FROM g),
+         |cents AS (SELECT list(v ORDER BY vec_id) AS cl FROM esc WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, v, CAST(list_position(sc, list_max(sc)) AS BIGINT) AS cell FROM (
+         |    SELECT esc.vec_id, esc.v,
+         |           list_transform(range(1, 17), ci -> ${cosRawSql("cl[ci]", "esc.v")}) AS sc
+         |    FROM esc, cents) t),
+         |dups AS (
+         |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v")} >= 0.4
+         |  GROUP BY b.vec_id),
+         |naive AS (SELECT s.vec_id, s.cell, (d.dup_of IS NULL) AS keep, d.dup_of
+         |          FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id),
+         |escr AS (SELECT g.rep AS vec_id, g.v FROM g),
+         |centsr AS (SELECT list(v ORDER BY vec_id) AS cl FROM escr WHERE vec_id < 16),
+         |assignedr AS (
+         |  SELECT vec_id, v, CAST(list_position(sc, list_max(sc)) AS BIGINT) AS cell FROM (
+         |    SELECT escr.vec_id, escr.v,
+         |           list_transform(range(1, len(cl) + 1), ci -> ${cosRawSql("cl[ci]", "escr.v")}) AS sc
+         |    FROM escr, centsr) t),
+         |dupsr AS (
+         |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+         |  FROM assignedr a JOIN assignedr b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v")} >= 0.4
+         |  GROUP BY b.vec_id),
+         |baser AS (SELECT s.vec_id, s.cell, (d.dup_of IS NULL) AS keep, d.dup_of
+         |          FROM assignedr s LEFT JOIN dupsr d ON s.vec_id = d.vec_id),
+         |rest AS (SELECT e2.vec_id, br.cell,
+         |           (e2.vec_id = g.rep AND br.keep) AS keep,
+         |           CASE WHEN e2.vec_id = g.rep THEN br.dup_of
+         |                ELSE coalesce(br.dup_of, g.rep) END AS dup_of
+         |         FROM esc e2 JOIN g ON e2.v = g.v
+         |         JOIN baser br ON br.vec_id = g.rep)
+         |SELECT vec_id, cell, keep, dup_of FROM naive
+         |WHERE NOT (SELECT hot FROM dec)
+         |UNION ALL
+         |SELECT vec_id, cell, keep, dup_of FROM rest
+         |WHERE (SELECT hot FROM dec)
+         |ORDER BY vec_id""".stripMargin,
 
     // the fhash key-space audit: bucket sizes by exact frame hash over the
     // saturating intro-card corpus; Σ|bucket|² is the vote join's pre-cut

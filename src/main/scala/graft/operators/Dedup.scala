@@ -2718,10 +2718,81 @@ object Dedup {
     * the same `tau` (the two-level form's hot-cell/auto-cap dials keep
     * their own defaults — `maxCell = 0` self-caps). RungPickerSpec pins auto ≡
     * explicit on both sides of the threshold. */
+  /** Distinct-embedding group audit — the replica probe for the SEMANTIC
+    * family, where the saturation mechanism is the same document embedded
+    * N times (re-crawls, re-ingests): N byte-identical vectors land in
+    * the same cell AND the same simhash sub-bucket in every band — the
+    * hot-cell split physically cannot separate identical points, so
+    * within-cell pair volume grows as Σ|group|² and no
+    * (nCells, subBits, subBands) dial can cut it. One bounded row:
+    * `n_vecs`, `n_distinct`, `max_group`, `mean_group`,
+    * `est_candidates` = Σ|group|² (decimal(38,0) → double). */
+  def embedKeyAudit(e: DataFrame): DataFrame =
+    e.groupBy(col("embedding")).agg(count(lit(1)).as("gn"))
+      .agg(sum(col("gn")).as("n_vecs"),
+        count(lit(1)).as("n_distinct"),
+        max(col("gn")).as("max_group"),
+        round(sum(col("gn")).cast("double") / count(lit(1)), 6).as("mean_group"),
+        sum(col("gn").cast("decimal(38,0)") * col("gn"))
+          .cast("double").as("est_candidates"))
+
+  /** [[semanticDedup]] with BOTH self-dialing rungs: the flat-vs-two-level
+    * pick from the requested cell count ([[graft.operators.Ann.FlatCellMax]]
+    * — the literal-size dial, not a throughput claim: two-level is
+    * measured SLOWER at 1M vectors and exists for the regime where the
+    * flat `nCells × dim` plan literal + driver collect is untenable; at
+    * `nCells ≤ flatCellMax` this IS [[semanticDedup]], above it is
+    * [[semanticDedup2]] with `nFine = nCells`, `nCoarse = ⌈√nCells⌉`;
+    * RungPickerSpec pins auto ≡ explicit on both sides), and — round 15 —
+    * the EXACT-COLLAPSE escape gated on [[embedKeyAudit]]: past
+    * `fanoutMax` expected within-group pairs per vector the corpus is
+    * replica-saturated (the regime the hot-cell split provably cannot
+    * cut — identical vectors share every sub-bucket) and the rung runs
+    * over min-id representatives of each DISTINCT embedding, with member
+    * verdicts inherited exactly: a member's cell is its rep's (same
+    * vector, same assignment), keep is false (its rep is a strictly
+    * smaller same-cell cosine-1 match), and dup_of is the rep's dup_of
+    * if the rep itself lost, else the rep. Declared trade: the escalated
+    * arm's CELL SPACE is the rep slice's — the `vec_id < nCells` seed
+    * window now draws from DISTINCT vectors, so cell ordinals differ
+    * from the naive rung's wherever the naive window contained
+    * duplicates. That is the better geometry, not a concession: on a
+    * replica-saturated corpus the naive seed list is mostly copies of
+    * one vector (DedupSpec's corpus seeds 8 identical centroids out of
+    * 9), a degenerate quantizer. keep/dup_of agree with the naive mine
+    * whenever the two assignments induce the same co-cell relation
+    * (DedupSpec pins exact keep/dup_of agreement on the replica corpus);
+    * the oracle re-derives the rep-slice seed list verbatim. */
   def semanticDedupAuto(e: DataFrame, nCells: Int = 16, tau: Double = 0.4,
-                        flatCellMax: Int = Ann.FlatCellMax): DataFrame =
-    if (nCells <= flatCellMax) semanticDedup(e, nCells, tau)
-    else semanticDedup2(e, nCells, Ann.coarseFor(nCells), tau)
+                        flatCellMax: Int = Ann.FlatCellMax,
+                        fanoutMax: Double = 16.0): DataFrame = {
+    def rung(x: DataFrame): DataFrame =
+      if (nCells <= flatCellMax) semanticDedup(x, nCells, tau)
+      else semanticDedup2(x, nCells, Ann.coarseFor(nCells), tau)
+    val a = embedKeyAudit(e).head
+    val saturated = !a.isNullAt(0) &&
+      a.getAs[Double]("est_candidates") >
+        fanoutMax * math.max(a.getLong(0), 1L).toDouble
+    if (!saturated) rung(e)
+    else {
+      val groups = e.groupBy(col("embedding")).agg(min(col("vec_id")).as("__rep"))
+        .localCheckpoint(false)
+      val base = rung(e.join(
+          groups.select(col("__rep").as("vec_id")), Seq("vec_id")))
+        .withColumnRenamed("vec_id", "__rep")
+      val restoredCols = base.columns.filter(_ != "__rep").map {
+        case "keep" => (col("vec_id") === col("__rep") && col("keep")).as("keep")
+        case "dup_of" => when(col("vec_id") === col("__rep"), col("dup_of"))
+          .otherwise(coalesce(col("dup_of"), col("__rep"))).as("dup_of")
+        case c => col(c)
+      }
+      e.select(col("vec_id"), col("embedding"))
+        .join(groups, Seq("embedding"))
+        .join(base, Seq("__rep"))
+        .select(col("vec_id") +: restoredCols.toSeq: _*)
+        .orderBy(col("vec_id"))
+    }
+  }
 
   /** X3d' — incremental SEMANTIC dedup, completing the incremental family
     * (exact/minhash/ngram have batch-vs-reference twins; the embedding

@@ -714,6 +714,50 @@ class DedupSpec extends SparkSpec {
     assert(rows(Dedup.ngramNearAuto(docs, fanoutMax = 1e9)) == explicit)
   }
 
+  test("semanticDedupAuto: exact-collapse escape on a replica embedding corpus — members inherit rep verdicts, keep/dup_of agree with the naive mine") {
+    import spark.implicits._
+    // 8 identical copies of A, a near twin B (cosine ≈ 1 ≥ tau), two
+    // orthogonal far vectors — the hot-cell split provably cannot cut
+    // this corpus (identical vectors share every sub-bucket), the
+    // exact-collapse escape can, and its restored verdicts must equal
+    // the naive mine's row for row
+    val a = Array.tabulate(64)(i => if (i < 8) 1.0 else 0.0).toSeq
+    val b = a.updated(0, 1.0 + 1e-9)
+    val f1 = Array.tabulate(64)(i => if (i >= 30 && i < 38) 1.0 else 0.0).toSeq
+    val f2 = Array.tabulate(64)(i => if (i >= 50 && i < 58) 1.0 else 0.0).toSeq
+    val e = ((1L to 8L).map(i => (i, a)) ++ Seq((11L, b), (20L, f1), (21L, f2)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    val naive = rows(Dedup.semanticDedup(e))
+    // est/n = 67/11 ≈ 6.1 < 16, so the default dial does NOT saturate —
+    // fanoutMax = 2 pins the escalated branch on the same corpus (the
+    // imageNearAuto device)
+    val escalated = rows(Dedup.semanticDedupAuto(e, fanoutMax = 2.0))
+    // keep/dup_of must agree with the naive mine exactly; cell ordinals
+    // are the DECLARED trade (the rep slice's seed window draws distinct
+    // vectors — here 2 seeds where the naive window holds 9, 8 of them
+    // copies of A — so the ordinal spaces differ by construction)
+    assert(escalated.map(r => (r._1, r._3, r._4)) ==
+      naive.map(r => (r._1, r._3, r._4)),
+      s"collapse-restored keep/dup_of must equal the naive mine's:\n$escalated\nvs\n$naive")
+    // member inheritance: 2–8 lose to rep 1; the twin 11 loses to 1 in
+    // BOTH forms (same cell as A under either seed geometry)
+    assert(escalated.filter(r => r._1 >= 2 && r._1 <= 8)
+      .forall(r => !r._3 && r._4 == 1L))
+    // members share their rep's cell
+    val cellOf = escalated.map(r => r._1 -> r._2).toMap
+    assert((2L to 8L).forall(i => cellOf(i) == cellOf(1L)))
+    // unsaturated branch: IS the naive rung, cells included
+    assert(rows(Dedup.semanticDedupAuto(e)) == naive)
+    // audit hand count: 11 vectors, 4 distinct, max group 8, est 64+1+1+1
+    val audit = Dedup.embedKeyAudit(e).head
+    assert(audit.getLong(0) == 11 && audit.getLong(1) == 4 &&
+      audit.getLong(2) == 8 &&
+      audit.getAs[Double]("est_candidates") == 67.0)
+  }
+
   test("minhashDedup/ngramDedup: collapse-first treatment form ≡ resolveKeepers over the naive mine, member for member") {
     import spark.implicits._
     // replica classes + a near twin + uniques: 8 copies of A, twin B
