@@ -364,6 +364,40 @@ object ScaleSmoke {
           subBands = 2)
         .queryExecution.toRdd.count()
     }
+    // the replica saturation regime, EMBEDDING edition: every vector
+    // replaced by its class rep's (2000 classes of ~500 identical copies
+    // at 1M rows) — identical vectors share one cell AND one simhash
+    // sub-bucket in every band, so the hot-cell split cannot cut the
+    // Σ|group|² pair floor. The audit measures it; the auto escape
+    // collapses to the 2000 distinct vectors; the naive form is
+    // registered on a 1% slice only (the bounded quadratic-arm row).
+    locally {
+      val cls = e.where(col("vec_id") < 2000)
+        .select(col("vec_id").as("__cls"), col("embedding"))
+      val esat = e.select(col("vec_id"), (col("vec_id") % 2000).as("__cls"))
+        .join(broadcast(cls), Seq("__cls"))
+        .select(col("vec_id"), col("embedding"))
+      stage("semantic key audit (sat)") {
+        D.embedKeyAudit(esat).queryExecution.toRdd.count()
+      }
+      stage("semantic dedup (sat 1%)") {
+        // id-prefix slice, not a hash bucket: the naive form's seeding
+        // contract reads vec_id < nCells, which a hash slice would drop
+        D.semanticDedup(esat.where(col("vec_id") < 10000))
+          .queryExecution.toRdd.count()
+      }
+      stage("semantic split (sat 1%)") {
+        // the blind-spot MEASUREMENT: the hot-cell split on the same
+        // slice — identical vectors share every sub-bucket, so the split
+        // must cost ≈ the naive form (sub-bucketing cannot cut Σ|group|²)
+        D.semanticDedupSplit(esat.where(col("vec_id") < 10000),
+            nCells = 16, tau = 0.4, maxCell = 100)
+          .queryExecution.toRdd.count()
+      }
+      stage("semantic dedup auto (sat)") {
+        D.semanticDedupAuto(esat).queryExecution.toRdd.count()
+      }
+    }
     stage(s"bitext mine c$nc p4") {
       // two-set margin mining at the IVF dial: candidate fan-out is
       // nProbe·|X|·|Y|/nCells — nc grows with the corpus so per-cell pair
