@@ -612,4 +612,36 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(graft.operators.Curate.pipelineMultimodal(spark, docs, blobs))
     assert(!p.contains("CartesianProduct"), s"cartesian in the composed frame:\n$p")
   }
+
+  test("text treatment forms: collapse + rep mine + restore stay equi-joined, never a cartesian") {
+    val docs = Tables.documents(spark, dir)
+    Seq(graft.operators.Dedup.minhashDedup(docs),
+        graft.operators.Dedup.ngramDedup(docs)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"treatment form lost a key:\n$p")
+      // the restore is a fingerprint equi-join (fp carried as the key)
+      assert("""(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[fp#\d+""".r
+        .findFirstIn(p).isDefined, s"member restore not keyed on fp:\n$p")
+    }
+  }
+
+  test("semanticDedupAuto saturated arm: rep mine + member restore keyed, never a nested loop") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // replica corpus saturates at fanoutMax = 2 (the DedupSpec device)
+    val a = Array.tabulate(64)(i => if (i < 8) 1.0 else 0.0).toSeq
+    val e = ((1L to 8L).map(i => (i, a)) ++
+      Seq((11L, a.updated(0, 1.0 + 1e-9)),
+        (20L, Array.tabulate(64)(i => if (i >= 30 && i < 38) 1.0 else 0.0).toSeq)))
+      .toDF("vec_id", "embedding")
+    val p = plan(graft.operators.Dedup.semanticDedupAuto(e, fanoutMax = 2.0))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"saturated semantic arm lost a key:\n$p")
+    // the member restore is hash-keyed (Catalyst may key it on the group
+    // key itself or on the derived __rep — either is the equi-join
+    // contract; a nested loop is the failure)
+    assert("""(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[(?:embedding|__rep)#\d+""".r
+      .findFirstIn(p).isDefined, s"member restore not hash-keyed:\n$p")
+  }
 }
