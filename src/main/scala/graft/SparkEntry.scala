@@ -823,6 +823,33 @@ object SparkEntry {
             concat(lit(header), md5(col("text")).cast("binary"),
               col("text").cast("binary")).as("blob"))))
     }),
+    "video_still_match" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, expr, length, lit, octet_length}
+      // the CROSS-MODAL device: videos are the sliced-doc corpus (sample i
+      // = text[i*32,(i+1)*32)); images are frame-1 slices of the bucket<10
+      // docs, odd ids with byte 6 swapped to '~' (a bounded gradient tweak
+      // — flips <= 2 dHash bits, so the NEAR arm is live, not just exact
+      // equality). The oracle re-derives BOTH hash passes and brute-forces
+      // the cross-side Hamming verify — banding is lossless at
+      // maxHamming <= bands - t, so the banded mine must return exactly
+      // the brute-forced verdict rows
+      val header = Multimodal.mp4VideoFramesHeader()
+      val base = Tables.documents(s, dir)
+        .where(octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) >= 64 &&
+          graft.operators.Sampling.hashBucket(col("doc_id")) < 20)
+      val videos = base.select(col("doc_id"),
+        concat(lit(header), col("text").cast("binary")).as("blob"))
+      val images = base
+        .where(graft.operators.Sampling.hashBucket(col("doc_id")) < 10)
+        .select(col("doc_id"), expr(
+          """cast(CASE WHEN doc_id % 2 = 1
+            |     THEN concat(substring(substring(text, 33, 32), 1, 5), '~',
+            |                 substring(substring(text, 33, 32), 7))
+            |     ELSE substring(text, 33, 32) END as binary)""".stripMargin)
+          .as("blob"))
+      Dedup.videoStillMatches(s, videos, images, maxHamming = 6)
+    }),
     "video_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat, length, lit, md5, octet_length}
       // the treatment form's three-arm corpus: each sliced doc as an
@@ -4445,6 +4472,39 @@ object SparkEntry {
          |${videoFrameHashCtes}
          |SELECT doc_id, frame_no, fhash FROM fh
          |ORDER BY doc_id, frame_no""".stripMargin,
+
+    // cross-modal video <-> image still match: the oracle re-derives BOTH
+    // hash passes (frame slices via the videoFrameHashCtes walk, image
+    // grids via the ascii device) and brute-forces the cross-side Hamming
+    // verify — banding is lossless at maxHamming <= bands - t, so the
+    // engine's distinct-hash banded mine + member restore must reproduce
+    // exactly these (video, image) verdict rows
+    "video_still_match" ->
+      s"""WITH d0 AS (SELECT doc_id, text FROM documents
+         |  WHERE strlen(text) = length(text) AND strlen(text) >= 64
+         |    AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 20),
+         |vc AS (SELECT doc_id, text FROM d0),
+         |${videoFrameHashCtes},
+         |ib AS (SELECT doc_id AS image_id,
+         |         CASE WHEN doc_id % 2 = 1 THEN substr(t, 1, 5) || '~' || substr(t, 7)
+         |              ELSE t END AS t
+         |       FROM (SELECT doc_id, substr(text, 33, 32) AS t FROM d0
+         |             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 10) z),
+         |ig AS (SELECT image_id, list_transform(range(0, 64), i ->
+         |         CASE WHEN i < strlen(t)
+         |              THEN ascii(substr(t, CAST(i+1 AS BIGINT), 1)) ELSE 0 END) AS gr
+         |       FROM ib),
+         |ih AS (SELECT image_id, CAST(list_sum(list_transform(range(0, 56), k ->
+         |         CASE WHEN gr[CAST((k//7)*8 + (k%7) + 2 AS BIGINT)]
+         |                   > gr[CAST((k//7)*8 + (k%7) + 1 AS BIGINT)]
+         |              THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE 0 END)) AS BIGINT) AS ph
+         |       FROM ig)
+         |SELECT f.doc_id AS video_id, h.image_id,
+         |       CAST(count(*) AS BIGINT) AS frames_matched,
+         |       CAST(min(bit_count(xor(f.fhash, h.ph))) AS BIGINT) AS min_hamming
+         |FROM fh f JOIN ih h ON bit_count(xor(f.fhash, h.ph)) <= 6
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
 
     // frame-vote pairing over the re-introed-twin corpus: per-frame hashes
     // for both arms (arm B = one 32-byte md5-hex junk frame prepended),

@@ -2598,6 +2598,91 @@ object Dedup {
       batchVote.unionByName(batchFp).distinct(), idCol, "is_video")
   }
 
+  /** X3j — CROSS-MODAL video ↔ image still match: which videos contain
+    * frames that near-duplicate a known image corpus (and which corpus
+    * images appear inside videos) — the laundering audit a training
+    * pipeline runs when stills it already curated re-enter as video
+    * frames (slideshows, screen recordings, image-to-video re-encodes).
+    * Well-defined because both modalities hash through the SAME feature
+    * space: [[Multimodal.videoFrameHashes]] and [[Multimodal.imagePHash]]
+    * share `dhash56 ∘ grayGrid` (a video sample and a still of the same
+    * picture land on near-equal 56-bit signatures), so cross-side
+    * proximity is ordinary Hamming distance.
+    *
+    * Shape — collapse-first BY CONSTRUCTION (the [[imageDedup]] /
+    * [[minhashDedup]] discipline, applied cross-side): the banded-Hamming
+    * mine runs at the DISTINCT-HASH level (distinct fhashes × distinct
+    * phashes through the lossless [[bandSubsetKeys]] buckets, cross-side
+    * equi-join on (band, key), exact popcount verify on candidates only),
+    * so replica images and repeated frames NEVER multiply the verify —
+    * a million copies of one meme are one hash row in the mine. Members
+    * restore through two equi-joins on the hash value: frames
+    * pre-aggregated to (video, fhash, n-frames) rows — signature-sized,
+    * pixels never shuffle — and the verdict is one (video, image)-keyed
+    * aggregation. Output: one row per matched (video, image) pair with
+    * `frames_matched` (how many of the video's extracted samples sit
+    * within `maxHamming` of the image) and `min_hamming`. The restore
+    * join's row count is the verdict row count — output-proportional,
+    * the honest price of naming every matched pair.
+    *
+    * `agreeBands = 0` derives the lossless band-subset size from the
+    * UNION distinct-hash count ([[autoAgreeBands]] — cross-side pairs
+    * within `maxHamming` agree on ≥ bands−maxHamming bands, so any
+    * clamped t is lossless and the output is t-independent). Non-MP4
+    * blobs on the video side yield no frames ([[Multimodal
+    * .videoFrameHashes]]'s contract) and so no rows here. */
+  def videoStillMatches(spark: org.apache.spark.sql.SparkSession,
+                        videos: DataFrame, images: DataFrame,
+                        idCol: String = "doc_id", blobCol: String = "blob",
+                        maxFrames: Int = 16, maxBytes: Int = 1 << 20,
+                        bands: Int = 8, maxHamming: Int = 3,
+                        agreeBands: Int = 0, minFrames: Int = 1): DataFrame = {
+    require(56 % bands == 0, s"bands must divide 56, got $bands")
+    require(agreeBands >= 0 && maxHamming >= 0 &&
+      maxHamming <= bands - math.max(agreeBands, 1),
+      s"need maxHamming in [0, bands - agreeBands] for lossless band-subset keys, " +
+        s"got maxHamming=$maxHamming agreeBands=$agreeBands bands=$bands")
+    // persist: the frame table feeds the distinct-hash mine AND the member
+    // restore; the image hash table likewise — without a cache each branch
+    // re-runs the blob-decode mapPartitions pass (the dominant cost)
+    val fr = Multimodal.videoFrameHashes(spark, videos, idCol, blobCol,
+      maxFrames, maxBytes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ih = Multimodal.imagePHash(spark, images, idCol, blobCol)
+      .select(col(idCol).as("image_id"), col("phash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfh = fr.select(col("fhash")).distinct()
+    val dph = ih.select(col("phash")).distinct()
+    // one bounded action buys the lossless t for BOTH sides (the banding
+    // must be identical across sides for the pigeonhole argument to span
+    // them, so the dial reads the union's distinct count)
+    val t = if (agreeBands == 0)
+      autoAgreeBands(
+        dfh.select(col("fhash").as("h"))
+          .union(dph.select(col("phash").as("h"))).distinct().count(),
+        bands, 56, maxHamming)
+    else agreeBands
+    val ka = bandSubsetKeys(dfh, "fhash", "fhash", bands, 56, t)
+      .select(col("doc_id").as("fhash"), col("band"), col("key"))
+    val kb = bandSubsetKeys(dph, "phash", "phash", bands, 56, t)
+      .select(col("doc_id").as("phash"), col("band"), col("key"))
+    val hp = ka.join(kb, Seq("band", "key"))
+      .select(col("fhash"), col("phash")).distinct()
+      .withColumn("hamming", expr("bit_count(fhash ^ phash)").cast("bigint"))
+      .where(col("hamming") <= maxHamming)
+    // member restore: frames collapse to (video, fhash, n) first so the
+    // hash-keyed joins carry one row per distinct hash per video
+    val vf = fr.groupBy(col(idCol).as("video_id"), col("fhash"))
+      .agg(count(lit(1)).as("__nf"))
+    vf.join(hp, Seq("fhash"))
+      .join(ih, Seq("phash"))
+      .groupBy(col("video_id"), col("image_id"))
+      .agg(sum(col("__nf")).cast("bigint").as("frames_matched"),
+        min(col("hamming")).as("min_hamming"))
+      .where(col("frames_matched") >= minFrames)
+      .orderBy(col("video_id"), col("image_id"))
+  }
+
   /** [[imageNear]]'s TREATMENT form, and its 100 TB shape: per-doc
     * keep/group verdicts with LINEAR output. [[imageNear]]'s pair list is
     * inherently quadratic on grid-identical groups (N boilerplate-prefixed

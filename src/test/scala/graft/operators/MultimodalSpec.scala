@@ -704,4 +704,53 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.head.getSeq[Double](1) == expected.toSeq)
     assert(feats.forall(_.getSeq[Double](1).length == 16))
   }
+
+  test("videoStillMatches: cross-modal verdicts — exact, 1-bit drift, replica restore, repeated frames") {
+    import spark.implicits._
+    val header = Multimodal.mp4VideoFramesHeader()
+    def text(phase: Int, n: Int): Array[Byte] =
+      (0 until n).map(i => ('a' + (i * 7 + phase) % 26).toChar).mkString
+        .getBytes("US-ASCII")
+    val t1 = text(0, 96)  // video 1: 3 frames
+    val t2 = text(3, 96)  // video 2: 3 frames, distinct content
+    val fX = text(11, 32) // the frame video 3 repeats
+    // 1-bit drift of video 2's frame 0 (the videoNearHamming device:
+    // byte 31 participates only in the row-3 c=6 gradient — bit 27)
+    val near = java.util.Arrays.copyOfRange(t2, 0, 32)
+    val prev = near(30) & 0xff
+    near(31) = (if ((near(31) & 0xff) > prev) math.max(prev - 1, 0)
+                else math.min(prev + 1, 255)).toByte
+    val videos = Seq(
+      (1L, header ++ t1),
+      (2L, header ++ t2),
+      (3L, header ++ fX ++ fX),            // same frame TWICE
+      (4L, text(17, 64))                   // NOT an mp4 — must yield nothing
+    ).toDF("doc_id", "blob")
+    val images = Seq(
+      (10L, java.util.Arrays.copyOfRange(t1, 32, 64)), // exact copy of v1 frame 1
+      (11L, near),                                     // 1-bit drift of v2 frame 0
+      (12L, text(23, 32)),                             // junk: matches nothing
+      (13L, java.util.Arrays.copyOfRange(t1, 32, 64)), // REPLICA of image 10
+      (14L, fX)                                        // v3's repeated frame
+    ).toDF("doc_id", "blob")
+    val out = Dedup.videoStillMatches(spark, videos, images)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // replica images BOTH restore through the distinct-hash collapse;
+    // the repeated frame counts twice; the drift pair carries hamming 1
+    assert(out.toSeq == Seq(
+      (1L, 10L, 1L, 0L), (1L, 13L, 1L, 0L),
+      (2L, 11L, 1L, 1L),
+      (3L, 14L, 2L, 0L)))
+    // minFrames filters on the restored frame count
+    assert(Dedup.videoStillMatches(spark, videos, images, minFrames = 2)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // maxHamming = 0 degenerates to exact frame-copy detection
+    assert(Dedup.videoStillMatches(spark, videos, images, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (1L, 13L), (3L, 14L)))
+    // explicit agreeBands dial is lossless — same verdicts as auto-t
+    assert(Dedup.videoStillMatches(spark, videos, images, agreeBands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == out.toSeq)
+  }
 }
