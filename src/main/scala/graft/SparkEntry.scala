@@ -912,6 +912,35 @@ object SparkEntry {
     "ngram_dedup" -> ((s, dir) =>
       // the char-shingle treatment twin (4 bands, tau 0.5)
       Dedup.ngramDedup(textSaturatedCorpus(s, dir))),
+    "verbatim_overlap" -> ((s, dir) =>
+      // pair-level exact-substring detection over the quote device: each
+      // bucket<10 doc carries an appended 8-word CLASS QUOTE (doc_id % 3),
+      // so same-class quoted pairs share a verbatim 8-token run — the
+      // oracle re-derives positional shingles + the diagonal island merge
+      Dedup.verbatimOverlap(quoteOverlapCorpus(s, dir), minRunTokens = 8)),
+    "shared_runs" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      // the composable form: run lengths RESTRICTED to supplied candidate
+      // pairs (doc_id, doc_id+3 — same quote class mod 3, so some pairs
+      // carry the 8-token run and cross-bucket ones report the ZERO row,
+      // exercising the left-join fill)
+      val corpus = quoteOverlapCorpus(s, dir)
+      Dedup.sharedRunsFor(corpus,
+        corpus.select(col("doc_id").as("a_id"),
+          (col("doc_id") + lit(3L)).as("b_id")))
+    }),
+    "overlap_key_audit" -> ((s, dir) =>
+      // the positional-shingle saturation probe over the replica-crawl
+      // corpus: byte-identical docs share every shingle at every
+      // position, so est_candidates/n_positions ≫ 16 — measured as one row
+      Dedup.overlapKeyAudit(textSaturatedCorpus(s, dir))),
+    "verbatim_overlap_auto" -> ((s, dir) =>
+      // the self-dialing replica escape for the positional family: the
+      // audit's fan-out rule gates the full co-occurrence chain vs the
+      // sha-256 rep mine — this corpus saturates, so the rep arm is live;
+      // class variants share their 6-token prefix run (island of 2
+      // five-word shingles)
+      Dedup.verbatimOverlapAuto(textSaturatedCorpus(s, dir), minRunTokens = 6)),
     "simhash_key_audit" -> ((s, dir) =>
       // the sign-plane band-key audit over the saturating replica
       // embedding corpus (every vector replaced by its class rep's —
@@ -1061,6 +1090,23 @@ object SparkEntry {
         |    substring(md5(cast(doc_id % 10 as string)), 21, 5),
         |    substring(md5(cast(doc_id % 10 as string)), 26, 5)),
         |  CASE WHEN doc_id % 20 < 10 THEN '' ELSE ' zvariant' END)""".stripMargin).as("text"))
+  }
+
+  /** The verbatim-overlap device: bucket<20 docs, with each bucket<10 doc
+    * carrying an appended 8-word CLASS QUOTE (8 four-hex-char words cut
+    * from `md5(doc_id % 3)`) — known shared runs of exactly 8 tokens
+    * within a quote class, zero engineered overlap across classes, and
+    * the unquoted half contributing only natural text repeats (mirrored
+    * exactly by the oracle's ground truth). */
+  private def quoteOverlapCorpus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, md5, substring, when}
+    val b = graft.operators.Sampling.hashBucket(col("doc_id"))
+    val quote = concat_ws(" ", (0 until 8).map(i =>
+      substring(md5((col("doc_id") % 3).cast("string")), i * 4 + 1, 4)): _*)
+    Tables.documents(s, dir).where(b < 20)
+      .select(col("doc_id"),
+        when(b < 10, concat(col("text"), lit(" "), quote))
+          .otherwise(col("text")).as("text"))
   }
 
   /** The SATURATING embedding corpus for the simhash audit pair: every
@@ -1266,6 +1312,39 @@ object SparkEntry {
        |FROM fpt f JOIN rp r USING (fp)
        |LEFT JOIN losers l ON r.rep = l.b_id
        |ORDER BY f.doc_id""".stripMargin
+
+  /** The DuckDB twin of [[quoteOverlapCorpus]] — `qc(doc_id, text)`. */
+  private def quoteOverlapCorpusCte: String =
+    """qc AS (SELECT doc_id,
+      |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 10
+      |         THEN text || ' ' || array_to_string(list_transform(range(0, 8),
+      |                i -> substr(md5(CAST(doc_id % 3 AS VARCHAR)), CAST(i*4+1 AS BIGINT), 4)), ' ')
+      |         ELSE text END AS text
+      |  FROM documents
+      |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 20)""".stripMargin
+
+  /** Positional 5-word-shingle postings over a `(doc_id, text)` CTE named
+    * `src` — `pos(doc_id, pos, h)`, h = the engine's 56-bit digest of the
+    * single-space-joined slice (the trimSpans/verbatimOverlap identity). */
+  private def positionalShingleCtes(src: String): String =
+    s"""ptoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+       |pos AS MATERIALIZED (SELECT doc_id, u.p AS pos, u.h AS h FROM (
+       |  SELECT doc_id, unnest(list_transform(range(0, len(t) - 4),
+       |    i -> {'p': i,
+       |          'h': CAST(('0x' || substr(md5(array_to_string(t[i+1:i+5], ' ')), 1, 14))::UBIGINT AS BIGINT)})) AS u
+       |  FROM ptoks WHERE len(t) >= 5) q)""".stripMargin
+
+  /** The diagonal island merge over a co-occurrence CTE `co(a_id, b_id,
+    * pa, diag)` → `ragg(a_id, b_id, max_run_tokens, n_cooccurrences)`
+    * (run tokens = island length + shingleSize − 1 at k=5). */
+  private def runAggSql: String =
+    """runs AS (SELECT a_id, b_id, diag, grp, count(*) AS len FROM (
+      |  SELECT a_id, b_id, diag,
+      |         pa - row_number() OVER (PARTITION BY a_id, b_id, diag ORDER BY pa) AS grp
+      |  FROM co) z GROUP BY 1, 2, 3, 4),
+      |ragg AS (SELECT a_id, b_id, CAST(max(len) + 4 AS BIGINT) AS max_run_tokens,
+      |                CAST(sum(len) AS BIGINT) AS n_cooccurrences
+      |         FROM runs GROUP BY 1, 2)""".stripMargin
 
   /** The DuckDB twin of [[embeddingSaturatedCorpus]] + the dedup_simhash
     * CTE chain over it — 24 sign-plane bits in 3 bands of 8 — ending at
@@ -4656,6 +4735,81 @@ object SparkEntry {
     "ngram_dedup" ->
       s"""WITH $textSaturatedNgramBandCtes,
          |${textDedupSql(0.5)}""".stripMargin,
+
+    // pair-level exact-substring detection: positional shingles, hash
+    // co-occurrence join, diagonal island merge — a shared island of m
+    // consecutive positions IS a verbatim run of m+4 tokens (k=5)
+    "verbatim_overlap" ->
+      s"""WITH $quoteOverlapCorpusCte,
+         |${positionalShingleCtes("qc")},
+         |co AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS pa,
+         |              a.pos - b.pos AS diag
+         |       FROM pos a JOIN pos b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |$runAggSql
+         |SELECT * FROM ragg WHERE max_run_tokens >= 8
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // the composable pair-restricted form: co-occurrences semi-join the
+    // candidate list, absent-overlap pairs restore as the ZERO row
+    "shared_runs" ->
+      s"""WITH $quoteOverlapCorpusCte,
+         |${positionalShingleCtes("qc")},
+         |p AS (SELECT doc_id AS a_id, doc_id + 3 AS b_id FROM qc),
+         |co AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS pa,
+         |              a.pos - b.pos AS diag
+         |       FROM pos a JOIN pos b ON a.h = b.h AND a.doc_id < b.doc_id
+         |       JOIN p ON a.doc_id = p.a_id AND b.doc_id = p.b_id),
+         |$runAggSql
+         |SELECT p.a_id, p.b_id,
+         |       coalesce(r.max_run_tokens, 0) AS max_run_tokens,
+         |       coalesce(r.n_cooccurrences, 0) AS n_cooccurrences
+         |FROM p LEFT JOIN ragg r ON p.a_id = r.a_id AND p.b_id = r.b_id
+         |ORDER BY p.a_id, p.b_id""".stripMargin,
+
+    // the positional-shingle saturation probe over the replica corpus
+    "overlap_key_audit" ->
+      s"""WITH $textSaturatedCorpusCte,
+         |${positionalShingleCtes("tsc")},
+         |b AS (SELECT h, count(*) AS bn FROM pos GROUP BY h)
+         |SELECT CAST(sum(bn) AS BIGINT) AS n_positions,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(max(bn) AS BIGINT) AS max_bucket,
+         |  round(sum(bn)::DOUBLE / count(*), 6) AS mean_bucket,
+         |  CAST(sum(bn * bn) AS DOUBLE) AS est_candidates
+         |FROM b""".stripMargin,
+
+    // the self-dialing replica escape: the fan-out rule gates the full
+    // co-occurrence chain vs the sha-256 rep chain — this corpus
+    // saturates, so the rep arm is the live one on both engines
+    "verbatim_overlap_auto" ->
+      s"""WITH $textSaturatedCorpusCte,
+         |${positionalShingleCtes("tsc")},
+         |b AS (SELECT h, count(*) AS bn FROM pos GROUP BY h),
+         |dec AS (SELECT CAST(sum(bn * bn) AS DOUBLE)
+         |               > 16.0 * greatest(sum(bn), 1) AS hot FROM b),
+         |rep AS MATERIALIZED (SELECT min(doc_id) AS doc_id
+         |       FROM (SELECT doc_id, sha256(text) AS fp FROM tsc) f GROUP BY fp),
+         |posr AS (SELECT pos.* FROM pos JOIN rep USING (doc_id)),
+         |co AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS pa,
+         |              a.pos - b.pos AS diag
+         |       FROM pos a JOIN pos b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |$runAggSql,
+         |cor AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS pa,
+         |               a.pos - b.pos AS diag
+         |        FROM posr a JOIN posr b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |runsr AS (SELECT a_id, b_id, diag, grp, count(*) AS len FROM (
+         |  SELECT a_id, b_id, diag,
+         |         pa - row_number() OVER (PARTITION BY a_id, b_id, diag ORDER BY pa) AS grp
+         |  FROM cor) z GROUP BY 1, 2, 3, 4),
+         |raggr AS (SELECT a_id, b_id, CAST(max(len) + 4 AS BIGINT) AS max_run_tokens,
+         |                 CAST(sum(len) AS BIGINT) AS n_cooccurrences
+         |          FROM runsr GROUP BY 1, 2)
+         |SELECT * FROM ragg
+         |WHERE max_run_tokens >= 6 AND NOT (SELECT hot FROM dec)
+         |UNION ALL
+         |SELECT * FROM raggr
+         |WHERE max_run_tokens >= 6 AND (SELECT hot FROM dec)
+         |ORDER BY a_id, b_id""".stripMargin,
 
     // the sign-plane band-key audit over the saturating replica
     // embedding corpus — the image_key_audit device, embedding edition

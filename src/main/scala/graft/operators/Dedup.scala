@@ -565,6 +565,175 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Positional word-shingle postings — one `(doc_id, pos, h)` row per
+    * `shingleSize`-word window, `h` the same 56-bit digest as
+    * [[trimSpans]]/[[spanDedup]] (single-space joined slice through
+    * [[LshFunctions.hash56]]), so the whole span family shares one
+    * shingle identity. The pinned repartition is the small-single-split
+    * discipline ([[ngramShingled]]'s rationale). */
+  private def positionalShingles(docs: DataFrame, idCol: String,
+                                 textCol: String, shingleSize: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .where(size(col("t")) >= shingleSize)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, size(t) - $shingleSize),
+             |  i -> concat_ws(' ', slice(t, i + 1, $shingleSize)))""".stripMargin))
+          .as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
+        LshFunctions.hash56(col("s")).as("h"))
+
+  /** The diagonal-run merge shared by the verbatim-overlap family: hash
+    * co-occurrences `(a, b, pa, pb)` group by DIAGONAL `pa − pb` (a
+    * contiguous shared substring advances both positions in lockstep, so
+    * it lives on one diagonal), islands of consecutive `pa` within a
+    * diagonal merge via the classic `pa − row_number()` key, and a
+    * shared island of m positional shingles IS a verbatim run of
+    * `m + shingleSize − 1` tokens — exact both directions (any common
+    * token run of length L ≥ shingleSize produces exactly
+    * L − shingleSize + 1 consecutive shared positions on one diagonal).
+    * `pairs = Some(p)` restricts the mine to candidate pairs: postings
+    * are first cut to documents the pairs name (the corpus-scale lever —
+    * postings for unnamed docs never shuffle), and co-occurrences
+    * semi-join the pair list before any window work. */
+  private def sharedRunsFrom(pos0: DataFrame, pairs: Option[DataFrame],
+                             shingleSize: Int): DataFrame = {
+    val pos = pairs.fold(pos0) { p =>
+      pos0.join(
+        p.select(col("a_id").as("doc_id"))
+          .union(p.select(col("b_id").as("doc_id"))).distinct(),
+        Seq("doc_id"), "left_semi")
+    }
+    val co0 = pos.select(col("doc_id").as("a_id"), col("h"), col("pos").as("pa"))
+      .join(pos.select(col("doc_id").as("b_id"), col("h"), col("pos").as("pb")),
+        Seq("h"))
+      .where(col("a_id") < col("b_id"))
+    val co = pairs.fold(co0)(p =>
+      co0.join(p.select(col("a_id"), col("b_id")).distinct(),
+        Seq("a_id", "b_id"), "left_semi"))
+    val w = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
+      .orderBy(col("pa"))
+    co.select(col("a_id"), col("b_id"), (col("pa") - col("pb")).as("diag"),
+        col("pa"))
+      .withColumn("__grp", col("pa") - row_number().over(w))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("__grp"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg((max(col("__len")) + lit(shingleSize - 1)).cast("bigint")
+          .as("max_run_tokens"),
+        sum(col("__len")).cast("bigint").as("n_cooccurrences"))
+  }
+
+  /** X3e'' — VERBATIM-OVERLAP pairs: document pairs sharing a contiguous
+    * token run of ≥ `minRunTokens`, with the longest shared run's exact
+    * length — the pair-level EXACT-SUBSTRING detector (Lee et al. 2022's
+    * "substring duplication" unit, reported per pair instead of trimmed
+    * in place). Distinguishes a 50-token verbatim quote from 50 scattered
+    * boilerplate shingles — a distinction no Jaccard or coverage number
+    * ([[spanDedup]]'s `dup_fraction`) can make, and the quantity a
+    * contamination audit actually wants ("how LONG is the longest shared
+    * passage between this eval doc and the training corpus?").
+    *
+    * Shape: positional-shingle postings (linear, one md5 per position),
+    * hash-keyed self equi-join (the co-occurrence volume is
+    * Σ_h occ(h)² — [[overlapKeyAudit]] measures it exactly, and
+    * [[verbatimOverlapAuto]] self-dials the replica escape), then the
+    * diagonal-run merge: windows partition by (pair, diagonal) — bounded
+    * frames, never corpus-global. Output: `(a_id, b_id, max_run_tokens,
+    * n_cooccurrences)` — `n_cooccurrences` is the pair's total matching
+    * position-pair count (its share of the join volume; the honesty
+    * column). For heavy-duplication corpora route candidates through a
+    * near mine first and use [[sharedRunsFor]]. */
+  def verbatimOverlap(docs: DataFrame, shingleSize: Int = 5,
+                      minRunTokens: Int = 20,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    sharedRunsFrom(positionalShingles(docs, idCol, textCol, shingleSize),
+      None, shingleSize)
+      .where(col("max_run_tokens") >= minRunTokens)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** [[verbatimOverlap]]'s run-length measurement RESTRICTED to supplied
+    * candidate pairs — the composable form: candidates come from any near
+    * mine ([[minhashNear]]/[[minhashDedup]]/[[winnowPairs]]' pair
+    * contract, `(a_id, b_id)`), and the postings join only ever touches
+    * documents the pairs name. Pairs with NO shared positional shingle
+    * report `max_run_tokens = 0` (a pair can be near-duplicate by
+    * signature yet share no verbatim run at `shingleSize` granularity —
+    * that zero IS the finding). Output one row per input pair. */
+  def sharedRunsFor(docs: DataFrame, pairs: DataFrame, shingleSize: Int = 5,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val p = pairs.select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .where(col("a_id") =!= col("b_id")).distinct()
+    val runs = sharedRunsFrom(
+      positionalShingles(docs, idCol, textCol, shingleSize), Some(p), shingleSize)
+    p.join(runs, Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("max_run_tokens"), lit(0L)).as("max_run_tokens"),
+        coalesce(col("n_cooccurrences"), lit(0L)).as("n_cooccurrences"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Positional-shingle KEY-SPACE saturation audit — [[phashKeyAudit]]'s
+    * shape for the verbatim-overlap family: one bounded row of
+    * `n_positions` (posting rows), `n_shingles` (distinct 56-bit digests),
+    * `max_bucket`, `mean_bucket`, and `est_candidates` = Σ_h occ(h)² —
+    * [[verbatimOverlap]]'s EXACT pre-cut co-occurrence volume (position
+    * multiplicity included: a shingle repeated within one document
+    * multiplies the join like any other occurrence, which is why the
+    * audit counts occurrences, not documents). decimal(38,0) square
+    * reported as DOUBLE — the overflow regime is the diagnosis.
+    * `est_candidates / n_positions` is the expected co-occurrence fan-out
+    * per posting; ~1–2 on healthy prose, quadratic under replica crawls
+    * or corpus-wide boilerplate. */
+  def overlapKeyAudit(docs: DataFrame, shingleSize: Int = 5,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    positionalShingles(docs, idCol, textCol, shingleSize)
+      .groupBy(col("h")).agg(count(lit(1)).as("bn"))
+      .agg(sum(col("bn")).as("n_positions"),
+        count(lit(1)).as("n_shingles"),
+        max(col("bn")).as("max_bucket"),
+        round(sum(col("bn")).cast("double") / count(lit(1)), 6).as("mean_bucket"),
+        sum(col("bn").cast("decimal(38,0)") * col("bn"))
+          .cast("double").as("est_candidates"))
+
+  /** [[verbatimOverlap]] with the quadratic-co-occurrence escape
+    * SELF-DIALED from the measured posting saturation —
+    * [[minhashNearAuto]]'s audit-then-branch for the positional family:
+    * the audit runs off the same persisted posting pass; past `fanoutMax`
+    * expected co-occurrences per posting the corpus is
+    * duplication-saturated (N byte-identical documents share EVERY
+    * positional shingle at EVERY position — Σ occ² has a replica floor no
+    * shingle size can cut) and the mine runs over min-id sha-256
+    * REPRESENTATIVES only, so the join is linear in distinct texts.
+    * Below the threshold the branch IS [[verbatimOverlap]]'s tail (same
+    * plan). Declared trade on the escalated arm: pairs name group
+    * representatives — member expansion is [[exact]]'s keeper join, where
+    * a replica corpus should be routed first anyway. */
+  def verbatimOverlapAuto(docs: DataFrame, shingleSize: Int = 5,
+                          minRunTokens: Int = 20, fanoutMax: Double = 16.0,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pos = positionalShingles(docs, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = pos.groupBy(col("h")).agg(count(lit(1)).as("bn"))
+      .agg(sum(col("bn")).as("np"),
+        sum(col("bn").cast("decimal(38,0)") * col("bn")).cast("double").as("ec"))
+      .head
+    val saturated = !a.isNullAt(0) &&
+      a.getAs[Double]("ec") > fanoutMax * math.max(a.getLong(0), 1L).toDouble
+    val minePos =
+      if (saturated)
+        pos.join(docs.select(col(idCol).as("doc_id"), sha2(col(textCol), 256).as("fp"))
+            .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      else pos
+    sharedRunsFrom(minePos, None, shingleSize)
+      .where(col("max_run_tokens") >= minRunTokens)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** X3b' — character n-gram Jaccard near-duplicate pairs.
     *
     * Same MinHash-LSH skeleton as [[minhashNear]] but over character

@@ -1223,4 +1223,68 @@ class DedupSpec extends SparkSpec {
     assert(pairs(pairExplodeMax = 256) == expected)
     assert(pairs(pairExplodeMax = 3) == expected)
   }
+
+  test("verbatimOverlap: diagonal island merge measures exact shared run lengths") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "q w e r t y u i o p"),            // 10 tokens
+      (2L, "z1 z2 e r t y u i z3 z4"),        // shares "e r t y u i" (6)
+      (3L, "q w e r t xx u i o p")            // shares "q w e r t" (5) only
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // a shared run of L tokens is an island of L-4 consecutive shingles:
+    // (1,2) -> 2 shingles = 6 tokens; (1,3) -> 1 shingle = 5 tokens
+    assert(rows(Dedup.verbatimOverlap(docs, minRunTokens = 5)) ==
+      Seq((1L, 2L, 6L, 2L), (1L, 3L, 5L, 1L)))
+    // the threshold cuts exactly at run length
+    assert(rows(Dedup.verbatimOverlap(docs, minRunTokens = 6)) ==
+      Seq((1L, 2L, 6L, 2L)))
+    // scattered shared shingles never merge across diagonals: doc 3's
+    // second half shares "u i o p" with doc 1 — only 4 tokens, below
+    // shingle size, so no second island exists and max_run stays 5
+    assert(rows(Dedup.verbatimOverlap(docs, minRunTokens = 7)).isEmpty)
+  }
+
+  test("sharedRunsFor: pair-restricted runs with zero-fill and order normalization") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "q w e r t y u i o p"),
+      (2L, "z1 z2 e r t y u i z3 z4"),
+      (3L, "a1 a2 a3 a4 a5 a6 a7")
+    ).toDF("doc_id", "text")
+    // pairs arrive unordered and with a no-overlap member: (3,2) must
+    // normalize to (2,3) and report the ZERO row — that zero IS the
+    // finding (signature-near but no verbatim run at this granularity)
+    val pairs = Seq((1L, 2L), (3L, 2L)).toDF("a_id", "b_id")
+    val out = Dedup.sharedRunsFor(docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 2L, 6L, 2L), (2L, 3L, 0L, 0L)))
+  }
+
+  test("verbatimOverlapAuto: the replica escape mines reps only; unsaturated side IS the explicit form") {
+    import spark.implicits._
+    val t1 = "q w e r t y u i o p"
+    val replicas = (10L to 13L).map((_, t1)) :+ (14L, "z1 z2 e r t y u i z3 z4")
+    val docs = replicas.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // forced saturation (fanoutMax = 2): the sha-256 collapse leaves reps
+    // {10, 14} and the mine reports ONE rep pair instead of the replica
+    // group's C(4,2)+4 quadratic pair list
+    assert(rows(Dedup.verbatimOverlapAuto(docs, minRunTokens = 5, fanoutMax = 2.0)) ==
+      Seq((10L, 14L, 6L, 2L)))
+    // identical docs measure max_run = the full token count (10): the
+    // island spans every position
+    val full = rows(Dedup.verbatimOverlap(docs, minRunTokens = 5))
+    assert(full.filter(p => p._1 >= 10L && p._2 <= 13L)
+      .forall(p => p._3 == 10L && p._4 == 6L))
+    // fanoutMax huge -> the branch IS verbatimOverlap, row-identical
+    assert(rows(Dedup.verbatimOverlapAuto(docs, minRunTokens = 5, fanoutMax = 1e18)) == full)
+    // the audit's quantities on this corpus, hand-counted: 5 docs with 6
+    // positional shingles each = 30 postings; shared shingles multiply
+    val a = Dedup.overlapKeyAudit(docs).head
+    assert(a.getLong(0) == 30L)                       // n_positions
+    assert(a.getAs[Double]("est_candidates") > 30.0)  // fan-out > 1
+  }
 }
