@@ -289,6 +289,43 @@ object ScaleSmoke {
       stage("minhash near auto (sat)") {
         D.minhashNearAuto(tsat).queryExecution.toRdd.count()
       }
+      stage("overlap key audit (sat)") {
+        // the positional family's probe on the same replica crawl: byte-
+        // identical docs share every shingle at every position, so the
+        // co-occurrence volume has the Σ occ² replica floor
+        D.overlapKeyAudit(tsat).queryExecution.toRdd.count()
+      }
+      stage("verbatim overlap (sat 10%)") {
+        // the bounded registration of the quadratic co-occurrence arm —
+        // the minhash-near-sat device for the positional family
+        D.verbatimOverlap(tsat.where(
+            graft.operators.Sampling.hashBucket(col("doc_id")) < 10),
+          minRunTokens = 6).queryExecution.toRdd.count()
+      }
+      stage("verbatim overlap auto (sat)") {
+        // the self-dialed escape at the full corpus: reps ≈ 4000 distinct
+        // texts, co-occurrences linear in them
+        D.verbatimOverlapAuto(tsat, minRunTokens = 6)
+          .queryExecution.toRdd.count()
+      }
+    }
+    stage("verbatim overlap (healthy 250k)") {
+      // a genuinely near-distinct 250k-doc corpus for the positional
+      // family: the shared `docs` corpus is unusable here — its translate
+      // map consumes the SPACE character, so every rep>=2 doc is a single
+      // token with zero postings and the mine would silently measure only
+      // the 10k r0/r1 twins (the first registration of this stage did
+      // exactly that: factor-invariant output, caught by comparing rows
+      // across factors). This corpus translates VOWELS ONLY with a
+      // per-DOC map, so texts stay multi-word and near-distinct; shared
+      // runs exist only where replicas of one base doc collide on the
+      // 18x19 map grid
+      val hdocs = docs.select(col("doc_id"), expr(
+        """translate(text, 'aeiou', concat(
+          |  substr('bcdfghjklmnpqrstvwxz', cast(pmod(doc_id, 18) as int) + 1, 3),
+          |  substr('bcdfghjklmnpqrstvwxz', cast(pmod(doc_id div 18, 19) as int) + 1, 2)))""".stripMargin)
+        .as("text"))
+      D.verbatimOverlap(hdocs, minRunTokens = 10).queryExecution.toRdd.count()
     }
     stage("ngram near-dup") { D.ngramNear(docs).queryExecution.toRdd.count() }
     lshStats("ngram buckets n8r3b4",
@@ -486,6 +523,17 @@ object ScaleSmoke {
         val b = graft.operators.Sampling.hashBucket(col("doc_id"))
         D.videoIncremental(spark, vids.where(b >= 90), vids.where(b < 90))
           .queryExecution.toRdd.count()
+      }
+      stage("video still match (10% imgs)") {
+        // the cross-modal mine at scale: the FULL video corpus against an
+        // image corpus of frame-1 slices (10% of docs) — the mine runs at
+        // the distinct-hash level, so the text-gradient fhash skew that
+        // saturates the within-video pair form costs one distinct row per
+        // hot hash here, not a quadratic bucket
+        val b = graft.operators.Sampling.hashBucket(col("doc_id"))
+        val imgs = docs.where(b < 10).select(col("doc_id"),
+          expr("cast(substring(text, 33, 32) as binary)").as("blob"))
+        D.videoStillMatches(spark, vids, imgs).queryExecution.toRdd.count()
       }
     }
     stage("video gate state growth") {

@@ -644,4 +644,31 @@ class PlanShapeSpec extends SparkSpec {
     assert("""(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[(?:embedding|__rep)#\d+""".r
       .findFirstIn(p).isDefined, s"member restore not hash-keyed:\n$p")
   }
+
+  test("videoStillMatches: cross-side band-key equi-join, never frames x images") {
+    import spark.implicits._
+    val header = graft.operators.Multimodal.mp4VideoFramesHeader()
+    val t = (0 until 96).map(i => ('a' + (i * 7) % 26).toChar).mkString
+      .getBytes("US-ASCII")
+    val videos = Seq((1L, header ++ t)).toDF("doc_id", "blob")
+    val images = Seq((10L, java.util.Arrays.copyOfRange(t, 0, 32))).toDF("doc_id", "blob")
+    val p = plan(graft.operators.Dedup.videoStillMatches(spark, videos, images))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"cross-modal mine lost a key:\n$p")
+  }
+
+  test("verbatimOverlap: hash-keyed co-occurrence equi-join + pair-scoped windows, never all-pairs") {
+    import spark.implicits._
+    val docs = Seq((1L, "q w e r t y u i o p"), (2L, "z1 z2 e r t y u i z3 z4"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.operators.Dedup.verbatimOverlap(docs, minRunTokens = 5))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"overlap mine lost the hash key:\n$p")
+    // the island window partitions by (pair, diagonal) — a corpus-global
+    // window (empty partition spec) is the scale failure
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      s"global window in the island merge:\n$p")
+    assert("""windowspecdefinition\(a_id#\d+L?, b_id#\d+L?, diag#\d+L?""".r
+      .findFirstIn(p).isDefined, s"island window not pair-scoped:\n$p")
+  }
 }
