@@ -941,6 +941,24 @@ object SparkEntry {
       // class variants share their 6-token prefix run (island of 2
       // five-word shingles)
       Dedup.verbatimOverlapAuto(textSaturatedCorpus(s, dir), minRunTokens = 6)),
+    "verbatim_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      // the against-seen-corpus rung over the quote corpus: incoming =
+      // bucket [5,15) — its QUOTED half ([5,10)) shares its class's
+      // 8-token quote with the reference's quoted slice (bucket<5) and is
+      // dropped, its UNQUOTED half ([10,15)) admits unless a natural run
+      // reaches 8 — BOTH verdict arms live by construction
+      val qc = quoteOverlapCorpus(s, dir)
+      val b = graft.operators.Sampling.hashBucket(col("doc_id"))
+      Dedup.verbatimIncremental(qc.where(b >= 5 && b < 15),
+        qc.where(b < 5 || b >= 15), minRunTokens = 8)
+    }),
+    "decontaminate_runs" -> ((s, dir) =>
+      // run-length decontamination over the two-sided quote device:
+      // quotes sit on bucket<10 (lands in the train slice) AND bucket>=90
+      // (the eval slice), so quoted train docs CONTAIN an eval passage of
+      // exactly 8 tokens — contaminated by the run rule at minRun 8
+      Dedup.decontaminateRuns(decontamRunsCorpus(s, dir), minRunTokens = 8)),
     "simhash_key_audit" -> ((s, dir) =>
       // the sign-plane band-key audit over the saturating replica
       // embedding corpus (every vector replaced by its class rep's —
@@ -1106,6 +1124,21 @@ object SparkEntry {
     Tables.documents(s, dir).where(b < 20)
       .select(col("doc_id"),
         when(b < 10, concat(col("text"), lit(" "), quote))
+          .otherwise(col("text")).as("text"))
+  }
+
+  /** The two-sided quote device for [[Dedup.decontaminateRuns]]: the
+    * 8-word class quote (doc_id % 3) appended on bucket<10 (train-slice
+    * members) AND bucket≥90 (the eval slice), over ALL documents — quoted
+    * train docs verbatim-contain an eval passage. */
+  private def decontamRunsCorpus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, md5, substring, when}
+    val b = graft.operators.Sampling.hashBucket(col("doc_id"))
+    val quote = concat_ws(" ", (0 until 8).map(i =>
+      substring(md5((col("doc_id") % 3).cast("string")), i * 4 + 1, 4)): _*)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(b < 10 || b >= 90, concat(col("text"), lit(" "), quote))
           .otherwise(col("text")).as("text"))
   }
 
@@ -4810,6 +4843,65 @@ object SparkEntry {
          |SELECT * FROM raggr
          |WHERE max_run_tokens >= 6 AND (SELECT hot FROM dec)
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // the against-seen-corpus rung: incoming (bucket 5..14 — quoted AND
+    // unquoted halves, both verdict arms live) postings join reference
+    // (bucket <5 or >=15) postings on the hash, islands per (pair,
+    // diagonal), pairs at run >= 8, per-incoming aggregate + zero restore
+    "verbatim_incremental" ->
+      s"""WITH $quoteOverlapCorpusCte,
+         |${positionalShingleCtes("qc")},
+         |co AS (SELECT a.doc_id AS inc_id, b.doc_id AS ref_id, a.pos AS pa,
+         |              a.pos - b.pos AS diag
+         |       FROM pos a JOIN pos b ON a.h = b.h
+         |       WHERE ('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 BETWEEN 5 AND 14
+         |         AND ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 NOT BETWEEN 5 AND 14),
+         |runs AS (SELECT inc_id, ref_id, diag, grp, count(*) AS len FROM (
+         |  SELECT inc_id, ref_id, diag,
+         |         pa - row_number() OVER (PARTITION BY inc_id, ref_id, diag ORDER BY pa) AS grp
+         |  FROM co) z GROUP BY 1, 2, 3, 4),
+         |pr AS (SELECT inc_id, ref_id, max(len) + 4 AS mr FROM runs GROUP BY 1, 2),
+         |agg AS (SELECT inc_id, CAST(count(*) AS BIGINT) AS n_ref_runs,
+         |               CAST(max(mr) AS BIGINT) AS mr
+         |        FROM pr WHERE mr >= 8 GROUP BY inc_id)
+         |SELECT q.doc_id, coalesce(a.n_ref_runs, 0) AS n_ref_runs,
+         |       coalesce(a.mr, 0) AS max_run_tokens,
+         |       (coalesce(a.n_ref_runs, 0) = 0) AS keep
+         |FROM qc q LEFT JOIN agg a ON q.doc_id = a.inc_id
+         |WHERE ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 BETWEEN 5 AND 14
+         |ORDER BY q.doc_id""".stripMargin,
+
+    // run-length decontamination over the two-sided quote corpus: per
+    // TRAIN doc (bucket<80) the longest run vs ANY eval doc (bucket>=90)
+    // — max over ALL pair runs, hits counted at the >= 8 rule
+    "decontaminate_runs" ->
+      s"""WITH qdc AS (SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 10
+         |           OR ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 >= 90
+         |         THEN text || ' ' || array_to_string(list_transform(range(0, 8),
+         |                i -> substr(md5(CAST(doc_id % 3 AS VARCHAR)), CAST(i*4+1 AS BIGINT), 4)), ' ')
+         |         ELSE text END AS text
+         |  FROM documents),
+         |${positionalShingleCtes("qdc")},
+         |co AS (SELECT a.doc_id AS inc_id, b.doc_id AS ref_id, a.pos AS pa,
+         |              a.pos - b.pos AS diag
+         |       FROM pos a JOIN pos b ON a.h = b.h
+         |       WHERE ('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 80
+         |         AND ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 >= 90),
+         |runs AS (SELECT inc_id, ref_id, diag, grp, count(*) AS len FROM (
+         |  SELECT inc_id, ref_id, diag,
+         |         pa - row_number() OVER (PARTITION BY inc_id, ref_id, diag ORDER BY pa) AS grp
+         |  FROM co) z GROUP BY 1, 2, 3, 4),
+         |pr AS (SELECT inc_id, ref_id, max(len) + 4 AS mr FROM runs GROUP BY 1, 2),
+         |agg AS (SELECT inc_id, CAST(max(mr) AS BIGINT) AS mr,
+         |               CAST(sum(CASE WHEN mr >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_hits
+         |        FROM pr GROUP BY inc_id)
+         |SELECT q.doc_id, coalesce(a.mr, 0) AS max_run_tokens,
+         |       coalesce(a.n_eval_hits, 0) AS n_eval_hits,
+         |       (coalesce(a.mr, 0) >= 8) AS contaminated
+         |FROM qdc q LEFT JOIN agg a ON q.doc_id = a.inc_id
+         |WHERE ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 80
+         |ORDER BY q.doc_id""".stripMargin,
 
     // the sign-plane band-key audit over the saturating replica
     // embedding corpus — the image_key_audit device, embedding edition

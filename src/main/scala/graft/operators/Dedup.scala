@@ -698,6 +698,102 @@ object Dedup {
         sum(col("bn").cast("decimal(38,0)") * col("bn"))
           .cast("double").as("est_candidates"))
 
+  /** The CROSS-SIDE diagonal-run merge: incoming postings × reference
+    * postings on the shingle hash, islands per (inc, ref, diagonal) — the
+    * two-corpus form of [[sharedRunsFrom]], shared by
+    * [[verbatimIncremental]] and [[decontaminateRuns]]. One row per
+    * (inc_id, ref_id) pair with ≥ 1 shared positional shingle. */
+  private def runsAgainst(posInc: DataFrame, posRef: DataFrame,
+                          shingleSize: Int): DataFrame = {
+    val co = posInc.select(col("doc_id").as("inc_id"), col("h"),
+        col("pos").as("pa"))
+      .join(posRef.select(col("doc_id").as("ref_id"), col("h"),
+        col("pos").as("pb")), Seq("h"))
+    val w = Window.partitionBy(col("inc_id"), col("ref_id"), col("diag"))
+      .orderBy(col("pa"))
+    co.select(col("inc_id"), col("ref_id"), (col("pa") - col("pb")).as("diag"),
+        col("pa"))
+      .withColumn("__grp", col("pa") - row_number().over(w))
+      .groupBy(col("inc_id"), col("ref_id"), col("diag"), col("__grp"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col("inc_id"), col("ref_id"))
+      .agg((max(col("__len")) + lit(shingleSize - 1)).cast("bigint")
+        .as("max_run_tokens"))
+  }
+
+  /** Incremental VERBATIM dedup — the [[verbatimOverlap]] family's
+    * against-seen-corpus rung (the [[ngramNearIncremental]] contract, run
+    * semantics instead of Jaccard): for each incoming document, how many
+    * reference documents it shares a ≥ `minRunTokens` contiguous token
+    * run with, the longest such run, and `keep` = no reference run
+    * reached the threshold — the admission policy that drops documents
+    * QUOTING the seen corpus at length, which a signature admission can
+    * miss entirely (a long quote inside an otherwise-fresh document moves
+    * Jaccard a few percent but is exactly what substring dedup exists to
+    * catch). Reference state is the reference's positional postings —
+    * signature-sized rows, the exact state a stored index or streaming
+    * gate would accumulate.
+    *
+    * Scale shape: one hash-keyed equi-join of incoming postings against
+    * reference postings (at 100 TB the stored posting table is bucketed
+    * by the hash, so only the batch side moves), islands per (pair,
+    * diagonal) — bounded window frames — one incoming-keyed aggregation,
+    * and the left-join restore of clean docs. Never incoming × reference. */
+  def verbatimIncremental(incoming: DataFrame, reference: DataFrame,
+                          shingleSize: Int = 5, minRunTokens: Int = 20,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val runs = runsAgainst(
+      positionalShingles(incoming, idCol, textCol, shingleSize),
+      positionalShingles(reference, idCol, textCol, shingleSize), shingleSize)
+      .where(col("max_run_tokens") >= minRunTokens)
+      .groupBy(col("inc_id"))
+      .agg(count(lit(1)).as("n_ref_runs"), max(col("max_run_tokens")).as("mr"))
+    incoming.select(col(idCol).as("inc_id"))
+      .join(runs, Seq("inc_id"), "left")
+      .select(col("inc_id").as(idCol),
+        coalesce(col("n_ref_runs"), lit(0L)).as("n_ref_runs"),
+        coalesce(col("mr"), lit(0L)).as("max_run_tokens"),
+        (coalesce(col("n_ref_runs"), lit(0L)) === 0L).as("keep"))
+      .orderBy(col(idCol))
+  }
+
+  /** RUN-LENGTH decontamination — the verbatim twin of
+    * [[graft.operators.Decontaminate.contamination]], and the quantity
+    * the published decontamination protocols actually threshold (GPT-3's
+    * 13-gram collision rule; Lee et al. 2022's ≥ 50-token substrings):
+    * for each TRAIN document (id-hash bucket < `trainPct`), the LONGEST
+    * contiguous token run it shares with ANY eval document (bucket ≥
+    * `benchFromPct`), how many eval documents reach `minRunTokens`, and
+    * the flag. The set-overlap form answers "how much of this doc's
+    * shingle VOCABULARY appears in the eval suite"; this form answers
+    * "does this doc CONTAIN an eval passage" — a doc can be clean by the
+    * first measure and verbatim-contaminated by the second.
+    *
+    * Same cross-side shape as [[verbatimIncremental]]; eval postings are
+    * benchmark-suite-sized in practice (broadcastable), train postings
+    * stream through the hash join once. */
+  def decontaminateRuns(docs: DataFrame, shingleSize: Int = 5,
+                        minRunTokens: Int = 13,
+                        trainPct: Int = 80, benchFromPct: Int = 90,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val b = Sampling.hashBucket(col(idCol))
+    val runs = runsAgainst(
+      positionalShingles(docs.where(b < trainPct), idCol, textCol, shingleSize),
+      positionalShingles(docs.where(b >= benchFromPct), idCol, textCol, shingleSize),
+      shingleSize)
+      .groupBy(col("inc_id"))
+      .agg(max(col("max_run_tokens")).as("mr"),
+        sum(when(col("max_run_tokens") >= minRunTokens, 1L).otherwise(0L))
+          .as("n_eval_hits"))
+    docs.where(b < trainPct).select(col(idCol).as("inc_id"))
+      .join(runs, Seq("inc_id"), "left")
+      .select(col("inc_id").as(idCol),
+        coalesce(col("mr"), lit(0L)).as("max_run_tokens"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        (coalesce(col("mr"), lit(0L)) >= minRunTokens).as("contaminated"))
+      .orderBy(col(idCol))
+  }
+
   /** [[verbatimOverlap]] with the quadratic-co-occurrence escape
     * SELF-DIALED from the measured posting saturation —
     * [[minhashNearAuto]]'s audit-then-branch for the positional family:

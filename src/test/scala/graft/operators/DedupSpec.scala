@@ -1287,4 +1287,47 @@ class DedupSpec extends SparkSpec {
     assert(a.getLong(0) == 30L)                       // n_positions
     assert(a.getAs[Double]("est_candidates") > 30.0)  // fan-out > 1
   }
+
+  test("verbatimIncremental: a long quote drops a doc a signature admission would wave through") {
+    import spark.implicits._
+    val reference = Seq((100L, "q w e r t y u i o p")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "x1 x2 e r t y u i x3 x4 x5 x6 x7 x8"),  // quotes 6 ref tokens
+      (2L, "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10")        // fresh
+    ).toDF("doc_id", "text")
+    val out = Dedup.verbatimIncremental(incoming, reference, minRunTokens = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    // doc 1's word-shingle Jaccard vs the reference is 2/14 — far below
+    // any near-dedup threshold — yet it verbatim-quotes 6 contiguous
+    // tokens: exactly the admission the run rule exists to refuse
+    assert(out == Seq((1L, 1L, 6L, false), (2L, 0L, 0L, true)))
+    // one token longer than the quote: both admit
+    assert(Dedup.verbatimIncremental(incoming, reference, minRunTokens = 7)
+      .collect().forall(_.getBoolean(3)))
+  }
+
+  test("decontaminateRuns: train docs containing an eval passage flag at the run rule") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // every doc: 5 unique tokens + the SAME 8-token quote — any pair
+    // shares exactly the 8-token run, so expectations are uniform and the
+    // id-hash bucket split drives who is train and who is eval
+    val quote = "k1 k2 k3 k4 k5 k6 k7 k8"
+    val docs = (0L until 200L)
+      .map(i => (i, s"u${i}a u${i}b u${i}c u${i}d u${i}e $quote"))
+      .toDF("doc_id", "text")
+    val nEval = docs.where(Sampling.hashBucket(col("doc_id")) >= 90).count()
+    assert(nEval > 0L)
+    val out = Dedup.decontaminateRuns(docs, minRunTokens = 8)
+    val rows = out.collect()
+    assert(rows.length == docs.where(Sampling.hashBucket(col("doc_id")) < 80).count())
+    // every train doc contains the eval passage: mr = 8 exactly (the
+    // unique flanks stop the island), every eval doc is a hit
+    assert(rows.forall(r => r.getLong(1) == 8L && r.getLong(2) == nEval &&
+      r.getBoolean(3)))
+    // one token above the quote: the measurement stays, the flag drops
+    val strict = Dedup.decontaminateRuns(docs, minRunTokens = 9).collect()
+    assert(strict.forall(r => r.getLong(1) == 8L && r.getLong(2) == 0L &&
+      !r.getBoolean(3)))
+  }
 }
