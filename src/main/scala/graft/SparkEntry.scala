@@ -959,6 +959,16 @@ object SparkEntry {
       // (the eval slice), so quoted train docs CONTAIN an eval passage of
       // exactly 8 tokens — contaminated by the run rule at minRun 8
       Dedup.decontaminateRuns(decontamRunsCorpus(s, dir), minRunTokens = 8)),
+    "verbatim_incremental_indexed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      // the indexed twin probes the STORED positional postings of the
+      // bucket<50 warehouse slice; the raw corpus's natural replicas
+      // carry runs to 93 tokens, so both verdict arms are live at the
+      // 20-token rule without any engineered quotes
+      Dedup.verbatimIncrementalIndexed(s, dir,
+        Tables.documents(s, dir)
+          .where(graft.operators.Sampling.hashBucket(col("doc_id")) >= 50))
+    }),
     "simhash_key_audit" -> ((s, dir) =>
       // the sign-plane band-key audit over the saturating replica
       // embedding corpus (every vector replaced by its class rep's —
@@ -4870,6 +4880,32 @@ object SparkEntry {
          |FROM qc q LEFT JOIN agg a ON q.doc_id = a.inc_id
          |WHERE ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 BETWEEN 5 AND 14
          |ORDER BY q.doc_id""".stripMargin,
+
+    // the indexed twin over the RAW warehouse split (state = stored
+    // postings of bucket<50): the ground truth is engine-independent, so
+    // index correctness is proven by the same brute-force SQL the inline
+    // form would get on this slice — plus DedupSpec's indexed ≡ inline pin
+    "verbatim_incremental_indexed" ->
+      s"""WITH ${positionalShingleCtes("documents")},
+         |co AS (SELECT a.doc_id AS inc_id, b.doc_id AS ref_id, a.pos AS pa,
+         |              a.pos - b.pos AS diag
+         |       FROM pos a JOIN pos b ON a.h = b.h
+         |       WHERE ('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 >= 50
+         |         AND ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 50),
+         |runs AS (SELECT inc_id, ref_id, diag, grp, count(*) AS len FROM (
+         |  SELECT inc_id, ref_id, diag,
+         |         pa - row_number() OVER (PARTITION BY inc_id, ref_id, diag ORDER BY pa) AS grp
+         |  FROM co) z GROUP BY 1, 2, 3, 4),
+         |pr AS (SELECT inc_id, ref_id, max(len) + 4 AS mr FROM runs GROUP BY 1, 2),
+         |agg AS (SELECT inc_id, CAST(count(*) AS BIGINT) AS n_ref_runs,
+         |               CAST(max(mr) AS BIGINT) AS mr
+         |        FROM pr WHERE mr >= 20 GROUP BY inc_id)
+         |SELECT d.doc_id, coalesce(a.n_ref_runs, 0) AS n_ref_runs,
+         |       coalesce(a.mr, 0) AS max_run_tokens,
+         |       (coalesce(a.n_ref_runs, 0) = 0) AS keep
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.inc_id
+         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 >= 50
+         |ORDER BY d.doc_id""".stripMargin,
 
     // run-length decontamination over the two-sided quote corpus: per
     // TRAIN doc (bucket<80) the longest run vs ANY eval doc (bucket>=90)

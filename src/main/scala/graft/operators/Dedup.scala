@@ -741,10 +741,22 @@ object Dedup {
     * and the left-join restore of clean docs. Never incoming × reference. */
   def verbatimIncremental(incoming: DataFrame, reference: DataFrame,
                           shingleSize: Int = 5, minRunTokens: Int = 20,
-                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    verbatimIncrementalFrom(incoming,
+      positionalShingles(reference, idCol, textCol, shingleSize),
+      shingleSize, minRunTokens, idCol, textCol)
+
+  /** The probe tail shared by [[verbatimIncremental]] and
+    * [[verbatimIncrementalIndexed]] — `posRef` is the reference's
+    * positional posting table, inline-shingled or read from the stored
+    * index (one contract, so indexed ≡ inline is the same plan over a
+    * different scan). */
+  private def verbatimIncrementalFrom(incoming: DataFrame, posRef: DataFrame,
+                                      shingleSize: Int, minRunTokens: Int,
+                                      idCol: String, textCol: String): DataFrame = {
     val runs = runsAgainst(
       positionalShingles(incoming, idCol, textCol, shingleSize),
-      positionalShingles(reference, idCol, textCol, shingleSize), shingleSize)
+      posRef, shingleSize)
       .where(col("max_run_tokens") >= minRunTokens)
       .groupBy(col("inc_id"))
       .agg(count(lit(1)).as("n_ref_runs"), max(col("max_run_tokens")).as("mr"))
@@ -755,6 +767,44 @@ object Dedup {
         coalesce(col("mr"), lit(0L)).as("max_run_tokens"),
         (coalesce(col("n_ref_runs"), lit(0L)) === 0L).as("keep"))
       .orderBy(col(idCol))
+  }
+
+  /** Registry name of the catalog-managed positional-posting index — the
+    * shingle size is part of the identity. */
+  private[graft] def verbatimPosIndexName(refBucketMax: Int, shingleSize: Int): String =
+    s"documents-verbatim-pos-b$refBucketMax-s$shingleSize"
+
+  /** [[verbatimIncremental]] against a CATALOG-MANAGED positional-posting
+    * index: the reference slice (id-hash bucket < `refBucketMax` of the
+    * warehouse documents table) is shingled ONCE at build time and every
+    * subsequent batch probes the stored postings — per-snapshot cost is
+    * O(batch + matched hashes), the reference text is never re-tokenized.
+    * The stored table IS the state contract ([[verbatimIncremental]]'s
+    * scaladoc): one (doc_id, pos, h) row per reference position,
+    * signature-sized. Same registry citizenship as every indexed twin
+    * (definition params recorded, staleness detected, policy decides
+    * rebuild-vs-fail); oracle identity with the inline form over the same
+    * slice is the index-correctness proof. */
+  def verbatimIncrementalIndexed(spark: SparkSession, dir: String, incoming: DataFrame,
+                                 refBucketMax: Int = 50,
+                                 shingleSize: Int = 5, minRunTokens: Int = 20,
+                                 idCol: String = "doc_id", textCol: String = "text",
+                                 policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
+    val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
+      name = verbatimPosIndexName(refBucketMax, shingleSize), kind = "verbatim-pos",
+      sourcePath = s"$dir/documents.parquet",
+      params = Map("refBucketMax" -> refBucketMax.toString,
+        "shingleSize" -> shingleSize.toString,
+        "layout" -> "pos", "idCol" -> idCol, "textCol" -> textCol),
+      policy = policy) { out =>
+      positionalShingles(
+        graft.core.Tables.documents(spark, dir)
+          .where(Sampling.hashBucket(col(idCol)) < refBucketMax),
+        idCol, textCol, shingleSize)
+        .write.mode("overwrite").parquet(s"$out/pos")
+    }
+    verbatimIncrementalFrom(incoming, spark.read.parquet(s"${idx.path}/pos"),
+      shingleSize, minRunTokens, idCol, textCol)
   }
 
   /** RUN-LENGTH decontamination — the verbatim twin of

@@ -1306,6 +1306,27 @@ class DedupSpec extends SparkSpec {
       .collect().forall(_.getBoolean(3)))
   }
 
+  test("verbatimIncrementalIndexed: equals inline, FailIfMissing, build-once serve-twice") {
+    import org.apache.spark.sql.functions.col
+    val base = Tables.documents(spark, dir)
+    val bucket = Sampling.hashBucket(col("doc_id"))
+    val batch = base.where(bucket >= 50)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    val inline = rows(Dedup.verbatimIncremental(batch, base.where(bucket < 50)))
+    val reg = CatalogOps.indexRegistry(spark, dir)
+    val name = Dedup.verbatimPosIndexName(50, 5)
+    if (reg.isIndexRegistered(name)) reg.dropIndex(name)
+    intercept[graft.core.GraftException] {
+      Dedup.verbatimIncrementalIndexed(spark, dir, batch,
+        policy = graft.core.IndexPolicy.FailIfMissing).collect()
+    }
+    assert(rows(Dedup.verbatimIncrementalIndexed(spark, dir, batch)) == inline)
+    val built = CatalogOps.indexRegistry(spark, dir).getIndex(name)
+    assert(rows(Dedup.verbatimIncrementalIndexed(spark, dir, batch)) == inline)
+    assert(CatalogOps.indexRegistry(spark, dir).getIndex(name).version == built.version)
+  }
+
   test("decontaminateRuns: train docs containing an eval passage flag at the run rule") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
