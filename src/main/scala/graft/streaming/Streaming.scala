@@ -378,6 +378,51 @@ object Streaming {
       }
       .start()
 
+  /** [[streamNearDedupAdmit]]'s RUN-LENGTH twin — the verbatim admission
+    * gate: per micro-batch, (1) in-batch verbatim dedup (documents sharing
+    * a ≥ `minRunTokens` contiguous token run collapse to the smallest id
+    * via [[graft.operators.Dedup.verbatimOverlap]] + `resolveKeepers`),
+    * then (2) admission against the STORED positional-posting index
+    * ([[graft.operators.Dedup.verbatimIncrementalIndexed]]) — the gate
+    * that refuses documents QUOTING the seen corpus at length, which the
+    * signature gates provably wave through (a long quote inside an
+    * otherwise-fresh document moves Jaccard a few percent). Same
+    * statelessness contract as the other text gates: GIVEN the index the
+    * batch decision is pure, so commit-crash replay re-admits
+    * byte-identical rows; FailIfMissing is the production default (a
+    * stream consumes an orchestrated index, never races one into
+    * existence); RebuildIfStale self-vacuums ONLY its own index name. */
+  def streamVerbatimDedupAdmit(spark: SparkSession, dir: String, docs: DataFrame,
+                               checkpointDir: String,
+                               refBucketMax: Int = 100,
+                               shingleSize: Int = 5, minRunTokens: Int = 20,
+                               policy: graft.core.IndexPolicy = graft.core.IndexPolicy.FailIfMissing)
+                              (sink: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val D = graft.operators.Dedup
+          val pairs = D.verbatimOverlap(batch, shingleSize = shingleSize,
+            minRunTokens = minRunTokens)
+          val batchKept = batch.join(
+            D.resolveKeepers(batch, pairs).where(col("keep")).select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          val admitted = batchKept.join(
+            D.verbatimIncrementalIndexed(spark, dir, batchKept,
+                refBucketMax = refBucketMax, shingleSize = shingleSize,
+                minRunTokens = minRunTokens, policy = policy)
+              .where(col("keep")).select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          sink(admitted)
+          if (policy == graft.core.IndexPolicy.RebuildIfStale)
+            graft.operators.CatalogOps.indexRegistry(spark, dir)
+              .vacuumIndex(graft.operators.Dedup.verbatimPosIndexName(refBucketMax, shingleSize))
+        }
+      }
+      .start()
+
   /** Continuous quality-admission gate: per micro-batch, run the
     * [[graft.operators.CorpusFilter.decisions]] audit (heuristic quality ∧
     * non-repetition ∧ no-PII ∧ in-batch exact dedup) on the batch and

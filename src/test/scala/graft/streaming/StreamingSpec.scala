@@ -1402,6 +1402,54 @@ class StreamingSpec extends SparkSpec {
       .forall(_.getInt(0) == 12))
   }
 
+  test("streamVerbatimDedupAdmit: long quotes refused where the Jaccard gates would admit") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-verbgate-").toString
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val refText = words("ref", 30).mkString(" ")
+    Seq((1L, refText, "en")).toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val mem = MemoryStream[(Long, String)]
+    val a = words("a", 30)
+    mem.addData(
+      // 20 contiguous corpus tokens inside 40 fresh ones: word-shingle
+      // Jaccard vs the stored doc is ~0.25 — under the near gates'
+      // thresholds — but the RUN is exactly the quote the verbatim gate
+      // exists to refuse
+      (10L, (words("ref", 24).drop(4) ++ words("n", 40)).mkString(" ")),
+      (11L, a.mkString(" ")),                          // fresh -> admitted
+      (12L, (a.take(20) ++ words("b", 20)).mkString(" ")), // in-batch 20-run vs 11
+      (13L, words("c", 25).mkString(" ")))             // fresh -> admitted
+    val docs = mem.toDF().toDF("doc_id", "text")
+
+    // FailIfMissing is the production default
+    val qFail = Streaming.streamVerbatimDedupAdmit(spark, dir, docs,
+      Files.createTempDirectory("graft-verbgate-ckpt-").toString)(_ => ())
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try qFail.processAllAvailable() finally qFail.stop()
+    }
+    assert(err.getMessage.contains("is not built"), err.getMessage)
+
+    graft.operators.Dedup.verbatimIncrementalIndexed(spark, dir,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), refBucketMax = 100,
+      policy = graft.core.IndexPolicy.BuildIfMissing).collect()
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streaming.streamVerbatimDedupAdmit(spark, dir, docs,
+      Files.createTempDirectory("graft-verbgate-ckpt-").toString)(
+      b => admitted ++= b.select(col("doc_id")).collect().map(_.getLong(0)))
+    try q.awaitTermination(120000) finally q.stop()
+    assert(admitted.sorted == Seq(11L, 13L), s"admitted: $admitted")
+    // the quoted doc IS admitted by the n-gram near gate at its default
+    // threshold — the device that proves the two gates answer different
+    // questions, not the same one twice
+    val quoted = Seq((10L, (words("ref", 24).drop(4) ++ words("n", 40)).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(graft.operators.Dedup.ngramNearIncremental(quoted,
+        Seq((1L, refText)).toDF("doc_id", "text"))
+      .collect().forall(_.getBoolean(3)), "near gate should wave the quote through")
+  }
+
   test("streamNearDedupAdmit under RebuildIfStale: rebuild replaces the index and vacuums ONLY its own superseded versions") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-nearvac-").toString
