@@ -327,6 +327,20 @@ object ScaleSmoke {
         .as("text"))
       D.verbatimOverlap(hdocs, minRunTokens = 10).queryExecution.toRdd.count()
     }
+    stage("verbatim incr (10%)") {
+      // the against-seen-corpus rung at scale: 10% incoming vs the other
+      // 90% as inline reference (the same vowels-translated near-distinct
+      // corpus as the healthy row — the shared docs corpus's space-eating
+      // translate would empty the posting side)
+      val hdocs = docs.select(col("doc_id"), expr(
+        """translate(text, 'aeiou', concat(
+          |  substr('bcdfghjklmnpqrstvwxz', cast(pmod(doc_id, 18) as int) + 1, 3),
+          |  substr('bcdfghjklmnpqrstvwxz', cast(pmod(doc_id div 18, 19) as int) + 1, 2)))""".stripMargin)
+        .as("text"))
+      val b = graft.operators.Sampling.hashBucket(col("doc_id"))
+      D.verbatimIncremental(hdocs.where(b >= 90), hdocs.where(b < 90))
+        .queryExecution.toRdd.count()
+    }
     stage("ngram near-dup") { D.ngramNear(docs).queryExecution.toRdd.count() }
     lshStats("ngram buckets n8r3b4",
       D.ngramBandKeys(D.ngramShingled(docs, "doc_id", "text", 8), 12, 4), "doc_id")
