@@ -969,6 +969,13 @@ object SparkEntry {
         Tables.documents(s, dir)
           .where(graft.operators.Sampling.hashBucket(col("doc_id")) >= 50))
     }),
+    "decontaminate_trim" -> ((s, dir) =>
+      // the decontamination TREATMENT over the same two-sided quote
+      // device: quoted train docs lose exactly their appended eval
+      // passage (plus any natural >= 8-token shared run), everything
+      // else passes through byte-identical — the span_trim reassembly,
+      // eval-targeted
+      Dedup.decontaminateTrim(decontamRunsCorpus(s, dir), minRunTokens = 8)),
     "simhash_key_audit" -> ((s, dir) =>
       // the sign-plane band-key audit over the saturating replica
       // embedding corpus (every vector replaced by its class rep's —
@@ -4906,6 +4913,51 @@ object SparkEntry {
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.inc_id
          |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 >= 50
          |ORDER BY d.doc_id""".stripMargin,
+
+    // the decontamination treatment: islands keep min(pa), coverage =
+    // [p0, p0+len+k-2] per qualifying island, token anti-join, the
+    // span_trim ordered reassembly — train docs only
+    "decontaminate_trim" ->
+      s"""WITH qdc AS (SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 10
+         |           OR ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 >= 90
+         |         THEN text || ' ' || array_to_string(list_transform(range(0, 8),
+         |                i -> substr(md5(CAST(doc_id % 3 AS VARCHAR)), CAST(i*4+1 AS BIGINT), 4)), ' ')
+         |         ELSE text END AS text
+         |  FROM documents),
+         |t0 AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM qdc),
+         |${positionalShingleCtes("qdc")},
+         |co AS (SELECT a.doc_id AS inc_id, b.doc_id AS ref_id, a.pos AS pa,
+         |              a.pos - b.pos AS diag
+         |       FROM pos a JOIN pos b ON a.h = b.h
+         |       WHERE ('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 80
+         |         AND ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 >= 90),
+         |isl AS (SELECT inc_id, min(pa) AS p0, count(*) AS len FROM (
+         |  SELECT inc_id, ref_id, diag, pa,
+         |         pa - row_number() OVER (PARTITION BY inc_id, ref_id, diag ORDER BY pa) AS grp
+         |  FROM co) z GROUP BY inc_id, ref_id, diag, grp
+         |  HAVING count(*) + 4 >= 8),
+         |cov AS (SELECT DISTINCT doc_id, CAST(u AS BIGINT) AS ti FROM (
+         |  SELECT inc_id AS doc_id, unnest(range(p0, p0 + len + 4)) AS u FROM isl) q),
+         |tok AS (SELECT doc_id, u.ti AS ti, u.w AS w FROM (
+         |  SELECT doc_id, unnest(list_transform(range(0, len(t)), i -> {'ti': i, 'w': t[i+1]})) AS u
+         |  FROM t0 WHERE len(t) >= 5
+         |    AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 80) q),
+         |kept AS (SELECT tok.doc_id, string_agg(w, ' ' ORDER BY tok.ti) AS kept_text,
+         |           count(*) AS n_kept
+         |         FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.ti = cov.ti
+         |         WHERE cov.ti IS NULL GROUP BY tok.doc_id)
+         |SELECT t0.doc_id,
+         |  CASE WHEN len(t) < 5 THEN text ELSE coalesce(kept.kept_text, '') END AS kept_text,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN len(t) < 5 THEN 0
+         |            ELSE len(t) - coalesce(kept.n_kept, 0) END AS BIGINT) AS n_removed,
+         |  round((CASE WHEN len(t) < 5 THEN 0
+         |              ELSE len(t) - coalesce(kept.n_kept, 0) END)::DOUBLE
+         |        / greatest(len(t), 1), 6) AS removed_ratio
+         |FROM t0 LEFT JOIN kept ON t0.doc_id = kept.doc_id
+         |WHERE ('0x' || substr(md5(CAST(t0.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 80
+         |ORDER BY t0.doc_id""".stripMargin,
 
     // run-length decontamination over the two-sided quote corpus: per
     // TRAIN doc (bucket<80) the longest run vs ANY eval doc (bucket>=90)

@@ -844,6 +844,75 @@ object Dedup {
       .orderBy(col(idCol))
   }
 
+  /** RUN-LENGTH decontamination TREATMENT — the trim
+    * [[decontaminateRuns]]'s audit promises (the [[trimSpans]] relation,
+    * eval-targeted): every train-document token covered by a ≥
+    * `minRunTokens` contiguous run shared with ANY eval document is
+    * removed; what remains is the document minus its verbatim eval
+    * passages — Lee et al. 2022's "remove the duplicated span" applied as
+    * decontamination, which is the published remedy (drop the PASSAGE,
+    * keep the document) where [[trimSpans]] trims corpus-wide boilerplate
+    * and [[decontaminateRuns]] only flags. Documents with fewer than
+    * `shingleSize` tokens pass through untouched; a fully-contaminated
+    * document trims to "" (the [[trimSpans]] coalesce contract).
+    *
+    * Scale shape: the [[runsAgainst]] merge keeps per-island `min(pa)` so
+    * coverage expands to ≤ (island length + shingleSize − 1) token ids
+    * per qualifying island — never a per-token join against eval; the
+    * reassembly is [[trimSpans]]' one doc-keyed aggregation (per-doc
+    * state = the doc's own tokens). */
+  def decontaminateTrim(docs: DataFrame, shingleSize: Int = 5,
+                        minRunTokens: Int = 13,
+                        trainPct: Int = 80, benchFromPct: Int = 90,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val b = Sampling.hashBucket(col(idCol))
+    val train = docs.where(b < trainPct)
+    val posInc = positionalShingles(train, idCol, textCol, shingleSize)
+    val posRef = positionalShingles(docs.where(b >= benchFromPct),
+      idCol, textCol, shingleSize)
+    // islands WITH their start position (runsAgainst keeps only lengths)
+    val co = posInc.select(col("doc_id").as("inc_id"), col("h"),
+        col("pos").as("pa"))
+      .join(posRef.select(col("doc_id").as("ref_id"), col("h"),
+        col("pos").as("pb")), Seq("h"))
+    val w = Window.partitionBy(col("inc_id"), col("ref_id"), col("diag"))
+      .orderBy(col("pa"))
+    val isl = co.select(col("inc_id"), col("ref_id"),
+        (col("pa") - col("pb")).as("diag"), col("pa"))
+      .withColumn("__grp", col("pa") - row_number().over(w))
+      .groupBy(col("inc_id"), col("ref_id"), col("diag"), col("__grp"))
+      .agg(count(lit(1)).as("__len"), min(col("pa")).as("__p0"))
+      .where(col("__len") + lit(shingleSize - 1) >= minRunTokens)
+    val covered = isl.select(col("inc_id").as("doc_id"),
+        explode(sequence(col("__p0"),
+          col("__p0") + col("__len") + lit(shingleSize - 2))).as("ti"))
+      .distinct()
+    val base = train.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+      split(col(textCol), " ").as("t"))
+    val eligible = base.where(size(col("t")) >= shingleSize)
+    val tokens = eligible.select(col("doc_id"),
+      posexplode(col("t")).as(Seq("ti", "w")))
+      .select(col("doc_id"), col("ti").cast("bigint").as("ti"), col("w"))
+    val trimmed = tokens.join(covered, Seq("doc_id", "ti"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        transform(sort_array(collect_list(struct(col("ti"), col("w")))),
+          s => s.getField("w"))).as("__kept"),
+        count(lit(1)).as("__n_kept"))
+    base.select(col("doc_id"), col("__text"), size(col("t")).as("n_tokens"))
+      .join(trimmed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_tokens") < shingleSize, col("__text"))
+          .otherwise(coalesce(col("__kept"), lit(""))).as("kept_text"),
+        col("n_tokens").cast("bigint").as("n_tokens"),
+        when(col("n_tokens") < shingleSize, lit(0L))
+          .otherwise(col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_removed"))
+      .withColumn("removed_ratio",
+        round(col("n_removed").cast("double") / greatest(col("n_tokens"), lit(1L)), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[verbatimOverlap]] with the quadratic-co-occurrence escape
     * SELF-DIALED from the measured posting saturation —
     * [[minhashNearAuto]]'s audit-then-branch for the positional family:

@@ -1351,4 +1351,34 @@ class DedupSpec extends SparkSpec {
     assert(strict.forall(r => r.getLong(1) == 8L && r.getLong(2) == 0L &&
       !r.getBoolean(3)))
   }
+
+  test("decontaminateTrim: exactly the eval passage is removed, everything else byte-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val quote = "k1 k2 k3 k4 k5 k6 k7 k8"
+    val long = (0L until 200L)
+      .map(i => (i, s"u${i}a u${i}b u${i}c u${i}d u${i}e $quote"))
+    val short = (200L until 210L).map(i => (i, s"s$i t$i"))  // < shingleSize
+    val docs = (long ++ short).toDF("doc_id", "text")
+    val out = Dedup.decontaminateTrim(docs, minRunTokens = 8).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // surgical: the 8-token eval passage goes, the 5 unique flanking
+    // tokens stay, in order — the doc survives decontaminated
+    out.foreach { case (id, (kept, nt, nr)) =>
+      if (id < 200L) {
+        assert(nt == 13L && nr == 8L, s"doc $id: $nt/$nr")
+        assert(kept == s"u${id}a u${id}b u${id}c u${id}d u${id}e", s"doc $id: '$kept'")
+      } else {
+        // sub-shingle docs pass through untouched
+        assert(nr == 0L && kept == s"s$id t$id")
+      }
+    }
+    // the trim set IS the flag set: treatment and audit agree doc-for-doc
+    val flagged = Dedup.decontaminateRuns(docs, minRunTokens = 8).collect()
+      .filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(out.filter(_._2._3 > 0L).keySet == flagged)
+    // above the quote length nothing is removed and text is byte-identical
+    assert(Dedup.decontaminateTrim(docs, minRunTokens = 9).collect()
+      .forall(r => r.getLong(3) == 0L))
+  }
 }
