@@ -341,6 +341,18 @@ object ScaleSmoke {
       D.verbatimIncremental(hdocs.where(b >= 90), hdocs.where(b < 90))
         .queryExecution.toRdd.count()
     }
+    stage("decontaminate trim (250k)") {
+      // the decontamination TREATMENT at scale: trim every train token
+      // covered by a >= 13-token run shared with the bucket>=90 eval
+      // slice — the realistic shape (eval side benchmark-sized relative
+      // to train), over the same near-distinct vowels-translated corpus
+      val hdocs = docs.select(col("doc_id"), expr(
+        """translate(text, 'aeiou', concat(
+          |  substr('bcdfghjklmnpqrstvwxz', cast(pmod(doc_id, 18) as int) + 1, 3),
+          |  substr('bcdfghjklmnpqrstvwxz', cast(pmod(doc_id div 18, 19) as int) + 1, 2)))""".stripMargin)
+        .as("text"))
+      D.decontaminateTrim(hdocs).queryExecution.toRdd.count()
+    }
     stage("ngram near-dup") { D.ngramNear(docs).queryExecution.toRdd.count() }
     lshStats("ngram buckets n8r3b4",
       D.ngramBandKeys(D.ngramShingled(docs, "doc_id", "text", 8), 12, 4), "doc_id")
