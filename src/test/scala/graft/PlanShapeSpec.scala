@@ -670,5 +670,15 @@ class PlanShapeSpec extends SparkSpec {
       s"global window in the island merge:\n$p")
     assert("""windowspecdefinition\(a_id#\d+L?, b_id#\d+L?, diag#\d+L?""".r
       .findFirstIn(p).isDefined, s"island window not pair-scoped:\n$p")
+    // the cross-side (incremental/decontamination) merge keeps the same
+    // contract: hash-keyed co-occurrence join, pair-scoped islands
+    val pi = plan(graft.operators.Dedup.verbatimIncremental(
+      docs.where(org.apache.spark.sql.functions.col("doc_id") === 1L),
+      docs.where(org.apache.spark.sql.functions.col("doc_id") === 2L),
+      minRunTokens = 5))
+    assert(!pi.contains("CartesianProduct") && !pi.contains("BroadcastNestedLoop"),
+      s"cross-side run merge lost the hash key:\n$pi")
+    assert("""windowspecdefinition\(inc_id#\d+L?, ref_id#\d+L?, diag#\d+L?""".r
+      .findFirstIn(pi).isDefined, s"cross-side island window not pair-scoped:\n$pi")
   }
 }
