@@ -101,6 +101,31 @@ object SparkEntry {
             .otherwise(concat(mp4H, payload)).as("blob"))
       Curate.pipelineMultimodal(s, Tables.documents(s, dir), blobs)
     }),
+    "curate_multimodal_xm" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, expr, lit, when}
+      // the cross-modal laundering device: the pair corpus plus EXTRA
+      // 32-byte stills (ids offset by 1,000,000 — blob-only rows, never
+      // docs) whose bytes equal the md5 block every frame of a selected
+      // video class repeats, so those videos near-match a corpus still at
+      // Hamming 0 and the crossModal arm must drop them; all other
+      // verdicts must stay exactly curate_multimodal's
+      val wavH = lit(graft.operators.Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL))
+      val mp4H = lit(graft.operators.Multimodal.mp4VideoFramesHeader())
+      val payload = expr("repeat(md5(cast(doc_id div 2 as string)), 16)").cast("binary")
+      val m = expr("(doc_id div 2) % 3")
+      val base = Tables.documents(s, dir).where(expr("doc_id % 97 != 0"))
+      val blobs = base
+        .select(col("doc_id"),
+          when(m === 0, payload)
+            .when(m === 1, concat(wavH, payload))
+            .otherwise(concat(mp4H, payload)).as("blob"))
+        .unionByName(base
+          .where(expr("(doc_id div 2) % 3 = 2 AND doc_id % 2 = 0 AND (doc_id div 2) % 5 = 2"))
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            expr("cast(md5(cast(doc_id div 2 as string)) as binary)").as("blob")))
+      Curate.pipelineMultimodal(s, Tables.documents(s, dir), blobs,
+        crossModal = true)
+    }),
     // the signature-only near arm — the batch frame streamCurate is proven
     // equivalent to (StreamingSpec), oracle-checked in its own right
     "curate_approx" -> ((s, dir) => Curate.pipeline(Tables.documents(s, dir), approxNear = true)),
@@ -2314,6 +2339,111 @@ object SparkEntry {
   /** The decontamination CTEs of the `curate` frame (train-slice 5-gram
     * hits against the bench slice) — shared verbatim by `curate` and
     * `curate_multimodal`. Needs `buck` ([[corpusFilterCtes]]) in scope. */
+  /** The curate_multimodal oracle, parameterized by the CROSS-MODAL arm:
+    * when `xm`, extra 32-byte stills (ids offset by 1,000,000, blob = the
+    * md5 block every frame of a selected video class equals) join the
+    * image family, `xmv` re-derives the cross-side Hamming probe over the
+    * frame and image hash CTEs, and the media verdict conjoins with
+    * NOT-matched — the SQL twin of
+    * [[graft.operators.Curate.pipelineMultimodal]]`(crossModal = true)`. */
+  private def curateMultimodalSql(xm: Boolean): String = {
+    val thresholds = graft.operators.Multimodal.QuarterOctaveThresholds
+      .mkString("[", ",", "]")
+    val pyxCte = if (!xm) "" else """
+        |pyx AS (SELECT doc_id + 1000000 AS doc_id,
+        |        md5(CAST(doc_id // 2 AS VARCHAR)) AS p
+        |        FROM documents WHERE doc_id % 97 != 0 AND (doc_id // 2) % 3 = 2
+        |          AND doc_id % 2 = 0 AND (doc_id // 2) % 5 = 2),""".stripMargin.stripPrefix("\n")
+    val payImgUnion = if (!xm) ""
+      else "UNION ALL SELECT doc_id, p FROM pyx"
+    val xmvCte = if (!xm) "" else """
+        |xmv AS (SELECT DISTINCT f.doc_id FROM fh f
+        |        JOIN ih h ON bit_count(xor(f.fhash, h.ph)) <= 3),""".stripMargin.stripPrefix("\n")
+    val xmConj = if (!xm) "" else " AND x.doc_id IS NULL"
+    val xmJoin = if (!xm) "" else " LEFT JOIN xmv x ON x.doc_id = mmap.doc_id"
+    s"""WITH RECURSIVE $corpusFilterCtes,
+        |${ngramPairsSql()},
+        |$curateDecontamCtes,
+        |$curateFlagsCte,
+        |pay AS (SELECT doc_id, repeat(md5(CAST(doc_id // 2 AS VARCHAR)), 16) AS p,
+        |        (doc_id // 2) % 3 AS m FROM documents WHERE doc_id % 97 != 0),$pyxCte
+        |ig AS (SELECT doc_id, list_transform(range(0, 64), i ->
+        |        CASE WHEN i < strlen(p) THEN ascii(substr(p, CAST(i+1 AS BIGINT), 1)) ELSE 0 END) AS gr
+        |      FROM (SELECT doc_id, p FROM pay WHERE m = 0 $payImgUnion) pz),
+        |ih AS MATERIALIZED (SELECT doc_id, CAST(list_sum(list_transform(range(0, 56), k ->
+        |        CASE WHEN gr[CAST((k//7)*8 + (k%7) + 2 AS BIGINT)]
+        |                  > gr[CAST((k//7)*8 + (k%7) + 1 AS BIGINT)]
+        |             THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE 0 END)) AS BIGINT) AS ph
+        |      FROM ig),
+        |ir AS MATERIALIZED (SELECT ph, min(doc_id) AS rep FROM ih GROUP BY ph),
+        |ipr AS (SELECT a.rep AS pa, b.rep AS pb FROM ir a JOIN ir b
+        |        ON a.rep < b.rep AND bit_count(xor(a.ph, b.ph)) <= 6),
+        |imap AS (SELECT ih.doc_id, ir.rep FROM ih JOIN ir ON ir.ph = ih.ph),
+        |asm AS (SELECT doc_id AS id, strlen(p) // 2 AS n,
+        |        list_transform(range(0, strlen(p) // 2), i ->
+        |           ascii(substr(p, CAST(2*i+2 AS BIGINT), 1)) * 256
+        |         + ascii(substr(p, CAST(2*i+1 AS BIGINT), 1))) AS s
+        |        FROM pay WHERE m = 1),
+        |alv AS (SELECT id, list_transform(
+        |        list_transform(range(0, CASE WHEN n >= 16 THEN (n - 16) // 4 + 1 ELSE 0 END),
+        |          w -> list_sum(list_transform(range(w*4, w*4 + 16),
+        |                 j -> CAST(s[CAST(j+1 AS BIGINT)] AS BIGINT) * s[CAST(j+1 AS BIGINT)]))),
+        |        ss -> len(list_filter($thresholds, t -> ss >= t))) AS L FROM asm),
+        |arp AS (SELECT id, min(id) OVER (PARTITION BY L) AS rep FROM alv),
+        |alvr AS (SELECT alv.* FROM alv JOIN arp ON alv.id = arp.id AND arp.id = arp.rep),
+        |${audioLandmarkVoteCtes("alvr")},
+        |apr AS (SELECT a_id AS pa, b_id AS pb FROM vt
+        |        GROUP BY a_id, b_id HAVING max(v) >= 5),
+        |vc AS (SELECT doc_id, p AS text FROM pay WHERE m = 2),
+        |$videoFrameHashCtes,
+        |vfp AS (SELECT doc_id, string_agg(
+        |          CAST(frame_no AS VARCHAR) || ':' || CAST(fhash AS VARCHAR),
+        |          ' ' ORDER BY frame_no) AS fp
+        |        FROM fh GROUP BY doc_id),
+        |vrp AS (SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY fp) AS rep FROM vfp),
+        |fhr AS (SELECT fh.* FROM fh JOIN vrp ON fh.doc_id = vrp.id AND vrp.id = vrp.rep),
+        |vp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         a.frame_no - b.frame_no AS off
+        |       FROM fhr a JOIN fhr b ON a.fhash = b.fhash AND a.doc_id < b.doc_id),
+        |vvv AS (SELECT a_id, b_id, off, count(*) AS v FROM vp GROUP BY 1, 2, 3),
+        |vpr AS (SELECT a_id AS pa, b_id AS pb FROM vvv
+        |        GROUP BY a_id, b_id HAVING max(v) >= 3),$xmvCte
+        |me AS (SELECT pa, pb FROM ipr UNION SELECT pb, pa FROM ipr
+        |       UNION SELECT pa, pb FROM apr UNION SELECT pb, pa FROM apr
+        |       UNION SELECT pa, pb FROM vpr UNION SELECT pb, pa FROM vpr),
+        |mwalk(pa, pb) AS (SELECT pa, pb FROM me
+        |                  UNION SELECT mwalk.pa, me.pb FROM mwalk JOIN me ON mwalk.pb = me.pa),
+        |mroots AS (SELECT pa AS id, least(pa, min(pb)) AS root FROM mwalk GROUP BY pa),
+        |mmap AS (SELECT doc_id, rep FROM imap
+        |         UNION ALL SELECT id, rep FROM arp
+        |         UNION ALL SELECT id, rep FROM vrp),
+        |mediag AS (SELECT mmap.doc_id,
+        |           (mmap.doc_id = coalesce(mr.root, mmap.rep))$xmConj AS media_ok
+        |           FROM mmap LEFT JOIN mroots mr ON mr.id = mmap.rep$xmJoin),
+        |mflags AS (SELECT f.doc_id, f.quality_ok, f.repetition_ok, f.pii_ok,
+        |           f.dedup_ok, f.near_ok, f.decontam_ok,
+        |           coalesce(mg.media_ok, TRUE) AS media_ok, f.b
+        |           FROM flags f LEFT JOIN mediag mg ON f.doc_id = mg.doc_id),
+        |fk AS (SELECT *, (quality_ok AND repetition_ok AND pii_ok AND dedup_ok
+        |    AND near_ok AND decontam_ok AND media_ok) AS kept FROM mflags),
+        |ck AS (SELECT fk.doc_id,
+        |    CAST(len(list_filter(string_split(d.text, ' '), x -> x != '')) AS BIGINT) AS n_tok
+        |  FROM fk JOIN documents d ON fk.doc_id = d.doc_id
+        |  WHERE fk.kept AND fk.b < 80),
+        |cs AS (SELECT doc_id,
+        |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 10000 AS shard
+        |  FROM ck)
+        |SELECT fk.doc_id, fk.quality_ok, fk.repetition_ok, fk.pii_ok,
+        |  fk.dedup_ok, fk.near_ok, fk.decontam_ok, fk.media_ok, fk.kept,
+        |  CASE WHEN NOT fk.kept THEN NULL
+        |       WHEN fk.b < 80 THEN 'train'
+        |       WHEN fk.b < 90 THEN 'val' ELSE 'bench' END AS split,
+        |  CAST(cs.shard AS BIGINT) AS shard
+        |FROM fk LEFT JOIN cs ON fk.doc_id = cs.doc_id
+        |ORDER BY fk.doc_id""".stripMargin
+  }
+
   private def curateDecontamCtes: String =
     """dct0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |dchs AS (SELECT doc_id,
@@ -3708,91 +3838,11 @@ object SparkEntry {
     // component walk (doc-id spaces are disjoint across families), every
     // doc inheriting its rep's root; kept adds media_ok to the conjunction
     // and the shard prefix scan runs over the COMPOSED kept set
-    "curate_multimodal" -> {
-      val thresholds = graft.operators.Multimodal.QuarterOctaveThresholds
-        .mkString("[", ",", "]")
-      s"""WITH RECURSIVE $corpusFilterCtes,
-        |${ngramPairsSql()},
-        |$curateDecontamCtes,
-        |$curateFlagsCte,
-        |pay AS (SELECT doc_id, repeat(md5(CAST(doc_id // 2 AS VARCHAR)), 16) AS p,
-        |        (doc_id // 2) % 3 AS m FROM documents WHERE doc_id % 97 != 0),
-        |ig AS (SELECT doc_id, list_transform(range(0, 64), i ->
-        |        CASE WHEN i < strlen(p) THEN ascii(substr(p, CAST(i+1 AS BIGINT), 1)) ELSE 0 END) AS gr
-        |      FROM pay WHERE m = 0),
-        |ih AS MATERIALIZED (SELECT doc_id, CAST(list_sum(list_transform(range(0, 56), k ->
-        |        CASE WHEN gr[CAST((k//7)*8 + (k%7) + 2 AS BIGINT)]
-        |                  > gr[CAST((k//7)*8 + (k%7) + 1 AS BIGINT)]
-        |             THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE 0 END)) AS BIGINT) AS ph
-        |      FROM ig),
-        |ir AS MATERIALIZED (SELECT ph, min(doc_id) AS rep FROM ih GROUP BY ph),
-        |ipr AS (SELECT a.rep AS pa, b.rep AS pb FROM ir a JOIN ir b
-        |        ON a.rep < b.rep AND bit_count(xor(a.ph, b.ph)) <= 6),
-        |imap AS (SELECT ih.doc_id, ir.rep FROM ih JOIN ir ON ir.ph = ih.ph),
-        |asm AS (SELECT doc_id AS id, strlen(p) // 2 AS n,
-        |        list_transform(range(0, strlen(p) // 2), i ->
-        |           ascii(substr(p, CAST(2*i+2 AS BIGINT), 1)) * 256
-        |         + ascii(substr(p, CAST(2*i+1 AS BIGINT), 1))) AS s
-        |        FROM pay WHERE m = 1),
-        |alv AS (SELECT id, list_transform(
-        |        list_transform(range(0, CASE WHEN n >= 16 THEN (n - 16) // 4 + 1 ELSE 0 END),
-        |          w -> list_sum(list_transform(range(w*4, w*4 + 16),
-        |                 j -> CAST(s[CAST(j+1 AS BIGINT)] AS BIGINT) * s[CAST(j+1 AS BIGINT)]))),
-        |        ss -> len(list_filter($thresholds, t -> ss >= t))) AS L FROM asm),
-        |arp AS (SELECT id, min(id) OVER (PARTITION BY L) AS rep FROM alv),
-        |alvr AS (SELECT alv.* FROM alv JOIN arp ON alv.id = arp.id AND arp.id = arp.rep),
-        |${audioLandmarkVoteCtes("alvr")},
-        |apr AS (SELECT a_id AS pa, b_id AS pb FROM vt
-        |        GROUP BY a_id, b_id HAVING max(v) >= 5),
-        |vc AS (SELECT doc_id, p AS text FROM pay WHERE m = 2),
-        |$videoFrameHashCtes,
-        |vfp AS (SELECT doc_id, string_agg(
-        |          CAST(frame_no AS VARCHAR) || ':' || CAST(fhash AS VARCHAR),
-        |          ' ' ORDER BY frame_no) AS fp
-        |        FROM fh GROUP BY doc_id),
-        |vrp AS (SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY fp) AS rep FROM vfp),
-        |fhr AS (SELECT fh.* FROM fh JOIN vrp ON fh.doc_id = vrp.id AND vrp.id = vrp.rep),
-        |vp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |         a.frame_no - b.frame_no AS off
-        |       FROM fhr a JOIN fhr b ON a.fhash = b.fhash AND a.doc_id < b.doc_id),
-        |vvv AS (SELECT a_id, b_id, off, count(*) AS v FROM vp GROUP BY 1, 2, 3),
-        |vpr AS (SELECT a_id AS pa, b_id AS pb FROM vvv
-        |        GROUP BY a_id, b_id HAVING max(v) >= 3),
-        |me AS (SELECT pa, pb FROM ipr UNION SELECT pb, pa FROM ipr
-        |       UNION SELECT pa, pb FROM apr UNION SELECT pb, pa FROM apr
-        |       UNION SELECT pa, pb FROM vpr UNION SELECT pb, pa FROM vpr),
-        |mwalk(pa, pb) AS (SELECT pa, pb FROM me
-        |                  UNION SELECT mwalk.pa, me.pb FROM mwalk JOIN me ON mwalk.pb = me.pa),
-        |mroots AS (SELECT pa AS id, least(pa, min(pb)) AS root FROM mwalk GROUP BY pa),
-        |mmap AS (SELECT doc_id, rep FROM imap
-        |         UNION ALL SELECT id, rep FROM arp
-        |         UNION ALL SELECT id, rep FROM vrp),
-        |mediag AS (SELECT mmap.doc_id,
-        |           mmap.doc_id = coalesce(mr.root, mmap.rep) AS media_ok
-        |           FROM mmap LEFT JOIN mroots mr ON mr.id = mmap.rep),
-        |mflags AS (SELECT f.doc_id, f.quality_ok, f.repetition_ok, f.pii_ok,
-        |           f.dedup_ok, f.near_ok, f.decontam_ok,
-        |           coalesce(mg.media_ok, TRUE) AS media_ok, f.b
-        |           FROM flags f LEFT JOIN mediag mg ON f.doc_id = mg.doc_id),
-        |fk AS (SELECT *, (quality_ok AND repetition_ok AND pii_ok AND dedup_ok
-        |    AND near_ok AND decontam_ok AND media_ok) AS kept FROM mflags),
-        |ck AS (SELECT fk.doc_id,
-        |    CAST(len(list_filter(string_split(d.text, ' '), x -> x != '')) AS BIGINT) AS n_tok
-        |  FROM fk JOIN documents d ON fk.doc_id = d.doc_id
-        |  WHERE fk.kept AND fk.b < 80),
-        |cs AS (SELECT doc_id,
-        |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 10000 AS shard
-        |  FROM ck)
-        |SELECT fk.doc_id, fk.quality_ok, fk.repetition_ok, fk.pii_ok,
-        |  fk.dedup_ok, fk.near_ok, fk.decontam_ok, fk.media_ok, fk.kept,
-        |  CASE WHEN NOT fk.kept THEN NULL
-        |       WHEN fk.b < 80 THEN 'train'
-        |       WHEN fk.b < 90 THEN 'val' ELSE 'bench' END AS split,
-        |  CAST(cs.shard AS BIGINT) AS shard
-        |FROM fk LEFT JOIN cs ON fk.doc_id = cs.doc_id
-        |ORDER BY fk.doc_id""".stripMargin
-    },
+    "curate_multimodal" -> curateMultimodalSql(xm = false),
+    // the cross-modal twin: extra 32-byte stills equal to selected video
+    // classes' repeated frame block make the laundering arm LIVE; the SQL
+    // re-derives the cross-side Hamming probe gating the video verdicts
+    "curate_multimodal_xm" -> curateMultimodalSql(xm = true),
 
     "text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,

@@ -146,16 +146,35 @@ object Curate {
                          minQuality: Double = 0.3,
                          tokensPerShard: Long = 10000L,
                          trainPct: Int = 80, benchFromPct: Int = 90,
-                         approxNear: Boolean = false): DataFrame = {
+                         approxNear: Boolean = false,
+                         crossModal: Boolean = false): DataFrame = {
     val typed = blobs
       .select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
       .withColumn("__mod", Multimodal.modalityUdf(col("blob")))
     def arm(m: String)(f: DataFrame => DataFrame): DataFrame =
       f(typed.where(col("__mod") === m).select(col("doc_id"), col("blob")))
         .select(col("doc_id"), col("keep").as("__media"))
-    val media = arm("image")(d => Dedup.imageDedup(spark, d))
+    val media0 = arm("image")(d => Dedup.imageDedup(spark, d))
       .unionByName(arm("audio")(d => Dedup.audioDedup(spark, d)))
       .unionByName(arm("video")(d => Dedup.videoDedup(spark, d)))
+    // the CROSS-MODAL laundering arm: a video whose extracted samples
+    // near-match ANY corpus still is redundant with the image family (the
+    // content survives through that image's own keeper election), so its
+    // media verdict conjoins with NOT-matched. Signature-only probe
+    // (distinct frame hashes x distinct image hashes), pixels never meet.
+    val media =
+      if (!crossModal) media0
+      else {
+        val xm = Dedup.videoStillMatchesAgainst(
+          Multimodal.videoFrameHashes(spark,
+            typed.where(col("__mod") === "video").select(col("doc_id"), col("blob"))),
+          Multimodal.imagePHash(spark,
+            typed.where(col("__mod") === "image").select(col("doc_id"), col("blob")))
+            .select(col("phash")))
+        media0.join(xm.withColumn("__xm", lit(true)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (col("__media") && col("__xm").isNull).as("__media"))
+      }
     val flags = textFlags(docs, minQuality, trainPct, benchFromPct, approxNear)
       .join(media, Seq("doc_id"), "left")
       .withColumn("media_ok", coalesce(col("__media"), lit(true)))

@@ -3035,11 +3035,33 @@ object Dedup {
     val ih = Multimodal.imagePHash(spark, images, idCol, blobCol)
       .select(col(idCol).as("image_id"), col("phash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfh = fr.select(col("fhash")).distinct()
-    val dph = ih.select(col("phash")).distinct()
-    // one bounded action buys the lossless t for BOTH sides (the banding
-    // must be identical across sides for the pigeonhole argument to span
-    // them, so the dial reads the union's distinct count)
+    // member restore: frames collapse to (video, fhash, n) first so the
+    // hash-keyed joins carry one row per distinct hash per video
+    val vf = fr.groupBy(col(idCol).as("video_id"), col("fhash"))
+      .agg(count(lit(1)).as("__nf"))
+    vf.join(crossHammingPairs(fr.select(col("fhash")).distinct(),
+        ih.select(col("phash")).distinct(), bands, maxHamming, agreeBands),
+        Seq("fhash"))
+      .join(ih, Seq("phash"))
+      .groupBy(col("video_id"), col("image_id"))
+      .agg(sum(col("__nf")).cast("bigint").as("frames_matched"),
+        min(col("hamming")).as("min_hamming"))
+      .where(col("frames_matched") >= minFrames)
+      .orderBy(col("video_id"), col("image_id"))
+  }
+
+  /** The cross-side DISTINCT-HASH Hamming mine shared by
+    * [[videoStillMatches]] and [[videoStillMatchesAgainst]]: distinct
+    * fhashes × distinct phashes through the lossless [[bandSubsetKeys]]
+    * buckets, (band, key) equi-join, exact popcount verify — one
+    * `(fhash, phash, hamming)` row per cross-side pair within
+    * `maxHamming`. One bounded action buys the lossless t for BOTH sides
+    * (the banding must be identical across sides for the pigeonhole
+    * argument to span them, so the auto dial reads the union's distinct
+    * count). */
+  private def crossHammingPairs(dfh: DataFrame, dph: DataFrame,
+                                bands: Int, maxHamming: Int,
+                                agreeBands: Int): DataFrame = {
     val t = if (agreeBands == 0)
       autoAgreeBands(
         dfh.select(col("fhash").as("h"))
@@ -3050,21 +3072,39 @@ object Dedup {
       .select(col("doc_id").as("fhash"), col("band"), col("key"))
     val kb = bandSubsetKeys(dph, "phash", "phash", bands, 56, t)
       .select(col("doc_id").as("phash"), col("band"), col("key"))
-    val hp = ka.join(kb, Seq("band", "key"))
+    ka.join(kb, Seq("band", "key"))
       .select(col("fhash"), col("phash")).distinct()
       .withColumn("hamming", expr("bit_count(fhash ^ phash)").cast("bigint"))
       .where(col("hamming") <= maxHamming)
-    // member restore: frames collapse to (video, fhash, n) first so the
-    // hash-keyed joins carry one row per distinct hash per video
-    val vf = fr.groupBy(col(idCol).as("video_id"), col("fhash"))
-      .agg(count(lit(1)).as("__nf"))
-    vf.join(hp, Seq("fhash"))
-      .join(ih, Seq("phash"))
-      .groupBy(col("video_id"), col("image_id"))
-      .agg(sum(col("__nf")).cast("bigint").as("frames_matched"),
-        min(col("hamming")).as("min_hamming"))
-      .where(col("frames_matched") >= minFrames)
-      .orderBy(col("video_id"), col("image_id"))
+  }
+
+  /** The GATE form of [[videoStillMatches]]: which videos of an
+    * already-decoded frame table have ≥ `minFrames` samples within
+    * `maxHamming` of ANY still hash in `stillHashes` (one `phash` column
+    * — SIGNATURE-ONLY, exactly the streaming image gate's accumulated
+    * state, so the cross-modal admission arm probes state the pipeline
+    * already maintains). Returns distinct matched video ids; no image
+    * identities are restored because state carries none. */
+  private[graft] def videoStillMatchesAgainst(fr: DataFrame, stillHashes: DataFrame,
+                                              idCol: String = "doc_id",
+                                              bands: Int = 8, maxHamming: Int = 3,
+                                              agreeBands: Int = 0,
+                                              minFrames: Int = 1): DataFrame = {
+    require(56 % bands == 0, s"bands must divide 56, got $bands")
+    require(agreeBands >= 0 && maxHamming >= 0 &&
+      maxHamming <= bands - math.max(agreeBands, 1),
+      s"need maxHamming in [0, bands - agreeBands] for lossless band-subset keys, " +
+        s"got maxHamming=$maxHamming agreeBands=$agreeBands bands=$bands")
+    fr.groupBy(col(idCol), col("fhash")).agg(count(lit(1)).as("__nf"))
+      .join(crossHammingPairs(fr.select(col("fhash")).distinct(),
+          stillHashes.select(col("phash")).distinct(),
+          bands, maxHamming, agreeBands)
+          .select(col("fhash")).distinct(),
+        Seq("fhash"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__nf")).as("__fm"))
+      .where(col("__fm") >= minFrames)
+      .select(col(idCol))
   }
 
   /** [[imageNear]]'s TREATMENT form, and its 100 TB shape: per-doc

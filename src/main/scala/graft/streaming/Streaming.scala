@@ -661,12 +661,14 @@ object Streaming {
                              maxFrames: Int = 16, videoMaxBytes: Int = 1 << 20,
                              videoMinVotes: Int = 3,
                              retainVersions: Int = 1,
-                             compactEvery: Int = 16): StreamingQuery =
+                             compactEvery: Int = 16,
+                             crossModal: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          val spark = batch.sparkSession
           val typed = batch
             .select(col("doc_id"), col("blob"))
             .withColumn("__mod",
@@ -677,13 +679,36 @@ object Streaming {
           // the standalone gates' shared per-batch functions, family-scoped
           // state — each returns keepers + its own yields-no-verdict
           // pass-through, which is exactly the batch frame's vacuous-clean set
-          val famAdmitted = imageAdmitBatch(slice("image"), s"$path/media/image",
+          val famAdmitted0 = imageAdmitBatch(slice("image"), s"$path/media/image",
               batchId, imgBands, maxHamming, agreeBands, compactEvery)
             .unionByName(audioAdmitBatch(slice("audio"), s"$path/media/audio",
               batchId, windowSamples, hop, audioMaxBytes, maxDt, fanout,
               audioMinVotes, compactEvery, keyPeaks))
             .unionByName(videoAdmitBatch(slice("video"), s"$path/media/video",
               batchId, maxFrames, videoMaxBytes, videoMinVotes, compactEvery))
+          // the CROSS-MODAL arm: batch videos probed against every still
+          // seen SO FAR — the image gate's own signature state (strictly
+          // below this batch: imageAdmitBatch just wrote b{batchId}, which
+          // readBatchState excludes) plus this batch's image hashes. The
+          // batch frame drops a video on ANY corpus still; the streamed
+          // frame reproduces it exactly whenever no matching still arrives
+          // in a LATER batch than its video (the curated-images-first
+          // direction — the media gates' ordered-arrival caveat, cross-
+          // modal edition).
+          val famAdmitted =
+            if (!crossModal) famAdmitted0
+            else {
+              val M = graft.operators.Multimodal
+              val batchImg = M.imagePHash(spark, slice("image"))
+                .select(col("phash"))
+              val stills = readBatchState(spark, s"$path/media/image/_ph", batchId)
+                .fold(batchImg)(st => batchImg.unionByName(st.select(col("phash"))))
+              val xm = graft.operators.Dedup.videoStillMatchesAgainst(
+                M.videoFrameHashes(spark, slice("video"),
+                  maxFrames = maxFrames, maxBytes = videoMaxBytes),
+                stills)
+              famAdmitted0.join(xm, Seq("doc_id"), "left_anti")
+            }
           val mediaOk = typed.where(col("__mod") =!= "none")
             .select(col("doc_id"))
             .join(famAdmitted.select(col("doc_id"), lit(true).as("__adm"))

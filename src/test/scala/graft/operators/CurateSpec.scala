@@ -114,6 +114,43 @@ class CurateSpec extends SparkSpec {
       "shard numbering must run over the media-composed kept set")
   }
 
+  test("pipelineMultimodal crossModal: videos matching a corpus still are refused, everything else unchanged") {
+    val docs = Tables.documents(spark, dir)
+    val wavH = lit(Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL))
+    val mp4H = lit(Multimodal.mp4VideoFramesHeader())
+    val payload = expr("repeat(md5(cast(doc_id div 2 as string)), 16)").cast("binary")
+    val m = expr("(doc_id div 2) % 3")
+    val base = docs.where(expr("doc_id % 97 != 0"))
+    // the pair device plus EXTRA blob-only stills (ids +1000000) whose 32
+    // bytes equal the md5 block every frame of a selected video class
+    // ((doc_id div 2) % 5 = 2) repeats
+    val blobs = base.select(col("doc_id"),
+        when(m === 0, payload)
+          .when(m === 1, concat(wavH, payload))
+          .otherwise(concat(mp4H, payload)).as("blob"))
+      .unionByName(base
+        .where(expr("(doc_id div 2) % 3 = 2 AND doc_id % 2 = 0 AND (doc_id div 2) % 5 = 2"))
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          expr("cast(md5(cast(doc_id div 2 as string)) as binary)").as("blob")))
+    def mediaOf(crossModal: Boolean) =
+      Curate.pipelineMultimodal(spark, docs, blobs, crossModal = crossModal)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+    val off = mediaOf(false)
+    val on = mediaOf(true)
+    // the arm only ever REMOVES: on => off implication, and the flipped
+    // set is exactly the targeted video classes (BOTH pair members — the
+    // matched still outranks the video family's own keeper election)
+    val flipped = on.collect { case (id, ok) if !ok && off(id) => id }.toSet
+    val expected = base.where(
+        expr("(doc_id div 2) % 3 = 2 AND (doc_id div 2) % 5 = 2"))
+      .collect().map(_.getLong(0)).toSet
+    assert(flipped == expected.filter(off), s"flipped $flipped")
+    assert(expected.forall(id => !on(id)), "a targeted video survived")
+    on.foreach { case (id, ok) =>
+      if (!flipped(id)) assert(ok == off(id), s"non-target doc $id changed")
+    }
+  }
+
   test("curate export: train shards + quarantine + dataset card materialize consistently") {
     val docs = Tables.documents(spark, dir)
     val path = java.nio.file.Files.createTempDirectory("graft-curate-").toString

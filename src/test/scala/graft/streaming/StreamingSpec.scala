@@ -372,6 +372,70 @@ class StreamingSpec extends SparkSpec {
     assert(streamed() == batchFrame)
   }
 
+  test("streamCurateMultimodal crossModal: streamed laundering arm ≡ the batch frame; a corpus still refuses a later video") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("graft-scmx-").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-scmx-ckpt-").toString
+    val corpusDF = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // the pair device, with a LAUNDERING twist: image docs in classes
+    // c ≡ 0 (mod 5·3) swap their blob for the 32-byte md5 block that
+    // every frame of video class c+14 repeats (14 ≡ 2 mod 3, so the
+    // target IS a video class, at HIGHER ids — the still precedes the
+    // videos it catches, the ordered-arrival direction the contract
+    // names)
+    val wavH = lit(graft.operators.Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL))
+    val mp4H = lit(graft.operators.Multimodal.mp4VideoFramesHeader())
+    val payload = expr("repeat(md5(cast(doc_id div 2 as string)), 16)").cast("binary")
+    val m = expr("(doc_id div 2) % 3")
+    val still = expr("cast(md5(cast((doc_id div 2) + 14 as string)) as binary)")
+    val blobsDF = corpusDF.where(expr("doc_id % 97 != 0"))
+      .select(col("doc_id"),
+        when(m === 0 && expr("(doc_id div 2) % 15 = 0"), still)
+          .when(m === 0, payload)
+          .when(m === 1, concat(wavH, payload))
+          .otherwise(concat(mp4H, payload)).as("blob"))
+    val evalDocs = corpusDF
+      .where(graft.operators.Sampling.hashBucket(col("doc_id")) >= 90)
+    val rows = corpusDF.join(blobsDF, Seq("doc_id"), "left")
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        if (r.isNullAt(4)) null else r.getAs[Array[Byte]](4)))
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    val mem = MemoryStream[(Long, String, String, String, Array[Byte])]
+    def run(): Unit = runToCompletion(Streaming.streamCurateMultimodal(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "blob"),
+      evalDocs, path, ckpt, crossModal = true))
+    val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+    chunks.foreach { c => mem.addData(c: _*); run() }
+    val streamed = Streaming.readCurate(spark, path).get
+      .collect().map(_.toSeq.toVector).toSeq.sortBy(_.head.asInstanceOf[Long])
+    val batchFrame = graft.operators.Curate.pipelineMultimodal(
+        spark, corpusDF, blobsDF, approxNear = true, crossModal = true)
+      .collect().map(_.toSeq.toVector).toSeq.sortBy(_.head.asInstanceOf[Long])
+    assert(streamed == batchFrame)
+    // liveness: the arm DECIDES something — videos media-ok without the
+    // arm lose it with the arm, and the still itself stays image-judged
+    val without = graft.operators.Curate.pipelineMultimodal(
+        spark, corpusDF, blobsDF, approxNear = true)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+    val withArm = batchFrame.map(r =>
+      r(0).asInstanceOf[Long] -> r(7).asInstanceOf[Boolean]).toMap
+    val flipped = withArm.filter { case (id, ok) => !ok && without(id) }.keys.toSeq
+    assert(flipped.nonEmpty, "the laundering arm flipped no verdict")
+    // every flipped doc is a video of a targeted class (c+14 for c ≡ 0
+    // mod 15) — the arm never touches other modalities
+    assert(flipped.forall { id =>
+      val cls = id / 2
+      cls % 3 == 2 && (cls - 14) % 15 == 0
+    }, s"unexpected flips: $flipped")
+  }
+
   test("streamImageDedupAdmit: admitted set ≡ batch imageDedup keepers; cross-batch chains reject through in-batch near-dups") {
     implicit val sqlCtx = spark.sqlContext
     val path = Files.createTempDirectory("graft-simg-").toString + "/out"
