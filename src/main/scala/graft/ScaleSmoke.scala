@@ -767,6 +767,29 @@ object ScaleSmoke {
       graft.operators.Curate.pipelineMultimodal(spark, docs, blobs)
         .queryExecution.toRdd.count()
     }
+    stage("curate multimodal xm") {
+      // the laundering arm's marginal cost at scale: the same frame with
+      // crossModal = true plus extra 32-byte stills matching selected
+      // video classes (the oracle device) — the arm is one signature-level
+      // cross probe (distinct frame hashes x distinct still hashes), so
+      // the delta vs the plain multimodal row must be frame-decode-bounded,
+      // not another media chain
+      val wavH = lit(graft.operators.Multimodal.pcmWavHeader(8000, 1, 0x7FFFFFFFL))
+      val mp4H = lit(graft.operators.Multimodal.mp4VideoFramesHeader())
+      val payload = expr("repeat(md5(cast(doc_id div 2 as string)), 16)").cast("binary")
+      val m = expr("(doc_id div 2) % 3")
+      val base = docs.where(expr("doc_id % 97 != 0"))
+      val blobs = base.select(col("doc_id"),
+          when(m === 0, payload)
+            .when(m === 1, concat(wavH, payload))
+            .otherwise(concat(mp4H, payload)).as("blob"))
+        .unionByName(base
+          .where(expr("(doc_id div 2) % 3 = 2 AND doc_id % 2 = 0 AND (doc_id div 2) % 5 = 2"))
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            expr("cast(md5(cast(doc_id div 2 as string)) as binary)").as("blob")))
+      graft.operators.Curate.pipelineMultimodal(spark, docs, blobs,
+        crossModal = true).queryExecution.toRdd.count()
+    }
     stage("winnow pairs") {
       graft.operators.TextAnalysis.winnowPairs(docs).queryExecution.toRdd.count()
     }

@@ -148,9 +148,23 @@ object Curate {
                          trainPct: Int = 80, benchFromPct: Int = 90,
                          approxNear: Boolean = false,
                          crossModal: Boolean = false): DataFrame = {
-    val typed = blobs
+    // the dispatch boundary, measured THREE ways at 250k mixed blobs
+    // before this shape won (PLANS r15): unpinned, the crossModal frame's
+    // two extra decode passes re-ran the blob scan + header sniff through
+    // every consumer (584.7 s vs the plain frame's 202.9 s — the
+    // signature-level arm costing like a media chain); a localCheckpoint
+    // for BOTH frames fixed crossModal (342.9 s) but the lineage cut made
+    // the plain frame's three arms read row-form RDD blocks (202.9 →
+    // 330.6 s); a persist kept the plain frame healthy (228.0 s) but its
+    // changed size stats re-planned the crossModal arms 1.8 GB of extra
+    // shuffle (518.5 s). So the boundary is CONDITIONAL: the plain frame
+    // keeps its parquet-scan plans untouched, and only the crossModal
+    // frame — whose extra passes make recompute the dominant cost — pays
+    // the checkpoint cut (the streaming twin's per-batch discipline).
+    val typed0 = blobs
       .select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
       .withColumn("__mod", Multimodal.modalityUdf(col("blob")))
+    val typed = if (crossModal) typed0.localCheckpoint(false) else typed0
     def arm(m: String)(f: DataFrame => DataFrame): DataFrame =
       f(typed.where(col("__mod") === m).select(col("doc_id"), col("blob")))
         .select(col("doc_id"), col("keep").as("__media"))
