@@ -116,6 +116,11 @@ object Bench {
       // the contamination instead of discarding it (measured: identical
       // code, 39.9s vs 76.3s totals run-to-run without this)
       System.gc()
+      // diagnostic knob (round-16 curate adjudication): drop every cached
+      // plan the earlier queries' internal persists left in the
+      // CacheManager, so each query measures against a clean block manager
+      if (sys.env.contains("SPARK_GRAFT_BENCH_CLEARCACHE"))
+        spark.sharedState.cacheManager.clearCache()
       // drain the async listener bus BEFORE zeroing: stage-completed events
       // are delivered asynchronously, so without the flush a late event
       // from the previous query lands in this query's window — the exact

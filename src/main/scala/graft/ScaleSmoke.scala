@@ -327,6 +327,35 @@ object ScaleSmoke {
         .as("text"))
       D.verbatimOverlap(hdocs, minRunTokens = 10).queryExecution.toRdd.count()
     }
+    stage("verbatim dfcap (boiler)") {
+      // the BOILERPLATE regime (r15 verdict missing #1): the 250k
+      // near-distinct corpus with one shared 10-word template header —
+      // distinct texts, so the sha-rep escape cannot collapse anything,
+      // and each of the header's ~6 pure shingles posts ~250k times:
+      // uncapped co-occurrence volume ~6·(250k)² ≈ 4e11 rows, unrunnable
+      // by construction. The df-capped mine drops the hot postings before
+      // the join and completes linearly; the audit row alongside (below)
+      // registers the avoided volume as a measured number.
+      val hdr = (1 to 10).map(i => s"hx$i").mkString(" ")
+      val bdocs = docs.select(col("doc_id"), expr(
+        s"""concat('$hdr ', translate(text, 'aeiou', concat(
+           |  substr('bcdfghjklmnpqrstvwxz', cast(pmod(doc_id, 18) as int) + 1, 3),
+           |  substr('bcdfghjklmnpqrstvwxz', cast(pmod(doc_id div 18, 19) as int) + 1, 2))))""".stripMargin)
+        .as("text"))
+      D.verbatimOverlapDfCap(bdocs, minRunTokens = 10, maxDf = 64)
+        .queryExecution.toRdd.count()
+    }
+    stage("overlap audit (boiler)") {
+      // the Σ occ² floor the cap avoids, measured: one bounded row whose
+      // est_candidates carries the ~4e11 uncapped join volume
+      val hdr = (1 to 10).map(i => s"hx$i").mkString(" ")
+      val bdocs = docs.select(col("doc_id"), expr(
+        s"""concat('$hdr ', translate(text, 'aeiou', concat(
+           |  substr('bcdfghjklmnpqrstvwxz', cast(pmod(doc_id, 18) as int) + 1, 3),
+           |  substr('bcdfghjklmnpqrstvwxz', cast(pmod(doc_id div 18, 19) as int) + 1, 2))))""".stripMargin)
+        .as("text"))
+      D.overlapKeyAudit(bdocs).queryExecution.toRdd.count()
+    }
     stage("verbatim incr (10%)") {
       // the against-seen-corpus rung at scale: 10% incoming vs the other
       // 90% as inline reference (the same vowels-translated near-distinct

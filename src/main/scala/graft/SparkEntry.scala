@@ -875,6 +875,32 @@ object SparkEntry {
           .as("blob"))
       Dedup.videoStillMatches(s, videos, images, maxHamming = 6)
     }),
+    "video_still_match_indexed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, expr, length, lit, octet_length}
+      // the catalog-indexed cross-modal probe: stills come from the
+      // REGISTRY-PINNED distinct-phash index of the bucket<50 documents
+      // slice (imageIncrementalIndexed's table — one index, two
+      // consumers); videos carry 64-byte frames so frame 0's byte grid
+      // equals its source doc's still grid exactly (the EXACT arm), with
+      // odd ids byte-6-tweaked (≤ 2 dHash bits — the NEAR arm) and
+      // bucket≥90 docs outside the index (the keep arm). The oracle
+      // re-derives the index content, both hash passes, and the
+      // brute-forced cross-side Hamming verify
+      val header = Multimodal.mp4VideoFramesHeader(frameBytes = 64)
+      val b = graft.operators.Sampling.hashBucket(col("doc_id"))
+      val base = Tables.documents(s, dir)
+        .where(octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) >= 64)
+      val tweaked = expr(
+        """CASE WHEN doc_id % 2 = 1
+          |     THEN concat(substring(text, 1, 5), '~', substring(text, 7))
+          |     ELSE text END""".stripMargin)
+      val videos = base.where(b < 10)
+          .select(col("doc_id"), concat(lit(header), tweaked.cast("binary")).as("blob"))
+        .unionByName(base.where(b >= 90)
+          .select(col("doc_id"), concat(lit(header), col("text").cast("binary")).as("blob")))
+      Dedup.videoStillMatchesIndexed(s, dir, videos, maxHamming = 6)
+    }),
     "video_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat, length, lit, md5, octet_length}
       // the treatment form's three-arm corpus: each sliced doc as an
@@ -966,6 +992,14 @@ object SparkEntry {
       // class variants share their 6-token prefix run (island of 2
       // five-word shingles)
       Dedup.verbatimOverlapAuto(textSaturatedCorpus(s, dir), minRunTokens = 6)),
+    "verbatim_overlap_dfcap" -> ((s, dir) =>
+      // the BOILERPLATE escape over the template-header device: the
+      // shared header's hot postings (occ ~100 > 64) are cut — no pair
+      // forms on header-only overlap — while each class's 8-token quote
+      // (occ ~17) survives verbatim; the oracle re-derives the occurrence
+      // cut, the capped co-occurrence join, and the island merge
+      Dedup.verbatimOverlapDfCap(boilerplateCorpus(s, dir),
+        minRunTokens = 8, maxDf = 64)),
     "verbatim_incremental" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       // the against-seen-corpus rung over the quote corpus: incoming =
@@ -1167,6 +1201,29 @@ object SparkEntry {
       .select(col("doc_id"),
         when(b < 10, concat(col("text"), lit(" "), quote))
           .otherwise(col("text")).as("text"))
+  }
+
+  /** The BOILERPLATE device for [[Dedup.verbatimOverlapDfCap]]: every
+    * bucket<20 doc opens with the SAME 10-word template header (words cut
+    * from `md5('hdr')` — the site-chrome mechanism: distinct documents,
+    * shared shingles, which the sha-256 replica escape cannot collapse),
+    * and the bucket<10 half additionally carries the 8-word class quote
+    * of [[quoteOverlapCorpus]] — a genuine bounded-df verbatim run that
+    * must SURVIVE the posting cut. At sf0.01 the header's pure shingles
+    * occur ~100× (> maxDf 64 → cut), each quote class's ~17× (≤ 64 →
+    * kept), so both arms of the declared semantics are live. */
+  private def boilerplateCorpus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, md5, substring, when}
+    val b = graft.operators.Sampling.hashBucket(col("doc_id"))
+    val header = concat_ws(" ", (0 until 10).map(i =>
+      substring(md5(lit("hdr")), i * 3 + 1, 3)): _*)
+    val quote = concat_ws(" ", (0 until 8).map(i =>
+      substring(md5((col("doc_id") % 3).cast("string")), i * 4 + 1, 4)): _*)
+    Tables.documents(s, dir).where(b < 20)
+      .select(col("doc_id"),
+        concat(header, lit(" "),
+          when(b < 10, concat(col("text"), lit(" "), quote))
+            .otherwise(col("text"))).as("text"))
   }
 
   /** The two-sided quote device for [[Dedup.decontaminateRuns]]: the
@@ -1391,6 +1448,18 @@ object SparkEntry {
   /** The DuckDB twin of [[quoteOverlapCorpus]] — `qc(doc_id, text)`. */
   private def quoteOverlapCorpusCte: String =
     """qc AS (SELECT doc_id,
+      |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 10
+      |         THEN text || ' ' || array_to_string(list_transform(range(0, 8),
+      |                i -> substr(md5(CAST(doc_id % 3 AS VARCHAR)), CAST(i*4+1 AS BIGINT), 4)), ' ')
+      |         ELSE text END AS text
+      |  FROM documents
+      |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 20)""".stripMargin
+
+  /** The DuckDB twin of [[boilerplateCorpus]] — `bpc(doc_id, text)`. */
+  private def boilerplateCorpusCte: String =
+    """bpc AS (SELECT doc_id,
+      |    array_to_string(list_transform(range(0, 10),
+      |      i -> substr(md5('hdr'), CAST(i*3+1 AS BIGINT), 3)), ' ') || ' ' ||
       |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 10
       |         THEN text || ' ' || array_to_string(list_transform(range(0, 8),
       |                i -> substr(md5(CAST(doc_id % 3 AS VARCHAR)), CAST(i*4+1 AS BIGINT), 4)), ' ')
@@ -4685,6 +4754,57 @@ object SparkEntry {
          |GROUP BY 1, 2
          |ORDER BY 1, 2""".stripMargin,
 
+    // the catalog-indexed cross-modal probe: the stored stills (distinct
+    // phash of bucket<50 docs-as-binary — the image index's exact content)
+    // re-derived, 64-byte video frames hashed through the same grid, the
+    // cross-side Hamming verify brute-forced, per-video counts restored
+    // with the zero fill (non-ASCII stills in the real index cannot be
+    // re-derived by DuckDB's char-indexed substr; at Hamming <= 6 on
+    // 56-bit hashes their cross-match probability is ~1e-9 per pair — the
+    // dedup_image_incremental_indexed oracle's standing convention)
+    "video_still_match_indexed" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS b
+         |  FROM documents WHERE strlen(text) = length(text)),
+         |rg AS (SELECT list_transform(range(0, 64), i ->
+         |        CASE WHEN i < strlen(text)
+         |             THEN ascii(substr(text, CAST(i+1 AS BIGINT), 1)) ELSE 0 END) AS gr
+         |      FROM d WHERE b < 50),
+         |rh AS MATERIALIZED (SELECT DISTINCT CAST(list_sum(list_transform(range(0, 56), k ->
+         |        CASE WHEN gr[CAST((k//7)*8 + (k%7) + 2 AS BIGINT)]
+         |                  > gr[CAST((k//7)*8 + (k%7) + 1 AS BIGINT)]
+         |             THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE 0 END)) AS BIGINT) AS ph
+         |      FROM rg),
+         |vsrc AS (SELECT doc_id,
+         |           CASE WHEN doc_id % 2 = 1
+         |                THEN substr(text, 1, 5) || '~' || substr(text, 7)
+         |                ELSE text END AS p
+         |         FROM d WHERE b < 10 AND strlen(text) >= 64
+         |  UNION ALL SELECT doc_id, text AS p FROM d WHERE b >= 90 AND strlen(text) >= 64),
+         |fr AS (SELECT doc_id, CAST(u AS BIGINT) AS frame_no,
+         |         substr(p, CAST(u*64+1 AS BIGINT), 64) AS fb
+         |       FROM (SELECT doc_id, p,
+         |               unnest(range(0, least(16, (strlen(p)+63)//64))) AS u
+         |             FROM vsrc) z),
+         |gg AS (SELECT doc_id, frame_no, list_transform(range(0, 64), i ->
+         |        CASE WHEN i < strlen(fb)
+         |             THEN ascii(substr(fb, CAST(i+1 AS BIGINT), 1)) ELSE 0 END) AS gr
+         |       FROM fr),
+         |fh AS MATERIALIZED (SELECT doc_id, frame_no,
+         |        CAST(list_sum(list_transform(range(0, 56), k ->
+         |          CASE WHEN gr[CAST((k//7)*8 + (k%7) + 2 AS BIGINT)]
+         |                    > gr[CAST((k//7)*8 + (k%7) + 1 AS BIGINT)]
+         |               THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE 0 END)) AS BIGINT) AS fhash
+         |       FROM gg),
+         |mh AS (SELECT DISTINCT f.fhash FROM (SELECT DISTINCT fhash FROM fh) f
+         |       JOIN rh ON bit_count(xor(f.fhash, rh.ph)) <= 6),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS fm
+         |        FROM fh JOIN mh USING (fhash) GROUP BY doc_id)
+         |SELECT v.doc_id, coalesce(c.fm, 0) AS frames_matched,
+         |       coalesce(c.fm, 0) < 1 AS keep
+         |FROM (SELECT doc_id FROM vsrc) v LEFT JOIN cnt c USING (doc_id)
+         |ORDER BY v.doc_id""".stripMargin,
+
     // frame-vote pairing over the re-introed-twin corpus: per-frame hashes
     // for both arms (arm B = one 32-byte md5-hex junk frame prepended),
     // exact-hash join, per-offset vote, max-vote >= 3 — the
@@ -4909,6 +5029,22 @@ object SparkEntry {
          |UNION ALL
          |SELECT * FROM raggr
          |WHERE max_run_tokens >= 6 AND (SELECT hot FROM dec)
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // the boilerplate escape: postings whose hash occurs > 64 times are
+    // cut BEFORE the co-occurrence join (the shared header disappears as
+    // pair evidence; the bounded-df class quote survives), then the same
+    // island merge as verbatim_overlap
+    "verbatim_overlap_dfcap" ->
+      s"""WITH $boilerplateCorpusCte,
+         |${positionalShingleCtes("bpc")},
+         |keeph AS (SELECT h FROM pos GROUP BY h HAVING count(*) <= 64),
+         |posf AS MATERIALIZED (SELECT pos.* FROM pos JOIN keeph USING (h)),
+         |co AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS pa,
+         |              a.pos - b.pos AS diag
+         |       FROM posf a JOIN posf b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |$runAggSql
+         |SELECT * FROM ragg WHERE max_run_tokens >= 8
          |ORDER BY a_id, b_id""".stripMargin,
 
     // the against-seen-corpus rung: incoming (bucket 5..14 — quoted AND

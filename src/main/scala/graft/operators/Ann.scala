@@ -616,8 +616,21 @@ object Ann {
     * with the codebook stream-constant — the gate's scaladoc contract.
     *
     * Returns (codebook, iterations run); `iterations < maxIters` ⇒
-    * converged. */
-  def trainPqCodebook(e: DataFrame, m: Int = 8, kCodes: Int = 16,
+    * converged.
+    *
+    * Defaults are the MEASURED production point (round-15 curve, sf0.1
+    * synthetic embeddings, tau 0.35 agreement vs the raw semantic gate):
+    * m=16/kCodes=256 trained raw measures **0.991** at 16 longs of state
+    * per vector — the 4× state cut over the raw 64-double row. The curve
+    * is non-monotone in the obvious dials: the earlier seeded m=8/k=16
+    * point sits at 0.878 (inadequate for admission), and RESIDUAL
+    * encoding — the textbook refinement — measured WORSE for threshold
+    * admission at every tried setting (0.937/0.969; StreamingSpec pins
+    * the residual curve `< 0.98` so a future flip must be promoted by a
+    * new measurement, not assumed). kCodes is free state-wise (state
+    * width is M longs regardless of the alphabet), so prefer widening
+    * the alphabet before adding subspaces. */
+  def trainPqCodebook(e: DataFrame, m: Int = 16, kCodes: Int = 256,
                       dim: Int = 64, maxIters: Int = 10,
                       tol: Double = 0.0): (Seq[Seq[Seq[Double]]], Int) =
     trainPqLoop(e, pqCodebook(e, m, kCodes, dim), dim, maxIters, tol)

@@ -596,15 +596,27 @@ object Dedup {
     * `pairs = Some(p)` restricts the mine to candidate pairs: postings
     * are first cut to documents the pairs name (the corpus-scale lever —
     * postings for unnamed docs never shuffle), and co-occurrences
-    * semi-join the pair list before any window work. */
+    * semi-join the pair list before any window work. `maxOcc > 0` drops
+    * every posting whose shingle hash occurs more than `maxOcc` times in
+    * the input postings BEFORE the join — [[verbatimOverlapDfCap]]'s
+    * boilerplate cut (the occurrence count is computed over the postings
+    * actually fed in, i.e. after any pair restriction). The cut's
+    * aggregation and the co-occurrence join key on the same `h`, so the
+    * filter adds one exchange-reusing pass, not a second shuffle of the
+    * posting table. */
   private def sharedRunsFrom(pos0: DataFrame, pairs: Option[DataFrame],
-                             shingleSize: Int): DataFrame = {
-    val pos = pairs.fold(pos0) { p =>
+                             shingleSize: Int, maxOcc: Int = 0): DataFrame = {
+    val posP = pairs.fold(pos0) { p =>
       pos0.join(
         p.select(col("a_id").as("doc_id"))
           .union(p.select(col("b_id").as("doc_id"))).distinct(),
         Seq("doc_id"), "left_semi")
     }
+    val pos = if (maxOcc <= 0) posP else
+      posP.join(
+        posP.groupBy(col("h")).agg(count(lit(1)).as("__occ"))
+          .where(col("__occ") <= maxOcc).select(col("h")),
+        Seq("h"), "left_semi")
     val co0 = pos.select(col("doc_id").as("a_id"), col("h"), col("pos").as("pa"))
       .join(pos.select(col("doc_id").as("b_id"), col("h"), col("pos").as("pb")),
         Seq("h"))
@@ -650,6 +662,50 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     sharedRunsFrom(positionalShingles(docs, idCol, textCol, shingleSize),
       None, shingleSize)
+      .where(col("max_run_tokens") >= minRunTokens)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** [[verbatimOverlap]] with the BOILERPLATE escape — the [[graft
+    * .operators.TextAnalysis.winnowPairs]] `maxDf` discipline (MOSS,
+    * Schleimer et al. 2003 §4: positions too common to be pairwise-copy
+    * evidence are ignored) applied to the positional family's one
+    * remaining unbounded-join regime: DISTINCT documents sharing template
+    * shingles (headers, footers, nav text), which
+    * [[verbatimOverlapAuto]]'s sha-256 rep collapse cannot cut (the texts
+    * differ) yet whose every occurrence joins quadratically. Postings
+    * whose shingle hash occurs more than `maxDf` times corpus-wide are
+    * dropped BEFORE the co-occurrence join, bounding the per-hash join
+    * fan-out at `maxDf²` regardless of how hot the hottest template line
+    * is ([[overlapKeyAudit]]'s `max_bucket` names the offender; this is
+    * the escape the audit's diagnosis calls for).
+    *
+    * DECLARED fragmentation semantics — the price of the cut, stated so
+    * callers can hold it: the occurrence count is per positional-shingle
+    * HASH, so a genuine verbatim run that passes THROUGH a corpus-hot
+    * region splits at the dropped positions and each pair reports its
+    * longest SURVIVING segment (a 21-token shared run whose middle
+    * 5-shingle is corpus boilerplate reports 12, the longer flank — the
+    * DedupSpec pin); a pair whose ONLY overlap is boilerplate (two docs
+    * sharing just the site header) disappears entirely, which is the
+    * MOSS reading: that overlap was never pairwise-copy evidence — route
+    * corpus-wide template removal through [[trimSpans]], whose df
+    * threshold EDITS the text instead of scoring pairs. `maxDf` counts
+    * occurrences (posting rows), not distinct documents: a shingle
+    * repeated within one document multiplies the join identically
+    * (the [[overlapKeyAudit]] Σ occ² convention).
+    *
+    * Scale: the cut is one groupBy + left-semi on `h` — the same key the
+    * co-occurrence join shuffles on, so the posting exchange is reused,
+    * and the join volume drops from Σ occ² to Σ_{occ ≤ maxDf} occ² ≤
+    * n_postings · maxDf. A quote shared by a bounded set of documents
+    * (occ ≤ maxDf) survives verbatim — the engineered-corpus oracle pins
+    * a live 8-token quote run surviving a header cut that removes ~all
+    * pre-cut join volume. */
+  def verbatimOverlapDfCap(docs: DataFrame, shingleSize: Int = 5,
+                           minRunTokens: Int = 20, maxDf: Int = 64,
+                           idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    sharedRunsFrom(positionalShingles(docs, idCol, textCol, shingleSize),
+      None, shingleSize, maxOcc = maxDf)
       .where(col("max_run_tokens") >= minRunTokens)
       .orderBy(col("a_id"), col("b_id"))
 
@@ -925,10 +981,21 @@ object Dedup {
     * Below the threshold the branch IS [[verbatimOverlap]]'s tail (same
     * plan). Declared trade on the escalated arm: pairs name group
     * representatives — member expansion is [[exact]]'s keeper join, where
-    * a replica corpus should be routed first anyway. */
+    * a replica corpus should be routed first anyway. This escape cuts the
+    * REPLICA mechanism only: saturation from DISTINCT documents sharing
+    * template shingles survives the rep collapse — that regime's escape
+    * is [[verbatimOverlapDfCap]]'s posting cut, an explicit semantic
+    * choice (runs fragment at hot positions) the auto must not make
+    * silently. */
   def verbatimOverlapAuto(docs: DataFrame, shingleSize: Int = 5,
                           minRunTokens: Int = 20, fanoutMax: Double = 16.0,
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // persist: the posting pass feeds the audit action AND the mine; no
+    // unpersist on the return path — the output is lazy, so the caller
+    // materializes after we return; blocks are MEMORY_AND_DISK and freed
+    // by LRU or session end (the audioLandmarkNearAuto/videoNearHamming
+    // discipline, documented trade: repeated calls in one long session
+    // accumulate cached postings until eviction)
     val pos = positionalShingles(docs, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = pos.groupBy(col("h")).agg(count(lit(1)).as("bn"))
@@ -1973,8 +2040,26 @@ object Dedup {
                               idCol: String = "doc_id", blobCol: String = "blob",
                               bands: Int = 8, maxHamming: Int = 6,
                               agreeBands: Int = 2,
-                              policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
-    val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
+                              policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame =
+    imageIncrementalFrom(
+      Multimodal.imagePHash(spark, incoming, idCol, blobCol),
+      spark.read.parquet(
+        documentsPhashIndex(spark, dir, refBucketMax, idCol, policy).path),
+      idCol, bands, maxHamming, agreeBands)
+
+  /** The catalog-managed DISTINCT-phash index of the `dir` documents
+    * table's bucket < `refBucketMax` slice (text-as-binary blobs,
+    * [[Multimodal.imagePHash]]'s fake arm for non-image bytes) — ONE
+    * registry entry serving both [[imageIncrementalIndexed]] (the image
+    * family's seen-corpus signatures) and [[videoStillMatchesIndexed]]
+    * (the cross-modal still table): a still-hash index and an image-dedup
+    * index ARE the same signature table, so the registry holds one copy
+    * and both probes inherit its staleness/definition discipline. */
+  private def documentsPhashIndex(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, refBucketMax: Int,
+                                  idCol: String,
+                                  policy: graft.core.IndexPolicy): graft.core.IndexMeta =
+    CatalogOps.indexRegistry(spark, dir).resolveIndex(
       name = s"documents-image-phash-b$refBucketMax", kind = "image-phash",
       sourcePath = s"$dir/documents.parquet",
       params = Map("refBucketMax" -> refBucketMax.toString, "algo" -> "dhash56",
@@ -1988,11 +2073,6 @@ object Dedup {
         .select(col("phash")).distinct()
         .write.mode("overwrite").parquet(out)
     }
-    imageIncrementalFrom(
-      Multimodal.imagePHash(spark, incoming, idCol, blobCol),
-      spark.read.parquet(idx.path),
-      idCol, bands, maxHamming, agreeBands)
-  }
 
   /** The admission half of [[imageIncremental]], shared with the indexed
     * twin: `refHashes` is the seen corpus's distinct-phash column —
@@ -3028,7 +3108,10 @@ object Dedup {
         s"got maxHamming=$maxHamming agreeBands=$agreeBands bands=$bands")
     // persist: the frame table feeds the distinct-hash mine AND the member
     // restore; the image hash table likewise — without a cache each branch
-    // re-runs the blob-decode mapPartitions pass (the dominant cost)
+    // re-runs the blob-decode mapPartitions pass (the dominant cost). No
+    // unpersist on the return path (lazy output — the videoNearHamming
+    // discipline); documented trade: repeated calls in one long session
+    // accumulate cached hash tables until LRU eviction or session end
     val fr = Multimodal.videoFrameHashes(spark, videos, idCol, blobCol,
       maxFrames, maxBytes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -3089,7 +3172,17 @@ object Dedup {
                                               idCol: String = "doc_id",
                                               bands: Int = 8, maxHamming: Int = 3,
                                               agreeBands: Int = 0,
-                                              minFrames: Int = 1): DataFrame = {
+                                              minFrames: Int = 1): DataFrame =
+    videoStillMatchCounts(fr, stillHashes, idCol, bands, maxHamming, agreeBands)
+      .where(col("__fm") >= minFrames)
+      .select(col(idCol))
+
+  /** The per-video matched-frame COUNTS behind [[videoStillMatchesAgainst]]
+    * and [[videoStillMatchesIndexed]] — one `(idCol, __fm)` row per video
+    * with ≥ 1 frame within `maxHamming` of any still hash. */
+  private def videoStillMatchCounts(fr: DataFrame, stillHashes: DataFrame,
+                                    idCol: String, bands: Int, maxHamming: Int,
+                                    agreeBands: Int): DataFrame = {
     require(56 % bands == 0, s"bands must divide 56, got $bands")
     require(agreeBands >= 0 && maxHamming >= 0 &&
       maxHamming <= bands - math.max(agreeBands, 1),
@@ -3103,8 +3196,50 @@ object Dedup {
         Seq("fhash"))
       .groupBy(col(idCol))
       .agg(sum(col("__nf")).as("__fm"))
-      .where(col("__fm") >= minFrames)
-      .select(col(idCol))
+  }
+
+  /** [[videoStillMatchesAgainst]] probing the CATALOG-MANAGED still-hash
+    * index — the matrix discipline ([[imageIncrementalIndexed]]'s
+    * inline/indexed/FailIfMissing contract) for the cross-modal mine,
+    * retiring the in-memory-signature-frame-only form's composition
+    * caveat: a probe against a registry-pinned still table is
+    * order-independent by construction (the stills are a build-time fact,
+    * not an accumulation — the state a stream probes no longer depends on
+    * whether images arrived before their matching videos). The index IS
+    * [[imageIncrementalIndexed]]'s (`documents-image-phash-b*`): distinct
+    * dHashes of the bucket < `refBucketMax` documents slice as binary
+    * blobs — a still-hash table and an image-signature table are the same
+    * object, registered once.
+    *
+    * Output: one `(idCol, frames_matched, keep)` row per input video —
+    * `frames_matched` counts extracted samples within `maxHamming` of ANY
+    * indexed still, `keep` = fewer than `minFrames` matched (the
+    * admission reading: a kept video is NOT redundant with the indexed
+    * image corpus). Non-MP4 blobs yield no frames and pass through with
+    * `frames_matched = 0` ([[Multimodal.videoFrameHashes]]'s contract).
+    * Scale shape: the [[videoStillMatches]] signature-level mine — one
+    * decode pass over the batch videos, distinct-hash band join against
+    * the stored (signature-only) stills, per-video aggregation; the
+    * restore join reads only ids, never blobs. */
+  def videoStillMatchesIndexed(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, videos: DataFrame,
+                               refBucketMax: Int = 50,
+                               idCol: String = "doc_id", blobCol: String = "blob",
+                               maxFrames: Int = 16, maxBytes: Int = 1 << 20,
+                               bands: Int = 8, maxHamming: Int = 3,
+                               agreeBands: Int = 0, minFrames: Int = 1,
+                               policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
+    val stills = spark.read.parquet(
+      documentsPhashIndex(spark, dir, refBucketMax, idCol, policy).path)
+    val counts = videoStillMatchCounts(
+      Multimodal.videoFrameHashes(spark, videos, idCol, blobCol, maxFrames, maxBytes),
+      stills, idCol, bands, maxHamming, agreeBands)
+    videos.select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__fm"), lit(0L)).cast("bigint").as("frames_matched"),
+        (coalesce(col("__fm"), lit(0L)) < minFrames).as("keep"))
+      .orderBy(col(idCol))
   }
 
   /** [[imageNear]]'s TREATMENT form, and its 100 TB shape: per-doc

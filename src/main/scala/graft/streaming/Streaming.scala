@@ -662,7 +662,8 @@ object Streaming {
                              videoMinVotes: Int = 3,
                              retainVersions: Int = 1,
                              compactEvery: Int = 16,
-                             crossModal: Boolean = false): StreamingQuery =
+                             crossModal: Boolean = false,
+                             crossModalStills: Option[DataFrame] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -686,27 +687,43 @@ object Streaming {
               audioMinVotes, compactEvery, keyPeaks))
             .unionByName(videoAdmitBatch(slice("video"), s"$path/media/video",
               batchId, maxFrames, videoMaxBytes, videoMinVotes, compactEvery))
-          // the CROSS-MODAL arm: batch videos probed against every still
-          // seen SO FAR — the image gate's own signature state (strictly
-          // below this batch: imageAdmitBatch just wrote b{batchId}, which
-          // readBatchState excludes) plus this batch's image hashes. The
-          // batch frame drops a video on ANY corpus still; the streamed
-          // frame reproduces it exactly whenever no matching still arrives
-          // in a LATER batch than its video (the curated-images-first
-          // direction — the media gates' ordered-arrival caveat, cross-
-          // modal edition).
+          // the CROSS-MODAL arm: batch videos probed against stills. Both
+          // hash tables are READ BACK from the state dirs the family gates
+          // just wrote for this batch (b{batchId} survives compaction —
+          // only ids < batchId compact; overwrite-mode makes a replayed
+          // batch's read consistent), instead of re-running imagePHash /
+          // videoFrameHashes on the batch slices — the second full
+          // blob-decode pass per modality per micro-batch the r15 advice
+          // flagged, and the recompute cost the batch frame's boundary
+          // hunt measured dominant (584.7 s vs 202.9 s at 250k).
+          //
+          // Still source: `crossModalStills` (a catalog-pinned still-hash
+          // index — [[graft.operators.Dedup.videoStillMatchesIndexed]]'s
+          // table) makes the arm ORDER-INDEPENDENT by construction: the
+          // stills are a build-time fact, so the verdict no longer depends
+          // on whether images arrive before their matching videos. Absent
+          // an index, the arm probes the image gate's accumulated state
+          // (strictly below this batch) plus this batch's image hashes —
+          // the batch frame drops a video on ANY corpus still; the
+          // streamed frame reproduces it exactly whenever no matching
+          // still arrives in a LATER batch than its video (the media
+          // gates' ordered-arrival caveat, cross-modal edition).
           val famAdmitted =
             if (!crossModal) famAdmitted0
             else {
-              val M = graft.operators.Multimodal
-              val batchImg = M.imagePHash(spark, slice("image"))
-                .select(col("phash"))
-              val stills = readBatchState(spark, s"$path/media/image/_ph", batchId)
-                .fold(batchImg)(st => batchImg.unionByName(st.select(col("phash"))))
+              val batchFrames =
+                spark.read.parquet(f"$path/media/video/_fr/b$batchId%020d")
+              val stills = crossModalStills match {
+                case Some(idx) => idx.select(col("phash"))
+                case None =>
+                  val batchImg =
+                    spark.read.parquet(f"$path/media/image/_ph/b$batchId%020d")
+                      .select(col("phash"))
+                  readBatchState(spark, s"$path/media/image/_ph", batchId)
+                    .fold(batchImg)(st => batchImg.unionByName(st.select(col("phash"))))
+              }
               val xm = graft.operators.Dedup.videoStillMatchesAgainst(
-                M.videoFrameHashes(spark, slice("video"),
-                  maxFrames = maxFrames, maxBytes = videoMaxBytes),
-                stills)
+                batchFrames, stills)
               famAdmitted0.join(xm, Seq("doc_id"), "left_anti")
             }
           val mediaOk = typed.where(col("__mod") =!= "none")

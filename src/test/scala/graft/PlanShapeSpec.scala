@@ -665,8 +665,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"overlap mine lost the hash key:\n$p")
     // the island window partitions by (pair, diagonal) — a corpus-global
-    // window (empty partition spec) is the scale failure
-    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+    // window is the scale failure. An empty partition spec prints with the
+    // ORDERING as the first argument (`windowspecdefinition(pa#.. ASC
+    // ...`), never as empty parens, so match that shape directly.
+    assert("""windowspecdefinition\(\w+#\d+L? (ASC|DESC)""".r
+      .findFirstIn(p).isEmpty,
       s"global window in the island merge:\n$p")
     assert("""windowspecdefinition\(a_id#\d+L?, b_id#\d+L?, diag#\d+L?""".r
       .findFirstIn(p).isDefined, s"island window not pair-scoped:\n$p")

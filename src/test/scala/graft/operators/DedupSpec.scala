@@ -629,6 +629,45 @@ class DedupSpec extends SparkSpec {
     assert(CatalogOps.indexRegistry(spark, dir).getIndex(name).version == built.version)
   }
 
+  test("videoStillMatchesIndexed: serves from the SHARED phash index (one registry entry, two consumers); FailIfMissing honored") {
+    import org.apache.spark.sql.functions.{col, concat, length, lit, octet_length}
+    val header = Multimodal.mp4VideoFramesHeader(frameBytes = 64)
+    val base = Tables.documents(spark, dir)
+      .where(octet_length(col("text")) === length(col("text")) &&
+        length(col("text")) >= 64)
+    // 64-byte frames: frame 0's zero-padded byte grid IS the source doc's
+    // still grid, so every bucket<50 video hits its own indexed still at
+    // Hamming 0; bucket>=50 docs are outside the index slice
+    val videos = base.select(col("doc_id"),
+      concat(lit(header), col("text").cast("binary")).as("blob"))
+    val reg = CatalogOps.indexRegistry(spark, dir)
+    val name = "documents-image-phash-b50"
+    if (reg.isIndexRegistered(name)) reg.dropIndex(name)
+    intercept[graft.core.GraftException] {
+      Dedup.videoStillMatchesIndexed(spark, dir, videos,
+        policy = graft.core.IndexPolicy.FailIfMissing).collect()
+    }
+    val out = Dedup.videoStillMatchesIndexed(spark, dir, videos, maxHamming = 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val buckets = base.select(col("doc_id"),
+        Sampling.hashBucket(col("doc_id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty && out.size == buckets.size)
+    val in = buckets.filter(_._2 < 50).keys
+    assert(in.forall(id => out(id)._1 >= 1L && !out(id)._2),
+      "every indexed-slice video must match its own still")
+    assert(buckets.filter(_._2 >= 50).keys.exists(id => out(id)._2),
+      "some outside-slice video must keep")
+    // ONE index serves both families: the build videoStillMatchesIndexed
+    // just ran must satisfy imageIncrementalIndexed without a rebuild
+    // (fresh registry instance — entries merge in from the manifest)
+    val built = CatalogOps.indexRegistry(spark, dir).getIndex(name)
+    Dedup.imageIncrementalIndexed(spark, dir,
+      base.limit(2).select(col("doc_id"), col("text").cast("binary").as("blob")),
+      policy = graft.core.IndexPolicy.FailIfMissing).collect()
+    assert(CatalogOps.indexRegistry(spark, dir).getIndex(name).version == built.version)
+  }
+
   test("imageNearAuto: the saturation audit routes a replica corpus to the rep mine; unsaturated side ≡ imageNear") {
     import spark.implicits._
     val a = Array.tabulate[Byte](64)(i => (i + 32).toByte)
@@ -1286,6 +1325,34 @@ class DedupSpec extends SparkSpec {
     val a = Dedup.overlapKeyAudit(docs).head
     assert(a.getLong(0) == 30L)                       // n_positions
     assert(a.getAs[Double]("est_candidates") > 30.0)  // fan-out > 1
+  }
+
+  test("verbatimOverlapDfCap: boilerplate postings drop; runs through a hot region fragment to their longest surviving segment") {
+    import spark.implicits._
+    // A and B share a 21-token run whose MIDDLE five words are corpus
+    // boilerplate (the template phrase lives in 10 other distinct docs);
+    // every C pair shares ONLY the template phrase
+    val shared = ((1 to 8).map(i => s"a$i") ++ Seq("h1", "h2", "h3", "h4", "h5") ++
+      (1 to 8).map(i => s"b$i")).mkString(" ")
+    val docs = (Seq((1L, shared), (2L, shared)) ++
+      (3L to 12L).map(i => (i, s"c${i}x c${i}y h1 h2 h3 h4 h5 c${i}z c${i}w")))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // uncapped: the (1,2) run measures the full 21 tokens, and the hot
+    // phrase manufactures a pair for EVERY document combination — 45 C
+    // pairs + 20 A/B x C pairs of run exactly 5, the quadratic regime
+    val uncapped = rows(Dedup.verbatimOverlap(docs, minRunTokens = 5))
+    assert(uncapped.contains((1L, 2L, 21L, 17L)))
+    assert(uncapped.count(_._3 == 5L) == 65)
+    // the cut (hot-shingle occ = 12 > maxDf = 8): boilerplate-only pairs
+    // disappear, and the (1,2) run FRAGMENTS at the dropped position —
+    // two 12-token flanks, longest surviving segment reported
+    assert(rows(Dedup.verbatimOverlapDfCap(docs, minRunTokens = 5, maxDf = 8)) ==
+      Seq((1L, 2L, 12L, 16L)))
+    // maxDf above every occurrence count: the cap is a no-op, row-identical
+    assert(rows(Dedup.verbatimOverlapDfCap(docs, minRunTokens = 5, maxDf = 64)) ==
+      uncapped)
   }
 
   test("verbatimIncremental: a long quote drops a doc a signature admission would wave through") {

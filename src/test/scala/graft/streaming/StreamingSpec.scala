@@ -436,6 +436,89 @@ class StreamingSpec extends SparkSpec {
     }, s"unexpected flips: $flipped")
   }
 
+  test("streamCurateMultimodal crossModalStills: an indexed still table makes the laundering arm order-independent; accumulated state stays order-dependent") {
+    implicit val sqlCtx = spark.sqlContext
+    // ORDER-INDEPENDENT device: unique 12-token texts (no exact/near/
+    // shingle overlap, so every TEXT verdict is arrival-order-free),
+    // distinct media payloads (no family gate ever matches), one huge
+    // token budget (every kept-train doc shards to 0 in any order) — the
+    // ONLY order-sensitive piece left is the cross-modal arm itself.
+    // Video T (id 20) repeats the md5 block that image S's (id 45 > T)
+    // still carries: under ascending arrival T precedes its catching
+    // still — exactly the ordered-arrival caveat.
+    val mp4H = graft.operators.Multimodal.mp4VideoFramesHeader()
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    import spark.implicits._
+    val targetBlock = md5hex("target-still")
+    def blobOf(id: Long): Array[Byte] = (id % 3) match {
+      case 0 =>
+        // 45's still carries the block video 20's every frame repeats
+        // (32 bytes — the frame grid's zero-padded shape)
+        if (id == 45L) targetBlock.getBytes("UTF-8")
+        else (md5hex(s"img$id") * 2).getBytes("UTF-8")
+      case 2 =>
+        val pay = if (id == 20L) targetBlock * 16 else md5hex(s"vid$id") * 16
+        mp4H ++ pay.getBytes("UTF-8")
+      case _ => null // text-only row: vacuously media-clean
+    }
+    val rows = (0L until 60L).map { id =>
+      (id, (0 until 12).map(j => s"t${id}x$j").mkString(" "), "en", "s", blobOf(id))
+    }
+    val corpusDF = rows.map(r => (r._1, r._2, r._3, r._4))
+      .toDF("doc_id", "text", "lang", "source")
+    val blobsDF = rows.map(r => (r._1, r._5)).toDF("doc_id", "blob")
+      .where(col("blob").isNotNull)
+    val evalDocs = corpusDF
+      .where(graft.operators.Sampling.hashBucket(col("doc_id")) >= 90)
+    // the catalog-still table: the IMAGE-modality blobs' phashes, a
+    // build-time fact (what videoStillMatchesIndexed's registry stores)
+    val stills = graft.operators.Multimodal.imagePHash(spark,
+        blobsDF.where(col("doc_id") % 3 === 0))
+      .select(col("phash")).localCheckpoint()
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    def stream(order: Seq[(Long, String, String, String, Array[Byte])],
+               idx: Option[org.apache.spark.sql.DataFrame]): Seq[Vector[Any]] = {
+      val path = Files.createTempDirectory("graft-scms-").toString + "/out"
+      val ckpt = Files.createTempDirectory("graft-scms-ckpt-").toString
+      val mem = MemoryStream[(Long, String, String, String, Array[Byte])]
+      order.grouped(20).foreach { c =>
+        mem.addData(c: _*)
+        runToCompletion(Streaming.streamCurateMultimodal(
+          mem.toDF().toDF("doc_id", "text", "lang", "source", "blob"),
+          evalDocs, path, ckpt, tokensPerShard = 1000000L,
+          crossModal = true, crossModalStills = idx))
+      }
+      Streaming.readCurate(spark, path).get
+        .collect().map(_.toSeq.toVector).toSeq.sortBy(_.head.asInstanceOf[Long])
+    }
+    val asc = stream(rows, Some(stills))
+    val desc = stream(rows.reverse, Some(stills))
+    // the retired caveat: opposite arrival orders, identical frames —
+    // and both equal the batch composition (which probes ALL stills)
+    assert(asc == desc)
+    val batchFrame = graft.operators.Curate.pipelineMultimodal(
+        spark, corpusDF, blobsDF, tokensPerShard = 1000000L,
+        approxNear = true, crossModal = true)
+      .collect().map(_.toSeq.toVector).toSeq.sortBy(_.head.asInstanceOf[Long])
+    assert(asc == batchFrame)
+    val mediaOk = asc.map(r => r(0).asInstanceOf[Long] -> r(7).asInstanceOf[Boolean]).toMap
+    assert(!mediaOk(20L), "the indexed arm must refuse the targeted video in both orders")
+    assert(mediaOk(23L) && mediaOk(45L), "untargeted video / the still itself stay admitted")
+    // the control: accumulated-state arm under ascending arrival — the
+    // catching still lands AFTER the video, so the video is waved through
+    // (the ordering caveat the index retires)
+    val acc = stream(rows, None)
+    val accOk = acc.map(r => r(0).asInstanceOf[Long] -> r(7).asInstanceOf[Boolean]).toMap
+    assert(accOk(20L), "expected the accumulated-state arm to miss the later still")
+  }
+
   test("streamImageDedupAdmit: admitted set ≡ batch imageDedup keepers; cross-batch chains reject through in-batch near-dups") {
     implicit val sqlCtx = spark.sqlContext
     val path = Files.createTempDirectory("graft-simg-").toString + "/out"
