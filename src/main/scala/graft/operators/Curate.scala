@@ -161,6 +161,13 @@ object Curate {
     // keeps its parquet-scan plans untouched, and only the crossModal
     // frame — whose extra passes make recompute the dominant cost — pays
     // the checkpoint cut (the streaming twin's per-batch discipline).
+    // Re-measured r16 (the r15 verdict's what's-wrong #2, which read the
+    // driver record's 570-vs-303 cpu as scale-dependence): an always-pin
+    // A/B at sf0.1 moved the plain frame 10.32 → 8.66 → 11.01 s medians
+    // across three sessions — inside the documented session band, so the
+    // pin is NOT a measured win at any scale while the 250k unpin win
+    // (+128 s avoided) is; the driver-record asymmetry itself was the
+    // bimodal suite-context regime (PLANS r16). The r15 shape stands.
     val typed0 = blobs
       .select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
       .withColumn("__mod", Multimodal.modalityUdf(col("blob")))

@@ -28,12 +28,43 @@ object DiagnoseCurate {
     }
     println(s"ran ${names.size} predecessor queries")
     println(s"cacheManager empty: ${spark.sharedState.cacheManager.isEmpty}")
-    val plan = graft.SparkEntry.queries("curate")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    val imrs = plan.linesIterator.filter(l =>
-      l.contains("InMemoryTableScan") || l.contains("InMemoryRelation")).toSeq
-    println(s"curate plan InMemory lines: ${imrs.size}")
-    imrs.take(12).foreach(l => println("  " + l.trim.take(160)))
+    // suite-context stage profile of curate itself, 3 repeats — if the
+    // shingle/join stages appear with multiplied run time vs the isolated
+    // BenchAB table, the mine is re-executing per consumer (exchange
+    // reuse lost); if a stage NOT in curate's plan completes here, the
+    // cost is zombie work from predecessors
+    val stages = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stages.synchronized {
+          stages += ((sc.stageInfo.stageId,
+            sc.stageInfo.name.takeWhile(_ != '\n').take(60),
+            sc.stageInfo.taskMetrics.executorRunTime,
+            sc.stageInfo.taskMetrics.executorCpuTime / 1000000L))
+        }
+    })
+    for (i <- 1 to 3) {
+      System.gc()
+      org.apache.spark.graft.CoreBridge.flushListenerBus(spark.sparkContext)
+      stages.synchronized(stages.clear())
+      val t0 = System.nanoTime()
+      val qe = graft.SparkEntry.queries("curate")(spark, sfDir).queryExecution
+      qe.toRdd.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.CoreBridge.flushListenerBus(spark.sparkContext)
+      val (r, c) = stages.synchronized((stages.map(_._3).sum, stages.map(_._4).sum))
+      println(f"curate run $i: wall=$wall%.2f run=${r / 1000.0}%.1f cpu=${c / 1000.0}%.1f nStages=${stages.size}")
+      stages.synchronized(stages.sortBy(-_._3).take(12).foreach { case (id, nm, rr, cc) =>
+        println(f"    stage $id%6d run=${rr / 1000.0}%7.2f cpu=${cc / 1000.0}%6.2f  $nm")
+      })
+      if (i == 3) {
+        val plan = qe.executedPlan.toString
+        println(s"  final plan: ReusedExchange=${"ReusedExchange".r.findAllIn(plan).size} " +
+          s"InMemory=${plan.linesIterator.count(_.contains("InMemoryTableScan"))} " +
+          s"Exchange=${"(?<!Reused)Exchange".r.findAllIn(plan).size}")
+      }
+    }
     // storage snapshot: what the block manager is holding by now
     val st = spark.sparkContext.getRDDStorageInfo
     println(s"persisted RDDs: ${st.length}, memSize=${st.map(_.memSize).sum / 1048576} MB, diskSize=${st.map(_.diskSize).sum / 1048576} MB")
