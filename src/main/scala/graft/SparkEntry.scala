@@ -83,6 +83,12 @@ object SparkEntry {
     // the assembled end-to-end curation pipeline — gates + near-dedup +
     // decontamination + split + shard in one auditable frame
     "curate" -> ((s, dir) => Curate.pipeline(Tables.documents(s, dir))),
+    // the assembled frame with the RUN-RULE decontamination arm (the
+    // GPT-3 13-gram collision quantity instead of shingle-set overlap) —
+    // the oracle swaps only the decontam CTE chain, everything else
+    // byte-identical to `curate`
+    "curate_runs" -> ((s, dir) =>
+      Curate.pipeline(Tables.documents(s, dir), runDecontam = true)),
     "curate_multimodal" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat, expr, lit, when}
       // the pair device: docs 2k and 2k+1 share a 512-byte md5-hex blob in
@@ -1018,6 +1024,19 @@ object SparkEntry {
       // (the eval slice), so quoted train docs CONTAIN an eval passage of
       // exactly 8 tokens — contaminated by the run rule at minRun 8
       Dedup.decontaminateRuns(decontamRunsCorpus(s, dir), minRunTokens = 8)),
+    "decontaminate_runs_indexed" -> ((s, dir) =>
+      // the eval suite as a REGISTRY-PINNED posting index (benchmarks are
+      // fixed artifacts — shingled once, probed by every corpus
+      // snapshot): raw documents, where natural replicas straddling the
+      // train/eval buckets carry the >= 13-token runs that make both
+      // verdict arms live; the oracle re-derives postings, the cross-side
+      // island merge, and the per-train aggregate
+      Dedup.decontaminateRunsIndexed(s, dir, Tables.documents(s, dir))),
+    "eval_leak_report" -> ((s, dir) =>
+      // the flip side, keyed by the BENCHMARK doc: which eval items are
+      // compromised (how many train docs verbatim-contain them, longest
+      // run) — same natural-replica corpus, sides swapped
+      Dedup.evalLeakReport(Tables.documents(s, dir))),
     "verbatim_incremental_indexed" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       // the indexed twin probes the STORED positional postings of the
@@ -2526,6 +2545,74 @@ object SparkEntry {
       |dchits AS (SELECT doc_id, count(*) AS n FROM dctg
       |  JOIN dcbench USING (g) GROUP BY doc_id)""".stripMargin
 
+  /** The `curate` oracle, parameterized on the decontamination arm:
+    * `runDecontam = false` is the shingle-set-overlap frame (shared CTE
+    * chain with `curate_multimodal`); `true` swaps in the run-rule chain
+    * ([[curateRunHitsCtes]]) — everything downstream of the `flags` CTE
+    * byte-identical. */
+  private def curateSqlFor(runDecontam: Boolean): String = {
+    val (decoCtes, decoOk, decoJoin) =
+      if (runDecontam)
+        (curateRunHitsCtes,
+          "CASE WHEN buck.b < 80 THEN rhit.doc_id IS NULL ELSE TRUE END",
+          "LEFT JOIN rhit ON cfd.doc_id = rhit.doc_id")
+      else
+        (curateDecontamCtes,
+          "CASE WHEN buck.b < 80 THEN coalesce(dchits.n, 0) = 0 ELSE TRUE END",
+          "LEFT JOIN dchits ON cfd.doc_id = dchits.doc_id")
+    s"""WITH $corpusFilterCtes,
+       |${ngramPairsSql()},
+       |$decoCtes,
+       |flags AS (SELECT cfd.doc_id, cfd.quality_ok, cfd.repetition_ok,
+       |    cfd.pii_ok, cfd.dedup_ok,
+       |    cfd.doc_id NOT IN (SELECT b_id FROM pairs) AS near_ok,
+       |    $decoOk AS decontam_ok,
+       |    buck.b AS b
+       |  FROM cfd JOIN buck ON cfd.doc_id = buck.doc_id
+       |  $decoJoin),
+       |fk AS (SELECT *, (quality_ok AND repetition_ok AND pii_ok AND dedup_ok
+       |    AND near_ok AND decontam_ok) AS kept FROM flags),
+       |ck AS (SELECT fk.doc_id,
+       |    CAST(len(list_filter(string_split(d.text, ' '), x -> x != '')) AS BIGINT) AS n_tok
+       |  FROM fk JOIN documents d ON fk.doc_id = d.doc_id
+       |  WHERE fk.kept AND fk.b < 80),
+       |cs AS (SELECT doc_id,
+       |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 10000 AS shard
+       |  FROM ck)
+       |SELECT fk.doc_id, fk.quality_ok, fk.repetition_ok, fk.pii_ok,
+       |  fk.dedup_ok, fk.near_ok, fk.decontam_ok, fk.kept,
+       |  CASE WHEN NOT fk.kept THEN NULL
+       |       WHEN fk.b < 80 THEN 'train'
+       |       WHEN fk.b < 90 THEN 'val' ELSE 'bench' END AS split,
+       |  CAST(cs.shard AS BIGINT) AS shard
+       |FROM fk LEFT JOIN cs ON fk.doc_id = cs.doc_id
+       |ORDER BY fk.doc_id""".stripMargin
+  }
+
+  /** The run-rule decontamination CTE chain of `curate_runs` /
+    * `decontaminate_runs_indexed`: positional 5-word postings over the
+    * raw documents, train (b < 80) × eval (b >= 90) hash co-occurrences,
+    * (pair, diagonal) islands, and the >= 13-token hit set. Needs `buck`
+    * ([[corpusFilterCtes]]) in scope. */
+  private def curateRunHitsCtes: String =
+    """rtok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |rpos AS MATERIALIZED (SELECT doc_id, u.p AS pos, u.h AS h FROM (
+      |  SELECT doc_id, unnest(list_transform(range(0, len(t) - 4),
+      |    i -> {'p': i,
+      |          'h': CAST(('0x' || substr(md5(array_to_string(t[i+1:i+5], ' ')), 1, 14))::UBIGINT AS BIGINT)})) AS u
+      |  FROM rtok WHERE len(t) >= 5) q),
+      |rtr AS (SELECT rpos.* FROM rpos JOIN buck USING (doc_id) WHERE b < 80),
+      |rev AS (SELECT rpos.* FROM rpos JOIN buck USING (doc_id) WHERE b >= 90),
+      |rco AS (SELECT a.doc_id AS inc_id, e.doc_id AS ref_id, a.pos AS pa,
+      |        a.pos - e.pos AS diag
+      |        FROM rtr a JOIN rev e ON a.h = e.h),
+      |rrun AS (SELECT inc_id, ref_id, diag, grp, count(*) AS len FROM (
+      |  SELECT inc_id, ref_id, diag,
+      |         pa - row_number() OVER (PARTITION BY inc_id, ref_id, diag ORDER BY pa) AS grp
+      |  FROM rco) z GROUP BY 1, 2, 3, 4),
+      |rhit AS (SELECT DISTINCT inc_id AS doc_id FROM rrun WHERE len + 4 >= 13)""".stripMargin
+
   /** The per-doc text-gate `flags` CTE of the `curate` frame — shared
     * verbatim by `curate` and `curate_multimodal`. */
   private def curateFlagsCte: String =
@@ -3873,29 +3960,11 @@ object SparkEntry {
         |FROM fk LEFT JOIN cs ON fk.doc_id = cs.doc_id
         |ORDER BY fk.doc_id""".stripMargin,
 
-    "curate" ->
-      s"""WITH $corpusFilterCtes,
-        |${ngramPairsSql()},
-        |$curateDecontamCtes,
-        |$curateFlagsCte,
-        |fk AS (SELECT *, (quality_ok AND repetition_ok AND pii_ok AND dedup_ok
-        |    AND near_ok AND decontam_ok) AS kept FROM flags),
-        |ck AS (SELECT fk.doc_id,
-        |    CAST(len(list_filter(string_split(d.text, ' '), x -> x != '')) AS BIGINT) AS n_tok
-        |  FROM fk JOIN documents d ON fk.doc_id = d.doc_id
-        |  WHERE fk.kept AND fk.b < 80),
-        |cs AS (SELECT doc_id,
-        |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 10000 AS shard
-        |  FROM ck)
-        |SELECT fk.doc_id, fk.quality_ok, fk.repetition_ok, fk.pii_ok,
-        |  fk.dedup_ok, fk.near_ok, fk.decontam_ok, fk.kept,
-        |  CASE WHEN NOT fk.kept THEN NULL
-        |       WHEN fk.b < 80 THEN 'train'
-        |       WHEN fk.b < 90 THEN 'val' ELSE 'bench' END AS split,
-        |  CAST(cs.shard AS BIGINT) AS shard
-        |FROM fk LEFT JOIN cs ON fk.doc_id = cs.doc_id
-        |ORDER BY fk.doc_id""".stripMargin,
+    "curate" -> curateSqlFor(runDecontam = false),
+    // the run-rule frame: identical CTE chain except the decontamination
+    // arm — positional postings, the cross-side island merge, and the
+    // >= 13-token rhit set replace the shingle-set overlap
+    "curate_runs" -> curateSqlFor(runDecontam = true),
 
 
     // the multimodal frame: the curate CTEs verbatim (corpus filter, n-gram
@@ -5176,6 +5245,56 @@ object SparkEntry {
          |FROM qdc q LEFT JOIN agg a ON q.doc_id = a.inc_id
          |WHERE ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 80
          |ORDER BY q.doc_id""".stripMargin,
+
+    // the indexed eval-suite audit over the RAW corpus: the stored index
+    // holds the eval slice's postings, so the inline re-derivation is the
+    // same chain over documents directly (natural replicas straddling the
+    // bucket split carry the >= 13-token runs)
+    "decontaminate_runs_indexed" ->
+      s"""WITH ${positionalShingleCtes("documents")},
+         |co AS (SELECT a.doc_id AS inc_id, b.doc_id AS ref_id, a.pos AS pa,
+         |              a.pos - b.pos AS diag
+         |       FROM pos a JOIN pos b ON a.h = b.h
+         |       WHERE ('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 80
+         |         AND ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 >= 90),
+         |runs AS (SELECT inc_id, ref_id, diag, grp, count(*) AS len FROM (
+         |  SELECT inc_id, ref_id, diag,
+         |         pa - row_number() OVER (PARTITION BY inc_id, ref_id, diag ORDER BY pa) AS grp
+         |  FROM co) z GROUP BY 1, 2, 3, 4),
+         |pr AS (SELECT inc_id, ref_id, max(len) + 4 AS mr FROM runs GROUP BY 1, 2),
+         |agg AS (SELECT inc_id, CAST(max(mr) AS BIGINT) AS mr,
+         |               CAST(sum(CASE WHEN mr >= 13 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_hits
+         |        FROM pr GROUP BY inc_id)
+         |SELECT d.doc_id, coalesce(a.mr, 0) AS max_run_tokens,
+         |       coalesce(a.n_eval_hits, 0) AS n_eval_hits,
+         |       (coalesce(a.mr, 0) >= 13) AS contaminated
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.inc_id
+         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 80
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // the flip side, keyed by the benchmark doc: same chain, sides
+    // swapped, hits filtered at the rule BEFORE the per-eval aggregate
+    "eval_leak_report" ->
+      s"""WITH ${positionalShingleCtes("documents")},
+         |co AS (SELECT a.doc_id AS inc_id, b.doc_id AS ref_id, a.pos AS pa,
+         |              a.pos - b.pos AS diag
+         |       FROM pos a JOIN pos b ON a.h = b.h
+         |       WHERE ('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 >= 90
+         |         AND ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 80),
+         |runs AS (SELECT inc_id, ref_id, diag, grp, count(*) AS len FROM (
+         |  SELECT inc_id, ref_id, diag,
+         |         pa - row_number() OVER (PARTITION BY inc_id, ref_id, diag ORDER BY pa) AS grp
+         |  FROM co) z GROUP BY 1, 2, 3, 4),
+         |pr AS (SELECT inc_id, ref_id, max(len) + 4 AS mr FROM runs GROUP BY 1, 2),
+         |agg AS (SELECT inc_id, CAST(count(*) AS BIGINT) AS n_train_leaks,
+         |               CAST(max(mr) AS BIGINT) AS mr
+         |        FROM pr WHERE mr >= 13 GROUP BY inc_id)
+         |SELECT d.doc_id, coalesce(a.n_train_leaks, 0) AS n_train_leaks,
+         |       coalesce(a.mr, 0) AS max_run_tokens,
+         |       (coalesce(a.n_train_leaks, 0) > 0) AS compromised
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.inc_id
+         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 >= 90
+         |ORDER BY d.doc_id""".stripMargin,
 
     // the sign-plane band-key audit over the saturating replica
     // embedding corpus — the image_key_audit device, embedding edition

@@ -34,8 +34,16 @@ object Curate {
                // the exact char-n-gram mine — the arm the STREAMING sink
                // can maintain incrementally; graft.streaming.Streaming
                // .streamCurate is proven ≡ pipeline(approxNear = true)
-               approxNear: Boolean = false): DataFrame =
-    decide(docs, textFlags(docs, minQuality, trainPct, benchFromPct, approxNear),
+               approxNear: Boolean = false,
+               // run-rule decontamination arm ([[Dedup.decontaminateRuns]]
+               // at the GPT-3 13-gram collision quantity) instead of the
+               // default shingle-SET overlap: a doc can be clean by
+               // vocabulary overlap yet verbatim-contain an eval passage
+               // — the published protocols threshold the RUN, and this
+               // flag makes the assembled frame do the same
+               runDecontam: Boolean = false): DataFrame =
+    decide(docs, textFlags(docs, minQuality, trainPct, benchFromPct,
+        approxNear, runDecontam),
       TextGates, tokensPerShard, trainPct, benchFromPct)
 
   /** The text gate columns of [[pipeline]]'s decision frame, in output
@@ -48,7 +56,8 @@ object Curate {
     * booleans and the split bucket `__b`. */
   private def textFlags(docs: DataFrame, minQuality: Double,
                         trainPct: Int, benchFromPct: Int,
-                        approxNear: Boolean): DataFrame = {
+                        approxNear: Boolean,
+                        runDecontam: Boolean = false): DataFrame = {
     val bucket = Sampling.hashBucket(col("doc_id"))
     val gates = CorpusFilter.decisions(docs, minQuality).drop("kept")
     // exact-verify arm: the collapse-first treatment form — verdict-
@@ -62,11 +71,14 @@ object Curate {
         Dedup.resolveKeepers(docs, Dedup.minhashNearApprox(docs))
       else Dedup.ngramDedup(docs))
       .select(col("doc_id"), col("keep").as("near_ok"))
-    // contamination() reports TRAIN-slice docs only; val/bench docs are
-    // vacuously clean (they are never trained on), restored via the left
-    // join's null → true
-    val deco = Decontaminate.contamination(docs,
-        trainPct = trainPct, benchFromPct = benchFromPct)
+    // both decontamination arms report TRAIN-slice docs only; val/bench
+    // docs are vacuously clean (they are never trained on), restored via
+    // the left join's null → true
+    val deco = (if (runDecontam)
+        Dedup.decontaminateRuns(docs,
+          trainPct = trainPct, benchFromPct = benchFromPct)
+      else Decontaminate.contamination(docs,
+          trainPct = trainPct, benchFromPct = benchFromPct))
       .select(col("doc_id"), (!col("contaminated")).as("__dc"))
     docs.select(col("doc_id"), bucket.as("__b"))
       .join(gates, Seq("doc_id"))

@@ -54,6 +54,56 @@ class CurateSpec extends SparkSpec {
     assert(keptTrain == expect)
   }
 
+  test("curate runDecontam: the run-rule arm swaps ONLY decontam_ok; verdicts equal decontaminateRuns") {
+    val docs = Tables.documents(spark, dir)
+    def byId(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r).toMap
+    val setForm = byId(Curate.pipeline(docs))
+    val runForm = byId(Curate.pipeline(docs, runDecontam = true))
+    val runs = Dedup.decontaminateRuns(docs).collect()
+      .map(r => r.getLong(0) -> !r.getBoolean(3)).toMap
+    assert(runForm.keySet == setForm.keySet)
+    runForm.foreach { case (id, r) =>
+      // decontam_ok is the run rule (val/bench vacuously clean)
+      assert(r.getBoolean(6) == runs.getOrElse(id, true))
+      // every gate column BEFORE decontam is byte-identical to the
+      // set-overlap frame — the arm swap touches nothing else
+      (1 to 5).foreach(i => assert(r.getBoolean(i) == setForm(id).getBoolean(i)))
+      // kept re-conjoins with the swapped arm
+      assert(r.getBoolean(7) ==
+        (1 to 6).forall(r.getBoolean))
+    }
+    // the rules COINCIDE on this corpus (its only contamination is
+    // byte-identical replicas, which both flag), so the disagreement pin
+    // runs on an engineered device: train doc A quotes 13 eval tokens
+    // (both rules flag), train doc B quotes only 6 (set overlap flags —
+    // shared 5-shingles — but the 13-token run rule is clean). Bucket
+    // membership is id-hashed, so pick ids by their measured bucket.
+    import spark.implicits._
+    val idb = spark.range(0, 300)
+      .select(col("id"), Sampling.hashBucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val Seq(tA, tB, tC) = idb.filter(_._2 < 80).take(3).map(_._1).toSeq
+    val ev = idb.find(_._2 >= 90).get._1
+    val evTokens = (1 to 20).map(i => s"ev$i")
+    val device = Seq(
+      (ev, evTokens.mkString(" ")),
+      (tA, ((1 to 10).map(i => s"fa$i") ++ evTokens.take(13)).mkString(" ")),
+      (tB, ((1 to 10).map(i => s"fb$i") ++ evTokens.take(6)).mkString(" ")),
+      (tC, (1 to 20).map(i => s"fc$i").mkString(" "))
+    ).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    def deco(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    val setD = deco(Curate.pipeline(device))
+    val runD = deco(Curate.pipeline(device, runDecontam = true))
+    assert(!setD(tA) && !runD(tA), "the 13-token quote must flag under BOTH rules")
+    assert(!setD(tB) && runD(tB),
+      "the 6-token quote must flag under set overlap and pass the run rule")
+    assert(setD(tC) && runD(tC))
+  }
+
   test("pipelineMultimodal: per-modality offenders gate kept; media_ok composes the treatment arms") {
     val docs = Tables.documents(spark, dir)
     // the pair device: docs 2k and 2k+1 share a blob payload (512 bytes of

@@ -1355,6 +1355,40 @@ class DedupSpec extends SparkSpec {
       uncapped)
   }
 
+  test("decontaminateRunsIndexed ≡ inline; evalLeakReport is the exact pair-count flip side") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toVector).toSeq
+    val inline = rows(Dedup.decontaminateRuns(docs))
+    // indexed twin: FailIfMissing honored, then build-once-serve-twice,
+    // verdicts byte-identical to the inline form over the same slice
+    val reg = CatalogOps.indexRegistry(spark, dir)
+    val name = "documents-verbatim-evalpos-ge90-s5"
+    if (reg.isIndexRegistered(name)) reg.dropIndex(name)
+    intercept[graft.core.GraftException] {
+      Dedup.decontaminateRunsIndexed(spark, dir, docs,
+        policy = graft.core.IndexPolicy.FailIfMissing).collect()
+    }
+    assert(rows(Dedup.decontaminateRunsIndexed(spark, dir, docs)) == inline)
+    val built = CatalogOps.indexRegistry(spark, dir).getIndex(name)
+    assert(rows(Dedup.decontaminateRunsIndexed(spark, dir, docs,
+      policy = graft.core.IndexPolicy.FailIfMissing)) == inline)
+    assert(CatalogOps.indexRegistry(spark, dir).getIndex(name).version == built.version)
+    // flip-side invariant: both reports count the SAME (train, eval)
+    // pairs at the rule, one keyed by each side — totals must agree
+    val leak = Dedup.evalLeakReport(docs)
+    val pairsFromTrain = Dedup.decontaminateRuns(docs)
+      .agg(org.apache.spark.sql.functions.sum(col("n_eval_hits"))).head.getLong(0)
+    val pairsFromEval = leak
+      .agg(org.apache.spark.sql.functions.sum(col("n_train_leaks"))).head.getLong(0)
+    assert(pairsFromTrain == pairsFromEval)
+    // zero-fill contract: every eval doc reports, compromised ⇔ leaks > 0
+    assert(leak.count() == docs.where(
+      graft.operators.Sampling.hashBucket(col("doc_id")) >= 90).count())
+    assert(leak.collect().forall(r => r.getBoolean(3) == (r.getLong(1) > 0L)))
+  }
+
   test("verbatimIncremental: a long quote drops a doc a signature admission would wave through") {
     import spark.implicits._
     val reference = Seq((100L, "q w e r t y u i o p")).toDF("doc_id", "text")
