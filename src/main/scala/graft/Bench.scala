@@ -107,6 +107,7 @@ object Bench {
     val execSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     val gcSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     val cpuSec = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val cpuMinRun = scala.collection.mutable.LinkedHashMap[String, Double]()
     val shufReadMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val shufWriteMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -128,9 +129,17 @@ object Bench {
       org.apache.spark.graft.CoreBridge.flushListenerBus(spark.sparkContext)
       execMs.set(0); gcMs.set(0); cpuNs.set(0); shufR.set(0); shufW.set(0)
       val times = scala.collection.mutable.ArrayBuffer[Double]()
+      val cpuRuns = scala.collection.mutable.ArrayBuffer[Double]()
       var failed = false
       var i = 0
       while (i < repeats && !failed) {
+        // per-repeat cpu floor (round-16 adjudication instrument): the
+        // suite occasionally enters a per-window regime where ALL repeats
+        // of one query burn 4-6x cpu (curate 586 vs 136 cpu-s across
+        // byte-identical runs — PLANS r16), so the summed cpu_sec cannot
+        // distinguish regime from code; the min single-repeat cpu can
+        org.apache.spark.graft.CoreBridge.flushListenerBus(spark.sparkContext)
+        val c0 = cpuNs.get()
         val t0 = System.nanoTime()
         // toRdd.count() materializes every output row with all its columns
         // — a plain count() lets Catalyst prune the work being measured
@@ -140,9 +149,14 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           failed = true
         }
-        if (!failed) times += (System.nanoTime() - t0) / 1e9
+        if (!failed) {
+          times += (System.nanoTime() - t0) / 1e9
+          org.apache.spark.graft.CoreBridge.flushListenerBus(spark.sparkContext)
+          cpuRuns += (cpuNs.get() - c0) / 1e9
+        }
         i += 1
       }
+      cpuMinRun(name) = if (cpuRuns.nonEmpty) cpuRuns.min else -1.0
       // flush again before READING, so this query's own late events are in
       org.apache.spark.graft.CoreBridge.flushListenerBus(spark.sparkContext)
       execSec(name) = execMs.get() / 1000.0
@@ -171,6 +185,7 @@ object Bench {
     val metricsJson =
       ",\"exec_sec\":" + fmtMap(execSec) + ",\"gc_sec\":" + fmtMap(gcSec) +
         ",\"cpu_sec\":" + fmtMap(cpuSec) +
+        ",\"cpu_min_run\":" + fmtMap(cpuMinRun) +
         ",\"shuffle_read_mb\":" + fmtMap(shufReadMb) +
         ",\"shuffle_write_mb\":" + fmtMap(shufWriteMb)
     val errJson =
