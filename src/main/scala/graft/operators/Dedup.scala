@@ -932,9 +932,27 @@ object Dedup {
                                shingleSize: Int = 5, minRunTokens: Int = 13,
                                trainPct: Int = 80, evalFromPct: Int = 90,
                                idCol: String = "doc_id", textCol: String = "text",
-                               policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
-    val idx = CatalogOps.indexRegistry(spark, dir).resolveIndex(
-      name = s"documents-verbatim-evalpos-ge$evalFromPct-s$shingleSize",
+                               policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame =
+    decontaminateRunsFrom(
+      docs.where(Sampling.hashBucket(col(idCol)) < trainPct),
+      spark.read.parquet(
+        s"${evalPosIndex(spark, dir, evalFromPct, shingleSize, idCol, textCol, policy).path}/pos"),
+      shingleSize, minRunTokens, idCol, textCol)
+
+  /** Registry name of the catalog-managed EVAL-slice posting index. */
+  private[graft] def evalPosIndexName(evalFromPct: Int, shingleSize: Int): String =
+    s"documents-verbatim-evalpos-ge$evalFromPct-s$shingleSize"
+
+  /** The eval-suite posting index shared by [[decontaminateRunsIndexed]]
+    * and [[graft.streaming.Streaming.streamDecontamAdmit]]: the `dir`
+    * documents table's bucket ≥ `evalFromPct` slice, positionally
+    * shingled once at build. */
+  private[graft] def evalPosIndex(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, evalFromPct: Int, shingleSize: Int,
+                                  idCol: String = "doc_id", textCol: String = "text",
+                                  policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): graft.core.IndexMeta =
+    CatalogOps.indexRegistry(spark, dir).resolveIndex(
+      name = evalPosIndexName(evalFromPct, shingleSize),
       kind = "verbatim-pos",
       sourcePath = s"$dir/documents.parquet",
       params = Map("evalFromPct" -> evalFromPct.toString,
@@ -947,11 +965,21 @@ object Dedup {
         idCol, textCol, shingleSize)
         .write.mode("overwrite").parquet(s"$out/pos")
     }
-    decontaminateRunsFrom(
-      docs.where(Sampling.hashBucket(col(idCol)) < trainPct),
-      spark.read.parquet(s"${idx.path}/pos"),
-      shingleSize, minRunTokens, idCol, textCol)
-  }
+
+  /** [[decontaminateRunsFrom]] against the STORED eval index over an
+    * arbitrary candidate frame (no train-bucket cut — a stream's every
+    * incoming doc is a training candidate; the bucket split is the batch
+    * pipeline's device). The admission half of
+    * [[graft.streaming.Streaming.streamDecontamAdmit]]. */
+  private[graft] def decontamAuditAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                               dir: String, docs: DataFrame,
+                                               shingleSize: Int, minRunTokens: Int,
+                                               evalFromPct: Int,
+                                               policy: graft.core.IndexPolicy): DataFrame =
+    decontaminateRunsFrom(docs,
+      spark.read.parquet(
+        s"${evalPosIndex(spark, dir, evalFromPct, shingleSize, policy = policy).path}/pos"),
+      shingleSize, minRunTokens, "doc_id", "text")
 
   /** The FLIP SIDE of [[decontaminateRuns]] — the per-BENCHMARK-doc leak
     * report: for each eval document (id-hash bucket ≥ `benchFromPct`),

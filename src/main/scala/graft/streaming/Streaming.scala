@@ -423,6 +423,58 @@ object Streaming {
       }
       .start()
 
+  /** Continuous DECONTAMINATION gate — the [[streamVerbatimDedupAdmit]]
+    * shape pointed at the EVAL suite: per micro-batch every incoming doc
+    * probes the stored eval-slice posting index
+    * ([[graft.operators.Dedup.decontaminateRunsIndexed]]'s table — a
+    * benchmark suite is a fixed artifact, shingled once at registration)
+    * and is REFUSED when it verbatim-contains a ≥ `minRunTokens` run of
+    * any eval document (the GPT-3 13-gram collision rule as an admission
+    * policy: contaminated data never enters the training store, instead
+    * of being audited out later). Admitted rows go to `sink`; refused
+    * rows go to `rejects` WITH their attribution (`max_run_tokens`,
+    * `n_eval_hits`) — the forensics a curator re-tunes the rule from.
+    *
+    * No train-bucket cut: a stream's every incoming doc is a training
+    * candidate (the bucket split is the batch pipeline's device). Same
+    * statelessness contract as the other index gates: GIVEN the index the
+    * batch decision is pure, so commit-crash replay re-admits
+    * byte-identical rows; FailIfMissing is the production default;
+    * RebuildIfStale self-vacuums only its own index name.
+    *
+    * Scale shape per batch: the eval posting table is benchmark-sized
+    * (bounded); the batch side shingles once and streams through one hash
+    * equi-join + (pair, diagonal) islands — never batch × eval. */
+  def streamDecontamAdmit(spark: SparkSession, dir: String, docs: DataFrame,
+                          checkpointDir: String,
+                          evalFromPct: Int = 90,
+                          shingleSize: Int = 5, minRunTokens: Int = 13,
+                          policy: graft.core.IndexPolicy = graft.core.IndexPolicy.FailIfMissing)
+                         (sink: DataFrame => Unit,
+                          rejects: DataFrame => Unit = _ => ()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val audit = graft.operators.Dedup.decontamAuditAgainstIndex(
+              spark, dir, batch, shingleSize, minRunTokens, evalFromPct, policy)
+            // both routes consume the audit (the streamQualityAdmit
+            // discipline); the runs re-mine otherwise
+            .persist()
+          try {
+            sink(batch.join(
+              audit.where(!col("contaminated")).select(col("doc_id")),
+              Seq("doc_id"), "left_semi"))
+            rejects(audit.where(col("contaminated")))
+          } finally audit.unpersist(false)
+          if (policy == graft.core.IndexPolicy.RebuildIfStale)
+            graft.operators.CatalogOps.indexRegistry(spark, dir)
+              .vacuumIndex(graft.operators.Dedup.evalPosIndexName(evalFromPct, shingleSize))
+        }
+      }
+      .start()
+
   /** Continuous quality-admission gate: per micro-batch, run the
     * [[graft.operators.CorpusFilter.decisions]] audit (heuristic quality ∧
     * non-repetition ∧ no-PII ∧ in-batch exact dedup) on the batch and

@@ -1597,6 +1597,56 @@ class StreamingSpec extends SparkSpec {
       .collect().forall(_.getBoolean(3)), "near gate should wave the quote through")
   }
 
+  test("streamDecontamAdmit: eval quotes refused at the run rule with attribution; short quotes pass; FailIfMissing honored") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-decogate-").toString
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    // an id whose hash bucket lands in the eval slice (>= 90) plus one
+    // train-slice doc — the index must contain ONLY the eval doc
+    val evalId = (0L until 300L).find { i =>
+      spark.range(i, i + 1).select(
+        graft.operators.Sampling.hashBucket(col("id"))).head.getLong(0) >= 90
+    }.get
+    val evText = words("ev", 30).mkString(" ")
+    Seq((evalId, evText, "en"), (0L, words("tr", 30).mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      // 13 contiguous eval tokens inside fresh filler — the rule refuses
+      (1000L, (words("x", 10) ++ words("ev", 13) ++ words("y", 10)).mkString(" ")),
+      // 6 eval tokens: shares shingles (set overlap would flag) but the
+      // 13-token RUN rule admits
+      (1001L, (words("x", 10) ++ words("ev", 6) ++ words("z", 10)).mkString(" ")),
+      (1002L, words("f", 25).mkString(" ")),  // fresh
+      // quoting the TRAIN doc is NOT contamination — the index holds only
+      // the eval slice
+      (1003L, (words("tr", 20) ++ words("w", 10)).mkString(" ")))
+    val docs = mem.toDF().toDF("doc_id", "text")
+
+    val qFail = Streaming.streamDecontamAdmit(spark, dir, docs,
+      Files.createTempDirectory("graft-decogate-ckpt-").toString)(_ => ())
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try qFail.processAllAvailable() finally qFail.stop()
+    }
+    assert(err.getMessage.contains("is not built"), err.getMessage)
+
+    graft.operators.Dedup.decontaminateRunsIndexed(spark, dir,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      policy = graft.core.IndexPolicy.BuildIfMissing).collect()
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val refused = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = Streaming.streamDecontamAdmit(spark, dir, docs,
+      Files.createTempDirectory("graft-decogate-ckpt-").toString)(
+      b => admitted ++= b.select(col("doc_id")).collect().map(_.getLong(0)),
+      r => refused ++= r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))))
+    try q.awaitTermination(120000) finally q.stop()
+    assert(admitted.sorted == Seq(1001L, 1002L, 1003L), s"admitted: $admitted")
+    // attribution: the 13-token quote measured exactly, one eval hit
+    assert(refused.toSeq == Seq((1000L, 13L, 1L)), s"refused: $refused")
+  }
+
   test("streamNearDedupAdmit under RebuildIfStale: rebuild replaces the index and vacuums ONLY its own superseded versions") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-nearvac-").toString
