@@ -102,6 +102,7 @@ object Bench {
     // the per-query max/median spread is reported so the noise itself
     // stays visible.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+    var drainMs = 0L
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val execSec = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -122,6 +123,18 @@ object Bench {
       // CacheManager, so each query measures against a clean block manager
       if (sys.env.contains("SPARK_GRAFT_BENCH_CLEARCACHE"))
         spark.sharedState.cacheManager.clearCache()
+      // drain ZOMBIE work before opening the window (round-16 bad-mode
+      // record): the contaminated suite runs flood the log with
+      // "non-existent accumulator" task completions — work from an earlier
+      // query (e.g. an AQE-cancelled broadcast's still-running tasks)
+      // finishing later and burning cpu inside whatever window it lands
+      // in. Attribution hygiene, bounded at 15 s; total wait is reported
+      // as drain_sec so the zombie volume itself is a round-record fact.
+      val d0 = System.currentTimeMillis()
+      while ((spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty ||
+              spark.sparkContext.statusTracker.getActiveStageIds().nonEmpty) &&
+             System.currentTimeMillis() - d0 < 15000) Thread.sleep(50)
+      drainMs += System.currentTimeMillis() - d0
       // drain the async listener bus BEFORE zeroing: stage-completed events
       // are delivered asynchronously, so without the flush a late event
       // from the previous query lands in this query's window — the exact
@@ -192,7 +205,8 @@ object Bench {
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => esc(k) + ":" + esc(v) }
         .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec,"repeats":$repeats$spreadJson$metricsJson$errJson,"sf":"$sfDir"}"""
+    val drainJson = ",\"drain_sec\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(drainMs / 1000.0))
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec,"repeats":$repeats$spreadJson$metricsJson$drainJson$errJson,"sf":"$sfDir"}"""
     println(line)
     // Self-reported artifact: the driver's BENCH_r{N}.json captures only the
     // tail of stdout, which has been truncating the first ~28 queries'
