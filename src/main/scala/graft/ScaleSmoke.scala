@@ -382,6 +382,30 @@ object ScaleSmoke {
         .as("text"))
       D.decontaminateTrim(hdocs).queryExecution.toRdd.count()
     }
+    stage("eval leak report (250k)") {
+      // the per-benchmark leak report at scale: the aggregation keys on
+      // the bounded eval side, train postings stream through one hash
+      // join — same vowels-translated near-distinct corpus
+      val hdocs = docs.select(col("doc_id"), expr(
+        """translate(text, 'aeiou', concat(
+          |  substr('bcdfghjklmnpqrstvwxz', cast(pmod(doc_id, 18) as int) + 1, 3),
+          |  substr('bcdfghjklmnpqrstvwxz', cast(pmod(doc_id div 18, 19) as int) + 1, 2)))""".stripMargin)
+        .as("text"))
+      D.evalLeakReport(hdocs).queryExecution.toRdd.count()
+    }
+    stage("decontam runs indexed (250k)") {
+      // the fixed-benchmark deployment shape at scale: the eval index is
+      // built once from the base dir's documents (the registry slice) and
+      // a 250k training snapshot streams through the stored postings —
+      // per-snapshot cost O(train postings), eval never re-tokenized
+      val hdocs = docs.select(col("doc_id"), expr(
+        """translate(text, 'aeiou', concat(
+          |  substr('bcdfghjklmnpqrstvwxz', cast(pmod(doc_id, 18) as int) + 1, 3),
+          |  substr('bcdfghjklmnpqrstvwxz', cast(pmod(doc_id div 18, 19) as int) + 1, 2)))""".stripMargin)
+        .as("text"))
+      D.decontaminateRunsIndexed(spark, dir, hdocs, trainPct = 100)
+        .queryExecution.toRdd.count()
+    }
     stage("ngram near-dup") { D.ngramNear(docs).queryExecution.toRdd.count() }
     lshStats("ngram buckets n8r3b4",
       D.ngramBandKeys(D.ngramShingled(docs, "doc_id", "text", 8), 12, 4), "doc_id")

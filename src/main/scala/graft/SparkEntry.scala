@@ -1024,6 +1024,14 @@ object SparkEntry {
       // (the eval slice), so quoted train docs CONTAIN an eval passage of
       // exactly 8 tokens — contaminated by the run rule at minRun 8
       Dedup.decontaminateRuns(decontamRunsCorpus(s, dir), minRunTokens = 8)),
+    "decontaminate_runs_capped" -> ((s, dir) =>
+      // the eval-template false-positive regime and its cap: bucket
+      // [20,30) docs share only the benchmark's FORMAT and flag uncapped;
+      // with maxEvalDf = 20 the template's hot eval postings are cut and
+      // only content quotes (and natural replicas) flag — the oracle
+      // re-derives the eval-side occurrence cut
+      Dedup.decontaminateRuns(templateDecontamCorpus(s, dir),
+        minRunTokens = 8, maxEvalDf = 20)),
     "decontaminate_runs_indexed" -> ((s, dir) =>
       // the eval suite as a REGISTRY-PINNED posting index (benchmarks are
       // fixed artifacts — shingled once, probed by every corpus
@@ -1257,6 +1265,29 @@ object SparkEntry {
     Tables.documents(s, dir)
       .select(col("doc_id"),
         when(b < 10 || b >= 90, concat(col("text"), lit(" "), quote))
+          .otherwise(col("text")).as("text"))
+  }
+
+  /** The BENCHMARK-TEMPLATE device for the capped run rule: eval docs
+    * (bucket ≥ 90) carry a shared 10-word prompt TEMPLATE prefix plus
+    * their class quote; bucket [20, 30) train docs carry the template
+    * prefix only (crawl copies of the benchmark's FORMAT — the false
+    * positive the cap exists for); bucket < 10 train docs quote eval
+    * CONTENT (the true positive that must survive the cap). At sf0.01 the
+    * template's pure shingles occur ~43× on the eval side (> maxEvalDf
+    * 20 → cut) while each class quote's occur ~14× (≤ 20 → kept). */
+  private def templateDecontamCorpus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, md5, substring, when}
+    val b = graft.operators.Sampling.hashBucket(col("doc_id"))
+    val template = concat_ws(" ", (0 until 10).map(i =>
+      substring(md5(lit("tpl")), i * 3 + 1, 3)): _*)
+    val quote = concat_ws(" ", (0 until 8).map(i =>
+      substring(md5((col("doc_id") % 3).cast("string")), i * 4 + 1, 4)): _*)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(b >= 90, concat(template, lit(" "), col("text"), lit(" "), quote))
+          .when(b >= 20 && b < 30, concat(template, lit(" "), col("text")))
+          .when(b < 10, concat(col("text"), lit(" "), quote))
           .otherwise(col("text")).as("text"))
   }
 
@@ -5245,6 +5276,47 @@ object SparkEntry {
          |FROM qdc q LEFT JOIN agg a ON q.doc_id = a.inc_id
          |WHERE ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 80
          |ORDER BY q.doc_id""".stripMargin,
+
+    // the capped run rule over the template device: eval postings hotter
+    // than maxEvalDf = 20 are cut BEFORE the cross join (the benchmark's
+    // shared prompt format stops flagging format-only matches), content
+    // quotes survive
+    "decontaminate_runs_capped" ->
+      s"""WITH tdc AS (SELECT doc_id,
+         |    CASE WHEN bkt >= 90 THEN tpl || ' ' || text || ' ' || q
+         |         WHEN bkt >= 20 AND bkt < 30 THEN tpl || ' ' || text
+         |         WHEN bkt < 10 THEN text || ' ' || q
+         |         ELSE text END AS text
+         |  FROM (SELECT doc_id, text,
+         |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS bkt,
+         |          array_to_string(list_transform(range(0, 10),
+         |            i -> substr(md5('tpl'), CAST(i*3+1 AS BIGINT), 3)), ' ') AS tpl,
+         |          array_to_string(list_transform(range(0, 8),
+         |            i -> substr(md5(CAST(doc_id % 3 AS VARCHAR)), CAST(i*4+1 AS BIGINT), 4)), ' ') AS q
+         |        FROM documents) z),
+         |${positionalShingleCtes("tdc")},
+         |evp AS (SELECT pos.* FROM pos
+         |        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 >= 90),
+         |keeph AS (SELECT h FROM evp GROUP BY h HAVING count(*) <= 20),
+         |evf AS (SELECT evp.* FROM evp JOIN keeph USING (h)),
+         |co AS (SELECT a.doc_id AS inc_id, e.doc_id AS ref_id, a.pos AS pa,
+         |              a.pos - e.pos AS diag
+         |       FROM pos a JOIN evf e ON a.h = e.h
+         |       WHERE ('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 80),
+         |runs AS (SELECT inc_id, ref_id, diag, grp, count(*) AS len FROM (
+         |  SELECT inc_id, ref_id, diag,
+         |         pa - row_number() OVER (PARTITION BY inc_id, ref_id, diag ORDER BY pa) AS grp
+         |  FROM co) z GROUP BY 1, 2, 3, 4),
+         |pr AS (SELECT inc_id, ref_id, max(len) + 4 AS mr FROM runs GROUP BY 1, 2),
+         |agg AS (SELECT inc_id, CAST(max(mr) AS BIGINT) AS mr,
+         |               CAST(sum(CASE WHEN mr >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_hits
+         |        FROM pr GROUP BY inc_id)
+         |SELECT t.doc_id, coalesce(a.mr, 0) AS max_run_tokens,
+         |       coalesce(a.n_eval_hits, 0) AS n_eval_hits,
+         |       (coalesce(a.mr, 0) >= 8) AS contaminated
+         |FROM tdc t LEFT JOIN agg a ON t.doc_id = a.inc_id
+         |WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 80
+         |ORDER BY t.doc_id""".stripMargin,
 
     // the indexed eval-suite audit over the RAW corpus: the stored index
     // holds the eval slice's postings, so the inline re-derivation is the

@@ -758,9 +758,23 @@ object Dedup {
     * postings on the shingle hash, islands per (inc, ref, diagonal) — the
     * two-corpus form of [[sharedRunsFrom]], shared by
     * [[verbatimIncremental]] and [[decontaminateRuns]]. One row per
-    * (inc_id, ref_id) pair with ≥ 1 shared positional shingle. */
-  private def runsAgainst(posInc: DataFrame, posRef: DataFrame,
-                          shingleSize: Int): DataFrame = {
+    * (inc_id, ref_id) pair with ≥ 1 shared positional shingle.
+    * `maxRefDf > 0` drops REFERENCE postings whose hash occurs more than
+    * `maxRefDf` times on the reference side before the join —
+    * [[verbatimOverlapDfCap]]'s boilerplate cut for the cross-side
+    * family: a hash hot across the reference (an eval suite's repeated
+    * prompt template; the seen corpus's site chrome) joins every incoming
+    * occurrence |inc occ| × |ref occ| times AND flags template-only
+    * matches as runs. Same declared fragmentation semantics: a genuine
+    * run THROUGH a capped-hot reference region reports its longest
+    * surviving segment; a reference-template-only match vanishes. */
+  private def runsAgainst(posInc: DataFrame, posRef0: DataFrame,
+                          shingleSize: Int, maxRefDf: Int = 0): DataFrame = {
+    val posRef = if (maxRefDf <= 0) posRef0 else
+      posRef0.join(
+        posRef0.groupBy(col("h")).agg(count(lit(1)).as("__occ"))
+          .where(col("__occ") <= maxRefDf).select(col("h")),
+        Seq("h"), "left_semi")
     val co = posInc.select(col("doc_id").as("inc_id"), col("h"),
         col("pos").as("pa"))
       .join(posRef.select(col("doc_id").as("ref_id"), col("h"),
@@ -797,10 +811,13 @@ object Dedup {
     * and the left-join restore of clean docs. Never incoming × reference. */
   def verbatimIncremental(incoming: DataFrame, reference: DataFrame,
                           shingleSize: Int = 5, minRunTokens: Int = 20,
-                          idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+                          idCol: String = "doc_id", textCol: String = "text",
+                          // cap on REFERENCE-side hash occurrences: the seen
+                          // corpus's template boilerplate ([[runsAgainst]])
+                          maxRefDf: Int = 0): DataFrame =
     verbatimIncrementalFrom(incoming,
       positionalShingles(reference, idCol, textCol, shingleSize),
-      shingleSize, minRunTokens, idCol, textCol)
+      shingleSize, minRunTokens, idCol, textCol, maxRefDf)
 
   /** The probe tail shared by [[verbatimIncremental]] and
     * [[verbatimIncrementalIndexed]] — `posRef` is the reference's
@@ -809,10 +826,11 @@ object Dedup {
     * different scan). */
   private def verbatimIncrementalFrom(incoming: DataFrame, posRef: DataFrame,
                                       shingleSize: Int, minRunTokens: Int,
-                                      idCol: String, textCol: String): DataFrame = {
+                                      idCol: String, textCol: String,
+                                      maxRefDf: Int = 0): DataFrame = {
     val runs = runsAgainst(
       positionalShingles(incoming, idCol, textCol, shingleSize),
-      posRef, shingleSize)
+      posRef, shingleSize, maxRefDf)
       .where(col("max_run_tokens") >= minRunTokens)
       .groupBy(col("inc_id"))
       .agg(count(lit(1)).as("n_ref_runs"), max(col("max_run_tokens")).as("mr"))
@@ -881,11 +899,18 @@ object Dedup {
   def decontaminateRuns(docs: DataFrame, shingleSize: Int = 5,
                         minRunTokens: Int = 13,
                         trainPct: Int = 80, benchFromPct: Int = 90,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        // cap on EVAL-side hash occurrences ([[runsAgainst]]'s
+                        // maxRefDf): > 0 ignores benchmark boilerplate — an
+                        // eval suite's repeated prompt template would
+                        // otherwise flag every doc sharing the FORMAT as
+                        // contaminated; declared trade: a genuine run through
+                        // the capped template region fragments
+                        maxEvalDf: Int = 0): DataFrame = {
     val b = Sampling.hashBucket(col(idCol))
     decontaminateRunsFrom(docs.where(b < trainPct),
       positionalShingles(docs.where(b >= benchFromPct), idCol, textCol, shingleSize),
-      shingleSize, minRunTokens, idCol, textCol)
+      shingleSize, minRunTokens, idCol, textCol, maxEvalDf)
   }
 
   /** The audit tail shared by [[decontaminateRuns]] and
@@ -895,10 +920,11 @@ object Dedup {
     * different scan). */
   private def decontaminateRunsFrom(train: DataFrame, posEval: DataFrame,
                                     shingleSize: Int, minRunTokens: Int,
-                                    idCol: String, textCol: String): DataFrame = {
+                                    idCol: String, textCol: String,
+                                    maxEvalDf: Int = 0): DataFrame = {
     val runs = runsAgainst(
       positionalShingles(train, idCol, textCol, shingleSize),
-      posEval, shingleSize)
+      posEval, shingleSize, maxEvalDf)
       .groupBy(col("inc_id"))
       .agg(max(col("max_run_tokens")).as("mr"),
         sum(when(col("max_run_tokens") >= minRunTokens, 1L).otherwise(0L))
@@ -932,12 +958,13 @@ object Dedup {
                                shingleSize: Int = 5, minRunTokens: Int = 13,
                                trainPct: Int = 80, evalFromPct: Int = 90,
                                idCol: String = "doc_id", textCol: String = "text",
+                               maxEvalDf: Int = 0,
                                policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame =
     decontaminateRunsFrom(
       docs.where(Sampling.hashBucket(col(idCol)) < trainPct),
       spark.read.parquet(
         s"${evalPosIndex(spark, dir, evalFromPct, shingleSize, idCol, textCol, policy).path}/pos"),
-      shingleSize, minRunTokens, idCol, textCol)
+      shingleSize, minRunTokens, idCol, textCol, maxEvalDf)
 
   /** Registry name of the catalog-managed EVAL-slice posting index. */
   private[graft] def evalPosIndexName(evalFromPct: Int, shingleSize: Int): String =
@@ -975,11 +1002,12 @@ object Dedup {
                                                dir: String, docs: DataFrame,
                                                shingleSize: Int, minRunTokens: Int,
                                                evalFromPct: Int,
-                                               policy: graft.core.IndexPolicy): DataFrame =
+                                               policy: graft.core.IndexPolicy,
+                                               maxEvalDf: Int = 0): DataFrame =
     decontaminateRunsFrom(docs,
       spark.read.parquet(
         s"${evalPosIndex(spark, dir, evalFromPct, shingleSize, policy = policy).path}/pos"),
-      shingleSize, minRunTokens, "doc_id", "text")
+      shingleSize, minRunTokens, "doc_id", "text", maxEvalDf)
 
   /** The FLIP SIDE of [[decontaminateRuns]] — the per-BENCHMARK-doc leak
     * report: for each eval document (id-hash bucket ≥ `benchFromPct`),
@@ -999,12 +1027,16 @@ object Dedup {
   def evalLeakReport(docs: DataFrame, shingleSize: Int = 5,
                      minRunTokens: Int = 13,
                      trainPct: Int = 80, benchFromPct: Int = 90,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                     idCol: String = "doc_id", textCol: String = "text",
+                     // cap on TRAIN-side hash occurrences (the reference
+                     // side here): corpus boilerplate would otherwise
+                     // report every eval doc sharing the format as leaked
+                     maxTrainDf: Int = 0): DataFrame = {
     val b = Sampling.hashBucket(col(idCol))
     val runs = runsAgainst(
       positionalShingles(docs.where(b >= benchFromPct), idCol, textCol, shingleSize),
       positionalShingles(docs.where(b < trainPct), idCol, textCol, shingleSize),
-      shingleSize)
+      shingleSize, maxTrainDf)
       .where(col("max_run_tokens") >= minRunTokens)
       .groupBy(col("inc_id"))
       .agg(count(lit(1)).as("n_train_leaks"), max(col("max_run_tokens")).as("mr"))

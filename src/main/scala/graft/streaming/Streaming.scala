@@ -449,6 +449,11 @@ object Streaming {
                           checkpointDir: String,
                           evalFromPct: Int = 90,
                           shingleSize: Int = 5, minRunTokens: Int = 13,
+                          // ignore eval-suite template boilerplate (the
+                          // decontaminateRuns maxEvalDf cut) — without it a
+                          // benchmark's repeated prompt format refuses every
+                          // doc that shares the FORMAT, not the content
+                          maxEvalDf: Int = 0,
                           policy: graft.core.IndexPolicy = graft.core.IndexPolicy.FailIfMissing)
                          (sink: DataFrame => Unit,
                           rejects: DataFrame => Unit = _ => ()): StreamingQuery =
@@ -458,7 +463,8 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val audit = graft.operators.Dedup.decontamAuditAgainstIndex(
-              spark, dir, batch, shingleSize, minRunTokens, evalFromPct, policy)
+              spark, dir, batch, shingleSize, minRunTokens, evalFromPct,
+              policy, maxEvalDf)
             // both routes consume the audit (the streamQualityAdmit
             // discipline); the runs re-mine otherwise
             .persist()

@@ -1389,6 +1389,46 @@ class DedupSpec extends SparkSpec {
     assert(leak.collect().forall(r => r.getBoolean(3) == (r.getLong(1) > 0L)))
   }
 
+  test("maxEvalDf/maxRefDf: benchmark-template matches vanish; content quotes survive the cap") {
+    import spark.implicits._
+    // ids chosen for their hash buckets: eval docs share a 10-word prompt
+    // TEMPLATE; train doc A quotes eval CONTENT (8 tokens), train doc B
+    // carries only the template — the format-not-content false positive
+    def bucketOf(i: Long): Long = spark.range(i, i + 1)
+      .select(Sampling.hashBucket(org.apache.spark.sql.functions.col("id")))
+      .head.getLong(0)
+    val evalIds = (0L until 500L).filter(bucketOf(_) >= 90).take(6)
+    val Seq(a, bId, c) = (0L until 500L).filter(bucketOf(_) < 80).take(3)
+    val tpl = (1 to 10).map(i => s"tp$i")
+    val content = (i: Long) => (1 to 12).map(j => s"ev${i}x$j")
+    val docs = (evalIds.map(i => (i, (tpl ++ content(i)).mkString(" "))) ++ Seq(
+      (a, ((1 to 6).map(j => s"fa$j") ++ content(evalIds.head).take(8)).mkString(" ")),
+      (bId, (tpl ++ (1 to 6).map(j => s"fb$j")).mkString(" ")),
+      (c, (1 to 15).map(j => s"fc$j").mkString(" ")))).toDF("doc_id", "text")
+    def flags(maxEvalDf: Int) =
+      Dedup.decontaminateRuns(docs, minRunTokens = 8, maxEvalDf = maxEvalDf)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val uncapped = flags(0)
+    assert(uncapped(a) && uncapped(bId) && !uncapped(c),
+      "uncapped: both the content quote and the template-only doc flag")
+    // the template's 6 pure shingles occur 6x on the eval side (> 4 ->
+    // cut); the quoted content's occur once (<= 4 -> kept)
+    val capped = flags(4)
+    assert(capped(a), "the content quote must survive the cap")
+    assert(!capped(bId), "the format-only match must vanish under the cap")
+    assert(!capped(c))
+    // same cut through the leak report (train as the reference side) and
+    // the incremental gate (seen corpus as the reference side): default 0
+    // is bit-identical to the uncapped form
+    assert(Dedup.evalLeakReport(docs, minRunTokens = 8).collect().toSeq ==
+      Dedup.evalLeakReport(docs, minRunTokens = 8, maxTrainDf = 1000000).collect().toSeq)
+    val inc = Dedup.verbatimIncremental(
+      docs.where($"doc_id" === bId), docs.where($"doc_id".isin(evalIds: _*)),
+      minRunTokens = 8, maxRefDf = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(inc(bId), "the incremental gate must admit a template-only doc under the cap")
+  }
+
   test("verbatimIncremental: a long quote drops a doc a signature admission would wave through") {
     import spark.implicits._
     val reference = Seq((100L, "q w e r t y u i o p")).toDF("doc_id", "text")
