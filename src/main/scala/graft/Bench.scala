@@ -141,6 +141,10 @@ object Bench {
       // misattribution these fields exist to adjudicate
       org.apache.spark.graft.CoreBridge.flushListenerBus(spark.sparkContext)
       execMs.set(0); gcMs.set(0); cpuNs.set(0); shufR.set(0); shufW.set(0)
+      // stderr window marker: the bad-mode log floods (non-existent
+      // accumulator, zombie completions) carry timestamps — this line maps
+      // them to the query window they landed in (PLANS r16 forensics)
+      System.err.println(s"[bench] ${java.time.Instant.now} window $name")
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       val cpuRuns = scala.collection.mutable.ArrayBuffer[Double]()
       var failed = false

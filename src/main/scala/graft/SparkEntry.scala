@@ -1032,6 +1032,12 @@ object SparkEntry {
       // re-derives the eval-side occurrence cut
       Dedup.decontaminateRuns(templateDecontamCorpus(s, dir),
         minRunTokens = 8, maxEvalDf = 20)),
+    "decontaminate_trim_indexed" -> ((s, dir) =>
+      // the TREATMENT against the stored eval index over the raw corpus:
+      // natural replicas straddling the bucket split trim their shared
+      // runs (full replicas to ""), everything else passes through —
+      // inline-vs-indexed identity is the index-correctness proof
+      Dedup.decontaminateTrimIndexed(s, dir, Tables.documents(s, dir))),
     "decontaminate_runs_indexed" -> ((s, dir) =>
       // the eval suite as a REGISTRY-PINNED posting index (benchmarks are
       // fixed artifacts — shingled once, probed by every corpus
@@ -5317,6 +5323,44 @@ object SparkEntry {
          |FROM tdc t LEFT JOIN agg a ON t.doc_id = a.inc_id
          |WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 80
          |ORDER BY t.doc_id""".stripMargin,
+
+    // the indexed TREATMENT over the raw corpus: same islands->coverage->
+    // anti-join->reassembly chain as decontaminate_trim, minRun 13, no
+    // quote device — natural replicas carry the trims
+    "decontaminate_trim_indexed" ->
+      s"""WITH t0 AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+         |${positionalShingleCtes("documents")},
+         |co AS (SELECT a.doc_id AS inc_id, b.doc_id AS ref_id, a.pos AS pa,
+         |              a.pos - b.pos AS diag
+         |       FROM pos a JOIN pos b ON a.h = b.h
+         |       WHERE ('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 80
+         |         AND ('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 >= 90),
+         |isl AS (SELECT inc_id, min(pa) AS p0, count(*) AS len FROM (
+         |  SELECT inc_id, ref_id, diag, pa,
+         |         pa - row_number() OVER (PARTITION BY inc_id, ref_id, diag ORDER BY pa) AS grp
+         |  FROM co) z GROUP BY inc_id, ref_id, diag, grp
+         |  HAVING count(*) + 4 >= 13),
+         |cov AS (SELECT DISTINCT doc_id, CAST(u AS BIGINT) AS ti FROM (
+         |  SELECT inc_id AS doc_id, unnest(range(p0, p0 + len + 4)) AS u FROM isl) q),
+         |tok AS (SELECT doc_id, u.ti AS ti, u.w AS w FROM (
+         |  SELECT doc_id, unnest(list_transform(range(0, len(t)), i -> {'ti': i, 'w': t[i+1]})) AS u
+         |  FROM t0 WHERE len(t) >= 5
+         |    AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 80) q),
+         |kept AS (SELECT tok.doc_id, string_agg(w, ' ' ORDER BY tok.ti) AS kept_text,
+         |           count(*) AS n_kept
+         |         FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.ti = cov.ti
+         |         WHERE cov.ti IS NULL GROUP BY tok.doc_id)
+         |SELECT t0.doc_id,
+         |  CASE WHEN len(t) < 5 THEN text ELSE coalesce(kept.kept_text, '') END AS kept_text,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN len(t) < 5 THEN 0
+         |            ELSE len(t) - coalesce(kept.n_kept, 0) END AS BIGINT) AS n_removed,
+         |  round((CASE WHEN len(t) < 5 THEN 0
+         |              ELSE len(t) - coalesce(kept.n_kept, 0) END)::DOUBLE
+         |        / greatest(len(t), 1), 6) AS removed_ratio
+         |FROM t0 LEFT JOIN kept ON t0.doc_id = kept.doc_id
+         |WHERE ('0x' || substr(md5(CAST(t0.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 80
+         |ORDER BY t0.doc_id""".stripMargin,
 
     // the indexed eval-suite audit over the RAW corpus: the stored index
     // holds the eval slice's postings, so the inline re-derivation is the

@@ -1069,12 +1069,49 @@ object Dedup {
   def decontaminateTrim(docs: DataFrame, shingleSize: Int = 5,
                         minRunTokens: Int = 13,
                         trainPct: Int = 80, benchFromPct: Int = 90,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxEvalDf: Int = 0): DataFrame = {
     val b = Sampling.hashBucket(col(idCol))
-    val train = docs.where(b < trainPct)
+    decontaminateTrimFrom(docs.where(b < trainPct),
+      positionalShingles(docs.where(b >= benchFromPct), idCol, textCol, shingleSize),
+      shingleSize, minRunTokens, idCol, textCol, maxEvalDf)
+  }
+
+  /** [[decontaminateTrim]] against the CATALOG-MANAGED eval-suite posting
+    * index — the treatment's indexed rung, completing the matrix beside
+    * [[decontaminateRunsIndexed]]: the benchmark's postings are a
+    * build-time fact, and every corpus snapshot's trim pass streams its
+    * train postings through the stored table once. Same `maxEvalDf`
+    * template cut (a capped-hot benchmark FORMAT region is never trimmed
+    * out of training documents — only content passages are), same
+    * registry citizenship, trim output byte-identical to the inline form
+    * over the same slice. */
+  def decontaminateTrimIndexed(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, docs: DataFrame,
+                               shingleSize: Int = 5, minRunTokens: Int = 13,
+                               trainPct: Int = 80, evalFromPct: Int = 90,
+                               idCol: String = "doc_id", textCol: String = "text",
+                               maxEvalDf: Int = 0,
+                               policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame =
+    decontaminateTrimFrom(
+      docs.where(Sampling.hashBucket(col(idCol)) < trainPct),
+      spark.read.parquet(
+        s"${evalPosIndex(spark, dir, evalFromPct, shingleSize, idCol, textCol, policy).path}/pos"),
+      shingleSize, minRunTokens, idCol, textCol, maxEvalDf)
+
+  /** The treatment tail shared by [[decontaminateTrim]] and
+    * [[decontaminateTrimIndexed]] — `posRef0` is the eval suite's posting
+    * table, inline-shingled or read from the stored index. */
+  private def decontaminateTrimFrom(train: DataFrame, posRef0: DataFrame,
+                                    shingleSize: Int, minRunTokens: Int,
+                                    idCol: String, textCol: String,
+                                    maxEvalDf: Int): DataFrame = {
     val posInc = positionalShingles(train, idCol, textCol, shingleSize)
-    val posRef = positionalShingles(docs.where(b >= benchFromPct),
-      idCol, textCol, shingleSize)
+    val posRef = if (maxEvalDf <= 0) posRef0 else
+      posRef0.join(
+        posRef0.groupBy(col("h")).agg(count(lit(1)).as("__occ"))
+          .where(col("__occ") <= maxEvalDf).select(col("h")),
+        Seq("h"), "left_semi")
     // islands WITH their start position (runsAgainst keeps only lengths)
     val co = posInc.select(col("doc_id").as("inc_id"), col("h"),
         col("pos").as("pa"))

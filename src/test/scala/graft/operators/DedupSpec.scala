@@ -1375,6 +1375,11 @@ class DedupSpec extends SparkSpec {
     assert(rows(Dedup.decontaminateRunsIndexed(spark, dir, docs,
       policy = graft.core.IndexPolicy.FailIfMissing)) == inline)
     assert(CatalogOps.indexRegistry(spark, dir).getIndex(name).version == built.version)
+    // the TREATMENT's indexed twin serves from the same stored postings,
+    // trim-identical to the inline form
+    assert(rows(Dedup.decontaminateTrimIndexed(spark, dir, docs,
+        policy = graft.core.IndexPolicy.FailIfMissing)) ==
+      rows(Dedup.decontaminateTrim(docs)))
     // flip-side invariant: both reports count the SAME (train, eval)
     // pairs at the rule, one keyed by each side — totals must agree
     val leak = Dedup.evalLeakReport(docs)
@@ -1427,6 +1432,16 @@ class DedupSpec extends SparkSpec {
       minRunTokens = 8, maxRefDf = 4)
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(inc(bId), "the incremental gate must admit a template-only doc under the cap")
+    // and the TREATMENT: the capped trim removes exactly the 8-token
+    // content quote from A and leaves B's template UNTOUCHED (uncapped it
+    // would strip B's 10 template tokens — a training doc losing text for
+    // sharing a benchmark's FORMAT)
+    val trimCap = Dedup.decontaminateTrim(docs, minRunTokens = 8, maxEvalDf = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(trimCap(a) == 8L && trimCap(bId) == 0L && trimCap(c) == 0L, trimCap.toString)
+    val trimUncapped = Dedup.decontaminateTrim(docs, minRunTokens = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(trimUncapped(bId) == 10L, trimUncapped.toString)
   }
 
   test("verbatimIncremental: a long quote drops a doc a signature admission would wave through") {
