@@ -109,6 +109,13 @@ object Bench {
     val gcSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     val cpuSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     val cpuMinRun = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-window JIT compilation-time delta (round-16 forensics): the
+    // bad-mode signature is ONE repeat burning 20-30x cpu at identical
+    // shuffle/gc — if that window also shows a compilation spike, the
+    // stall is JIT re-compilation (deopt storm / flushed hot method); if
+    // flat, the repeat ran interpreted or spun. One field decides.
+    val jitMs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
     val shufReadMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val shufWriteMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -145,6 +152,7 @@ object Bench {
       // accumulator, zombie completions) carry timestamps — this line maps
       // them to the query window they landed in (PLANS r16 forensics)
       System.err.println(s"[bench] ${java.time.Instant.now} window $name")
+      val jit0 = jitBean.getTotalCompilationTime
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       val cpuRuns = scala.collection.mutable.ArrayBuffer[Double]()
       var failed = false
@@ -174,6 +182,7 @@ object Bench {
         i += 1
       }
       cpuMinRun(name) = if (cpuRuns.nonEmpty) cpuRuns.min else -1.0
+      jitMs(name) = (jitBean.getTotalCompilationTime - jit0).toDouble
       // flush again before READING, so this query's own late events are in
       org.apache.spark.graft.CoreBridge.flushListenerBus(spark.sparkContext)
       execSec(name) = execMs.get() / 1000.0
@@ -203,6 +212,7 @@ object Bench {
       ",\"exec_sec\":" + fmtMap(execSec) + ",\"gc_sec\":" + fmtMap(gcSec) +
         ",\"cpu_sec\":" + fmtMap(cpuSec) +
         ",\"cpu_min_run\":" + fmtMap(cpuMinRun) +
+        ",\"jit_ms\":" + fmtMap(jitMs) +
         ",\"shuffle_read_mb\":" + fmtMap(shufReadMb) +
         ",\"shuffle_write_mb\":" + fmtMap(shufWriteMb)
     val errJson =
