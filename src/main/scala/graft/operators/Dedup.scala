@@ -966,6 +966,23 @@ object Dedup {
         s"${evalPosIndex(spark, dir, evalFromPct, shingleSize, idCol, textCol, policy).path}/pos"),
       shingleSize, minRunTokens, idCol, textCol, maxEvalDf)
 
+  /** [[decontaminateRuns]] with an EXPLICIT eval corpus — the
+    * [[graft.operators.Decontaminate.contaminationAgainst]] analog for
+    * the run rule, and the per-batch function
+    * [[graft.streaming.Streaming.streamCurate]]'s run-decontam arm calls:
+    * the train slice of `docs` (id-hash bucket < `trainPct`) is measured
+    * against `evalDocs`' postings. Stateless given `evalDocs`, so the
+    * streamed composition replays byte-identically. */
+  def decontaminateRunsAgainst(docs: DataFrame, evalDocs: DataFrame,
+                               shingleSize: Int = 5, minRunTokens: Int = 13,
+                               trainPct: Int = 80,
+                               idCol: String = "doc_id", textCol: String = "text",
+                               maxEvalDf: Int = 0): DataFrame =
+    decontaminateRunsFrom(
+      docs.where(Sampling.hashBucket(col(idCol)) < trainPct),
+      positionalShingles(evalDocs, idCol, textCol, shingleSize),
+      shingleSize, minRunTokens, idCol, textCol, maxEvalDf)
+
   /** Registry name of the catalog-managed EVAL-slice posting index. */
   private[graft] def evalPosIndexName(evalFromPct: Int, shingleSize: Int): String =
     s"documents-verbatim-evalpos-ge$evalFromPct-s$shingleSize"

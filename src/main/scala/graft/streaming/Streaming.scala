@@ -664,7 +664,10 @@ object Streaming {
                    shingleSize: Int = 3, seeds: Int = 12, bands: Int = 6,
                    estThreshold: Double = 0.5,
                    retainVersions: Int = 1,
-                   compactEvery: Int = 16): StreamingQuery =
+                   compactEvery: Int = 16,
+                   // run-rule decontamination arm — the streamed twin of
+                   // Curate.pipeline(runDecontam = true)
+                   runDecontam: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -673,7 +676,7 @@ object Streaming {
           curateBatch(batch, evalDocs, path, batchId, minQuality,
             tokensPerShard, trainPct, benchFromPct, shingleSize, seeds,
             bands, estThreshold, retainVersions, compactEvery,
-            mediaOk = None)
+            mediaOk = None, runDecontam = runDecontam)
       }
       .start()
 
@@ -809,7 +812,8 @@ object Streaming {
                           benchFromPct: Int, shingleSize: Int, seeds: Int,
                           bands: Int, estThreshold: Double,
                           retainVersions: Int, compactEvery: Int,
-                          mediaOk: Option[DataFrame]): Unit = {
+                          mediaOk: Option[DataFrame],
+                          runDecontam: Boolean = false): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val D = graft.operators.Dedup
@@ -838,8 +842,14 @@ object Streaming {
           .select(col("doc_id"), col("keep").as("__x_ok"))
       case None => batch.select(col("doc_id"), lit(true).as("__x_ok"))
     }
-    val deco = graft.operators.Decontaminate
-      .contaminationAgainst(batch, evalDocs, trainPct = trainPct)
+    // both arms are stateless given evalDocs (the replay contract); the
+    // run arm is the batch pipeline(runDecontam = true)'s rule — a doc
+    // clean by vocabulary overlap can verbatim-contain an eval passage
+    val deco = (if (runDecontam)
+        graft.operators.Dedup.decontaminateRunsAgainst(
+          batch, evalDocs, trainPct = trainPct)
+      else graft.operators.Decontaminate
+        .contaminationAgainst(batch, evalDocs, trainPct = trainPct))
       .select(col("doc_id"), (!col("contaminated")).as("__dc"))
     val bucket = graft.operators.Sampling.hashBucket(col("doc_id"))
     val textFlags = batch.select(col("doc_id"), bucket.as("__b"))

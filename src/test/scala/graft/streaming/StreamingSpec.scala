@@ -310,6 +310,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed() == batchFrame)
   }
 
+  test("streamCurate runDecontam: the streamed run-rule arm ≡ Curate.pipeline(runDecontam = true) row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("graft-scurr-").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-scurr-ckpt-").toString
+    val corpusDF = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val corpus = corpusDF.orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val evalDocs = corpusDF
+      .where(graft.operators.Sampling.hashBucket(col("doc_id")) >= 90)
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    val mem = MemoryStream[(Long, String, String, String)]
+    corpus.grouped((corpus.length + 2) / 3).foreach { c =>
+      mem.addData(c: _*)
+      runToCompletion(Streaming.streamCurate(
+        mem.toDF().toDF("doc_id", "text", "lang", "source"), evalDocs, path, ckpt,
+        runDecontam = true))
+    }
+    val streamed = Streaming.readCurate(spark, path).get
+      .collect().map(_.toSeq.toVector).toSeq.sortBy(_.head.asInstanceOf[Long])
+    val batchFrame = graft.operators.Curate
+      .pipeline(corpusDF, approxNear = true, runDecontam = true)
+      .collect().map(_.toSeq.toVector).toSeq.sortBy(_.head.asInstanceOf[Long])
+    assert(streamed == batchFrame)
+  }
+
   test("streamCurateMultimodal: id-ordered docs+blobs stream ≡ Curate.pipelineMultimodal row-for-row; commit-crash replay identical") {
     implicit val sqlCtx = spark.sqlContext
     val path = Files.createTempDirectory("graft-scmm-").toString + "/out"
