@@ -115,7 +115,26 @@ object Bench {
     // stall is JIT re-compilation (deopt storm / flushed hot method); if
     // flat, the repeat ran interpreted or spun. One field decides.
     val jitMs = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    // guarded: getCompilationMXBean is null on JIT-less JVMs (-Xint) and
+    // getTotalCompilationTime throws when time monitoring is unsupported —
+    // the field degrades to -1 instead of crashing the whole bench
+    val jitBean = Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+    // per-window CodeCache occupancy (round-16 stall forensics, the verdict's
+    // named no-JFR instrument): the bad mode's signature — one repeat pinned
+    // at 20-30x cpu with FLAT jit_ms — is what code-cache sweeping produces
+    // (hot methods flushed, execution falls back to interpreted, no
+    // "CodeCache is full" warning is ever printed). Occupancy near the
+    // reserve at the stalled window, or a DROP across it (a sweep), decides;
+    // a flat comfortable number acquits the code cache. JDK 17 segments the
+    // cache into three CodeHeap pools — sum their used bytes.
+    import scala.jdk.CollectionConverters._
+    val codePools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(p => p.getName.contains("CodeHeap") ||
+        p.getName.contains("Code Cache"))
+    def codeCacheUsedMb(): Double =
+      codePools.map(p => Option(p.getUsage).fold(0L)(_.getUsed)).sum / 1048576.0
+    val codeCacheMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val shufReadMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val shufWriteMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -152,7 +171,7 @@ object Bench {
       // accumulator, zombie completions) carry timestamps — this line maps
       // them to the query window they landed in (PLANS r16 forensics)
       System.err.println(s"[bench] ${java.time.Instant.now} window $name")
-      val jit0 = jitBean.getTotalCompilationTime
+      val jit0 = jitBean.fold(0L)(_.getTotalCompilationTime)
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       val cpuRuns = scala.collection.mutable.ArrayBuffer[Double]()
       var failed = false
@@ -182,7 +201,8 @@ object Bench {
         i += 1
       }
       cpuMinRun(name) = if (cpuRuns.nonEmpty) cpuRuns.min else -1.0
-      jitMs(name) = (jitBean.getTotalCompilationTime - jit0).toDouble
+      jitMs(name) = jitBean.fold(-1.0)(b => (b.getTotalCompilationTime - jit0).toDouble)
+      codeCacheMb(name) = codeCacheUsedMb()
       // flush again before READING, so this query's own late events are in
       org.apache.spark.graft.CoreBridge.flushListenerBus(spark.sparkContext)
       execSec(name) = execMs.get() / 1000.0
@@ -213,6 +233,7 @@ object Bench {
         ",\"cpu_sec\":" + fmtMap(cpuSec) +
         ",\"cpu_min_run\":" + fmtMap(cpuMinRun) +
         ",\"jit_ms\":" + fmtMap(jitMs) +
+        ",\"code_cache_mb\":" + fmtMap(codeCacheMb) +
         ",\"shuffle_read_mb\":" + fmtMap(shufReadMb) +
         ",\"shuffle_write_mb\":" + fmtMap(shufWriteMb)
     val errJson =
@@ -222,6 +243,26 @@ object Bench {
     val drainJson = ",\"drain_sec\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(drainMs / 1000.0))
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec,"repeats":$repeats$spreadJson$metricsJson$drainJson$errJson,"sf":"$sfDir"}"""
     println(line)
+    // Compact headline line, printed LAST (round-16 verdict #6): the driver
+    // record captures only the final ~2000 chars of stdout, and the full
+    // per-query line outgrew that window in r16 (BENCH_r16.json's tail cuts
+    // mid-map, parsed: null). The capture keeps the END of stdout, so the
+    // line that must survive truncation goes AFTER the full map: total, n,
+    // the 10 heaviest walls, the worst spread (the stall adjudication
+    // fields), and a pointer to the self-written full record.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val ok = results.filter(_._2 >= 0)
+    val top10 = ok.sortBy(-_._2).take(10)
+      .map { case (k, v) => esc(k) + ":" + fmt(v) }.mkString("{", ",", "}")
+    val worst = if (spreads.isEmpty) ("none", 1.0) else spreads.maxBy(_._2)
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},""" +
+        s""""warmup_sec":${fmt(warmupSec)},"drain_sec":${fmt(drainMs / 1000.0)},""" +
+        s""""top10_wall":$top10,"worst_mom":{${esc(worst._1)}:${fmt(worst._2)}},""" +
+        s""""code_cache_mb":${fmt(codeCacheUsedMb())},"n_errors":${errors.size},""" +
+        s""""queries_full":"BENCH_SELF.json","repeats":$repeats,"sf":"$sfDir"}"""
+    println(summary)
     // Self-reported artifact: the driver's BENCH_r{N}.json captures only the
     // tail of stdout, which has been truncating the first ~28 queries'
     // medians out of the round record. Writing the full line ourselves makes
