@@ -667,7 +667,16 @@ object Streaming {
                    compactEvery: Int = 16,
                    // run-rule decontamination arm — the streamed twin of
                    // Curate.pipeline(runDecontam = true)
-                   runDecontam: Boolean = false): StreamingQuery =
+                   runDecontam: Boolean = false,
+                   // warehouse dir whose catalog-pinned eval posting index
+                   // the run arm probes per micro-batch instead of
+                   // re-shingling `evalDocs` every batch (the batch
+                   // pipeline's evalIndexDir twin — one stored table, both
+                   // frames; `evalDocs` is ignored by the run arm when
+                   // set). Replay contract unchanged: given the stored
+                   // index the batch decision is pure
+                   evalIndexDir: Option[String] = None,
+                   evalIndexPolicy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -676,7 +685,8 @@ object Streaming {
           curateBatch(batch, evalDocs, path, batchId, minQuality,
             tokensPerShard, trainPct, benchFromPct, shingleSize, seeds,
             bands, estThreshold, retainVersions, compactEvery,
-            mediaOk = None, runDecontam = runDecontam)
+            mediaOk = None, runDecontam = runDecontam,
+            evalIndexDir = evalIndexDir, evalIndexPolicy = evalIndexPolicy)
       }
       .start()
 
@@ -813,7 +823,9 @@ object Streaming {
                           bands: Int, estThreshold: Double,
                           retainVersions: Int, compactEvery: Int,
                           mediaOk: Option[DataFrame],
-                          runDecontam: Boolean = false): Unit = {
+                          runDecontam: Boolean = false,
+                          evalIndexDir: Option[String] = None,
+                          evalIndexPolicy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val D = graft.operators.Dedup
@@ -842,13 +854,19 @@ object Streaming {
           .select(col("doc_id"), col("keep").as("__x_ok"))
       case None => batch.select(col("doc_id"), lit(true).as("__x_ok"))
     }
-    // both arms are stateless given evalDocs (the replay contract); the
+    // both arms are stateless given evalDocs — or given the STORED eval
+    // index when evalIndexDir is set (the replay contract either way); the
     // run arm is the batch pipeline(runDecontam = true)'s rule — a doc
-    // clean by vocabulary overlap can verbatim-contain an eval passage
-    val deco = (if (runDecontam)
-        graft.operators.Dedup.decontaminateRunsAgainst(
+    // clean by vocabulary overlap can verbatim-contain an eval passage —
+    // and with the index it probes the registry-pinned postings instead of
+    // re-shingling the eval corpus every micro-batch
+    val deco = (if (runDecontam) evalIndexDir match {
+        case Some(d) => D.decontaminateRunsIndexed(spark, d, batch,
+          trainPct = trainPct, evalFromPct = benchFromPct,
+          policy = evalIndexPolicy)
+        case None => D.decontaminateRunsAgainst(
           batch, evalDocs, trainPct = trainPct)
-      else graft.operators.Decontaminate
+      } else graft.operators.Decontaminate
         .contaminationAgainst(batch, evalDocs, trainPct = trainPct))
       .select(col("doc_id"), (!col("contaminated")).as("__dc"))
     val bucket = graft.operators.Sampling.hashBucket(col("doc_id"))

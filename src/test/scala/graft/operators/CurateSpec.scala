@@ -102,6 +102,17 @@ class CurateSpec extends SparkSpec {
     assert(!setD(tB) && runD(tB),
       "the 6-token quote must flag under set overlap and pass the run rule")
     assert(setD(tC) && runD(tC))
+
+    // the STORED-eval-index arm (r17): the assembled frame probes the
+    // catalog-pinned eval postings instead of re-shingling the eval slice
+    // per run — byte-identical to the inline run arm over the warehouse
+    // corpus (the index only changes where the postings come from)
+    val runInline = Curate.pipeline(docs, runDecontam = true)
+      .collect().map(_.toSeq.toVector).toSeq
+    val runIndexed = Curate.pipeline(docs, runDecontam = true,
+        evalIndexDir = Some(dir))
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(runIndexed == runInline)
   }
 
   test("pipelineMultimodal: per-modality offenders gate kept; media_ok composes the treatment arms") {

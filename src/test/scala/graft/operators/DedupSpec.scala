@@ -1392,6 +1392,36 @@ class DedupSpec extends SparkSpec {
     assert(leak.count() == docs.where(
       graft.operators.Sampling.hashBucket(col("doc_id")) >= 90).count())
     assert(leak.collect().forall(r => r.getBoolean(3) == (r.getLong(1) > 0L)))
+    // the report's INDEXED rung (r17): served from the same stored eval
+    // postings the audit probes — one evalPosIndex entry, three consumers
+    // — byte-identical to the inline report, FailIfMissing honored
+    assert(rows(Dedup.evalLeakReportIndexed(spark, dir, docs,
+      policy = graft.core.IndexPolicy.FailIfMissing)) == rows(leak))
+    assert(CatalogOps.indexRegistry(spark, dir).getIndex(name).version == built.version)
+  }
+
+  test("evalLeakReport mirrors decontaminateRuns: sub-threshold maxima report honestly") {
+    import spark.implicits._
+    // pick ids by measured bucket: eval doc E shares a 7-token run with
+    // train doc T — below the 13 rule, so NOT a leak, but the honest max
+    // is 7 on BOTH reports (the r16 advice's asymmetry: the report used
+    // to filter pairs before aggregating and zeroed sub-threshold maxima)
+    def bucketOf(i: Long): Long = spark.range(i, i + 1)
+      .select(Sampling.hashBucket(org.apache.spark.sql.functions.col("id")))
+      .head.getLong(0)
+    val ev = (0L until 500L).find(bucketOf(_) >= 90).get
+    val tr = (0L until 500L).find(bucketOf(_) < 80).get
+    val run7 = (1 to 7).map(i => s"sh$i")
+    val docs = Seq(
+      (ev, ((1 to 8).map(i => s"ee$i") ++ run7).mkString(" ")),
+      (tr, (run7 ++ (1 to 8).map(i => s"tt$i")).mkString(" "))).toDF("doc_id", "text")
+    val leakRow = Dedup.evalLeakReport(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(leakRow == Seq((ev, 0L, 7L, false)),
+      "sub-threshold max reports 7, not 0; no leak counted")
+    val runRow = Dedup.decontaminateRuns(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(runRow == Seq((tr, 7L, 0L, false)), "the train-side mirror agrees")
   }
 
   test("maxEvalDf/maxRefDf: benchmark-template matches vanish; content quotes survive the cap") {

@@ -339,6 +339,24 @@ class StreamingSpec extends SparkSpec {
       .pipeline(corpusDF, approxNear = true, runDecontam = true)
       .collect().map(_.toSeq.toVector).toSeq.sortBy(_.head.asInstanceOf[Long])
     assert(streamed == batchFrame)
+
+    // the INDEXED run arm (r17): per micro-batch the rule probes the
+    // catalog-pinned eval posting table instead of re-shingling evalDocs —
+    // decisions byte-identical to the inline stream and the batch frame
+    // (the index only changes where the eval postings come from)
+    val pathIdx = Files.createTempDirectory("graft-scurri-").toString + "/out"
+    val ckptIdx = Files.createTempDirectory("graft-scurri-ckpt-").toString
+    val memIdx = MemoryStream[(Long, String, String, String)]
+    corpus.grouped((corpus.length + 2) / 3).foreach { c =>
+      memIdx.addData(c: _*)
+      runToCompletion(Streaming.streamCurate(
+        memIdx.toDF().toDF("doc_id", "text", "lang", "source"), evalDocs,
+        pathIdx, ckptIdx, runDecontam = true,
+        evalIndexDir = Some("/root/testdata/sf0.001")))
+    }
+    val streamedIdx = Streaming.readCurate(spark, pathIdx).get
+      .collect().map(_.toSeq.toVector).toSeq.sortBy(_.head.asInstanceOf[Long])
+    assert(streamedIdx == batchFrame)
   }
 
   test("streamCurateMultimodal: id-ordered docs+blobs stream ≡ Curate.pipelineMultimodal row-for-row; commit-crash replay identical") {
