@@ -406,6 +406,41 @@ object ScaleSmoke {
       D.decontaminateRunsIndexed(spark, dir, hdocs, trainPct = 100)
         .queryExecution.toRdd.count()
     }
+    stage("stream decontam admit") {
+      // contamination refused at the training-store door, at scale: the
+      // eval index is a build-time fact (resolved OUTSIDE the admit loop,
+      // as the registry deployment does); a 250k crawl snapshot streams
+      // through in 5 batches and each batch pays one hash join of its own
+      // postings against the stored benchmark-sized eval table. The raw
+      // replicated corpus is the device: rep<2 docs carry full-length
+      // runs of their base documents, so replicas of eval-slice bases
+      // genuinely contaminate and must be refused with attribution.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      D.evalPosIndex(spark, dir, 90, 5) // BuildIfMissing, outside the timer loop
+      val rows = docs.select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect()
+      val base = java.nio.file.Files.createTempDirectory("graft-sdadmit-").toString
+      val mem = MemoryStream[(Long, String)]
+      var admitted = 0L
+      var rejected = 0L
+      rows.grouped(50000).zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b: _*)
+        val t0 = System.nanoTime()
+        val q = graft.streaming.Streaming.streamDecontamAdmit(spark, dir,
+          mem.toDF().toDF("doc_id", "text"), s"$base/ckpt",
+          policy = graft.core.IndexPolicy.FailIfMissing)(
+          df => admitted += df.count(), df => rejected += df.count())
+        try q.awaitTermination(600000) finally q.stop()
+        val tt0 = System.currentTimeMillis()
+        while (spark.streams.active.nonEmpty && System.currentTimeMillis() - tt0 < 10000)
+          Thread.sleep(50)
+        println(f"##   batch $i%3d admit ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      }
+      println(f"##   admitted $admitted%,d  rejected $rejected%,d")
+      admitted + rejected
+    }
     stage("ngram near-dup") { D.ngramNear(docs).queryExecution.toRdd.count() }
     lshStats("ngram buckets n8r3b4",
       D.ngramBandKeys(D.ngramShingled(docs, "doc_id", "text", 8), 12, 4), "doc_id")
