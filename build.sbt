@@ -38,4 +38,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // for the r12 curate_approx drift (which did not reproduce at suite
   // position: 3.86 s median; see PLANS.md round-13 adjudication).
   "-XX:ReservedCodeCacheSize=512m",
-)
+) ++
+  // mitigation A/B hook (round-17 stall forensics): extra JVM flags for
+  // forked runs without editing the build, e.g.
+  // SPARK_GRAFT_EXTRA_JVM="-XX:-UseCodeCacheFlushing"
+  sys.env.get("SPARK_GRAFT_EXTRA_JVM").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -629,7 +629,16 @@ object Ann {
     * the residual curve `< 0.98` so a future flip must be promoted by a
     * new measurement, not assumed). kCodes is free state-wise (state
     * width is M longs regardless of the alphabet), so prefer widening
-    * the alphabet before adding subspaces. */
+    * the alphabet before adding subspaces.
+    *
+    * BREAKING NOTE (r16→r17): the defaults moved m=8/kCodes=16 →
+    * m=16/kCodes=256. A stored PQ state or codebook built under the old
+    * defaults has a different state width (8 vs 16 longs) and an
+    * incompatible code alphabet — recomputing a codebook with today's
+    * defaults against yesterday's state would misread every stored code.
+    * [[graft.streaming.Streaming.streamSemanticDedupAdmitPq]] now records
+    * (m, kCodes, residual) beside its state and REFUSES a mismatched
+    * resume; callers persisting codebooks elsewhere should do the same. */
   def trainPqCodebook(e: DataFrame, m: Int = 16, kCodes: Int = 256,
                       dim: Int = 64, maxIters: Int = 10,
                       tol: Double = 0.0): (Seq[Seq[Seq[Double]]], Int) =

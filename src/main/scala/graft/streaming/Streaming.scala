@@ -1364,6 +1364,18 @@ object Streaming {
           val spark = batch.sparkSession
           import graft.functions.VectorFunctions.cosine_sim
           import org.apache.spark.sql.graft.Bridge
+          // code-GEOMETRY guard (r17; the r16 trainPqCodebook default
+          // change m=8/kCodes=16 → 16/256 made this reachable): stored
+          // codes are M longs over a kCodes alphabet with no self-
+          // describing header, so a resume whose caller re-trained the
+          // codebook under different (m, kCodes, residual) would silently
+          // MISREAD every code already in state — admission verdicts
+          // corrupt, no error. The geometry is recorded beside the state
+          // on the first batch and validated on every subsequent one;
+          // a mismatch is an orchestration error to surface, not paper
+          // over (the index-registry definition-conflict posture).
+          validatePqGeometry(spark, s"$path/_codes_geom",
+            codebook.length, codebook.head.length, residual)
           // residual = true: codes span v − centroid(cell) (the IVF-PQ
           // layout — train with Ann.trainResidualPqCodebook), decode adds
           // the centroid back before the cosine. State schema is identical
@@ -1470,6 +1482,31 @@ object Streaming {
     * `batchId` (replay safety — see [[streamCurate]]). A `b` dir already
     * covered by the chosen `c` dir is ignored even if its cleanup delete
     * never ran, so compaction is crash-safe at any interleaving. */
+  /** Record-once / validate-always guard for PQ code geometry: the gate's
+    * persisted codes carry no header, so the codebook shape that wrote
+    * them must be the shape that reads them. Writes `(m, k_codes,
+    * residual)` as a one-row parquet on first call; throws a
+    * [[graft.core.GraftException]] naming both shapes on mismatch. */
+  private def validatePqGeometry(spark: SparkSession, geomPath: String,
+                                 m: Int, kCodes: Int, residual: Boolean): Unit = {
+    import spark.implicits._
+    val root = new Path(geomPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new Path(root, "_SUCCESS"))) {
+      val r = spark.read.parquet(geomPath).head()
+      val (sm, sk, sr) = (r.getInt(0), r.getInt(1), r.getBoolean(2))
+      if (sm != m || sk != kCodes || sr != residual)
+        throw new graft.core.GraftException(
+          s"PQ gate state at $geomPath was written with (m=$sm, kCodes=$sk, " +
+            s"residual=$sr) but this resume supplies (m=$m, kCodes=$kCodes, " +
+            s"residual=$residual); stored codes would be misread. Re-supply " +
+            "the original codebook (note: trainPqCodebook defaults changed " +
+            "m=8/kCodes=16 -> 16/256) or start a fresh state path")
+    } else
+      Seq((m, kCodes, residual)).toDF("m", "k_codes", "residual")
+        .coalesce(1).write.mode("overwrite").parquet(geomPath)
+  }
+
   private def readBatchState(spark: SparkSession, rootPath: String,
                              batchId: Long): Option[DataFrame] = {
     val root = new Path(rootPath)

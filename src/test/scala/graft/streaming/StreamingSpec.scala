@@ -1056,6 +1056,26 @@ class StreamingSpec extends SparkSpec {
     val lastIds = batches(last).map(_._1).toSet
     assert(admPq.toSet == before.intersect(lastIds),
       s"replayed admissions drifted: $admPq")
+
+    // (4) geometry guard (r17; the trainPqCodebook default change made
+    // this reachable): a resume whose codebook has a different shape
+    // (here m=16 over the same dims) must REFUSE with a named error —
+    // stored codes have no header, so reading them under the wrong
+    // geometry silently corrupts every admission verdict
+    val cb16: Seq[Seq[Seq[Double]]] = (0 until 16).map(s =>
+      cents.map(_.slice(s * 4, s * 4 + 4)))
+    memPq.addData((900001L, rows.head._2))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = Streaming.streamSemanticDedupAdmitPq(
+        memPq.toDF().toDF("vec_id", "embedding"), cents, cb16,
+        pathPq, ckptPq, tau = 0.35)(_ => ())
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("stored codes would be misread")),
+      s"expected the geometry-guard error, got: ${msgs(ex).mkString(" | ")}")
   }
 
   test("streamSemanticDedupAdmitPq with a TRAINED codebook: per-subspace Lloyd closes the distortion gap") {
