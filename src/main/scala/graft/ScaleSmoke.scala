@@ -441,6 +441,42 @@ object ScaleSmoke {
       println(f"##   admitted $admitted%,d  rejected $rejected%,d")
       admitted + rejected
     }
+    stage("source gate (250k)") {
+      // the host-level gate at scale: per-doc gate columns audit-join on
+      // doc_id, ONE aggregation keyed by source (partial agg map-side —
+      // the shuffle carries sources x partitions rows, not documents),
+      // and a sources-sized verdict output
+      graft.operators.SourceCurate.sourceGate(docs)
+        .queryExecution.toRdd.count()
+    }
+    stage("stream source admit") {
+      // the running-evidence host door at scale: 5 batches of 50k; state
+      // is the per-source stats table — bounded by the NUMBER OF SOURCES,
+      // the smallest state of any gate here
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val rows = docs.select(col("doc_id").cast("long"), col("text"),
+          col("lang"), col("source"))
+        .as[(Long, String, String, String)].collect()
+      val base = java.nio.file.Files.createTempDirectory("graft-ssrcadmit-").toString
+      val mem = MemoryStream[(Long, String, String, String)]
+      var admitted = 0L
+      rows.grouped(50000).zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b: _*)
+        val t0 = System.nanoTime()
+        val q = graft.streaming.Streaming.streamSourceGateAdmit(
+          mem.toDF().toDF("doc_id", "text", "lang", "source"),
+          s"$base/out", s"$base/ckpt")(df => admitted += df.count())
+        try q.awaitTermination(600000) finally q.stop()
+        val tt0 = System.currentTimeMillis()
+        while (spark.streams.active.nonEmpty && System.currentTimeMillis() - tt0 < 10000)
+          Thread.sleep(50)
+        println(f"##   batch $i%3d admit ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      }
+      println(f"##   admitted $admitted%,d of ${rows.length}%,d")
+      admitted
+    }
     stage("ngram near-dup") { D.ngramNear(docs).queryExecution.toRdd.count() }
     lshStats("ngram buckets n8r3b4",
       D.ngramBandKeys(D.ngramShingled(docs, "doc_id", "text", 8), 12, 4), "doc_id")

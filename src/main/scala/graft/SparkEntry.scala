@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Ann, AsofJoin, Bitext, Bpe, CatalogOps, Centrality, CorpusFilter, Curate, Decontaminate, Dedup, Diagnostics, EmbeddingStats, Funnel, Ingest, Mining, Multimodal, Pii, RangeJoin, Relational, Salting, Sampling, Search, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, Bitext, Bpe, CatalogOps, Centrality, CorpusFilter, Curate, Decontaminate, Dedup, Diagnostics, EmbeddingStats, Funnel, Ingest, Mining, Multimodal, Pii, RangeJoin, Relational, Salting, Sampling, Search, Sessionize, Similarity, SourceCurate, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -333,6 +333,33 @@ object SparkEntry {
     "doremi_weights" -> ((s, dir) => TextAnalysis.doremiWeights(Tables.documents(s, dir))),
     "corpus_filter" -> ((s, dir) => CorpusFilter.decisions(Tables.documents(s, dir))),
     "corpus_report" -> ((s, dir) => CorpusFilter.report(Tables.documents(s, dir))),
+    // SOURCE-level curation (r17): mergeable per-source evidence, the
+    // host gate over it, and the per-doc consequence — the C4/Gopher/
+    // RefinedWeb host discipline (judge the source, prune wholesale)
+    "source_stats" -> ((s, dir) => SourceCurate.sourceStats(Tables.documents(s, dir))),
+    // minAvgQuality 0.29 splits the synthetic corpus's 20 sources into
+    // genuine keep AND block verdicts (measured: avg quality spans
+    // 0.240-0.334 per source)
+    "source_gate" -> ((s, dir) =>
+      SourceCurate.sourceGate(Tables.documents(s, dir), minAvgQuality = 0.29)),
+    "source_filter" -> ((s, dir) =>
+      SourceCurate.sourceFilter(Tables.documents(s, dir), minAvgQuality = 0.29)),
+    // merge identity proven against an engine-independent ground truth:
+    // Spark merges the two bucket-halves' stats; the oracle aggregates
+    // the WHOLE corpus directly
+    "source_stats_merged" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      val b = Sampling.hashBucket(col("doc_id"))
+      SourceCurate.mergeSourceStats(
+        SourceCurate.sourceStats(docs.where(b < 50)),
+        SourceCurate.sourceStats(docs.where(b >= 50)))
+    }),
+    // the gate served from the catalog-pinned per-source stats table
+    // (sources-sized — the smallest index in the registry); the oracle
+    // re-derives from raw documents
+    "source_gate_indexed" -> ((s, dir) =>
+      SourceCurate.sourceGateIndexed(s, dir, minAvgQuality = 0.29)),
     "text_stats"   -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     "docs_sample"  -> ((s, dir) => Sampling
       .sampleByPercent(Tables.documents(s, dir), "doc_id", 10)
@@ -3305,7 +3332,82 @@ object SparkEntry {
         |  JOIN pii ON q.doc_id = pii.doc_id
         |  JOIN dd  ON q.doc_id = dd.doc_id)""".stripMargin
 
+  /** Per-source mergeable-stats CTE chain (the SourceCurate contract):
+    * reuses [[corpusFilterCtes]]' gate booleans verbatim (so the per-doc
+    * definitions cannot drift between the doc gate and the source gate)
+    * plus the quality SCORE, collapsed by one source-keyed aggregation —
+    * ends in `sstats(source, n_docs, n_tokens, q_micro_sum,
+    * n_low_quality, n_repetitive, n_pii)`. */
+  private def sourceStatsCtes: String =
+    s"""$corpusFilterCtes,
+       |sq AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |    round(least(1.0, len(t)::DOUBLE / 100.0)
+       |      * (1.0 - CASE WHEN length(text) > 0
+       |               THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / length(text)
+       |               ELSE 0.0 END)
+       |      * (0.5 + 0.5 * CASE WHEN len(t) > 0
+       |          THEN (len(list_filter(t, x -> x IN ('the','a','of','and','to','is')))
+       |              + len(list_filter(t, x -> x IN ('el','la','de','que','y','en')))
+       |              + len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein'))))::DOUBLE / len(t)
+       |          ELSE 0.0 END), 6) AS quality
+       |  FROM toks),
+       |sstats AS (SELECT d.source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(sq.n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CAST(round(sq.quality * 1000000.0) AS BIGINT)) AS BIGINT) AS q_micro_sum,
+       |    CAST(sum(CASE WHEN cfd.quality_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_low_quality,
+       |    CAST(sum(CASE WHEN cfd.repetition_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_repetitive,
+       |    CAST(sum(CASE WHEN cfd.pii_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_pii
+       |  FROM documents d JOIN sq ON d.doc_id = sq.doc_id
+       |  JOIN cfd ON d.doc_id = cfd.doc_id
+       |  GROUP BY d.source)""".stripMargin
+
+  /** The source-gate projection over `sstats` at minAvgQuality 0.29 —
+    * shared by the inline and indexed gate oracles. */
+  private def sourceGateSql: String =
+    s"""WITH $sourceStatsCtes
+       |SELECT source, n_docs, n_tokens,
+       |  round(q_micro_sum::DOUBLE / 1000000.0 / n_docs, 6) AS avg_quality,
+       |  round(n_low_quality::DOUBLE / n_docs, 6) AS low_quality_share,
+       |  round(n_repetitive::DOUBLE / n_docs, 6) AS repetitive_share,
+       |  round(n_pii::DOUBLE / n_docs, 6) AS pii_share,
+       |  (round(q_micro_sum::DOUBLE / 1000000.0 / n_docs, 6) >= 0.29) AS quality_ok,
+       |  (round(n_repetitive::DOUBLE / n_docs, 6) <= 0.5) AS repetition_ok,
+       |  (round(n_pii::DOUBLE / n_docs, 6) <= 0.5) AS pii_ok,
+       |  (n_docs >= 5) AS measured,
+       |  (NOT (n_docs >= 5) OR (
+       |     round(q_micro_sum::DOUBLE / 1000000.0 / n_docs, 6) >= 0.29
+       |     AND round(n_repetitive::DOUBLE / n_docs, 6) <= 0.5
+       |     AND round(n_pii::DOUBLE / n_docs, 6) <= 0.5)) AS keep
+       |FROM sstats ORDER BY source""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "source_stats" ->
+      s"""WITH $sourceStatsCtes
+         |SELECT * FROM sstats ORDER BY source""".stripMargin,
+
+    // the merge-identity proof: Spark merges the bucket-halves' stats;
+    // the ground truth aggregates the whole corpus directly — equality IS
+    // the mergeability property (every column a per-doc sum)
+    "source_stats_merged" ->
+      s"""WITH $sourceStatsCtes
+         |SELECT * FROM sstats ORDER BY source""".stripMargin,
+
+    "source_gate" -> sourceGateSql,
+    "source_gate_indexed" -> sourceGateSql,
+
+    "source_filter" ->
+      s"""WITH $sourceStatsCtes,
+         |sg AS (SELECT source,
+         |  (NOT (n_docs >= 5) OR (
+         |     round(q_micro_sum::DOUBLE / 1000000.0 / n_docs, 6) >= 0.29
+         |     AND round(n_repetitive::DOUBLE / n_docs, 6) <= 0.5
+         |     AND round(n_pii::DOUBLE / n_docs, 6) <= 0.5)) AS source_ok
+         |  FROM sstats)
+         |SELECT d.doc_id, d.source, sg.source_ok
+         |FROM documents d JOIN sg ON d.source = sg.source
+         |ORDER BY d.doc_id""".stripMargin,
+
     "topk_single" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

@@ -522,6 +522,73 @@ object Streaming {
       }
       .start()
 
+  /** Continuous SOURCE-gate admission — the host-level door
+    * ([[graft.operators.SourceCurate]]'s streaming rung): per micro-batch
+    * the gate judges each source on its RUNNING evidence (accumulated
+    * per-source stats state merged with the batch's own stats — evidence
+    * up to and including this batch) and routes the batch's documents —
+    * kept-source docs to `sink`, blocked-source docs to `rejects` WITH
+    * the source's full verdict row (shares + per-rule booleans), the
+    * attribution a curator re-tunes host thresholds from.
+    *
+    * State is the per-source mergeable stats table — bounded by the
+    * NUMBER OF SOURCES, not documents (the smallest state of any gate
+    * here); merging is exact ([[graft.operators.SourceCurate
+    * .mergeSourceStats]]), so after any batching the accumulated state
+    * equals `sourceStats(everything seen)` byte-for-byte — the identity
+    * SourceCurateSpec pins. Replay discipline as every gate: decisions
+    * are a pure function of (state strictly below, batch), per-batch
+    * OVERWRITE state dirs, bounded compaction.
+    *
+    * DECLARED first-evidence semantics: a source is judged on what has
+    * arrived so far, so its early documents can be admitted while the
+    * full-corpus gate would block the source (and a source can flip to
+    * blocked mid-stream as evidence accumulates — the spec pins both).
+    * That is the honest streaming reading of a host gate: the published
+    * pipelines' host verdicts also move between crawl snapshots; batch
+    * re-audits reconcile history ([[graft.operators.SourceCurate
+    * .sourceFilter]] over the stored corpus). */
+  def streamSourceGateAdmit(docs: DataFrame, path: String,
+                            checkpointDir: String,
+                            minQuality: Double = 0.3,
+                            minAvgQuality: Double = 0.2,
+                            maxRepetitiveShare: Double = 0.5,
+                            maxPiiShare: Double = 0.5,
+                            minDocs: Long = 5L,
+                            compactEvery: Int = 16)
+                           (sink: DataFrame => Unit,
+                            rejects: DataFrame => Unit = _ => ()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val S = graft.operators.SourceCurate
+          val batchStats = S.sourceStats(batch, minQuality)
+            // two consumers (running merge + state write) — one compute
+            .persist()
+          try {
+            val running = readBatchState(spark, s"$path/_srcstats", batchId)
+              .fold(batchStats)(st => S.mergeSourceStats(st, batchStats))
+            val verdict = S.sourceGateFromStats(running, minAvgQuality,
+                maxRepetitiveShare, maxPiiShare, minDocs)
+              .persist()
+            try {
+              sink(batch.join(
+                verdict.where(col("keep")).select(col("source")),
+                Seq("source"), "left_semi"))
+              rejects(batch.select(col("doc_id"), col("source"))
+                .join(verdict.where(!col("keep")), Seq("source")))
+            } finally verdict.unpersist(false)
+            batchStats.write.mode("overwrite")
+              .parquet(f"$path/_srcstats/b$batchId%020d")
+            compactBatchState(spark, s"$path/_srcstats", batchId, compactEvery)
+          } finally batchStats.unpersist(false)
+        }
+      }
+      .start()
+
   /** Continuous weighted-reservoir maintenance: a streaming (doc_id,
     * weight) source folds into a persisted k-row Efraimidis–Spirakis
     * sample — per micro-batch, prior reservoir ∪ batch → dedup by doc_id

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** The source-curation contracts: exact stats mergeability (the property
+  * every incremental rung rests on), gate semantics including the
+  * declared cold-start rule, indexed ≡ inline, and the per-doc filter's
+  * consistency with the gate. */
+class SourceCurateSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sourceStats merge is EXACT: merge(stats(A), stats(B)) == stats(A ∪ B) for any split") {
+    val docs = Tables.documents(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toVector).toSeq
+    val whole = rows(SourceCurate.sourceStats(docs))
+    // three different splits — bucket, parity, and a lopsided id cut —
+    // all must reassemble identically (every column is a per-doc sum)
+    val b = Sampling.hashBucket(col("doc_id"))
+    Seq(
+      (docs.where(b < 50), docs.where(b >= 50)),
+      (docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1)),
+      (docs.where(col("doc_id") < 37), docs.where(col("doc_id") >= 37))
+    ).foreach { case (a, bb) =>
+      assert(rows(SourceCurate.mergeSourceStats(
+        SourceCurate.sourceStats(a), SourceCurate.sourceStats(bb))) == whole)
+    }
+    // and merging is associative over a 3-way split
+    val (p1, p2, p3) = (docs.where(col("doc_id") % 3 === 0),
+      docs.where(col("doc_id") % 3 === 1), docs.where(col("doc_id") % 3 === 2))
+    assert(rows(SourceCurate.mergeSourceStats(
+      SourceCurate.mergeSourceStats(
+        SourceCurate.sourceStats(p1), SourceCurate.sourceStats(p2)),
+      SourceCurate.sourceStats(p3))) == whole)
+  }
+
+  test("sourceGate: verdicts from shares; cold-start keeps the unmeasured; filter is the gate's per-doc consequence") {
+    import spark.implicits._
+    // engineered host evidence: srcA high quality, srcB low quality (all
+    // punctuation-free junk is still low by token count), srcC has only 2
+    // docs (below minDocs = 3 -> unmeasured, kept regardless of quality)
+    // unique filler words between stopwords: high quality (length +
+    // stopword ratio) WITHOUT repeated bigrams (the repetition gate)
+    val good = (1 to 120).map(i => s"the w${i}a of w${i}b and w${i}c").mkString(" ")
+    val docs = (
+      (1L to 5L).map(i => (i, good, "en", "srcA")) ++
+      (11L to 15L).map(i => (i, "x,,,.!!??;;::", "en", "srcB")) ++
+      (21L to 22L).map(i => (i, "y.!?;:", "en", "srcC"))
+    ).toDF("doc_id", "text", "lang", "source")
+    val gate = SourceCurate.sourceGate(docs, minAvgQuality = 0.2, minDocs = 3L)
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(7), r.getBoolean(10), r.getBoolean(11))).toMap
+    assert(gate("srcA") == ((true, true, true)), "quality host measured and kept")
+    assert(gate("srcB") == ((false, true, false)), "junk host measured and blocked")
+    assert(gate("srcC")._2 == false, "2 docs < minDocs: unmeasured")
+    assert(gate("srcC")._3 == true, "cold-start: the unmeasured host passes")
+    // the per-doc filter carries exactly the gate's verdict per source
+    val filt = SourceCurate.sourceFilter(docs, minAvgQuality = 0.2, minDocs = 3L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert((1L to 5L).forall(filt(_)) && (21L to 22L).forall(filt(_)))
+    assert((11L to 15L).forall(!filt(_)))
+    // incremental form: judged on state MERGED with the batch — srcB's
+    // second batch is blocked once the combined evidence crosses the rule
+    val half1 = docs.where(col("doc_id") <= 12)
+    val half2 = docs.where(col("doc_id") > 12)
+    val inc = SourceCurate.sourceFilterIncremental(half2,
+        SourceCurate.sourceStats(half1), minAvgQuality = 0.2, minDocs = 3L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert((13L to 15L).forall(!inc(_)),
+      "running evidence (2 prior + 3 batch junk docs) must block srcB")
+  }
+
+  test("sourceGateIndexed ≡ inline; FailIfMissing honored; stats index is sources-sized") {
+    val docs = Tables.documents(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toVector).toSeq
+    val reg = CatalogOps.indexRegistry(spark, dir)
+    val name = SourceCurate.sourceStatsIndexName(0.3)
+    if (reg.isIndexRegistered(name)) reg.dropIndex(name)
+    intercept[graft.core.GraftException] {
+      SourceCurate.sourceGateIndexed(spark, dir,
+        policy = graft.core.IndexPolicy.FailIfMissing).collect()
+    }
+    val inline = rows(SourceCurate.sourceGate(docs, minAvgQuality = 0.29))
+    assert(rows(SourceCurate.sourceGateIndexed(spark, dir,
+      minAvgQuality = 0.29)) == inline)
+    val built = CatalogOps.indexRegistry(spark, dir).getIndex(name)
+    assert(rows(SourceCurate.sourceGateIndexed(spark, dir,
+      minAvgQuality = 0.29,
+      policy = graft.core.IndexPolicy.FailIfMissing)) == inline)
+    assert(CatalogOps.indexRegistry(spark, dir).getIndex(name).version == built.version)
+    // the stored table is per-source rows — the smallest index there is
+    assert(spark.read.parquet(s"${built.path}/stats").count() ==
+      docs.select(col("source")).distinct().count())
+  }
+}

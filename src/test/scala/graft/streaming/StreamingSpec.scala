@@ -981,6 +981,65 @@ class StreamingSpec extends SparkSpec {
       "replay changed the mined-pair table")
   }
 
+  test("streamSourceGateAdmit: running-evidence host gate — unmeasured passes, flips to blocked as evidence lands; state ≡ sourceStats(seen); replay identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val S = graft.operators.SourceCurate
+    val path = Files.createTempDirectory("graft-ssrc-").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-ssrc-ckpt-").toString
+    // the SourceCurateSpec device, streamed: srcA quality, srcB junk,
+    // srcC tiny. Batch 1 carries only 2 srcB docs (below minDocs = 3 →
+    // unmeasured → ADMITTED); batch 2 brings 3 more, the running
+    // evidence crosses the floor and srcB flips to blocked — the
+    // declared first-evidence semantics, pinned both ways
+    val good = (1 to 120).map(i => s"the w${i}a of w${i}b and w${i}c").mkString(" ")
+    val b1 = (1L to 3L).map(i => (i, good, "en", "srcA")) ++
+      (11L to 12L).map(i => (i, "x,,,.!!??;;::", "en", "srcB"))
+    val b2 = (4L to 5L).map(i => (i, good, "en", "srcA")) ++
+      (13L to 15L).map(i => (i, "x,,,.!!??;;::", "en", "srcB")) ++
+      (21L to 22L).map(i => (i, "y.!?;:", "en", "srcC"))
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val refused = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val mem = MemoryStream[(Long, String, String, String)]
+    def run(): Unit = runToCompletion(Streaming.streamSourceGateAdmit(
+      mem.toDF().toDF("doc_id", "text", "lang", "source"), path, ckpt,
+      minAvgQuality = 0.2, minDocs = 3L)(
+      df => admitted ++= df.select(col("doc_id")).collect().map(_.getLong(0)),
+      df => refused ++= df.select(col("doc_id"), col("source")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))))
+    mem.addData(b1: _*); run()
+    assert(admitted.toSet == Set(1L, 2L, 3L, 11L, 12L),
+      "batch 1: srcB unmeasured (2 docs < minDocs) — admitted on first evidence")
+    mem.addData(b2: _*); run()
+    assert(admitted.toSet == Set(1L, 2L, 3L, 11L, 12L, 4L, 5L, 21L, 22L),
+      "batch 2: srcB flips to blocked on running evidence; srcC still unmeasured")
+    assert(refused.toSet == Set((13L, "srcB"), (14L, "srcB"), (15L, "srcB")))
+    // state identity: the accumulated per-source stats equal the batch
+    // stats over everything seen, byte-for-byte (the exact-merge property)
+    val corpus = (b1 ++ b2).toDF("doc_id", "text", "lang", "source")
+    val stateDirs = new java.io.File(s"$path/_srcstats").listFiles()
+      .filter(f => f.getName.startsWith("b") || f.getName.startsWith("c"))
+      .map(_.toString).sorted
+    val state = stateDirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    val folded = S.mergeSourceStats(state.limit(0), state) // one grouped sum
+    assert(folded.collect().map(_.toSeq.toVector).toSeq ==
+      S.sourceStats(corpus).collect().map(_.toSeq.toVector).toSeq)
+    // commit-crash replay: decisions are pure given (state below, batch)
+    val commit1 = java.nio.file.Paths.get(ckpt, "commits", "1")
+    assert(Files.exists(commit1))
+    Files.delete(commit1)
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    admitted.clear(); refused.clear(); run()
+    assert(admitted.toSet == Set(4L, 5L, 21L, 22L) &&
+      refused.toSet == Set((13L, "srcB"), (14L, "srcB"), (15L, "srcB")),
+      "replayed batch reproduces its admissions byte-identically")
+  }
+
   test("streamSemanticDedupAdmitPq: state is PQ-coded (width cut asserted), agreement with the raw gate measured, commit-crash replay identical") {
     implicit val sqlCtx = spark.sqlContext
     val pathPq = Files.createTempDirectory("graft-spq-").toString + "/out"
