@@ -684,4 +684,20 @@ class PlanShapeSpec extends SparkSpec {
     assert("""windowspecdefinition\(inc_id#\d+L?, ref_id#\d+L?, diag#\d+L?""".r
       .findFirstIn(pi).isDefined, s"cross-side island window not pair-scoped:\n$pi")
   }
+
+  test("source_gate: the three gate arms REUSE the spread exchange (executed adaptive plan)") {
+    val docs = Tables.documents(spark, dir)
+    val df = graft.operators.SourceCurate.sourceGate(docs)
+    // exchange reuse is an AQE runtime fact — inspect the FINAL adaptive
+    // plan after execution, not the tentative pre-run plan. The pinned-
+    // repartition scaladoc claim: the three per-doc gate arms derive from
+    // ONE materialized spread; a tripled text shuffle is the regression.
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    val spread = """Exchange RoundRobinPartitioning""".r.findAllIn(p).size
+    val reused = """Reused(Exchange|QueryStage)""".r.findAllIn(p).size
+    assert(reused >= 2,
+      s"gate arms must reuse the spread (spread=$spread reused=$reused):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
 }
