@@ -92,6 +92,12 @@ object SparkEntry {
     "curate_runs" -> ((s, dir) =>
       Curate.pipeline(Tables.documents(s, dir), runDecontam = true,
         evalIndexDir = Some(dir))),
+    // the assembled frame with the HOST-level arm conjoined (r17): docs
+    // from blocked sources rejected wholesale with attribution; the
+    // oracle adds only the sstats chain + one gate column
+    "curate_sourced" -> ((s, dir) =>
+      Curate.pipeline(Tables.documents(s, dir), sourceGate = true,
+        minAvgQuality = 0.29)),
     "curate_multimodal" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat, expr, lit, when}
       // the pair device: docs 2k and 2k+1 share a 512-byte md5-hex blob in
@@ -2650,7 +2656,8 @@ object SparkEntry {
     * chain with `curate_multimodal`); `true` swaps in the run-rule chain
     * ([[curateRunHitsCtes]]) — everything downstream of the `flags` CTE
     * byte-identical. */
-  private def curateSqlFor(runDecontam: Boolean): String = {
+  private def curateSqlFor(runDecontam: Boolean,
+                           sourceGate: Boolean = false): String = {
     val (decoCtes, decoOk, decoJoin) =
       if (runDecontam)
         (curateRunHitsCtes,
@@ -2660,18 +2667,38 @@ object SparkEntry {
         (curateDecontamCtes,
           "CASE WHEN buck.b < 80 THEN coalesce(dchits.n, 0) = 0 ELSE TRUE END",
           "LEFT JOIN dchits ON cfd.doc_id = dchits.doc_id")
+    // sourceGate: the host-level arm joined as one more gate column —
+    // the sstats chain + the keep rule at minAvgQuality 0.29 (the
+    // source_gate oracle's thresholds), per doc via its source
+    val (srcCtes, srcCol, srcColFk, srcJoin, srcConj) =
+      if (!sourceGate) ("", "", "", "", "")
+      else (
+        s""",
+           |$sourceStatsTailCtes,
+           |csg AS (SELECT d.doc_id,
+           |    (NOT (s.n_docs >= 5) OR (
+           |       round(s.q_micro_sum::DOUBLE / 1000000.0 / s.n_docs, 6) >= 0.29
+           |       AND round(s.n_repetitive::DOUBLE / s.n_docs, 6) <= 0.5
+           |       AND round(s.n_pii::DOUBLE / s.n_docs, 6) <= 0.5)) AS source_ok
+           |  FROM documents d JOIN sstats s ON d.source = s.source)""".stripMargin,
+        """
+          |    csg.source_ok AS source_ok,""".stripMargin,
+        "fk.source_ok, ",
+        """
+          |  JOIN csg ON cfd.doc_id = csg.doc_id""".stripMargin,
+        " AND source_ok")
     s"""WITH $corpusFilterCtes,
        |${ngramPairsSql()},
-       |$decoCtes,
+       |$decoCtes$srcCtes,
        |flags AS (SELECT cfd.doc_id, cfd.quality_ok, cfd.repetition_ok,
        |    cfd.pii_ok, cfd.dedup_ok,
        |    cfd.doc_id NOT IN (SELECT b_id FROM pairs) AS near_ok,
-       |    $decoOk AS decontam_ok,
+       |    $decoOk AS decontam_ok,$srcCol
        |    buck.b AS b
        |  FROM cfd JOIN buck ON cfd.doc_id = buck.doc_id
-       |  $decoJoin),
+       |  $decoJoin$srcJoin),
        |fk AS (SELECT *, (quality_ok AND repetition_ok AND pii_ok AND dedup_ok
-       |    AND near_ok AND decontam_ok) AS kept FROM flags),
+       |    AND near_ok AND decontam_ok$srcConj) AS kept FROM flags),
        |ck AS (SELECT fk.doc_id,
        |    CAST(len(list_filter(string_split(d.text, ' '), x -> x != '')) AS BIGINT) AS n_tok
        |  FROM fk JOIN documents d ON fk.doc_id = d.doc_id
@@ -2681,7 +2708,7 @@ object SparkEntry {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 10000 AS shard
        |  FROM ck)
        |SELECT fk.doc_id, fk.quality_ok, fk.repetition_ok, fk.pii_ok,
-       |  fk.dedup_ok, fk.near_ok, fk.decontam_ok, fk.kept,
+       |  fk.dedup_ok, fk.near_ok, fk.decontam_ok, ${srcColFk}fk.kept,
        |  CASE WHEN NOT fk.kept THEN NULL
        |       WHEN fk.b < 80 THEN 'train'
        |       WHEN fk.b < 90 THEN 'val' ELSE 'bench' END AS split,
@@ -3340,7 +3367,13 @@ object SparkEntry {
     * n_low_quality, n_repetitive, n_pii)`. */
   private def sourceStatsCtes: String =
     s"""$corpusFilterCtes,
-       |sq AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |$sourceStatsTailCtes""".stripMargin
+
+  /** The per-source tail of [[sourceStatsCtes]] — needs [[corpusFilterCtes]]
+    * already in scope (shared with the `curate_sourced` oracle, whose
+    * chain opens with the filter CTEs anyway). */
+  private def sourceStatsTailCtes: String =
+    s"""sq AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
        |    round(least(1.0, len(t)::DOUBLE / 100.0)
        |      * (1.0 - CASE WHEN length(text) > 0
        |               THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / length(text)
@@ -4140,6 +4173,8 @@ object SparkEntry {
     // arm — positional postings, the cross-side island merge, and the
     // >= 13-token rhit set replace the shingle-set overlap
     "curate_runs" -> curateSqlFor(runDecontam = true),
+    // the host-arm frame: same chain + the sstats CTEs and one more gate
+    "curate_sourced" -> curateSqlFor(runDecontam = false, sourceGate = true),
 
 
     // the multimodal frame: the curate CTEs verbatim (corpus filter, n-gram

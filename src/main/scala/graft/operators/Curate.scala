@@ -52,10 +52,24 @@ object Curate {
                // verdicts are byte-identical to the inline arm. Ignored
                // unless runDecontam
                evalIndexDir: Option[String] = None,
-               evalIndexPolicy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame =
-    decide(docs, textFlags(docs, minQuality, trainPct, benchFromPct,
-        approxNear, runDecontam, evalIndexDir, evalIndexPolicy),
-      TextGates, tokensPerShard, trainPct, benchFromPct)
+               evalIndexPolicy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing,
+               // HOST-level arm ([[SourceCurate]]): judge each document's
+               // SOURCE on corpus evidence and conjoin the verdict as one
+               // more gate column (`source_ok`) — the C4/Gopher/RefinedWeb
+               // discipline composed into the assembled frame. A
+               // source-dropped doc never consumes shard budget, exactly
+               // like every other gate
+               sourceGate: Boolean = false,
+               minAvgQuality: Double = 0.2): DataFrame = {
+    val flags0 = textFlags(docs, minQuality, trainPct, benchFromPct,
+      approxNear, runDecontam, evalIndexDir, evalIndexPolicy)
+    val flags = if (!sourceGate) flags0 else
+      flags0.join(SourceCurate.sourceFilter(docs, minQuality, minAvgQuality)
+        .select(col("doc_id"), col("source_ok")), Seq("doc_id"))
+    decide(docs, flags,
+      if (sourceGate) TextGates :+ "source_ok" else TextGates,
+      tokensPerShard, trainPct, benchFromPct)
+  }
 
   /** The text gate columns of [[pipeline]]'s decision frame, in output
     * order. */

@@ -115,6 +115,28 @@ class CurateSpec extends SparkSpec {
     assert(runIndexed == runInline)
   }
 
+  test("curate sourceGate: the host arm adds ONE gate column; verdicts equal sourceFilter; kept re-conjoins") {
+    val docs = Tables.documents(spark, dir)
+    val base = Curate.pipeline(docs).collect().map(r => r.getLong(0) -> r).toMap
+    val sourced = Curate.pipeline(docs, sourceGate = true, minAvgQuality = 0.29)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val srcOk = SourceCurate.sourceFilter(docs, minAvgQuality = 0.29)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(sourced.keySet == base.keySet)
+    // both verdict sides must be live on this corpus for the pin to bite
+    assert(srcOk.values.exists(identity) && srcOk.values.exists(!_))
+    sourced.foreach { case (id, r) =>
+      // text gates byte-identical to the plain frame (columns 1..6)
+      (1 to 6).foreach(i => assert(r.getBoolean(i) == base(id).getBoolean(i)))
+      // column 7 is the host verdict, exactly sourceFilter's
+      assert(r.getBoolean(7) == srcOk(id))
+      // kept = text gates AND source_ok
+      assert(r.getBoolean(8) == (1 to 7).forall(r.getBoolean))
+      // a source-dropped doc carries NULL split/shard like any reject
+      if (!r.getBoolean(8)) assert(r.isNullAt(9) && r.isNullAt(10))
+    }
+  }
+
   test("pipelineMultimodal: per-modality offenders gate kept; media_ok composes the treatment arms") {
     val docs = Tables.documents(spark, dir)
     // the pair device: docs 2k and 2k+1 share a blob payload (512 bytes of
