@@ -178,6 +178,25 @@ object SourceCurate {
         s"${sourceStatsIndex(spark, dir, minQuality, policy).path}/stats"),
       minAvgQuality, maxRepetitiveShare, maxPiiShare, minDocs)
 
+  /** Materialize a corpus PARTITIONED BY SOURCE — the storage layout that
+    * turns the host gate into partition-level scan avoidance: a blocked
+    * source's files are pruned at PLANNING time by [[prunedScan]], so the
+    * 100 TB pipeline never opens the bytes it was going to reject (the
+    * family's headline scale claim, made checkable — PlanShapeSpec pins
+    * the PartitionFilters). One directory per source; within a source the
+    * writer keeps the incoming partitioning. */
+  def writeBySource(docs: DataFrame, path: String): Unit =
+    docs.write.mode("overwrite").partitionBy("source").parquet(path)
+
+  /** Scan a [[writeBySource]] layout restricted to the gate's kept
+    * sources: the `IN` predicate on the partition column resolves to
+    * partition pruning — blocked sources' files never enter the scan.
+    * `keptSources` is sources-sized (the gate's output), so the literal
+    * list is bounded the same way the gate's broadcast side is. */
+  def prunedScan(spark: SparkSession, path: String,
+                 keptSources: Seq[String]): DataFrame =
+    spark.read.parquet(path).where(col("source").isin(keptSources: _*))
+
   /** The incremental per-doc filter — the running-evidence form
     * [[graft.streaming.Streaming.streamSourceGateAdmit]] runs per batch:
     * `incoming` judged against the gate over `statsState` MERGED with the

@@ -700,4 +700,20 @@ class PlanShapeSpec extends SparkSpec {
       s"gate arms must reuse the spread (spread=$spread reused=$reused):\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
+
+  test("source-partitioned scan: the gate's keep-set prunes partitions at planning time") {
+    val docs = Tables.documents(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-srcpart-").toString + "/docs"
+    graft.operators.SourceCurate.writeBySource(docs, path)
+    val kept = Seq("src1", "src3", "src5")
+    val df = graft.operators.SourceCurate.prunedScan(spark, path, kept)
+    val p = plan(df)
+    // the IN predicate must land in PartitionFilters (file pruning),
+    // not as a post-scan Filter over all sources' bytes
+    assert("""PartitionFilters: \[[^\]]*source""".r.findFirstIn(p).isDefined,
+      s"source predicate did not reach PartitionFilters:\n$p")
+    // and the pruned scan reads exactly the kept sources' rows
+    assert(df.select("source").distinct().collect().map(_.getString(0)).toSet
+      == kept.toSet)
+  }
 }
