@@ -366,6 +366,10 @@ object SparkEntry {
     // re-derives from raw documents
     "source_gate_indexed" -> ((s, dir) =>
       SourceCurate.sourceGateIndexed(s, dir, minAvgQuality = 0.29)),
+    // the AUTO rung: relative pruning — the bottom 10% of measured
+    // sources by avg quality block, exact rank rule, deterministic ties
+    "source_gate_auto" -> ((s, dir) =>
+      SourceCurate.sourceGateAuto(Tables.documents(s, dir))),
     "text_stats"   -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     "docs_sample"  -> ((s, dir) => Sampling
       .sampleByPercent(Tables.documents(s, dir), "doc_id", 10)
@@ -3428,6 +3432,27 @@ object SparkEntry {
 
     "source_gate" -> sourceGateSql,
     "source_gate_indexed" -> sourceGateSql,
+
+    // the auto rung: measured sources ranked by (avg_quality, source),
+    // bottom floor(n*10/100) block; unmeasured pass with NULL rank
+    "source_gate_auto" ->
+      s"""WITH $sourceStatsCtes,
+         |shr AS (SELECT source, n_docs, n_tokens,
+         |    round(q_micro_sum::DOUBLE / 1000000.0 / n_docs, 6) AS avg_quality,
+         |    (n_docs >= 5) AS measured
+         |  FROM sstats),
+         |rk AS (SELECT source, n_docs, n_tokens, avg_quality, measured,
+         |    CAST(row_number() OVER (ORDER BY avg_quality, source) AS BIGINT) AS q_rank,
+         |    count(*) OVER () AS n
+         |  FROM shr WHERE measured)
+         |SELECT source, n_docs, n_tokens, avg_quality, measured, q_rank,
+         |  (q_rank > (n * 10) // 100) AS keep
+         |FROM rk
+         |UNION ALL
+         |SELECT source, n_docs, n_tokens, avg_quality, measured,
+         |  CAST(NULL AS BIGINT) AS q_rank, TRUE AS keep
+         |FROM shr WHERE NOT measured
+         |ORDER BY source""".stripMargin,
 
     "source_filter" ->
       s"""WITH $sourceStatsCtes,

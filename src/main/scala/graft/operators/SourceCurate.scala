@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SOURCE-level curation — the host-level discipline of the published
@@ -113,6 +114,41 @@ object SourceCurate {
       .withColumn("keep", !col("measured") ||
         (col("quality_ok") && col("repetition_ok") && col("pii_ok")))
       .orderBy(col("source"))
+
+  /** The DATA-DRIVEN host gate — the family's auto rung: block the
+    * bottom `blockBottomPct`% of MEASURED sources by `avg_quality`
+    * (relative pruning, the RefinedWeb posture) instead of an absolute
+    * threshold that rots as the corpus drifts. Exact rank rule with
+    * deterministic ties — measured sources order by `(avg_quality,
+    * source)` and the bottom `floor(n_measured · pct / 100)` block;
+    * unmeasured sources (below `minDocs`) pass, the [[sourceGateFromStats]]
+    * cold-start rule. Output one row per source with its `q_rank` among
+    * measured sources (NULL for unmeasured) and `keep`.
+    *
+    * Scale shape: the ranking window is GLOBAL but over the
+    * sources-sized verdict frame (thousands of hosts, not documents) —
+    * the same bounded-driver-state argument as every gate here; the
+    * corpus itself is touched only by [[sourceStats]]' one aggregation. */
+  def sourceGateAuto(docs: DataFrame, minQuality: Double = 0.3,
+                     blockBottomPct: Int = 10, minDocs: Long = 5L): DataFrame = {
+    val s = sourceGateFromStats(sourceStats(docs, minQuality),
+        minDocs = minDocs)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("avg_quality"), col("measured"))
+    val w = Window.orderBy(col("avg_quality"), col("source"))
+    val ranked = s.where(col("measured"))
+      .withColumn("q_rank", row_number().over(w).cast("bigint"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy()).cast("bigint"))
+      .withColumn("keep",
+        col("q_rank") > floor(col("__n") * blockBottomPct / lit(100)).cast("bigint"))
+      .drop("__n")
+    ranked.unionByName(
+        s.where(!col("measured"))
+          .withColumn("q_rank", lit(null).cast("bigint"))
+          .withColumn("keep", lit(true)))
+      .orderBy(col("source"))
+  }
 
   /** [[sourceGateFromStats]] over inline-computed stats — the batch form. */
   def sourceGate(docs: DataFrame, minQuality: Double = 0.3,

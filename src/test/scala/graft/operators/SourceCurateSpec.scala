@@ -74,6 +74,39 @@ class SourceCurateSpec extends SparkSpec {
       "running evidence (2 prior + 3 batch junk docs) must block srcB")
   }
 
+  test("sourceGateAuto: exact bottom-pct rank rule, deterministic ties, unmeasured pass with NULL rank") {
+    import spark.implicits._
+    // five measured sources with strictly ordered quality (m1 worst …
+    // m5 best) + one tiny source below the evidence floor. At 40% the
+    // cutoff is floor(5 · 40 / 100) = 2: m1 and m2 block, m3 keeps —
+    // the EXACT rank rule, not a percentile approximation.
+    var nextId = 0L
+    def mk(src: String, stop: Int, n: Int) = (1 to n).map { i =>
+      val toks = (1 to 40).map(j =>
+        if (j <= stop) s"the w${src}x${i}x$j" else s"w${src}y${i}y$j q${src}z$i$j")
+      nextId += 1
+      (nextId, toks.mkString(" "), "en", src)
+    }
+    val docs = (mk("m1", 0, 5) ++ mk("m2", 4, 5) ++ mk("m3", 8, 5) ++
+      mk("m4", 16, 5) ++ mk("m5", 28, 5) ++ mk("tiny", 40, 2))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = SourceCurate.sourceGateAuto(docs, blockBottomPct = 40, minDocs = 3L)
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(4), if (r.isNullAt(5)) -1L else r.getLong(5), r.getBoolean(6))).toMap
+    // quality strictly increases with the stopword share, so ranks are 1..5
+    assert((1 to 5).forall(i => out(s"m$i")._2 == i.toLong), s"ranks drifted: $out")
+    assert(!out("m1")._3 && !out("m2")._3, "bottom 2 of 5 at 40% must block")
+    assert(out("m3")._3 && out("m4")._3 && out("m5")._3)
+    assert(out("tiny") == ((false, -1L, true)), "unmeasured: NULL rank, kept")
+    // determinism under ties: two identical-quality sources rank by name
+    val tied = (mk("ta", 8, 5) ++ mk("tb", 8, 5))
+      .map { case (id, t, l, s) => (id, t.replaceAll("x|y|z", "k"), l, s) }
+    val tdocs = tied.toDF("doc_id", "text", "lang", "source")
+    val touts = SourceCurate.sourceGateAuto(tdocs, blockBottomPct = 50, minDocs = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(touts("ta") < touts("tb"), "ties must break by source name")
+  }
+
   test("sourceGateIndexed ≡ inline; FailIfMissing honored; stats index is sources-sized") {
     val docs = Tables.documents(spark, dir)
     def rows(df: org.apache.spark.sql.DataFrame) =
