@@ -743,7 +743,18 @@ object Streaming {
                    // set). Replay contract unchanged: given the stored
                    // index the batch decision is pure
                    evalIndexDir: Option[String] = None,
-                   evalIndexPolicy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): StreamingQuery =
+                   evalIndexPolicy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing,
+                   // HOST-level arm — the streamed twin of
+                   // Curate.pipeline(sourceGate = true): per batch the
+                   // source verdict comes from RUNNING evidence (the
+                   // streamSourceGateAdmit state, accumulated under this
+                   // sink's own path), so a single-batch stream equals
+                   // the batch frame row-for-row while a multi-batch one
+                   // carries the DECLARED first-evidence semantics — an
+                   // early doc can be admitted where the full-corpus gate
+                   // blocks its source (StreamingSpec pins both)
+                   sourceGate: Boolean = false,
+                   minAvgQuality: Double = 0.2): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -753,7 +764,8 @@ object Streaming {
             tokensPerShard, trainPct, benchFromPct, shingleSize, seeds,
             bands, estThreshold, retainVersions, compactEvery,
             mediaOk = None, runDecontam = runDecontam,
-            evalIndexDir = evalIndexDir, evalIndexPolicy = evalIndexPolicy)
+            evalIndexDir = evalIndexDir, evalIndexPolicy = evalIndexPolicy,
+            sourceGate = sourceGate, minAvgQuality = minAvgQuality)
       }
       .start()
 
@@ -892,7 +904,9 @@ object Streaming {
                           mediaOk: Option[DataFrame],
                           runDecontam: Boolean = false,
                           evalIndexDir: Option[String] = None,
-                          evalIndexPolicy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): Unit = {
+                          evalIndexPolicy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing,
+                          sourceGate: Boolean = false,
+                          minAvgQuality: Double = 0.2): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val D = graft.operators.Dedup
@@ -947,14 +961,40 @@ object Streaming {
         col("pii_ok"), (col("dedup_ok") && col("__fp_ok")).as("dedup_ok"),
         (col("__in_ok") && col("__x_ok")).as("near_ok"),
         coalesce(col("__dc"), lit(true)).as("decontam_ok"), col("__b"))
+    // HOST-level arm (the batch pipeline(sourceGate = true) twin): each
+    // source judged on RUNNING evidence — accumulated per-source stats
+    // state merged with this batch's own (written FIRST so the persisted
+    // frame is materialized once; reads stay strictly below batchId, so a
+    // replayed batch overwrites its own stats and never self-inflates)
+    val withSource = if (!sourceGate) textFlags else {
+      val S = graft.operators.SourceCurate
+      val batchStats = S.sourceStats(batch, minQuality).persist()
+      batchStats.write.mode("overwrite")
+        .parquet(f"$path/_srcstats/b$batchId%020d")
+      compactBatchState(spark, s"$path/_srcstats", batchId, compactEvery)
+      val running = readBatchState(spark, s"$path/_srcstats", batchId)
+        .fold(batchStats: DataFrame)(st => S.mergeSourceStats(st, batchStats))
+      val verdict = S.sourceGateFromStats(running, minAvgQuality)
+        .select(col("source"), col("keep").as("__src"))
+      val perDoc = batch.select(col("doc_id"), col("source"))
+        .join(verdict, Seq("source"))
+        .select(col("doc_id"), col("__src").as("source_ok"))
+        // sources-sized verdict resolved NOW so batchStats can release
+        // after this batch instead of leaking into the stream's lifetime
+        .localCheckpoint(false)
+      perDoc.count()
+      batchStats.unpersist(false)
+      textFlags.join(perDoc, Seq("doc_id"))
+    }
     val gateCols = Seq("quality_ok", "repetition_ok", "pii_ok",
       "dedup_ok", "near_ok", "decontam_ok") ++
+      (if (sourceGate) Seq("source_ok") else Nil) ++
       (if (mediaOk.isDefined) Seq("media_ok") else Nil)
     val withMedia = mediaOk match {
       case Some(m) =>
-        textFlags.join(m.withColumnRenamed("media_ok", "__m"), Seq("doc_id"), "left")
+        withSource.join(m.withColumnRenamed("media_ok", "__m"), Seq("doc_id"), "left")
           .withColumn("media_ok", coalesce(col("__m"), lit(true))).drop("__m")
-      case None => textFlags
+      case None => withSource
     }
     // the Curate.pipeline materialization boundary, per batch: the
     // flags frame has two consumers (kept-train shard scan + final)

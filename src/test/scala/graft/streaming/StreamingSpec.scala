@@ -359,6 +359,72 @@ class StreamingSpec extends SparkSpec {
     assert(streamedIdx == batchFrame)
   }
 
+  test("streamCurate sourceGate: single batch ≡ the composed batch frame; multi-batch carries the declared first-evidence semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpusDF = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val evalDocs = corpusDF
+      .where(graft.operators.Sampling.hashBucket(col("doc_id")) >= 90)
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    // (1) ONE batch: running evidence = full corpus, so the streamed
+    // composed frame equals Curate.pipeline(sourceGate = true) row-for-row
+    val path1 = Files.createTempDirectory("graft-scsrc-").toString + "/out"
+    val ckpt1 = Files.createTempDirectory("graft-scsrc-ckpt-").toString
+    val corpus = corpusDF.orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val mem1 = MemoryStream[(Long, String, String, String)]
+    mem1.addData(corpus: _*)
+    runToCompletion(Streaming.streamCurate(
+      mem1.toDF().toDF("doc_id", "text", "lang", "source"), evalDocs,
+      path1, ckpt1, sourceGate = true, minAvgQuality = 0.29))
+    val streamed = Streaming.readCurate(spark, path1).get
+      .collect().map(_.toSeq.toVector).toSeq.sortBy(_.head.asInstanceOf[Long])
+    val batchFrame = graft.operators.Curate
+      .pipeline(corpusDF, approxNear = true, sourceGate = true, minAvgQuality = 0.29)
+      .collect().map(_.toSeq.toVector).toSeq.sortBy(_.head.asInstanceOf[Long])
+    assert(streamed == batchFrame)
+
+    // (2) first-evidence semantics, pinned: 4 junk srcB docs arrive first
+    // (below the 5-doc evidence floor → source_ok) and the 5th arrives in
+    // batch 2 (running evidence crosses the floor → blocked) — while the
+    // full-corpus batch frame blocks ALL five. The early admissions ARE
+    // the declared divergence, the media gates' ordered-arrival caveat in
+    // host form.
+    import spark.implicits._
+    val good = (1 to 120).map(i => s"the w${i}a of w${i}b and w${i}c").mkString(" ")
+    val b1 = (1L to 2L).map(i => (i, good, "en", "srcA")) ++
+      (11L to 14L).map(i => (i, "x,,,.!!??;;::", "en", "srcB"))
+    val b2 = Seq((15L, "x,,,.!!??;;::", "en", "srcB")) ++
+      (3L to 4L).map(i => (i, good, "en", "srcA"))
+    val path2 = Files.createTempDirectory("graft-scsrc2-").toString + "/out"
+    val ckpt2 = Files.createTempDirectory("graft-scsrc2-ckpt-").toString
+    val mem2 = MemoryStream[(Long, String, String, String)]
+    val dev = (b1 ++ b2).toDF("doc_id", "text", "lang", "source")
+    def srcOkOf(rows: Seq[Vector[Any]]) =
+      rows.map(r => r.head.asInstanceOf[Long] -> r(7).asInstanceOf[Boolean]).toMap
+    mem2.addData(b1: _*)
+    runToCompletion(Streaming.streamCurate(
+      mem2.toDF().toDF("doc_id", "text", "lang", "source"),
+      dev.where(col("doc_id") < 0), path2, ckpt2, sourceGate = true))
+    mem2.addData(b2: _*)
+    runToCompletion(Streaming.streamCurate(
+      mem2.toDF().toDF("doc_id", "text", "lang", "source"),
+      dev.where(col("doc_id") < 0), path2, ckpt2, sourceGate = true))
+    val sOk = srcOkOf(Streaming.readCurate(spark, path2).get
+      .collect().map(_.toSeq.toVector).toSeq)
+    assert((11L to 14L).forall(sOk(_)), "early srcB docs admitted on thin evidence")
+    assert(!sOk(15L), "the fifth doc crosses the floor: srcB blocked from here on")
+    val bOk = srcOkOf(graft.operators.Curate
+      .pipeline(dev, sourceGate = true)
+      .collect().map(_.toSeq.toVector).toSeq)
+    assert((11L to 15L).forall(!bOk(_)), "the batch frame blocks all five")
+  }
+
   test("streamCurateMultimodal: id-ordered docs+blobs stream ≡ Curate.pipelineMultimodal row-for-row; commit-crash replay identical") {
     implicit val sqlCtx = spark.sqlContext
     val path = Files.createTempDirectory("graft-scmm-").toString + "/out"
