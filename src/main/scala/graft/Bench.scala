@@ -56,6 +56,12 @@ object Bench {
     // shuffle) become visible in the round record without a rerun
     val shufR = new java.util.concurrent.atomic.AtomicLong(0)
     val shufW = new java.util.concurrent.atomic.AtomicLong(0)
+    // per-window completed-task and stage counts (r17 stall forensics):
+    // the stalled repeat burns ~5.5x genuine compiled-code cpu at
+    // byte-identical shuffle — this field decides between MORE tasks
+    // (subtree re-execution) and SLOWER tasks (same task set degraded)
+    val taskN = new java.util.concurrent.atomic.AtomicLong(0)
+    val stageN = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         execMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
@@ -63,6 +69,8 @@ object Bench {
         cpuNs.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime)
         shufR.addAndGet(sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
         shufW.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        taskN.addAndGet(sc.stageInfo.numTasks.toLong)
+        stageN.incrementAndGet()
       }
     })
 
@@ -135,6 +143,17 @@ object Bench {
     def codeCacheUsedMb(): Double =
       codePools.map(p => Option(p.getUsage).fold(0L)(_.getUsed)).sum / 1048576.0
     val codeCacheMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-window block-manager storage occupancy at window OPEN (r17 stall
+    // forensics): the xm→successor stall profile (compiled frames, 5.5×
+    // real executor work, LZ4/ObjectInputStream/HashedRelation churn, zero
+    // retries — PLANS r17) fits per-task re-materialization of evicted
+    // broadcast/cached blocks under storage pressure the PREVIOUS query
+    // left resident. A stalled window opening on a large storage footprint
+    // confirms the mechanism; a lean one refutes it.
+    val storageMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val storageBlocks = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val tasksRun = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val stagesRun = scala.collection.mutable.LinkedHashMap[String, Double]()
     val shufReadMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val shufWriteMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -167,10 +186,17 @@ object Bench {
       // misattribution these fields exist to adjudicate
       org.apache.spark.graft.CoreBridge.flushListenerBus(spark.sparkContext)
       execMs.set(0); gcMs.set(0); cpuNs.set(0); shufR.set(0); shufW.set(0)
+      taskN.set(0); stageN.set(0)
       // stderr window marker: the bad-mode log floods (non-existent
       // accumulator, zombie completions) carry timestamps — this line maps
       // them to the query window they landed in (PLANS r16 forensics)
       System.err.println(s"[bench] ${java.time.Instant.now} window $name")
+      locally {
+        val (mem, disk, nblk) =
+          org.apache.spark.graft.CoreBridge.storageStatus(spark.sparkContext)
+        storageMb(name) = (mem + disk) / 1048576.0
+        storageBlocks(name) = nblk.toDouble
+      }
       val jit0 = jitBean.fold(0L)(_.getTotalCompilationTime)
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       val cpuRuns = scala.collection.mutable.ArrayBuffer[Double]()
@@ -205,6 +231,8 @@ object Bench {
       codeCacheMb(name) = codeCacheUsedMb()
       // flush again before READING, so this query's own late events are in
       org.apache.spark.graft.CoreBridge.flushListenerBus(spark.sparkContext)
+      tasksRun(name) = taskN.get().toDouble
+      stagesRun(name) = stageN.get().toDouble
       execSec(name) = execMs.get() / 1000.0
       gcSec(name) = gcMs.get() / 1000.0
       cpuSec(name) = cpuNs.get() / 1e9
@@ -234,6 +262,10 @@ object Bench {
         ",\"cpu_min_run\":" + fmtMap(cpuMinRun) +
         ",\"jit_ms\":" + fmtMap(jitMs) +
         ",\"code_cache_mb\":" + fmtMap(codeCacheMb) +
+        ",\"storage_mb\":" + fmtMap(storageMb) +
+        ",\"storage_blocks\":" + fmtMap(storageBlocks) +
+        ",\"tasks\":" + fmtMap(tasksRun) +
+        ",\"stages\":" + fmtMap(stagesRun) +
         ",\"shuffle_read_mb\":" + fmtMap(shufReadMb) +
         ",\"shuffle_write_mb\":" + fmtMap(shufWriteMb)
     val errJson =

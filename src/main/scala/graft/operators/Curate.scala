@@ -141,7 +141,16 @@ object Curate {
     // first action; conditional-prefix-scan formulations that avoid the
     // fan-out still consume the frame twice (offsets aggregation + final
     // join), so the boundary is the fix, not a rewrite.
-    val matFlags = flagged.localCheckpoint(false)
+    // SPARK_GRAFT_EAGER_CHECKPOINT (diagnostic knob, r17 stall hunt —
+    // the SPARK_GRAFT_BENCH_CLEARCACHE precedent): a LAZY checkpoint
+    // leaves a race window in which concurrent consumers can each
+    // recompute the full gates lineage before the checkpoint takes; the
+    // eager form closes that window. The r17 JFR profile of the
+    // xm→successor stall (gate subtree re-executing ~40× pro-rata in
+    // compiled code, zero retries, no storage pressure) fits exactly
+    // that race — this knob is its A/B.
+    val matFlags = flagged.localCheckpoint(
+      sys.env.contains("SPARK_GRAFT_EAGER_CHECKPOINT"))
     // running token sums over kept-train docs only; the conditional-zero
     // contribution equals tokenShards over the kept-train SUBSET, which
     // is what the oracle computes
