@@ -152,6 +152,15 @@ object Bench {
     // confirms the mechanism; a lean one refutes it.
     val storageMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val storageBlocks = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-window Janino compile count/time deltas + codegen-cache occupancy
+    // at window CLOSE (r18 stall forensics): decides the degraded-evaluation
+    // theory's recompile arm — a stalled window with a compile-count spike
+    // is cache-eviction recompilation; flat count + elevated cpu + flat
+    // tasks is same-task-set degraded evaluation; elevated tasks is subtree
+    // re-execution. One record now carries all three discriminants.
+    val janinoN = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val janinoMs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val codegenCacheN = scala.collection.mutable.LinkedHashMap[String, Double]()
     val tasksRun = scala.collection.mutable.LinkedHashMap[String, Double]()
     val stagesRun = scala.collection.mutable.LinkedHashMap[String, Double]()
     val shufReadMb = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -198,6 +207,7 @@ object Bench {
         storageBlocks(name) = nblk.toDouble
       }
       val jit0 = jitBean.fold(0L)(_.getTotalCompilationTime)
+      val (jan0N, jan0Ns) = org.apache.spark.graft.CoreBridge.janinoStats()
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       val cpuRuns = scala.collection.mutable.ArrayBuffer[Double]()
       var failed = false
@@ -228,6 +238,13 @@ object Bench {
       }
       cpuMinRun(name) = if (cpuRuns.nonEmpty) cpuRuns.min else -1.0
       jitMs(name) = jitBean.fold(-1.0)(b => (b.getTotalCompilationTime - jit0).toDouble)
+      locally {
+        val (janN, janNs) = org.apache.spark.graft.CoreBridge.janinoStats()
+        janinoN(name) = (janN - jan0N).toDouble
+        janinoMs(name) = (janNs - jan0Ns) / 1e6
+        codegenCacheN(name) =
+          org.apache.spark.graft.CoreBridge.codegenCacheEntries().toDouble
+      }
       codeCacheMb(name) = codeCacheUsedMb()
       // flush again before READING, so this query's own late events are in
       org.apache.spark.graft.CoreBridge.flushListenerBus(spark.sparkContext)
@@ -266,6 +283,9 @@ object Bench {
         ",\"storage_blocks\":" + fmtMap(storageBlocks) +
         ",\"tasks\":" + fmtMap(tasksRun) +
         ",\"stages\":" + fmtMap(stagesRun) +
+        ",\"janino_n\":" + fmtMap(janinoN) +
+        ",\"janino_ms\":" + fmtMap(janinoMs) +
+        ",\"codegen_cache_n\":" + fmtMap(codegenCacheN) +
         ",\"shuffle_read_mb\":" + fmtMap(shufReadMb) +
         ",\"shuffle_write_mb\":" + fmtMap(shufWriteMb)
     val errJson =
@@ -288,8 +308,11 @@ object Bench {
     val top10 = ok.sortBy(-_._2).take(10)
       .map { case (k, v) => esc(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val worst = if (spreads.isEmpty) ("none", 1.0) else spreads.maxBy(_._2)
+    // distinct metric name (round-17 advice): consumers keyed on
+    // "metric":"total" must keep matching exactly ONE record — the full
+    // per-query line above; this truncation-surviving headline gets its own
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},""" +
+      s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${ok.size},""" +
         s""""warmup_sec":${fmt(warmupSec)},"drain_sec":${fmt(drainMs / 1000.0)},""" +
         s""""top10_wall":$top10,"worst_mom":{${esc(worst._1)}:${fmt(worst._2)}},""" +
         s""""code_cache_mb":${fmt(codeCacheUsedMb())},"n_errors":${errors.size},""" +
