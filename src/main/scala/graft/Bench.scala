@@ -62,6 +62,15 @@ object Bench {
     // (subtree re-execution) and SLOWER tasks (same task set degraded)
     val taskN = new java.util.concurrent.atomic.AtomicLong(0)
     val stageN = new java.util.concurrent.atomic.AtomicLong(0)
+    // per-window spill volume (r18 stall forensics): the a32 arm killed
+    // MORE-tasks (identical task counts) and recompile-storm (identical
+    // janino_n) in stalled vs clean windows — the surviving signature,
+    // same tasks burning ~4x cpu in LZ4/ByteBuffer/ObjectInputStream
+    // frames, is what execution-memory starvation's aggregation/sort
+    // SPILLS produce. Stalled windows spilling while clean ones don't
+    // names the mechanism; flat zeros kill it too.
+    val spillMem = new java.util.concurrent.atomic.AtomicLong(0)
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         execMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
@@ -71,6 +80,8 @@ object Bench {
         shufW.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
         taskN.addAndGet(sc.stageInfo.numTasks.toLong)
         stageN.incrementAndGet()
+        spillMem.addAndGet(sc.stageInfo.taskMetrics.memoryBytesSpilled)
+        spillDisk.addAndGet(sc.stageInfo.taskMetrics.diskBytesSpilled)
       }
     })
 
@@ -163,6 +174,8 @@ object Bench {
     val codegenCacheN = scala.collection.mutable.LinkedHashMap[String, Double]()
     val tasksRun = scala.collection.mutable.LinkedHashMap[String, Double]()
     val stagesRun = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val spillMemMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val spillDiskMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val shufReadMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val shufWriteMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -195,7 +208,7 @@ object Bench {
       // misattribution these fields exist to adjudicate
       org.apache.spark.graft.CoreBridge.flushListenerBus(spark.sparkContext)
       execMs.set(0); gcMs.set(0); cpuNs.set(0); shufR.set(0); shufW.set(0)
-      taskN.set(0); stageN.set(0)
+      taskN.set(0); stageN.set(0); spillMem.set(0); spillDisk.set(0)
       // stderr window marker: the bad-mode log floods (non-existent
       // accumulator, zombie completions) carry timestamps — this line maps
       // them to the query window they landed in (PLANS r16 forensics)
@@ -250,6 +263,8 @@ object Bench {
       org.apache.spark.graft.CoreBridge.flushListenerBus(spark.sparkContext)
       tasksRun(name) = taskN.get().toDouble
       stagesRun(name) = stageN.get().toDouble
+      spillMemMb(name) = spillMem.get() / 1048576.0
+      spillDiskMb(name) = spillDisk.get() / 1048576.0
       execSec(name) = execMs.get() / 1000.0
       gcSec(name) = gcMs.get() / 1000.0
       cpuSec(name) = cpuNs.get() / 1e9
@@ -283,6 +298,8 @@ object Bench {
         ",\"storage_blocks\":" + fmtMap(storageBlocks) +
         ",\"tasks\":" + fmtMap(tasksRun) +
         ",\"stages\":" + fmtMap(stagesRun) +
+        ",\"spill_mem_mb\":" + fmtMap(spillMemMb) +
+        ",\"spill_disk_mb\":" + fmtMap(spillDiskMb) +
         ",\"janino_n\":" + fmtMap(janinoN) +
         ",\"janino_ms\":" + fmtMap(janinoMs) +
         ",\"codegen_cache_n\":" + fmtMap(codegenCacheN) +

@@ -2680,11 +2680,11 @@ object SparkEntry {
         s""",
            |$sourceStatsTailCtes,
            |csg AS (SELECT d.doc_id,
-           |    (NOT (s.n_docs >= 5) OR (
+           |    coalesce(NOT (s.n_docs >= 5) OR (
            |       round(s.q_micro_sum::DOUBLE / 1000000.0 / s.n_docs, 6) >= 0.29
            |       AND round(s.n_repetitive::DOUBLE / s.n_docs, 6) <= 0.5
-           |       AND round(s.n_pii::DOUBLE / s.n_docs, 6) <= 0.5)) AS source_ok
-           |  FROM documents d JOIN sstats s ON d.source = s.source)""".stripMargin,
+           |       AND round(s.n_pii::DOUBLE / s.n_docs, 6) <= 0.5), TRUE) AS source_ok
+           |  FROM documents d LEFT JOIN sstats s ON d.source = s.source)""".stripMargin,
         """
           |    csg.source_ok AS source_ok,""".stripMargin,
         "fk.source_ok, ",
@@ -3462,8 +3462,8 @@ object SparkEntry {
          |     AND round(n_repetitive::DOUBLE / n_docs, 6) <= 0.5
          |     AND round(n_pii::DOUBLE / n_docs, 6) <= 0.5)) AS source_ok
          |  FROM sstats)
-         |SELECT d.doc_id, d.source, sg.source_ok
-         |FROM documents d JOIN sg ON d.source = sg.source
+         |SELECT d.doc_id, d.source, coalesce(sg.source_ok, TRUE) AS source_ok
+         |FROM documents d LEFT JOIN sg ON d.source = sg.source
          |ORDER BY d.doc_id""".stripMargin,
 
     "topk_single" ->

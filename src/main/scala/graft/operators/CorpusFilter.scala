@@ -21,22 +21,34 @@ import org.apache.spark.sql.functions._
   */
 object CorpusFilter {
 
-  def decisions(docs: DataFrame, minQuality: Double = 0.3): DataFrame = {
-    val q = TextAnalysis.quality(docs)
-      .select(col("doc_id"), (col("quality") >= minQuality).as("quality_ok"))
-    val r = TextAnalysis.repetition(docs)
-      .select(col("doc_id"), (!col("repetitive")).as("repetition_ok"))
-    val p = Pii.scan(docs)
-      .select(col("doc_id"), (!col("has_pii")).as("pii_ok"))
-    val d = Dedup.exact(docs)
-      .select(col("doc_id"), col("keep").as("dedup_ok"))
-
-    q.join(r, Seq("doc_id")).join(p, Seq("doc_id")).join(d, Seq("doc_id"))
+  def decisions(docs: DataFrame, minQuality: Double = 0.3): DataFrame =
+    decisionsWithMeasures(docs, minQuality)
       .select(col("doc_id"), col("quality_ok"), col("repetition_ok"),
         col("pii_ok"), col("dedup_ok"),
         (col("quality_ok") && col("repetition_ok") &&
           col("pii_ok") && col("dedup_ok")).as("kept"))
       .orderBy(col("doc_id"))
+
+  /** [[decisions]] with the raw per-document MEASURES kept beside the
+    * verdicts — `n_tokens`, `quality`, `repetitive`, `has_pii` — the reuse
+    * surface for source-level aggregation
+    * ([[SourceCurate.sourceStatsFromMeasures]]): the composed curate arms
+    * run these per-doc scans exactly once and derive both the per-doc gate
+    * columns AND the per-source evidence from the same frame. Column
+    * pruning reduces this to [[decisions]]' own plan when the measures go
+    * unconsumed. No `kept`, no ordering — an internal building block. */
+  def decisionsWithMeasures(docs: DataFrame, minQuality: Double = 0.3): DataFrame = {
+    val q = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        (col("quality") >= minQuality).as("quality_ok"))
+    val r = TextAnalysis.repetition(docs)
+      .select(col("doc_id"), col("repetitive"),
+        (!col("repetitive")).as("repetition_ok"))
+    val p = Pii.scan(docs)
+      .select(col("doc_id"), col("has_pii"), (!col("has_pii")).as("pii_ok"))
+    val d = Dedup.exact(docs)
+      .select(col("doc_id"), col("keep").as("dedup_ok"))
+    q.join(r, Seq("doc_id")).join(p, Seq("doc_id")).join(d, Seq("doc_id"))
   }
 
   /** Per-language corpus report — the dataset card a pipeline publishes

