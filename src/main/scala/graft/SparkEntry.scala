@@ -78,6 +78,22 @@ object SparkEntry {
       Sampling.tokenShards(Tables.documents(s, dir), tokensPerShard = 10000L)),
     // executable mixture: per-doc deterministic repetition counts
     "mixture_draw" -> ((s, dir) => Sampling.mixtureDraw(Tables.documents(s, dir))),
+    // mixture planning served from the catalog-pinned source-stats index
+    // (one stored table feeds the host gate AND the mixture planner) —
+    // weights byte-identical to the inline source_mix
+    "source_mix_indexed" -> ((s, dir) => Sampling.sourceMixtureIndexed(s, dir)),
+    // running-evidence draw: the bucket>=50 slice drawn under state
+    // accumulated from the rest — merged evidence equals the whole
+    // corpus, so the oracle is the whole-corpus mixture restricted to
+    // the incoming slice (the incremental identity, engine-checked)
+    "mixture_draw_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val b = Sampling.hashBucket(org.apache.spark.sql.functions.col("doc_id"))
+      Sampling.mixtureDrawIncremental(d.where(b >= 50),
+        Sampling.sourceTokenStats(d.where(b < 50)))
+    }),
+    // achieved-vs-planned tokens per source over the materialized draw
+    "mixture_audit" -> ((s, dir) => Sampling.mixtureAudit(Tables.documents(s, dir))),
     // interpretable hard-rule quality audit (Gopher rule family)
     "gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(Tables.documents(s, dir))),
     // the assembled end-to-end curation pipeline — gates + near-dedup +
@@ -1584,6 +1600,19 @@ object SparkEntry {
     * ground truth is engine-independent): cross-side islands keyed by the
     * EVAL doc, max over ALL pair runs (the decontaminate_runs mirror —
     * sub-threshold maxima report honestly), leaks counted at the 13 rule. */
+  /** Temperature mixture weights/epochs per source (α=0.5, 10M budget) —
+    * shared by the inline and indexed planner oracles. */
+  private def sourceMixSql: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS docs,
+      |    CAST(sum(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT sum(pow(tokens, 0.5)) AS denom FROM per)
+      |SELECT per.source, per.docs, per.tokens,
+      |  round(pow(per.tokens, 0.5) / tot.denom, 6) AS weight,
+      |  round(pow(per.tokens, 0.5) / tot.denom * 10000000.0 / per.tokens, 6) AS epochs
+      |FROM per, tot ORDER BY per.source""".stripMargin
+
   private def evalLeakReportSql: String =
     s"""WITH ${positionalShingleCtes("documents")},
        |co AS (SELECT a.doc_id AS inc_id, b.doc_id AS ref_id, a.pos AS pa,
@@ -6197,16 +6226,57 @@ object SparkEntry {
 
     // temperature-scaled mixture: weight ∝ tokens^0.5, epochs at a 10M
     // token budget; token counts are the token_counts whitespace convention
-    "source_mix" ->
+    "source_mix" -> sourceMixSql,
+    // the indexed rung re-derives the same weights from raw documents —
+    // index identity is the claim
+    "source_mix_indexed" -> sourceMixSql,
+
+    // running evidence with state = the rest of the corpus IS the whole-
+    // corpus mixture; the draw is restricted to the incoming slice
+    "mixture_draw_incremental" ->
       """WITH per AS (
-        |  SELECT source, count(*) AS docs,
+        |  SELECT source,
         |    CAST(sum(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS tokens
         |  FROM documents GROUP BY source),
-        |tot AS (SELECT sum(pow(tokens, 0.5)) AS denom FROM per)
-        |SELECT per.source, per.docs, per.tokens,
-        |  round(pow(per.tokens, 0.5) / tot.denom, 6) AS weight,
-        |  round(pow(per.tokens, 0.5) / tot.denom * 10000000.0 / per.tokens, 6) AS epochs
-        |FROM per, tot ORDER BY per.source""".stripMargin,
+        |tot AS (SELECT sum(pow(tokens, 0.5)) AS denom FROM per),
+        |mix AS (SELECT source,
+        |    round(pow(tokens, 0.5) / denom * 10000000.0 / tokens, 6) AS epochs
+        |  FROM per, tot)
+        |SELECT d.doc_id, d.source,
+        |  CAST(floor(epochs) +
+        |    CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14))::UBIGINT
+        |              < CAST(floor((epochs - floor(epochs)) * 72057594037927936.0) AS BIGINT)
+        |         THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+        |FROM documents d JOIN mix USING (source)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 >= 50
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // achieved repeated-token volume vs the plan's target, per source
+    "mixture_audit" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(pow(tokens, 0.5)) AS denom FROM per),
+        |mix AS (SELECT source,
+        |    round(pow(tokens, 0.5) / denom, 6) AS weight,
+        |    round(pow(tokens, 0.5) / denom * 10000000.0 / tokens, 6) AS epochs
+        |  FROM per, tot),
+        |draw AS (SELECT d.doc_id, d.source,
+        |    CAST(len(list_filter(string_split(d.text, ' '), x -> x != '')) AS BIGINT) AS n_tok,
+        |    CAST(floor(epochs) +
+        |      CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14))::UBIGINT
+        |                < CAST(floor((epochs - floor(epochs)) * 72057594037927936.0) AS BIGINT)
+        |           THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+        |  FROM documents d JOIN mix USING (source))
+        |SELECT draw.source,
+        |  CAST(sum(draw.n_repeats * draw.n_tok) AS BIGINT) AS achieved_tokens,
+        |  round(mix.weight * 10000000.0, 6) AS target_tokens,
+        |  round(sum(draw.n_repeats * draw.n_tok)::DOUBLE
+        |    / (mix.weight * 10000000.0), 6) AS fill_ratio
+        |FROM draw JOIN mix ON draw.source = mix.source
+        |GROUP BY draw.source, mix.weight
+        |ORDER BY draw.source""".stripMargin,
 
     // mirrors Sampling.tokenShards: shard = tokens-before div budget over
     // the PLAIN doc_id-ordered running sum (the two-level-scan proof,

@@ -256,11 +256,34 @@ object Sampling {
     * corpus-stats shape). Nothing data-sized ever shuffles or reaches the
     * driver. */
   def sourceMixture(docs: DataFrame, alpha: Double = 0.5,
-                    budgetTokens: Long = 10000000L): DataFrame = {
-    require(alpha > 0, s"alpha must be positive, got $alpha")
-    val per = docs.groupBy(col("source"))
+                    budgetTokens: Long = 10000000L): DataFrame =
+    sourceMixtureFromTokenStats(sourceTokenStats(docs), alpha, budgetTokens)
+
+  /** Mergeable per-source token evidence — `(source, docs, tokens)`, every
+    * column a per-doc sum, so `merge(stats(A), stats(B)) = stats(A ∪ B)`
+    * holds EXACTLY (the [[graft.operators.SourceCurate.sourceStats]]
+    * mergeability argument, restricted to the two columns a mixture
+    * needs). The state the incremental/streaming draw rungs accumulate. */
+  def sourceTokenStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
       .agg(count(lit(1)).as("docs"),
         sum(size(TextAnalysis.toks).cast("bigint")).as("tokens"))
+
+  /** Exact merge of [[sourceTokenStats]] tables over disjoint corpora. */
+  def mergeTokenStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("source"))
+      .agg(sum(col("docs")).cast("bigint").as("docs"),
+        sum(col("tokens")).cast("bigint").as("tokens"))
+
+  /** [[sourceMixture]]'s weight/epoch rule over an existing per-source
+    * token-stats table — the from-stats rung: composes with
+    * [[mergeTokenStats]] state (the incremental/streaming draws) and with
+    * the catalog-pinned source-stats index ([[sourceMixtureIndexed]]),
+    * byte-identical to the inline form over the same corpus (the rounding
+    * grid is shared code). */
+  def sourceMixtureFromTokenStats(per: DataFrame, alpha: Double = 0.5,
+                                  budgetTokens: Long = 10000000L): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
     val denom = per.agg(sum(pow(col("tokens"), lit(alpha))).as("denom"))
     per.crossJoin(broadcast(denom))
       .select(col("source"), col("docs"), col("tokens"),
@@ -269,6 +292,25 @@ object Sampling {
           * lit(budgetTokens.toDouble) / col("tokens"), 6).as("epochs"))
       .orderBy(col("source"))
   }
+
+  /** [[sourceMixture]] served from the CATALOG-PINNED per-source stats
+    * index ([[graft.operators.SourceCurate.sourceStatsIndex]] — its
+    * `n_tokens` IS the whitespace token count the mixture weighs, so one
+    * stored table feeds both the host gate and the mixture planner): the
+    * corpus is never re-tokenized to re-plan a mixture at a new
+    * temperature or budget — the per-call cost is a sources-sized scan.
+    * Weights byte-identical to the inline form (the oracle re-derives
+    * them from raw documents). */
+  def sourceMixtureIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                           alpha: Double = 0.5, budgetTokens: Long = 10000000L,
+                           minQuality: Double = 0.3,
+                           policy: graft.core.IndexPolicy = graft.core.IndexPolicy.BuildIfMissing): DataFrame =
+    sourceMixtureFromTokenStats(
+      spark.read.parquet(
+        s"${SourceCurate.sourceStatsIndex(spark, dir, minQuality, policy).path}/stats")
+        .select(col("source"), col("n_docs").as("docs"),
+          col("n_tokens").as("tokens")),
+      alpha, budgetTokens)
 
   /** [[sourceMixture]]'s EXECUTABLE half — materialize the epoch plan:
     * each document's repetition count under the temperature-scaled
@@ -288,10 +330,18 @@ object Sampling {
     * `floor(frac·2^56)` is one correctly-rounded multiply + floor on
     * identical inputs — integer comparison from there. */
   def mixtureDraw(docs: DataFrame, alpha: Double = 0.5,
-                  budgetTokens: Long = 10000000L): DataFrame = {
+                  budgetTokens: Long = 10000000L): DataFrame =
+    mixtureDrawFrom(docs, sourceMixture(docs, alpha, budgetTokens))
+
+  /** The draw tail shared by [[mixtureDraw]] (whole-corpus evidence) and
+    * [[mixtureDrawIncremental]] (running evidence): per-doc repetition
+    * counts from a mixture frame's `(source, epochs)` rows. NULL-source
+    * docs are excluded — a mixture weight is a per-DOMAIN quantity, and
+    * an unattributable doc has none (unlike the host GATE's cold-start
+    * keep, there is no safe default epoch count). */
+  private[graft] def mixtureDrawFrom(docs: DataFrame, mixFrame: DataFrame): DataFrame = {
     import graft.functions.LshFunctions
-    val mix = sourceMixture(docs, alpha, budgetTokens)
-      .select(col("source"), col("epochs"))
+    val mix = mixFrame.select(col("source"), col("epochs"))
     docs.join(broadcast(mix), Seq("source"))
       .select(col("doc_id"), col("source"),
         (floor(col("epochs")).cast("bigint") +
@@ -300,6 +350,48 @@ object Sampling {
                 * lit(72057594037927936.0)).cast("bigint"),
             lit(1L)).otherwise(lit(0L))).as("n_repeats"))
       .orderBy(col("doc_id"))
+  }
+
+  /** [[mixtureDraw]] on RUNNING evidence — the incremental rung: the
+    * batch is drawn under the mixture computed from `tokenState`
+    * ([[sourceTokenStats]] accumulated over everything seen) MERGED with
+    * the batch's own stats — evidence up to and including this batch,
+    * the [[graft.operators.SourceCurate.sourceFilterIncremental]]
+    * first-evidence discipline applied to mixture planning. Pure given
+    * (state, batch) — the streaming replay contract; with state = the
+    * rest of the corpus this reproduces the batch rows of the whole-corpus
+    * draw exactly (the oracle's identity). */
+  def mixtureDrawIncremental(incoming: DataFrame, tokenState: DataFrame,
+                             alpha: Double = 0.5,
+                             budgetTokens: Long = 10000000L): DataFrame =
+    mixtureDrawFrom(incoming, sourceMixtureFromTokenStats(
+      mergeTokenStats(tokenState, sourceTokenStats(incoming)),
+      alpha, budgetTokens))
+
+  /** The mixture AUDIT — achieved vs planned, per source: a materialized
+    * draw's repeated-token volume (`Σ n_repeats · n_tok`) against the
+    * plan's target (`weight · budget`), with the achieved/target ratio.
+    * The deterministic fractional draw lands each source NEAR its target
+    * (the hash threshold is unbiased) but a curator publishing a mixture
+    * wants the realized number, not the expectation — this is the row
+    * they read. One groupBy(source) over the draw joined to per-doc token
+    * counts; the plan side is sources-sized and broadcast. */
+  def mixtureAudit(docs: DataFrame, alpha: Double = 0.5,
+                   budgetTokens: Long = 10000000L): DataFrame = {
+    val plan = sourceMixture(docs, alpha, budgetTokens)
+      .select(col("source"), col("weight"))
+    val drawn = mixtureDraw(docs, alpha, budgetTokens)
+      .join(docs.select(col("doc_id"),
+        size(TextAnalysis.toks).cast("bigint").as("n_tok")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_repeats") * col("n_tok")).cast("bigint")
+        .as("achieved_tokens"))
+    drawn.join(broadcast(plan), Seq("source"))
+      .select(col("source"), col("achieved_tokens"),
+        round(col("weight") * lit(budgetTokens.toDouble), 6).as("target_tokens"),
+        round(col("achieved_tokens").cast("double")
+          / (col("weight") * lit(budgetTokens.toDouble)), 6).as("fill_ratio"))
+      .orderBy(col("source"))
   }
 
   /** Cluster-balanced (diversity) sampling over an embedding table — the

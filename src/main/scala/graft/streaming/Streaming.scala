@@ -594,6 +594,51 @@ object Streaming {
       }
       .start()
 
+  /** Continuous mixture planning — [[graft.operators.Sampling.mixtureDraw]]'s
+    * streaming twin: each micro-batch's documents get their deterministic
+    * repetition counts under the temperature mixture computed from RUNNING
+    * per-source token evidence (accumulated [[graft.operators.Sampling
+    * .sourceTokenStats]] state merged with the batch's own stats — evidence
+    * up to and including this batch, the [[streamSourceGateAdmit]]
+    * first-evidence discipline applied to mixture planning). State is
+    * bounded by the NUMBER OF SOURCES; the per-batch cost is the batch's
+    * one token aggregation plus a sources-sized merge.
+    *
+    * DECLARED first-evidence semantics: early batches are drawn under the
+    * mixture of what has arrived so far, so a source's epoch rate drifts
+    * toward its whole-corpus value as evidence lands (with state = the
+    * rest of the corpus the batch rows equal the batch pipeline's draw
+    * exactly — the [[graft.operators.Sampling.mixtureDrawIncremental]]
+    * identity StreamingSpec pins). Stats are written FIRST (per-batch
+    * OVERWRITE dirs), reads stay strictly below `batchId`, so a replayed
+    * batch re-draws identically and never self-inflates its evidence. */
+  def streamMixtureDraw(docs: DataFrame, path: String, checkpointDir: String,
+                        alpha: Double = 0.5, budgetTokens: Long = 10000000L,
+                        compactEvery: Int = 16)
+                       (sink: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val S = graft.operators.Sampling
+          val batchStats = S.sourceTokenStats(batch)
+            // two consumers (running merge + state write) — one compute
+            .persist()
+          try {
+            batchStats.write.mode("overwrite")
+              .parquet(f"$path/_mixstats/b$batchId%020d")
+            compactBatchState(spark, s"$path/_mixstats", batchId, compactEvery)
+            val running = readBatchState(spark, s"$path/_mixstats", batchId)
+              .fold(batchStats: DataFrame)(st => S.mergeTokenStats(st, batchStats))
+            sink(S.mixtureDrawFrom(batch,
+              S.sourceMixtureFromTokenStats(running, alpha, budgetTokens)))
+          } finally batchStats.unpersist(false)
+        }
+      }
+      .start()
+
   /** Continuous weighted-reservoir maintenance: a streaming (doc_id,
     * weight) source folds into a persisted k-row Efraimidis–Spirakis
     * sample — per micro-batch, prior reservoir ∪ batch → dedup by doc_id

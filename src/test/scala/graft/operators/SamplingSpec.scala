@@ -149,6 +149,54 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"offsets join must broadcast:\n$plan")
   }
 
+  test("mixture rungs: from-stats ≡ inline; indexed ≡ inline; incremental identity + first-evidence drift; audit fills") {
+    val docs = Tables.documents(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toVector).toSeq
+    // from-stats form aggregates to the inline form's exact bytes
+    val inline = rows(Sampling.sourceMixture(docs))
+    assert(rows(Sampling.sourceMixtureFromTokenStats(
+      Sampling.sourceTokenStats(docs))) == inline)
+    // token-stats merge is exact over any split
+    val b = Sampling.hashBucket(col("doc_id"))
+    assert(rows(Sampling.mergeTokenStats(
+        Sampling.sourceTokenStats(docs.where(b < 50)),
+        Sampling.sourceTokenStats(docs.where(b >= 50)))
+      .orderBy(col("source"))) ==
+      rows(Sampling.sourceTokenStats(docs).orderBy(col("source"))))
+    // indexed planner serves identical weights from the stored stats table
+    val reg = CatalogOps.indexRegistry(spark, dir)
+    val idxName = SourceCurate.sourceStatsIndexName(0.3)
+    if (reg.isIndexRegistered(idxName)) reg.dropIndex(idxName)
+    assert(rows(Sampling.sourceMixtureIndexed(spark, dir)) == inline)
+    // incremental identity: state = rest of corpus => batch rows equal the
+    // whole-corpus draw restricted to the batch
+    val whole = Sampling.mixtureDraw(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val incRows = Sampling.mixtureDrawIncremental(docs.where(b >= 50),
+        Sampling.sourceTokenStats(docs.where(b < 50))).collect()
+    assert(incRows.nonEmpty)
+    incRows.foreach(r => assert(r.getLong(2) == whole(r.getLong(0))))
+    // first-evidence drift: under partial evidence a smaller corpus means
+    // higher epochs for the seen sources (budget spread over fewer tokens)
+    val early = Sampling.sourceMixtureFromTokenStats(
+        Sampling.sourceTokenStats(docs.where(b < 10)))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val full = Sampling.sourceMixture(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(early.keySet.subsetOf(full.keySet))
+    assert(early.exists { case (s, e) => e != full(s) },
+      "running evidence must move epochs as the corpus accumulates")
+    // audit: achieved lands near target (the draw spec's tolerance), and
+    // fill_ratio is the quotient it claims to be
+    Sampling.mixtureAudit(docs, budgetTokens = 100000L).collect().foreach { r =>
+      assert(math.abs(r.getDouble(3) -
+        r.getLong(1).toDouble / r.getDouble(2)) < 1e-5)
+      assert(r.getDouble(3) > 0.5 && r.getDouble(3) < 1.5,
+        s"${r.getString(0)}: fill ${r.getDouble(3)}")
+    }
+  }
+
   test("mixtureDraw: repetitions match the definition; per-source totals land on weight*budget") {
     val docs = Tables.documents(spark, dir)
     val budget = 100000L

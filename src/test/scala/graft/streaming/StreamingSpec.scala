@@ -1106,6 +1106,65 @@ class StreamingSpec extends SparkSpec {
       "replayed batch reproduces its admissions byte-identically")
   }
 
+  test("streamMixtureDraw: running-evidence mixture — per-batch ≡ incremental form, state ≡ sourceTokenStats(seen), commit-crash replay identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val S = graft.operators.Sampling
+    val path = Files.createTempDirectory("graft-smix-").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-smix-ckpt-").toString
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val b = S.hashBucket(col("doc_id"))
+    def slice(lo: Int, hi: Int) = docs.where(b >= lo && b < hi)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val (b1, b2) = (slice(0, 50), slice(50, 100))
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    val drawn = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val mem = MemoryStream[(Long, String, String, String)]
+    def run(): Unit = runToCompletion(Streaming.streamMixtureDraw(
+      mem.toDF().toDF("doc_id", "text", "lang", "source"), path, ckpt,
+      budgetTokens = 100000L)(
+      df => drawn ++= df.select(col("doc_id"), col("n_repeats")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))))
+    val corpus1 = b1.toSeq.toDF("doc_id", "text", "lang", "source")
+    val corpus2 = b2.toSeq.toDF("doc_id", "text", "lang", "source")
+    mem.addData(b1.toSeq: _*); run()
+    // batch 1 draws under its own evidence — the batch mixtureDraw over
+    // exactly what has streamed (the single-batch ≡ batch identity)
+    val want1 = S.mixtureDraw(corpus1, budgetTokens = 100000L).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(drawn.toSet == want1, "batch 1 must equal the batch draw over itself")
+    val drawn1 = drawn.toSet
+    mem.addData(b2.toSeq: _*); run()
+    // batch 2 draws under MERGED evidence — the incremental form exactly
+    val want2 = S.mixtureDrawIncremental(corpus2,
+        S.sourceTokenStats(corpus1), budgetTokens = 100000L).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(drawn.toSet -- drawn1 == want2,
+      "batch 2 must equal the incremental draw under running evidence")
+    // state identity: folded per-batch stats ≡ sourceTokenStats(seen)
+    val stateDirs = new java.io.File(s"$path/_mixstats").listFiles()
+      .filter(f => f.getName.startsWith("b") || f.getName.startsWith("c"))
+      .map(_.toString).sorted
+    val state = stateDirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    val folded = S.mergeTokenStats(state.limit(0), state)
+      .orderBy(col("source")).collect().map(_.toSeq.toVector).toSeq
+    val whole = (b1 ++ b2).toSeq.toDF("doc_id", "text", "lang", "source")
+    assert(folded == S.sourceTokenStats(whole).orderBy(col("source"))
+      .collect().map(_.toSeq.toVector).toSeq)
+    // commit-crash replay: the draw is pure given (state below, batch)
+    val commit1 = java.nio.file.Paths.get(ckpt, "commits", "1")
+    assert(Files.exists(commit1))
+    Files.delete(commit1)
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    drawn.clear(); run()
+    assert(drawn.toSet == want2, "replayed batch re-draws byte-identically")
+  }
+
   test("streamSemanticDedupAdmitPq: state is PQ-coded (width cut asserted), agreement with the raw gate measured, commit-crash replay identical") {
     implicit val sqlCtx = spark.sqlContext
     val pathPq = Files.createTempDirectory("graft-spq-").toString + "/out"
