@@ -39,6 +39,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the default 100-entry generated-class cache is in TOTAL THRASH
+      // under this suite (r18 measured: ~380 Janino recompiles per
+      // curate_multimodal_xm repeat, 17-20 s of compile time in one
+      // 3-repeat window, cache pinned at 100 in every window; at 5000 the
+      // runs-window compile count drops 510 -> 80 and cpu floors ~20%).
+      // Static conf, so it must be set at first-session creation.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -176,10 +176,10 @@ object Curate {
     // the SPARK_GRAFT_BENCH_CLEARCACHE precedent): a LAZY checkpoint
     // leaves a race window in which concurrent consumers can each
     // recompute the full gates lineage before the checkpoint takes; the
-    // eager form closes that window. The r17 JFR profile of the
-    // xm→successor stall (gate subtree re-executing ~40× pro-rata in
-    // compiled code, zero retries, no storage pressure) fits exactly
-    // that race — this knob is its A/B.
+    // eager form closes that window. VERDICT (r17 A/B + r18 task-count
+    // instrument): the race is NOT the suite's stall mechanism — eager
+    // still stalled 2/6, and stalled windows run the byte-identical task
+    // set (PLANS r18). Knob kept as a documented diagnostic.
     val matFlags = flagged.localCheckpoint(
       sys.env.contains("SPARK_GRAFT_EAGER_CHECKPOINT"))
     // running token sums over kept-train docs only; the conditional-zero
