@@ -30,6 +30,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // at 8g the tail of the bench run is GC-bound (queries measured 3-8×
   // slower than in isolation); the box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // THE STALL FIX (r18, PLANS round-18): pin the heap committed. The
+  // suite's bimodal cpu regime — one repeat of a fixed plan burning 4-7×
+  // thread-cpu in allocation-heavy compiled frames, ~40% incidence on
+  // the xm→successor pair at 32 threads — was G1 UNCOMMITTING regions
+  // after the window-boundary System.gc(), with the successor window
+  // re-faulting + zeroing tens of GB inside its own task threads
+  // (thread-cpu includes kernel time). Xms = Xmx forbids the uncommit;
+  // AlwaysPreTouch pays the first-touch cost once at JVM start. A/B:
+  // 0/10 stalls with these flags vs 6/13 default (same pair, same box).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-XX:+AlwaysPreTouch",
   // JIT code-cache headroom for the 160-query bench suite's generated
   // classes in one JVM. Round-13 measurement (full suite, committed r12
   // code, -XX:+PrintCodeCache at exit): 136 MB used of the JDK 17 default
