@@ -528,6 +528,78 @@ object ScaleSmoke {
         f"(${100.0 * (fullB - prunedB) / math.max(1L, fullB)}%.1f%% avoided)")
       n
     }
+    stage("mixture draw (250k)") {
+      // the executable mixture at scale: evidence is ONE groupBy(source)
+      // aggregation (map-side combined, reducers = #sources), the plan is
+      // sources-sized and broadcast, and the per-doc draw is one narrow
+      // codegen projection — the corpus is touched once, nothing
+      // data-sized shuffles (the shuffle columns should read ~0)
+      graft.operators.Sampling.mixtureDraw(docs)
+        .queryExecution.toRdd.count()
+    }
+    stage("mixture audit (250k)") {
+      // achieved-vs-target: the draw joined back to per-doc token counts,
+      // one more groupBy(source) — the realized-mixture audit a curator
+      // publishes; still nothing beyond sources x partitions in a shuffle
+      graft.operators.Sampling.mixtureAudit(docs)
+        .queryExecution.toRdd.count()
+    }
+    stage("mixture incr (1% batch)") {
+      // the running-evidence draw's steady-state cost: a 1% batch drawn
+      // under state = token stats of everything else — per-batch work is
+      // the batch's own stats aggregation + a sources-sized merge, never
+      // a re-scan of history (state here is materialized OUTSIDE the
+      // timer, as the streaming checkpoint would hold it)
+      val incHalf = graft.operators.Sampling.hashBucket(col("doc_id")) < 1
+      val state = graft.operators.Sampling.sourceTokenStats(docs.where(!incHalf))
+        .persist()
+      state.count()
+      try graft.operators.Sampling
+        .mixtureDrawIncremental(docs.where(incHalf), state)
+        .queryExecution.toRdd.count()
+      finally state.unpersist()
+    }
+    stage("mixture plan (1M hosts)") {
+      // the planner alone at web-crawl host counts: from-stats weights /
+      // epochs over 1M synthetic sources — one 1-row denominator
+      // aggregation broadcast back onto sources-sized rows; re-planning a
+      // new temperature or budget never re-reads a corpus
+      val hosts = spark.range(1000000L).select(
+        format_string("h%07d", col("id")).as("source"),
+        (lit(5L) + col("id") % 7).as("docs"),
+        (lit(100L) * (lit(5L) + col("id") % 7)).as("tokens"))
+      graft.operators.Sampling.sourceMixtureFromTokenStats(hosts)
+        .queryExecution.toRdd.count()
+    }
+    locally {
+      // the recrawl pair at scale: 5% of docs removed, 10% rewritten,
+      // the rest byte-identical — a crawl cycle's realistic turnover
+      val sb = graft.operators.Sampling.hashBucket(col("doc_id"))
+      val newSnap = docs.where(sb >= 5).withColumn("text",
+        when(sb >= 40 && sb < 50, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      stage("snapshot diff (250k)") {
+        // both sides reduce to narrow (id, md5) projections before the
+        // one full-outer equi-join — the shuffle carries ~40 bytes/doc,
+        // not text
+        graft.operators.SnapshotDiff.corpusDiff(docs, newSnap)
+          .queryExecution.toRdd.count()
+      }
+      // the stored-hash side is built OUTSIDE the timer (as the registry
+      // does) so the probe stage measures the per-recrawl steady state
+      val hp = s"${sys.props("java.io.tmpdir")}/graft-scale-snaphash-$dirHash-$docFactor"
+      if (only.forall(_.exists("snapshot delta probe".startsWith)) &&
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(hp, "_SUCCESS")))
+        graft.operators.SnapshotDiff.contentHashes(docs)
+          .write.mode("overwrite").parquet(hp)
+      stage("snapshot delta probe") {
+        // the cycle pays one hash scan of the new snapshot + a narrow
+        // left join against the stored table — old text never read
+        graft.operators.SnapshotDiff.changedDocs(
+            spark.read.parquet(hp), newSnap)
+          .queryExecution.toRdd.count()
+      }
+    }
     stage("ngram near-dup") { D.ngramNear(docs).queryExecution.toRdd.count() }
     lshStats("ngram buckets n8r3b4",
       D.ngramBandKeys(D.ngramShingled(docs, "doc_id", "text", 8), 12, 4), "doc_id")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Ann, AsofJoin, Bitext, Bpe, CatalogOps, Centrality, CorpusFilter, Curate, Decontaminate, Dedup, Diagnostics, EmbeddingStats, Funnel, Ingest, Mining, Multimodal, Pii, RangeJoin, Relational, Salting, Sampling, Search, Sessionize, Similarity, SourceCurate, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, Bitext, Bpe, CatalogOps, Centrality, CorpusFilter, Curate, Decontaminate, Dedup, Diagnostics, EmbeddingStats, Funnel, Ingest, Mining, Multimodal, Pii, RangeJoin, Relational, Salting, Sampling, Search, Sessionize, Similarity, SnapshotDiff, SourceCurate, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -94,6 +94,34 @@ object SparkEntry {
     }),
     // achieved-vs-planned tokens per source over the materialized draw
     "mixture_audit" -> ((s, dir) => Sampling.mixtureAudit(Tables.documents(s, dir))),
+    // recrawl snapshot diff: old = id-buckets <90 of the stored corpus,
+    // new = buckets >=10 with [40,50) content-rewritten — one full-outer
+    // join of two narrow (id, md5) projections classifies every doc as
+    // added/removed/changed/unchanged
+    "snapshot_diff" -> ((s, dir) => {
+      val (o, n) = snapshotPair(s, dir)
+      SnapshotDiff.corpusDiff(o, n)
+    }),
+    // the diff with the OLD side served from the catalog-pinned
+    // content-hash index (stored snapshot = the dir's documents table;
+    // its text is never re-read) — index identity is the claim
+    "snapshot_diff_indexed" -> ((s, dir) =>
+      SnapshotDiff.corpusDiffIndexed(s, dir, snapshotPair(s, dir)._2)),
+    // the consequence frame: the delta a curate pass re-gates (added ∪
+    // changed only — per-snapshot per-doc cost is O(|delta|))
+    "snapshot_delta" -> ((s, dir) => {
+      val (o, n) = snapshotPair(s, dir)
+      SnapshotDiff.changedDocs(SnapshotDiff.contentHashes(o), n)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("status"))
+    }),
+    // per-source turnover audit: added/removed/changed/unchanged counts
+    // + churn share — the canary row for a host that silently rewrote
+    // itself between crawls
+    "snapshot_diff_stats" -> ((s, dir) => {
+      val (o, n) = snapshotPair(s, dir)
+      SnapshotDiff.diffStats(o, n)
+    }),
     // interpretable hard-rule quality audit (Gopher rule family)
     "gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(Tables.documents(s, dir))),
     // the assembled end-to-end curation pipeline — gates + near-dedup +
@@ -1241,6 +1269,21 @@ object SparkEntry {
     * (fan-out ≫ 16) while consecutive BIGRAMS stay doc-selective — the
     * exact regime [[graft.operators.Dedup.videoNearHammingAuto]] exists
     * to catch. */
+  /** The two-snapshot construction shared by every `snapshot_*` query:
+    * old = id-buckets <90 of the stored corpus, new = buckets >=10 with
+    * [40,50) content-rewritten (` v2` appended) — so the diff's four
+    * statuses are each non-empty by construction: added = [90,100),
+    * removed = [0,10), changed = [40,50), unchanged = the rest. */
+  private def snapshotPair(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val d = Tables.documents(s, dir)
+    val b = graft.operators.Sampling.hashBucket(col("doc_id"))
+    (d.where(b < 90),
+      d.where(b >= 10).withColumn("text",
+        when(b >= 40 && b < 50, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))))
+  }
+
   private def videoSaturatedCorpus(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, concat, expr, length, lit, md5, octet_length}
     val header = graft.operators.Multimodal.mp4VideoFramesHeader()
@@ -1491,6 +1534,18 @@ object SparkEntry {
     * [[videoFrameHashCtes]]. */
   /** The DuckDB twin of [[textSaturatedCorpus]] — the `tsc(doc_id, text)`
     * replica-crawl corpus CTE the minhash/ngram audit+auto oracles share. */
+  /** CTEs `olds(doc_id, source, old_hash)` / `news(doc_id, source,
+    * new_hash)` — the SQL twin of [[snapshotPair]]'s construction. */
+  private def snapshotPairCtes: String =
+    """olds AS (SELECT doc_id, source, md5(text) AS old_hash FROM documents
+      |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 < 90),
+      |news AS (SELECT doc_id, source,
+      |    md5(CASE WHEN b >= 40 AND b < 50 THEN text || ' v2' ELSE text END) AS new_hash
+      |  FROM (SELECT doc_id, source, text,
+      |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS b
+      |        FROM documents) t
+      |  WHERE b >= 10)""".stripMargin
+
   private def textSaturatedCorpusCte: String =
     """tsc AS (SELECT doc_id,
       |    concat(concat_ws(' ',
@@ -6277,6 +6332,62 @@ object SparkEntry {
         |FROM draw JOIN mix ON draw.source = mix.source
         |GROUP BY draw.source, mix.weight
         |ORDER BY draw.source""".stripMargin,
+
+    // recrawl diff over the constructed two-snapshot pair (old = buckets
+    // <90, new = >=10 with [40,50) rewritten): full-outer join of the two
+    // md5 projections, four statuses each non-empty by construction
+    "snapshot_diff" ->
+      s"""WITH $snapshotPairCtes
+         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN o.old_hash = n.new_hash THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  o.old_hash, n.new_hash
+         |FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    // the indexed rung's old side is the FULL stored corpus (the dir's
+    // documents table backs the content-hash index), so: removed = [0,10),
+    // changed = [40,50), unchanged = the rest, no added — the oracle
+    // re-derives every hash from raw text; index identity is the claim
+    "snapshot_diff_indexed" ->
+      s"""WITH $snapshotPairCtes
+         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN o.old_hash = n.new_hash THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  o.old_hash, n.new_hash
+         |FROM (SELECT doc_id, md5(text) AS old_hash FROM documents) o
+         |FULL OUTER JOIN news n ON o.doc_id = n.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    // the delta frame: new-side rows whose content the old snapshot does
+    // not hold (added ∪ changed) — the rows a curate pass re-gates
+    "snapshot_delta" ->
+      s"""WITH $snapshotPairCtes
+         |SELECT n.doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added' ELSE 'changed' END AS status
+         |FROM news n LEFT JOIN olds o ON o.doc_id = n.doc_id
+         |WHERE o.doc_id IS NULL OR o.old_hash != n.new_hash
+         |ORDER BY n.doc_id""".stripMargin,
+    // per-source turnover: status counts + churn share, source attributed
+    // to the surviving row (new side where one exists)
+    "snapshot_diff_stats" ->
+      s"""WITH $snapshotPairCtes,
+         |st AS (SELECT COALESCE(n.source, o.source) AS source,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN o.old_hash = n.new_hash THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id)
+         |SELECT source,
+         |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+         |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+         |  round(sum(CASE WHEN status != 'unchanged' THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*), 6) AS churn
+         |FROM st GROUP BY source ORDER BY source""".stripMargin,
 
     // mirrors Sampling.tokenShards: shard = tokens-before div budget over
     // the PLAIN doc_id-ordered running sum (the two-level-scan proof,

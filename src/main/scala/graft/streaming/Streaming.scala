@@ -639,6 +639,61 @@ object Streaming {
       }
       .start()
 
+  /** Streaming snapshot diff — [[graft.operators.SnapshotDiff]]'s
+    * per-batch rung: the NEW snapshot arrives as micro-batches and each
+    * arriving document is judged against the STORED snapshot's hash
+    * table (`oldHashes`, [[graft.operators.SnapshotDiff.contentHashes]]
+    * of the previous crawl — static for the run, the narrow table a
+    * broadcast or sort-merge join handles at any corpus size). The
+    * verdict is PURE given (oldHashes, batch) — added/changed/unchanged
+    * with both hashes, exactly [[graft.operators.SnapshotDiff
+    * .corpusDiffFromHashes]] restricted to the batch's ids — so replay
+    * identity is free (StreamingSpec pins batch-union ≡ batch diff).
+    *
+    * DECLARED close semantics: `removed` is a snapshot-CLOSE fact (a doc
+    * is removed only when the whole new snapshot has arrived and it
+    * never did), so no per-batch row can carry it. The stream
+    * accumulates each batch's id set in the standard committed batch
+    * state (`_seenids/b<id>` dirs, compacted); when the snapshot is
+    * complete, [[snapshotRemoved]] reads the committed ids once and
+    * anti-joins the stored hashes — old-side text never read, state
+    * id-sized. Redelivered ids are harmless there (anti-join). */
+  def streamSnapshotDiff(docs: DataFrame, oldHashes: DataFrame, path: String,
+                         checkpointDir: String, compactEvery: Int = 16)
+                        (sink: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          batch.select(col("doc_id")).write.mode("overwrite")
+            .parquet(f"$path/_seenids/b$batchId%020d")
+          compactBatchState(spark, s"$path/_seenids", batchId, compactEvery)
+          // left (not full-outer) join: absent-from-batch old docs are
+          // not this batch's business — removed is the close's fact
+          sink(graft.operators.SnapshotDiff
+            .corpusDiffFromHashes(oldHashes, batch)
+            .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .orderBy(col("doc_id")))
+        }
+      }
+      .start()
+
+  /** The snapshot-CLOSE step for [[streamSnapshotDiff]]: every stored
+    * doc whose id never arrived in a committed batch — `(doc_id, status
+    * = removed, old_hash)`. One anti-join of the narrow hash table
+    * against the committed id state. */
+  def snapshotRemoved(spark: SparkSession, path: String,
+                      oldHashes: DataFrame): DataFrame = {
+    val seen = readBatchState(spark, s"$path/_seenids", Long.MaxValue)
+      .getOrElse(spark.range(0).select(col("id").as("doc_id")))
+    oldHashes.join(seen.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("removed").as("status"),
+        col("content_hash").as("old_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Continuous weighted-reservoir maintenance: a streaming (doc_id,
     * weight) source folds into a persisted k-row Efraimidis–Spirakis
     * sample — per micro-batch, prior reservoir ∪ batch → dedup by doc_id

@@ -1165,6 +1165,67 @@ class StreamingSpec extends SparkSpec {
     assert(drawn.toSet == want2, "replayed batch re-draws byte-identically")
   }
 
+  test("streamSnapshotDiff: per-batch ≡ batch diff on the batch's ids; union + close-removed ≡ whole diff; commit-crash replay identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val S = graft.operators.SnapshotDiff
+    val path = Files.createTempDirectory("graft-ssnap-").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-ssnap-ckpt-").toString
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val b = graft.operators.Sampling.hashBucket(col("doc_id"))
+    val old = docs.where(b < 90)
+    val oldHashes = S.contentHashes(old).persist()
+    val neu = docs.where(b >= 10).withColumn("text",
+      when(b >= 40 && b < 50, concat(col("text"), lit(" v2")))
+        .otherwise(col("text")))
+    def slice(df: org.apache.spark.sql.DataFrame, lo: Int, hi: Int) =
+      df.where(b >= lo && b < hi)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = (slice(neu, 10, 55), slice(neu, 55, 100))
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val mem = MemoryStream[(Long, String)]
+    def run(): Unit = runToCompletion(Streaming.streamSnapshotDiff(
+      mem.toDF().toDF("doc_id", "text"), oldHashes, path, ckpt)(
+      df => got ++= df.select(col("doc_id"), col("status")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))))
+    mem.addData(b1.toSeq: _*); run()
+    // batch 1 verdicts ≡ the batch diff restricted to the batch's ids —
+    // the pure-given-(oldHashes, batch) contract
+    val want1 = S.corpusDiffFromHashes(oldHashes,
+        b1.toSeq.toDF("doc_id", "text"))
+      .where(col("status") =!= "removed")
+      .select(col("doc_id"), col("status")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.toSet == want1, "batch 1 must equal the batch diff on its ids")
+    val got1 = got.toSet
+    mem.addData(b2.toSeq: _*); run()
+    // union of per-batch verdicts + the snapshot-close removed scan ≡ the
+    // whole-pair batch diff
+    val removed = Streaming.snapshotRemoved(spark, path, oldHashes)
+      .select(col("doc_id"), col("status")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val whole = S.corpusDiff(old, neu)
+      .select(col("doc_id"), col("status")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.toSet ++ removed == whole,
+      "streamed verdicts + close-removed must reassemble the batch diff")
+    // commit-crash replay: verdicts are pure given (oldHashes, batch)
+    val commit1 = java.nio.file.Paths.get(ckpt, "commits", "1")
+    assert(Files.exists(commit1))
+    Files.delete(commit1)
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    got.clear(); run()
+    assert(got.toSet == whole -- removed -- got1,
+      "replayed batch re-judges byte-identically")
+    oldHashes.unpersist()
+  }
+
   test("streamSemanticDedupAdmitPq: state is PQ-coded (width cut asserted), agreement with the raw gate measured, commit-crash replay identical") {
     implicit val sqlCtx = spark.sqlContext
     val pathPq = Files.createTempDirectory("graft-spq-").toString + "/out"
