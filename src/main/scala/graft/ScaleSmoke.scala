@@ -599,6 +599,27 @@ object ScaleSmoke {
             spark.read.parquet(hp), newSnap)
           .queryExecution.toRdd.count()
       }
+      // delta re-curation's measured claim: the full decisions frame over
+      // the new snapshot at O(|delta|) per-doc analysis cost. The stored
+      // evidence (built outside the timer, as a pipeline would hold it
+      // from the previous cycle) carries ~90% of rows; only the ~10%
+      // rewritten slice pays the tokenizer/bigram/regex scans. The "gate
+      // full" row is the same frame re-gated from scratch — the pair is
+      // the measurement.
+      val ep = s"${sys.props("java.io.tmpdir")}/graft-scale-gateev-$dirHash-$docFactor"
+      if (only.forall(_.exists("gate delta".startsWith)) &&
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(ep, "_SUCCESS")))
+        graft.operators.CorpusFilter.gateEvidence(docs)
+          .write.mode("overwrite").parquet(ep)
+      stage("gate full (250k)") {
+        graft.operators.CorpusFilter.decisions(newSnap)
+          .queryExecution.toRdd.count()
+      }
+      stage("gate delta (10%)") {
+        graft.operators.CorpusFilter.decisionsDelta(
+            spark.read.parquet(ep), newSnap)
+          .queryExecution.toRdd.count()
+      }
     }
     stage("ngram near-dup") { D.ngramNear(docs).queryExecution.toRdd.count() }
     lshStats("ngram buckets n8r3b4",

@@ -122,6 +122,15 @@ object SparkEntry {
       val (o, n) = snapshotPair(s, dir)
       SnapshotDiff.diffStats(o, n)
     }),
+    // delta re-curation: the new snapshot's FULL decisions frame with
+    // per-doc text analysis paid only over the delta (stored gate
+    // evidence carried for unchanged content; the corpus-level dedup
+    // keeper re-derived from narrow fingerprints) — byte-identical to
+    // re-gating the whole snapshot, which is what the oracle computes
+    "gate_delta" -> ((s, dir) => {
+      val (o, n) = snapshotPair(s, dir)
+      CorpusFilter.decisionsDelta(CorpusFilter.gateEvidence(o), n)
+    }),
     // interpretable hard-rule quality audit (Gopher rule family)
     "gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(Tables.documents(s, dir))),
     // the assembled end-to-end curation pipeline — gates + near-dedup +
@@ -6388,6 +6397,22 @@ object SparkEntry {
          |  round(sum(CASE WHEN status != 'unchanged' THEN 1 ELSE 0 END)::DOUBLE
          |    / count(*), 6) AS churn
          |FROM st GROUP BY source ORDER BY source""".stripMargin,
+
+    // delta re-curation ≡ the full corpus-filter decisions chain over the
+    // NEW snapshot (shadowing CTE; main.documents is the stored table) —
+    // the delta path's claim is byte-identity at O(|delta|) text cost
+    "gate_delta" ->
+      s"""WITH documents AS (
+         |  SELECT doc_id,
+         |    CASE WHEN b >= 40 AND b < 50 THEN text || ' v2' ELSE text END AS text
+         |  FROM (SELECT doc_id, text,
+         |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS b
+         |        FROM main.documents) t0
+         |  WHERE b >= 10),
+         |$corpusFilterCtes
+         |SELECT doc_id, quality_ok, repetition_ok, pii_ok, dedup_ok,
+         |  cf_kept AS kept
+         |FROM cfd ORDER BY doc_id""".stripMargin,
 
     // mirrors Sampling.tokenShards: shard = tokens-before div budget over
     // the PLAIN doc_id-ordered running sum (the two-level-scan proof,

@@ -51,6 +51,73 @@ object CorpusFilter {
     q.join(r, Seq("doc_id")).join(p, Seq("doc_id")).join(d, Seq("doc_id"))
   }
 
+  /** The STORED per-document gate evidence for delta re-curation
+    * ([[decisionsDelta]]): every column a PURE function of the document's
+    * own text — the measures, the three per-doc gate verdicts, and both
+    * content keys (`content_hash` = md5, the [[SnapshotDiff]] identity;
+    * `fp` = sha-256, [[Dedup.exact]]'s fingerprint) — so a row may be
+    * carried VERBATIM for any doc whose content is unchanged between
+    * snapshots. Deliberately EXCLUDES the corpus-level columns
+    * (`dedup_ok`, `kept`): a keeper verdict depends on the other docs in
+    * the snapshot, so it is re-derived per snapshot from the narrow
+    * fingerprint column by [[decisionsFromEvidence]] — no text needed. */
+  def gateEvidence(docs: DataFrame, minQuality: Double = 0.3): DataFrame = {
+    val q = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        (col("quality") >= minQuality).as("quality_ok"))
+    val r = TextAnalysis.repetition(docs)
+      .select(col("doc_id"), col("repetitive"),
+        (!col("repetitive")).as("repetition_ok"))
+    val p = Pii.scan(docs)
+      .select(col("doc_id"), col("has_pii"), (!col("has_pii")).as("pii_ok"))
+    val h = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("content_hash"),
+      sha2(col("text"), 256).as("fp"))
+    q.join(r, Seq("doc_id")).join(p, Seq("doc_id")).join(h, Seq("doc_id"))
+  }
+
+  /** [[decisions]]' audit frame over an evidence table: the corpus-level
+    * exact-dedup keeper (min-id per sha-256 fingerprint —
+    * [[Dedup.exact]]'s rule verbatim) re-derived from the NARROW `fp`
+    * column — the step that keeps [[decisionsDelta]] exact without
+    * touching text. */
+  def decisionsFromEvidence(evidence: DataFrame): DataFrame = {
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    evidence
+      .withColumn("dedup_ok", col("doc_id") === min(col("doc_id")).over(byFp))
+      .select(col("doc_id"), col("quality_ok"), col("repetition_ok"),
+        col("pii_ok"), col("dedup_ok"),
+        (col("quality_ok") && col("repetition_ok") &&
+          col("pii_ok") && col("dedup_ok")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DELTA RE-CURATION — [[decisions]] over a NEW snapshot at O(|delta|)
+    * per-doc analysis cost: rows of `newDocs` whose (id, content) both
+    * match a stored [[gateEvidence]] row carry that row verbatim (the
+    * gates are pure text functions, so content equality implies equality
+    * of every evidence column — byte-exact, not approximate); only
+    * added/changed docs pay the tokenizer/bigram/regex scans. The one
+    * full pass the new snapshot cannot avoid is the md5 identity hash —
+    * the cheap floor that decides what changed ([[SnapshotDiff]]'s
+    * economics; one digest per doc vs the gates' multi-pass token work).
+    * `dedup_ok` is then re-derived over the COMPLETE new evidence from
+    * the narrow fp column, so a changed doc leaving (or joining) a
+    * duplicate group flips its group's keeper correctly. Result ≡
+    * `decisions(newDocs)` byte-for-byte (CorpusFilterSpec pins it). */
+  def decisionsDelta(oldEvidence: DataFrame, newDocs: DataFrame,
+                     minQuality: Double = 0.3): DataFrame = {
+    val nh = newDocs.withColumn("__h", md5(col("text").cast("binary")))
+    val carried = nh.select(col("doc_id"), col("__h").as("content_hash"))
+      .join(oldEvidence, Seq("doc_id", "content_hash"))
+    val delta = nh.join(
+        oldEvidence.select(col("doc_id"), col("content_hash").as("__h")),
+        Seq("doc_id", "__h"), "left_anti")
+      .drop("__h")
+    decisionsFromEvidence(
+      carried.unionByName(gateEvidence(delta, minQuality)))
+  }
+
   /** Per-language corpus report — the dataset card a pipeline publishes
     * with a training run: document/token volume, exact-duplicate share,
     * PII incidence, mean heuristic quality and mean LM cross-entropy, per

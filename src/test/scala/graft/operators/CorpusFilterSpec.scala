@@ -33,6 +33,39 @@ class CorpusFilterSpec extends SparkSpec {
     out.values.foreach { case (q, r, p, d, kept) => assert(kept == (q && r && p && d)) }
   }
 
+  test("decisionsDelta ≡ decisions(new) byte-for-byte; a changed doc re-elects its duplicate group's keeper") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    // engineered so every carry/re-scan arm matters: 1 unchanged, 2
+    // changed (leaves the dup group with 6 -> 6 becomes its group's
+    // keeper), 3 removed, 7 added as a dup of 1 (1 stays keeper, 7
+    // dropped), 6 unchanged but its keeper flips — a verdict change on a
+    // doc the delta never rescans, the decisionsFromEvidence contract
+    val good = (1 to 120).map(i => s"w$i").mkString(" ") + " the of and is a to"
+    val old = Seq(
+      (1L, good), (2L, good + " dup"), (3L, "gone"), (6L, good + " dup")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val neu = Seq(
+      (1L, good), (2L, good + " changed away"), (6L, good + " dup"),
+      (7L, good)
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val full = CorpusFilter.decisions(neu).collect().toSeq
+    val delta = CorpusFilter.decisionsDelta(
+      CorpusFilter.gateEvidence(old), neu).collect().toSeq
+    assert(delta == full, "delta path must equal the full re-gate")
+    val byId = delta.map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(byId(6L), "6 must become its group's keeper after 2 changed away")
+    assert(!byId(7L), "7 duplicates 1 and must lose the keeper election")
+    // and on the corpus pair: the real-table identity at spec scale
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val b = Sampling.hashBucket(col("doc_id"))
+    val (o2, n2) = (docs.where(b < 90),
+      docs.where(b >= 10).withColumn("text",
+        when(b >= 40 && b < 50, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))))
+    assert(CorpusFilter.decisionsDelta(CorpusFilter.gateEvidence(o2), n2)
+      .collect().toSeq == CorpusFilter.decisions(n2).collect().toSeq)
+  }
+
   test("report: per-lang rollup accounts for every doc; shares are probabilities") {
     import spark.implicits._
     val dup = "the a of and to is repeated body long enough to count"
