@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{Ann, AsofJoin, Bitext, Bpe, CatalogOps, Centrality, CorpusFilter, Curate, Decontaminate, Dedup, Diagnostics, EmbeddingStats, Funnel, Ingest, Mining, Multimodal, Pii, RangeJoin, Relational, Salting, Sampling, Search, Sessionize, Similarity, SnapshotDiff, SourceCurate, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, Bitext, Bpe, BudgetSelect, CatalogOps, Centrality, CorpusFilter, Curate, Decontaminate, Dedup, Diagnostics, EmbeddingStats, Funnel, Ingest, Mining, Multimodal, Pii, RangeJoin, Relational, Salting, Sampling, Search, Sessionize, Similarity, SnapshotDiff, SourceCurate, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -423,6 +423,48 @@ object SparkEntry {
     // sources by avg quality block, exact rank rule, deterministic ties
     "source_gate_auto" -> ((s, dir) =>
       SourceCurate.sourceGateAuto(Tables.documents(s, dir))),
+    // TOKEN-BUDGET quality selection (r18): keep the highest-scoring
+    // docs whose tokens fit the budget — threshold from the mergeable
+    // ≤1001-bin score histogram, boundary bin resolved by a two-level
+    // exact prefix; never a global sort (the FineWeb/DCLM selection cut)
+    "budget_hist" -> ((s, dir) =>
+      BudgetSelect.scoreHistogram(Tables.documents(s, dir))),
+    // merge identity proven against engine-independent ground truth:
+    // Spark merges the two bucket-halves' histograms; the oracle
+    // aggregates the WHOLE corpus directly
+    "budget_hist_merged" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      val b = Sampling.hashBucket(col("doc_id"))
+      BudgetSelect.mergeHistograms(
+        BudgetSelect.scoreHistogram(docs.where(b < 50)),
+        BudgetSelect.scoreHistogram(docs.where(b >= 50)))
+    }),
+    // 9000 tokens ≈ a third of the sf0.01 corpus: the threshold lands
+    // mid-distribution, so all three regions are non-trivially populated
+    "budget_select" -> ((s, dir) =>
+      BudgetSelect.selectByBudget(Tables.documents(s, dir), 9000L)),
+    // the AUTO rung: budget as a fraction of the corpus's own tokens
+    "budget_select_auto" -> ((s, dir) =>
+      BudgetSelect.selectTopPct(Tables.documents(s, dir), 40)),
+    // the threshold served from the catalog-pinned histogram (≤1001
+    // rows — tied smallest index in the registry); the oracle re-derives
+    // from raw documents
+    "budget_select_indexed" -> ((s, dir) =>
+      BudgetSelect.selectByBudgetIndexed(s, dir, 9000L)),
+    // running-evidence admission: state = the sub-80 buckets' histogram,
+    // incoming = the rest; merged evidence ≡ the whole corpus, so the
+    // oracle derives the threshold from all documents and admits the
+    // incoming docs strictly above it (the declared bin-granular rule)
+    "budget_select_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      val b = Sampling.hashBucket(col("doc_id"))
+      BudgetSelect.selectIncremental(docs.where(b >= 80),
+        BudgetSelect.scoreHistogram(docs.where(b < 80)), 9000L)
+    }),
+    "budget_audit" -> ((s, dir) =>
+      BudgetSelect.budgetAudit(Tables.documents(s, dir), 9000L)),
     "text_stats"   -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     "docs_sample"  -> ((s, dir) => Sampling
       .sampleByPercent(Tables.documents(s, dir), "doc_id", 10)
@@ -3492,6 +3534,64 @@ object SparkEntry {
        |  JOIN cfd ON d.doc_id = cfd.doc_id
        |  GROUP BY d.source)""".stripMargin
 
+  /** The budget-selection CTE chain (the BudgetSelect contract): per-doc
+    * quality on the 6-dp grid (the [[sourceStatsTailCtes]] `sq` formula),
+    * micro/bin by INTEGER arithmetic (`CAST(round(q·10⁶) AS BIGINT)`,
+    * then `// 1000` — no float floor anywhere), and the token-weighted
+    * bin histogram — ends in `bmic(doc_id, quality, n_tokens, micro,
+    * bin)` and `bh(bin, n_docs, n_tokens)`. */
+  private def budgetCtes: String =
+    s"""toks AS (SELECT doc_id, text,
+       |    list_filter(string_split(text, ' '), x -> x != '') AS t FROM documents),
+       |bq AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |    round(least(1.0, len(t)::DOUBLE / 100.0)
+       |      * (1.0 - CASE WHEN length(text) > 0
+       |               THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / length(text)
+       |               ELSE 0.0 END)
+       |      * (0.5 + 0.5 * CASE WHEN len(t) > 0
+       |          THEN (len(list_filter(t, x -> x IN ('the','a','of','and','to','is')))
+       |              + len(list_filter(t, x -> x IN ('el','la','de','que','y','en')))
+       |              + len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein'))))::DOUBLE / len(t)
+       |          ELSE 0.0 END), 6) AS quality
+       |  FROM toks),
+       |bmic AS (SELECT doc_id, quality, n_tokens,
+       |    CAST(round(quality * 1000000.0) AS BIGINT) AS micro,
+       |    CAST(CAST(round(quality * 1000000.0) AS BIGINT) // 1000 AS BIGINT) AS bin
+       |  FROM bq),
+       |bh AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM bmic GROUP BY bin)""".stripMargin
+
+  /** The selection tail over [[budgetCtes]] for a budget expression
+    * (a literal or a derived subquery): threshold bin by suffix sum,
+    * boundary prefix by the single `(micro DESC, doc_id)` running sum —
+    * the semantics Spark's two-level implementation must equal exactly.
+    * Ends in `bsel(doc_id, quality, n_tokens, bin, region, kept)`. */
+  private def budgetSelectCtes(budgetExpr: String): String =
+    s"""$budgetCtes,
+       |bb AS (SELECT CAST(($budgetExpr) AS BIGINT) AS budget),
+       |bcum AS (SELECT bin, sum(n_tokens) OVER (ORDER BY bin DESC) AS cum_top FROM bh),
+       |bth AS (SELECT coalesce((SELECT max(bin) FROM bcum, bb WHERE cum_top > budget), -1) AS t),
+       |brem AS (SELECT budget - coalesce(
+       |    (SELECT sum(n_tokens) FROM bh, bth WHERE bin > t), 0) AS remaining
+       |  FROM bb),
+       |brun AS (SELECT doc_id,
+       |    sum(n_tokens) OVER (ORDER BY micro DESC, doc_id) AS running
+       |  FROM bmic, bth WHERE bin = t),
+       |bsel AS (SELECT m.doc_id, m.quality, m.n_tokens, m.bin,
+       |    CASE WHEN m.bin > t THEN 'above' WHEN m.bin = t THEN 'boundary'
+       |         ELSE 'below' END AS region,
+       |    (m.bin > t OR (m.bin = t AND r.running <= remaining)) AS kept
+       |  FROM bmic m CROSS JOIN bth CROSS JOIN brem
+       |  LEFT JOIN brun r ON m.doc_id = r.doc_id)""".stripMargin
+
+  /** The full decision-frame oracle at a given budget expression —
+    * shared by the inline, indexed, and auto rungs. */
+  private def budgetSelectSql(budgetExpr: String): String =
+    s"""WITH ${budgetSelectCtes(budgetExpr)}
+       |SELECT doc_id, quality, n_tokens, bin, region, kept
+       |FROM bsel ORDER BY doc_id""".stripMargin
+
   /** The source-gate projection over `sstats` at minAvgQuality 0.29 —
     * shared by the inline and indexed gate oracles. */
   private def sourceGateSql: String =
@@ -3525,6 +3625,50 @@ object SparkEntry {
 
     "source_gate" -> sourceGateSql,
     "source_gate_indexed" -> sourceGateSql,
+
+    // TOKEN-BUDGET selection (r18): the bin histogram, its merge-identity
+    // proof (Spark merges bucket-halves; the ground truth aggregates the
+    // whole corpus), and the decision frame at absolute/auto budgets
+    "budget_hist" ->
+      s"""WITH $budgetCtes
+         |SELECT bin, n_docs, n_tokens FROM bh ORDER BY bin""".stripMargin,
+    "budget_hist_merged" ->
+      s"""WITH $budgetCtes
+         |SELECT bin, n_docs, n_tokens FROM bh ORDER BY bin""".stripMargin,
+    "budget_select" -> budgetSelectSql("9000"),
+    "budget_select_indexed" -> budgetSelectSql("9000"),
+    // the auto rung's budget: total tokens · 40 ÷ 100 in integer
+    // arithmetic — exactly the Long math the Spark side runs
+    "budget_select_auto" -> budgetSelectSql(
+      "SELECT CAST(sum(n_tokens) AS BIGINT) * 40 // 100 FROM bq"),
+    // incremental admission: merged evidence ≡ the whole corpus, so the
+    // threshold derives from ALL documents; the incoming docs (id-hash
+    // buckets ≥ 80) admit iff strictly above it (bin-granular — the
+    // declared incremental semantics)
+    "budget_select_incremental" ->
+      s"""WITH ${budgetSelectCtes("9000")},
+         |bbuck AS (SELECT doc_id,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT % 100 AS b
+         |  FROM documents)
+         |SELECT m.doc_id, m.quality, m.n_tokens, m.bin,
+         |  (m.bin > t) AS admitted
+         |FROM bmic m CROSS JOIN bth JOIN bbuck k ON m.doc_id = k.doc_id
+         |WHERE k.b >= 80 ORDER BY m.doc_id""".stripMargin,
+    "budget_audit" ->
+      s"""WITH ${budgetSelectCtes("9000")},
+         |bper AS (SELECT region,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+         |    CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+         |  FROM bsel GROUP BY region),
+         |bach AS (SELECT CAST(coalesce(sum(kept_tokens), 0) AS BIGINT) AS achieved
+         |  FROM bper)
+         |SELECT region, n_docs, n_tokens, kept_docs, kept_tokens,
+         |  (SELECT budget FROM bb) AS budget,
+         |  achieved AS achieved_tokens,
+         |  round(achieved::DOUBLE / (SELECT budget FROM bb)::DOUBLE, 6) AS fill_ratio
+         |FROM bper CROSS JOIN bach ORDER BY region""".stripMargin,
 
     // the auto rung: measured sources ranked by (avg_quality, source),
     // bottom floor(n*10/100) block; unmeasured pass with NULL rank
