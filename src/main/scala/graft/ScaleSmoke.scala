@@ -571,6 +571,40 @@ object ScaleSmoke {
       graft.operators.Sampling.sourceMixtureFromTokenStats(hosts)
         .queryExecution.toRdd.count()
     }
+    stage("budget hist (250k)") {
+      // the token-weighted score histogram at scale: one map-side-combined
+      // aggregation into ≤1001 bins — the shuffle carries bins x
+      // partitions rows, never documents; the per-doc quality scan is the
+      // whole cost
+      graft.operators.BudgetSelect.scoreHistogram(docs)
+        .queryExecution.toRdd.count()
+    }
+    stage("budget select (250k)") {
+      // the full selection frame: threshold from the bins-sized driver
+      // suffix sum, bins above/below decided with NO ordering, and only
+      // the boundary bin (~1/bins of the corpus) enters the micro-
+      // partitioned window — the shuffle beyond the final doc_id output
+      // sort is boundary-sized
+      val total = graft.operators.BudgetSelect.scoreHistogram(docs)
+        .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+      graft.operators.BudgetSelect.selectByBudget(docs, total * 40L / 100L)
+        .queryExecution.toRdd.count()
+    }
+    stage("budget incr (1% batch)") {
+      // the running-evidence admission's steady state: a 1% batch scored
+      // (batch-sized cost) and judged under state = the histogram of
+      // everything else merged with its own — the merge is bins-sized,
+      // history is never re-read (state materialized OUTSIDE the timer,
+      // as the streaming checkpoint would hold it)
+      val incHalf = graft.operators.Sampling.hashBucket(col("doc_id")) < 1
+      val state = graft.operators.BudgetSelect.scoreHistogram(docs.where(!incHalf))
+        .persist()
+      state.count()
+      try graft.operators.BudgetSelect
+        .selectIncremental(docs.where(incHalf), state, 1000000L)
+        .queryExecution.toRdd.count()
+      finally state.unpersist()
+    }
     locally {
       // the recrawl pair at scale: 5% of docs removed, 10% rewritten,
       // the rest byte-identical — a crawl cycle's realistic turnover

@@ -86,7 +86,7 @@ object BudgetSelect {
   def scoreHistogram(docs: DataFrame): DataFrame =
     histogramOf(scored(docs))
 
-  private def histogramOf(sc: DataFrame): DataFrame =
+  private[graft] def histogramOf(sc: DataFrame): DataFrame =
     sc.groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("bigint").as("n_tokens"))

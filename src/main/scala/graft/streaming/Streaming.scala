@@ -594,6 +594,77 @@ object Streaming {
       }
       .start()
 
+  /** Streaming token-budget admission — [[graft.operators.BudgetSelect]]'s
+    * running-evidence rung: each micro-batch's documents are scored once
+    * (batch-sized cost) and admitted iff their quality bin clears the
+    * threshold derived from the RUNNING score histogram (accumulated
+    * state MERGED with the batch's own — evidence up to and including
+    * this batch, the [[streamSourceGateAdmit]] first-evidence
+    * discipline). State is the ≤1001-bin histogram — the smallest
+    * streaming state in the repo, bounded a priori regardless of stream
+    * length; the per-batch cost is the batch's one quality scan plus a
+    * bins-sized merge.
+    *
+    * Budget semantics, DECLARED: with `keepPct` set, the budget is that
+    * fraction of the tokens SEEN SO FAR (the DCLM top-X% posture,
+    * streamed — the threshold converges to the whole-corpus cut as
+    * evidence lands); otherwise `budgetTokens` is an absolute target and
+    * the threshold RATCHETS upward as accumulated evidence outgrows it.
+    * Admission is bin-granular ([[graft.operators.BudgetSelect
+    * .selectIncremental]]'s declared rule: a doc-level boundary prefix
+    * needs a total order over all history, which an unbounded stream
+    * cannot replay) and first-evidence: early admissions under a looser
+    * threshold stay admitted. Decisions are PURE given (state, batch) —
+    * stats write after the sink, reads strictly below `batchId`, so a
+    * replayed batch re-decides identically (StreamingSpec pins replay
+    * and state ≡ scoreHistogram(seen) byte-for-byte). */
+  def streamBudgetAdmit(docs: DataFrame, path: String, checkpointDir: String,
+                        budgetTokens: Long = Long.MaxValue,
+                        keepPct: Option[Int] = None,
+                        compactEvery: Int = 16)
+                       (sink: DataFrame => Unit,
+                        rejects: DataFrame => Unit = _ => ()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val B = graft.operators.BudgetSelect
+          // scored once; three consumers (batch hist, admit, reject)
+          val sc = B.scored(batch).localCheckpoint()
+          val batchHist = B.histogramOf(sc)
+            // two consumers (running merge + state write) — one compute
+            .persist()
+          try {
+            val running = readBatchState(spark, s"$path/_bhist", batchId)
+              .fold(batchHist: DataFrame)(st => B.mergeHistograms(st, batchHist))
+              .persist()
+            try {
+              val budget = keepPct.fold(budgetTokens) { pct =>
+                val total = running.agg(sum(col("n_tokens")).cast("bigint"))
+                  .collect()(0) match {
+                  case r if r.isNullAt(0) => 0L
+                  case r                  => r.getLong(0)
+                }
+                total * pct / 100L
+              }
+              val (t, _) = B.thresholdOf(running, budget)
+              sink(batch.join(
+                sc.where(col("bin") > t).select(col("doc_id")),
+                Seq("doc_id"), "left_semi"))
+              rejects(batch.select(col("doc_id"))
+                .join(sc.where(col("bin") <= t)
+                  .select(col("doc_id"), col("quality"), col("bin")), Seq("doc_id")))
+            } finally running.unpersist(false)
+            batchHist.write.mode("overwrite")
+              .parquet(f"$path/_bhist/b$batchId%020d")
+            compactBatchState(spark, s"$path/_bhist", batchId, compactEvery)
+          } finally batchHist.unpersist(false)
+        }
+      }
+      .start()
+
   /** Continuous mixture planning — [[graft.operators.Sampling.mixtureDraw]]'s
     * streaming twin: each micro-batch's documents get their deterministic
     * repetition counts under the temperature mixture computed from RUNNING

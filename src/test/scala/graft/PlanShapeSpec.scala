@@ -701,6 +701,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("budget_select: the boundary window is micro-partitioned over boundary rows only") {
+    val docs = Tables.documents(spark, dir)
+    val total = graft.operators.BudgetSelect.scoreHistogram(docs)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("n_tokens"))).collect()(0).getLong(0)
+    val df = graft.operators.BudgetSelect.selectByBudget(docs, total / 3)
+    val p = plan(df)
+    // the running-prefix window must be PARTITIONED (by micro) — a
+    // partitionless window is the single-task global sort this family
+    // exists to avoid
+    val windows = """Window \[""".r.findAllIn(p).toSeq
+    assert(windows.nonEmpty, s"expected the boundary window:\n$p")
+    assert("""windowspecdefinition\(micro#""".r.findFirstIn(p).isDefined,
+      s"window must partition by micro:\n$p")
+    // and its input is the boundary-bin FILTER, not the whole frame —
+    // the micro exchange shuffles ~1/bins of the corpus
+    assert("""Exchange hashpartitioning\(micro#""".r.findFirstIn(p).isDefined,
+      s"boundary exchange missing:\n$p")
+    assert("""\(bin#\d+L = \d+\)""".r.findFirstIn(p).isDefined,
+      s"window input must be filtered to the boundary bin:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("budget_hist: one partial/final aggregation keyed by bin — shuffle is bins-sized") {
+    val p = plan(graft.operators.BudgetSelect.scoreHistogram(
+      Tables.documents(spark, dir)))
+    assert("""HashAggregate\(keys=\[bin#""".r.findFirstIn(p).isDefined, p)
+    // partial aggregation map-side: the exchange carries bin keys, so at
+    // most bins x partitions rows cross the wire
+    assert("""Exchange hashpartitioning\(bin#""".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("Window") && !p.contains("Join"), s"not one agg:\n$p")
+  }
+
   test("source-partitioned scan: the gate's keep-set prunes partitions at planning time") {
     val docs = Tables.documents(spark, dir)
     val path = java.nio.file.Files.createTempDirectory("graft-srcpart-").toString + "/docs"

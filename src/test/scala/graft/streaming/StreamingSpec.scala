@@ -1165,6 +1165,75 @@ class StreamingSpec extends SparkSpec {
     assert(drawn.toSet == want2, "replayed batch re-draws byte-identically")
   }
 
+  test("streamBudgetAdmit: running-evidence admission — per-batch ≡ incremental form, state ≡ scoreHistogram(seen), commit-crash replay identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val B = graft.operators.BudgetSelect
+    val path = Files.createTempDirectory("graft-sbud-").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-sbud-ckpt-").toString
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val b = graft.operators.Sampling.hashBucket(col("doc_id"))
+    def slice(lo: Int, hi: Int) = docs.where(b >= lo && b < hi)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val (b1, b2) = (slice(0, 50), slice(50, 100))
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try q.awaitTermination(120000) finally q.stop()
+      val t0 = System.currentTimeMillis()
+      while (spark.streams.active.nonEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+    }
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val refused = scala.collection.mutable.ArrayBuffer[Long]()
+    val mem = MemoryStream[(Long, String, String, String)]
+    // keepPct mode: the budget is 40% of the tokens seen so far — the
+    // threshold converges toward the whole-corpus cut as evidence lands
+    def run(): Unit = runToCompletion(Streaming.streamBudgetAdmit(
+      mem.toDF().toDF("doc_id", "text", "lang", "source"), path, ckpt,
+      keepPct = Some(40))(
+      df => admitted ++= df.select(col("doc_id")).collect().map(_.getLong(0)),
+      df => refused ++= df.select(col("doc_id")).collect().map(_.getLong(0))))
+    val corpus1 = b1.toSeq.toDF("doc_id", "text", "lang", "source")
+    val corpus2 = b2.toSeq.toDF("doc_id", "text", "lang", "source")
+    def totalTokens(df: org.apache.spark.sql.DataFrame): Long =
+      B.scored(df).agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    mem.addData(b1.toSeq: _*); run()
+    // batch 1 admits under its own evidence — selectIncremental with
+    // empty state at 40% of ITS tokens (single-batch ≡ incremental)
+    val want1 = B.selectIncremental(corpus1,
+        B.scoreHistogram(corpus1.limit(0)), totalTokens(corpus1) * 40L / 100L)
+      .where(col("admitted")).collect().map(_.getLong(0)).toSet
+    assert(admitted.toSet == want1, "batch 1 must equal the incremental rule over itself")
+    assert(refused.toSet == b1.map(_._1).toSet -- want1,
+      "every batch-1 doc gets exactly one verdict")
+    val admitted1 = admitted.toSet
+    mem.addData(b2.toSeq: _*); run()
+    // batch 2 admits under MERGED evidence at 40% of ALL seen tokens
+    val whole = (b1 ++ b2).toSeq.toDF("doc_id", "text", "lang", "source")
+    val want2 = B.selectIncremental(corpus2, B.scoreHistogram(corpus1),
+        totalTokens(whole) * 40L / 100L)
+      .where(col("admitted")).collect().map(_.getLong(0)).toSet
+    assert(admitted.toSet -- admitted1 == want2,
+      "batch 2 must equal the incremental admission under running evidence")
+    // state identity: folded per-batch histograms ≡ scoreHistogram(seen)
+    val stateDirs = new java.io.File(s"$path/_bhist").listFiles()
+      .filter(f => f.getName.startsWith("b") || f.getName.startsWith("c"))
+      .map(_.toString).sorted
+    val state = stateDirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    val folded = B.mergeHistograms(state.limit(0), state)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(folded == B.scoreHistogram(whole).collect().map(_.toSeq.toVector).toSeq,
+      "accumulated state must equal the whole-corpus histogram byte-for-byte")
+    // commit-crash replay: admission is pure given (state below, batch)
+    val commit1 = java.nio.file.Paths.get(ckpt, "commits", "1")
+    assert(Files.exists(commit1))
+    Files.delete(commit1)
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    admitted.clear(); refused.clear(); run()
+    assert(admitted.toSet == want2 &&
+      refused.toSet == b2.map(_._1).toSet -- want2,
+      "replayed batch re-admits byte-identically")
+  }
+
   test("streamSnapshotDiff: per-batch ≡ batch diff on the batch's ids; union + close-removed ≡ whole diff; commit-crash replay identical") {
     implicit val sqlCtx = spark.sqlContext
     val S = graft.operators.SnapshotDiff
