@@ -151,6 +151,11 @@ object SparkEntry {
     "curate_sourced" -> ((s, dir) =>
       Curate.pipeline(Tables.documents(s, dir), sourceGate = true,
         minAvgQuality = 0.29)),
+    // the assembled frame with the TOKEN-BUDGET arm conjoined (r18): the
+    // FineWeb/DCLM selection cut over the gate-kept train docs — 8000
+    // tokens bites (kept-train holds more), so budget_ok splits genuinely
+    "curate_budget" -> ((s, dir) =>
+      Curate.pipeline(Tables.documents(s, dir), budgetTokens = Some(8000L))),
     "curate_multimodal" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat, expr, lit, when}
       // the pair device: docs 2k and 2k+1 share a 512-byte md5-hex blob in
@@ -2796,7 +2801,8 @@ object SparkEntry {
     * ([[curateRunHitsCtes]]) — everything downstream of the `flags` CTE
     * byte-identical. */
   private def curateSqlFor(runDecontam: Boolean,
-                           sourceGate: Boolean = false): String = {
+                           sourceGate: Boolean = false,
+                           budget: Option[Long] = None): String = {
     val (decoCtes, decoOk, decoJoin) =
       if (runDecontam)
         (curateRunHitsCtes,
@@ -2822,10 +2828,41 @@ object SparkEntry {
            |  FROM documents d LEFT JOIN sstats s ON d.source = s.source)""".stripMargin,
         """
           |    csg.source_ok AS source_ok,""".stripMargin,
-        "fk.source_ok, ",
+        "source_ok, ",
         """
           |  JOIN csg ON cfd.doc_id = csg.doc_id""".stripMargin,
         " AND source_ok")
+    // budget: the TOKEN-BUDGET arm — the [[budgetSelectCtes]] machinery
+    // over the gate-kept TRAIN docs (kept ∧ b < 80), its verdict
+    // conjoined as `budget_ok` (vacuously TRUE for kept val/bench docs,
+    // FALSE for gate-dropped ones) before the shard scan
+    val (bCtes, bColFk, fkT) = budget.fold(("", "", "fk")) { b =>
+      (s""",
+         |$budgetTailCtes,
+         |bkm AS (SELECT m.doc_id, m.n_tokens, m.micro, m.bin
+         |  FROM bmic m JOIN fk ON m.doc_id = fk.doc_id
+         |  WHERE fk.kept AND fk.b < 80),
+         |bkh AS (SELECT bin, sum(n_tokens) AS n_tokens FROM bkm GROUP BY bin),
+         |bkcum AS (SELECT bin, sum(n_tokens) OVER (ORDER BY bin DESC) AS cum_top FROM bkh),
+         |bkt AS (SELECT coalesce((SELECT max(bin) FROM bkcum WHERE cum_top > $b), -1) AS t),
+         |bkrem AS (SELECT $b - coalesce(
+         |    (SELECT sum(n_tokens) FROM bkh, bkt WHERE bin > t), 0) AS remaining),
+         |bkrun AS (SELECT doc_id,
+         |    sum(n_tokens) OVER (ORDER BY micro DESC, doc_id) AS running
+         |  FROM bkm, bkt WHERE bin = t),
+         |bok AS (SELECT m.doc_id, (m.bin > t OR (m.bin = t AND r.running <= remaining)) AS bk
+         |  FROM bkm m CROSS JOIN bkt CROSS JOIN bkrem
+         |  LEFT JOIN bkrun r ON m.doc_id = r.doc_id),
+         |fkx AS (SELECT fk.* REPLACE((fk.kept AND
+         |      CASE WHEN NOT fk.kept THEN FALSE
+         |           WHEN fk.b < 80 THEN coalesce(bok.bk, FALSE)
+         |           ELSE TRUE END) AS kept),
+         |    CASE WHEN NOT fk.kept THEN FALSE
+         |         WHEN fk.b < 80 THEN coalesce(bok.bk, FALSE)
+         |         ELSE TRUE END AS budget_ok
+         |  FROM fk LEFT JOIN bok ON fk.doc_id = bok.doc_id)""".stripMargin,
+        "budget_ok, ", "fkx")
+    }
     s"""WITH $corpusFilterCtes,
        |${ngramPairsSql()},
        |$decoCtes$srcCtes,
@@ -2837,23 +2874,23 @@ object SparkEntry {
        |  FROM cfd JOIN buck ON cfd.doc_id = buck.doc_id
        |  $decoJoin$srcJoin),
        |fk AS (SELECT *, (quality_ok AND repetition_ok AND pii_ok AND dedup_ok
-       |    AND near_ok AND decontam_ok$srcConj) AS kept FROM flags),
-       |ck AS (SELECT fk.doc_id,
+       |    AND near_ok AND decontam_ok$srcConj) AS kept FROM flags)$bCtes,
+       |ck AS (SELECT $fkT.doc_id,
        |    CAST(len(list_filter(string_split(d.text, ' '), x -> x != '')) AS BIGINT) AS n_tok
-       |  FROM fk JOIN documents d ON fk.doc_id = d.doc_id
-       |  WHERE fk.kept AND fk.b < 80),
+       |  FROM $fkT JOIN documents d ON $fkT.doc_id = d.doc_id
+       |  WHERE $fkT.kept AND $fkT.b < 80),
        |cs AS (SELECT doc_id,
        |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 10000 AS shard
        |  FROM ck)
-       |SELECT fk.doc_id, fk.quality_ok, fk.repetition_ok, fk.pii_ok,
-       |  fk.dedup_ok, fk.near_ok, fk.decontam_ok, ${srcColFk}fk.kept,
-       |  CASE WHEN NOT fk.kept THEN NULL
-       |       WHEN fk.b < 80 THEN 'train'
-       |       WHEN fk.b < 90 THEN 'val' ELSE 'bench' END AS split,
+       |SELECT $fkT.doc_id, $fkT.quality_ok, $fkT.repetition_ok, $fkT.pii_ok,
+       |  $fkT.dedup_ok, $fkT.near_ok, $fkT.decontam_ok, $srcColFk$bColFk$fkT.kept,
+       |  CASE WHEN NOT $fkT.kept THEN NULL
+       |       WHEN $fkT.b < 80 THEN 'train'
+       |       WHEN $fkT.b < 90 THEN 'val' ELSE 'bench' END AS split,
        |  CAST(cs.shard AS BIGINT) AS shard
-       |FROM fk LEFT JOIN cs ON fk.doc_id = cs.doc_id
-       |ORDER BY fk.doc_id""".stripMargin
+       |FROM $fkT LEFT JOIN cs ON $fkT.doc_id = cs.doc_id
+       |ORDER BY $fkT.doc_id""".stripMargin
   }
 
   /** The run-rule decontamination CTE chain of `curate_runs` /
@@ -3543,7 +3580,13 @@ object SparkEntry {
   private def budgetCtes: String =
     s"""toks AS (SELECT doc_id, text,
        |    list_filter(string_split(text, ' '), x -> x != '') AS t FROM documents),
-       |bq AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |$budgetTailCtes""".stripMargin
+
+  /** The per-doc tail of [[budgetCtes]] — needs `toks` already in scope
+    * (shared with the `curate_budget` oracle, whose chain opens with the
+    * filter CTEs anyway — the [[sourceStatsTailCtes]] device). */
+  private def budgetTailCtes: String =
+    s"""bq AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
        |    round(least(1.0, len(t)::DOUBLE / 100.0)
        |      * (1.0 - CASE WHEN length(text) > 0
        |               THEN length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / length(text)
@@ -4437,6 +4480,7 @@ object SparkEntry {
     "curate_runs" -> curateSqlFor(runDecontam = true),
     // the host-arm frame: same chain + the sstats CTEs and one more gate
     "curate_sourced" -> curateSqlFor(runDecontam = false, sourceGate = true),
+    "curate_budget" -> curateSqlFor(runDecontam = false, budget = Some(8000L)),
 
 
     // the multimodal frame: the curate CTEs verbatim (corpus filter, n-gram

@@ -60,7 +60,18 @@ object Curate {
                // source-dropped doc never consumes shard budget, exactly
                // like every other gate
                sourceGate: Boolean = false,
-               minAvgQuality: Double = 0.2): DataFrame = {
+               minAvgQuality: Double = 0.2,
+               // TOKEN-BUDGET arm ([[BudgetSelect]]): after every gate,
+               // select the highest-quality KEPT TRAIN docs whose tokens
+               // fit the budget (the FineWeb/DCLM cut composed as the
+               // pipeline's final selection stage). `budget_ok` = the
+               // selection verdict for kept-train docs, vacuously TRUE
+               // for kept val/bench docs (they never consume training
+               // budget — the decontam_ok convention), FALSE for
+               // gate-dropped docs (never candidates); a budget-dropped
+               // doc never consumes shard budget, exactly like every
+               // other gate
+               budgetTokens: Option[Long] = None): DataFrame = {
     val flags = if (!sourceGate)
       textFlags(docs, minQuality, trainPct, benchFromPct,
         approxNear, runDecontam, evalIndexDir, evalIndexPolicy)
@@ -93,7 +104,7 @@ object Curate {
     }
     decide(docs, flags,
       if (sourceGate) TextGates :+ "source_ok" else TextGates,
-      tokensPerShard, trainPct, benchFromPct)
+      tokensPerShard, trainPct, benchFromPct, budgetTokens)
   }
 
   /** The text gate columns of [[pipeline]]'s decision frame, in output
@@ -159,10 +170,32 @@ object Curate {
     * one auditable frame whose gate columns are whatever the caller's
     * flags carry ([[pipeline]]'s six text gates; [[pipelineMultimodal]]
     * appends `media_ok`). */
-  private def decide(docs: DataFrame, flags: DataFrame, gateCols: Seq[String],
+  private def decide(docs: DataFrame, flags: DataFrame, gateCols0: Seq[String],
                      tokensPerShard: Long, trainPct: Int,
-                     benchFromPct: Int): DataFrame = {
-    val flagged = flags.withColumn("kept", gateCols.map(col).reduce(_ && _))
+                     benchFromPct: Int,
+                     budgetTokens: Option[Long] = None): DataFrame = {
+    val flagged0 = flags.withColumn("kept", gateCols0.map(col).reduce(_ && _))
+    // the budget arm: [[BudgetSelect.selectByBudget]] over the gate-kept
+    // TRAIN docs (scored once, threshold from the bins-sized histogram,
+    // boundary-only ordering — the family's documented shape), its
+    // verdict conjoined as one more gate column. Runs BETWEEN the gate
+    // conjunction and the shard scan so a budget-dropped doc never
+    // consumes shard budget.
+    val (flagged, gateCols) = budgetTokens.fold((flagged0, gateCols0)) { b =>
+      val pre = flagged0.localCheckpoint(
+        sys.env.contains("SPARK_GRAFT_EAGER_CHECKPOINT"))
+      val sel = BudgetSelect.selectByBudget(
+          docs.join(pre.where(col("kept") && col("__b") < trainPct)
+            .select(col("doc_id")), Seq("doc_id"), "left_semi"), b)
+        .select(col("doc_id"), col("kept").as("__bk"))
+      (pre.join(sel, Seq("doc_id"), "left")
+        .withColumn("budget_ok",
+          when(!col("kept"), lit(false))
+            .otherwise(coalesce(col("__bk"), lit(true))))
+        .drop("__bk")
+        .withColumn("kept", col("kept") && col("budget_ok")),
+        gateCols0 :+ "budget_ok")
+    }
     // MATERIALIZATION BOUNDARY before the fan-out: the flags frame has
     // two consumers (the shard scan over kept-train rows, and the final
     // output), and without a boundary Catalyst re-evaluates every gate

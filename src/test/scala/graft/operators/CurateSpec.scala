@@ -137,6 +137,56 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("curate budgetTokens: the selection arm adds ONE gate column; verdicts equal selectByBudget over kept-train; shards renumber") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val base = Curate.pipeline(docs).collect().map(r => r.getLong(0) -> r).toMap
+    // pick a budget that BITES: half the kept-train tokens of the plain run
+    val keptTrain = docs.join(
+      Curate.pipeline(docs).where(col("kept") && col("split") === "train")
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val trainTok = BudgetSelect.scored(keptTrain)
+      .agg(org.apache.spark.sql.functions.sum(col("n_tokens")))
+      .collect()(0).getLong(0)
+    val budget = trainTok / 2
+    val bsel = BudgetSelect.selectByBudget(keptTrain, budget)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(bsel.values.exists(identity) && bsel.values.exists(!_),
+      "the budget must genuinely split the kept-train docs")
+    val budgeted = Curate.pipeline(docs, budgetTokens = Some(budget))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(budgeted.keySet == base.keySet)
+    val buck = Sampling.hashBucket(col("doc_id"))
+    val trainIds = docs.where(buck < 80).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    budgeted.foreach { case (id, r) =>
+      // text gates byte-identical to the plain frame (columns 1..6)
+      (1 to 6).foreach(i => assert(r.getBoolean(i) == base(id).getBoolean(i)))
+      val baseKept = base(id).getBoolean(7)
+      // column 7 is budget_ok: the family verdict for kept-train docs,
+      // vacuously true for kept val/bench, false for gate-dropped
+      val wantB =
+        if (!baseKept) false
+        else if (trainIds(id)) bsel(id)
+        else true
+      assert(r.getBoolean(7) == wantB, s"budget_ok drifted for doc $id")
+      // kept re-conjoins
+      assert(r.getBoolean(8) == (baseKept && wantB))
+      if (!r.getBoolean(8)) assert(r.isNullAt(9) && r.isNullAt(10))
+    }
+    // shards renumber over the BUDGET-kept train docs only: the shard
+    // sequence must equal tokenShards over exactly that subset
+    val keptIds = budgeted.collect { case (id, r) if r.getBoolean(8) &&
+      r.getString(9) == "train" => id }.toSet
+    val want = Sampling.tokenShards(
+        docs.join(keptIds.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi"),
+        10000L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("shard")).toMap
+    keptIds.foreach(id => assert(budgeted(id).getLong(10) == want(id),
+      s"shard drifted for doc $id — budget-dropped docs must not consume budget"))
+  }
+
   test("pipelineMultimodal: per-modality offenders gate kept; media_ok composes the treatment arms") {
     val docs = Tables.documents(spark, dir)
     // the pair device: docs 2k and 2k+1 share a blob payload (512 bytes of
