@@ -544,8 +544,12 @@ object TextAnalysis {
                         iters: Int = 3, learnRate: Double = 1.0): DataFrame = {
     val bias = buckets.toLong
     val tok = hashedFeatures(docs, buckets)
+    // boundary (r18): `counts` feeds its own row-count normalizer (ntok),
+    // the persisted train-slice table AND the final whole-corpus scoring —
+    // four re-evaluations of the explode + hash56 token pass without it
     val counts = tok.groupBy(col("doc_id"), col("feat"))
       .agg(count(lit(1)).cast("double").as("c"))
+      .localCheckpoint(false)
     val ntok = counts.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
     val x = counts.join(ntok, "doc_id")
       .select(col("doc_id"), col("feat"), (col("c") / col("n")).as("xf"))
@@ -558,7 +562,14 @@ object TextAnalysis {
     // The train-slice feature table feeds every gradient step twice —
     // persist it for the loop (the slices are bounded a-priori samples by
     // contract, the same dial as every eval surface here), then release.
+    // Repartition by doc_id BEFORE the persist (r18): the bias-row union
+    // inside `x` erases any partitioning claim, so without this every
+    // gradient step re-shuffled the cached table twice (err's
+    // (doc_id, y) aggregation + the err⨝xtr join); hash(doc_id) satisfies
+    // both requirements, leaving one bounded feat-keyed exchange per step.
     val xtr = x.join(labels, "doc_id")
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nTrain = labels.count().toDouble // scalar driver state, like Lloyd's convergence check
     val w = Array.fill(buckets + 1)(0.0)
@@ -797,31 +808,65 @@ object TextAnalysis {
     * multiplicity capped by the rank-`headSize` count) reach the shuffled
     * tail join. Exactness is independent of where the cut falls. Null
     * probe keys never match (standard left-join semantics) and keep their
-    * row with a null count. */
+    * row with a null count.
+    *
+    * Two physical shapes, both exact, chosen by the CALLER's chain depth
+    * (r18 optimization, both A/B-measured at sf0.1/32 cpus):
+    *
+    *  - `linear = false` (single-level callers): hit ∪ miss union. The
+    *    probe subtree is evaluated twice (once per branch), but head-HIT
+    *    rows never cross an exchange — for one level the zero-shuffle hit
+    *    path beats the duplication (corpus_filter: 33.9 vs 55.4 cpu-s per
+    *    window when forced linear).
+    *  - `linear = true` (chained callers): one pipeline — the tail join
+    *    keys on the columns AND `head-missed` (a head-hit row satisfies no
+    *    tail condition, keeps a null tail count, and the coalesce picks its
+    *    broadcast-resolved head count). Hit rows do cross the tail exchange
+    *    as already-resolved passengers, but the subtree is evaluated ONCE:
+    *    under the union form each chained level DOUBLES the upstream, so
+    *    the bigram LM's three levels re-ran the tokenize/explode base
+    *    2³ = 8 times (214 Exchanges in the lm_score_bigram plan, 67 cpu-s
+    *    per window; 59 with the linear form, 23 Exchanges).
+    *
+    * Row-identity of the linear form: counts are unique per key, so at
+    * most one tail match; null probe keys match nothing and keep their
+    * row — exactly the union form's left-join semantics. */
   private def headTailLeftJoin(stream: DataFrame, counts: DataFrame,
                                keys: Seq[String], cName: String,
-                               headSize: Int): DataFrame = {
+                               headSize: Int,
+                               linear: Boolean = false): DataFrame = {
     val head = counts
       .orderBy(desc(cName) +: keys.map(asc): _*).limit(headSize)
     val tail = counts.join(broadcast(head.select(keys.map(col): _*)),
       keys, "left_anti")
+    val h = s"__${cName}_h"
     val probed = stream.join(
-      broadcast(head.withColumnRenamed(cName, s"__${cName}_h")), keys, "left")
-    val hit = probed.where(col(s"__${cName}_h").isNotNull)
-      .withColumn(cName, col(s"__${cName}_h")).drop(s"__${cName}_h")
-    val miss = probed.where(col(s"__${cName}_h").isNull)
-      .drop(s"__${cName}_h").join(tail, keys, "left")
-    // coalesce the hit ∪ miss concat back to the session parallelism:
-    // UnionExec CONCATENATES child partitions (hit's N + miss's N), and a
-    // chain of these joins doubles the count per level — the bigram LM's
-    // three joins ran its scoring stage at 2³×32 = 256 near-empty tasks
-    // whose per-task overhead dominated (round-10 stage audit: 38-50
-    // executor-seconds at ~0.15 s/task). Coalesce merges within-stage
-    // (no shuffle) and claims no output partitioning, so the Spark 4
-    // union zip-vs-concat hazard documented at the call sites is
-    // untouched.
-    hit.unionByName(miss)
-      .coalesce(stream.sparkSession.sparkContext.defaultParallelism)
+      broadcast(head.withColumnRenamed(cName, h)), keys, "left")
+    if (linear) {
+      val t = s"__${cName}_t"
+      val tailR = tail.withColumnRenamed(cName, t)
+        .select((keys.map(k => col(k).as(s"__${k}_t")) :+ col(t)): _*)
+      probed.join(tailR,
+          keys.map(k => probed(k) <=> tailR(s"__${k}_t")).reduce(_ && _) &&
+            col(h).isNull,
+          "left")
+        .withColumn(cName, coalesce(col(h), col(t)))
+        .drop((h +: t +: keys.map(k => s"__${k}_t")): _*)
+    } else {
+      val hit = probed.where(col(h).isNotNull)
+        .withColumn(cName, col(h)).drop(h)
+      val miss = probed.where(col(h).isNull)
+        .drop(h).join(tail, keys, "left")
+      // coalesce the hit ∪ miss concat back to the session parallelism:
+      // UnionExec CONCATENATES child partitions (hit's N + miss's N) —
+      // without this the per-task overhead of near-empty tasks dominates
+      // (round-10 stage audit: 38-50 executor-seconds at ~0.15 s/task).
+      // Coalesce merges within-stage (no shuffle) and claims no output
+      // partitioning, so the Spark 4 union zip-vs-concat hazard documented
+      // at the call sites is untouched.
+      hit.unionByName(miss)
+        .coalesce(stream.sparkSession.sparkContext.defaultParallelism)
+    }
   }
 
   /** Interpolated BIGRAM LM cross-entropy — [[lmCrossEntropy]] with the
@@ -870,9 +915,11 @@ object TextAnalysis {
     val ctx = big.groupBy(col("prev")).agg(sum(col("cb")).as("cctx"))
     val tot = uni.agg(sum(col("c")).as("n_train"), count(lit(1)).as("v"))
 
-    val s1 = headTailLeftJoin(paired, uni, Seq("cur"), "c", headSize)
-    val s2 = headTailLeftJoin(s1, ctx, Seq("prev"), "cctx", headSize)
-    val s3 = headTailLeftJoin(s2, big, Seq("prev", "cur"), "cb", headSize)
+    // linear form: three chained levels — the union form doubles the
+    // upstream subtree per level (2³ = 8 evaluations of the pairing base)
+    val s1 = headTailLeftJoin(paired, uni, Seq("cur"), "c", headSize, linear = true)
+    val s2 = headTailLeftJoin(s1, ctx, Seq("prev"), "cctx", headSize, linear = true)
+    val s3 = headTailLeftJoin(s2, big, Seq("prev", "cur"), "cb", headSize, linear = true)
 
     val denom = col("n_train").cast("double") + col("v").cast("double") + 1.0
     val pUni = (coalesce(col("c"), lit(0L)).cast("double") + 1.0) / denom
